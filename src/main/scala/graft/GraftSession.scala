@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Scale posture (SURVEY §4.3): on a real cluster the same builder is used
+  * with a cluster master; everything below is sizing-neutral. AQE handles
+  * runtime re-planning (skew joins, dynamic coalescing) — the Spark analog
+  * of the reference's combine-operator early termination and broker-side
+  * re-planning. `local[N]` here only for tests/bench.
+  */
+object GraftSession {
+  def builder(cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Deterministic parquet output for the driver's DuckDB compare.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation-function surface (SURVEY §2.5; reference enum
+  * `AggregationFunctionType.java:31-97`, impls in
+  * `pinot-core/.../query/aggregation/function/`).
+  *
+  * Spark's hash aggregate already implements the reference's
+  * partial/combine/final contract (`aggregate → merge → extractFinalResult`)
+  * — every helper here is a Column so it rides partial aggregation +
+  * whole-stage codegen, and therefore scales: map-side combine first, one
+  * shuffle on the group keys, no driver involvement.
+  */
+object Aggregates {
+  /** minMaxRange(c) = max - min (MinMaxRangeAggregationFunction). */
+  def minMaxRange(c: Column): Column = max(c) - min(c)
+
+  /** firstWithTime / lastWithTime (FirstWithTimeAggregationFunction):
+    * value at the earliest / latest time. */
+  def firstWithTime(v: Column, t: Column): Column = min_by(v, t)
+  def lastWithTime(v: Column, t: Column): Column = max_by(v, t)
+
+  /** sumPrecision: exact BigDecimal sum (SumPrecisionAggregationFunction). */
+  def sumPrecision(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(38, scale)))
+
+  /** distinctCount (exact) / HLL approximation
+    * (DistinctCount[HLL]AggregationFunction). */
+  def distinctCount(c: Column): Column = count_distinct(c)
+  def distinctCountHLL(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+  def distinctSum(c: Column): Column = sum_distinct(c)
+  def distinctAvg(c: Column): Column =
+    sum_distinct(c) / count_distinct(c)
+
+  /** percentile exact (PercentileAggregationFunction) and estimate
+    * (PercentileEst/TDigest — Spark's approx_percentile is the
+    * sketch-backed analog). */
+  def percentileExact(c: Column, p: Double): Column = percentile(c, lit(p))
+  def percentileEst(c: Column, p: Double, acc: Int = 10000): Column =
+    percentile_approx(c, lit(p), lit(acc))
+
+  /** idSet(col): order-insensitive distinct membership set
+    * (IdSetAggregationFunction serializes a bitmap; the relational
+    * equivalent is a sorted distinct array). */
+  def idSet(c: Column): Column = array_sort(collect_set(c))
+
+  /** FILTER-clause aggregation (FilteredAggregationOperator):
+    * agg(expr) FILTER (WHERE cond). */
+  def sumIf(c: Column, cond: Column): Column = sum(when(cond, c))
+  def countIf(cond: Column): Column = count(when(cond, 1))
+  def avgIf(c: Column, cond: Column): Column = avg(when(cond, c))
+
+  /** Fixed-width histogram (HistogramAggregationFunction): counts per bucket
+    * over [lo, hi) in `nBuckets` equal bins, clamped at the edges.
+    * Composable pre-groupBy bucket id — the groupBy(count) that follows is a
+    * plain partial-aggregated shuffle. */
+  def bucketOf(c: Column, lo: Double, hi: Double, nBuckets: Int): Column = {
+    val w = (hi - lo) / nBuckets
+    least(greatest(floor((c - lo) / w), lit(0)), lit(nBuckets - 1)).cast("int")
+  }
+
+  /** Histogram as a single aggregate: array of bucket counts. */
+  def histogram(c: Column, lo: Double, hi: Double, nBuckets: Int): Column = {
+    val b = bucketOf(c, lo, hi, nBuckets)
+    transform(sequence(lit(0), lit(nBuckets - 1)),
+      i => coalesce(sum(when(b === i, 1L)), lit(0L)))
+  }
+
+  // ---- exact-moment machinery -------------------------------------------
+  // The variance/skewness/kurtosis family (Variance/FourthMoment
+  // AggregationFunction) is order-sensitive in double arithmetic. For
+  // oracle-exact results we aggregate raw power sums in DECIMAL (exact,
+  // commutative ⇒ deterministic under any partitioning — this is what makes
+  // the answer reproducible on a 1000-executor cluster too), then finish the
+  // formula in double. Spark's native var_pop/skewness remain available for
+  // approximate use; specs assert they agree to 1e-9.
+
+  /** Decimal power sums S1..S4 of a 2-dp column with |x| < 10^4. */
+  def powerSums(c: Column): Seq[Column] = {
+    val d = c.cast(DecimalType(6, 2))
+    Seq(sum(d), sum(d * d), sum(d * d * d), sum(d * d * d * d))
+  }
+
+  /** Finish (n, s1..s4 as double) into the stats family. Returns named
+    * columns: var_pop, var_samp, stddev_pop, stddev_samp, skewness,
+    * kurtosis (Spark/Pinot population skew & excess kurtosis). */
+  def momentStats(n: Column, s1: Column, s2: Column, s3: Column, s4: Column)
+  : Seq[Column] = {
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+    Seq(
+      m2.as("var_pop"),
+      (m2 * n / (n - lit(1.0))).as("var_samp"),
+      sqrt(m2).as("stddev_pop"),
+      sqrt(m2 * n / (n - lit(1.0))).as("stddev_samp"),
+      (m3 / pow(m2, 1.5)).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pinot-named scalar-function surface, re-expressed as Spark Columns.
+  *
+  * Reference: the v1 engine's 59 `TransformFunction`s plus `@ScalarFunction`
+  * registry (`pinot-common/.../function/FunctionRegistry.java:44,75`, enum
+  * `TransformFunctionType.java:27-161`). ~90% are pure renames of Spark
+  * built-ins (SURVEY §2.3); the rest are tiny Column compositions. Everything
+  * here stays inside whole-stage codegen — no Scala UDFs on the hot path.
+  * Higher-order functions (`transform`/`filter`/`aggregate`) are used for the
+  * array/MV surface, mirroring Pinot's MV transform functions.
+  */
+object Scalars {
+
+  // ---- arithmetic (ArithmeticFunctions.java) ----
+  def mod(a: Column, b: Column): Column = a % b
+  def roundDecimal(c: Column, scale: Int): Column = round(c, scale)
+  /** Pinot truncate(x, s): toward-zero rounding at s decimals. */
+  def truncate(c: Column, s: Int): Column = {
+    val f = pow(lit(10.0), lit(s))
+    (c * f).cast("long") / f
+  }
+  def sign(c: Column): Column = signum(c)
+
+  // ---- comparison / logic (ComparisonFunctions, ObjectFunctions) ----
+  /** Pinot isDistinctFrom — null-safe inequality. */
+  def isDistinctFrom(a: Column, b: Column): Column = !(a <=> b)
+  def isNotDistinctFrom(a: Column, b: Column): Column = a <=> b
+
+  // ---- string (StringFunctions.java, 765 LoC) ----
+  def strpos(c: Column, sub: String): Column = locate(sub, c)
+  def leftSubStr(c: Column, n: Int): Column = substring(c, 1, n)
+  def rightSubStr(c: Column, n: Int): Column = substring(c, -n, n)
+  def splitPart(c: Column, sep: String, idx: Int): Column =
+    element_at(split(c, java.util.regex.Pattern.quote(sep)), idx)
+  def normalizeWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  def codepoint(c: Column): Column = ascii(c)
+  def chrOf(c: Column): Column = chr(c)
+  /** Pinot strcmp(a,b) ∈ {-1,0,1}. */
+  def strcmp(a: Column, b: Column): Column =
+    when(a < b, -1).when(a > b, 1).otherwise(0)
+  /** Pinot hammingDistance over equal-length strings (StringFunctions.java).
+    * Pure higher-order-function composition — codegen-friendly, no UDF. */
+  def hammingDistance(a: Column, b: Column): Column =
+    when(length(a) =!= length(b), lit(-1)).otherwise(
+      size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
+        c => c)))
+
+  // ---- date/time (DateTimeFunctions.java, 645 LoC) ----
+  def toEpochSeconds(ts: Column): Column = unix_timestamp(ts)
+  def toEpochMillis(ts: Column): Column = unix_millis(ts)
+  def toEpochMinutes(ts: Column): Column = (unix_timestamp(ts) / 60).cast("long")
+  def toEpochHours(ts: Column): Column = (unix_timestamp(ts) / 3600).cast("long")
+  def toEpochDays(ts: Column): Column = (unix_timestamp(ts) / 86400).cast("long")
+  def fromEpochDays(d: Column): Column = timestamp_seconds(d * 86400L)
+  def fromEpochSeconds(s: Column): Column = timestamp_seconds(s)
+  /** Pinot toEpochXXXRounded / dateTimeConvert epoch-bucketing:
+    * floor epoch-millis to an N-millisecond bucket. */
+  def epochBucketMillis(ts: Column, bucketMs: Long): Column =
+    (unix_millis(ts) / bucketMs).cast("long") * bucketMs
+  /** dateTimeConvert(col, 'EPOCH_MS', 'TIMESTAMP', 'N:MINUTES')-style:
+    * truncate a timestamp to an N-unit bucket, returning a timestamp. */
+  def timeBucket(ts: Column, bucketSeconds: Long): Column =
+    timestamp_seconds(
+      (unix_timestamp(ts) / bucketSeconds).cast("long") * bucketSeconds)
+  def timezoneHour(tz: String): Column =
+    (lit(java.util.TimeZone.getTimeZone(tz).getRawOffset) / 3600000).cast("int")
+  def yearOfWeek(ts: Column): Column = year(date_trunc("week", ts))
+
+  // ---- JSON (JsonFunctions.java; JsonExtractScalarTransformFunction) ----
+  def jsonExtractScalar(c: Column, path: String): Column =
+    get_json_object(c, path)
+  def jsonExtractLong(c: Column, path: String): Column =
+    get_json_object(c, path).cast("long")
+  def jsonExtractDouble(c: Column, path: String): Column =
+    get_json_object(c, path).cast("double")
+  /** JSON_MATCH('path = value') filter rewrite (JsonMatchFilterOperator). */
+  def jsonMatchEq(c: Column, path: String, v: String): Column =
+    get_json_object(c, path) === v
+
+  // ---- array / MV (Array* transform functions; MV columns = ArrayType) ----
+  def arrayLength(c: Column): Column = size(c)
+  def cardinality(c: Column): Column = size(c)
+  def arraySum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double"))
+  def arrayAverage(c: Column): Column = arraySum(c) / size(c)
+  def arrayMin(c: Column): Column = array_min(c)
+  def arrayMax(c: Column): Column = array_max(c)
+  def arrayIndexOf(c: Column, v: Column): Column = array_position(c, v) - 1
+  def arrayElementAt(c: Column, i: Int): Column = element_at(c, i)
+  def arraySlice(c: Column, from: Int, len: Int): Column = slice(c, from, len)
+  def arrayDistinct(c: Column): Column = array_distinct(c)
+  def arrayReverse(c: Column): Column = reverse(c)
+  def arraySort(c: Column): Column = array_sort(c)
+  def arrayContainsValue(c: Column, v: Column): Column = array_contains(c, v)
+  /** Pinot valueIn(mvCol, v1, v2, …): the MV values that are in the set. */
+  def valueIn(c: Column, vs: Seq[String]): Column =
+    filter(c, x => x.isin(vs: _*))
+
+  // ---- hashing (HashFunctions.java) ----
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+  def sha512Hex(c: Column): Column = sha2(c, 512)
+  def md5Hex(c: Column): Column = md5(c)
+  /** Deterministic 60-bit hash shared with the DuckDB oracle:
+    * first 15 hex digits of md5, read base-16. Used by fingerprints,
+    * MinHash and SimHash so both engines hash identically. */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ---- URL / encoding ----
+  def encodeUrl(c: Column): Column = url_encode(c)
+  def decodeUrl(c: Column): Column = url_decode(c)
+  def toBase64(c: Column): Column = base64(c)
+  def fromBase64(c: Column): Column = unbase64(c)
+
+  /** Register the (few) genuinely-custom scalar functions for SQL use.
+    * Mirrors `FunctionRegistry.registerFunction` — most Pinot names need no
+    * registration because the Spark built-in is the same function. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("strcmp_udf",
+      (a: String, b: String) => if (a == b) 0 else if (a < b) -1 else 1)
+    spark.udf.register("is_subnet_of", (cidr: String, ip: String) => {
+      // IpAddressFunctions.isSubnetOf (IPv4 only; reference supports v4+v6)
+      val Array(net, bits) = cidr.split("/")
+      def toL(s: String) = s.split("\\.").foldLeft(0L)((a, o) => a * 256 + o.toInt)
+      val mask = if (bits.toInt == 0) 0L else -1L << (32 - bits.toInt) & 0xFFFFFFFFL
+      (toL(net) & mask) == (toL(ip) & mask)
+    })
+  }
+}

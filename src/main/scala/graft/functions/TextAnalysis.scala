@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for large-scale training-data pipelines: tokenizing,
+  * language ID, quality scoring, fingerprinting, shingling, MinHash, SimHash.
+  *
+  * Everything is Column-level (split/filter/transform/aggregate higher-order
+  * functions) so it distributes and stays in codegen. The only hash primitive
+  * is [[Scalars.hash60]] (md5-derived 60-bit), chosen because the DuckDB
+  * oracle can compute the identical value — determinism across engines is a
+  * correctness-gate requirement, and at 100 TB a seeded deterministic hash is
+  * also what you want for reproducible dedup runs.
+  */
+object TextAnalysis {
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens (with duplicates) found in `dict`. */
+  def dictHits(toks: Column, dict: Seq[String]): Column =
+    size(filter(toks, t => t.isin(dict: _*)))
+
+  /** BPE-ish subword count estimate: whitespace tokens weighted by
+    * ceil(len/4) — the "~4 chars per token" heuristic, fully vectorized. */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  // ---- language ID (n-gram/stopword heuristic) ----
+  /** Tiny per-language function-word lists; a real deployment swaps in
+    * fastText-style models via the same Column contract. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"))
+
+  def langScore(toks: Column, lang: String): Column =
+    dictHits(toks, stopwords(lang)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** argmax language by stopword-hit ratio; "und" when no list scores > 0.
+    * Ties break by language-code order (deterministic, oracle-matched). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScore(t, l)))
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), el) =>
+      when(s === best && best > 0.0, lit(l)).otherwise(el)
+    }
+  }
+
+  // ---- quality scoring ----
+  /** Composite document-quality score in [0,1]:
+    * mean word length in a sane band, alpha ratio, and length band.
+    * Deterministic arithmetic only (oracle-replicable). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val meanWord = nChar / greatest(nTok, lit(1.0))
+    val alphaRatio =
+      length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+        greatest(nChar, lit(1.0))
+    val lenScore =
+      when(nTok < 5, 0.2).when(nTok > 1000, 0.5).otherwise(lit(1.0))
+    val wordScore =
+      when(meanWord >= 3.0 && meanWord <= 10.0, 1.0).otherwise(lit(0.4))
+    round((lenScore * 0.4 + wordScore * 0.3 + alphaRatio * 0.3), 6)
+  }
+
+  // ---- shingles / fingerprints / sketches ----
+  /** Word k-shingles: sliding windows of k tokens joined by a space. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** 60-bit min-hash document fingerprint over k-shingles (rolling-hash
+    * winnowing, reduced to its min-sketch): equal fingerprints ⇒ very likely
+    * duplicate content. */
+  def fingerprint(text: Column, k: Int = 5): Column =
+    array_min(transform(shingles(tokens(text), k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
+  /** MinHash signature: one 60-bit min per seed (seed salts the hash).
+    * Returns array<long> of length seeds. */
+  def minHash(text: Column, k: Int, seeds: Int): Column = {
+    val sh = shingles(tokens(text), k)
+    array((0 until seeds).map { s =>
+      array_min(transform(sh,
+        x => conv(substring(md5(concat(lit(s.toString), lit("|"), x)), 1, 15),
+          16, 10).cast("long")))
+    }: _*)
+  }
+
+  /** nBits-bit SimHash over tokens: bit b is set iff Σ_tokens ±1 (by bit b of
+    * the token hash) is ≥ 0. Near-duplicate docs land within small Hamming
+    * distance. nBits ≤ 32 keeps the oracle SQL tractable. */
+  def simHash(text: Column, nBits: Int = 16): Column = {
+    val hs = transform(tokens(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    (0 until nBits).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
+      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two SimHash values (bit_count of xor). */
+  def simHashDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity between two texts' k-shingle sets. */
+  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
+    val sa = array_distinct(shingles(tokens(a), k))
+    val sb = array_distinct(shingles(tokens(b), k))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter)
+  }
+}

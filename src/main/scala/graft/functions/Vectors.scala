@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns.
+  *
+  * All ops are Catalyst higher-order functions (`zip_with` + `aggregate`) —
+  * codegen'd, null-safe, and distributed; no UDFs, no driver-side loops.
+  * Sums run left-to-right in both Spark and DuckDB's `list_sum`, which keeps
+  * the double arithmetic bit-comparable for the oracle gate.
+  */
+object Vectors {
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Sign-bit bucket key from `nBits` fixed coordinates — the cheap
+    * random-hyperplane LSH used by the bucketed ANN path (coordinates of a
+    * random embedding are already N(0,1)-ish, so axis-aligned planes are a
+    * valid draw). Scale path: candidates are co-bucketed, so the pair join
+    * is an equi-join on this key instead of a cross join. */
+  def signBucket(a: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      when(element_at(a, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis => TA, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Reference scope: ingest-time exact-PK dedup (`DedupConfig.java:25`,
+  * `pinot-segment-local/.../dedup/`). Extended here with the near-dup family
+  * a 100 TB corpus pipeline needs: MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine.
+  *
+  * Scale design: every method is *blocked* — candidate pairs come from an
+  * equi-join on a bucket key (LSH band, SimHash value, blocking key), never
+  * from a cross join. The expensive verification (Jaccard, cosine) runs only
+  * within buckets. That keeps the shuffle keyed and linear-ish; the cross
+  * join brute-force paths exist only as small-data baselines/oracles.
+  */
+object Dedup {
+  /** Exact dedup: canonical representative (min id) per identical content.
+    * Hash-groupBy on a 128-bit content hash — one shuffle, no skew beyond
+    * true duplicate mass. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping whole rows (first by id within identical text). */
+  def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signatures (k-shingles, `bands`×`rowsPerBand` hashes), plus an
+    * LSH band key per band: docs sharing any band key are candidates. */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = TA.minHash(col(textCol), k, bands * rowsPerBand)
+    val withSig = df.select(col(idCol), sig.as("sig"))
+    // band key b = hash of the band's slice of the signature
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("key"))
+        .as(s"band_$b"))
+    withSig.select(col(idCol) +: col("sig") +: bandCols: _*)
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH: equi-join on (band, bandKey).
+    * Returns (id_a < id_b) pairs with their full-signature agreement ratio
+    * (estimate of Jaccard). */
+  def minHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2)
+  : DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, k, bands, rowsPerBand)
+    val exploded = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*))
+        .as("band"))
+    val a = exploded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"))
+    val b = exploded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), v => v)).cast("double") /
+          lit(bands * rowsPerBand)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash near-dup candidate pairs: identical `nBits`-bit SimHash.
+    * (The classic scale-out uses rotated tables for distance ≤ d; equality
+    * blocking is the degenerate d=0 table and keeps the oracle exact.) */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   nBits: Int = 16): DataFrame = {
+    val h = df.select(col(idCol), TA.simHash(col(textCol), nBits).as("simhash"))
+    h.as("a").join(h.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.simhash").as("simhash"))
+  }
+
+  /** n-gram Jaccard near-dups within a blocking key (e.g. source or length
+    * band): exact Jaccard over k-shingle sets for co-blocked pairs. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: Column, k: Int, minJaccard: Double)
+  : DataFrame = {
+    val t = df.select(col(idCol), col(textCol), blockCol.as("block"))
+    t.as("a").join(t.as("b"),
+        col("a.block") === col("b.block") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(TA.ngramJaccard(col(s"a.$textCol"), col(s"b.$textCol"), k), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding-cosine near-dups, LSH-blocked by sign-bucket: pairs in the
+    * same bucket with cosine ≥ threshold. */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+                     nBits: Int, minCos: Double): DataFrame = {
+    val t = df.select(col(idCol), col(vecCol),
+      Vectors.signBucket(col(vecCol), nBits).as("bucket"))
+    t.as("a").join(t.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(Vectors.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.{Par, ParSql, Q, Tables}
+import graft.functions.{Aggregates => Ag}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operator coverage (SURVEY §2.5, reference
+  * `AggregationFunctionType.java:31-97`). Every query is partial-agg +
+  * single-shuffle shaped: Catalyst plans map-side combine before the
+  * exchange on the group keys, which is the same partial/final contract the
+  * reference's combine operators implement per segment/server. */
+object AggQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // count/min/max/sum/avg — TPC-H Q1 shape (the reference bench's
+    // "sum group-by" template, contrib/pinot-druid-benchmark).
+    Q("q_agg_tpch_q1",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        l.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            Par.dsum(col("l_quantity")).as("sum_qty"),
+            Par.dsum(col("l_extendedprice")).as("sum_base_price"),
+            Par.wsum(Par.money(col("l_extendedprice")) *
+              (Par.oneD - Par.pct(col("l_discount")))).as("sum_disc_price"),
+            Par.wsum(Par.money(col("l_extendedprice")) *
+              (Par.oneD - Par.pct(col("l_discount"))) *
+              (Par.oneD + Par.pct(col("l_tax")))).as("sum_charge"),
+            Par.davg(col("l_quantity")).as("avg_qty"),
+            Par.davg(col("l_extendedprice")).as("avg_price"),
+            count(lit(1)).as("count_order"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${ParSql.dsum("l_quantity")} AS sum_qty,
+        ${ParSql.dsum("l_extendedprice")} AS sum_base_price,
+        ${ParSql.wsum(s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")})")} AS sum_disc_price,
+        ${ParSql.wsum(s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")}) * (${ParSql.oneD} + ${ParSql.pct("l_tax")})")} AS sum_charge,
+        ${ParSql.davg("l_quantity")} AS avg_qty,
+        ${ParSql.davg("l_extendedprice")} AS avg_price,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // global (no GROUP BY) aggregation — v1 AggregationOperator path
+    Q("q_agg_global",
+      (s, d) => Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("l_partkey")).as("nd_part"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        Par.dsum(col("l_extendedprice")).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS nd_part,
+        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        ${ParSql.dsum("l_extendedprice")} AS sum_price FROM lineitem""")),
+
+    // minMaxRange (MinMaxRangeAggregationFunction)
+    Q("q_agg_minmaxrange",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as("min_p"),
+          max(col("l_extendedprice")).as("max_p"),
+          Ag.minMaxRange(col("l_extendedprice")).as("range_p")),
+      Some("""SELECT l_returnflag, MIN(l_extendedprice) AS min_p,
+        MAX(l_extendedprice) AS max_p,
+        MAX(l_extendedprice) - MIN(l_extendedprice) AS range_p
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // mode (ModeAggregationFunction) — deterministic tiebreak: highest value
+    Q("q_agg_mode",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_quantity")).count()
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("count").desc, col("l_quantity").desc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        SELECT l_returnflag, l_quantity,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY COUNT(*) DESC, l_quantity DESC) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1""")),
+
+    // firstWithTime / lastWithTime (min_by/max_by on the time column)
+    Q("q_agg_first_last",
+      (s, d) => Tables.events(s, d).groupBy(col("user_id"))
+        .agg(Ag.firstWithTime(col("value"), col("ts")).as("first_val"),
+          Ag.lastWithTime(col("value"), col("ts")).as("last_val"),
+          Ag.firstWithTime(col("event_type"), col("ts")).as("first_type"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n")),
+      Some(Par.evOracle("""SELECT user_id,
+        arg_min("value", ts) AS first_val, arg_max("value", ts) AS last_val,
+        arg_min(event_type, ts) AS first_type,
+        MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n
+        FROM ev GROUP BY user_id"""))),
+
+    // distinctCount exact (DistinctCountAggregationFunction)
+    Q("q_agg_distinct",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("nd_part"),
+          count_distinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // distinctSum / distinctAvg (exact decimal lift for determinism)
+    Q("q_agg_distinct_sum",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(sum_distinct(Par.money(col("l_quantity"))).cast("double")
+          .as("dsum_qty"),
+          (sum_distinct(Par.money(col("l_quantity"))) /
+            count_distinct(col("l_quantity"))).cast("double").as("davg_qty")),
+      Some("""SELECT l_returnflag,
+        CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS dsum_qty,
+        CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) /
+             COUNT(DISTINCT l_quantity) AS DOUBLE) AS davg_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // percentile exact (PercentileAggregationFunction; linear interpolation)
+    Q("q_agg_percentile",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(Par.r6(Ag.percentileExact(col("l_extendedprice"), 0.5)).as("p50"),
+          Par.r6(Ag.percentileExact(col("l_extendedprice"), 0.9)).as("p90"),
+          Par.r6(Ag.percentileExact(col("l_extendedprice"), 0.99)).as("p99")),
+      Some("""SELECT l_returnflag,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // variance family from exact decimal moments (Variance/FourthMoment
+    // AggregationFunction) — order-insensitive, cluster-reproducible
+    Q("q_agg_variance",
+      (s, d) => {
+        val sums = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            Ag.powerSums(col("l_quantity")).zipWithIndex
+              .map { case (c, i) => c.cast("double").as(s"s${i + 1}") }: _*)
+        val names = Seq("var_pop", "var_samp", "stddev_pop", "stddev_samp",
+          "skewness", "kurtosis")
+        val stats = Ag.momentStats(col("n"), col("s1"), col("s2"), col("s3"),
+          col("s4")).zip(names).map { case (c, nm) => Par.r6(c).as(nm) }
+        sums.select(col("l_returnflag") +: stats: _*)
+      },
+      Some(momentOracleSql)),
+
+    // covariance / correlation from exact decimal cross-moments
+    Q("q_agg_covar",
+      (s, d) => {
+        val x = col("l_quantity").cast(DecimalType(6, 2))
+        val y = col("l_extendedprice").cast(DecimalType(12, 2))
+        val m = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        val covp = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
+        val vx = col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))
+        val vy = col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
+        m.select(col("l_returnflag"),
+          Par.r6(covp).as("covar_pop"),
+          Par.r6(covp * col("n") / (col("n") - 1)).as("covar_samp"),
+          Par.r6(covp / sqrt(vx * vy)).as("corr"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(sxy/n - (sx/n)*(sy/n), 6) AS covar_pop,
+        ROUND((sxy/n - (sx/n)*(sy/n)) * n / (n - 1), 6) AS covar_samp,
+        ROUND((sxy/n - (sx/n)*(sy/n)) /
+              SQRT((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))), 6) AS corr
+        FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+          CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+          CAST(SUM(x*y) AS DOUBLE) AS sxy
+          FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(6,2)) AS x,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem)
+          GROUP BY l_returnflag)""")),
+
+    // boolAnd / boolOr (BooleanAnd/OrAggregationFunction)
+    Q("q_agg_bool",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_linestatus"))
+        .agg(bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_quantity") > 49).as("any_big"),
+          bool_and(col("l_discount") < 0.05).as("all_small_disc")),
+      Some("""SELECT l_linestatus, BOOL_AND(l_quantity > 0) AS all_pos,
+        BOOL_OR(l_quantity > 49) AS any_big,
+        BOOL_AND(l_discount < 0.05) AS all_small_disc
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // histogram (HistogramAggregationFunction): 10 equal bins over [0,50)
+    Q("q_agg_histogram",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(Ag.bucketOf(col("l_quantity"), 0, 50, 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(LEAST(GREATEST(FLOOR(l_quantity / 5), 0), 9) AS INT)
+        AS bucket, COUNT(*) AS cnt FROM lineitem GROUP BY 1""")),
+
+    // FILTER-clause aggregation (FilteredAggregationOperator)
+    Q("q_agg_filtered",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        Ag.sumIf(Par.money(col("l_quantity")), col("l_discount") <= 0.02)
+          .cast("double").as("sum_low_disc"),
+        Ag.countIf(col("l_quantity") > 25).as("n_big"),
+        Ag.sumIf(Par.money(col("l_extendedprice")), col("l_linestatus") === "F")
+          .cast("double").as("sum_f")),
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+          FILTER (WHERE l_discount <= 0.02) AS DOUBLE) AS sum_low_disc,
+        COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+          FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_f
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // sumPrecision (SumPrecisionAggregationFunction — exact BigDecimal)
+    Q("q_agg_sumprecision",
+      (s, d) => Tables.orders(s, d).agg(
+        Ag.sumPrecision(col("o_totalprice")).cast("string").as("sum_exact_str"),
+        Ag.sumPrecision(col("o_totalprice")).cast("double").as("sum_exact")),
+      Some("""SELECT
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS sum_exact_str,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_exact
+        FROM orders""")),
+
+    // idSet (IdSetAggregationFunction → sorted distinct membership set)
+    Q("q_agg_idset",
+      (s, d) => Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(Ag.idSet(col("n_name")).as("nations")),
+      Some("""SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""")),
+
+    // DISTINCT select (DistinctAggregationFunction / DistinctOperator)
+    Q("q_agg_distinct_select",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // GROUP BY + HAVING (broker HavingFilterHandler,
+    // GroupByDataTableReducer.java:171)
+    Q("q_agg_having",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_suppkey"))
+        .agg(Par.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .filter(col("sum_qty") > 15000),
+      Some(s"""SELECT l_suppkey, ${ParSql.dsum("l_quantity")} AS sum_qty,
+        COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+        HAVING ${ParSql.dsum("l_quantity")} > 15000""")),
+
+    // distinctCountHLL (approx — engines' HLL impls differ, rows-only gate;
+    // the ScalaTest spec asserts the 5% rsd bound vs exact)
+    Q("q_agg_approx_hll",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("hll_part"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("hll_order")),
+      None),
+
+    // percentileEst / TDigest analog (approx sketch — rows-only gate)
+    Q("q_agg_approx_percentile",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(Ag.percentileEst(col("l_extendedprice"), 0.5).as("p50_est"),
+          Ag.percentileEst(col("l_extendedprice"), 0.95).as("p95_est")),
+      None))
+
+  /** Oracle for q_agg_variance: identical moment formulas over exact
+    * decimal power sums. */
+  private def momentOracleSql: String =
+    """SELECT l_returnflag,
+      ROUND(s2/n - (s1/n)*(s1/n), 6) AS var_pop,
+      ROUND((s2/n - (s1/n)*(s1/n)) * n / (n - 1), 6) AS var_samp,
+      ROUND(SQRT(s2/n - (s1/n)*(s1/n)), 6) AS stddev_pop,
+      ROUND(SQRT((s2/n - (s1/n)*(s1/n)) * n / (n - 1)), 6) AS stddev_samp,
+      ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /
+            POW(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness,
+      ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+             - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+            ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
+        AS kurtosis
+      FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(q) AS DOUBLE) AS s1, CAST(SUM(q*q) AS DOUBLE) AS s2,
+        CAST(SUM(q*q*q) AS DOUBLE) AS s3, CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(6,2)) AS q
+          FROM lineitem) GROUP BY l_returnflag)"""
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{Par, ParSql, Q, Tables}
+import graft.functions.Scalars
+import org.apache.spark.sql.functions._
+
+/** Predicate-surface coverage (SURVEY §2.2; reference `FilterKind.java:21-41`
+  * and the `operator/filter/` family). All predicates are plain Catalyst
+  * expressions, so pushdown reaches the parquet scan (PushedFilters) —
+  * the Spark analog of the reference's inverted/sorted/range index pruning. */
+object FilterQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // AND / OR / NOT (And/Or/NotFilterOperator)
+    Q("q_filter_and_or_not",
+      (s, d) => Tables.lineitem(s, d)
+        .filter((col("l_returnflag") === "A" || col("l_returnflag") === "N")
+          && !(col("l_linestatus") === "F")
+          && col("l_quantity").between(10, 20))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Par.dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${ParSql.dsum("l_quantity")} AS sum_qty FROM lineitem
+        WHERE (l_returnflag = 'A' OR l_returnflag = 'N')
+          AND NOT (l_linestatus = 'F')
+          AND l_quantity BETWEEN 10 AND 20
+        GROUP BY l_returnflag""")),
+
+    // IN / NOT_IN (BitmapBasedFilterOperator / InPredicateEvaluator)
+    Q("q_filter_in_notin",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+          && !col("p_size").isin(1, 2, 3))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"),
+          min(col("p_size")).as("min_size")),
+      Some("""SELECT p_brand, COUNT(*) AS n, MIN(p_size) AS min_size
+        FROM part WHERE p_brand IN ('Brand#1','Brand#7','Brand#13')
+          AND p_size NOT IN (1,2,3) GROUP BY p_brand""")),
+
+    // LIKE (LikePredicateEvaluator)
+    Q("q_filter_like",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_name").like("%red%") || col("p_type").like("PRO%"))
+        .groupBy(col("p_type")).agg(count(lit(1)).as("n")),
+      Some("""SELECT p_type, COUNT(*) AS n FROM part
+        WHERE p_name LIKE '%red%' OR p_type LIKE 'PRO%' GROUP BY p_type""")),
+
+    // REGEXP_LIKE (RegexpLikePredicateEvaluator)
+    Q("q_filter_regexp",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").rlike("spark\\s+(join|merge|filter)"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n")),
+      Some("""SELECT lang, COUNT(*) AS n FROM documents
+        WHERE regexp_matches(text, 'spark\s+(join|merge|filter)')
+        GROUP BY lang""")),
+
+    // IS_NULL / IS_NOT_NULL (null-vector probe; nulls synthesized since
+    // the testdata is null-free, matching Pinot's default no-null posture)
+    Q("q_filter_null",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+        .groupBy(col("l_returnflag")).agg(
+          count(when(col("d").isNull, 1)).as("n_null"),
+          count(when(col("d").isNotNull, 1)).as("n_notnull"),
+          count(col("d")).as("count_skips_null")),
+      Some("""SELECT l_returnflag,
+        COUNT(CASE WHEN d IS NULL THEN 1 END) AS n_null,
+        COUNT(CASE WHEN d IS NOT NULL THEN 1 END) AS n_notnull,
+        COUNT(d) AS count_skips_null
+        FROM (SELECT l_returnflag, NULLIF(l_discount, 0.0) AS d
+          FROM lineitem) GROUP BY l_returnflag""")),
+
+    // computed-expression filter (ExpressionFilterOperator)
+    Q("q_filter_expr",
+      (s, d) => Tables.lineitem(s, d)
+        .filter((Par.money(col("l_extendedprice")) *
+          (Par.oneD - Par.pct(col("l_discount")))) > 55000)
+        .agg(count(lit(1)).as("n"),
+          Par.dsum(col("l_extendedprice")).as("sum_price")),
+      Some(s"""SELECT COUNT(*) AS n, ${ParSql.dsum("l_extendedprice")}
+        AS sum_price FROM lineitem
+        WHERE ${ParSql.money("l_extendedprice")} *
+          (${ParSql.oneD} - ${ParSql.pct("l_discount")}) > 55000""")),
+
+    // time-range predicate (TimeSegmentPruner territory — at scale this is
+    // the partition-pruning column)
+    Q("q_filter_time_range",
+      (s, d) => Tables.events(s, d)
+        .filter(col("ts").between(lit("2024-01-10 00:00:00"),
+          lit("2024-01-20 23:59:59")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+          Par.dsum(col("value")).as("sum_val")),
+      Some(Par.evOracle(s"""SELECT event_type, COUNT(*) AS n,
+        ${ParSql.dsum("value")} AS sum_val FROM ev
+        WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+          AND TIMESTAMP '2024-01-20 23:59:59'
+        GROUP BY event_type"""))),
+
+    // TEXT_CONTAINS (TextContainsFilterOperator — native text contains)
+    Q("q_filter_text_contains",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").contains("vector") && col("text").contains("hash"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n")),
+      Some("""SELECT source, COUNT(*) AS n FROM documents
+        WHERE contains(text, 'vector') AND contains(text, 'hash')
+        GROUP BY source""")),
+
+    // TEXT_MATCH approximation (Lucene phrase → token-sequence regex)
+    Q("q_filter_text_match",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").rlike("\\bquery\\b") &&
+          col("text").rlike("\\bplan\\b|\\bscan\\b"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) AS n FROM documents
+        WHERE regexp_matches(text, '\bquery\b')
+          AND regexp_matches(text, '\bplan\b|\bscan\b')""")),
+
+    // JSON_MATCH (JsonMatchFilterOperator → json-path predicate rewrite)
+    Q("q_filter_json_match",
+      (s, d) => Tables.events(s, d)
+        .filter(Scalars.jsonExtractLong(col("props"), "$.k").between(50, 60))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
+          BETWEEN 50 AND 60 GROUP BY event_type""")))
+}

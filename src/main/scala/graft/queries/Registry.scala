@@ -1,0 +1,9 @@
+package graft.queries
+
+import graft.Q
+
+/** All oracle-checked queries, one per implemented operator (SURVEY §2). */
+object Registry {
+  def all: Seq[Q] =
+    AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all
+}
