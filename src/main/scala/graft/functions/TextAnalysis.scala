@@ -68,7 +68,10 @@ object TextAnalysis {
       when(nTok < 5, 0.2).when(nTok > 1000, 0.5).otherwise(lit(1.0))
     val wordScore =
       when(meanWord >= 3.0 && meanWord <= 10.0, 1.0).otherwise(lit(0.4))
-    round((lenScore * 0.4 + wordScore * 0.3 + alphaRatio * 0.3), 6)
+    // 4-dp output: at 6 dp a value landed exactly on a .5 rounding
+    // boundary and the engines' double-rounding algorithms split (DuckDB
+    // scales-then-rounds, Spark rounds the exact BigDecimal).
+    round((lenScore * 0.4 + wordScore * 0.3 + alphaRatio * 0.3), 4)
   }
 
   // ---- shingles / fingerprints / sketches ----

@@ -43,7 +43,8 @@ object Dedup {
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("key"))
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")))).as("key"))
         .as(s"band_$b"))
     withSig.select(col(idCol) +: col("sig") +: bandCols: _*)
   }

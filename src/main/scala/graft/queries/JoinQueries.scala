@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{Par, ParSql, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join coverage (SURVEY §2.4; reference v2 `HashJoinOperator.java:64-65` —
+  * INNER/LEFT/RIGHT/FULL/SEMI/ANTI with non-equi post-predicates — plus the
+  * v1 lookup-join (`LookupTransformFunction`) and IdSet semi-join
+  * (`IN_SUBQUERY`)).
+  *
+  * Scale posture: dimension tables (region/nation/customer/supplier/part)
+  * are `broadcast()` explicitly where the reference broadcasts its right
+  * side — the fact table is never shuffled for those joins. Fact-fact joins
+  * (lineitem⋈orders) shuffle on the join key once; AQE handles skew.
+  */
+object JoinQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // inner equi-join chain, broadcast dims — TPC-H Q5 shape
+    Q("q_join_inner",
+      (s, d) => {
+        val rev = Par.money(col("l_extendedprice")) *
+          (Par.oneD - Par.pct(col("l_discount")))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(Par.wsum(rev).as("revenue"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT n_name,
+        ${ParSql.wsum(s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")})")} AS revenue,
+        COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name""")),
+
+    // LEFT OUTER join (unmatched rows kept, HashJoinOperator:284-289)
+    Q("q_join_left",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(Par.dsum(col("o_totalprice")), lit(0.0)).as("total")),
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(${ParSql.dsum("o_totalprice")}, 0.0) AS total
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey""")),
+
+    // RIGHT OUTER join
+    Q("q_join_right",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"),
+          "right")
+        .groupBy(col("n_name"))
+        .agg(count(col("s_suppkey")).as("n_supp"),
+          coalesce(Par.dsum(col("s_acctbal")), lit(0.0)).as("bal")),
+      Some(s"""SELECT n_name, COUNT(s_suppkey) AS n_supp,
+        COALESCE(${ParSql.dsum("s_acctbal")}, 0.0) AS bal
+        FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    // FULL OUTER join of two aggregated sides
+    Q("q_join_full",
+      (s, d) => {
+        val cust = Tables.customer(s, d).groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val supp = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+            coalesce(col("n_cust"), lit(0)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0)).as("n_supp"))
+      },
+      Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nk,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+              GROUP BY c_nationkey) c
+        FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+              GROUP BY s_nationkey) s
+        ON c_nationkey = s_nationkey""")),
+
+    // LEFT SEMI (HashJoinOperator:220-226)
+    Q("q_join_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""")),
+
+    // LEFT ANTI
+    Q("q_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_nationkey")),
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey)""")),
+
+    // v1 lookup join (LookupTransformFunction → broadcast dim lookup)
+    Q("q_join_lookup",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Par.dsum(col("o_totalprice")).as("total")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+        ${ParSql.dsum("o_totalprice")} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
+    // equi-join + non-equi residual (theta on top of hash join,
+    // HashJoinOperator._joinClauseEvaluators)
+    Q("q_join_theta",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") > col("p_size"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), Par.dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT p_brand, COUNT(*) AS n,
+        ${ParSql.dsum("l_quantity")} AS sum_qty
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey AND l_quantity > p_size
+        GROUP BY p_brand""")),
+
+    // IdSet semi-join (IN_SUBQUERY / inIdSet → left_semi on the subquery)
+    Q("q_join_insubquery",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Par.dsum(col("l_extendedprice"))
+          .as("sum_price")),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+        ${ParSql.dsum("l_extendedprice")} AS sum_price
+        FROM lineitem WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag""")))
+}

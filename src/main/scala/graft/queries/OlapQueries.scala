@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{Par, ParSql, Q, Tables}
+import graft.operators.{Gapfill, Upsert}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** OLAP-specific operators: gapfill (SURVEY §2.9,
+  * `GapfillProcessor.java:49,133-170`), upsert views (`UpsertConfig`,
+  * partial-merge strategies), dedup, and ingestion-time rollup
+  * (`pinot-segment-local/.../aggregator/`). */
+object OlapQueries {
+
+  private val jan1 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val jan30 = Timestamp.valueOf("2024-01-30 23:00:00")
+
+  val all: Seq[Q] = Seq(
+
+    // GAPFILL with FILL_PREVIOUS_VALUE + FILL_DEFAULT_VALUE:
+    // hourly per-type buckets over the events month
+    Q("q_gapfill",
+      (s, d) => {
+        val agged = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(Par.money(col("value"))).cast("double").as("sum_val"),
+            count(lit(1)).as("n"))
+        Gapfill.gapfill(agged, "bucket", Seq("event_type"),
+          jan1, jan30, 3600,
+          Map("sum_val" -> Gapfill.FillPrevious,
+            "n" -> Gapfill.FillDefault(lit(0L))))
+      },
+      Some(Par.evOracle("""SELECT event_type, bucket,
+          last_value(sum_val IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_val,
+          COALESCE(n, 0) AS n
+        FROM (
+          SELECT k.event_type, b.bucket, a.sum_val, a.n
+          FROM (SELECT DISTINCT event_type FROM ev) k
+          CROSS JOIN (SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 23:00:00',
+            INTERVAL 1 HOUR)) AS bucket) b
+          LEFT JOIN (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+              CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
+              COUNT(*) AS n
+            FROM ev GROUP BY 1, 2) a
+          ON a.event_type = k.event_type AND a.bucket = b.bucket)"""))),
+
+    // FULL upsert merge-on-read view: latest row per (user_id, event_type)
+    Q("q_upsert_latest",
+      (s, d) => Upsert.latestView(Tables.events(s, d),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("value").as("last_val"),
+          col("ts").as("last_ts")),
+      Some(Par.evOracle("""SELECT user_id, event_type,
+        "value" AS last_val, ts AS last_ts FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        WHERE rn = 1"""))),
+
+    // PARTIAL upsert: the 7 merge strategies collapsed per user_id
+    Q("q_upsert_partial",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id"), col("ts"),
+          col("value").as("v_max"), col("value").as("v_min"),
+          Par.money(col("value")).as("v_sum"),
+          col("value").as("v_first"), col("value").as("v_last"),
+          col("value").as("v_append"), col("event_type").as("types"))
+        Upsert.partialUpsert(ev, Seq("user_id"), "ts", Map(
+            "v_max" -> Upsert.MaxOf, "v_min" -> Upsert.MinOf,
+            "v_sum" -> Upsert.Increment, "v_first" -> Upsert.Ignore,
+            "v_last" -> Upsert.Overwrite, "v_append" -> Upsert.Append,
+            "types" -> Upsert.UnionOf))
+          .withColumn("v_sum", col("v_sum").cast("double"))
+          .withColumn("v_append", slice(col("v_append"), 1, 5))
+      },
+      Some(Par.evOracle("""SELECT user_id,
+        MAX("value") AS v_max, MIN("value") AS v_min,
+        CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS v_sum,
+        arg_min("value", ts) AS v_first, arg_max("value", ts) AS v_last,
+        (list("value" ORDER BY ts))[1:5] AS v_append,
+        list_sort(list(DISTINCT event_type)) AS types
+        FROM ev GROUP BY user_id"""))),
+
+    // exact dedup at ingest (DedupConfig): duplicated corpus → one keeper
+    // per content hash
+    Q("q_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dup = docs.unionAll(docs.select((col("doc_id") + 100000)
+          .as("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))
+        graft.operators.Dedup.exact(dup, "text", "doc_id")
+      },
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        COUNT(*) AS n_copies FROM (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents)
+        GROUP BY md5(text)""")),
+
+    // ingestion-time rollup (aggregateMetrics ValueAggregators):
+    // 15-min pre-aggregation as the streaming sink would produce
+    Q("q_rollup_ingest",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"),
+          graft.functions.Scalars.timeBucket(col("ts"), 900).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Par.money(col("value"))).cast("double").as("sum_val"),
+          min(col("value")).as("min_val"), max(col("value")).as("max_val"),
+          count_distinct(col("user_id")).as("nd_users")),
+      Some(Par.evOracle("""SELECT event_type,
+        make_timestamp((epoch_us(ts) // 1000000 // 900) * 900 * 1000000)
+          AS bucket,
+        COUNT(*) AS cnt,
+        CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_val,
+        MIN("value") AS min_val, MAX("value") AS max_val,
+        COUNT(DISTINCT user_id) AS nd_users
+        FROM ev GROUP BY 1, 2"""))))
+}

@@ -5,5 +5,7 @@ import graft.Q
 /** All oracle-checked queries, one per implemented operator (SURVEY §2). */
 object Registry {
   def all: Seq[Q] =
-    AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all
+    AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
+      JoinQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
+      OlapQueries.all ++ TrainingQueries.all
 }

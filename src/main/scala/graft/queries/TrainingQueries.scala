@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.{Par, ParSql, Q, Tables}
+import graft.functions.{Geo, TextAnalysis => TA, Vectors}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * text analysis, fingerprinting, near-dup families, ANN, multimodal
+  * plumbing, geo. The DuckDB oracles re-implement the identical algorithms
+  * (same md5-derived hash), so these are full hash-checked gates, not
+  * rows-only. */
+object TrainingQueries {
+
+  /** Corpus with synthesized near-duplicates: each doc plus a copy with the
+    * first token dropped (id + 100000) — gives the near-dup operators real
+    * positives to find. */
+  private def dupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"),
+        col("source")))
+
+  private val corpusSql: String =
+    """corpus AS (
+       SELECT doc_id, text, source FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, regexp_replace(text, '^\S+\s+', ''), source
+       FROM documents)"""
+
+  /** DuckDB twin of TextAnalysis.tokens. */
+  private def toksSql(t: String): String =
+    s"list_filter(string_split_regex(lower($t), '\\s+'), t -> length(t) > 0)"
+
+  /** DuckDB twin of TextAnalysis.shingles (k-word windows, k>=1). */
+  private def shinglesSql(tk: String, k: Int): String =
+    s"""CASE WHEN len($tk) < $k THEN [array_to_string($tk, ' ')]
+        ELSE [array_to_string($tk[i:i+${k - 1}], ' ')
+              for i in generate_series(1, len($tk) - ${k - 1})] END"""
+
+  private def hash60Sql(e: String): String = ParSql.hash60(e)
+
+  val all: Seq[Q] = Seq(
+
+    // token counting (whitespace + BPE-ish subword estimate)
+    Q("q_text_tokens",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tok"),
+        TA.subwordCount(col("text")).as("n_subword"),
+        length(col("text")).as("n_char")),
+      Some(s"""SELECT doc_id, len(${toksSql("text")}) AS n_tok,
+        list_sum([CAST(CEIL(length(t) / 4.0) AS BIGINT)
+                  for t in ${toksSql("text")}])::BIGINT AS n_subword,
+        length(text) AS n_char FROM documents""")),
+
+    // quality scoring (length/word-shape/alpha-ratio composite)
+    Q("q_text_quality",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TA.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id, ROUND(
+        (CASE WHEN n_tok < 5 THEN 0.2 WHEN n_tok > 1000 THEN 0.5
+              ELSE 1.0 END) * 0.4 +
+        (CASE WHEN mean_word >= 3.0 AND mean_word <= 10.0 THEN 1.0
+              ELSE 0.4 END) * 0.3 +
+        alpha_ratio * 0.3, 4) AS quality
+        FROM (SELECT doc_id,
+          CAST(len(${toksSql("text")}) AS DOUBLE) AS n_tok,
+          CAST(length(text) AS DOUBLE) /
+            GREATEST(CAST(len(${toksSql("text")}) AS DOUBLE), 1.0) AS mean_word,
+          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+            GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+          FROM documents)""")),
+
+    // language ID (stopword-ratio argmax; deterministic tiebreak)
+    Q("q_text_langid",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TA.langId(col("text")).as("lang_pred"),
+        Par.r6(TA.langScore(TA.tokens(col("text")), "en")).as("score_en")),
+      Some {
+        val langs = TA.stopwords.keys.toSeq.sorted
+        def scoreSql(l: String) = {
+          val list = TA.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+          s"""(CAST(len(list_filter(tk, t -> list_contains($list, t)))
+              AS DOUBLE) / CAST(GREATEST(len(tk), 1) AS DOUBLE))"""
+        }
+        val best = s"GREATEST(${langs.map(scoreSql).mkString(", ")})"
+        val caseExpr = langs.reverse.foldLeft("'und'") { (acc, l) =>
+          s"CASE WHEN ${scoreSql(l)} = best AND best > 0.0 THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT doc_id, $caseExpr AS lang_pred,
+          ROUND(${scoreSql("en")}, 6) AS score_en
+          FROM (SELECT doc_id, ${toksSql("text")} AS tk,
+            $best AS best FROM documents)"""
+      }),
+
+    // document fingerprint (min-hash of 5-shingles — rolling-hash sketch)
+    Q("q_text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TA.fingerprint(col("text"), 5).as("fp")),
+      Some(s"""SELECT doc_id,
+        list_min([${hash60Sql("s")} for s in
+          ${shinglesSql(s"(${toksSql("text")})", 5)}]) AS fp
+        FROM documents""")),
+
+    // MinHash signatures (8 seeded hashes over 3-shingles)
+    Q("q_dedup_minhash_sig",
+      (s, d) => Dedup.minHashSignatures(
+          Tables.documents(s, d), "text", "doc_id", 3, 4, 2)
+        .select(col("doc_id"), col("sig")),
+      Some {
+        val sigs = (0 until 8).map(i =>
+          s"list_min([${hash60Sql(s"'$i' || '|' || s")} for s in sh])")
+          .mkString("[", ", ", "]")
+        s"""SELECT doc_id, $sigs AS sig
+          FROM (SELECT doc_id, ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+            FROM documents)"""
+      }),
+
+    // MinHash LSH near-dup pairs on the duplicated corpus
+    Q("q_dedup_minhash_pairs",
+      (s, d) => Dedup.minHashPairs(dupCorpus(Tables.documents(s, d)),
+        "text", "doc_id", 3, 4, 2),
+      Some {
+        val sigs = (0 until 8).map(i =>
+          s"list_min([${hash60Sql(s"'$i' || '|' || s")} for s in sh])")
+          .mkString("[", ", ", "]")
+        s"""WITH $corpusSql,
+          sigs AS (SELECT doc_id, $sigs AS sig
+            FROM (SELECT doc_id, ${shinglesSql(s"(${toksSql("text")})", 3)}
+              AS sh FROM corpus)),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b)
+          SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b,
+            CAST(len(list_filter([a.sig[i] = e.sig[i]
+              for i in generate_series(1, 8)], x -> x)) AS DOUBLE) / 8
+              AS est_jaccard
+          FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id"""
+      }),
+
+    // SimHash (16-bit) per document
+    Q("q_dedup_simhash",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TA.simHash(col("text"), 16).as("simhash")),
+      Some {
+        val bits = (0 until 16).map(b =>
+          s"""CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1
+              ELSE -1 END for h in hs]) >= 0 THEN ${1L << b} ELSE 0 END""")
+          .mkString(" + ")
+        s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+          FROM (SELECT doc_id,
+            [${hash60Sql("t")} for t in ${toksSql("text")}] AS hs
+            FROM documents)"""
+      }),
+
+    // n-gram Jaccard near-dup pairs, blocked by source
+    Q("q_dedup_ngram_pairs",
+      (s, d) => Dedup.ngramJaccardPairs(dupCorpus(Tables.documents(s, d)),
+        "text", "doc_id", col("source"), 2, 0.5),
+      Some(s"""WITH $corpusSql,
+        sh AS (SELECT doc_id, source,
+          list_distinct(${shinglesSql(s"(${toksSql("text")})", 2)}) AS sh
+          FROM corpus)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              AS jaccard
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5""")),
+
+    // embedding-cosine near-dup pairs, sign-bucket blocked
+    Q("q_dedup_embed_pairs",
+      (s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d),
+        "embedding", "vec_id", 4, 0.2),
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+          ${(0 until 4).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+            .mkString(" + ")} AS bucket FROM embeddings)
+        SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND($pairCosSql, 6) AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.2""")),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    Q("q_ann_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 5)
+      },
+      Some(s"""SELECT query_id, cand_id, cos, rk FROM (
+        SELECT query_id, cand_id, cos, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+        FROM (SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+          ROUND($qaCosSql, 6) AS cos
+          FROM embeddings a, (SELECT * FROM embeddings WHERE vec_id < 5) q
+          WHERE a.vec_id != q.vec_id))
+        WHERE rk <= 5""")),
+
+    // LSH-bucketed ANN (the scale path: equi-join on sign-bucket)
+    Q("q_ann_bucketed",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 5, 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+          ${(0 until 4).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+            .mkString(" + ")} AS bucket FROM embeddings)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+          FROM (SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+            ROUND($qaCosSql, 6) AS cos
+            FROM e a JOIN (SELECT * FROM e WHERE vec_id < 20) q
+              ON a.bucket = q.bucket
+            WHERE a.vec_id != q.vec_id))
+          WHERE rk <= 5""")),
+
+    // multimodal plumbing: binary payload + metadata + stubbed decode
+    Q("q_multimodal_meta",
+      (s, d) => {
+        val withBin = Multimodal.withBinary(Tables.documents(s, d), "text")
+        withBin.select(col("doc_id"),
+          Multimodal.metadataOf(col("content")).getField("n_bytes")
+            .as("n_bytes"),
+          Multimodal.metadataOf(col("content")).getField("mime").as("mime"),
+          Multimodal.fakeFeatures(col("text"), 4).as("feat"))
+      },
+      Some(s"""SELECT doc_id, strlen(text) AS n_bytes,
+        'application/octet-stream' AS mime,
+        [${(0 until 4).map(i =>
+          s"CAST((${hash60Sql(s"text || '#$i'")}) % 1000 AS DOUBLE) / 1000.0")
+          .mkString(", ")}] AS feat
+        FROM documents""")),
+
+    // geo: planar ST_* + grid-cell index over synthesized coordinates
+    Q("q_geo_distance",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+          .withColumn("pt", Geo.stPoint(
+            (col("s_suppkey") % 360 - 180).cast("double") + 0.5,
+            (col("s_suppkey") % 180 - 90).cast("double") + 0.5))
+        sup.select(col("s_suppkey"),
+          Par.r6(Geo.stDistance(col("pt"),
+            Geo.stPoint(lit(0.0), lit(0.0)))).as("dist"),
+          Geo.stWithinBBox(col("pt"), -90, -45, 90, 45).as("in_bbox"),
+          Geo.gridCell(col("pt"), 5.0).as("cell"))
+      },
+      Some("""SELECT s_suppkey,
+        ROUND(SQRT((x - 0.0) * (x - 0.0) + (y - 0.0) * (y - 0.0)), 6) AS dist,
+        x BETWEEN -90 AND 90 AND y BETWEEN -45 AND 45 AS in_bbox,
+        CAST(FLOOR(x / 5.0) AS BIGINT) * 100000 +
+          CAST(FLOOR(y / 5.0) AS BIGINT) AS cell
+        FROM (SELECT s_suppkey,
+          CAST(s_suppkey % 360 - 180 AS DOUBLE) + 0.5 AS x,
+          CAST(s_suppkey % 180 - 90 AS DOUBLE) + 0.5 AS y FROM supplier)""")))
+
+  /** DuckDB cosine between a.embedding and b.embedding (per-pair, double,
+    * left-to-right sums — mirrors Vectors.cosine). */
+  private def pairCosSql: String = cosSql("a.embedding", "b.embedding")
+  private def qaCosSql: String = cosSql("q.embedding", "a.embedding")
+  private def cosSql(u: String, v: String): String = {
+    def dot(x: String, y: String) =
+      s"""list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+          for i in generate_series(1, len($x))])"""
+    s"(${dot(u, v)}) / (SQRT(${dot(u, u)}) * SQRT(${dot(v, v)}))"
+  }
+}
