@@ -22,8 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Deterministic parquet output for the driver's DuckDB compare.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // NOTE: keep the default INT96 parquet timestamp output — the
+      // MICROS logical type is flagged UTC-adjusted, which the driver's
+      // pandas side reads as tz-aware while DuckDB's oracle output is
+      // naive → every timestamp column would mismatch.
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt

@@ -63,11 +63,12 @@ object Aggregates {
     least(greatest(floor((c - lo) / w), lit(0)), lit(nBuckets - 1)).cast("int")
   }
 
-  /** Histogram as a single aggregate: array of bucket counts. */
+  /** Histogram as a single aggregate: array of bucket counts. Statically
+    * expanded per bucket (an aggregate can't reference a HOF lambda var). */
   def histogram(c: Column, lo: Double, hi: Double, nBuckets: Int): Column = {
     val b = bucketOf(c, lo, hi, nBuckets)
-    transform(sequence(lit(0), lit(nBuckets - 1)),
-      i => coalesce(sum(when(b === i, 1L)), lit(0L)))
+    array((0 until nBuckets).map(i =>
+      coalesce(sum(when(b === i, 1L)), lit(0L))): _*)
   }
 
   // ---- exact-moment machinery -------------------------------------------

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.functions.Scalars
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming realization of the reference's realtime-ingestion
+  * semantics (SURVEY §2.9).
+  *
+  * Reference model: Kafka-partition consumers append to a mutable segment,
+  * sealed per interval (`LLRealtimeSegmentDataManager.java:596,705`);
+  * ingestion-time rollup pre-aggregates metrics
+  * (`MutableSegmentImpl aggregateMetrics`); upsert keeps newest-by-comparison
+  * per PK (`ConcurrentMapPartitionUpsertMetadataManager`); dedup drops
+  * exact-PK repeats (`DedupConfig`).
+  *
+  * Spark mapping: micro-batch ≈ segment seal; rollup = watermarked windowed
+  * agg (update mode); upsert = `mapGroupsWithState` keyed by PK; dedup =
+  * `dropDuplicates` within watermark. All stateful ops are keyed → state is
+  * hash-partitioned across executors; watermarks bound state size, which is
+  * what makes the operators viable on an unbounded 100 TB/day stream.
+  */
+object Streams {
+  /** Ingestion-time rollup: per (keys, bucket) count/sum/min/max, the
+    * streaming twin of OlapQueries.q_rollup_ingest. `withWatermark` bounds
+    * state; `update` output mode emits refined buckets per micro-batch. */
+  def rollup(events: DataFrame, tsCol: String, keys: Seq[String],
+             valueCol: String, bucketSec: Long,
+             watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(keys.map(col) :+
+        window(col(tsCol), s"$bucketSec seconds").getField("start")
+          .as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol)).as("sum_val"),
+        min(col(valueCol)).as("min_val"),
+        max(col(valueCol)).as("max_val"))
+
+  /** Exact-PK streaming dedup (DedupConfig): first arrival wins within the
+    * watermark horizon. */
+  def dedup(events: DataFrame, tsCol: String, pks: Seq[String],
+            watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(pks)
+
+  /** FULL-upsert state row: latest value per PK by event-time. */
+  final case class UpsertState(ts: Long, value: Double)
+  final case class UpsertKey(userId: Long, eventType: String)
+  final case class UpsertEvent(userId: Long, eventType: String, ts: Long,
+                               value: Double)
+  final case class UpsertOut(userId: Long, eventType: String, ts: Long,
+                             value: Double)
+
+  /** Streaming FULL upsert via mapGroupsWithState: newest-by-comparison
+    * (here: event-time) wins, out-of-order arrivals ignored — the exact
+    * semantics of the reference's comparison-column upsert. */
+  def upsertLatest(events: Dataset[UpsertEvent]): Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => UpsertKey(e.userId, e.eventType))
+      .mapGroupsWithState[UpsertState, UpsertOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, batch, state: GroupState[UpsertState]) =>
+          val prev = state.getOption.getOrElse(UpsertState(Long.MinValue, 0d))
+          val best = (batch.map(e => UpsertState(e.ts, e.value)) ++
+            Iterator(prev)).maxBy(_.ts)
+          state.update(best)
+          UpsertOut(key.userId, key.eventType, best.ts, best.value)
+      }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.functions.{Aggregates => Ag, Scalars => F, TextAnalysis => TA, Vectors}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    val s = spark
+    import s.implicits._
+    Seq(1).toDF("x").select(c.as("v")).head().get(0)
+  }
+
+  test("string scalars: strcmp / hamming / splitPart / strpos") {
+    assert(one(F.strcmp(lit("a"), lit("b"))) == -1)
+    assert(one(F.strcmp(lit("b"), lit("b"))) == 0)
+    assert(one(F.hammingDistance(lit("karolin"), lit("kathrin"))) == 3)
+    assert(one(F.hammingDistance(lit("ab"), lit("abc"))) == -1)
+    assert(one(F.splitPart(lit("a-b-c"), "-", 2)) == "b")
+    assert(one(F.strpos(lit("hello"), "ll")) == 3)
+  }
+
+  test("truncate is toward-zero at scale") {
+    assert(one(F.truncate(lit(2.679), 1)) == 2.6)
+    assert(one(F.truncate(lit(-2.679), 1)) == -2.6)
+  }
+
+  test("timeBucket floors to the bucket start") {
+    val v = one(F.timeBucket(
+      to_timestamp(lit("2024-01-01 00:14:59")), 900)).toString
+    assert(v.startsWith("2024-01-01 00:00:00"))
+    val v2 = one(F.timeBucket(
+      to_timestamp(lit("2024-01-01 00:15:00")), 900)).toString
+    assert(v2.startsWith("2024-01-01 00:15:00"))
+  }
+
+  test("hash60 is stable and 60-bit") {
+    val v = one(F.hash60(lit("abc"))).asInstanceOf[Long]
+    assert(v == 648541476951500027L) // ('0x'||substr(md5('abc'),1,15)) in DuckDB
+    assert(v > 0)
+  }
+
+  test("isSubnetOf udf") {
+    F.registerAll(spark)
+    val r = spark.sql(
+      "SELECT is_subnet_of('192.168.0.0/24','192.168.0.42') a," +
+        " is_subnet_of('192.168.0.0/24','192.168.1.42') b").head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("tokens / shingles / jaccard") {
+    assert(one(TA.tokenCount(lit("a  b\tc "))) == 3)
+    val sh = one(TA.shingles(TA.tokens(lit("a b c d")), 2))
+    assert(sh.asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("a b", "b c", "c d"))
+    // identical → 1.0; disjoint → 0.0
+    assert(one(TA.ngramJaccard(lit("a b c"), lit("a b c"), 2)) == 1.0)
+    assert(one(TA.ngramJaccard(lit("a b c"), lit("x y z"), 2)) == 0.0)
+  }
+
+  test("simHash: near-identical texts are close, different texts far") {
+    val d1 = one(TA.simHashDistance(
+      TA.simHash(lit("the quick brown fox jumps over the lazy dog"), 16),
+      TA.simHash(lit("the quick brown fox jumps over the lazy cat"), 16)))
+      .asInstanceOf[Number].longValue
+    val d2 = one(TA.simHashDistance(
+      TA.simHash(lit("the quick brown fox jumps over the lazy dog"), 16),
+      TA.simHash(lit("completely unrelated words appear here instead now"), 16)))
+      .asInstanceOf[Number].longValue
+    assert(d1 < d2)
+  }
+
+  test("langId picks the dominant stopword language") {
+    assert(one(TA.langId(lit("the cat sat on the mat and it is fine"))) == "en")
+    assert(one(TA.langId(lit("el perro y la casa en un dia es bueno"))) == "es")
+    assert(one(TA.langId(lit("zzz qqq www"))) == "und")
+  }
+
+  test("vector cosine / dot / l2") {
+    val a = array(lit(1f), lit(0f))
+    val b = array(lit(0f), lit(1f))
+    assert(one(Vectors.dot(a, a)) == 1.0)
+    assert(one(Vectors.cosine(a, b)) == 0.0)
+    assert(one(Vectors.l2Distance(a, b)) == math.sqrt(2))
+    assert(one(Vectors.signBucket(array(lit(1f), lit(-1f), lit(1f)), 3)) == 5)
+  }
+
+  test("momentStats matches Spark native var/skew/kurt within 1e-9") {
+    val l = Tables.lineitem(spark, sfDir)
+    val sums = l.agg(
+      count(lit(1)).cast("double").as("n"),
+      Ag.powerSums(col("l_quantity")).zipWithIndex
+        .map { case (c, i) => c.cast("double").as(s"s${i + 1}") }: _*)
+    val stats = sums.select(Ag.momentStats(col("n"), col("s1"), col("s2"),
+      col("s3"), col("s4")): _*).head()
+    val native = l.agg(var_pop(col("l_quantity")), var_samp(col("l_quantity")),
+      stddev_pop(col("l_quantity")), stddev_samp(col("l_quantity")),
+      skewness(col("l_quantity")), kurtosis(col("l_quantity"))).head()
+    (0 until 6).foreach { i =>
+      assert(math.abs(stats.getDouble(i) - native.getDouble(i)) < 1e-9,
+        s"stat $i: ${stats.getDouble(i)} vs ${native.getDouble(i)}")
+    }
+  }
+
+  test("histogram buckets partition all rows") {
+    val l = Tables.lineitem(spark, sfDir)
+    val total = l.count()
+    val hist = l.agg(Ag.histogram(col("l_quantity"), 0, 50, 10).as("h"))
+      .head().getSeq[Long](0)
+    assert(hist.length == 10)
+    assert(hist.sum == total)
+  }
+
+  test("approx_count_distinct within 5% rsd bound of exact") {
+    val l = Tables.lineitem(spark, sfDir)
+    val r = l.agg(count_distinct(col("l_partkey")).as("exact"),
+      Ag.distinctCountHLL(col("l_partkey"), 0.05).as("est")).head()
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact < 0.15)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Dedup, Gapfill, Similarity, Upsert}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class OperatorsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapfill fills missing buckets: previous-value and default") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0, 1L),
+      ("a", ts("2024-01-01 02:00:00"), 3.0, 2L))
+      .toDF("k", "bucket", "v", "n")
+    val out = Gapfill.gapfill(df, "bucket", Seq("k"),
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00"), 3600,
+      Map("v" -> Gapfill.FillPrevious, "n" -> Gapfill.FillDefault(lit(0L))))
+      .orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Double]("v")).toSeq == Seq(1.0, 1.0, 3.0, 3.0))
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 0L, 2L, 0L))
+  }
+
+  test("upsert latestView keeps newest by comparison column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
+      .toDF("pk", "cmp", "v")
+    val out = Upsert.latestView(df, Seq("pk"), Seq("cmp"))
+      .orderBy("pk").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("new", "only"))
+  }
+
+  test("partialUpsert strategies") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 30.0), (1L, 3L, 20.0))
+      .toDF("pk", "cmp", "v")
+      .select(col("pk"), col("cmp"), col("v").as("v_max"),
+        col("v").as("v_first"), col("v").as("v_last"), col("v").as("v_app"))
+    val out = Upsert.partialUpsert(df, Seq("pk"), "cmp", Map(
+      "v_max" -> Upsert.MaxOf, "v_first" -> Upsert.Ignore,
+      "v_last" -> Upsert.Overwrite, "v_app" -> Upsert.Append)).head()
+    assert(out.getAs[Double]("v_max") == 30.0)
+    assert(out.getAs[Double]("v_first") == 10.0)
+    assert(out.getAs[Double]("v_last") == 20.0)
+    assert(out.getAs[scala.collection.Seq[Double]]("v_app").toSeq ==
+      Seq(10.0, 30.0, 20.0))
+  }
+
+  test("exact dedup groups identical content") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minHashPairs finds a synthesized near-duplicate") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, base), (2L, base + " phi"), (3L, "totally different " +
+      "words with no overlap at all whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(df, "text", "doc_id", 3, 4, 2).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
+  }
+
+  test("bruteForceTopK returns k best by cosine with id tiebreak") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.8f, 0.2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).orderBy("rk").collect()
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L))
+  }
+
+  test("bucketedTopK only scores co-bucketed candidates") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(0.5f, 2f)), // bucket 3
+      (2L, Array(-1f, 1f))) // bucket 2
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.bucketedTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 5, 2).collect()
+    assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Structured-Streaming ingestion semantics (SURVEY §2.9): micro-batch ≈
+  * segment seal; rollup, dedup, upsert over an in-memory stream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming rollup pre-aggregates per bucket (ingestion rollup)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val out = Streams.rollup(df, "ts", Seq("k"), "v", 3600)
+    val q = out.writeStream.format("memory").queryName("rollup_t")
+      .outputMode("update").start()
+    mem.addData(
+      (ts("2024-01-01 00:10:00"), "a", 1.0),
+      (ts("2024-01-01 00:50:00"), "a", 2.0),
+      (ts("2024-01-01 01:10:00"), "a", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT k, bucket, cnt, sum_val FROM rollup_t")
+      .orderBy("bucket").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("cnt") == 2 &&
+      rows(0).getAs[Double]("sum_val") == 3.0)
+    assert(rows(1).getAs[Long]("cnt") == 1)
+  }
+
+  test("streaming upsert keeps newest by event time, ignores out-of-order") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.UpsertEvent]
+    val out = Streams.upsertLatest(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("upsert_t")
+      .outputMode("update").start()
+    mem.addData(Streams.UpsertEvent(1L, "click", 100L, 1.0))
+    q.processAllAvailable()
+    mem.addData(Streams.UpsertEvent(1L, "click", 300L, 3.0),
+      Streams.UpsertEvent(1L, "click", 200L, 2.0)) // out-of-order ignored
+    q.processAllAvailable()
+    q.stop()
+    val last = s.sql(
+      "SELECT value FROM upsert_t WHERE ts = (SELECT max(ts) FROM upsert_t)")
+      .head().getDouble(0)
+    assert(last == 3.0)
+  }
+
+  test("streaming dedup drops exact-PK repeats within watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "id", "v")
+    val out = Streams.dedup(df, "ts", Seq("id"))
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:00:01"), 1L, "first"),
+      (ts("2024-01-01 00:00:02"), 1L, "dup"),
+      (ts("2024-01-01 00:00:03"), 2L, "other"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT id, v FROM dedup_t").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+}
