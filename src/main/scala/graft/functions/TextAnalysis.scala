@@ -88,14 +88,30 @@ object TextAnalysis {
     array_min(transform(shingles(tokens(text), k),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
 
-  /** MinHash signature: one 60-bit min per seed (seed salts the hash).
-    * Returns array<long> of length seeds. */
+  /** MinHash modulus (Mersenne prime 2^31-1): base hashes and coefficients
+    * stay < 2^31 so a·x+b < 2^62 — no 64-bit overflow in either engine
+    * (DuckDB errors on BIGINT overflow rather than wrapping). */
+  val MinHashP: Long = 2147483647L
+
+  /** Deterministic affine-permutation coefficients (aᵢ, bᵢ), shared with
+    * the oracle SQL generator. */
+  def minHashCoeffs(seeds: Int): Seq[(Long, Long)] =
+    (0 until seeds).map { i =>
+      val a = (i * 2654435761L + 1013904223L) % MinHashP
+      val b = (i * 97531L + 12345L) % MinHashP
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** MinHash signature: min over shingles of the i-th affine permutation
+    * hᵢ(x) = (aᵢ·x + bᵢ) mod p of ONE md5-derived base hash. One md5 per
+    * shingle total — the per-seed work is integer arithmetic, which is what
+    * keeps a seeds×shingles×docs pipeline tractable at corpus scale.
+    * Returns array<long> of length `seeds`. */
   def minHash(text: Column, k: Int, seeds: Int): Column = {
-    val sh = shingles(tokens(text), k)
-    array((0 until seeds).map { s =>
-      array_min(transform(sh,
-        x => conv(substring(md5(concat(lit(s.toString), lit("|"), x)), 1, 15),
-          16, 10).cast("long")))
+    val base = transform(shingles(tokens(text), k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashP)
+    array(minHashCoeffs(seeds).map { case (a, b) =>
+      array_min(transform(base, x => (x * a + b) % MinHashP))
     }: _*)
   }
 
@@ -115,11 +131,17 @@ object TextAnalysis {
   /** Hamming distance between two SimHash values (bit_count of xor). */
   def simHashDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** n-gram Jaccard similarity between two texts' k-shingle sets. */
-  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
-    val sa = array_distinct(shingles(tokens(a), k))
-    val sb = array_distinct(shingles(tokens(b), k))
+  /** Jaccard similarity of two precomputed distinct-element arrays. */
+  def jaccardOfSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     inter / (size(sa) + size(sb) - inter)
   }
+
+  /** n-gram Jaccard similarity between two texts' k-shingle sets.
+    * For pairwise joins precompute the shingle sets once per document and
+    * use [[jaccardOfSets]] — shingling per PAIR is O(pairs·textlen) in
+    * interpreted HOF eval and dominates everything at scale. */
+  def ngramJaccard(a: Column, b: Column, k: Int): Column =
+    jaccardOfSets(array_distinct(shingles(tokens(a), k)),
+      array_distinct(shingles(tokens(b), k)))
 }

@@ -55,7 +55,12 @@ object Dedup {
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2)
   : DataFrame = {
+    // cache(): the signature table is tiny (id + bands·rows longs) next to
+    // the corpus, and without a materialization barrier Catalyst collapses
+    // the shingle→minhash projection into BOTH join branches — the whole
+    // interpreted-HOF hash pipeline would re-run per candidate pair.
     val sigs = minHashSignatures(df, textCol, idCol, k, bands, rowsPerBand)
+      .cache()
     val exploded = sigs.select(col(idCol), col("sig"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*))
         .as("band"))
@@ -77,6 +82,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    nBits: Int = 16): DataFrame = {
     val h = df.select(col(idCol), TA.simHash(col(textCol), nBits).as("simhash"))
+      .cache() // materialize once; see minHashPairs
     h.as("a").join(h.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -89,13 +95,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, k: Int, minJaccard: Double)
   : DataFrame = {
-    val t = df.select(col(idCol), col(textCol), blockCol.as("block"))
+    // shingle ONCE per doc, as hashed longs (string-set intersection is
+    // several times costlier than long-set) — shingling per pair would be
+    // O(pairs·textlen) interpreted and unusable at scale
+    val t = df.select(col(idCol), blockCol.as("block"),
+      array_distinct(transform(TA.shingles(TA.tokens(col(textCol)), k),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+      .cache()
     t.as("a").join(t.as("b"),
         col("a.block") === col("b.block") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(TA.ngramJaccard(col(s"a.$textCol"), col(s"b.$textCol"), k), 6)
-          .as("jaccard"))
+        round(TA.jaccardOfSets(col("a.sh"), col("b.sh")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -104,7 +115,7 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      nBits: Int, minCos: Double): DataFrame = {
     val t = df.select(col(idCol), col(vecCol),
-      Vectors.signBucket(col(vecCol), nBits).as("bucket"))
+      Vectors.signBucket(col(vecCol), nBits).as("bucket")).cache()
     t.as("a").join(t.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

@@ -7,5 +7,5 @@ object Registry {
   def all: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
       JoinQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
-      OlapQueries.all ++ TrainingQueries.all
+      OlapQueries.all ++ TrainingQueries.all ++ MvQueries.all
 }

@@ -55,7 +55,7 @@ object ScalarQueries {
 
     // string functions (StringFunctions.java)
     Q("q_scalar_string",
-      (s, d) => Tables.customer(s, d).limit(1500).select(
+      (s, d) => Tables.customer(s, d).select(
         col("c_custkey"),
         upper(col("c_name")).as("upper_v"),
         lower(col("c_mktsegment")).as("lower_v"),

@@ -41,6 +41,16 @@ object TrainingQueries {
 
   private def hash60Sql(e: String): String = ParSql.hash60(e)
 
+  /** DuckDB twins of TextAnalysis.minHash: base-hash list from a shingle
+    * list, and the per-seed affine-rehash signature over a `base` column
+    * (same constants as minHashCoeffs). */
+  private def minHashBaseSql(sh: String): String =
+    s"[${hash60Sql("s")} % ${TA.MinHashP} for s in $sh]"
+  private def minHashSigFromBase(seeds: Int): String =
+    TA.minHashCoeffs(seeds).map { case (a, b) =>
+      s"list_min([(x * $a + $b) % ${TA.MinHashP} for x in base])"
+    }.mkString("[", ", ", "]")
+
   val all: Seq[Q] = Seq(
 
     // token counting (whitespace + BPE-ish subword estimate)
@@ -109,27 +119,22 @@ object TrainingQueries {
       (s, d) => Dedup.minHashSignatures(
           Tables.documents(s, d), "text", "doc_id", 3, 4, 2)
         .select(col("doc_id"), col("sig")),
-      Some {
-        val sigs = (0 until 8).map(i =>
-          s"list_min([${hash60Sql(s"'$i' || '|' || s")} for s in sh])")
-          .mkString("[", ", ", "]")
-        s"""SELECT doc_id, $sigs AS sig
+      Some(s"""SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+        FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
           FROM (SELECT doc_id, ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
-            FROM documents)"""
-      }),
+            FROM documents))""")),
 
     // MinHash LSH near-dup pairs on the duplicated corpus
     Q("q_dedup_minhash_pairs",
       (s, d) => Dedup.minHashPairs(dupCorpus(Tables.documents(s, d)),
         "text", "doc_id", 3, 4, 2),
       Some {
-        val sigs = (0 until 8).map(i =>
-          s"list_min([${hash60Sql(s"'$i' || '|' || s")} for s in sh])")
-          .mkString("[", ", ", "]")
         s"""WITH $corpusSql,
-          sigs AS (SELECT doc_id, $sigs AS sig
-            FROM (SELECT doc_id, ${shinglesSql(s"(${toksSql("text")})", 3)}
-              AS sh FROM corpus)),
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
           ex AS (SELECT doc_id, sig,
             b.b AS band,
             md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
@@ -157,13 +162,19 @@ object TrainingQueries {
             FROM documents)"""
       }),
 
-    // n-gram Jaccard near-dup pairs, blocked by source
+    // n-gram Jaccard near-dup pairs, blocked by (source, length band) —
+    // the block key bounds candidate pairs; near-dups rarely cross a
+    // 64-char length band
     Q("q_dedup_ngram_pairs",
       (s, d) => Dedup.ngramJaccardPairs(dupCorpus(Tables.documents(s, d)),
-        "text", "doc_id", col("source"), 2, 0.5),
+        "text", "doc_id",
+        concat_ws("|", col("source"),
+          (length(col("text")) / 64).cast("long")), 2, 0.5),
       Some(s"""WITH $corpusSql,
-        sh AS (SELECT doc_id, source,
-          list_distinct(${shinglesSql(s"(${toksSql("text")})", 2)}) AS sh
+        sh AS (SELECT doc_id,
+          source || '|' || CAST(strlen(text) // 64 AS VARCHAR) AS block,
+          list_distinct([${hash60Sql("s")} for s in
+            ${shinglesSql(s"(${toksSql("text")})", 2)}]) AS sh
           FROM corpus)
         SELECT id_a, id_b, jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -171,7 +182,7 @@ object TrainingQueries {
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
               AS jaccard
           FROM sh a JOIN sh b
-            ON a.source = b.source AND a.doc_id < b.doc_id)
+            ON a.block = b.block AND a.doc_id < b.doc_id)
         WHERE jaccard >= 0.5""")),
 
     // embedding-cosine near-dup pairs, sign-bucket blocked

@@ -1,0 +1,65 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pinot SQL dialect shim (SURVEY §7 step 4).
+  *
+  * The reference compiles SQL through Calcite's babel parser with a handful
+  * of broker-side rewrites (`QueryRewriterFactory.java:36-39`) and dialect
+  * quirks. Spark SQL already accepts ~95% of the surface; this shim rewrites
+  * the Pinot-isms, registers Pinot-named functions, and applies the default
+  * LIMIT 10 (`query.thrift:34`).
+  *
+  * Deliberately string/regex-level: the reference's own rewrites operate on
+  * the parse tree of a *single-table* query language — the patterns below
+  * are unambiguous there. A full Calcite-style dialect would ride a custom
+  * Spark parser extension (SparkSessionExtensions.injectParser) — not needed
+  * for the reference surface. */
+object PinotSql {
+  /** Rewrite a Pinot SQL string into Spark SQL. The long tail of
+    * identically-named functions (abs, ceil, lower, year, md5, …) passes
+    * through untouched — Spark resolves them natively. */
+  def rewrite(sql: String): String = {
+    var s = sql
+    // TEXT_MATCH(col, 'expr') / TEXT_CONTAINS(col, 'word') → LIKE/RLIKE
+    s = s.replaceAll("(?i)TEXT_CONTAINS\\s*\\(\\s*([\\w.]+)\\s*,\\s*'([^']*)'\\s*\\)",
+      "contains($1, '$2')")
+    s = s.replaceAll("(?i)TEXT_MATCH\\s*\\(\\s*([\\w.]+)\\s*,\\s*'([^']*)'\\s*\\)",
+      "$1 RLIKE '$2'")
+    // JSON_MATCH(col, '"$.path" = ''v''') → get_json_object equality
+    s = s.replaceAll(
+      "(?i)JSON_MATCH\\s*\\(\\s*([\\w.]+)\\s*,\\s*'\"([^\"]+)\"\\s*=\\s*''([^']*)''\\s*'\\s*\\)",
+      "get_json_object($1, '$2') = '$3'")
+    // REGEXP_LIKE(col, 'p') → col RLIKE 'p'
+    s = s.replaceAll("(?i)REGEXP_LIKE\\s*\\(\\s*([\\w.]+)\\s*,\\s*'([^']*)'\\s*\\)",
+      "$1 RLIKE '$2'")
+    // IN_SUBQUERY(col, 'inner sql') → col IN (inner sql)
+    s = s.replaceAll("(?i)IN_SUBQUERY\\s*\\(\\s*([\\w.]+)\\s*,\\s*'([^']*)'\\s*\\)\\s*=\\s*1",
+      "$1 IN ($2)")
+    // jsonExtractScalar(col, path, type) → CAST(get_json_object(..) AS type)
+    s = s.replaceAll(
+      "(?i)jsonExtractScalar\\s*\\(\\s*([\\w.]+)\\s*,\\s*'([^']*)'\\s*,\\s*'(INT|LONG|FLOAT|DOUBLE|STRING)'\\s*\\)",
+      "CAST(get_json_object($1, '$2') AS $3)")
+    s = s.replaceAll("(?i)\\bAS INT\\)", "AS INTEGER)")
+    s = s.replaceAll("(?i)\\bAS LONG\\)", "AS BIGINT)")
+    // DISTINCTCOUNT(col) → COUNT(DISTINCT col)
+    s = s.replaceAll("(?i)DISTINCTCOUNTHLL\\s*\\(", "approx_count_distinct(")
+    s = s.replaceAll("(?i)DISTINCTCOUNT\\s*\\(\\s*([^)]+)\\)",
+      "COUNT(DISTINCT $1)")
+    s = s.replaceAll("(?i)MINMAXRANGE\\s*\\(\\s*([\\w.]+)\\s*\\)",
+      "(max($1) - min($1))")
+    s = s.replaceAll("(?i)PERCENTILE\\s*\\(\\s*([\\w.]+)\\s*,\\s*([0-9.]+)\\s*\\)",
+      "percentile($1, $2 / 100.0)")
+    // default LIMIT 10 on selections without an explicit LIMIT (the
+    // reference caps every query; aggregations-without-group-by excluded)
+    val hasLimit = "(?i)\\bLIMIT\\s+\\d+".r.findFirstIn(s).isDefined
+    val isPlainAgg = "(?i)\\bGROUP\\s+BY\\b".r.findFirstIn(s).isEmpty &&
+      "(?i)\\b(SUM|COUNT|MIN|MAX|AVG)\\s*\\(".r.findFirstIn(s).isDefined
+    if (!hasLimit && !isPlainAgg) s = s + " LIMIT 10"
+    s
+  }
+
+  /** Run a Pinot-dialect query against registered temp views. */
+  def sql(spark: SparkSession, pinotSql: String): DataFrame =
+    spark.sql(rewrite(pinotSql))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.NullHandling
+import graft.sql.PinotSql
+import org.apache.spark.sql.functions._
+
+class PinotSqlSpec extends SparkSpec {
+
+  test("rewrite: TEXT_MATCH / TEXT_CONTAINS / REGEXP_LIKE / JSON_MATCH") {
+    assert(PinotSql.rewrite("SELECT * FROM t WHERE TEXT_CONTAINS(txt, 'ab')")
+      .contains("contains(txt, 'ab')"))
+    assert(PinotSql.rewrite("SELECT * FROM t WHERE TEXT_MATCH(txt, 'a.*b')")
+      .contains("txt RLIKE 'a.*b'"))
+    assert(PinotSql.rewrite("SELECT * FROM t WHERE REGEXP_LIKE(c, '^x')")
+      .contains("c RLIKE '^x'"))
+    assert(PinotSql.rewrite(
+      "SELECT * FROM t WHERE JSON_MATCH(j, '\"$.a.b\" = ''v''')")
+      .contains("get_json_object(j, '$.a.b') = 'v'"))
+  }
+
+  test("rewrite: DISTINCTCOUNT / PERCENTILE / MINMAXRANGE / default limit") {
+    val s = PinotSql.rewrite(
+      "SELECT DISTINCTCOUNT(a) FROM t GROUP BY b")
+    assert(s.contains("COUNT(DISTINCT a)"))
+    assert(s.endsWith("LIMIT 10"))
+    assert(PinotSql.rewrite("SELECT PERCENTILE(x, 95) FROM t")
+      .contains("percentile(x, 95 / 100.0)"))
+    assert(PinotSql.rewrite("SELECT MINMAXRANGE(x) FROM t")
+      .contains("(max(x) - min(x))"))
+    // plain aggregations don't get the limit; explicit limits are kept
+    assert(!PinotSql.rewrite("SELECT SUM(x) FROM t").contains("LIMIT"))
+    assert(PinotSql.rewrite("SELECT a FROM t LIMIT 7").endsWith("LIMIT 7"))
+  }
+
+  test("pinot-dialect query runs end-to-end") {
+    Tables.registerAll(spark, sfDir)
+    val df = PinotSql.sql(spark,
+      "SELECT l_returnflag, DISTINCTCOUNT(l_partkey) AS nd FROM lineitem " +
+        "GROUP BY l_returnflag")
+    assert(df.count() > 0)
+  }
+
+  test("sentinel fill applies Pinot defaults, withNulls reverses") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(1), Some("a")), (None, None))
+      .toDF("m", "d")
+    val filled = NullHandling.sentinelFill(df, metrics = Set("m"))
+    val r = filled.orderBy(col("m")).collect()
+    assert(r.map(_.get(0)).toSet == Set(0, 1))
+    assert(r.map(_.get(1)).toSet == Set("a", "null"))
+    val restored = filled.select(
+      NullHandling.withNulls(col("m"),
+        org.apache.spark.sql.types.IntegerType, metric = true).as("m"))
+    assert(restored.filter(col("m").isNull).count() == 1)
+  }
+}
