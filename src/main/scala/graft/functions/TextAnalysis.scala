@@ -102,31 +102,48 @@ object TextAnalysis {
       (if (a == 0) 1L else a, b)
     }
 
-  /** MinHash signature: min over shingles of the i-th affine permutation
-    * hᵢ(x) = (aᵢ·x + bᵢ) mod p of ONE md5-derived base hash. One md5 per
-    * shingle total — the per-seed work is integer arithmetic, which is what
-    * keeps a seeds×shingles×docs pipeline tractable at corpus scale.
-    * Returns array<long> of length `seeds`. */
-  def minHash(text: Column, k: Int, seeds: Int): Column = {
-    val base = transform(shingles(tokens(text), k),
+  /** Base hash array for MinHash: one md5-derived value per k-shingle,
+    * reduced mod [[MinHashP]]. Materialize this ONCE per document (cache or
+    * checkpoint) before fanning out to seeds — expressions referencing it
+    * are inlined by Catalyst, and interpreted HOFs have no common-subexpr
+    * elimination, so an un-staged pipeline re-hashes every shingle per seed. */
+  def shingleBase(text: Column, k: Int): Column =
+    transform(shingles(tokens(text), k),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashP)
+
+  /** MinHash signature from a precomputed [[shingleBase]] column: min over
+    * the i-th affine permutation hᵢ(x) = (aᵢ·x + bᵢ) mod p. Per-seed work
+    * is integer arithmetic only. Returns array<long> of length `seeds`. */
+  def minHashFromBase(base: Column, seeds: Int): Column =
     array(minHashCoeffs(seeds).map { case (a, b) =>
       array_min(transform(base, x => (x * a + b) % MinHashP))
     }: _*)
-  }
 
-  /** nBits-bit SimHash over tokens: bit b is set iff Σ_tokens ±1 (by bit b of
-    * the token hash) is ≥ 0. Near-duplicate docs land within small Hamming
-    * distance. nBits ≤ 32 keeps the oracle SQL tractable. */
-  def simHash(text: Column, nBits: Int = 16): Column = {
-    val hs = transform(tokens(text),
+  /** Single-expression MinHash (small inputs / tests); for corpus-scale use
+    * stage [[shingleBase]] first. */
+  def minHash(text: Column, k: Int, seeds: Int): Column =
+    minHashFromBase(shingleBase(text, k), seeds)
+
+  /** Token hash array for SimHash — stage once per doc (see shingleBase). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** nBits-bit SimHash from a precomputed [[tokenHashes]] column: bit b is
+    * set iff Σ_tokens ±1 (by bit b of the token hash) is ≥ 0. Near-dup docs
+    * land within small Hamming distance. nBits ≤ 32 keeps the oracle SQL
+    * tractable. */
+  def simHashFromHashes(hs: Column, nBits: Int): Column =
     (0 until nBits).map { b =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
       when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Single-expression SimHash (small inputs / tests); stage
+    * [[tokenHashes]] first at corpus scale. */
+  def simHash(text: Column, nBits: Int = 16): Column =
+    simHashFromHashes(tokenHashes(text), nBits)
 
   /** Hamming distance between two SimHash values (bit_count of xor). */
   def simHashDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -37,8 +37,14 @@ object Dedup {
     * LSH band key per band: docs sharing any band key are candidates. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = TA.minHash(col(textCol), k, bands * rowsPerBand)
-    val withSig = df.select(col(idCol), sig.as("sig"))
+    // two-stage with a materialization barrier: the md5 shingle pipeline
+    // runs once per doc; the per-seed affine mins then read the cached
+    // base array (Catalyst would otherwise inline the base into every
+    // seed expression — seeds× re-hash of the whole corpus)
+    val withBase = df.select(col(idCol),
+      TA.shingleBase(col(textCol), k).as("base")).cache()
+    val withSig = withBase.select(col(idCol),
+      TA.minHashFromBase(col("base"), bands * rowsPerBand).as("sig"))
     // band key b = hash of the band's slice of the signature
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -81,13 +87,22 @@ object Dedup {
     * blocking is the degenerate d=0 table and keeps the oracle exact.) */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    nBits: Int = 16): DataFrame = {
-    val h = df.select(col(idCol), TA.simHash(col(textCol), nBits).as("simhash"))
-      .cache() // materialize once; see minHashPairs
+    val h = simHashes(df, textCol, idCol, nBits).cache()
     h.as("a").join(h.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.simhash").as("simhash"))
+  }
+
+  /** Staged SimHash computation: token-hash arrays materialize once, the
+    * nBits bit-votes read the cached column. */
+  def simHashes(df: DataFrame, textCol: String, idCol: String, nBits: Int)
+  : DataFrame = {
+    val withHashes = df.select(col(idCol),
+      TA.tokenHashes(col(textCol)).as("th")).cache()
+    withHashes.select(col(idCol),
+      TA.simHashFromHashes(col("th"), nBits).as("simhash"))
   }
 
   /** n-gram Jaccard near-dups within a blocking key (e.g. source or length
@@ -114,14 +129,17 @@ object Dedup {
     * same bucket with cosine ≥ threshold. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      nBits: Int, minCos: Double): DataFrame = {
+    // norms precomputed per vector (cached) — the per-pair work is one dot
+    // product instead of three
     val t = df.select(col(idCol), col(vecCol),
-      Vectors.signBucket(col(vecCol), nBits).as("bucket")).cache()
+      Vectors.signBucket(col(vecCol), nBits).as("bucket"),
+      Vectors.norm2(col(vecCol)).as("nrm")).cache()
     t.as("a").join(t.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(Vectors.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6)
-          .as("cos"))
+        round(Vectors.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

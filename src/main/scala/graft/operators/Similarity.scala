@@ -24,12 +24,16 @@ object Similarity {
     * vecCol). Deterministic: ties break by candidate id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms ride each side precomputed — per pair: one dot product
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm2(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      Vectors.norm2(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -42,13 +46,16 @@ object Similarity {
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, nBits: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      Vectors.signBucket(col(vecCol), nBits).as("bucket"))
+      Vectors.signBucket(col(vecCol), nBits).as("bucket"),
+      Vectors.norm2(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      Vectors.signBucket(col(vecCol), nBits).as("bucket"))
+      Vectors.signBucket(col(vecCol), nBits).as("bucket"),
+      Vectors.norm2(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w))

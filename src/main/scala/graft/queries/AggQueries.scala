@@ -268,6 +268,16 @@ object AggQueries {
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(Ag.percentileEst(col("l_extendedprice"), 0.5).as("p50_est"),
           Ag.percentileEst(col("l_extendedprice"), 0.95).as("p95_est")),
+      None),
+
+    // distinctCountRawHLL analog: serialized DataSketches HLL out of the
+    // aggregate, mergeable across segments/partitions (rows-only gate;
+    // the spec asserts the estimate's error bound + merge associativity)
+    Q("q_agg_hll_sketch",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
+          .as("hll_est"),
+          length(hll_sketch_agg(col("l_partkey"))).as("sketch_bytes")),
       None))
 
   /** Oracle for q_agg_variance: identical moment formulas over exact

@@ -196,6 +196,33 @@ object ScalarQueries {
         CAST(TRUNC(o_totalprice) AS INT) AS price_int,
         CAST(o_orderstatus = 'F' AS INT) AS bool_as_int FROM orders""")),
 
+    // trig (TrigonometricFunctions.java) — rounded: JDK vs libm may differ
+    // in the last ulp
+    Q("q_scalar_trig",
+      (s, d) => {
+        val x = col("p_retailprice") / 1000.0
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          Par.r6(sin(x)).as("sin_v"), Par.r6(cos(x)).as("cos_v"),
+          Par.r6(tan(x)).as("tan_v"), Par.r6(atan(x)).as("atan_v"),
+          Par.r6(atan2(x, lit(1.0))).as("atan2_v"),
+          Par.r6(degrees(x)).as("degrees_v"),
+          Par.r6(radians(col("p_size"))).as("radians_v"),
+          Par.r6(sinh(x)).as("sinh_v"), Par.r6(cosh(x)).as("cosh_v"),
+          Par.r6(tanh(x)).as("tanh_v"))
+      },
+      Some("""SELECT p_partkey,
+        ROUND(SIN(x), 6) AS sin_v, ROUND(COS(x), 6) AS cos_v,
+        ROUND(TAN(x), 6) AS tan_v, ROUND(ATAN(x), 6) AS atan_v,
+        ROUND(ATAN2(x, 1.0), 6) AS atan2_v,
+        ROUND(DEGREES(x), 6) AS degrees_v,
+        ROUND(RADIANS(p_size), 6) AS radians_v,
+        ROUND((EXP(x) - EXP(-x)) / 2, 6) AS sinh_v,
+        ROUND((EXP(x) + EXP(-x)) / 2, 6) AS cosh_v,
+        ROUND((EXP(x) - EXP(-x)) / (EXP(x) + EXP(-x)), 6) AS tanh_v
+        FROM (SELECT p_partkey, p_size, p_retailprice / 1000.0 AS x
+          FROM part)""")),
+
     // hash functions (HashFunctions.java) + the shared 60-bit hash
     Q("q_scalar_hash",
       (s, d) => Tables.nation(s, d).select(

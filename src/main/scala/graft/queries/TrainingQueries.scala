@@ -147,10 +147,9 @@ object TrainingQueries {
             ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id"""
       }),
 
-    // SimHash (16-bit) per document
+    // SimHash (16-bit) per document (staged: token hashes materialize once)
     Q("q_dedup_simhash",
-      (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), TA.simHash(col("text"), 16).as("simhash")),
+      (s, d) => Dedup.simHashes(Tables.documents(s, d), "text", "doc_id", 16),
       Some {
         val bits = (0 until 16).map(b =>
           s"""CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1

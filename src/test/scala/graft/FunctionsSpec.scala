@@ -113,6 +113,19 @@ class FunctionsSpec extends SparkSpec {
     assert(hist.sum == total)
   }
 
+  test("hll sketch: estimate near exact, partition-merge associative") {
+    val l = Tables.lineitem(spark, sfDir)
+    val exact = l.select(count_distinct(col("l_partkey"))).head().getLong(0)
+    val est = l.agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))))
+      .head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.1)
+    // mergeability: union of per-group sketches ≈ global sketch
+    val merged = l.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.1)
+  }
+
   test("approx_count_distinct within 5% rsd bound of exact") {
     val l = Tables.lineitem(spark, sfDir)
     val r = l.agg(count_distinct(col("l_partkey")).as("exact"),

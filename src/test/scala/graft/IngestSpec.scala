@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Batch ingestion: per-format readers + the CompositeTransformer-order
+  * pipeline + compaction/rollup/purge rewrites (SURVEY §2.1). */
+class IngestSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-ingest").toString
+
+  test("csv/json round-trip through format readers") {
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    src.write.mode("overwrite").json(s"$tmp/nation_json")
+    val fromCsv = Ingest.read(spark, "csv", s"$tmp/nation_csv")
+    val fromJson = Ingest.read(spark, "json", s"$tmp/nation_json")
+    assert(fromCsv.count() == src.count())
+    assert(fromJson.count() == src.count())
+    assert(fromCsv.columns.toSet == src.columns.toSet)
+  }
+
+  test("pipeline applies transform stages in reference order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a\u0000b", Some(10), "2024-01-05 00:00:00"),
+      ("keep", None, "2024-01-10 00:00:00"),
+      ("drop-by-filter", Some(99), "2024-01-15 00:00:00"),
+      ("drop-by-time", Some(1), "2025-06-01 00:00:00"))
+      .toDF("name", "metric", "ts_str")
+    val out = Ingest.transform(df, Ingest.Pipeline(
+      expressions = Seq("ts" -> to_timestamp(col("ts_str"))),
+      filter = Some(col("name") =!= "drop-by-filter"),
+      coerce = Map("metric" -> "long"),
+      timeCol = Some("ts"),
+      timeRange = Some((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-12-31 00:00:00"))),
+      sentinelMetrics = Set("metric")))
+    val rows = out.orderBy("name").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("ab", "keep"))
+    // null metric → sentinel 0; coerced to long
+    assert(rows(1).getAs[Long]("metric") == 0L)
+  }
+
+  test("compact rewrites to requested file count") {
+    val src = Tables.orders(spark, sfDir).repartition(8)
+    Ingest.compact(src, s"$tmp/orders_compact", 2)
+    val files = new java.io.File(s"$tmp/orders_compact")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 2)
+    assert(spark.read.parquet(s"$tmp/orders_compact").count() == src.count())
+  }
+
+  test("mergeRollup aggregates to coarser grain; purge drops by predicate") {
+    val ev = Tables.events(spark, sfDir)
+    val rolled = Ingest.mergeRollup(ev, "ts", 86400, Seq("event_type"),
+      Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val")))
+    assert(rolled.count() < ev.count())
+    assert(rolled.agg(sum("cnt")).head().getLong(0) == ev.count())
+    val purged = Ingest.purge(ev, col("event_type") === "error")
+    assert(purged.filter(col("event_type") === "error").count() == 0)
+  }
+}
