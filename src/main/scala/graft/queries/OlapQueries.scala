@@ -102,6 +102,65 @@ object OlapQueries {
           UNION ALL SELECT doc_id + 100000, text FROM documents)
         GROUP BY md5(text)""")),
 
+    // SumAvgGapfillProcessor: aggregation over the gapfilled series
+    Q("q_gapfill_agg",
+      (s, d) => {
+        val agged = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(Par.money(col("value"))).cast("double").as("sum_val"))
+        val filled = Gapfill.gapfill(agged, "bucket", Seq("event_type"),
+          jan1, jan30, 3600,
+          Map("sum_val" -> Gapfill.FillPrevious))
+        filled.groupBy(col("event_type"))
+          .agg(count(col("sum_val")).as("n_buckets"),
+            Par.r6(sum(round(col("sum_val") * 100).cast("long"))
+              .cast("double") / 100).as("total_filled"))
+      },
+      Some(Par.evOracle("""SELECT event_type,
+          COUNT(sum_val) AS n_buckets,
+          ROUND(CAST(SUM(CAST(ROUND(sum_val * 100) AS BIGINT)) AS DOUBLE)
+            / 100, 6) AS total_filled
+        FROM (SELECT event_type,
+          last_value(sum_val IGNORE NULLS) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_val
+        FROM (
+          SELECT k.event_type, b.bucket, a.sum_val
+          FROM (SELECT DISTINCT event_type FROM ev) k
+          CROSS JOIN (SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 23:00:00',
+            INTERVAL 1 HOUR)) AS bucket) b
+          LEFT JOIN (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+              CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+            FROM ev GROUP BY 1, 2) a
+          ON a.event_type = k.event_type AND a.bucket = b.bucket))
+        GROUP BY event_type"""))),
+
+    // star-tree pre-aggregation: summary built at (flag, status) grain
+    // answers the flag-only rollup exactly (mergeable partial metrics)
+    Q("q_startree",
+      (s, d) => {
+        val summary = graft.operators.StarTree.build(
+          Tables.lineitem(s, d)
+            .withColumn("qty_d", Par.money(col("l_quantity"))),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(graft.operators.StarTree.Metric("qty_d", Seq("sum", "min", "max"))))
+        graft.operators.StarTree.query(summary, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            col("sum_qty_d").cast("double").as("sum_qty"),
+            col("min_qty_d").cast("double").as("min_qty"),
+            col("max_qty_d").cast("double").as("max_qty"),
+            col("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_qty,
+        CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_qty,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // ingestion-time rollup (aggregateMetrics ValueAggregators):
     // 15-min pre-aggregation as the streaming sink would produce
     Q("q_rollup_ingest",

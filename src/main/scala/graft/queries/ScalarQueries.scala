@@ -137,6 +137,25 @@ object ScalarQueries {
         epoch_us(ts) // 1000000 // 3600 AS epoch_hours,
         epoch_us(ts) // 1000000 // 60 AS epoch_min FROM ev"""))),
 
+    // toDateTime / fromDateTime (Joda-format conversions) — format +
+    // parse round-trip (DateTimeFunctions.java, DateTimeConvert.java)
+    Q("q_scalar_dateconvert",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("todt_v"),
+        date_format(col("o_orderdate"), "yyyy/MM").as("ym_v"),
+        to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          "yyyy-MM-dd").as("fromdt_v"),
+        unix_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          "yyyy-MM-dd HH:mm:ss").as("parse_epoch_v")),
+      Some("""SELECT o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS todt_v,
+        strftime(o_orderdate, '%Y/%m') AS ym_v,
+        strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS fromdt_v,
+        epoch_us(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+          '%Y-%m-%d %H:%M:%S')) // 1000000 AS parse_epoch_v
+        FROM orders""")),
+
     // JSON functions (JsonFunctions.java / jsonExtractScalar)
     Q("q_scalar_json",
       (s, d) => Tables.events(s, d).select(
