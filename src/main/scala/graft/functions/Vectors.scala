@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * the double arithmetic bit-comparable for the oracle gate.
   */
 object Vectors {
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision — native codegen'd expression (primitive
+    * float loop in whole-stage codegen; see
+    * org.apache.spark.sql.graft.VecDotProduct). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.vecDot(a, b)
+
+  /** HOF formulation of [[dot]] — interpreted; kept as the reference
+    * implementation the native expression is spec-checked against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -153,8 +153,11 @@ object AggQueries {
     // covariance / correlation from exact decimal cross-moments
     Q("q_agg_covar",
       (s, d) => {
-        val x = col("l_quantity").cast(DecimalType(6, 2))
-        val y = col("l_extendedprice").cast(DecimalType(12, 2))
+        // tight precisions: (4,2)·(8,2) → (13,4) keeps every per-row product
+        // in Spark's compact-long decimal representation (precision ≤ 18 —
+        // no BigDecimal allocation on the hot path); exactness is unchanged
+        val x = col("l_quantity").cast(DecimalType(4, 2))
+        val y = col("l_extendedprice").cast(DecimalType(8, 2))
         val m = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
           count(lit(1)).cast("double").as("n"),
           sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
@@ -268,6 +271,14 @@ object AggQueries {
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(Ag.percentileEst(col("l_extendedprice"), 0.5).as("p50_est"),
           Ag.percentileEst(col("l_extendedprice"), 0.95).as("p95_est")),
+      None),
+
+    // fourthMoment (custom Aggregator, partial/merge/final contract) —
+    // rows-only gate; the spec asserts parity with exact decimal moments
+    Q("q_agg_fourthmoment",
+      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(graft.functions.Moments.fourthMomentAgg(col("l_quantity"))
+          .as("m4")),
       None),
 
     // distinctCountRawHLL analog: serialized DataSketches HLL out of the

@@ -1,0 +1,70 @@
+/* Hosted under org.apache.spark.sql because Catalyst's extension surface
+ * (AbstractDataType, ExpressionUtils) is private[sql] — the standard
+ * placement for third-party native expressions. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two `array<float>` columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * evaluates interpreted — per-element lambda invocation with boxing. This
+  * expression participates in whole-stage codegen: the generated Java is a
+  * primitive float loop reading Tungsten `ArrayData` directly, no per-row
+  * allocation. Semantics match the HOF version bit-for-bit for null-free
+  * arrays (left-to-right double accumulation — the order the DuckDB oracle
+  * sums in too).
+  *
+  * The (b)-tier of the custom-operator ladder (SURVEY §2: native
+  * `Expression` with `doGenCode` beats UDF): the scalar kernel of the
+  * embedding ANN / near-dup operators. */
+case class VecDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int vdp_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double vdp_acc = 0.0;
+         |for (int vdp_i = 0; vdp_i < vdp_n; vdp_i++) {
+         |  vdp_acc += (double) $a.getFloat(vdp_i) * (double) $b.getFloat(vdp_i);
+         |}
+         |${ev.value} = vdp_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column↔Expression bridge for graft code outside the sql package. */
+object GraftExpressions {
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -78,6 +78,15 @@ class FunctionsSpec extends SparkSpec {
     assert(one(TA.langId(lit("zzz qqq www"))) == "und")
   }
 
+  test("native VecDotProduct matches HOF dot bit-for-bit on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val diffs = e.select(
+      (Vectors.dot(col("embedding"), col("embedding")) -
+        Vectors.dotHof(col("embedding"), col("embedding"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs == 0)
+  }
+
   test("vector cosine / dot / l2") {
     val a = array(lit(1f), lit(0f))
     val b = array(lit(0f), lit(1f))
@@ -111,6 +120,22 @@ class FunctionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(hist.length == 10)
     assert(hist.sum == total)
+  }
+
+  test("fourthMoment Aggregator matches exact decimal moments") {
+    val l = Tables.lineitem(spark, sfDir)
+    val streamed = l.agg(graft.functions.Moments
+      .fourthMomentAgg(col("l_quantity"))).head().getDouble(0)
+    val sums = l.agg(
+      count(lit(1)).cast("double").as("n"),
+      Ag.powerSums(col("l_quantity")).zipWithIndex
+        .map { case (c, i) => c.cast("double").as(s"s${i + 1}") }: _*).head()
+    val (n, s1, s2, s3, s4) = (sums.getDouble(0), sums.getDouble(1),
+      sums.getDouble(2), sums.getDouble(3), sums.getDouble(4))
+    val mean = s1 / n
+    val m4 = s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n) -
+      3 * math.pow(mean, 4)
+    assert(math.abs(streamed - m4) / m4 < 1e-9)
   }
 
   test("hll sketch: estimate near exact, partition-merge associative") {
