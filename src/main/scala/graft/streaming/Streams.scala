@@ -22,6 +22,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * what makes the operators viable on an unbounded 100 TB/day stream.
   */
 object Streams {
+  /** Kafka partition-level source (reference: `PartitionLevelConsumer` /
+    * `KafkaStreamConsumerFactory`). Emits the raw key/value/partition/
+    * offset/timestamp columns; apply `Ingest.Pipeline`-style transforms
+    * downstream. Requires the spark-sql-kafka connector jar on the
+    * cluster; untestable in this container (no broker) — MemoryStream
+    * drives the same DataFrame contract in the specs. */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+                  startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Micro-batch parquet sink — the "segment seal" path: each micro-batch
+    * appends a columnar file set, checkpointed for exactly-once. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+                  triggerSec: Long = 60)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(triggerSec * 1000))
+
   /** Ingestion-time rollup: per (keys, bucket) count/sum/min/max, the
     * streaming twin of OlapQueries.q_rollup_ingest. `withWatermark` bounds
     * state; `update` output mode emits refined buckets per micro-batch. */

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{TextAnalysis => TA, Vectors}
+import graft.operators.Upsert
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (the reference has none — SURVEY §5): algebraic
+  * invariants of the operators, driven through real Spark plans with
+  * ScalaCheck generators at fixed seeds (deterministic, offline-friendly
+  * without the scalatestplus bridge). */
+class PropertySpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(params, Seed(seed)).get
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+  private val text: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("jaccard is reflexive(1), symmetric, and in [0,1]") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L to 8L).map(i => (sample(text, i), sample(text, i + 100)))
+    val rows = pairs.toDF("a", "b").select(
+      TA.ngramJaccard(col("a"), col("a"), 2).as("self"),
+      TA.ngramJaccard(col("a"), col("b"), 2).as("ab"),
+      TA.ngramJaccard(col("b"), col("a"), 2).as("ba")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == r.getDouble(2))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("simhash distance: 0 to self, symmetric, bounded by nBits") {
+    val s = spark
+    import s.implicits._
+    val pairs = (1L to 6L).map(i => (sample(text, i * 7), sample(text, i * 13)))
+    val rows = pairs.toDF("a", "b").select(
+      TA.simHashDistance(TA.simHash(col("a"), 16), TA.simHash(col("a"), 16))
+        .as("self"),
+      TA.simHashDistance(TA.simHash(col("a"), 16), TA.simHash(col("b"), 16))
+        .as("ab"),
+      TA.simHashDistance(TA.simHash(col("b"), 16), TA.simHash(col("a"), 16))
+        .as("ba")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Number]("self").longValue == 0L)
+      assert(r.getAs[Number]("ab").longValue ==
+        r.getAs[Number]("ba").longValue)
+      assert(r.getAs[Number]("ab").longValue <= 16)
+    }
+  }
+
+  test("minhash signatures only decrease when content is a superset") {
+    val s = spark
+    import s.implicits._
+    (1L to 5L).foreach { seed =>
+      val t = sample(text, seed)
+      val df = Seq(t, t + " " + t).toDF("txt")
+      val sigs = df.select(TA.minHash(col("txt"), 2, 4).as("sig")).collect()
+      val a = sigs(0).getSeq[Long](0)
+      val b = sigs(1).getSeq[Long](0)
+      a.zip(b).foreach { case (x, y) => assert(y <= x) }
+    }
+  }
+
+  test("upsert latestView picks the max comparison value per key") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L)))
+    (1L to 5L).foreach { seed =>
+      val rows = sample(rowsGen, seed)
+      val out = Upsert.latestView(rows.toDF("pk", "cmp"), Seq("pk"),
+        Seq("cmp")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(out == expect)
+    }
+  }
+
+  test("dot product is symmetric; self-dot non-negative") {
+    val s = spark
+    import s.implicits._
+    val vec = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+    val vs = (1L to 6L).map(i =>
+      (sample(vec, i).toArray, sample(vec, i + 50).toArray))
+    val rows = vs.toDF("a", "b").select(
+      Vectors.dot(col("a"), col("b")).as("ab"),
+      Vectors.dot(col("b"), col("a")).as("ba"),
+      Vectors.dot(col("a"), col("a")).as("self")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+}
