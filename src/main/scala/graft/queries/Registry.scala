@@ -7,5 +7,6 @@ object Registry {
   def all: Seq[Q] =
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
       JoinQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
-      OlapQueries.all ++ TrainingQueries.all ++ MvQueries.all
+      OlapQueries.all ++ TrainingQueries.all ++ MvQueries.all ++
+      EdgeQueries.all
 }
