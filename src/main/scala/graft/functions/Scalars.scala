@@ -43,11 +43,22 @@ object Scalars {
   def strcmp(a: Column, b: Column): Column =
     when(a < b, -1).when(a > b, 1).otherwise(0)
   /** Pinot hammingDistance over equal-length strings (StringFunctions.java).
-    * Pure higher-order-function composition — codegen-friendly, no UDF. */
+    * HOF formulation — general but CodegenFallback: placing it in a
+    * projection disables whole-stage codegen for EVERY expression in that
+    * stage. Prefer [[hammingDistanceStatic]] when a length bound is known. */
   def hammingDistance(a: Column, b: Column): Column =
     when(length(a) =!= length(b), lit(-1)).otherwise(
       size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
         c => c)))
+
+  /** Codegen-friendly hammingDistance for strings of length ≤ maxLen:
+    * statically expanded per-position compares (substring is codegen'd),
+    * so the surrounding projection keeps whole-stage codegen. */
+  def hammingDistanceStatic(a: Column, b: Column, maxLen: Int): Column =
+    when(length(a) =!= length(b), lit(-1)).otherwise(
+      (1 to maxLen).map(i =>
+        (substring(a, i, 1) =!= substring(b, i, 1)).cast("int"))
+        .reduce(_ + _))
 
   // ---- date/time (DateTimeFunctions.java, 645 LoC) ----
   def toEpochSeconds(ts: Column): Column = unix_timestamp(ts)

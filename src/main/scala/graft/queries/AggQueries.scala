@@ -273,6 +273,31 @@ object AggQueries {
           Ag.percentileEst(col("l_extendedprice"), 0.95).as("p95_est")),
       None),
 
+    // IdSet set operations (distinctCountThetaSketch's AND/OR semantics,
+    // exact bitmap-style variant): users who clicked ∩/∪ purchased
+    Q("q_agg_idset_ops",
+      (s, d) => {
+        val sets = Tables.events(s, d).agg(
+          collect_set(when(col("event_type") === "click", col("user_id")))
+            .as("c"),
+          collect_set(when(col("event_type") === "purchase", col("user_id")))
+            .as("p"))
+        sets.select(size(col("c")).as("n_click"),
+          size(col("p")).as("n_purchase"),
+          size(array_intersect(col("c"), col("p"))).as("n_both"),
+          size(array_union(col("c"), col("p"))).as("n_either"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+        SELECT CAST((SELECT COUNT(*) FROM c) AS INT) AS n_click,
+          CAST((SELECT COUNT(*) FROM p) AS INT) AS n_purchase,
+          CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT
+            SELECT * FROM p)) AS INT) AS n_both,
+          CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION
+            SELECT * FROM p)) AS INT) AS n_either""")),
+
     // fourthMoment (custom Aggregator, partial/merge/final contract) —
     // rows-only gate; the spec asserts parity with exact decimal moments
     Q("q_agg_fourthmoment",

@@ -74,7 +74,8 @@ object ScalarQueries {
         col("c_name").startsWith("Customer").as("startswith_v"),
         col("c_name").endsWith("1").as("endswith_v"),
         F.strcmp(col("c_mktsegment"), lit("HOUSEHOLD")).as("strcmp_v"),
-        F.hammingDistance(col("c_mktsegment"), lit("BUILDING ")).as("hamming_v")),
+        F.hammingDistanceStatic(col("c_mktsegment"), lit("BUILDING "), 10)
+          .as("hamming_v")),
       Some("""SELECT c_custkey, UPPER(c_name) AS upper_v,
         LOWER(c_mktsegment) AS lower_v, SUBSTRING(c_name, 1, 8) AS substr_v,
         LENGTH(c_name) AS len_v, REVERSE(c_mktsegment) AS rev_v,

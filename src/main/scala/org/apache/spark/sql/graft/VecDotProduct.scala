@@ -7,7 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst dot product over two `array<float>` columns.
@@ -67,4 +67,14 @@ object GraftExpressions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Lift a Column-level function into a FunctionRegistry builder —
+    * how the Pinot-named surface becomes callable from spark.sql. Uses the
+    * EAGER ColumnNode converter: `ExpressionUtils.expression` returns a
+    * lazy Unevaluable placeholder that only resolves on the Dataset path,
+    * not inside a FunctionRegistry substitution. */
+  def builder(f: Seq[Column] => Column)
+  : Seq[Expression] => Expression =
+    args => ColumnNodeToExpressionConverter(
+      f(args.map(ExpressionUtils.column)).node)
 }

@@ -18,6 +18,8 @@ class FunctionsSpec extends SparkSpec {
     assert(one(F.strcmp(lit("b"), lit("b"))) == 0)
     assert(one(F.hammingDistance(lit("karolin"), lit("kathrin"))) == 3)
     assert(one(F.hammingDistance(lit("ab"), lit("abc"))) == -1)
+    assert(one(F.hammingDistanceStatic(lit("karolin"), lit("kathrin"), 10)) == 3)
+    assert(one(F.hammingDistanceStatic(lit("ab"), lit("abc"), 10)) == -1)
     assert(one(F.splitPart(lit("a-b-c"), "-", 2)) == "b")
     assert(one(F.strpos(lit("hello"), "ll")) == 3)
   }

@@ -32,6 +32,19 @@ class PinotSqlSpec extends SparkSpec {
     assert(PinotSql.rewrite("SELECT a FROM t LIMIT 7").endsWith("LIMIT 7"))
   }
 
+  test("GraftExtensions: engine functions resolve from spark.sql by name") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0F,2.0F), array(2.0F,3.0F)) AS d, " +
+        "hash60('abc') AS h, strcmp('a','b') AS c, " +
+        "lang_id('the cat is on the mat') AS l, " +
+        "token_count('a b c') AS t").head()
+    assert(r.getDouble(0) == 8.0)
+    assert(r.getLong(1) == 648541476951500027L)
+    assert(r.getInt(2) == -1)
+    assert(r.getString(3) == "en")
+    assert(r.getInt(4) == 3)
+  }
+
   test("pinot-dialect query runs end-to-end") {
     Tables.registerAll(spark, sfDir)
     val df = PinotSql.sql(spark,
