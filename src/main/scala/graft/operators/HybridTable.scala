@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid table semantics (SURVEY §1.1): one logical table served from an
+  * OFFLINE part and a REALTIME part, split by a time boundary — the broker
+  * rewrites each query into `offline WHERE t < boundary` ∪ `realtime WHERE
+  * t >= boundary` (`BaseBrokerRequestHandler.java:459-499`).
+  *
+  * Spark realization: a union view with the boundary predicates pushed into
+  * each side's scan. Partition-prune-friendly: with the offline side
+  * partitioned by date and the realtime side a streaming table, the
+  * boundary predicate prunes whole partitions before I/O. */
+object HybridTable {
+  /** The broker's time-boundary split, as a reusable view. */
+  def view(offline: DataFrame, realtime: DataFrame, timeCol: String,
+           boundary: Column): DataFrame =
+    offline.filter(col(timeCol) < boundary)
+      .unionByName(realtime.filter(col(timeCol) >= boundary))
+
+  /** Inverted text index (ColumnIndexType.TEXT_INDEX analog): token → doc
+    * postings as a DataFrame. Materialize once (write to parquet bucketed
+    * by token at scale); conjunctive term queries become postings
+    * intersections — an equi-join + count, never a corpus scan. */
+  def invertedTextIndex(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame =
+    docs.select(col(idCol),
+      explode(array_distinct(graft.functions.TextAnalysis
+        .tokens(col(textCol)))).as("token"))
+
+  /** Conjunctive TEXT_MATCH via the inverted index: ids of docs containing
+    * ALL `terms` (exact-token semantics). */
+  def matchAllTerms(index: DataFrame, idCol: String, terms: Seq[String])
+  : DataFrame =
+    index.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("token")).as("nt"))
+      .filter(col("nt") === terms.length)
+      .select(col(idCol))
+}

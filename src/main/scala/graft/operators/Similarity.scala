@@ -40,6 +40,54 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
+    * `nCentroids` cells; a query scores only candidates in its `nProbe`
+    * nearest cells. The classic trained scale path: at 100 TB the corpus
+    * is clustered once (cells become partition keys — co-located, prunable)
+    * and each query touches ~nProbe/nCentroids of the data. Training uses
+    * MLlib KMeans (seeded); assignment + probing are plain DataFrame ops so
+    * the search itself stays in Catalyst. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int)
+  : DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val feats = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("features")).cache()
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col("prediction").as("cell"),
+        Vectors.norm2(col(vecCol)).as("cn")).cache()
+
+    // centroid table (tiny) — query × centroid distances, keep nProbe best
+    val spark = corpus.sparkSession
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm2(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", Vectors.l2Distance(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** LSH-bucketed ANN: only candidates sharing the query's sign-bucket are
     * scored. Same output shape as [[bruteForceTopK]] (rk may stop short of k
     * when a bucket is sparse — the recall trade). */

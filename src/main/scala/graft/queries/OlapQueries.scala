@@ -86,6 +86,40 @@ object OlapQueries {
         list_sort(list(DISTINCT event_type)) AS types
         FROM ev GROUP BY user_id"""))),
 
+    // hybrid table: OFFLINE(<boundary) ∪ REALTIME(>=boundary) answers the
+    // same aggregate as the unsplit table (broker time-boundary rewrite)
+    Q("q_hybrid_table",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val hybrid = graft.operators.HybridTable.view(
+          orders, orders, "o_orderdate",
+          lit("1999-01-01 00:00:00").cast("timestamp"))
+        hybrid.groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n"), Par.dsum(col("o_totalprice"))
+            .as("total"))
+      },
+      Some(s"""SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n,
+        ${ParSql.dsum("o_totalprice")} AS total FROM orders
+        GROUP BY YEAR(o_orderdate)""")),
+
+    // TEXT_INDEX analog: conjunctive TEXT_MATCH via inverted-index
+    // postings intersection (exact-token semantics on both sides)
+    Q("q_text_inverted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val idx = graft.operators.HybridTable
+          .invertedTextIndex(docs, "text", "doc_id")
+        graft.operators.HybridTable
+          .matchAllTerms(idx, "doc_id", Seq("spark", "vector", "hash"))
+      },
+      Some("""SELECT doc_id FROM documents
+        WHERE list_contains(list_filter(string_split_regex(lower(text),
+            '\s+'), t -> length(t) > 0), 'spark')
+          AND list_contains(list_filter(string_split_regex(lower(text),
+            '\s+'), t -> length(t) > 0), 'vector')
+          AND list_contains(list_filter(string_split_regex(lower(text),
+            '\s+'), t -> length(t) > 0), 'hash')""")),
+
     // exact dedup at ingest (DedupConfig): duplicated corpus → one keeper
     // per content hash
     Q("q_dedup_exact",

@@ -235,6 +235,17 @@ object TrainingQueries {
             WHERE a.vec_id != q.vec_id))
           WHERE rk <= 5""")),
 
+    // IVF ANN (trained-centroid scale path) — rows-only gate (k-means
+    // training is float-iterative, not oracle-replicable; the spec bounds
+    // recall vs brute force instead)
+    Q("q_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, 8, 2)
+      },
+      None),
+
     // multimodal plumbing: binary payload + metadata + stubbed decode
     Q("q_multimodal_meta",
       (s, d) => {

@@ -89,6 +89,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L))
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      5, 8, 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    // nProbe=4 of 8 cells → expect to recover a good share of true top-5
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("bucketedTopK only scores co-bucketed candidates") {
     val s = spark
     import s.implicits._
