@@ -116,10 +116,16 @@ object Dedup {
     val t = df.select(col(idCol), blockCol.as("block"),
       array_distinct(transform(TA.shingles(TA.tokens(col(textCol)), k),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+      .withColumn("sz", size(col("sh")))
       .cache()
+    // size-ratio prefilter: J(A,B) ≤ min/max, so J ≥ t requires
+    // max ≤ min/t — a necessary condition; kills most pairs before the
+    // expensive set intersection without changing the result
     t.as("a").join(t.as("b"),
         col("a.block") === col("b.block") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.sz") <= col("b.sz") / minJaccard &&
+          col("b.sz") <= col("a.sz") / minJaccard)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(TA.jaccardOfSets(col("a.sh"), col("b.sh")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
