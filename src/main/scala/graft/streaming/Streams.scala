@@ -92,4 +92,38 @@ object Streams {
           UpsertOut(key.userId, key.eventType, best.ts, best.value)
       }
   }
+
+  /** PARTIAL-upsert state: per-key merged columns under the reference's
+    * per-column strategies (UpsertConfig.Strategy — the streaming twin of
+    * Upsert.partialUpsert). */
+  final case class PartialState(ts: Long, maxV: Double, sumV: Double,
+                                lastV: Double, types: Set[String])
+  final case class PartialOut(userId: Long, maxV: Double, sumV: Double,
+                              lastV: Double, types: Seq[String])
+
+  /** Streaming PARTIAL upsert keyed by userId: MAX / INCREMENT /
+    * OVERWRITE(latest-by-ts) / UNION strategies merged incrementally —
+    * state is one row per key, watermark-free demo (production adds
+    * timeout-based eviction). */
+  def upsertPartial(events: Dataset[UpsertEvent]): Dataset[PartialOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[PartialState, PartialOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, batch, state: GroupState[PartialState]) =>
+          val init = state.getOption.getOrElse(
+            PartialState(Long.MinValue, Double.MinValue, 0d, 0d, Set.empty))
+          val merged = batch.foldLeft(init) { (s, e) =>
+            PartialState(
+              ts = math.max(s.ts, e.ts),
+              maxV = math.max(s.maxV, e.value),
+              sumV = s.sumV + e.value,
+              lastV = if (e.ts >= s.ts) e.value else s.lastV,
+              types = s.types + e.eventType)
+          }
+          state.update(merged)
+          PartialOut(key, merged.maxV, merged.sumV, merged.lastV,
+            merged.types.toSeq.sorted)
+      }
+  }
 }

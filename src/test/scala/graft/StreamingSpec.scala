@@ -55,6 +55,28 @@ class StreamingSpec extends SparkSpec {
     assert(last == 3.0)
   }
 
+  test("streaming partial upsert merges strategies incrementally") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.UpsertEvent]
+    val out = Streams.upsertPartial(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("upsert_p")
+      .outputMode("update").start()
+    mem.addData(Streams.UpsertEvent(1L, "click", 100L, 5.0),
+      Streams.UpsertEvent(1L, "view", 200L, 3.0))
+    q.processAllAvailable()
+    mem.addData(Streams.UpsertEvent(1L, "purchase", 150L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val r = s.sql("SELECT maxV, sumV, lastV, types FROM upsert_p " +
+      "ORDER BY sumV DESC LIMIT 1").head()
+    assert(r.getDouble(0) == 7.0)   // MAX
+    assert(r.getDouble(1) == 15.0)  // INCREMENT
+    assert(r.getDouble(2) == 3.0)   // OVERWRITE: ts=200 still latest
+    assert(r.getSeq[String](3) == Seq("click", "purchase", "view")) // UNION
+  }
+
   test("streaming dedup drops exact-PK repeats within watermark") {
     val s = spark
     import s.implicits._
