@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // NOTE: keep the default INT96 parquet timestamp output — the
