@@ -86,6 +86,29 @@ object OlapQueries {
         list_sort(list(DISTINCT event_type)) AS types
         FROM ev GROUP BY user_id"""))),
 
+    // as-of join (backward): each purchase event attaches the user's most
+    // recent click at-or-before it (point-in-time feature lookup)
+    Q("q_join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsofJoin.asofBackward(
+          purchases, clicks, Seq("user_id"), "ts",
+          Map("value" -> "click_value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("ts_right").as("click_ts"), col("click_value"))
+      },
+      Some(Par.evOracle("""SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS click_ts, c."value" AS click_value
+        FROM (SELECT event_id, user_id, ts FROM ev
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM ev
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""))),
+
     // hybrid table: OFFLINE(<boundary) ∪ REALTIME(>=boundary) answers the
     // same aggregate as the unsplit table (broker time-boundary rewrite)
     Q("q_hybrid_table",

@@ -77,6 +77,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("asofBackward attaches latest right row at-or-before each left row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, 8L, "a"), (1L, 15L, "b"), (1L, 20L, "c"),
+      (3L, 1L, "z")).toDF("k", "ts", "v")
+    val out = graft.operators.AsofJoin.asofBackward(
+      left, right, Seq("k"), "ts", Map("v" -> "rv"))
+      .orderBy("id").collect()
+    // ts=10 → 'a' (8); ts=20 → 'c' (equal ts counts); k=2 → null
+    assert(out.map(r => Option(r.getAs[String]("rv"))).toSeq ==
+      Seq(Some("a"), Some("c"), None))
+    assert(out(1).getAs[Long]("ts_right") == 20L)
+  }
+
   test("bruteForceTopK returns k best by cosine with id tiebreak") {
     val s = spark
     import s.implicits._
