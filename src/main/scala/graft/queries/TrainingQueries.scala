@@ -263,6 +263,33 @@ object TrainingQueries {
           .mkString(", ")}] AS feat
         FROM documents""")),
 
+    // JTS-backed ST_* + STUnion: disjoint boxes per supplier; union area
+    // per nation = sum of box areas (disjointness makes the oracle exact)
+    Q("q_geo_jts",
+      (s, d) => {
+        import graft.functions.Jts
+        val sup = Tables.supplier(s, d).select(
+          col("s_suppkey"), col("s_nationkey"),
+          // spacing 10 > max width 8 keeps the boxes pairwise disjoint
+          // (exact while suppkey % 1000 stays collision-free per nation)
+          (col("s_suppkey") % 1000).cast("double") * 10.0 as "x0",
+          (col("s_suppkey") % 8).cast("double") as "w")
+        val boxes = sup.withColumn("box",
+          Jts.stBoxWkt(col("x0"), lit(0.0), col("x0") + col("w") + 1.0,
+            lit(1.0)))
+        boxes.groupBy(col("s_nationkey"))
+          .agg(graft.Par.r6(org.apache.spark.sql.functions.sum(
+            Jts.stArea(col("box"))).cast("double")).as("sum_area"),
+            graft.Par.r6(Jts.wkbArea(Jts.stUnionAgg(col("box"))))
+              .as("union_area"),
+            count(lit(1)).as("n_boxes"))
+      },
+      Some("""SELECT s_nationkey,
+        ROUND(SUM((s_suppkey % 8) + 1.0), 6) AS sum_area,
+        ROUND(SUM((s_suppkey % 8) + 1.0), 6) AS union_area,
+        COUNT(*) AS n_boxes
+        FROM supplier GROUP BY s_nationkey""")),
+
     // geo: planar ST_* + grid-cell index over synthesized coordinates
     Q("q_geo_distance",
       (s, d) => {
