@@ -18,6 +18,10 @@ import org.apache.spark.sql.graft.GraftExpressions.{builder, vecDot}
   * or config `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // TimePredicateFilterOptimizer analog: unwraps time functions in
+    // predicates so pushdown/pruning reach the raw time column
+    ext.injectOptimizerRule(_ => graft.rules.TimePredicateRewrite())
+
     def reg(name: String, usage: String)(f: Seq[org.apache.spark.sql.Column]
       => org.apache.spark.sql.Column): Unit =
       ext.injectFunction((FunctionIdentifier(name),
