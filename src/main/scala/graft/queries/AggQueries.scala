@@ -298,6 +298,37 @@ object AggQueries {
           CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION
             SELECT * FROM p)) AS INT) AS n_either""")),
 
+    // serialized IdSet sketch (IdSetAggregationFunction → bytes; set
+    // algebra on the serialized form, inIdSet-style) — same answer as
+    // q_agg_idset_ops through the sketch path
+    Q("q_agg_idset_sketch",
+      (s, d) => {
+        import graft.functions.IdSetSketch
+        val ev = Tables.events(s, d)
+        val sk = ev.agg(
+          IdSetSketch.idSetAgg(when(col("event_type") === "click",
+            col("user_id"))).as("c"),
+          IdSetSketch.idSetAgg(when(col("event_type") === "purchase",
+            col("user_id"))).as("p"))
+        sk.select(
+          IdSetSketch.cardinality(col("c")).as("n_click"),
+          IdSetSketch.cardinality(col("p")).as("n_purchase"),
+          IdSetSketch.cardinality(IdSetSketch.intersect(col("c"), col("p")))
+            .as("n_both"),
+          IdSetSketch.cardinality(IdSetSketch.union(col("c"), col("p")))
+            .as("n_either"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+        SELECT CAST((SELECT COUNT(*) FROM c) AS INT) AS n_click,
+          CAST((SELECT COUNT(*) FROM p) AS INT) AS n_purchase,
+          CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT
+            SELECT * FROM p)) AS INT) AS n_both,
+          CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION
+            SELECT * FROM p)) AS INT) AS n_either""")),
+
     // fourthMoment (custom Aggregator, partial/merge/final contract) —
     // rows-only gate; the spec asserts parity with exact decimal moments
     Q("q_agg_fourthmoment",

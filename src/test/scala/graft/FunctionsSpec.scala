@@ -124,6 +124,21 @@ class FunctionsSpec extends SparkSpec {
     assert(hist.sum == total)
   }
 
+  test("IdSetSketch: serialization round-trip, set algebra, membership") {
+    import graft.functions.IdSetSketch
+    val ids = Array(-5L, 0L, 3L, 1000000007L)
+    assert(IdSetSketch.deserialize(IdSetSketch.serialize(ids)).toSeq ==
+      ids.toSeq)
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L, 2L).toDF("id")
+    val sk = df.agg(IdSetSketch.idSetAgg(col("id")).as("s"))
+    val r = sk.select(IdSetSketch.cardinality(col("s")).as("n"),
+      IdSetSketch.inIdSet(lit(2L), col("s")).as("has2"),
+      IdSetSketch.inIdSet(lit(9L), col("s")).as("has9")).head()
+    assert(r.getInt(0) == 3 && r.getBoolean(1) && !r.getBoolean(2))
+  }
+
   test("fourthMoment Aggregator matches exact decimal moments") {
     val l = Tables.lineitem(spark, sfDir)
     val streamed = l.agg(graft.functions.Moments

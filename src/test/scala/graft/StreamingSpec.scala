@@ -77,6 +77,30 @@ class StreamingSpec extends SparkSpec {
     assert(r.getSeq[String](3) == Seq("click", "purchase", "view")) // UNION
   }
 
+  test("micro-batch parquet sink seals segments; batch read-back matches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-seal").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:00:01"), "a", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:00:02"), "b", 2.0),
+      (ts("2024-01-01 00:00:03"), "a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // sealed segments are plain parquet — the offline (batch) path reads
+    // them directly, like realtime→offline converted segments
+    val back = s.read.parquet(s"$dir/data")
+    assert(back.count() == 3)
+    assert(back.agg(sum(col("v"))).head().getDouble(0) == 6.0)
+  }
+
   test("streaming dedup drops exact-PK repeats within watermark") {
     val s = spark
     import s.implicits._
