@@ -235,6 +235,31 @@ object TrainingQueries {
             WHERE a.vec_id != q.vec_id))
           WHERE rk <= 5""")),
 
+    // multi-probe LSH ANN: base bucket + all Hamming-1 neighbors probed
+    Q("q_ann_multiprobe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.multiProbeTopK(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", 5, 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+          ${(0 until 4).map(i =>
+            s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+            .mkString(" + ")} AS bucket FROM embeddings),
+        q AS (SELECT vec_id, embedding, bucket FROM e WHERE vec_id < 20),
+        probes AS (SELECT vec_id, embedding,
+          unnest([bucket, ${(0 until 4).map(i => s"xor(bucket, ${1 << i})")
+            .mkString(", ")}]) AS bucket FROM q)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+          FROM (SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS cand_id,
+            ROUND($qaCosSql, 6) AS cos
+            FROM e a JOIN probes q ON a.bucket = q.bucket
+            WHERE a.vec_id != q.vec_id))
+          WHERE rk <= 5"""),
+    ),
+
     // IVF ANN (trained-centroid scale path) — rows-only gate (k-means
     // training is float-iterative, not oracle-replicable; the spec bounds
     // recall vs brute force instead)

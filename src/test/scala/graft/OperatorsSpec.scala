@@ -105,6 +105,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L))
   }
 
+  test("multi-probe LSH recall ≥ single-probe recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val single = pairs(Similarity.bucketedTopK(emb, queries, "vec_id",
+      "embedding", 5, 4))
+    val multi = pairs(Similarity.multiProbeTopK(emb, queries, "vec_id",
+      "embedding", 5, 4))
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle, s"multi=$rMulti single=$rSingle")
+    assert(rMulti > 0.5, s"multi-probe recall too low: $rMulti")
+  }
+
   test("ivfTopK achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
