@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TimePredicateFilterOptimizer analog: unwraps time functions in
     // predicates so pushdown/pruning reach the raw time column
     ext.injectOptimizerRule(_ => graft.rules.TimePredicateRewrite())
+    // star-tree plan routing: fitting aggregates answered from registered
+    // materialized summaries instead of the fact scan
+    ext.injectOptimizerRule(_ => graft.rules.StarTreeRoute())
 
     def reg(name: String, usage: String)(f: Seq[org.apache.spark.sql.Column]
       => org.apache.spark.sql.Column): Unit =
