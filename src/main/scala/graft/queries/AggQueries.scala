@@ -266,12 +266,21 @@ object AggQueries {
           approx_count_distinct(col("l_orderkey"), 0.05).as("hll_order")),
       None),
 
-    // percentileEst / TDigest analog (approx sketch — rows-only gate)
+    // percentileEst / TDigest analog. With accuracy >= group size the GK
+    // sketch is uncompressed and exact: the returned element equals the
+    // discrete lower quantile, so this gates against quantile_disc
+    // (valid while groups stay under 1e6 rows — true at the sf0.01 gate;
+    // production accuracy trades this back to approximate)
     Q("q_agg_approx_percentile",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(Ag.percentileEst(col("l_extendedprice"), 0.5).as("p50_est"),
-          Ag.percentileEst(col("l_extendedprice"), 0.95).as("p95_est")),
-      None),
+        .agg(Ag.percentileEst(col("l_extendedprice"), 0.5, 1000000)
+          .as("p50_est"),
+          Ag.percentileEst(col("l_extendedprice"), 0.95, 1000000)
+            .as("p95_est")),
+      Some("""SELECT l_returnflag,
+        quantile_disc(l_extendedprice, 0.5) AS p50_est,
+        quantile_disc(l_extendedprice, 0.95) AS p95_est
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // IdSet set operations (distinctCountThetaSketch's AND/OR semantics,
     // exact bitmap-style variant): users who clicked ∩/∪ purchased
