@@ -21,15 +21,21 @@ object Bench {
     // warm-up (untimed): JIT, codegen, parquet footer caches
     runOnce(SparkEntry.queries("q_agg_tpch_q1"))
 
-    // min of N iterations — steady-state timing, not first-run JIT noise
+    // min of N iterations — steady-state timing, not first-run JIT noise;
+    // queries already past the re-run budget keep their first time (caps
+    // the wall-clock cost of repetition to the cheap majority)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val rerunBudgetSec = 5.0
     val results = queries.Registry.all.map { q =>
-      val times = (1 to iters).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try runOnce(q.run) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> times.min
+      val first = timed()
+      val rest = if (first <= rerunBudgetSec)
+        (2 to iters).map(_ => timed()) else Nil
+      q.name -> (first +: rest).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
