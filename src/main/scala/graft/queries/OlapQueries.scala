@@ -143,6 +143,42 @@ object OlapQueries {
           AND list_contains(list_filter(string_split_regex(lower(text),
             '\s+'), t -> length(t) > 0), 'hash')""")),
 
+    // ingestion transform pipeline (CompositeTransformer order): expression
+    // transform → filter → coercion → time validation → sentinel fill,
+    // then rollup — the full ingest path under the oracle gate
+    Q("q_ingest_pipeline",
+      (s, d) => {
+        import graft.sources.Ingest
+        val ev = Tables.events(s, d)
+        val out = Ingest.transform(ev, Ingest.Pipeline(
+          expressions = Seq(
+            "value_cents" -> round(col("value") * 100).cast("long"),
+            "k_long" -> graft.functions.Scalars
+              .jsonExtractLong(col("props"), "$.k")),
+          filter = Some(col("event_type") =!= "error"),
+          coerce = Map("user_id" -> "int"),
+          timeCol = Some("ts"),
+          timeRange = Some((java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))),
+          sentinelMetrics = Set("value"),
+          sanitizeStrings = false))
+        out.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(col("value_cents")).as("sum_cents"),
+          Par.dsum(col("k_long")).as("sum_k"),
+          max(col("user_id")).as("max_uid"))
+      },
+      Some(Par.evOracle(s"""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+          AS sum_cents,
+        ${ParSql.dsum("CAST(json_extract_string(props, '" + "$" + ".k') AS BIGINT)")}
+          AS sum_k,
+        MAX(CAST(user_id AS INT)) AS max_uid
+        FROM ev WHERE event_type != 'error'
+          AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+            AND TIMESTAMP '2024-01-25 00:00:00'
+        GROUP BY event_type"""))),
+
     // exact dedup at ingest (DedupConfig): duplicated corpus → one keeper
     // per content hash
     Q("q_dedup_exact",

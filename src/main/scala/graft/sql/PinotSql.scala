@@ -42,10 +42,24 @@ object PinotSql {
       "CAST(get_json_object($1, '$2') AS $3)")
     s = s.replaceAll("(?i)\\bAS INT\\)", "AS INTEGER)")
     s = s.replaceAll("(?i)\\bAS LONG\\)", "AS BIGINT)")
-    // DISTINCTCOUNT(col) → COUNT(DISTINCT col)
+    // DISTINCTCOUNT family → COUNT(DISTINCT col) / approx
     s = s.replaceAll("(?i)DISTINCTCOUNTHLL\\s*\\(", "approx_count_distinct(")
-    s = s.replaceAll("(?i)DISTINCTCOUNT\\s*\\(\\s*([^)]+)\\)",
+    s = s.replaceAll("(?i)DISTINCTCOUNT(?:BITMAP)?\\s*\\(\\s*([^)]+)\\)",
       "COUNT(DISTINCT $1)")
+    // firstWithTime/lastWithTime(value, timeCol, 'type') → min_by/max_by
+    s = s.replaceAll(
+      "(?i)FIRSTWITHTIME\\s*\\(\\s*([\\w.\"]+)\\s*,\\s*([\\w.\"]+)\\s*(?:,\\s*'[^']*')?\\s*\\)",
+      "min_by($1, $2)")
+    s = s.replaceAll(
+      "(?i)LASTWITHTIME\\s*\\(\\s*([\\w.\"]+)\\s*,\\s*([\\w.\"]+)\\s*(?:,\\s*'[^']*')?\\s*\\)",
+      "max_by($1, $2)")
+    // identical-arity renames
+    Seq("TOEPOCHSECONDS" -> "unix_timestamp",
+      "FROMEPOCHSECONDS" -> "timestamp_seconds",
+      "ARRAYLENGTH" -> "size",
+      "JSONFORMAT" -> "to_json").foreach { case (from, to) =>
+      s = s.replaceAll(s"(?i)\\b$from\\s*\\(", s"$to(")
+    }
     s = s.replaceAll("(?i)MINMAXRANGE\\s*\\(\\s*([\\w.]+)\\s*\\)",
       "(max($1) - min($1))")
     s = s.replaceAll("(?i)PERCENTILE\\s*\\(\\s*([\\w.]+)\\s*,\\s*([0-9.]+)\\s*\\)",

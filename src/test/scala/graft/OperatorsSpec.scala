@@ -77,6 +77,25 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("multimodal metadata sniffs magic bytes on binary payloads") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("wav", "RIFF1234WAVEfmt ".getBytes("UTF-8")),
+      ("png", Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+      ("other", "plain text".getBytes("UTF-8"))).toDF("kind", "content")
+    val out = df
+      .select(col("kind"),
+        graft.operators.Multimodal.metadataOf(col("content"))
+          .getField("mime").as("mime"),
+        graft.operators.Multimodal.metadataOf(col("content"))
+          .getField("n_bytes").as("n_bytes"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("wav") == "audio/wav")
+    assert(out("png") == "image/png")
+    assert(out("other") == "application/octet-stream")
+  }
+
   test("asofBackward attaches latest right row at-or-before each left row") {
     val s = spark
     import s.implicits._

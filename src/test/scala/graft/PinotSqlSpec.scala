@@ -45,6 +45,22 @@ class PinotSqlSpec extends SparkSpec {
     assert(r.getInt(4) == 3)
   }
 
+  test("rewrite: FIRSTWITHTIME / LASTWITHTIME / renames") {
+    assert(PinotSql.rewrite("SELECT LASTWITHTIME(v, ts, 'DOUBLE') FROM t")
+      .contains("max_by(v, ts)"))
+    assert(PinotSql.rewrite("SELECT FIRSTWITHTIME(v, ts) FROM t")
+      .contains("min_by(v, ts)"))
+    assert(PinotSql.rewrite("SELECT DISTINCTCOUNTBITMAP(x) FROM t")
+      .contains("COUNT(DISTINCT x)"))
+    assert(PinotSql.rewrite("SELECT TOEPOCHSECONDS(ts) FROM t")
+      .contains("unix_timestamp(ts)"))
+    Tables.registerAll(spark, sfDir)
+    val df = PinotSql.sql(spark,
+      "SELECT user_id, LASTWITHTIME(\"value\", ts, 'DOUBLE') AS lv " +
+        "FROM events GROUP BY user_id")
+    assert(df.count() > 0)
+  }
+
   test("pinot-dialect query runs end-to-end") {
     Tables.registerAll(spark, sfDir)
     val df = PinotSql.sql(spark,
