@@ -110,12 +110,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, k: Int, minJaccard: Double)
   : DataFrame = {
-    // shingle ONCE per doc, as hashed longs (string-set intersection is
-    // several times costlier than long-set) — shingling per pair would be
-    // O(pairs·textlen) interpreted and unusable at scale
+    // shingle ONCE per doc, as SORTED hashed longs — the sorted invariant
+    // feeds the native merge-walk intersection kernel; shingling per pair
+    // would be O(pairs·textlen) interpreted and unusable at scale
     val t = df.select(col(idCol), blockCol.as("block"),
-      array_distinct(transform(TA.shingles(TA.tokens(col(textCol)), k),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+      array_sort(array_distinct(transform(
+        TA.shingles(TA.tokens(col(textCol)), k),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
       .withColumn("sz", size(col("sh")))
       .cache()
     // size-ratio prefilter: J(A,B) ≤ min/max, so J ≥ t requires
@@ -126,8 +127,12 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol") &&
           col("a.sz") <= col("b.sz") / minJaccard &&
           col("b.sz") <= col("a.sz") / minJaccard)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(TA.jaccardOfSets(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), {
+        // |A∩B| via the codegen merge-walk kernel on the sorted arrays
+        val inter = org.apache.spark.sql.graft.SortedLongIntersectSize
+          .column(col("a.sh"), col("b.sh")).cast("double")
+        round(inter / (col("a.sz") + col("b.sz") - inter), 6).as("jaccard")
+      })
       .filter(col("jaccard") >= minJaccard)
   }
 

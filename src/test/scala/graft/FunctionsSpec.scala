@@ -124,6 +124,26 @@ class FunctionsSpec extends SparkSpec {
     assert(hist.sum == total)
   }
 
+  test("SortedLongIntersectSize matches size(array_intersect) on sorted input") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      val a = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray
+      val b = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val diffs = df.select(
+      (org.apache.spark.sql.graft.SortedLongIntersectSize
+        .column(col("a"), col("b")) -
+        size(array_intersect(col("a"), col("b")))).as("d"))
+      .filter(col("d") =!= 0).count()
+    assert(diffs == 0)
+  }
+
   test("IdSetSketch: serialization round-trip, set algebra, membership") {
     import graft.functions.IdSetSketch
     val ids = Array(-5L, 0L, 3L, 1000000007L)
