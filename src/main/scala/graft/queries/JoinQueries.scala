@@ -138,6 +138,35 @@ object JoinQueries {
           ON l_partkey = p_partkey AND l_quantity > p_size
         GROUP BY p_brand""")),
 
+    // range (interval) join — superset (reference has none; Spark plans
+    // small interval sides as broadcast nested loop): orders tagged by the
+    // year-interval they fall into
+    Q("q_join_range",
+      (s, d) => {
+        val years = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("y")).distinct()
+          .select(col("y").as("period_year"),
+            make_timestamp(col("y"), lit(1), lit(1), lit(0), lit(0), lit(0))
+              .as("start_ts"),
+            make_timestamp(col("y") + 1, lit(1), lit(1), lit(0), lit(0),
+              lit(0)).as("end_ts"))
+        Tables.orders(s, d).join(broadcast(years),
+            col("o_orderdate") >= col("start_ts") &&
+              col("o_orderdate") < col("end_ts"))
+          .groupBy(col("period_year"))
+          .agg(count(lit(1)).as("n"),
+            Par.dsum(col("o_totalprice")).as("total"))
+      },
+      Some(s"""SELECT period_year, COUNT(*) AS n,
+        ${ParSql.dsum("o_totalprice")} AS total
+        FROM orders JOIN (
+          SELECT y AS period_year,
+            make_timestamp(y, 1, 1, 0, 0, 0) AS start_ts,
+            make_timestamp(y + 1, 1, 1, 0, 0, 0) AS end_ts
+          FROM (SELECT DISTINCT YEAR(o_orderdate) AS y FROM orders))
+        ON o_orderdate >= start_ts AND o_orderdate < end_ts
+        GROUP BY period_year""")),
+
     // IdSet semi-join (IN_SUBQUERY / inIdSet → left_semi on the subquery)
     Q("q_join_insubquery",
       (s, d) => Tables.lineitem(s, d)

@@ -77,6 +77,33 @@ class StreamingSpec extends SparkSpec {
     assert(r.getSeq[String](3) == Seq("click", "purchase", "view")) // UNION
   }
 
+  test("session windows group events by inactivity gap (superset)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val out = df.withWatermark("ts", "1 hour")
+      .groupBy(col("k"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val q = out.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:05:00"), "a", 2.0),  // same session (gap 5m)
+      (ts("2024-01-01 01:00:00"), "a", 4.0))  // new session (gap 55m)
+    q.processAllAvailable()
+    // advance the watermark past both sessions so append finalizes them
+    mem.addData((ts("2024-01-01 05:00:00"), "b", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT n, sv FROM sess_t WHERE k = 'a' ORDER BY n DESC")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("sv") == 3.0)
+    assert(rows(1).getAs[Long]("n") == 1 && rows(1).getAs[Double]("sv") == 4.0)
+  }
+
   test("micro-batch parquet sink seals segments; batch read-back matches") {
     val s = spark
     import s.implicits._
