@@ -30,12 +30,20 @@ object AsofJoin {
     // __side orders right rows BEFORE left at the same ts so an equal-ts
     // right row is visible to the left row (ts >= semantics)
     val l = left.withColumn("__side", lit(1))
-    val rPayload = payload.toSeq.map { case (src, dst) =>
-      col(src).as(s"__p_$dst")
-    }
+    // The whole right payload (ts + every attached column) travels as ONE
+    // struct, null for left rows. `last(.., ignoreNulls)` over the struct
+    // then picks the latest right ROW atomically: all payload fields come
+    // from the same as-of match, and a genuinely NULL payload field inside
+    // the matched row is preserved (a per-column last would backfill it
+    // from an older right row — a combination that never existed).
+    val payloadStruct = struct(
+      col(tsCol).as("__ts") +: payload.toSeq.map { case (src, dst) =>
+        col(src).as(dst)
+      }: _*)
     val r = right.select(
       (keys.map(col) :+ col(tsCol) :+
-        tieBreak.map(col).getOrElse(lit(0L)).as("__tie")) ++ rPayload: _*)
+        tieBreak.map(col).getOrElse(lit(0L)).as("__tie") :+
+        payloadStruct.as("__pay")): _*)
       .withColumn("__side", lit(0))
     val unioned = l.drop("__tie").withColumn("__tie", lit(0L))
       .unionByName(r, allowMissingColumns = true)
@@ -43,15 +51,12 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = payload.values.foldLeft(unioned) { (df, dst) =>
-      df.withColumn(dst,
-        last(when(col("__side") === 0, col(s"__p_$dst")), ignoreNulls = true)
-          .over(w))
-    }.withColumn(s"${tsCol}_right",
-      last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+    val attached = unioned
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
 
     attached.filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col(s"${tsCol}_right")) ++
-        payload.values.toSeq.map(col): _*)
+      .select((leftCols.map(col) :+
+        col("__asof.__ts").as(s"${tsCol}_right")) ++
+        payload.values.toSeq.map(dst => col(s"__asof.$dst").as(dst)): _*)
   }
 }

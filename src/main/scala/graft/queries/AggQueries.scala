@@ -231,13 +231,16 @@ object AggQueries {
         FROM orders""")),
 
     // idSet (IdSetAggregationFunction → sorted distinct membership set)
+    // membership set serialized to CSV: the driver's pandas compare cannot
+    // sort array-typed columns, so the set crosses the gate as a string
     Q("q_agg_idset",
       (s, d) => Tables.nation(s, d)
         .join(Tables.region(s, d),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(Ag.idSet(col("n_name")).as("nations")),
-      Some("""SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations
+        .agg(array_join(Ag.idSet(col("n_name")), ",").as("nations")),
+      Some("""SELECT r_name,
+        array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name""")),
 

@@ -76,14 +76,21 @@ object OlapQueries {
             "v_last" -> Upsert.Overwrite, "v_append" -> Upsert.Append,
             "types" -> Upsert.UnionOf))
           .withColumn("v_sum", col("v_sum").cast("double"))
-          .withColumn("v_append", slice(col("v_append"), 1, 5))
+          // list-valued merge results serialize to CSV strings: the
+          // driver's pandas compare cannot sort array-typed columns.
+          // Money doubles render via the verified DECIMAL(12,2) lift.
+          .withColumn("v_append", array_join(
+            transform(slice(col("v_append"), 1, 5),
+              v => Par.money(v).cast("string")), ","))
+          .withColumn("types", array_join(col("types"), ","))
       },
       Some(Par.evOracle("""SELECT user_id,
         MAX("value") AS v_max, MIN("value") AS v_min,
         CAST(SUM(CAST("value" AS DECIMAL(12,2))) AS DOUBLE) AS v_sum,
         arg_min("value", ts) AS v_first, arg_max("value", ts) AS v_last,
-        (list("value" ORDER BY ts))[1:5] AS v_append,
-        list_sort(list(DISTINCT event_type)) AS types
+        array_to_string([CAST(CAST(v AS DECIMAL(12,2)) AS VARCHAR)
+          for v in (list("value" ORDER BY ts))[1:5]], ',') AS v_append,
+        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
         FROM ev GROUP BY user_id"""))),
 
     // as-of join (backward): each purchase event attaches the user's most

@@ -179,7 +179,10 @@ object ScalarQueries {
         element_at(col("embedding"), 1).as("first_v"),
         F.arrayMin(col("embedding")).as("min_v"),
         F.arrayMax(col("embedding")).as("max_v"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        // slice is exercised scalar-wise (element_at over the sliced
+        // array): the driver's compare cannot sort array-typed columns
+        element_at(slice(col("embedding"), 1, 3), 2).as("head3_2"),
+        element_at(slice(col("embedding"), 1, 3), 3).as("head3_3"),
         F.arrayIndexOf(col("embedding"), F.arrayMax(col("embedding")))
           .as("argmax_v"),
         array_contains(col("embedding"), element_at(col("embedding"), 5))
@@ -187,7 +190,7 @@ object ScalarQueries {
       Some("""SELECT vec_id, len(embedding) AS dim,
         embedding[1] AS first_v,
         list_min(embedding) AS min_v, list_max(embedding) AS max_v,
-        embedding[1:3] AS head3,
+        embedding[1:3][2] AS head3_2, embedding[1:3][3] AS head3_3,
         list_position(embedding, list_max(embedding)) - 1 AS argmax_v,
         list_contains(embedding, embedding[5]) AS contains_v
         FROM embeddings""")),

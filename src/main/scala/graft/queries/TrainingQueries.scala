@@ -115,11 +115,16 @@ object TrainingQueries {
         FROM documents""")),
 
     // MinHash signatures (8 seeded hashes over 3-shingles)
+    // signature serialized to CSV — the driver's pandas compare cannot
+    // sort array-typed columns; long→string renders identically in both
+    // engines
     Q("q_dedup_minhash_sig",
       (s, d) => Dedup.minHashSignatures(
           Tables.documents(s, d), "text", "doc_id", 3, 4, 2)
-        .select(col("doc_id"), col("sig")),
-      Some(s"""SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), ",").as("sig")),
+      Some(s"""SELECT doc_id,
+        array_to_string(${minHashSigFromBase(8)}, ',') AS sig
         FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
           FROM (SELECT doc_id, ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
             FROM documents))""")),
@@ -275,17 +280,21 @@ object TrainingQueries {
     Q("q_multimodal_meta",
       (s, d) => {
         val withBin = Multimodal.withBinary(Tables.documents(s, d), "text")
-        withBin.select(col("doc_id"),
+        // feature vector unpacked to scalar columns — the driver's pandas
+        // compare cannot sort array-typed columns; each element is the
+        // same IEEE division in both engines, so doubles match exactly
+        val feat = Multimodal.fakeFeatures(col("text"), 4)
+        withBin.select(Seq(col("doc_id"),
           Multimodal.metadataOf(col("content")).getField("n_bytes")
             .as("n_bytes"),
-          Multimodal.metadataOf(col("content")).getField("mime").as("mime"),
-          Multimodal.fakeFeatures(col("text"), 4).as("feat"))
+          Multimodal.metadataOf(col("content")).getField("mime").as("mime")) ++
+          (0 until 4).map(i => element_at(feat, i + 1).as(s"feat_$i")): _*)
       },
       Some(s"""SELECT doc_id, strlen(text) AS n_bytes,
         'application/octet-stream' AS mime,
-        [${(0 until 4).map(i =>
-          s"CAST((${hash60Sql(s"text || '#$i'")}) % 1000 AS DOUBLE) / 1000.0")
-          .mkString(", ")}] AS feat
+        ${(0 until 4).map(i =>
+          s"CAST((${hash60Sql(s"text || '#$i'")}) % 1000 AS DOUBLE) / 1000.0" +
+            s" AS feat_$i").mkString(", ")}
         FROM documents""")),
 
     // JTS-backed ST_* + STUnion: disjoint boxes per supplier; union area

@@ -98,7 +98,17 @@ case class StarTreeRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
           case Max(c: AttributeReference) =>
             metric("max_", c.name).map(s => Max(s).toAggregateExpression())
           case Count(Seq(Literal(_, _))) =>
-            byName.get("n_rows").map(s => Sum(s).toAggregateExpression())
+            // COUNT(*) is non-null 0 on empty input, but SUM(n_rows) would
+            // be NULL for an ungrouped aggregate over an empty summary —
+            // coalesce to 0 (Literal non-nullable makes Coalesce non-null,
+            // preserving the original plan's output nullability)
+            byName.get("n_rows").map { s =>
+              val summed = Sum(s).toAggregateExpression()
+              Coalesce(Seq(
+                if (summed.dataType == al.dataType) summed
+                else Cast(summed, al.dataType),
+                Literal.create(0L, al.dataType)))
+            }
           case _ => None
         }
         inner match {

@@ -32,8 +32,18 @@ import java.time.{LocalDate, ZoneOffset}
 case class TimePredicateRewrite(dummy: Boolean = true)
   extends Rule[LogicalPlan] {
 
+  /** Epoch-based unix_timestamp over TIMESTAMP is tz-independent, but the
+    * NTZ interpretation and year(ts)/Cast(ts AS date) all evaluate in the
+    * SESSION timezone — the rewrite's literals are computed in UTC, so
+    * those forms are only sound when the session zone is UTC. Firing them
+    * elsewhere would produce shifted ranges (wrong results, not just a
+    * missed pruning), so the extractors below decline instead. */
+  private def utcSession: Boolean =
+    conf.sessionLocalTimeZone == "UTC" ||
+      conf.sessionLocalTimeZone == "Etc/UTC"
+
   private def isTs(dt: DataType): Boolean =
-    dt == TimestampType || dt == TimestampNTZType
+    dt == TimestampType || (dt == TimestampNTZType && utcSession)
 
   /** seconds → timestamp literal of the column's own type (session tz is
     * UTC, so the micros value is identical for TZ and NTZ). */
@@ -64,8 +74,12 @@ case class TimePredicateRewrite(dummy: Boolean = true)
     * underlying column + its type. */
   private object YearOf {
     def unapply(e: Expression): Option[Expression] = e match {
-      case Year(Cast(c, DateType, _, _)) if isTs(c.dataType) => Some(c)
-      case Year(c) if isTs(c.dataType) || c.dataType == DateType => Some(c)
+      // ts→date casts and year-of-timestamp evaluate in session tz: only
+      // rewrite under UTC. year(date) is tz-independent — always sound.
+      case Year(Cast(c, DateType, _, _))
+        if isTs(c.dataType) && utcSession => Some(c)
+      case Year(c) if isTs(c.dataType) && utcSession => Some(c)
+      case Year(c) if c.dataType == DateType => Some(c)
       case _ => None
     }
   }

@@ -30,11 +30,15 @@ object Ingest {
       case "jsonl" => "json"
       case f => f
     })
-    val withSchema = schema.fold(
+    // Format options apply regardless of schema: a CSV file's header row
+    // must be skipped even when the caller supplies the schema (otherwise
+    // the header parses as a data row). inferSchema only without a schema.
+    val withOpts =
       if (format.equalsIgnoreCase("csv"))
-        r.option("header", "true").option("inferSchema", "true")
-      else r)(s => r.schema(s))
-    withSchema.load(path)
+        r.option("header", "true")
+          .option("inferSchema", schema.isEmpty.toString)
+      else r
+    schema.fold(withOpts)(withOpts.schema).load(path)
   }
 
   /** Ingestion transform config, mirroring CompositeTransformer's stages. */

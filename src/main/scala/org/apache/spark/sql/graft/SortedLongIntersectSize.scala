@@ -41,17 +41,26 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
   : ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName keeps locals unique when two instances share a
+      // codegen stage (non-nullable children emit at enclosing scope).
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
       s"""
-         |int sis_i = 0, sis_j = 0, sis_n = 0;
-         |int sis_nx = $a.numElements(), sis_ny = $b.numElements();
-         |while (sis_i < sis_nx && sis_j < sis_ny) {
-         |  long sis_vx = $a.getLong(sis_i);
-         |  long sis_vy = $b.getLong(sis_j);
-         |  if (sis_vx == sis_vy) { sis_n++; sis_i++; sis_j++; }
-         |  else if (sis_vx < sis_vy) sis_i++;
-         |  else sis_j++;
+         |int $i = 0, $j = 0, $n = 0;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i);
+         |  long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $n++; $i++; $j++; }
+         |  else if ($vx < $vy) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = sis_n;
+         |${ev.value} = $n;
        """.stripMargin
     })
 

@@ -47,13 +47,19 @@ case class VecDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
   : ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName: with non-nullable children the snippet lands at
+      // enclosing scope, so two instances in one codegen stage would
+      // otherwise declare duplicate Java locals (Janino failure).
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int vdp_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double vdp_acc = 0.0;
-         |for (int vdp_i = 0; vdp_i < vdp_n; vdp_i++) {
-         |  vdp_acc += (double) $a.getFloat(vdp_i) * (double) $b.getFloat(vdp_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = vdp_acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
