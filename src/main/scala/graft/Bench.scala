@@ -26,7 +26,12 @@ object Bench {
     // the wall-clock cost of repetition to the cheap majority)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val rerunBudgetSec = 5.0
-    val results = queries.Registry.all.map { q =>
+    // dev-only subset filter (comma-separated names); driver sets nothing
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = queries.Registry.all
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         try runOnce(q.run) catch { case _: Throwable => () }

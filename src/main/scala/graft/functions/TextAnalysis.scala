@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextHashExprs
 
 /** Text-analysis surface for large-scale training-data pipelines: tokenizing,
   * language ID, quality scoring, fingerprinting, shingling, MinHash, SimHash.
@@ -83,8 +84,15 @@ object TextAnalysis {
 
   /** 60-bit min-hash document fingerprint over k-shingles (rolling-hash
     * winnowing, reduced to its min-sketch): equal fingerprints ⇒ very likely
-    * duplicate content. */
+    * duplicate content. Shingling + hashing run in the native kernel
+    * (org.apache.spark.sql.graft.TextKernels) — one codegen'd pass, no
+    * interpreted HOF chain; array_min stays codegen'd too. */
   def fingerprint(text: Column, k: Int = 5): Column =
+    array_min(TextHashExprs.shingleHash60(tokens(text), k))
+
+  /** HOF formulation of [[fingerprint]] — interpreted; kept as the
+    * reference implementation the native kernel is spec-checked against. */
+  def fingerprintHof(text: Column, k: Int = 5): Column =
     array_min(transform(shingles(tokens(text), k),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
 
@@ -108,13 +116,23 @@ object TextAnalysis {
     * are inlined by Catalyst, and interpreted HOFs have no common-subexpr
     * elimination, so an un-staged pipeline re-hashes every shingle per seed. */
   def shingleBase(text: Column, k: Int): Column =
+    TextHashExprs.shingleHash60(tokens(text), k, modP = true)
+
+  /** HOF formulation of [[shingleBase]] (spec reference). */
+  def shingleBaseHof(text: Column, k: Int): Column =
     transform(shingles(tokens(text), k),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinHashP)
 
   /** MinHash signature from a precomputed [[shingleBase]] column: min over
-    * the i-th affine permutation hᵢ(x) = (aᵢ·x + bᵢ) mod p. Per-seed work
-    * is integer arithmetic only. Returns array<long> of length `seeds`. */
+    * the i-th affine permutation hᵢ(x) = (aᵢ·x + bᵢ) mod p. The native
+    * kernel computes every seed's min in ONE pass over the base array.
+    * Returns array<long> of length `seeds`. */
   def minHashFromBase(base: Column, seeds: Int): Column =
+    TextHashExprs.minHashSig(base, seeds)
+
+  /** HOF formulation of [[minHashFromBase]] (spec reference; re-walks the
+    * base array once per seed). */
+  def minHashFromBaseHof(base: Column, seeds: Int): Column =
     array(minHashCoeffs(seeds).map { case (a, b) =>
       array_min(transform(base, x => (x * a + b) % MinHashP))
     }: _*)
@@ -124,16 +142,27 @@ object TextAnalysis {
   def minHash(text: Column, k: Int, seeds: Int): Column =
     minHashFromBase(shingleBase(text, k), seeds)
 
-  /** Token hash array for SimHash — stage once per doc (see shingleBase). */
+  /** Token hash array for SimHash — stage once per doc (see shingleBase).
+    * k=1 shingles are the tokens themselves; emptyAsEmpty preserves the
+    * per-token transform semantics (zero tokens → empty array, not [""]). */
   def tokenHashes(text: Column): Column =
+    TextHashExprs.shingleHash60(tokens(text), 1, emptyAsEmpty = true)
+
+  /** HOF formulation of [[tokenHashes]] (spec reference). */
+  def tokenHashesHof(text: Column): Column =
     transform(tokens(text),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
 
   /** nBits-bit SimHash from a precomputed [[tokenHashes]] column: bit b is
     * set iff Σ_tokens ±1 (by bit b of the token hash) is ≥ 0. Near-dup docs
     * land within small Hamming distance. nBits ≤ 32 keeps the oracle SQL
-    * tractable. */
+    * tractable. All bit votes accumulate in one native pass. */
   def simHashFromHashes(hs: Column, nBits: Int): Column =
+    TextHashExprs.simHash(hs, nBits)
+
+  /** HOF formulation of [[simHashFromHashes]] (spec reference; one
+    * interpreted aggregate per bit). */
+  def simHashFromHashesHof(hs: Column, nBits: Int): Column =
     (0 until nBits).map { b =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))

@@ -110,13 +110,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, k: Int, minJaccard: Double)
   : DataFrame = {
-    // shingle ONCE per doc, as SORTED hashed longs — the sorted invariant
-    // feeds the native merge-walk intersection kernel; shingling per pair
-    // would be O(pairs·textlen) interpreted and unusable at scale
+    // shingle ONCE per doc, as SORTED DISTINCT hashed longs — the native
+    // kernel shingles+hashes+sorts in a single codegen'd pass, and the
+    // sorted invariant feeds the merge-walk intersection kernel; shingling
+    // per pair would be O(pairs·textlen) interpreted and unusable at scale
     val t = df.select(col(idCol), blockCol.as("block"),
-      array_sort(array_distinct(transform(
-        TA.shingles(TA.tokens(col(textCol)), k),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("sh"))
+      org.apache.spark.sql.graft.TextHashExprs.shingleHash60(
+        TA.tokens(col(textCol)), k, sortedDistinct = true).as("sh"))
       .withColumn("sz", size(col("sh")))
       .cache()
     // size-ratio prefilter: J(A,B) ≤ min/max, so J ≥ t requires

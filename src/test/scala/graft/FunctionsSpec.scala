@@ -80,6 +80,52 @@ class FunctionsSpec extends SparkSpec {
     assert(one(TA.langId(lit("zzz qqq www"))) == "und")
   }
 
+  test("native text-hash kernels match the HOF formulations on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text"))
+      // edge inputs the corpus may not contain: empty, single token,
+      // fewer tokens than the shingle width, repeated tokens
+      .union(Seq("", "one", "two words", "a a a a a a")
+        .map(t => s"SELECT '$t' AS text").map(spark.sql).reduce(_ union _))
+    val base = docs.select(col("text"),
+      TA.shingleBase(col("text"), 3).as("nat"),
+      TA.shingleBaseHof(col("text"), 3).as("hof")).cache()
+    assert(base.filter(col("nat") =!= col("hof")).count() == 0)
+    val mism = docs.select(
+      TA.fingerprint(col("text"), 5).eqNullSafe(
+        TA.fingerprintHof(col("text"), 5)).as("fp"),
+      TA.tokenHashes(col("text")).eqNullSafe(
+        TA.tokenHashesHof(col("text"))).as("th"),
+      TA.simHashFromHashes(TA.tokenHashes(col("text")), 16).eqNullSafe(
+        TA.simHashFromHashesHof(TA.tokenHashesHof(col("text")), 16))
+        .as("sh"),
+      org.apache.spark.sql.graft.TextHashExprs.shingleHash60(
+        TA.tokens(col("text")), 3, sortedDistinct = true).eqNullSafe(
+        array_sort(array_distinct(transform(
+          TA.shingles(TA.tokens(col("text")), 3),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))))
+        .as("sd"))
+      .filter(!col("fp") || !col("th") || !col("sh") || !col("sd")).count()
+    assert(mism == 0)
+    val sig = base.select(
+      TA.minHashFromBase(col("nat"), 8).eqNullSafe(
+        TA.minHashFromBaseHof(col("hof"), 8)).as("ok"))
+      .filter(!col("ok")).count()
+    assert(sig == 0)
+    base.unpersist()
+  }
+
+  test("hash60 kernel matches the conv(md5) formulation") {
+    val docs = Tables.documents(spark, sfDir)
+    val mism = docs.select(
+      org.apache.spark.sql.graft.TextHashExprs.hash60(col("text")).as("nat"),
+      F.hash60(col("text")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(mism == 0)
+    assert(one(org.apache.spark.sql.graft.TextHashExprs.hash60(lit(""))) ==
+      one(F.hash60(lit(""))))
+  }
+
   test("native VecDotProduct matches HOF dot bit-for-bit on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val diffs = e.select(
