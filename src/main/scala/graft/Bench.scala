@@ -25,7 +25,7 @@ object Bench {
     // queries already past the re-run budget keep their first time (caps
     // the wall-clock cost of repetition to the cheap majority)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val rerunBudgetSec = 5.0
+    val rerunBudgetSec = 10.0
     // dev-only subset filter (comma-separated names); driver sets nothing
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

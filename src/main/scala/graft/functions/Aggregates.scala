@@ -43,6 +43,43 @@ object Aggregates {
   def percentileEst(c: Column, p: Double, acc: Int = 10000): Column =
     percentile_approx(c, lit(p), lit(acc))
 
+  /** Exact interpolated percentiles via a per-group SORT instead of
+    * Spark's `percentile` aggregate (which builds a value→count hashmap
+    * per group — heavy when most values are distinct). One ranked window
+    * pass marks the two boundary rows per requested p, then a thin
+    * aggregate interpolates: idx = (n−1)·p, result =
+    * v[⌊idx⌋] + (idx−⌊idx⌋)·(v[⌈idx⌉]−v[⌊idx⌋]) — quantile_cont
+    * semantics. Scale note: the group's rows sort within one task (same
+    * constraint as any exact per-group percentile); genuinely huge single
+    * groups should use percentileEst or a distributed-selection pass.
+    * Nulls are ignored, matching both `percentile` and quantile_cont. */
+  def percentilesBySort(df: DataFrame, groupCols: Seq[String], v: String,
+                        ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(v))
+    val ranked = df.filter(col(v).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+    // boundary row positions per percentile (1-based; __n is constant
+    // within a group, so these are per-row predicates)
+    def idxOf(p: Double): Column = (col("__n") - 1) * p
+    val isBoundary = ps.map { case (_, p) =>
+      col("__rn") === floor(idxOf(p)) + 1 || col("__rn") === ceil(idxOf(p)) + 1
+    }.reduce(_ || _)
+    val aggs = ps.map { case (name, p) =>
+      val vLo = max(when(col("__rn") === floor(idxOf(p)) + 1, col(v)))
+      val vHi = max(when(col("__rn") === ceil(idxOf(p)) + 1, col(v)))
+      // frac from the group's n (max(__n) — constant per group)
+      val idx = (max(col("__n")) - 1) * p
+      val frac = idx - floor(idx)
+      (vLo + frac * (vHi - vLo)).as(name)
+    }
+    ranked.filter(isBoundary)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** idSet(col): order-insensitive distinct membership set
     * (IdSetAggregationFunction serializes a bitmap; the relational
     * equivalent is a sorted distinct array). */
@@ -84,6 +121,28 @@ object Aggregates {
   def powerSums(c: Column): Seq[Column] = {
     val d = c.cast(DecimalType(6, 2))
     Seq(sum(d), sum(d * d), sum(d * d * d), sum(d * d * d * d))
+  }
+
+  /** Scaled-long power sums: quantize the 2-dp column to q = round(x·100),
+    * take per-row powers in primitive longs (q ≤ 10^6 keeps q² ≤ 10^12 and
+    * q²·q² ≤ 10^24 — q³/q⁴ products stay in range for |x| < 10^4), and
+    * de-scale after the exact sum. Same exact values as [[powerSums]], but
+    * the hot path is integer multiplies instead of the BigDecimal chain the
+    * (6,2)-decimal powers fall into (precision > 18 from d³ up). S3/S4
+    * totals exceed long range quickly (q⁴ ≤ 6.25·10¹⁴ per row), so they
+    * accumulate in DECIMAL(38,0) — per-row values stay compact longs, and
+    * the sums are exact at any row count. S1/S2 totals fit long through
+    * ~10¹² rows. Returns s1..s4 as already-descaled doubles; divide-after-
+    * cast order is part of the oracle contract (both engines cast the exact
+    * integer sum to double, then divide by the same power of ten). */
+  def powerSumsScaled(c: Column): Seq[Column] = {
+    val q = round(c * 100).cast("long")
+    val q2 = q * q
+    Seq(
+      sum(q).cast("double") / 1e2,
+      sum(q2).cast("double") / 1e4,
+      sum((q2 * q).cast(DecimalType(38, 0))).cast("double") / 1e6,
+      sum((q2 * q2).cast(DecimalType(38, 0))).cast("double") / 1e8)
   }
 
   /** Finish (n, s1..s4 as double) into the stats family. Returns named

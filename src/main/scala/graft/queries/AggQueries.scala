@@ -124,10 +124,13 @@ object AggQueries {
 
     // percentile exact (PercentileAggregationFunction; linear interpolation)
     Q("q_agg_percentile",
-      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(Par.r6(Ag.percentileExact(col("l_extendedprice"), 0.5)).as("p50"),
-          Par.r6(Ag.percentileExact(col("l_extendedprice"), 0.9)).as("p90"),
-          Par.r6(Ag.percentileExact(col("l_extendedprice"), 0.99)).as("p99")),
+      (s, d) => {
+        val pct = Ag.percentilesBySort(Tables.lineitem(s, d),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        pct.select(col("l_returnflag"), Par.r6(col("p50")).as("p50"),
+          Par.r6(col("p90")).as("p90"), Par.r6(col("p99")).as("p99"))
+      },
       Some("""SELECT l_returnflag,
         ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
@@ -140,8 +143,8 @@ object AggQueries {
       (s, d) => {
         val sums = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
           .agg(count(lit(1)).cast("double").as("n"),
-            Ag.powerSums(col("l_quantity")).zipWithIndex
-              .map { case (c, i) => c.cast("double").as(s"s${i + 1}") }: _*)
+            Ag.powerSumsScaled(col("l_quantity")).zipWithIndex
+              .map { case (c, i) => c.as(s"s${i + 1}") }: _*)
         val names = Seq("var_pop", "var_samp", "stddev_pop", "stddev_samp",
           "skewness", "kurtosis")
         val stats = Ag.momentStats(col("n"), col("s1"), col("s2"), col("s3"),
@@ -153,17 +156,23 @@ object AggQueries {
     // covariance / correlation from exact decimal cross-moments
     Q("q_agg_covar",
       (s, d) => {
-        // tight precisions: (4,2)·(8,2) → (13,4) keeps every per-row product
-        // in Spark's compact-long decimal representation (precision ≤ 18 —
-        // no BigDecimal allocation on the hot path); exactness is unchanged
-        val x = col("l_quantity").cast(DecimalType(4, 2))
-        val y = col("l_extendedprice").cast(DecimalType(8, 2))
+        // scaled-long cross-moments: per-row products are primitive-long
+        // multiplies on q = round(v·100); squared/cross totals overflow
+        // long quickly (yq² ≤ 1.2·10¹⁴ per row), so those accumulate in
+        // DECIMAL(38,0) — per-row values stay compact, sums stay exact at
+        // any row count. Cast-then-descale order is the oracle contract.
+        val xq = round(col("l_quantity") * 100).cast("long")
+        val yq = round(col("l_extendedprice") * 100).cast("long")
         val m = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
           count(lit(1)).cast("double").as("n"),
-          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-          sum(x * x).cast("double").as("sxx"),
-          sum(y * y).cast("double").as("syy"),
-          sum(x * y).cast("double").as("sxy"))
+          (sum(xq).cast("double") / 1e2).as("sx"),
+          (sum(yq).cast("double") / 1e2).as("sy"),
+          (sum((xq * xq).cast(DecimalType(38, 0))).cast("double") / 1e4)
+            .as("sxx"),
+          (sum((yq * yq).cast(DecimalType(38, 0))).cast("double") / 1e4)
+            .as("syy"),
+          (sum((xq * yq).cast(DecimalType(38, 0))).cast("double") / 1e4)
+            .as("sxy"))
         val covp = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
         val vx = col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))
         val vy = col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
@@ -178,11 +187,13 @@ object AggQueries {
         ROUND((sxy/n - (sx/n)*(sy/n)) /
               SQRT((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))), 6) AS corr
         FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-          CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
-          CAST(SUM(x*y) AS DOUBLE) AS sxy
-          FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(6,2)) AS x,
-            CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem)
+          CAST(SUM(x) AS DOUBLE)/1e2 AS sx, CAST(SUM(y) AS DOUBLE)/1e2 AS sy,
+          CAST(SUM(x*x) AS DOUBLE)/1e4 AS sxx,
+          CAST(SUM(y*y) AS DOUBLE)/1e4 AS syy,
+          CAST(SUM(x*y) AS DOUBLE)/1e4 AS sxy
+          FROM (SELECT l_returnflag,
+            CAST(ROUND(l_quantity*100) AS BIGINT) AS x,
+            CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y FROM lineitem)
           GROUP BY l_returnflag)""")),
 
     // boolAnd / boolOr (BooleanAnd/OrAggregationFunction)
@@ -360,7 +371,9 @@ object AggQueries {
       None))
 
   /** Oracle for q_agg_variance: identical moment formulas over exact
-    * decimal power sums. */
+    * scaled-long power sums (sum the integer powers of q = round(x·100)
+    * exactly, cast to double, then de-scale — same op order as
+    * Aggregates.powerSumsScaled, so the doubles are bit-identical). */
   private def momentOracleSql: String =
     """SELECT l_returnflag,
       ROUND(s2/n - (s1/n)*(s1/n), 6) AS var_pop,
@@ -374,8 +387,10 @@ object AggQueries {
             ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
         AS kurtosis
       FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-        CAST(SUM(q) AS DOUBLE) AS s1, CAST(SUM(q*q) AS DOUBLE) AS s2,
-        CAST(SUM(q*q*q) AS DOUBLE) AS s3, CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
-        FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(6,2)) AS q
+        CAST(SUM(q) AS DOUBLE)/1e2 AS s1,
+        CAST(SUM(q*q) AS DOUBLE)/1e4 AS s2,
+        CAST(SUM(q*q*q) AS DOUBLE)/1e6 AS s3,
+        CAST(SUM(q*q*q*q) AS DOUBLE)/1e8 AS s4
+        FROM (SELECT l_returnflag, CAST(ROUND(l_quantity*100) AS BIGINT) AS q
           FROM lineitem) GROUP BY l_returnflag)"""
 }
