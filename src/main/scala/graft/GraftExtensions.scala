@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // star-tree plan routing: fitting aggregates answered from registered
     // materialized summaries instead of the fact scan
     ext.injectOptimizerRule(_ => graft.rules.StarTreeRoute())
+    // Pinot dialect at the session-parser level, gated on
+    // spark.graft.sql.dialect=pinot (strict passthrough otherwise)
+    ext.injectParser((_, delegate) => new graft.sql.PinotParser(delegate))
 
     def reg(name: String, usage: String)(f: Seq[org.apache.spark.sql.Column]
       => org.apache.spark.sql.Column): Unit =

@@ -36,6 +36,23 @@ object Aggregates {
   def distinctAvg(c: Column): Column =
     sum_distinct(c) / count_distinct(c)
 
+  /** distinctCountThetaSketch / RawThetaSketch
+    * (DistinctCountThetaSketchAggregationFunction: mergeable DataSketches
+    * theta state with set algebra across sketches — union/intersection/
+    * a-not-b — evaluated broker-side). Spark 4 ships the identical
+    * DataSketches theta surface natively: `theta_sketch_agg` is the raw
+    * serialized sketch (mergeable across jobs/clusters), the set algebra
+    * is `theta_union/intersection/difference[_agg]`, and the estimate
+    * finishes it. Below the nominal-entry budget (2^lgK retained keys) a
+    * theta sketch is in exact mode, so estimates equal exact distinct
+    * counts — which is what makes the oracle gate possible. */
+  def thetaSketch(c: Column, lgK: Int = 12): Column = theta_sketch_agg(c, lgK)
+  def thetaUnionAgg(c: Column, lgK: Int = 12): Column = theta_union_agg(c, lgK)
+  def thetaIntersectionAgg(c: Column): Column = theta_intersection_agg(c)
+  def thetaEstimate(sketch: Column): Column = theta_sketch_estimate(sketch)
+  def distinctCountThetaSketch(c: Column, lgK: Int = 12): Column =
+    theta_sketch_estimate(theta_sketch_agg(c, lgK))
+
   /** percentile exact (PercentileAggregationFunction) and estimate
     * (PercentileEst/TDigest — Spark's approx_percentile is the
     * sketch-backed analog). */

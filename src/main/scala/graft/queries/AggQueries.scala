@@ -363,6 +363,30 @@ object AggQueries {
     // distinctCountRawHLL analog: serialized DataSketches HLL out of the
     // aggregate, mergeable across segments/partitions (rows-only gate;
     // the spec asserts the estimate's error bound + merge associativity)
+    // distinctCountThetaSketch with broker-side set algebra: per-group
+    // sketches of the partkey domain, then union / intersection ACROSS the
+    // serialized sketches. lgK=14 (16384 nominal) keeps every sketch in
+    // exact mode at oracle scale, so the estimates are exact counts; at
+    // bench scale they degrade gracefully to estimates (rows still 1).
+    Q("q_agg_theta",
+      (s, d) => {
+        val perGroup = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(Ag.thetaSketch(col("l_partkey"), 14).as("sk"))
+        perGroup.agg(
+          Ag.thetaEstimate(Ag.thetaUnionAgg(col("sk"), 14)).cast("long")
+            .as("nd_union"),
+          Ag.thetaEstimate(Ag.thetaIntersectionAgg(col("sk"))).cast("long")
+            .as("nd_common"),
+          count(lit(1)).as("n_groups"))
+      },
+      Some("""SELECT
+        (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS nd_union,
+        (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem
+           GROUP BY l_partkey HAVING COUNT(DISTINCT l_returnflag) =
+             (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem)))
+          AS nd_common,
+        (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_groups""")),
+
     Q("q_agg_hll_sketch",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))

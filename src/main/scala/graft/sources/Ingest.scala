@@ -91,4 +91,25 @@ object Ingest {
   /** Purge task: delete-by-predicate rewrite. */
   def purge(df: DataFrame, dropWhere: Column): DataFrame =
     df.filter(!dropWhere)
+
+  /** RealtimeToOffline task (reference
+    * `RealtimeToOfflineSegmentsTaskExecutor`): move the sealed realtime
+    * window below `boundary` into the offline table. The offline rewrite
+    * appends a plain batch partition; the hybrid view's time-boundary
+    * split (`HybridTable.view` — offline < boundary ≤ realtime) keeps
+    * queries exact throughout, even while the moved rows still exist on
+    * the realtime side (exactly the reference's transition discipline —
+    * realtime segments are only retention-dropped later). Scale: the move
+    * is an embarrassingly-parallel partition rewrite; no shuffle unless a
+    * rollup is folded in. */
+  def realtimeToOffline(spark: SparkSession, realtimePath: String,
+                        offlinePath: String, timeCol: String,
+                        boundary: java.sql.Timestamp,
+                        rollup: Option[DataFrame => DataFrame] = None)
+  : Unit = {
+    val window = spark.read.parquet(realtimePath)
+      .filter(col(timeCol) < lit(boundary))
+    rollup.fold(window)(f => f(window))
+      .write.mode("append").parquet(offlinePath)
+  }
 }

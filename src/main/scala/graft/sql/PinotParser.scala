@@ -1,0 +1,48 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Session-parser extension making the Pinot dialect first-class in
+  * `spark.sql(...)` (the reference's broker accepts only its dialect;
+  * `sql/QueryCompiler` + `QueryRewriterFactory.java:36-39`).
+  *
+  * Registered via `SparkSessionExtensions.injectParser` and gated on
+  * `SET spark.graft.sql.dialect=pinot` — with the conf unset every query
+  * string reaches the delegate untouched, so the extension is a strict
+  * no-op for standard Spark SQL (statement-level rewrites must never
+  * change semantics of a dialect they weren't asked to parse). Only
+  * whole statements (parsePlan/parseQuery) are rewritten; identifiers,
+  * types, and expressions keep Spark syntax. */
+class PinotParser(delegate: ParserInterface) extends ParserInterface {
+  private def maybeRewrite(sqlText: String): String = {
+    val dialect =
+      try SQLConf.get.getConfString("spark.graft.sql.dialect", "spark")
+      catch { case _: Throwable => "spark" }
+    if (dialect.equalsIgnoreCase("pinot")) PinotSql.rewrite(sqlText)
+    else sqlText
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(maybeRewrite(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(maybeRewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -42,8 +42,11 @@ object PinotSql {
       "CAST(get_json_object($1, '$2') AS $3)")
     s = s.replaceAll("(?i)\\bAS INT\\)", "AS INTEGER)")
     s = s.replaceAll("(?i)\\bAS LONG\\)", "AS BIGINT)")
-    // DISTINCTCOUNT family → COUNT(DISTINCT col) / approx
+    // DISTINCTCOUNT family → COUNT(DISTINCT col) / approx / theta sketch
     s = s.replaceAll("(?i)DISTINCTCOUNTHLL\\s*\\(", "approx_count_distinct(")
+    s = s.replaceAll(
+      "(?i)DISTINCTCOUNTTHETASKETCH\\s*\\(\\s*([^)]+)\\)",
+      "CAST(theta_sketch_estimate(theta_sketch_agg($1)) AS BIGINT)")
     s = s.replaceAll("(?i)DISTINCTCOUNT(?:BITMAP)?\\s*\\(\\s*([^)]+)\\)",
       "COUNT(DISTINCT $1)")
     // firstWithTime/lastWithTime(value, timeCol, 'type') → min_by/max_by

@@ -126,6 +126,36 @@ class FunctionsSpec extends SparkSpec {
       one(F.hash60(lit(""))))
   }
 
+  test("theta sketch: exact under nominal, merge == global, algebra") {
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.agg(count_distinct(col("l_partkey"))).head.getLong(0)
+    val est = li.agg(Ag.distinctCountThetaSketch(col("l_partkey"), 14)
+      .cast("long")).head.getLong(0)
+    assert(est == exact)
+    // union of per-group sketches must equal the one-shot global sketch
+    val viaGroups = li.groupBy(col("l_returnflag"))
+      .agg(Ag.thetaSketch(col("l_partkey"), 14).as("sk"))
+      .agg(Ag.thetaEstimate(Ag.thetaUnionAgg(col("sk"), 14)).cast("long"))
+      .head.getLong(0)
+    assert(viaGroups == exact)
+    // a-not-b + intersection partition the union exactly (exact mode)
+    val sk = li.groupBy(col("l_linestatus"))
+      .agg(Ag.thetaSketch(col("l_partkey"), 14).as("sk"))
+      .orderBy(col("l_linestatus")).collect().map(_.getAs[Array[Byte]]("sk"))
+    assert(sk.length == 2)
+    val s2 = spark
+    import s2.implicits._
+    val pair = Seq((sk(0), sk(1))).toDF("a", "b")
+    val Array(u, i, d1, d2) = pair.select(
+      theta_sketch_estimate(theta_union(col("a"), col("b"))).cast("long"),
+      theta_sketch_estimate(theta_intersection(col("a"), col("b")))
+        .cast("long"),
+      theta_sketch_estimate(theta_difference(col("a"), col("b"))).cast("long"),
+      theta_sketch_estimate(theta_difference(col("b"), col("a"))).cast("long"))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(u == i + d1 + d2)
+  }
+
   test("native VecDotProduct matches HOF dot bit-for-bit on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val diffs = e.select(

@@ -32,6 +32,33 @@ class PinotSqlSpec extends SparkSpec {
     assert(PinotSql.rewrite("SELECT a FROM t LIMIT 7").endsWith("LIMIT 7"))
   }
 
+  test("injectParser: Pinot dialect gated on spark.graft.sql.dialect") {
+    Tables.registerAll(spark, sfDir)
+    // dialect off: Pinot-isms are NOT intercepted
+    intercept[Exception] {
+      spark.sql("SELECT DISTINCTCOUNT(o_custkey) FROM orders").collect()
+    }
+    spark.conf.set("spark.graft.sql.dialect", "pinot")
+    try {
+      val r = spark.sql(
+        """SELECT o_orderpriority, DISTINCTCOUNT(o_custkey) AS nd,
+           MINMAXRANGE(o_totalprice) AS rng
+           FROM orders GROUP BY o_orderpriority""").collect()
+      assert(r.length <= 10 && r.length > 0) // default LIMIT 10 applied
+      assert(r.forall(_.getLong(1) > 0))
+      // theta mapping parses and runs through the same path
+      val t = spark.sql(
+        "SELECT DISTINCTCOUNTTHETASKETCH(o_custkey) AS nd FROM orders")
+        .head().getLong(0)
+      val exact = spark.sql(
+        "SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders")
+        .head().getLong(0)
+      assert(t == exact) // exact mode under the nominal-entry budget
+    } finally spark.conf.unset("spark.graft.sql.dialect")
+    // gate restored: standard SQL untouched again
+    assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+  }
+
   test("GraftExtensions: engine functions resolve from spark.sql by name") {
     val r = spark.sql(
       "SELECT vec_dot(array(1.0F,2.0F), array(2.0F,3.0F)) AS d, " +

@@ -128,6 +128,53 @@ class StreamingSpec extends SparkSpec {
     assert(back.agg(sum(col("v"))).head().getDouble(0) == 6.0)
   }
 
+  test("realtime-to-offline: end-to-end seal, move, hybrid query exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-r2o").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    // 1. realtime ingest: micro-batches seal into realtime segments
+    val q = mem.toDF().toDF("ts", "k", "v").writeStream.format("parquet")
+      .option("path", s"$dir/realtime")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:10:00"), "a", 1.0),
+      (ts("2024-01-01 00:20:00"), "b", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 01:10:00"), "a", 4.0),
+      (ts("2024-01-01 01:20:00"), "b", 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // 2. the minion task moves the first hour below the boundary offline
+    val boundary = ts("2024-01-01 01:00:00")
+    graft.sources.Ingest.realtimeToOffline(s, s"$dir/realtime",
+      s"$dir/offline", "ts", boundary)
+    val offline = s.read.parquet(s"$dir/offline")
+    assert(offline.count() == 2) // exactly the pre-boundary window moved
+
+    // 3. hybrid view stays exact during the transition: moved rows are
+    // served offline, the tail realtime; nothing dropped or double-counted
+    val realtime = s.read.parquet(s"$dir/realtime")
+    val hybrid = graft.operators.HybridTable.view(
+      offline, realtime, "ts", lit(boundary))
+    assert(hybrid.count() == 4)
+    val bySum = hybrid.groupBy(col("k")).agg(sum(col("v")).as("sv"))
+      .orderBy(col("k")).collect()
+    assert(bySum.map(_.getDouble(1)).toSeq == Seq(5.0, 10.0))
+
+    // 4. with a rollup folded into the move, the offline side holds the
+    // coarser grain (MergeRollup during conversion — reference task config)
+    graft.sources.Ingest.realtimeToOffline(s, s"$dir/realtime",
+      s"$dir/offline_rolled", "ts", boundary,
+      rollup = Some(df => graft.sources.Ingest.mergeRollup(
+        df, "ts", 3600, Seq("k"), Seq(sum(col("v")).as("v")))))
+    val rolled = s.read.parquet(s"$dir/offline_rolled")
+    assert(rolled.count() == 2 &&
+      rolled.agg(sum(col("v"))).head().getDouble(0) == 3.0)
+  }
+
   test("streaming dedup drops exact-PK repeats within watermark") {
     val s = spark
     import s.implicits._
