@@ -107,6 +107,9 @@ object Scalars {
   def arrayReverse(c: Column): Column = reverse(c)
   def arraySort(c: Column): Column = array_sort(c)
   def arrayContainsValue(c: Column, v: Column): Column = array_contains(c, v)
+  def arrayRemoveValue(c: Column, v: Column): Column = array_remove(c, v)
+  def arrayUnionOf(a: Column, b: Column): Column = array_union(a, b)
+  def arrayConcatOf(a: Column, b: Column): Column = concat(a, b)
   /** Pinot valueIn(mvCol, v1, v2, …): the MV values that are in the set. */
   def valueIn(c: Column, vs: Seq[String]): Column =
     filter(c, x => x.isin(vs: _*))
@@ -125,6 +128,23 @@ object Scalars {
   def decodeUrl(c: Column): Column = url_decode(c)
   def toBase64(c: Column): Column = base64(c)
   def fromBase64(c: Column): Column = unbase64(c)
+  /** toUtf8 / fromUtf8 (StringFunctions.java): string ↔ utf-8 bytes. */
+  def toUtf8(c: Column): Column = encode(c, "UTF-8")
+  def fromUtf8(c: Column): Column = decode(c, "UTF-8")
+  /** toAscii: strip non-ASCII code points (StringFunctions semantics). */
+  def toAsciiOnly(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", "")
+
+  // ---- date/time arithmetic (DateTimeFunctions.java:timestampAdd/Diff,
+  // ago/now are broker-evaluated relative times) ----
+  def timestampAddSec(ts: Column, n: Column): Column =
+    timestamp_seconds(unix_timestamp(ts) + n)
+  def timestampDiffSec(a: Column, b: Column): Column =
+    unix_timestamp(a) - unix_timestamp(b)
+
+  /** jsonExtractKey(json, path): the keys under a JSON path. */
+  def jsonExtractKey(c: Column, path: String): Column =
+    json_object_keys(get_json_object(c, path))
 
   /** Register the (few) genuinely-custom scalar functions for SQL use.
     * Mirrors `FunctionRegistry.registerFunction` — most Pinot names need no

@@ -24,6 +24,24 @@ class FunctionsSpec extends SparkSpec {
     assert(one(F.strpos(lit("hello"), "ll")) == 3)
   }
 
+  test("array set ops / utf8 round-trip / ascii strip / ts arithmetic") {
+    val arr = array(lit(1), lit(2), lit(2), lit(3))
+    assert(one(F.arrayRemoveValue(arr, lit(2)))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 3))
+    assert(one(F.arrayUnionOf(array(lit(1), lit(2)), array(lit(2), lit(3))))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2, 3))
+    assert(one(F.arrayConcatOf(array(lit(1)), array(lit(1))))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 1))
+    assert(one(F.fromUtf8(F.toUtf8(lit("héllo")))) == "héllo")
+    assert(one(F.toAsciiOnly(lit("héllo→x"))) == "hllox")
+    assert(one(F.timestampDiffSec(
+      F.timestampAddSec(lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit(90)),
+      lit("2024-01-01 00:00:00").cast("timestamp"))) == 90L)
+    assert(one(F.jsonExtractKey(lit("""{"a":{"x":1,"y":2}}"""), "$.a"))
+      .asInstanceOf[scala.collection.Seq[String]].toSeq.sorted == Seq("x", "y"))
+  }
+
   test("truncate is toward-zero at scale") {
     assert(one(F.truncate(lit(2.679), 1)) == 2.6)
     assert(one(F.truncate(lit(-2.679), 1)) == -2.6)
