@@ -15,8 +15,15 @@ import org.apache.spark.sql.graft.TextHashExprs
   * also what you want for reproducible dedup runs.
   */
 object TextAnalysis {
-  /** Lowercased whitespace tokens, empties dropped. */
+  /** Lowercased whitespace tokens, empties dropped. `array_remove` (not
+    * the `filter` HOF) keeps the whole expression codegen-capable — one
+    * interpreted higher-order function anywhere in a projection knocks the
+    * entire stage out of whole-stage codegen. */
   def tokens(text: Column): Column =
+    array_remove(split(lower(text), "\\s+"), "")
+
+  /** HOF formulation of [[tokens]] (spec reference). */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))

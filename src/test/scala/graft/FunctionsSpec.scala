@@ -105,6 +105,9 @@ class FunctionsSpec extends SparkSpec {
       // fewer tokens than the shingle width, repeated tokens
       .union(Seq("", "one", "two words", "a a a a a a")
         .map(t => s"SELECT '$t' AS text").map(spark.sql).reduce(_ union _))
+    val tokMism = docs.select(TA.tokens(col("text")).eqNullSafe(
+      TA.tokensHof(col("text"))).as("ok")).filter(!col("ok")).count()
+    assert(tokMism == 0)
     val base = docs.select(col("text"),
       TA.shingleBase(col("text"), 3).as("nat"),
       TA.shingleBaseHof(col("text"), 3).as("hof")).cache()
