@@ -9,6 +9,18 @@ class OperatorsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("scan-free metadata aggregates match full scans (footer stats)") {
+    import graft.operators.SegmentStats
+    val path = s"$sfDir/lineitem.parquet"
+    val li = spark.read.parquet(path)
+    assert(SegmentStats.fastCount(spark, path) == li.count())
+    val mm = SegmentStats.fastMinMaxLong(spark, path, "l_orderkey")
+    val Array(lo, hi) = li
+      .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(mm.contains((lo, hi)))
+  }
+
   test("gapfill fills missing buckets: previous-value and default") {
     val s = spark
     import s.implicits._
