@@ -28,13 +28,22 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Count of tokens (with duplicates) found in `dict`. */
+  /** Count of tokens (with duplicates) found in `dict` — native kernel
+    * (O(1) HashSet probe per token, stays in whole-stage codegen). */
   def dictHits(toks: Column, dict: Seq[String]): Column =
+    TextHashExprs.countInSet(toks, dict)
+
+  /** HOF formulation of [[dictHits]] (spec reference). */
+  def dictHitsHof(toks: Column, dict: Seq[String]): Column =
     size(filter(toks, t => t.isin(dict: _*)))
 
   /** BPE-ish subword count estimate: whitespace tokens weighted by
-    * ceil(len/4) — the "~4 chars per token" heuristic, fully vectorized. */
+    * ceil(len/4) — the "~4 chars per token" heuristic, one kernel pass. */
   def subwordCount(text: Column): Column =
+    TextHashExprs.subwordCount(tokens(text))
+
+  /** HOF formulation of [[subwordCount]] (spec reference). */
+  def subwordCountHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
 

@@ -138,6 +138,32 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of elements (with duplicates) present in `dict` — the
+    * stopword-hit kernel behind language ID and quality scoring. */
+  def countInSet(toks: ArrayData, dict: java.util.HashSet[UTF8String]): Int = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (dict.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** BPE-ish subword estimate: Σ ceil(numChars/4) over tokens — matches
+    * aggregate(tokens, 0, acc + ceil(length(t)/4.0)). */
+  def subwordCount(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += (toks.getUTF8String(i).numChars() + 3) / 4
+      i += 1
+    }
+    acc
+  }
+
   /** nBits-bit SimHash from token hashes: bit b set iff Σ ±1 votes ≥ 0
     * (+1 when bit b of the hash is set). Matches
     * TextAnalysis.simHashFromHashes including the empty-input case (zero
@@ -235,6 +261,49 @@ case class SimHashExpr(child: Expression, nBits: Int)
     copy(child = nc)
 }
 
+/** Membership count against a constant dictionary: array<string> → int.
+  * The dictionary ships as a reference object into generated code (an
+  * O(1) HashSet probe per token instead of an interpreted isin chain). */
+case class CountInSet(child: Expression, dict: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](dict.size * 2)
+    dict.foreach(d => s.add(UTF8String.fromString(d)))
+    s
+  }
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.countInSet(a.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val ref = ctx.addReferenceObj("dict", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.countInSet($c, $ref)")
+  }
+  override protected def withNewChildInternal(nc: Expression): CountInSet =
+    copy(child = nc)
+}
+
+/** Σ ceil(chars/4) over a token array — the whitespace-token BPE
+  * estimate as one codegen'd pass. */
+case class SubwordCount(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.subwordCount(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.subwordCount($c)")
+  override protected def withNewChildInternal(nc: Expression): SubwordCount =
+    copy(child = nc)
+}
+
 /** Column builders for graft code outside the sql package. */
 object TextHashExprs {
   def hash60(c: Column): Column =
@@ -249,4 +318,9 @@ object TextHashExprs {
       MinHashSigExpr(ExpressionUtils.expression(base), seeds))
   def simHash(hs: Column, nBits: Int): Column =
     ExpressionUtils.column(SimHashExpr(ExpressionUtils.expression(hs), nBits))
+  def countInSet(toks: Column, dict: Seq[String]): Column =
+    ExpressionUtils.column(
+      CountInSet(ExpressionUtils.expression(toks), dict))
+  def subwordCount(toks: Column): Column =
+    ExpressionUtils.column(SubwordCount(ExpressionUtils.expression(toks)))
 }

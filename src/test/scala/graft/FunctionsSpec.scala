@@ -108,6 +108,14 @@ class FunctionsSpec extends SparkSpec {
     val tokMism = docs.select(TA.tokens(col("text")).eqNullSafe(
       TA.tokensHof(col("text"))).as("ok")).filter(!col("ok")).count()
     assert(tokMism == 0)
+    val enDict = TA.stopwords("en")
+    val hitsMism = docs.select(
+      TA.dictHits(TA.tokens(col("text")), enDict).eqNullSafe(
+        TA.dictHitsHof(TA.tokensHof(col("text")), enDict)).as("dh"),
+      TA.subwordCount(col("text")).eqNullSafe(
+        TA.subwordCountHof(col("text"))).as("sw"))
+      .filter(!col("dh") || !col("sw")).count()
+    assert(hitsMism == 0)
     val base = docs.select(col("text"),
       TA.shingleBase(col("text"), 3).as("nat"),
       TA.shingleBaseHof(col("text"), 3).as("hof")).cache()
