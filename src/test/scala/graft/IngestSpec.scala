@@ -22,6 +22,20 @@ class IngestSpec extends SparkSpec {
     assert(fromCsv.columns.toSet == src.columns.toSet)
   }
 
+  test("orc round-trip; csv header respected when a schema is supplied") {
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val fromOrc = Ingest.read(spark, "orc", s"$tmp/nation_orc")
+    assert(fromOrc.count() == src.count() &&
+      fromOrc.schema == src.schema)
+    // supplying the schema must still skip the header row (ADVICE r2)
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/n_csv2")
+    val withSchema = Ingest.read(spark, "csv", s"$tmp/n_csv2",
+      schema = Some(src.schema))
+    assert(withSchema.count() == src.count())
+    assert(withSchema.filter(col("n_name") === "n_name").count() == 0)
+  }
+
   test("pipeline applies transform stages in reference order") {
     val s = spark
     import s.implicits._
