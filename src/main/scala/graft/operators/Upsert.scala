@@ -27,6 +27,17 @@ object Upsert {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** FULL upsert with delete support (`UpsertConfig.deleteRecordColumn`):
+    * a true `deleteCol` on the winning (latest) record tombstones the key —
+    * the key disappears from the view entirely, exactly the reference's
+    * semantics (older live rows do NOT resurrect). Same single keyed
+    * window as [[latestView]]; the tombstone filter is free. */
+  def latestViewWithDeletes(df: DataFrame, pks: Seq[String],
+                            cmpCols: Seq[String], deleteCol: String)
+  : DataFrame =
+    latestView(df, pks, cmpCols)
+      .filter(!coalesce(col(deleteCol), lit(false))).drop(deleteCol)
+
   /** Partial-upsert merge strategies
     * (`UpsertConfig.Strategy`: APPEND, IGNORE, INCREMENT, MAX, MIN,
     * OVERWRITE, UNION). Collapses the full history per PK in one grouped

@@ -47,6 +47,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == Seq("new", "only"))
   }
 
+  test("upsert delete-record column tombstones the key (no resurrection)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 10L, "live-old", false), (1L, 20L, "deleted", true),
+      (2L, 5L, "live", false),
+      (3L, 1L, "deleted-then-relived", true), (3L, 2L, "relived", false))
+      .toDF("pk", "cmp", "v", "del")
+    val out = Upsert.latestViewWithDeletes(df, Seq("pk"), Seq("cmp"), "del")
+      .orderBy("pk").collect()
+    // pk=1: latest is a delete → gone (older live row must NOT resurrect);
+    // pk=3: a later live write after the delete brings the key back
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((2L, "live"), (3L, "relived")))
+    assert(!out.exists(_.schema.fieldNames.contains("del")))
+  }
+
   test("partialUpsert strategies") {
     val s = spark
     import s.implicits._
