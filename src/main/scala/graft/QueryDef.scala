@@ -60,6 +60,22 @@ object Par {
   def r2(c: Column): Column = round(c, 2)
   def r6(c: Column): Column = round(c, 6)
 
+  /** Quantized-long lift of a NON-NEGATIVE 2-dp column: round(x·100) as
+    * long — the primitive-long twin of [[money]]/[[pct]] for hot
+    * aggregates. floor(v+0.5) IS round-half-up for non-negative v and is
+    * pure codegen (Spark's round on double allocates a BigDecimal per
+    * row); x·100 sits ~1e-12 from an integer so the half-boundary is
+    * never in play. Products of quantized values stay in long range by
+    * construction (document the bound per use). */
+  def q2(c: Column): Column = floor(c * 100 + 0.5)
+
+  /** Exact descaled sum of a scaled-long per-row expression: accumulate in
+    * DECIMAL(38,0) (compact-long adds while the total fits, exact at any
+    * row count), then ONE double conversion and ONE divide — the same op
+    * order as the oracle twin, so the doubles are bit-identical. */
+  def qsum(c: Column, scale: Double): Column =
+    sum(c.cast(DecimalType(38, 0))).cast("double") / scale
+
   /** DuckDB CTE lifting `events` to microsecond-truncated timestamps, the
     * same truncation Tables.load applies on the Spark side (Spark
     * TimestampType is micros; the file stores nanos). Use `ev` in oracle
@@ -80,6 +96,11 @@ object ParSql {
   def dsum(c: String): String = s"CAST(SUM(CAST($c AS DECIMAL(28,4))) AS DOUBLE)"
   def wsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
   def davg(c: String): String = s"(${dsum(c)} / COUNT($c))"
+  /** Twin of Par.q2 (non-negative 2-dp inputs). */
+  def q2(c: String): String = s"CAST(FLOOR($c*100 + 0.5) AS BIGINT)"
+  /** Twin of Par.qsum — DuckDB sums BIGINT into exact HUGEINT. */
+  def qsum(e: String, scale: String): String =
+    s"(CAST(SUM(CAST($e AS HUGEINT)) AS DOUBLE)/$scale)"
   /** Shared 60-bit hash: first 15 md5 hex digits, base-16. Twin of
     * graft.functions.Scalars.hash60. */
   def hash60(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"

@@ -20,27 +20,34 @@ object AggQueries {
     Q("q_agg_tpch_q1",
       (s, d) => {
         val l = Tables.lineitem(s, d)
+        // quantized-long money arithmetic: qty/price/disc/tax are 2-dp →
+        // exact as round(x·100) longs. Per-row products bounded by
+        // price_q(≤1.1e7)·(100-disc_q)(≤100)·(100+tax_q)(≤110) ≤ 1.2e11 —
+        // far inside long range; sums accumulate in DECIMAL(38,0).
+        val qty = Par.q2(col("l_quantity"))
+        val price = Par.q2(col("l_extendedprice"))
+        val disc = Par.q2(col("l_discount"))
+        val tax = Par.q2(col("l_tax"))
         l.filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            Par.dsum(col("l_quantity")).as("sum_qty"),
-            Par.dsum(col("l_extendedprice")).as("sum_base_price"),
-            Par.wsum(Par.money(col("l_extendedprice")) *
-              (Par.oneD - Par.pct(col("l_discount")))).as("sum_disc_price"),
-            Par.wsum(Par.money(col("l_extendedprice")) *
-              (Par.oneD - Par.pct(col("l_discount"))) *
-              (Par.oneD + Par.pct(col("l_tax")))).as("sum_charge"),
-            Par.davg(col("l_quantity")).as("avg_qty"),
-            Par.davg(col("l_extendedprice")).as("avg_price"),
+            Par.qsum(qty, 1e2).as("sum_qty"),
+            Par.qsum(price, 1e2).as("sum_base_price"),
+            Par.qsum(price * (lit(100L) - disc), 1e4).as("sum_disc_price"),
+            Par.qsum(price * (lit(100L) - disc) * (lit(100L) + tax), 1e6)
+              .as("sum_charge"),
+            (Par.qsum(qty, 1e2) / count(col("l_quantity"))).as("avg_qty"),
+            (Par.qsum(price, 1e2) / count(col("l_extendedprice")))
+              .as("avg_price"),
             count(lit(1)).as("count_order"))
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        ${ParSql.dsum("l_quantity")} AS sum_qty,
-        ${ParSql.dsum("l_extendedprice")} AS sum_base_price,
-        ${ParSql.wsum(s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")})")} AS sum_disc_price,
-        ${ParSql.wsum(s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")}) * (${ParSql.oneD} + ${ParSql.pct("l_tax")})")} AS sum_charge,
-        ${ParSql.davg("l_quantity")} AS avg_qty,
-        ${ParSql.davg("l_extendedprice")} AS avg_price,
+        ${ParSql.qsum(ParSql.q2("l_quantity"), "1e2")} AS sum_qty,
+        ${ParSql.qsum(ParSql.q2("l_extendedprice"), "1e2")} AS sum_base_price,
+        ${ParSql.qsum(s"${ParSql.q2("l_extendedprice")} * (100 - ${ParSql.q2("l_discount")})", "1e4")} AS sum_disc_price,
+        ${ParSql.qsum(s"${ParSql.q2("l_extendedprice")} * (100 - ${ParSql.q2("l_discount")}) * (100 + ${ParSql.q2("l_tax")})", "1e6")} AS sum_charge,
+        (${ParSql.qsum(ParSql.q2("l_quantity"), "1e2")} / COUNT(l_quantity)) AS avg_qty,
+        (${ParSql.qsum(ParSql.q2("l_extendedprice"), "1e2")} / COUNT(l_extendedprice)) AS avg_price,
         COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus""")),

@@ -20,8 +20,9 @@ object JoinQueries {
     // inner equi-join chain, broadcast dims — TPC-H Q5 shape
     Q("q_join_inner",
       (s, d) => {
-        val rev = Par.money(col("l_extendedprice")) *
-          (Par.oneD - Par.pct(col("l_discount")))
+        // quantized-long revenue (see q_agg_tpch_q1): product ≤ 1.1e9/row
+        val rev = Par.q2(col("l_extendedprice")) *
+          (lit(100L) - Par.q2(col("l_discount")))
         Tables.lineitem(s, d)
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(Tables.customer(s, d)),
@@ -32,10 +33,10 @@ object JoinQueries {
             col("n_regionkey") === col("r_regionkey"))
           .filter(col("r_name") === "ASIA")
           .groupBy(col("n_name"))
-          .agg(Par.wsum(rev).as("revenue"), count(lit(1)).as("n"))
+          .agg(Par.qsum(rev, 1e4).as("revenue"), count(lit(1)).as("n"))
       },
       Some(s"""SELECT n_name,
-        ${ParSql.wsum(s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")})")} AS revenue,
+        ${ParSql.qsum(s"${ParSql.q2("l_extendedprice")} * (100 - ${ParSql.q2("l_discount")})", "1e4")} AS revenue,
         COUNT(*) AS n
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey

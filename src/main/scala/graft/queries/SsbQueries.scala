@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * rides the raw date column so partition pruning would fire on
   * date-partitioned layouts. */
 object SsbQueries {
-  private val rev = Par.money(col("l_extendedprice")) *
-    (Par.oneD - Par.pct(col("l_discount")))
+  // quantized-long revenue: price_q(≤1.1e7)·(100-disc_q)(≤100) ≤ 1.1e9
+  // per row — primitive-long codegen, exact, scale 1e4 (see Par.q2/qsum)
+  private val rev = Par.q2(col("l_extendedprice")) *
+    (lit(100L) - Par.q2(col("l_discount")))
   private val revSql =
-    s"${ParSql.money("l_extendedprice")} * (${ParSql.oneD} - ${ParSql.pct("l_discount")})"
+    s"${ParSql.q2("l_extendedprice")} * (100 - ${ParSql.q2("l_discount")})"
 
   def all: Seq[Q] = Seq(
     // SSB Q1.x: one-table filter + aggregate (discount-band revenue)
@@ -28,12 +30,12 @@ object SsbQueries {
       (s, d) => Tables.lineitem(s, d)
         .filter(year(col("l_shipdate")) === 1995 &&
           col("l_discount").between(0.02, 0.04) && col("l_quantity") < 25)
-        .agg(Par.wsum(Par.money(col("l_extendedprice")) *
-          Par.pct(col("l_discount"))).as("revenue"),
+        .agg(Par.qsum(Par.q2(col("l_extendedprice")) *
+          Par.q2(col("l_discount")), 1e4).as("revenue"),
           count(lit(1)).as("n")),
-      Some(s"""SELECT ${ParSql.wsum(
-          s"${ParSql.money("l_extendedprice")} * ${ParSql.pct("l_discount")}")}
-          AS revenue, COUNT(*) AS n
+      Some(s"""SELECT ${ParSql.qsum(
+          s"${ParSql.q2("l_extendedprice")} * ${ParSql.q2("l_discount")}",
+          "1e4")} AS revenue, COUNT(*) AS n
         FROM lineitem
         WHERE year(l_shipdate) = 1995
           AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25""")),
@@ -45,10 +47,10 @@ object SsbQueries {
         .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("l_shipdate")).as("yr"), col("p_brand"))
-        .agg(Par.wsum(rev).as("revenue"))
+        .agg(Par.qsum(rev, 1e4).as("revenue"))
         .orderBy(col("yr"), col("p_brand")),
       Some(s"""SELECT year(l_shipdate) AS yr, p_brand,
-          ${ParSql.wsum(revSql)} AS revenue
+          ${ParSql.qsum(revSql, "1e4")} AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size <= 10
         GROUP BY 1, 2 ORDER BY yr, p_brand""")),
@@ -70,11 +72,11 @@ object SsbQueries {
           .join(supp, col("l_suppkey") === col("s_suppkey"))
           .filter(col("c_nation") === col("s_nation"))
           .groupBy(col("c_nation"), year(col("o_orderdate")).as("yr"))
-          .agg(Par.wsum(rev).as("revenue"), count(lit(1)).as("n"))
+          .agg(Par.qsum(rev, 1e4).as("revenue"), count(lit(1)).as("n"))
           .orderBy(col("yr"), col("c_nation"))
       },
       Some(s"""SELECT cn.n_name AS c_nation, year(o_orderdate) AS yr,
-          ${ParSql.wsum(revSql)} AS revenue, COUNT(*) AS n
+          ${ParSql.qsum(revSql, "1e4")} AS revenue, COUNT(*) AS n
         FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
@@ -92,24 +94,23 @@ object SsbQueries {
           .join(broadcast(Tables.nation(s, d)),
             col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name").as("c_nation")))
-        // the cost factor stays decimal end-to-end — one double literal in
-        // the chain would silently demote the whole expression to double
-        // and break bit-parity with the oracle's exact decimal sum
-        val profit = rev - Par.pct(col("l_quantity")) *
-          Par.money(col("p_retailprice")) *
-          lit(0.01).cast("decimal(3,2)")
+        // fully quantized at scale 1e6: rev_q·100 = p(1-d)·1e6 and
+        // qty_q·retail_q = q·r·1e4 = (q·r·0.01)·1e6 — same scale, exact
+        // long arithmetic, bounded by 1.1e11 per row
+        val profit = rev * lit(100L) -
+          Par.q2(col("l_quantity")) * Par.q2(col("p_retailprice"))
         Tables.lineitem(s, d)
           .join(broadcast(Tables.part(s, d)),
             col("l_partkey") === col("p_partkey"))
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(year(col("o_orderdate")).as("yr"), col("c_nation"))
-          .agg(Par.wsum(profit).as("profit"))
+          .agg(Par.qsum(profit, 1e6).as("profit"))
           .orderBy(col("yr"), col("c_nation"))
       },
       Some(s"""SELECT year(o_orderdate) AS yr, cn.n_name AS c_nation,
-          ${ParSql.wsum(s"$revSql - ${ParSql.pct("l_quantity")} * " +
-            s"${ParSql.money("p_retailprice")} * CAST(0.01 AS DECIMAL(3,2))")}
+          ${ParSql.qsum(s"($revSql) * 100 - ${ParSql.q2("l_quantity")} * " +
+            ParSql.q2("p_retailprice"), "1e6")}
           AS profit
         FROM lineitem
           JOIN part ON l_partkey = p_partkey
