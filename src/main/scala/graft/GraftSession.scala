@@ -20,6 +20,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default (true): size-only coalescing
+      // (false) collapses the small-scale window/sort shuffles to one task
+      // and serializes them — measured slower here, and at cluster scale
+      // the advisory size governs either way
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.
