@@ -69,7 +69,10 @@ object Aggregates {
     * semantics. Scale note: the group's rows sort within one task (same
     * constraint as any exact per-group percentile); genuinely huge single
     * groups should use percentileEst or a distributed-selection pass.
-    * Nulls are ignored, matching both `percentile` and quantile_cont. */
+    * Nulls are ignored, matching both `percentile` and quantile_cont —
+    * with one edge: a group whose values are ALL null disappears from the
+    * output (the native aggregate would keep it with a null result);
+    * left-join against the distinct group keys if those groups matter. */
   def percentilesBySort(df: DataFrame, groupCols: Seq[String], v: String,
                         ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

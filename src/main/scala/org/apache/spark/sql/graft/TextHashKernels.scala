@@ -52,6 +52,9 @@ object TextKernels {
   def hash60(s: UTF8String): Long = hash60Bytes(s.getBytes)
 
   /** Hash60 of every k-token shingle (tokens joined by a single space).
+    * Precondition: the token array has no null elements (true for
+    * TextAnalysis.tokens output by construction — split never yields
+    * nulls; the HOF twin's concat_ws would silently drop them instead).
     * Shingle semantics match TextAnalysis.shingles: fewer than k tokens →
     * ONE shingle of all tokens (the empty string for an empty array), unless
     * `emptyAsEmpty` maps a zero-token array to a zero-length result (the
