@@ -394,6 +394,33 @@ object AggQueries {
           AS nd_common,
         (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_groups""")),
 
+    // Grouping sets (superset — SURVEY §2.5 notes the reference supports
+    // none; Spark's rollup/cube come free with the same partial-agg plan).
+    // Group keys coalesce to a sentinel so subtotal rows sort/hash stably.
+    Q("q_agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Par.qsum(Par.q2(col("l_quantity")), 1e2)
+          .as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty")),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n,
+        ${ParSql.qsum(ParSql.q2("l_quantity"), "1e2")} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("q_agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     Q("q_agg_hll_sketch",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))

@@ -75,7 +75,8 @@ object ScalarQueries {
         col("c_name").endsWith("1").as("endswith_v"),
         F.strcmp(col("c_mktsegment"), lit("HOUSEHOLD")).as("strcmp_v"),
         F.hammingDistanceStatic(col("c_mktsegment"), lit("BUILDING "), 10)
-          .as("hamming_v")),
+          .as("hamming_v"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev_v")),
       Some("""SELECT c_custkey, UPPER(c_name) AS upper_v,
         LOWER(c_mktsegment) AS lower_v, SUBSTRING(c_name, 1, 8) AS substr_v,
         LENGTH(c_name) AS len_v, REVERSE(c_mktsegment) AS rev_v,
@@ -93,7 +94,8 @@ object ScalarQueries {
         CASE WHEN c_mktsegment < 'HOUSEHOLD' THEN -1
              WHEN c_mktsegment > 'HOUSEHOLD' THEN 1 ELSE 0 END AS strcmp_v,
         CASE WHEN LENGTH(c_mktsegment) != 9 THEN -1
-             ELSE hamming(c_mktsegment, 'BUILDING ') END AS hamming_v
+             ELSE hamming(c_mktsegment, 'BUILDING ') END AS hamming_v,
+        levenshtein(c_mktsegment, 'BUILDING') AS lev_v
         FROM customer""")),
 
     // date/time functions (DateTimeFunctions.java, 645 LoC)

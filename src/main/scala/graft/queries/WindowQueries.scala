@@ -137,5 +137,26 @@ object WindowQueries {
         SELECT c_nationkey, c_custkey, c_acctbal,
           ROW_NUMBER() OVER (PARTITION BY c_nationkey
             ORDER BY c_acctbal DESC, c_custkey) AS rn
-        FROM customer) WHERE rn <= 3""")))
+        FROM customer) WHERE rn <= 3""")),
+
+    // distribution functions (superset — reference v2 has aggregate-only
+    // windows): ntile/percent_rank/cume_dist share one ordered window.
+    // The unique (o_totalprice, o_orderkey) ordering makes every rank —
+    // and therefore every bucket boundary — deterministic across engines.
+    Q("q_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          Par.r6(percent_rank().over(w)).as("pr"),
+          Par.r6(cume_dist().over(w)).as("cd"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        NTILE(4) OVER w AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        ROUND(CUME_DIST() OVER w, 6) AS cd
+        FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey)""")))
 }
