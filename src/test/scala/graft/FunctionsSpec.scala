@@ -185,6 +185,32 @@ class FunctionsSpec extends SparkSpec {
     assert(u == i + d1 + d2)
   }
 
+  test("membership + frequency sketches: bloom filter and count-min") {
+    // BloomFilterIdSet role (reference query/utils/idset/BloomFilterIdSet):
+    // a compact membership sketch shippable as a broadcast filter literal
+    val orders = Tables.orders(spark, sfDir)
+    val bloom = orders.stat.bloomFilter("o_custkey", 2000, 0.01)
+    val keys = orders.select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0))
+    assert(keys.forall(bloom.mightContain)) // no false negatives, ever
+    val fp = (1L to 100000L).count(k =>
+      !keys.contains(k) && bloom.mightContain(k))
+    assert(fp < 5000, s"false-positive rate out of spec: $fp / 100000")
+
+    // FrequentLongsSketch role: count-min overestimates but never
+    // underestimates item frequency
+    val cms = Tables.lineitem(spark, sfDir)
+      .agg(count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.99), lit(42))
+        .as("s")).head.getAs[Array[Byte]]("s")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cms))
+    val truth = Tables.lineitem(spark, sfDir).groupBy(col("l_suppkey"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(sketch.estimateCount(k) >= n)
+    }
+  }
+
   test("native VecDotProduct matches HOF dot bit-for-bit on real embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val diffs = e.select(
