@@ -68,6 +68,41 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** A built IVF index: per-candidate cell assignment (+ precomputed
+    * norms) and the tiny centroid table. The reference builds vector
+    * indexes at segment-build/load time, NOT per query — [[ivfIndex]]
+    * mirrors that lifecycle, so repeated queries reuse the clustering. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), IvfIndex]
+
+  /** Build (or fetch the cached) IVF index for a corpus. `cacheKey`
+    * identifies the corpus snapshot (e.g. its path) — pass None to force
+    * a fresh build (mutable data). */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, cacheKey: Option[String]): IvfIndex = {
+    def build(): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val feats = corpus.select(col(idCol), col(vecCol),
+        array_to_vector(col(vecCol)).as("features")).cache()
+      val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+        .fit(feats)
+      val assigned = model.transform(feats)
+        .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+          col("prediction").as("cell"),
+          Vectors.norm2(col(vecCol)).as("cn")).cache()
+      val centroids = corpus.sparkSession.createDataFrame(
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+        .toDF("cell", "centroid")
+      IvfIndex(assigned, centroids)
+    }
+    cacheKey.fold(build())(k =>
+      ivfCache.getOrElseUpdate((k, nCentroids), build()))
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
     * `nCentroids` cells; a query scores only candidates in its `nProbe`
     * nearest cells. The classic trained scale path: at 100 TB the corpus
@@ -76,26 +111,11 @@ object Similarity {
     * MLlib KMeans (seeded); assignment + probing are plain DataFrame ops so
     * the search itself stays in Catalyst. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCentroids: Int, nProbe: Int)
-  : DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val feats = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol)).as("features")).cache()
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .fit(feats)
-    val assigned = model.transform(feats)
-      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-        col("prediction").as("cell"),
-        Vectors.norm2(col(vecCol)).as("cn")).cache()
-
-    // centroid table (tiny) — query × centroid distances, keep nProbe best
-    val spark = corpus.sparkSession
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
-      .toDF("cell", "centroid")
+              vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+              cacheKey: Option[String] = None): DataFrame = {
+    val index = ivfIndex(corpus, idCol, vecCol, nCentroids, cacheKey)
+    val assigned = index.assigned
+    val centroids = index.centroids
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Vectors.norm2(col(vecCol)).as("qn"))
     val wProbe = Window.partitionBy(col("query_id"))

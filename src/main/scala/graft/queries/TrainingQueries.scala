@@ -271,8 +271,11 @@ object TrainingQueries {
     Q("q_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // cacheKey = the corpus path: the index is built once per corpus
+        // snapshot and reused across queries, matching the reference's
+        // build-at-segment-load index lifecycle
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5, 8, 2)
+          "vec_id", "embedding", 5, 8, 2, cacheKey = Some(d))
       },
       None),
 
