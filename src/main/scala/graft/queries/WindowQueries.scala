@@ -158,5 +158,39 @@ object WindowQueries {
         ROUND(PERCENT_RANK() OVER w, 6) AS pr,
         ROUND(CUME_DIST() OVER w, 6) AS cd
         FROM orders WINDOW w AS (PARTITION BY o_orderpriority
-          ORDER BY o_totalprice DESC, o_orderkey)""")))
+          ORDER BY o_totalprice DESC, o_orderkey)""")),
+
+    // sliding ROWS frame (superset — the reference allows only RANGE
+    // UNBOUNDED frames): 4-row moving sum/avg per customer ordered by
+    // order key; quantized-long sum keeps the doubles bit-deterministic
+    Q("q_window_sliding",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          (sum(Par.q2(col("o_totalprice"))).over(w).cast("double") / 1e2)
+            .as("mov_sum"),
+          count(lit(1)).over(w).as("mov_n"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+        CAST(SUM(${ParSql.q2("o_totalprice")}) OVER w AS DOUBLE)/1e2
+          AS mov_sum,
+        COUNT(*) OVER w AS mov_n
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")),
+
+    // empty OVER() — whole-input window aggregate (the reference's
+    // third supported shape: WindowAggregateOperator with no partition)
+    Q("q_window_global",
+      (s, d) => Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name"),
+        count(lit(1)).over(Window.partitionBy()).as("n_total"),
+        (sum(Par.q2(col("n_nationkey").cast("double")))
+          .over(Window.partitionBy()).cast("double") / 1e2).as("key_sum")),
+      Some(s"""SELECT n_nationkey, n_name,
+        COUNT(*) OVER () AS n_total,
+        CAST(SUM(${ParSql.q2("CAST(n_nationkey AS DOUBLE)")}) OVER ()
+          AS DOUBLE)/1e2 AS key_sum
+        FROM nation""")))
 }
