@@ -8,5 +8,5 @@ object Registry {
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
       JoinQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
       OlapQueries.all ++ TrainingQueries.all ++ MvQueries.all ++
-      EdgeQueries.all ++ SsbQueries.all
+      EdgeQueries.all ++ SsbQueries.all ++ PdbQueries.all
 }
