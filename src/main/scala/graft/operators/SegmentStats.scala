@@ -39,7 +39,7 @@ object SegmentStats {
         val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
         val r = ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      }.sum().toLong
+      }.fold(0L)(_ + _) // not .sum(): RDD sum goes through Double (2^53)
   }
 
   /** MIN/MAX of a long column from row-group statistics — no data pages
