@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("simhash16", "16-bit simhash of text") {
       a => TA.simHash(a(0), 16)
     }
+    reg("subword_count", "BPE-ish subword estimate (ceil(chars/4) per token)") {
+      a => TA.subwordCount(a(0))
+    }
+    reg("hamming64", "bit_count(xor) distance of two simhash longs") {
+      a => TA.simHashDistance(a(0), a(1))
+    }
   }
 }

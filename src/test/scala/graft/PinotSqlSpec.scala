@@ -70,6 +70,11 @@ class PinotSqlSpec extends SparkSpec {
     assert(r.getInt(2) == -1)
     assert(r.getString(3) == "en")
     assert(r.getInt(4) == 3)
+    val r2 = spark.sql(
+      "SELECT subword_count('alpha beta gamma') AS sw, " +
+        "hamming64(simhash16('a b c'), simhash16('a b c')) AS h0").head()
+    assert(r2.getLong(0) == 5L) // ceil(5/4)+ceil(4/4)+ceil(5/4) = 2+1+2
+    assert(r2.getAs[Number](1).longValue == 0L)
   }
 
   test("rewrite: FIRSTWITHTIME / LASTWITHTIME / renames") {
