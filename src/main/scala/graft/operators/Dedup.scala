@@ -95,6 +95,38 @@ object Dedup {
         col("a.simhash").as("simhash"))
   }
 
+  /** SimHash near-dups within Hamming distance `maxDist` — the rotated-
+    * table generalization of [[simHashPairs]]: the nBits hash splits into
+    * maxDist+1 chunks, and by pigeonhole any pair within maxDist agrees
+    * EXACTLY on at least one chunk, so blocking on (chunk index, chunk
+    * value) has perfect recall. Candidates verify with one bit_count(xor).
+    * Scale: an equi-join on the chunk key — |candidates| ≈
+    * (maxDist+1)·Σ|bucket|², never an unblocked cross join. */
+  def simHashPairsWithin(df: DataFrame, textCol: String, idCol: String,
+                         nBits: Int, maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val base = nBits / chunks
+    val h = simHashes(df, textCol, idCol, nBits).cache()
+    // chunk c covers bits [c*base, (c+1)*base), the last chunk also takes
+    // the nBits % chunks remainder
+    val keyed = h.select(col(idCol), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        val width = if (c == chunks - 1) nBits - c * base else base
+        val mask = (1L << width) - 1
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * base).bitwiseAND(mask).as("key"))
+      }: _*)).as("b"))
+    val a = keyed.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      col("b"))
+    val bb = keyed.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+      col("b"))
+    a.join(bb, Seq("b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TA.simHashDistance(col("h_a"), col("h_b")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Staged SimHash computation: token-hash arrays materialize once, the
     * nBits bit-votes read the cached column. */
   def simHashes(df: DataFrame, textCol: String, idCol: String, nBits: Int)

@@ -166,6 +166,34 @@ object TrainingQueries {
             FROM documents)"""
       }),
 
+    // SimHash near-dups within Hamming distance 3 — pigeonhole chunk
+    // blocking (4 chunks of a 64-bit hash; a ≤3-distance pair agrees
+    // exactly on ≥1 16-bit chunk → perfect recall, never a cross join;
+    // 16-bit chunk keys keep buckets sparse at corpus scale, unlike the
+    // 16-bit display hash whose 4-bit chunks would collide constantly).
+    // Oracle: brute-force all-pairs Hamming over the same DuckDB-computed
+    // simhashes — feasible only AT ORACLE SCALE, which is precisely why
+    // the blocked plan is the one that ships.
+    Q("q_dedup_simhash_near",
+      (s, d) => Dedup.simHashPairsWithin(
+        dupCorpus(Tables.documents(s, d)), "text", "doc_id", 64, 3),
+      Some {
+        val bits = (0 until 64).map(b =>
+          s"""CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1
+              ELSE -1 END for h in hs]) >= 0 THEN CAST(${1L << b}
+              AS BIGINT) ELSE 0 END""")
+          .mkString(" + ")
+        s"""WITH $corpusSql,
+          sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+            FROM (SELECT doc_id,
+              [${hash60Sql("t")} for t in ${toksSql("text")}] AS hs
+              FROM corpus))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+      }),
+
     // n-gram Jaccard near-dup pairs, blocked by (source, length band) —
     // the block key bounds candidate pairs; near-dups rarely cross a
     // 64-char length band
