@@ -76,7 +76,55 @@ object PinotSql {
     s
   }
 
-  /** Run a Pinot-dialect query against registered temp views. */
+  /** Run a Pinot-dialect query against registered temp views. GAPFILL
+    * selections route to the [[graft.operators.Gapfill]] plan (SURVEY §7
+    * step 4); everything else goes through [[rewrite]] + spark.sql. */
   def sql(spark: SparkSession, pinotSql: String): DataFrame =
-    spark.sql(rewrite(pinotSql))
+    gapfillPlan(spark, pinotSql).getOrElse(spark.sql(rewrite(pinotSql)))
+
+  // GAPFILL(bucketCol, 'start', 'end', stepSec), key..., FILL(col,
+  // 'FILL_PREVIOUS_VALUE' | 'FILL_DEFAULT_VALUE'[, default])... FROM table
+  // — the canonical single-table shape of the reference's gapfill SQL
+  // (GapfillUtils/GapfillProcessor), routed onto the spine+window plan.
+  private val GapfillRe =
+    ("(?is)^\\s*SELECT\\s+GAPFILL\\(\\s*([\\w.]+)\\s*,\\s*'([^']+)'\\s*," +
+      "\\s*'([^']+)'\\s*,\\s*(\\d+)\\s*\\)\\s*,(.*?)\\s+FROM\\s+([\\w.]+)" +
+      "\\s*$").r
+  private val FillRe =
+    "(?i)^FILL\\(\\s*([\\w.]+)\\s*,\\s*'FILL_(PREVIOUS_VALUE|DEFAULT_VALUE)'\\s*(?:,\\s*([^)]+))?\\)$".r
+
+  /** Split on top-level commas (FILL(...) args keep their commas). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
+  private def gapfillPlan(spark: SparkSession, pinotSql: String)
+  : Option[DataFrame] = pinotSql match {
+    case GapfillRe(bucketCol, start, end, stepSec, items, table) =>
+      import graft.operators.Gapfill
+      import org.apache.spark.sql.functions.{expr, lit}
+      val (fills, keys) = splitTop(items).partition(
+        _.toUpperCase.startsWith("FILL("))
+      val fillModes = fills.map {
+        case FillRe(c, "PREVIOUS_VALUE", _) => c -> Gapfill.FillPrevious
+        case FillRe(c, "DEFAULT_VALUE", d) =>
+          c -> Gapfill.FillDefault(if (d == null) lit(null) else expr(d))
+        case other =>
+          throw new IllegalArgumentException(s"bad FILL spec: $other")
+      }.toMap
+      Some(Gapfill.gapfill(spark.table(table), bucketCol, keys,
+        java.sql.Timestamp.valueOf(start), java.sql.Timestamp.valueOf(end),
+        stepSec.toLong, fillModes))
+    case _ => None
+  }
 }

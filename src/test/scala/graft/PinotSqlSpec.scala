@@ -32,6 +32,25 @@ class PinotSqlSpec extends SparkSpec {
     assert(PinotSql.rewrite("SELECT a FROM t LIMIT 7").endsWith("LIMIT 7"))
   }
 
+  test("GAPFILL SQL routes to the spine+window gapfill plan") {
+    val s = spark
+    import s.implicits._
+    Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3.0),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 5.0))
+      .toDF("k", "bucket", "v").createOrReplaceTempView("gf_t")
+    val out = PinotSql.sql(spark,
+      """SELECT GAPFILL(bucket, '2024-01-01 00:00:00',
+        '2024-01-01 02:00:00', 3600), k,
+        FILL(v, 'FILL_PREVIOUS_VALUE') FROM gf_t""")
+      .orderBy(col("k"), col("bucket")).collect()
+    assert(out.length == 6) // 2 keys × 3 hourly buckets
+    val aRow1 = out(1) // a @ 01:00 — gap, fills from 00:00
+    assert(aRow1.getAs[Double]("v") == 1.0)
+    val bRow0 = out(3) // b @ 00:00 — nothing previous, stays null
+    assert(bRow0.isNullAt(bRow0.fieldIndex("v")))
+  }
+
   test("injectParser: Pinot dialect gated on spark.graft.sql.dialect") {
     Tables.registerAll(spark, sfDir)
     // dialect off: Pinot-isms are NOT intercepted
