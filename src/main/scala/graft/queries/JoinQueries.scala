@@ -181,5 +181,43 @@ object JoinQueries {
         ${ParSql.dsum("l_extendedprice")} AS sum_price
         FROM lineitem WHERE l_orderkey IN
           (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
-        GROUP BY l_returnflag""")))
+        GROUP BY l_returnflag""")),
+
+    // correlated EXISTS (superset; exercises RewritePredicateSubquery —
+    // the decorrelated plan is the same semi join a broker-side IdSet
+    // materialization would feed)
+    Q("q_join_exists",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n_cust
+          FROM customer WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+          GROUP BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM customer WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        GROUP BY c_mktsegment""")),
+
+    // scalar subquery (superset): one broadcast value computed once, no
+    // per-row re-execution — quantized sums keep the division exact-ish
+    // and identical on both sides
+    Q("q_scalar_subquery",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(s"""SELECT o_orderpriority, COUNT(*) AS n_above
+          FROM orders
+          WHERE o_totalprice > (SELECT
+            ${"CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/1e2"}
+              / COUNT(o_totalprice) FROM orders)
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT
+          CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/1e2
+            / COUNT(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority""")))
 }
