@@ -45,4 +45,30 @@ object Multimodal {
       df: DataFrame, decode: Iterator[org.apache.spark.sql.Row] => Iterator[T])
   : org.apache.spark.sql.Dataset[T] =
     df.mapPartitions(decode)
+
+  /** STUB resize: deterministic byte-budget re-encode (truncate / zero-pad
+    * to `w·h` bytes) carrying the target dims in the metadata struct — the
+    * schema and per-row cost shape of a real image resize; a production
+    * deployment swaps the byte op for the codec call behind the same
+    * contract. */
+  def resizeStub(bin: Column, w: Int, h: Int): Column = {
+    val target = w * h
+    struct(
+      rpad(substring(bin, 1, target), target, Array[Byte](0)).as("content"),
+      lit(w).as("width"), lit(h).as("height"))
+  }
+
+  /** STUB frame-sample: `n` evenly spaced fixed-width byte windows from a
+    * video-role binary column, as array<struct<frame_idx, frame>> — the
+    * row-explodes-to-frames plumbing (schema, ordering, per-frame
+    * metadata) of a real frame sampler. */
+  def frameSample(bin: Column, n: Int, frameBytes: Int = 16): Column = {
+    val stride = greatest(
+      (length(bin) - frameBytes).cast("double") / math.max(1, n - 1),
+      lit(0.0))
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      struct(i.as("frame_idx"),
+        substring(bin, (i.cast("double") * stride).cast("int") + 1,
+          lit(frameBytes)).as("frame")))
+  }
 }

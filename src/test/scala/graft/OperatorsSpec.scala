@@ -125,6 +125,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out("other") == "application/octet-stream")
   }
 
+  test("multimodal resize/frame-sample stubs: schema, dims, frame spread") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("v1", ("0123456789" * 10).getBytes("UTF-8")))
+      .toDF("id", "content")
+    val r = df.select(
+      graft.operators.Multimodal.resizeStub(col("content"), 4, 4).as("rz"),
+      graft.operators.Multimodal.frameSample(col("content"), 3, 8)
+        .as("frames")).head()
+    val rz = r.getStruct(0)
+    assert(rz.getAs[Array[Byte]]("content").length == 16) // w*h budget
+    assert(rz.getAs[Int]("width") == 4 && rz.getAs[Int]("height") == 4)
+    val frames = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(frames.map(_.getAs[Int]("frame_idx")) == Seq(0, 1, 2))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
+    // first frame starts at the head, last frame ends at the tail
+    assert(new String(frames.head.getAs[Array[Byte]]("frame"))
+      .startsWith("01234567"))
+    assert(new String(frames.last.getAs[Array[Byte]]("frame"))
+      .endsWith("89"))
+  }
+
   test("asofBackward attaches latest right row at-or-before each left row") {
     val s = spark
     import s.implicits._
