@@ -67,5 +67,24 @@ object EdgeQueries {
       Some("""SELECT r_regionkey, 2 + 3 * 4 AS arith_v,
         UPPER('abc') AS upper_v, 'a' || 'b' AS concat_v,
         CAST(NULL AS INT) AS null_v,
-        CASE WHEN 1 > 2 THEN 't' ELSE 'f' END AS cond_v FROM region""")))
+        CASE WHEN 1 > 2 THEN 't' ELSE 'f' END AS cond_v FROM region""")),
+
+    // non-ASCII string semantics: codepoint-counting length, case
+    // mapping, substring, byte-based hash — engines must agree on all
+    // four for multilingual corpora (length() counts CODEPOINTS in both
+    // Spark and DuckDB; md5 works on UTF-8 bytes in both)
+    Q("q_edge_unicode",
+      (s, d) => Tables.region(s, d).select(
+        col("r_regionkey"),
+        length(lit("héllo wörld 你好")).as("len_cp"),
+        upper(lit("héllo")).as("upper_u"),
+        substring(lit("你好世界"), 2, 2).as("substr_u"),
+        md5(lit("héllo 你好")).as("md5_u"),
+        reverse(lit("abc日本")).as("rev_u")),
+      Some("""SELECT r_regionkey,
+        length('héllo wörld 你好') AS len_cp,
+        UPPER('héllo') AS upper_u,
+        SUBSTRING('你好世界', 2, 2) AS substr_u,
+        md5('héllo 你好') AS md5_u,
+        REVERSE('abc日本') AS rev_u FROM region""")))
 }
