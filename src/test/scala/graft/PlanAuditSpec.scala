@@ -25,16 +25,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("relational queries never degrade to cartesian products") {
-    val relational = Seq("q_join_left", "q_join_semi", "q_join_anti",
-      "q_join_lookup", "q_join_theta", "q_join_range", "q_join_asof",
-      "q_join_insubquery", "q_dedup_minhash_pairs", "q_dedup_ngram_pairs",
-      "q_dedup_embed_pairs", "q_ann_bucketed", "q_edge_dup_join")
-    relational.foreach { n =>
-      val p = plan(n)
-      assert(!p.contains("CartesianProduct"),
-        s"$n plans a cartesian product")
+  test("NO query in the registry plans a cartesian product") {
+    // the whole inventory: an unbroadcast cross join anywhere is a
+    // 100 TB-scale bug regardless of whether the query "passes"
+    val offenders = queries.Registry.all.flatMap { q =>
+      val p = q.run(spark, sfDir).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      if (p.contains("CartesianProduct")) Some(q.name) else None
     }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
   test("aggregates are partial-then-final (map-side combine present)") {
