@@ -328,6 +328,35 @@ object TrainingQueries {
             s" AS feat_$i").mkString(", ")}
         FROM documents""")),
 
+    // H3InclusionIndexFilterOperator analog: polygon inclusion as a cheap
+    // grid/bbox prefilter (the index role — prunes most rows) + exact
+    // JTS ST_Contains verification. Oracle: strict sign tests against the
+    // triangle's edges (both sides exclude the boundary; the triangle's
+    // lattice points are excluded by construction of the x/y mapping).
+    Q("q_geo_inclusion",
+      (s, d) => {
+        import graft.functions.Jts
+        val pts = Tables.customer(s, d).select(col("c_custkey"),
+          (col("c_custkey") % 100).cast("double").as("x"),
+          ((col("c_custkey") * 7) % 100).cast("double").as("y"))
+        val tri = "POLYGON ((0 0, 97 13, 41 89, 0 0))"
+        pts
+          // index-role prefilter: triangle bbox [0,97]×[0,89]
+          .filter(col("x") >= 0 && col("x") <= 97 &&
+            col("y") >= 0 && col("y") <= 89)
+          .filter(Jts.stContains(lit(tri),
+            Jts.stPointWkt(col("x"), col("y"))))
+          .select(col("c_custkey"), col("x"), col("y"))
+      },
+      Some("""SELECT c_custkey, x, y FROM (
+          SELECT c_custkey,
+            CAST(c_custkey % 100 AS DOUBLE) AS x,
+            CAST((c_custkey * 7) % 100 AS DOUBLE) AS y
+          FROM customer)
+        WHERE 97*y - 13*x > 0
+          AND -56*(y - 13) - 76*(x - 97) > 0
+          AND -41*(y - 89) + 89*(x - 41) > 0""")),
+
     // JTS-backed ST_* + STUnion: disjoint boxes per supplier; union area
     // per nation = sum of box areas (disjointness makes the oracle exact)
     Q("q_geo_jts",
