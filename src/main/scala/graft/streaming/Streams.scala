@@ -93,6 +93,36 @@ object Streams {
       }
   }
 
+  final case class DeletableEvent(userId: Long, eventType: String, ts: Long,
+                                  value: Double, deleted: Boolean)
+  final case class DeletableOut(userId: Long, eventType: String, ts: Long,
+                                value: Double, tombstoned: Boolean)
+
+  /** Streaming FULL upsert with a delete-record column
+    * (`UpsertConfig.deleteRecordColumn`): the newest record wins, and if
+    * it carries the delete flag the key is TOMBSTONED — emitted with
+    * `tombstoned=true` so a downstream view filters it out, while the
+    * state survives so an out-of-order older record cannot resurrect the
+    * key. A newer live write does revive it (same as the batch
+    * `latestViewWithDeletes`). */
+  def upsertLatestWithDeletes(events: Dataset[DeletableEvent])
+  : Dataset[DeletableOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => UpsertKey(e.userId, e.eventType))
+      .mapGroupsWithState[DeletableState, DeletableOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (key, batch, state: GroupState[DeletableState]) =>
+          val prev = state.getOption
+            .getOrElse(DeletableState(Long.MinValue, 0d, deleted = false))
+          val best = (batch.map(e => DeletableState(e.ts, e.value, e.deleted))
+            ++ Iterator(prev)).maxBy(_.ts)
+          state.update(best)
+          DeletableOut(key.userId, key.eventType, best.ts, best.value,
+            best.deleted)
+      }
+  }
+  final case class DeletableState(ts: Long, value: Double, deleted: Boolean)
+
   /** PARTIAL-upsert state: per-key merged columns under the reference's
     * per-column strategies (UpsertConfig.Strategy — the streaming twin of
     * Upsert.partialUpsert). */

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.NullHandling
 import graft.sources.Ingest
 import org.apache.spark.sql.functions._
 
@@ -34,6 +35,25 @@ class IngestSpec extends SparkSpec {
       schema = Some(src.schema))
     assert(withSchema.count() == src.count())
     assert(withSchema.filter(col("n_name") === "n_name").count() == 0)
+  }
+
+  test("schema evolution: added column backfills sentinel default") {
+    // Pinot adds columns to existing tables with defaultNullValue backfill
+    // (FieldSpec); parquet analog: mergeSchema union of old/new segments,
+    // then the null-sentinel pipeline fills the missing values
+    val s = spark
+    import s.implicits._
+    val dir = s"$tmp/evolve"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$dir/seg1")
+    Seq((3L, "c", 7.5)).toDF("id", "name", "score")
+      .write.mode("overwrite").parquet(s"$dir/seg2")
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/seg1", s"$dir/seg2")
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val filled = NullHandling.sentinelFill(merged, metrics = Set("score"))
+    val rows = filled.orderBy(col("id")).collect()
+    assert(rows.map(_.getAs[Double]("score")).toSeq == Seq(0.0, 0.0, 7.5))
   }
 
   test("pipeline applies transform stages in reference order") {

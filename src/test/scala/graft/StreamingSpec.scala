@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSpec {
     assert(last == 3.0)
   }
 
+  test("streaming upsert delete flag tombstones; late old write can't revive") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Streams.DeletableEvent]
+    val q = Streams.upsertLatestWithDeletes(mem.toDS())
+      .writeStream.format("memory").queryName("upsert_del_t")
+      .outputMode("update").start()
+    mem.addData(Streams.DeletableEvent(1L, "click", 100L, 1.0, false))
+    q.processAllAvailable()
+    mem.addData(Streams.DeletableEvent(1L, "click", 200L, 0.0, true)) // delete
+    q.processAllAvailable()
+    mem.addData(Streams.DeletableEvent(1L, "click", 150L, 9.0, false)) // late
+    q.processAllAvailable()
+    val afterLate = s.sql("""SELECT tombstoned FROM upsert_del_t
+      WHERE ts = (SELECT max(ts) FROM upsert_del_t)""").head().getBoolean(0)
+    assert(afterLate) // still tombstoned — the late older write lost
+    mem.addData(Streams.DeletableEvent(1L, "click", 300L, 7.0, false))
+    q.processAllAvailable()
+    q.stop()
+    val revived = s.sql("""SELECT value, tombstoned FROM upsert_del_t
+      WHERE ts = 300""").head()
+    assert(revived.getDouble(0) == 7.0 && !revived.getBoolean(1))
+  }
+
   test("streaming partial upsert merges strategies incrementally") {
     val s = spark
     import s.implicits._
