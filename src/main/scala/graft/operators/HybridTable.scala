@@ -38,4 +38,29 @@ object HybridTable {
       .agg(count_distinct(col("token")).as("nt"))
       .filter(col("nt") === terms.length)
       .select(col(idCol))
+
+  /** POSITIONAL inverted index (Lucene-style postings with positions):
+    * (id, token, pos). The extra column is what phrase queries need —
+    * same bucketed-by-token layout at scale. */
+  def positionalTextIndex(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame =
+    docs.select(col(idCol),
+      posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "token")))
+
+  /** Phrase TEXT_MATCH ('"w1 w2 …"' in Lucene syntax): docs where the
+    * terms occur at CONSECUTIVE positions. Each adjacent term pair is an
+    * equi-join on (id, position offset) over the positional postings —
+    * intersections stay keyed, no corpus scan, no cross join. */
+  def matchPhrase(posIndex: DataFrame, idCol: String, phrase: Seq[String])
+  : DataFrame = {
+    require(phrase.nonEmpty)
+    val first = posIndex.filter(col("token") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (term, i)) =>
+      val next = posIndex.filter(col("token") === term)
+        .select(col(idCol), (col("pos") - i).as("pos"))
+      acc.join(next, Seq(idCol, "pos"))
+    }.select(col(idCol)).distinct()
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Par, ParSql, Q, Tables}
 import graft.functions.{Geo, TextAnalysis => TA, Vectors}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, HybridTable, Multimodal, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -327,6 +327,22 @@ object TrainingQueries {
           s"CAST((${hash60Sql(s"text || '#$i'")}) % 1000 AS DOUBLE) / 1000.0" +
             s" AS feat_$i").mkString(", ")}
         FROM documents""")),
+
+    // Lucene-style phrase TEXT_MATCH over the positional inverted index:
+    // adjacent-position postings intersections (keyed equi-joins), never a
+    // corpus scan. Oracle walks the token list for an adjacent bigram.
+    Q("q_text_phrase",
+      (s, d) => {
+        val idx = HybridTable.positionalTextIndex(
+          Tables.documents(s, d), "text", "doc_id")
+        HybridTable.matchPhrase(idx, "doc_id", Seq("table", "hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id FROM (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents)
+        WHERE len(list_filter(range(1, len(tk)),
+          i -> tk[i] = 'table' AND tk[i+1] = 'hash')) > 0
+        ORDER BY doc_id""")),
 
     // H3InclusionIndexFilterOperator analog: polygon inclusion as a cheap
     // grid/bbox prefilter (the index role — prunes most rows) + exact
