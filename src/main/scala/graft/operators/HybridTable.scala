@@ -48,6 +48,20 @@ object HybridTable {
       posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
         .as(Seq("pos", "token")))
 
+  /** TF-IDF relevance over the postings (Lucene scoring role): per (doc,
+    * token) tf × ln(N/df). One aggregation over the index builds tf; df
+    * is a token-keyed aggregate broadcast back — all keyed operations,
+    * proportional to |postings|, never a corpus scan. */
+  def tfIdf(index: DataFrame, idCol: String, nDocs: Long): DataFrame = {
+    val tf = index.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = index.groupBy(col("token"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    tf.join(broadcast(df_), "token")
+      .select(col(idCol), col("token"),
+        (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tfidf"))
+  }
+
   /** Phrase TEXT_MATCH ('"w1 w2 …"' in Lucene syntax): docs where the
     * terms occur at CONSECUTIVE positions. Each adjacent term pair is an
     * equi-join on (id, position offset) over the positional postings —

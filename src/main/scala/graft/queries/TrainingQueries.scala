@@ -328,6 +328,32 @@ object TrainingQueries {
             s" AS feat_$i").mkString(", ")}
         FROM documents""")),
 
+    // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
+    // the Lucene scoring role over the same postings. r6 on both sides
+    // absorbs libm log ulp differences; unique doc_id breaks rank ties.
+    Q("q_text_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // per-occurrence postings (invertedTextIndex dedups tokens; tf
+        // needs every occurrence)
+        val full = docs.select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+        HybridTable.tfIdf(full, "doc_id", docs.count())
+          .filter(col("token") === "vector")
+          .select(col("doc_id"), Par.r6(col("tfidf")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(${toksSql("text")}) AS token
+          FROM documents)
+        SELECT doc_id, ROUND(tf * ln(
+            (SELECT COUNT(*) FROM documents) / df), 6) AS score
+        FROM (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+              WHERE token = 'vector' GROUP BY doc_id, token) tf_t
+        JOIN (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+              GROUP BY token) df_t USING (token)
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // Lucene-style phrase TEXT_MATCH over the positional inverted index:
     // adjacent-position postings intersections (keyed equi-joins), never a
     // corpus scan. Oracle walks the token list for an adjacent bigram.
