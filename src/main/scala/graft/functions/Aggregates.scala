@@ -128,6 +128,18 @@ object Aggregates {
       coalesce(sum(when(b === i, 1L)), lit(0L))): _*)
   }
 
+  /** Bucket index for ARBITRARY ascending edges (the reference's
+    * histogram(col, ARRAY[e0, e1, …]) form): bucket i covers
+    * [e_i, e_{i+1}); values below e_0 → bucket 0 clamp is NOT applied —
+    * they fall out (-1), above the last edge → last bucket, matching
+    * HistogramAggregationFunction's edge semantics. */
+  def bucketOfEdges(c: Column, edges: Seq[Double]): Column =
+    edges.init.zipWithIndex.foldRight(
+      when(c >= edges.last, edges.size - 2).otherwise(-1): Column) {
+      case ((e, i), els) =>
+        when(c >= e && c < edges(i + 1), i).otherwise(els)
+    }.cast("int")
+
   // ---- exact-moment machinery -------------------------------------------
   // The variance/skewness/kurtosis family (Variance/FourthMoment
   // AggregationFunction) is order-sensitive in double arithmetic. For

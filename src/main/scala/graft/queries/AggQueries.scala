@@ -394,6 +394,22 @@ object AggQueries {
           AS nd_common,
         (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_groups""")),
 
+    // histogram with ARBITRARY edges (HistogramAggregationFunction's
+    // explicit-bin form)
+    Q("q_agg_histogram_edges",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(Ag.bucketOfEdges(col("o_totalprice"),
+          Seq(0, 50000, 150000, 300000, 1e9)).as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT CASE
+          WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+          WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 1
+          WHEN o_totalprice >= 150000 AND o_totalprice < 300000 THEN 2
+          WHEN o_totalprice >= 1000000000 THEN 3
+          WHEN o_totalprice >= 300000 AND o_totalprice < 1000000000 THEN 3
+          ELSE -1 END AS bucket, COUNT(*) AS cnt
+        FROM orders GROUP BY 1""")),
+
     // Grouping sets (superset — SURVEY §2.5 notes the reference supports
     // none; Spark's rollup/cube come free with the same partial-agg plan).
     // Group keys coalesce to a sentinel so subtotal rows sort/hash stably.
