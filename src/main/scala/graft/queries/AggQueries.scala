@@ -437,6 +437,21 @@ object AggQueries {
         COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // percentileRawEst: the SERIALIZED quantile sketch is the result
+    // (rows-only — sketch bytes are library-specific; the spec bounds the
+    // estimates against exact percentiles and checks merge == one-shot)
+    Q("q_agg_percentile_raw",
+      (s, d) => {
+        import graft.functions.KllSketch
+        Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(KllSketch.percentileRawAgg(col("l_extendedprice")).as("sk"))
+          .select(col("l_returnflag"),
+            KllSketch.kllQuantile(col("sk"), lit(0.5)).as("p50_est"),
+            KllSketch.kllN(col("sk")).as("n_items"),
+            length(col("sk")).as("sketch_bytes"))
+      },
+      None),
+
     Q("q_agg_hll_sketch",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))

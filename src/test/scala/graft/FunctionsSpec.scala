@@ -185,6 +185,31 @@ class FunctionsSpec extends SparkSpec {
     assert(u == i + d1 + d2)
   }
 
+  test("KLL raw percentile sketch: rank-error bound and merge == one-shot") {
+    import graft.functions.KllSketch
+    val li = Tables.lineitem(spark, sfDir)
+    val sk = li.agg(KllSketch.percentileRawAgg(col("l_extendedprice"))
+      .as("sk"))
+    val Array(est, n) = sk.select(
+      KllSketch.kllQuantile(col("sk"), lit(0.5)),
+      KllSketch.kllN(col("sk"))).head.toSeq.map(_.toString.toDouble).toArray
+    assert(n == li.count())
+    // the estimate's RANK must be within the k=200 bound (~1.65%) of 0.5
+    val rank = li.filter(col("l_extendedprice") <= est).count().toDouble /
+      li.count()
+    assert(math.abs(rank - 0.5) < 0.03, s"rank $rank too far from 0.5")
+    // merging per-group sketches must see every item the one-shot saw
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(KllSketch.percentileRawAgg(col("l_extendedprice")).as("sk"))
+      .agg(sum(KllSketch.kllN(col("sk")))).head.getLong(0)
+    assert(merged == li.count())
+    // native TypedImperativeAggregate and portable Aggregator agree on N
+    val nPortable = li.agg(KllSketch.kllN(
+      KllSketch.percentileRawAggPortable(col("l_extendedprice"))))
+      .head.getLong(0)
+    assert(nPortable == li.count())
+  }
+
   test("membership + frequency sketches: bloom filter and count-min") {
     // BloomFilterIdSet role (reference query/utils/idset/BloomFilterIdSet):
     // a compact membership sketch shippable as a broadcast filter literal
