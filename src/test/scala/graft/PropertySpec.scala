@@ -82,6 +82,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash pigeonhole blocking finds EXACTLY the brute-force pairs") {
+    val s = spark
+    import s.implicits._
+    // random near-dup-rich corpus: base texts plus 1-token perturbations
+    val base = (1L to 12L).map(i => (i, sample(text, i)))
+    val corpus = (base ++ base.map { case (i, t) =>
+      (i + 100, t.split(" ").drop(1).mkString(" ")) })
+      .toDF("doc_id", "text")
+    val blocked = graft.operators.Dedup
+      .simHashPairsWithin(corpus, "text", "doc_id", 64, 3)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same 64-bit simhashes
+    val hs = graft.operators.Dedup.simHashes(corpus, "text", "doc_id", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(blocked == brute) // perfect recall AND precision
+  }
+
+  test("upsert tombstone view is input-order invariant") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, 10L, "a", false), (1L, 30L, "b", true), (1L, 20L, "c", false),
+      (2L, 10L, "x", false), (2L, 20L, "y", false),
+      (3L, 10L, "gone", true))
+    Seq(events, events.reverse, scala.util.Random.javaRandomToRandom(
+      new java.util.Random(42)).shuffle(events)).foreach { perm =>
+      val out = graft.operators.Upsert.latestViewWithDeletes(
+        perm.toDF("pk", "cmp", "v", "del"), Seq("pk"), Seq("cmp"), "del")
+        .select(col("pk"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out == Set((2L, "y"))) // 1 tombstoned at 30, 3 tombstoned
+    }
+  }
+
   test("dot product is symmetric; self-dot non-negative") {
     val s = spark
     import s.implicits._
