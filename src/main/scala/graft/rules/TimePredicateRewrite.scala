@@ -123,5 +123,57 @@ case class TimePredicateRewrite(dummy: Boolean = true)
       // year(ts) = Y → half-open year range on the raw column
       case EqualTo(YearOf(c), Literal(v: Int, IntegerType)) => yearRange(c, v)
       case EqualTo(Literal(v: Int, IntegerType), YearOf(c)) => yearRange(c, v)
+      // date_trunc(unit, ts) = T → half-open [T, T + unit) when T is
+      // unit-aligned (trunc output is always aligned, so an unaligned
+      // literal can never match — left untouched, constant-folding's job)
+      case EqualTo(TruncOf(c, unit), lit @ Literal(_, _))
+        if truncRange(c, unit, lit).isDefined => truncRange(c, unit, lit).get
+      case EqualTo(lit @ Literal(_, _), TruncOf(c, unit))
+        if truncRange(c, unit, lit).isDefined => truncRange(c, unit, lit).get
     }
+
+  /** date_trunc(unit, col): unit literal + ts column, UTC session only. */
+  private object TruncOf {
+    def unapply(e: Expression): Option[(Expression, String)] = e match {
+      case TruncTimestamp(Literal(fmt, StringType), c, _)
+        if isTs(c.dataType) && utcSession =>
+        Some((c, fmt.toString.toLowerCase))
+      case _ => None
+    }
+  }
+
+  private def truncRange(c: Expression, unit: String, lit: Literal)
+  : Option[Expression] = {
+    val micros = lit.value match {
+      case l: java.lang.Long => l.longValue
+      case _ => return None
+    }
+    if (!isTs(lit.dataType)) return None
+    val instant = java.time.Instant.ofEpochSecond(
+      math.floorDiv(micros, 1000000L),
+      math.floorMod(micros, 1000000L) * 1000L)
+    val zdt = instant.atZone(ZoneOffset.UTC)
+    import java.time.temporal.ChronoUnit
+    val (truncated, next) = unit match {
+      case "hour" => (zdt.truncatedTo(ChronoUnit.HOURS), zdt.plusHours(1))
+      case "day" => (zdt.truncatedTo(ChronoUnit.DAYS), zdt.plusDays(1))
+      case "week" =>
+        val t = zdt.truncatedTo(ChronoUnit.DAYS)
+          .minusDays((zdt.getDayOfWeek.getValue - 1).toLong)
+        (t, zdt.plusWeeks(1))
+      case "month" | "mon" | "mm" =>
+        (zdt.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1), zdt.plusMonths(1))
+      case "year" | "yyyy" | "yy" =>
+        (zdt.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1), zdt.plusYears(1))
+      case _ => return None
+    }
+    // only aligned literals rewrite (unaligned never match trunc output)
+    if (truncated.toInstant != instant) None
+    else {
+      val hiMicros = next.toInstant.getEpochSecond * 1000000L +
+        next.toInstant.getNano / 1000L
+      Some(And(GreaterThanOrEqual(c, Literal(micros, c.dataType)),
+        LessThan(c, Literal(hiMicros, c.dataType))))
+    }
+  }
 }

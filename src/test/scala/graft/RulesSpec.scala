@@ -75,6 +75,25 @@ class RulesSpec extends SparkSpec {
       }
   }
 
+  test("date_trunc(unit, ts) = T becomes a pushed half-open range") {
+    val orders = Tables.orders(spark, sfDir)
+    val df = orders.filter(
+      date_trunc("month", col("o_orderdate")) ===
+        lit("1997-03-01 00:00:00").cast("timestamp"))
+    assert(pushedFilters(df).contains("GreaterThanOrEqual(o_orderdate") &&
+      pushedFilters(df).contains("LessThan(o_orderdate"),
+      s"expected pushed month range:\n${pushedFilters(df)}")
+    val expect = orders.filter(
+      col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp")).count()
+    assert(df.count() == expect)
+    // unaligned literal: no rewrite, semantics preserved (matches nothing)
+    val none = orders.filter(
+      date_trunc("day", col("o_orderdate")) ===
+        lit("1997-03-01 12:30:00").cast("timestamp")).count()
+    assert(none == 0)
+  }
+
   test("year(ts) = Y becomes a pushed half-open range") {
     val orders = Tables.orders(spark, sfDir)
     val df = orders.filter(year(col("o_orderdate")) === 1997)
