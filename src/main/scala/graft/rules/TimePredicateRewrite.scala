@@ -156,7 +156,7 @@ case class TimePredicateRewrite(dummy: Boolean = true)
     import java.time.temporal.ChronoUnit
     val (truncated, next) = unit match {
       case "hour" => (zdt.truncatedTo(ChronoUnit.HOURS), zdt.plusHours(1))
-      case "day" => (zdt.truncatedTo(ChronoUnit.DAYS), zdt.plusDays(1))
+      case "day" | "dd" => (zdt.truncatedTo(ChronoUnit.DAYS), zdt.plusDays(1))
       case "week" =>
         val t = zdt.truncatedTo(ChronoUnit.DAYS)
           .minusDays((zdt.getDayOfWeek.getValue - 1).toLong)
