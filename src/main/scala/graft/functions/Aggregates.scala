@@ -156,19 +156,27 @@ object Aggregates {
   }
 
   /** Scaled-long power sums: quantize the 2-dp column to q = round(x·100),
-    * take per-row powers in primitive longs (q ≤ 10^6 keeps q² ≤ 10^12 and
-    * q²·q² ≤ 10^24 — q³/q⁴ products stay in range for |x| < 10^4), and
-    * de-scale after the exact sum. Same exact values as [[powerSums]], but
-    * the hot path is integer multiplies instead of the BigDecimal chain the
-    * (6,2)-decimal powers fall into (precision > 18 from d³ up). S3/S4
-    * totals exceed long range quickly (q⁴ ≤ 6.25·10¹⁴ per row), so they
-    * accumulate in DECIMAL(38,0) — per-row values stay compact longs, and
-    * the sums are exact at any row count. S1/S2 totals fit long through
-    * ~10¹² rows. Returns s1..s4 as already-descaled doubles; divide-after-
-    * cast order is part of the oracle contract (both engines cast the exact
-    * integer sum to double, then divide by the same power of ten). */
+    * take per-row powers in primitive longs, and de-scale after the exact
+    * sum. Same exact values as [[powerSums]], but the hot path is integer
+    * multiplies instead of the BigDecimal chain the (6,2)-decimal powers
+    * fall into (precision > 18 from d³ up). The per-row q⁴ product bounds
+    * the safe domain: q⁴ ≤ Long.Max requires |q| ≤ 55108, i.e. **|x| ≤
+    * 551**. Inputs outside that raise an error at runtime (one primitive
+    * compare per row) rather than wrapping silently — for wider columns use
+    * [[powerSums]]. S3/S4 totals exceed long range quickly (q⁴ ≤ 9.2·10¹⁸
+    * per row), so they accumulate in DECIMAL(38,0) — per-row values stay
+    * compact longs, and the sums are exact at any row count. S1/S2 totals
+    * fit long through ~10¹² rows. Returns s1..s4 as already-descaled
+    * doubles; divide-after-cast order is part of the oracle contract (both
+    * engines cast the exact integer sum to double, then divide by the same
+    * power of ten). */
   def powerSumsScaled(c: Column): Seq[Column] = {
-    val q = round(c * 100).cast("long")
+    // floor(Long.Max ** 0.25): beyond this q²·q² wraps in long arithmetic.
+    val safeQ = 55108L
+    val q0 = round(c * 100).cast("long")
+    val q = when(abs(q0) > safeQ,
+      raise_error(concat(lit("powerSumsScaled: |x| > 551 overflows q^4: "),
+        q0.cast("string"))).cast("long")).otherwise(q0)
     val q2 = q * q
     Seq(
       sum(q).cast("double") / 1e2,

@@ -58,12 +58,19 @@ object KllSketch {
   /** Aggregator-based formulation (spec reference / non-sql-internal). */
   def percentileRawAggPortable(c: Column): Column = udaf(aggregator).apply(c)
 
-  /** Quantile estimate from a serialized sketch (broker-side finish). */
+  /** Quantile estimate from a serialized sketch (broker-side finish).
+    * A serialized EMPTY sketch (all-null group from the native agg) is
+    * non-empty bytes but has no items — getQuantile would throw, so it
+    * maps to NaN like the zero buffer. */
   val kllQuantile = udf((b: Array[Byte], p: Double) =>
-    if (b.isEmpty) Double.NaN
-    else KllDoublesSketch.heapify(Memory.wrap(b)).getQuantile(p))
+    if (b == null || b.isEmpty) Double.NaN
+    else {
+      val s = KllDoublesSketch.heapify(Memory.wrap(b))
+      if (s.isEmpty) Double.NaN else s.getQuantile(p)
+    })
 
   /** Items seen by a serialized sketch (merge sanity checks). */
   val kllN = udf((b: Array[Byte]) =>
-    if (b.isEmpty) 0L else KllDoublesSketch.heapify(Memory.wrap(b)).getN)
+    if (b == null || b.isEmpty) 0L
+    else KllDoublesSketch.heapify(Memory.wrap(b)).getN)
 }

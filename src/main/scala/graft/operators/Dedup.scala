@@ -87,7 +87,8 @@ object Dedup {
     * blocking is the degenerate d=0 table and keeps the oracle exact.) */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    nBits: Int = 16): DataFrame = {
-    val h = simHashes(df, textCol, idCol, nBits).cache()
+    val h = simHashes(df, textCol, idCol, nBits) // already persisted
+
     h.as("a").join(h.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -102,39 +103,64 @@ object Dedup {
     * value) has perfect recall. Candidates verify with one bit_count(xor).
     * Scale: an equi-join on the chunk key — |candidates| ≈
     * (maxDist+1)·Σ|bucket|², never an unblocked cross join. */
-  def simHashPairsWithin(df: DataFrame, textCol: String, idCol: String,
-                         nBits: Int, maxDist: Int): DataFrame = {
+  /** (chunk index, right-shift, mask) per pigeonhole chunk. Scala shifts
+    * are mod 64: `1L << 64` wraps to 1, so a full-width chunk (maxDist=0
+    * with nBits=64) needs the explicit all-ones mask — otherwise every
+    * blocking key collapses to 0 and the equi-join silently degenerates
+    * into an all-pairs cross join. */
+  private[graft] def chunkSpecs(nBits: Int, maxDist: Int)
+  : Seq[(Int, Int, Long)] = {
     val chunks = maxDist + 1
     val base = nBits / chunks
-    val h = simHashes(df, textCol, idCol, nBits).cache()
+    (0 until chunks).map { c =>
+      val width = if (c == chunks - 1) nBits - c * base else base
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      (c, c * base, mask)
+    }
+  }
+
+  def simHashPairsWithin(df: DataFrame, textCol: String, idCol: String,
+                         nBits: Int, maxDist: Int): DataFrame = {
+    val h = simHashes(df, textCol, idCol, nBits) // already persisted
     // chunk c covers bits [c*base, (c+1)*base), the last chunk also takes
     // the nBits % chunks remainder
     val keyed = h.select(col(idCol), col("simhash"),
-      explode(array((0 until chunks).map { c =>
-        val width = if (c == chunks - 1) nBits - c * base else base
-        val mask = (1L << width) - 1
+      explode(array(chunkSpecs(nBits, maxDist).map { case (c, shift, mask) =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * base).bitwiseAND(mask).as("key"))
+          shiftright(col("simhash"), shift).bitwiseAND(mask).as("key"))
       }: _*)).as("b"))
     val a = keyed.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
       col("b"))
     val bb = keyed.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
       col("b"))
-    a.join(bb, Seq("b")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(bb, Seq("b")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TA.simHashDistance(col("h_a"), col("h_b")).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+    // pairs << signatures: persist the small output eagerly so the big
+    // signature cache can be released instead of living for the session
+    val out = pairs.persist()
+    out.count()
+    h.unpersist(false)
+    out
   }
 
   /** Staged SimHash computation: token-hash arrays materialize once, the
-    * nBits bit-votes read the cached column. */
+    * nBits bit-votes read the cached column. The returned signature table
+    * (id + one long per row) is persisted eagerly so the much larger
+    * intermediate token-hash cache can be released immediately instead of
+    * living for the session; callers that are done with the signatures
+    * (e.g. [[simHashPairsWithin]]) unpersist the returned frame. */
   def simHashes(df: DataFrame, textCol: String, idCol: String, nBits: Int)
   : DataFrame = {
     val withHashes = df.select(col(idCol),
       TA.tokenHashes(col(textCol)).as("th")).cache()
-    withHashes.select(col(idCol),
-      TA.simHashFromHashes(col("th"), nBits).as("simhash"))
+    val out = withHashes.select(col(idCol),
+      TA.simHashFromHashes(col("th"), nBits).as("simhash")).persist()
+    out.count()
+    withHashes.unpersist(false)
+    out
   }
 
   /** n-gram Jaccard near-dups within a blocking key (e.g. source or length

@@ -74,12 +74,49 @@ object Similarity {
     * mirrors that lifecycle, so repeated queries reuse the clustering. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
+  /** How many built IVF indexes to keep cached (LRU). Test hook: specs
+    * shrink it to exercise eviction. */
+  private[graft] var ivfCacheCapacity = 4
+
+  // LRU keyed by (session identity, snapshot key, nCentroids). Evicted
+  // entries unpersist their cached assignment so a long-lived session
+  // cycling corpus snapshots can't accumulate executor memory; keying on
+  // the session identity keeps entries from a stopped SparkSession from
+  // being served to a new one.
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), IvfIndex]
+    new java.util.LinkedHashMap[(Int, String, Int), IvfIndex](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int), IvfIndex]): Boolean = {
+        val evict = size() > ivfCacheCapacity
+        if (evict) {
+          try e.getValue.assigned.unpersist(false)
+          catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
+
+  private[graft] def ivfCacheKeys: Set[(Int, String, Int)] =
+    ivfCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      ivfCache.keySet.asScala.toSet
+    }
+
+  /** Drop every cached index (unpersisting each). Test hook / explicit
+    * invalidation for in-place corpus rewrites. */
+  def ivfCacheClear(): Unit = ivfCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    ivfCache.values.asScala.foreach { ix =>
+      try ix.assigned.unpersist(false) catch { case _: Throwable => () }
+    }
+    ivfCache.clear()
+  }
 
   /** Build (or fetch the cached) IVF index for a corpus. `cacheKey`
-    * identifies the corpus snapshot (e.g. its path) — pass None to force
-    * a fresh build (mutable data). */
+    * identifies the corpus SNAPSHOT — it must change whenever the corpus
+    * content changes (a path alone is not enough if data is rewritten in
+    * place; include a version/mtime). Pass None to force a fresh build
+    * (mutable data). */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int, cacheKey: Option[String]): IvfIndex = {
     def build(): IvfIndex = {
@@ -93,14 +130,24 @@ object Similarity {
         .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
           col("prediction").as("cell"),
           Vectors.norm2(col(vecCol)).as("cn")).cache()
+      // index build is eager (load-time lifecycle): materialize the
+      // assignment, then drop the training-features cache
+      assigned.count()
+      feats.unpersist(false)
       val centroids = corpus.sparkSession.createDataFrame(
         model.clusterCenters.zipWithIndex.toSeq
           .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
         .toDF("cell", "centroid")
       IvfIndex(assigned, centroids)
     }
-    cacheKey.fold(build())(k =>
-      ivfCache.getOrElseUpdate((k, nCentroids), build()))
+    cacheKey.fold(build()) { k =>
+      val key = (System.identityHashCode(corpus.sparkSession), k, nCentroids)
+      ivfCache.synchronized {
+        val hit = ivfCache.get(key)
+        if (hit != null) hit
+        else { val built = build(); ivfCache.put(key, built); built }
+      }
+    }
   }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus into

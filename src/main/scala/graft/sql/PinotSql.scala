@@ -116,9 +116,14 @@ object PinotSql {
       val (fills, keys) = splitTop(items).partition(
         _.toUpperCase.startsWith("FILL("))
       val fillModes = fills.map {
-        case FillRe(c, "PREVIOUS_VALUE", _) => c -> Gapfill.FillPrevious
-        case FillRe(c, "DEFAULT_VALUE", d) =>
-          c -> Gapfill.FillDefault(if (d == null) lit(null) else expr(d))
+        // the regex is (?i): normalize the captured mode before matching
+        case FillRe(c, mode, d) => mode.toUpperCase match {
+          case "PREVIOUS_VALUE" => c -> Gapfill.FillPrevious
+          case "DEFAULT_VALUE" =>
+            c -> Gapfill.FillDefault(if (d == null) lit(null) else expr(d))
+          case other =>
+            throw new IllegalArgumentException(s"bad FILL mode: $other")
+        }
         case other =>
           throw new IllegalArgumentException(s"bad FILL spec: $other")
       }.toMap

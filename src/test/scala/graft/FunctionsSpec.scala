@@ -210,6 +210,35 @@ class FunctionsSpec extends SparkSpec {
     assert(nPortable == li.count())
   }
 
+  test("KLL quantile of an all-null group (serialized EMPTY sketch) is NaN") {
+    import graft.functions.KllSketch
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", null: java.lang.Double), ("g", null: java.lang.Double))
+      .toDF("k", "v")
+    val row = df.groupBy(col("k"))
+      .agg(KllSketch.percentileRawAgg(col("v")).as("sk"))
+      .select(KllSketch.kllQuantile(col("sk"), lit(0.5)).as("q"),
+        KllSketch.kllN(col("sk")).as("n")).head
+    assert(row.getAs[Double]("q").isNaN)
+    assert(row.getAs[Long]("n") == 0L)
+  }
+
+  test("powerSumsScaled raises instead of silently wrapping past |x|=551") {
+    import graft.functions.{Aggregates => Ag}
+    val s = spark
+    import s.implicits._
+    val ok = Seq(550.0, -550.0, 1.25).toDF("x")
+      .agg(Ag.powerSumsScaled(col("x")).head.as("s1")).head.getDouble(0)
+    assert(math.abs(ok - 1.25) < 1e-9)
+    val bad = Seq(10000.0).toDF("x")
+    val ex = intercept[Exception] {
+      bad.agg(Ag.powerSumsScaled(col("x")).last).collect()
+    }
+    assert(ex.getMessage.contains("powerSumsScaled") ||
+      Option(ex.getCause).exists(_.getMessage.contains("powerSumsScaled")))
+  }
+
   test("membership + frequency sketches: bloom filter and count-min") {
     // BloomFilterIdSet role (reference query/utils/idset/BloomFilterIdSet):
     // a compact membership sketch shippable as a broadcast filter literal

@@ -206,6 +206,49 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("ivf cache evicts and unpersists the oldest index beyond capacity") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val prev = Similarity.ivfCacheCapacity
+    Similarity.ivfCacheClear()
+    Similarity.ivfCacheCapacity = 1
+    try {
+      val i1 = Similarity.ivfIndex(emb, "vec_id", "embedding", 4,
+        Some("snapA"))
+      assert(i1.assigned.storageLevel.useMemory, "first index cached")
+      val i2 = Similarity.ivfIndex(emb, "vec_id", "embedding", 4,
+        Some("snapB"))
+      assert(!i1.assigned.storageLevel.useMemory,
+        "evicted index must be unpersisted")
+      assert(i2.assigned.storageLevel.useMemory, "new index cached")
+      val snaps = Similarity.ivfCacheKeys.map(_._2)
+      assert(snaps == Set("snapB"), s"cache keys: $snaps")
+    } finally {
+      Similarity.ivfCacheCapacity = prev
+      Similarity.ivfCacheClear()
+    }
+  }
+
+  test("simhash pigeonhole chunk masks cover full-width chunks (mod-64 " +
+    "shift hazard)") {
+    // maxDist=0, nBits=64 → a single 64-bit chunk: the mask must be all
+    // ones, not (1L << 64) - 1 == 0, which would collapse every blocking
+    // key to 0 (all-pairs join).
+    assert(Dedup.chunkSpecs(64, 0) == Seq((0, 0, -1L)))
+    // 64 bits over 3 chunks: 21+21+22, last mask covers the remainder
+    assert(Dedup.chunkSpecs(64, 2) == Seq(
+      (0, 0, (1L << 21) - 1), (1, 21, (1L << 21) - 1),
+      (2, 42, (1L << 22) - 1)))
+    // and the degenerate-key join still yields exactly the exact-match
+    // pairs for maxDist=0 at full width
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = Dedup.simHashPairsWithin(df, "text", "doc_id", 64, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("bucketedTopK only scores co-bucketed candidates") {
     val s = spark
     import s.implicits._

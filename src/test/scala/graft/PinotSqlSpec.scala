@@ -51,6 +51,19 @@ class PinotSqlSpec extends SparkSpec {
     assert(bRow0.isNullAt(bRow0.fieldIndex("v")))
   }
 
+  test("GAPFILL FILL mode matching is case-insensitive") {
+    val s = spark
+    import s.implicits._
+    Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "bucket", "v").createOrReplaceTempView("gf_ci")
+    val out = PinotSql.sql(spark,
+      """SELECT GAPFILL(bucket, '2024-01-01 00:00:00',
+        '2024-01-01 01:00:00', 3600), k,
+        fill(v, 'fill_previous_value') FROM gf_ci""")
+      .orderBy(col("bucket")).collect()
+    assert(out.length == 2 && out(1).getAs[Double]("v") == 1.0)
+  }
+
   test("injectParser: Pinot dialect gated on spark.graft.sql.dialect") {
     Tables.registerAll(spark, sfDir)
     // dialect off: Pinot-isms are NOT intercepted
