@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lucene-subset TEXT_MATCH (reference
+  * `pinot-core/.../operator/filter/TextMatchFilterOperator.java` over
+  * `pinot-segment-local/.../invertedindex/RealtimeLuceneTextIndex.java`,
+  * query shapes from `TextSearchQueriesTest.java`): boolean `AND`/`OR`/
+  * `NOT`, `"phrase"` queries, trailing-`*` prefix wildcards, and
+  * parentheses, compiled onto the positional inverted index from
+  * [[HybridTable]] instead of a Lucene segment.
+  *
+  * Supported grammar (uppercase operators, Lucene-style):
+  * {{{
+  *   expr    := and ((OR)? and)*          -- bare adjacency defaults to OR,
+  *                                           except `a NOT b` = a AND NOT b
+  *   and     := unary (AND unary)*
+  *   unary   := NOT unary | primary
+  *   primary := '(' expr ')' | '"w1 w2 …"' | term | prefix*
+  * }}}
+  *
+  * Compilation is Spark-first: every leaf is a token-keyed postings lookup
+  * (with the index stored bucketed by token, a pruned scan — never a corpus
+  * scan); AND is a doc-id semi-join, OR a union-distinct, NOT an anti-join
+  * (against the other conjunct when one exists, else against the doc-id
+  * universe). All operations stay keyed — nothing materializes on the
+  * driver and no cross joins appear at any query size. */
+object TextMatch {
+  sealed trait Node
+  final case class Term(t: String) extends Node
+  final case class Prefix(p: String) extends Node
+  final case class Phrase(terms: Seq[String]) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(q: Node) extends Node
+
+  // ---- parser -----------------------------------------------------------
+
+  private val TokRe = "\"[^\"]*\"|\\(|\\)|[^\\s()\"]+".r
+
+  /** Parse a Lucene-subset query string into a [[Node]] tree. */
+  def parse(query: String): Node = {
+    val toks = TokRe.findAllIn(query).toList
+    require(toks.nonEmpty, s"empty TEXT_MATCH query: '$query'")
+    var rest = toks
+
+    def peek: Option[String] = rest.headOption
+    def next(): String = { val h = rest.head; rest = rest.tail; h }
+
+    def primary(): Node = next() match {
+      case "(" =>
+        val e = expr()
+        require(peek.contains(")"), s"unbalanced parens in '$query'")
+        next(); e
+      case q if q.startsWith("\"") =>
+        val words = q.stripPrefix("\"").stripSuffix("\"").toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        require(words.nonEmpty, s"empty phrase in '$query'")
+        if (words.length == 1) Term(words.head) else Phrase(words)
+      case w if w.endsWith("*") && w.length > 1 =>
+        Prefix(w.dropRight(1).toLowerCase)
+      case w =>
+        require(w != ")" && w != "AND" && w != "OR",
+          s"unexpected '$w' in '$query'")
+        Term(w.toLowerCase)
+    }
+
+    def unary(): Node =
+      if (peek.contains("NOT")) { next(); Not(unary()) } else primary()
+
+    def and(): Node = {
+      var acc = unary()
+      while (peek.contains("AND")) { next(); acc = And(acc, unary()) }
+      acc
+    }
+
+    def expr(): Node = {
+      var acc = and()
+      var done = false
+      while (!done) peek match {
+        case Some("OR") => next(); acc = Or(acc, and())
+        case Some(t) if t != ")" =>
+          // bare adjacency: Lucene's `a NOT b` means a AND NOT b;
+          // any other adjacent clause defaults to OR
+          val nxt = and()
+          acc = nxt match {
+            case Not(_) => And(acc, nxt)
+            case _ => Or(acc, nxt)
+          }
+        case _ => done = true
+      }
+      acc
+    }
+
+    val out = expr()
+    require(rest.isEmpty, s"trailing tokens ${rest.mkString(" ")} in '$query'")
+    out
+  }
+
+  // ---- compiler ---------------------------------------------------------
+
+  /** Compile a parsed query to the matching doc ids.
+    *
+    * @param posIndex positional postings (id, token, pos) from
+    *                 [[HybridTable.positionalTextIndex]]
+    * @param universe distinct doc ids (needed only for NOT without a
+    *                 positive conjunct)
+    */
+  def compile(posIndex: DataFrame, universe: DataFrame, idCol: String,
+              q: Node): DataFrame = {
+    def ids(n: Node): DataFrame = n match {
+      case Term(t) =>
+        posIndex.filter(col("token") === t).select(col(idCol)).distinct()
+      case Prefix(p) =>
+        posIndex.filter(col("token").startsWith(p))
+          .select(col(idCol)).distinct()
+      case Phrase(ts) => HybridTable.matchPhrase(posIndex, idCol, ts)
+      case And(l, Not(r)) => ids(l).join(ids(r), Seq(idCol), "left_anti")
+      case And(Not(l), r) => ids(r).join(ids(l), Seq(idCol), "left_anti")
+      case And(l, r) => ids(l).join(ids(r), Seq(idCol), "left_semi")
+      case Or(l, r) => ids(l).unionByName(ids(r)).distinct()
+      case Not(inner) => universe.join(ids(inner), Seq(idCol), "left_anti")
+    }
+    ids(q)
+  }
+
+  /** End-to-end TEXT_MATCH: docs whose `textCol` matches the Lucene-subset
+    * `query`. Builds the positional index inline — at scale, pre-build it
+    * once (bucketed by token) and call [[compile]] directly. */
+  def luceneMatch(docs: DataFrame, textCol: String, idCol: String,
+                  query: String): DataFrame = {
+    val idx = HybridTable.positionalTextIndex(docs, textCol, idCol)
+    val universe = docs.select(col(idCol)).distinct()
+    compile(idx, universe, idCol, parse(query))
+  }
+}

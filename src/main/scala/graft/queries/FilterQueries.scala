@@ -116,6 +116,25 @@ object FilterQueries {
         WHERE regexp_matches(text, '\bquery\b')
           AND regexp_matches(text, '\bplan\b|\bscan\b')""")),
 
+    // Lucene-grammar TEXT_MATCH (TextMatchFilterOperator query syntax:
+    // boolean + phrase + prefix wildcard + parens) compiled onto the
+    // positional inverted index — postings joins, never a corpus scan.
+    // Oracle replays the same tokenization in DuckDB list ops.
+    Q("q_filter_text_lucene",
+      (s, d) => graft.operators.TextMatch.luceneMatch(
+          Tables.documents(s, d), "text", "doc_id",
+          """"table part" AND str* OR (vector AND NOT slow)""")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE (len(list_filter(range(1, len(tk)),
+                 i -> tk[i] = 'table' AND tk[i+1] = 'part')) > 0
+               AND len(list_filter(tk, w -> starts_with(w, 'str'))) > 0)
+           OR (list_contains(tk, 'vector')
+               AND NOT list_contains(tk, 'slow'))
+        ORDER BY doc_id""")),
+
     // JSON_MATCH (JsonMatchFilterOperator → json-path predicate rewrite)
     Q("q_filter_json_match",
       (s, d) => Tables.events(s, d)
