@@ -1,9 +1,12 @@
 package graft.functions
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions.udf
-import org.locationtech.jts.geom.{Geometry, GeometryFactory}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader}
 
 /** JTS-backed geospatial surface (SURVEY §2.3 ST_* row; reference
@@ -13,13 +16,51 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader}
   *
   * Geometries travel as WKT strings at the API edge and WKB bytes inside
   * the STUnion aggregation buffer. Functions are Scala UDFs (geometry
-  * algorithms aren't expressible as Catalyst primitives); JTS
-  * reader/writer instances are per-call — they are not thread-safe and
-  * executor tasks run concurrently. [[Geo]] remains the codegen-friendly
-  * planar fast path for point workloads. */
+  * algorithms aren't expressible as Catalyst primitives). JTS readers are
+  * not thread-safe, so each executor thread gets its own via ThreadLocal,
+  * and parsed geometries sit behind a small per-thread LRU — a constant
+  * literal or repeated geometry column parses once per thread, not once
+  * per row. For predicates against a CONSTANT geometry use the prepared
+  * variants ([[stContainsPrepared]] / [[stContainsPointPrepared]] /
+  * [[stWithinPrepared]]): the constant is parsed + indexed
+  * (PreparedGeometry) once per executor, which is the difference between
+  * O(rows · polygon-size) and O(rows · log(polygon-size)) at 100 TB.
+  * [[Geo]] remains the codegen-friendly planar fast path for point
+  * workloads. */
 object Jts {
-  private def parse(wkt: String): Geometry =
-    new WKTReader(new GeometryFactory()).read(wkt)
+  /** WKT parses performed (all threads) — scale-regression spec hook. */
+  private[graft] val parseCount = new AtomicLong(0L)
+
+  private val factoryTl: ThreadLocal[GeometryFactory] =
+    ThreadLocal.withInitial(() => new GeometryFactory())
+  private val readerTl: ThreadLocal[WKTReader] =
+    ThreadLocal.withInitial(() => new WKTReader(new GeometryFactory()))
+  private val wkbReaderTl: ThreadLocal[WKBReader] =
+    ThreadLocal.withInitial(() => new WKBReader())
+  private val wkbWriterTl: ThreadLocal[WKBWriter] =
+    ThreadLocal.withInitial(() => new WKBWriter())
+
+  // Per-thread LRU of parsed geometries: repeated WKT (constant literals,
+  // low-cardinality geometry columns) parses once per thread. Points and
+  // other high-cardinality values just cycle through without hurting.
+  private val cacheTl: ThreadLocal[java.util.LinkedHashMap[String, Geometry]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Geometry](128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Geometry]): Boolean = size() > 64
+      })
+
+  private def parse(wkt: String): Geometry = {
+    val cache = cacheTl.get()
+    val hit = cache.get(wkt)
+    if (hit != null) hit
+    else {
+      parseCount.incrementAndGet()
+      val g = readerTl.get().read(wkt)
+      cache.put(wkt, g)
+      g
+    }
+  }
 
   val stArea = udf((wkt: String) => parse(wkt).getArea)
   val stLength = udf((wkt: String) => parse(wkt).getLength)
@@ -33,13 +74,48 @@ object Jts {
   val stBoxWkt = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
     s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))")
 
+  /** Serializable holder for a constant geometry: ships the WKT, parses +
+    * prepares once per executor (transient lazy), never per row. */
+  private final class Prepared(constWkt: String) extends Serializable {
+    @transient private lazy val prep: PreparedGeometry = {
+      parseCount.incrementAndGet()
+      new PreparedGeometryFactory().create(
+        new WKTReader(new GeometryFactory()).read(constWkt))
+    }
+    def contains(wkt: String): Boolean = prep.contains(parse(wkt))
+    def containsXY(x: Double, y: Double): Boolean =
+      prep.contains(factoryTl.get().createPoint(new Coordinate(x, y)))
+    def withinOf(wkt: String): Boolean = parse(wkt).within(prep.getGeometry)
+  }
+
+  /** ST_Contains(constant, geomCol) with the constant prepared once. */
+  def stContainsPrepared(constWkt: String): UserDefinedFunction = {
+    val p = new Prepared(constWkt)
+    udf((wkt: String) => p.contains(wkt))
+  }
+
+  /** ST_Contains(constant, POINT(x y)) without the per-row WKT round-trip:
+    * coordinates go straight into a JTS point. The hot shape of polygon
+    * inclusion at scale. */
+  def stContainsPointPrepared(constWkt: String): UserDefinedFunction = {
+    val p = new Prepared(constWkt)
+    udf((x: Double, y: Double) => p.containsXY(x, y))
+  }
+
+  /** ST_Within(geomCol, constant) with the constant prepared once. */
+  def stWithinPrepared(constWkt: String): UserDefinedFunction = {
+    val p = new Prepared(constWkt)
+    udf((wkt: String) => p.withinOf(wkt))
+  }
+
   /** STUnion: geometry union as a typed Aggregator (partial/merge/final —
     * mergeable, so it distributes like any other agg). Buffer is WKB. */
   val stUnionAggregator: Aggregator[String, Array[Byte], Array[Byte]] =
     new Aggregator[String, Array[Byte], Array[Byte]] {
       private def toGeom(b: Array[Byte]): Option[Geometry] =
-        if (b.isEmpty) None else Some(new WKBReader().read(b))
-      private def toWkb(g: Geometry): Array[Byte] = new WKBWriter().write(g)
+        if (b.isEmpty) None else Some(wkbReaderTl.get().read(b))
+      private def toWkb(g: Geometry): Array[Byte] =
+        wkbWriterTl.get().write(g)
       def zero: Array[Byte] = Array.empty
       def reduce(buf: Array[Byte], wkt: String): Array[Byte] = {
         val g = parse(wkt)
@@ -63,5 +139,5 @@ object Jts {
 
   /** Area of a WKB geometry (for inspecting union results). */
   val wkbArea = udf((wkb: Array[Byte]) =>
-    if (wkb.isEmpty) 0.0 else new WKBReader().read(wkb).getArea)
+    if (wkb.isEmpty) 0.0 else wkbReaderTl.get().read(wkb).getArea)
 }

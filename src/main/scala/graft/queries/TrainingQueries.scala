@@ -382,12 +382,14 @@ object TrainingQueries {
           (col("c_custkey") % 100).cast("double").as("x"),
           ((col("c_custkey") * 7) % 100).cast("double").as("y"))
         val tri = "POLYGON ((0 0, 97 13, 41 89, 0 0))"
+        // constant polygon parses + prepares ONCE per executor; points go
+        // straight into JTS coordinates (no per-row WKT round-trip)
+        val inTri = Jts.stContainsPointPrepared(tri)
         pts
           // index-role prefilter: triangle bbox [0,97]×[0,89]
           .filter(col("x") >= 0 && col("x") <= 97 &&
             col("y") >= 0 && col("y") <= 89)
-          .filter(Jts.stContains(lit(tri),
-            Jts.stPointWkt(col("x"), col("y"))))
+          .filter(inTri(col("x"), col("y")))
           .select(col("c_custkey"), col("x"), col("y"))
       },
       Some("""SELECT c_custkey, x, y FROM (

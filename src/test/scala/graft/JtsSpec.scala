@@ -25,6 +25,44 @@ class JtsSpec extends SparkSpec {
     assert(r.getAs[Double]("cx") == 2.0)
   }
 
+  test("prepared contains: parse count stays O(threads), not O(rows)") {
+    val s = spark
+    import s.implicits._
+    val n = 5000
+    val pts = (1 to n).map(i =>
+      (i.toLong, (i % 100).toDouble, ((i * 7) % 100).toDouble))
+      .toDF("id", "x", "y")
+    val tri = "POLYGON ((0 0, 97 13, 41 89, 0 0))"
+    val inTri = Jts.stContainsPointPrepared(tri)
+    val before = Jts.parseCount.get()
+    val k = pts.filter(inTri(col("x"), col("y"))).count()
+    val parses = Jts.parseCount.get() - before
+    assert(k > 0)
+    // one prepare per executor thread (local[4] + retries margin), never
+    // the n-per-row re-parse of the naive UDF
+    assert(parses <= 32, s"$parses WKT parses for $n rows")
+
+    // prepared paths agree with the naive UDFs
+    val naive = pts.filter(Jts.stContains(lit(tri),
+      Jts.stPointWkt(col("x"), col("y")))).count()
+    assert(naive == k)
+    val wktPts = pts.withColumn("w", Jts.stPointWkt(col("x"), col("y")))
+    val prepCount = wktPts.filter(Jts.stContainsPrepared(tri)(col("w"))).count()
+    val withinCount = wktPts.filter(Jts.stWithinPrepared(tri)(col("w"))).count()
+    assert(prepCount == k && withinCount == k)
+  }
+
+  test("repeated WKT parses once per thread (LRU cache)") {
+    val s = spark
+    import s.implicits._
+    val poly = "POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))"
+    val df = (1 to 2000).map(_ => poly).toDF("g")
+    val before = Jts.parseCount.get()
+    df.select(Jts.stArea(col("g")).as("a")).agg(sum(col("a"))).collect()
+    val parses = Jts.parseCount.get() - before
+    assert(parses <= 32, s"$parses parses for 2000 identical WKT rows")
+  }
+
   test("STUnion merges overlapping geometries (area < sum)") {
     val s = spark
     import s.implicits._
