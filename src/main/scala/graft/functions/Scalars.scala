@@ -92,6 +92,80 @@ object Scalars {
   def jsonMatchEq(c: Column, path: String, v: String): Column =
     get_json_object(c, path) === v
 
+  // ---- JSON_MATCH predicate subset (JsonMatchFilterOperator + json
+  // index; test shapes in JsonMatchFilterOperatorTest/JsonIndexTest) ----
+  // Supported: '"$.path" <op> literal' with op ∈ =, !=, <>, <, <=, >, >=,
+  // IS NULL, IS NOT NULL; the path may hold one [*] array wildcard
+  // ('"$.arr[*].k" = ''v'''). Array predicates use ANY-element-matches
+  // semantics (the reference's json-index posting semantics).
+
+  private val JsonPredRe =
+    """^\s*"([^"]+)"\s*(=|!=|<>|<=|>=|<|>)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r
+  private val JsonNullRe =
+    """^\s*"([^"]+)"\s+IS\s+(NOT\s+)?NULL\s*$""".r
+
+  /** All scalar values matched by a wildcard json path, as array<string>.
+    * get_json_object returns a JSON array string for multiple matches but
+    * a QUOTED bare scalar for exactly one — normalize both. */
+  private def jsonWildValues(c: Column, path: String): Column = {
+    val wild = get_json_object(c, path)
+    coalesce(
+      from_json(wild, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      when(wild.isNotNull,
+        array(regexp_replace(wild, "^\"|\"$", ""))))
+  }
+
+  /** Numeric twin of [[jsonWildValues]]: JSON numbers don't coerce into
+    * an array<string> parse, so numeric predicates parse the wildcard
+    * result as array<double> directly. */
+  private def jsonWildNums(c: Column, path: String): Column = {
+    val wild = get_json_object(c, path)
+    coalesce(
+      from_json(wild, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      when(wild.isNotNull, array(wild.cast("double"))))
+  }
+
+  /** Compile a JSON_MATCH predicate string against a JSON column. */
+  def jsonMatch(c: Column, predicate: String): Column = {
+    def cmp(op: String, x: Column, v: Column): Column = op match {
+      case "=" => x === v
+      case "!=" | "<>" => x =!= v
+      case "<" => x < v
+      case "<=" => x <= v
+      case ">" => x > v
+      case ">=" => x >= v
+    }
+    predicate match {
+      case JsonNullRe(path, notNull) =>
+        val v =
+          if (path.contains("[*]")) jsonWildValues(c, path)
+          else get_json_object(c, path)
+        if (notNull == null) v.isNull else v.isNotNull
+      case JsonPredRe(path, op, strV, numV) =>
+        val numeric = strV == null
+        if (path.contains("[*]")) {
+          if (numeric) {
+            val vals = jsonWildNums(c, path)
+            val target = lit(numV.toDouble)
+            if (op == "=") array_contains(vals, target)
+            else exists(vals, x => cmp(op, x, target))
+          } else {
+            val vals = jsonWildValues(c, path)
+            if (op == "=") array_contains(vals, lit(strV))
+            else exists(vals, x => cmp(op, x, lit(strV)))
+          }
+        } else {
+          val v = get_json_object(c, path)
+          if (numeric) cmp(op, v.cast("double"), lit(numV.toDouble))
+          else cmp(op, v, lit(strV))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"bad JSON_MATCH predicate: $other")
+    }
+  }
+
   // ---- array / MV (Array* transform functions; MV columns = ArrayType) ----
   def arrayLength(c: Column): Column = size(c)
   def cardinality(c: Column): Column = size(c)

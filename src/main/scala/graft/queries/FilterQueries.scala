@@ -135,6 +135,30 @@ object FilterQueries {
                AND NOT list_contains(tk, 'slow'))
         ORDER BY doc_id""")),
 
+    // JSON_MATCH with nested paths and [*] array predicates
+    // (JsonMatchFilterOperator + json index; '"$.arr[*].k" = ''v''' shapes
+    // from JsonIndexTest). The JSON doc is synthesized per row from orders
+    // columns, so the oracle can state the ground truth directly on the
+    // raw columns while Spark exercises the real json-path machinery.
+    Q("q_filter_json_array",
+      (s, d) => {
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        Tables.orders(s, d).withColumn("doc", j)
+          .filter(
+            (Scalars.jsonMatch(col("doc"), """"$.tags[*].p" = 'F'""") &&
+              Scalars.jsonMatch(col("doc"), """"$.tags[*].n" > 3""")) ||
+            Scalars.jsonMatch(col("doc"), """"$.meta.pri" = '1-URGENT'"""))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus = 'F' AND (o_custkey % 5) > 3)
+           OR o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority""")),
+
     // JSON_MATCH (JsonMatchFilterOperator → json-path predicate rewrite)
     Q("q_filter_json_match",
       (s, d) => Tables.events(s, d)

@@ -239,6 +239,30 @@ class FunctionsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("powerSumsScaled")))
   }
 
+  test("jsonMatch: nested paths, [*] array predicates, null checks") {
+    import graft.functions.Scalars
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, """{"a":{"b":"x"},"arr":[{"k":"u","n":1},{"k":"v","n":7}]}"""),
+      (2L, """{"a":{"b":"y"},"arr":[{"k":"v","n":2}]}"""), // single element
+      (3L, """{"a":{"b":"x"},"arr":[]}"""),
+      (4L, """{"a":{}}""")).toDF("id", "j")
+    def ids(pred: String): Set[Long] =
+      docs.filter(Scalars.jsonMatch(col("j"), pred))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(""""$.a.b" = 'x'""") == Set(1L, 3L))       // nested scalar
+    assert(ids(""""$.arr[*].k" = 'v'""") == Set(1L, 2L))  // any-element =
+    assert(ids(""""$.arr[*].k" = 'u'""") == Set(1L))      // multi-elem only
+    assert(ids(""""$.arr[*].n" > 3""") == Set(1L))        // numeric range
+    assert(ids(""""$.arr[*].n" >= 2""") == Set(1L, 2L))   // single-elem num
+    assert(ids(""""$.arr[*].n" != 1""") == Set(1L, 2L))   // any-element !=
+    assert(ids(""""$.a.b" IS NULL""") == Set(4L))
+    assert(ids(""""$.arr[*].k" IS NOT NULL""") == Set(1L, 2L))
+    intercept[IllegalArgumentException](
+      Scalars.jsonMatch(col("j"), "not a predicate"))
+  }
+
   test("membership + frequency sketches: bloom filter and count-min") {
     // BloomFilterIdSet role (reference query/utils/idset/BloomFilterIdSet):
     // a compact membership sketch shippable as a broadcast filter literal
