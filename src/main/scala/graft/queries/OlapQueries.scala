@@ -261,6 +261,35 @@ object OlapQueries {
         COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // protobuf input format (pinot-protobuf record-reader analog): orders
+    // re-encoded through the wire codec, read back, aggregated — the
+    // oracle runs the same aggregate on the original parquet, so any
+    // decode corruption (varint, UTF-8, fixed64 double) breaks the hash
+    Q("q_ingest_protobuf",
+      (s, d) => {
+        import graft.sources.{Ingest, ProtoWire}
+        import graft.sources.ProtoWire._
+        val fields = Seq(Field(1, "o_orderkey", PInt64),
+          Field(2, "o_orderpriority", PString),
+          Field(3, "o_totalprice", PDouble))
+        val dir = new java.io.File(
+          s"/tmp/graft_proto_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          dir.mkdirs()
+          ProtoWire.writeFile(
+            Tables.orders(s, d).select(col("o_orderkey"),
+              col("o_orderpriority"), col("o_totalprice")),
+            fields, s"${dir.getPath}/part0.pb")
+        }
+        Ingest.readProtobuf(s, dir.getPath, fields)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            Par.dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+        ${graft.ParSql.dsum("o_totalprice")} AS sum_price
+        FROM orders GROUP BY o_orderpriority""")),
+
     // ingestion-time rollup (aggregateMetrics ValueAggregators):
     // 15-min pre-aggregation as the streaming sink would produce
     Q("q_rollup_ingest",

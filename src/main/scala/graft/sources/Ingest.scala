@@ -22,10 +22,14 @@ import org.apache.spark.sql.types.StructType
   * partitions — no shuffle except rollup's keyed aggregate. */
 object Ingest {
 
-  /** Per-format readers (the reference's input-format plugins). Protobuf/
-    * Thrift/CLP plugins need their runtime jars; same `load` contract. */
+  /** Per-format readers (the reference's input-format plugins). Protobuf
+    * routes to [[ProtoWire.read]] via [[readProtobuf]] (it needs a field
+    * descriptor, not a Spark schema); Thrift/CLP plugins would need their
+    * runtime jars — same `load` contract. */
   def read(spark: SparkSession, format: String, path: String,
            schema: Option[StructType] = None): DataFrame = {
+    require(!format.equalsIgnoreCase("protobuf"),
+      "protobuf needs a field descriptor — use Ingest.readProtobuf")
     val r = spark.read.format(format.toLowerCase match {
       case "jsonl" => "json"
       case f => f
@@ -40,6 +44,12 @@ object Ingest {
       else r
     schema.fold(withOpts)(withOpts.schema).load(path)
   }
+
+  /** Protobuf record reader (pinot-protobuf plugin analog): decodes
+    * varint-length-delimited messages per the field descriptor. */
+  def readProtobuf(spark: SparkSession, path: String,
+                   fields: Seq[ProtoWire.Field]): DataFrame =
+    ProtoWire.read(spark, path, fields)
 
   /** Ingestion transform config, mirroring CompositeTransformer's stages. */
   final case class Pipeline(

@@ -37,6 +37,63 @@ class IngestSpec extends SparkSpec {
     assert(withSchema.filter(col("n_name") === "n_name").count() == 0)
   }
 
+  test("protobuf wire codec: varint/zigzag/fixed/string round-trip") {
+    import graft.sources.ProtoWire
+    import graft.sources.ProtoWire._
+    val fields = Seq(
+      Field(1, "id", PInt64), Field(2, "name", PString),
+      Field(3, "score", PDouble), Field(4, "flag", PBool),
+      Field(5, "delta", PSInt64), Field(6, "small", PInt32),
+      Field(7, "ratio", PFloat), Field(8, "blob", PBytes))
+    val values = Seq[Any](42L, "héllo wörld", 3.14159, true,
+      -123456789L, -7, 2.5f, Array[Byte](0, 1, 2, -1))
+    val decoded = decodeValues(encodeValues(values, fields), fields)
+    assert(decoded(0) == 42L && decoded(1) == "héllo wörld" &&
+      decoded(2) == 3.14159 && decoded(3) == true &&
+      decoded(4) == -123456789L && decoded(5) == -7 && decoded(6) == 2.5f)
+    assert(decoded(7).asInstanceOf[Array[Byte]].toSeq ==
+      Seq[Byte](0, 1, 2, -1))
+    // absent fields decode as null; unknown fields are skipped
+    val sparse = decodeValues(
+      encodeValues(Seq[Any](null, "x", null, null, null, null, null, null),
+        fields), fields)
+    assert(sparse(0) == null && sparse(1) == "x")
+    val known = Seq(Field(2, "name", PString))
+    assert(decodeValues(encodeValues(values, fields), known).head ==
+      "héllo wörld") // 7 unknown fields of every wire type skipped
+
+    // repeated: unpacked encode → decode; packed varint decode
+    val rep = Seq(Field(1, "xs", PInt64, repeated = true),
+      Field(2, "tags", PString, repeated = true))
+    val repDecoded = decodeValues(
+      encodeValues(Seq(Seq(1L, 2L, 300L), Seq("a", "b")), rep), rep)
+    assert(repDecoded(0) == Seq(1L, 2L, 300L) &&
+      repDecoded(1) == Seq("a", "b"))
+    // hand-built packed run for field 1: tag wiretype 2, len, varints
+    val packed = Array[Byte](0x0a, 4, 1, 2, (0xac - 256).toByte, 2, 0x12, 1,
+      'z'.toByte)
+    val packedDecoded = decodeValues(packed, rep)
+    assert(packedDecoded(0) == Seq(1L, 2L, 300L) &&
+      packedDecoded(1) == Seq("z"))
+  }
+
+  test("protobuf file ingest round-trips against parquet ground truth") {
+    import graft.sources.ProtoWire
+    import graft.sources.ProtoWire._
+    val fields = Seq(Field(1, "o_orderkey", PInt64),
+      Field(2, "o_orderpriority", PString),
+      Field(3, "o_totalprice", PDouble))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val dir = Files.createTempDirectory("proto_ingest").toFile
+    ProtoWire.writeFile(orders, fields, s"${dir.getPath}/part0.pb")
+    val back = Ingest.readProtobuf(spark, dir.getPath, fields)
+    assert(back.schema == ProtoWire.schemaOf(fields))
+    val a = orders.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b, s"${a.take(2)} vs ${b.take(2)}")
+  }
+
   test("schema evolution: added column backfills sentinel default") {
     // Pinot adds columns to existing tables with defaultNullValue backfill
     // (FieldSpec); parquet analog: mergeSchema union of old/new segments,
