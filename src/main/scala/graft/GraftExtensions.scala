@@ -4,7 +4,8 @@ import graft.functions.{Scalars, TextAnalysis => TA}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.graft.GraftExpressions.{builder, vecDot}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftExpressions.{asColumn, builder, builderRaw, litString, vecDot}
 
 /** SparkSessionExtensions hook (SURVEY §2.10 / custom-operator ladder):
   * registers the engine's Pinot-named + training-pipeline functions into
@@ -32,6 +33,81 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       => org.apache.spark.sql.Column): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder(f)))
+
+    def regRaw(name: String, usage: String)(
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builderRaw(f)))
+
+    // ---- Pinot SQL function surface (QueryRewriterFactory parity) ----
+    // SQL function resolution is case-insensitive, so DISTINCTCOUNT(expr)
+    // parses with arbitrary nested arguments and resolves here — the
+    // dialect needs no string rewriting for any of these. Only PERCENTILE
+    // (0-100 fraction, collides with Spark's) stays a parser-level
+    // rewrite (PinotAst), gated on spark.graft.sql.dialect.
+    reg("distinctcount", "exact distinct count (Pinot DISTINCTCOUNT)") {
+      a => count_distinct(a(0))
+    }
+    reg("distinctcountbitmap", "exact distinct count (bitmap variant)") {
+      a => count_distinct(a(0))
+    }
+    reg("distinctcounthll", "approximate distinct count (HLL)") {
+      a => approx_count_distinct(a(0))
+    }
+    reg("distinctcountthetasketch", "theta-sketch distinct count") {
+      a => theta_sketch_estimate(theta_sketch_agg(a(0))).cast("long")
+    }
+    reg("minmaxrange", "max(x) - min(x)") {
+      a => max(a(0)) - min(a(0))
+    }
+    reg("percentileest", "approximate percentile, fraction in 0-100") {
+      a => percentile_approx(a(0), a(1) / 100.0, lit(1000))
+    }
+    reg("percentiletdigest", "approximate percentile, fraction in 0-100") {
+      a => percentile_approx(a(0), a(1) / 100.0, lit(1000))
+    }
+    reg("firstwithtime", "value at minimum time (3rd type arg ignored)") {
+      a => min_by(a(0), a(1))
+    }
+    reg("lastwithtime", "value at maximum time (3rd type arg ignored)") {
+      a => max_by(a(0), a(1))
+    }
+    reg("toepochseconds", "timestamp → epoch seconds") {
+      a => unix_timestamp(a(0))
+    }
+    reg("fromepochseconds", "epoch seconds → timestamp") {
+      a => timestamp_seconds(a(0))
+    }
+    reg("arraylength", "array cardinality") { a => size(a(0)) }
+    reg("jsonformat", "struct/map → json string") { a => to_json(a(0)) }
+    reg("text_contains", "native text containment") {
+      a => contains(a(0), a(1))
+    }
+    regRaw("text_match",
+      "Lucene-subset text match: AND/OR/NOT, \"phrase\", prefix*") { args =>
+      graft.operators.TextMatch.columnFor(asColumn(args(0)),
+        litString(args(1), "TEXT_MATCH query"))
+    }
+    regRaw("json_match",
+      "JSON_MATCH predicate: nested paths + [*] array wildcards") { args =>
+      Scalars.jsonMatch(asColumn(args(0)),
+        litString(args(1), "JSON_MATCH predicate"))
+    }
+    regRaw("jsonextractscalar",
+      "json path extraction with Pinot type name cast") { args =>
+      val t = litString(args(2), "jsonExtractScalar type").toUpperCase match {
+        case "INT" => "int"
+        case "LONG" => "long"
+        case "FLOAT" => "float"
+        case "DOUBLE" => "double"
+        case "STRING" => "string"
+        case other => throw new IllegalArgumentException(
+          s"unsupported jsonExtractScalar type $other")
+      }
+      Scalars.jsonExtractScalar(asColumn(args(0)),
+        litString(args(1), "jsonExtractScalar path")).cast(t)
+    }
 
     reg("vec_dot", "dot product of two float vectors") {
       a => vecDot(a(0), a(1))

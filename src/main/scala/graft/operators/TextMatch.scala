@@ -125,6 +125,29 @@ object TextMatch {
     ids(q)
   }
 
+  /** Per-row expression compile of the same grammar: a boolean Column
+    * over the text column itself, for contexts without a postings index
+    * (the SQL dialect's TEXT_MATCH(col, '…') — reference evaluates those
+    * against the realtime Lucene index; here the filter fuses into the
+    * scan). Terms/prefixes probe the token array; phrases are a
+    * whitespace-bounded regex on the lowered text (tokens are whitespace
+    * splits, so the two formulations agree with the postings plan). */
+  def columnFor(text: org.apache.spark.sql.Column, query: String)
+  : org.apache.spark.sql.Column = {
+    val toks = graft.functions.TextAnalysis.tokens(text)
+    def c(n: Node): org.apache.spark.sql.Column = n match {
+      case Term(t) => array_contains(toks, t)
+      case Prefix(p) => exists(toks, x => x.startsWith(p))
+      case Phrase(ts) =>
+        val body = ts.map(java.util.regex.Pattern.quote).mkString("\\s+")
+        lower(text).rlike(s"(^|\\s)$body(\\s|$$)")
+      case And(l, r) => c(l) && c(r)
+      case Or(l, r) => c(l) || c(r)
+      case Not(inner) => !c(inner)
+    }
+    c(parse(query))
+  }
+
   /** End-to-end TEXT_MATCH: docs whose `textCol` matches the Lucene-subset
     * `query`. Builds the positional index inline — at scale, pre-build it
     * once (bucketed by token) and call [[compile]] directly. */

@@ -94,5 +94,24 @@ object MvQueries {
       Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nd_cust,
         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50
         FROM orders WHERE regexp_matches(o_orderpriority, '^[123]-')
-        GROUP BY o_orderpriority""")))
+        GROUP BY o_orderpriority""")),
+
+    // Pinot dialect with NESTED function arguments — the shape the old
+    // regex rewriter mis-captured; function-registry resolution + AST
+    // rewrites parse it natively (DISTINCTCOUNT(lower(...)),
+    // MINMAXRANGE over an expression, TEXT_MATCH Lucene grammar)
+    Q("q_pinot_sql_nested",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        PinotSql.sql(s,
+          """SELECT o_orderstatus,
+             DISTINCTCOUNT(lower(o_orderpriority)) AS nd_pri,
+             MINMAXRANGE(o_totalprice * 2.0) AS rng2
+             FROM orders GROUP BY o_orderstatus""")
+          .withColumn("rng2", Par.r6(col("rng2")))
+      },
+      Some("""SELECT o_orderstatus,
+        COUNT(DISTINCT lower(o_orderpriority)) AS nd_pri,
+        ROUND(MAX(o_totalprice * 2.0) - MIN(o_totalprice * 2.0), 6) AS rng2
+        FROM orders GROUP BY o_orderstatus""")))
 }

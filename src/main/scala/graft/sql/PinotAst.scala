@@ -1,0 +1,71 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** AST-level Pinot-dialect rewrites (the reference's broker rewriters,
+  * `QueryRewriterFactory.java:36-39`, operate on the Calcite parse tree —
+  * this is the Spark parse-tree equivalent).
+  *
+  * Most Pinot-named functions need NO rewriting at all: they are
+  * registered in the session FunctionRegistry ([[graft.GraftExtensions]])
+  * and SQL function resolution is case-insensitive, so
+  * `DISTINCTCOUNT(lower(x))` parses like any function call — nested
+  * arguments, string literals with parens, whatever — with zero string
+  * surgery. The only transforms left here are the ones that can't be
+  * plain registrations:
+  *
+  *  - `PERCENTILE(x, p)` — collides with Spark's own `percentile`, whose
+  *    fraction is in [0,1] while Pinot's is in [0,100]; in the Pinot
+  *    dialect the second argument is divided by 100.
+  *  - the default `LIMIT 10` (`query.thrift:34`) — a statement-level
+  *    property, applied to the parsed plan root.
+  */
+object PinotAst {
+  /** Names whose presence in a non-GROUP-BY projection marks the query as
+    * a plain aggregation (single-row result — the reference doesn't apply
+    * its default limit there in any meaningful way, and tests pin this). */
+  private val AggNames = Set("sum", "count", "min", "max", "avg",
+    "distinctcount", "distinctcountbitmap", "distinctcounthll",
+    "distinctcountthetasketch", "minmaxrange", "percentile",
+    "percentileest", "percentiletdigest", "firstwithtime", "lastwithtime")
+
+  def rewrite(plan: LogicalPlan): LogicalPlan =
+    addDefaultLimit(rewritePercentile(plan))
+
+  /** Pinot PERCENTILE's fraction is 0-100; Spark's percentile wants 0-1. */
+  private[sql] def rewritePercentile(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case f: UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 &&
+            f.nameParts.head.equalsIgnoreCase("percentile") &&
+            f.arguments.lengthCompare(2) == 0 =>
+        f.copy(arguments =
+          Seq(f.arguments.head, Divide(f.arguments(1), Literal(100.0))))
+    }
+
+  /** The reference caps every selection at LIMIT 10 unless an explicit
+    * limit is present; aggregations without GROUP BY are left alone. */
+  private[sql] def addDefaultLimit(plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case _: GlobalLimit => plan // explicit LIMIT kept
+      case _: Command => plan     // SET / DDL — not a selection
+      case p if isPlainAgg(p) => plan
+      case p => Limit(Literal(10), p)
+    }
+
+  // Pre-analysis, SELECT agg FROM t parses as a Project whose list holds
+  // aggregate UnresolvedFunctions (the Aggregate node only appears for
+  // explicit GROUP BY or after analysis) — detect by function name.
+  private def isPlainAgg(p: LogicalPlan): Boolean = p match {
+    case proj: Project => proj.projectList.exists(containsAgg)
+    case _ => false
+  }
+
+  private def containsAgg(e: Expression): Boolean = e.exists {
+    case f: UnresolvedFunction =>
+      AggNames.contains(f.nameParts.last.toLowerCase)
+    case _ => false
+  }
+}

@@ -19,18 +19,30 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * whole statements (parsePlan/parseQuery) are rewritten; identifiers,
   * types, and expressions keep Spark syntax. */
 class PinotParser(delegate: ParserInterface) extends ParserInterface {
-  private def maybeRewrite(sqlText: String): String = {
+  private def dialectOn: Boolean = {
     val dialect =
       try SQLConf.get.getConfString("spark.graft.sql.dialect", "spark")
       catch { case _: Throwable => "spark" }
-    if (dialect.equalsIgnoreCase("pinot")) PinotSql.rewrite(sqlText)
-    else sqlText
+    dialect.equalsIgnoreCase("pinot")
   }
 
+  /** Pinot-dialect parse, unconditionally: string pre-rewrites for the
+    * forms that embed SQL text ([[PinotSql.rewrite]] — IN_SUBQUERY), then
+    * AST rewrites on the parsed plan ([[PinotAst]] — PERCENTILE fraction,
+    * default LIMIT). Function names (DISTINCTCOUNT, TEXT_MATCH, …)
+    * resolve via the registry, so nested arguments parse natively. */
+  def parsePinot(sqlText: String): LogicalPlan =
+    PinotAst.rewrite(delegate.parsePlan(PinotSql.rewrite(sqlText)))
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(maybeRewrite(sqlText))
+    if (dialectOn) parsePinot(sqlText) else delegate.parsePlan(sqlText)
+  // parseQuery feeds nested contexts (views, subquery text): function +
+  // fraction rewrites apply, but the default LIMIT is a top-level-
+  // statement property and stays out
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(maybeRewrite(sqlText))
+    if (dialectOn) PinotAst.rewritePercentile(
+      delegate.parseQuery(PinotSql.rewrite(sqlText)))
+    else delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

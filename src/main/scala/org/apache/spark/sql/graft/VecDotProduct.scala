@@ -83,4 +83,24 @@ object GraftExpressions {
   : Seq[Expression] => Expression =
     args => ColumnNodeToExpressionConverter(
       f(args.map(ExpressionUtils.column)).node)
+
+  /** Builder variant receiving raw argument Expressions — for functions
+    * that must read a LITERAL argument at registration time (predicate /
+    * query strings compiled into expression trees, e.g. TEXT_MATCH and
+    * JSON_MATCH). */
+  def builderRaw(f: Seq[Expression] => Column)
+  : Seq[Expression] => Expression =
+    args => ColumnNodeToExpressionConverter(f(args).node)
+
+  /** Extract a required foldable string argument. */
+  def litString(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+        if s != null => s.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a string literal, got: ${other.sql}")
+  }
+
+  /** Expression → Column for raw builders. */
+  def asColumn(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -6,30 +6,62 @@ import org.apache.spark.sql.functions._
 
 class PinotSqlSpec extends SparkSpec {
 
-  test("rewrite: TEXT_MATCH / TEXT_CONTAINS / REGEXP_LIKE / JSON_MATCH") {
-    assert(PinotSql.rewrite("SELECT * FROM t WHERE TEXT_CONTAINS(txt, 'ab')")
-      .contains("contains(txt, 'ab')"))
-    assert(PinotSql.rewrite("SELECT * FROM t WHERE TEXT_MATCH(txt, 'a.*b')")
-      .contains("txt RLIKE 'a.*b'"))
-    assert(PinotSql.rewrite("SELECT * FROM t WHERE REGEXP_LIKE(c, '^x')")
-      .contains("c RLIKE '^x'"))
-    assert(PinotSql.rewrite(
-      "SELECT * FROM t WHERE JSON_MATCH(j, '\"$.a.b\" = ''v''')")
-      .contains("get_json_object(j, '$.a.b') = 'v'"))
+  test("dialect: TEXT_MATCH (Lucene) / TEXT_CONTAINS / JSON_MATCH") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "hash join table", """{"a":{"b":"v"},"xs":[{"k":"z"}]}"""),
+      (2L, "merge sort", """{"a":{"b":"w"},"xs":[{"k":"y"}]}"""))
+      .toDF("id", "txt", "j").createOrReplaceTempView("dial_t")
+    def one(q: String): Set[Long] =
+      PinotSql.sql(spark, q).collect().map(_.getLong(0)).toSet
+    assert(one("SELECT id FROM dial_t WHERE TEXT_CONTAINS(txt, 'join')")
+      == Set(1L))
+    // TEXT_MATCH is the reference's Lucene grammar, not a regex
+    assert(one(
+      "SELECT id FROM dial_t WHERE TEXT_MATCH(txt, '\"hash join\" OR mer*')")
+      == Set(1L, 2L))
+    assert(one("SELECT id FROM dial_t WHERE TEXT_MATCH(txt, 'table NOT sort')")
+      == Set(1L))
+    assert(one("SELECT id FROM dial_t WHERE REGEXP_LIKE(txt, '^m.*t$')")
+      == Set(2L))
+    assert(one(
+      "SELECT id FROM dial_t WHERE JSON_MATCH(j, '\"$.a.b\" = ''v''')")
+      == Set(1L))
+    // array wildcard predicates reach the SQL dialect too
+    assert(one(
+      "SELECT id FROM dial_t WHERE JSON_MATCH(j, '\"$.xs[*].k\" = ''y''')")
+      == Set(2L))
   }
 
-  test("rewrite: DISTINCTCOUNT / PERCENTILE / MINMAXRANGE / default limit") {
-    val s = PinotSql.rewrite(
-      "SELECT DISTINCTCOUNT(a) FROM t GROUP BY b")
-    assert(s.contains("COUNT(DISTINCT a)"))
-    assert(s.endsWith("LIMIT 10"))
-    assert(PinotSql.rewrite("SELECT PERCENTILE(x, 95) FROM t")
-      .contains("percentile(x, 95 / 100.0)"))
-    assert(PinotSql.rewrite("SELECT MINMAXRANGE(x) FROM t")
-      .contains("(max(x) - min(x))"))
-    // plain aggregations don't get the limit; explicit limits are kept
-    assert(!PinotSql.rewrite("SELECT SUM(x) FROM t").contains("LIMIT"))
-    assert(PinotSql.rewrite("SELECT a FROM t LIMIT 7").endsWith("LIMIT 7"))
+  test("dialect: DISTINCTCOUNT (nested args) / PERCENTILE / default limit") {
+    Tables.registerAll(spark, sfDir)
+    // nested call arguments parse natively — the old regex hazard
+    val nested = PinotSql.sql(spark,
+      """SELECT DISTINCTCOUNT(lower(o_orderpriority)) AS nd,
+         MINMAXRANGE(o_totalprice) AS rng FROM orders""").head()
+    assert(nested.getLong(0) == 5L)
+    assert(nested.getDouble(1) > 0)
+    // PERCENTILE fraction is 0-100 in the dialect
+    val p = PinotSql.sql(spark,
+      "SELECT PERCENTILE(o_totalprice, 100) AS p100 FROM orders").head()
+    val mx = PinotSql.sql(spark,
+      "SELECT MAX(o_totalprice) AS mx FROM orders").head()
+    assert(p.getDouble(0) == mx.getDouble(0))
+    // default LIMIT 10 on selections; explicit limits kept; plain agg free
+    assert(PinotSql.sql(spark, "SELECT o_orderkey FROM orders").count() == 10)
+    assert(PinotSql.sql(spark,
+      "SELECT o_orderkey FROM orders LIMIT 7").count() == 7)
+    assert(PinotSql.sql(spark,
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey").count() == 10)
+    // group-by selections are capped too (reference default)
+    assert(PinotSql.sql(spark,
+      "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey")
+      .count() == 10)
+    // IN_SUBQUERY splices at string level (its arg IS sql text)
+    assert(PinotSql.sql(spark,
+      """SELECT COUNT(*) AS n FROM orders WHERE IN_SUBQUERY(o_custkey,
+        'SELECT c_custkey FROM customer WHERE c_nationkey = 1') = 1""")
+      .head().getLong(0) > 0)
   }
 
   test("GAPFILL SQL routes to the spine+window gapfill plan") {
@@ -66,10 +98,13 @@ class PinotSqlSpec extends SparkSpec {
 
   test("injectParser: Pinot dialect gated on spark.graft.sql.dialect") {
     Tables.registerAll(spark, sfDir)
-    // dialect off: Pinot-isms are NOT intercepted
+    // dialect off: statement-level Pinot-isms are NOT intercepted —
+    // percentile keeps Spark's [0,1] fraction contract and rejects 95
     intercept[Exception] {
-      spark.sql("SELECT DISTINCTCOUNT(o_custkey) FROM orders").collect()
+      spark.sql("SELECT percentile(o_totalprice, 95) FROM orders").collect()
     }
+    // dialect off: no default LIMIT injection
+    assert(spark.sql("SELECT o_orderkey FROM orders").count() > 10)
     spark.conf.set("spark.graft.sql.dialect", "pinot")
     try {
       val r = spark.sql(
@@ -109,20 +144,21 @@ class PinotSqlSpec extends SparkSpec {
     assert(r2.getAs[Number](1).longValue == 0L)
   }
 
-  test("rewrite: FIRSTWITHTIME / LASTWITHTIME / renames") {
-    assert(PinotSql.rewrite("SELECT LASTWITHTIME(v, ts, 'DOUBLE') FROM t")
-      .contains("max_by(v, ts)"))
-    assert(PinotSql.rewrite("SELECT FIRSTWITHTIME(v, ts) FROM t")
-      .contains("min_by(v, ts)"))
-    assert(PinotSql.rewrite("SELECT DISTINCTCOUNTBITMAP(x) FROM t")
-      .contains("COUNT(DISTINCT x)"))
-    assert(PinotSql.rewrite("SELECT TOEPOCHSECONDS(ts) FROM t")
-      .contains("unix_timestamp(ts)"))
+  test("dialect: FIRSTWITHTIME / LASTWITHTIME / renames resolve") {
     Tables.registerAll(spark, sfDir)
     val df = PinotSql.sql(spark,
-      "SELECT user_id, LASTWITHTIME(\"value\", ts, 'DOUBLE') AS lv " +
+      "SELECT user_id, LASTWITHTIME(\"value\", ts, 'DOUBLE') AS lv, " +
+        "FIRSTWITHTIME(\"value\", ts, 'DOUBLE') AS fv " +
         "FROM events GROUP BY user_id")
     assert(df.count() > 0)
+    val r = PinotSql.sql(spark,
+      "SELECT DISTINCTCOUNTBITMAP(o_custkey) AS ndb, " +
+        "DISTINCTCOUNTHLL(o_custkey) AS ndh, " +
+        "ARRAYLENGTH(array(1,2,3)) AS al, " +
+        "TOEPOCHSECONDS(TIMESTAMP '1970-01-01 00:01:40') AS es " +
+        "FROM orders").head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getInt(2) == 3 && r.getLong(3) == 100L)
   }
 
   test("pinot-dialect query runs end-to-end") {
