@@ -32,20 +32,38 @@ object Bench {
     val selected = queries.Registry.all
       .filter(q => only.forall(_.contains(q.name)))
     val results = selected.map { q =>
+      // a failing query must surface as an error, not masquerade as a
+      // fast wall-time silently inflating the bench
+      var err: Option[String] = None
       def timed(): Double = {
         val t0 = System.nanoTime()
-        try runOnce(q.run) catch { case _: Throwable => () }
+        try runOnce(q.run) catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse("").take(200)
+            err = Some(s"${e.getClass.getSimpleName}: $msg")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val first = timed()
-      val rest = if (first <= rerunBudgetSec)
+      val rest = if (err.isEmpty && first <= rerunBudgetSec)
         (2 to iters).map(_ => timed()) else Nil
-      q.name -> (first +: rest).min
+      (q.name, (first +: rest).min, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      jstr(k) + ":" + jstr(e) }
+    val errJson =
+      if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

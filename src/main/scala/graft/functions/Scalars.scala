@@ -81,6 +81,67 @@ object Scalars {
     (lit(java.util.TimeZone.getTimeZone(tz).getRawOffset) / 3600000).cast("int")
   def yearOfWeek(ts: Column): Column = year(date_trunc("week", ts))
 
+  // ---- dateTimeConvert 4-part spec strings (DateTimeConvert.java +
+  // DateTimeFormatSpec: 'size:UNIT:FORMAT[:pattern]' input/output formats
+  // and a 'size:UNIT' granularity) ----
+
+  private def unitMillis(u: String): Long = u.toUpperCase match {
+    case "MILLISECONDS" => 1L
+    case "SECONDS" => 1000L
+    case "MINUTES" => 60000L
+    case "HOURS" => 3600000L
+    case "DAYS" => 86400000L
+    case other =>
+      throw new IllegalArgumentException(s"unsupported time unit $other")
+  }
+
+  private final case class DtFmt(sizeMs: Long, kind: String, pattern: String)
+
+  private def parseDtFmt(s: String): DtFmt = {
+    val parts = s.split(":", 4)
+    if (parts.length == 1 && parts(0).equalsIgnoreCase("TIMESTAMP"))
+      DtFmt(1L, "TIMESTAMP", null) // Pinot shorthand for 1:MILLISECONDS:TIMESTAMP
+    else {
+      require(parts.length >= 3, s"bad dateTimeConvert format spec: $s")
+      val sizeMs = parts(0).toLong * unitMillis(parts(1))
+      parts(2).toUpperCase match {
+        case "EPOCH" => DtFmt(sizeMs, "EPOCH", null)
+        case "TIMESTAMP" => DtFmt(sizeMs, "TIMESTAMP", null)
+        case "SIMPLE_DATE_FORMAT" =>
+          require(parts.length == 4, s"SIMPLE_DATE_FORMAT needs a pattern: $s")
+          DtFmt(sizeMs, "SDF", parts(3))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported format $other in $s")
+      }
+    }
+  }
+
+  /** Full dateTimeConvert(col, inputFormat, outputFormat, granularity):
+    * input decodes to epoch millis, floors to the granularity bucket, and
+    * re-encodes per the output spec. Pattern-based specs use Spark's
+    * java.time patterns (the common Joda subset — yyyy/MM/dd/HH/mm/ss —
+    * is identical). Epoch arithmetic stays integral; positive epochs only
+    * (floor == truncate there, and both engines agree). */
+  def dateTimeConvert(c: Column, inputFormat: String, outputFormat: String,
+                      granularity: String): Column = {
+    val in = parseDtFmt(inputFormat)
+    val out = parseDtFmt(outputFormat)
+    val g = granularity.split(":", 2)
+    require(g.length == 2, s"bad granularity spec: $granularity")
+    val bucketMs = g(0).toLong * unitMillis(g(1))
+    val epochMs: Column = in.kind match {
+      case "EPOCH" => c.cast("long") * in.sizeMs
+      case "TIMESTAMP" => unix_millis(c.cast("timestamp"))
+      case "SDF" => unix_millis(to_timestamp(c, in.pattern))
+    }
+    val floored = (epochMs / bucketMs).cast("long") * bucketMs
+    out.kind match {
+      case "EPOCH" => (floored / out.sizeMs).cast("long")
+      case "TIMESTAMP" => timestamp_millis(floored)
+      case "SDF" => date_format(timestamp_millis(floored), out.pattern)
+    }
+  }
+
   // ---- JSON (JsonFunctions.java; JsonExtractScalarTransformFunction) ----
   def jsonExtractScalar(c: Column, path: String): Column =
     get_json_object(c, path)

@@ -53,21 +53,38 @@ object Upsert {
   case object Overwrite extends Strategy  // keep latest value
   case object UnionOf extends Strategy    // distinct set, sorted
 
+  /** @param maxHistory optional per-key bound for the accumulating
+    *   strategies (the reference's bounded mergers): APPEND keeps the
+    *   LATEST n values (arrival order), UNION the distinct values among
+    *   the latest n. The bound is enforced INSIDE the aggregate — rows
+    *   past the cap contribute null, which collect_list/set skip — so a
+    *   hot PK bounds the agg buffer itself, not just the output array.
+    *   Scalar strategies (INCREMENT, MIN/MAX, …) still see full history.
+    *   The ranking window shuffles on the same PK the groupBy uses, so
+    *   AQE reuses the partitioning — no extra shuffle. */
   def partialUpsert(df: DataFrame, pks: Seq[String], cmp: String,
-                    strategies: Map[String, Strategy]): DataFrame = {
+                    strategies: Map[String, Strategy],
+                    maxHistory: Option[Int] = None): DataFrame = {
+    val ranked = maxHistory.fold(df) { _ =>
+      val w = Window.partitionBy(pks.map(col): _*).orderBy(col(cmp).desc)
+      df.withColumn("__rn", row_number().over(w))
+    }
+    // under the cap: latest-n filter applied inside the aggregate
+    def recent(e: Column): Column =
+      maxHistory.fold(e)(n => when(col("__rn") <= n, e))
     val aggs = strategies.map { case (c, s) =>
       val v = col(c)
       (s match {
-        case Append    => array_sort(collect_list(struct(col(cmp), v)))
+        case Append    => array_sort(collect_list(recent(struct(col(cmp), v))))
                             .getField(c)
         case Ignore    => min_by(v, col(cmp))
         case Increment => sum(v)
         case MaxOf     => max(v)
         case MinOf     => min(v)
         case Overwrite => max_by(v, col(cmp))
-        case UnionOf   => array_sort(collect_set(v))
+        case UnionOf   => array_sort(collect_set(recent(v)))
       }).as(c)
     }.toSeq
-    df.groupBy(pks.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    ranked.groupBy(pks.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -159,6 +159,36 @@ object ScalarQueries {
           '%Y-%m-%d %H:%M:%S')) // 1000000 AS parse_epoch_v
         FROM orders""")),
 
+    // dateTimeConvert 4-part spec strings ('size:UNIT:FORMAT[:pattern]'
+    // input/output + 'size:UNIT' granularity — DateTimeFormatSpec): every
+    // format kind (EPOCH / TIMESTAMP / SIMPLE_DATE_FORMAT) on each side
+    Q("q_scalar_dtconvert_spec",
+      (s, d) => {
+        val ts = col("o_orderdate").cast("timestamp")
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          F.dateTimeConvert(ts, "TIMESTAMP",
+            "1:MILLISECONDS:EPOCH", "15:MINUTES").as("ep15_ms"),
+          F.dateTimeConvert(ts, "TIMESTAMP",
+            "1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd", "1:DAYS").as("day_str"),
+          F.dateTimeConvert(unix_timestamp(ts), "1:SECONDS:EPOCH",
+            "1:HOURS:EPOCH", "1:HOURS").as("ep_hours"),
+          F.dateTimeConvert(ts, "TIMESTAMP", "TIMESTAMP", "1:DAYS")
+            .as("day_ts"),
+          F.dateTimeConvert(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            "1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd",
+            "1:MINUTES:EPOCH", "30:MINUTES").as("ep_min"))
+      },
+      Some("""SELECT o_orderkey,
+        (epoch_us(o_orderdate) // 1000 // 900000) * 900000 AS ep15_ms,
+        strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+        epoch_us(o_orderdate) // 1000000 // 3600 AS ep_hours,
+        make_timestamp((epoch_us(o_orderdate) // 1000000 // 86400)
+          * 86400 * 1000000) AS day_ts,
+        (epoch_us(o_orderdate) // 1000 // 1800000) * 1800000 // 60000
+          AS ep_min
+        FROM orders""")),
+
     // JSON functions (JsonFunctions.java / jsonExtractScalar)
     Q("q_scalar_json",
       (s, d) => Tables.events(s, d).select(

@@ -239,6 +239,34 @@ class FunctionsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("powerSumsScaled")))
   }
 
+  test("dateTimeConvert spec strings: EPOCH/TIMESTAMP/SDF × granularity") {
+    import graft.functions.{Scalars => Sc}
+    val s = spark
+    import s.implicits._
+    // 2024-03-15 10:47:23 UTC = 1710499643
+    val df = Seq(1710499643L).toDF("es")
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withColumn("str", lit("2024-03-15 10:47:23"))
+    val r = df.select(
+      Sc.dateTimeConvert(col("es"), "1:SECONDS:EPOCH",
+        "1:MINUTES:EPOCH", "15:MINUTES").as("a"),
+      Sc.dateTimeConvert(col("ts"), "TIMESTAMP",
+        "1:MILLISECONDS:EPOCH", "1:HOURS").as("b"),
+      Sc.dateTimeConvert(col("str"),
+        "1:SECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss",
+        "1:DAYS:SIMPLE_DATE_FORMAT:yyyy/MM/dd", "1:DAYS").as("c"),
+      Sc.dateTimeConvert(col("es"), "1:SECONDS:EPOCH",
+        "TIMESTAMP", "1:MINUTES").as("d")).head()
+    assert(r.getAs[Long]("a") == 1710499643L / 60 / 15 * 15) // 15-min bucket
+    assert(r.getAs[Long]("b") == 1710499643L / 3600 * 3600 * 1000L)
+    assert(r.getAs[String]("c") == "2024/03/15")
+    assert(r.getAs[java.sql.Timestamp]("d").getTime ==
+      1710499643L / 60 * 60 * 1000L)
+    intercept[IllegalArgumentException](
+      Sc.dateTimeConvert(col("es"), "1:FORTNIGHTS:EPOCH", "TIMESTAMP",
+        "1:DAYS"))
+  }
+
   test("jsonMatch: nested paths, [*] array predicates, null checks") {
     import graft.functions.Scalars
     val s = spark

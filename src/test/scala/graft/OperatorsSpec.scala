@@ -81,6 +81,30 @@ class OperatorsSpec extends SparkSpec {
       Seq(10.0, 30.0, 20.0))
   }
 
+  test("partialUpsert maxHistory caps APPEND/UNION to the latest n") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5L).map(i => (1L, i, i.toDouble))
+      .toDF("pk", "cmp", "v")
+      .select(col("pk"), col("cmp"), col("v").as("v_app"),
+        col("v").as("v_uni"), col("v").as("v_sum"))
+    val out = Upsert.partialUpsert(df, Seq("pk"), "cmp", Map(
+      "v_app" -> Upsert.Append, "v_uni" -> Upsert.UnionOf,
+      "v_sum" -> Upsert.Increment), maxHistory = Some(3)).head()
+    // latest 3 by cmp, arrival order — deterministic
+    assert(out.getAs[scala.collection.Seq[Double]]("v_app").toSeq ==
+      Seq(3.0, 4.0, 5.0))
+    assert(out.getAs[scala.collection.Seq[Double]]("v_uni").toSeq ==
+      Seq(3.0, 4.0, 5.0))
+    // scalar strategies still see the full history
+    assert(out.getAs[Double]("v_sum") == 15.0)
+    // cap wider than history: everything retained
+    val all = Upsert.partialUpsert(df, Seq("pk"), "cmp",
+      Map("v_app" -> Upsert.Append), maxHistory = Some(100)).head()
+    assert(all.getAs[scala.collection.Seq[Double]]("v_app").toSeq ==
+      (1 to 5).map(_.toDouble))
+  }
+
   test("exact dedup groups identical content") {
     val s = spark
     import s.implicits._
