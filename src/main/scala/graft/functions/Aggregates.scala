@@ -53,6 +53,26 @@ object Aggregates {
   def distinctCountThetaSketch(c: Column, lgK: Int = 12): Column =
     theta_sketch_estimate(theta_sketch_agg(c, lgK))
 
+  /** distinctCountSmartHLL (DistinctCountSmartHLLAggregationFunction:
+    * exact set until the value budget, HLL beyond). A theta sketch sized
+    * to the budget has the identical contract — exact mode until 2^lgK
+    * retained keys, estimate beyond — in ONE mergeable aggregate, where a
+    * literal exact-then-convert switch would need a second pass. */
+  def distinctCountSmart(c: Column, threshold: Int = 4096): Column = {
+    val lgK = math.max(4, math.min(26,
+      32 - Integer.numberOfLeadingZeros(math.max(1, threshold - 1))))
+    theta_sketch_estimate(theta_sketch_agg(c, lgK)).cast("long")
+  }
+
+  /** percentileSmartTDigest (strategy-switching wrapper: raw values until
+    * the threshold, sketch beyond). Native TypedImperativeAggregate —
+    * KLL stands in for TDigest (same mergeable bounded-error contract,
+    * already shipped in this environment's DataSketches). */
+  def percentileSmart(c: Column, frac: Double,
+                      threshold: Int = 4096): Column =
+    org.apache.spark.sql.graft.SmartPercentileAgg.column(
+      c.cast("double"), frac, threshold)
+
   /** percentile exact (PercentileAggregationFunction) and estimate
     * (PercentileEst/TDigest — Spark's approx_percentile is the
     * sketch-backed analog). */

@@ -281,18 +281,41 @@ object Scalars {
   def jsonExtractKey(c: Column, path: String): Column =
     json_object_keys(get_json_object(c, path))
 
+  /** IpAddressFunctions.isSubnetOf — IPv4 AND IPv6 CIDR membership, by
+    * address-byte prefix compare. Inputs must be literal addresses (the
+    * InetAddress parse path does no DNS for literals); mixed families
+    * (v4 prefix vs v6 address) are simply non-members, matching the
+    * reference's family-strict behavior. */
+  def isSubnetOfFn(cidr: String, ip: String): Boolean = {
+    val slash = cidr.lastIndexOf('/')
+    require(slash > 0, s"bad CIDR: $cidr")
+    val bits = cidr.substring(slash + 1).toInt
+    val netB = java.net.InetAddress.getByName(cidr.substring(0, slash))
+      .getAddress
+    val ipB = java.net.InetAddress.getByName(ip).getAddress
+    require(bits >= 0 && bits <= netB.length * 8, s"bad prefix length: $cidr")
+    if (netB.length != ipB.length) false
+    else {
+      val fullBytes = bits / 8
+      val rem = bits % 8
+      var ok = true
+      var i = 0
+      while (ok && i < fullBytes) { ok = netB(i) == ipB(i); i += 1 }
+      if (ok && rem > 0) {
+        val mask = (0xff << (8 - rem)) & 0xff
+        ok = (netB(fullBytes) & mask) == (ipB(fullBytes) & mask)
+      }
+      ok
+    }
+  }
+
   /** Register the (few) genuinely-custom scalar functions for SQL use.
     * Mirrors `FunctionRegistry.registerFunction` — most Pinot names need no
     * registration because the Spark built-in is the same function. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("strcmp_udf",
       (a: String, b: String) => if (a == b) 0 else if (a < b) -1 else 1)
-    spark.udf.register("is_subnet_of", (cidr: String, ip: String) => {
-      // IpAddressFunctions.isSubnetOf (IPv4 only; reference supports v4+v6)
-      val Array(net, bits) = cidr.split("/")
-      def toL(s: String) = s.split("\\.").foldLeft(0L)((a, o) => a * 256 + o.toInt)
-      val mask = if (bits.toInt == 0) 0L else -1L << (32 - bits.toInt) & 0xFFFFFFFFL
-      (toL(net) & mask) == (toL(ip) & mask)
-    })
+    spark.udf.register("is_subnet_of",
+      (cidr: String, ip: String) => isSubnetOfFn(cidr, ip))
   }
 }

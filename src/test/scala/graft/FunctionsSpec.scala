@@ -62,12 +62,56 @@ class FunctionsSpec extends SparkSpec {
     assert(v > 0)
   }
 
-  test("isSubnetOf udf") {
+  test("isSubnetOf udf: IPv4 and IPv6, non-octet prefixes, mixed family") {
     F.registerAll(spark)
     val r = spark.sql(
       "SELECT is_subnet_of('192.168.0.0/24','192.168.0.42') a," +
-        " is_subnet_of('192.168.0.0/24','192.168.1.42') b").head()
+        " is_subnet_of('192.168.0.0/24','192.168.1.42') b," +
+        " is_subnet_of('10.0.0.0/9','10.127.3.4') c," + // non-octet prefix
+        " is_subnet_of('10.0.0.0/9','10.128.0.1') d").head()
     assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    val v6 = spark.sql(
+      "SELECT is_subnet_of('2001:db8::/32','2001:db8:1234::1') a," +
+        " is_subnet_of('2001:db8::/32','2001:db9::1') b," +
+        " is_subnet_of('2001:db8::/127','2001:db8::1') c," +
+        " is_subnet_of('2001:db8::/127','2001:db8::2') d," +
+        " is_subnet_of('2001:db8::/32','192.168.0.1') e").head() // family
+    assert(v6.getBoolean(0) && !v6.getBoolean(1))
+    assert(v6.getBoolean(2) && !v6.getBoolean(3))
+    assert(!v6.getBoolean(4))
+  }
+
+  test("smart aggregates: exact below threshold, bounded estimate above") {
+    import graft.functions.{Aggregates => Ag}
+    val li = Tables.lineitem(spark, sfDir)
+    // distinctCountSmart: sized above the true cardinality → exact
+    val exact = li.agg(count_distinct(col("l_partkey"))).head.getLong(0)
+    val smart = li.agg(Ag.distinctCountSmart(col("l_partkey"), 8192)
+      .as("nd")).head.getLong(0)
+    assert(smart == exact)
+    // undersized → still within HLL-class error
+    // a 64-entry budget over ~200 distincts: estimate mode engages;
+    // error at such a tiny sketch is large but bounded
+    val tight = li.agg(Ag.distinctCountSmart(col("l_partkey"), 64)
+      .as("nd")).head.getLong(0)
+    assert(tight != exact || exact <= 64, "estimate mode should engage")
+    assert(math.abs(tight - exact).toDouble / exact < 0.5,
+      s"$tight vs $exact")
+
+    // percentileSmart below threshold: bit-identical to exact percentile
+    val both = li.groupBy(col("l_returnflag")).agg(
+      Ag.percentileSmart(col("l_extendedprice"), 0.5, 1000000).as("sm"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("ex"))
+      .collect()
+    both.foreach(r => assert(
+      r.getAs[Double]("sm") == r.getAs[Double]("ex"), r.toString))
+    // above threshold (forced sketch): rank within KLL bound
+    val est = li.agg(Ag.percentileSmart(col("l_extendedprice"), 0.5, 10)
+      .as("sm")).head.getDouble(0)
+    val n = li.count().toDouble
+    val rank = li.filter(col("l_extendedprice") <= est).count() / n
+    assert(math.abs(rank - 0.5) < 0.03, s"rank $rank")
   }
 
   test("tokens / shingles / jaccard") {
