@@ -51,6 +51,12 @@ object Ingest {
                    fields: Seq[ProtoWire.Field]): DataFrame =
     ProtoWire.read(spark, path, fields)
 
+  /** Thrift record reader (pinot-thrift plugin analog): decodes
+    * concatenated TBinaryProtocol structs per the field descriptor. */
+  def readThrift(spark: SparkSession, path: String,
+                 fields: Seq[ThriftWire.Field]): DataFrame =
+    ThriftWire.read(spark, path, fields)
+
   /** Ingestion transform config, mirroring CompositeTransformer's stages. */
   final case class Pipeline(
       expressions: Seq[(String, Column)] = Nil,    // ExpressionTransformer

@@ -94,6 +94,48 @@ class IngestSpec extends SparkSpec {
     assert(a == b, s"${a.take(2)} vs ${b.take(2)}")
   }
 
+  test("thrift binary-protocol codec: scalars, lists, skip, round-trip") {
+    import graft.sources.ThriftWire
+    import graft.sources.ThriftWire._
+    val fields = Seq(
+      Field(1, "id", TI64), Field(2, "name", TString),
+      Field(3, "score", TDouble), Field(4, "flag", TBool),
+      Field(5, "small", TI32), Field(6, "tiny", TI16),
+      Field(7, "blob", TBinary), Field(8, "xs", TI64, repeated = true),
+      Field(9, "tags", TString, repeated = true))
+    val values = Seq[Any](42L, "héllo", 3.5, true, -7, 9.toShort,
+      Array[Byte](1, 2, -3), Seq(1L, -2L, 3L), Seq("a", "b"))
+    val d = decodeValues(encodeValues(values, fields), fields)
+    assert(d(0) == 42L && d(1) == "héllo" && d(2) == 3.5 && d(3) == true)
+    assert(d(4) == -7 && d(5) == 9.toShort)
+    assert(d(6).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, -3))
+    assert(d(7) == Seq(1L, -2L, 3L) && d(8) == Seq("a", "b"))
+    // unknown fields (every wire type incl. list) skip; absent → null
+    val known = Seq(Field(2, "name", TString))
+    assert(decodeValues(encodeValues(values, fields), known).head == "héllo")
+    val sparse = decodeValues(encodeValues(
+      Seq[Any](null, "x", null, null, null, null, null, null, null),
+      fields), fields)
+    assert(sparse(0) == null && sparse(1) == "x" && sparse(7) == null)
+  }
+
+  test("thrift file ingest round-trips against parquet ground truth") {
+    import graft.sources.ThriftWire
+    import graft.sources.ThriftWire._
+    val fields = Seq(Field(1, "o_orderkey", TI64),
+      Field(2, "o_orderpriority", TString),
+      Field(3, "o_totalprice", TDouble))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val dir = Files.createTempDirectory("thrift_ingest").toFile
+    ThriftWire.writeFile(orders, fields, s"${dir.getPath}/part0.thrift")
+    val back = Ingest.readThrift(spark, dir.getPath, fields)
+    assert(back.schema == ThriftWire.schemaOf(fields))
+    val a = orders.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("schema evolution: added column backfills sentinel default") {
     // Pinot adds columns to existing tables with defaultNullValue backfill
     // (FieldSpec); parquet analog: mergeSchema union of old/new segments,
