@@ -207,16 +207,20 @@ object Scalars {
       case JsonPredRe(path, op, strV, numV) =>
         val numeric = strV == null
         if (path.contains("[*]")) {
-          if (numeric) {
-            val vals = jsonWildNums(c, path)
-            val target = lit(numV.toDouble)
-            if (op == "=") array_contains(vals, target)
-            else exists(vals, x => cmp(op, x, target))
-          } else {
-            val vals = jsonWildValues(c, path)
-            if (op == "=") array_contains(vals, lit(strV))
-            else exists(vals, x => cmp(op, x, lit(strV)))
+          // ANY-element semantics via codegen-friendly natives — an
+          // `exists` HOF here would knock the whole filter stage out of
+          // whole-stage codegen: any>t ⟺ max>t, any<t ⟺ min<t,
+          // any≠v ⟺ something remains after removing v
+          def anyMatch(vals: Column, v: Column): Column = op match {
+            case "=" => array_contains(vals, v)
+            case "!=" | "<>" => size(array_remove(vals, v)) > 0
+            case ">" => array_max(vals) > v
+            case ">=" => array_max(vals) >= v
+            case "<" => array_min(vals) < v
+            case "<=" => array_min(vals) <= v
           }
+          if (numeric) anyMatch(jsonWildNums(c, path), lit(numV.toDouble))
+          else anyMatch(jsonWildValues(c, path), lit(strV))
         } else {
           val v = get_json_object(c, path)
           if (numeric) cmp(op, v.cast("double"), lit(numV.toDouble))
