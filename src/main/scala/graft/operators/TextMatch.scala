@@ -30,6 +30,10 @@ object TextMatch {
   sealed trait Node
   final case class Term(t: String) extends Node
   final case class Prefix(p: String) extends Node
+  /** General wildcard term: `*` = any run, `?` = one char (Lucene). */
+  final case class Wildcard(pattern: String) extends Node
+  /** Fuzzy term `t~N`: tokens within N edits (Lucene default 2). */
+  final case class Fuzzy(t: String, maxEdits: Int) extends Node
   final case class Phrase(terms: Seq[String]) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
@@ -38,6 +42,18 @@ object TextMatch {
   // ---- parser -----------------------------------------------------------
 
   private val TokRe = "\"[^\"]*\"|\\(|\\)|[^\\s()\"]+".r
+  private val FuzzyRe = "([^~]+)~(\\d*)".r
+
+  /** Lucene wildcard → SQL LIKE (escape %/_/\, then * → %, ? → _). */
+  private[operators] def likePattern(w: String): String =
+    w.flatMap {
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case '*' => "%"
+      case '?' => "_"
+      case c => c.toString
+    }
 
   /** Parse a Lucene-subset query string into a [[Node]] tree. */
   def parse(query: String): Node = {
@@ -58,8 +74,15 @@ object TextMatch {
           .split("\\s+").filter(_.nonEmpty).toSeq
         require(words.nonEmpty, s"empty phrase in '$query'")
         if (words.length == 1) Term(words.head) else Phrase(words)
-      case w if w.endsWith("*") && w.length > 1 =>
-        Prefix(w.dropRight(1).toLowerCase)
+      case FuzzyRe(base, edits) =>
+        Fuzzy(base.toLowerCase, if (edits.isEmpty) 2 else edits.toInt)
+      case w if w.endsWith("*") && w.length > 1 &&
+          !w.dropRight(1).exists(c => c == '*' || c == '?') =>
+        Prefix(w.dropRight(1).toLowerCase) // pure trailing-* fast path
+      case w if w.exists(c => c == '*' || c == '?') =>
+        require(w.exists(c => c != '*' && c != '?'),
+          s"bare wildcard in '$query'")
+        Wildcard(w.toLowerCase)
       case w =>
         require(w != ")" && w != "AND" && w != "OR",
           s"unexpected '$w' in '$query'")
