@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * `pinot-core/.../operator/filter/TextMatchFilterOperator.java` over
   * `pinot-segment-local/.../invertedindex/RealtimeLuceneTextIndex.java`,
   * query shapes from `TextSearchQueriesTest.java`): boolean `AND`/`OR`/
-  * `NOT`, `"phrase"` queries, trailing-`*` prefix wildcards, and
+  * `NOT`, `"phrase"` queries, trailing-`*` prefix wildcards, general
+  * wildcards (`mid*dle`, `te?m`), fuzzy terms (`term~1`), and
   * parentheses, compiled onto the positional inverted index from
   * [[HybridTable]] instead of a Lucene segment.
   *
@@ -17,7 +18,8 @@ import org.apache.spark.sql.functions._
   *                                           except `a NOT b` = a AND NOT b
   *   and     := unary (AND unary)*
   *   unary   := NOT unary | primary
-  *   primary := '(' expr ')' | '"w1 w2 …"' | term | prefix*
+  *   primary := '(' expr ')' | '"w1 w2 …"' | term | prefix* | wild?card
+  *            | fuzzy~N
   * }}}
   *
   * Compilation is Spark-first: every leaf is a token-keyed postings lookup
@@ -138,6 +140,21 @@ object TextMatch {
       case Prefix(p) =>
         posIndex.filter(col("token").startsWith(p))
           .select(col(idCol)).distinct()
+      case Wildcard(p) =>
+        // Lucene WildcardQuery analog: the LIKE probe runs over the token
+        // column of the (token-bucketed) postings, never the corpus text.
+        posIndex.filter(col("token").like(likePattern(p)))
+          .select(col(idCol)).distinct()
+      case Fuzzy(t, d) =>
+        // Lucene FuzzyQuery analog: edit-distance match resolved on the
+        // distinct-token VOCABULARY (|vocab| << |postings|), then a keyed
+        // semi-join back onto the postings — levenshtein never runs
+        // per-posting-row. (Classic Levenshtein; Lucene additionally counts
+        // a transposition as one edit — documented divergence.)
+        val vocab = posIndex.select(col("token")).distinct()
+          .filter(levenshtein(col("token"), lit(t)) <= d)
+        posIndex.join(vocab, Seq("token"), "left_semi")
+          .select(col(idCol)).distinct()
       case Phrase(ts) => HybridTable.matchPhrase(posIndex, idCol, ts)
       case And(l, Not(r)) => ids(l).join(ids(r), Seq(idCol), "left_anti")
       case And(Not(l), r) => ids(r).join(ids(l), Seq(idCol), "left_anti")
@@ -161,6 +178,8 @@ object TextMatch {
     def c(n: Node): org.apache.spark.sql.Column = n match {
       case Term(t) => array_contains(toks, t)
       case Prefix(p) => exists(toks, x => x.startsWith(p))
+      case Wildcard(p) => exists(toks, x => x.like(likePattern(p)))
+      case Fuzzy(t, d) => exists(toks, x => levenshtein(x, lit(t)) <= d)
       case Phrase(ts) =>
         val body = ts.map(java.util.regex.Pattern.quote).mkString("\\s+")
         lower(text).rlike(s"(^|\\s)$body(\\s|$$)")

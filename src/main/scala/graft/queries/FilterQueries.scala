@@ -135,6 +135,40 @@ object FilterQueries {
                AND NOT list_contains(tk, 'slow'))
         ORDER BY doc_id""")),
 
+    // TEXT_MATCH mid-word wildcards (Lucene WildcardQuery: `*` any run,
+    // `?` one char — TextSearchQueriesTest wildcard shapes). Compiled as
+    // a LIKE probe over the postings token column; oracle replays the
+    // token LIKE in DuckDB.
+    Q("q_filter_text_wildcard",
+      (s, d) => graft.operators.TextMatch.luceneMatch(
+          Tables.documents(s, d), "text", "doc_id",
+          "v?ctor AND st*m OR (c*mn AND NOT s?an)")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE (len(list_filter(tk, w -> w LIKE 'v_ctor')) > 0
+               AND len(list_filter(tk, w -> w LIKE 'st%m')) > 0)
+           OR (len(list_filter(tk, w -> w LIKE 'c%mn')) > 0
+               AND NOT len(list_filter(tk, w -> w LIKE 's_an')) > 0)
+        ORDER BY doc_id""")),
+
+    // TEXT_MATCH fuzzy terms (Lucene FuzzyQuery `term~N`): levenshtein
+    // resolved on the distinct-token vocabulary, semi-joined back onto
+    // the postings. Oracle replays levenshtein over DuckDB token lists.
+    Q("q_filter_text_fuzzy",
+      (s, d) => graft.operators.TextMatch.luceneMatch(
+          Tables.documents(s, d), "text", "doc_id",
+          "quary~1 OR (vektor~1 AND NOT slow)")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE len(list_filter(tk, w -> levenshtein(w, 'quary') <= 1)) > 0
+           OR (len(list_filter(tk, w -> levenshtein(w, 'vektor') <= 1)) > 0
+               AND NOT list_contains(tk, 'slow'))
+        ORDER BY doc_id""")),
+
     // JSON_MATCH with nested paths and [*] array predicates
     // (JsonMatchFilterOperator + json index; '"$.arr[*].k" = ''v''' shapes
     // from JsonIndexTest). The JSON doc is synthesized per row from orders

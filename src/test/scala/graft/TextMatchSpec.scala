@@ -26,6 +26,14 @@ class TextMatchSpec extends SparkSpec {
     // malformed input is rejected, not mis-parsed
     intercept[IllegalArgumentException](parse("(a OR b"))
     intercept[IllegalArgumentException](parse(""))
+    // wildcard + fuzzy leaves
+    assert(parse("mid*dle") == Wildcard("mid*dle"))
+    assert(parse("te?m") == Wildcard("te?m"))
+    assert(parse("Term~1") == Fuzzy("term", 1))
+    assert(parse("term~") == Fuzzy("term", 2))   // Lucene default edits
+    // trailing-* stays on the Prefix fast path
+    assert(parse("stream*") == Prefix("stream"))
+    intercept[IllegalArgumentException](parse("*"))  // bare wildcard
   }
 
   test("compile: boolean/phrase/prefix semantics against hand sets") {
@@ -52,6 +60,37 @@ class TextMatchSpec extends SparkSpec {
     assert(run("\"hash join\" OR (stream AND NOT merge)") == Set(1L, 3L))
     assert(run("join table") == Set(1L, 2L, 3L, 5L))   // adjacency = OR
     assert(run("\"hash table stream\"") == Set(3L))    // 3-term phrase
+  }
+
+  test("compile + columnFor: wildcard and fuzzy semantics") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "stream table merge"),
+      (2L, "steam engine term"),
+      (3L, "storm term strem"),
+      (4L, "unrelated words here"),
+      (5L, "team slalom")) .toDF("doc_id", "text")
+
+    def run(q: String): Set[Long] =
+      TextMatch.luceneMatch(docs, "text", "doc_id", q)
+        .collect().map(_.getLong(0)).toSet
+    def runRow(q: String): Set[Long] =
+      docs.filter(TextMatch.columnFor(org.apache.spark.sql.functions.col("text"), q))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val cases = Seq(
+      "st*m" -> Set(1L, 2L, 3L),      // stream, steam, storm, strem
+      "te?m" -> Set(2L, 3L, 5L),      // term, team
+      "s*m" -> Set(1L, 2L, 3L, 5L),   // + slalom
+      "term~1" -> Set(2L, 3L, 5L),    // term exact, team 1 edit
+      "strem~1" -> Set(1L, 3L),       // stream (1 insertion), strem exact
+      "term~1 AND engine" -> Set(2L),
+      "NOT te?m" -> Set(1L, 4L))
+    for ((q, want) <- cases) {
+      assert(run(q) == want, s"postings plan for '$q'")
+      assert(runRow(q) == want, s"per-row plan for '$q'")
+    }
   }
 
   test("compile: no cartesian products in any compiled plan") {
