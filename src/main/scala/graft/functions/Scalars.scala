@@ -160,9 +160,9 @@ object Scalars {
   // ('"$.arr[*].k" = ''v'''). Array predicates use ANY-element-matches
   // semantics (the reference's json-index posting semantics).
 
-  private val JsonPredRe =
+  private[graft] val JsonPredRe =
     """^\s*"([^"]+)"\s*(=|!=|<>|<=|>=|<|>)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*$""".r
-  private val JsonNullRe =
+  private[graft] val JsonNullRe =
     """^\s*"([^"]+)"\s+IS\s+(NOT\s+)?NULL\s*$""".r
 
   /** All scalar values matched by a wildcard json path, as array<string>.

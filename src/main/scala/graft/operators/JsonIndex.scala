@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON index analog (reference
+  * `pinot-segment-local/.../invertedindex/json/` — flattened-path posting
+  * lists consulted by `JsonMatchFilterOperator`; shapes in `JsonIndexTest`).
+  *
+  * The reference flattens every path of every document at ingest into
+  * `path.value → doc-id` posting bitmaps; JSON_MATCH then never touches the
+  * raw document. The Spark-first realization: ONE `from_json` parse per
+  * document (not one jsonpath scan per predicate) flattened recursively
+  * into an (id, path, value, num) posting table. Materialized with
+  * `partitionBy("path")`, a predicate reads exactly one path partition —
+  * a pruned scan + keyed semi-join, never a corpus scan. Array elements
+  * post under the `[*]`-normalized path, so the reference's ANY-element
+  * JSON_MATCH semantics fall out of plain row filters. */
+object JsonIndex {
+
+  private val EmptyEntries =
+    array().cast("array<struct<path:string,value:string,num:double>>")
+
+  /** Flatten `jsonCol` (parsed with `schema`) into postings
+    * (idCol, path, value, num). Paths are `$`-rooted with `[*]` at array
+    * hops — exactly the grammar [[graft.functions.Scalars.jsonMatch]]
+    * accepts. `num` is the double view of the value (null when
+    * non-numeric) so numeric predicates don't compare lexically. */
+  def postings(df: DataFrame, jsonCol: String, idCol: String,
+               schema: DataType): DataFrame = {
+    def entries(c: Column, dt: DataType, path: String): Column = dt match {
+      case st: StructType =>
+        val parts = st.fields.toSeq.map(f =>
+          entries(c.getField(f.name), f.dataType, s"$path.${f.name}"))
+        if (parts.isEmpty) EmptyEntries
+        else coalesce(concat(parts: _*), EmptyEntries)
+      case ArrayType(et, _) =>
+        coalesce(flatten(transform(c, e => entries(e, et, s"$path[*]"))),
+          EmptyEntries)
+      case _ =>
+        // num twin only for numeric leaf types (schema-driven — an ANSI
+        // string→double cast would throw on non-numeric values)
+        val num = dt match {
+          case _: NumericType => c.cast("double")
+          case _ => lit(null).cast("double")
+        }
+        when(c.isNotNull, array(struct(
+          lit(path).as("path"),
+          c.cast("string").as("value"),
+          num.as("num")))).otherwise(EmptyEntries)
+    }
+    // Parse in its OWN projection: the flatten expression references the
+    // parsed struct once per leaf, and the transform() HOF makes the
+    // projection interpreted (no common-subexpression elimination) — if
+    // from_json were inlined it would re-parse the document per leaf.
+    // CollapseProject keeps the stages separate because a non-cheap
+    // producer referenced multiple times is not collapsible.
+    val parsed = df.select(col(idCol), from_json(col(jsonCol), schema).as("j"))
+    parsed.select(col(idCol), explode(entries(col("j"), schema, "$")).as("e"))
+      .select(col(idCol), col("e.path").as("path"),
+        col("e.value").as("value"), col("e.num").as("num"))
+  }
+
+  /** Write the posting table partitioned by path — the on-disk layout
+    * where a JSON_MATCH predicate prunes to a single path directory. */
+  def materialize(index: DataFrame, dir: String): Unit =
+    index.write.mode("overwrite").partitionBy("path").parquet(dir)
+
+  /** How many built posting tables to keep cached (LRU). Test hook. */
+  private[graft] var cacheCapacity = 4
+
+  // Build-once lifecycle (same pattern as Similarity.ivfIndex): the
+  // reference builds the json index at ingest, not per query. LRU keyed by
+  // (session identity, snapshot key); evicted entries unpersist.
+  private val cache =
+    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean = {
+        val evict = size() > cacheCapacity
+        if (evict) {
+          try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
+
+  private[graft] def cacheKeys: Set[(Int, String)] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.toSet
+  }
+
+  /** Drop every cached posting table (unpersisting each). */
+  def cacheClear(): Unit = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.foreach { ix =>
+      try ix.unpersist(false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+
+  /** Build (or fetch the cached) posting table. `cacheKey` identifies the
+    * corpus SNAPSHOT — include a version/mtime if data is rewritten in
+    * place; pass None to force a fresh build. */
+  def cachedPostings(df: DataFrame, jsonCol: String, idCol: String,
+                     schema: DataType, cacheKey: Option[String]): DataFrame = {
+    def build(): DataFrame = {
+      val idx = postings(df, jsonCol, idCol, schema).cache()
+      idx.count() // ingest-time lifecycle: materialize eagerly
+      idx
+    }
+    cacheKey.fold(build()) { k =>
+      val key = (System.identityHashCode(df.sparkSession), k)
+      cache.synchronized {
+        val hit = cache.get(key)
+        if (hit != null) hit
+        else { val built = build(); cache.put(key, built); built }
+      }
+    }
+  }
+
+  // ---- predicate compilation over the postings --------------------------
+
+  private[graft] sealed trait Pred
+  private[graft] final case class Cmp(path: String, op: String,
+      strV: Option[String], numV: Option[Double]) extends Pred
+  private[graft] final case class NullCheck(path: String, isNull: Boolean)
+      extends Pred
+
+  /** Same predicate grammar as [[graft.functions.Scalars.jsonMatch]]. */
+  private[graft] def parsePred(predicate: String): Pred = predicate match {
+    case graft.functions.Scalars.JsonNullRe(path, notNull) =>
+      NullCheck(path, isNull = notNull == null)
+    case graft.functions.Scalars.JsonPredRe(path, op, strV, numV) =>
+      Cmp(path, op, Option(strV), Option(numV).map(_.toDouble))
+    case other =>
+      throw new IllegalArgumentException(s"bad JSON_MATCH predicate: $other")
+  }
+
+  /** Posting-row filter for one comparison predicate (ANY-element
+    * semantics: each array element is its own posting row, so plain row
+    * filters agree with the per-row `jsonMatch` array natives). */
+  private def cmpFilter(p: Cmp): Column = {
+    def cmp(x: Column, v: Column): Column = p.op match {
+      case "=" => x === v
+      case "!=" | "<>" => x =!= v
+      case "<" => x < v
+      case "<=" => x <= v
+      case ">" => x > v
+      case ">=" => x >= v
+    }
+    val valueMatch = p.numV match {
+      case Some(n) => cmp(col("num"), lit(n))
+      case None => cmp(col("value"), lit(p.strV.get))
+    }
+    col("path") === p.path && valueMatch
+  }
+
+  /** Doc ids matching one JSON_MATCH predicate, from the posting table.
+    * `universe` (distinct ids) is consulted only for IS NULL — postings
+    * record presence, so absence is an anti-join, like TEXT_MATCH NOT. */
+  def matchIds(index: DataFrame, universe: DataFrame, idCol: String,
+               predicate: String): DataFrame = parsePred(predicate) match {
+    case c: Cmp =>
+      index.filter(cmpFilter(c)).select(col(idCol)).distinct()
+    case NullCheck(path, isNull) =>
+      val present = index.filter(col("path") === path)
+        .select(col(idCol)).distinct()
+      if (isNull) universe.join(present, Seq(idCol), "left_anti") else present
+  }
+
+  /** One-pass flags for several comparison predicates: (id, p0…pn
+    * boolean). A single aggregation over the postings — the analog of the
+    * reference intersecting per-predicate posting bitmaps — so a compound
+    * JSON_MATCH filter costs ONE shuffle regardless of predicate count.
+    * Only ids with at least one matching posting appear (the reference's
+    * bitmaps are likewise consulted only for the predicate values): absent
+    * id ⇒ every flag false, so compose flags POSITIVELY (`(p0 && p1) ||
+    * p2`), never as `!pK`. IS [NOT] NULL checks are presence checks,
+    * route via [[matchIds]]. */
+  def flags(index: DataFrame, idCol: String, predicates: Seq[String])
+  : DataFrame = {
+    val preds = predicates.map(parsePred(_) match {
+      case c: Cmp => c
+      case _: NullCheck =>
+        throw new IllegalArgumentException(
+          "IS [NOT] NULL flags need the universe — use matchIds")
+    })
+    // only matching postings reach the shuffle — the non-matching bulk of
+    // the index is dropped in the scan stage
+    index.filter(preds.map(cmpFilter).reduce(_ || _))
+      .groupBy(col(idCol)).agg(
+      preds.zipWithIndex.map { case (p, i) =>
+        (max(when(cmpFilter(p), 1).otherwise(0)) === 1).as(s"p$i")
+      }.head,
+      preds.zipWithIndex.map { case (p, i) =>
+        (max(when(cmpFilter(p), 1).otherwise(0)) === 1).as(s"p$i")
+      }.tail: _*)
+  }
+}

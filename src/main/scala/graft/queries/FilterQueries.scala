@@ -193,6 +193,38 @@ object FilterQueries {
            OR o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority""")),
 
+    // Same JSON_MATCH compound predicate as q_filter_json_array, routed
+    // through the JSON index analog (json posting table from ONE from_json
+    // parse, one-pass predicate flags) instead of per-row jsonpath — the
+    // reference always answers JSON_MATCH from the json index. Oracle is
+    // identical, so the two formulations are cross-checked.
+    Q("q_filter_json_indexed",
+      (s, d) => {
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        val docs = Tables.orders(s, d).withColumn("doc", j)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        val idx = graft.operators.JsonIndex.cachedPostings(
+          docs, "doc", "o_orderkey", schema,
+          cacheKey = Some(s"$d:orders.doc")) // ingest-time build, reused
+        val f = graft.operators.JsonIndex.flags(idx, "o_orderkey", Seq(
+          """"$.tags[*].p" = 'F'""",
+          """"$.tags[*].n" > 3""",
+          """"$.meta.pri" = '1-URGENT'"""))
+        val ids = f.filter((col("p0") && col("p1")) || col("p2"))
+          .select(col("o_orderkey"))
+        Tables.orders(s, d).join(ids, Seq("o_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus = 'F' AND (o_custkey % 5) > 3)
+           OR o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority""")),
+
     // JSON_MATCH (JsonMatchFilterOperator → json-path predicate rewrite)
     Q("q_filter_json_match",
       (s, d) => Tables.events(s, d)
