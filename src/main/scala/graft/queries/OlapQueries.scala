@@ -290,6 +290,53 @@ object OlapQueries {
         ${graft.ParSql.dsum("o_totalprice")} AS sum_price
         FROM orders GROUP BY o_orderpriority""")),
 
+    // confluent-avro input format (pinot-confluent-avro decoder analog):
+    // customers re-encoded as confluent frames under TWO writer schema
+    // versions (even keys v1 without c_acctbal, odd keys v2 with it), read
+    // back through the v2 reader schema — avro schema resolution fills the
+    // v1 rows' c_acctbal with the field default (0). The oracle replays
+    // that split arithmetically on the original parquet, so a broken
+    // frame header, registry dispatch, or resolution default breaks the
+    // hash.
+    Q("q_ingest_confluent",
+      (s, d) => {
+        import graft.sources.{ConfluentAvro, Ingest, ProtoWire}
+        val v1 = """{"type":"record","name":"Cust","fields":[
+          {"name":"c_custkey","type":"long"},
+          {"name":"c_mktsegment","type":"string"}]}"""
+        val v2 = """{"type":"record","name":"Cust","fields":[
+          {"name":"c_custkey","type":"long"},
+          {"name":"c_mktsegment","type":"string"},
+          {"name":"c_acctbal","type":"double","default":0.0}]}"""
+        val dir = new java.io.File(
+          s"/tmp/graft_confluent_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          dir.mkdirs()
+          val rows = Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+            .collect()
+          val msgs = rows.iterator.map { r =>
+            val key = r.getLong(0)
+            if (key % 2 == 1)
+              ConfluentAvro.encode(
+                Seq(key, r.getString(1), r.getDouble(2)), v2, 2)
+            else ConfluentAvro.encode(Seq(key, r.getString(1)), v1, 1)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"${dir.getPath}/part0.cav"),
+            ProtoWire.frame(msgs))
+        }
+        Ingest.readConfluentAvro(s, dir.getPath,
+            registry = Map(1 -> v1, 2 -> v2), readerJson = v2)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            Par.dsum(col("c_acctbal")).as("sum_bal"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+        ${graft.ParSql.dsum(
+          "CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END")} AS sum_bal
+        FROM customer GROUP BY c_mktsegment""")),
+
     // ingestion-time rollup (aggregateMetrics ValueAggregators):
     // 15-min pre-aggregation as the streaming sink would produce
     Q("q_rollup_ingest",

@@ -30,6 +30,14 @@ object Ingest {
            schema: Option[StructType] = None): DataFrame = {
     require(!format.equalsIgnoreCase("protobuf"),
       "protobuf needs a field descriptor — use Ingest.readProtobuf")
+    require(!format.equalsIgnoreCase("thrift"),
+      "thrift needs a field descriptor — use Ingest.readThrift")
+    require(!format.equalsIgnoreCase("avro"),
+      "avro needs a reader schema — use Ingest.readAvro")
+    require(!format.toLowerCase.startsWith("confluent"),
+      "confluent-avro needs a registry — use Ingest.readConfluentAvro")
+    require(!format.equalsIgnoreCase("clplog") && !format.equalsIgnoreCase("clp"),
+      "CLP logs need their archive layout — use ClpLog.read")
     val r = spark.read.format(format.toLowerCase match {
       case "jsonl" => "json"
       case f => f
@@ -56,6 +64,16 @@ object Ingest {
   def readThrift(spark: SparkSession, path: String,
                  fields: Seq[ThriftWire.Field]): DataFrame =
     ThriftWire.read(spark, path, fields)
+
+  /** Avro container-file reader (pinot-avro plugin analog). */
+  def readAvro(spark: SparkSession, path: String, readerJson: String)
+  : DataFrame = ConfluentAvro.readContainer(spark, path, readerJson)
+
+  /** Confluent-framed Avro reader (pinot-confluent-avro plugin analog):
+    * magic byte + schema-registry id framing, registry as id→schema map. */
+  def readConfluentAvro(spark: SparkSession, path: String,
+                        registry: Map[Int, String], readerJson: String)
+  : DataFrame = ConfluentAvro.read(spark, path, registry, readerJson)
 
   /** Ingestion transform config, mirroring CompositeTransformer's stages. */
   final case class Pipeline(
