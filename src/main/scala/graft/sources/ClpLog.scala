@@ -1,0 +1,137 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLP log input format (reference
+  * `pinot-plugins/pinot-input-format/pinot-clp-log/` —
+  * `CLPLogRecordExtractor`: JSON log records whose configured message
+  * fields are CLP-decomposed into three columns,
+  * `<field>_logtype` / `<field>_dictionaryVars` / `<field>_encodedVars`).
+  *
+  * CLP (Compressed Log Processor, Rodrigues et al., OSDI '21) splits a log
+  * message into its static text (logtype), repetitive variable values
+  * (dictionary vars) and numeric values (encoded vars); the placeholder
+  * bytes 0x11/0x12 mark where each variable class re-enters the text. The
+  * yscope encoder jar is not in this environment, so this is a from-scratch
+  * scoped codec of that public scheme:
+  *
+  *   - tokens are maximal runs outside the delimiter set (whitespace and
+  *     `():[]{}<>,"';=`; `._-/+` stay inside tokens so paths, IPs and
+  *     UUIDs survive whole);
+  *   - a token containing a digit is a variable (CLP's heuristic);
+  *   - pure integer tokens that fit a long become encoded vars
+  *     (placeholder 0x12); every other variable token — including floats,
+  *     which real CLP packs into a custom long format — goes to the
+  *     dictionary (placeholder 0x11). Scoped divergence, documented: the
+  *     round-trip stays byte-exact, the numeric column still carries the
+  *     long array shape.
+  *
+  * Decode re-substitutes variables in order, so
+  * `decodeMessage(encodeMessage(m)) == m` for any message — the property
+  * the specs pin. Encode is per-row and embarrassingly parallel. */
+object ClpLog {
+
+  val DictPlaceholder: Char = '\u0011'
+  val IntPlaceholder: Char = '\u0012'
+  /** Escapes placeholder bytes appearing literally in static text (real
+    * CLP likewise escapes them in logtypes). */
+  val Escape: Char = '\\'
+
+  private def needsEscape(c: Char): Boolean =
+    c == DictPlaceholder || c == IntPlaceholder || c == Escape
+
+  final case class Encoded(logtype: String, dictionaryVars: Seq[String],
+                           encodedVars: Seq[Long])
+
+  private def isDelim(c: Char): Boolean =
+    Character.isWhitespace(c) || "():[]{}<>,\"';=".indexOf(c) >= 0
+
+  private val IntRe = "-?\\d+".r
+
+  /** Decompose one message into (logtype, dictionary vars, encoded vars). */
+  def encodeMessage(msg: String): Encoded = {
+    val logtype = new StringBuilder
+    val dict = new ArrayBuffer[String]
+    val enc = new ArrayBuffer[Long]
+    def static(s: String): Unit = s.foreach { c =>
+      if (needsEscape(c)) logtype += Escape
+      logtype += c
+    }
+    var i = 0
+    val n = msg.length
+    while (i < n) {
+      if (isDelim(msg(i))) { static(msg(i).toString); i += 1 }
+      else {
+        val start = i
+        while (i < n && !isDelim(msg(i))) i += 1
+        val tok = msg.substring(start, i)
+        if (!tok.exists(_.isDigit)) static(tok) // static text
+        else if (IntRe.matches(tok) && tok.toLongOption.isDefined) {
+          enc += tok.toLong
+          // leading zeros / "-0" wouldn't survive Long round-trip — those
+          // stay dictionary vars so decode is byte-exact
+          if (enc.last.toString == tok) logtype += IntPlaceholder
+          else { enc.remove(enc.length - 1); dict += tok
+                 logtype += DictPlaceholder }
+        } else { dict += tok; logtype += DictPlaceholder }
+      }
+    }
+    Encoded(logtype.toString, dict.toSeq, enc.toSeq)
+  }
+
+  /** Reassemble the original message (inverse of [[encodeMessage]]). */
+  def decodeMessage(logtype: String, dictionaryVars: Seq[String],
+                    encodedVars: Seq[Long]): String = {
+    val out = new StringBuilder
+    var d = 0
+    var e = 0
+    var i = 0
+    while (i < logtype.length) {
+      logtype(i) match {
+        case Escape => out += logtype(i + 1); i += 1
+        case DictPlaceholder => out ++= dictionaryVars(d); d += 1
+        case IntPlaceholder => out.append(encodedVars(e)); e += 1
+        case c => out += c
+      }
+      i += 1
+    }
+    require(d == dictionaryVars.length && e == encodedVars.length,
+      s"variable count mismatch: logtype wants ($d,$e), " +
+        s"got (${dictionaryVars.length},${encodedVars.length})")
+    out.toString
+  }
+
+  private val encodeUdf = udf((m: String) =>
+    if (m == null) null else encodeMessage(m))
+  private val decodeUdf = udf(
+    (lt: String, dv: Seq[String], ev: Seq[Long]) =>
+      if (lt == null) null else decodeMessage(lt, dv, ev))
+
+  /** CLP-encode `field` into the reference's three-column shape
+    * (`<field>_logtype`, `<field>_dictionaryVars`, `<field>_encodedVars`),
+    * dropping the original column — `CLPLogRecordExtractor.encodeFieldWithClp`.
+    * Ingest-time, one pass, no shuffle. */
+  def encodeField(df: DataFrame, field: String): DataFrame = {
+    val e = encodeUdf(col(field))
+    df.withColumn(s"${field}_logtype", e.getField("logtype"))
+      .withColumn(s"${field}_dictionaryVars", e.getField("dictionaryVars"))
+      .withColumn(s"${field}_encodedVars", e.getField("encodedVars"))
+      .drop(field)
+  }
+
+  /** Reassembled message column from the three encoded columns (search /
+    * export path). */
+  def decodeField(df: DataFrame, field: String): DataFrame =
+    df.withColumn(field, decodeUdf(col(s"${field}_logtype"),
+      col(s"${field}_dictionaryVars"), col(s"${field}_encodedVars")))
+
+  /** Read a JSONL log archive, CLP-encoding `clpFields` (the
+    * `CLPLogMessageDecoder` shape: every other field passes through as
+    * JSON). */
+  def read(spark: SparkSession, path: String, clpFields: Seq[String])
+  : DataFrame =
+    clpFields.foldLeft(spark.read.json(path))(encodeField)
+}
