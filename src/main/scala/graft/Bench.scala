@@ -6,8 +6,47 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Results are fully materialized through the `noop`
   * sink — `count()` would let Catalyst prune projections and undercount the
   * real work. One untimed warm-up query absorbs JIT/classloading so the
-  * numbers reflect steady-state execution. */
+  * numbers reflect steady-state execution.
+  *
+  * Outlier isolation: in-suite timings share executor/GC state, so a slow
+  * neighbor can masquerade as a regression. Any query slower than
+  * [[OutlierFactor]]× its prior-round recording (SPARK_GRAFT_BENCH_PRIOR,
+  * else the newest BENCH_r*.json in cwd) is re-benched alone after a GC
+  * settle, and BOTH numbers ship: `queries` keeps the suite time,
+  * `isolated` carries the re-run — interference and real regressions are
+  * distinguishable from the JSON alone. */
 object Bench {
+
+  val OutlierFactor = 1.5
+
+  /** Queries whose suite time exceeds `factor`× their prior recording. */
+  private[graft] def outliers(cur: Map[String, Double],
+                              prior: Map[String, Double],
+                              factor: Double = OutlierFactor): Seq[String] =
+    cur.collect { case (n, v) if prior.get(n).exists(p => v > p * factor) =>
+      n }.toSeq.sorted
+
+  /** Salvage `"q_name":seconds` pairs from a prior bench JSON. Regex, not
+    * a JSON parser, on purpose: prior files can arrive tail-truncated
+    * (r4's was) and the intact prefix is still useful. */
+  private[graft] def parsePriorQueries(json: String): Map[String, Double] =
+    "\"(q_\\w+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  private def loadPrior(): Map[String, Double] = {
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
+      .map(new java.io.File(_))
+    val fallback = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+    explicit.orElse(fallback).filter(_.isFile).fold(Map.empty[String, Double]) {
+      f =>
+        try parsePriorQueries(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        catch { case _: Throwable => Map.empty }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -63,7 +102,29 @@ object Bench {
     val errJson =
       if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+
+    // re-bench suite outliers alone (post-GC) so interference can't
+    // masquerade as regression; both numbers ship
+    val prior = loadPrior()
+    val flagged = outliers(
+      ok.map { case (k, v, _) => k -> v }.toMap, prior)
+    val isolated = flagged.flatMap { name =>
+      selected.find(_.name == name).map { q =>
+        System.gc()
+        Thread.sleep(200)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          runOnce(q.run)
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> math.min(once(), once())
+      }
+    }
+    val isoJson = if (isolated.isEmpty) ""
+      else s""","isolated":${isolated.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$isoJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

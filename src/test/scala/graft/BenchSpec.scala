@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Outlier-isolation decision logic (the bench main is exercised by the
+  * driver; the pure pieces are pinned here). */
+class BenchSpec extends AnyFunSuite {
+
+  test("outliers: a slow neighbor's victim is flagged, real speed is not") {
+    // synthetic slow-neighbor round: q_a was 0.2s last round, records 0.9s
+    // in-suite (interference); q_b is genuinely steady; q_new has no prior
+    val prior = Map("q_a" -> 0.2, "q_b" -> 0.2)
+    val cur = Map("q_a" -> 0.9, "q_b" -> 0.21, "q_new" -> 5.0)
+    assert(Bench.outliers(cur, prior) == Seq("q_a"))
+    // boundary: exactly factor× is NOT an outlier (strictly greater)
+    assert(Bench.outliers(Map("q_b" -> 0.3), prior) == Seq.empty)
+    assert(Bench.outliers(Map("q_b" -> 0.301), prior) == Seq("q_b"))
+    // no prior file at all → nothing flagged, bench degrades gracefully
+    assert(Bench.outliers(cur, Map.empty) == Seq.empty)
+  }
+
+  test("parsePriorQueries: salvages intact prefix of a truncated JSON") {
+    val full =
+      """{"metric":"total","value":56.3,"unit":"sec","queries":{"q_a":0.5,"q_b":1.25e-1,"q_c":2.0},"sf":"x"}"""
+    assert(Bench.parsePriorQueries(full) ==
+      Map("q_a" -> 0.5, "q_b" -> 0.125, "q_c" -> 2.0))
+    // tail-truncated mid-entry (the r4 failure mode): prefix still parses
+    val truncated =
+      """{"metric":"total","value":56.3,"queries":{"q_a":0.5,"q_b":1.9,"q_c":2"""
+    val got = Bench.parsePriorQueries(truncated)
+    assert(got("q_a") == 0.5 && got("q_b") == 1.9)
+    assert(Bench.parsePriorQueries("not json") == Map.empty)
+  }
+}
