@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // star-tree plan routing: fitting aggregates answered from registered
     // materialized summaries instead of the fact scan
     ext.injectOptimizerRule(_ => graft.rules.StarTreeRoute())
+    // TEXT_MATCH routing: registered postings indexes answer SQL
+    // text_match filters (semi-join plan); everything else lowers per-row.
+    // Resolution-time so lowered Column trees pass through the analyzer.
+    ext.injectResolutionRule(_ => graft.rules.TextMatchRoute())
     // Pinot dialect at the session-parser level, gated on
     // spark.graft.sql.dialect=pinot (strict passthrough otherwise)
     ext.injectParser((_, delegate) => new graft.sql.PinotParser(delegate))
@@ -85,9 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => contains(a(0), a(1))
     }
     regRaw("text_match",
-      "Lucene-subset text match: AND/OR/NOT, \"phrase\", prefix*") { args =>
-      graft.operators.TextMatch.columnFor(asColumn(args(0)),
-        litString(args(1), "TEXT_MATCH query"))
+      "Lucene grammar text match: AND/OR/NOT, \"phrase\", wildcards, fuzzy~N"
+    ) { args =>
+      // resolves to a marker; TextMatchRoute lowers it onto a registered
+      // postings index (semi-join) or to the per-row tree. The query
+      // string must parse at registration time so bad grammar fails fast.
+      val q = litString(args(1), "TEXT_MATCH query")
+      graft.operators.TextMatch.parse(q)
+      asColumn(graft.rules.TextMatchMarker(args(0), q))
     }
     regRaw("json_match",
       "JSON_MATCH predicate: nested paths + [*] array wildcards") { args =>

@@ -113,5 +113,26 @@ object MvQueries {
       Some("""SELECT o_orderstatus,
         COUNT(DISTINCT lower(o_orderpriority)) AS nd_pri,
         ROUND(MAX(o_totalprice * 2.0) - MIN(o_totalprice * 2.0), 6) AS rng2
-        FROM orders GROUP BY o_orderstatus""")))
+        FROM orders GROUP BY o_orderstatus""")),
+
+    // dialect TEXT_MATCH with the full Lucene grammar (mid-word wildcard,
+    // single-char wildcard, fuzzy) end-to-end through the Pinot SQL path —
+    // parses via the function registry, lowers via TextMatchRoute
+    // (per-row here: no registered index for the view), oracle replays the
+    // token predicates in DuckDB list ops.
+    Q("q_pinot_sql_textmatch",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        PinotSql.sql(s,
+          """SELECT source, COUNT(*) AS n FROM documents
+             WHERE TEXT_MATCH(text, 'st*m AND qu?ry OR merga~1')
+             GROUP BY source ORDER BY source LIMIT 20""")
+      },
+      Some("""SELECT source, COUNT(*) AS n FROM (
+          SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE (len(list_filter(tk, w -> w LIKE 'st%m')) > 0
+               AND len(list_filter(tk, w -> w LIKE 'qu_ry')) > 0)
+           OR len(list_filter(tk, w -> levenshtein(w, 'merga') <= 1)) > 0
+        GROUP BY source ORDER BY source LIMIT 20""")))
 }

@@ -103,4 +103,9 @@ object GraftExpressions {
 
   /** Expression → Column for raw builders. */
   def asColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Column → Expression (eager converter) — for optimizer rules that
+    * lower Column-built trees into a plan they are rewriting. */
+  def toExpression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
 }
