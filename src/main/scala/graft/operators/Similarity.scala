@@ -159,8 +159,31 @@ object Similarity {
     * the search itself stays in Catalyst. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
-              cacheKey: Option[String] = None): DataFrame = {
-    val index = ivfIndex(corpus, idCol, vecCol, nCentroids, cacheKey)
+              cacheKey: Option[String] = None): DataFrame =
+    ivfTopKWith(ivfIndex(corpus, idCol, vecCol, nCentroids, cacheKey),
+      queries, idCol, vecCol, k, nProbe)
+
+  /** Persist a built IVF index with CELLS AS PARTITION KEYS — the on-disk
+    * layout of the 100 TB story above: each query's probes prune to
+    * nProbe cell directories, co-located and scannable without touching
+    * the rest of the corpus. Centroids (tiny) ride alongside. */
+  def persistIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted IVF index: a parquet read, NO re-clustering — the
+    * cold-session path (the reference likewise memory-maps built vector
+    * indexes at segment load, it never retrains). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
+  : IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** [[ivfTopK]] over an already-built (or disk-loaded) index. */
+  def ivfTopKWith(index: IvfIndex, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val assigned = index.assigned
     val centroids = index.centroids
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

@@ -16,13 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
   /** FULL upsert view: latest row per `pks` by `cmpCols` (descending,
-    * left-to-right precedence). `cmpCols` must make rows totally ordered
-    * within a key for deterministic results — same requirement as the
-    * reference's comparison column. */
-  def latestView(df: DataFrame, pks: Seq[String], cmpCols: Seq[String])
-  : DataFrame = {
-    val w = Window.partitionBy(pks.map(col): _*)
-      .orderBy(cmpCols.map(c => col(c).desc): _*)
+    * left-to-right precedence).
+    *
+    * Tie-breaking: the reference resolves EQUAL comparison values in favor
+    * of the later-arrived row (`ConcurrentMapPartitionUpsertMetadataManager
+    * .java:93,194` — "when there is a tie … keep the newer record":
+    * `comparisonResult >= 0` replaces, and record/segment iteration is in
+    * arrival order).
+    * Arrival order in data at rest must be carried by a column (a Kafka
+    * offset, ingest timestamp, segment sequence); pass it as `arrivalCol`
+    * and ties resolve to its HIGHEST value, deterministically. Without it,
+    * `cmpCols` must totally order rows within a key — tied rows otherwise
+    * leave the winner to partitioning order. */
+  def latestView(df: DataFrame, pks: Seq[String], cmpCols: Seq[String],
+                 arrivalCol: Option[String] = None): DataFrame = {
+    val order = cmpCols.map(c => col(c).desc) ++
+      arrivalCol.map(c => col(c).desc)
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -33,9 +43,10 @@ object Upsert {
     * semantics (older live rows do NOT resurrect). Same single keyed
     * window as [[latestView]]; the tombstone filter is free. */
   def latestViewWithDeletes(df: DataFrame, pks: Seq[String],
-                            cmpCols: Seq[String], deleteCol: String)
+                            cmpCols: Seq[String], deleteCol: String,
+                            arrivalCol: Option[String] = None)
   : DataFrame =
-    latestView(df, pks, cmpCols)
+    latestView(df, pks, cmpCols, arrivalCol)
       .filter(!coalesce(col(deleteCol), lit(false))).drop(deleteCol)
 
   /** Partial-upsert merge strategies

@@ -47,6 +47,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getString(2)).toSeq == Seq("new", "only"))
   }
 
+  test("upsert comparison ties resolve to the later-arrived row") {
+    val s = spark
+    import s.implicits._
+    // same pk, same comparison value, distinct arrival order (offset):
+    // the reference keeps the newer record on a tie
+    // (ConcurrentMapPartitionUpsertMetadataManager: comparisonResult >= 0)
+    val df = Seq(
+      (1L, 10L, 100L, "first"), (1L, 10L, 101L, "second"),
+      (1L, 10L, 102L, "third"), (1L, 9L, 103L, "late-but-older-cmp"),
+      (2L, 7L, 104L, "solo"))
+      .toDF("pk", "cmp", "offset", "v")
+    // determinism across physical orderings: shuffle input partitioning
+    for (reordered <- Seq(df, df.repartition(7), df.orderBy(col("v")))) {
+      val out = Upsert.latestView(reordered, Seq("pk"), Seq("cmp"),
+        arrivalCol = Some("offset")).orderBy("pk").collect()
+      assert(out.map(_.getString(3)).toSeq == Seq("third", "solo"))
+    }
+    // deletes inherit the same tie rule: tied delete arriving later wins
+    val delDf = Seq(
+      (1L, 10L, 100L, "live", false), (1L, 10L, 101L, "del", true))
+      .toDF("pk", "cmp", "offset", "v", "del")
+    assert(Upsert.latestViewWithDeletes(delDf, Seq("pk"), Seq("cmp"), "del",
+      arrivalCol = Some("offset")).count() == 0)
+  }
+
   test("upsert delete-record column tombstones the key (no resurrection)") {
     val s = spark
     import s.implicits._
@@ -250,6 +275,33 @@ class OperatorsSpec extends SparkSpec {
       Similarity.ivfCacheCapacity = prev
       Similarity.ivfCacheClear()
     }
+  }
+
+  test("ivf index persists cell-partitioned and reloads without " +
+    "re-clustering") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val built = Similarity.ivfIndex(emb, "vec_id", "embedding", 8, None)
+    val expected = Similarity.ivfTopKWith(built, queries, "vec_id", "embedding", 5, 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("cand_id"))).toSet
+    Similarity.persistIvfIndex(built, dir)
+    built.assigned.unpersist(false)
+    // cold session analog: nothing cached, no MLlib in the load path —
+    // the index comes back as a plain parquet read
+    Similarity.ivfCacheClear()
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val got = Similarity.ivfTopKWith(loaded, queries, "vec_id",
+      "embedding", 5, 4)
+    assert(got.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("cand_id"))).toSet == expected)
+    // cells are partition keys: a one-cell probe prunes to one directory
+    val oneCell = loaded.assigned.filter(col("cell") === 0)
+    assert(oneCell.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    assert(new java.io.File(s"$dir/assigned").listFiles()
+      .exists(_.getName.startsWith("cell=")), "cell= partition dirs")
   }
 
   test("simhash pigeonhole chunk masks cover full-width chunks (mod-64 " +
