@@ -89,11 +89,18 @@ object Dedup {
                    nBits: Int = 16): DataFrame = {
     val h = simHashes(df, textCol, idCol, nBits) // already persisted
 
-    h.as("a").join(h.as("b"),
+    val pairs = h.as("a").join(h.as("b"),
         col("a.simhash") === col("b.simhash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.simhash").as("simhash"))
+    // pairs << signatures: keep the small output, release the signature
+    // cache eagerly (same lifecycle as simHashPairsWithin) instead of
+    // letting it live for the session
+    val out = pairs.persist()
+    out.count()
+    h.unpersist(false)
+    out
   }
 
   /** SimHash near-dups within Hamming distance `maxDist` — the rotated-

@@ -45,25 +45,36 @@ object ThriftWire {
   private val Stop: Byte = 0
   private val ListCode: Byte = 15
 
+  // Accessors bounds-check so truncated/corrupt input fails as a
+  // descriptive "malformed thrift" error, not a raw
+  // ArrayIndexOutOfBounds/NegativeArraySize — same posture as
+  // ProtoWire's require() guards.
   private final class Cursor(val b: Array[Byte], var p: Int) {
-    def u8(): Int = { val v = b(p) & 0xff; p += 1; v }
+    private def need(n: Int): Unit =
+      require(n >= 0 && p + n <= b.length,
+        s"malformed thrift: need $n bytes at offset $p of ${b.length}")
+    def u8(): Int = { need(1); val v = b(p) & 0xff; p += 1; v }
     def i16(): Short = {
+      need(2)
       val v = ((b(p) & 0xff) << 8 | (b(p + 1) & 0xff)).toShort
       p += 2; v
     }
     def i32(): Int = {
+      need(4)
       var v = 0
       var i = 0
       while (i < 4) { v = (v << 8) | (b(p + i) & 0xff); i += 1 }
       p += 4; v
     }
     def i64(): Long = {
+      need(8)
       var v = 0L
       var i = 0
       while (i < 8) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
       p += 8; v
     }
     def bytes(n: Int): Array[Byte] = {
+      need(n)
       val out = java.util.Arrays.copyOfRange(b, p, p + n)
       p += n; out
     }

@@ -46,20 +46,34 @@ object PinotAst {
     }
 
   /** The reference caps every selection at LIMIT 10 unless an explicit
-    * limit is present; aggregations without GROUP BY are left alone. */
+    * limit is present; aggregations without GROUP BY are left alone.
+    * Non-query statements (INSERT INTO … SELECT parses to a
+    * ParsedStatement, not a Command, pre-analysis) and CTE/ORDER BY
+    * wrappers around an explicit limit or a plain aggregate are all
+    * looked through — none of them take a spurious LIMIT 10. */
   private[sql] def addDefaultLimit(plan: LogicalPlan): LogicalPlan =
     plan match {
-      case _: GlobalLimit => plan // explicit LIMIT kept
-      case _: Command => plan     // SET / DDL — not a selection
+      case _: Command => plan          // SET / DDL — not a selection
+      case _: ParsedStatement => plan  // INSERT INTO … SELECT et al.
+      case p if hasExplicitLimit(p) => plan
       case p if isPlainAgg(p) => plan
       case p => Limit(Literal(10), p)
     }
 
+  private def hasExplicitLimit(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit => true
+    case w: UnresolvedWith => hasExplicitLimit(w.child)
+    case _ => false
+  }
+
   // Pre-analysis, SELECT agg FROM t parses as a Project whose list holds
   // aggregate UnresolvedFunctions (the Aggregate node only appears for
-  // explicit GROUP BY or after analysis) — detect by function name.
+  // explicit GROUP BY or after analysis) — detect by function name,
+  // looking through CTE and ORDER BY wrappers.
   private def isPlainAgg(p: LogicalPlan): Boolean = p match {
     case proj: Project => proj.projectList.exists(containsAgg)
+    case s: Sort => isPlainAgg(s.child)
+    case w: UnresolvedWith => isPlainAgg(w.child)
     case _ => false
   }
 

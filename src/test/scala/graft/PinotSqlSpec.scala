@@ -57,6 +57,22 @@ class PinotSqlSpec extends SparkSpec {
     assert(PinotSql.sql(spark,
       "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey")
       .count() == 10)
+    // CTE-wrapped shapes look through the UnresolvedWith root: a plain
+    // aggregate stays uncapped, an explicit CTE limit is NOT re-capped
+    val cteAgg = PinotSql.sql(spark,
+      """WITH t AS (SELECT * FROM orders)
+         SELECT COUNT(*) AS n FROM t""").head()
+    assert(cteAgg.getLong(0) > 10L, "CTE plain agg must not take LIMIT 10")
+    assert(PinotSql.sql(spark,
+      """WITH t AS (SELECT * FROM orders)
+         SELECT o_orderkey FROM t LIMIT 13""").count() == 13)
+    // a CTE selection without a limit still gets the default cap
+    assert(PinotSql.sql(spark,
+      """WITH t AS (SELECT * FROM orders)
+         SELECT o_orderkey FROM t""").count() == 10)
+    // ORDER BY around a plain agg stays uncapped too
+    assert(PinotSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM orders ORDER BY n").head().getLong(0) > 10L)
     // IN_SUBQUERY splices at string level (its arg IS sql text)
     assert(PinotSql.sql(spark,
       """SELECT COUNT(*) AS n FROM orders WHERE IN_SUBQUERY(o_custkey,
