@@ -290,6 +290,67 @@ object OlapQueries {
         ${graft.ParSql.dsum("o_totalprice")} AS sum_price
         FROM orders GROUP BY o_orderpriority""")),
 
+    // thrift input format (pinot-thrift ThriftRecordReader analog):
+    // customers re-encoded through the TBinaryProtocol codec, read back,
+    // aggregated — oracle on the original parquet, so any codec
+    // corruption (field ids, big-endian ints, utf-8, stop bytes) breaks
+    // the hash
+    Q("q_ingest_thrift",
+      (s, d) => {
+        import graft.sources.{Ingest, ThriftWire}
+        import graft.sources.ThriftWire._
+        val fields = Seq(Field(1, "c_custkey", TI64),
+          Field(2, "c_mktsegment", TString),
+          Field(3, "c_nationkey", TI32))
+        val dir = new java.io.File(
+          s"/tmp/graft_thrift_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          dir.mkdirs()
+          ThriftWire.writeFile(
+            Tables.customer(s, d).select(col("c_custkey"),
+              col("c_mktsegment"), col("c_nationkey")),
+            fields, s"${dir.getPath}/part0.tbin")
+        }
+        Ingest.readThrift(s, dir.getPath, fields)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("c_nationkey")).as("sum_nat"),
+            max(col("c_custkey")).as("max_key"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat,
+        MAX(c_custkey) AS max_key
+        FROM customer GROUP BY c_mktsegment""")),
+
+    // CLP log input (pinot-clp-log analog): documents' text CLP-encoded
+    // into logtype/dictionaryVars/encodedVars, round-tripped through
+    // parquet, decoded, aggregated — decode(encode(x)) must be byte-exact,
+    // so the oracle states the aggregate directly on the original text
+    Q("q_ingest_clplog",
+      (s, d) => {
+        import graft.sources.ClpLog
+        val dir = new java.io.File(
+          s"/tmp/graft_clplog_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          ClpLog.encodeField(
+            Tables.documents(s, d).select(col("doc_id"), col("source"),
+              col("text")), "text")
+            .write.mode("overwrite").parquet(dir.getPath)
+        }
+        ClpLog.decodeField(s.read.parquet(dir.getPath), "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).as("sum_len"),
+            // modular checksum keeps the sum < 2^53: a 60-bit hash sum
+            // would diverge in the engines' decimal→double last ULP
+            sum(graft.functions.Scalars.hash60(col("text")) % 1000003L)
+              .as("sum_hash"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+        CAST(SUM(${graft.ParSql.hash60("text")} % 1000003) AS BIGINT)
+          AS sum_hash
+        FROM documents GROUP BY source""")),
+
     // confluent-avro input format (pinot-confluent-avro decoder analog):
     // customers re-encoded as confluent frames under TWO writer schema
     // versions (even keys v1 without c_acctbal, odd keys v2 with it), read

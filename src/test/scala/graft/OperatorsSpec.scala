@@ -277,6 +277,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("streaming reduce: incremental fetch is lazy and complete") {
+    val s = spark
+    import s.implicits._
+    val evaluated = s.sparkContext.longAccumulator("parts")
+    val df = (1 to 1000).toDS().repartition(10)
+      .mapPartitions { it => evaluated.add(1); it }
+      .toDF("v")
+    val it = graft.operators.StreamingReduce.batches(df, 50)
+    val first = it.next()
+    assert(first.length == 50)
+    // only the partitions behind the first block ran — not all 10
+    assert(evaluated.value < 10,
+      s"toLocalIterator must not evaluate every partition eagerly: " +
+        s"${evaluated.value}")
+    val rest = it.flatMap(identity).map(_.getInt(0)).toVector
+    assert((first.map(_.getInt(0)).toVector ++ rest).sorted ==
+      (1 to 1000).toVector)
+    assert(evaluated.value == 10)
+    // foreachBatch delivers everything exactly once
+    val seen = scala.collection.mutable.ArrayBuffer[Int]()
+    val n = graft.operators.StreamingReduce.foreachBatch(
+      (1 to 7).toDF("v"), 3)(b => seen ++= b.map(_.getInt(0)))
+    assert(n == 7 && seen.sorted == (1 to 7))
+    intercept[IllegalArgumentException](
+      graft.operators.StreamingReduce.batches(df, 0))
+  }
+
   test("ivf index persists cell-partitioned and reloads without " +
     "re-clustering") {
     val emb = Tables.embeddings(spark, sfDir)
