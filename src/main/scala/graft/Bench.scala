@@ -27,10 +27,11 @@ object Bench {
       n }.toSeq.sorted
 
   /** Salvage `"q_name":seconds` pairs from a prior bench JSON. Regex, not
-    * a JSON parser, on purpose: prior files can arrive tail-truncated
-    * (r4's was) and the intact prefix is still useful. */
+    * a JSON parser, on purpose: prior files can arrive tail-truncated or
+    * embedded as an escaped string inside a wrapper object (the driver's
+    * BENCH_r*.json does both) and the intact pairs are still useful. */
   private[graft] def parsePriorQueries(json: String): Map[String, Double] =
-    "\"(q_\\w+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+    "\\\\?\"(q_\\w+)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 

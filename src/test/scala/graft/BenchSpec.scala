@@ -30,5 +30,10 @@ class BenchSpec extends AnyFunSuite {
     val got = Bench.parsePriorQueries(truncated)
     assert(got("q_a") == 0.5 && got("q_b") == 1.9)
     assert(Bench.parsePriorQueries("not json") == Map.empty)
+    // the driver's wrapper format: pairs escaped inside a "tail" string
+    val wrapped =
+      """{"n":4,"tail":"_lag\":0.38,\"q_a\":0.5,\"q_b\":1.9,\"q_c\":2"}"""
+    val w = Bench.parsePriorQueries(wrapped)
+    assert(w("q_a") == 0.5 && w("q_b") == 1.9)
   }
 }
