@@ -193,6 +193,33 @@ object FilterQueries {
            OR o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority""")),
 
+    // TEXT_MATCH through the SQL surface WITH a registered postings index:
+    // TextMatchRoute lowers the filter to a semi-join against the compiled
+    // doc-id set (the reference's always-on index path). Same oracle
+    // discipline as the per-row text gates, so the routed plan is
+    // hash-checked against DuckDB replaying the token predicates.
+    Q("q_filter_text_routed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.rules.TextIndexCatalog.clear()
+        graft.rules.TextIndexCatalog.register("text", "doc_id",
+          graft.operators.HybridTable.positionalTextIndex(
+            docs, "text", "doc_id"),
+          docs.select(col("doc_id")).distinct())
+        docs.createOrReplaceTempView("documents_tm")
+        s.sql("""SELECT doc_id FROM documents_tm
+          WHERE text_match(text, '"merge join" OR qu?ry AND NOT slow')
+          ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE len(list_filter(range(1, len(tk)),
+                i -> tk[i] = 'merge' AND tk[i+1] = 'join')) > 0
+           OR (len(list_filter(tk, w -> w LIKE 'qu_ry')) > 0
+               AND NOT list_contains(tk, 'slow'))
+        ORDER BY doc_id""")),
+
     // Same JSON_MATCH compound predicate as q_filter_json_array, routed
     // through the JSON index analog (json posting table from ONE from_json
     // parse, one-pass predicate flags) instead of per-row jsonpath — the
