@@ -48,8 +48,16 @@ case class StarTreeRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The reference's `useStarTree` query option (default true) disables
+    * star-tree answering per query; [[graft.sql.PinotSql]] lands it as a
+    * session conf. */
+  private def starTreeEnabled: Boolean =
+    conf.getConfString("spark.graft.option.useStarTree", "true")
+      .equalsIgnoreCase("true")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan transform {
+    if (!starTreeEnabled) plan
+    else plan transform {
       case agg: Aggregate if scanPaths(agg.child).nonEmpty =>
         val paths = scanPaths(agg.child).get
         StarTreeCatalog.all.find(_.factPaths == paths) match {

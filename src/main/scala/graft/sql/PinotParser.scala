@@ -26,13 +26,20 @@ class PinotParser(delegate: ParserInterface) extends ParserInterface {
     dialect.equalsIgnoreCase("pinot")
   }
 
-  /** Pinot-dialect parse, unconditionally: string pre-rewrites for the
-    * forms that embed SQL text ([[PinotSql.rewrite]] — IN_SUBQUERY), then
-    * AST rewrites on the parsed plan ([[PinotAst]] — PERCENTILE fraction,
-    * default LIMIT). Function names (DISTINCTCOUNT, TEXT_MATCH, …)
-    * resolve via the registry, so nested arguments parse natively. */
-  def parsePinot(sqlText: String): LogicalPlan =
-    PinotAst.rewrite(delegate.parsePlan(PinotSql.rewrite(sqlText)))
+  /** Pinot-dialect parse, unconditionally: trailing OPTION(...) clauses
+    * are extracted into `spark.graft.option.*` confs (the reference
+    * strips them before Calcite sees the text), then string pre-rewrites
+    * for the forms that embed SQL text ([[PinotSql.rewrite]] —
+    * IN_SUBQUERY), then AST rewrites on the parsed plan ([[PinotAst]] —
+    * PERCENTILE fraction, default LIMIT). Function names (DISTINCTCOUNT,
+    * TEXT_MATCH, …) resolve via the registry, so nested arguments parse
+    * natively. */
+  def parsePinot(sqlText: String): LogicalPlan = {
+    val (clean, opts) = PinotSql.extractOptions(sqlText)
+    opts.foreach { case (k, v) =>
+      SQLConf.get.setConfString(s"spark.graft.option.$k", v) }
+    PinotAst.rewrite(delegate.parsePlan(PinotSql.rewrite(clean)))
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (dialectOn) parsePinot(sqlText) else delegate.parsePlan(sqlText)

@@ -31,18 +31,60 @@ object PinotSql {
       "$1 IN ($2)")
   }
 
+  // Trailing `OPTION(k1=v1, k2=v2)` clauses (reference
+  // `CalciteSqlParser.java:87-88` OPTIONS_REGEX_PATTEN — extracted and
+  // removed before Calcite parses; `extractOptionsMap`).
+  private val OptionRe =
+    "(?is)\\s*option\\s*\\(([^)]+)\\)\\s*;?\\s*\\z".r
+
+  /** Strip trailing OPTION(...) clauses (several stack, like the
+    * reference's replaceAll) and return (clean sql, options map). */
+  private[sql] def extractOptions(sql: String)
+  : (String, Map[String, String]) = {
+    var clean = sql
+    var opts = Map.empty[String, String]
+    var found = true
+    while (found) OptionRe.findFirstMatchIn(clean) match {
+      case Some(m) =>
+        opts ++= m.group(1).split(",").iterator.map(_.trim)
+          .filter(_.nonEmpty).map { kv =>
+            val eq = kv.indexOf('=')
+            require(eq > 0, s"bad OPTION entry '$kv' in: $sql")
+            kv.take(eq).trim -> kv.drop(eq + 1).trim.stripPrefix("'")
+              .stripSuffix("'")
+          }
+        clean = clean.substring(0, m.start)
+      case None => found = false
+    }
+    (clean, opts)
+  }
+
+  /** Query options land as session confs under `spark.graft.option.<k>`
+    * where plan rules consult them — `useStarTree=false` gates
+    * [[graft.rules.StarTreeRoute]] exactly like the reference's query
+    * option gates `StarTreeUtils.isFitForStarTree`. Spark's lazy
+    * evaluation makes true per-query scoping impossible without plan
+    * tags, so unlike the reference these are session-sticky until the
+    * next query sets them — documented divergence. */
+  private def applyOptions(spark: SparkSession,
+                           opts: Map[String, String]): Unit =
+    opts.foreach { case (k, v) => spark.conf.set(s"spark.graft.option.$k", v) }
+
   /** Run a Pinot-dialect query against registered temp views, regardless
     * of the session dialect conf. GAPFILL selections route to the
     * [[graft.operators.Gapfill]] plan; everything else parses through the
     * delegate parser and gets the [[PinotAst]] rewrites exactly once. */
-  def sql(spark: SparkSession, pinotSql: String): DataFrame =
-    gapfillPlan(spark, pinotSql).getOrElse {
+  def sql(spark: SparkSession, pinotSql: String): DataFrame = {
+    val (clean, opts) = extractOptions(pinotSql)
+    applyOptions(spark, opts)
+    gapfillPlan(spark, clean).getOrElse {
       val plan = spark.sessionState.sqlParser match {
-        case p: PinotParser => p.parsePinot(pinotSql)
-        case p => PinotAst.rewrite(p.parsePlan(rewrite(pinotSql)))
+        case p: PinotParser => p.parsePinot(clean)
+        case p => PinotAst.rewrite(p.parsePlan(rewrite(clean)))
       }
       org.apache.spark.sql.graft.PlanBridge.ofRows(spark, plan)
     }
+  }
 
   // GAPFILL(bucketCol, 'start', 'end', stepSec), key..., FILL(col,
   // 'FILL_PREVIOUS_VALUE' | 'FILL_DEFAULT_VALUE'[, default])... FROM table

@@ -80,6 +80,61 @@ class PinotSqlSpec extends SparkSpec {
       .head().getLong(0) > 0)
   }
 
+  test("OPTION(...) clauses strip, land as confs, and gate star-tree") {
+    Tables.registerAll(spark, sfDir)
+    // trailing OPTION parses instead of erroring; options become confs
+    assert(PinotSql.sql(spark,
+      "SELECT o_orderkey FROM orders OPTION(timeoutMs=1000)").count() == 10)
+    assert(spark.conf.get("spark.graft.option.timeoutMs") == "1000")
+    // multiple entries + stacked clauses + quoted values
+    assert(PinotSql.sql(spark,
+      """SELECT COUNT(*) AS n FROM orders
+         OPTION(numReplicaGroupsToQuery=2, maxExecutionThreads=4)
+         OPTION(explainAskingServers='true')""").head().getLong(0) > 0)
+    assert(spark.conf.get("spark.graft.option.maxExecutionThreads") == "4")
+    assert(spark.conf.get("spark.graft.option.explainAskingServers") == "true")
+    // malformed entries are rejected loudly
+    intercept[IllegalArgumentException](PinotSql.sql(spark,
+      "SELECT 1 OPTION(nonsense)"))
+
+    // useStarTree=false disables summary routing for the session
+    val factPath = s"$sfDir/lineitem.parquet"
+    val facts = spark.read.parquet(factPath)
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft-st-opt").toString
+    graft.operators.StarTree.build(facts,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.operators.StarTree.Metric("l_quantity", Seq("sum"))))
+      .write.mode("overwrite").parquet(s"$sumDir/sum")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+    try {
+      graft.rules.StarTreeCatalog.register(Set(s"file:$factPath"),
+        Set("l_returnflag", "l_linestatus"),
+        spark.read.parquet(s"$sumDir/sum"))
+      // queryExecution memoizes the optimized plan — build a fresh
+      // aggregate per probe
+      def agg = facts.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(scannedFiles(agg).exists(_.contains("graft-st-opt")),
+        "baseline: fitting aggregate routes to the summary")
+      PinotSql.sql(spark, "SELECT 1 OPTION(useStarTree=false)").collect()
+      assert(scannedFiles(agg).exists(_.contains("lineitem")),
+        "useStarTree=false must scan the facts")
+      PinotSql.sql(spark, "SELECT 1 OPTION(useStarTree=true)").collect()
+      assert(scannedFiles(agg).exists(_.contains("graft-st-opt")),
+        "useStarTree=true restores routing")
+    } finally {
+      graft.rules.StarTreeCatalog.clear()
+      spark.conf.unset("spark.graft.option.useStarTree")
+    }
+  }
+
   test("GAPFILL SQL routes to the spine+window gapfill plan") {
     val s = spark
     import s.implicits._
