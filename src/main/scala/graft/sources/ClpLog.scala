@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   *     UUIDs survive whole);
   *   - a token containing a digit is a variable (CLP's heuristic);
   *   - pure integer tokens that fit a long become encoded vars
-  *     (placeholder 0x12); every other variable token — including floats,
-  *     which real CLP packs into a custom long format — goes to the
-  *     dictionary (placeholder 0x11). Scoped divergence, documented: the
-  *     round-trip stays byte-exact, the numeric column still carries the
-  *     long array shape.
+  *     (placeholder 0x12), except leading-zero forms, which stay
+  *     dictionary vars so decode is byte-exact;
+  *   - simple decimal floats (`-?\\d+.\\d+`, ≤15 digits) pack losslessly
+  *     into one long — sign | decimal-point position | digit count |
+  *     digit value — as encoded vars (placeholder 0x13), mirroring real
+  *     CLP's packed-float class; longer/exponent forms and every other
+  *     digit-bearing token go to the dictionary (placeholder 0x11).
   *
   * Decode re-substitutes variables in order, so
   * `decodeMessage(encodeMessage(m)) == m` for any message — the property
@@ -36,12 +38,14 @@ object ClpLog {
 
   val DictPlaceholder: Char = '\u0011'
   val IntPlaceholder: Char = '\u0012'
+  val FloatPlaceholder: Char = '\u0013'
   /** Escapes placeholder bytes appearing literally in static text (real
     * CLP likewise escapes them in logtypes). */
   val Escape: Char = '\\'
 
   private def needsEscape(c: Char): Boolean =
-    c == DictPlaceholder || c == IntPlaceholder || c == Escape
+    c == DictPlaceholder || c == IntPlaceholder || c == FloatPlaceholder ||
+      c == Escape
 
   final case class Encoded(logtype: String, dictionaryVars: Seq[String],
                            encodedVars: Seq[Long])
@@ -50,6 +54,31 @@ object ClpLog {
     Character.isWhitespace(c) || "():[]{}<>,\"';=".indexOf(c) >= 0
 
   private val IntRe = "-?\\d+".r
+  private val FloatRe = "(-?)(\\d+)\\.(\\d+)".r
+
+  /** Lossless packed-float long: [63] sign, [62..58] decimal-point
+    * position, [57..53] digit count, [52..0] digit value. Returns None
+    * when the token doesn't fit (>15 digits — 10^15 < 2^53 keeps the
+    * value exact). */
+  private[sources] def packFloat(tok: String): Option[Long] = tok match {
+    case FloatRe(sign, ip, fp) =>
+      val digits = ip + fp
+      if (digits.length > 15) None
+      else Some((if (sign.isEmpty) 0L else 1L << 63) |
+        (ip.length.toLong << 58) | (digits.length.toLong << 53) |
+        java.lang.Long.parseLong(digits))
+    case _ => None
+  }
+
+  /** Inverse of [[packFloat]]. */
+  private[sources] def unpackFloat(v: Long): String = {
+    val sign = if ((v >>> 63) == 1L) "-" else ""
+    val pointPos = ((v >>> 58) & 0x1f).toInt
+    val len = ((v >>> 53) & 0x1f).toInt
+    val digits = (v & ((1L << 53) - 1)).toString.reverse.padTo(len, '0')
+      .reverse
+    sign + digits.substring(0, pointPos) + "." + digits.substring(pointPos)
+  }
 
   /** Decompose one message into (logtype, dictionary vars, encoded vars). */
   def encodeMessage(msg: String): Encoded = {
@@ -69,7 +98,10 @@ object ClpLog {
         while (i < n && !isDelim(msg(i))) i += 1
         val tok = msg.substring(start, i)
         if (!tok.exists(_.isDigit)) static(tok) // static text
-        else if (IntRe.matches(tok) && tok.toLongOption.isDefined) {
+        else if (packFloat(tok).isDefined) {
+          enc += packFloat(tok).get
+          logtype += FloatPlaceholder
+        } else if (IntRe.matches(tok) && tok.toLongOption.isDefined) {
           enc += tok.toLong
           // leading zeros / "-0" wouldn't survive Long round-trip — those
           // stay dictionary vars so decode is byte-exact
@@ -94,6 +126,7 @@ object ClpLog {
         case Escape => out += logtype(i + 1); i += 1
         case DictPlaceholder => out ++= dictionaryVars(d); d += 1
         case IntPlaceholder => out.append(encodedVars(e)); e += 1
+        case FloatPlaceholder => out ++= unpackFloat(encodedVars(e)); e += 1
         case c => out += c
       }
       i += 1

@@ -8,16 +8,32 @@ class ClpLogSpec extends SparkSpec {
   test("encodeMessage: logtype/dictionary/encoded decomposition") {
     val e = ClpLog.encodeMessage(
       "Started task 123 on host-9.example.com (attempt 2, latency=4.5 ms)")
-    // ints are encoded vars; host token and float go to the dictionary
-    assert(e.encodedVars == Seq(123L, 2L))
-    assert(e.dictionaryVars == Seq("host-9.example.com", "4.5"))
+    // ints AND packed floats are encoded vars; the host token is a
+    // dictionary var
+    assert(e.encodedVars.length == 3)
+    assert(e.encodedVars.take(2) == Seq(123L, 2L))
+    assert(e.dictionaryVars == Seq("host-9.example.com"))
     assert(e.logtype ==
       s"Started task ${ClpLog.IntPlaceholder} on ${ClpLog.DictPlaceholder} " +
-        s"(attempt ${ClpLog.IntPlaceholder}, latency=${ClpLog.DictPlaceholder} ms)")
+        s"(attempt ${ClpLog.IntPlaceholder}, latency=${ClpLog.FloatPlaceholder} ms)")
     // pure static text has no vars at all
     val s = ClpLog.encodeMessage("connection closed by peer")
     assert(s.dictionaryVars.isEmpty && s.encodedVars.isEmpty &&
       s.logtype == "connection closed by peer")
+    // packed floats are byte-exact incl. leading/trailing zeros and sign
+    for (f <- Seq("4.5", "0.5", "-0.5", "007.25", "123.450", "0.0",
+        "99999999999999.0", "3.14159")) {
+      val one = ClpLog.encodeMessage(s"v $f")
+      assert(one.encodedVars.length == 1 && one.dictionaryVars.isEmpty,
+        s"$f should pack")
+      assert(ClpLog.decodeMessage(one.logtype, Nil, one.encodedVars) ==
+        s"v $f", s"$f pack round-trip")
+    }
+    // >15 digits or exponent forms fall back to the dictionary
+    for (f <- Seq("12345678901234.567", "1e-9", "1.5e3")) {
+      val one = ClpLog.encodeMessage(s"v $f")
+      assert(one.dictionaryVars == Seq(f), s"$f should stay dictionary")
+    }
   }
 
   test("round-trip is byte-exact on adversarial messages") {
