@@ -252,6 +252,45 @@ object FilterQueries {
            OR o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority""")),
 
+    // The MATERIALIZED json index: postings written path-partitioned to
+    // disk once (the reference's index lives in the segment), predicates
+    // answered from the parquet postings via per-predicate id lookups +
+    // keyed set algebra — each lookup prunes to one path directory.
+    // Same oracle as q_filter_json_array again, so the disk path is
+    // hash-checked too.
+    Q("q_filter_json_disk",
+      (s, d) => {
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        val dir = new java.io.File(
+          s"/tmp/graft_jsonidx_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          graft.operators.JsonIndex.materialize(
+            graft.operators.JsonIndex.postings(
+              Tables.orders(s, d).withColumn("doc", j),
+              "doc", "o_orderkey", schema),
+            dir.getPath)
+        }
+        val idx = s.read.parquet(dir.getPath)
+        val universe = Tables.orders(s, d).select(col("o_orderkey"))
+        def ids(p: String) = graft.operators.JsonIndex.matchIds(
+          idx, universe, "o_orderkey", p)
+        val matched = ids(""""$.tags[*].p" = 'F'""")
+          .join(ids(""""$.tags[*].n" > 3"""), Seq("o_orderkey"), "left_semi")
+          .unionByName(ids(""""$.meta.pri" = '1-URGENT'""")).distinct()
+        Tables.orders(s, d).join(matched, Seq("o_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus = 'F' AND (o_custkey % 5) > 3)
+           OR o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority""")),
+
     // JSON_MATCH (JsonMatchFilterOperator → json-path predicate rewrite)
     Q("q_filter_json_match",
       (s, d) => Tables.events(s, d)
