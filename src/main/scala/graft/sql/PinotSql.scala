@@ -36,9 +36,15 @@ object PinotSql {
   // removed before Calcite parses; `extractOptionsMap`).
   private val OptionRe =
     "(?is)\\s*option\\s*\\(([^)]+)\\)\\s*;?\\s*\\z".r
+  // Leading `SET key = value;` statements — the modern options form the
+  // reference splits out of the statement list
+  // (`CalciteSqlParser.extractSqlNodeAndOptions`, SqlSetOption nodes).
+  private val SetRe =
+    "(?is)\\A\\s*set\\s+(\\w+)\\s*=\\s*('[^']*'|[^;\\s]+)\\s*;".r
 
   /** Strip trailing OPTION(...) clauses (several stack, like the
-    * reference's replaceAll) and return (clean sql, options map). */
+    * reference's replaceAll) and leading `SET k=v;` statements; return
+    * (clean sql, options map). */
   private[sql] def extractOptions(sql: String)
   : (String, Map[String, String]) = {
     var clean = sql
@@ -54,6 +60,14 @@ object PinotSql {
               .stripSuffix("'")
           }
         clean = clean.substring(0, m.start)
+      case None => found = false
+    }
+    found = true
+    while (found) SetRe.findFirstMatchIn(clean) match {
+      case Some(m) =>
+        opts += m.group(1) ->
+          m.group(2).stripPrefix("'").stripSuffix("'")
+        clean = clean.substring(m.end)
       case None => found = false
     }
     (clean, opts)

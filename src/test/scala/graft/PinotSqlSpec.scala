@@ -96,6 +96,12 @@ class PinotSqlSpec extends SparkSpec {
     // malformed entries are rejected loudly
     intercept[IllegalArgumentException](PinotSql.sql(spark,
       "SELECT 1 OPTION(nonsense)"))
+    // modern form: leading SET k=v; statements, quoted or bare values
+    assert(PinotSql.sql(spark,
+      """SET useMultistageEngine=true; SET workloadName='adhoc';
+         SELECT COUNT(*) AS n FROM orders""").head().getLong(0) > 0)
+    assert(spark.conf.get("spark.graft.option.useMultistageEngine") == "true")
+    assert(spark.conf.get("spark.graft.option.workloadName") == "adhoc")
 
     // useStarTree=false disables summary routing for the session
     val factPath = s"$sfDir/lineitem.parquet"
