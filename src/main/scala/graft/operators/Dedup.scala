@@ -19,6 +19,53 @@ import org.apache.spark.sql.functions._
   * join brute-force paths exist only as small-data baselines/oracles.
   */
 object Dedup {
+
+  /** How many persisted signature/pair tables to keep cached (LRU). */
+  private[graft] var cacheCapacity = 4
+
+  // Persisted outputs (signatures, candidate pairs) are scoped by this LRU
+  // (same lifecycle as JsonIndex posting tables / Similarity.ivfIndex):
+  // repeated calls on the same corpus+params reuse one entry, eviction
+  // unpersists — no session-lifetime cache entry per call. An evicted
+  // frame stays valid (recomputes on next use).
+  private val cache =
+    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean = {
+        val evict = size() > cacheCapacity
+        if (evict) {
+          try e.getValue.unpersist(false) catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
+
+  private[graft] def cacheKeys: Set[(Int, String)] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.toSet
+  }
+
+  /** Drop every cached table (unpersisting each). */
+  def cacheClear(): Unit = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.values.asScala.foreach { df =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+
+  /** Fetch-or-build keyed by (session, op tag, corpus plan). */
+  private def cached(df: DataFrame, tag: String)(build: => DataFrame)
+  : DataFrame = {
+    val key = (System.identityHashCode(df.sparkSession),
+      s"$tag:${df.queryExecution.analyzed.semanticHash()}")
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else { val built = build; cache.put(key, built); built }
+    }
+  }
+
   /** Exact dedup: canonical representative (min id) per identical content.
     * Hash-groupBy on a 128-bit content hash — one shuffle, no skew beyond
     * true duplicate mass. */
@@ -36,24 +83,31 @@ object Dedup {
   /** MinHash signatures (k-shingles, `bands`×`rowsPerBand` hashes), plus an
     * LSH band key per band: docs sharing any band key are candidates. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    // two-stage with a materialization barrier: the md5 shingle pipeline
-    // runs once per doc; the per-seed affine mins then read the cached
-    // base array (Catalyst would otherwise inline the base into every
-    // seed expression — seeds× re-hash of the whole corpus)
-    val withBase = df.select(col(idCol),
-      TA.shingleBase(col(textCol), k).as("base")).cache()
-    val withSig = withBase.select(col(idCol),
-      TA.minHashFromBase(col("base"), bands * rowsPerBand).as("sig"))
-    // band key b = hash of the band's slice of the signature
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-            x => x.cast("string")))).as("key"))
-        .as(s"band_$b"))
-    withSig.select(col(idCol) +: col("sig") +: bandCols: _*)
-  }
+                        k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    cached(df, s"minhashSig:$textCol:$idCol:$k:$bands:$rowsPerBand") {
+      // two-stage with a materialization barrier: the md5 shingle pipeline
+      // runs once per doc; the per-seed affine mins then read the cached
+      // base array (Catalyst would otherwise inline the base into every
+      // seed expression — seeds× re-hash of the whole corpus)
+      val withBase = df.select(col(idCol),
+        TA.shingleBase(col(textCol), k).as("base")).cache()
+      val withSig = withBase.select(col(idCol),
+        TA.minHashFromBase(col("base"), bands * rowsPerBand).as("sig"))
+      // band key b = hash of the band's slice of the signature
+      val bandCols = (0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              x => x.cast("string")))).as("key"))
+          .as(s"band_$b"))
+      // signatures (id + a few longs per row) persist LRU-scoped; the much
+      // larger shingle-base intermediate releases eagerly
+      val out = withSig.select(col(idCol) +: col("sig") +: bandCols: _*)
+        .persist()
+      out.count()
+      withBase.unpersist(false)
+      out
+    }
 
   /** Candidate near-dup pairs via MinHash LSH: equi-join on (band, bandKey).
     * Returns (id_a < id_b) pairs with their full-signature agreement ratio
@@ -61,12 +115,11 @@ object Dedup {
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2)
   : DataFrame = {
-    // cache(): the signature table is tiny (id + bands·rows longs) next to
-    // the corpus, and without a materialization barrier Catalyst collapses
-    // the shingle→minhash projection into BOTH join branches — the whole
-    // interpreted-HOF hash pipeline would re-run per candidate pair.
+    // minHashSignatures is persisted (LRU-scoped): the materialization
+    // barrier keeps Catalyst from collapsing the shingle→minhash projection
+    // into BOTH join branches — the whole interpreted-HOF hash pipeline
+    // would re-run per candidate pair.
     val sigs = minHashSignatures(df, textCol, idCol, k, bands, rowsPerBand)
-      .cache()
     val exploded = sigs.select(col(idCol), col("sig"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*))
         .as("band"))
@@ -86,22 +139,20 @@ object Dedup {
     * (The classic scale-out uses rotated tables for distance ≤ d; equality
     * blocking is the degenerate d=0 table and keeps the oracle exact.) */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   nBits: Int = 16): DataFrame = {
-    val h = simHashes(df, textCol, idCol, nBits) // already persisted
-
-    val pairs = h.as("a").join(h.as("b"),
-        col("a.simhash") === col("b.simhash") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.simhash").as("simhash"))
-    // pairs << signatures: keep the small output, release the signature
-    // cache eagerly (same lifecycle as simHashPairsWithin) instead of
-    // letting it live for the session
-    val out = pairs.persist()
-    out.count()
-    h.unpersist(false)
-    out
-  }
+                   nBits: Int = 16): DataFrame =
+    cached(df, s"simhashPairs:$textCol:$idCol:$nBits") {
+      val h = simHashes(df, textCol, idCol, nBits) // already persisted
+      val pairs = h.as("a").join(h.as("b"),
+          col("a.simhash") === col("b.simhash") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          col("a.simhash").as("simhash"))
+      // pairs << signatures: both LRU-scoped (the signature entry is id +
+      // one long per row; eviction releases it)
+      val out = pairs.persist()
+      out.count()
+      out
+    }
 
   /** SimHash near-dups within Hamming distance `maxDist` — the rotated-
     * table generalization of [[simHashPairs]]: the nBits hash splits into
@@ -127,7 +178,8 @@ object Dedup {
   }
 
   def simHashPairsWithin(df: DataFrame, textCol: String, idCol: String,
-                         nBits: Int, maxDist: Int): DataFrame = {
+                         nBits: Int, maxDist: Int): DataFrame =
+    cached(df, s"simhashWithin:$textCol:$idCol:$nBits:$maxDist") {
     val h = simHashes(df, textCol, idCol, nBits) // already persisted
     // chunk c covers bits [c*base, (c+1)*base), the last chunk also takes
     // the nBits % chunks remainder
@@ -145,22 +197,19 @@ object Dedup {
         TA.simHashDistance(col("h_a"), col("h_b")).cast("int").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
-    // pairs << signatures: persist the small output eagerly so the big
-    // signature cache can be released instead of living for the session
+    // pairs << signatures: both LRU-scoped (the signature entry is id +
+    // one long per row; eviction releases it)
     val out = pairs.persist()
     out.count()
-    h.unpersist(false)
     out
   }
 
   /** Staged SimHash computation: token-hash arrays materialize once, the
     * nBits bit-votes read the cached column. The returned signature table
-    * (id + one long per row) is persisted eagerly so the much larger
-    * intermediate token-hash cache can be released immediately instead of
-    * living for the session; callers that are done with the signatures
-    * (e.g. [[simHashPairsWithin]]) unpersist the returned frame. */
+    * (id + one long per row) persists LRU-scoped; the much larger
+    * intermediate token-hash cache releases eagerly. */
   def simHashes(df: DataFrame, textCol: String, idCol: String, nBits: Int)
-  : DataFrame = {
+  : DataFrame = cached(df, s"simhash:$textCol:$idCol:$nBits") {
     val withHashes = df.select(col(idCol),
       TA.tokenHashes(col(textCol)).as("th")).cache()
     val out = withHashes.select(col(idCol),
@@ -179,11 +228,16 @@ object Dedup {
     // kernel shingles+hashes+sorts in a single codegen'd pass, and the
     // sorted invariant feeds the merge-walk intersection kernel; shingling
     // per pair would be O(pairs·textlen) interpreted and unusable at scale
-    val t = df.select(col(idCol), blockCol.as("block"),
-      org.apache.spark.sql.graft.TextHashExprs.shingleHash60(
-        TA.tokens(col(textCol)), k, sortedDistinct = true).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .cache()
+    val t = cached(df,
+        s"ngramShingles:$textCol:$idCol:${blockCol.toString}:$k") {
+      val s = df.select(col(idCol), blockCol.as("block"),
+        org.apache.spark.sql.graft.TextHashExprs.shingleHash60(
+          TA.tokens(col(textCol)), k, sortedDistinct = true).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .persist()
+      s.count()
+      s
+    }
     // size-ratio prefilter: J(A,B) ≤ min/max, so J ≥ t requires
     // max ≤ min/t — a necessary condition; kills most pairs before the
     // expensive set intersection without changing the result
@@ -207,9 +261,13 @@ object Dedup {
                      nBits: Int, minCos: Double): DataFrame = {
     // norms precomputed per vector (cached) — the per-pair work is one dot
     // product instead of three
-    val t = df.select(col(idCol), col(vecCol),
-      Vectors.signBucket(col(vecCol), nBits).as("bucket"),
-      Vectors.norm2(col(vecCol)).as("nrm")).cache()
+    val t = cached(df, s"embedBuckets:$vecCol:$idCol:$nBits") {
+      val s = df.select(col(idCol), col(vecCol),
+        Vectors.signBucket(col(vecCol), nBits).as("bucket"),
+        Vectors.norm2(col(vecCol)).as("nrm")).persist()
+      s.count()
+      s
+    }
     t.as("a").join(t.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

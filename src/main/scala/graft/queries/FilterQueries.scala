@@ -202,7 +202,7 @@ object FilterQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.rules.TextIndexCatalog.clear()
-        graft.rules.TextIndexCatalog.register("text", "doc_id",
+        graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
           graft.operators.HybridTable.positionalTextIndex(
             docs, "text", "doc_id"),
           docs.select(col("doc_id")).distinct())

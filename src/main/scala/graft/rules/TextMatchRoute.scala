@@ -25,15 +25,38 @@ case class TextMatchMarker(text: Expression, query: String)
 }
 
 /** Registered positional text indexes (analog of table index config: which
-  * columns carry a TEXT_INDEX). Keyed by text column name; the id column
-  * must be present in the query plan for the route to apply. */
+  * columns carry a TEXT_INDEX). An entry is bound to the relation it was
+  * built over: registration traces the text/id columns of the INDEXED
+  * DataFrame down to their leaf relation + ordinal, and the route only
+  * fires when the query's columns trace to a sameResult leaf at the same
+  * ordinals — never to an unrelated table whose columns happen to share
+  * names. */
 object TextIndexCatalog {
+  /** `sourceLeaf` + ordinals locate the indexed columns IN the leaf
+    * relation — the identity that survives re-reads (fresh exprIds) of the
+    * same table. */
   final case class Entry(textCol: String, idCol: String,
-                         posIndex: DataFrame, universe: DataFrame)
+                         posIndex: DataFrame, universe: DataFrame,
+                         sourceLeaf: LogicalPlan, textOrd: Int, idOrd: Int)
   @volatile private var entries: List[Entry] = Nil
-  def register(textCol: String, idCol: String, posIndex: DataFrame,
-               universe: DataFrame): Unit =
-    entries = Entry(textCol, idCol, posIndex, universe) :: entries
+
+  /** Register a positional index built over `indexed`'s `textCol`. */
+  def register(indexed: DataFrame, textCol: String, idCol: String,
+               posIndex: DataFrame, universe: DataFrame): Unit = {
+    val plan = indexed.queryExecution.analyzed
+    val bound = for {
+      t <- plan.output.find(_.name == textCol)
+      i <- plan.output.find(_.name == idCol)
+      lt <- TextMatchRoute.traceToLeaf(plan, t.exprId)
+      li <- TextMatchRoute.traceToLeaf(plan, i.exprId)
+      if lt._1 eq li._1
+    } yield (lt._1, lt._2, li._2)
+    val (leaf, tOrd, iOrd) = bound.getOrElse(throw new IllegalArgumentException(
+      s"cannot bind index registration: columns '$textCol'/'$idCol' do not " +
+        s"trace to one leaf relation of the indexed plan:\n$plan"))
+    entries = Entry(textCol, idCol, posIndex, universe, leaf, tOrd, iOrd) ::
+      entries
+  }
   def clear(): Unit = entries = Nil
   def all: List[Entry] = entries
 }
@@ -46,6 +69,37 @@ object TextIndexCatalog {
   * Markers with no covering index — or outside a routable filter conjunct
   * (projections, disjunctions) — lower to the per-row expression tree,
   * which fuses into the scan. */
+object TextMatchRoute {
+  /** Trace an attribute's lineage down to the leaf relation that produces
+    * it: follows pass-through nodes and Project aliases of plain column
+    * references; returns the leaf + the column's ordinal there. None for
+    * computed columns (an index over raw text doesn't answer for a
+    * transformed column) or aggregate/generated outputs. */
+  private[graft] def traceToLeaf(plan: LogicalPlan, id: ExprId)
+  : Option[(LogicalPlan, Int)] = plan match {
+    case l if l.children.isEmpty =>
+      val i = l.output.indexWhere(_.exprId == id)
+      if (i >= 0) Some((l, i)) else None
+    case p: Project =>
+      p.projectList.find(_.exprId == id) match {
+        case Some(a: Alias) => a.child match {
+          case ar: AttributeReference => traceToLeaf(p.child, ar.exprId)
+          case _ => None
+        }
+        case Some(ar: AttributeReference) => traceToLeaf(p.child, ar.exprId)
+        case Some(_) => None
+        case None => traceToLeaf(p.child, id)
+      }
+    // pass-through nodes (SubqueryAlias, Filter, Join, Deduplicate, …):
+    // the exprId flows unchanged — search the children. Nodes that mint
+    // new exprIds (Aggregate/Window aliases, Generate) simply won't find
+    // the id below and yield None.
+    case other =>
+      other.children.iterator
+        .flatMap(c => traceToLeaf(c, id).iterator).nextOption()
+  }
+}
+
 case class TextMatchRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -78,13 +132,30 @@ case class TextMatchRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
         if (rest.isEmpty) child else Filter(rest.reduce(And), child)
       var leftover: Seq[Expression] = Nil
       markers.foreach { case m @ TextMatchMarker(attr, q) =>
+        // Bind by lineage, not by name: the marker's column must trace
+        // (through aliases/projections) to the same leaf relation +
+        // ordinal the index was registered over, and the id column in the
+        // plan's output must trace to that leaf's id ordinal. A different
+        // table with identically-named columns falls through to per-row
+        // lowering.
         val entry = attr match {
-          case a: AttributeReference => TextIndexCatalog.all.find(e =>
-            e.textCol == a.name && child.output.exists(_.name == e.idCol))
+          case a: AttributeReference =>
+            TextIndexCatalog.all.iterator.flatMap { e =>
+              if (a.name != e.textCol) Iterator.empty
+              else TextMatchRoute.traceToLeaf(child, a.exprId) match {
+                case Some((l, ord)) if ord == e.textOrd &&
+                    l.sameResult(e.sourceLeaf) =>
+                  child.output.iterator.filter(o => o.name == e.idCol &&
+                    TextMatchRoute.traceToLeaf(child, o.exprId).exists {
+                      case (l2, o2) => (l2 eq l) && o2 == e.idOrd })
+                    .map(idAttr => (e, idAttr))
+                case _ => Iterator.empty
+              }
+            }.nextOption()
           case _ => None
         }
         entry match {
-          case Some(e) =>
+          case Some((e, idAttr)) =>
             val ids = TextMatch.compile(e.posIndex, e.universe, e.idCol,
               TextMatch.parse(q))
             val idsPlan = ids.queryExecution.analyzed
@@ -92,9 +163,8 @@ case class TextMatchRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
             // collide with the probe side's expr ids (self-lineage case)
             val alias = Alias(idsPlan.output.head, e.idCol)()
             val right = Project(Seq(alias), idsPlan)
-            val leftId = base.output.find(_.name == e.idCol).get
             base = Join(base, right, LeftSemi,
-              Some(EqualTo(leftId, alias.toAttribute)), JoinHint.NONE)
+              Some(EqualTo(idAttr, alias.toAttribute)), JoinHint.NONE)
           case None => leftover :+= perRow(m)
         }
       }

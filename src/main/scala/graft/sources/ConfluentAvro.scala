@@ -111,20 +111,37 @@ object ConfluentAvro {
     case other => other
   }
 
-  /** Decode one framed message: resolve the writer schema by frame id,
-    * read through schema resolution into `reader`. */
-  def decodeMessage(msg: Array[Byte], writersById: Map[Int, Schema],
-                    reader: Schema): Row = {
-    val id = schemaIdOf(msg)
-    val writer = writersById.getOrElse(id, throw new IllegalArgumentException(
-      s"schema id $id not in registry (known: ${writersById.keys.toSeq.sorted
-        .mkString(",")})"))
-    val dec = DecoderFactory.get().binaryDecoder(msg, 5, msg.length - 5, null)
-    val rec = new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
+  private def rowOf(rec: GenericRecord, reader: Schema): Row =
     Row.fromSeq(reader.getFields.toArray.map { f0 =>
       toSpark(rec.get(f0.asInstanceOf[Schema.Field].name()))
     }.toIndexedSeq)
+
+  /** One schema-resolving datum reader per registry id — built once per
+    * partition so the hot decode path allocates nothing per record. */
+  private def datumReaders(writersById: Map[Int, Schema], reader: Schema)
+  : Map[Int, GenericDatumReader[GenericRecord]] =
+    writersById.map { case (id, w) =>
+      id -> new GenericDatumReader[GenericRecord](w, reader)
+    }
+
+  private def decodeWith(msg: Array[Byte],
+                         readersById: Map[Int, GenericDatumReader[GenericRecord]],
+                         reader: Schema): Row = {
+    val id = schemaIdOf(msg)
+    val datumReader = readersById.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"schema id $id not in registry (known: ${readersById.keys.toSeq.sorted
+          .mkString(",")})"))
+    val dec = DecoderFactory.get().binaryDecoder(msg, 5, msg.length - 5, null)
+    rowOf(datumReader.read(null, dec), reader)
   }
+
+  /** Decode one framed message: resolve the writer schema by frame id,
+    * read through schema resolution into `reader`. (Single-record helper;
+    * the partition paths hoist the datum readers instead.) */
+  def decodeMessage(msg: Array[Byte], writersById: Map[Int, Schema],
+                    reader: Schema): Row =
+    decodeWith(msg, datumReaders(writersById, reader), reader)
 
   /** Kafka-facing shape: decode a binary message column (`valueCol`) into
     * the reader schema's columns. The registry travels as JSON strings
@@ -135,11 +152,10 @@ object ConfluentAvro {
     val sparkSchema = schemaOf(readerJson)
     val idx = df.schema.fieldIndex(valueCol)
     val rdd = df.rdd.mapPartitions { it =>
-      val parser = new Schema.Parser()
-      val reader = parser.parse(readerJson)
-      val writers = registry.map { case (k, v) =>
-        k -> new Schema.Parser().parse(v) }
-      it.map(r => decodeMessage(r.getAs[Array[Byte]](idx), writers, reader))
+      val reader = new Schema.Parser().parse(readerJson)
+      val readers = datumReaders(registry.map { case (k, v) =>
+        k -> new Schema.Parser().parse(v) }, reader)
+      it.map(r => decodeWith(r.getAs[Array[Byte]](idx), readers, reader))
     }
     spark.createDataFrame(rdd, sparkSchema)
   }
@@ -152,10 +168,10 @@ object ConfluentAvro {
     val rdd = spark.sparkContext.binaryFiles(path).flatMap {
       case (_, pds) =>
         val reader = new Schema.Parser().parse(readerJson)
-        val writers = registry.map { case (k, v) =>
-          k -> new Schema.Parser().parse(v) }
+        val readers = datumReaders(registry.map { case (k, v) =>
+          k -> new Schema.Parser().parse(v) }, reader)
         ProtoWire.splitMessages(pds.toArray())
-          .map(m => decodeMessage(m, writers, reader))
+          .map(m => decodeWith(m, readers, reader))
     }
     spark.createDataFrame(rdd, sparkSchema)
   }
@@ -175,10 +191,15 @@ object ConfluentAvro {
           new java.io.ByteArrayInputStream(pds.toArray()),
           new GenericDatumReader[GenericRecord](null, reader))
         import scala.jdk.CollectionConverters._
-        stream.iterator().asScala.map { rec =>
-          Row.fromSeq(reader.getFields.toArray.map { f0 =>
-            toSpark(rec.get(f0.asInstanceOf[Schema.Field].name()))
-          }.toIndexedSeq)
+        val rows = stream.iterator().asScala.map(rowOf(_, reader))
+        // close on exhaustion — flatMap drains the iterator fully
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h) stream.close()
+            h
+          }
+          override def next(): Row = rows.next()
         }
     }
     spark.createDataFrame(rdd, sparkSchema)

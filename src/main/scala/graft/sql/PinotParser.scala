@@ -36,10 +36,19 @@ class PinotParser(delegate: ParserInterface) extends ParserInterface {
     * natively. */
   def parsePinot(sqlText: String): LogicalPlan = {
     val (clean, opts) = PinotSql.extractOptions(sqlText)
-    opts.foreach { case (k, v) =>
-      SQLConf.get.setConfString(s"spark.graft.option.$k", v) }
-    PinotAst.rewrite(delegate.parsePlan(PinotSql.rewrite(clean)))
+    // per-statement scoping: stale option keys reset before these apply
+    PinotSql.applyOptions(SQLConf.get, opts)
+    if (clean.trim.isEmpty)
+      // options-only statement (`SET k=v;`): nothing left to parse — the
+      // options applied; yield an empty no-op relation
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil)
+    else parseClean(clean)
   }
+
+  /** Parse an option-free statement (options already extracted+applied by
+    * the caller — [[PinotSql.sql]]); no conf side effects here. */
+  private[sql] def parseClean(clean: String): LogicalPlan =
+    PinotAst.rewrite(delegate.parsePlan(PinotSql.rewrite(clean)))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (dialectOn) parsePinot(sqlText) else delegate.parsePlan(sqlText)

@@ -73,16 +73,27 @@ object PinotSql {
     (clean, opts)
   }
 
+  private val OptionConfPrefix = "spark.graft.option."
+
   /** Query options land as session confs under `spark.graft.option.<k>`
     * where plan rules consult them — `useStarTree=false` gates
     * [[graft.rules.StarTreeRoute]] exactly like the reference's query
-    * option gates `StarTreeUtils.isFitForStarTree`. Spark's lazy
-    * evaluation makes true per-query scoping impossible without plan
-    * tags, so unlike the reference these are session-sticky until the
-    * next query sets them — documented divergence. */
-  private def applyOptions(spark: SparkSession,
-                           opts: Map[String, String]): Unit =
-    opts.foreach { case (k, v) => spark.conf.set(s"spark.graft.option.$k", v) }
+    * option gates `StarTreeUtils.isFitForStarTree`. Each statement starts
+    * from defaults: stale `spark.graft.option.*` keys are cleared before
+    * this statement's options apply, so a parsed-but-never-run or failed
+    * query can't flip behavior for its successors (the reference's options
+    * are strictly per-query). Spark's lazy evaluation still means a rule
+    * that consults the conf at optimization time sees the LATEST parsed
+    * statement's options, not those of the statement that built the
+    * DataFrame — documented divergence; trigger actions before parsing the
+    * next option-bearing statement. */
+  private[sql] def applyOptions(conf: org.apache.spark.sql.internal.SQLConf,
+                                opts: Map[String, String]): Unit = {
+    conf.getAllConfs.keysIterator
+      .filter(_.startsWith(OptionConfPrefix)).toList
+      .foreach(conf.unsetConf)
+    opts.foreach { case (k, v) => conf.setConfString(OptionConfPrefix + k, v) }
+  }
 
   /** Run a Pinot-dialect query against registered temp views, regardless
     * of the session dialect conf. GAPFILL selections route to the
@@ -90,10 +101,16 @@ object PinotSql {
     * delegate parser and gets the [[PinotAst]] rewrites exactly once. */
   def sql(spark: SparkSession, pinotSql: String): DataFrame = {
     val (clean, opts) = extractOptions(pinotSql)
-    applyOptions(spark, opts)
+    applyOptions(spark.sessionState.conf, opts)
+    // a statement that is ONLY options (`SET k=v;`, bare OPTION(...)) has
+    // no query left — the options applied; return an empty result rather
+    // than parsing ""
+    if (clean.trim.isEmpty) return spark.emptyDataFrame
     gapfillPlan(spark, clean).getOrElse {
       val plan = spark.sessionState.sqlParser match {
-        case p: PinotParser => p.parsePinot(clean)
+        // options were extracted+applied above — parse the clean text
+        // without re-running option handling (which resets stale keys)
+        case p: PinotParser => p.parseClean(clean)
         case p => PinotAst.rewrite(p.parsePlan(rewrite(clean)))
       }
       org.apache.spark.sql.graft.PlanBridge.ofRows(spark, plan)

@@ -155,6 +155,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("dedup cache: build-once reuse, LRU eviction unpersists") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aaa bbb ccc"), (2L, "ddd eee fff"))
+      .toDF("doc_id", "text")
+    val prev = Dedup.cacheCapacity
+    try {
+      Dedup.cacheCapacity = 1
+      Dedup.cacheClear()
+      val p1 = Dedup.simHashPairs(df, "text", "doc_id", 16)
+      assert(Dedup.simHashPairs(df, "text", "doc_id", 16) eq p1,
+        "same corpus+params must reuse the built pairs")
+      assert(p1.storageLevel.useMemory, "built pairs are persisted")
+      // different params → new entry; capacity 1 evicts + unpersists p1
+      Dedup.simHashPairs(df, "text", "doc_id", 8)
+      assert(!p1.storageLevel.useMemory, "evicted pairs are unpersisted")
+      assert(Dedup.cacheKeys.size == 1)
+      // an evicted frame is still valid — it just recomputes
+      assert(p1.count() == 0L)
+    } finally {
+      Dedup.cacheCapacity = prev
+      Dedup.cacheClear()
+    }
+  }
+
   test("multimodal metadata sniffs magic bytes on binary payloads") {
     val s = spark
     import s.implicits._

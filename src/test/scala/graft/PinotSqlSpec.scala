@@ -141,6 +141,28 @@ class PinotSqlSpec extends SparkSpec {
     }
   }
 
+  test("options-only statement applies options, yields empty result") {
+    // standalone `SET k=v;` — nothing left after extraction: no parse of ""
+    val out = PinotSql.sql(spark, "SET timeoutMs=5000;")
+    assert(out.count() == 0)
+    assert(spark.conf.get("spark.graft.option.timeoutMs") == "5000")
+    // dialect parser path: same statement through spark.sql
+    spark.conf.set("spark.graft.sql.dialect", "pinot")
+    try {
+      assert(spark.sql("SET workloadName='x';").count() == 0)
+      assert(spark.conf.get("spark.graft.option.workloadName") == "x")
+    } finally spark.conf.unset("spark.graft.sql.dialect")
+    // per-statement scoping: the NEXT statement resets stale option keys
+    PinotSql.sql(spark, "SELECT 1 AS x OPTION(useStarTree=false)").collect()
+    assert(spark.conf.getOption("spark.graft.option.timeoutMs").isEmpty,
+      "stale options must not leak into later statements")
+    assert(spark.conf.getOption("spark.graft.option.workloadName").isEmpty)
+    assert(spark.conf.get("spark.graft.option.useStarTree") == "false")
+    // an option-free statement starts from defaults too
+    PinotSql.sql(spark, "SELECT 1 AS x").collect()
+    assert(spark.conf.getOption("spark.graft.option.useStarTree").isEmpty)
+  }
+
   test("GAPFILL SQL routes to the spine+window gapfill plan") {
     val s = spark
     import s.implicits._

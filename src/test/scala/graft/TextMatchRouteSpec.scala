@@ -20,10 +20,12 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
       (5L, "join hash order")).toDF("doc_id", "text")
   }
 
-  private def registered(): Unit = TextIndexCatalog.register(
-    "text", "doc_id",
-    HybridTable.positionalTextIndex(docs, "text", "doc_id"),
-    docs.select(col("doc_id")).distinct())
+  private def registered(): Unit = {
+    val d = docs
+    TextIndexCatalog.register(d, "text", "doc_id",
+      HybridTable.positionalTextIndex(d, "text", "doc_id"),
+      d.select(col("doc_id")).distinct())
+  }
 
   test("SQL text_match routes onto the postings index as a semi-join") {
     registered()
@@ -52,6 +54,35 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(viaSql == viaPerRow, s"route/per-row disagree on '$g'")
     }
+  }
+
+  test("an unrelated table with identical column names is NOT routed") {
+    registered()
+    val s = spark
+    import s.implicits._
+    // same column names (doc_id, text), different relation + data — the
+    // registered index must not answer for it
+    Seq((10L, "hash table stream"), (11L, "nothing relevant"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tm_other")
+    val q = spark.sql(
+      "SELECT doc_id FROM tm_other WHERE text_match(text, 'hash AND stream')")
+    assert(!q.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "foreign table must lower per-row, not semi-join the wrong index")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(10L))
+  }
+
+  test("a computed column named like the indexed one is NOT routed") {
+    registered()
+    // same relation, but 'text' is now a TRANSFORMED column — the raw-text
+    // index must not answer for it
+    docs.select(col("doc_id"), concat(col("text"), lit(" merge stream"))
+      .as("text")).createOrReplaceTempView("tm_derived")
+    val q = spark.sql(
+      "SELECT doc_id FROM tm_derived WHERE text_match(text, 'merge AND stream')")
+    assert(!q.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "computed column must lower per-row")
+    // every row gained 'merge stream' — per-row semantics see it
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
   test("no covering index → per-row lowering still answers") {
