@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // text_match filters (semi-join plan); everything else lowers per-row.
     // Resolution-time so lowered Column trees pass through the analyzer.
     ext.injectResolutionRule(_ => graft.rules.TextMatchRoute())
+    ext.injectResolutionRule(_ => graft.rules.JsonIndexRoute())
     // Pinot dialect at the session-parser level, gated on
     // spark.graft.sql.dialect=pinot (strict passthrough otherwise)
     ext.injectParser((_, delegate) => new graft.sql.PinotParser(delegate))
@@ -100,8 +101,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     regRaw("json_match",
       "JSON_MATCH predicate: nested paths + [*] array wildcards") { args =>
-      Scalars.jsonMatch(asColumn(args(0)),
-        litString(args(1), "JSON_MATCH predicate"))
+      // resolves to a marker; JsonIndexRoute lowers it onto a registered
+      // json posting table (semi-join) or to the per-row jsonpath tree.
+      // The predicate must parse at registration time so bad grammar
+      // fails fast.
+      val p = litString(args(1), "JSON_MATCH predicate")
+      Scalars.jsonMatch(lit(""), p) // grammar validation only
+      asColumn(graft.rules.JsonMatchMarker(args(0), p))
     }
     regRaw("jsonextractscalar",
       "json path extraction with Pinot type name cast") { args =>

@@ -252,6 +252,45 @@ object FilterQueries {
            OR o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority""")),
 
+    // JSON_MATCH through the SQL surface WITH a registered posting table:
+    // JsonIndexRoute lowers each filter conjunct to a semi-join against
+    // the matching doc-id set (the reference's always-on json-index path).
+    // The json column is STORED (parquet round-trip) because index
+    // registration binds to leaf columns — exactly the reference, where
+    // the indexed column lives in the segment. Same oracle as the other
+    // json gates, so the routed plan is hash-checked too.
+    Q("q_filter_json_routed",
+      (s, d) => {
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        val dir = new java.io.File(
+          s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          Tables.orders(s, d).withColumn("doc", j)
+            .write.mode("overwrite").parquet(dir.getPath)
+        }
+        val docs = s.read.parquet(dir.getPath)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        graft.rules.JsonIndexCatalog.clear()
+        graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
+          graft.operators.JsonIndex.cachedPostings(
+            docs, "doc", "o_orderkey", schema,
+            cacheKey = Some(s"$d:orders.doc.routed")),
+          docs.select(col("o_orderkey")).distinct())
+        docs.createOrReplaceTempView("orders_jm")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm
+          WHERE json_match(doc, '"$.tags[*].p" = ''F''')
+            AND json_match(doc, '"$.tags[*].n" > 3')
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE o_orderstatus = 'F' AND (o_custkey % 5) > 3
+        GROUP BY o_orderpriority""")),
+
     // The MATERIALIZED json index: postings written path-partitioned to
     // disk once (the reference's index lives in the segment), predicates
     // answered from the parquet postings via per-predicate id lookups +
