@@ -252,6 +252,33 @@ object FilterQueries {
            OR o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority""")),
 
+    // Table-config-driven indexing (IndexingConfig analog): the text index
+    // is DECLARED in the sidecar config, built+persisted on first open,
+    // loaded on later opens, and registered automatically — zero per-query
+    // wiring, the reference's always-on index lifecycle. Oracle replays
+    // the token predicates, so the whole config→build→route path is
+    // hash-checked.
+    Q("q_indexed_table",
+      (s, d) => {
+        import graft.sources.IndexedTable
+        val root = s"/tmp/graft_ixroot_${math.abs(d.hashCode)}"
+        if (!new java.io.File(root).exists())
+          IndexedTable.writeConfig(s, root, IndexedTable.Config(
+            text = Seq(IndexedTable.TextIdx("text", "doc_id"))))
+        graft.rules.TextIndexCatalog.clear()
+        IndexedTable.reset()
+        val df = IndexedTable.open(s, s"$d/documents.parquet", Some(root))
+        df.createOrReplaceTempView("documents_ix")
+        s.sql("""SELECT doc_id FROM documents_ix
+          WHERE text_match(text, 'vector AND NOT slow')
+          ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE list_contains(tk, 'vector') AND NOT list_contains(tk, 'slow')
+        ORDER BY doc_id""")),
+
     // JSON_MATCH through the SQL surface WITH a registered posting table:
     // JsonIndexRoute lowers each filter conjunct to a semi-join against
     // the matching doc-id set (the reference's always-on json-index path).
