@@ -84,6 +84,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("fromepochseconds", "epoch seconds → timestamp") {
       a => timestamp_seconds(a(0))
     }
+    // ---- Pinot datetime transforms (DateTimeFunctions.java names) ----
+    regRaw("datetimeconvert",
+      "dateTimeConvert(col, inFmt, outFmt, granularity) — " +
+        "'size:UNIT:FORMAT[:pattern]' spec strings") { args =>
+      Scalars.dateTimeConvert(asColumn(args(0)),
+        litString(args(1), "dateTimeConvert input format"),
+        litString(args(2), "dateTimeConvert output format"),
+        litString(args(3), "dateTimeConvert granularity"))
+    }
+    regRaw("timeconvert",
+      "timeConvert(col, fromUnit, toUnit) epoch unit conversion") { args =>
+      Scalars.timeConvert(asColumn(args(0)),
+        litString(args(1), "timeConvert from unit"),
+        litString(args(2), "timeConvert to unit"))
+    }
+    regRaw("datetrunc",
+      "dateTrunc(unit, epochValue[, timeUnit]) calendar truncation (UTC)"
+    ) { args =>
+      val unit = litString(args(0), "dateTrunc unit")
+      if (args.length >= 3)
+        Scalars.dateTrunc(unit, asColumn(args(1)),
+          litString(args(2), "dateTrunc time unit"))
+      else Scalars.dateTrunc(unit, asColumn(args(1)))
+    }
+    regRaw("todatetime",
+      "toDateTime(epochMillis, pattern) — format epoch millis") { args =>
+      Scalars.toDateTime(asColumn(args(0)),
+        litString(args(1), "toDateTime pattern"))
+    }
+    regRaw("fromdatetime",
+      "fromDateTime(dateString, pattern) — parse to epoch millis") { args =>
+      Scalars.fromDateTime(asColumn(args(0)),
+        litString(args(1), "fromDateTime pattern"))
+    }
+    reg("yearofweek", "ISO week-year of a timestamp") {
+      a => Scalars.yearOfWeek(a(0))
+    }
+    reg("yow", "ISO week-year of a timestamp (alias)") {
+      a => Scalars.yearOfWeek(a(0))
+    }
+    reg("toepochminutes", "timestamp → epoch minutes") {
+      a => Scalars.toEpochMinutes(a(0))
+    }
+    reg("toepochhours", "timestamp → epoch hours") {
+      a => Scalars.toEpochHours(a(0))
+    }
+    reg("toepochdays", "timestamp → epoch days") {
+      a => Scalars.toEpochDays(a(0))
+    }
+    reg("fromepochdays", "epoch days → timestamp") {
+      a => Scalars.fromEpochDays(a(0))
+    }
+
     reg("arraylength", "array cardinality") { a => size(a(0)) }
     reg("jsonformat", "struct/map → json string") { a => to_json(a(0)) }
     reg("text_contains", "native text containment") {

@@ -81,6 +81,30 @@ object Scalars {
     (lit(java.util.TimeZone.getTimeZone(tz).getRawOffset) / 3600000).cast("int")
   def yearOfWeek(ts: Column): Column = year(date_trunc("week", ts))
 
+  /** timeConvert(col, fromUnit, toUnit) (TimeConvertTransformFunction):
+    * integral epoch value conversion between time units. */
+  def timeConvert(c: Column, fromUnit: String, toUnit: String): Column =
+    (c.cast("long") * unitMillis(fromUnit) / unitMillis(toUnit)).cast("long")
+
+  /** Pinot dateTrunc(unit, value[, inputTimeUnit]) —
+    * DateTruncTransformFunction: truncate an epoch value (in
+    * `inputTimeUnit`, default milliseconds) to the calendar-unit boundary
+    * (UTC), returned in the same unit. */
+  def dateTrunc(unit: String, c: Column,
+                inputTimeUnit: String = "MILLISECONDS"): Column = {
+    val u = unitMillis(inputTimeUnit)
+    (unix_millis(date_trunc(unit, timestamp_millis(c.cast("long") * u))) / u)
+      .cast("long")
+  }
+
+  /** toDateTime(epochMillis, pattern) — epoch millis formatted (UTC). */
+  def toDateTime(c: Column, pattern: String): Column =
+    date_format(timestamp_millis(c.cast("long")), pattern)
+
+  /** fromDateTime(dateString, pattern) — parsed to epoch millis. */
+  def fromDateTime(c: Column, pattern: String): Column =
+    unix_millis(to_timestamp(c, pattern))
+
   // ---- dateTimeConvert 4-part spec strings (DateTimeConvert.java +
   // DateTimeFormatSpec: 'size:UNIT:FORMAT[:pattern]' input/output formats
   // and a 'size:UNIT' granularity) ----

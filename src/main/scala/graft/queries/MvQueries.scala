@@ -134,5 +134,34 @@ object MvQueries {
         WHERE (len(list_filter(tk, w -> w LIKE 'st%m')) > 0
                AND len(list_filter(tk, w -> w LIKE 'qu_ry')) > 0)
            OR len(list_filter(tk, w -> levenshtein(w, 'merga') <= 1)) > 0
-        GROUP BY source ORDER BY source LIMIT 20""")))
+        GROUP BY source ORDER BY source LIMIT 20""")),
+
+    // Pinot datetime transform surface through the dialect SQL:
+    // DATETIMECONVERT spec strings, TIMECONVERT unit conversion, DATETRUNC
+    // calendar truncation, TODATETIME formatting — all resolved from the
+    // function registry with nested arguments (DateTimeFunctions.java
+    // names). Oracle replays the epoch arithmetic in DuckDB.
+    Q("q_pinot_sql_datetime",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        PinotSql.sql(s,
+          """SELECT
+             DATETIMECONVERT(CAST(o_orderdate AS TIMESTAMP), 'TIMESTAMP',
+               '1:DAYS:EPOCH', '7:DAYS') AS wk,
+             COUNT(*) AS n,
+             DISTINCTCOUNT(TODATETIME(TIMECONVERT(
+               TOEPOCHSECONDS(CAST(o_orderdate AS TIMESTAMP)),
+               'SECONDS', 'MILLISECONDS'), 'yyyy-MM')) AS nd_ym,
+             MIN(DATETRUNC('month', TIMECONVERT(
+               TOEPOCHSECONDS(CAST(o_orderdate AS TIMESTAMP)),
+               'SECONDS', 'MILLISECONDS'), 'MILLISECONDS')) AS min_mon_ms
+             FROM orders GROUP BY wk ORDER BY wk LIMIT 30""")
+      },
+      Some("""SELECT 7 * (CAST(epoch(o_orderdate) AS BIGINT) // 604800)
+          AS wk,
+        COUNT(*) AS n,
+        COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS nd_ym,
+        MIN(CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) * 1000)
+          AS min_mon_ms
+        FROM orders GROUP BY wk ORDER BY wk LIMIT 30""")))
 }

@@ -141,6 +141,30 @@ class PinotSqlSpec extends SparkSpec {
     }
   }
 
+  test("Pinot datetime transforms resolve through the SQL registry") {
+    // 2024-03-15 12:34:56 UTC = 1710506096000 ms
+    val r = spark.sql(
+      """SELECT
+         TIMECONVERT(1710506096, 'SECONDS', 'MILLISECONDS') AS ms,
+         TIMECONVERT(1710506096000, 'MILLISECONDS', 'HOURS') AS hrs,
+         DATETRUNC('day', 1710506096000) AS day_ms,
+         DATETRUNC('hour', 1710506096, 'SECONDS') AS hour_s,
+         TODATETIME(1710506096000, 'yyyy-MM-dd HH:mm') AS fmt,
+         FROMDATETIME('2024-03-15 12:34:56', 'yyyy-MM-dd HH:mm:ss') AS back,
+         DATETIMECONVERT(1710506096000, '1:MILLISECONDS:EPOCH',
+           '1:HOURS:EPOCH', '1:HOURS') AS dtc_hrs,
+         YEAROFWEEK(TIMESTAMP '2021-01-01 00:00:00') AS yow
+      """).head()
+    assert(r.getLong(0) == 1710506096000L)
+    assert(r.getLong(1) == 1710506096000L / 3600000L)
+    assert(r.getLong(2) == 1710460800000L) // 2024-03-15 00:00 UTC
+    assert(r.getLong(3) == 1710504000L)    // 12:00 UTC, in seconds
+    assert(r.getString(4) == "2024-03-15 12:34")
+    assert(r.getLong(5) == 1710506096000L)
+    assert(r.getLong(6) == 1710506096000L / 3600000L)
+    assert(r.getInt(7) == 2020) // ISO week 53 of 2020
+  }
+
   test("options-only statement applies options, yields empty result") {
     // standalone `SET k=v;` — nothing left after extraction: no parse of ""
     val out = PinotSql.sql(spark, "SET timeoutMs=5000;")
