@@ -155,6 +155,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
   }
 
+  test("clusters: transitive chaining, min-id labels, singleton isolation") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (1,4 never paired directly), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: long chain converges in O(log diameter) rounds") {
+    val s = spark
+    import s.implicits._
+    // a 64-link chain: plain neighbor propagation needs 63 rounds; pointer
+    // jumping must land well inside maxIter = 10
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.cacheClear()
+    val out = Dedup.clusters(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 65 && out.values.forall(_ == 0L),
+      s"chain must fully collapse to label 0, got ${out.values.toSet}")
+  }
+
   test("dedup cache: build-once reuse, LRU eviction unpersists") {
     val s = spark
     import s.implicits._
