@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis => TA}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextHashExprs
+
+/** Benchmark decontamination for training corpora (beyond the reference):
+  * flag/drop corpus documents that share any k-token shingle with an
+  * evaluation set — the standard n-gram-overlap decontamination step every
+  * large-scale training pipeline runs before training.
+  *
+  * Scale: the benchmark side is tiny next to the corpus — its distinct
+  * shingle hashes BROADCAST; the corpus side computes shingle hashes in
+  * one codegen'd kernel pass ([[TextHashExprs.shingleHash60]]), explodes,
+  * and broadcast-semi-joins. The corpus never shuffles; cost is one scan +
+  * a hash probe per shingle. Texts shorter than k tokens hash as one
+  * whole-text shingle (the kernel's and the oracle's shared convention). */
+object Decontaminate {
+
+  private def shingles(df: DataFrame, textCol: String, k: Int) =
+    explode(TextHashExprs.shingleHash60(TA.tokens(col(textCol)), k,
+      sortedDistinct = true)).as("sh")
+
+  /** Distinct ids of corpus documents sharing ≥1 k-shingle with `bench`. */
+  def flagged(corpus: DataFrame, textCol: String, idCol: String,
+              bench: DataFrame, benchTextCol: String, k: Int): DataFrame = {
+    val benchSh = bench.select(shingles(bench, benchTextCol, k)).distinct()
+    corpus.select(col(idCol), shingles(corpus, textCol, k))
+      .join(broadcast(benchSh), "sh")
+      .select(col(idCol)).distinct()
+  }
+
+  /** The corpus minus flagged documents (anti-join on ids — ships only
+    * keys). */
+  def clean(corpus: DataFrame, textCol: String, idCol: String,
+            bench: DataFrame, benchTextCol: String, k: Int): DataFrame =
+    corpus.join(flagged(corpus, textCol, idCol, bench, benchTextCol, k),
+      Seq(idCol), "left_anti")
+}

@@ -152,6 +152,54 @@ object TrainingQueries {
             ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id"""
       }),
 
+    // Deterministic train/val/test split: salted md5 bucket of the doc id —
+    // reproducible on any cluster at any parallelism (no RNG state), the
+    // standard split recipe for a 100 TB corpus. Oracle replays the same
+    // md5 bucketing in DuckDB, so assignment is bit-checked, not just
+    // proportionate.
+    Q("q_sample_split",
+      (s, d) => graft.operators.Sampling.hashSplit(
+          Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Scalars.hash60(col("doc_id").cast("string"))
+            % 1000003L).as("id_checksum"))
+        .orderBy(col("split")),
+      Some(s"""SELECT split, COUNT(*) AS n,
+          CAST(SUM(${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000003)
+            AS BIGINT) AS id_checksum
+        FROM (SELECT doc_id,
+            CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+                 WHEN b < 10000 THEN 'test' END AS split
+          FROM (SELECT doc_id,
+            ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000 AS b
+            FROM documents))
+        GROUP BY split ORDER BY split""")),
+
+    // Benchmark decontamination: corpus docs sharing any 5-token shingle
+    // with the benchmark subset (doc_id % 97 = 0 plays the eval set) are
+    // flagged — the n-gram-overlap decontamination step of every training
+    // pipeline. Bench shingle hashes broadcast; the corpus never shuffles.
+    // Oracle replays tokenize→shingle→hash60 in DuckDB.
+    Q("q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.flagged(docs, "text", "doc_id",
+          docs.filter(col("doc_id") % 97 === 0), "text", 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+          list_distinct([${hash60Sql("s")} for s in ${shinglesSql("tk", 5)}])
+            AS shs FROM tk),
+        csh AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+          WHERE doc_id % 97 = 0)
+        SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (sh)
+        ORDER BY doc_id""")),
+
     // Near-dup CLUSTERS: connected components over the MinHash LSH pairs —
     // the canonical-representative step after pair generation (transitive:
     // A~B, B~C ⇒ one cluster even when A,C never paired). Spark side runs

@@ -180,6 +180,51 @@ class OperatorsSpec extends SparkSpec {
       s"chain must fully collapse to label 0, got ${out.values.toSet}")
   }
 
+  test("hashSplit: deterministic, partition-invariant, fraction-accurate") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val ids = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "t")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(ids, "id", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    // same assignment regardless of partitioning
+    val b = Sampling.hashSplit(ids.repartition(13), "id", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.toMap == b.toMap)
+    val byName = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(math.abs(byName("train") - 1600) < 100, s"train ${byName("train")}")
+    assert(math.abs(byName("val") - 200) < 60)
+    // a different salt reshuffles assignments
+    val c = Sampling.hashSplit(ids, "id", splits, salt = "other")
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(c.toMap != a.toMap)
+    // fractions must not exceed 1
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(ids, "id", Seq("a" -> 0.7, "b" -> 0.7)))
+  }
+
+  test("decontaminate: shared k-grams flag, clean() is the complement") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence with no overlap here"),
+      (3L, "we say the quick brown fox jumps again and again"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox jumps high"))
+      .toDF("bid", "btext")
+    // 5-gram "the quick brown fox jumps" is shared by docs 1 and 3
+    val f = Decontaminate.flagged(corpus, "text", "doc_id",
+      bench, "btext", 5).collect().map(_.getLong(0)).toSet
+    assert(f == Set(1L, 3L))
+    val kept = Decontaminate.clean(corpus, "text", "doc_id",
+      bench, "btext", 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("dedup cache: build-once reuse, LRU eviction unpersists") {
     val s = spark
     import s.implicits._
