@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.{Scalars, TextAnalysis => TA}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines (beyond the reference):
+  * concatenate the corpus in a deterministic order and split it into
+  * fixed-size token windows ("chunks"), reporting for every document the
+  * chunk/offset where it starts and the chunk where it ends — the
+  * concat-and-chunk packing step that turns a document corpus into model
+  * sequences.
+  *
+  * Determinism: the concatenation order is a salted content hash of the id
+  * (ties broken by id), so the same corpus packs identically on any
+  * cluster at any parallelism — no RNG, no partition-order dependence.
+  *
+  * Scale: a naive global running sum is a single-partition window. Instead
+  * this is the classic two-pass distributed prefix sum:
+  *   1. docs hash into `nBuckets` ordered buckets; a window PARTITIONED BY
+  *      bucket computes the within-bucket running token count (each bucket
+  *      sorts ~|corpus|/nBuckets rows — scale nBuckets with the cluster);
+  *   2. per-bucket totals (nBuckets rows, tiny) collect to the driver,
+  *      prefix-sum there, and broadcast back as each bucket's global
+  *      offset.
+  * The corpus itself shuffles once (into buckets) and nothing else moves. */
+object Packing {
+
+  /** Deterministic order key: salted 60-bit hash of the id. */
+  private def ordKey(idCol: Column, salt: String): Column =
+    Scalars.hash60(concat(lit(salt), lit(":"), idCol.cast("string")))
+
+  /** Pack `df` into `budget`-token chunks. Returns one row per document:
+    * (idCol, n_tokens, start_chunk, start_offset, end_chunk) — where the
+    * document's tokens begin (chunk + offset within it) and the chunk its
+    * last token lands in (== start_chunk when it fits; empty docs span
+    * nothing and get end_chunk = start_chunk). */
+  def concatChunks(df: DataFrame, idCol: String, textCol: String,
+                   budget: Long, nBuckets: Int = 256,
+                   salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val ord = ordKey(col(idCol), salt)
+    val base = df.select(col(idCol), TA.tokenCount(col(textCol))
+        .cast("long").as("n_tokens"), ord.as("__ord"),
+        (ord % nBuckets).as("__bucket"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = base.withColumn("__prev_local",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+
+    // Pass 2: per-bucket totals -> driver prefix sum -> broadcast offsets.
+    // nBuckets rows, so the collect is O(nBuckets), not O(corpus).
+    val spark = df.sparkSession
+    val totals = base.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    import spark.implicits._
+    val offsetDf = totals.map(_._1).zip(offsets).toSeq
+      .toDF("__bucket", "__bucket_offset")
+
+    val prev = col("__bucket_offset") + col("__prev_local")
+    withLocal.join(broadcast(offsetDf), "__bucket")
+      .select(col(idCol), col("n_tokens"),
+        expr(s"(${prevSql}) DIV $budget").as("start_chunk"),
+        (prev % budget).as("start_offset"),
+        greatest(expr(s"(${prevSql}) DIV $budget"),
+          expr(s"(${prevSql} + n_tokens - 1) DIV $budget")).as("end_chunk"))
+  }
+
+  // SQL text for the global start position (used with expr() so chunk ids
+  // come from exact integer DIV, not floating-point division).
+  private val prevSql = "__bucket_offset + __prev_local"
+
+  /** Per-chunk occupancy view over a packed corpus: how many documents
+    * touch each chunk and how many of its `budget` token slots are filled
+    * (every chunk except the last must be exactly full — the spec gate). */
+  def chunkFill(packed: DataFrame, budget: Long): DataFrame = {
+    val startPos = col("start_chunk") * budget + col("start_offset")
+    val endPos = startPos + col("n_tokens")  // exclusive
+    packed.filter(col("n_tokens") > 0)
+      .select(col("n_tokens"), startPos.as("s"), endPos.as("e"),
+        explode(sequence(col("start_chunk"), col("end_chunk"))).as("chunk"))
+      .select(col("chunk"),
+        (least(col("e"), (col("chunk") + 1) * budget) -
+          greatest(col("s"), col("chunk") * budget)).as("filled"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("filled")).as("filled"))
+  }
+}

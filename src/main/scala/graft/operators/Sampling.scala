@@ -19,6 +19,38 @@ object Sampling {
   : org.apache.spark.sql.Column =
     Scalars.hash60(concat(lit(salt), lit(":"), idCol.cast("string"))) % 10000L
 
+  /** Keep a deterministic `fraction` of rows by hash bucket of the id —
+    * the reproducible replacement for `df.sample()`: no RNG state, the
+    * same ids survive on any cluster, and re-running with a larger
+    * fraction yields a SUPERSET (buckets are stable, the threshold just
+    * moves). Pure filter — no shuffle. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = "graft"): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    df.filter(bucket(col(idCol), salt) < lit(math.round(fraction * 10000)))
+  }
+
+  /** Weighted source mixing: downsample each source to its target weight —
+    * the corpus-mixing step of a training pipeline ("keep 100% of wiki,
+    * 30% of web, 5% of logs"). Sources absent from `weights` keep
+    * `defaultWeight` (0 = drop). Salting by source decorrelates the
+    * per-source keeps from each other and from any split produced by
+    * [[hashSplit]]. One projection + filter — no shuffle, no RNG. */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 weights: Map[String, Double], defaultWeight: Double = 1.0,
+                 salt: String = "graft"): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w >= 0 && w <= 1, s"weight $w not in [0,1]"))
+    // bucket salted per source: hash over (salt, source, id)
+    val b = Scalars.hash60(concat(lit(salt), lit(":"), col(sourceCol),
+      lit(":"), col(idCol).cast("string"))) % 10000L
+    val threshold = weights.foldLeft(
+      lit(math.round(defaultWeight * 10000))) { case (els, (src, w)) =>
+        when(col(sourceCol) === src, lit(math.round(w * 10000))).otherwise(els)
+    }
+    df.filter(b < threshold)
+  }
+
   /** Assign each row a named split by hash bucket: `splits` are ordered
     * (name, fraction) with fractions summing to ≤ 1; rows past the last
     * cumulative boundary get null (unassigned holdout). One projection,

@@ -177,6 +177,30 @@ object TrainingQueries {
             FROM documents))
         GROUP BY split ORDER BY split""")),
 
+    // Weighted source mixing: per-source deterministic downsampling
+    // (wiki 100%, web 40%, logs 5% style). Oracle replays the salted
+    // per-source md5 bucket, so WHICH rows survive is bit-checked.
+    Q("q_sample_mix",
+      (s, d) => graft.operators.Sampling.mixSources(
+          Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 0.4, "src1" -> 0.05))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Scalars.hash60(col("doc_id").cast("string"))
+            % 1000003L).as("id_checksum"))
+        .orderBy(col("source")),
+      Some(s"""SELECT source, COUNT(*) AS n,
+          CAST(SUM(${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000003)
+            AS BIGINT) AS id_checksum
+        FROM (SELECT doc_id, source,
+            ${hash60Sql(
+              "'graft:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+              % 10000 AS b
+          FROM documents)
+        WHERE b < (CASE source WHEN 'src0' THEN 4000
+                   WHEN 'src1' THEN 500 ELSE 10000 END)
+        GROUP BY source ORDER BY source""")),
+
     // Benchmark decontamination: corpus docs sharing any 5-token shingle
     // with the benchmark subset (doc_id % 97 = 0 plays the eval set) are
     // flagged — the n-gram-overlap decontamination step of every training
@@ -199,6 +223,35 @@ object TrainingQueries {
           WHERE doc_id % 97 = 0)
         SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (sh)
         ORDER BY doc_id""")),
+
+    // Sequence packing (concat-and-chunk): every doc's start chunk/offset
+    // and end chunk when the corpus is concatenated in salted-hash order
+    // and split into 1000-token windows. Spark side is a two-pass
+    // distributed prefix sum (per-bucket window + broadcast bucket
+    // offsets); the oracle replays it as ONE global window ordered by
+    // (bucket, ord, id) — same math, so the gate is bit-exact.
+    Q("q_pack_chunks",
+      (s, d) => graft.operators.Packing.concatChunks(
+          Tables.documents(s, d), "doc_id", "text", budget = 1000L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+            ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS ord
+          FROM documents),
+        w AS (
+          SELECT doc_id, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY ord % 256, ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+          FROM t)
+        SELECT doc_id, n_tokens,
+          CAST(prev // 1000 AS BIGINT) AS start_chunk,
+          CAST(prev % 1000 AS BIGINT) AS start_offset,
+          CAST(GREATEST(prev // 1000, (prev + n_tokens - 1) // 1000)
+            AS BIGINT) AS end_chunk
+        FROM w ORDER BY doc_id""")),
 
     // Near-dup CLUSTERS: connected components over the MinHash LSH pairs —
     // the canonical-representative step after pair generation (transitive:

@@ -205,6 +205,65 @@ class OperatorsSpec extends SparkSpec {
       Sampling.hashSplit(ids, "id", Seq("a" -> 0.7, "b" -> 0.7)))
   }
 
+  test("packing: deterministic, offsets bounded, interior chunks exactly full") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val docs = (1L to 300L)
+      .map(i => (i, Seq.fill((i % 17 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 64L
+    val a = Packing.concatChunks(docs, "doc_id", "text", budget, nBuckets = 8)
+    val b = Packing.concatChunks(docs.repartition(13), "doc_id", "text",
+      budget, nBuckets = 8)
+    val am = a.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(am == b.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap,
+      "packing must not depend on input partitioning")
+    // offsets bounded, chunks ordered
+    a.collect().foreach { r =>
+      val (n, sc, off, ec) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(off >= 0 && off < budget)
+      assert(ec >= sc)
+      if (n > 0) assert(ec == (sc * budget + off + n - 1) / budget)
+    }
+    // every chunk but the last is exactly full; total fill == total tokens
+    val fill = Packing.chunkFill(a, budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val last = fill.keys.max
+    fill.foreach { case (c, f) =>
+      if (c < last) assert(f == budget, s"chunk $c filled $f != $budget")
+      else assert(f > 0 && f <= budget)
+    }
+    val totalTokens = a.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(fill.values.sum == totalTokens)
+  }
+
+  test("sampleByHash: supersets nest, mixSources hits per-source targets") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 3000L)
+      .map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    // monotone: a larger fraction keeps a superset of a smaller one
+    val small = Sampling.sampleByHash(df, "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.sampleByHash(df, "id", 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(math.abs(small.size - 600) < 120 && math.abs(big.size - 1800) < 200)
+    // per-source mixing: targets hit per source, absent sources at default
+    val mixed = Sampling.mixSources(df, "id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.1))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(mixed("src0") - 500) < 120, s"src0 ${mixed("src0")}")
+    assert(math.abs(mixed("src1") - 100) < 60, s"src1 ${mixed("src1")}")
+    assert(mixed("src2") == 1000, "default weight 1.0 keeps everything")
+    intercept[IllegalArgumentException](
+      Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
+  }
+
   test("decontaminate: shared k-grams flag, clean() is the complement") {
     val s = spark
     import s.implicits._
