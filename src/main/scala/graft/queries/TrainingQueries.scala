@@ -177,6 +177,51 @@ object TrainingQueries {
             FROM documents))
         GROUP BY split ORDER BY split""")),
 
+    // PII scrubbing: seed each doc with deterministic synthetic PII
+    // (email, IP, SSN), scrub, and emit per-doc counts + a signature of
+    // the scrubbed text. The oracle replays identical RE2/Java-compatible
+    // patterns in DuckDB (with the 'g' flag — Spark replaces globally by
+    // default), so placement AND replacement are bit-checked.
+    Q("q_scrub_pii",
+      (s, d) => {
+        val pii = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 ssn 123-45-6789")).as("t"))
+        graft.operators.Scrub.scrub(pii, "t")
+          .select(col("doc_id"),
+            col("n_email").cast("long").as("n_email"),
+            col("n_ipv4").cast("long").as("n_ipv4"),
+            col("n_ssn").cast("long").as("n_ssn"),
+            graft.functions.Scalars.hash60(col("t_scrubbed"))
+              .as("scrub_sig"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+          SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com from 10.0.'
+            || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789' AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t,
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+          ${hash60Sql("""regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g'),
+              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+              '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+              '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')""")}
+            AS scrub_sig
+        FROM p ORDER BY doc_id""")),
+
     // Weighted source mixing: per-source deterministic downsampling
     // (wiki 100%, web 40%, logs 5% style). Oracle replays the salted
     // per-source md5 bucket, so WHICH rows survive is bit-checked.

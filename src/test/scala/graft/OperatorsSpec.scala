@@ -264,6 +264,31 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("scrub: redacts email/ip/ssn/phone, counts per kind, text preserved") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Scrub
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org and 192.168.0.1 then 123-45-6789 ok"),
+      (2L, "call 555-867-5309 or 555.867.5309; no pii after that"),
+      (3L, "clean text with version 1.2 and year 2024 untouched")
+    ).toDF("id", "t")
+    val out = Scrub.scrub(df, "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[String]("t_scrubbed") ==
+      "mail <EMAIL> and <IP> then <ID> ok")
+    assert(out(1).getAs[Int]("n_email") == 1)
+    assert(out(1).getAs[Int]("n_ipv4") == 1)
+    assert(out(1).getAs[Int]("n_ssn") == 1)
+    assert(out(2).getAs[String]("t_scrubbed") ==
+      "call <PHONE> or <PHONE>; no pii after that")
+    assert(out(2).getAs[Int]("n_phone") == 2)
+    // non-PII digits (versions, years) must survive
+    assert(out(3).getAs[String]("t_scrubbed") == out(3).getAs[String]("t"))
+    assert(Seq("n_email", "n_ipv4", "n_ssn", "n_phone")
+      .forall(c => out(3).getAs[Int](c) == 0))
+  }
+
   test("decontaminate: shared k-grams flag, clean() is the complement") {
     val s = spark
     import s.implicits._
