@@ -177,6 +177,41 @@ object TrainingQueries {
             FROM documents))
         GROUP BY split ORDER BY split""")),
 
+    // Gopher-style duplicate-"line" fraction (segments = space-separated
+    // words on this corpus; real corpora pass "\n"). Pure projection.
+    Q("q_text_dupline",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.Repetition
+            .duplicateLineFraction(col("text"), " ").as("dup_line_frac"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          round(CASE WHEN len(segs) > 0 THEN
+            1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
+            ELSE 0.0 END, 6) AS dup_line_frac
+        FROM (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, ' ')],
+              x -> x != '') AS segs
+          FROM documents)
+        ORDER BY doc_id""")),
+
+    // Gopher-style n-gram repetition (top-gram share + duplicated-gram
+    // share of all 2-gram windows, count-based so tie-free): two keyed
+    // aggregations, hash-partitioned — no per-row quadratic pass.
+    Q("q_text_ngram_rep",
+      (s, d) => graft.functions.Repetition.ngramRepetition(
+          Tables.documents(s, d), "doc_id", "text", 2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        g AS (SELECT doc_id, unnest(${shinglesSql("tk", 2)}) AS g FROM tk),
+        pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+          round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+            AS top_frac,
+          round(CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+            / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+        FROM pg GROUP BY doc_id ORDER BY doc_id""")),
+
     // PII scrubbing: seed each doc with deterministic synthetic PII
     // (email, IP, SSN), scrub, and emit per-doc counts + a signature of
     // the scrubbed text. The oracle replays identical RE2/Java-compatible

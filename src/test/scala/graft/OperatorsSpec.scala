@@ -289,6 +289,33 @@ class OperatorsSpec extends SparkSpec {
       .forall(c => out(3).getAs[Int](c) == 0))
   }
 
+  test("repetition: dup-line fraction and n-gram repetition shares") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Repetition
+    val df = Seq(
+      (1L, "a\nb\na\n\n a "),      // 4 non-empty lines: a,b,a,a -> 2 dup
+      (2L, "x\ny\nz"),
+      (3L, "")
+    ).toDF("id", "t")
+    val dl = df.select($"id",
+        Repetition.duplicateLineFraction($"t").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dl(1) == 0.5)    // 1 - 2/4
+    assert(dl(2) == 0.0)
+    assert(dl(3) == 0.0)
+    // "p q p q p": 2-grams = [p q, q p, p q, q p] -> top 2/4, dup 4/4
+    val rep = Repetition.ngramRepetition(
+        Seq((1L, "p q p q p"), (2L, "a b c d")).toDF("id", "t"), "id", "t", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep(1) == ((4L, 0.5, 1.0)))
+    assert(rep(2) == ((3L, round3(1.0 / 3), 0.0)))
+  }
+
+  private def round3(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("decontaminate: shared k-grams flag, clean() is the complement") {
     val s = spark
     import s.implicits._
