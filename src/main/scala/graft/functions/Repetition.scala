@@ -44,9 +44,13 @@ object Repetition {
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // Count-based metrics only need gram IDENTITY, so grams travel as
+    // 60-bit hashes from the single-pass codegen shingle kernel — the
+    // explode/shuffle moves longs, not n-token strings (the string
+    // variant benched 9x slower at sf0.1).
     val grams = df.select(col(idCol),
-      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n))
-        .as("__g"))
+      explode(org.apache.spark.sql.graft.TextHashExprs
+        .shingleHash60(TextAnalysis.tokens(col(textCol)), n)).as("__g"))
     val perGram = grams.groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))
     perGram.groupBy(col(idCol)).agg(

@@ -203,7 +203,9 @@ object TrainingQueries {
         .orderBy(col("doc_id")),
       Some(s"""WITH tk AS (
           SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
-        g AS (SELECT doc_id, unnest(${shinglesSql("tk", 2)}) AS g FROM tk),
+        g AS (SELECT doc_id,
+          unnest([${hash60Sql("s")} for s in ${shinglesSql("tk", 2)}])
+            AS g FROM tk),
         pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
           round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
