@@ -311,6 +311,48 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** C4-style span-level exact dedup: chunk each document into consecutive
+    * non-overlapping k-token spans (trailing partial span included), keep
+    * only the globally FIRST occurrence of each distinct span — first =
+    * minimal (id, span position), duplicates within a document collapse
+    * too — and reassemble the surviving spans in order.
+    *
+    * Scale shape: tokenize/chunk is a codegen projection; first-occurrence
+    * selection is one window over the span hash (hash-partitioned — span
+    * hashes are near-unique so no skew); reassembly is one groupBy on the
+    * id. Two linear shuffles total, never a self-join. Documents whose
+    * spans all lose come back with empty text (the id survives, matching
+    * the "remove the repeated span, not the document" semantics).
+    *
+    * Returns (idCol, textCol) with the deduplicated text. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"span size $k must be >= 1")
+    val toks = TA.tokens(col(textCol))
+    // span starts 0, k, 2k, … — slice() tolerates a short tail. Column `/`
+    // is double division; cast truncates toward zero like integer div.
+    val lastSpan = greatest(((size(toks) - 1) / k).cast("int"), lit(0))
+    val spans = transform(sequence(lit(0), lastSpan),
+      i => array_join(slice(toks, i * k + 1, lit(k)), " "))
+    val exploded = df
+      .select(col(idCol), posexplode(spans).as(Seq("span_idx", "span")))
+      .filter(col("span") =!= "")
+    // partition on the span itself (not a hash of it): a hash collision
+    // would merge two distinct spans' windows and silently drop text
+    val w = Window.partitionBy(col("span"))
+      .orderBy(col(idCol), col("span_idx"))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    df.select(col(idCol)).join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            s => s.getField("span")), " ").as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Embedding-cosine near-dups, LSH-blocked by sign-bucket: pairs in the
     * same bucket with cosine ≥ threshold. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,

@@ -219,5 +219,32 @@ object JoinQueries {
         WHERE o_totalprice > (SELECT
           CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/1e2
             / COUNT(o_totalprice) FROM orders)
-        GROUP BY o_orderpriority""")))
+        GROUP BY o_orderpriority""")),
+
+    // Co-located (bucketed) join: both sides pre-hashed into buckets on the
+    // join key at write time, so the SortMergeJoin runs with ZERO Exchange
+    // (spec-verified) — the shuffle-once-at-ingest layout a 100 TB fact
+    // table wants for repeated joins. Results are layout-independent, so
+    // the oracle is the plain join.
+    Q("q_join_bucketed",
+      (s, d) => {
+        import graft.operators.Bucketing
+        val li = Bucketing.bucketed(s,
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            Par.q2(col("l_extendedprice")).as("price_q")),
+          "lineitem", d, "l_orderkey", 8)
+        val ord = Bucketing.bucketed(s,
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "orders", d, "l_orderkey", 8)
+        Bucketing.coLocatedJoin(li, ord, "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            (sum(col("price_q")).cast("double") / 1e2).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+          ${ParSql.qsum(ParSql.q2("l_extendedprice"), "1e2")} AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")))
 }

@@ -668,7 +668,95 @@ object TrainingQueries {
           CAST(FLOOR(y / 5.0) AS BIGINT) AS cell
         FROM (SELECT s_suppkey,
           CAST(s_suppkey % 360 - 180 AS DOUBLE) + 0.5 AS x,
-          CAST(s_suppkey % 180 - 90 AS DOUBLE) + 0.5 AS y FROM supplier)""")))
+          CAST(s_suppkey % 180 - 90 AS DOUBLE) + 0.5 AS y FROM supplier)""")),
+
+    // URL normalization + host/domain extraction: synthesize deterministic
+    // messy URLs from the corpus (mixed case, scheme/www/port/trailing-
+    // slash/fragment variants) and canonicalize. Every rule is an anchored
+    // or single-occurrence regexp with no group backrefs, so the DuckDB
+    // oracle replays it bit-exactly — and the whole thing is one codegen
+    // projection, no shuffle.
+    Q("q_url_normalize",
+      (s, d) => {
+        import graft.operators.UrlCuration
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("http://")),
+          col("source"), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+          lit("/docs/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("#sec"))
+        val norm = UrlCuration.normalizeUrl(raw)
+        Tables.documents(s, d).select(col("doc_id"), norm.as("url"),
+            UrlCuration.hostOf(norm).as("host"),
+            UrlCuration.registeredDomainOf(UrlCuration.hostOf(norm))
+              .as("domain"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, url, host,
+          CASE WHEN regexp_extract(host, '[^.]+\.[^.]+$') = '' THEN host
+               ELSE regexp_extract(host, '[^.]+\.[^.]+$') END AS domain
+        FROM (SELECT doc_id, url, regexp_extract(url, '^[^/?]+') AS host
+          FROM (SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(lower(
+                CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                     ELSE 'http://' END || source || '.Example.COM' ||
+                CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+                '/docs/' || CAST(doc_id AS VARCHAR) ||
+                CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || '#sec'),
+              '#.*$', ''), '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''),
+              ':(80|443)/', '/'), ':(80|443)$', ''), '/$', '') AS url
+            FROM documents))
+        ORDER BY doc_id""")),
+
+    // Deterministic per-domain cap (RefinedWeb-style): at most 30 docs per
+    // source, chosen by salted hash of the id — reproducible at any
+    // parallelism, one window over the domain key. Oracle replays the
+    // identical md5 ranking, so the SURVIVOR SET is bit-checked, not just
+    // the counts.
+    Q("q_url_domain_cap",
+      (s, d) => graft.operators.UrlCuration.capPerDomain(
+          Tables.documents(s, d), "doc_id", "source", 30)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(graft.functions.Scalars.hash60(col("doc_id").cast("string"))
+            % 1000003L).as("id_checksum"))
+        .orderBy(col("source")),
+      Some(s"""SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(${hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000003)
+            AS BIGINT) AS id_checksum
+        FROM (SELECT source, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")},
+              doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 30 GROUP BY source ORDER BY source""")),
+
+    // C4-style span-level exact dedup: 3-token non-overlapping spans, the
+    // globally first occurrence of each distinct span wins, text
+    // reassembled from the survivors. Spark side is two linear shuffles
+    // (window on the span, groupBy on the id); oracle replays the same
+    // chunking + first-occurrence rule, so the rebuilt TEXT is bit-checked.
+    Q("q_dedup_spans",
+      (s, d) => Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sp AS (SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS span_idx,
+            array_to_string(tk[i:i+2], ' ') AS span
+          FROM (SELECT doc_id, tk,
+            unnest(generate_series(1, greatest(len(tk), 1), 3)) AS i
+            FROM tk)),
+        first AS (SELECT doc_id, span_idx, span, ROW_NUMBER() OVER (
+            PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM sp WHERE span != '')
+        SELECT d.doc_id,
+          COALESCE(string_agg(f.span, ' ' ORDER BY f.span_idx), '') AS text
+        FROM documents d LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
+          ON d.doc_id = f.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id""")))
 
   /** DuckDB cosine between a.embedding and b.embedding (per-pair, double,
     * left-to-right sums — mirrors Vectors.cosine). */

@@ -44,4 +44,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS os_bucketed")
     }
   }
+
+  test("Bucketing operator: build-once tables, coLocatedJoin has no " +
+    "exchange, reopen reuses the files") {
+    import graft.operators.Bucketing
+    Bucketing.reset(spark)
+    try {
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val os = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val bli = Bucketing.bucketed(spark, li, "li", sfDir, "l_orderkey", 8)
+      val bos = Bucketing.bucketed(spark, os, "os", sfDir, "l_orderkey", 8)
+      val joined = Bucketing.coLocatedJoin(bli, bos, "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(joined.count() ==
+        li.join(os, Seq("l_orderkey")).count())
+      // build-once: a second open resolves to the SAME table files (no
+      // rewrite — the input location set is identical)
+      val again = Bucketing.bucketed(spark, li, "li", sfDir, "l_orderkey", 8)
+      assert(again.inputFiles.sorted.sameElements(bli.inputFiles.sorted))
+      // a different key or bucket count gets its own physical table
+      val other = Bucketing.bucketed(spark, li, "li", sfDir, "l_orderkey", 4)
+      assert(!other.inputFiles.sameElements(bli.inputFiles))
+    } finally Bucketing.reset(spark)
+  }
 }

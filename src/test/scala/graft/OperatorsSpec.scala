@@ -558,6 +558,83 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("spanDedup keeps first occurrence globally and within a doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c x y z a b c"), // span "a b c" repeats within the doc
+      (2L, "a b c q r"), // "a b c" already seen in doc 1
+      (3L, "q r s")) // "q r" is NOT a span of doc 2 (its spans: "a b c","q r")
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c x y z") // duplicate trailing span dropped
+    assert(out(2L) == "q r") // first span lost to doc 1, tail survives
+    assert(out(3L) == "q r s") // distinct 3-token span, untouched
+  }
+
+  test("spanDedup returns empty text (not a dropped row) when all spans " +
+    "lose, and partitioning does not change the result") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b c", 2L -> ""))
+    val re = Dedup.spanDedup(df.repartition(7), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == out)
+  }
+
+  test("normalizeUrl applies every rule and only those") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/docs/1/#frag" -> "example.com/docs/1",
+      "http://example.com:80/a" -> "example.com/a",
+      "https://sub.example.com:8080/a/" -> "sub.example.com:8080/a",
+      "ftp://www.Example.org" -> "example.org",
+      "example.com/a?q=1#x" -> "example.com/a?q=1",
+      "https://example.com" -> "example.com")
+    val df = cases.map(_._1).toDF("u")
+      .select(col("u"), operators.UrlCuration.normalizeUrl(col("u")).as("n"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, in) }
+  }
+
+  test("hostOf/registeredDomainOf extract host and last-two-label domain") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a.b.example.com/x/y", "localhost/z", "example.com?q=1")
+      .toDF("u")
+    val host = operators.UrlCuration.hostOf(col("u"))
+    val out = df.select(host.as("h"),
+        operators.UrlCuration.registeredDomainOf(host).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) == ("a.b.example.com", "example.com"))
+    assert(out(1) == ("localhost", "localhost")) // no dot → host itself
+    assert(out(2) == ("example.com", "example.com"))
+  }
+
+  test("capPerDomain keeps exactly n per domain, deterministically at any " +
+    "parallelism") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, s"dom${i % 4}")).toDF("id", "dom")
+    val kept = operators.UrlCuration.capPerDomain(df, "id", "dom", 10)
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom.values.toSet == Set(10L) && byDom.size == 4)
+    val ids = kept.collect().map(_.getLong(0)).toSet
+    val re = operators.UrlCuration.capPerDomain(df.repartition(13), "id",
+      "dom", 10).collect().map(_.getLong(0)).toSet
+    assert(re == ids) // same survivor SET, not just same counts
+    // a domain under the cap is untouched
+    val small = operators.UrlCuration.capPerDomain(
+      df.filter(col("id") < 8), "id", "dom", 10)
+    assert(small.count() == 8)
+  }
+
   test("bucketedTopK only scores co-bucketed candidates") {
     val s = spark
     import s.implicits._
