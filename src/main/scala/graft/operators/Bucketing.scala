@@ -55,6 +55,14 @@ object Bucketing {
   : DataFrame =
     left.hint("MERGE").join(right.hint("MERGE"), Seq(key))
 
+  /** Fully-qualified table name for a named auxiliary index (e.g. the
+    * incremental-dedup hash index), created in the bucketed database. */
+  def indexTable(spark: SparkSession, name: String): String = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad index name: $name")
+    ensureDb(spark)
+    s"$DbName.idx_$name"
+  }
+
   /** Drop the bucketed-table database (test hygiene). */
   def reset(spark: SparkSession): Unit =
     spark.sql(s"DROP DATABASE IF EXISTS $DbName CASCADE")

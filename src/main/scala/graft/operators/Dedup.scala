@@ -311,6 +311,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-batch incremental exact dedup: drop rows whose content already
+    * appeared in ANY earlier batch (or earlier in this batch), using a
+    * persisted hash index instead of re-scanning the historical corpus.
+    *
+    * The index is a bucketed+sorted table on the content hash (via
+    * [[Bucketing]]), so the anti-join reads the index co-located — only
+    * the NEW BATCH shuffles, which is the whole point at 100 TB: deduping
+    * today's crawl costs O(|batch|) shuffle, not O(|corpus|). Survivors'
+    * hashes append to the index under the same bucket spec, keeping the
+    * layout for the next batch.
+    *
+    * The survivors are materialized with an eager localCheckpoint before
+    * the index append: lineage truncation, not just caching — a recompute
+    * after the append would re-read an index that now contains this
+    * batch's own hashes and return nothing. */
+  def incrementalExact(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, textCol: String, idCol: String,
+                       indexName: String, buckets: Int = 32): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    // first occurrence within the batch (deterministic: min id wins)
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    val inBatch = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val table = Bucketing.indexTable(spark, indexName)
+    val fresh =
+      if (spark.catalog.tableExists(table))
+        inBatch.join(spark.table(table).hint("MERGE"),
+          Seq("content_hash"), "left_anti")
+      else inBatch
+    val out = fresh.localCheckpoint(true) // materialize BEFORE the append
+    out.select(col("content_hash"))
+      .write.mode("append").bucketBy(buckets, "content_hash")
+      .sortBy("content_hash").format("parquet").saveAsTable(table)
+    out.drop("content_hash")
+  }
+
+  /** Drop an incremental-dedup hash index. */
+  def dropIndex(spark: org.apache.spark.sql.SparkSession,
+                indexName: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${Bucketing.indexTable(spark, indexName)}")
+
   /** C4-style span-level exact dedup: chunk each document into consecutive
     * non-overlapping k-token spans (trailing partial span included), keep
     * only the globally FIRST occurrence of each distinct span — first =

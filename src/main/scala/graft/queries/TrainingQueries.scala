@@ -756,7 +756,39 @@ object TrainingQueries {
           COALESCE(string_agg(f.span, ' ' ORDER BY f.span_idx), '') AS text
         FROM documents d LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
           ON d.doc_id = f.doc_id
-        GROUP BY d.doc_id ORDER BY d.doc_id""")))
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
+    // Cross-batch incremental exact dedup: batch 2 (which re-ships 100 of
+    // batch 1's texts under new ids) dedups against a persisted bucketed
+    // hash index of batch 1 — the corpus is never re-scanned, only the
+    // batch shuffles. Oracle replays the same two-batch protocol:
+    // within-batch first occurrence + anti-join on the prior batch's
+    // hashes, so the survivor set is bit-checked.
+    Q("q_dedup_incremental",
+      (s, d) => {
+        import graft.operators.Dedup
+        Dedup.dropIndex(s, "qinc")
+        val docs = Tables.documents(s, d)
+        val b1 = docs.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        val b2 = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.incrementalExact(s, b1, "text", "doc_id", "qinc")
+        Dedup.incrementalExact(s, b2, "text", "doc_id", "qinc")
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH b1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+        f AS (SELECT doc_id, md5(text) AS h, ROW_NUMBER() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM b2)
+        SELECT doc_id FROM f
+        WHERE rn = 1 AND h NOT IN (SELECT md5(text) FROM b1)
+        ORDER BY doc_id""")))
 
   /** DuckDB cosine between a.embedding and b.embedding (per-pair, double,
     * left-to-right sums — mirrors Vectors.cosine). */

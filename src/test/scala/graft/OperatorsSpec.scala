@@ -635,6 +635,34 @@ class OperatorsSpec extends SparkSpec {
     assert(small.count() == 8)
   }
 
+  test("incrementalExact dedups across batches via the persisted index " +
+    "and within a batch, and the index is bucketed") {
+    val s = spark
+    import s.implicits._
+    Dedup.dropIndex(s, "spec_inc")
+    try {
+      val b1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "text")
+      val s1 = Dedup.incrementalExact(s, b1, "text", "id", "spec_inc")
+      // within-batch: min id wins
+      assert(s1.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      val b2 = Seq((10L, "aa"), (11L, "cc"), (12L, "cc")).toDF("id", "text")
+      val s2 = Dedup.incrementalExact(s, b2, "text", "id", "spec_inc")
+      // cross-batch: "aa" already indexed; "cc" first occurrence survives
+      assert(s2.collect().map(_.getLong(0)).toSet == Set(11L))
+      // the survivors stay stable even though the index now has their
+      // hashes (lineage truncated before the append)
+      assert(s2.count() == 1)
+      val b3 = Seq((20L, "cc"), (21L, "dd")).toDF("id", "text")
+      val s3 = Dedup.incrementalExact(s, b3, "text", "id", "spec_inc")
+      assert(s3.collect().map(_.getLong(0)).toSet == Set(21L))
+      // index accumulated one hash per unique text, in a bucketed table
+      val table = operators.Bucketing.indexTable(s, "spec_inc")
+      assert(s.table(table).count() == 4) // aa bb cc dd
+      val desc = s.sql(s"DESCRIBE EXTENDED $table").collect().map(_.mkString)
+      assert(desc.exists(_.contains("Num Buckets")), desc.mkString("\n"))
+    } finally Dedup.dropIndex(s, "spec_inc")
+  }
+
   test("bucketedTopK only scores co-bucketed candidates") {
     val s = spark
     import s.implicits._
