@@ -16,15 +16,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Tables are registered in an explicit-location database so the layout is
   * independent of the session's warehouse configuration; [[bucketed]] is
-  * build-once per (table, source-path) — reopening reuses the files.
+  * build-once per (table, source-path) within a session. The sandbox
+  * catalog is in-memory, so a NEW session can't resolve last session's
+  * entries — stale locations are detected and rebuilt (on a real cluster
+  * a persistent metastore makes build-once durable; the layout mechanics
+  * are identical).
   */
 object Bucketing {
 
   private val DbName = "graft_bucketed"
+  private val DbLocation = s"/tmp/graft-warehouse/$DbName"
 
   private def ensureDb(spark: SparkSession): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $DbName " +
-      s"LOCATION '/tmp/graft-warehouse/$DbName'")
+      s"LOCATION '$DbLocation'")
+
+  /** Delete a table's on-disk location. The catalog is in-memory and dies
+    * with the session, but the warehouse files persist — a LATER session
+    * that doesn't know the table would hit LOCATION_ALREADY_EXISTS on
+    * saveAsTable unless the stale directory is removed first. */
+  private def cleanStaleLocation(spark: SparkSession, table: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$DbLocation/${table.stripPrefix(s"$DbName.")}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
 
   /** Stable per-source suffix so the same logical table from different
     * sf directories gets distinct physical tables. */
@@ -41,6 +57,7 @@ object Bucketing {
     ensureDb(spark)
     val table = s"$DbName.${name}_${tag(s"$src:$key:$buckets")}"
     if (!spark.catalog.tableExists(table)) {
+      cleanStaleLocation(spark, table) // files from a previous session
       df.write.bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(table)
     }
@@ -60,7 +77,17 @@ object Bucketing {
   def indexTable(spark: SparkSession, name: String): String = {
     require(name.matches("[A-Za-z0-9_]+"), s"bad index name: $name")
     ensureDb(spark)
-    s"$DbName.idx_$name"
+    val table = s"$DbName.idx_$name"
+    // a location left by a previous session (whose catalog entry died with
+    // it) would fail this session's first saveAsTable
+    if (!spark.catalog.tableExists(table)) cleanStaleLocation(spark, table)
+    table
+  }
+
+  /** Drop a table AND its files (the catalog alone is session-scoped). */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    cleanStaleLocation(spark, table)
   }
 
   /** Drop the bucketed-table database (test hygiene). */

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.{Repetition, TextAnalysis => TA}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed corpus-curation pipeline — the "run the whole filter stack in
+  * one pass" operator a training-data pipeline actually calls, built from
+  * the individually-gated signals: language ID, token-count bounds,
+  * duplicate-segment repetition, and the composite quality score.
+  *
+  * Everything is a single codegen projection per row (the signals share
+  * one tokenization via common-subexpression reuse) followed by a filter —
+  * no shuffle, no UDFs, linear at any scale. [[annotate]] returns every
+  * row with per-filter verdict flags (the audit view: WHY a document was
+  * dropped); [[curate]] keeps the survivors.
+  */
+object Curation {
+
+  /** Thresholds for the filter stack. `allowedLangs` values must come from
+    * [[TA.stopwords]]' language set (plus "und" for unknown). */
+  final case class Config(
+      allowedLangs: Set[String],
+      minTokens: Int,
+      maxTokens: Int,
+      maxDupLineFrac: Double,
+      minQuality: Double,
+      segmentDelim: String = "\n")
+
+  /** Per-row verdicts: the input columns plus `lang_ok`, `len_ok`,
+    * `rep_ok`, `qual_ok`, and `keep` (their conjunction). */
+  def annotate(df: DataFrame, textCol: String, cfg: Config): DataFrame = {
+    require(cfg.minTokens <= cfg.maxTokens, "minTokens > maxTokens")
+    val t = col(textCol)
+    val nTok = TA.tokenCount(t)
+    val langOk = TA.langId(t).isin(cfg.allowedLangs.toSeq: _*)
+    val lenOk = nTok >= cfg.minTokens && nTok <= cfg.maxTokens
+    val repOk = Repetition.duplicateLineFraction(t, cfg.segmentDelim) <=
+      cfg.maxDupLineFrac
+    val qualOk = TA.qualityScore(t) >= cfg.minQuality
+    df.withColumn("lang_ok", langOk)
+      .withColumn("len_ok", lenOk)
+      .withColumn("rep_ok", repOk)
+      .withColumn("qual_ok", qualOk)
+      .withColumn("keep",
+        col("lang_ok") && col("len_ok") && col("rep_ok") && col("qual_ok"))
+  }
+
+  /** Survivors of the full stack, original schema preserved. */
+  def curate(df: DataFrame, textCol: String, cfg: Config): DataFrame =
+    annotate(df, textCol, cfg).filter(col("keep"))
+      .drop("lang_ok", "len_ok", "rep_ok", "qual_ok", "keep")
+}

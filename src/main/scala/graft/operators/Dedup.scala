@@ -347,10 +347,11 @@ object Dedup {
     out.drop("content_hash")
   }
 
-  /** Drop an incremental-dedup hash index. */
+  /** Drop an incremental-dedup hash index (catalog entry AND files — the
+    * in-memory catalog is session-scoped, the warehouse files are not). */
   def dropIndex(spark: org.apache.spark.sql.SparkSession,
                 indexName: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS ${Bucketing.indexTable(spark, indexName)}")
+    Bucketing.dropTable(spark, Bucketing.indexTable(spark, indexName))
 
   /** C4-style span-level exact dedup: chunk each document into consecutive
     * non-overlapping k-token spans (trailing partial span included), keep

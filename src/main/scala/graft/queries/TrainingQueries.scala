@@ -788,7 +788,67 @@ object TrainingQueries {
             PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM b2)
         SELECT doc_id FROM f
         WHERE rn = 1 AND h NOT IN (SELECT md5(text) FROM b1)
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // Composed curation stack (language ∧ length ∧ repetition ∧ quality)
+    // in ONE codegen pass — the audit view with per-filter verdicts. The
+    // oracle recomputes every signal from scratch and re-derives the
+    // conjunction, so both the signals AND the composition are bit-checked.
+    Q("q_curate",
+      (s, d) => {
+        val cfg = graft.operators.Curation.Config(
+          allowedLangs = Set("en"), minTokens = 12, maxTokens = 1000,
+          maxDupLineFrac = 0.5, minQuality = 0.6, segmentDelim = " ")
+        graft.operators.Curation.annotate(Tables.documents(s, d), "text", cfg)
+          .select(col("doc_id"), col("lang_ok"), col("len_ok"),
+            col("rep_ok"), col("qual_ok"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val langs = TA.stopwords.keys.toSeq.sorted
+        def scoreSql(l: String) = {
+          val list = TA.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+          s"""(CAST(len(list_filter(tk, t -> list_contains($list, t)))
+              AS DOUBLE) / CAST(GREATEST(len(tk), 1) AS DOUBLE))"""
+        }
+        val best = s"GREATEST(${langs.map(scoreSql).mkString(", ")})"
+        val langPred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+          s"CASE WHEN ${scoreSql(l)} = best AND best > 0.0 THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT doc_id,
+          ($langPred) IN ('en') AS lang_ok,
+          len(tk) BETWEEN 12 AND 1000 AS len_ok,
+          round(CASE WHEN len(segs) > 0 THEN
+              1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
+              ELSE 0.0 END, 6) <= 0.5 AS rep_ok,
+          round(
+            (CASE WHEN len(tk) < 5 THEN 0.2 WHEN len(tk) > 1000 THEN 0.5
+                  ELSE 1.0 END) * 0.4 +
+            (CASE WHEN mean_word >= 3.0 AND mean_word <= 10.0 THEN 1.0
+                  ELSE 0.4 END) * 0.3 +
+            alpha_ratio * 0.3, 4) >= 0.6 AS qual_ok,
+          (($langPred) IN ('en') AND len(tk) BETWEEN 12 AND 1000 AND
+           round(CASE WHEN len(segs) > 0 THEN
+               1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
+               ELSE 0.0 END, 6) <= 0.5 AND
+           round(
+             (CASE WHEN len(tk) < 5 THEN 0.2 WHEN len(tk) > 1000 THEN 0.5
+                   ELSE 1.0 END) * 0.4 +
+             (CASE WHEN mean_word >= 3.0 AND mean_word <= 10.0 THEN 1.0
+                   ELSE 0.4 END) * 0.3 +
+             alpha_ratio * 0.3, 4) >= 0.6) AS keep
+        FROM (SELECT doc_id, tk, segs, $best AS best,
+            CAST(length(text) AS DOUBLE) /
+              GREATEST(CAST(len(tk) AS DOUBLE), 1.0) AS mean_word,
+            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS DOUBLE) /
+              GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+          FROM (SELECT doc_id, text, ${toksSql("text")} AS tk,
+            list_filter([trim(x) for x in string_split(text, ' ')],
+              x -> x != '') AS segs
+            FROM documents))
+        ORDER BY doc_id"""
+      }))
 
   /** DuckDB cosine between a.embedding and b.embedding (per-pair, double,
     * left-to-right sums — mirrors Vectors.cosine). */

@@ -663,6 +663,30 @@ class OperatorsSpec extends SparkSpec {
     } finally Dedup.dropIndex(s, "spec_inc")
   }
 
+  test("Curation.annotate flags each filter independently and keep is " +
+    "their conjunction; curate preserves schema") {
+    val s = spark
+    import s.implicits._
+    val cfg = operators.Curation.Config(Set("en"), 3, 10, 0.4, 0.5, " ")
+    val df = Seq(
+      (1L, "the quick brown fox jumps"), // all pass
+      (2L, "the the the the the"), // repetition fails (dup frac 0.8)
+      (3L, "el es un la y de"), // lang fails (es)
+      (4L, "the cat")) // too short
+      .toDF("doc_id", "text")
+    val ann = operators.Curation.annotate(df, "text", cfg)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("lang_ok"), r.getAs[Boolean]("len_ok"),
+          r.getAs[Boolean]("rep_ok"), r.getAs[Boolean]("keep"))).toMap
+    assert(ann(1L) == ((true, true, true, true)))
+    assert(ann(2L)._3 == false && ann(2L)._4 == false)
+    assert(ann(3L)._1 == false && ann(3L)._4 == false)
+    assert(ann(4L)._2 == false && ann(4L)._4 == false)
+    val kept = operators.Curation.curate(df, "text", cfg)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("bucketedTopK only scores co-bucketed candidates") {
     val s = spark
     import s.implicits._
