@@ -114,7 +114,7 @@ object Dedup {
     * (estimate of Jaccard). */
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2)
-  : DataFrame = {
+  : DataFrame = cached(df, s"minhashPairs:$textCol:$idCol:$k:$bands:$rowsPerBand") {
     // minHashSignatures is persisted (LRU-scoped): the materialization
     // barrier keeps Catalyst from collapsing the shingle→minhash projection
     // into BOTH join branches — the whole interpreted-HOF hash pipeline
@@ -127,12 +127,18 @@ object Dedup {
       col("band"))
     val b = exploded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
       col("band"))
-    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), v => v)).cast("double") /
           lit(bands * rowsPerBand)).as("est_jaccard"))
       .distinct()
+    // pairs << signatures (near-dup fraction of the corpus); LRU-scoped so
+    // clusters()/downstream consumers don't re-run the band join, and
+    // eviction releases the persist
+    val out = pairs.persist()
+    out.count()
+    out
   }
 
   /** SimHash near-dup candidate pairs: identical `nBits`-bit SimHash.
@@ -254,21 +260,24 @@ object Dedup {
             "dst")
           .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr"))
         val stepped = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("label").as("old"),
             least(col("label"), coalesce(col("nbr"), col("label")))
-              .as("label"))
-        // pointer jump: follow the label's own label
+              .as("mid"))
+          .localCheckpoint(true)
+        // pointer jump: follow the label's own label. The prior label
+        // rides along as `old`, so convergence checks the checkpointed
+        // frame directly — no join back against the previous round.
+        // stepped is checkpointed first: the self-join below would
+        // otherwise recompute the whole neighbor-min chain on both sides.
         val next = stepped
-          .join(stepped.select(col("id").as("label"), col("label").as("ll")),
-            Seq("label"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("ll"), col("label")))
+          .join(stepped.select(col("id").as("mid"), col("mid").as("ll")),
+            Seq("mid"), "left")
+          .select(col("id"), col("old"),
+            least(col("mid"), coalesce(col("ll"), col("mid")))
               .as("label"))
           .localCheckpoint(true)
-        converged = next
-          .join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).isEmpty
-        labels = next
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        labels = next.select(col("id"), col("label"))
         iter += 1
       }
       edges.unpersist(false)
