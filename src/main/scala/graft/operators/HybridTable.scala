@@ -62,6 +62,34 @@ object HybridTable {
         (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("tfidf"))
   }
 
+  /** BM25 relevance over per-occurrence postings (the scoring Lucene runs
+    * behind the reference's TEXT_MATCH ranking;
+    * `pinot-core/.../operator/filter/TextMatchFilterOperator.java` delegates
+    * scoring to the Lucene index). Lucene's IDF variant:
+    * ln(1 + (N − df + 0.5)/(df + 0.5)), length-normalized tf with the
+    * corpus-mean doc length.
+    *
+    * Shape for 100 TB: tf and doc length are ONE aggregation each over the
+    * postings; df and avgdl are token-/corpus-level aggregates that are
+    * tiny (|vocab| and 1 row) and broadcast back — the postings shuffle
+    * once on (id, token), nothing else moves. */
+  def bm25(index: DataFrame, idCol: String, nDocs: Long,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = index.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = index.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val df_ = index.groupBy(col("token"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(dl, idCol).join(broadcast(avgdl)).join(broadcast(df_), "token")
+      .select(col(idCol), col("token"),
+        (idf * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl")))).as("bm25"))
+  }
+
   /** Phrase TEXT_MATCH ('"w1 w2 …"' in Lucene syntax): docs where the
     * terms occur at CONSECUTIVE positions. Each adjacent term pair is an
     * equi-join on (id, position offset) over the positional postings —

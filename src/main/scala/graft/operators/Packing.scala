@@ -76,6 +76,29 @@ object Packing {
   // come from exact integer DIV, not floating-point division).
   private val prevSql = "__bucket_offset + __prev_local"
 
+  /** Token-budget sharding: assign each document WHOLLY to the shard where
+    * its packed start position lands (documents never split across shards,
+    * unlike chunks) — the "write ~N-token training shards" step. Shard
+    * sizes are budget ± one document tail; assignment is deterministic at
+    * any parallelism (same salted-hash order as [[concatChunks]]). */
+  def shardByTokens(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nBuckets: Int = 256,
+                    salt: String = "graft"): DataFrame =
+    concatChunks(df, idCol, textCol, budget, nBuckets, salt)
+      .select(col(idCol), col("n_tokens"), col("start_chunk").as("shard"))
+
+  /** Write the corpus as token-budget shards: parquet partitioned by
+    * `shard=`, one directory per ≈`budget`-token shard. The corpus
+    * shuffles once into shard key (so each shard writes contiguously),
+    * rows carry their full original schema. */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+                  budget: Long, outDir: String, nBuckets: Int = 256,
+                  salt: String = "graft"): Unit =
+    df.join(shardByTokens(df, idCol, textCol, budget, nBuckets, salt)
+        .select(col(idCol), col("shard")), idCol)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Per-chunk occupancy view over a packed corpus: how many documents
     * touch each chunk and how many of its `budget` token slots are filled
     * (every chunk except the last must be exactly full — the spec gate). */

@@ -335,6 +335,29 @@ object TrainingQueries {
             AS BIGINT) AS end_chunk
         FROM w ORDER BY doc_id""")),
 
+    // Token-budget SHARD assignment (documents stay whole, shards hold
+    // ≈budget tokens): the training-shard writer's assignment step, same
+    // deterministic salted-hash order as packing. Oracle replays the
+    // global prefix sum and the integer DIV.
+    Q("q_shard_tokens",
+      (s, d) => graft.operators.Packing.shardByTokens(
+          Tables.documents(s, d), "doc_id", "text", budget = 5000L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+            ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS ord
+          FROM documents),
+        w AS (
+          SELECT doc_id, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY ord % 256, ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+          FROM t)
+        SELECT doc_id, n_tokens, CAST(prev // 5000 AS BIGINT) AS shard
+        FROM w ORDER BY doc_id""")),
+
     // Near-dup CLUSTERS: connected components over the MinHash LSH pairs —
     // the canonical-representative step after pair generation (transitive:
     // A~B, B~C ⇒ one cluster even when A,C never paired). Spark side runs
@@ -573,6 +596,54 @@ object TrainingQueries {
         JOIN (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
               GROUP BY token) df_t USING (token)
         ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // BM25 relevance (the ranking Lucene runs behind the reference's text
+    // index): Lucene-variant IDF + doc-length-normalized tf. Oracle replays
+    // the exact arithmetic (same operation order) in DuckDB.
+    Q("q_text_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val full = docs.select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("token"))
+        HybridTable.bm25(full, "doc_id", docs.count())
+          .filter(col("token") === "vector")
+          .select(col("doc_id"), Par.r6(col("bm25")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(${toksSql("text")}) AS token
+          FROM documents),
+        tf_t AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token = 'vector' GROUP BY doc_id, token),
+        dl_t AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        df_t AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          GROUP BY token),
+        st AS (SELECT AVG(dl) AS avgdl FROM dl_t),
+        n_t AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT doc_id, ROUND(
+            ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6) AS score
+        FROM tf_t JOIN dl_t USING (doc_id) JOIN df_t USING (token), st, n_t
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // Corpus vocabulary: top-K tokens by occurrence count, deterministic
+    // ties (count desc, token asc), with doc frequency and 1-based rank —
+    // the count-and-rank step before BPE merges / embedding-table sizing.
+    Q("q_vocab_topk",
+      (s, d) => graft.operators.Vocab.build(
+          Tables.documents(s, d), "text", "doc_id", k = 50)
+        .orderBy(col("rank")),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(${toksSql("text")}) AS token
+          FROM documents),
+        c AS (SELECT token, COUNT(*) AS n_occurrences,
+            COUNT(DISTINCT doc_id) AS n_docs
+          FROM toks GROUP BY token)
+        SELECT token, n_occurrences, n_docs,
+          CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+            AS INT) AS rank
+        FROM c ORDER BY n_occurrences DESC, token LIMIT 50""")),
 
     // Lucene-style phrase TEXT_MATCH over the positional inverted index:
     // adjacent-position postings intersections (keyed equi-joins), never a

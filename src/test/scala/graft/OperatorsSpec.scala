@@ -239,6 +239,91 @@ class OperatorsSpec extends SparkSpec {
     assert(fill.values.sum == totalTokens)
   }
 
+  test("shardByTokens: docs whole, shard sizes budget ± one doc, " +
+      "partition-invariant; writeShards round-trips partitioned by shard") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val docs = (1L to 400L)
+      .map(i => (i, Seq.fill((i % 23 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 100L
+    val a = Packing.shardByTokens(docs, "doc_id", "text", budget,
+      nBuckets = 8)
+    val b = Packing.shardByTokens(docs.repartition(11), "doc_id", "text",
+      budget, nBuckets = 8)
+    val am = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(am.toSet ==
+      b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      "shard assignment must not depend on input partitioning")
+    // each doc appears exactly once; shards contiguous from 0
+    assert(am.map(_._1).distinct.length == 400)
+    val byShard = am.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val shards = byShard.keys.toSeq.sorted
+    assert(shards == (0L to shards.max).toSeq, s"gap in shards: $shards")
+    // interior shards hold ≥ budget − (maxDoc−1) and < budget + maxDoc
+    // tokens (greedy by start position, docs never split)
+    val maxDoc = 23L
+    shards.dropRight(1).foreach { sh =>
+      val tot = byShard(sh)
+      assert(tot > budget - maxDoc && tot < budget + maxDoc,
+        s"shard $sh holds $tot tokens (budget $budget)")
+    }
+    // write path: partitioned layout, full round-trip
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Packing.writeShards(docs, "doc_id", "text", budget, out, nBuckets = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 400)
+    assert(back.columns.toSet == Set("doc_id", "text", "shard"))
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("shard=")))
+    // written shard column matches the assignment
+    val wm = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(wm == am.map(t => t._1 -> t._3).toMap)
+  }
+
+  test("Vocab.build: deterministic tie order, rank dense, minCount floor") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b c d"),
+      (3L, "e e e e")).toDF("doc_id", "text")
+    val v = Vocab.build(docs, "text", "doc_id", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // counts: b=4, e=4, a=3, c=2, d=1 — tie b/e breaks on token asc
+    assert(v.toSeq == Seq(("b", 4L, 2L, 1), ("e", 4L, 1L, 2),
+      ("a", 3L, 2L, 3)))
+    val floored = Vocab.build(docs, "text", "doc_id", k = 10, minCount = 2L)
+      .collect().map(_.getString(0))
+    assert(floored.toSeq == Seq("b", "e", "a", "c"))
+  }
+
+  test("bm25: rarer terms and shorter docs score higher; tf grows score") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.HybridTable
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "rare rare common common"),
+      (3L, "common common common common common common common common"),
+      (4L, "rare filler filler filler filler filler filler filler"),
+      (5L, "unique common filler filler")).toDF("doc_id", "text")
+    val idx = docs.select(col("doc_id"),
+      explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("token"))
+    val scores = HybridTable.bm25(idx, "doc_id", 5L).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // same doc, same tf: the rarer term (df 1 vs 4) outscores
+    assert(scores((5L, "unique")) > scores((5L, "common")))
+    // higher tf of the same term in an equal-length doc scores higher
+    assert(scores((2L, "rare")) > scores((1L, "rare")))
+    // same term, same tf: the shorter doc scores higher (length norm)
+    assert(scores((1L, "rare")) > scores((4L, "rare")))
+  }
+
   test("sampleByHash: supersets nest, mixSources hits per-source targets") {
     val s = spark
     import s.implicits._
