@@ -356,6 +356,72 @@ object Dedup {
     out.drop("content_hash")
   }
 
+  /** Cross-batch incremental NEAR-dup over a persisted band-bucketed
+    * MinHash signature index — the continuous-ingestion analog of
+    * [[incrementalExact]] for near-duplicates.
+    *
+    * A new batch computes signatures once, probes the index by LSH band
+    * key (equi-join co-located on the bucketed key — only the batch's own
+    * band keys are read, the corpus is never re-scanned), and drops docs
+    * whose signature agreement with any indexed doc — or with a
+    * SMALLER-id doc of the same batch — reaches `minAgree`. Survivors'
+    * band rows append to the index.
+    *
+    * Within-batch semantics are pairwise-greedy (a doc drops iff some
+    * smaller-id batch doc band-matches it at ≥ minAgree, whether or not
+    * that doc itself survived) — deterministic at any parallelism, the
+    * standard LSH-dedup recipe; use [[clusters]] for transitive
+    * canonicalization. Survivors localCheckpoint before the index append
+    * for the same recompute-vs-own-hashes reason as incrementalExact. */
+  def incrementalMinHash(spark: org.apache.spark.sql.SparkSession,
+                         batch: DataFrame, textCol: String, idCol: String,
+                         indexName: String, k: Int = 3, bands: Int = 4,
+                         rowsPerBand: Int = 2, minAgree: Double = 1.0,
+                         buckets: Int = 32): DataFrame = {
+    val seeds = bands * rowsPerBand
+    // signature + band keys in ONE projection: the native kernels hash each
+    // doc once (CollapseProject keeps `sig` an attribute — it's referenced
+    // per band, so Catalyst won't inline the hash pipeline); the lazy
+    // persist below is the materialization barrier for the self-join and
+    // the index append (both read `ex` twice), released before return
+    val sigExpr = TA.minHashFromBase(TA.shingleBase(col(textCol), k), seeds)
+    val bandArr = array((0 until bands).map { b =>
+      concat_ws(":", lit(b), md5(concat_ws(",",
+        transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")))))
+    }: _*)
+    val ex = batch.select(col(idCol), sigExpr.as("sig"))
+      .select(col(idCol), col("sig"), explode(bandArr).as("bkey"))
+      .persist()
+    def agrees(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast("double") / lit(seeds.toDouble) >= lit(minAgree)
+    // within-batch: some smaller-id band-mate agrees
+    val mates = ex.select(col(idCol).as("__oid"), col("sig").as("__osig"),
+      col("bkey"))
+    val inBatch = ex.join(mates, "bkey")
+      .filter(col("__oid") < col(idCol) &&
+        agrees(col("sig"), col("__osig")))
+      .select(col(idCol))
+    val table = Bucketing.indexTable(spark, indexName)
+    val vsIndex =
+      if (spark.catalog.tableExists(table))
+        ex.join(spark.table(table).hint("MERGE")
+            .select(col("bkey"), col("sig").as("__osig")), "bkey")
+          .filter(agrees(col("sig"), col("__osig")))
+          .select(col(idCol))
+      else ex.select(col(idCol)).limit(0)
+    val dupIds = inBatch.unionAll(vsIndex).distinct()
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+    val out = fresh.localCheckpoint(true) // materialize BEFORE the append
+    ex.join(out.select(col(idCol)), Seq(idCol))
+      .select(col("bkey"), col("sig"))
+      .write.mode("append").bucketBy(buckets, "bkey")
+      .sortBy("bkey").format("parquet").saveAsTable(table)
+    ex.unpersist(false)
+    out
+  }
+
   /** Drop an incremental-dedup hash index (catalog entry AND files — the
     * in-memory catalog is session-scoped, the warehouse files are not). */
   def dropIndex(spark: org.apache.spark.sql.SparkSession,

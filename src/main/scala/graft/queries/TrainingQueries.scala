@@ -861,6 +861,72 @@ object TrainingQueries {
         WHERE rn = 1 AND h NOT IN (SELECT md5(text) FROM b1)
         ORDER BY doc_id""")),
 
+    // Cross-batch incremental NEAR-dup: batch 2 probes the persisted
+    // band-bucketed MinHash index built from batch 1's survivors, plus
+    // pairwise-greedy within-batch drops. The oracle replays the whole
+    // protocol — signatures, band keys, batch-1 self-dedup, the index
+    // probe, and batch-2 self-dedup — so cross-batch recall of perturbed
+    // near-dups (doc_id<100 with the first word stripped) is bit-checked.
+    Q("q_dedup_incr_near",
+      (s, d) => {
+        Dedup.dropIndex(s, "qincn")
+        val docs = Tables.documents(s, d)
+        val b1 = docs.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"))
+        // bounded batch-2 slice: the gate checks the PROTOCOL (index
+        // probe, greedy self-dedup, accumulation), which is corpus-size
+        // independent — the slice keeps the bench honest about the
+        // operator, not about re-hashing the whole table twice
+        val b2 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 2250)
+          .select(col("doc_id"), col("text"))
+          .unionAll(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+        Dedup.incrementalMinHash(s, b1, "text", "doc_id", "qincn",
+          minAgree = 0.75, buckets = 8)
+        Dedup.incrementalMinHash(s, b2, "text", "doc_id", "qincn",
+          minAgree = 0.75, buckets = 8)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some {
+        def sigsOf(src: String) =
+          s"""(SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id, ${shinglesSql(s"(${toksSql("text")})", 3)}
+                AS sh FROM $src)))"""
+        s"""WITH b1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        b2 AS (SELECT doc_id, text FROM documents
+          WHERE doc_id >= 250 AND doc_id < 2250
+          UNION ALL
+          SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')
+          FROM documents WHERE doc_id < 100),
+        e1 AS (SELECT doc_id, sig, b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+          FROM ${sigsOf("b1")} s1, (SELECT unnest(range(4)) AS b) b),
+        e2 AS (SELECT doc_id, sig, b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+          FROM ${sigsOf("b2")} s2, (SELECT unnest(range(4)) AS b) b),
+        d1 AS (SELECT DISTINCT a.doc_id FROM e1 a JOIN e1 o
+          ON a.band = o.band AND a.key = o.key AND o.doc_id < a.doc_id
+          WHERE len(list_filter([a.sig[n] = o.sig[n]
+            for n in generate_series(1, 8)], x -> x)) / 8.0 >= 0.75),
+        idx AS (SELECT * FROM e1
+          WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+        din AS (SELECT DISTINCT a.doc_id FROM e2 a JOIN e2 o
+          ON a.band = o.band AND a.key = o.key AND o.doc_id < a.doc_id
+          WHERE len(list_filter([a.sig[n] = o.sig[n]
+            for n in generate_series(1, 8)], x -> x)) / 8.0 >= 0.75),
+        didx AS (SELECT DISTINCT a.doc_id FROM e2 a JOIN idx ix
+          ON a.band = ix.band AND a.key = ix.key
+          WHERE len(list_filter([a.sig[n] = ix.sig[n]
+            for n in generate_series(1, 8)], x -> x)) / 8.0 >= 0.75)
+        SELECT doc_id FROM b2
+        WHERE doc_id NOT IN (SELECT doc_id FROM din)
+          AND doc_id NOT IN (SELECT doc_id FROM didx)
+        ORDER BY doc_id"""
+      }),
+
     // Composed curation stack (language ∧ length ∧ repetition ∧ quality)
     // in ONE codegen pass — the audit view with per-filter verdicts. The
     // oracle recomputes every signal from scratch and re-derives the

@@ -283,6 +283,50 @@ class OperatorsSpec extends SparkSpec {
     assert(wm == am.map(t => t._1 -> t._3).toMap)
   }
 
+  test("incrementalMinHash: cross-batch near-dups drop via the persisted " +
+      "band index; within-batch greedy; index accumulates") {
+    val s = spark
+    import s.implicits._
+    Dedup.dropIndex(s, "tincn")
+    def doc(i: Long, body: String) = (i, body)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = Seq(
+      doc(1L, base),
+      doc(2L, "totally different words about completely other topics here"),
+      // near-dup of doc 1 within batch 1 (greedy: 3 drops, 1 survives)
+      doc(3L, base + " lambda")).toDF("doc_id", "text")
+    val out1 = Dedup.incrementalMinHash(s, b1, "text", "doc_id", "tincn",
+      minAgree = 0.75)
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // batch 2: a near-dup of doc 1 (cross-batch, must drop), a fresh doc,
+    // and a near-dup pair within batch 2 (the larger id drops)
+    val b2 = Seq(
+      doc(10L, "beta gamma delta epsilon zeta eta theta iota kappa"),
+      doc(11L, "entirely novel content that matches nothing else at all"),
+      doc(12L, "some repeated sentence structure for the pair test okay"),
+      doc(13L, "some repeated sentence structure for the pair test okay"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.incrementalMinHash(s, b2, "text", "doc_id", "tincn",
+      minAgree = 0.75)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 12L))
+    // batch 3: near-dup of batch-2 survivor 12 — the index accumulated
+    val b3 = Seq(
+      doc(20L, "some repeated sentence structure for the pair test okay"),
+      doc(21L, "yet another genuinely unique document body right here"))
+      .toDF("doc_id", "text")
+    val out3 = Dedup.incrementalMinHash(s, b3, "text", "doc_id", "tincn",
+      minAgree = 0.75)
+    assert(out3.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(21L))
+    // the index is a bucketed table (co-located probes)
+    import graft.operators.Bucketing
+    val t = Bucketing.indexTable(s, "tincn")
+    assert(s.catalog.tableExists(t))
+    Dedup.dropIndex(s, "tincn")
+  }
+
   test("Vocab.build: deterministic tie order, rank dense, minCount floor") {
     val s = spark
     import s.implicits._
