@@ -46,6 +46,25 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(triggerSec * 1000))
 
+  /** Streaming NEAR-dup dedup: each micro-batch runs the incremental
+    * MinHash protocol against the persisted band-bucketed signature index
+    * ([[graft.operators.Dedup.incrementalMinHash]]) and hands the
+    * surviving rows to `handler`. Unlike the watermark-bounded exact
+    * [[dedup]], the horizon is unbounded: state lives in the bucketed
+    * index TABLE, not executor memory — it survives restarts and is
+    * shared with any batch ingestion writing the same index, which is
+    * how a realtime + offline pipeline stays mutually deduplicated. */
+  def nearDedupSink(docs: DataFrame, textCol: String, idCol: String,
+                    indexName: String, minAgree: Double = 1.0,
+                    k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                    buckets: Int = 32)(handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      handler(graft.operators.Dedup.incrementalMinHash(
+        batch.sparkSession, batch, textCol, idCol, indexName,
+        k, bands, rowsPerBand, minAgree, buckets))
+    }
+
   /** Ingestion-time rollup: per (keys, bucket) count/sum/min/max, the
     * streaming twin of OlapQueries.q_rollup_ingest. `withWatermark` bounds
     * state; `update` output mode emits refined buckets per micro-batch. */

@@ -242,4 +242,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("streaming near-dup dedup: micro-batches share the persisted band " +
+      "index; cross-batch near-dups drop, state survives query restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Dedup
+    Dedup.dropIndex(s, "tstream")
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(data: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      val q = Streams.nearDedupSink(df, "text", "doc_id", "tstream",
+        minAgree = 0.75, buckets = 4) { out =>
+        survivors ++= out.select("doc_id").collect().map(_.getLong(0))
+      }.start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    run(Seq(1L -> base,
+      2L -> "totally different words about completely other topics here"))
+    // second QUERY (restart): the index is the state, not the stream
+    run(Seq(
+      // near-dup of doc 1 from the previous query — must drop
+      10L -> "beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "entirely novel content that matches nothing else at all"))
+    assert(survivors.toSet == Set(1L, 2L, 11L), s"got $survivors")
+    Dedup.dropIndex(s, "tstream")
+  }
 }
