@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sized to the local[N] actually used: a local-mode JVM is driver AND
+// all N executor threads — 8g with 32 concurrent tasks leaves old-gen
+// pressure by suite end (round-6 bench degradation). SPARK_DRIVER_MEM
+// still overrides for constrained hosts.
+val graftHeapDefault = {
+  val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+  if (cpus >= 16) "16g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", graftHeapDefault)}",
 )

@@ -8,13 +8,30 @@ import org.apache.spark.sql.SparkSession
   * real work. One untimed warm-up query absorbs JIT/classloading so the
   * numbers reflect steady-state execution.
   *
+  * Session-lifetime hygiene (round-6 fix): orphaned checkpoint blocks are
+  * swept between queries ([[graft.operators.Checkpoints.sweep]]), and the
+  * JSON carries per-query `gc_ms` (GC time attributed to the query's timed
+  * runs) plus `storage_bytes` (block-manager memory+disk after the query),
+  * so any accumulation curve is visible from the artifact alone. A final
+  * `degradation` metric re-runs the LAST 5 suite queries isolated after a
+  * GC settle and reports suite-time / isolated-time — flat session ≈ 1.
+  *
+  * Gate queries with a build phase (`Q.setup`) are split: setup (index /
+  * bucketed-table construction, saveAsTable ceremony) is timed once into
+  * `setup`; the headline `queries` number times only the re-runnable
+  * operator itself.
+  *
   * Outlier isolation: in-suite timings share executor/GC state, so a slow
   * neighbor can masquerade as a regression. Any query slower than
   * [[OutlierFactor]]× its prior-round recording (SPARK_GRAFT_BENCH_PRIOR,
   * else the newest BENCH_r*.json in cwd) is re-benched alone after a GC
   * settle, and BOTH numbers ship: `queries` keeps the suite time,
   * `isolated` carries the re-run — interference and real regressions are
-  * distinguishable from the JSON alone. */
+  * distinguishable from the JSON alone.
+  *
+  * SPARK_GRAFT_BENCH_REPEAT=2 runs the whole suite a second time in the
+  * SAME JVM and ships `queries2`/`total2` — the flat-session proof artifact
+  * (suite 2 ≈ suite 1 means no session-lifetime accumulation). */
 object Bench {
 
   val OutlierFactor = 1.5
@@ -48,6 +65,13 @@ object Bench {
         catch { case _: Throwable => Map.empty }
     }
   }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -58,11 +82,18 @@ object Bench {
     : Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    /** Block-manager footprint (memory + disk) of persisted/checkpointed
+      * RDD blocks — the session-accumulation signal. */
+    def storageBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+
     // warm-up (untimed): JIT, codegen, parquet footer caches — one scan
     // query and one text-hash query so both the agg and the text-kernel
     // (shingle/minhash/HOF) codegen paths are compiled before timing
     runOnce(SparkEntry.queries("q_agg_tpch_q1"))
     runOnce(SparkEntry.queries("q_dedup_minhash_sig"))
+    graft.operators.Checkpoints.sweep()
 
     // min of N iterations — steady-state timing, not first-run JIT noise;
     // queries already past the re-run budget keep their first time (caps
@@ -74,45 +105,70 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = queries.Registry.all
       .filter(q => only.forall(_.contains(q.name)))
-    val results = selected.map { q =>
+
+    final case class Res(name: String, sec: Double, err: Option[String],
+                         gcMs: Long, storage: Long,
+                         setupSec: Option[Double])
+
+    def runSuite(): Seq[Res] = selected.map { q =>
       // a failing query must surface as an error, not masquerade as a
       // fast wall-time silently inflating the bench
       var err: Option[String] = None
-      def timed(): Double = {
+      def timedPhase(phase: () => Unit): Double = {
         val t0 = System.nanoTime()
-        try runOnce(q.run) catch {
+        try phase() catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse("").take(200)
             err = Some(s"${e.getClass.getSimpleName}: $msg")
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val gc0 = gcMillis()
+      // build phase (catalog/index construction) timed apart from the
+      // operator so saveAsTable ceremony can't pollute the headline
+      val setupSec = q.setup.map(s => timedPhase(() => s(spark, sfDir)))
+      def timed(): Double = timedPhase(() => runOnce(q.run))
       val first = timed()
       val rest = if (err.isEmpty && first <= rerunBudgetSec)
         (2 to iters).map(_ => timed()) else Nil
-      (q.name, (first +: rest).min, err)
+      val gcMs = gcMillis() - gc0
+      // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
+      // query): a long suite must not accumulate block-manager state
+      graft.operators.Checkpoints.sweep()
+      Res(q.name, (first +: rest).min, err, gcMs, storageBytes(), setupSec)
     }
+
+    val results = runSuite()
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      jstr(k) + ":" + jstr(e) }
-    val errJson =
-      if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    val total = ok.map(_._2).sum
+    def jmap[T](kvs: Seq[(String, T)]): String =
+      kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+
+    val ok = results.filter(_.err.isEmpty)
+    val qs = jmap(ok.map(r => r.name -> r.sec))
+    val errs = results.collect { case r if r.err.isDefined =>
+      r.name -> jstr(r.err.get) }
+    val errJson = if (errs.isEmpty) "" else s""","errors":${jmap(errs)}"""
+    val total = ok.map(_.sec).sum
+    val setupJson = {
+      val s = results.collect { case r if r.setupSec.isDefined =>
+        r.name -> r.setupSec.get }
+      if (s.isEmpty) "" else s""","setup":${jmap(s)}"""
+    }
+    val gcJson = s""","gc_ms":${jmap(results.map(r => r.name -> r.gcMs))}"""
+    val stJson =
+      s""","storage_bytes":${jmap(results.map(r => r.name -> r.storage))}"""
 
     // re-bench suite outliers alone (post-GC) so interference can't
     // masquerade as regression; both numbers ship
     val prior = loadPrior()
-    val flagged = outliers(
-      ok.map { case (k, v, _) => k -> v }.toMap, prior)
-    val isolated = flagged.flatMap { name =>
+    val flagged = outliers(ok.map(r => r.name -> r.sec).toMap, prior)
+    def isolatedRun(name: String): Option[(String, Double)] =
       selected.find(_.name == name).map { q =>
         System.gc()
         Thread.sleep(200)
@@ -121,14 +177,38 @@ object Bench {
           runOnce(q.run)
           (System.nanoTime() - t0) / 1e9
         }
-        name -> math.min(once(), once())
+        val v = math.min(once(), once())
+        graft.operators.Checkpoints.sweep()
+        name -> v
       }
-    }
+    val isolated = flagged.flatMap(isolatedRun)
     val isoJson = if (isolated.isEmpty) ""
-      else s""","isolated":${isolated.map { case (k, v) => jstr(k) + ":" + v }
-        .mkString("{", ",", "}")}"""
+      else s""","isolated":${jmap(isolated)}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$isoJson,"sf":"$sfDir"}""")
+    // degradation gate: the LAST 5 suite queries re-run isolated — a flat
+    // session scores ≈1; round 6's degraded session would have scored
+    // 20–300 here (q_pdb_* at 102s in-suite vs 0.4s isolated)
+    val last5 = ok.takeRight(5)
+    val last5Iso = last5.flatMap(r => isolatedRun(r.name))
+    val degradation =
+      if (last5Iso.isEmpty) 1.0
+      else {
+        val suiteT = last5.map(_.sec).sum
+        val isoT = math.max(last5Iso.map(_._2).sum, 1e-9)
+        suiteT / isoT
+      }
+    val degJson = s""","degradation":$degradation"""
+
+    // optional same-JVM second full suite — the flat-session proof
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val repeatJson = if (repeat < 2) "" else {
+      val again = runSuite()
+      val ok2 = again.filter(_.err.isEmpty)
+      s""","queries2":${jmap(ok2.map(r => r.name -> r.sec))}""" +
+        s""","total2":${ok2.map(_.sec).sum}"""
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$repeatJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

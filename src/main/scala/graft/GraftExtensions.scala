@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Pinot dialect at the session-parser level, gated on
     // spark.graft.sql.dialect=pinot (strict passthrough otherwise)
     ext.injectParser((_, delegate) => new graft.sql.PinotParser(delegate))
+    // erases the per-statement query-options marker at physical planning
+    // (parser binds options into the plan; StarTreeRoute consumes them)
+    ext.injectPlannerStrategy(_ => graft.sql.GraftOptionsStrategy)
 
     def reg(name: String, usage: String)(f: Seq[org.apache.spark.sql.Column]
       => org.apache.spark.sql.Column): Unit =

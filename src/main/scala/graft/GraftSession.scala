@@ -25,6 +25,17 @@ object GraftSession {
       // and serializes them — measured slower here, and at cluster scale
       // the advisory size governs either way
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // long-lived-session hygiene: the app/SQL status stores retain
+      // per-job/stage/task/execution detail on the driver heap even with
+      // the UI off — defaults (1000 jobs/stages, 100k tasks, 1000 SQL
+      // executions) grow to hundreds of MB over a many-query session and
+      // squeeze execution memory (round-6 degradation). An analytics
+      // service keeps enough for debugging, not the whole history.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.worker.ui.retainedExecutors", "50")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

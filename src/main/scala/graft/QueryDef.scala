@@ -6,11 +6,18 @@ import org.apache.spark.sql.types.DecimalType
 
 /** One oracle-checked query: a Spark-side plan plus (optionally) the
   * equivalent DuckDB SQL. Column names must match between the two —
-  * the driver sorts columns by name and hashes values. */
+  * the driver sorts columns by name and hashes values.
+  *
+  * `setup` is the build phase of gates that construct catalog state first
+  * (bucketed tables, incremental-dedup indexes): Verify runs setup then
+  * run; Bench times them SEPARATELY so the headline number measures the
+  * operator, not saveAsTable commit ceremony — and `run` must therefore
+  * be idempotent given setup's side effects (re-timable). */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    setup: Option[(SparkSession, String) => Unit] = None)
 
 /** Oracle-parity helpers.
   *

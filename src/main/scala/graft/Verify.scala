@@ -22,6 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free orphaned checkpoint blocks between queries — a 165-query
+      // session must not accumulate block-manager state (round-6 fix)
+      graft.operators.Checkpoints.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

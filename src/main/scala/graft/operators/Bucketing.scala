@@ -25,39 +25,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   private val DbName = "graft_bucketed"
-  private val DbLocation = s"/tmp/graft-warehouse/$DbName"
+
+  /** Warehouse location scoped by the Spark APPLICATION id: two concurrent
+    * sessions (parallel test runs, bench + tests) writing the same
+    * table/index names get disjoint directories instead of deleting each
+    * other's live data. The layout dies with the app, like the in-memory
+    * catalog that names it (a real cluster swaps in a persistent metastore
+    * + durable warehouse path; the mechanics are identical). */
+  private def dbLocation(spark: SparkSession): String =
+    s"/tmp/graft-warehouse/apps/${spark.sparkContext.applicationId}/$DbName"
 
   private def ensureDb(spark: SparkSession): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $DbName " +
-      s"LOCATION '$DbLocation'")
+      s"LOCATION '${dbLocation(spark)}'")
 
-  /** Delete a table's on-disk location. The catalog is in-memory and dies
-    * with the session, but the warehouse files persist — a LATER session
-    * that doesn't know the table would hit LOCATION_ALREADY_EXISTS on
-    * saveAsTable unless the stale directory is removed first. */
+  /** Delete a table's on-disk location. The catalog is in-memory, so a
+    * dropped-then-recreated table within one session must not hit
+    * LOCATION_ALREADY_EXISTS on the old files. */
   private def cleanStaleLocation(spark: SparkSession, table: String): Unit = {
     val dir = new org.apache.hadoop.fs.Path(
-      s"$DbLocation/${table.stripPrefix(s"$DbName.")}")
+      s"${dbLocation(spark)}/${table.stripPrefix(s"$DbName.")}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
   }
 
-  /** Stable per-source suffix so the same logical table from different
-    * sf directories gets distinct physical tables. */
+  /** Stable suffix: 64-bit fold of the source/key/bucket spec. */
   private def tag(src: String): String =
     java.lang.Long.toHexString(
-      src.foldLeft(1125899906842597L)((h, c) => 31 * h + c) & 0xffffffffL)
+      src.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
 
   /** Write `df` as a bucketed+sorted table on `key` (build-once: if the
-    * table already exists for this source tag it is reused) and return it
-    * as a DataFrame whose scan carries the bucket layout. */
+    * table already exists for this exact frame it is reused) and return
+    * it as a DataFrame whose scan carries the bucket layout. The
+    * build-once key folds the frame's analyzed-plan semanticHash, so two
+    * call sites reusing a logical `name` with different projections get
+    * distinct physical tables instead of silently sharing the first
+    * caller's schema. */
   def bucketed(spark: SparkSession, df: DataFrame, name: String, src: String,
                key: String, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets $buckets must be positive")
     ensureDb(spark)
-    val table = s"$DbName.${name}_${tag(s"$src:$key:$buckets")}"
+    val sem = df.queryExecution.analyzed.semanticHash()
+    val table = s"$DbName.${name}_${tag(s"$src:$key:$buckets:$sem")}"
     if (!spark.catalog.tableExists(table)) {
-      cleanStaleLocation(spark, table) // files from a previous session
+      cleanStaleLocation(spark, table) // same-session drop/recreate
       df.write.bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(table)
     }

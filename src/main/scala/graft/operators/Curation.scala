@@ -27,10 +27,20 @@ object Curation {
       minQuality: Double,
       segmentDelim: String = "\n")
 
+  private[graft] val VerdictCols =
+    Seq("lang_ok", "len_ok", "rep_ok", "qual_ok", "keep")
+
   /** Per-row verdicts: the input columns plus `lang_ok`, `len_ok`,
-    * `rep_ok`, `qual_ok`, and `keep` (their conjunction). */
+    * `rep_ok`, `qual_ok`, and `keep` (their conjunction). The verdict
+    * names must be absent from the input — withColumn would silently
+    * OVERWRITE a user column of the same name and [[curate]] would then
+    * drop it, losing data on the "original schema preserved" path. */
   def annotate(df: DataFrame, textCol: String, cfg: Config): DataFrame = {
     require(cfg.minTokens <= cfg.maxTokens, "minTokens > maxTokens")
+    val clash = df.columns.toSet.intersect(VerdictCols.toSet)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Curation's " +
+        s"verdict columns (${VerdictCols.mkString(", ")}) — rename them")
     val t = col(textCol)
     val nTok = TA.tokenCount(t)
     val langOk = TA.langId(t).isin(cfg.allowedLangs.toSeq: _*)

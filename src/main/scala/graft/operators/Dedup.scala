@@ -20,50 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** How many persisted signature/pair tables to keep cached (LRU). */
-  private[graft] var cacheCapacity = 4
+  private val Owner = "dedup"
 
-  // Persisted outputs (signatures, candidate pairs) are scoped by this LRU
-  // (same lifecycle as JsonIndex posting tables / Similarity.ivfIndex):
-  // repeated calls on the same corpus+params reuse one entry, eviction
-  // unpersists — no session-lifetime cache entry per call. An evicted
-  // frame stays valid (recomputes on next use).
-  private val cache =
-    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean = {
-        val evict = size() > cacheCapacity
-        if (evict) {
-          try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        }
-        evict
-      }
-    }
+  /** Per-owner cache cap (test hook). Persisted outputs (signatures,
+    * candidate pairs) live in [[GraftCache]] — ONE budget shared with
+    * JsonIndex/Similarity, so a long-lived session's operator caches
+    * cannot accumulate unboundedly in sum (round-6 degradation fix).
+    * Eviction releases persisted AND checkpoint-backed state; an evicted
+    * persisted frame stays valid (recomputes), a checkpoint-backed one
+    * (clusters labels) rebuilds on the next cached() miss. */
+  private[graft] def cacheCapacity: Int = GraftCache.ownerCapacity(Owner)
+  private[graft] def cacheCapacity_=(n: Int): Unit =
+    GraftCache.setOwnerCapacity(Owner, n)
 
-  private[graft] def cacheKeys: Set[(Int, String)] = cache.synchronized {
-    import scala.jdk.CollectionConverters._
-    cache.keySet.asScala.toSet
-  }
+  private[graft] def cacheKeys: Set[(Int, String)] =
+    GraftCache.keys(Owner).collect { case k: (Int, String) @unchecked => k }
 
-  /** Drop every cached table (unpersisting each). */
-  def cacheClear(): Unit = cache.synchronized {
-    import scala.jdk.CollectionConverters._
-    cache.values.asScala.foreach { df =>
-      try df.unpersist(false) catch { case _: Throwable => () }
-    }
-    cache.clear()
-  }
+  /** Drop every cached table (releasing each). */
+  def cacheClear(): Unit = GraftCache.clear(Owner)
 
   /** Fetch-or-build keyed by (session, op tag, corpus plan). */
   private def cached(df: DataFrame, tag: String)(build: => DataFrame)
   : DataFrame = {
     val key = (System.identityHashCode(df.sparkSession),
       s"$tag:${df.queryExecution.analyzed.semanticHash()}")
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else { val built = build; cache.put(key, built); built }
-    }
+    GraftCache.getOrBuild(Owner, key) {
+      val built = build
+      Checkpoints.pin(built) // cache-owned blocks: sweep() must skip them
+      built
+    }(Checkpoints.releaseFrame)
   }
 
   /** Exact dedup: canonical representative (min id) per identical content.
@@ -248,9 +233,13 @@ object Dedup {
       // localCheckpoint each round: iterative self-joins otherwise nest the
       // whole prior lineage into every new plan — exponential plan growth
       // (the standard Spark iterative-algorithm discipline; a production
-      // run with executor loss uses reliable checkpoint() instead)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
+      // run with executor loss uses reliable checkpoint() instead).
+      // Checkpoints.eager tracks each round's blocks; the PREVIOUS round's
+      // are released as soon as the next round materializes, so a
+      // 20-round run holds 2 rounds of blocks, not 20 (round-6 fix).
+      var labels = Checkpoints.eager(
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")))
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -259,24 +248,27 @@ object Dedup {
           .join(labels.select(col("id").as("dst"), col("label").as("nl")),
             "dst")
           .groupBy(col("src").as("id")).agg(min(col("nl")).as("nbr"))
-        val stepped = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nbr"), col("label")))
-              .as("mid"))
-          .localCheckpoint(true)
+        val stepped = Checkpoints.eager(
+          labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("label").as("old"),
+              least(col("label"), coalesce(col("nbr"), col("label")))
+                .as("mid")))
         // pointer jump: follow the label's own label. The prior label
         // rides along as `old`, so convergence checks the checkpointed
         // frame directly — no join back against the previous round.
         // stepped is checkpointed first: the self-join below would
         // otherwise recompute the whole neighbor-min chain on both sides.
-        val next = stepped
-          .join(stepped.select(col("id").as("mid"), col("mid").as("ll")),
-            Seq("mid"), "left")
-          .select(col("id"), col("old"),
-            least(col("mid"), coalesce(col("ll"), col("mid")))
-              .as("label"))
-          .localCheckpoint(true)
+        val next = Checkpoints.eager(
+          stepped
+            .join(stepped.select(col("id").as("mid"), col("mid").as("ll")),
+              Seq("mid"), "left")
+            .select(col("id"), col("old"),
+              least(col("mid"), coalesce(col("ll"), col("mid")))
+                .as("label")))
         converged = next.filter(col("label") =!= col("old")).isEmpty
+        // next is fully materialized: the prior round's blocks are dead
+        Checkpoints.release(labels)
+        Checkpoints.release(stepped)
         labels = next.select(col("id"), col("label"))
         iter += 1
       }
@@ -334,27 +326,54 @@ object Dedup {
     * The survivors are materialized with an eager localCheckpoint before
     * the index append: lineage truncation, not just caching — a recompute
     * after the append would re-read an index that now contains this
-    * batch's own hashes and return nothing. */
+    * batch's own hashes and return nothing. The blocks are tracked in
+    * [[Checkpoints]] and freed at the next between-queries sweep.
+    *
+    * `batchTag` makes the call IDEMPOTENT per batch (Spark's foreachBatch
+    * is at-least-once — a replayed micro-batch must not probe an index
+    * already containing its own survivors, which would silently drop the
+    * whole batch): index rows carry the tag, the probe excludes the
+    * current tag, and the append is skipped when the tag is already
+    * present. Pass the streaming batchId (or any stable per-batch id);
+    * None = a fresh unique tag (plain run-once batch semantics). */
   def incrementalExact(spark: org.apache.spark.sql.SparkSession,
                        batch: DataFrame, textCol: String, idCol: String,
-                       indexName: String, buckets: Int = 32): DataFrame = {
+                       indexName: String, buckets: Int = 32,
+                       batchTag: Option[String] = None): DataFrame = {
+    val tag = batchTag.getOrElse(freshTag())
     val hashed = batch.withColumn("content_hash", md5(col(textCol)))
     // first occurrence within the batch (deterministic: min id wins)
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
     val inBatch = hashed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val table = Bucketing.indexTable(spark, indexName)
+    val exists = spark.catalog.tableExists(table)
     val fresh =
-      if (spark.catalog.tableExists(table))
-        inBatch.join(spark.table(table).hint("MERGE"),
+      if (exists)
+        inBatch.join(
+          spark.table(table).filter(col("batch_tag") =!= tag).hint("MERGE")
+            .select(col("content_hash")),
           Seq("content_hash"), "left_anti")
       else inBatch
-    val out = fresh.localCheckpoint(true) // materialize BEFORE the append
-    out.select(col("content_hash"))
-      .write.mode("append").bucketBy(buckets, "content_hash")
-      .sortBy("content_hash").format("parquet").saveAsTable(table)
+    val out = Checkpoints.eager(fresh) // materialize BEFORE the append
+    if (!exists || !tagPresent(spark, table, tag))
+      out.select(col("content_hash"), lit(tag).as("batch_tag"))
+        .write.mode("append").bucketBy(buckets, "content_hash")
+        .sortBy("content_hash").format("parquet").saveAsTable(table)
     out.drop("content_hash")
   }
+
+  private val tagCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def freshTag(): String =
+    s"auto_${System.nanoTime()}_${tagCounter.incrementAndGet()}"
+
+  /** Is a batch tag already in the index? One pushdown-filtered probe —
+    * duplicate tag rows would not change the ANY/anti-join probe
+    * semantics, but skipping keeps replays byte-idempotent and the index
+    * from growing per retry. */
+  private def tagPresent(spark: org.apache.spark.sql.SparkSession,
+                         table: String, tag: String): Boolean =
+    !spark.table(table).filter(col("batch_tag") === tag).limit(1).isEmpty
 
   /** Cross-batch incremental NEAR-dup over a persisted band-bucketed
     * MinHash signature index — the continuous-ingestion analog of
@@ -372,12 +391,16 @@ object Dedup {
     * that doc itself survived) — deterministic at any parallelism, the
     * standard LSH-dedup recipe; use [[clusters]] for transitive
     * canonicalization. Survivors localCheckpoint before the index append
-    * for the same recompute-vs-own-hashes reason as incrementalExact. */
+    * for the same recompute-vs-own-hashes reason as incrementalExact, and
+    * `batchTag` gives the same per-batch idempotency (probe excludes the
+    * current tag; append skipped when the tag is already indexed). */
   def incrementalMinHash(spark: org.apache.spark.sql.SparkSession,
                          batch: DataFrame, textCol: String, idCol: String,
                          indexName: String, k: Int = 3, bands: Int = 4,
                          rowsPerBand: Int = 2, minAgree: Double = 1.0,
-                         buckets: Int = 32): DataFrame = {
+                         buckets: Int = 32,
+                         batchTag: Option[String] = None): DataFrame = {
+    val tag = batchTag.getOrElse(freshTag())
     val seeds = bands * rowsPerBand
     // signature + band keys in ONE projection: the native kernels hash each
     // doc once (CollapseProject keeps `sig` an attribute — it's referenced
@@ -404,20 +427,23 @@ object Dedup {
         agrees(col("sig"), col("__osig")))
       .select(col(idCol))
     val table = Bucketing.indexTable(spark, indexName)
+    val exists = spark.catalog.tableExists(table)
     val vsIndex =
-      if (spark.catalog.tableExists(table))
-        ex.join(spark.table(table).hint("MERGE")
+      if (exists)
+        ex.join(spark.table(table).filter(col("batch_tag") =!= tag)
+            .hint("MERGE")
             .select(col("bkey"), col("sig").as("__osig")), "bkey")
           .filter(agrees(col("sig"), col("__osig")))
           .select(col(idCol))
       else ex.select(col(idCol)).limit(0)
     val dupIds = inBatch.unionAll(vsIndex).distinct()
     val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
-    val out = fresh.localCheckpoint(true) // materialize BEFORE the append
-    ex.join(out.select(col(idCol)), Seq(idCol))
-      .select(col("bkey"), col("sig"))
-      .write.mode("append").bucketBy(buckets, "bkey")
-      .sortBy("bkey").format("parquet").saveAsTable(table)
+    val out = Checkpoints.eager(fresh) // materialize BEFORE the append
+    if (!exists || !tagPresent(spark, table, tag))
+      ex.join(out.select(col(idCol)), Seq(idCol))
+        .select(col("bkey"), col("sig"), lit(tag).as("batch_tag"))
+        .write.mode("append").bucketBy(buckets, "bkey")
+        .sortBy("bkey").format("parquet").saveAsTable(table)
     ex.unpersist(false)
     out
   }

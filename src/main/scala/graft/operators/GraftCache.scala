@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/** Unified cache governance for operator-held state.
+  *
+  * Round-6 lesson (driver bench): each operator's cache was individually
+  * bounded (Dedup LRU=4, JsonIndex LRU=4, IVF LRU=4) but nothing bounded
+  * their SUM, and localCheckpoint blocks outlived their consumers — a
+  * long-lived session degraded 20–300× by suite end as storage memory
+  * squeezed execution memory. A 100 TB analytics service session must not
+  * degrade as operators come and go, so ALL operator caches now share ONE
+  * budget here, and every eager localCheckpoint is tracked in
+  * [[Checkpoints]] so orphaned blocks are reclaimed deterministically
+  * between queries instead of waiting on GC + ContextCleaner.
+  *
+  * Reference analog: the reference bounds query-engine scratch state with a
+  * single broker/server-level memory budget, not per-operator ones
+  * (`pinot-core/.../query/scheduler/resources/ResourceManager`).
+  */
+object GraftCache {
+
+  /** One entry budget across ALL owners. Entries are whole cached tables
+    * (signatures, posting lists, IVF assignments) — the budget bounds how
+    * many such tables a session retains, LRU across operators. */
+  @volatile var globalCapacity: Int = 12
+
+  private val ownerCaps =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private final case class Entry(value: AnyRef, release: () => Unit)
+
+  // access-order = LRU across every owner
+  private val map =
+    new java.util.LinkedHashMap[(String, AnyRef), Entry](32, 0.75f, true)
+
+  /** Per-owner capacity (test hook — owners default to the global cap). */
+  def setOwnerCapacity(owner: String, cap: Int): Unit =
+    map.synchronized { ownerCaps.put(owner, cap); enforce() }
+  def ownerCapacity(owner: String): Int =
+    ownerCaps.getOrElse(owner, globalCapacity)
+
+  /** Fetch-or-build. `release` frees the entry's distributed state on
+    * eviction (unpersist + checkpoint-block release — see
+    * [[Checkpoints.releaseFrame]] for DataFrame entries). */
+  def getOrBuild[T <: AnyRef](owner: String, key: AnyRef)
+                             (build: => T)(release: T => Unit): T = {
+    map.synchronized {
+      val hit = map.get((owner, key))
+      if (hit != null) return hit.value.asInstanceOf[T]
+    }
+    // build OUTSIDE the lock: builds run Spark jobs (seconds); holding the
+    // lock would serialize unrelated operators' cache access behind them.
+    // A racing duplicate build is benign: last one wins, loser released.
+    val built = build
+    map.synchronized {
+      val prev = map.put((owner, key), Entry(built, () => release(built)))
+      if (prev != null) prev.release()
+      enforce()
+    }
+    built
+  }
+
+  def keys(owner: String): Set[AnyRef] = map.synchronized {
+    import scala.jdk.CollectionConverters._
+    map.keySet.asScala.collect { case (o, k) if o == owner => k }.toSet
+  }
+
+  /** Drop (and release) every entry of one owner. */
+  def clear(owner: String): Unit = map.synchronized {
+    import scala.jdk.CollectionConverters._
+    val doomed = map.entrySet().asScala
+      .filter(_.getKey._1 == owner).toList
+    doomed.foreach { e => e.getValue.release(); map.remove(e.getKey) }
+  }
+
+  /** Drop (and release) everything. */
+  def clearAll(): Unit = map.synchronized {
+    import scala.jdk.CollectionConverters._
+    map.values.asScala.foreach(_.release())
+    map.clear()
+  }
+
+  // Evict LRU-first: global budget, then any owner over its own cap.
+  private def enforce(): Unit = {
+    import scala.jdk.CollectionConverters._
+    while (map.size() > globalCapacity) {
+      val eldest = map.entrySet().iterator().next()
+      eldest.getValue.release()
+      map.remove(eldest.getKey)
+    }
+    val counts = map.keySet().asScala.groupBy(_._1).map { case (o, ks) =>
+      o -> ks.size }
+    counts.foreach { case (owner, n) =>
+      var over = n - ownerCapacity(owner)
+      if (over > 0) {
+        val it = map.entrySet().iterator()
+        while (over > 0 && it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 == owner) {
+            e.getValue.release(); it.remove(); over -= 1
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Ledger of eagerly-localCheckpoint'd frames, so their block-manager
+  * blocks can be freed deterministically instead of drifting until GC +
+  * ContextCleaner notice (round 6's session-degradation root cause: the
+  * blocks of finished incremental-dedup batches and label-propagation
+  * rounds accumulated across a 165-query suite).
+  *
+  * Lifecycle: [[eager]] tracks a frame's checkpoint RDDs; [[release]]
+  * frees them immediately (the frame becomes UNUSABLE — checkpointed RDDs
+  * cannot recompute); [[pin]] marks frames whose blocks are owned by a
+  * cache entry (freed on that entry's eviction, not by sweep);
+  * [[sweep]] frees every tracked, unpinned checkpoint — called BETWEEN
+  * queries (Bench/Verify), never mid-query. */
+object Checkpoints {
+
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[
+      Int, java.lang.ref.WeakReference[RDD[_]]]()
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Eagerly localCheckpoint `df` and track the materialized blocks.
+    * localCheckpoint (not reliable checkpoint): lineage truncation at
+    * memory+disk cost, the right trade for single-app scratch state; a
+    * production run surviving executor loss swaps in checkpoint(). */
+  def eager(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    rddsOf(out).foreach(r =>
+      live.put(r.id, new java.lang.ref.WeakReference[RDD[_]](r)))
+    out
+  }
+
+  /** The checkpoint RDDs a frame reads (LogicalRDD leaves of its plan). */
+  private[graft] def rddsOf(df: DataFrame): Seq[RDD[_]] =
+    try df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    } catch { case _: Throwable => Nil }
+
+  /** Mark a frame's checkpoint blocks as cache-owned: sweep skips them. */
+  def pin(df: DataFrame): Unit = rddsOf(df).foreach(r => pinnedIds.add(r.id))
+
+  /** Free a frame's checkpoint blocks NOW (frame becomes unusable). */
+  def release(df: DataFrame): Unit = rddsOf(df).foreach(releaseRdd)
+
+  /** Full release of a cached frame: CacheManager unpersist (persisted
+    * entries) + checkpoint-block release (checkpoint-backed entries).
+    * The standard eviction callback for DataFrame cache entries. */
+  def releaseFrame(df: DataFrame): Unit = {
+    try df.unpersist(false) catch { case _: Throwable => () }
+    release(df)
+  }
+
+  private def releaseRdd(r: RDD[_]): Unit = {
+    try r.unpersist(false) catch { case _: Throwable => () }
+    live.remove(r.id)
+    pinnedIds.remove(r.id)
+  }
+
+  /** Free every tracked, unpinned checkpoint. Call between queries. */
+  def sweep(): Unit = {
+    val it = live.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!pinnedIds.contains(e.getKey)) {
+        val r = e.getValue.get()
+        if (r != null) { try r.unpersist(false) catch { case _: Throwable => () } }
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def liveCount: Int = live.size()
+  private[graft] def pinnedCount: Int = pinnedIds.size()
+}

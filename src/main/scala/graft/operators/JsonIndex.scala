@@ -67,37 +67,21 @@ object JsonIndex {
   def materialize(index: DataFrame, dir: String): Unit =
     index.write.mode("overwrite").partitionBy("path").parquet(dir)
 
-  /** How many built posting tables to keep cached (LRU). Test hook. */
-  private[graft] var cacheCapacity = 4
+  private val Owner = "jsonindex"
 
-  // Build-once lifecycle (same pattern as Similarity.ivfIndex): the
-  // reference builds the json index at ingest, not per query. LRU keyed by
-  // (session identity, snapshot key); evicted entries unpersist.
-  private val cache =
-    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean = {
-        val evict = size() > cacheCapacity
-        if (evict) {
-          try e.getValue.unpersist(false) catch { case _: Throwable => () }
-        }
-        evict
-      }
-    }
+  /** Per-owner cache cap (test hook). Posting tables live in the shared
+    * [[GraftCache]] budget with Dedup/Similarity — build-once lifecycle
+    * (the reference builds the json index at ingest, not per query),
+    * bounded in SUM across operators (round-6 degradation fix). */
+  private[graft] def cacheCapacity: Int = GraftCache.ownerCapacity(Owner)
+  private[graft] def cacheCapacity_=(n: Int): Unit =
+    GraftCache.setOwnerCapacity(Owner, n)
 
-  private[graft] def cacheKeys: Set[(Int, String)] = cache.synchronized {
-    import scala.jdk.CollectionConverters._
-    cache.keySet.asScala.toSet
-  }
+  private[graft] def cacheKeys: Set[(Int, String)] =
+    GraftCache.keys(Owner).collect { case k: (Int, String) @unchecked => k }
 
   /** Drop every cached posting table (unpersisting each). */
-  def cacheClear(): Unit = cache.synchronized {
-    import scala.jdk.CollectionConverters._
-    cache.values.asScala.foreach { ix =>
-      try ix.unpersist(false) catch { case _: Throwable => () }
-    }
-    cache.clear()
-  }
+  def cacheClear(): Unit = GraftCache.clear(Owner)
 
   /** Build (or fetch the cached) posting table. `cacheKey` identifies the
     * corpus SNAPSHOT — include a version/mtime if data is rewritten in
@@ -111,11 +95,7 @@ object JsonIndex {
     }
     cacheKey.fold(build()) { k =>
       val key = (System.identityHashCode(df.sparkSession), k)
-      cache.synchronized {
-        val hit = cache.get(key)
-        if (hit != null) hit
-        else { val built = build(); cache.put(key, built); built }
-      }
+      GraftCache.getOrBuild(Owner, key)(build())(Checkpoints.releaseFrame)
     }
   }
 

@@ -1,18 +1,28 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata and a batched decode hook.
+  * with typed metadata, REAL image decode/resize over the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — no external libs needed), and a
+  * batched decode hook.
   *
-  * The decode itself is STUBBED (no media libs in this container):
-  * [[fakeFeatures]] derives deterministic pseudo-features from the content
-  * hash so the schema / partitioning / batch plumbing is real and testable,
-  * and a production deployment swaps `fakeFeatures` for a real decoder
-  * behind the same Column/`mapPartitions` contract. A JVM decode would ride
-  * [[decodePartitions]] — per-partition batching, the Scala analog of
-  * `mapInPandas` batch shape.
+  * Only VIDEO remains stubbed ([[frameSample]] — no video codec ships with
+  * the JDK): [[fakeFeatures]] stays as the oracle-replicable placeholder
+  * for learned feature extraction (an embedding model is out of scope by
+  * nature, not environment). Everything image-shaped is real:
+  * [[imageMeta]] decodes actual headers, [[resizeImage]] decodes, resamples
+  * (nearest / bilinear, implemented directly over the ARGB raster so the
+  * arithmetic is deterministic and spec-assertable pixel-by-pixel), and
+  * re-encodes PNG. The decode runs as a scalar UDF deliberately: ImageIO is
+  * imperative JVM work that cannot codegen, and per-row cost (ms) dwarfs
+  * the UDF boundary (ns) — at 100 TB the governing knobs are partition
+  * sizing (`spark.sql.files.maxPartitionBytes`) and executor-local CPU, not
+  * expression fusion. A per-partition batch decoder rides
+  * [[decodePartitions]], the Scala analog of `mapInPandas` batch shape.
   */
 object Multimodal {
   /** Attach an opaque binary content column (here: utf-8 text bytes —
@@ -20,13 +30,18 @@ object Multimodal {
   def withBinary(df: DataFrame, srcCol: String): DataFrame =
     df.withColumn("content", col(srcCol).cast("binary"))
 
-  /** Typed metadata over the binary payload: byte length + sniffed kind.
-    * Real magic-byte sniffing replaces the prefix probe. */
+  /** Typed metadata over the binary payload: byte length + magic-byte
+    * sniffed mime (PNG/JPEG/GIF/BMP/WAV) — pure codegen'd prefix
+    * comparisons, no decode. */
   def metadataOf(bin: Column): Column = struct(
     length(bin).as("n_bytes"),
     when(substring(bin, 1, 4) === lit("RIFF".getBytes), "audio/wav")
       .when(substring(bin, 1, 2) === lit(Array(0x89.toByte, 'P'.toByte)),
         "image/png")
+      .when(substring(bin, 1, 2) === lit(Array(0xFF.toByte, 0xD8.toByte)),
+        "image/jpeg")
+      .when(substring(bin, 1, 4) === lit("GIF8".getBytes), "image/gif")
+      .when(substring(bin, 1, 2) === lit("BM".getBytes), "image/bmp")
       .otherwise("application/octet-stream").as("mime"))
 
   /** STUB decode: `dim` deterministic pseudo-features in [0,1) from the
@@ -46,16 +61,118 @@ object Multimodal {
   : org.apache.spark.sql.Dataset[T] =
     df.mapPartitions(decode)
 
-  /** STUB resize: deterministic byte-budget re-encode (truncate / zero-pad
-    * to `w·h` bytes) carrying the target dims in the metadata struct — the
-    * schema and per-row cost shape of a real image resize; a production
-    * deployment swaps the byte op for the codec call behind the same
-    * contract. */
-  def resizeStub(bin: Column, w: Int, h: Int): Column = {
-    val target = w * h
-    struct(
-      rpad(substring(bin, 1, target), target, Array[Byte](0)).as("content"),
-      lit(w).as("width"), lit(h).as("height"))
+  // ---- real image tier (javax.imageio — ships with every JDK) ----
+
+  private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic raster resample. Nearest samples the source pixel under
+    * each destination pixel center (`sx = ⌊(x+0.5)·srcW/dstW⌋` — integer
+    * upscales duplicate pixels exactly); bilinear uses the align-centers
+    * rule (`sx = (x+0.5)·srcW/dstW - 0.5`) blending the 4 clamped
+    * neighbors per channel. Implemented directly over ARGB ints (not
+    * Graphics2D rendering hints) so results are bit-stable across JVMs and
+    * the spec can assert exact pixel values. */
+  private[operators] def resample(src: BufferedImage, w: Int, h: Int,
+                                  bilinear: Boolean): BufferedImage = {
+    val (sw, sh) = (src.getWidth, src.getHeight)
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    var y = 0
+    while (y < h) {
+      val syF = (y + 0.5) * sh / h - 0.5
+      var x = 0
+      while (x < w) {
+        val sxF = (x + 0.5) * sw / w - 0.5
+        val argb = if (!bilinear) {
+          val sx = math.min(sw - 1, ((x + 0.5) * sw / w).toInt)
+          val sy = math.min(sh - 1, ((y + 0.5) * sh / h).toInt)
+          src.getRGB(sx, sy)
+        } else {
+          val x0 = math.min(sw - 1, math.max(0, math.floor(sxF).toInt))
+          val y0 = math.min(sh - 1, math.max(0, math.floor(syF).toInt))
+          val x1 = math.min(sw - 1, x0 + 1)
+          val y1 = math.min(sh - 1, y0 + 1)
+          val fx = math.min(1.0, math.max(0.0, sxF - x0))
+          val fy = math.min(1.0, math.max(0.0, syF - y0))
+          val p00 = src.getRGB(x0, y0); val p10 = src.getRGB(x1, y0)
+          val p01 = src.getRGB(x0, y1); val p11 = src.getRGB(x1, y1)
+          def ch(shift: Int): Int = {
+            def c(p: Int) = (p >>> shift) & 0xFF
+            val top = c(p00) * (1 - fx) + c(p10) * fx
+            val bot = c(p01) * (1 - fx) + c(p11) * fx
+            math.round(top * (1 - fy) + bot * fy).toInt & 0xFF
+          }
+          (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+        }
+        dst.setRGB(x, y, argb)
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
+  /** Header-true image metadata: decoded width/height (+ decode success).
+    * Returns (null,null,false) for undecodable payloads rather than
+    * failing the job — corrupt rows are data, not errors, at crawl
+    * scale. */
+  def imageMeta(bin: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      readImage(bytes) match {
+        case Some(img) => (Some(img.getWidth), Some(img.getHeight), true)
+        case None => (None: Option[Int], None: Option[Int], false)
+      }
+    }
+    f(bin).cast("struct<width:int,height:int,decodable:boolean>")
+  }
+
+  /** REAL image resize: ImageIO decode → [[resample]] (nearest |
+    * bilinear) → PNG re-encode, as struct(content, width, height).
+    * Undecodable input → null struct (filter on `imageMeta().decodable`
+    * upstream to count drops). */
+  def resizeImage(bin: Column, w: Int, h: Int,
+                  method: String = "bilinear"): Column = {
+    require(method == "nearest" || method == "bilinear",
+      s"unknown resize method: $method")
+    val bilinear = method == "bilinear"
+    val f = udf { (bytes: Array[Byte]) =>
+      readImage(bytes).map { img =>
+        (encodePng(resample(img, w, h, bilinear)), w, h)
+      }
+    }
+    f(bin).cast("struct<content:binary,width:int,height:int>")
+  }
+
+  /** Grayscale intensity features: decode, [[resample]] to a `side×side`
+    * thumbnail (bilinear), emit row-major luma in [0,1] — a real, cheap,
+    * deterministic image feature vector (the classic aHash front end),
+    * ready for [[Similarity]] ANN or embedding near-dup. */
+  def imageFeatures(bin: Column, side: Int = 8): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      readImage(bytes).map { img =>
+        val t = resample(img, side, side, bilinear = true)
+        val out = new Array[Double](side * side)
+        var i = 0
+        while (i < out.length) {
+          val p = t.getRGB(i % side, i / side)
+          val luma = 0.299 * ((p >>> 16) & 0xFF) +
+            0.587 * ((p >>> 8) & 0xFF) + 0.114 * (p & 0xFF)
+          out(i) = luma / 255.0
+          i += 1
+        }
+        out
+      }
+    }
+    f(bin)
   }
 
   /** STUB frame-sample: `n` evenly spaced fixed-width byte windows from a

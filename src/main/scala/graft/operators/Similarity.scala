@@ -74,43 +74,24 @@ object Similarity {
     * mirrors that lifecycle, so repeated queries reuse the clustering. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** How many built IVF indexes to keep cached (LRU). Test hook: specs
-    * shrink it to exercise eviction. */
-  private[graft] var ivfCacheCapacity = 4
+  private val Owner = "ivf"
 
-  // LRU keyed by (session identity, snapshot key, nCentroids). Evicted
-  // entries unpersist their cached assignment so a long-lived session
-  // cycling corpus snapshots can't accumulate executor memory; keying on
-  // the session identity keeps entries from a stopped SparkSession from
-  // being served to a new one.
-  private val ivfCache =
-    new java.util.LinkedHashMap[(Int, String, Int), IvfIndex](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int), IvfIndex]): Boolean = {
-        val evict = size() > ivfCacheCapacity
-        if (evict) {
-          try e.getValue.assigned.unpersist(false)
-          catch { case _: Throwable => () }
-        }
-        evict
-      }
-    }
+  /** Per-owner cache cap (test hook: specs shrink it to exercise
+    * eviction). IVF indexes live in the shared [[GraftCache]] budget with
+    * Dedup/JsonIndex — bounded in SUM across operators (round-6 fix).
+    * Keys carry the session identity so entries from a stopped
+    * SparkSession are never served to a new one. */
+  private[graft] def ivfCacheCapacity: Int = GraftCache.ownerCapacity(Owner)
+  private[graft] def ivfCacheCapacity_=(n: Int): Unit =
+    GraftCache.setOwnerCapacity(Owner, n)
 
   private[graft] def ivfCacheKeys: Set[(Int, String, Int)] =
-    ivfCache.synchronized {
-      import scala.jdk.CollectionConverters._
-      ivfCache.keySet.asScala.toSet
-    }
+    GraftCache.keys(Owner)
+      .collect { case k: (Int, String, Int) @unchecked => k }
 
   /** Drop every cached index (unpersisting each). Test hook / explicit
     * invalidation for in-place corpus rewrites. */
-  def ivfCacheClear(): Unit = ivfCache.synchronized {
-    import scala.jdk.CollectionConverters._
-    ivfCache.values.asScala.foreach { ix =>
-      try ix.assigned.unpersist(false) catch { case _: Throwable => () }
-    }
-    ivfCache.clear()
-  }
+  def ivfCacheClear(): Unit = GraftCache.clear(Owner)
 
   /** Build (or fetch the cached) IVF index for a corpus. `cacheKey`
     * identifies the corpus SNAPSHOT — it must change whenever the corpus
@@ -142,10 +123,8 @@ object Similarity {
     }
     cacheKey.fold(build()) { k =>
       val key = (System.identityHashCode(corpus.sparkSession), k, nCentroids)
-      ivfCache.synchronized {
-        val hit = ivfCache.get(key)
-        if (hit != null) hit
-        else { val built = build(); ivfCache.put(key, built); built }
+      GraftCache.getOrBuild(Owner, key)(build()) { ix =>
+        try ix.assigned.unpersist(false) catch { case _: Throwable => () }
       }
     }
   }

@@ -25,16 +25,25 @@ object UrlCuration {
   /** Canonical form of a URL for dedup/grouping: lowercase, fragment
     * stripped, scheme stripped, leading `www.` stripped, default ports
     * (80/443) stripped, trailing slash stripped. Each pattern is anchored
-    * or single-occurrence so first-match replacement (DuckDB's default)
-    * equals Spark's global replacement — no engine divergence. */
+    * (or `#.*$`, whose first match extends to end-of-string) so
+    * first-match replacement (DuckDB's default) equals Spark's global
+    * replacement — no engine divergence. The port rule is anchored to the
+    * HOST position (`^[^/:?#]*`): a `:80/` embedded later in the path or
+    * query (e.g. `example.com/r?u=http://h:443/x`) is untouched. The `$1$3`
+    * backref is Java-regex syntax; the DuckDB oracle twin spells it
+    * `\1\3` — both are RE2-compatible patterns, only the replacement
+    * syntax differs. (Userinfo `user:pass@host` is out of scope for this
+    * normalizer, as in the CommonCrawl recipes it mirrors.) */
   def normalizeUrl(u: Column): Column = {
     val lowered = lower(u)
     val noFrag = regexp_replace(lowered, "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^[a-z][a-z0-9+.-]*://", "")
     val noWww = regexp_replace(noScheme, "^www\\.", "")
-    // default ports, no capture-group backrefs ($1 vs \1 differs by engine)
-    val noPortSlash = regexp_replace(noWww, ":(80|443)/", "/")
-    val noPort = regexp_replace(noPortSlash, ":(80|443)$", "")
+    // default port directly after the host (start-anchored ⇒ at most one
+    // replacement in both engines); group 3 re-emits the /, ? or EOS that
+    // delimited the port
+    val noPort =
+      regexp_replace(noWww, "^([^/:?#]*):(80|443)([/?]|$)", "$1$3")
     regexp_replace(noPort, "/$", "")
   }
 
@@ -42,13 +51,53 @@ object UrlCuration {
   def hostOf(normalized: Column): Column =
     regexp_extract(normalized, "^[^/?]+", 0)
 
-  /** Registered-domain heuristic: the last two dot-labels of the host
-    * (`a.b.example.com` → `example.com`). A public-suffix list would be
-    * exact (`co.uk`); none ships in this sandbox, so this is a documented
-    * approximation — the cap/grouping semantics are unchanged. */
+  /** Multi-label public suffixes (compact embedded subset of the public
+    * suffix list — publicsuffix.org is public knowledge; the full list is
+    * ~10k entries, this carries the high-traffic ccTLD second-level
+    * registries so `bbc.co.uk` and `abc.net.au` group correctly). A host
+    * whose last TWO labels are one of these registers at THREE labels. */
+  private[graft] val MultiLabelSuffixes: Seq[String] = Seq(
+    // UK / IE
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    // Australia / NZ
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
+    // Japan / Korea / China / Taiwan / HK / SE Asia
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw", "com.hk", "org.hk", "net.hk",
+    "com.sg", "com.my", "co.id", "or.id", "web.id", "ac.id",
+    "com.ph", "com.vn", "co.th", "ac.th", "go.th", "or.th", "in.th",
+    // South Asia / Middle East / Africa
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "res.in", "gov.in",
+    "gen.in", "firm.in", "ind.in",
+    "com.pk", "com.bd", "com.np", "com.sa", "com.eg", "co.il", "org.il",
+    "net.il", "ac.il", "gov.il",
+    "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+    "com.ng", "co.ke", "or.ke", "ac.ke", "go.ke", "com.gh", "co.tz",
+    "co.ug", "com.et",
+    // Americas / Europe
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "com.co", "com.ve", "com.pe", "com.ec", "com.uy", "com.bo",
+    "com.tr", "com.ua", "com.pl", "com.ru", "com.gr", "com.pt", "com.ro")
+
+  /** Registered domain of a host: last two dot-labels, or last THREE when
+    * the two-label tail is a known multi-label public suffix
+    * (`news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` → `example.com`).
+    * The embedded PSL subset covers the common ccTLD registries; an exotic
+    * suffix outside it degrades to the two-label heuristic — grouping
+    * semantics, not correctness, are at stake. A bare suffix host
+    * (`co.uk` itself) has no registrable part and returns as-is. */
   def registeredDomainOf(host: Column): Column = {
     val lastTwo = regexp_extract(host, "[^.]+\\.[^.]+$", 0)
-    when(lastTwo === "", host).otherwise(lastTwo)
+    val lastThree = regexp_extract(host, "[^.]+\\.[^.]+\\.[^.]+$", 0)
+    when(lastTwo === "", host)
+      .when(lastTwo.isInCollection(MultiLabelSuffixes) && lastThree =!= "",
+        lastThree)
+      .otherwise(lastTwo)
   }
 
   /** Deterministic per-domain cap: keep at most `maxPerDomain` rows per

@@ -49,14 +49,18 @@ case class StarTreeRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
   }
 
   /** The reference's `useStarTree` query option (default true) disables
-    * star-tree answering per query; [[graft.sql.PinotSql]] lands it as a
-    * session conf. */
-  private def starTreeEnabled: Boolean =
-    conf.getConfString("spark.graft.option.useStarTree", "true")
+    * star-tree answering per query. Statement plans carry their options in
+    * a [[graft.sql.GraftOptionsNode]] (strictly per-statement, like the
+    * reference's QueryContext options); the session conf is the fallback
+    * for DataFrame-API plans that never went through the parser. */
+  private def starTreeEnabled(plan: LogicalPlan): Boolean =
+    graft.sql.GraftOptionsNode.boundIn(plan)
+      .flatMap(_.get("useStarTree"))
+      .getOrElse(conf.getConfString("spark.graft.option.useStarTree", "true"))
       .equalsIgnoreCase("true")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!starTreeEnabled) plan
+    if (!starTreeEnabled(plan)) plan
     else plan transform {
       case agg: Aggregate if scanPaths(agg.child).nonEmpty =>
         val paths = scanPaths(agg.child).get

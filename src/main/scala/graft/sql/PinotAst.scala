@@ -1,8 +1,10 @@
 package graft.sql
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, InSubquery, ListQuery, Literal, Not}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** AST-level Pinot-dialect rewrites (the reference's broker rewriters,
   * `QueryRewriterFactory.java:36-39`, operate on the Calcite parse tree —
@@ -32,7 +34,13 @@ object PinotAst {
     "percentileest", "percentiletdigest", "firstwithtime", "lastwithtime")
 
   def rewrite(plan: LogicalPlan): LogicalPlan =
-    addDefaultLimit(rewritePercentile(plan))
+    addDefaultLimit(rewriteNested(plan))
+
+  /** The expression-level dialect rewrites (everything except the default
+    * LIMIT, which is a top-level-statement property) — also applied to
+    * nested parse contexts (views, subquery text). */
+  def rewriteNested(plan: LogicalPlan): LogicalPlan =
+    rewritePercentile(rewriteInSubquery(plan))
 
   /** Pinot PERCENTILE's fraction is 0-100; Spark's percentile wants 0-1. */
   private[sql] def rewritePercentile(plan: LogicalPlan): LogicalPlan =
@@ -44,6 +52,44 @@ object PinotAst {
         f.copy(arguments =
           Seq(f.arguments.head, Divide(f.arguments(1), Literal(100.0))))
     }
+
+  /** `IN_SUBQUERY(col, 'inner sql') = 1|0` → `col [NOT] IN (inner)` — a
+    * PARSE-TREE lowering. The reference compiles this broker-side into an
+    * IdSet filter (`BaseBrokerRequestHandler.java:813`); here the inner
+    * text (which reaches this point as ONE string literal, so doubled
+    * single-quotes inside it are already unescaped by the outer parse —
+    * the hazard that made the old string splice break on quoted literals)
+    * parses with the Catalyst parser and lowers onto [[InSubquery]]. The
+    * nested rewrites recurse into the inner plan (it may itself use
+    * PERCENTILE or IN_SUBQUERY), but the default LIMIT does not — it
+    * would silently truncate the id set. */
+  private[sql] def rewriteInSubquery(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case EqualTo(f: UnresolvedFunction, Literal(v, IntegerType))
+          if isInSubqueryCall(f) =>
+        lowerInSubquery(f, positive = v == 1)
+      case EqualTo(Literal(v, IntegerType), f: UnresolvedFunction)
+          if isInSubqueryCall(f) =>
+        lowerInSubquery(f, positive = v == 1)
+    }
+
+  private def isInSubqueryCall(f: UnresolvedFunction): Boolean =
+    f.nameParts.lengthCompare(1) == 0 &&
+      f.nameParts.head.equalsIgnoreCase("in_subquery") &&
+      f.arguments.lengthCompare(2) == 0
+
+  private def lowerInSubquery(f: UnresolvedFunction, positive: Boolean)
+  : Expression = {
+    val sqlText = f.arguments(1) match {
+      case Literal(s, _: StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"IN_SUBQUERY's second argument must be a SQL string literal, " +
+          s"got: ${other.sql}")
+    }
+    val inner = rewriteNested(CatalystSqlParser.parsePlan(sqlText))
+    val in = InSubquery(Seq(f.arguments.head), ListQuery(inner))
+    if (positive) in else Not(in)
+  }
 
   /** The reference caps every selection at LIMIT 10 unless an explicit
     * limit is present; aggregations without GROUP BY are left alone.

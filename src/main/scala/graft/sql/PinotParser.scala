@@ -28,12 +28,10 @@ class PinotParser(delegate: ParserInterface) extends ParserInterface {
 
   /** Pinot-dialect parse, unconditionally: trailing OPTION(...) clauses
     * are extracted into `spark.graft.option.*` confs (the reference
-    * strips them before Calcite sees the text), then string pre-rewrites
-    * for the forms that embed SQL text ([[PinotSql.rewrite]] —
-    * IN_SUBQUERY), then AST rewrites on the parsed plan ([[PinotAst]] —
-    * PERCENTILE fraction, default LIMIT). Function names (DISTINCTCOUNT,
-    * TEXT_MATCH, …) resolve via the registry, so nested arguments parse
-    * natively. */
+    * strips them before Calcite sees the text), then AST rewrites on the
+    * parsed plan ([[PinotAst]] — PERCENTILE fraction, IN_SUBQUERY
+    * lowering, default LIMIT). Function names (DISTINCTCOUNT, TEXT_MATCH,
+    * …) resolve via the registry, so nested arguments parse natively. */
   def parsePinot(sqlText: String): LogicalPlan = {
     val (clean, opts) = PinotSql.extractOptions(sqlText)
     // per-statement scoping: stale option keys reset before these apply
@@ -42,22 +40,23 @@ class PinotParser(delegate: ParserInterface) extends ParserInterface {
       // options-only statement (`SET k=v;`): nothing left to parse — the
       // options applied; yield an empty no-op relation
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(Nil)
-    else parseClean(clean)
+    // options also bind INTO the plan so optimize-time consumers see this
+    // statement's options even after later statements parse (GraftOptions)
+    else GraftOptionsNode.bind(parseClean(clean), opts)
   }
 
   /** Parse an option-free statement (options already extracted+applied by
     * the caller — [[PinotSql.sql]]); no conf side effects here. */
   private[sql] def parseClean(clean: String): LogicalPlan =
-    PinotAst.rewrite(delegate.parsePlan(PinotSql.rewrite(clean)))
+    PinotAst.rewrite(delegate.parsePlan(clean))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (dialectOn) parsePinot(sqlText) else delegate.parsePlan(sqlText)
   // parseQuery feeds nested contexts (views, subquery text): function +
-  // fraction rewrites apply, but the default LIMIT is a top-level-
-  // statement property and stays out
+  // fraction + IN_SUBQUERY rewrites apply, but the default LIMIT is a
+  // top-level-statement property and stays out
   override def parseQuery(sqlText: String): LogicalPlan =
-    if (dialectOn) PinotAst.rewritePercentile(
-      delegate.parseQuery(PinotSql.rewrite(sqlText)))
+    if (dialectOn) PinotAst.rewriteNested(delegate.parseQuery(sqlText))
     else delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -13,23 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     session FunctionRegistry ([[graft.GraftExtensions]]); SQL name
   *     resolution is case-insensitive, so they parse with arbitrary
   *     nested arguments — no string surgery, no nested-paren hazards.
-  *  2. AST — PERCENTILE's 0-100 fraction and the default LIMIT 10 are
-  *     parse-tree rewrites ([[PinotAst]]), applied by [[PinotParser]]
-  *     when `spark.graft.sql.dialect=pinot`, or by [[sql]] directly.
-  *  3. STRING — only IN_SUBQUERY survives at this level ([[rewrite]]): its
-  *     argument IS a SQL string, so it must splice before parsing.
-  *  4. PLAN ROUTE — GAPFILL selections compile onto the
+  *  2. AST — PERCENTILE's 0-100 fraction, IN_SUBQUERY lowering (its
+  *     argument IS a SQL string, parsed recursively — the outer parse has
+  *     already unescaped doubled quotes, so nested literals survive), and
+  *     the default LIMIT 10 are parse-tree rewrites ([[PinotAst]]),
+  *     applied by [[PinotParser]] when `spark.graft.sql.dialect=pinot`,
+  *     or by [[sql]] directly. No string-level surgery remains.
+  *  3. PLAN ROUTE — GAPFILL selections compile onto the
   *     [[graft.operators.Gapfill]] spine+window plan, not SQL at all. */
 object PinotSql {
-  /** String-level pre-rewrites: the forms whose arguments embed SQL text
-    * and therefore must splice before parsing. Everything else is handled
-    * by registered functions + [[PinotAst]]. */
-  def rewrite(sql: String): String = {
-    // IN_SUBQUERY(col, 'inner sql') = 1 → col IN (inner sql)
-    sql.replaceAll(
-      "(?i)IN_SUBQUERY\\s*\\(\\s*([\\w.]+)\\s*,\\s*'([^']*)'\\s*\\)\\s*=\\s*1",
-      "$1 IN ($2)")
-  }
 
   // Trailing `OPTION(k1=v1, k2=v2)` clauses (reference
   // `CalciteSqlParser.java:87-88` OPTIONS_REGEX_PATTEN — extracted and
@@ -82,11 +74,11 @@ object PinotSql {
     * from defaults: stale `spark.graft.option.*` keys are cleared before
     * this statement's options apply, so a parsed-but-never-run or failed
     * query can't flip behavior for its successors (the reference's options
-    * are strictly per-query). Spark's lazy evaluation still means a rule
-    * that consults the conf at optimization time sees the LATEST parsed
-    * statement's options, not those of the statement that built the
-    * DataFrame — documented divergence; trigger actions before parsing the
-    * next option-bearing statement. */
+    * are strictly per-query). The conf is the DataFrame-API fallback only:
+    * statement plans ALSO carry their options in a [[GraftOptionsNode]],
+    * so optimize-time rules see the options of the statement that built
+    * the DataFrame regardless of what parsed since (the round-6
+    * lazy-evaluation divergence is closed). */
   private[sql] def applyOptions(conf: org.apache.spark.sql.internal.SQLConf,
                                 opts: Map[String, String]): Unit = {
     conf.getAllConfs.keysIterator
@@ -109,9 +101,13 @@ object PinotSql {
     gapfillPlan(spark, clean).getOrElse {
       val plan = spark.sessionState.sqlParser match {
         // options were extracted+applied above — parse the clean text
-        // without re-running option handling (which resets stale keys)
-        case p: PinotParser => p.parseClean(clean)
-        case p => PinotAst.rewrite(p.parsePlan(rewrite(clean)))
+        // without re-running option handling (which resets stale keys).
+        // With the graft extensions installed (PinotParser present ⇒
+        // GraftOptionsStrategy injected) options ALSO bind into the plan,
+        // fixing the lazy-evaluation divergence; the plain-session path
+        // keeps conf-only semantics (no strategy to erase the marker).
+        case p: PinotParser => GraftOptionsNode.bind(p.parseClean(clean), opts)
+        case p => PinotAst.rewrite(p.parsePlan(clean))
       }
       org.apache.spark.sql.graft.PlanBridge.ofRows(spark, plan)
     }

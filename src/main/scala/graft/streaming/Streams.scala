@@ -23,18 +23,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
   /** Kafka partition-level source (reference: `PartitionLevelConsumer` /
-    * `KafkaStreamConsumerFactory`). Emits the raw key/value/partition/
-    * offset/timestamp columns; apply `Ingest.Pipeline`-style transforms
-    * downstream. Requires the spark-sql-kafka connector jar on the
-    * cluster; untestable in this container (no broker) — MemoryStream
-    * drives the same DataFrame contract in the specs. */
+    * `KafkaStreamConsumerFactory`; option surface ≈ the reference's
+    * `streamConfigs` map — offsets criteria, rate limiting, consumer
+    * props). Emits the raw key/value/partition/offset/timestamp columns;
+    * apply `Ingest.Pipeline`-style transforms downstream.
+    *
+    * Option forwarding is spec-tested against Spark's source-resolution
+    * machinery (a registered fake `kafka` provider captures what `load()`
+    * hands the source — `StreamingSpec`); only the live consume loop
+    * needs a broker + connector jar and stays waived in this container
+    * (MemoryStream drives the same DataFrame contract in the specs).
+    *
+    * `maxOffsetsPerTrigger` is the per-micro-batch rate cap (the
+    * reference's realtime ingestion throttles per consuming segment);
+    * `kafkaOptions` passes through raw consumer/connector options
+    * (`kafka.*` props, `failOnDataLoss`, `minPartitions`, …). */
   def kafkaSource(spark: SparkSession, brokers: String, topic: String,
-                  startingOffsets: String = "latest"): DataFrame =
-    spark.readStream.format("kafka")
+                  startingOffsets: String = "latest",
+                  maxOffsetsPerTrigger: Option[Long] = None,
+                  kafkaOptions: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-      .load()
+      .options(kafkaOptions)
+    maxOffsetsPerTrigger.foreach(n =>
+      reader.option("maxOffsetsPerTrigger", n.toString))
+    reader.load()
+  }
 
   /** Micro-batch parquet sink — the "segment seal" path: each micro-batch
     * appends a columnar file set, checkpointed for exactly-once. */
@@ -53,17 +69,59 @@ object Streams {
     * [[dedup]], the horizon is unbounded: state lives in the bucketed
     * index TABLE, not executor memory — it survives restarts and is
     * shared with any batch ingestion writing the same index, which is
-    * how a realtime + offline pipeline stays mutually deduplicated. */
+    * how a realtime + offline pipeline stays mutually deduplicated.
+    *
+    * Idempotent under foreachBatch's at-least-once retry semantics: each
+    * micro-batch's index rows carry a `(streamTag, batchId)` tag, so a
+    * REPLAYED micro-batch probes the index minus its own prior survivors
+    * (not against them — which would silently drop the whole batch) and
+    * the append is skipped when the tag is already indexed; the handler
+    * sees identical rows on every retry. `streamTag` scopes batchIds
+    * (which restart at 0 per query): pass something stable across
+    * restarts of the SAME logical stream — the checkpoint location is
+    * the natural choice — to keep idempotency across a crash-recovery
+    * replay; the default (a fresh tag per sink instance) covers in-run
+    * retries and treats each new query as new data. Orphaned checkpoint
+    * blocks are swept per batch. */
   def nearDedupSink(docs: DataFrame, textCol: String, idCol: String,
                     indexName: String, minAgree: Double = 1.0,
                     k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                    buckets: Int = 32)(handler: DataFrame => Unit)
-  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                    buckets: Int = 32, streamTag: Option[String] = None)
+                   (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       handler(graft.operators.Dedup.incrementalMinHash(
         batch.sparkSession, batch, textCol, idCol, indexName,
-        k, bands, rowsPerBand, minAgree, buckets))
+        k, bands, rowsPerBand, minAgree, buckets,
+        batchTag = Some(s"${instance}_$batchId")))
+      graft.operators.Checkpoints.sweep()
     }
+  }
+
+  /** Streaming EXACT dedup against the persisted content-hash index —
+    * the continuous-crawl twin of [[nearDedupSink]] over
+    * [[graft.operators.Dedup.incrementalExact]]: unbounded horizon (index
+    * table, not executor state), the same `(streamTag, batchId)`
+    * idempotency contract, shared with batch ingestion on the same
+    * index. */
+  def exactDedupSink(docs: DataFrame, textCol: String, idCol: String,
+                     indexName: String, buckets: Int = 32,
+                     streamTag: Option[String] = None)
+                    (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      handler(graft.operators.Dedup.incrementalExact(
+        batch.sparkSession, batch, textCol, idCol, indexName, buckets,
+        batchTag = Some(s"${instance}_$batchId")))
+      graft.operators.Checkpoints.sweep()
+    }
+  }
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def freshStreamTag(): String =
+    s"sink_${System.nanoTime()}_${sinkCounter.incrementAndGet()}"
 
   /** Ingestion-time rollup: per (keys, bucket) count/sum/min/max, the
     * streaming twin of OlapQueries.q_rollup_ingest. `withWatermark` bounds

@@ -509,19 +509,90 @@ class OperatorsSpec extends SparkSpec {
     assert(out("other") == "application/octet-stream")
   }
 
-  test("multimodal resize/frame-sample stubs: schema, dims, frame spread") {
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels.head.length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def decodePixels(bytes: Array[Byte]): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    Array.tabulate(img.getHeight, img.getWidth)((y, x) => img.getRGB(x, y))
+  }
+
+  test("image decode is real: meta reads headers, corrupt rows survive") {
+    val s = spark
+    import s.implicits._
+    val red = 0xFFFF0000
+    val df = Seq(
+      ("ok", pngBytes(Array(Array(red, red), Array(red, red)))),
+      ("bad", "not an image".getBytes("UTF-8"))).toDF("id", "content")
+    val out = df.select(col("id"),
+      graft.operators.Multimodal.imageMeta(col("content")).as("m"),
+      graft.operators.Multimodal.metadataOf(col("content"))
+        .getField("mime").as("mime"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val okM = out("ok").getStruct(1)
+    assert(okM.getAs[Int]("width") == 2 && okM.getAs[Int]("height") == 2)
+    assert(okM.getAs[Boolean]("decodable"))
+    assert(out("ok").getString(2) == "image/png")
+    assert(!out("bad").getStruct(1).getAs[Boolean]("decodable"))
+    assert(out("bad").getString(2) == "application/octet-stream")
+  }
+
+  test("image resize: nearest duplicates pixels exactly, bilinear blends") {
+    val s = spark
+    import s.implicits._
+    val (r, g, b, w) = (0xFFFF0000, 0xFF00FF00, 0xFF0000FF, 0xFFFFFFFF)
+    val df = Seq(("i", pngBytes(Array(Array(r, g), Array(b, w)))))
+      .toDF("id", "content")
+    // nearest 2x2 → 4x4: each source pixel becomes a 2x2 block
+    val near = df.select(graft.operators.Multimodal
+      .resizeImage(col("content"), 4, 4, "nearest").as("rz")).head()
+      .getStruct(0)
+    assert(near.getAs[Int]("width") == 4 && near.getAs[Int]("height") == 4)
+    val px = decodePixels(near.getAs[Array[Byte]]("content"))
+    assert(px(0).toSeq == Seq(r, r, g, g) && px(1).toSeq == Seq(r, r, g, g))
+    assert(px(2).toSeq == Seq(b, b, w, w) && px(3).toSeq == Seq(b, b, w, w))
+    // bilinear 2x1 gray ramp → 4x1: align-centers midpoint blend
+    def gray(v: Int) = 0xFF000000 | (v << 16) | (v << 8) | v
+    val ramp = Seq(("i", pngBytes(Array(Array(gray(0), gray(200))))))
+      .toDF("id", "content")
+    val bl = ramp.select(graft.operators.Multimodal
+      .resizeImage(col("content"), 4, 1, "bilinear").as("rz")).head()
+      .getStruct(0)
+    val bpx = decodePixels(bl.getAs[Array[Byte]]("content"))
+    // align-centers sample points: sx = (x+0.5)/2 - 0.5 = -0.25, 0.25,
+    // 0.75, 1.25 → clamped blends of (0, 200): 0, 50, 150, 200
+    assert(bpx(0).toSeq ==
+      Seq(gray(0), gray(50), gray(150), gray(200)))
+    // undecodable input → null struct, not a job failure
+    val bad = Seq(("x", "junk".getBytes("UTF-8"))).toDF("id", "content")
+      .select(graft.operators.Multimodal
+        .resizeImage(col("content"), 4, 4).as("rz")).head()
+    assert(bad.isNullAt(0))
+    // grayscale features: 8x8 luma in [0,1], white row = 1.0
+    val feat = Seq(("i", pngBytes(Array(Array(w, w), Array(w, w)))))
+      .toDF("id", "content")
+      .select(graft.operators.Multimodal.imageFeatures(col("content"), 4)
+        .as("f")).head().getSeq[Double](0)
+    assert(feat.length == 16 && feat.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("multimodal frame-sample stub (video): schema, frame spread") {
     val s = spark
     import s.implicits._
     val df = Seq(("v1", ("0123456789" * 10).getBytes("UTF-8")))
       .toDF("id", "content")
     val r = df.select(
-      graft.operators.Multimodal.resizeStub(col("content"), 4, 4).as("rz"),
       graft.operators.Multimodal.frameSample(col("content"), 3, 8)
         .as("frames")).head()
-    val rz = r.getStruct(0)
-    assert(rz.getAs[Array[Byte]]("content").length == 16) // w*h budget
-    assert(rz.getAs[Int]("width") == 4 && rz.getAs[Int]("height") == 4)
-    val frames = r.getSeq[org.apache.spark.sql.Row](1)
+    val frames = r.getSeq[org.apache.spark.sql.Row](0)
     assert(frames.map(_.getAs[Int]("frame_idx")) == Seq(0, 1, 2))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
     // first frame starts at the head, last frame ends at the tail
@@ -724,17 +795,25 @@ class OperatorsSpec extends SparkSpec {
       "https://sub.example.com:8080/a/" -> "sub.example.com:8080/a",
       "ftp://www.Example.org" -> "example.org",
       "example.com/a?q=1#x" -> "example.com/a?q=1",
-      "https://example.com" -> "example.com")
+      "https://example.com" -> "example.com",
+      // the port rule is HOST-anchored: an embedded :80/ or :443/ in the
+      // path or query survives (ADVICE r6: the old pattern rewrote it)
+      "example.com/r?u=http://h:443/x" -> "example.com/r?u=http://h:443/x",
+      "example.com:80/r?u=http://h:80/x" -> "example.com/r?u=http://h:80/x",
+      "https://example.com:443?q=1" -> "example.com?q=1")
     val df = cases.map(_._1).toDF("u")
       .select(col("u"), operators.UrlCuration.normalizeUrl(col("u")).as("n"))
     val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (in, want) => assert(got(in) == want, in) }
   }
 
-  test("hostOf/registeredDomainOf extract host and last-two-label domain") {
+  test("hostOf/registeredDomainOf extract host and registered domain " +
+      "(PSL multi-label suffixes register at three labels)") {
     val s = spark
     import s.implicits._
-    val df = Seq("a.b.example.com/x/y", "localhost/z", "example.com?q=1")
+    val df = Seq("a.b.example.com/x/y", "localhost/z", "example.com?q=1",
+      "news.bbc.co.uk/article", "abc.net.au", "deep.sub.gov.uk/x",
+      "co.uk/odd", "example.couk")
       .toDF("u")
     val host = operators.UrlCuration.hostOf(col("u"))
     val out = df.select(host.as("h"),
@@ -743,6 +822,11 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0) == ("a.b.example.com", "example.com"))
     assert(out(1) == ("localhost", "localhost")) // no dot → host itself
     assert(out(2) == ("example.com", "example.com"))
+    assert(out(3) == ("news.bbc.co.uk", "bbc.co.uk"))
+    assert(out(4) == ("abc.net.au", "abc.net.au")) // already registrable
+    assert(out(5) == ("deep.sub.gov.uk", "sub.gov.uk"))
+    assert(out(6) == ("co.uk", "co.uk")) // bare suffix: no registrable part
+    assert(out(7) == ("example.couk", "example.couk")) // not a PSL match
   }
 
   test("capPerDomain keeps exactly n per domain, deterministically at any " +
@@ -814,6 +898,19 @@ class OperatorsSpec extends SparkSpec {
     val kept = operators.Curation.curate(df, "text", cfg)
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
     assert(kept.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("Curation rejects inputs whose columns collide with the verdict " +
+      "names (withColumn would silently overwrite, curate would drop)") {
+    val s = spark
+    import s.implicits._
+    val cfg = operators.Curation.Config(Set("en"), 1, 10, 0.9, 0.0, " ")
+    val df = Seq((1L, "the quick brown fox", true))
+      .toDF("doc_id", "text", "keep")
+    val e = intercept[IllegalArgumentException] {
+      operators.Curation.annotate(df, "text", cfg)
+    }
+    assert(e.getMessage.contains("keep"))
   }
 
   test("bucketedTopK only scores co-bucketed candidates") {

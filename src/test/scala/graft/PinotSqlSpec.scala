@@ -73,10 +73,37 @@ class PinotSqlSpec extends SparkSpec {
     // ORDER BY around a plain agg stays uncapped too
     assert(PinotSql.sql(spark,
       "SELECT COUNT(*) AS n FROM orders ORDER BY n").head().getLong(0) > 10L)
-    // IN_SUBQUERY splices at string level (its arg IS sql text)
+    // IN_SUBQUERY lowers in the parse tree (its arg IS sql text)
     assert(PinotSql.sql(spark,
       """SELECT COUNT(*) AS n FROM orders WHERE IN_SUBQUERY(o_custkey,
         'SELECT c_custkey FROM customer WHERE c_nationkey = 1') = 1""")
+      .head().getLong(0) > 0)
+  }
+
+  test("IN_SUBQUERY: parse-tree lowering handles nested quoted literals, " +
+      "= 0 negation, and reversed operands") {
+    Tables.registerAll(spark, sfDir)
+    // a quoted string literal INSIDE the subquery text (doubled quotes) —
+    // the old regex splice truncated at the first inner quote
+    val n1 = PinotSql.sql(spark,
+      """SELECT COUNT(*) AS n FROM orders WHERE IN_SUBQUERY(o_custkey,
+        'SELECT c_custkey FROM customer WHERE c_mktsegment = ''BUILDING''') = 1""")
+      .head().getLong(0)
+    val direct = spark.sql(
+      """SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""")
+      .head().getLong(0)
+    assert(n1 == direct && n1 > 0)
+    // = 0 negates; 1 = IN_SUBQUERY(...) (reversed operands) also lowers
+    val total = spark.sql("SELECT COUNT(*) FROM orders").head().getLong(0)
+    val n0 = PinotSql.sql(spark,
+      """SELECT COUNT(*) AS n FROM orders WHERE IN_SUBQUERY(o_custkey,
+        'SELECT c_custkey FROM customer WHERE c_mktsegment = ''BUILDING''') = 0""")
+      .head().getLong(0)
+    assert(n0 == total - n1)
+    assert(PinotSql.sql(spark,
+      """SELECT COUNT(*) AS n FROM orders WHERE 1 = IN_SUBQUERY(o_custkey,
+        'SELECT c_custkey FROM customer WHERE c_nationkey = 1')""")
       .head().getLong(0) > 0)
   }
 
@@ -135,6 +162,55 @@ class PinotSqlSpec extends SparkSpec {
       PinotSql.sql(spark, "SELECT 1 OPTION(useStarTree=true)").collect()
       assert(scannedFiles(agg).exists(_.contains("graft-st-opt")),
         "useStarTree=true restores routing")
+    } finally {
+      graft.rules.StarTreeCatalog.clear()
+      spark.conf.unset("spark.graft.option.useStarTree")
+    }
+  }
+
+  test("plan-bound options: interleaved statements keep their own options") {
+    Tables.registerAll(spark, sfDir)
+    val factPath = s"$sfDir/lineitem.parquet"
+    val facts = spark.read.parquet(factPath)
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft-st-bind").toString
+    graft.operators.StarTree.build(facts,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.operators.StarTree.Metric("l_quantity", Seq("sum"))))
+      .write.mode("overwrite").parquet(s"$sumDir/sum")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+    try {
+      graft.rules.StarTreeCatalog.register(Set(s"file:$factPath"),
+        Set("l_returnflag", "l_linestatus"),
+        spark.read.parquet(s"$sumDir/sum"))
+      val q = """SELECT l_returnflag, SUM(l_quantity) AS s
+                 FROM lineitem GROUP BY l_returnflag"""
+      // statement 1 parses with useStarTree=false…
+      val noSt = PinotSql.sql(spark, s"$q OPTION(useStarTree=false)")
+      // …then statement 2 parses with useStarTree=true BEFORE 1 executes.
+      // Conf-only semantics would leak 2's options into 1's optimization;
+      // plan-bound options keep each statement's own.
+      val withSt = PinotSql.sql(spark, s"$q OPTION(useStarTree=true)")
+      assert(spark.conf.get("spark.graft.option.useStarTree") == "true")
+      assert(scannedFiles(noSt).exists(_.contains("lineitem")),
+        "statement parsed with useStarTree=false must scan facts even " +
+          "after a later statement parsed useStarTree=true")
+      assert(scannedFiles(withSt).exists(_.contains("graft-st-bind")),
+        "statement parsed with useStarTree=true routes to the summary")
+      // both still execute correctly (marker erased at physical planning)
+      assert(noSt.collect().map(_.getString(0)).sorted.toSeq ==
+        withSt.collect().map(_.getString(0)).sorted.toSeq)
+      // DataFrame-API plans (no statement) still follow the session conf
+      def apiAgg = facts.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(scannedFiles(apiAgg).exists(_.contains("graft-st-bind")),
+        "conf fallback: API plan routes while conf says true")
     } finally {
       graft.rules.StarTreeCatalog.clear()
       spark.conf.unset("spark.graft.option.useStarTree")

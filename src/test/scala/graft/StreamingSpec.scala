@@ -273,4 +273,99 @@ class StreamingSpec extends SparkSpec {
     assert(survivors.toSet == Set(1L, 2L, 11L), s"got $survivors")
     Dedup.dropIndex(s, "tstream")
   }
+
+  test("streaming exact dedup sink: N micro-batches produce byte-identical " +
+      "survivors to the N-batch batch protocol on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Dedup
+    val batches = Seq(
+      Seq(1L -> "aa", 2L -> "bb", 3L -> "aa"), // in-batch dup (3 drops)
+      Seq(4L -> "bb", 5L -> "cc"),             // cross-batch dup (4 drops)
+      Seq(6L -> "cc", 7L -> "aa", 8L -> "dd")) // both (6, 7 drop)
+    // batch protocol
+    Dedup.dropIndex(s, "tpar_b")
+    val batchSurvivors = batches.zipWithIndex.flatMap { case (b, i) =>
+      Dedup.incrementalExact(s, b.toDF("doc_id", "text"), "text", "doc_id",
+          "tpar_b", batchTag = Some(s"b$i"))
+        .select("doc_id").collect().map(_.getLong(0))
+    }
+    Dedup.dropIndex(s, "tpar_b")
+    // streaming protocol: one query, the sink sees each addData as one
+    // micro-batch
+    Dedup.dropIndex(s, "tpar_s")
+    val streamSurvivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.exactDedupSink(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", "tpar_s", buckets = 4) { out =>
+      streamSurvivors ++= out.select("doc_id").collect().map(_.getLong(0))
+    }.start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    Dedup.dropIndex(s, "tpar_s")
+    assert(streamSurvivors.sorted == batchSurvivors.sorted,
+      s"stream $streamSurvivors vs batch $batchSurvivors")
+    assert(batchSurvivors.toSet == Set(1L, 2L, 5L, 8L))
+  }
+
+  test("incremental dedup replay with the same batch tag is idempotent: " +
+      "identical survivors, index does not grow (at-least-once retry)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Bucketing, Dedup}
+    Dedup.dropIndex(s, "tretry")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = Seq(1L -> base).toDF("doc_id", "text")
+    val b2 = Seq(
+      // near-dup of 1 (first word stripped) — drops on the index probe
+      10L -> base.stripPrefix("alpha "),
+      11L -> "wholly unrelated text about other things").toDF("doc_id", "text")
+    Dedup.incrementalMinHash(s, b1, "text", "doc_id", "tretry",
+      minAgree = 0.75, buckets = 4, batchTag = Some("t_0"))
+    def attempt(): Seq[Long] =
+      Dedup.incrementalMinHash(s, b2, "text", "doc_id", "tretry",
+          minAgree = 0.75, buckets = 4, batchTag = Some("t_1"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val first = attempt()
+    val table = Bucketing.indexTable(s, "tretry")
+    val rowsAfterFirst = s.table(table).count()
+    // the retry must not probe against its own survivors (would drop 11)
+    // and must not re-append them
+    val second = attempt()
+    val rowsAfterSecond = s.table(table).count()
+    assert(first == Seq(11L) && second == first)
+    assert(rowsAfterSecond == rowsAfterFirst,
+      s"index grew on replay: $rowsAfterFirst -> $rowsAfterSecond")
+    Dedup.dropIndex(s, "tretry")
+  }
+
+  test("kafka source forwards offsets/rate/consumer options to the reader") {
+    // format("kafka") resolves through Spark's real source-resolution
+    // machinery to the registered test provider (FakeKafkaProvider,
+    // META-INF/services) — the captured map IS what a real connector
+    // would receive; only the live consume loop needs a broker.
+    graft.testkit.FakeKafkaProvider.lastOptions = Map.empty
+    val df = Streams.kafkaSource(spark, "broker1:9092,broker2:9092", "events",
+      startingOffsets = """{"events":{"0":42}}""",
+      maxOffsetsPerTrigger = Some(50000L),
+      kafkaOptions = Map(
+        "failOnDataLoss" -> "false",
+        "minPartitions" -> "64",
+        "kafka.isolation.level" -> "read_committed"))
+    // load() resolved the schema via the provider — options captured
+    // (normalize keys: Spark may hand a CaseInsensitiveMap or plain map)
+    val got = graft.testkit.FakeKafkaProvider.lastOptions
+      .map { case (k, v) => k.toLowerCase -> v }
+    assert(got("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(got("subscribe") == "events")
+    assert(got("startingoffsets") == """{"events":{"0":42}}""")
+    assert(got("maxoffsetspertrigger") == "50000")
+    assert(got("failondataloss") == "false")
+    assert(got("minpartitions") == "64")
+    assert(got("kafka.isolation.level") == "read_committed")
+    // the contract schema is the connector's public row shape
+    assert(df.schema.fieldNames.toSeq == Seq("key", "value", "topic",
+      "partition", "offset", "timestamp", "timestampType"))
+  }
 }
