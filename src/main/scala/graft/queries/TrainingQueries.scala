@@ -571,6 +571,56 @@ object TrainingQueries {
             s" AS feat_$i").mkString(", ")}
         FROM documents""")),
 
+    // REAL image round-trip, oracle-checked end-to-end: deterministic
+    // 16×16 gray PNGs built from a pixel formula, ImageIO-decoded,
+    // nearest-resampled to 8×8 (Multimodal.resizeImage — the actual
+    // javax.imageio + raster-resample production path), pixels
+    // re-extracted; DuckDB replays the arithmetic directly (nearest 16→8
+    // samples source pixel (2x+1, 2y+1)), so any codec or resample
+    // deviation breaks the hash. PNG is lossless and the resample is
+    // integer-exact — cross-engine comparable despite DuckDB having no
+    // image functions.
+    Q("q_image_resize",
+      (s, d) => {
+        val makePng = udf { (id: Long) =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, 0xFF000000 | (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val redGrid = udf { (bytes: Array[Byte]) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          for { y <- 0 until img.getHeight; x <- 0 until img.getWidth }
+            yield (x.toLong, y.toLong, ((img.getRGB(x, y) >>> 16) & 0xFF).toLong)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("png", makePng(col("doc_id")))
+          .withColumn("rz",
+            Multimodal.resizeImage(col("png"), 8, 8, "nearest"))
+          .select(col("doc_id"), explode(redGrid(col("rz.content"))).as("p"))
+          .select(col("doc_id"), col("p._1").as("x"), col("p._2").as("y"),
+            col("p._3").as("v"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16),
+          xs AS (SELECT unnest(generate_series(0, 7)) AS x),
+          ys AS (SELECT unnest(generate_series(0, 7)) AS y)
+        SELECT d.doc_id, xs.x, ys.y,
+          (d.doc_id * 31 + (2 * xs.x + 1) * 7 + (2 * ys.y + 1) * 13) % 256 AS v
+        FROM d CROSS JOIN xs CROSS JOIN ys""")),
+
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides
     // absorbs libm log ulp differences; unique doc_id breaks rank ties.
