@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", graftHeapDefault)}",
+  // a 165-query codegen-heavy session compiles thousands of janino
+  // classes; the default 240m reserved code cache can thrash the JIT into
+  // interpreter fallback (observed: identical single-task work 0.6s vs
+  // 165s across runs). Size it up and let the sweeper reclaim cold code.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -135,7 +135,15 @@ object Bench {
       // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
       // query): a long suite must not accumulate block-manager state
       graft.operators.Checkpoints.sweep()
-      Res(q.name, (first +: rest).min, err, gcMs, storageBytes(), setupSec)
+      val r = Res(q.name, (first +: rest).min, err, gcMs, storageBytes(),
+        setupSec)
+      // per-query progress on stderr (stdout carries only the JSON line):
+      // a wedged suite is attributable to a query from the log alone
+      System.err.println(
+        f"[bench] ${q.name}%-28s ${r.sec}%8.3fs first=$first%.3fs" +
+          setupSec.fold("")(s => f" setup=$s%.3fs") +
+          err.fold("")(e => s" ERROR $e"))
+      r
     }
 
     val results = runSuite()

@@ -50,13 +50,23 @@ object JsonIndex {
           c.cast("string").as("value"),
           num.as("num")))).otherwise(EmptyEntries)
     }
+    // Index builds are full-corpus jobs: spread the flatten across the
+    // cluster when the source arrives under-partitioned (a small corpus =
+    // one parquet split = ONE task doing every from_json + interpreted HOF
+    // flatten + columnar-cache build — round-7 bench forensics measured
+    // that single task 100× slower than the parallel plan under JIT
+    // pressure, and at 100 TB a single-task index build is wrong by
+    // definition). Already-parallel scans pass through untouched — no
+    // blind shuffle of corpus bytes.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
     // Parse in its OWN projection: the flatten expression references the
     // parsed struct once per leaf, and the transform() HOF makes the
     // projection interpreted (no common-subexpression elimination) — if
     // from_json were inlined it would re-parse the document per leaf.
     // CollapseProject keeps the stages separate because a non-cheap
     // producer referenced multiple times is not collapsible.
-    val parsed = df.select(col(idCol), from_json(col(jsonCol), schema).as("j"))
+    val parsed = src.select(col(idCol), from_json(col(jsonCol), schema).as("j"))
     parsed.select(col(idCol), explode(entries(col("j"), schema, "$")).as("e"))
       .select(col(idCol), col("e.path").as("path"),
         col("e.value").as("value"), col("e.num").as("num"))
@@ -89,6 +99,7 @@ object JsonIndex {
   def cachedPostings(df: DataFrame, jsonCol: String, idCol: String,
                      schema: DataType, cacheKey: Option[String]): DataFrame = {
     def build(): DataFrame = {
+      // postings() parallelizes an under-partitioned source internally
       val idx = postings(df, jsonCol, idCol, schema).cache()
       idx.count() // ingest-time lifecycle: materialize eagerly
       idx
