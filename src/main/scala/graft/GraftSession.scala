@@ -36,6 +36,13 @@ object GraftSession {
       .config("spark.ui.retainedTasks", "10000")
       .config("spark.sql.ui.retainedExecutions", "50")
       .config("spark.worker.ui.retainedExecutors", "50")
+      // generated-class cache: the 100-entry default thrashes once a
+      // session cycles >100 distinct plan shapes (an analytics service
+      // always does) — every re-planned query then pays janino
+      // recompilation and runs interpreted until C2 warms the fresh
+      // class. 1000 entries ≈ a few tens of MB of classes, cheap
+      // insurance for a long-lived session. Static conf: set at build.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS); read as long, see Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
