@@ -621,6 +621,48 @@ object TrainingQueries {
           (d.doc_id * 31 + (2 * xs.x + 1) * 7 + (2 * ys.y + 1) * 13) % 256 AS v
         FROM d CROSS JOIN xs CROSS JOIN ys""")),
 
+    // Bilinear twin of q_image_resize: 16×1 gray strips from a formula,
+    // decoded and 2:1-downsampled bilinear. At exactly 2:1 each output
+    // center lands midway between two source pixels (fx = 0.5, one row),
+    // so the blend is (g0+g1)/2 rounded half-up — integer-exact and
+    // replayable in SQL, hash-checking the bilinear kernel end-to-end.
+    Q("q_image_bilinear",
+      (s, d) => {
+        val makePng = udf { (id: Long) =>
+          val img = new java.awt.image.BufferedImage(16, 1,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var x = 0
+          while (x < 16) {
+            val g = ((id * 17 + x * 11) % 256).toInt
+            img.setRGB(x, 0, 0xFF000000 | (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val redRow = udf { (bytes: Array[Byte]) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          for (x <- 0 until img.getWidth)
+            yield (x.toLong, ((img.getRGB(x, 0) >>> 16) & 0xFF).toLong)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("png", makePng(col("doc_id")))
+          .withColumn("rz",
+            Multimodal.resizeImage(col("png"), 8, 1, "bilinear"))
+          .select(col("doc_id"), explode(redRow(col("rz.content"))).as("p"))
+          .select(col("doc_id"), col("p._1").as("x"), col("p._2").as("v"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16),
+          xs AS (SELECT unnest(generate_series(0, 7)) AS x)
+        SELECT d.doc_id, xs.x,
+          CAST(floor((((d.doc_id * 17 + (2 * xs.x) * 11) % 256)
+                    + ((d.doc_id * 17 + (2 * xs.x + 1) * 11) % 256)) / 2.0
+                    + 0.5) AS BIGINT) AS v
+        FROM d CROSS JOIN xs""")),
+
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides
     // absorbs libm log ulp differences; unique doc_id breaks rank ties.
