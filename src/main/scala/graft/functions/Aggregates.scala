@@ -64,6 +64,22 @@ object Aggregates {
     theta_sketch_estimate(theta_sketch_agg(c, lgK)).cast("long")
   }
 
+  /** segmentPartitionedDistinctCount
+    * (SegmentPartitionedDistinctCountAggregationFunction: when the table
+    * is PARTITIONED on the column, per-segment distinct counts sum to the
+    * global distinct count — no cross-segment value-set merge). Spark
+    * analog: per-partition exact distinct, then a sum of one long per
+    * partition — the shuffle carries partition counts, never value sets.
+    * Correct iff equal values never span partitions (the caller's layout
+    * contract, same as the reference's `partitionedColumn` config: use on
+    * ingest-bucketed / `repartition(col)`-ed data). At 100 TB this turns
+    * a distinct-count's value-set exchange into 1 long per partition. */
+  def segmentPartitionedDistinctCount(df: org.apache.spark.sql.DataFrame,
+                                      c: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(spark_partition_id().as("__pid"))
+      .agg(count_distinct(col(c)).as("__n"))
+      .agg(sum(col("__n")).as("distinct_cnt"))
+
   /** percentileSmartTDigest (strategy-switching wrapper: raw values until
     * the threshold, sketch beyond). Native TypedImperativeAggregate —
     * KLL stands in for TDigest (same mergeable bounded-error contract,

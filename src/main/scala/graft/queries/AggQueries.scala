@@ -116,6 +116,15 @@ object AggQueries {
         COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // segmentPartitionedDistinctCount: per-partition distincts summed —
+    // valid because the input is repartitioned ON the column (the
+    // reference's partitionedColumn layout contract), so the shuffle
+    // after the layout carries ONE long per partition, never value sets.
+    Q("q_agg_partitioned_distinct",
+      (s, d) => graft.functions.Aggregates.segmentPartitionedDistinctCount(
+        Tables.orders(s, d).repartition(8, col("o_custkey")), "o_custkey"),
+      Some("SELECT COUNT(DISTINCT o_custkey) AS distinct_cnt FROM orders")),
+
     // distinctSum / distinctAvg (exact decimal lift for determinism)
     Q("q_agg_distinct_sum",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
