@@ -142,6 +142,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     reg("arraylength", "array cardinality") { a => size(a(0)) }
     reg("jsonformat", "struct/map → json string") { a => to_json(a(0)) }
+    reg("mapvalue", "map value lookup (null when absent)") {
+      a => Scalars.mapValue(a(0), a(1))
+    }
+    regRaw("regexpextract",
+      "regexpExtract(value, regexp[, group[, default]]): group of first " +
+        "match, default when no match") { args =>
+      val pattern = litString(args(1), "regexpExtract pattern")
+      val group = if (args.length > 2)
+        litString(args(2), "regexpExtract group").toInt else 0
+      val default = if (args.length > 3)
+        litString(args(3), "regexpExtract default") else ""
+      Scalars.regexpExtract(asColumn(args(0)), pattern, group, default)
+    }
     reg("text_contains", "native text containment") {
       a => contains(a(0), a(1))
     }

@@ -276,6 +276,18 @@ object Scalars {
   /** Pinot valueIn(mvCol, v1, v2, …): the MV values that are in the set. */
   def valueIn(c: Column, vs: Seq[String]): Column =
     filter(c, x => x.isin(vs: _*))
+  /** Pinot mapValue(mapCol, key): value under `key` of a map column
+    * (MapValueTransformFunction; null when absent). */
+  def mapValue(c: Column, key: Column): Column = element_at(c, key)
+
+  /** Pinot regexpExtract(value, regexp[, group[, default]])
+    * (RegexpExtractTransformFunction): group `group` of the first match,
+    * `default` when the regexp does not match. Spark's regexp_extract
+    * yields '' on no-match, so the default needs an explicit gate. */
+  def regexpExtract(c: Column, pattern: String, group: Int = 0,
+                    default: String = ""): Column =
+    when(c.rlike(pattern), regexp_extract(c, pattern, group))
+      .otherwise(lit(default))
 
   // ---- hashing (HashFunctions.java) ----
   def sha256Hex(c: Column): Column = sha2(c, 256)

@@ -476,4 +476,34 @@ class FunctionsSpec extends SparkSpec {
     val exact = r.getLong(0).toDouble
     assert(math.abs(r.getLong(1) - exact) / exact < 0.15)
   }
+
+  test("regexpExtract: group capture with Pinot no-match default; mapValue") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("order-123-x", Map("a" -> 1, "b" -> 2)),
+      ("no digits here", Map.empty[String, Int])).toDF("s", "m")
+    val out = df.select(
+      graft.functions.Scalars.regexpExtract(
+        col("s"), "order-(\\d+)", 1, "none").as("g1"),
+      graft.functions.Scalars.mapValue(col("m"), lit("a")).as("va"),
+      graft.functions.Scalars.mapValue(col("m"), lit("z")).as("vz"))
+      .collect()
+    assert(out(0).getString(0) == "123" && out(1).getString(0) == "none")
+    assert(out(0).getInt(1) == 1 && out(0).isNullAt(2))
+    // SQL names through the session registry (dialect surface)
+    df.createOrReplaceTempView("rx_t")
+    val sql = s.sql("""SELECT REGEXPEXTRACT(s, 'order-(\\d+)', 1, 'none')
+        AS g1, MAPVALUE(m, 'a') AS va FROM rx_t""").collect()
+    assert(sql(0).getString(0) == "123" && sql(1).getString(0) == "none")
+    assert(sql(0).getInt(1) == 1)
+  }
+
+  test("segmentPartitionedDistinctCount equals global distinct on " +
+      "column-partitioned input") {
+    val o = Tables.orders(spark, sfDir)
+    val exact = o.select(count_distinct(col("o_custkey"))).head().getLong(0)
+    val part = Ag.segmentPartitionedDistinctCount(
+      o.repartition(8, col("o_custkey")), "o_custkey").head().getLong(0)
+    assert(part == exact)
+  }
 }
