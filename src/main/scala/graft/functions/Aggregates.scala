@@ -75,10 +75,19 @@ object Aggregates {
     * ingest-bucketed / `repartition(col)`-ed data). At 100 TB this turns
     * a distinct-count's value-set exchange into 1 long per partition. */
   def segmentPartitionedDistinctCount(df: org.apache.spark.sql.DataFrame,
-                                      c: String): org.apache.spark.sql.DataFrame =
-    df.groupBy(spark_partition_id().as("__pid"))
-      .agg(count_distinct(col(c)).as("__n"))
-      .agg(sum(col("__n")).as("distinct_cnt"))
+                                      c: String): org.apache.spark.sql.DataFrame = {
+    // per-partition imperative dedup (the reference's per-segment
+    // operator): a groupBy(partition_id).agg(count_distinct) formulation
+    // would still shuffle the deduped VALUES; this ships exactly one long
+    // per partition, like the reference's per-segment counts.
+    val perPartition = df.select(col(c).cast("string"))
+      .mapPartitions { it =>
+        val seen = new java.util.HashSet[String]()
+        it.foreach { r => if (!r.isNullAt(0)) seen.add(r.getString(0)) }
+        Iterator.single(seen.size.toLong)
+      }(org.apache.spark.sql.Encoders.scalaLong)
+    perPartition.toDF("__n").agg(sum(col("__n")).as("distinct_cnt"))
+  }
 
   /** percentileSmartTDigest (strategy-switching wrapper: raw values until
     * the threshold, sketch beyond). Native TypedImperativeAggregate —
