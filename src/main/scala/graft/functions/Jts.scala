@@ -140,4 +140,34 @@ object Jts {
   /** Area of a WKB geometry (for inspecting union results). */
   val wkbArea = udf((wkb: Array[Byte]) =>
     if (wkb.isEmpty) 0.0 else wkbReaderTl.get().read(wkb).getArea)
+
+  // ---- serialization forms (reference ST_AsBinary / ST_GeomFromWKB /
+  // ST_AsText / ST_GeometryType / ST_Polygon — TransformFunctionType
+  // ST_GEOG_FROM_WKB..ST_AS_TEXT rows; the reference's geospatial
+  // transforms in pinot-core/.../geospatial/transform/) ----
+
+  /** ST_AsBinary(geom): geometry → WKB bytes. */
+  val stAsBinary = udf((wkt: String) => wkbWriterTl.get().write(parse(wkt)))
+
+  /** ST_GeomFromWKB(bytes) → the engine's WKT representation, so the
+    * result composes with every other ST_* here. */
+  val stGeomFromWkb = udf((wkb: Array[Byte]) =>
+    wkbReaderTl.get().read(wkb).toText)
+
+  /** ST_AsText(geom): canonical WKT (parse round-trip normalizes spacing
+    * the way the reference re-serializes through its geometry object). */
+  val stAsText = udf((wkt: String) => parse(wkt).toText)
+
+  /** ST_GeometryType(geom): "Point" | "Polygon" | … (JTS type names —
+    * the reference is JTS-backed too, so the vocabulary matches). */
+  val stGeometryType = udf((wkt: String) => parse(wkt).getGeometryType)
+
+  /** ST_Polygon(wkt): construct-and-validate a polygon from text
+    * (reference ST_Polygon rejects non-polygon input). */
+  val stPolygon = udf((wkt: String) => {
+    val g = parse(wkt)
+    require(g.getGeometryType == "Polygon",
+      s"ST_Polygon: not a polygon: ${g.getGeometryType}")
+    g.toText
+  })
 }

@@ -811,6 +811,34 @@ object TrainingQueries {
         COUNT(*) AS n_boxes
         FROM supplier GROUP BY s_nationkey""")),
 
+    // WKB serialization round-trip (reference ST_AsBinary / ST_GeomFromWKB /
+    // ST_AsText / ST_GeometryType / ST_Polygon): box polygons → WKB bytes →
+    // geometry → area + type; text_stable asserts ST_AsText is a fixed
+    // point across the codec hop. The oracle replays the area arithmetic,
+    // so any WKB/WKT codec deviation breaks area, gtype, or the bit.
+    Q("q_geo_wkb",
+      (s, d) => {
+        import graft.functions.Jts
+        val sup = Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          (col("s_suppkey") % 1000).cast("double") * 10.0 as "x0",
+          (col("s_suppkey") % 8).cast("double") as "w")
+        val boxes = sup.withColumn("box",
+          Jts.stPolygon(Jts.stBoxWkt(col("x0"), lit(0.0),
+            col("x0") + col("w") + 1.0, lit(1.0))))
+        val back = Jts.stGeomFromWkb(Jts.stAsBinary(col("box")))
+        boxes.select(col("s_suppkey"),
+          graft.Par.r6(Jts.stArea(back)).as("area"),
+          Jts.stGeometryType(col("box")).as("gtype"),
+          (Jts.stAsText(back) === Jts.stAsText(col("box")))
+            .as("text_stable"))
+      },
+      Some("""SELECT s_suppkey,
+        ROUND((s_suppkey % 8) + 1.0, 6) AS area,
+        'Polygon' AS gtype,
+        TRUE AS text_stable
+        FROM supplier""")),
+
     // geo: planar ST_* + grid-cell index over synthesized coordinates
     Q("q_geo_distance",
       (s, d) => {

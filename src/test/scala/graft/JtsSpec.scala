@@ -63,6 +63,36 @@ class JtsSpec extends SparkSpec {
     assert(parses <= 32, s"$parses parses for 2000 identical WKT rows")
   }
 
+  test("WKB serialization round-trip: ST_AsBinary/ST_GeomFromWKB/ST_AsText" +
+      "/ST_GeometryType/ST_Polygon") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("POLYGON ((0 0, 4 0, 4 2, 0 2, 0 0))", "Polygon", 8.0),
+      ("POINT (3 4)", "Point", 0.0),
+      ("LINESTRING (0 0, 3 4)", "LineString", 0.0))
+      .toDF("g", "expType", "expArea")
+    val back = Jts.stGeomFromWkb(Jts.stAsBinary(col("g")))
+    val r = df.select(
+      Jts.stGeometryType(col("g")).as("t"),
+      col("expType"), col("expArea"),
+      Jts.stArea(back).as("area"),
+      (Jts.stAsText(back) === Jts.stAsText(col("g"))).as("stable"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getAs[String]("t") == row.getAs[String]("expType"))
+      assert(row.getAs[Double]("area") == row.getAs[Double]("expArea"))
+      assert(row.getAs[Boolean]("stable"))
+    }
+    // ST_Polygon validates its input
+    val ok = df.filter(col("expType") === "Polygon")
+      .select(Jts.stPolygon(col("g"))).head().getString(0)
+    assert(ok.startsWith("POLYGON"))
+    intercept[Exception] {
+      Seq("POINT (1 2)").toDF("g").select(Jts.stPolygon(col("g"))).collect()
+    }
+  }
+
   test("STUnion merges overlapping geometries (area < sum)") {
     val s = spark
     import s.implicits._
