@@ -496,6 +496,65 @@ object Dedup {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** SemDeDup-style cluster assignment (public method: Abbas et al. 2023 —
+    * cluster the embedding space, then prune near-duplicates within each
+    * cluster so the pair fan-out is bounded by cluster size, never the
+    * corpus). Deterministic variant: the k lowest-id vectors stand in for
+    * k-means centroids — the training step becomes replayable cross-engine
+    * while the two scale-critical stages (assignment, within-cluster
+    * prune) keep exactly the shape the k-means version has.
+    *
+    * Scale shape: centroids collect to the driver (k rows, O(k) driver
+    * memory) and ship as constants inside ONE codegen projection — the
+    * per-row argmax over k cosines is unrolled expression code, so
+    * assignment is map-only: no join, no shuffle. Cosines round to 6dp so
+    * the argmax order is engine-independent; ties break to the lowest
+    * centroid index. */
+  def semanticAssign(df: DataFrame, vecCol: String, idCol: String, k: Int)
+  : DataFrame = {
+    require(k >= 1, s"cluster count $k must be >= 1")
+    val cents: Array[Seq[Float]] = df.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1))
+    val nrm = Vectors.norm2(col(vecCol))
+    val scored = cents.toSeq.zipWithIndex.map { case (cv, i) =>
+      val cvLit = typedLit(cv)
+      struct(
+        round(Vectors.dot(col(vecCol), cvLit) /
+          (nrm * Vectors.norm2(cvLit)), 6).as("cos"),
+        lit(-i).as("neg"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("cluster", (-best.getField("neg")).cast("int"))
+  }
+
+  /** SemDeDup-style semantic dedup: assign clusters ([[semanticAssign]]),
+    * then drop every document that has a τ-similar LOWER-id document in
+    * the same cluster (the same greedy-by-id survivor convention as
+    * [[incrementalMinHash]] — deterministic at any parallelism, and a
+    * dropped document can still shield its own near-dups, so survivor
+    * sets are stable under reordering). Returns survivors with their
+    * `cluster` column; the only shuffle is the within-cluster equi-join,
+    * whose fan-out is bounded per cluster. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int, minCos: Double): DataFrame = {
+    val asg = semanticAssign(df, vecCol, idCol, k)
+    val t = cached(df, s"semAssign:$vecCol:$idCol:$k") {
+      val s = asg.select(col(idCol), col(vecCol), col("cluster"),
+        Vectors.norm2(col(vecCol)).as("nrm")).persist()
+      s.count()
+      s
+    }
+    val drops = t.as("a").join(t.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(round(Vectors.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        (col("a.nrm") * col("b.nrm")), 6) >= minCos)
+      .select(col(s"b.$idCol").as("__drop")).distinct()
+    asg.join(drops, asg(idCol) === drops("__drop"), "left_anti")
+  }
+
   /** Embedding-cosine near-dups, LSH-blocked by sign-bucket: pairs in the
     * same bucket with cosine ≥ threshold. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,

@@ -474,6 +474,36 @@ object TrainingQueries {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         WHERE cos >= 0.2""")),
 
+    // SemDeDup-style semantic dedup: deterministic seed centroids (8
+    // lowest-id vectors), map-only nearest-centroid assignment (unrolled
+    // codegen argmax, no shuffle), within-cluster τ-prune keyed on the
+    // cluster id. The oracle replays ALL of it — centroid choice,
+    // assignment argmax (rounded-cos DESC, cidx ASC), greedy-by-id drops —
+    // so the hash covers both the clustering and the prune.
+    Q("q_dedup_semantic",
+      (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d),
+          "embedding", "vec_id", 8, 0.25)
+        .select(col("vec_id"), col("cluster")),
+      Some(s"""WITH cent AS (
+          SELECT embedding AS cvec,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        asg AS (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, c.cidx AS cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ROUND(${cosSql("e.embedding", "c.cvec")}, 6) DESC,
+                  c.cidx) AS rk
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rk = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id AS drop_id
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ROUND($pairCosSql, 6) >= 0.25)
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM asg
+        WHERE vec_id NOT IN (SELECT drop_id FROM drops)""")),
+
     // brute-force cosine top-k (exact ANN baseline)
     Q("q_ann_topk",
       (s, d) => {

@@ -630,6 +630,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L))
   }
 
+  test("semanticDedup: assignment argmax + tie-break, greedy drops, " +
+      "dropped docs still shield") {
+    val s = spark
+    import s.implicits._
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(
+      (0L, v(0)), (1L, v(90)), // k=2 seeds (lowest ids)
+      (2L, v(3)), // 3° from seed 0 → dropped at τ=cos(4°)
+      (3L, v(6)), // 6° from seed 0 (below τ) but 3° from DROPPED id2 →
+      // dropped too: a dropped doc still shields its own near-dups
+      (4L, v(45))) // exactly between the seeds → rounded-cos tie →
+      // lowest centroid index wins (cluster 0); survives (cos45 < τ)
+      .toDF("vec_id", "embedding")
+    val tau = math.cos(math.toRadians(4)) // ≈ 0.997564
+    val out = graft.operators.Dedup.semanticDedup(
+      df, "embedding", "vec_id", 2, tau)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 1L -> 1, 4L -> 0))
+
+    // partition invariance: same survivors at any input layout
+    val out7 = graft.operators.Dedup.semanticDedup(
+      df.repartition(7), "embedding", "vec_id", 2, tau)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out7 == out)
+
+    // assignment alone covers every input row
+    val asg = graft.operators.Dedup.semanticAssign(
+      df, "embedding", "vec_id", 2)
+    assert(asg.count() == 5)
+    assert(asg.filter(col("cluster") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
