@@ -206,4 +206,59 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  // ---- int8 quantization (the standard ANN memory/IO lever: float32
+  // 4 B/dim → int8 1 B/dim + one scale per vector; cosine over quantized
+  // vectors needs no scales at all — they cancel in the ratio) ----
+
+  /** Per-vector symmetric int8 quantization: `q_i = round(x_i·127/max|x|)`
+    * clamped to [-127,127] as `array<tinyint>`, plus `scale = max|x|/127`
+    * for reconstruction. Zero vectors quantize to zeros with scale 0. One
+    * codegen projection, no shuffle; the arithmetic is ordered exactly as
+    * the DuckDB oracle replays it (x·127 first, then /max). */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String,
+                         qCol: String = "qvec",
+                         scaleCol: String = "qscale"): DataFrame = {
+    val x = col(vecCol)
+    val mx = array_max(transform(x, v => abs(v.cast("double"))))
+    val q = when(mx === 0d, transform(x, _ => lit(0).cast("byte")))
+      .otherwise(transform(x, v =>
+        least(greatest(round(v.cast("double") * 127.0 / mx), lit(-127.0)),
+          lit(127.0)).cast("byte")))
+    df.withColumn(qCol, q).withColumn(scaleCol, mx / 127.0)
+  }
+
+  /** Reconstruction: `q_i·scale` back to float. Element error is bounded
+    * by scale/2 (symmetric rounding). */
+  def dequantize(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, v => (v.cast("double") * scaleCol).cast("float"))
+
+  private def byteToFloat(c: Column): Column =
+    transform(c, _.cast("float"))
+
+  /** Brute-force top-k over QUANTIZED vectors — same output shape as
+    * [[bruteForceTopK]], scoring `cos_q = q_a·q_b / (|q_a||q_b|)` (scales
+    * cancel, so the int8 arrays alone rank candidates). Integer dots are
+    * exact in double, which keeps the ranking engine-independent; the
+    * exactness trade vs [[bruteForceTopK]] is the quantization error only.
+    * At scale the corpus-side win is 4× less memory/IO for the scored
+    * column — the reason IVF/HNSW deployments store int8. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    def side(df: DataFrame, id: String, v: String, n: String) = {
+      val qd = quantizeEmbeddings(df, vecCol)
+        .select(col(idCol).as(id), byteToFloat(col("qvec")).as(v))
+      qd.withColumn(n, sqrt(Vectors.dot(col(v), col(v))))
+    }
+    val q = side(queries, "query_id", "qv", "qn")
+    val c = side(corpus, "cand_id", "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -566,6 +566,40 @@ object TrainingQueries {
           WHERE rk <= 5"""),
     ),
 
+    // int8-quantized ANN: symmetric per-vector quantization (q = round
+    // (x·127/max|x|), clamped), cosine over the int8 arrays (scales
+    // cancel). Integer dots are exact in double, so the ENTIRE path —
+    // quantization rounding, dot, norm, ranking — replays bit-exactly in
+    // DuckDB; the hash gates the quantizer itself, not an approximation.
+    Q("q_ann_quantized",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 5)
+      },
+      Some {
+        def idot(a: String, b: String) =
+          s"""CAST(list_sum([$a.q[i] * $b.q[i]
+              for i in generate_series(1, len($a.q))]) AS DOUBLE)"""
+        s"""WITH qe AS (
+          SELECT vec_id,
+            [CAST(LEAST(GREATEST(ROUND(CAST(x AS DOUBLE) * 127 / mx),
+              -127), 127) AS BIGINT) for x in embedding] AS q
+          FROM (SELECT vec_id, embedding,
+              list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx
+            FROM embeddings))
+        SELECT query_id, cand_id, qcos, rk FROM (
+          SELECT query_id, cand_id, qcos, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY qcos DESC, cand_id) AS rk
+          FROM (SELECT b.vec_id AS query_id, a.vec_id AS cand_id,
+            ROUND(${idot("a", "b")} /
+              (SQRT(${idot("a", "a")}) * SQRT(${idot("b", "b")})), 6)
+              AS qcos
+            FROM qe a, (SELECT * FROM qe WHERE vec_id < 5) b
+            WHERE a.vec_id != b.vec_id))
+        WHERE rk <= 5"""
+      }),
+
     // IVF ANN (trained-centroid scale path) — rows-only gate (k-means
     // training is float-iterative, not oracle-replicable; the spec bounds
     // recall vs brute force instead)

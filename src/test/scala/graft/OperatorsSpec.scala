@@ -666,6 +666,49 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("int8 quantization: round-trip error ≤ scale/2, zero-vector safe, " +
+      "quantized top-k tracks exact top-k") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 0.5f, -0.125f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(df, "embedding")
+    val rows = q.select(col("vec_id"), col("qvec"), col("qscale"),
+      Similarity.dequantize(col("qvec"), col("qscale")).as("back"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("qscale")
+      val orig = r.getSeq[Float](4)
+      val back = r.getSeq[Float](3)
+      val qv = r.getSeq[Byte](1)
+      assert(qv.forall(b => b >= -127 && b <= 127))
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-6,
+          s"vec ${r.getLong(0)}: $o vs $b at scale $scale")
+      }
+      if (r.getLong(0) == 1L) {
+        assert(scale == 0.0 && qv.forall(_ == 0))
+      }
+    }
+
+    // recall on the real embeddings: int8 cosine ranking stays close to
+    // exact — at dim 64 the quantization error is ~1/254 per coordinate,
+    // so top-5 overlap should be high (bound kept conservative)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val quant = pairs(Similarity.quantizedTopK(emb, queries, "vec_id",
+      "embedding", 5))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall")
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
