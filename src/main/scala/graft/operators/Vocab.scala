@@ -25,6 +25,77 @@ object Vocab {
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col(idCol)).as("n_docs"))
 
+  /** Learn `n` BPE merges (the public byte-pair-encoding procedure —
+    * Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+    * Subword Units"): repeatedly count adjacent symbol pairs across the
+    * corpus (overlapping, frequency-weighted) and merge the most frequent
+    * pair everywhere, greedy left-to-right. Returns one row per merge:
+    * (round, lhs, rhs, cnt).
+    *
+    * Symbols travel as a delimiter-encoded string — each symbol wrapped
+    * in `|`, symbols separated by one space (`"hi" → "|h| |i|"`). Merge
+    * application is then a plain leftmost-non-overlapping string replace
+    * of `"|l| |r|"` → `"|lr|"` — exactly the greedy scan BPE specifies,
+    * as ONE codegen string op per round, with `replace()` semantics the
+    * DuckDB oracle replays verbatim. `words` are whitespace tokens
+    * restricted to `wordPattern`, so symbols can never contain `|` or a
+    * space (delimiter safety).
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word frame
+    * (one shuffle, |vocab| rows); each round is one map-side-combined
+    * pair aggregation over |vocab| rows plus one projection, with the
+    * round's frame persisted and its parent released (work per round
+    * stays O(|vocab|), lineage stays O(1)). The driver holds only the
+    * winning merges — O(n). Ties break on the encoded pair string
+    * (deterministic in both engines; the public implementation's
+    * dict-order tie-break is arbitrary too). */
+  def bpeMerges(df: DataFrame, textCol: String, n: Int,
+                wordPattern: String = "^[a-z0-9]+$"): DataFrame = {
+    require(n >= 1, s"merge count $n must be >= 1")
+    val spark = df.sparkSession
+    val words0 = df
+      .select(explode(TA.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(wordPattern))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(rtrim(regexp_replace(col("word"), "(.)", "|$1| ")).as("e"),
+        col("freq"))
+      .persist()
+    var words = words0
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= n && !exhausted) {
+      val toks = split(col("e"), " ")
+      val len1 = greatest(size(toks) - 1, lit(0))
+      val pairs = zip_with(slice(toks, lit(1), len1),
+        slice(toks, lit(2), len1), (a, b) => concat(a, lit(" "), b))
+      val best = words.select(explode(pairs).as("pat"), col("freq"))
+        .groupBy("pat").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pat"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pat = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val parts = pat.split(" ")
+        def strip(s: String) = s.substring(1, s.length - 1)
+        merges += ((r, strip(parts(0)), strip(parts(1)), cnt))
+        val next = words.select(
+          replace(col("e"), lit(pat), lit(pat.replace("| |", ""))).as("e"),
+          col("freq")).persist()
+        next.count() // materialize before releasing the parent
+        if (words ne words0) words.unpersist()
+        words = next
+        r += 1
+      }
+    }
+    if (words ne words0) words.unpersist()
+    words0.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
+  }
+
   /** Top-`k` vocabulary with deterministic ties (count desc, token asc)
     * and rank (1-based, dense over the deterministic order). */
   def build(df: DataFrame, textCol: String, idCol: String, k: Int,

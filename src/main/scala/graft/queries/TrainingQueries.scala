@@ -801,6 +801,45 @@ object TrainingQueries {
             AS INT) AS rank
         FROM c ORDER BY n_occurrences DESC, token LIMIT 50""")),
 
+    // BPE merge learning (Sennrich 2016): 3 rounds of frequency-weighted
+    // pair counting + greedy merge over the distinct-word frame. The
+    // oracle UNROLLS all three rounds in SQL — same pipe-encoded symbol
+    // strings, same overlapping pair counts, same argmax tie-break, same
+    // leftmost-non-overlapping replace() — so the hash gates the whole
+    // iterative procedure, not just one round.
+    Q("q_bpe_merges",
+      (s, d) => graft.operators.Vocab.bpeMerges(
+        Tables.documents(s, d), "text", n = 3),
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat, cnt FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
+            freq FROM $prev, b$i b)"""
+        }
+        s"""WITH w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
+          freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)}
+        SELECT CAST(round AS INT) AS round,
+          trim(string_split(pat, ' ')[1], '|') AS lhs,
+          trim(string_split(pat, ' ')[2], '|') AS rhs,
+          CAST(cnt AS BIGINT) AS cnt
+        FROM (
+          SELECT 1 AS round, pat, cnt FROM b1
+          UNION ALL SELECT 2, pat, cnt FROM b2
+          UNION ALL SELECT 3, pat, cnt FROM b3)"""
+      }),
+
     // Lucene-style phrase TEXT_MATCH over the positional inverted index:
     // adjacent-position postings intersections (keyed equi-joins), never a
     // corpus scan. Oracle walks the token list for an adjacent bigram.

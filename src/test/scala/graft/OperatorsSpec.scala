@@ -345,6 +345,37 @@ class OperatorsSpec extends SparkSpec {
     assert(floored.toSeq == Seq("b", "e", "a", "c"))
   }
 
+  test("bpeMerges: weighted pair counts, greedy merge, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    // classic corpus: low×3, lower×2, newest×1
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val m = Vocab.bpeMerges(docs, "text", n = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (l,o)=5 ties (o,w)=5 → encoded-pat tie-break picks (l,o)
+    // r2: (lo,w)=5   r3: (e,r)=2 ties (low,e)=2 → 'e' < 'low'
+    assert(m.toSeq == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "e", "r", 2L)))
+
+    // partition invariance
+    val m7 = Vocab.bpeMerges(docs.repartition(7), "text", n = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m7.toSeq == m.toSeq)
+
+    // merge application is greedy left-to-right: "aaa" merges the first
+    // overlapping pair only → [aa, a], so (a,a) counts 2 pre-merge and
+    // the round-2 winner over "aaa"×1 is (aa,a)
+    val mm = Vocab.bpeMerges(Seq((1L, "aaa")).toDF("doc_id", "text"),
+      "text", n = 2).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(mm.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("bm25: rarer terms and shorter docs score higher; tf grows score") {
     val s = spark
     import s.implicits._
