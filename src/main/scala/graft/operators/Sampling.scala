@@ -51,6 +51,23 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Per-row weighted keep (importance sampling — the DSIR-style
+    * resampling primitive: keep each document with probability equal to
+    * its weight, e.g. a quality score or domain importance ratio in
+    * [0,1]). Deterministic: the salted id-hash bucket stands in for the
+    * uniform draw, so the same (id, weight) survives on any cluster, and
+    * raising a weight only ever ADDS survivors (monotone, like
+    * [[sampleByHash]]'s fraction). Weights clamp to [0,1]; the threshold
+    * rounds half-up at 1/10000 resolution exactly as [[mixSources]]
+    * does for its constant weights. Pure filter — no shuffle, no RNG. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     salt: String = "graft"): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)),
+      lit(1.0))
+    df.filter(bucket(col(idCol), salt) <
+      floor(w * 10000 + 0.5).cast("long"))
+  }
+
   /** Assign each row a named split by hash bucket: `splits` are ordered
     * (name, fraction) with fractions summing to ≤ 1; rows past the last
     * cumulative boundary get null (unassigned holdout). One projection,

@@ -283,6 +283,21 @@ object TrainingQueries {
                    WHEN 'src1' THEN 500 ELSE 10000 END)
         GROUP BY source ORDER BY source""")),
 
+    // Importance (weighted) sampling: each doc keeps with probability =
+    // its per-row weight (here a deterministic stand-in score). Oracle
+    // replays the salted md5 bucket AND the half-up weight threshold, so
+    // WHICH rows survive is bit-checked.
+    Q("q_sample_weight",
+      (s, d) => graft.operators.Sampling.sampleByWeight(
+          Tables.documents(s, d)
+            .withColumn("w", (col("doc_id") % 100).cast("double") / 100.0),
+          "doc_id", "w")
+        .select(col("doc_id"), col("w")),
+      Some(s"""SELECT doc_id, CAST(doc_id % 100 AS DOUBLE) / 100.0 AS w
+        FROM documents
+        WHERE ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000
+          < FLOOR((CAST(doc_id % 100 AS DOUBLE) / 100.0) * 10000 + 0.5)""")),
+
     // Benchmark decontamination: corpus docs sharing any 5-token shingle
     // with the benchmark subset (doc_id % 97 = 0 plays the eval set) are
     // flagged — the n-gram-overlap decontamination step of every training

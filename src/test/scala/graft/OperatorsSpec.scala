@@ -424,6 +424,38 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("sampleByWeight: keep rate tracks weight, monotone in weight, " +
+      "clamped, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 4000L).map(i => (i, (i % 4) match {
+      case 0 => 0.0
+      case 1 => 0.25
+      case 2 => 0.75
+      case _ => 5.0 // clamps to 1.0
+    })).toDF("id", "w")
+    val kept = Sampling.sampleByWeight(df, "id", "w")
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!byW.contains(0.0), "weight 0 keeps nothing")
+    assert(byW(5.0) == 1000, "weight > 1 clamps to keep-all")
+    assert(math.abs(byW(0.25) - 250) < 90, s"w=0.25 kept ${byW(0.25)}")
+    assert(math.abs(byW(0.75) - 750) < 90, s"w=0.75 kept ${byW(0.75)}")
+
+    // monotone: raising every weight only adds survivors
+    val low = Sampling.sampleByWeight(
+      df.withColumn("w", col("w") * 0.5), "id", "w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val ids = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(ids))
+
+    // partition invariance
+    val ids13 = Sampling.sampleByWeight(df.repartition(13), "id", "w")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids13 == ids)
+  }
+
   test("scrub: redacts email/ip/ssn/phone, counts per kind, text preserved") {
     val s = spark
     import s.implicits._
