@@ -96,6 +96,65 @@ object Vocab {
     merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
 
+  /** Apply learned BPE merges to the corpus: each whitespace token
+    * matching `wordPattern` is segmented by applying the merges
+    * SEQUENTIALLY in learned order (each merge replaces leftmost
+    * non-overlapping everywhere — the same greedy scan [[bpeMerges]]
+    * trains with, so training data re-encodes to exactly the training
+    * segmentation); non-matching tokens pass through whole. Adds
+    * `outCol`: the document's subword array.
+    *
+    * Two equivalent execution tiers (spec-checked equal): for small merge
+    * tables the replace chain is inlined as codegen string expressions;
+    * past `exprChainMax` merges (production tokenizers carry 10k+) the
+    * same procedure runs as one UDF over a driver-held merge array —
+    * still a single projection, no shuffle, no per-row allocation beyond
+    * the subword list itself. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)],
+                wordPattern: String = "^[a-z0-9]+$",
+                outCol: String = "subwords",
+                exprChainMax: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Column
+    if (merges.size <= exprChainMax) {
+      val encodeWord: Column => Column = { w =>
+        val enc0 = rtrim(regexp_replace(w, "(.)", "|$1| "))
+        val encN = merges.foldLeft(enc0) { case (e, (l, r)) =>
+          replace(e, lit(s"|$l| |$r|"), lit(s"|$l$r|"))
+        }
+        transform(split(encN, " "), t => t.substr(lit(2), length(t) - 2))
+      }
+      df.withColumn(outCol, flatten(transform(TA.tokens(col(textCol)),
+        w => when(w.rlike(wordPattern), encodeWord(w))
+          .otherwise(array(w)))))
+    } else {
+      val merged = merges.toArray
+      val pattern = wordPattern.r
+      val enc = udf { (text: String) =>
+        if (text == null) Seq.empty[String]
+        else text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          .flatMap { word =>
+            if (pattern.findFirstIn(word).isEmpty) Seq(word)
+            else {
+              var e = "|" + word.toCharArray.mkString("| |") + "|"
+              merged.foreach { case (l, r) =>
+                e = e.replace(s"|$l| |$r|", s"|$l$r|")
+              }
+              e.split(" ").toSeq.map(t => t.substring(1, t.length - 1))
+            }
+          }
+      }
+      df.withColumn(outCol, enc(col(textCol)))
+    }
+  }
+
+  /** [[bpeEncode]] from a [[bpeMerges]] output frame (collected in round
+    * order — O(n merges) driver memory). */
+  def bpeEncode(df: DataFrame, textCol: String, mergesDf: DataFrame)
+  : DataFrame =
+    bpeEncode(df, textCol, mergesDf.orderBy("round").collect().toSeq
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
+
   /** Top-`k` vocabulary with deterministic ties (count desc, token asc)
     * and rank (1-based, dense over the deterministic order). */
   def build(df: DataFrame, textCol: String, idCol: String, k: Int,

@@ -855,6 +855,60 @@ object TrainingQueries {
           UNION ALL SELECT 3, pat, cnt FROM b3)"""
       }),
 
+    // BPE encode: apply the 3 learned merges back to the corpus —
+    // sequential greedy replace per word, non-matching tokens pass
+    // through whole, per-doc subword stream reassembled in order. The
+    // oracle re-learns the merges (word-carried CTE chain) and re-encodes
+    // every document, so the full rebuilt subtext is bit-checked.
+    Q("q_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Vocab.bpeMerges(docs, "text", n = 3)
+        graft.operators.Vocab.bpeEncode(docs, "text", merges)
+          .select(col("doc_id"),
+            size(col("subwords")).as("n_subwords"),
+            array_join(col("subwords"), " ").as("subtext"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT word, replace(e, b.pat, replace(b.pat, '| |', ''))
+            AS e, freq FROM $prev, b$i b)"""
+        }
+        s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        w AS (SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(tk) AS word FROM tk)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT word,
+          rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e, freq
+          FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        enc AS (SELECT word,
+          [trim(t, '|') for t in string_split(e, ' ')] AS sub FROM e3),
+        tok AS (SELECT doc_id, i, tk[i] AS word FROM (
+            SELECT doc_id, tk,
+              unnest(generate_series(1, greatest(len(tk), 1))) AS i
+            FROM tk) WHERE i <= len(tk)),
+        seg AS (SELECT t.doc_id, t.i,
+            CASE WHEN e.word IS NULL THEN [t.word] ELSE e.sub END AS sub
+          FROM tok t LEFT JOIN enc e ON t.word = e.word)
+        SELECT d.doc_id,
+          CAST(COALESCE(SUM(len(s.sub)), 0) AS INT) AS n_subwords,
+          COALESCE(string_agg(array_to_string(s.sub, ' '), ' '
+            ORDER BY s.i), '') AS subtext
+        FROM documents d LEFT JOIN seg s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }),
+
     // Lucene-style phrase TEXT_MATCH over the positional inverted index:
     // adjacent-position postings intersections (keyed equi-joins), never a
     // corpus scan. Oracle walks the token list for an adjacent bigram.

@@ -376,6 +376,35 @@ class OperatorsSpec extends SparkSpec {
     assert(mm.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeEncode: training data re-encodes to training segmentation; " +
+      "expression and UDF tiers agree; pass-through for non-word tokens") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val enc = Vocab.bpeEncode(docs, "text", merges)
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[String](2))
+    assert(enc(0) == Seq("low", "low", "low"))
+    assert(enc(1) == Seq("low", "er", "low", "er"))
+    assert(enc(2) == Seq("n", "e", "w", "e", "s", "t"))
+
+    // UDF tier (exprChainMax = 0 forces it) produces identical output
+    val encU = Vocab.bpeEncode(docs, "text", merges, exprChainMax = 0)
+      .orderBy("doc_id").collect().map(_.getSeq[String](2))
+    assert(encU.toSeq.map(_.toSeq) == enc.toSeq.map(_.toSeq))
+
+    // tokens outside wordPattern pass through unsegmented
+    val mixed = Vocab.bpeEncode(
+      Seq((1L, "low C++!")).toDF("doc_id", "text"), "text", merges)
+      .head().getSeq[String](2)
+    assert(mixed == Seq("low", "c++!"))
+  }
+
   test("bm25: rarer terms and shorter docs score higher; tf grows score") {
     val s = spark
     import s.implicits._
