@@ -261,4 +261,93 @@ object Similarity {
       .orderBy(col("qcos").desc, col("cand_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  // ---- product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search"): split D dims into m subspaces, encode
+  // each subvector as its nearest codebook centroid — D·4 bytes/vector
+  // become m bytes (+ a shared m×k codebook). Queries stay float and
+  // score candidates via ADC: one m×k distance table per query, then a
+  // table lookup per (candidate, subspace). ----
+
+  /** PQ codebook: `centroids(j)(c)` = centroid `c` of subspace `j`. */
+  final case class PqModel(m: Int, k: Int,
+                           centroids: Array[Array[Array[Float]]]) {
+    def sub: Int = centroids(0)(0).length
+  }
+
+  /** Deterministic codebook: subvectors of the k lowest-id vectors (the
+    * replayable stand-in for per-subspace k-means — same pattern as
+    * [[graft.operators.Dedup.semanticAssign]]; the encode and ADC stages,
+    * where all the 100 TB cost lives, are identical either way). O(k·D)
+    * driver memory. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int): PqModel = {
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == k, s"corpus smaller than k=$k")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    PqModel(m, k,
+      Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub))))
+  }
+
+  /** Scaled-long squared L2 between a subvector expression and a constant
+    * centroid: `round(x·x − 2·x·c + c·c, 6)·1e6` as a long. The
+    * quantized-integer form makes every downstream SUM order-independent
+    * and therefore engine-exact (distances are ≥ 0 up to float noise ≪
+    * the 1e-6 resolution, so floor(v+0.5) is exact half-up). */
+  private def subDistU(x: Column, cv: Seq[Float]): Column = {
+    val cvLit = typedLit(cv)
+    val d = round(Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cvLit) +
+      Vectors.dot(cvLit, cvLit), 6)
+    floor(d * 1e6 + 0.5).cast("long")
+  }
+
+  /** Encode each vector as `array<tinyint>` of per-subspace nearest-
+    * centroid codes (ties → lowest code). One unrolled codegen
+    * projection — m·k dot products per row, no join, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+               codesCol: String = "pq_codes"): DataFrame = {
+    val codes = array((0 until model.m).map { j =>
+      val x = slice(col(vecCol), j * model.sub + 1, model.sub)
+      val scored = (0 until model.k).map { c =>
+        struct(subDistU(x, model.centroids(j)(c).toSeq).as("d"),
+          lit(c).as("c"))
+      }
+      least(scored: _*).getField("c").cast("byte")
+    }: _*)
+    df.withColumn(codesCol, codes)
+  }
+
+  /** PQ ANN top-k by ADC: candidates carry only their m-byte codes; each
+    * query row computes its m×k distance table once (unrolled into the
+    * projection), and scoring a candidate is m array lookups + an exact
+    * long sum (`adist_u` = squared L2 scaled by 1e6). At scale the
+    * corpus-side read is m bytes/vector — a 32× IO cut at D=64 float32 —
+    * and the scan stays map-only against broadcast queries. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int, k: Int, topK: Int): DataFrame = {
+    val model = pqTrain(corpus, idCol, vecCol, m, k)
+    val enc = pqEncode(corpus, vecCol, model)
+      .select(col(idCol).as("cand_id"), col("pq_codes"))
+    val qtabs = array((0 until m).map { j =>
+      val x = slice(col(vecCol), j * model.sub + 1, model.sub)
+      array((0 until k).map(c =>
+        subDistU(x, model.centroids(j)(c).toSeq)): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), qtabs.as("qtab"))
+    val adistU = (0 until m).map(j =>
+      element_at(element_at(col("qtab"), j + 1),
+        element_at(col("pq_codes"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), adistU.as("adist_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_u"), col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK).drop("qtab")
+  }
 }

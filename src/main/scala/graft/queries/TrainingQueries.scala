@@ -615,6 +615,54 @@ object TrainingQueries {
         WHERE rk <= 5"""
       }),
 
+    // Product-quantization ANN (Jégou 2011): 64 float dims → 8 codebook
+    // bytes per vector; queries score candidates via ADC table lookups.
+    // Distances ride as 1e6-scaled longs so every sum is order-free and
+    // the DuckDB oracle replays the WHOLE pipeline — codebook slicing,
+    // per-subspace argmin encode, ADC accumulation, ranking — bit-exactly.
+    Q("q_ann_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", m = 8, k = 16, topK = 5)
+      },
+      Some {
+        def dotS(x: String, y: String) =
+          s"""list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+              for i in generate_series(1, len($x))])"""
+        s"""WITH seeds AS (
+          SELECT embedding AS sv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+            AS c
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cent AS (
+          SELECT c, j, sv[j*8+1 : j*8+8] AS cv
+          FROM seeds, (SELECT unnest(generate_series(0, 7)) AS j)),
+        vd AS (
+          SELECT vec_id, j, c,
+            CAST(FLOOR(ROUND(
+              ${dotS("x", "x")} - 2 * ${dotS("x", "cv")} +
+                ${dotS("cv", "cv")}, 6) * 1e6 + 0.5) AS BIGINT) AS du
+          FROM (SELECT e.vec_id, ct.j, ct.c,
+              e.embedding[ct.j*8+1 : ct.j*8+8] AS x, ct.cv
+            FROM embeddings e CROSS JOIN cent ct)),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, j ORDER BY du, c) AS rk FROM vd)
+          WHERE rk = 1),
+        ad AS (
+          SELECT vq.vec_id AS query_id, cd.vec_id AS cand_id,
+            CAST(SUM(vq.du) AS BIGINT) AS adist_u
+          FROM codes cd JOIN vd vq ON vq.j = cd.j AND vq.c = cd.code
+          WHERE vq.vec_id < 5 AND cd.vec_id != vq.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, cand_id, adist_u, rk FROM (
+          SELECT query_id, cand_id, adist_u, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adist_u, cand_id) AS rk
+          FROM ad)
+        WHERE rk <= 5"""
+      }),
+
     // IVF ANN (trained-centroid scale path) — rows-only gate (k-means
     // training is float-iterative, not oracle-replicable; the spec bounds
     // recall vs brute force instead)

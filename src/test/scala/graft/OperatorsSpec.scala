@@ -801,6 +801,48 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall $recall")
   }
 
+  test("product quantization: codes, ADC distances, seed self-codes, " +
+      "partition invariance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Array(0f, 0f, 1f, 0f)), // seed → centroid 0 per subspace
+      (1L, Array(1f, 0f, 0f, 1f)), // seed → centroid 1 per subspace
+      (2L, Array(0.9f, 0.1f, 0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(df, "vec_id", "embedding", m = 2, k = 2)
+    val enc = Similarity.pqEncode(df, "embedding", model)
+      .select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(enc(0L) == Seq(0.toByte, 0.toByte)) // seeds encode to themselves
+    assert(enc(1L) == Seq(1.toByte, 1.toByte))
+    assert(enc(2L) == Seq(1.toByte, 1.toByte)) // closest to seed 1 in both
+
+    // hand-computed ADC from query id0: both candidates carry codes
+    // [1,1] → adist_u = d(q_sub0, c1)·1e6 + d(q_sub1, c1)·1e6 =
+    // 1.0e6 + 2.0e6; tie breaks by cand_id
+    val top = Similarity.pqTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", m = 2, k = 2, topK = 2)
+      .orderBy("rk").collect()
+    assert(top.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 2L))
+    assert(top.map(_.getAs[Long]("adist_u")).toSeq ==
+      Seq(3000000L, 3000000L))
+
+    // real embeddings: shape + layout invariance
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", m = 8, k = 16, topK = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("adist_u"))).toSet
+    assert(a.size == 15)
+    val b = Similarity.pqTopK(emb.repartition(11),
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      m = 8, k = 16, topK = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("adist_u"))).toSet
+    assert(b == a)
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
