@@ -903,6 +903,46 @@ object TrainingQueries {
           UNION ALL SELECT 3, pat, cnt FROM b3)"""
       }),
 
+    // Bigram LM cross-entropy (CCNet-style quality filter): self-trained
+    // add-1 bigram model, per-doc −mean ln p. Each bigram's ln rides as a
+    // 1e6-scaled long so the per-doc sum is integer-exact and order-free;
+    // the oracle replays counts, smoothing, ln rounding, and the final
+    // division — sum_u is bit-checked, xent to 6dp.
+    Q("q_lm_score",
+      (s, d) => graft.operators.LmQuality.lmScore(
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM (SELECT doc_id, tk,
+              unnest(generate_series(1, greatest(len(tk), 1))) AS i
+            FROM tk)
+          WHERE i <= len(tk) - 1),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT t) AS v FROM (
+          SELECT unnest(tk) AS t FROM tk)),
+        u AS (SELECT b.doc_id,
+            CAST(ROUND(ROUND(LN(
+              (CAST(x.c12 AS DOUBLE) + 1.0) /
+              (CAST(y.c1 AS DOUBLE) + 1.0 * vv.v)), 6) * 1e6) AS BIGINT)
+              AS u
+          FROM bg b
+          JOIN c12 x ON b.w1 = x.w1 AND b.w2 = x.w2
+          JOIN c1 y ON b.w1 = y.w1
+          CROSS JOIN vv),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(u) AS BIGINT) AS sum_u
+          FROM u GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          a.sum_u,
+          ROUND(-(CAST(a.sum_u AS DOUBLE) /
+            (CAST(a.n_bigrams AS DOUBLE) * 1e6)), 6) AS xent
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id""")),
+
     // BPE encode: apply the 3 learned merges back to the corpus —
     // sequential greedy replace per word, non-matching tokens pass
     // through whole, per-doc subword stream reassembled in order. The

@@ -405,6 +405,34 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed == Seq("low", "c++!"))
   }
 
+  test("lmScore: hand-computed bigram cross-entropy, short docs null, " +
+      "partition invariance") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.LmQuality
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a a"),
+      (3L, "a")).toDF("doc_id", "text")
+    // c12: (a,b)=2 (b,a)=1 (a,a)=1; c1: a=3 b=1; V=2
+    // p(b|a)=(2+1)/(3+2)=0.6  p(a|b)=(1+1)/(1+2)=2/3  p(a|a)=(1+1)/(3+2)=0.4
+    // u: ln0.6→-510826  ln(2/3)→-405465  ln0.4→-916291
+    val r = LmQuality.lmScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3 &&
+      r(0).getLong(2) == -510826L * 2 - 405465L)
+    assert(math.abs(r(0).getDouble(3) - 0.475706) < 1e-9)
+    assert(r(1).getLong(1) == 1 && r(1).getLong(2) == -916291L)
+    assert(math.abs(r(1).getDouble(3) - 0.916291) < 1e-9)
+    assert(r(2).getLong(1) == 0 && r(2).isNullAt(2) && r(2).isNullAt(3))
+
+    val r7 = LmQuality.lmScore(docs.repartition(7), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r7.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      r.map(x => (x.getLong(0), x.getLong(1))).toSeq)
+    assert(r7(0).getLong(2) == r(0).getLong(2))
+  }
+
   test("bm25: rarer terms and shorter docs score higher; tf grows score") {
     val s = spark
     import s.implicits._
