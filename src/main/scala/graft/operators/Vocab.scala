@@ -155,6 +155,35 @@ object Vocab {
     bpeEncode(df, textCol, mergesDf.orderBy("round").collect().toSeq
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
 
+  /** Skip-gram co-occurrence counts (the word2vec / GloVe preparation
+    * step — Mikolov 2013, Pennington 2014): ordered (center, context)
+    * pairs within `window` positions, with both the raw count and the
+    * GloVe 1/distance weighting (as an exact 1e6-scaled long, so sums
+    * are order-free and engine-exact). Contexts come from slice
+    * alignment inside ONE exploded projection — the corpus is scanned
+    * once, there is no self-join — followed by one map-side-combined
+    * keyed aggregation on the pair. */
+  def coocCounts(df: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    val toks = TA.tokens(col(textCol))
+    val n = size(toks)
+    val pairs = explode(concat(
+      (1 to window).flatMap { d =>
+        val len = greatest(n - d, lit(0))
+        val a = slice(toks, lit(1), len)
+        val b = slice(toks, lit(1 + d), len)
+        val w = lit(math.round(1e6 / d))
+        Seq(
+          zip_with(a, b, (x, y) =>
+            struct(x.as("w1"), y.as("w2"), w.as("wu"))),
+          zip_with(b, a, (x, y) =>
+            struct(x.as("w1"), y.as("w2"), w.as("wu"))))
+      }: _*))
+    df.select(pairs.as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"), sum(col("p.wu")).as("wcnt_u"))
+  }
+
   /** Top-`k` vocabulary with deterministic ties (count desc, token asc)
     * and rank (1-based, dense over the deterministic order). */
   def build(df: DataFrame, textCol: String, idCol: String, k: Int,

@@ -903,6 +903,29 @@ object TrainingQueries {
           UNION ALL SELECT 3, pat, cnt FROM b3)"""
       }),
 
+    // Skip-gram co-occurrence (word2vec/GloVe prep): ordered pairs within
+    // window 2, raw counts + exact scaled 1/distance weights; top 100 by
+    // (cnt desc, pair) — deterministic total order. Oracle replays the
+    // window alignment and integer weight sums bit-for-bit.
+    Q("q_cooc_counts",
+      (s, d) => graft.operators.Vocab.coocCounts(
+          Tables.documents(s, d), "text", window = 2)
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(100),
+      Some(s"""WITH tk AS (
+          SELECT ${toksSql("text")} AS tk FROM documents),
+        pr AS (SELECT tk[i] AS w1, tk[i+d] AS w2, d FROM (
+            SELECT tk, i, dd.d FROM (
+              SELECT tk, unnest(generate_series(1, greatest(len(tk), 1)))
+                AS i FROM tk),
+              (SELECT unnest(generate_series(1, 2)) AS d) dd)
+          WHERE i + d <= len(tk)),
+        pb AS (SELECT w1, w2, d FROM pr
+          UNION ALL SELECT w2, w1, d FROM pr)
+        SELECT w1, w2, COUNT(*) AS cnt,
+          CAST(SUM(CAST(ROUND(1e6 / d) AS BIGINT)) AS BIGINT) AS wcnt_u
+        FROM pb GROUP BY w1, w2
+        ORDER BY cnt DESC, w1, w2 LIMIT 100""")),
+
     // Bigram LM cross-entropy (CCNet-style quality filter): self-trained
     // add-1 bigram model, per-doc −mean ln p. Each bigram's ln rides as a
     // 1e6-scaled long so the per-doc sum is integer-exact and order-free;

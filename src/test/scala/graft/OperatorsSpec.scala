@@ -405,6 +405,28 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed == Seq("low", "c++!"))
   }
 
+  test("coocCounts: window pairs both directions, distance weights, " +
+      "symmetric counts") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val m = Vocab.coocCounts(docs, "text", window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // d=1: (a,b) (b,c) + mirrors at weight 1e6; d=2: (a,c) + mirror at 5e5
+    assert(m(("a", "b")) == (1L, 1000000L))
+    assert(m(("b", "c")) == (1L, 1000000L))
+    assert(m(("a", "c")) == (1L, 500000L))
+    assert(m(("c", "a")) == (1L, 500000L))
+    assert(m.size == 6)
+    // symmetry of counts over a larger corpus
+    val docs2 = Seq((1L, "x y z y x y")).toDF("doc_id", "text")
+    val mm = Vocab.coocCounts(docs2, "text", window = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    mm.foreach { case ((w1, w2), c) => assert(mm((w2, w1)) == c) }
+  }
+
   test("lmScore: hand-computed bigram cross-entropy, short docs null, " +
       "partition invariance") {
     val s = spark
