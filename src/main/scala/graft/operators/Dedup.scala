@@ -172,27 +172,39 @@ object Dedup {
                          nBits: Int, maxDist: Int): DataFrame =
     cached(df, s"simhashWithin:$textCol:$idCol:$nBits:$maxDist") {
     val h = simHashes(df, textCol, idCol, nBits) // already persisted
-    // chunk c covers bits [c*base, (c+1)*base), the last chunk also takes
-    // the nBits % chunks remainder
-    val keyed = h.select(col(idCol), col("simhash"),
-      explode(array(chunkSpecs(nBits, maxDist).map { case (c, shift, mask) =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), shift).bitwiseAND(mask).as("key"))
-      }: _*)).as("b"))
-    val a = keyed.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
-      col("b"))
-    val bb = keyed.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
-      col("b"))
-    val pairs = a.join(bb, Seq("b")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TA.simHashDistance(col("h_a"), col("h_b")).cast("int").as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
+    val pairs = hammingPairsWithin(h, "simhash", idCol, nBits, maxDist)
     // pairs << signatures: both LRU-scoped (the signature entry is id +
     // one long per row; eviction releases it)
     val out = pairs.persist()
     out.count()
     out
+  }
+
+  /** All pairs of `sigs` rows whose `hashCol` longs are within Hamming
+    * distance `maxDist` — pigeonhole chunk blocking with PERFECT recall
+    * (maxDist+1 chunks: any pair within maxDist agrees exactly on ≥ 1
+    * chunk), verification on the exact popcount. The generic engine
+    * behind [[simHashPairsWithin]]; any 64-bit signature column works —
+    * text SimHash, perceptual image hashes
+    * ([[Multimodal.imageHash]]), etc. */
+  def hammingPairsWithin(sigs: DataFrame, hashCol: String, idCol: String,
+                         nBits: Int, maxDist: Int): DataFrame = {
+    // chunk c covers bits [c*base, (c+1)*base), the last chunk also takes
+    // the nBits % chunks remainder
+    val keyed = sigs.select(col(idCol), col(hashCol),
+      explode(array(chunkSpecs(nBits, maxDist).map { case (c, shift, mask) =>
+        struct(lit(c).as("chunk"),
+          shiftright(col(hashCol), shift).bitwiseAND(mask).as("key"))
+      }: _*)).as("b"))
+    val a = keyed.select(col(idCol).as("id_a"), col(hashCol).as("h_a"),
+      col("b"))
+    val bb = keyed.select(col(idCol).as("id_b"), col(hashCol).as("h_b"),
+      col("b"))
+    a.join(bb, Seq("b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TA.simHashDistance(col("h_a"), col("h_b")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Staged SimHash computation: token-hash arrays materialize once, the

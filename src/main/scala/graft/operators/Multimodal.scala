@@ -175,6 +175,59 @@ object Multimodal {
     f(bin)
   }
 
+  /** Perceptual image hash (aHash): decode, resample to `side×side`,
+    * threshold each cell's luma against the grid mean → one bit per cell
+    * (row-major, bit i = y·side + x), side 8 → a 64-bit signature. Luma
+    * uses the classic BT.601 integer per-mil weights (299·R + 587·G +
+    * 114·B) and the threshold compares `luma·N > Σ luma` in EXACT integer
+    * arithmetic — no floats anywhere, so the hash is bit-stable across
+    * engines and replayable in SQL. Near-duplicate images are then pairs
+    * within small Hamming distance — feed the result straight to
+    * [[Dedup.hammingPairsWithin]]. Undecodable input → null. */
+  def imageHash(bin: Column, side: Int = 8,
+                method: String = "bilinear"): Column = {
+    require(side * side <= 64, s"side $side exceeds 64 hash bits")
+    require(method == "nearest" || method == "bilinear",
+      s"unknown resize method: $method")
+    val bilinear = method == "bilinear"
+    val f = udf { (bytes: Array[Byte]) =>
+      readImage(bytes).map { img =>
+        val t = resample(img, side, side, bilinear)
+        val n = side * side
+        val lu = new Array[Long](n)
+        var i = 0
+        var sum = 0L
+        while (i < n) {
+          val p = t.getRGB(i % side, i / side)
+          lu(i) = 299L * ((p >>> 16) & 0xFF) + 587L * ((p >>> 8) & 0xFF) +
+            114L * (p & 0xFF)
+          sum += lu(i)
+          i += 1
+        }
+        var h = 0L
+        i = 0
+        while (i < n) {
+          if (lu(i) * n > sum) h |= (1L << i)
+          i += 1
+        }
+        h
+      }
+    }
+    f(bin)
+  }
+
+  /** Image near-dup pairs: [[imageHash]] signatures blocked by
+    * [[Dedup.hammingPairsWithin]] (pigeonhole chunks, perfect recall
+    * within `maxDist`). The cross-modal twin of text SimHash dedup. */
+  def imageNearDupPairs(df: DataFrame, binCol: String, idCol: String,
+                        maxDist: Int, side: Int = 8,
+                        method: String = "bilinear"): DataFrame = {
+    val sigs = df.select(col(idCol),
+        imageHash(col(binCol), side, method).as("phash"))
+      .filter(col("phash").isNotNull)
+    Dedup.hammingPairsWithin(sigs, "phash", idCol, side * side, maxDist)
+  }
+
   /** STUB frame-sample: `n` evenly spaced fixed-width byte windows from a
     * video-role binary column, as array<struct<frame_idx, frame>> — the
     * row-explodes-to-frames plumbing (schema, ordering, per-frame

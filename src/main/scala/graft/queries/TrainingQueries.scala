@@ -790,6 +790,55 @@ object TrainingQueries {
                     + 0.5) AS BIGINT) AS v
         FROM d CROSS JOIN xs""")),
 
+    // Perceptual image hash (aHash): formula PNGs → nearest 8×8 thumbnail
+    // → integer BT.601 luma thresholded against the grid mean — EXACT
+    // integer arithmetic end-to-end, so the oracle replays decode-resample
+    // -luma-threshold bit-for-bit. Hash emitted as two 32-bit halves
+    // (keeps the replay's power-of-2 sums inside exact BIGINT range).
+    Q("q_image_phash",
+      (s, d) => {
+        val makePng = udf { (id: Long) =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, 0xFF000000 | (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("png", makePng(col("doc_id")))
+          .withColumn("h", Multimodal.imageHash(col("png"), 8, "nearest"))
+          .select(col("doc_id"),
+            col("h").bitwiseAND(lit(0xFFFFFFFFL)).as("h_lo"),
+            shiftrightunsigned(col("h"), 32).as("h_hi"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16),
+          cell AS (SELECT d.doc_id, ys.y * 8 + xs.x AS i,
+              1000 * ((d.doc_id * 31 + (2*xs.x+1) * 7 + (2*ys.y+1) * 13)
+                % 256) AS lu
+            FROM d,
+              (SELECT unnest(generate_series(0, 7)) AS x) xs,
+              (SELECT unnest(generate_series(0, 7)) AS y) ys),
+          tot AS (SELECT doc_id, SUM(lu) AS s FROM cell GROUP BY doc_id)
+        SELECT c.doc_id,
+          CAST(SUM(CASE WHEN c.lu * 64 > t.s AND c.i < 32
+            THEN CAST(POWER(2, c.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS h_lo,
+          CAST(SUM(CASE WHEN c.lu * 64 > t.s AND c.i >= 32
+            THEN CAST(POWER(2, c.i - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+            AS h_hi
+        FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id""")),
+
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides
     // absorbs libm log ulp differences; unique doc_id breaks rank ties.

@@ -726,6 +726,41 @@ class OperatorsSpec extends SparkSpec {
     assert(feat.length == 16 && feat.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("imageHash: aHash bits from integer luma vs mean; near-dup pairs " +
+      "find perturbed twin, not the inverse") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    def gray(v: Int) = 0xFF000000 | (v << 16) | (v << 8) | v
+    // 2×2 base: two bright (250), two dark (10) — mean 130, bits where
+    // luma > mean; bit i = y*side+x after nearest resample to 2×2
+    val base = Array(Array(gray(250), gray(10)), Array(gray(10), gray(250)))
+    // perturbed twin: one dark pixel nudged (stays below mean) → same hash
+    val twin = Array(Array(gray(250), gray(30)), Array(gray(10), gray(250)))
+    // inverse: bright/dark swapped → complementary bits
+    val inv = Array(Array(gray(10), gray(250)), Array(gray(250), gray(10)))
+    val df = Seq((1L, pngBytes(base)), (2L, pngBytes(twin)),
+      (3L, pngBytes(inv)), (4L, "junk".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val h = df.select(col("id"),
+      Multimodal.imageHash(col("content"), 2, "nearest").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // base: bits 0 (x0,y0) and 3 (x1,y1) set
+    assert(h(1L).contains(9L))
+    assert(h(2L) == h(1L), "perturbation below the mean flips no bit")
+    assert(h(3L).contains(6L), "inverse image has complementary bits")
+    assert(h(4L).isEmpty, "undecodable → null hash")
+
+    // near-dup pairs at maxDist 1: twin pairs with base; inverse (dist 4
+    // of 4 bits) does not — use 4-bit hashes via side=2
+    val pairs = Multimodal.imageNearDupPairs(
+      df.filter(col("id") =!= 4L), "content", "id", maxDist = 1,
+      side = 2, method = "nearest")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal frame-sample stub (video): schema, frame spread") {
     val s = spark
     import s.implicits._
