@@ -270,14 +270,19 @@ object Dedup {
         // frame directly — no join back against the previous round.
         // stepped is checkpointed first: the self-join below would
         // otherwise recompute the whole neighbor-min chain on both sides.
-        val next = Checkpoints.eager(
+        // next checkpoints LAZILY: the convergence count below is the
+        // materializing action, so each round costs TWO jobs (stepped +
+        // count), not three — at toy scale the fixed per-job latency IS
+        // the round cost (full count, never isEmpty/limit: a partial
+        // action would leave checkpoint holes under truncated lineage).
+        val next = Checkpoints.lazily(
           stepped
             .join(stepped.select(col("id").as("mid"), col("mid").as("ll")),
               Seq("mid"), "left")
             .select(col("id"), col("old"),
               least(col("mid"), coalesce(col("ll"), col("mid")))
                 .as("label")))
-        converged = next.filter(col("label") =!= col("old")).isEmpty
+        converged = next.filter(col("label") =!= col("old")).count() == 0L
         // next is fully materialized: the prior round's blocks are dead
         Checkpoints.release(labels)
         Checkpoints.release(stepped)

@@ -137,6 +137,19 @@ object Checkpoints {
     out
   }
 
+  /** Lazily localCheckpoint `df` and track it: the checkpoint
+    * materializes as a side effect of the FIRST action that computes the
+    * frame — lets an iterative round fold its materialization and its
+    * convergence check into ONE job ([[Dedup.clusters]]). The
+    * materializing action MUST compute every partition (count(), not
+    * isEmpty/limit) or the truncated lineage leaves holes. */
+  def lazily(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(false)
+    rddsOf(out).foreach(r =>
+      live.put(r.id, new java.lang.ref.WeakReference[RDD[_]](r)))
+    out
+  }
+
   /** The checkpoint RDDs a frame reads (LogicalRDD leaves of its plan). */
   private[graft] def rddsOf(df: DataFrame): Seq[RDD[_]] =
     try df.queryExecution.logical.collect {
