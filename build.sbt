@@ -35,10 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", graftHeapDefault)}",
-  // a 165-query codegen-heavy session compiles thousands of janino
+  // a 178-query codegen-heavy session compiles thousands of janino
   // classes; the default 240m reserved code cache can thrash the JIT into
   // interpreter fallback (observed: identical single-task work 0.6s vs
-  // 165s across runs). Size it up and let the sweeper reclaim cold code.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 165s across runs), and at 512m a REPEAT=2 double suite still hit
+  // mid-suite-2 flush storms (regex/json-heavy queries 2-4x slower in
+  // pass 2 only). Reservation is address space, not committed memory —
+  // size it for two full suites and let the sweeper reclaim cold code.
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
