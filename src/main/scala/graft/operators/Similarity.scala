@@ -321,6 +321,64 @@ object Similarity {
     df.withColumn(codesCol, codes)
   }
 
+  /** IVF-PQ top-k — the canonical billion-scale ANN composition (FAISS's
+    * IVFPQ layout, public knowledge): coarse IVF cells prune the corpus
+    * to the query's `nProbe` nearest cells, PQ codes compress what
+    * remains, ADC scores it. Deterministic throughout (seed centroids
+    * for both tiers, scaled-long distances, id tie-breaks), so the WHOLE
+    * composition — cell assignment, probe choice, encode, ADC, ranking —
+    * replays in the oracle.
+    *
+    * Scale shape: the corpus carries (cell, m bytes); the probe is an
+    * EQUI-JOIN on the cell id against broadcast queries — per query
+    * batch the scan touches ~nProbe/nCells of the corpus, at m bytes per
+    * row. Cell assignment and encode are one unrolled codegen
+    * projection; nothing shuffles but the final bounded top-k window. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCells: Int, nProbe: Int, m: Int, k: Int,
+                topK: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe $nProbe not in [1, $nCells]")
+    val cellSeeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells).collect()
+      .map(_.getSeq[Float](1))
+    require(cellSeeds.length == nCells, s"corpus smaller than $nCells")
+    val model = pqTrain(corpus, idCol, vecCol, m, k)
+    def cellScores = array(cellSeeds.zipWithIndex.map { case (cv, c) =>
+      struct(subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
+    }: _*)
+    val cellOf = {
+      val scored = cellSeeds.zipWithIndex.map { case (cv, c) =>
+        struct(subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
+      }
+      (if (scored.size == 1) scored.head else least(scored: _*))
+        .getField("c")
+    }
+    val enc = pqEncode(corpus, vecCol, model)
+      .select(col(idCol).as("cand_id"), cellOf.as("cell"), col("pq_codes"))
+    val qtabs = array((0 until m).map { j =>
+      val x = slice(col(vecCol), j * model.sub + 1, model.sub)
+      array((0 until k).map(c =>
+        subDistU(x, model.centroids(j)(c).toSeq)): _*)
+    }: _*)
+    // nProbe nearest cells: struct sort orders by (distance, cell id) —
+    // the same total order the oracle's ROW_NUMBER uses
+    val q = queries.select(col(idCol).as("query_id"), qtabs.as("qtab"),
+      explode(transform(slice(array_sort(cellScores), 1, nProbe),
+        p => p.getField("c"))).as("cell"))
+    val adistU = (0 until m).map(j =>
+      element_at(element_at(col("qtab"), j + 1),
+        element_at(col("pq_codes"), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), adistU.as("adist_u"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_u"), col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+  }
+
   /** PQ ANN top-k by ADC: candidates carry only their m-byte codes; each
     * query row computes its m×k distance table once (unrolled into the
     * projection), and scoring a candidate is m array lookups + an exact

@@ -663,6 +663,74 @@ object TrainingQueries {
         WHERE rk <= 5"""
       }),
 
+    // IVF-PQ (the FAISS IVFPQ composition): coarse cells prune the corpus
+    // to each query's 2 nearest of 8 cells, PQ codes + ADC score what
+    // remains. Probe = equi-join on the cell id. Deterministic seed
+    // centroids at BOTH tiers → the oracle replays cell assignment, probe
+    // choice, encode, ADC, and ranking bit-exactly.
+    Q("q_ann_ivfpq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", nCells = 8, nProbe = 2, m = 8, k = 16,
+          topK = 5)
+      },
+      Some {
+        def dotS(x: String, y: String) =
+          s"""list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+              for i in generate_series(1, len($x))])"""
+        def du(x: String, y: String) =
+          s"""CAST(FLOOR(ROUND(${dotS(x, x)} - 2 * ${dotS(x, y)} +
+            ${dotS(y, y)}, 6) * 1e6 + 0.5) AS BIGINT)"""
+        s"""WITH cs AS (
+          SELECT embedding AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+            AS c
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cd AS (SELECT vec_id, c, ${du("x", "cv")} AS du
+          FROM (SELECT e.vec_id, s.c, e.embedding AS x, s.cv
+            FROM embeddings e CROSS JOIN cs s)),
+        cellof AS (SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY du, c) AS rk FROM cd)
+          WHERE rk = 1),
+        probes AS (SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY du, c) AS rk
+            FROM cd WHERE vec_id < 5)
+          WHERE rk <= 2),
+        seeds AS (
+          SELECT embedding AS sv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+            AS c
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cent AS (
+          SELECT c, j, sv[j*8+1 : j*8+8] AS cv
+          FROM seeds, (SELECT unnest(generate_series(0, 7)) AS j)),
+        vd AS (
+          SELECT vec_id, j, c, ${du("x", "cv")} AS du
+          FROM (SELECT e.vec_id, ct.j, ct.c,
+              e.embedding[ct.j*8+1 : ct.j*8+8] AS x, ct.cv
+            FROM embeddings e CROSS JOIN cent ct)),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, j ORDER BY du, c) AS rk FROM vd)
+          WHERE rk = 1),
+        ad AS (
+          SELECT p.vec_id AS query_id, cl.vec_id AS cand_id,
+            CAST(SUM(vq.du) AS BIGINT) AS adist_u
+          FROM probes p
+          JOIN cellof cl ON cl.cell = p.cell AND cl.vec_id != p.vec_id
+          JOIN codes cc ON cc.vec_id = cl.vec_id
+          JOIN vd vq ON vq.vec_id = p.vec_id AND vq.j = cc.j
+            AND vq.c = cc.code
+          GROUP BY 1, 2)
+        SELECT query_id, cand_id, adist_u, rk FROM (
+          SELECT query_id, cand_id, adist_u, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adist_u, cand_id) AS rk
+          FROM ad)
+        WHERE rk <= 5"""
+      }),
+
     // IVF ANN (trained-centroid scale path) — rows-only gate (k-means
     // training is float-iterative, not oracle-replicable; the spec bounds
     // recall vs brute force instead)

@@ -928,6 +928,39 @@ class OperatorsSpec extends SparkSpec {
     assert(b == a)
   }
 
+  test("ivfPqTopK: full probe equals plain PQ; pruning only removes " +
+      "candidates; partition invariance") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Long]("adist_u"), r.getAs[Int]("rk"))).toSet
+    // nProbe = nCells probes everything → identical to plain PQ
+    val full = rows(Similarity.ivfPqTopK(emb, queries, "vec_id",
+      "embedding", nCells = 4, nProbe = 4, m = 8, k = 16, topK = 5))
+    val pq = rows(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      m = 8, k = 16, topK = 5))
+    assert(full == pq)
+    // pruned probe returns a subset of the candidate pool (per query,
+    // every returned candidate also scores identically under plain PQ)
+    val pruned = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      nCells = 4, nProbe = 1, m = 8, k = 16, topK = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Long]("adist_u")).toMap
+    val pqDist = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      m = 8, k = 16, topK = 500).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Long]("adist_u")).toMap
+    pruned.foreach { case (key, d) =>
+      assert(pqDist.get(key).contains(d), s"$key ADC mismatch")
+    }
+    // layout invariance
+    val p11 = rows(Similarity.ivfPqTopK(emb.repartition(11), queries,
+      "vec_id", "embedding", nCells = 4, nProbe = 4, m = 8, k = 16,
+      topK = 5))
+    assert(p11 == full)
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
