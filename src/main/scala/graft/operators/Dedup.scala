@@ -572,6 +572,51 @@ object Dedup {
     asg.join(drops, asg(idCol) === drops("__drop"), "left_anti")
   }
 
+  /** ExactSubstr-style duplicated-passage excision (public method: Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — remove every LATER occurrence of any duplicated ≥k-token
+    * passage, keeping the first, with overlapping duplicated windows
+    * merging into one excised span). Token-window formulation of their
+    * suffix-array algorithm: every k-token window at every offset is
+    * keyed; occurrences that are not the global first (in (doc, offset)
+    * order) mark their k positions; the union of marked positions is
+    * excised and the text rebuilt. Unlike [[spanDedup]] (disjoint spans),
+    * windows OVERLAP, so a duplicated passage of any length ≥ k is
+    * excised in full wherever it recurs.
+    *
+    * Scale shape: four linear shuffles (window key, covered-position
+    * distinct, position anti-join, per-doc rebuild) — never a self-join;
+    * the window partitions on the raw window text, so hash collisions
+    * cannot merge distinct passages. Deterministic at any parallelism
+    * (global (doc, offset) order). */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"window size $k must be >= 1")
+    val toks = TA.tokens(col(textCol))
+    val n = size(toks)
+    val wins = df.select(col(idCol), toks.as("tk"),
+        explode(when(n >= k, sequence(lit(1), n - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col(idCol), col("i"),
+        array_join(slice(col("tk"), col("i"), lit(k)), " ").as("win"))
+    val w = Window.partitionBy(col("win")).orderBy(col(idCol), col("i"))
+    val dup = wins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+    val covered = dup.select(col(idCol),
+      explode(sequence(col("i"), col("i") + (k - 1))).as("pos")).distinct()
+    val positions = df
+      .select(col(idCol), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val kept = positions.join(covered, Seq(idCol, "pos"), "left_anti")
+    df.select(col(idCol)).join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Embedding-cosine near-dups, LSH-blocked by sign-bucket: pairs in the
     * same bucket with cosine ≥ threshold. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,

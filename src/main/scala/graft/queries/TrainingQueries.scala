@@ -1368,6 +1368,42 @@ object TrainingQueries {
           ON d.doc_id = f.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // ExactSubstr-style duplicated-passage excision (Lee 2021): every
+    // 8-token window at every offset; later occurrences of a duplicated
+    // window excise their positions (overlaps merge); text rebuilt. The
+    // oracle replays window keys, global (doc, offset) first-occurrence,
+    // covered-position union, and the rebuild — full text bit-checked.
+    Q("q_dedup_substr",
+      (s, d) => Dedup.exactSubstrDedup(
+          Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        wins AS (SELECT doc_id, i,
+            array_to_string(tk[i:i+7], ' ') AS win
+          FROM (SELECT doc_id, tk,
+              unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS i
+            FROM tk)),
+        dup AS (SELECT doc_id, i FROM (
+            SELECT doc_id, i, ROW_NUMBER() OVER (
+              PARTITION BY win ORDER BY doc_id, i) AS rn FROM wins)
+          WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id, unnest(generate_series(i, i + 7)) AS pos
+          FROM dup)),
+        pos AS (SELECT doc_id, i AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, tk,
+              unnest(generate_series(1, greatest(len(tk), 1))) AS i
+            FROM tk)
+          WHERE i <= len(tk)),
+        kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+          LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+          WHERE c.pos IS NULL)
+        SELECT d.doc_id,
+          COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+        FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // Cross-batch incremental exact dedup: batch 2 (which re-ships 100 of
     // batch 1's texts under new ids) dedups against a persisted bucketed
     // hash index of batch 1 — the corpus is never re-scanned, only the

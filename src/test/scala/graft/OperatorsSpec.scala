@@ -503,6 +503,38 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("exactSubstrDedup: later occurrences excised, overlaps merge, " +
+      "first copy kept, partition invariance") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c y"),   // "a b c" duplicates doc 1's window at k=3
+      (3L, "a b c d e"),   // full duplicate → fully excised
+      (4L, "p q r"))       // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e", "first occurrence survives intact")
+    assert(out(2L) == "x y", "duplicated interior passage excised")
+    assert(out(3L) == "", "full duplicate fully excised")
+    assert(out(4L) == "p q r")
+
+    // overlapping duplicated windows merge into one excision: doc 5
+    // repeats doc 1's "a b c d" AND "b c d e" (sharing "b c d")
+    val docs2 = docs.unionAll(
+      Seq((5L, "z a b c d e z")).toDF("doc_id", "text"))
+    val out2 = Dedup.exactSubstrDedup(docs2, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(5L) == "z z", "overlapping dup windows excise the union")
+
+    val out7 = Dedup.exactSubstrDedup(docs2.repartition(7),
+      "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out7 == out2)
+  }
+
   test("sampleByWeight: keep rate tracks weight, monotone in weight, " +
       "clamped, partition-invariant") {
     val s = spark
