@@ -91,6 +91,48 @@ object TextAnalysis {
     round((lenScore * 0.4 + wordScore * 0.3 + alphaRatio * 0.3), 4)
   }
 
+  /** The remaining Gopher document-quality rules (Rae et al. 2021,
+    * Table A1 — the public rule set; duplicate-line and n-gram
+    * repetition live in [[graft.functions.Repetition]]): symbol-to-word
+    * ratio, bullet-line and ellipsis-line fractions, alphabetic-word
+    * fraction, distinct-stopword hits, and the conjunct `gopher_pass`
+    * at the paper's thresholds. One codegen projection, no shuffle; all
+    * ratios are integer-count divisions rounded to 6dp so the DuckDB
+    * oracle replays them exactly. */
+  def gopherSignals(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    def occurrences(needle: String): Column =
+      (length(text) - length(regexp_replace(text,
+        java.util.regex.Pattern.quote(needle), ""))).cast("double") /
+        needle.length
+    val symbolRatio =
+      round((occurrences("#") + occurrences("...") + occurrences("…")) /
+        nTok, 6)
+    val segs = filter(transform(split(text, "\n"), s => trim(s)),
+      s => s =!= "")
+    val nSeg = greatest(size(segs), lit(1)).cast("double")
+    val bulletFrac = round(size(filter(segs,
+      s => s.substr(lit(1), lit(1)).isin("-", "*", "•"))).cast("double") /
+      nSeg, 6)
+    val ellipsisFrac = round(size(filter(segs,
+      s => s.endsWith("...") || s.endsWith("…"))).cast("double") /
+      nSeg, 6)
+    val alphaFrac = round(size(filter(toks,
+      t => t.rlike("[a-zA-Z]"))).cast("double") / nTok, 6)
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(lit): _*)))
+    struct(
+      symbolRatio.as("symbol_ratio"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2).as("gopher_pass"))
+  }
+
   // ---- shingles / fingerprints / sketches ----
   /** Word k-shingles: sliding windows of k tokens joined by a space. */
   def shingles(toks: Column, k: Int): Column =

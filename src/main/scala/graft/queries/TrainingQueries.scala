@@ -179,6 +179,52 @@ object TrainingQueries {
 
     // Gopher-style duplicate-"line" fraction (segments = space-separated
     // words on this corpus; real corpora pass "\n"). Pure projection.
+    // Remaining Gopher quality rules (Rae 2021 Table A1): symbol/word
+    // ratio, bullet + ellipsis line fractions, alphabetic-word fraction,
+    // stopword hits, and the conjunct pass bit. All integer-count
+    // divisions rounded 6dp — the oracle replays every rule bit-exactly.
+    Q("q_text_gopher",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TA.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_frac").as("bullet_frac"),
+          col("g.ellipsis_frac").as("ellipsis_frac"),
+          col("g.alpha_frac").as("alpha_frac"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.gopher_pass").as("gopher_pass"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH sig AS (
+          SELECT doc_id,
+            ROUND((
+              (length(text) - length(replace(text, '#', ''))) / 1.0 +
+              (length(text) - length(replace(text, '...', ''))) / 3.0 +
+              (length(text) - length(replace(text, '…', ''))) / 1.0
+            ) / ntok, 6) AS symbol_ratio,
+            ROUND(len(list_filter(segs, x -> substr(x, 1, 1) = '-'
+              OR substr(x, 1, 1) = '*' OR substr(x, 1, 1) = '•'))
+              / nseg, 6) AS bullet_frac,
+            ROUND(len(list_filter(segs, x -> right(x, 3) = '...'
+              OR right(x, 1) = '…')) / nseg, 6) AS ellipsis_frac,
+            ROUND(len(list_filter(toks,
+              t -> regexp_matches(t, '[a-zA-Z]'))) / ntok, 6) AS alpha_frac,
+            CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with'])) AS INT)
+              AS stop_hits
+          FROM (SELECT doc_id, text, toks,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS ntok,
+              CAST(greatest(len(segs), 1) AS DOUBLE) AS nseg, segs
+            FROM (SELECT doc_id, text, ${toksSql("text")} AS toks,
+              list_filter([trim(x) for x in string_split(text, chr(10))],
+                x -> x != '') AS segs
+              FROM documents)))
+        SELECT doc_id, symbol_ratio, bullet_frac, ellipsis_frac,
+          alpha_frac, stop_hits,
+          (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
+           ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2)
+            AS gopher_pass
+        FROM sig ORDER BY doc_id""")),
+
     Q("q_text_dupline",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
           graft.functions.Repetition

@@ -506,4 +506,30 @@ class FunctionsSpec extends SparkSpec {
       o.repartition(8, col("o_custkey")), "o_custkey").head().getLong(0)
     assert(part == exact)
   }
+
+  test("gopherSignals: hand-computed rules and the conjunct pass bit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat... and # dog\n- bullet\n* b2\nend…"),
+      (2L, "the quick brown fox jumps over the lazy dog and that " +
+        "is fine to be with have of")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TA.gopherSignals(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+    val g1 = r(0).getStruct(1)
+    // 10 tokens; symbols # + ... + … = 3 → 0.3; 4 lines, 2 bullets,
+    // 1 ellipsis end; 7/10 alpha words (the cat... and dog bullet b2
+    // end…); stopwords {the, and}
+    assert(g1.getAs[Double]("symbol_ratio") == 0.3)
+    assert(g1.getAs[Double]("bullet_frac") == 0.5)
+    assert(g1.getAs[Double]("ellipsis_frac") == 0.25)
+    assert(g1.getAs[Double]("alpha_frac") == 0.7)
+    assert(g1.getAs[Int]("stop_hits") == 2)
+    assert(!g1.getAs[Boolean]("gopher_pass"), "symbol ratio 0.3 > 0.1")
+    val g2 = r(1).getStruct(1)
+    assert(g2.getAs[Double]("symbol_ratio") == 0.0)
+    assert(g2.getAs[Double]("alpha_frac") == 1.0)
+    assert(g2.getAs[Int]("stop_hits") == 8)
+    assert(g2.getAs[Boolean]("gopher_pass"))
+  }
 }
