@@ -91,6 +91,10 @@ object TextAnalysis {
     round((lenScore * 0.4 + wordScore * 0.3 + alphaRatio * 0.3), 4)
   }
 
+  /** Gopher's English stopword list for the ≥2-distinct-hits rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** The remaining Gopher document-quality rules (Rae et al. 2021,
     * Table A1 — the public rule set; duplicate-line and n-gram
     * repetition live in [[graft.functions.Repetition]]): symbol-to-word
@@ -98,8 +102,12 @@ object TextAnalysis {
     * fraction, distinct-stopword hits, and the conjunct `gopher_pass`
     * at the paper's thresholds. One codegen projection, no shuffle; all
     * ratios are integer-count divisions rounded to 6dp so the DuckDB
-    * oracle replays them exactly. */
-  def gopherSignals(text: Column): Column = {
+    * oracle replays them exactly. The stopword set defaults to the
+    * paper's English list ([[GopherStopwords]]); pass a corpus-language
+    * set for non-English corpora — the rule is "≥ 2 distinct hits of a
+    * stopword set", not the specific words. */
+  def gopherSignals(text: Column,
+                    stopwords: Seq[String] = GopherStopwords): Column = {
     val toks = tokens(text)
     val nTok = greatest(size(toks), lit(1)).cast("double")
     def occurrences(needle: String): Column =
@@ -121,8 +129,7 @@ object TextAnalysis {
     val alphaFrac = round(size(filter(toks,
       t => t.rlike("[a-zA-Z]"))).cast("double") / nTok, 6)
     val stopHits = size(array_intersect(array_distinct(toks),
-      array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        .map(lit): _*)))
+      array(stopwords.map(lit): _*)))
     struct(
       symbolRatio.as("symbol_ratio"),
       bulletFrac.as("bullet_frac"),

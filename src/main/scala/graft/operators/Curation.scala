@@ -60,4 +60,28 @@ object Curation {
   def curate(df: DataFrame, textCol: String, cfg: Config): DataFrame =
     annotate(df, textCol, cfg).filter(col("keep"))
       .drop("lang_ok", "len_ok", "rep_ok", "qual_ok", "keep")
+
+  /** Capstone end-to-end curation — the C4/Gopher/CCNet stack composed
+    * in pipeline order: exact dedup (first copy survives) → Gopher rule
+    * gate ([[TA.gopherSignals]]) → self-trained bigram-LM perplexity
+    * filter ([[LmQuality.lmScore]]), with the LM trained on the docs
+    * that SURVIVE the rule gates (CCNet trains its filter on in-domain
+    * survivors, so the model never learns from the junk it is meant to
+    * remove). Keeps docs with `xent <= maxXent` (or too short to score).
+    * Returns survivors with (n_bigrams, sum_u, xent) attached.
+    *
+    * Stage costs: dedup is one keyed window, the rule gate one codegen
+    * projection, the LM two keyed counting aggs + two equi-joins —
+    * nothing quadratic at any stage, and each stage shrinks the corpus
+    * the next one pays for. */
+  def pipelineE2E(df: DataFrame, textCol: String, idCol: String,
+                  maxXent: Double,
+                  stopwords: Seq[String] = TA.GopherStopwords)
+  : DataFrame = {
+    val deduped = Dedup.exactRows(df, textCol, idCol)
+    val gated = deduped.filter(
+      TA.gopherSignals(col(textCol), stopwords).getField("gopher_pass"))
+    val scored = LmQuality.lmScore(gated, textCol, idCol)
+    scored.filter(col("n_bigrams") === 0 || col("xent") <= maxXent)
+  }
 }

@@ -33,6 +33,73 @@ object TrainingQueries {
   private def toksSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '\\s+'), t -> length(t) > 0)"
 
+  /** DuckDB twin of TextAnalysis.gopherSignals over table/CTE `src`
+    * (columns doc_id, text): rows of (doc_id, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, stop_hits, gopher_pass). */
+  /** Corpus-language stopword set for the Gopher gates (the synthetic
+    * corpus has no English function words; the rule is "≥2 distinct
+    * hits of a set", so the gates pass a set from ITS vocabulary). */
+  private val corpusStops = Seq("the", "a", "key", "value")
+  private def corpusStopsSql: String =
+    corpusStops.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def gopherSigSql(src: String): String =
+    s"""SELECT doc_id, symbol_ratio, bullet_frac, ellipsis_frac,
+          alpha_frac, stop_hits,
+          (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
+           ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2)
+            AS gopher_pass
+        FROM (SELECT doc_id,
+            ROUND((
+              (length(text) - length(replace(text, '#', ''))) / 1.0 +
+              (length(text) - length(replace(text, '...', ''))) / 3.0 +
+              (length(text) - length(replace(text, '…', ''))) / 1.0
+            ) / ntok, 6) AS symbol_ratio,
+            ROUND(len(list_filter(segs, x -> substr(x, 1, 1) = '-'
+              OR substr(x, 1, 1) = '*' OR substr(x, 1, 1) = '•'))
+              / nseg, 6) AS bullet_frac,
+            ROUND(len(list_filter(segs, x -> right(x, 3) = '...'
+              OR right(x, 1) = '…')) / nseg, 6) AS ellipsis_frac,
+            ROUND(len(list_filter(toks,
+              t -> regexp_matches(t, '[a-zA-Z]'))) / ntok, 6) AS alpha_frac,
+            CAST(len(list_intersect(list_distinct(toks),
+              $corpusStopsSql)) AS INT)
+              AS stop_hits
+          FROM (SELECT doc_id, text, toks,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS ntok,
+              CAST(greatest(len(segs), 1) AS DOUBLE) AS nseg, segs
+            FROM (SELECT doc_id, text, ${toksSql("text")} AS toks,
+              list_filter([trim(x) for x in string_split(text, chr(10))],
+                x -> x != '') AS segs
+              FROM $src)))"""
+
+  /** DuckDB twin of LmQuality.lmScore over table/CTE `src` (columns
+    * doc_id, text): CTE chain ending in `lmagg` (doc_id, n_bigrams,
+    * sum_u) — self-trained add-1 bigram model over `src` itself. */
+  private def lmSql(src: String): String =
+    s"""lmtk AS (SELECT doc_id, ${toksSql("text")} AS tk FROM $src),
+        lmbg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM (SELECT doc_id, tk,
+              unnest(generate_series(1, greatest(len(tk), 1))) AS i
+            FROM lmtk)
+          WHERE i <= len(tk) - 1),
+        lmc12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM lmbg GROUP BY 1, 2),
+        lmc1 AS (SELECT w1, COUNT(*) AS c1 FROM lmbg GROUP BY 1),
+        lmvv AS (SELECT COUNT(DISTINCT t) AS v FROM (
+          SELECT unnest(tk) AS t FROM lmtk)),
+        lmu AS (SELECT b.doc_id,
+            CAST(ROUND(ROUND(LN(
+              (CAST(x.c12 AS DOUBLE) + 1.0) /
+              (CAST(y.c1 AS DOUBLE) + 1.0 * lmvv.v)), 6) * 1e6) AS BIGINT)
+              AS u
+          FROM lmbg b
+          JOIN lmc12 x ON b.w1 = x.w1 AND b.w2 = x.w2
+          JOIN lmc1 y ON b.w1 = y.w1
+          CROSS JOIN lmvv),
+        lmagg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(u) AS BIGINT) AS sum_u
+          FROM lmu GROUP BY doc_id)"""
+
   /** DuckDB twin of TextAnalysis.shingles (k-word windows, k>=1). */
   private def shinglesSql(tk: String, k: Int): String =
     s"""CASE WHEN len($tk) < $k THEN [array_to_string($tk, ' ')]
@@ -185,7 +252,7 @@ object TrainingQueries {
     // divisions rounded 6dp — the oracle replays every rule bit-exactly.
     Q("q_text_gopher",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TA.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"), TA.gopherSignals(col("text"), corpusStops).as("g"))
         .select(col("doc_id"),
           col("g.symbol_ratio").as("symbol_ratio"),
           col("g.bullet_frac").as("bullet_frac"),
@@ -194,35 +261,9 @@ object TrainingQueries {
           col("g.stop_hits").as("stop_hits"),
           col("g.gopher_pass").as("gopher_pass"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH sig AS (
-          SELECT doc_id,
-            ROUND((
-              (length(text) - length(replace(text, '#', ''))) / 1.0 +
-              (length(text) - length(replace(text, '...', ''))) / 3.0 +
-              (length(text) - length(replace(text, '…', ''))) / 1.0
-            ) / ntok, 6) AS symbol_ratio,
-            ROUND(len(list_filter(segs, x -> substr(x, 1, 1) = '-'
-              OR substr(x, 1, 1) = '*' OR substr(x, 1, 1) = '•'))
-              / nseg, 6) AS bullet_frac,
-            ROUND(len(list_filter(segs, x -> right(x, 3) = '...'
-              OR right(x, 1) = '…')) / nseg, 6) AS ellipsis_frac,
-            ROUND(len(list_filter(toks,
-              t -> regexp_matches(t, '[a-zA-Z]'))) / ntok, 6) AS alpha_frac,
-            CAST(len(list_intersect(list_distinct(toks),
-              ['the','be','to','of','and','that','have','with'])) AS INT)
-              AS stop_hits
-          FROM (SELECT doc_id, text, toks,
-              CAST(greatest(len(toks), 1) AS DOUBLE) AS ntok,
-              CAST(greatest(len(segs), 1) AS DOUBLE) AS nseg, segs
-            FROM (SELECT doc_id, text, ${toksSql("text")} AS toks,
-              list_filter([trim(x) for x in string_split(text, chr(10))],
-                x -> x != '') AS segs
-              FROM documents)))
+      Some(s"""WITH sig AS (${gopherSigSql("documents")})
         SELECT doc_id, symbol_ratio, bullet_frac, ellipsis_frac,
-          alpha_frac, stop_hits,
-          (symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND
-           ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2)
-            AS gopher_pass
+          alpha_frac, stop_hits, gopher_pass
         FROM sig ORDER BY doc_id""")),
 
     Q("q_text_dupline",
@@ -1098,36 +1139,44 @@ object TrainingQueries {
       (s, d) => graft.operators.LmQuality.lmScore(
           Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id")),
-      Some(s"""WITH tk AS (
-          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
-        bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-          FROM (SELECT doc_id, tk,
-              unnest(generate_series(1, greatest(len(tk), 1))) AS i
-            FROM tk)
-          WHERE i <= len(tk) - 1),
-        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
-        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
-        vv AS (SELECT COUNT(DISTINCT t) AS v FROM (
-          SELECT unnest(tk) AS t FROM tk)),
-        u AS (SELECT b.doc_id,
-            CAST(ROUND(ROUND(LN(
-              (CAST(x.c12 AS DOUBLE) + 1.0) /
-              (CAST(y.c1 AS DOUBLE) + 1.0 * vv.v)), 6) * 1e6) AS BIGINT)
-              AS u
-          FROM bg b
-          JOIN c12 x ON b.w1 = x.w1 AND b.w2 = x.w2
-          JOIN c1 y ON b.w1 = y.w1
-          CROSS JOIN vv),
-        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-            CAST(SUM(u) AS BIGINT) AS sum_u
-          FROM u GROUP BY doc_id)
+      Some(s"""WITH ${lmSql("documents")}
         SELECT d.doc_id,
           COALESCE(a.n_bigrams, 0) AS n_bigrams,
           a.sum_u,
           ROUND(-(CAST(a.sum_u AS DOUBLE) /
             (CAST(a.n_bigrams AS DOUBLE) * 1e6)), 6) AS xent
-        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id""")),
+
+    // Capstone end-to-end curation (the C4/Gopher/CCNet stack composed):
+    // exact dedup → Gopher rule gate → bigram-LM perplexity filter, the
+    // LM trained on the docs that SURVIVE the rule gates (CCNet trains
+    // its filter on in-domain survivors). The oracle chains the proven
+    // dedup / gopher / LM fragments over the same staged corpora, so the
+    // survivor set AND scores are bit-checked through all three stages.
+    Q("q_pipeline_e2e",
+      (s, d) => graft.operators.Curation.pipelineE2E(
+          Tables.documents(s, d), "text", "doc_id", maxXent = 3.41,
+          stopwords = corpusStops)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_u"), col("xent"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ded AS (SELECT doc_id, text FROM (
+            SELECT doc_id, text, ROW_NUMBER() OVER (
+              PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        gated AS (SELECT d.doc_id, d.text FROM ded d
+          JOIN (${gopherSigSql("ded")}) g ON d.doc_id = g.doc_id
+          WHERE g.gopher_pass),
+        ${lmSql("gated")}
+        SELECT doc_id, n_bigrams, sum_u, xent FROM (
+          SELECT d.doc_id,
+            COALESCE(a.n_bigrams, 0) AS n_bigrams,
+            a.sum_u,
+            ROUND(-(CAST(a.sum_u AS DOUBLE) /
+              (CAST(a.n_bigrams AS DOUBLE) * 1e6)), 6) AS xent
+          FROM gated d LEFT JOIN lmagg a ON d.doc_id = a.doc_id)
+        WHERE n_bigrams = 0 OR xent <= 3.41
+        ORDER BY doc_id""")),
 
     // BPE encode: apply the 3 learned merges back to the corpus —
     // sequential greedy replace per word, non-matching tokens pass
