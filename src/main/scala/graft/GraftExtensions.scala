@@ -226,6 +226,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("subword_count", "BPE-ish subword estimate (ceil(chars/4) per token)") {
       a => TA.subwordCount(a(0))
     }
+    reg("gopher_signals",
+      "Gopher quality-rule struct (symbol/bullet/ellipsis/alpha/stopword)") {
+      a => TA.gopherSignals(a(0))
+    }
+    reg("image_hash", "64-bit perceptual aHash of an image binary") {
+      a => graft.operators.Multimodal.imageHash(a(0))
+    }
     reg("hamming64", "bit_count(xor) distance of two simhash longs") {
       a => TA.simHashDistance(a(0), a(1))
     }

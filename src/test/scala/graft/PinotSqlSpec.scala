@@ -341,6 +341,11 @@ class PinotSqlSpec extends SparkSpec {
         "hamming64(simhash16('a b c'), simhash16('a b c')) AS h0").head()
     assert(r2.getLong(0) == 5L) // ceil(5/4)+ceil(4/4)+ceil(5/4) = 2+1+2
     assert(r2.getAs[Number](1).longValue == 0L)
+    val r3 = spark.sql(
+      "SELECT gopher_signals('the cat and the dog have fun') AS g, " +
+        "image_hash(CAST('junk' AS BINARY)) AS ih").head()
+    assert(r3.getStruct(0).getAs[Int]("stop_hits") == 3)
+    assert(r3.isNullAt(1)) // undecodable binary → null hash
   }
 
   test("dialect: FIRSTWITHTIME / LASTWITHTIME / renames resolve") {
