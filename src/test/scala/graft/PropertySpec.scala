@@ -136,4 +136,92 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0)
     }
   }
+
+  test("exactSubstrDedup matches a naive sequential reference on random " +
+      "dup-rich corpora") {
+    val s = spark
+    import s.implicits._
+    def tk(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def naive(docs: Seq[(Long, String)], k: Int): Map[Long, String] = {
+      val seen = scala.collection.mutable.Set[String]()
+      val covered = scala.collection.mutable
+        .Map[Long, scala.collection.mutable.Set[Int]]()
+      for ((id, t) <- docs.sortBy(_._1); toks = tk(t);
+           i <- 0 to toks.length - k if toks.length >= k) {
+        val win = toks.slice(i, i + k).mkString(" ")
+        if (seen.contains(win))
+          covered.getOrElseUpdate(id,
+            scala.collection.mutable.Set[Int]()) ++= (i until i + k)
+        else seen += win
+      }
+      docs.map { case (id, t) =>
+        val toks = tk(t)
+        val cov = covered.getOrElse(id, scala.collection.mutable.Set[Int]())
+        id -> toks.zipWithIndex.collect {
+          case (w, i) if !cov(i) => w }.mkString(" ")
+      }.toMap
+    }
+    // tiny vocabulary → dense window collisions
+    val smallWord = Gen.oneOf("a", "b", "c", "d")
+    val smallText = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, smallWord)).map(_.mkString(" "))
+    for (seed <- 1L to 3L) {
+      val docs = (1L to 10L).map(i => (i, sample(smallText, seed * 100 + i)))
+      val expect = naive(docs, 3)
+      val got = graft.operators.Dedup
+        .exactSubstrDedup(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("bpeMerges matches a naive sequential reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    def naive(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+      val words = scala.collection.mutable.Map[List[String], Long]()
+      for (t <- texts; w <- t.toLowerCase.split("\\s+")
+             if w.matches("^[a-z0-9]+$"))
+        words(w.toList.map(_.toString)) =
+          words.getOrElse(w.toList.map(_.toString), 0L) + 1L
+      var cur = words.toMap
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long)]
+      for (r <- 1 to n) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- cur; p <- syms.zip(syms.drop(1)))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.nonEmpty) {
+          val ((l, rr), c) = counts.toSeq.minBy { case ((l, rr), c) =>
+            (-c, s"|$l| |$rr|") }
+          out += ((r, l, rr, c))
+          def merge(sy: List[String]): List[String] = {
+            val b = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == rr) {
+                b += (l + rr); i += 2
+              } else { b += sy(i); i += 1 }
+            }
+            b.toList
+          }
+          cur = cur.groupBy { case (sy, _) => merge(sy) }
+            .map { case (sy, m) => sy -> m.values.sum }
+        }
+      }
+      out.toSeq
+    }
+    for (seed <- 1L to 3L) {
+      val texts = (1L to 8L).map(i => sample(text, seed * 1000 + i))
+      val expect = naive(texts, 4)
+      val got = graft.operators.Vocab.bpeMerges(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", n = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(got == expect, s"seed $seed")
+    }
+  }
 }
