@@ -155,6 +155,34 @@ object Vocab {
     bpeEncode(df, textCol, mergesDf.orderBy("round").collect().toSeq
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
 
+  /** Per-document OOV fraction against a vocabulary — the coverage check
+    * a pipeline runs after [[build]] (vocab sizing) and before
+    * committing a tokenizer: fraction of this document's token
+    * occurrences that fall outside `vocab`. The vocabulary broadcasts
+    * (it is top-K by construction), so the corpus pays one map-side
+    * join + one keyed aggregation; no corpus-sized shuffle beyond the
+    * per-doc re-group. Documents with no tokens report n_tokens 0 and
+    * null oov_frac. */
+  def oovFraction(df: DataFrame, textCol: String, idCol: String,
+                  vocab: DataFrame, tokenCol: String = "token")
+  : DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TA.tokens(col(textCol))).as("token"))
+    val joined = toks.join(
+      broadcast(vocab.select(col(tokenCol).as("token"),
+        lit(1).as("__in"))), Seq("token"), "left")
+    val agg = joined.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("__in").isNull, 1).otherwise(0)).cast("long")
+        .as("n_oov"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 6).as("oov_frac"))
+  }
+
   /** Skip-gram co-occurrence counts (the word2vec / GloVe preparation
     * step — Mikolov 2013, Pennington 2014): ordered (center, context)
     * pairs within `window` positions, with both the raw count and the

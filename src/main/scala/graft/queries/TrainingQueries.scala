@@ -1068,6 +1068,35 @@ object TrainingQueries {
             AS INT) AS rank
         FROM c ORDER BY n_occurrences DESC, token LIMIT 50""")),
 
+    // Vocabulary coverage: per-doc OOV fraction against the top-50 vocab
+    // (the post-sizing coverage check). Vocab build replayed (count desc,
+    // token asc), coverage counts bit-checked, fraction to 6dp.
+    Q("q_vocab_coverage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Vocab.build(docs, "text", "doc_id",
+          k = 50)
+        graft.operators.Vocab.oovFraction(docs, "text", "doc_id", vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        toks AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+        voc AS (SELECT token FROM (
+          SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+          ORDER BY n DESC, token LIMIT 50)),
+        agg AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+            SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM toks t LEFT JOIN voc v ON t.token = v.token
+          GROUP BY t.doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+          ROUND(CAST(a.n_oov AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+            AS oov_frac
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id""")),
+
     // BPE merge learning (Sennrich 2016): 3 rounds of frequency-weighted
     // pair counting + greedy merge over the distinct-word frame. The
     // oracle UNROLLS all three rounds in SQL — same pipe-encoded symbol

@@ -405,6 +405,24 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed == Seq("low", "c++!"))
   }
 
+  test("oovFraction: per-doc coverage vs vocab, empty-doc nulls") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "a a b x"),   // vocab {a, b} → 1/4 oov
+      (2L, "x y"),       // 2/2 oov
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val r = Vocab.oovFraction(docs, "text", "doc_id", vocab)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 1 &&
+      r(0).getDouble(3) == 0.25)
+    assert(r(1).getLong(1) == 2 && r(1).getLong(2) == 2 &&
+      r(1).getDouble(3) == 1.0)
+    assert(r(2).getLong(1) == 0 && r(2).getLong(2) == 0 && r(2).isNullAt(3))
+  }
+
   test("coocCounts: window pairs both directions, distance weights, " +
       "symmetric counts") {
     val s = spark
