@@ -68,6 +68,36 @@ object Sampling {
       floor(w * 10000 + 0.5).cast("long"))
   }
 
+  /** Reproducible epoch shuffle: a deterministic global permutation of
+    * the corpus per epoch — order by the salted (epoch, id) hash, then
+    * assign each row its dense global position. The training-loader
+    * primitive RNG shuffles can't give you: the same epoch yields the
+    * same order on any cluster, any partitioning, any run.
+    *
+    * Scale shape: one range shuffle on the hash (global sort order),
+    * then zipWithIndex's two passes (per-partition counts → broadcast
+    * offsets) — the canonical distributed dense-rank, never a
+    * single-partition window. The emitted position depends only on the
+    * total order (hash, id), not on where range boundaries land, so the
+    * output is deterministic even though boundary sampling isn't. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   salt: String = "graft"): DataFrame = {
+    val spark = df.sparkSession
+    val h = Scalars.hash60(concat(lit(salt), lit(":"), lit(epoch),
+      lit(":"), col(idCol).cast("string")))
+    val hashed = df.withColumn("__h", h)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = hashed.repartitionByRange(parts, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val withPos = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withPos, schema).drop("__h")
+  }
+
   /** Assign each row a named split by hash bucket: `splits` are ordered
     * (name, fraction) with fractions summing to ≤ 1; rows past the last
     * cumulative boundary get null (unassigned holdout). One projection,

@@ -385,6 +385,21 @@ object TrainingQueries {
         WHERE ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000
           < FLOOR((CAST(doc_id % 100 AS DOUBLE) / 100.0) * 10000 + 0.5)""")),
 
+    // Reproducible epoch shuffle: dense global positions in salted-hash
+    // order. Oracle replays the hash and the (hash, id) dense rank — the
+    // full permutation is bit-checked.
+    Q("q_sample_shuffle",
+      (s, d) => graft.operators.Sampling.epochShuffle(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          epoch = 3)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY
+            ${hash60Sql("'graft:3:' || CAST(doc_id AS VARCHAR)")},
+            doc_id) - 1 AS shuffle_pos
+        FROM documents ORDER BY doc_id""")),
+
     // Benchmark decontamination: corpus docs sharing any 5-token shingle
     // with the benchmark subset (doc_id % 97 = 0 plays the eval set) are
     // flagged — the n-gram-overlap decontamination step of every training

@@ -553,6 +553,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out7 == out2)
   }
 
+  test("epochShuffle: dense permutation, layout-invariant, epochs differ") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 500L).map(i => (i, s"t$i")).toDF("id", "payload")
+    val e1 = Sampling.epochShuffle(df, "id", epoch = 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(e1.values.toSeq.sorted == (0L until 500L))
+    val e1b = Sampling.epochShuffle(df.repartition(13), "id", epoch = 1)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(e1b == e1, "same epoch, any layout → same permutation")
+    val e2 = Sampling.epochShuffle(df, "id", epoch = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(e2 != e1, "different epochs permute differently")
+    assert(e2.values.toSeq.sorted == (0L until 500L))
+  }
+
   test("sampleByWeight: keep rate tracks weight, monotone in weight, " +
       "clamped, partition-invariant") {
     val s = spark
