@@ -51,6 +51,42 @@ object Dedup {
     }(Checkpoints.releaseFrame)
   }
 
+  /** Dedup canonicalization (the C4/RefinedWeb preprocessing before
+    * exact hashing): lowercase, replace every char outside [a-z0-9\s]
+    * with a space, collapse whitespace runs, trim. Catches the
+    * punctuation/case/spacing variants exact dedup would otherwise
+    * miss. Pure codegen regexp chain in the RE2 ∩ Java subset, so the
+    * oracle replays it bit-for-bit. ASCII-scoped by design (non-ASCII
+    * letters strip — the ASCII-web-corpus convention; widen the class
+    * for multilingual corpora). */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Plan MinHash-LSH knobs for a target Jaccard threshold: the
+    * candidate S-curve is P(s) = 1 − (1 − s^r)^b, which crosses steeply
+    * near (1/b)^(1/r). Among plans with b·r ≤ maxHashes (r ≥ 2 so
+    * single-hash bands don't degenerate to per-hash equality), pick the
+    * (bands, rowsPerBand) whose crossover lies closest to `target` —
+    * the driver-side knob-setting step for [[minHashPairs]] /
+    * [[incrementalMinHash]]. */
+  def lshPlan(targetJaccard: Double, maxHashes: Int): (Int, Int) = {
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"target $targetJaccard not in (0,1)")
+    require(maxHashes >= 4, s"budget $maxHashes too small")
+    val plans = for {
+      r <- 2 to maxHashes
+      b <- 1 to maxHashes / r
+    } yield (b, r)
+    plans.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard)
+    }
+  }
+
+  /** P(pair becomes a candidate | Jaccard s) under (bands, rowsPerBand). */
+  def lshCandidateProbability(s: Double, bands: Int, rowsPerBand: Int)
+  : Double = 1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
   /** Exact dedup: canonical representative (min id) per identical content.
     * Hash-groupBy on a 128-bit content hash — one shuffle, no skew beyond
     * true duplicate mass. */

@@ -4,6 +4,7 @@ import graft.{Par, ParSql, Q, Tables}
 import graft.functions.{Geo, TextAnalysis => TA, Vectors}
 import graft.operators.{Dedup, HybridTable, Multimodal, Similarity}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
@@ -384,6 +385,28 @@ object TrainingQueries {
         FROM documents
         WHERE ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000
           < FLOOR((CAST(doc_id % 100 AS DOUBLE) / 100.0) * 10000 + 0.5)""")),
+
+    // Dedup canonicalization: case/punct/whitespace-insensitive canonical
+    // forms + the dup groups exact dedup finds ONLY after canonicalizing
+    // (raw-distinct texts that collide post-canon). Both the canon string
+    // and the group assignment are bit-checked.
+    Q("q_text_canon",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val canon = docs.select(col("doc_id"),
+          Dedup.canonicalize(col("text")).as("canon"))
+        canon.withColumn("canon_rep",
+            min(col("doc_id")).over(Window.partitionBy(col("canon"))))
+          .select(col("doc_id"), col("canon"), col("canon_rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, canon,
+          MIN(doc_id) OVER (PARTITION BY canon) AS canon_rep
+        FROM (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
+          FROM documents)
+        ORDER BY doc_id""")),
 
     // Reproducible epoch shuffle: dense global positions in salted-hash
     // order. Oracle replays the hash and the (hash, id) dense rank — the

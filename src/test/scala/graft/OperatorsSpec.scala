@@ -521,6 +521,35 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("canonicalize: case/punct/whitespace variants collapse; " +
+      "lshPlan crossover tracks the target threshold") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO—WORLD…"),
+      (4L, "different text")).toDF("id", "text")
+    val canon = df.select(col("id"), Dedup.canonicalize(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == "hello world" && canon(2L) == "hello world" &&
+      canon(3L) == "hello world")
+    assert(canon(4L) == "different text")
+
+    // lshPlan: crossover lands near the target; probability S-curve is
+    // monotone in s and steeper around the threshold than far from it
+    for (target <- Seq(0.3, 0.5, 0.8)) {
+      val (b, r) = Dedup.lshPlan(target, 64)
+      assert(b * r <= 64 && r >= 2)
+      val cross = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(cross - target) < 0.08, s"target $target got $cross")
+      val lo = Dedup.lshCandidateProbability(target - 0.2, b, r)
+      val hi = Dedup.lshCandidateProbability(target + 0.2, b, r)
+      assert(lo < 0.5 && hi > 0.5, s"S-curve not centered for $target")
+    }
+  }
+
   test("exactSubstrDedup: later occurrences excised, overlaps merge, " +
       "first copy kept, partition invariance") {
     val s = spark
