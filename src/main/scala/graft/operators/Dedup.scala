@@ -404,15 +404,16 @@ object Dedup {
     val fresh =
       if (exists)
         inBatch.join(
-          spark.table(table).filter(col("batch_tag") =!= tag).hint("MERGE")
+          readIndex(spark, table)
+            .filter(!(col("batch_tag") <=> lit(tag))).hint("MERGE")
             .select(col("content_hash")),
           Seq("content_hash"), "left_anti")
       else inBatch
     val out = Checkpoints.eager(fresh) // materialize BEFORE the append
     if (!exists || !tagPresent(spark, table, tag))
-      out.select(col("content_hash"), lit(tag).as("batch_tag"))
-        .write.mode("append").bucketBy(buckets, "content_hash")
-        .sortBy("content_hash").format("parquet").saveAsTable(table)
+      appendIndex(spark, table, exists,
+        out.select(col("content_hash"), lit(tag).as("batch_tag")),
+        buckets, "content_hash")
     out.drop("content_hash")
   }
 
@@ -420,13 +421,43 @@ object Dedup {
   private def freshTag(): String =
     s"auto_${System.nanoTime()}_${tagCounter.incrementAndGet()}"
 
+  /** Read the index tolerating PRE-TAG tables — an index persisted by the
+    * earlier untagged format, or one shared with an external writer that
+    * does not stamp tags. A missing `batch_tag` column reads as null, and
+    * the probes' null-safe `!(batch_tag <=> tag)` then treats every such
+    * row as FOREIGN (probed against) — exactly the legacy semantics,
+    * instead of an unresolved-column failure on upgrade. */
+  private def readIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String): DataFrame = {
+    val t = spark.table(table)
+    if (t.columns.contains("batch_tag")) t
+    else t.withColumn("batch_tag", lit(null).cast("string"))
+  }
+
+  /** Append `rows` (which carry batch_tag) to the index, dropping the tag
+    * column when appending to a legacy untagged table so the schemas
+    * match. Legacy indexes therefore keep working but WITHOUT replay
+    * idempotency (the pre-tag behavior); rebuild the index to upgrade. */
+  private def appendIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String, exists: Boolean, rows: DataFrame,
+                          buckets: Int, bucketCol: String): Unit = {
+    val legacy = exists && !spark.table(table).columns.contains("batch_tag")
+    val toWrite = if (legacy) rows.drop("batch_tag") else rows
+    toWrite.write.mode("append").bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol).format("parquet").saveAsTable(table)
+  }
+
   /** Is a batch tag already in the index? One pushdown-filtered probe —
     * duplicate tag rows would not change the ANY/anti-join probe
     * semantics, but skipping keeps replays byte-idempotent and the index
-    * from growing per retry. */
+    * from growing per retry. A legacy untagged index never contains the
+    * tag (no idempotency to preserve there). */
   private def tagPresent(spark: org.apache.spark.sql.SparkSession,
-                         table: String, tag: String): Boolean =
-    !spark.table(table).filter(col("batch_tag") === tag).limit(1).isEmpty
+                         table: String, tag: String): Boolean = {
+    val t = spark.table(table)
+    t.columns.contains("batch_tag") &&
+      !t.filter(col("batch_tag") === tag).limit(1).isEmpty
+  }
 
   /** Cross-batch incremental NEAR-dup over a persisted band-bucketed
     * MinHash signature index — the continuous-ingestion analog of
@@ -483,7 +514,8 @@ object Dedup {
     val exists = spark.catalog.tableExists(table)
     val vsIndex =
       if (exists)
-        ex.join(spark.table(table).filter(col("batch_tag") =!= tag)
+        ex.join(readIndex(spark, table)
+            .filter(!(col("batch_tag") <=> lit(tag)))
             .hint("MERGE")
             .select(col("bkey"), col("sig").as("__osig")), "bkey")
           .filter(agrees(col("sig"), col("__osig")))
@@ -493,10 +525,10 @@ object Dedup {
     val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
     val out = Checkpoints.eager(fresh) // materialize BEFORE the append
     if (!exists || !tagPresent(spark, table, tag))
-      ex.join(out.select(col(idCol)), Seq(idCol))
-        .select(col("bkey"), col("sig"), lit(tag).as("batch_tag"))
-        .write.mode("append").bucketBy(buckets, "bkey")
-        .sortBy("bkey").format("parquet").saveAsTable(table)
+      appendIndex(spark, table, exists,
+        ex.join(out.select(col(idCol)), Seq(idCol))
+          .select(col("bkey"), col("sig"), lit(tag).as("batch_tag")),
+        buckets, "bkey")
     ex.unpersist(false)
     out
   }

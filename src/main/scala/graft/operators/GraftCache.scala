@@ -40,9 +40,18 @@ object GraftCache {
   def ownerCapacity(owner: String): Int =
     ownerCaps.getOrElse(owner, globalCapacity)
 
-  /** Fetch-or-build. `release` frees the entry's distributed state on
-    * eviction (unpersist + checkpoint-block release — see
-    * [[Checkpoints.releaseFrame]] for DataFrame entries). */
+  /** Releases of EVICTED entries are deferred here and run by
+    * [[Checkpoints.sweep]] — i.e. between queries — because an evicted
+    * entry's frame may still be held by a running query, and for
+    * checkpoint-backed frames release destroys blocks that cannot
+    * recompute. Explicit [[clear]]/[[clearAll]] stay immediate. */
+  private val evictedReleases =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Fetch-or-build. `release` frees the entry's distributed state once it
+    * can no longer be in use: at the sweep after eviction (see
+    * [[Checkpoints.releaseFrame]] for DataFrame entries), or immediately on
+    * explicit clear. */
   def getOrBuild[T <: AnyRef](owner: String, key: AnyRef)
                              (build: => T)(release: T => Unit): T = {
     map.synchronized {
@@ -51,15 +60,36 @@ object GraftCache {
     }
     // build OUTSIDE the lock: builds run Spark jobs (seconds); holding the
     // lock would serialize unrelated operators' cache access behind them.
-    // A racing duplicate build is benign: last one wins, loser released.
     val built = build
-    map.synchronized {
-      val prev = map.put((owner, key), Entry(built, () => release(built)))
-      if (prev != null) prev.release()
-      enforce()
+    val (result, loser) = map.synchronized {
+      val prev = map.get((owner, key))
+      if (prev != null) {
+        // Lost a build race. The published entry may already be held by the
+        // winner's caller, so it MUST survive; our fresh copy is unpublished
+        // (no other thread can hold it) and is safe to free right away.
+        (prev.value.asInstanceOf[T], Some(() => release(built)))
+      } else {
+        map.put((owner, key), Entry(built, () => release(built)))
+        enforce()
+        (built, None)
+      }
     }
-    built
+    loser.foreach(f => f())
+    result
   }
+
+  /** Run deferred eviction releases. Called from [[Checkpoints.sweep]]
+    * (between queries), so queries that still hold an evicted frame finish
+    * against valid blocks. */
+  private[graft] def drainEvicted(): Unit = {
+    var f = evictedReleases.poll()
+    while (f != null) {
+      try f() catch { case _: Throwable => () }
+      f = evictedReleases.poll()
+    }
+  }
+
+  private[graft] def pendingEvictedCount: Int = evictedReleases.size()
 
   def keys(owner: String): Set[AnyRef] = map.synchronized {
     import scala.jdk.CollectionConverters._
@@ -82,11 +112,14 @@ object GraftCache {
   }
 
   // Evict LRU-first: global budget, then any owner over its own cap.
+  // Releases are DEFERRED to the next sweep, not run here: a query holding
+  // the evicted frame may still be mid-flight, and checkpoint-backed
+  // frames die permanently when their blocks go.
   private def enforce(): Unit = {
     import scala.jdk.CollectionConverters._
     while (map.size() > globalCapacity) {
       val eldest = map.entrySet().iterator().next()
-      eldest.getValue.release()
+      evictedReleases.add(eldest.getValue.release)
       map.remove(eldest.getKey)
     }
     val counts = map.keySet().asScala.groupBy(_._1).map { case (o, ks) =>
@@ -98,7 +131,7 @@ object GraftCache {
         while (over > 0 && it.hasNext) {
           val e = it.next()
           if (e.getKey._1 == owner) {
-            e.getValue.release(); it.remove(); over -= 1
+            evictedReleases.add(e.getValue.release); it.remove(); over -= 1
           }
         }
       }
@@ -176,12 +209,34 @@ object Checkpoints {
     pinnedIds.remove(r.id)
   }
 
-  /** Free every tracked, unpinned checkpoint. Call between queries. */
+  /** Free every tracked, unpinned checkpoint, plus the releases of cache
+    * entries evicted since the last sweep. Call between queries. */
   def sweep(): Unit = {
+    GraftCache.drainEvicted()
+    sweepIds(None)
+  }
+
+  /** Ids of the currently tracked checkpoints. Snapshot at micro-batch
+    * start, pass to [[sweepOnly]] at batch end: frees only PRIOR batches'
+    * blocks, so the frame handed to a foreachBatch handler survives one
+    * full batch beyond its own (a handler may defer consumption by a
+    * batch without hitting missing-block failures). */
+  def liveIds: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    live.keySet.asScala.toSet
+  }
+
+  /** Scoped sweep: free only the tracked, unpinned checkpoints in `ids`.
+    * Does NOT drain deferred cache evictions — those may pin frames built
+    * during the current batch; they drain at the next full [[sweep]]. */
+  def sweepOnly(ids: Set[Int]): Unit = sweepIds(Some(ids))
+
+  private def sweepIds(only: Option[Set[Int]]): Unit = {
     val it = live.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (!pinnedIds.contains(e.getKey)) {
+      if (!pinnedIds.contains(e.getKey) &&
+          only.forall(_.contains(e.getKey))) {
         val r = e.getValue.get()
         if (r != null) { try r.unpersist(false) catch { case _: Throwable => () } }
         it.remove()

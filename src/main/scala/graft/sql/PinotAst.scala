@@ -65,11 +65,16 @@ object PinotAst {
     * would silently truncate the id set. */
   private[sql] def rewriteInSubquery(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // ONLY `= 1` and `= 0` lower (to IN / NOT IN). The reference
+      // function yields 1/0, so any other comparand (`= 5`, a typo'd
+      // `= 10`) is a constant-false predicate — left unrewritten here so
+      // it evaluates (or fails) naturally instead of silently flipping
+      // the membership test.
       case EqualTo(f: UnresolvedFunction, Literal(v, IntegerType))
-          if isInSubqueryCall(f) =>
+          if isInSubqueryCall(f) && (v == 1 || v == 0) =>
         lowerInSubquery(f, positive = v == 1)
       case EqualTo(Literal(v, IntegerType), f: UnresolvedFunction)
-          if isInSubqueryCall(f) =>
+          if isInSubqueryCall(f) && (v == 1 || v == 0) =>
         lowerInSubquery(f, positive = v == 1)
     }
 

@@ -82,7 +82,10 @@ object Streams {
     * the natural choice — to keep idempotency across a crash-recovery
     * replay; the default (a fresh tag per sink instance) covers in-run
     * retries and treats each new query as new data. Orphaned checkpoint
-    * blocks are swept per batch. */
+    * blocks are swept with a ONE-BATCH delay: each batch frees only prior
+    * batches' blocks, so the frame handed to `handler` stays valid until
+    * the next micro-batch — handlers may defer consumption by one batch
+    * (beyond that the blocks are gone and the frame cannot recompute). */
   def nearDedupSink(docs: DataFrame, textCol: String, idCol: String,
                     indexName: String, minAgree: Double = 1.0,
                     k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
@@ -91,11 +94,16 @@ object Streams {
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val instance = streamTag.getOrElse(freshStreamTag())
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // snapshot BEFORE this batch's protocol runs: the scoped sweep below
+      // frees only prior batches' checkpoint blocks, so the frame handed to
+      // `handler` stays valid until the NEXT micro-batch — a handler may
+      // defer consumption (async writer, short-lived cache) by one batch.
+      val prior = graft.operators.Checkpoints.liveIds
       handler(graft.operators.Dedup.incrementalMinHash(
         batch.sparkSession, batch, textCol, idCol, indexName,
         k, bands, rowsPerBand, minAgree, buckets,
         batchTag = Some(s"${instance}_$batchId")))
-      graft.operators.Checkpoints.sweep()
+      graft.operators.Checkpoints.sweepOnly(prior)
     }
   }
 
@@ -112,10 +120,11 @@ object Streams {
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val instance = streamTag.getOrElse(freshStreamTag())
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds // see nearDedupSink
       handler(graft.operators.Dedup.incrementalExact(
         batch.sparkSession, batch, textCol, idCol, indexName, buckets,
         batchTag = Some(s"${instance}_$batchId")))
-      graft.operators.Checkpoints.sweep()
+      graft.operators.Checkpoints.sweepOnly(prior)
     }
   }
 

@@ -1304,6 +1304,28 @@ class OperatorsSpec extends SparkSpec {
     } finally Dedup.dropIndex(s, "spec_inc")
   }
 
+  test("incrementalExact tolerates a LEGACY untagged index: rows probe as " +
+    "foreign, append matches the old schema, no unresolved-column failure") {
+    val s = spark
+    import s.implicits._
+    Dedup.dropIndex(s, "spec_legacy")
+    try {
+      // simulate an index persisted by the pre-batch_tag format (or an
+      // external writer): content_hash only
+      val table = operators.Bucketing.indexTable(s, "spec_legacy")
+      Seq("aa", "bb").toDF("text").select(md5(col("text")).as("content_hash"))
+        .write.bucketBy(4, "content_hash").sortBy("content_hash")
+        .format("parquet").saveAsTable(table)
+      val b = Seq((1L, "aa"), (2L, "cc")).toDF("id", "text")
+      val out = Dedup.incrementalExact(s, b, "text", "id", "spec_legacy", 4)
+      // legacy rows are treated as foreign: "aa" drops, "cc" survives
+      assert(out.collect().map(_.getLong(0)).toSet == Set(2L))
+      // the append matched the legacy schema (no batch_tag column added)
+      assert(s.table(table).columns.toSeq == Seq("content_hash"))
+      assert(s.table(table).count() == 3) // aa bb cc
+    } finally Dedup.dropIndex(s, "spec_legacy")
+  }
+
   test("Curation.annotate flags each filter independently and keep is " +
     "their conjunction; curate preserves schema") {
     val s = spark

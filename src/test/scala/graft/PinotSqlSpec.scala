@@ -105,6 +105,17 @@ class PinotSqlSpec extends SparkSpec {
       """SELECT COUNT(*) AS n FROM orders WHERE 1 = IN_SUBQUERY(o_custkey,
         'SELECT c_custkey FROM customer WHERE c_nationkey = 1')""")
       .head().getLong(0) > 0)
+    // any comparand other than 1/0 must NOT silently lower to NOT IN —
+    // the reference function yields 1/0, so `= 5` is a constant-false
+    // predicate; the rewrite leaves it alone and it fails naturally at
+    // analysis (no runtime in_subquery function exists)
+    val e = intercept[Exception] {
+      PinotSql.sql(spark,
+        """SELECT COUNT(*) AS n FROM orders WHERE IN_SUBQUERY(o_custkey,
+          'SELECT c_custkey FROM customer WHERE c_nationkey = 1') = 5""")
+        .head()
+    }
+    assert(e.getMessage.toLowerCase.contains("in_subquery"), e.getMessage)
   }
 
   test("OPTION(...) clauses strip, land as confs, and gate star-tree") {
