@@ -82,6 +82,28 @@ object Bench {
     : Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // per-query shuffle volume: the scale signal wall-time hides at small
+    // sf (a key-width fix shows up here long before it shows up in
+    // seconds) — one listener, drained between queries
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def drainShuffleBytes(): Long = {
+      // listener bus is async: settle before reading so a query's last
+      // tasks land in its own bucket (best-effort; attribution slop of a
+      // few tasks does not change the per-query magnitude)
+      org.apache.spark.graft.ListenerBusAccess
+        .waitUntilEmpty(spark.sparkContext, 2000)
+      shuffleBytes.getAndSet(0L)
+    }
+
     /** Block-manager footprint (memory + disk) of persisted/checkpointed
       * RDD blocks — the session-accumulation signal. */
     def storageBytes(): Long =
@@ -108,7 +130,7 @@ object Bench {
 
     final case class Res(name: String, sec: Double, err: Option[String],
                          gcMs: Long, storage: Long,
-                         setupSec: Option[Double])
+                         setupSec: Option[Double], shuffle: Long)
 
     def runSuite(): Seq[Res] = selected.map { q =>
       // a failing query must surface as an error, not masquerade as a
@@ -127,16 +149,19 @@ object Bench {
       // build phase (catalog/index construction) timed apart from the
       // operator so saveAsTable ceremony can't pollute the headline
       val setupSec = q.setup.map(s => timedPhase(() => s(spark, sfDir)))
+      drainShuffleBytes() // setup's shuffles are its own story
       def timed(): Double = timedPhase(() => runOnce(q.run))
       val first = timed()
+      val firstShuffle = drainShuffleBytes() // ONE run's volume, not iters'
       val rest = if (err.isEmpty && first <= rerunBudgetSec)
         (2 to iters).map(_ => timed()) else Nil
       val gcMs = gcMillis() - gc0
       // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
       // query): a long suite must not accumulate block-manager state
       graft.operators.Checkpoints.sweep()
+      drainShuffleBytes()
       val r = Res(q.name, (first +: rest).min, err, gcMs, storageBytes(),
-        setupSec)
+        setupSec, firstShuffle)
       // per-query progress on stderr (stdout carries only the JSON line):
       // a wedged suite is attributable to a query from the log alone
       System.err.println(
@@ -171,6 +196,8 @@ object Bench {
     val gcJson = s""","gc_ms":${jmap(results.map(r => r.name -> r.gcMs))}"""
     val stJson =
       s""","storage_bytes":${jmap(results.map(r => r.name -> r.storage))}"""
+    val shJson =
+      s""","shuffle_bytes":${jmap(results.map(r => r.name -> r.shuffle))}"""
 
     // re-bench suite outliers alone (post-GC) so interference can't
     // masquerade as regression; both numbers ship
@@ -216,7 +243,22 @@ object Bench {
         s""","total2":${ok2.map(_.sec).sum}"""
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$repeatJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson,"sf":"$sfDir"}"""
+    // The stdout line is the driver's scrape contract, but scrapes have
+    // arrived tail-truncated (round 7's official artifact lost the
+    // timings map) — so the FULL artifact also lands on disk, and the
+    // path is announced on stderr. SPARK_GRAFT_BENCH_OUT overrides.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_latest.json"))
+    try {
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact: ${outPath.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: $e")
+    }
+    println(json)
     spark.stop()
   }
 }

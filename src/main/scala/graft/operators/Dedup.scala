@@ -653,9 +653,16 @@ object Dedup {
     * excised in full wherever it recurs.
     *
     * Scale shape: four linear shuffles (window key, covered-position
-    * distinct, position anti-join, per-doc rebuild) — never a self-join;
-    * the window partitions on the raw window text, so hash collisions
-    * cannot merge distinct passages. Deterministic at any parallelism
+    * distinct, position anti-join, per-doc rebuild) — never a self-join.
+    * The window key is a 128-BIT HASH of the k-token slice (two
+    * independently seeded xxhash64 lanes), not the raw window text: the
+    * first-occurrence shuffle ships 16 bytes per window instead of the
+    * full k-token string (at k=50 and ~6-byte tokens that is ~20× less
+    * shuffle volume — the term that dominates at corpus scale, since
+    * every token appears in k windows). Collision bound: for W distinct
+    * windows, P(any 128-bit collision) ≈ W²/2^129 — at W = 10^13
+    * (a ~100 TB corpus) that is ~10^-13, and a collision's only effect
+    * is one spurious excised passage. Deterministic at any parallelism
     * (global (doc, offset) order). */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
@@ -666,7 +673,10 @@ object Dedup {
         explode(when(n >= k, sequence(lit(1), n - (k - 1)))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col(idCol), col("i"),
-        array_join(slice(col("tk"), col("i"), lit(k)), " ").as("win"))
+        struct(
+          xxhash64(slice(col("tk"), col("i"), lit(k))),
+          xxhash64(lit(0x9e3779b97f4a7c15L),
+            slice(col("tk"), col("i"), lit(k)))).as("win"))
     val w = Window.partitionBy(col("win")).orderBy(col(idCol), col("i"))
     val dup = wins.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
