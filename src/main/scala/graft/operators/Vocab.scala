@@ -104,17 +104,25 @@ object Vocab {
     * segmentation); non-matching tokens pass through whole. Adds
     * `outCol`: the document's subword array.
     *
-    * Two equivalent execution tiers (spec-checked equal): for small merge
-    * tables the replace chain is inlined as codegen string expressions;
-    * past `exprChainMax` merges (production tokenizers carry 10k+) the
-    * same procedure runs as one UDF over a driver-held merge array —
-    * still a single projection, no shuffle, no per-row allocation beyond
-    * the subword list itself. */
+    * Three equivalent execution tiers (spec-checked equal): for small
+    * merge tables the replace chain is inlined as codegen string
+    * expressions, one projection per document. Past `exprChainMax` merges
+    * (production tokenizers carry 10k+) the merge loop runs once per
+    * DISTINCT word — Zipf's law means the same few thousand words account
+    * for almost every occurrence, so replaying 10k merges per OCCURRENCE
+    * would redo identical work billions of times at corpus scale. The
+    * word → subwords table (|vocab| rows, built distributed) then maps
+    * occurrences in one broadcast-lookup projection — no corpus shuffle.
+    * When the vocabulary exceeds `broadcastVocabMax` (too big to hold on
+    * the driver/executors), the same table instead applies as a
+    * posexplode → equi-join → ordered regroup: two corpus-linear
+    * shuffles, no driver state, arbitrarily large vocabularies. */
   def bpeEncode(df: DataFrame, textCol: String,
                 merges: Seq[(String, String)],
                 wordPattern: String = "^[a-z0-9]+$",
                 outCol: String = "subwords",
-                exprChainMax: Int = 64): DataFrame = {
+                exprChainMax: Int = 64,
+                broadcastVocabMax: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.Column
     if (merges.size <= exprChainMax) {
       val encodeWord: Column => Column = { w =>
@@ -130,21 +138,65 @@ object Vocab {
     } else {
       val merged = merges.toArray
       val pattern = wordPattern.r
-      val enc = udf { (text: String) =>
-        if (text == null) Seq.empty[String]
-        else text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-          .flatMap { word =>
-            if (pattern.findFirstIn(word).isEmpty) Seq(word)
-            else {
-              var e = "|" + word.toCharArray.mkString("| |") + "|"
-              merged.foreach { case (l, r) =>
-                e = e.replace(s"|$l| |$r|", s"|$l$r|")
-              }
-              e.split(" ").toSeq.map(t => t.substring(1, t.length - 1))
-            }
-          }
+      def encodeWord(word: String): Seq[String] = {
+        var e = "|" + word.toCharArray.mkString("| |") + "|"
+        merged.foreach { case (l, r) =>
+          e = e.replace(s"|$l| |$r|", s"|$l$r|")
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          e.split(" ")).map(t => t.substring(1, t.length - 1))
       }
-      df.withColumn(outCol, enc(col(textCol)))
+      val encUdf = udf(encodeWord _)
+      // the merge loop runs on |vocab| rows, distributed — never per
+      // occurrence, never on the driver
+      val vocab = df
+        .select(explode(TA.tokens(col(textCol))).as("__w"))
+        .filter(col("__w").rlike(wordPattern))
+        .distinct()
+        .select(col("__w"), encUdf(col("__w")).as("__sub"))
+        .persist()
+      val vocabSize = vocab.count()
+      if (vocabSize <= broadcastVocabMax) {
+        // map-side lookup: the vocab table broadcasts once; encoding the
+        // corpus is a single projection with zero shuffle
+        val table = vocab.collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+        vocab.unpersist(false) // collected — nothing lazy reads it now
+        val bc = df.sparkSession.sparkContext.broadcast(table)
+        val apply = udf { (text: String) =>
+          if (text == null) Seq.empty[String]
+          else text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+            .flatMap { word =>
+              if (pattern.findFirstIn(word).isEmpty) Seq(word)
+              else bc.value.getOrElse(word, encodeWord(word))
+            }
+        }
+        df.withColumn(outCol, apply(col(textCol)))
+      } else {
+        // vocabulary too large to broadcast: join occurrences to the
+        // encoded-word table and regroup in token order. Non-pattern
+        // tokens miss the join (the table holds only pattern words) and
+        // pass through whole via the coalesce.
+        val withId = df.withColumn("__rid", monotonically_increasing_id())
+        val occ = withId.select(col("__rid"),
+          posexplode(TA.tokens(col(textCol))).as(Seq("__pos", "__w")))
+        val seg = occ.join(vocab, Seq("__w"), "left")
+          .select(col("__rid"), col("__pos"),
+            coalesce(col("__sub"), array(col("__w"))).as("__sub"))
+        val agg = seg.groupBy(col("__rid")).agg(
+          flatten(transform(
+            array_sort(collect_list(struct(col("__pos"), col("__sub")))),
+            s => s.getField("__sub"))).as(outCol))
+        val out = withId.join(agg, Seq("__rid"), "left")
+          .withColumn(outCol,
+            coalesce(col(outCol), array().cast("array<string>")))
+          .drop("__rid")
+        // materialize before releasing the vocab cache the join reads;
+        // the checkpoint blocks are ledger-tracked, swept between queries
+        val result = Checkpoints.eager(out)
+        vocab.unpersist(false)
+        result
+      }
     }
   }
 

@@ -1299,6 +1299,31 @@ object TrainingQueries {
         GROUP BY d.doc_id ORDER BY d.doc_id"""
       }),
 
+    // BPE encode at production merge-table size: 10k deterministic
+    // synthetic merges force the distinct-word tier (the merge loop runs
+    // once per DISTINCT word, occurrences map through a broadcast
+    // lookup — replaying 10k replaces per occurrence is the scale
+    // constant this tier removes). DuckDB cannot replay 10k sequential
+    // merges, so the oracle is the exact reassembly INVARIANT instead:
+    // concatenating each document's subwords with no separator must
+    // rebuild its token stream byte-for-byte (nothing lost, duplicated,
+    // or reordered); segmentation identity across tiers is spec-gated.
+    Q("q_bpe_encode_10k",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val units = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+        val m1 = for (l <- units; r <- units) yield (l, r)
+        val m2 = for (l <- units; r <- units; x <- units) yield (l + r, x)
+        val merges = (m1 ++ m2).take(10000)
+        graft.operators.Vocab.bpeEncode(docs, "text", merges)
+          .select(col("doc_id"),
+            array_join(col("subwords"), "").as("rebuilt"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+          array_to_string(${toksSql("text")}, '') AS rebuilt
+        FROM documents ORDER BY doc_id""")),
+
     // Lucene-style phrase TEXT_MATCH over the positional inverted index:
     // adjacent-position postings intersections (keyed equi-joins), never a
     // corpus scan. Oracle walks the token list for an adjacent bigram.

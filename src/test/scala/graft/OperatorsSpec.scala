@@ -393,10 +393,26 @@ class OperatorsSpec extends SparkSpec {
     assert(enc(1) == Seq("low", "er", "low", "er"))
     assert(enc(2) == Seq("n", "e", "w", "e", "s", "t"))
 
-    // UDF tier (exprChainMax = 0 forces it) produces identical output
+    // distinct-word broadcast tier (exprChainMax = 0 forces it) produces
+    // identical output — same merge loop, run once per distinct word
     val encU = Vocab.bpeEncode(docs, "text", merges, exprChainMax = 0)
       .orderBy("doc_id").collect().map(_.getSeq[String](2))
     assert(encU.toSeq.map(_.toSeq) == enc.toSeq.map(_.toSeq))
+
+    // join-regroup tier (vocab "too large" to broadcast) also agrees,
+    // including tokens outside wordPattern (they miss the vocab join and
+    // pass through whole) and multi-token order preservation
+    val encJ = Vocab.bpeEncode(docs, "text", merges, exprChainMax = 0,
+        broadcastVocabMax = 0L)
+      .orderBy("doc_id").collect().map(_.getSeq[String](2))
+    assert(encJ.toSeq.map(_.toSeq) == enc.toSeq.map(_.toSeq))
+    val mixedJ = Vocab.bpeEncode(
+      Seq((1L, "low C++! lower"), (2L, ""), (3L, "low low")).toDF("doc_id", "text"),
+      "text", merges, exprChainMax = 0, broadcastVocabMax = 0L)
+      .orderBy("doc_id").collect().map(_.getSeq[String](2))
+    assert(mixedJ(0) == Seq("low", "c++!", "low", "er"))
+    assert(mixedJ(1) == Seq.empty[String])
+    assert(mixedJ(2) == Seq("low", "low"))
 
     // tokens outside wordPattern pass through unsegmented
     val mixed = Vocab.bpeEncode(
