@@ -288,13 +288,28 @@ object AggQueries {
         COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
         HAVING ${ParSql.dsum("l_quantity")} > 15000""")),
 
-    // distinctCountHLL (approx — engines' HLL impls differ, rows-only gate;
-    // the ScalaTest spec asserts the 5% rsd bound vs exact)
+    // distinctCountHLL — engines' HLL impls differ, so the sketch value
+    // itself is not cross-engine-comparable. TOLERANCE ORACLE instead:
+    // the same query computes the exact distinct count (which DuckDB
+    // replays bit-for-bit — the cross-engine anchor proving the scan and
+    // grouping) and the estimate-within-3·rsd boolean, which the oracle
+    // expects to be true. rsd=0.05 → bound 0.15.
     Q("q_agg_approx_hll",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("hll_part"),
-          approx_count_distinct(col("l_orderkey"), 0.05).as("hll_order")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("hp"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("ho"),
+          count_distinct(col("l_partkey")).as("nd_part"),
+          count_distinct(col("l_orderkey")).as("nd_order"))
+        .select(col("l_returnflag"), col("nd_part"), col("nd_order"),
+          (abs(col("hp") - col("nd_part")).cast("double") /
+            col("nd_part") <= 0.15).as("hll_part_ok"),
+          (abs(col("ho") - col("nd_order")).cast("double") /
+            col("nd_order") <= 0.15).as("hll_order_ok")),
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS nd_part,
+          COUNT(DISTINCT l_orderkey) AS nd_order,
+          true AS hll_part_ok, true AS hll_order_ok
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // percentileEst / TDigest analog. With accuracy >= group size the GK
     // sketch is uncompressed and exact: the returned element equals the
@@ -368,13 +383,44 @@ object AggQueries {
           CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION
             SELECT * FROM p)) AS INT) AS n_either""")),
 
-    // fourthMoment (custom Aggregator, partial/merge/final contract) —
-    // rows-only gate; the spec asserts parity with exact decimal moments
+    // fourthMoment (custom Aggregator, partial/merge/final contract).
+    // TOLERANCE ORACLE: the same query derives the exact m4 from scaled
+    // power sums (op order mirrored in the oracle SQL → bit-identical
+    // doubles, like q_agg_variance) and checks the streaming aggregator
+    // against it at 1e-9 relative — Pébay's parallel updates are
+    // algebraically exact, only float noise separates them.
     Q("q_agg_fourthmoment",
-      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(graft.functions.Moments.fourthMomentAgg(col("l_quantity"))
-          .as("m4")),
-      None),
+      (s, d) => {
+        val ps = Ag.powerSumsScaled(col("l_quantity"))
+        val base = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(graft.functions.Moments
+              .fourthMomentAgg(col("l_quantity").cast("double"))
+              .as("m4_stream"),
+            count(lit(1)).cast("double").as("n"),
+            ps(0).as("s1"), ps(1).as("s2"), ps(2).as("s3"), ps(3).as("s4"))
+        val mean = col("s1") / col("n")
+        val m4x = col("s4") / col("n") -
+          lit(4.0) * mean * (col("s3") / col("n")) +
+          lit(6.0) * mean * mean * (col("s2") / col("n")) -
+          lit(3.0) * mean * mean * mean * mean
+        base.select(col("l_returnflag"),
+          round(m4x, 6).as("m4_exact"),
+          (abs(col("m4_stream") - m4x) <=
+            abs(m4x) * 1e-9 + 1e-9).as("m4_ok"))
+      },
+      Some("""-- reltol:1e-9
+        SELECT l_returnflag,
+          ROUND(s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n), 6) AS m4_exact,
+          true AS m4_ok
+        FROM (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(q) AS DOUBLE)/1e2 AS s1,
+          CAST(SUM(q*q) AS DOUBLE)/1e4 AS s2,
+          CAST(SUM(q*q*q) AS DOUBLE)/1e6 AS s3,
+          CAST(SUM(q*q*q*q) AS DOUBLE)/1e8 AS s4
+          FROM (SELECT l_returnflag,
+            CAST(ROUND(l_quantity*100) AS BIGINT) AS q FROM lineitem)
+          GROUP BY l_returnflag)""")),
 
     // distinctCountRawHLL analog: serialized DataSketches HLL out of the
     // aggregate, mergeable across segments/partitions (rows-only gate;
@@ -446,27 +492,55 @@ object AggQueries {
         COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
-    // percentileRawEst: the SERIALIZED quantile sketch is the result
-    // (rows-only — sketch bytes are library-specific; the spec bounds the
-    // estimates against exact percentiles and checks merge == one-shot)
+    // percentileRawEst: the serialized sketch's bytes are
+    // library-specific, so the gate checks RANK ERROR instead: the exact
+    // realized rank of the sketch's p50 estimate (fraction of group
+    // values ≤ estimate, computed exactly in the same query) must sit
+    // within KLL(k=200)'s ~1.65% rank-error band of 0.5 (3σ bound 0.05),
+    // the sketch must have absorbed every row (n_ok), and the exact
+    // group count anchors the scan cross-engine.
     Q("q_agg_percentile_raw",
       (s, d) => {
         import graft.functions.KllSketch
-        Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        val li = Tables.lineitem(s, d)
+        val est = li.groupBy(col("l_returnflag"))
           .agg(KllSketch.percentileRawAgg(col("l_extendedprice")).as("sk"))
           .select(col("l_returnflag"),
             KllSketch.kllQuantile(col("sk"), lit(0.5)).as("p50_est"),
-            KllSketch.kllN(col("sk")).as("n_items"),
-            length(col("sk")).as("sketch_bytes"))
+            KllSketch.kllN(col("sk")).as("n_sketch"),
+            (length(col("sk")) > 0).as("has_sketch"))
+        li.join(broadcast(est), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(when(col("l_extendedprice") <= col("p50_est"), 1L)
+              .otherwise(0L)).as("n_le"),
+            first(col("n_sketch")).as("n_sketch"),
+            first(col("has_sketch")).as("has_sketch"))
+          .select(col("l_returnflag"), col("n_items"),
+            (col("n_sketch") === col("n_items")).as("n_ok"),
+            col("has_sketch"),
+            (abs(col("n_le").cast("double") / col("n_items") - 0.5) <=
+              0.05).as("rank_ok"))
       },
-      None),
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items, true AS n_ok,
+          true AS has_sketch, true AS rank_ok
+        FROM lineitem GROUP BY l_returnflag""")),
 
+    // Datasketches HLL via Spark's native hll_sketch_agg — same
+    // tolerance-oracle pattern as q_agg_approx_hll: exact distinct count
+    // anchors, estimate within 3·rsd (lgK=12 → rsd≈1.6%, bound 5%).
     Q("q_agg_hll_sketch",
       (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))
-          .as("hll_est"),
-          length(hll_sketch_agg(col("l_partkey"))).as("sketch_bytes")),
-      None))
+          .as("est"),
+          (length(hll_sketch_agg(col("l_partkey"))) > 0).as("has_sketch"),
+          count_distinct(col("l_partkey")).as("nd_part"))
+        .select(col("l_returnflag"), col("nd_part"), col("has_sketch"),
+          (abs(col("est") - col("nd_part")).cast("double") /
+            col("nd_part") <= 0.05).as("hll_ok")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+          true AS has_sketch, true AS hll_ok
+        FROM lineitem GROUP BY l_returnflag""")))
 
   /** Oracle for q_agg_variance: identical moment formulas over exact
     * scaled-long power sums (sum the integer powers of q = round(x·100)

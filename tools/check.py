@@ -12,6 +12,7 @@ Dev tool only — never shipped as part of the library.
 """
 import json
 import math
+import re
 import sys
 from pathlib import Path
 
@@ -92,7 +93,34 @@ def main():
             print(f"✗ {name}: row count spark={len(a)} duck={len(b)}")
             n_fail += 1
             continue
-        if a.equals(b):
+        # tolerance mode: an oracle starting its SQL with a
+        # `-- reltol:<eps>` comment compares float cells within that
+        # relative tolerance instead of exactly (for gates whose values
+        # are mathematically identical but float-op-order sensitive)
+        tol_m = re.search(r"--\s*reltol:([0-9.eE+-]+)", oracle[name])
+        if tol_m:
+            rtol = float(tol_m.group(1))
+            ok = True
+            for i in range(len(a)):
+                for c in a.columns:
+                    va, vb = a.iloc[i][c], b.iloc[i][c]
+                    if va is None and vb is None:
+                        continue
+                    if isinstance(va, float) and isinstance(vb, float):
+                        if math.isnan(va) and math.isnan(vb):
+                            continue
+                        if abs(va - vb) > rtol * max(abs(va), abs(vb), 1.0):
+                            ok = False
+                            break
+                    elif va != vb:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                n_pass += 1
+                continue
+        elif a.equals(b):
             n_pass += 1
             continue
         # locate first differing cell
