@@ -566,6 +566,66 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lshPlan closes the loop: realized candidate recall on pairs of " +
+      "KNOWN Jaccard tracks lshCandidateProbability's prediction") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    Dedup.cacheClear()
+    // planner picks the knobs for a 0.6 threshold within a 16-hash budget
+    val (bands, rpb) = Dedup.lshPlan(0.6, 16)
+    assert(bands * rpb <= 16)
+    // corpus of disjoint-universe doc pairs with CONTROLLED 1-shingle
+    // Jaccard: each pair shares exactly m of its n tokens per side, so
+    // j = m/(2n - m) is known by construction and cross-pair band
+    // collisions are md5-improbable
+    val n = 20
+    val perBucket = 40
+    val targets = Seq(0.3, 0.5, 0.7, 0.9)
+    case class Bucket(j: Double, firstPair: Int, lastPair: Int)
+    var nextPair = 0
+    val buckets = targets.map { sTarget =>
+      val m = math.round(2 * n * sTarget / (1 + sTarget)).toInt
+      val j = m.toDouble / (2 * n - m)
+      val first = nextPair
+      nextPair += perBucket
+      (Bucket(j, first, nextPair - 1), m)
+    }
+    val docs = buckets.flatMap { case (bk, m) =>
+      (bk.firstPair to bk.lastPair).flatMap { p =>
+        val shared = (0 until m).map(i => s"p${p}s$i")
+        val onlyA = (m until n).map(i => s"p${p}a$i")
+        val onlyB = (m until n).map(i => s"p${p}b$i")
+        Seq((2L * p, (shared ++ onlyA).mkString(" ")),
+          (2L * p + 1, (shared ++ onlyB).mkString(" ")))
+      }
+    }.toDF("id", "text")
+    val found = Dedup.minHashPairs(docs, "text", "id",
+        k = 1, bands = bands, rowsPerBand = rpb)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    buckets.foreach { case (bk, _) =>
+      val hits = (bk.firstPair to bk.lastPair).count { p =>
+        found.contains((2L * p, 2L * p + 1))
+      }
+      val realized = hits.toDouble / perBucket
+      val predicted = Dedup.lshCandidateProbability(bk.j, bands, rpb)
+      // binomial noise at 40 pairs plus finite-hash estimator variance:
+      // a ±0.2 band still separates the S-curve's low/mid/high regimes
+      assert(math.abs(realized - predicted) <= 0.2,
+        f"j=${bk.j}%.2f realized=$realized%.2f predicted=$predicted%.2f " +
+          f"(bands=$bands r=$rpb)")
+    }
+    // and the curve is USABLE: high-similarity pairs are mostly caught,
+    // low-similarity mostly rejected — the planner's entire point
+    val lowR = (buckets.head._1.firstPair to buckets.head._1.lastPair)
+      .count(p => found.contains((2L * p, 2L * p + 1))).toDouble / perBucket
+    val highR = (buckets.last._1.firstPair to buckets.last._1.lastPair)
+      .count(p => found.contains((2L * p, 2L * p + 1))).toDouble / perBucket
+    assert(highR > 0.8 && lowR < 0.4, f"low=$lowR%.2f high=$highR%.2f")
+    Dedup.cacheClear()
+  }
+
   test("exactSubstrDedup: later occurrences excised, overlaps merge, " +
       "first copy kept, partition invariance") {
     val s = spark
