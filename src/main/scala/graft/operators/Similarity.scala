@@ -293,6 +293,75 @@ object Similarity {
       Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub))))
   }
 
+  /** Trained PQ codebook: the seeded [[pqTrain]] centroids refined by
+    * `iters` DETERMINISTIC Lloyd rounds, distributed. Each round assigns
+    * every subvector to its nearest centroid with integer-quantized
+    * distances (1e6-scaled squared L2, ties → lowest code — so the
+    * argmin is partition-order independent), then recomputes centroids
+    * from 1e6-scaled long dimension sums (order-free exact integer adds:
+    * the mean is bit-identical at any parallelism). One job per round
+    * over the m·|corpus| subvector rows; only the m·k·sub codebook comes
+    * back to the driver. Seeded init + deterministic updates + a fixed
+    * round count = the same codebook on every run and any cluster —
+    * trained quality without giving up replayability. Empty cells keep
+    * their previous centroid. [[pqTrain]] remains the replayable oracle
+    * mode; this is the quality mode ([[pqTopKWith]] takes either). */
+  def pqTrainLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int, k: Int, iters: Int = 5): PqModel = {
+    var model = pqTrain(corpus, idCol, vecCol, m, k)
+    val sub = model.sub
+    val subRows = corpus.select(
+      explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col(vecCol), j * sub + 1, sub).as("x"))
+      }: _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.x").as("x"))
+      .persist()
+    subRows.count()
+    val sc = corpus.sparkSession.sparkContext
+    for (_ <- 1 to iters) {
+      val bc = sc.broadcast(model.centroids)
+      val assign = udf { (j: Int, x: Seq[Float]) =>
+        val cents = bc.value(j)
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val diff = x(i).toDouble - cv(i).toDouble
+            d += diff * diff
+            i += 1
+          }
+          val dU = math.floor(d * 1e6 + 0.5).toLong
+          if (dU < bestD) { bestD = dU; best = c }
+          c += 1
+        }
+        best
+      }
+      val sums = subRows
+        .select(col("j"), assign(col("j"), col("x")).as("code"),
+          posexplode(col("x")).as(Seq("d", "v")))
+        .groupBy(col("j"), col("code"), col("d"))
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m, k) { (j, c) =>
+        model.centroids(j)(c).clone()
+      }
+      sums.foreach { r =>
+        val (j, c, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(j)(c)(d) =
+          (r.getLong(3).toDouble / r.getLong(4) / 1e6).toFloat
+      }
+      bc.destroy()
+      model = PqModel(m, k, next)
+    }
+    subRows.unpersist(false)
+    model
+  }
+
   /** Scaled-long squared L2 between a subvector expression and a constant
     * centroid: `round(x·x − 2·x·c + c·c, 6)·1e6` as a long. The
     * quantized-integer form makes every downstream SUM order-independent
@@ -386,8 +455,17 @@ object Similarity {
     * corpus-side read is m bytes/vector — a 32× IO cut at D=64 float32 —
     * and the scan stays map-only against broadcast queries. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, m: Int, k: Int, topK: Int): DataFrame = {
-    val model = pqTrain(corpus, idCol, vecCol, m, k)
+             vecCol: String, m: Int, k: Int, topK: Int): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol,
+      pqTrain(corpus, idCol, vecCol, m, k), topK)
+
+  /** [[pqTopK]] over a supplied codebook — seeded ([[pqTrain]], the
+    * oracle mode) or Lloyd-trained ([[pqTrainLloyd]], the quality mode).
+    * Same ADC plan either way; only the centroid constants differ. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, model: PqModel, topK: Int): DataFrame = {
+    val m = model.m
+    val k = model.k
     val enc = pqEncode(corpus, vecCol, model)
       .select(col(idCol).as("cand_id"), col("pq_codes"))
     val qtabs = array((0 until m).map { j =>

@@ -1101,6 +1101,57 @@ class OperatorsSpec extends SparkSpec {
     assert(b == a)
   }
 
+  test("pqTrainLloyd: deterministic trained codebook beats the seeded " +
+      "one on recall@k over a clustered corpus; replay is bit-stable") {
+    val s = spark
+    import s.implicits._
+    // synthetic clustered corpus engineered so the SEED codebook is
+    // pathological: the k lowest-id vectors (pqTrain's seeds) all sit in
+    // ONE cluster, while the corpus spans 8 well-separated clusters —
+    // exactly the situation where real Lloyd training must win
+    // MANY small clusters: a query's true neighbors are its ~4 cluster
+    // mates, distinguishable by PQ only when the per-subspace codes
+    // spread over the data (16^4 product cells for 80 clusters). The
+    // degenerate seed codebook collapses everything into a few cells
+    // (ties everywhere → near-random ranking); trained Lloyd must
+    // separate them.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val nClusters = 80
+    val centers = Array.fill(nClusters, dim)((rnd.nextDouble() * 20 - 10).toFloat)
+    def vec(cluster: Int): Array[Float] =
+      centers(cluster).map(c => c + (rnd.nextDouble() * 0.4 - 0.2).toFloat)
+    // ids 0..15 from cluster 0 (the degenerate seeds), then round-robin
+    val rows = (0 until 16).map(i => (i.toLong, vec(0))) ++
+      (16 until 416).map(i => (i.toLong, vec(i % nClusters)))
+    val corpus = rows.toDF("vec_id", "embedding").repartition(7)
+    val queries = corpus.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 4))
+    val seeded = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 4, k = 16)
+    val trained = Similarity.pqTrainLloyd(corpus, "vec_id", "embedding",
+      m = 4, k = 16, iters = 5)
+    def recall(model: Similarity.PqModel): Double = {
+      val got = pairs(Similarity.pqTopKWith(corpus, queries,
+        "vec_id", "embedding", model, 4))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rSeed = recall(seeded)
+    val rTrain = recall(trained)
+    assert(rTrain > rSeed,
+      f"trained recall $rTrain%.2f not above seeded $rSeed%.2f")
+    assert(rTrain >= 0.7, f"trained recall $rTrain%.2f below floor")
+    // determinism: a second training run on a different layout yields the
+    // SAME codebook (scaled-long updates are partition-order free)
+    val trained2 = Similarity.pqTrainLloyd(corpus.repartition(3),
+      "vec_id", "embedding", m = 4, k = 16, iters = 5)
+    assert(trained2.centroids.flatten.flatten.toSeq ==
+      trained.centroids.flatten.flatten.toSeq)
+  }
+
   test("ivfPqTopK: full probe equals plain PQ; pruning only removes " +
       "candidates; partition invariance") {
     val emb = Tables.embeddings(spark, sfDir)
