@@ -38,12 +38,36 @@ object Packing {
   def concatChunks(df: DataFrame, idCol: String, textCol: String,
                    budget: Long, nBuckets: Int = 256,
                    salt: String = "graft"): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val ord = ordKey(col(idCol), salt)
+    packCore(df, idCol, textCol, budget, ord, ord % nBuckets)
+  }
+
+  /** Pack in an EXPLICIT precomputed total order — the composition hook
+    * for [[graft.operators.Sampling.epochShuffle]] (pass its dense
+    * `shuffle_pos`): CONTIGUOUS range buckets keep the effective
+    * concatenation order identical to `orderCol`'s total order (unlike
+    * [[concatChunks]]'s interleaved hash buckets, whose effective order
+    * is (bucket, hash, id)), so "shuffle this epoch, then pack, then
+    * shard" means exactly what it says. One count() sizes the buckets;
+    * everything else is the same two-pass distributed prefix sum. */
+  def concatChunksOrdered(df: DataFrame, idCol: String, textCol: String,
+                          orderCol: String, budget: Long,
+                          nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val n = df.count()
+    val span = math.max(1L, (n + nBuckets - 1) / nBuckets)
+    packCore(df, idCol, textCol, budget, col(orderCol),
+      expr(s"$orderCol DIV $span"))
+  }
+
+  private def packCore(df: DataFrame, idCol: String, textCol: String,
+                       budget: Long, ordExpr: Column,
+                       bucketExpr: Column): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     val base = df.select(col(idCol), TA.tokenCount(col(textCol))
-        .cast("long").as("n_tokens"), ord.as("__ord"),
-        (ord % nBuckets).as("__bucket"))
+        .cast("long").as("n_tokens"), ordExpr.as("__ord"),
+        bucketExpr.cast("long").as("__bucket"))
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__bucket"))

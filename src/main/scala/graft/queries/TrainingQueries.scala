@@ -498,6 +498,48 @@ object TrainingQueries {
         SELECT doc_id, n_tokens, CAST(prev // 5000 AS BIGINT) AS shard
         FROM w ORDER BY doc_id""")),
 
+    // CAPSTONE composition — the end-to-end training-loader feed:
+    // epochShuffle (deterministic epoch-3 permutation) → pack the corpus
+    // into 1000-token chunks IN THAT ORDER (concatChunksOrdered's
+    // contiguous buckets preserve the shuffle order exactly) → assign
+    // 5000-token shards from the same packed positions. The oracle
+    // replays the whole chain as one window over the epoch hash order,
+    // so every stage boundary (shuffle order → prefix sum → chunk DIV →
+    // shard DIV) is bit-checked end to end — the curation twin of
+    // q_pipeline_e2e.
+    Q("q_epoch_pack_shards",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val shuffled = graft.operators.Sampling.epochShuffle(
+          docs, "doc_id", epoch = 3)
+        graft.operators.Packing.concatChunksOrdered(shuffled, "doc_id",
+            "text", "shuffle_pos", budget = 1000L)
+          .select(col("doc_id"), col("n_tokens"), col("start_chunk"),
+            col("start_offset"), col("end_chunk"),
+            expr("(start_chunk * 1000 + start_offset) DIV 5000")
+              .as("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id,
+            CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+            ${hash60Sql("'graft:3:' || CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        w AS (
+          SELECT doc_id, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+          FROM t)
+        SELECT doc_id, n_tokens,
+          CAST(prev // 1000 AS BIGINT) AS start_chunk,
+          CAST(prev % 1000 AS BIGINT) AS start_offset,
+          CAST(GREATEST(prev // 1000, (prev + n_tokens - 1) // 1000)
+            AS BIGINT) AS end_chunk,
+          CAST(prev // 5000 AS BIGINT) AS shard
+        FROM w ORDER BY doc_id""")),
+
     // Near-dup CLUSTERS: connected components over the MinHash LSH pairs —
     // the canonical-representative step after pair generation (transitive:
     // A~B, B~C ⇒ one cluster even when A,C never paired). Spark side runs

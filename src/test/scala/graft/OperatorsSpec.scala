@@ -239,6 +239,40 @@ class OperatorsSpec extends SparkSpec {
     assert(fill.values.sum == totalTokens)
   }
 
+  test("concatChunksOrdered packs in EXACTLY the given order: start " +
+      "positions are the prefix sums of the order column's total order") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Packing, Sampling}
+    val docs = (1L to 120L)
+      .map(i => (i, Seq.fill((i % 13 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val shuffled = Sampling.epochShuffle(docs, "doc_id", epoch = 7)
+    val packed = Packing.concatChunksOrdered(shuffled, "doc_id", "text",
+      "shuffle_pos", budget = 50L, nBuckets = 8)
+    // sequential reference: walk docs in shuffle_pos order, accumulate
+    val order = shuffled.select("doc_id", "shuffle_pos").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1).map(_._2)
+    val nTok = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .toMap
+    var pos = 0L
+    val expected = order.map { id =>
+      val start = pos; pos += nTok(id)
+      id -> (start / 50, start % 50, math.max(start / 50, (pos - 1) / 50))
+    }.toMap
+    val got = packed.collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // and the composition is partition-invariant end to end
+    val packed13 = Packing.concatChunksOrdered(
+      Sampling.epochShuffle(docs.repartition(13), "doc_id", epoch = 7),
+      "doc_id", "text", "shuffle_pos", budget = 50L, nBuckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(packed13 == got)
+  }
+
   test("shardByTokens: docs whole, shard sizes budget ± one doc, " +
       "partition-invariant; writeShards round-trips partitioned by shard") {
     val s = spark
