@@ -36,6 +36,18 @@ object Bench {
 
   val OutlierFactor = 1.5
 
+  /** The heavy tier re-run at FACTOR× by the scale-stress pass: every
+    * query here reads only documents/embeddings (the tables
+    * [[graft.sources.ScaleCorpus]] expands). */
+  val ScaleFamily: Set[String] = Set(
+    "q_dedup_exact", "q_text_canon", "q_dedup_minhash_pairs",
+    "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_substr",
+    "q_dedup_spans", "q_dedup_semantic", "q_dedup_embed_pairs",
+    "q_ann_topk", "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
+    "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_encode_10k",
+    "q_pipeline_e2e", "q_pack_chunks", "q_epoch_pack_shards",
+    "q_decontaminate")
+
   /** Queries whose suite time exceeds `factor`× their prior recording. */
   private[graft] def outliers(cur: Map[String, Double],
                               prior: Map[String, Double],
@@ -78,9 +90,9 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-    : Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String = sfDir): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
 
     // per-query shuffle volume: the scale signal wall-time hides at small
     // sf (a key-width fix shows up here long before it shows up in
@@ -132,7 +144,8 @@ object Bench {
                          gcMs: Long, storage: Long,
                          setupSec: Option[Double], shuffle: Long)
 
-    def runSuite(): Seq[Res] = selected.map { q =>
+    def runSuite(sel: Seq[graft.Q] = selected,
+                 dir: String = sfDir): Seq[Res] = sel.map { q =>
       // a failing query must surface as an error, not masquerade as a
       // fast wall-time silently inflating the bench
       var err: Option[String] = None
@@ -148,9 +161,9 @@ object Bench {
       val gc0 = gcMillis()
       // build phase (catalog/index construction) timed apart from the
       // operator so saveAsTable ceremony can't pollute the headline
-      val setupSec = q.setup.map(s => timedPhase(() => s(spark, sfDir)))
+      val setupSec = q.setup.map(s => timedPhase(() => s(spark, dir)))
       drainShuffleBytes() // setup's shuffles are its own story
-      def timed(): Double = timedPhase(() => runOnce(q.run))
+      def timed(): Double = timedPhase(() => runOnce(q.run, dir))
       val first = timed()
       val firstShuffle = drainShuffleBytes() // ONE run's volume, not iters'
       val rest = if (err.isEmpty && first <= rerunBudgetSec)
@@ -243,8 +256,48 @@ object Bench {
         s""","total2":${ok2.map(_.sec).sum}"""
     }
 
+    // ---- scale-stress pass: the per-round corpus saturates once every
+    // query is sub-second, so the heavy (dedup/ANN/BPE/pipeline) family
+    // re-runs on a deterministic FACTOR× expansion
+    // ([[graft.sources.ScaleCorpus]]) and the artifact carries the
+    // per-query scale curve: ratio = t_scaled/t_base. A linear operator
+    // rides ≈factor (plus fixed overheads that amortize); anything past
+    // 1.5×factor lands in super_linear for naming-and-explaining.
+    // SPARK_GRAFT_BENCH_SCALE=1 disables; _SCALE_ONLY overrides the set.
+    val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
+    val scaleJson = if (scaleFactor <= 1) "" else {
+      val family = sys.env.get("SPARK_GRAFT_BENCH_SCALE_ONLY")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(ScaleFamily)
+      val scaleSel = selected.filter(q => family.contains(q.name))
+      if (scaleSel.isEmpty) "" else {
+        val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+          s"target/graft_scale_${scaleFactor}x")
+        val prepSec =
+          graft.sources.ScaleCorpus.materialize(spark, sfDir, scaleDir,
+            scaleFactor)
+        graft.operators.Checkpoints.sweep()
+        val scaled = runSuite(scaleSel, scaleDir)
+        val okS = scaled.filter(_.err.isEmpty)
+        val baseTimes = ok.map(r => r.name -> r.sec).toMap
+        val ratios = okS.flatMap(r =>
+          baseTimes.get(r.name).map(b => r.name ->
+            (if (b > 0) r.sec / b else Double.PositiveInfinity)))
+        val superLinear = ratios.collect {
+          case (n, x) if x > 1.5 * scaleFactor => n }.sorted
+        val errsS = scaled.collect { case r if r.err.isDefined =>
+          r.name -> jstr(r.err.get) }
+        s""","scale":{"factor":$scaleFactor,"prep_sec":$prepSec""" +
+          s""","queries":${jmap(okS.map(r => r.name -> r.sec))}""" +
+          s""","shuffle_bytes":${jmap(okS.map(r => r.name -> r.shuffle))}""" +
+          s""","ratio":${jmap(ratios.map { case (n, x) =>
+            n -> (math.round(x * 100) / 100.0) })}""" +
+          (if (errsS.isEmpty) "" else s""","errors":${jmap(errsS)}""") +
+          s""","super_linear":${superLinear.map(jstr).mkString("[", ",", "]")}}"""
+      }
+    }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson$scaleJson,"sf":"$sfDir"}"""
     // The stdout line is the driver's scrape contract, but scrapes have
     // arrived tail-truncated (round 7's official artifact lost the
     // timings map) — so the FULL artifact also lands on disk, and the
