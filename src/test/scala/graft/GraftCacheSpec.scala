@@ -11,6 +11,7 @@ class GraftCacheSpec extends SparkSpec {
     val prevGlobal = GraftCache.globalCapacity
     try {
       GraftCache.clearAll()
+      Checkpoints.sweep() // drain deferred evictions from earlier suites
       GraftCache.globalCapacity = 3
       var released = List.empty[String]
       def put(owner: String, key: String): Unit =

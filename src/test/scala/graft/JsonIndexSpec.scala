@@ -92,7 +92,11 @@ class JsonIndexSpec extends SparkSpec {
       assert(a.storageLevel.useMemory, "built index is persisted")
       JsonIndex.cachedPostings(docs, "doc", "id", schema, Some("k2"))
       assert(JsonIndex.cacheKeys.map(_._2) == Set("k2"), "LRU evicts k1")
-      assert(!a.storageLevel.useMemory, "evicted index is unpersisted")
+      // eviction defers the release to the next between-queries sweep so
+      // a query still holding the evicted frame finishes safely
+      assert(a.storageLevel.useMemory, "evicted index valid until sweep")
+      graft.operators.Checkpoints.sweep()
+      assert(!a.storageLevel.useMemory, "swept index is unpersisted")
     } finally {
       JsonIndex.cacheCapacity = prev
       JsonIndex.cacheClear()

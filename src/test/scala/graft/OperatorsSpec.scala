@@ -827,9 +827,13 @@ class OperatorsSpec extends SparkSpec {
       assert(Dedup.simHashPairs(df, "text", "doc_id", 16) eq p1,
         "same corpus+params must reuse the built pairs")
       assert(p1.storageLevel.useMemory, "built pairs are persisted")
-      // different params → new entry; capacity 1 evicts + unpersists p1
+      // different params → new entry; capacity 1 evicts p1, whose release
+      // DEFERS to the next between-queries sweep (a query still holding
+      // the frame must finish against valid blocks)
       Dedup.simHashPairs(df, "text", "doc_id", 8)
-      assert(!p1.storageLevel.useMemory, "evicted pairs are unpersisted")
+      assert(p1.storageLevel.useMemory, "evicted pairs valid until sweep")
+      operators.Checkpoints.sweep()
+      assert(!p1.storageLevel.useMemory, "swept pairs are unpersisted")
       assert(Dedup.cacheKeys.size == 1)
       // an evicted frame is still valid — it just recomputes
       assert(p1.count() == 0L)
@@ -1261,8 +1265,12 @@ class OperatorsSpec extends SparkSpec {
       assert(i1.assigned.storageLevel.useMemory, "first index cached")
       val i2 = Similarity.ivfIndex(emb, "vec_id", "embedding", 4,
         Some("snapB"))
+      // eviction defers the unpersist to the next between-queries sweep
+      assert(i1.assigned.storageLevel.useMemory,
+        "evicted index stays valid until sweep")
+      operators.Checkpoints.sweep()
       assert(!i1.assigned.storageLevel.useMemory,
-        "evicted index must be unpersisted")
+        "swept index must be unpersisted")
       assert(i2.assigned.storageLevel.useMemory, "new index cached")
       val snaps = Similarity.ivfCacheKeys.map(_._2)
       assert(snaps == Set("snapB"), s"cache keys: $snaps")
