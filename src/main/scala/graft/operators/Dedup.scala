@@ -94,7 +94,14 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup keeping whole rows (first by id within identical text). */
+  /** Exact dedup keeping whole rows (first by id within identical text).
+    * Keyed on the text itself, not a hash of it (measured, round 8): the
+    * text rides the shuffle as a value either way, so a hashed key only
+    * ADDS bytes, and it costs two full xxhash64 passes over every
+    * document — while raw-key sort comparisons short-circuit on the
+    * first differing byte for distinct texts (the common case; only true
+    * duplicates compare full-length). The A/B benched ~25% slower with
+    * the hashed key at both 1× and 10×. */
   def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
@@ -546,11 +553,24 @@ object Dedup {
     * too — and reassemble the surviving spans in order.
     *
     * Scale shape: tokenize/chunk is a codegen projection; first-occurrence
-    * selection is one window over the span hash (hash-partitioned — span
-    * hashes are near-unique so no skew); reassembly is one groupBy on the
-    * id. Two linear shuffles total, never a self-join. Documents whose
+    * selection is one window over the span; reassembly is one groupBy on
+    * the id. Two linear shuffles total, never a self-join. Documents whose
     * spans all lose come back with empty text (the id survives, matching
     * the "remove the repeated span, not the document" semantics).
+    *
+    * Key-width note (measured, round 8): unlike [[exactSubstrDedup]] —
+    * where hashing the window key removed the text from the shuffle
+    * entirely and cut bytes ~20× — the span text here must SURVIVE the
+    * window for reassembly, so a hashed key only adds 16 incompressible
+    * bytes per row next to the still-shipped text value. Both hash-key
+    * variants were benched at 1× and 10×: the light-window + id-join
+    * restructure halved nothing (compressed shuffle −7%, the id-join
+    * re-ships the corpus) and doubled wall time (second tokenize pass +
+    * join); the key-swap-only variant grew shuffle bytes (span text
+    * lz4-compresses far better than random hash bytes). The raw span key
+    * stays — its sort comparisons short-circuit on first differing byte,
+    * and the dominant exchange term (span text as value) is irreducible
+    * in this operator shape.
     *
     * Returns (idCol, textCol) with the deduplicated text. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
@@ -565,8 +585,6 @@ object Dedup {
     val exploded = df
       .select(col(idCol), posexplode(spans).as(Seq("span_idx", "span")))
       .filter(col("span") =!= "")
-    // partition on the span itself (not a hash of it): a hash collision
-    // would merge two distinct spans' windows and silently drop text
     val w = Window.partitionBy(col("span"))
       .orderBy(col(idCol), col("span_idx"))
     val kept = exploded
