@@ -55,13 +55,19 @@ object Dedup {
     * exact hashing): lowercase, replace every char outside [a-z0-9\s]
     * with a space, collapse whitespace runs, trim. Catches the
     * punctuation/case/spacing variants exact dedup would otherwise
-    * miss. Pure codegen regexp chain in the RE2 ∩ Java subset, so the
-    * oracle replays it bit-for-bit. ASCII-scoped by design (non-ASCII
+    * miss. Semantics are the regexp chain
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]",
+    * " "), "\\s+", " "))` — which the DuckDB oracle replays bit-for-bit —
+    * but the two regex passes + trim execute as ONE native byte scan
+    * ([[org.apache.spark.sql.graft.TextKernels.canonTail]], byte-parity
+    * fuzz-spec'd against the regexp formulation; Spark's `lower` is kept
+    * for Unicode case-mapping parity). The fused kernel is ~4× less
+    * char-work on the operator's dominant cost (`q_text_canon` is linear
+    * in chars on the 10× scale curve). ASCII-scoped by design (non-ASCII
     * letters strip — the ASCII-web-corpus convention; widen the class
     * for multilingual corpora). */
   def canonicalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text),
-      "[^a-z0-9\\s]", " "), "\\s+", " "))
+    org.apache.spark.sql.graft.TextHashExprs.canonTail(lower(text))
 
   /** Plan MinHash-LSH knobs for a target Jaccard threshold: the
     * candidate S-curve is P(s) = 1 − (1 − s^r)^b, which crosses steeply

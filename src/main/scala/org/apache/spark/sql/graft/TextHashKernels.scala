@@ -154,6 +154,32 @@ object TextKernels {
     c
   }
 
+  /** Canonicalization tail (see [[CanonTailExpr]]): one pass over the
+    * UTF-8 bytes of an already-lowercased string; maximal runs of bytes
+    * outside [a-z0-9] become one interior space, ends trimmed. Output is
+    * pure ASCII, at most as long as the input. */
+  def canonTail(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n)
+    var pos = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val b = in(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && pos > 0) { out(pos) = ' '; pos += 1 }
+        out(pos) = b
+        pos += 1
+        pendingSpace = false
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, pos)
+  }
+
   /** BPE-ish subword estimate: Σ ceil(numChars/4) over tokens — matches
     * aggregate(tokens, 0, acc + ceil(length(t)/4.0)). */
   def subwordCount(toks: ArrayData): Long = {
@@ -307,8 +333,36 @@ case class SubwordCount(child: Expression)
     copy(child = nc)
 }
 
+/** Dedup canonicalization tail as ONE byte scan: on an already-lowercased
+  * string, every maximal run of bytes outside [a-z0-9] collapses to a
+  * single space, with leading/trailing runs dropped. Byte-equal to
+  * `trim(regexp_replace(regexp_replace(<lowered>, "[^a-z0-9\\s]", " "),
+  * "\\s+", " "))`: the first regexp turns each non-alnum non-whitespace
+  * CHAR into a space (a multi-byte char's one space and its bytes' several
+  * spaces collapse identically under the second regexp), whitespace and
+  * replacement spaces then merge into one, and trim strips the ends —
+  * i.e. exactly "runs of non-[a-z0-9] become one interior space". Fusing
+  * the two regex engines + trim into a single pass removes the
+  * char-dominated cost the 10× scale curve shows on `q_text_canon`. */
+case class CanonTailExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canon_tail"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.canonTail(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.canonTail($c)")
+  override protected def withNewChildInternal(nc: Expression): CanonTailExpr =
+    copy(child = nc)
+}
+
 /** Column builders for graft code outside the sql package. */
 object TextHashExprs {
+  def canonTail(c: Column): Column =
+    ExpressionUtils.column(CanonTailExpr(ExpressionUtils.expression(c)))
   def hash60(c: Column): Column =
     ExpressionUtils.column(Hash60Expr(ExpressionUtils.expression(c)))
   def shingleHash60(toks: Column, k: Int, modP: Boolean = false,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Aggregates => Ag, Scalars => F, TextAnalysis => TA, Vectors}
+import graft.operators.Dedup
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -186,6 +187,32 @@ class FunctionsSpec extends SparkSpec {
       .filter(!col("ok")).count()
     assert(sig == 0)
     base.unpersist()
+  }
+
+  test("canonTail kernel byte-matches the regexp canonicalization chain") {
+    def regexpCanon(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c),
+        "[^a-z0-9\\s]", " "), "\\s+", " "))
+    // corpus + adversarial shapes: unicode (multi-byte, exotic case
+    // mappings), punctuation/whitespace runs, ends, empties, controls
+    val adversarial = Seq("", " ", "   ", "a", "A.B,C", "--x--", "é É ü",
+      "tab\tnl\ncr\r mix", "a b", "ABC123xyz", "!!!", "¡™£¢∞§¶",
+      "ĶKK k", "a  b   c", "ctl", "日本語 text",
+      "trailing space ", " leading", "under_score-dash.dot")
+    val rng = new scala.util.Random(42)
+    val palette = ("abcXYZ019 \t\n.,;:!?_-#éÜß€日ࠀ𝒜" + "  ").toArray
+    val fuzz = (1 to 300).map(_ =>
+      String.valueOf(Array.fill(rng.nextInt(40))(
+        palette(rng.nextInt(palette.length)))))
+    val extra = spark.createDataset(adversarial ++ fuzz)(
+      org.apache.spark.sql.Encoders.STRING).toDF("text")
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .union(extra)
+    val mism = docs.select(
+      Dedup.canonicalize(col("text")).as("nat"),
+      regexpCanon(col("text")).as("re"))
+      .filter(!col("nat").eqNullSafe(col("re")))
+    assert(mism.count() == 0, mism.take(3).mkString("; "))
   }
 
   test("hash60 kernel matches the conv(md5) formulation") {
