@@ -211,6 +211,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("lang_id", "stopword-heuristic language id") {
       a => TA.langId(a(0))
     }
+    reg("canonicalize",
+      "dedup canonicalization: lowercase, non-alnum -> space, collapse") {
+      a => graft.operators.Dedup.canonicalize(a(0))
+    }
     reg("quality_score", "composite document quality in [0,1]") {
       a => TA.qualityScore(a(0))
     }

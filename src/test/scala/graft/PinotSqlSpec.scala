@@ -357,6 +357,9 @@ class PinotSqlSpec extends SparkSpec {
         "image_hash(CAST('junk' AS BINARY)) AS ih").head()
     assert(r3.getStruct(0).getAs[Int]("stop_hits") == 3)
     assert(r3.isNullAt(1)) // undecodable binary → null hash
+    val r4 = spark.sql(
+      "SELECT canonicalize('  Héllo,  WORLD_9!  ') AS c").head()
+    assert(r4.getString(0) == "h llo world 9")
   }
 
   test("dialect: FIRSTWITHTIME / LASTWITHTIME / renames resolve") {
