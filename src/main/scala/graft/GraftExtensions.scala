@@ -215,6 +215,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dedup canonicalization: lowercase, non-alnum -> space, collapse") {
       a => graft.operators.Dedup.canonicalize(a(0))
     }
+    reg("nfc_normalize", "Unicode NFC normalization (UAX #15)") {
+      a => TA.nfcNormalize(a(0))
+    }
     reg("quality_score", "composite document quality in [0,1]") {
       a => TA.qualityScore(a(0))
     }

@@ -70,6 +70,14 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode NFC normalization (native expression over the JDK Unicode
+    * tables; UAX #15, engine-independent): canonicalizes decomposed
+    * sequences so byte-level hashing/dedup sees one form — run BEFORE
+    * [[graft.operators.Dedup.canonicalize]]/hashing on multilingual
+    * corpora. Map-only codegen projection, ASCII fast path. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.TextHashExprs.nfcNormalize(text)
+
   // ---- quality scoring ----
   /** Composite document-quality score in [0,1]:
     * mean word length in a sane band, alpha ratio, and length band.

@@ -51,6 +51,35 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Temperature-flattened source mixing (public method: the p_s ∝ n_s^τ
+    * rebalance of Conneau 2019 / XLM-R and most LLM data recipes — τ < 1
+    * upweights rare sources relative to their natural share). The largest
+    * corpus consistent with the target mix keeps 100% of the SMALLEST
+    * source: solving m_s = c·n_s^τ, m_s ≤ n_s for maximal c gives
+    * keep-rate_s = (n_min/n_s)^(1−τ). τ = 1 keeps everything (natural
+    * mix); τ = 0 equalizes source counts.
+    *
+    * Scale shape: one count agg (map-side combined, #sources rows to the
+    * driver) to learn n_s, then the keep is [[mixSources]]' pure salted
+    * filter — no corpus shuffle, no RNG, deterministic at any
+    * parallelism. Rates round half-up at 1/10000 via mixSources; the
+    * pow() is IEEE double both engine-side and oracle-side (boundary
+    * flips would need a pow ulp landing within 5e-5 of a threshold —
+    * not a property real corpus counts exhibit). */
+  def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
+                       tau: Double, salt: String = "graft"): DataFrame = {
+    require(tau >= 0 && tau <= 1, s"temperature $tau not in [0,1]")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df
+    val nMin = counts.values.min.toDouble
+    val rates = counts.map { case (src, n) =>
+      src -> math.pow(nMin / n, 1.0 - tau)
+    }
+    mixSources(df, idCol, sourceCol, rates, defaultWeight = 0.0,
+      salt = salt)
+  }
+
   /** Per-row weighted keep (importance sampling — the DSIR-style
     * resampling primitive: keep each document with probability equal to
     * its weight, e.g. a quality score or domain importance ratio in

@@ -371,6 +371,34 @@ object TrainingQueries {
                    WHEN 'src1' THEN 500 ELSE 10000 END)
         GROUP BY source ORDER BY source""")),
 
+    // Temperature-flattened source mixing (p_s ∝ n_s^τ at τ=0.5): the
+    // oracle re-learns the per-source counts, re-derives each keep rate
+    // (n_min/n_s)^(1-τ), re-rounds the 1/10000 threshold, and replays the
+    // salted-hash filter — survivor set bit-checked per source.
+    Q("q_sample_temperature",
+      (s, d) => graft.operators.Sampling.mixByTemperature(
+          Tables.documents(s, d), "doc_id", "source", tau = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Scalars.hash60(col("doc_id").cast("string"))
+            % 1000003L).as("id_checksum"))
+        .orderBy(col("source")),
+      Some(s"""WITH srcn AS (
+          SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        thr AS (
+          SELECT source,
+            CAST(FLOOR(POW((SELECT MIN(cnt) FROM srcn) * 1.0 / cnt, 0.5)
+              * 10000 + 0.5) AS BIGINT) AS t
+          FROM srcn)
+        SELECT d.source, COUNT(*) AS n,
+          CAST(SUM(${hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 1000003)
+            AS BIGINT) AS id_checksum
+        FROM documents d JOIN thr ON d.source = thr.source
+        WHERE ${hash60Sql(
+          "'graft:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+          % 10000 < thr.t
+        GROUP BY d.source ORDER BY d.source""")),
+
     // Importance (weighted) sampling: each doc keeps with probability =
     // its per-row weight (here a deterministic stand-in score). Oracle
     // replays the salted md5 bucket AND the half-up weight threshold, so
@@ -407,6 +435,31 @@ object TrainingQueries {
             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS canon
           FROM documents)
         ORDER BY doc_id""")),
+
+    // Unicode NFC normalization (UAX #15 — engine-independent by spec, so
+    // DuckDB's nfc_normalize replays the JDK Normalizer byte-for-byte).
+    // The ASCII corpus is decorated with DECOMPOSED sequences (combining
+    // acute U+0301, combining ring U+030A) so composition is exercised on
+    // every row; the codepoint length drop (2 combining marks fold into
+    // their bases) is asserted alongside the bytes.
+    Q("q_text_nfc",
+      (s, d) => {
+        val decorated = concat(col("text"),
+          lit(" café Åb"))
+        Tables.documents(s, d).select(col("doc_id"),
+            graft.functions.TextAnalysis.nfcNormalize(decorated)
+              .as("nfc_text"),
+            (length(decorated) - length(graft.functions.TextAnalysis
+              .nfcNormalize(decorated))).cast("long").as("folded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778)
+            || 'b') AS nfc_text,
+          CAST(length(text || ' cafe' || chr(769) || ' A' || chr(778)
+            || 'b') - length(nfc_normalize(text || ' cafe' || chr(769)
+            || ' A' || chr(778) || 'b')) AS BIGINT) AS folded
+        FROM documents ORDER BY doc_id""")),
 
     // Reproducible epoch shuffle: dense global positions in salted-hash
     // order. Oracle replays the hash and the (hash, id) dense rank — the

@@ -154,6 +154,23 @@ object TextKernels {
     c
   }
 
+  /** NFC normalization (see [[NfcNormalizeExpr]]). Pure-ASCII input (the
+    * common case) is detected with one byte scan and returned as-is —
+    * ASCII is NFC by construction, and the scan avoids the UTF-16
+    * round-trip entirely; other already-NFC strings return the original
+    * UTF8String after the isNormalized check. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length && b(i) >= 0) i += 1
+    if (i == b.length) return s // pure ASCII
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Canonicalization tail (see [[CanonTailExpr]]): one pass over the
     * UTF-8 bytes of an already-lowercased string; maximal runs of bytes
     * outside [a-z0-9] become one interior space, ends trimmed. Output is
@@ -333,6 +350,29 @@ case class SubwordCount(child: Expression)
     copy(child = nc)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer, the JDK's Unicode
+  * implementation): composes decomposed sequences (e + U+0301 → é) so
+  * byte-level dedup/hashing sees one canonical form of visually identical
+  * text — the standard cleaning step before exact dedup on multilingual
+  * web corpora. NFC is specified by Unicode (UAX #15), so any conforming
+  * engine produces identical bytes — the DuckDB oracle replays it with
+  * `nfc_normalize`. Fast path: Normalizer.isNormalized short-circuits
+  * pure-ASCII (the common case) without allocating. */
+case class NfcNormalizeExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.nfcNormalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.TextKernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(nc: Expression)
+  : NfcNormalizeExpr = copy(child = nc)
+}
+
 /** Dedup canonicalization tail as ONE byte scan: on an already-lowercased
   * string, every maximal run of bytes outside [a-z0-9] collapses to a
   * single space, with leading/trailing runs dropped. Byte-equal to
@@ -363,6 +403,8 @@ case class CanonTailExpr(child: Expression)
 object TextHashExprs {
   def canonTail(c: Column): Column =
     ExpressionUtils.column(CanonTailExpr(ExpressionUtils.expression(c)))
+  def nfcNormalize(c: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(c)))
   def hash60(c: Column): Column =
     ExpressionUtils.column(Hash60Expr(ExpressionUtils.expression(c)))
   def shingleHash60(toks: Column, k: Int, modP: Boolean = false,

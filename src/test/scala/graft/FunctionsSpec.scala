@@ -215,6 +215,35 @@ class FunctionsSpec extends SparkSpec {
     assert(mism.count() == 0, mism.take(3).mkString("; "))
   }
 
+  test("nfcNormalize: composes decomposed marks, idempotent, ASCII id") {
+    // codepoints assembled numerically so source-file normalization can
+    // never silently change what's being tested
+    val acute = new String(Character.toChars(0x301)) // combining acute
+    val ring = new String(Character.toChars(0x30A))  // combining ring
+    val eAcute = new String(Character.toChars(0xE9)) // precomposed e-acute
+    val aRing = new String(Character.toChars(0xC5))  // precomposed A-ring
+    val rows = spark.createDataset(Seq(
+      "caf" + "e" + acute, // decomposed -> composes
+      "caf" + eAcute,      // already composed -> fixpoint
+      "A" + ring + " x",   // A + combining ring -> A-ring
+      "plain ascii 123", ""))(
+      org.apache.spark.sql.Encoders.STRING).toDF("t")
+      .select(col("t"), TA.nfcNormalize(col("t")).as("n"),
+        TA.nfcNormalize(TA.nfcNormalize(col("t"))).as("nn"))
+      .collect()
+    assert(rows(0).getString(1) == "caf" + eAcute)
+    assert(rows(1).getString(1) == "caf" + eAcute)
+    assert(rows(2).getString(1) == aRing + " x")
+    assert(rows(3).getString(1) == "plain ascii 123")
+    assert(rows(4).getString(1) == "")
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      "NFC idempotent"))
+    // null passthrough + SQL registry name
+    val n = spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING)) AS x")
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("hash60 kernel matches the conv(md5) formulation") {
     val docs = Tables.documents(spark, sfDir)
     val mism = docs.select(

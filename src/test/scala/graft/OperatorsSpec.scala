@@ -571,6 +571,35 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("mixByTemperature: rare source keeps all, counts track n^tau, " +
+      "tau=1 is the natural mix, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    // skewed sources: 4000 / 900 / 100 rows
+    val df = ((1L to 4000L).map(i => (i, "web")) ++
+      (1L to 900L).map(i => (i + 10000, "books")) ++
+      (1L to 100L).map(i => (i + 20000, "wiki"))).toDF("id", "source")
+    val m = Sampling.mixByTemperature(df, "id", "source", tau = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest source is untouched; others land near n_min^(1-t) * n^t
+    assert(m("wiki") == 100, s"wiki ${m("wiki")}")
+    assert(math.abs(m("books") - 300) < 80, s"books ${m("books")}")  // √(100·900)
+    assert(math.abs(m("web") - 632) < 140, s"web ${m("web")}")       // √(100·4000)
+    // tau=1: natural mix, nothing dropped
+    assert(Sampling.mixByTemperature(df, "id", "source", 1.0).count()
+      == 5000)
+    // deterministic under repartitioning
+    val a = Sampling.mixByTemperature(df, "id", "source", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixByTemperature(df.repartition(13), "id", "source",
+      0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Sampling.mixByTemperature(df, "id", "source", 1.5))
+  }
+
   test("canonicalize: case/punct/whitespace variants collapse; " +
       "lshPlan crossover tracks the target threshold") {
     val s = spark
