@@ -405,14 +405,47 @@ object Similarity {
     * projection; nothing shuffles but the final bounded top-k window. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, nCells: Int, nProbe: Int, m: Int, k: Int,
-                topK: Int): DataFrame = {
+                topK: Int): DataFrame =
+    ivfPqTopKWith(corpus, queries, idCol, vecCol,
+      ivfCellsSeeded(corpus, idCol, vecCol, nCells),
+      pqTrain(corpus, idCol, vecCol, m, k), nProbe, topK)
+
+  /** Seeded coarse cells for IVF-PQ: the nCells lowest-id vectors — the
+    * replayable stand-in mirroring [[pqTrain]]. Oracle mode. */
+  def ivfCellsSeeded(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int): Array[Array[Float]] = {
+    val cells = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nCells).collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(cells.length == nCells, s"corpus smaller than $nCells")
+    cells
+  }
+
+  /** Lloyd-trained coarse cells for IVF-PQ: [[pqTrainLloyd]] at m=1 over
+    * the FULL vectors — nCells full-dimension centroids with the same
+    * determinism story (seeded init, scaled-long integer updates, fixed
+    * rounds → bit-identical at any parallelism). Quality mode: on real
+    * data the seeded cells all sit wherever the lowest ids happen to
+    * live, so probe pruning loses recall; trained cells spread over the
+    * data and make nProbe/nCells an honest recall/IO dial. */
+  def ivfCellsLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, iters: Int = 5): Array[Array[Float]] =
+    pqTrainLloyd(corpus, idCol, vecCol, m = 1, k = nCells, iters)
+      .centroids(0)
+
+  /** [[ivfPqTopK]] over supplied coarse cells + PQ codebook — seeded
+    * ([[ivfCellsSeeded]]/[[pqTrain]], the oracle mode) or Lloyd-trained
+    * ([[ivfCellsLloyd]]/[[pqTrainLloyd]], the quality mode). Identical
+    * plan either way; only the centroid constants differ. */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, cells: Array[Array[Float]],
+                    model: PqModel, nProbe: Int, topK: Int): DataFrame = {
+    val nCells = cells.length
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe $nProbe not in [1, $nCells]")
-    val cellSeeds = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(nCells).collect()
-      .map(_.getSeq[Float](1))
-    require(cellSeeds.length == nCells, s"corpus smaller than $nCells")
-    val model = pqTrain(corpus, idCol, vecCol, m, k)
+    val m = model.m
+    val k = model.k
+    val cellSeeds = cells.map(_.toSeq)
     def cellScores = array(cellSeeds.zipWithIndex.map { case (cv, c) =>
       struct(subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
     }: _*)

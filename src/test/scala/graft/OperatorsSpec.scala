@@ -1252,6 +1252,82 @@ class OperatorsSpec extends SparkSpec {
     assert(p11 == full)
   }
 
+  test("ivfCellsLloyd: trained coarse cells beat seeded cells on " +
+      "pruned-probe recall; bit-stable replay; full probe = plain PQ") {
+    val s = spark
+    import s.implicits._
+    // same pathological corpus as the pqTrainLloyd gate: the nCells
+    // lowest-id vectors (the seeded cells) all sit in ONE of 80 tight
+    // clusters, so under seeded cells a cluster's members scatter across
+    // cells by noise and pruned probing loses their neighbors; Lloyd
+    // cells must spread over the data and keep cluster mates co-celled
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val nClusters = 80
+    val centers =
+      Array.fill(nClusters, dim)((rnd.nextDouble() * 20 - 10).toFloat)
+    def vec(cluster: Int): Array[Float] =
+      centers(cluster).map(c => c + (rnd.nextDouble() * 0.4 - 0.2).toFloat)
+    val rows = (0 until 16).map(i => (i.toLong, vec(0))) ++
+      (16 until 416).map(i => (i.toLong, vec(i % nClusters)))
+    val corpus = rows.toDF("vec_id", "embedding").repartition(7)
+    val queries = corpus.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 4))
+    // one trained PQ codebook for both runs — only the cells differ
+    val model = Similarity.pqTrainLloyd(corpus, "vec_id", "embedding",
+      m = 4, k = 16, iters = 5)
+    val seedCells = Similarity.ivfCellsSeeded(corpus, "vec_id",
+      "embedding", 16)
+    val lloydCells = Similarity.ivfCellsLloyd(corpus, "vec_id",
+      "embedding", 16, iters = 5)
+    def recall(cells: Array[Array[Float]]): Double = {
+      val got = pairs(Similarity.ivfPqTopKWith(corpus, queries, "vec_id",
+        "embedding", cells, model, nProbe = 2, topK = 4))
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rSeed = recall(seedCells)
+    val rLloyd = recall(lloydCells)
+    assert(rLloyd >= rSeed,
+      f"trained-cell recall $rLloyd%.2f below seeded $rSeed%.2f")
+    assert(rLloyd >= 0.7, f"trained-cell recall $rLloyd%.2f below floor")
+    // the metric Lloyd provably improves from this exact init
+    // (monotone k-means cost): quantization error — seeded cells all
+    // sit in cluster 0, so every other cluster's points quantize at
+    // inter-cluster distance; trained cells must spread
+    val data = corpus.collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def quantErr(cells: Array[Array[Float]]): Double = {
+      val per = data.map { x =>
+        cells.map { c =>
+          var d = 0.0; var i = 0
+          while (i < c.length) {
+            val t = x(i).toDouble - c(i).toDouble; d += t * t; i += 1
+          }
+          d
+        }.min
+      }
+      per.sum / per.length
+    }
+    val eSeed = quantErr(seedCells)
+    val eLloyd = quantErr(lloydCells)
+    assert(eLloyd < eSeed * 0.5,
+      f"trained quantization error $eLloyd%.1f not well below seeded " +
+        f"$eSeed%.1f")
+    // determinism: training on a different layout yields the SAME cells
+    val lloyd2 = Similarity.ivfCellsLloyd(corpus.repartition(3), "vec_id",
+      "embedding", 16, iters = 5)
+    assert(lloyd2.flatten.toSeq == lloydCells.flatten.toSeq)
+    // full probe with ANY cells = plain PQ over the same codebook
+    val full = pairs(Similarity.ivfPqTopKWith(corpus, queries, "vec_id",
+      "embedding", lloydCells, model, nProbe = 16, topK = 4))
+    val pq = pairs(Similarity.pqTopKWith(corpus, queries, "vec_id",
+      "embedding", model, 4))
+    assert(full == pq)
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)
