@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.{Scalars, TextAnalysis => TA}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection (beyond the reference): score every raw
+  * document by how target-like its hashed n-gram features are — the
+  * published importance-resampling recipe for pretraining-data curation
+  * (Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling"). Features are the unigrams + bigrams of the lowercased
+  * whitespace tokens, hashed into `buckets` buckets; a bucket's weight
+  * is the add-one log-likelihood ratio between the target and raw
+  * feature distributions; a document's score sums its feature
+  * OCCURRENCES' weights (repeat features count every time, as in the
+  * paper's hashed bag-of-ngrams).
+  *
+  * Exactness: each bucket weight rounds to 6dp and rides as a
+  * 1e6-scaled long, so per-document sums are integer-exact and
+  * order-free — the DuckDB oracle replays counts, smoothing, ln
+  * rounding, and the sums bit-for-bit.
+  *
+  * Scale shape: the model is two map-side-combined keyed counts over
+  * the exploded feature stream, collapsed to `buckets` longs on the
+  * driver (B is a constant ~10³–10⁵, independent of corpus size);
+  * scoring is then ONE map-only codegen projection per document — an
+  * `aggregate` over its feature array against the literal weight
+  * table — no join, no shuffle, nothing crosses the wire but the
+  * result rows. Selection reuses the canonical distributed dense-rank
+  * (range sort + zipWithIndex), never a single-partition window. */
+object Dsir {
+
+  /** Hashed feature-bucket array for one document: unigrams + bigrams,
+    * each `hash60(feature) mod buckets`. */
+  private[graft] def featBuckets(text: Column, buckets: Int): Column = {
+    val toks = TA.tokens(text)
+    val len1 = greatest(size(toks) - 1, lit(0))
+    val bi = zip_with(slice(toks, lit(1), len1), slice(toks, lit(2), len1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bi),
+      t => Scalars.hash60(t) % lit(buckets.toLong))
+  }
+
+  /** Per-bucket model over the buckets OBSERVED IN RAW: (bucket,
+    * raw_c, target_c, llr_u) where llr_u is the 1e6-scaled rounded
+    * ln((target_c+1)/(ttot+B) ÷ (raw_c+1)/(rtot+B)). Buckets that only
+    * ever appear in `target` carry no raw probability mass to reweight
+    * and are omitted (scoring `raw` can never hit them). */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
+                buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be > 0")
+    def counts(df: DataFrame) = df
+      .select(explode(featBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val rc = counts(raw)
+    val tc = counts(target)
+    val rtot = rc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val ttot = tc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val p = (coalesce(col("tc"), lit(0L)).cast("double") + lit(1.0)) /
+      lit(ttot.toDouble + buckets)
+    val q = (col("rc").cast("double") + lit(1.0)) /
+      lit(rtot.toDouble + buckets)
+    rc.select(col("bucket"), col("c").as("rc"))
+      .join(tc.select(col("bucket"), col("c").as("tc")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("rc").as("raw_c"),
+        coalesce(col("tc"), lit(0L)).as("target_c"),
+        round(round(log(p / q), 6) * 1e6).cast("long").as("llr_u"))
+  }
+
+  /** Score every raw document: (idCol, n_feats, sum_llr_u, dsir_score)
+    * where dsir_score is the per-feature mean weight (null when the
+    * document has no features). Higher = more target-like. */
+  def dsirScore(raw: DataFrame, target: DataFrame, textCol: String,
+                idCol: String, buckets: Int): DataFrame = {
+    val model = dsirModel(raw, target, textCol, buckets).collect()
+    val weights = new Array[Long](buckets)
+    model.foreach(r => weights(r.getAs[Long]("bucket").toInt) =
+      r.getAs[Long]("llr_u"))
+    val wLit = typedLit(weights.toSeq)
+    // materialize the feature array once — HOF lambdas get no CSE
+    raw.withColumn("__f", featBuckets(col(textCol), buckets))
+      .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L),
+          (acc, f) => acc + element_at(wLit, f.cast("int") + 1))
+          .as("sum_llr_u"))
+      .withColumn("dsir_score",
+        when(col("n_feats") === 0, lit(null))
+          .otherwise(round(col("sum_llr_u").cast("double") /
+            (col("n_feats").cast("double") * 1e6), 6)))
+  }
+
+  /** Keep the ceil(frac·n) most-target-like rows of a scored frame,
+    * total order (scoreCol DESC, idCol) — the deterministic stand-in
+    * for the paper's importance resample. Distributed dense-rank: one
+    * range shuffle + zipWithIndex's two passes; the emitted set depends
+    * only on the total order, not partition boundaries. */
+  def dsirTopFrac(scored: DataFrame, idCol: String, scoreCol: String,
+                  frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac=$frac not in (0, 1]")
+    val spark = scored.sparkSession
+    val n = scored.count()
+    val keep = math.ceil(frac * n).toLong
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = scored
+      .repartitionByRange(parts, col(scoreCol).desc, col(idCol))
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol))
+    val schema = sorted.schema
+    val withPos = sorted.rdd.zipWithIndex()
+      .filter(_._2 < keep).map(_._1)
+    spark.createDataFrame(withPos, schema)
+  }
+}

@@ -101,6 +101,35 @@ object TrainingQueries {
             CAST(SUM(u) AS BIGINT) AS sum_u
           FROM lmu GROUP BY doc_id)"""
 
+  /** DuckDB twin of Dsir.dsirScore over table/CTE `src` (columns doc_id,
+    * text, source): CTE chain ending in `dsirsc` (doc_id, n_feats,
+    * sum_llr_u). `targetPred` selects the target subset; `b` is the
+    * bucket count. Replays feature hashing, both count tables, add-one
+    * smoothing, ln rounding, and the per-doc integer sums. */
+  private def dsirSql(src: String, targetPred: String, b: Int): String =
+    s"""dstk AS (SELECT doc_id, source, ${toksSql("text")} AS tk
+          FROM $src),
+        dsfb AS (SELECT doc_id, source, ${hash60Sql("f")} % $b AS bk
+          FROM (SELECT doc_id, source, unnest(list_concat(tk,
+              [tk[i] || ' ' || tk[i+1]
+               for i in generate_series(1, len(tk) - 1)])) AS f
+            FROM dstk)),
+        dsrawc AS (SELECT bk, COUNT(*) AS rc FROM dsfb GROUP BY 1),
+        dstgtc AS (SELECT bk, COUNT(*) AS tc FROM dsfb
+          WHERE $targetPred GROUP BY 1),
+        dstot AS (SELECT (SELECT COUNT(*) FROM dsfb) AS rt,
+          (SELECT COUNT(*) FROM dsfb WHERE $targetPred) AS tt),
+        dsmodel AS (SELECT bk,
+            CAST(ROUND(ROUND(LN(
+              ((CAST(COALESCE(tc, 0) AS DOUBLE) + 1.0) /
+                (CAST(tt AS DOUBLE) + $b)) /
+              ((CAST(rc AS DOUBLE) + 1.0) /
+                (CAST(rt AS DOUBLE) + $b))), 6) * 1e6) AS BIGINT) AS u
+          FROM dsrawc LEFT JOIN dstgtc USING (bk) CROSS JOIN dstot),
+        dsirsc AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+            CAST(SUM(m.u) AS BIGINT) AS sum_llr_u
+          FROM dsfb f JOIN dsmodel m ON f.bk = m.bk GROUP BY 1)"""
+
   /** DuckDB twin of TextAnalysis.shingles (k-word windows, k>=1). */
   private def shinglesSql(tk: String, k: Int): String =
     s"""CASE WHEN len($tk) < $k THEN [array_to_string($tk, ' ')]
@@ -1343,6 +1372,60 @@ object TrainingQueries {
             (CAST(a.n_bigrams AS DOUBLE) * 1e6)), 6) AS xent
         FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id""")),
+
+    // DSIR-style target-likeness scoring (Xie et al. 2023): hashed
+    // unigram+bigram features, add-one log-likelihood-ratio bucket
+    // weights between a target subset (4 of the 20 sources) and the raw
+    // corpus, per-doc occurrence-weighted sums as 1e6-scaled longs. The
+    // oracle replays hashing, both count tables, smoothing, ln rounding,
+    // and every doc's integer sum bit-for-bit.
+    Q("q_dsir_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dsir.dsirScore(docs,
+          docs.filter(col("source").isin("src1", "src3", "src5", "src7")),
+          "text", "doc_id", 512)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${dsirSql("documents",
+        "source IN ('src1','src3','src5','src7')", 512)}
+        SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+          COALESCE(s.sum_llr_u, 0) AS sum_llr_u,
+          CASE WHEN s.n_feats IS NULL THEN NULL
+            ELSE ROUND(CAST(s.sum_llr_u AS DOUBLE) /
+              (CAST(s.n_feats AS DOUBLE) * 1e6), 6) END AS dsir_score
+        FROM documents d LEFT JOIN dsirsc s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id""")),
+
+    // DSIR selection: keep the ceil(frac·n) most-target-like docs under
+    // the total order (sum_llr_u DESC, doc_id) — the deterministic
+    // stand-in for the paper's importance resample, ranked by the
+    // distributed dense-rank (never a 1-partition window). The oracle
+    // re-ranks with ROW_NUMBER over the same total order, so the
+    // SURVIVOR SET is bit-checked, not just its size.
+    Q("q_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = graft.operators.Dsir.dsirScore(docs,
+          docs.filter(col("source").isin("src1", "src3", "src5", "src7")),
+          "text", "doc_id", 512)
+        graft.operators.Dsir.dsirTopFrac(scored, "doc_id", "sum_llr_u",
+            0.25)
+          .select(col("doc_id"), col("n_feats"), col("sum_llr_u"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${dsirSql("documents",
+        "source IN ('src1','src3','src5','src7')", 512)},
+        dsc AS (SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+            COALESCE(s.sum_llr_u, 0) AS sum_llr_u
+          FROM documents d LEFT JOIN dsirsc s ON d.doc_id = s.doc_id),
+        drk AS (SELECT *,
+            ROW_NUMBER() OVER (ORDER BY sum_llr_u DESC, doc_id) AS r,
+            (SELECT COUNT(*) FROM dsc) AS n
+          FROM dsc)
+        SELECT doc_id, n_feats, sum_llr_u FROM drk
+        WHERE r <= CEIL(0.25 * n)
+        ORDER BY doc_id""")),
 
     // Capstone end-to-end curation (the C4/Gopher/CCNet stack composed):
     // exact dedup → Gopher rule gate → bigram-LM perplexity filter, the

@@ -739,6 +739,50 @@ class OperatorsSpec extends SparkSpec {
     assert(e2.values.toSeq.sorted == (0L until 500L))
   }
 
+  test("dsirScore: target docs outscore off-target docs; layout " +
+      "invariance; dsirTopFrac keeps exactly ceil(frac·n) by the total " +
+      "order") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dsir
+    // two disjoint vocabularies: target-flavored docs repeat "alpha"
+    // ngrams, background docs "omega" ngrams — DSIR must rank the
+    // held-out alpha docs above the omega ones
+    val rows = (0L until 40L).map { i =>
+      val flavor = if (i % 2 == 0) "alpha beta gamma delta"
+      else "omega psi chi phi"
+      (i, s"$flavor token$i $flavor")
+    }
+    val raw = rows.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+    val scored = Dsir.dsirScore(raw, target, "text", "doc_id", 128)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_llr_u"))
+      .toMap
+    val alphaMin = scored.filter(_._1 % 2 == 0).values.min
+    val omegaMax = scored.filter(_._1 % 2 == 1).values.max
+    assert(alphaMin > omegaMax,
+      s"alpha floor $alphaMin not above omega ceiling $omegaMax")
+    // layout invariance: scores are bit-identical at any parallelism
+    val scored13 = Dsir.dsirScore(raw.repartition(13), target, "text",
+      "doc_id", 128).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sum_llr_u"))
+      .toMap
+    assert(scored13 == scored)
+    // topFrac: exactly ceil(0.3·40)=12 rows, all alpha-flavored, and
+    // replay on a different layout returns the identical set
+    val sdf = Dsir.dsirScore(raw, target, "text", "doc_id", 128)
+    val kept = Dsir.dsirTopFrac(sdf, "doc_id", "sum_llr_u", 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size == 12)
+    assert(kept.forall(_ % 2 == 0), s"off-target doc kept: $kept")
+    val kept7 = Dsir.dsirTopFrac(
+      Dsir.dsirScore(raw.repartition(7), target, "text", "doc_id", 128),
+      "doc_id", "sum_llr_u", 0.3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept7 == kept)
+  }
+
   test("sampleByWeight: keep rate tracks weight, monotone in weight, " +
       "clamped, partition-invariant") {
     val s = spark
