@@ -35,6 +35,22 @@ object Repetition {
       .otherwise(lit(0.0)), 6)
   }
 
+  /** RefinedWeb-style within-document repetition REMOVAL: keep each
+    * distinct segment's FIRST occurrence, in original order, rejoined
+    * with `delim` (lines for real web text; any separator the corpus
+    * warrants). Pure per-row codegen HOF — no shuffle, no UDF. The fold
+    * accumulates the kept-segment array, so the split evaluates ONCE
+    * (an `array_position(segs, …)` formulation would re-evaluate the
+    * split per element — HOF lambdas get no CSE); the `array_contains`
+    * probe is O(kept) per segment, bounded by segments/doc, independent
+    * of corpus size. */
+  def dedupSegments(text: Column, delim: String = "\n"): Column =
+    array_join(
+      aggregate(segments(text, delim), array().cast("array<string>"),
+        (acc, x) => when(array_contains(acc, x), acc)
+          .otherwise(concat(acc, array(x)))),
+      delim)
+
   /** Per-document n-gram repetition: for each `idCol` emits
     * `n_windows` (total n-gram occurrences), `top_frac` (share of
     * occurrences belonging to the single most frequent gram) and

@@ -752,4 +752,54 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  // ----- Bloom-filter cross-batch dedup (the Dolma "BFF" pattern) -----
+
+  /** A built bloom filter: `mBits` bit positions, `seeds` salted probes
+    * per key, `bits(p)` = position p is set. */
+  case class BloomModel(mBits: Int, seeds: Int, bits: Array[Boolean])
+
+  /** The `seeds` salted probe positions of a key: hash60(s + ":" + key)
+    * mod mBits for s in 0 until seeds — pure arithmetic the oracle
+    * replays exactly. */
+  private def bloomProbes(key: Column, mBits: Int, seeds: Int): Column =
+    array((0 until seeds).map(s =>
+      graft.functions.Scalars.hash60(concat(lit(s"$s:"), key)) %
+        lit(mBits.toLong)): _*)
+
+  /** Build a bloom filter over a batch's keys — the Dolma "BFF"
+    * alternative to [[incrementalExact]]'s persisted index: dedup state
+    * is m BITS regardless of how many keys went in, at the price of a
+    * false-positive rate ≈ (1 − e^(−seeds·n/m))^seeds. Because the
+    * probes are deterministic hash arithmetic, even the false positives
+    * replay bit-for-bit cross-engine. One map-side-combined distinct
+    * over probe positions; only set positions reach the driver. */
+  def bloomBuild(df: DataFrame, keyCol: Column, mBits: Int,
+                 seeds: Int): BloomModel = {
+    require(mBits > 0 && seeds > 0, s"mBits=$mBits seeds=$seeds")
+    val bits = new Array[Boolean](mBits)
+    df.select(explode(bloomProbes(keyCol, mBits, seeds)).as("p"))
+      .distinct().collect()
+      .foreach(r => bits(r.getLong(0).toInt) = true)
+    BloomModel(mBits, seeds, bits)
+  }
+
+  /** Might-contain probe as a pure codegen column: every probe position
+    * of the key is set. The bitmap rides the plan as ONE array literal —
+    * fine to ~10⁷ bits; a production-scale bloom (GBs) would ship the
+    * same arithmetic via a broadcast variable inside a native
+    * Expression, the plan shape is already right (map-only, no join,
+    * no shuffle). */
+  def bloomMightContain(model: BloomModel, keyCol: Column): Column = {
+    val bLit = typedLit(model.bits.toSeq)
+    forall(bloomProbes(keyCol, model.mBits, model.seeds),
+      p => element_at(bLit, p.cast("int") + 1))
+  }
+
+  /** Drop rows whose key the bloom filter claims to have seen (new-rows
+    * survivor stream; false positives drop a few extra — the documented
+    * BFF trade). Map-only filter. */
+  def bloomFilterNew(df: DataFrame, model: BloomModel,
+                     keyCol: Column): DataFrame =
+    df.filter(!bloomMightContain(model, keyCol))
 }

@@ -58,4 +58,40 @@ object LmQuality {
         round(-(col("sum_u").cast("double") /
           (col("n_bigrams").cast("double") * 1e6)), 6).as("xent"))
   }
+
+  /** CCNet's corpus split: rank documents by LM cross-entropy (best
+    * first) and cut the total order into `nBuckets` contiguous ranks —
+    * head/middle/tail at the default 3, the paper's quality tiers.
+    * Unscorable documents (no bigrams → null xent) rank last.
+    *
+    * Deterministic total order (null-flag, xent, id); the bucket of a
+    * row depends only on its global rank, assigned by the distributed
+    * dense-rank (range sort + zipWithIndex's two passes — never a
+    * single-partition window), with bucket = rank·k div n so sizes
+    * differ by at most one. Output: lmScore columns + `ppl_bucket`. */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+                        k: Double = 1.0, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
+    val spark = docs.sparkSession
+    val scored = lmScore(docs, textCol, idCol, k)
+      .withColumn("__nl", when(col("xent").isNull, 1).otherwise(0))
+      .withColumn("__x", coalesce(col("xent"), lit(0.0)))
+    val n = scored.count()
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = scored
+      .repartitionByRange(parts, col("__nl"), col("__x"), col(idCol))
+      .sortWithinPartitions(col("__nl"), col("__x"), col(idCol))
+    val names = if (nBuckets == 3) Array("head", "middle", "tail")
+    else Array.tabulate(nBuckets)(i => s"b$i")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ppl_bucket", org.apache.spark.sql.types.StringType,
+        nullable = false))
+    val kk = nBuckets.toLong
+    val withB = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ names((i * kk / n).toInt))
+    }
+    spark.createDataFrame(withB, schema).drop("__nl", "__x")
+  }
 }

@@ -311,6 +311,65 @@ object TrainingQueries {
           FROM documents)
         ORDER BY doc_id""")),
 
+    // Bloom-filter cross-batch dedup (Dolma BFF): a 65536-bit bloom
+    // built over the even-id half of the corpus, every doc probed
+    // against it. Probes are salted hash60 arithmetic, so the oracle
+    // replays the exact bit positions — the per-doc verdict INCLUDING
+    // any false positives is bit-checked, which is the point: the FP
+    // behavior is deterministic, not sampled.
+    Q("q_dedup_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = graft.operators.Dedup.bloomBuild(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), 65536, 3)
+        docs.select(col("doc_id"),
+            graft.operators.Dedup.bloomMightContain(model, col("text"))
+              .as("bloom_hit"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val probes = (0 until 3).map(i =>
+          s"${hash60Sql(s"'$i:' || text")} % 65536").mkString(", ")
+        s"""WITH bpos AS (SELECT DISTINCT p FROM (
+              SELECT unnest([$probes]) AS p FROM documents
+              WHERE doc_id % 2 = 0)),
+          bprobe AS (SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest([$probes]) AS p FROM documents)),
+          bhit AS (SELECT b.doc_id,
+              COUNT(*) AS nprobes,
+              COUNT(bpos.p) AS nset
+            FROM bprobe b LEFT JOIN bpos ON b.p = bpos.p
+            GROUP BY 1)
+          SELECT doc_id, nset = nprobes AS bloom_hit
+          FROM bhit ORDER BY doc_id"""
+      }),
+
+    // RefinedWeb-style within-doc repetition removal: every segment's
+    // first occurrence survives in order, the rest are excised, and the
+    // REBUILT TEXT is hash-checked against the oracle's min-index
+    // first-occurrence replay — an edit gate, not a metric gate.
+    Q("q_text_inner_dedup",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.Repetition
+            .dedupSegments(col("text"), " ").as("text_deduped"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH idsg AS (SELECT doc_id,
+            list_filter([trim(x) for x in string_split(text, ' ')],
+              x -> x != '') AS segs
+          FROM documents),
+        idex AS (SELECT doc_id, segs[i] AS seg, i
+          FROM (SELECT doc_id, segs,
+              unnest(generate_series(1, greatest(len(segs), 1))) AS i
+            FROM idsg)
+          WHERE i <= len(segs)),
+        idfo AS (SELECT doc_id, seg, MIN(i) AS mi
+          FROM idex GROUP BY 1, 2)
+        SELECT s.doc_id,
+          COALESCE(string_agg(f.seg, ' ' ORDER BY f.mi), '')
+            AS text_deduped
+        FROM idsg s LEFT JOIN idfo f ON s.doc_id = f.doc_id
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
     // Gopher-style n-gram repetition (top-gram share + duplicated-gram
     // share of all 2-gram windows, count-based so tie-free): two keyed
     // aggregations, hash-partitioned — no per-row quadratic pass.
@@ -1372,6 +1431,34 @@ object TrainingQueries {
             (CAST(a.n_bigrams AS DOUBLE) * 1e6)), 6) AS xent
         FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id""")),
+
+    // CCNet head/middle/tail tiers: the corpus ranked by the (already
+    // bit-checked) LM cross-entropy and cut at the 1/3 and 2/3 ranks of
+    // the total order (null-xent docs last, ties by id). The oracle
+    // re-ranks with ROW_NUMBER over the same order and the same
+    // rank·3 div n bucket arithmetic, so every doc's TIER is bit-checked.
+    Q("q_lm_buckets",
+      (s, d) => graft.operators.LmQuality.perplexityBuckets(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_u"),
+          col("ppl_bucket"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${lmSql("documents")},
+        pbsc AS (SELECT d.doc_id,
+            COALESCE(a.n_bigrams, 0) AS n_bigrams, a.sum_u,
+            ROUND(-(CAST(a.sum_u AS DOUBLE) /
+              (CAST(a.n_bigrams AS DOUBLE) * 1e6)), 6) AS xent
+          FROM documents d LEFT JOIN lmagg a ON d.doc_id = a.doc_id),
+        pbrk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY
+              (CASE WHEN xent IS NULL THEN 1 ELSE 0 END),
+              COALESCE(xent, 0.0), doc_id) AS r,
+            (SELECT COUNT(*) FROM pbsc) AS n
+          FROM pbsc)
+        SELECT doc_id, n_bigrams, sum_u,
+          CASE ((r - 1) * 3) // n WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        FROM pbrk ORDER BY doc_id""")),
 
     // DSIR-style target-likeness scoring (Xie et al. 2023): hashed
     // unigram+bigram features, add-one log-likelihood-ratio bucket

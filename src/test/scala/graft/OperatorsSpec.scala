@@ -739,6 +739,79 @@ class OperatorsSpec extends SparkSpec {
     assert(e2.values.toSeq.sorted == (0L until 500L))
   }
 
+  test("perplexityBuckets: sizes differ by at most one, head outranks " +
+      "tail, null-xent docs land in tail, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.LmQuality
+    val docs = ((1L to 50L).map(i =>
+        (i, s"tok${i % 7} tok${i % 5} tok${i % 7} tok${i % 3}")) :+
+      (99L, "solo")).toDF("doc_id", "text") // "solo" → 0 bigrams → null
+    val out = LmQuality.perplexityBuckets(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("ppl_bucket"), r.getAs[Any]("sum_u"))).toMap
+    val sizes = out.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1, s"sizes $sizes")
+    assert(out(99L)._1 == "tail", "unscorable doc must rank last")
+    // every head doc's xent ≤ every tail doc's xent (null excluded)
+    val xents = LmQuality.perplexityBuckets(docs, "text", "doc_id")
+      .filter(col("xent").isNotNull).collect()
+      .map(r => r.getAs[String]("ppl_bucket") -> r.getAs[Double]("xent"))
+    val headMax = xents.filter(_._1 == "head").map(_._2).max
+    val tailMin = xents.filter(_._1 == "tail").map(_._2).min
+    assert(headMax <= tailMin, s"head max $headMax > tail min $tailMin")
+    val out13 = LmQuality.perplexityBuckets(docs.repartition(13),
+      "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("ppl_bucket"), r.getAs[Any]("sum_u"))).toMap
+    assert(out13 == out)
+  }
+
+  test("dedupSegments: first occurrences survive in order; idempotent; " +
+      "empty and all-dup docs handled") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Repetition
+    val df = Seq(
+      (1L, "a b a c b a"), (2L, "x x x"), (3L, ""), (4L, "  "),
+      (5L, "one two three")).toDF("id", "t")
+    val once = df.select(col("id"),
+      Repetition.dedupSegments(col("t"), " ").as("o")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == Map(1L -> "a b c", 2L -> "x", 3L -> "", 4L -> "",
+      5L -> "one two three"))
+    val twice = df.select(col("id"),
+      Repetition.dedupSegments(
+        Repetition.dedupSegments(col("t"), " "), " ").as("o")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == once, "dedupSegments must be idempotent")
+  }
+
+  test("bloom dedup: no false negatives, filterNew drops exactly the " +
+      "hits, verdicts layout-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = (0L until 200L).map(i => (i, s"content number $i"))
+      .toDF("id", "t")
+    val seen = docs.filter(col("id") < 100)
+    val model = Dedup.bloomBuild(seen, col("t"), 1 << 16, 3)
+    val verdicts = docs.select(col("id"),
+      Dedup.bloomMightContain(model, col("t")).as("hit")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every inserted key MUST hit (bloom's no-false-negative guarantee)
+    (0L until 100L).foreach(i => assert(verdicts(i), s"false negative $i"))
+    val kept = Dedup.bloomFilterNew(docs, model, col("t")).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == verdicts.filter(!_._2).keySet)
+    // a different build layout sets the same bits → same verdicts
+    val model13 = Dedup.bloomBuild(seen.repartition(13), col("t"),
+      1 << 16, 3)
+    assert(model13.bits.toSeq == model.bits.toSeq)
+  }
+
   test("dsirScore: target docs outscore off-target docs; layout " +
       "invariance; dsirTopFrac keeps exactly ceil(frac·n) by the total " +
       "order") {
