@@ -802,4 +802,14 @@ object Dedup {
   def bloomFilterNew(df: DataFrame, model: BloomModel,
                      keyCol: Column): DataFrame =
     df.filter(!bloomMightContain(model, keyCol))
+
+  /** Merge a frame's keys into an existing bitmap (mutates `bits`) —
+    * the micro-batch update step of the streaming bloom sink. One
+    * map-side-combined distinct; only newly relevant positions reach
+    * the driver. */
+  def bloomAddInPlace(bits: Array[Boolean], seeds: Int, df: DataFrame,
+                      keyCol: Column): Unit =
+    df.select(explode(bloomProbes(keyCol, bits.length, seeds)).as("p"))
+      .distinct().collect()
+      .foreach(r => bits(r.getLong(0).toInt) = true)
 }

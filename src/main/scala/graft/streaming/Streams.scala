@@ -107,6 +107,65 @@ object Streams {
     }
   }
 
+  /** Streaming bloom dedup (the Dolma-BFF twin of [[exactDedupSink]]):
+    * dedup state is m BITS held on the driver — constant regardless of
+    * stream length, the trade being a deterministic false-positive rate.
+    * At-least-once idempotency WITHOUT a tagged index: the sink keeps
+    * the pre-batch bitmap alongside the post-batch one, so a REPLAYED
+    * batchId re-probes against the bitmap as it stood BEFORE that batch
+    * first ran (probing the merged bits would drop the whole batch) and
+    * leaves the bits unchanged; the handler sees identical survivors on
+    * every retry. Out-of-order replays older than the last applied batch
+    * cannot be served from two snapshots and throw. Map-only per batch:
+    * the probe is [[graft.operators.Dedup.bloomFilterNew]], the update
+    * one distinct over the survivors' probe positions. */
+  def bloomDedupSink(docs: DataFrame, keyCol: String, mBits: Int = 1 << 20,
+                     seeds: Int = 3)
+                    (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val state = new BloomDedupState(keyCol, mBits, seeds)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      handler(state.process(batch, batchId))
+    }
+  }
+
+  /** Driver-held state of [[bloomDedupSink]], factored out so the
+    * micro-batch protocol is unit-testable. `before` snapshots the
+    * bitmap as it stood when the CURRENT batch first ran (it is never
+    * mutated after the swap, so the lazily-evaluated survivor frame
+    * stays stable across re-reads); `after` accumulates. Within-batch
+    * duplicates both pass (the bitmap only advances between batches) —
+    * compose with [[graft.operators.Dedup.exact]] when in-batch
+    * suppression is wanted. */
+  private[graft] final class BloomDedupState(keyCol: String, mBits: Int,
+                                             seeds: Int) {
+    private var before = new Array[Boolean](mBits)
+    private var after = new Array[Boolean](mBits)
+    private var lastBatch = -1L
+    def process(batch: DataFrame, batchId: Long): DataFrame =
+      synchronized {
+        val kc = org.apache.spark.sql.functions.col(keyCol)
+        if (batchId < lastBatch)
+          throw new IllegalStateException(
+            s"bloomDedupSink: replayed batch $batchId older than " +
+              s"applied $lastBatch — only the immediately-prior batch " +
+              "can replay")
+        if (batchId > lastBatch) {
+          before = after
+          after = before.clone()
+        }
+        val model =
+          graft.operators.Dedup.BloomModel(mBits, seeds, before)
+        val fresh =
+          graft.operators.Dedup.bloomFilterNew(batch, model, kc)
+        if (batchId > lastBatch) {
+          graft.operators.Dedup.bloomAddInPlace(after, seeds, fresh, kc)
+          lastBatch = batchId
+        }
+        fresh
+      }
+  }
+
   /** Streaming EXACT dedup against the persisted content-hash index —
     * the continuous-crawl twin of [[nearDedupSink]] over
     * [[graft.operators.Dedup.incrementalExact]]: unbounded horizon (index

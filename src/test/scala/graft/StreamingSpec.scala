@@ -274,6 +274,39 @@ class StreamingSpec extends SparkSpec {
     Dedup.dropIndex(s, "tstream")
   }
 
+  test("streaming bloom dedup sink: cross-batch suppression, replayed " +
+      "batch yields identical survivors without advancing state, " +
+      "out-of-order replay refused") {
+    val s = spark
+    import s.implicits._
+    val state = new Streams.BloomDedupState("text", 1 << 16, 3)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    val b0 = Seq(1L -> "aa", 2L -> "bb").toDF("doc_id", "text")
+    assert(ids(state.process(b0, 0)) == Seq(1L, 2L))
+    val b1 = Seq(3L -> "aa", 4L -> "cc").toDF("doc_id", "text")
+    assert(ids(state.process(b1, 1)) == Seq(4L), "cross-batch dup kept")
+    // at-least-once retry of batch 1: probes the PRE-batch bitmap (4's
+    // own survival must not suppress it) and leaves the bits unchanged
+    assert(ids(state.process(b1, 1)) == Seq(4L), "replay diverged")
+    val b2 = Seq(5L -> "cc", 6L -> "ee", 7L -> "ee", 8L -> "dd")
+      .toDF("doc_id", "text")
+    // 5 dropped by batch 1's survivor; 6/7 are an in-batch dup of a NEW
+    // key and BOTH pass (documented: state only advances between batches)
+    assert(ids(state.process(b2, 2)) == Seq(6L, 7L, 8L))
+    intercept[IllegalStateException](state.process(b0, 0))
+    // end-to-end through the writer: same protocol, MemoryStream batches
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.bloomDedupSink(mem.toDF().toDF("doc_id", "text"),
+      "text", 1 << 16, 3) { out => got ++= ids(out) }.start()
+    Seq(Seq(1L -> "aa", 2L -> "bb"), Seq(3L -> "aa", 4L -> "cc"))
+      .foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    assert(got.sorted == Seq(1L, 2L, 4L))
+  }
+
   test("streaming exact dedup sink: N micro-batches produce byte-identical " +
       "survivors to the N-batch batch protocol on the same data") {
     val s = spark
