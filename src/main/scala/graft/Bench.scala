@@ -142,10 +142,12 @@ object Bench {
 
     final case class Res(name: String, sec: Double, err: Option[String],
                          gcMs: Long, storage: Long,
-                         setupSec: Option[Double], shuffle: Long)
+                         setupSec: Option[Double], shuffle: Long,
+                         firstSec: Double)
 
     def runSuite(sel: Seq[graft.Q] = selected,
-                 dir: String = sfDir): Seq[Res] = sel.map { q =>
+                 dir: String = sfDir,
+                 rerunBudget: Double = rerunBudgetSec): Seq[Res] = sel.map { q =>
       // a failing query must surface as an error, not masquerade as a
       // fast wall-time silently inflating the bench
       var err: Option[String] = None
@@ -166,7 +168,7 @@ object Bench {
       def timed(): Double = timedPhase(() => runOnce(q.run, dir))
       val first = timed()
       val firstShuffle = drainShuffleBytes() // ONE run's volume, not iters'
-      val rest = if (err.isEmpty && first <= rerunBudgetSec)
+      val rest = if (err.isEmpty && first <= rerunBudget)
         (2 to iters).map(_ => timed()) else Nil
       val gcMs = gcMillis() - gc0
       // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
@@ -174,7 +176,7 @@ object Bench {
       graft.operators.Checkpoints.sweep()
       drainShuffleBytes()
       val r = Res(q.name, (first +: rest).min, err, gcMs, storageBytes(),
-        setupSec, firstShuffle)
+        setupSec, firstShuffle, first)
       // per-query progress on stderr (stdout carries only the JSON line):
       // a wedged suite is attributable to a query from the log alone
       System.err.println(
@@ -249,11 +251,13 @@ object Bench {
 
     // optional same-JVM second full suite — the flat-session proof
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    var total2Sum: Double = 0.0
     val repeatJson = if (repeat < 2) "" else {
       val again = runSuite()
       val ok2 = again.filter(_.err.isEmpty)
+      total2Sum = ok2.map(_.sec).sum
       s""","queries2":${jmap(ok2.map(r => r.name -> r.sec))}""" +
-        s""","total2":${ok2.map(_.sec).sum}"""
+        s""","total2":$total2Sum"""
     }
 
     // ---- scale-stress pass: the per-round corpus saturates once every
@@ -265,6 +269,8 @@ object Bench {
     // 1.5×factor lands in super_linear for naming-and-explaining.
     // SPARK_GRAFT_BENCH_SCALE=1 disables; _SCALE_ONLY overrides the set.
     val scaleFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "10").toInt
+    // compact scale verdict for the stdout summary line (set below)
+    var scaleSummary: String = ""
     val scaleJson = if (scaleFactor <= 1) "" else {
       val family = sys.env.get("SPARK_GRAFT_BENCH_SCALE_ONLY")
         .map(_.split(",").map(_.trim).toSet).getOrElse(ScaleFamily)
@@ -276,32 +282,58 @@ object Bench {
           graft.sources.ScaleCorpus.materialize(spark, sfDir, scaleDir,
             scaleFactor)
         graft.operators.Checkpoints.sweep()
-        val scaled = runSuite(scaleSel, scaleDir)
+        // no re-run budget here: the base suite's numbers are warm minima,
+        // so the scale numbers MUST be warm minima too or the ratio
+        // compares a cold cache-build at 10× against a warm re-read at 1×
+        // and manufactures phantom super-linearity (round 8's official
+        // artifact flagged four queries exactly this way: cold 10× builds
+        // crossed the 10 s budget, lost their warm iteration, and were
+        // divided by warm 1× minima). Cold times ship separately as
+        // `cold`/`cold_ratio` — build-path scaling is a real signal, it
+        // just must be compared cold-to-cold.
+        val scaled = runSuite(scaleSel, scaleDir, rerunBudget = 1e9)
         val okS = scaled.filter(_.err.isEmpty)
         val baseTimes = ok.map(r => r.name -> r.sec).toMap
+        val baseFirst = ok.map(r => r.name -> r.firstSec).toMap
         val ratios = okS.flatMap(r =>
           baseTimes.get(r.name).map(b => r.name ->
             (if (b > 0) r.sec / b else Double.PositiveInfinity)))
+        val coldRatios = okS.flatMap(r =>
+          baseFirst.get(r.name).map(b => r.name ->
+            (if (b > 0) r.firstSec / b else Double.PositiveInfinity)))
         val superLinear = ratios.collect {
+          case (n, x) if x > 1.5 * scaleFactor => n }.sorted
+        val superLinearCold = coldRatios.collect {
           case (n, x) if x > 1.5 * scaleFactor => n }.sorted
         val errsS = scaled.collect { case r if r.err.isDefined =>
           r.name -> jstr(r.err.get) }
+        def r2(x: Double): Double = math.round(x * 100) / 100.0
+        val worst = ratios.sortBy(-_._2).take(3)
+          .map { case (n, x) => n -> r2(x) }
+        scaleSummary =
+          s""","scale":{"factor":$scaleFactor""" +
+            s""","super_linear":${superLinear.map(jstr)
+              .mkString("[", ",", "]")}""" +
+            s""","super_linear_cold":${superLinearCold.map(jstr)
+              .mkString("[", ",", "]")}""" +
+            s""","worst_warm_ratio":${jmap(worst)}}"""
         s""","scale":{"factor":$scaleFactor,"prep_sec":$prepSec""" +
           s""","queries":${jmap(okS.map(r => r.name -> r.sec))}""" +
+          s""","cold":${jmap(okS.map(r => r.name -> r.firstSec))}""" +
           s""","shuffle_bytes":${jmap(okS.map(r => r.name -> r.shuffle))}""" +
-          s""","ratio":${jmap(ratios.map { case (n, x) =>
-            n -> (math.round(x * 100) / 100.0) })}""" +
+          s""","ratio":${jmap(ratios.map { case (n, x) => n -> r2(x) })}""" +
+          s""","cold_ratio":${jmap(coldRatios.map { case (n, x) =>
+            n -> r2(x) })}""" +
           (if (errsS.isEmpty) "" else s""","errors":${jmap(errsS)}""") +
-          s""","super_linear":${superLinear.map(jstr).mkString("[", ",", "]")}}"""
+          s""","super_linear":${superLinear.map(jstr).mkString("[", ",", "]")}""" +
+          s""","super_linear_cold":${superLinearCold.map(jstr)
+            .mkString("[", ",", "]")}}"""
       }
     }
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson$scaleJson,"sf":"$sfDir"}"""
-    // The stdout line is the driver's scrape contract, but scrapes have
-    // arrived tail-truncated (round 7's official artifact lost the
-    // timings map) — so the FULL artifact also lands on disk, and the
-    // path is announced on stderr. SPARK_GRAFT_BENCH_OUT overrides.
+    // The FULL artifact lands on disk; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_latest.json"))
     try {
@@ -311,7 +343,49 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: $e")
     }
-    println(json)
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail. The full line above is >10 KB at 190
+    // queries, which is why rounds 6–8 shipped `"parsed": null` official
+    // bench artifacts (the tail began mid-line). So stdout gets a COMPACT
+    // summary line guaranteed to fit: totals, degradation, error count,
+    // a fixed headline-query subset, the scale verdict, and the path to
+    // the full artifact. Progressive fallback keeps it under budget even
+    // if error lists grow.
+    val budgetChars = 1800
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val headline = Seq(
+      "q_agg_tpch_q1", "q_ssb_q3", "q_join_bucketed", "q_window_rank",
+      "q_pinot_sql", "q_filter_text_routed", "q_filter_json_routed",
+      "q_gapfill", "q_upsert_latest", "q_startree", "q_dedup_exact",
+      "q_dedup_minhash_pairs", "q_dedup_clusters", "q_dedup_substr",
+      "q_dedup_semantic", "q_ann_topk", "q_ann_ivfpq", "q_ann_pq",
+      "q_ann_quantized", "q_bpe_encode_10k", "q_dsir_select",
+      "q_pipeline_e2e", "q_epoch_pack_shards", "q_text_canon",
+      "q_decontaminate")
+    val okTimes = ok.map(r => r.name -> r.sec).toMap
+    val headJson =
+      jmap(headline.flatMap(n => okTimes.get(n).map(v => n -> r3(v))))
+    val errNames = errs.map(_._1)
+    val errsCompact =
+      if (errNames.isEmpty) ""
+      else s""","n_errors":${errNames.size},"error_names":${errNames.take(3)
+        .map(jstr).mkString("[", ",", "]")}"""
+    val scaleCompact = if (scaleSummary.isEmpty) "" else scaleSummary
+    val tot2Compact = if (repeat < 2) "" else s""","total2":$total2Sum"""
+    def compactLine(withQueries: Boolean, withScale: Boolean): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+        s""","n_queries":${ok.size}$errsCompact""" +
+        s""","degradation":${r3(degradation)}$tot2Compact""" +
+        (if (withQueries) s""","queries":$headJson""" else "") +
+        (if (withScale) scaleCompact else "") +
+        s""","artifact":${jstr(outPath.toString)},"sf":"$sfDir"}"""
+    val line = Seq(
+      compactLine(withQueries = true, withScale = true),
+      compactLine(withQueries = true, withScale = false),
+      compactLine(withQueries = false, withScale = false)
+    ).find(_.length <= budgetChars).getOrElse(
+      compactLine(withQueries = false, withScale = false).take(budgetChars))
+    println(line)
     spark.stop()
   }
 }

@@ -18,16 +18,28 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Load one table. `events.ts` is written as parquet TIMESTAMP(NANOS),
-    * which Spark's TimestampType (microsecond precision) cannot hold; we
-    * read it as a long (`nanosAsLong`) and truncate to micros. Oracle SQL
-    * must apply the same truncation: `make_timestamp(epoch_ns(ts)//1000)`
-    * (see QueryDef.evOracle). */
+  /** Load one table. `events.ts` has arrived as parquet TIMESTAMP(NANOS)
+    * in some testdata generations and TIMESTAMP(MICROS) in others. Spark's
+    * TimestampType (microsecond precision) cannot hold nanos, so with
+    * `nanosAsLong` a NANOS column surfaces as LongType and we truncate to
+    * micros; a MICROS column loads natively and needs nothing. The oracle's
+    * `make_timestamp(epoch_ns(ts)//1000)` (QueryDef.evOracle) is the same
+    * truncation for nanos and the identity for micros, so both generations
+    * hash identically. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session tz is UTC, so NTZ→LTZ keeps the stored micros as-is
+          // while restoring the TimestampType the query surface expects
+          // (unix_millis etc. reject NTZ)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(path(dir, name))
   }
 
