@@ -52,19 +52,31 @@ object Dsir {
     def counts(df: DataFrame) = df
       .select(explode(featBuckets(col(textCol), buckets)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
-    val rc = counts(raw)
-    val tc = counts(target)
-    val rtot = rc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    val ttot = tc.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
-    val p = (coalesce(col("tc"), lit(0L)).cast("double") + lit(1.0)) /
+    // ONE distributed action: the joined per-bucket counts collapse to
+    // ≤ buckets rows on the driver; totals and the llr arithmetic then
+    // run over the collected LOCAL relation with the same Spark
+    // expressions (identical Math.log/round semantics, zero extra
+    // cluster passes). The previous shape paid three full feature-
+    // extraction jobs here (rtot agg, ttot agg, model collect) — the
+    // whole corpus re-exploded each time.
+    val rows = counts(raw).select(col("bucket"), col("c").as("rc"))
+      .join(counts(target).select(col("bucket"), col("c").as("tc")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rtot = rows.map(_._2).sum
+    val ttot = rows.map(_._3).sum
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val p = (col("tc").cast("double") + lit(1.0)) /
       lit(ttot.toDouble + buckets)
     val q = (col("rc").cast("double") + lit(1.0)) /
       lit(rtot.toDouble + buckets)
-    rc.select(col("bucket"), col("c").as("rc"))
-      .join(tc.select(col("bucket"), col("c").as("tc")),
-        Seq("bucket"), "left")
+    rows.toDF("bucket", "rc", "tc")
       .select(col("bucket"), col("rc").as("raw_c"),
-        coalesce(col("tc"), lit(0L)).as("target_c"),
+        col("tc").as("target_c"),
         round(round(log(p / q), 6) * 1e6).cast("long").as("llr_u"))
   }
 
@@ -99,10 +111,15 @@ object Dsir {
                   frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac=$frac not in (0, 1]")
     val spark = scored.sparkSession
-    val n = scored.count()
+    // snapshot once: count, the range-partitioner's sampling pass, and
+    // zipWithIndex each re-materialize `scored` otherwise — for a
+    // scoring lineage (feature extraction over the corpus) that is 3×
+    // the work of the selection itself. Swept between queries.
+    val snap = Checkpoints.eager(scored)
+    val n = snap.count()
     val keep = math.ceil(frac * n).toLong
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    val sorted = scored
+    val sorted = snap
       .repartitionByRange(parts, col(scoreCol).desc, col(idCol))
       .sortWithinPartitions(col(scoreCol).desc, col(idCol))
     val schema = sorted.schema

@@ -73,9 +73,12 @@ object LmQuality {
                         k: Double = 1.0, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"nBuckets=$nBuckets must be >= 2")
     val spark = docs.sparkSession
-    val scored = lmScore(docs, textCol, idCol, k)
+    // snapshot once: count, the range-partitioner's sampling pass, and
+    // zipWithIndex would each re-train-and-score the LM otherwise.
+    // Swept between queries.
+    val scored = Checkpoints.eager(lmScore(docs, textCol, idCol, k)
       .withColumn("__nl", when(col("xent").isNull, 1).otherwise(0))
-      .withColumn("__x", coalesce(col("xent"), lit(0.0)))
+      .withColumn("__x", coalesce(col("xent"), lit(0.0))))
     val n = scored.count()
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val sorted = scored
