@@ -342,6 +342,32 @@ object Dedup {
       labels
     }
 
+  /** Near-dup COLLAPSE: keep exactly one representative per connected
+    * component of `pairs` (via [[clusters]]), plus every document in no
+    * pair at all (singletons are their own cluster). The representative
+    * is the cluster's max by (`keep`, then lowest id) — pass
+    * `length(col("text"))` for the standard keep-longest policy, a
+    * quality score for keep-best. This is the step that turns pair/
+    * cluster OUTPUT into a deduplicated corpus.
+    *
+    * Scale shape: one left equi-join of the corpus against the (id,
+    * label) frame, then a per-cluster row_number window. Cluster sizes
+    * are duplicate-group sizes (bounded, skew-safe); the window key
+    * coalesces singletons to their own id, so no giant null partition
+    * forms — the corpus never concentrates. */
+  def collapseClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       keep: Column): DataFrame = {
+    val labels = clusters(pairs)
+      .select(col("id").as(idCol), col("label"))
+    val w = Window.partitionBy(col("__lbl"))
+      .orderBy(keep.desc, col(idCol).asc)
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("__lbl", coalesce(col("label"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__lbl", "__rn", "label")
+  }
+
   /** n-gram Jaccard near-dups within a blocking key (e.g. source or length
     * band): exact Jaccard over k-shingle sets for co-blocked pairs. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,

@@ -718,6 +718,55 @@ object TrainingQueries {
           ORDER BY doc_id"""
       }),
 
+    // Near-dup COLLAPSE: the step that turns clusters into a deduplicated
+    // corpus — one keep-longest representative per connected component
+    // (ties to the lowest id), singletons pass through. The oracle chains
+    // the already-proven recursive-CTE components with a per-cluster
+    // ROW_NUMBER argmax; the SURVIVING DOCUMENTS (id, source, text) are
+    // bit-checked, not just counted.
+    Q("q_dedup_keep_rep",
+      (s, d) => {
+        val docs = dupCorpus(Tables.documents(s, d))
+        Dedup.collapseClusters(docs,
+            Dedup.minHashPairs(docs, "text", "doc_id", 3, 4, 2),
+            "doc_id", length(col("text")))
+          .select(col("doc_id"), col("source"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach
+            JOIN edges e ON e.src = reach.id),
+          cl AS (SELECT id AS doc_id, MIN(r) AS cluster
+            FROM reach GROUP BY id),
+          rk AS (SELECT c.doc_id,
+              ROW_NUMBER() OVER (
+                PARTITION BY COALESCE(cl.cluster, c.doc_id)
+                ORDER BY length(c.text) DESC, c.doc_id ASC) AS rn
+            FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id)
+          SELECT c.doc_id, c.source, c.text
+          FROM rk JOIN corpus c ON rk.doc_id = c.doc_id
+          WHERE rk.rn = 1
+          ORDER BY c.doc_id"""
+      }),
+
     // SimHash (16-bit) per document (staged: token hashes materialize once)
     Q("q_dedup_simhash",
       (s, d) => Dedup.simHashes(Tables.documents(s, d), "text", "doc_id", 16),

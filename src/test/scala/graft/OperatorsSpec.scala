@@ -167,6 +167,29 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("collapseClusters: keep-longest per component, singleton " +
+    "passthrough, low-id tie-break") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaa"),   // cluster {1,2,3}: 2 longest
+      (10L, "xx"), (11L, "xx"),                 // cluster {10,11}: tie -> 10
+      (20L, "z")                                // singleton, survives
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.cacheClear()
+    val out = Dedup.collapseClusters(docs, pairs, "doc_id",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(2L, 10L, 20L))
+    // survivors carry the full original row, no helper columns
+    val cols = Dedup.collapseClusters(docs, pairs, "doc_id",
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text"))).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("clusters: long chain converges in O(log diameter) rounds") {
     val s = spark
     import s.implicits._
