@@ -30,17 +30,27 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(dir, name))
-      raw.schema("ts").dataType match {
+      normalizeNtz(raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // session tz is UTC, so NTZ→LTZ keeps the stored micros as-is
-          // while restoring the TimestampType the query surface expects
-          // (unix_millis etc. reject NTZ)
-          raw.withColumn("ts", col("ts").cast("timestamp"))
         case _ => raw
-      }
-    } else spark.read.parquet(path(dir, name))
+      })
+    } else normalizeNtz(spark.read.parquet(path(dir, name)))
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to the session (UTC) TimestampType.
+    * The generated parquet's timestamps are not flagged UTC-adjusted, so
+    * Spark surfaces them as NTZ; with a UTC session the cast keeps the
+    * stored micros bit-identical while restoring the TimestampType the
+    * query surface expects (unix_millis etc. reject NTZ). Applied to all
+    * tables so a generator-side flag change can never split the corpus
+    * into mixed timestamp types mid-round. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
