@@ -722,15 +722,25 @@ object Dedup {
                        k: Int): DataFrame = {
     require(k >= 1, s"window size $k must be >= 1")
     val toks = TA.tokens(col(textCol))
-    val n = size(toks)
-    val wins = df.select(col(idCol), toks.as("tk"),
-        explode(when(n >= k, sequence(lit(1), n - (k - 1)))
+    // 128-bit window keys from PRE-HASHED tokens: each token's bytes are
+    // hashed once per seed stream, and a window key hashes the k fixed-
+    // width longs of its slice — versus hashing every token's bytes 2k
+    // times (once per covering window per seed) when the key hashes the
+    // string slices directly. Two independently-seeded streams keep the
+    // ~2^-128 pair-collision bound; text still never enters the shuffle.
+    val wins = df.select(col(idCol), toks.as("tk"))
+      .select(col(idCol), size(col("tk")).as("n"),
+        transform(col("tk"), t => xxhash64(t)).as("th1"),
+        transform(col("tk"),
+          t => xxhash64(lit(0x9e3779b97f4a7c15L), t)).as("th2"))
+      .select(col(idCol), col("th1"), col("th2"),
+        explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(col(idCol), col("i"),
         struct(
-          xxhash64(slice(col("tk"), col("i"), lit(k))),
-          xxhash64(lit(0x9e3779b97f4a7c15L),
-            slice(col("tk"), col("i"), lit(k)))).as("win"))
+          xxhash64(slice(col("th1"), col("i"), lit(k))),
+          xxhash64(lit(0x85ebca6bc2b2ae35L),
+            slice(col("th2"), col("i"), lit(k)))).as("win"))
     val w = Window.partitionBy(col("win")).orderBy(col(idCol), col("i"))
     val dup = wins.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1)
