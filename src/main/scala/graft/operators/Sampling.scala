@@ -147,4 +147,25 @@ object Sampling {
     }
     df.withColumn("split", cases)
   }
+
+  /** Leakage-safe split: near-duplicate CLUSTERS move as a unit, so no
+    * eval document has a near-dup of itself in train — the published
+    * train/test-contamination failure of splitting after (or without)
+    * dedup. Components of `pairs` ([[Dedup.clusters]]) share a group
+    * key (singletons: their own id); the split then hash-buckets the
+    * GROUP key with the same salted-md5 assignment as [[hashSplit]].
+    * Fractions govern group mass, so realized row fractions drift with
+    * duplicate-cluster sizes — the price of zero leakage.
+    *
+    * Scale shape: clusters' pointer-jumping joins + ONE corpus⋈labels
+    * equi-join + the pure-projection split. No new shuffle class. */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                     splits: Seq[(String, Double)],
+                     salt: String = "graft"): DataFrame = {
+    val labels = Dedup.clusters(pairs)
+      .select(col("id").as(idCol), col("label"))
+    val grouped = docs.join(labels, Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("label"), col(idCol)))
+    hashSplit(grouped, "__grp", splits, salt).drop("__grp", "label")
+  }
 }

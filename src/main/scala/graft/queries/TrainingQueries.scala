@@ -767,6 +767,59 @@ object TrainingQueries {
           ORDER BY c.doc_id"""
       }),
 
+    // Leakage-safe split: near-dup clusters assigned to train/val/test as
+    // a UNIT (group key = connected-component label, singletons their own
+    // id), so no eval doc has a near-dup of itself in train. Oracle chains
+    // the proven recursive-CTE components with the same salted-md5 bucket
+    // CASE chain as q_sample_split — every document's assignment is
+    // bit-checked.
+    Q("q_split_leakproof",
+      (s, d) => {
+        val docs = dupCorpus(Tables.documents(s, d))
+        graft.operators.Sampling.splitByCluster(docs,
+            Dedup.minHashPairs(docs, "text", "doc_id", 3, 4, 2),
+            "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach
+            JOIN edges e ON e.src = reach.id),
+          cl AS (SELECT id AS doc_id, MIN(r) AS cluster
+            FROM reach GROUP BY id),
+          grp AS (SELECT c.doc_id,
+              COALESCE(cl.cluster, c.doc_id) AS g
+            FROM corpus c LEFT JOIN cl ON c.doc_id = cl.doc_id)
+        SELECT doc_id,
+          CASE
+            WHEN ${hash60Sql("'graft:' || CAST(g AS VARCHAR)")} % 10000
+              < 8000 THEN 'train'
+            WHEN ${hash60Sql("'graft:' || CAST(g AS VARCHAR)")} % 10000
+              < 9000 THEN 'val'
+            WHEN ${hash60Sql("'graft:' || CAST(g AS VARCHAR)")} % 10000
+              < 10000 THEN 'test'
+            ELSE NULL END AS split
+        FROM grp ORDER BY doc_id"""
+      }),
+
     // SimHash (16-bit) per document (staged: token hashes materialize once)
     Q("q_dedup_simhash",
       (s, d) => Dedup.simHashes(Tables.documents(s, d), "text", "doc_id", 16),

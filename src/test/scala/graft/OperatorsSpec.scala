@@ -190,6 +190,33 @@ class OperatorsSpec extends SparkSpec {
     assert(cols == Seq("doc_id", "text"))
   }
 
+  test("splitByCluster: clusters move as a unit, singletons keep their " +
+    "hashSplit assignment") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    Dedup.cacheClear()
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val out = Sampling.splitByCluster(docs, pairs, "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    // every clustered doc shares its component's split (label = min id)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(10L) == out(11L))
+    // the cluster's split is the label's own hashSplit assignment, and
+    // singletons are assigned exactly as plain hashSplit would
+    val plain = Sampling.hashSplit(docs, "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    assert(out(1L) == plain(1L) && out(10L) == plain(10L))
+    (12L to 30L).foreach(i => assert(out(i) == plain(i)))
+    // schema: original columns + split, no helper columns
+    assert(Sampling.splitByCluster(docs, pairs, "doc_id", splits)
+      .columns.toSeq == Seq("doc_id", "text", "split"))
+  }
+
   test("clusters: long chain converges in O(log diameter) rounds") {
     val s = spark
     import s.implicits._
