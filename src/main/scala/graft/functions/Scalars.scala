@@ -296,7 +296,13 @@ object Scalars {
   /** Deterministic 60-bit hash shared with the DuckDB oracle:
     * first 15 hex digits of md5, read base-16. Used by fingerprints,
     * MinHash and SimHash so both engines hash identically. */
-  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** First 60 bits of md5 as a positive long — computed by the native
+    * kernel ([[org.apache.spark.sql.graft.Hash60Expr]]), bit-identical
+    * to `conv(substring(md5(c), 1, 15), 16, 10)` (the DuckDB oracle
+    * form) without materializing the 32-char hex string, substring, or
+    * base-16 parse per row. */
+  def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.TextHashExprs.hash60(c.cast("string"))
 
   // ---- URL / encoding ----
   def encodeUrl(c: Column): Column = url_encode(c)
