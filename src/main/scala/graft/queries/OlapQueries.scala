@@ -17,6 +17,38 @@ object OlapQueries {
 
   val all: Seq[Q] = Seq(
 
+    // One-pass column profiling (reference: per-segment ColumnMetadata —
+    // cardinality/min/max computed at segment build): n, nulls, exact
+    // ndv, typed min/max per column in ONE aggregation over the table.
+    // Oracle: per-column UNION ALL of the same stats.
+    Q("q_profile_columns",
+      (s, d) => graft.operators.Profile.columns(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus", "l_partkey"))
+        .orderBy(col("column")),
+      Some {
+        val numCols = Set("l_quantity", "l_extendedprice", "l_discount",
+          "l_partkey")
+        val parts = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_returnflag", "l_linestatus", "l_partkey").map { c =>
+          val (mn, mx, ms, xs) =
+            if (numCols(c))
+              (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+                "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+            else
+              ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+                s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+          s"""SELECT '$c' AS "column", COUNT(*) AS n,
+            COUNT(*) - COUNT($c) AS nulls,
+            COUNT(DISTINCT $c) AS ndv,
+            $mn AS min_num, $mx AS max_num,
+            $ms AS min_str, $xs AS max_str
+          FROM lineitem"""
+        }
+        parts.mkString("SELECT * FROM (", " UNION ALL ",
+          """) ORDER BY "column"""")
+      }),
+
     // GAPFILL with FILL_PREVIOUS_VALUE + FILL_DEFAULT_VALUE:
     // hourly per-type buckets over the events month
     Q("q_gapfill",

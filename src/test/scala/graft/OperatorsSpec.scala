@@ -190,6 +190,24 @@ class OperatorsSpec extends SparkSpec {
     assert(cols == Seq("doc_id", "text"))
   }
 
+  test("Profile.columns: null counting, exact ndv, typed min/max") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1.5), Some("b")), (Some(2.5), None),
+      (None, Some("a")), (Some(1.5), Some("c"))
+    ).toDF("v", "t")
+    val out = graft.operators.Profile.columns(df, Seq("v", "t"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getLong(1) == 4L && v.getLong(2) == 1L && v.getLong(3) == 2L)
+    assert(v.getDouble(4) == 1.5 && v.getDouble(5) == 2.5)
+    assert(v.isNullAt(6) && v.isNullAt(7))
+    val t = out("t")
+    assert(t.getLong(2) == 1L && t.getLong(3) == 3L)
+    assert(t.isNullAt(4) && t.getString(6) == "a" && t.getString(7) == "c")
+  }
+
   test("splitByCluster: clusters move as a unit, singletons keep their " +
     "hashSplit assignment") {
     val s = spark
