@@ -160,6 +160,51 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$dir/assigned"),
       spark.read.parquet(s"$dir/centroids"))
 
+  /** Append a batch of vectors to a persisted IVF index WITHOUT
+    * retraining: each new vector joins the cell of its nearest existing
+    * centroid (argmin L2, ties to the lowest cell — the same ordering
+    * the probe side uses, so an appended exact twin of a query vector
+    * always lands in the query's first probe cell). Appends are
+    * `batchTag`-idempotent via a marker file, the same at-least-once
+    * delivery contract as the incremental dedup indexes: a replayed
+    * batch is a no-op, so a restarted ingestion job cannot double-index.
+    *
+    * Scale shape: one broadcast of the (tiny) centroid frame against the
+    * BATCH only — the indexed corpus is never re-read — and a
+    * cell-partitioned append, co-located with the existing layout. This
+    * is the reference's realtime-segment lifecycle for vector indexes:
+    * train once offline, assign streaming arrivals to the fixed
+    * structure. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     batch: DataFrame, idCol: String, vecCol: String,
+                     batchTag: String): Unit = {
+    val marker = new java.io.File(s"$dir/tags/$batchTag")
+    if (marker.isFile) return
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val w = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cdist"), col("cell"))
+    batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        Vectors.norm2(col(vecCol)).as("cn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", Vectors.l2Distance(col("cv"), col("centroid")))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, batchTag.getBytes("UTF-8"))
+  }
+
+  /** Recursive local delete (index rebuild hygiene for the gates). */
+  def deleteIndexDir(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** [[ivfTopK]] over an already-built (or disk-loaded) index. */
   def ivfTopKWith(index: IvfIndex, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nProbe: Int): DataFrame = {

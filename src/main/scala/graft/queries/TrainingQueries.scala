@@ -17,6 +17,10 @@ object TrainingQueries {
   /** Corpus with synthesized near-duplicates: each doc plus a copy with the
     * first token dropped (id + 100000) — gives the near-dup operators real
     * positives to find. */
+  /** Deterministic per-corpus dir for the incremental-IVF gate. */
+  private def ivfAppendDir(sfDir: String): String =
+    s"target/graft_ivf_append_${new java.io.File(sfDir).getName}"
+
   private def dupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("source"))
       .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -1188,6 +1192,79 @@ object TrainingQueries {
             (SELECT * FROM embeddings WHERE vec_id < 10) q
           WHERE a.vec_id != q.vec_id) GROUP BY query_id)
         ORDER BY query_id""")),
+
+    // Incremental ANN: append a batch to the persisted cell-partitioned
+    // IVF index WITHOUT retraining (argmin to the frozen centroids, the
+    // realtime-segment lifecycle), batch-tag idempotent — the replayed
+    // append in setup is a proven no-op via the n_index_rows column.
+    // Probes against the merged index must surface each query's appended
+    // exact twin at rank 1 with cosine 1.0 (the twin lands in the
+    // query's first probe cell by the shared (cdist, cell) ordering).
+    // Invariant+anchor oracle like q_ann_ivf: booleans + the brute-force
+    // top-1 cosine over the UNION corpus replayed in SQL.
+    Q("q_ann_ivf_append",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val batch = emb.select((col("vec_id") + 500000L).as("vec_id"),
+          col("embedding"), col("label"))
+        val dir = ivfAppendDir(d)
+        val merged = Similarity.loadIvfIndex(s, dir)
+        val qs = emb.filter(col("vec_id") < 5)
+        val ivf = Similarity.ivfTopKWith(merged, qs,
+          "vec_id", "embedding", 5, 2)
+        val union = emb.unionByName(batch)
+        val bf1 = Similarity.bruteForceTopK(union, qs,
+            "vec_id", "embedding", 1)
+          .select(col("query_id"), col("cos").as("bf_top1"))
+        val nIdx = merged.assigned.count()
+        val wq = Window.partitionBy(col("query_id")).orderBy(col("rk"))
+        val flags = ivf
+          .join(union.select(col("vec_id").as("cand_id"),
+            lit(1).as("__m")), Seq("cand_id"), "left")
+          .withColumn("prev_cos", lag(col("cos"), 1).over(wq))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("int").as("n_cands"),
+            bool_and(col("__m").isNotNull).as("all_members"),
+            bool_and(col("cand_id") =!= col("query_id")).as("no_self"),
+            bool_and(col("prev_cos").isNull ||
+              col("prev_cos") >= col("cos")).as("cos_sorted"),
+            max(when(col("rk") === 1, col("cos"))).as("top1"))
+        flags.join(broadcast(bf1), Seq("query_id"))
+          .select(col("query_id"), col("n_cands"), col("all_members"),
+            col("no_self"), col("cos_sorted"), col("top1"),
+            (col("top1") <= col("bf_top1") + 1e-9).as("le_exact"),
+            col("bf_top1"), lit(nIdx).as("n_index_rows"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""SELECT query_id, 5 AS n_cands, true AS all_members,
+          true AS no_self, true AS cos_sorted, 1.0 AS top1,
+          true AS le_exact, bf_top1,
+          CAST(2 * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+            AS n_index_rows
+        FROM (SELECT query_id, MAX(cos) AS bf_top1 FROM (
+          SELECT q.vec_id AS query_id, ROUND($qaCosSql, 6) AS cos
+          FROM (SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 500000, embedding FROM embeddings) a,
+            (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+          WHERE a.vec_id != q.vec_id) GROUP BY query_id)
+        ORDER BY query_id"""),
+      setup = Some((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val batch = emb.select((col("vec_id") + 500000L).as("vec_id"),
+          col("embedding"), col("label"))
+        val dir = ivfAppendDir(d)
+        Similarity.deleteIndexDir(dir)
+        Similarity.persistIvfIndex(
+          Similarity.ivfIndex(emb, "vec_id", "embedding", 8,
+            cacheKey = None), dir)
+        Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding",
+          "b1")
+        // at-least-once replay: same tag, must be a no-op (proven by
+        // n_index_rows == 2·|corpus| in the gated output)
+        Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding",
+          "b1")
+      })),
 
     // multimodal plumbing: binary payload + metadata + stubbed decode
     Q("q_multimodal_meta",

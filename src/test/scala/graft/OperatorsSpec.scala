@@ -190,6 +190,46 @@ class OperatorsSpec extends SparkSpec {
     assert(cols == Seq("doc_id", "text"))
   }
 
+  test("appendIvfIndex: no-retrain cell assignment, batch-tag " +
+    "idempotency, twin-at-rank-1 probe") {
+    val s = spark
+    import s.implicits._
+    // no two base vectors parallel (cosine strictly < 1 between distinct
+    // originals, so the appended exact twin's cos 1.0 is a strict max)
+    val base = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(11f, 2f)), (3L, Array(10.5f, 1f)),
+      (4L, Array(0f, 10f)), (5L, Array(1f, 11f)), (6L, Array(0.5f, 10.5f))
+    ).toDF("vec_id", "embedding")
+    val dir = "target/graft_ivf_append_spec"
+    Similarity.deleteIndexDir(dir)
+    Similarity.persistIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", 2, cacheKey = None),
+      dir)
+    // batch: an exact twin of vec 1 plus a vector near the second cluster
+    val batch = Seq((100L, Array(10f, 0f)), (101L, Array(0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding", "t1")
+    Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding", "t1")
+    val merged = Similarity.loadIvfIndex(s, dir)
+    assert(merged.assigned.count() == 8L) // replay was a no-op
+    // each appended vector shares its nearest original's cell
+    val cellOf = merged.assigned.select("cand_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellOf(100L) == cellOf(1L) && cellOf(101L) == cellOf(4L))
+    // probing with vec 1 surfaces its appended twin at rank 1, cos 1.0
+    val top = Similarity.ivfTopKWith(merged,
+        base.filter($"vec_id" === 1L), "vec_id", "embedding", 3, 1)
+      .filter($"rk" === 1).collect().head
+    assert(top.getAs[Long]("cand_id") == 100L &&
+      top.getAs[Double]("cos") == 1.0)
+    // a NEW tag does append
+    Similarity.appendIvfIndex(s, dir,
+      Seq((200L, Array(9f, 1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "t2")
+    assert(Similarity.loadIvfIndex(s, dir).assigned.count() == 9L)
+    Similarity.deleteIndexDir(dir)
+  }
+
   test("Profile.columns: null counting, exact ndv, typed min/max") {
     val s = spark
     import s.implicits._
