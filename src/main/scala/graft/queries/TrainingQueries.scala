@@ -21,6 +21,34 @@ object TrainingQueries {
   private def ivfAppendDir(sfDir: String): String =
     s"target/graft_ivf_append_${new java.io.File(sfDir).getName}"
 
+  /** Full build+append protocol for the incremental-IVF gate: fresh
+    * index, one appended batch, one deliberately REPLAYED append (the
+    * no-op the gate proves). Setup always rebuilds (deterministic
+    * timing); `run` calls [[ensureIvfAppendIndex]] so it is
+    * self-contained when exercised without its setup phase (smoke/plan
+    * specs). */
+  private def buildIvfAppendIndex(s: org.apache.spark.sql.SparkSession,
+                                  d: String): Unit = {
+    val emb = Tables.embeddings(s, d)
+    val batch = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val dir = ivfAppendDir(d)
+    Similarity.deleteIndexDir(dir)
+    Similarity.persistIvfIndex(
+      Similarity.ivfIndex(emb, "vec_id", "embedding", 8,
+        cacheKey = None), dir)
+    Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding", "b1")
+    Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding", "b1")
+  }
+
+  private def ensureIvfAppendIndex(s: org.apache.spark.sql.SparkSession,
+                                   d: String): Unit = {
+    val dir = ivfAppendDir(d)
+    if (!new java.io.File(s"$dir/tags/b1").isFile ||
+        !new java.io.File(s"$dir/assigned").isDirectory)
+      buildIvfAppendIndex(s, d)
+  }
+
   private def dupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("source"))
       .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -1207,8 +1235,8 @@ object TrainingQueries {
         val emb = Tables.embeddings(s, d)
         val batch = emb.select((col("vec_id") + 500000L).as("vec_id"),
           col("embedding"), col("label"))
-        val dir = ivfAppendDir(d)
-        val merged = Similarity.loadIvfIndex(s, dir)
+        ensureIvfAppendIndex(s, d)
+        val merged = Similarity.loadIvfIndex(s, ivfAppendDir(d))
         val qs = emb.filter(col("vec_id") < 5)
         val ivf = Similarity.ivfTopKWith(merged, qs,
           "vec_id", "embedding", 5, 2)
@@ -1249,22 +1277,7 @@ object TrainingQueries {
             (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
           WHERE a.vec_id != q.vec_id) GROUP BY query_id)
         ORDER BY query_id"""),
-      setup = Some((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val batch = emb.select((col("vec_id") + 500000L).as("vec_id"),
-          col("embedding"), col("label"))
-        val dir = ivfAppendDir(d)
-        Similarity.deleteIndexDir(dir)
-        Similarity.persistIvfIndex(
-          Similarity.ivfIndex(emb, "vec_id", "embedding", 8,
-            cacheKey = None), dir)
-        Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding",
-          "b1")
-        // at-least-once replay: same tag, must be a no-op (proven by
-        // n_index_rows == 2·|corpus| in the gated output)
-        Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding",
-          "b1")
-      })),
+      setup = Some((s, d) => buildIvfAppendIndex(s, d))),
 
     // multimodal plumbing: binary payload + metadata + stubbed decode
     Q("q_multimodal_meta",
