@@ -380,12 +380,19 @@ object Bench {
         (if (withQueries) s""","queries":$headJson""" else "") +
         (if (withScale) scaleCompact else "") +
         s""","artifact":${jstr(outPath.toString)},"sf":"$sfDir"}"""
+    // Final fallbacks are provably small valid JSON (fixed numeric
+    // fields only) — never a mid-object truncation, which would
+    // re-create the exact unparseable-tail failure this line prevents.
+    val minimalLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+        s""","n_queries":${ok.size},"n_errors":${errNames.size}""" +
+        s""","degradation":${r3(degradation)}}"""
     val line = Seq(
       compactLine(withQueries = true, withScale = true),
       compactLine(withQueries = true, withScale = false),
-      compactLine(withQueries = false, withScale = false)
-    ).find(_.length <= budgetChars).getOrElse(
-      compactLine(withQueries = false, withScale = false).take(budgetChars))
+      compactLine(withQueries = false, withScale = false),
+      minimalLine
+    ).find(_.length <= budgetChars).getOrElse(minimalLine)
     println(line)
     spark.stop()
   }

@@ -357,15 +357,19 @@ object Dedup {
     * forms — the corpus never concentrates. */
   def collapseClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                        keep: Column): DataFrame = {
+    // reserved name for the joined cluster label: a bare `label` would
+    // collide with a user column of that name (e.g. the embeddings
+    // table) — ambiguous-reference on the coalesce, or a dropped user
+    // column on the way out
     val labels = clusters(pairs)
-      .select(col("id").as(idCol), col("label"))
+      .select(col("id").as(idCol), col("label").as("__cluster_lbl"))
     val w = Window.partitionBy(col("__lbl"))
       .orderBy(keep.desc, col(idCol).asc)
     docs.join(labels, Seq(idCol), "left")
-      .withColumn("__lbl", coalesce(col("label"), col(idCol)))
+      .withColumn("__lbl", coalesce(col("__cluster_lbl"), col(idCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__lbl", "__rn", "label")
+      .drop("__lbl", "__rn", "__cluster_lbl")
   }
 
   /** n-gram Jaccard near-dups within a blocking key (e.g. source or length

@@ -43,9 +43,11 @@ object Dsir {
 
   /** Per-bucket model over the buckets OBSERVED IN RAW: (bucket,
     * raw_c, target_c, llr_u) where llr_u is the 1e6-scaled rounded
-    * ln((target_c+1)/(ttot+B) ÷ (raw_c+1)/(rtot+B)). Buckets that only
-    * ever appear in `target` carry no raw probability mass to reweight
-    * and are omitted (scoring `raw` can never hit them). */
+    * ln((target_c+1)/(ttot+B) ÷ (raw_c+1)/(rtot+B)). ttot counts the
+    * FULL target feature stream — including buckets never seen in raw
+    * (disjoint-corpora setting) — matching the paper and the oracle;
+    * target-only buckets are then omitted from the emitted rows
+    * (scoring `raw` can never hit them). */
   def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
                 buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be > 0")
@@ -58,16 +60,21 @@ object Dsir {
     // expressions (identical Math.log/round semantics, zero extra
     // cluster passes). The previous shape paid three full feature-
     // extraction jobs here (rtot agg, ttot agg, model collect) — the
-    // whole corpus re-exploded each time.
-    val rows = counts(raw).select(col("bucket"), col("c").as("rc"))
+    // whole corpus re-exploded each time. FULL outer join so a bucket
+    // appearing only in `target` (disjoint corpora, the paper's
+    // Wikipedia-vs-CC setting) still contributes its mass to ttot's
+    // smoothing denominator; such buckets are dropped from the emitted
+    // model AFTER the totals (scoring `raw` can never hit them).
+    val allRows = counts(raw).select(col("bucket"), col("c").as("rc"))
       .join(counts(target).select(col("bucket"), col("c").as("tc")),
-        Seq("bucket"), "left")
-      .select(col("bucket"), col("rc"),
-        coalesce(col("tc"), lit(0L)).as("tc"))
+        Seq("bucket"), "full")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val rtot = rows.map(_._2).sum
-    val ttot = rows.map(_._3).sum
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSeq
+    val rtot = allRows.map(r => math.max(r._2, 0L)).sum
+    val ttot = allRows.map(_._3).sum
+    val rows = allRows.filter(_._2 >= 0) // raw-present buckets only
     val spark = raw.sparkSession
     import spark.implicits._
     val p = (col("tc").cast("double") + lit(1.0)) /

@@ -162,10 +162,12 @@ object Sampling {
   def splitByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
                      splits: Seq[(String, Double)],
                      salt: String = "graft"): DataFrame = {
+    // reserved name (see Dedup.collapseClusters): a bare `label` joined
+    // onto docs would collide with a user column of the same name
     val labels = Dedup.clusters(pairs)
-      .select(col("id").as(idCol), col("label"))
+      .select(col("id").as(idCol), col("label").as("__cluster_lbl"))
     val grouped = docs.join(labels, Seq(idCol), "left")
-      .withColumn("__grp", coalesce(col("label"), col(idCol)))
-    hashSplit(grouped, "__grp", splits, salt).drop("__grp", "label")
+      .withColumn("__grp", coalesce(col("__cluster_lbl"), col(idCol)))
+    hashSplit(grouped, "__grp", splits, salt).drop("__grp", "__cluster_lbl")
   }
 }

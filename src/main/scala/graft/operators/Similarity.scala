@@ -168,6 +168,13 @@ object Similarity {
     * `batchTag`-idempotent via a marker file, the same at-least-once
     * delivery contract as the incremental dedup indexes: a replayed
     * batch is a no-op, so a restarted ingestion job cannot double-index.
+    * The commit is crash-safe in either direction: the batch stages
+    * under a tag-scoped temp path, lands in the index as files with a
+    * deterministic `tag-<batchTag>-` prefix (a replay first sweeps any
+    * partial prior move of the same tag, so a crash mid-move cannot
+    * leave doubled rows), and the marker is written only after the move
+    * completes — a crash before the marker replays cleanly, a crash
+    * after it no-ops.
     *
     * Scale shape: one broadcast of the (tiny) centroid frame against the
     * BATCH only — the indexed corpus is never re-read — and a
@@ -178,11 +185,14 @@ object Similarity {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame, idCol: String, vecCol: String,
                      batchTag: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val marker = new java.io.File(s"$dir/tags/$batchTag")
     if (marker.isFile) return
     val centroids = spark.read.parquet(s"$dir/centroids")
     val w = Window.partitionBy(col("cand_id"))
       .orderBy(col("cdist"), col("cell"))
+    val staging = s"$dir/staging/$batchTag"
+    // overwrite mode makes the staging write itself replay-safe
     batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
         Vectors.norm2(col(vecCol)).as("cn"))
       .crossJoin(broadcast(centroids))
@@ -190,9 +200,37 @@ object Similarity {
       .withColumn("pr", row_number().over(w))
       .filter(col("pr") === 1)
       .select(col("cand_id"), col("cv"), col("cn"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // sweep any partial prior move of this tag, then move staged files
+    // in under deterministic tag-prefixed names
+    val assignedRoot = Paths.get(s"$dir/assigned")
+    val prefix = s"tag-$batchTag-"
+    if (Files.isDirectory(assignedRoot)) {
+      val st = Files.walk(assignedRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith(prefix))
+          .foreach(p => Files.deleteIfExists(p))
+      } finally st.close()
+    }
+    val sst = Files.walk(Paths.get(staging))
+    try {
+      import scala.jdk.CollectionConverters._
+      sst.iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val cellDir = p.getParent.getFileName.toString // cell=<n>
+          val dst = assignedRoot.resolve(cellDir)
+          Files.createDirectories(dst)
+          Files.move(p, dst.resolve(prefix + p.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+    } finally sst.close()
     marker.getParentFile.mkdirs()
-    java.nio.file.Files.write(marker.toPath, batchTag.getBytes("UTF-8"))
+    Files.write(marker.toPath, batchTag.getBytes("UTF-8"))
+    deleteIndexDir(staging)
   }
 
   /** Recursive local delete (index rebuild hygiene for the gates). */
@@ -200,8 +238,10 @@ object Similarity {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      val st = java.nio.file.Files.walk(root)
+      try st.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
     }
   }
 

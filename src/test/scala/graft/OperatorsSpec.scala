@@ -964,6 +964,60 @@ class OperatorsSpec extends SparkSpec {
     assert(kept7 == kept)
   }
 
+  test("dsirModel: disjoint target corpus — target-only buckets keep " +
+      "their mass in ttot's smoothing denominator") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dsir
+    // target shares NO vocabulary with raw (the paper's Wikipedia-vs-CC
+    // setting): every target feature lands in a bucket raw never hits
+    val raw = Seq((1L, "apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "xylo zephyr quartz"), (11L, "zephyr quartz"))
+      .toDF("doc_id", "text")
+    val b = 4096 // large enough that cross-corpus collisions are unlikely
+    val model = Dsir.dsirModel(raw, target, "text", b).collect()
+    // emitted rows cover only raw-observed buckets
+    assert(model.forall(_.getAs[Long]("raw_c") >= 1L))
+    // raw has 2 docs × (2 unigrams + 1 bigram) = 6 features, none in
+    // target → every emitted bucket has target_c = 0 and the SAME llr_u,
+    // whose value encodes ttot = 8 (target: 3+2 unigrams + 2+1 bigrams).
+    // With the buggy raw-joined total, ttot would be 0 and llr_u shifts.
+    val ttot = 8.0
+    val rtot = model.map(_.getAs[Long]("raw_c")).sum.toDouble
+    val expected = model.map { r =>
+      val p = (r.getAs[Long]("target_c") + 1.0) / (ttot + b)
+      val q = (r.getAs[Long]("raw_c") + 1.0) / (rtot + b)
+      val r6 = BigDecimal(math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(r6 * 1e6)
+    }
+    model.map(_.getAs[Long]("llr_u")).zip(expected).foreach {
+      case (got, want) => assert(got == want, s"llr_u $got != $want")
+    }
+  }
+
+  test("collapseClusters/splitByCluster: docs with a user `label` column " +
+      "survive with the column intact (no ambiguous reference)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "aa", 7), (2L, "aaaa", 8), (3L, "aaa", 9), (20L, "z", 5)
+    ).toDF("doc_id", "text", "label")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    Dedup.cacheClear()
+    val out = Dedup.collapseClusters(docs, pairs, "doc_id", length($"text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 20L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(8, 5)) // user label preserved
+    val split = Sampling.splitByCluster(docs, pairs, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    assert(split.columns.toSeq ==
+      Seq("doc_id", "text", "label", "split"))
+    assert(split.count() == 4L)
+  }
+
   test("sampleByWeight: keep rate tracks weight, monotone in weight, " +
       "clamped, partition-invariant") {
     val s = spark
