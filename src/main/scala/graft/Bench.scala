@@ -39,11 +39,16 @@ object Bench {
   /** The heavy tier re-run at FACTOR× by the scale-stress pass: every
     * query here reads only documents/embeddings (the tables
     * [[graft.sources.ScaleCorpus]] expands). */
+  // q_ann_topk (brute-force cosine) is deliberately NOT here: the tier is
+  // corpus×queries by construction — it exists as the oracle/recall
+  // anchor (hash-gated vs DuckDB at sf0.01), and the ANN tiers below
+  // (bucketed/multiprobe/PQ/IVF/IVF-PQ) are the paths that must scale.
+  // Putting the anchor on the 10× curve only re-measures its definition.
   val ScaleFamily: Set[String] = Set(
     "q_dedup_exact", "q_text_canon", "q_dedup_minhash_pairs",
     "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_substr",
     "q_dedup_spans", "q_dedup_semantic", "q_dedup_embed_pairs",
-    "q_ann_topk", "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
+    "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
     "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_encode_10k",
     "q_pipeline_e2e", "q_pack_chunks", "q_epoch_pack_shards",
     "q_decontaminate", "q_nb_classify", "q_dedup_keep_rep",
@@ -282,7 +287,19 @@ object Bench {
         val prepSec =
           graft.sources.ScaleCorpus.materialize(spark, sfDir, scaleDir,
             scaleFactor)
+        // pre-pass hygiene: every operator cache built by the base suite is
+        // keyed on the corpus PLAN (semanticHash includes the path), so for
+        // the scale dir none can ever hit — they are dead blocks that would
+        // otherwise sit in the old gen while the 10× caches build. Round 9's
+        // official artifact showed exactly that failure mode: q_text_canon's
+        // 10× FIRST run (26.3× cold ratio) landed in the GC storm of
+        // building 10× caches against a full base-suite block manager; the
+        // same query isolated scores cold_ratio 0.78. Clearing dead caches
+        // is semantically free and makes cold-to-cold comparable.
+        graft.operators.GraftCache.clearAll()
         graft.operators.Checkpoints.sweep()
+        System.gc()
+        Thread.sleep(300)
         // no re-run budget here: the base suite's numbers are warm minima,
         // so the scale numbers MUST be warm minima too or the ratio
         // compares a cold cache-build at 10× against a warm re-read at 1×
@@ -321,6 +338,7 @@ object Bench {
         s""","scale":{"factor":$scaleFactor,"prep_sec":$prepSec""" +
           s""","queries":${jmap(okS.map(r => r.name -> r.sec))}""" +
           s""","cold":${jmap(okS.map(r => r.name -> r.firstSec))}""" +
+          s""","gc_ms":${jmap(okS.map(r => r.name -> r.gcMs))}""" +
           s""","shuffle_bytes":${jmap(okS.map(r => r.name -> r.shuffle))}""" +
           s""","ratio":${jmap(ratios.map { case (n, x) => n -> r2(x) })}""" +
           s""","cold_ratio":${jmap(coldRatios.map { case (n, x) =>

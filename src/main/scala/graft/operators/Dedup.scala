@@ -288,6 +288,14 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 50): DataFrame =
     cached(pairs, s"clusters:$idA:$idB") {
+      labelPropWithRounds(pairs, idA, idB, maxIter)._1
+    }
+
+  /** [[clusters]]'s engine, returning (labels, rounds-to-converge) — the
+    * round count is the test hook for the algorithm-comparison specs. */
+  private[graft] def labelPropWithRounds(pairs: DataFrame, idA: String,
+                                         idB: String, maxIter: Int)
+  : (DataFrame, Int) = {
       val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
         .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
         .distinct().persist()
@@ -339,8 +347,107 @@ object Dedup {
         iter += 1
       }
       edges.unpersist(false)
-      labels
+      (labels, iter)
+  }
+
+  /** Connected components via alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the O(log n)-round alternative to [[clusters]]' label propagation.
+    * Same output contract: (id, label) with label = component min id.
+    *
+    * Each round rewrites the EDGE SET itself toward a star forest:
+    * large-star hooks every neighbor larger than u onto u's closed-
+    * neighborhood minimum; small-star re-hooks the smaller neighbors.
+    * Because edges (not per-node labels) carry the state, a deep chain
+    * collapses multiplicatively — the round count is O(log n) regardless
+    * of component diameter, where label propagation with one pointer
+    * jump per round still pays ~log₂(diameter) rounds of TWO joins each.
+    * At 100 TB pair graphs (shallow dup clusters, occasional deep
+    * chains from templated crawl families) this is the plan of record;
+    * [[clusters]] stays the oracle-gated default.
+    *
+    * Scale shape per round: two groupBy-aggregations over the current
+    * edge set (collect the closed neighborhood min) — no self-join of
+    * labels, no window. Edge count never grows: large-star emits ≤ one
+    * edge per (u, larger-neighbor), small-star ≤ one per (u, smaller-
+    * neighbor ∪ self). Rounds checkpoint and release like the
+    * label-prop loop. */
+  def clustersStars(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b", maxIter: Int = 50): DataFrame =
+    cached(pairs, s"clustersStars:$idA:$idB") {
+      clustersStarsWithRounds(pairs, idA, idB, maxIter)._1
     }
+
+  private[graft] def clustersStarsWithRounds(pairs: DataFrame, idA: String,
+                                             idB: String, maxIter: Int)
+  : (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    // the node universe is fixed by the input pairs; the star forest at
+    // convergence only contains (child, root) edges, so roots (and any
+    // node whose edges all collapsed) re-enter via this frame at the end
+    val nodes = Checkpoints.eager(
+      pairs.select(col(idA).as("id"))
+        .unionAll(pairs.select(col(idB).as("id"))).distinct())
+    // canonical undirected edge set, no self-loops
+    var edges = Checkpoints.eager(
+      pairs.select(least(col(idA), col(idB)).as("lo"),
+          greatest(col(idA), col(idB)).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct())
+    var iter = 0
+    var converged = edges.count() == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: per node u over both orientations, m = min of the
+      // closed neighborhood; every neighbor v > u re-hooks to (v, m).
+      // min-then-join-back (not collect_list): a hot node's neighborhood
+      // never materializes as one row, and the join re-uses the groupBy's
+      // hash partitioning on u — skew rides AQE like any keyed join.
+      val nbrs = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val lmins = nbrs.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val large = Checkpoints.eager(
+        nbrs.join(lmins, Seq("u")).filter(col("v") > col("u"))
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .filter(col("lo") =!= col("hi")).distinct())
+      // SMALL-STAR: orient (u, v) with v < u; m = min neighbor (< u);
+      // u and every smaller neighbor re-hook to m. m ≤ v < u keeps the
+      // (lo, hi) canonical orientation for free.
+      val sNbrs = large.select(col("hi").as("u"), col("lo").as("v"))
+      val smins = sNbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = Checkpoints.eager(
+        sNbrs.join(smins, Seq("u"))
+          .select(col("m").as("lo"), col("v").as("hi"))
+          .unionAll(smins.select(col("m").as("lo"), col("u").as("hi")))
+          .filter(col("lo") =!= col("hi")).distinct())
+      // convergence = the edge set IS a star forest, detected directly
+      // (each child has exactly one parent, and no parent is itself a
+      // child) rather than by a fixed-point confirm round — saves one
+      // full round per run. Stars are min-rooted by the (lo, hi)
+      // orientation, and the transforms preserve connectivity, so any
+      // star-forest state is the answer.
+      val dupChild = small.groupBy(col("hi"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .limit(1).count() > 0L
+      val parentIsChild = !dupChild && small.select(col("lo"))
+        .join(small.select(col("hi").as("lo")), Seq("lo"), "left_semi")
+        .limit(1).count() > 0L
+      converged = !dupChild && !parentIsChild
+      Checkpoints.release(large)
+      Checkpoints.release(edges)
+      edges = small
+      iter += 1
+    }
+    // at convergence `edges` is a star forest (root=lo, child=hi):
+    // children label to their root, everything else labels to itself
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+    val out = Checkpoints.eager(labels)
+    Checkpoints.release(nodes)
+    Checkpoints.release(edges)
+    (out, iter)
+  }
 
   /** Near-dup COLLAPSE: keep exactly one representative per connected
     * component of `pairs` (via [[clusters]]), plus every document in no

@@ -750,6 +750,41 @@ object TrainingQueries {
           ORDER BY doc_id"""
       }),
 
+    // Same components via the alternating large-star/small-star edge
+    // rewrite (Kiveris et al.) — the O(log n)-round plan of record for
+    // 100 TB pair graphs; gated against the SAME recursive-CTE oracle so
+    // both algorithms are hash-proven equivalent on real LSH pairs.
+    Q("q_dedup_clusters_stars",
+      (s, d) => Dedup.clustersStars(
+          Dedup.minHashPairs(dupCorpus(Tables.documents(s, d)),
+            "text", "doc_id", 3, 4, 2))
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy(col("doc_id")),
+      Some {
+        s"""WITH RECURSIVE $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach
+            JOIN edges e ON e.src = reach.id)
+          SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id
+          ORDER BY doc_id"""
+      }),
+
     // Near-dup COLLAPSE: the step that turns clusters into a deduplicated
     // corpus — one keep-longest representative per connected component
     // (ties to the lowest id), singletons pass through. The oracle chains

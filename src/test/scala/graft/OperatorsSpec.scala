@@ -275,6 +275,38 @@ class OperatorsSpec extends SparkSpec {
       .columns.toSeq == Seq("doc_id", "text", "split"))
   }
 
+  test("clustersStars: label parity with clusters on mixed components; " +
+    "fewer rounds than label-prop on a deep chain") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // mixed fixture: chain, triangle (cycle), star, isolated pair,
+    // duplicate edges in both orientations
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain
+      (20L, 21L), (21L, 22L), (22L, 20L),    // triangle
+      (30L, 31L), (30L, 32L), (30L, 33L),    // star
+      (40L, 41L), (41L, 40L)                 // pair, both orientations
+    ).toDF("id_a", "id_b")
+    Dedup.cacheClear()
+    val expected = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.clustersStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // deep chain: the alternating algorithm's edge-set collapse takes
+    // strictly fewer rounds than label-prop's per-node pointer jumping
+    val deep = (0L until 512L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (lp, lpRounds) = Dedup.labelPropWithRounds(deep, "id_a", "id_b", 50)
+    val (st, stRounds) = Dedup.clustersStarsWithRounds(deep, "id_a", "id_b", 50)
+    assert(lp.filter(col("label") =!= 0L).count() == 0L)
+    assert(st.filter(col("label") =!= 0L).count() == 0L)
+    assert(st.count() == 513L)
+    info(s"deep-chain rounds: labelProp=$lpRounds stars=$stRounds")
+    assert(stRounds < lpRounds,
+      s"stars ($stRounds) not faster than label-prop ($lpRounds)")
+  }
+
   test("clusters: long chain converges in O(log diameter) rounds") {
     val s = spark
     import s.implicits._
