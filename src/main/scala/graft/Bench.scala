@@ -49,7 +49,8 @@ object Bench {
     "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_substr",
     "q_dedup_spans", "q_dedup_semantic", "q_dedup_embed_pairs",
     "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
-    "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_encode_10k",
+    "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_merges_fast",
+    "q_bpe_encode_10k",
     "q_pipeline_e2e", "q_pack_chunks", "q_epoch_pack_shards",
     "q_decontaminate", "q_nb_classify", "q_dedup_keep_rep",
     "q_split_leakproof", "q_ann_ivf_append")

@@ -96,6 +96,112 @@ object Vocab {
     merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
   }
 
+  /** [[bpeMerges]]' production-scale tier: ONE distributed aggregation
+    * collapses the corpus to the distinct-word frequency table (|vocab|
+    * rows — vocabulary-scale, NOT corpus-scale, the same reduction every
+    * published tokenizer trainer performs), then the classic exact
+    * incremental-pair-count BPE loop (Sennrich et al. 2016 §3; priority
+    * structure + per-word delta updates) runs driver-local. A 10k-merge
+    * production train is ONE Spark job + a local loop, versus one
+    * aggregation job per merge in the distributed loop — which stays as
+    * the oracle mode (both are exact; the 3-merge DuckDB gate pins them
+    * to the same output).
+    *
+    * Identical output to [[bpeMerges]] by construction: same greedy
+    * leftmost-non-overlapping application, same (count desc, encoded
+    * pair asc) tie-break — byte-order parity holds because symbols are
+    * ASCII under the default `wordPattern` (both engines compare ASCII
+    * identically).
+    *
+    * `maxWords` bounds driver memory for corpora whose tail vocabulary
+    * explodes (the sampled tier: top-`maxWords` by (freq desc, word) —
+    * deterministic); `minFreq` prunes hapax noise the same way
+    * production trainers do. Defaults keep every word. */
+  def bpeMergesLocal(df: DataFrame, textCol: String, n: Int,
+                     wordPattern: String = "^[a-z0-9]+$",
+                     maxWords: Int = 2000000,
+                     minFreq: Long = 1L): DataFrame = {
+    require(n >= 1, s"merge count $n must be >= 1")
+    val spark = df.sparkSession
+    // the ONE distributed action: corpus → (word, freq), deterministically
+    // truncated if over budget
+    val wordFreq: Array[(String, Long)] = df
+      .select(explode(TA.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(wordPattern))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver-local exact BPE: words as symbol arrays; pair → (count,
+    // member words) with a sorted view for O(log P) best-pair pulls
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      wordFreq.map(_._1.toCharArray.map(_.toString))
+    val freq: Array[Long] = wordFreq.map(_._2)
+    def pat(l: String, r: String) = s"|$l| |$r|"
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val members = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // sorted by (count desc, encoded pair asc) — the exact distributed
+    // tie-break; counts ride inside the key so updates are remove+insert
+    implicit val ord: Ordering[(Long, String, (String, String))] =
+      Ordering.by(t => (-t._1, t._2))
+    val queue = mutable.TreeSet.empty[(Long, String, (String, String))]
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) queue.remove((old, pat(p._1, p._2), p))
+      val nw = old + delta
+      if (nw != 0L) { counts(p) = nw; queue.add((nw, pat(p._1, p._2), p)) }
+      else counts.remove(p)
+    }
+    for (i <- syms.indices; p <- pairsOf(syms(i))) {
+      bump(p, freq(i))
+      members.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+    def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges =
+      mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    while (round <= n && queue.nonEmpty) {
+      val (cnt, _, best) = queue.head
+      val (l, r) = best
+      merges += ((round, l, r, cnt))
+      val touched = members.getOrElse(best, mutable.Set.empty).toArray
+      touched.foreach { wi =>
+        val before = syms(wi)
+        val after = applyMerge(before, l, r)
+        // delta-update: subtract the word's old pair multiset, add the new
+        pairsOf(before).foreach { p =>
+          bump(p, -freq(wi))
+          if (counts.get(p).isEmpty) members.remove(p)
+        }
+        syms(wi) = after
+        pairsOf(after).foreach { p =>
+          bump(p, freq(wi))
+          members.getOrElseUpdate(p, mutable.Set.empty) += wi
+        }
+        // membership for pairs still counted but no longer in this word
+        pairsOf(before).toSet.diff(pairsOf(after).toSet).foreach(p =>
+          members.get(p).foreach(_ -= wi))
+      }
+      round += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
+  }
+
   /** Apply learned BPE merges to the corpus: each whitespace token
     * matching `wordPattern` is segmented by applying the merges
     * SEQUENTIALLY in learned order (each merge replaces leftmost

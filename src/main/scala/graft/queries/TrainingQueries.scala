@@ -1618,6 +1618,43 @@ object TrainingQueries {
           UNION ALL SELECT 3, pat, cnt FROM b3)"""
       }),
 
+    // The driver-local exact training tier (one distributed word-count
+    // job + the incremental-pair-count loop — the 10k-merge production
+    // path) gated against the SAME 3-round DuckDB replay, pinning both
+    // tiers to identical merges/counts/tie-breaks.
+    Q("q_bpe_merges_fast",
+      (s, d) => graft.operators.Vocab.bpeMergesLocal(
+        Tables.documents(s, d), "text", n = 3),
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat, cnt FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
+            freq FROM $prev, b$i b)"""
+        }
+        s"""WITH w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
+          freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)}
+        SELECT CAST(round AS INT) AS round,
+          trim(string_split(pat, ' ')[1], '|') AS lhs,
+          trim(string_split(pat, ' ')[2], '|') AS rhs,
+          CAST(cnt AS BIGINT) AS cnt
+        FROM (
+          SELECT 1 AS round, pat, cnt FROM b1
+          UNION ALL SELECT 2, pat, cnt FROM b2
+          UNION ALL SELECT 3, pat, cnt FROM b3)"""
+      }),
+
     // Skip-gram co-occurrence (word2vec/GloVe prep): ordered pairs within
     // window 2, raw counts + exact scaled 1/distance weights; top 100 by
     // (cnt desc, pair) — deterministic total order. Oracle replays the

@@ -550,6 +550,62 @@ class OperatorsSpec extends SparkSpec {
     assert(mm.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpeMergesLocal: identical output to the distributed loop; a " +
+      "10k-merge train is one Spark job; truncation/pruning knobs") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower"), (3L, "newest"),
+      (4L, "aaa aaa bb")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    // exact parity with the distributed oracle-mode loop, incl. ties and
+    // overlapping-pair greedy application
+    assert(rows(Vocab.bpeMergesLocal(docs, "text", n = 6)) ==
+      rows(Vocab.bpeMerges(docs, "text", n = 6)))
+    // parity on the real corpus head
+    val real = Tables.documents(spark, sfDir).limit(60)
+    assert(rows(Vocab.bpeMergesLocal(real, "text", n = 5)) ==
+      rows(Vocab.bpeMerges(real, "text", n = 5)))
+    // a 10k-merge production train: ONE Spark job (the word-frequency
+    // collect), local loop to exhaustion, merged symbols well-formed
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val big = Vocab.bpeMergesLocal(Tables.documents(spark, sfDir),
+        "text", n = 10000)
+      val got = big.collect()
+      org.apache.spark.graft.ListenerBusAccess
+        .waitUntilEmpty(spark.sparkContext, 2000)
+      // the training itself is 1 job; toDF+collect of the result adds ~1
+      assert(jobs.get() <= 3, s"${jobs.get()} jobs for a local-tier train")
+      // sf0.001's vocabulary exhausts well before 10k merges — the gate
+      // is that training RAN to exhaustion in one job, not the count
+      assert(got.length > 50, s"only ${got.length} merges trained")
+      val roundsSeen = got.map(_.getInt(0)).toSeq.sorted
+      assert(roundsSeen == (1 to got.length))
+      // counts are non-increasing in a valid exhaustion run? (not true in
+      // general for BPE — formed symbols create new high-count pairs; just
+      // sanity-check positivity and well-formed symbols)
+      assert(got.forall(_.getLong(3) > 0L))
+      assert(got.forall(r => r.getString(1).nonEmpty &&
+        r.getString(2).nonEmpty))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // knobs: maxWords truncation keeps the top words deterministically,
+    // minFreq prunes — both still train
+    val pruned = Vocab.bpeMergesLocal(docs, "text", n = 2,
+      maxWords = 2, minFreq = 2L)
+    assert(pruned.count() == 2L)
+  }
+
   test("bpeEncode: training data re-encodes to training segmentation; " +
       "expression and UDF tiers agree; pass-through for non-word tokens") {
     val s = spark
