@@ -53,7 +53,7 @@ object Bench {
     "q_bpe_encode_10k",
     "q_pipeline_e2e", "q_pack_chunks", "q_epoch_pack_shards",
     "q_decontaminate", "q_nb_classify", "q_dedup_keep_rep",
-    "q_split_leakproof", "q_ann_ivf_append")
+    "q_split_leakproof", "q_ann_ivf_append", "q_ann_ivf_lifecycle")
 
   /** Queries whose suite time exceeds `factor`× their prior recording. */
   private[graft] def outliers(cur: Map[String, Double],

@@ -154,11 +154,91 @@ object Similarity {
 
   /** Load a persisted IVF index: a parquet read, NO re-clustering — the
     * cold-session path (the reference likewise memory-maps built vector
-    * indexes at segment load, it never retrains). */
+    * indexes at segment load, it never retrains). Tombstoned ids (from
+    * [[deleteFromIvfIndex]]) are subtracted with one anti-join against
+    * the (tiny) tombstone table, so deletes are visible immediately
+    * without rewriting the index; [[compactIvfIndex]] folds them in. A
+    * half-committed compaction swap is completed first ([[recoverIvf]]). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
-  : IvfIndex =
-    IvfIndex(spark.read.parquet(s"$dir/assigned"),
-      spark.read.parquet(s"$dir/centroids"))
+  : IvfIndex = {
+    recoverIvf(dir)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val live =
+      if (!new java.io.File(s"$dir/tombstones").isDirectory ||
+          new java.io.File(s"$dir/tombstones").listFiles().isEmpty) assigned
+      else assigned.join(
+        broadcast(spark.read.parquet(s"$dir/tombstones")
+          .select(col("cand_id")).distinct()),
+        Seq("cand_id"), "left_anti")
+    IvfIndex(live, spark.read.parquet(s"$dir/centroids"))
+  }
+
+  /** Tombstone `ids` out of a persisted IVF index — the delete half of
+    * the daily-pipeline lifecycle (docs dropped by curation/dedup must
+    * leave the ANN index too). The id set lands as a tag-scoped parquet
+    * under `tombstones/` (overwrite mode — a replayed delete batch
+    * rewrites the same path, naturally idempotent); readers subtract
+    * tombstones at load, [[compactIvfIndex]] makes them physical.
+    * Tombstones are by id and win until compaction: re-appending a
+    * deleted id requires a compact between delete and append. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ids: DataFrame, idCol: String,
+                         batchTag: String): Unit = {
+    recoverIvf(dir)
+    // tag rides as a hive-style partition dir so the whole tombstones
+    // tree reads back as ONE partitioned table
+    ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tombstones/tag=$batchTag")
+  }
+
+  /** Fold tombstones into the index files: rewrite each cell without the
+    * deleted rows (and, as a side effect, merge the per-append tag files
+    * into one compacted file set per cell — the small-file compaction a
+    * long-lived append stream needs). Crash-safe and replay-idempotent:
+    * the compacted copy stages under `assigned_compact_tmp` (overwrite),
+    * then a two-rename swap (`assigned`→`assigned_retiring`, tmp→
+    * `assigned`) commits it; [[recoverIvf]] completes a swap interrupted
+    * between the renames, and re-running compact after success is a
+    * harmless full rewrite. Append markers under `tags/` survive
+    * compaction, so a pre-compaction append batch replayed later still
+    * no-ops. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    recoverIvf(dir)
+    val live = loadIvfIndex(spark, dir).assigned
+    val tmp = s"$dir/assigned_compact_tmp"
+    live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val root = java.nio.file.Paths.get(dir)
+    val retiring = root.resolve("assigned_retiring")
+    deleteIndexDir(retiring.toString) // stale from a prior crashed run
+    java.nio.file.Files.move(root.resolve("assigned"), retiring)
+    java.nio.file.Files.move(root.resolve("assigned_compact_tmp"),
+      root.resolve("assigned"))
+    deleteIndexDir(retiring.toString)
+    deleteIndexDir(s"$dir/tombstones")
+  }
+
+  /** Complete a compaction swap interrupted between its two renames: if
+    * `assigned` is missing but the staged copy exists, promote it;
+    * leftover `assigned_retiring`/`tombstones` from a crash after the
+    * swap are dropped (the compacted files already exclude them). */
+  private def recoverIvf(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    val assigned = root.resolve("assigned")
+    val tmp = root.resolve("assigned_compact_tmp")
+    val retiring = root.resolve("assigned_retiring")
+    if (!java.nio.file.Files.isDirectory(assigned) &&
+        java.nio.file.Files.isDirectory(tmp)) {
+      java.nio.file.Files.move(tmp, assigned)
+      deleteIndexDir(retiring.toString)
+      deleteIndexDir(s"$dir/tombstones")
+    } else if (java.nio.file.Files.isDirectory(assigned) &&
+        java.nio.file.Files.isDirectory(retiring)) {
+      deleteIndexDir(retiring.toString)
+      deleteIndexDir(s"$dir/tombstones")
+    }
+  }
 
   /** Append a batch of vectors to a persisted IVF index WITHOUT
     * retraining: each new vector joins the cell of its nearest existing
@@ -186,6 +266,7 @@ object Similarity {
                      batch: DataFrame, idCol: String, vecCol: String,
                      batchTag: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverIvf(dir)
     val marker = new java.io.File(s"$dir/tags/$batchTag")
     if (marker.isFile) return
     val centroids = spark.read.parquet(s"$dir/centroids")

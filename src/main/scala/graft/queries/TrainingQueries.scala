@@ -49,6 +49,47 @@ object TrainingQueries {
       buildIvfAppendIndex(s, d)
   }
 
+  private def ivfLifecycleDir(sfDir: String): String =
+    s"target/graft_ivf_lifecycle_${new java.io.File(sfDir).getName}"
+
+  /** Full index-lifecycle protocol for the ANN maintenance gate: fresh
+    * index → append twins of the whole corpus (b1) → tombstone the five
+    * query twins → compact → REPLAY the compaction (idempotence under
+    * at-least-once orchestration) → append fresh twins of the queries
+    * (b2). The run phase then proves: deleted ids never surface, each
+    * query's b2 twin answers at rank 1 with cosine 1.0, and the index
+    * row count is exactly base + b1 − deleted + b2. */
+  private def buildIvfLifecycle(s: org.apache.spark.sql.SparkSession,
+                                d: String): Unit = {
+    val emb = Tables.embeddings(s, d)
+    val dir = ivfLifecycleDir(d)
+    Similarity.deleteIndexDir(dir)
+    Similarity.persistIvfIndex(
+      Similarity.ivfIndex(emb, "vec_id", "embedding", 8,
+        cacheKey = None), dir)
+    val b1 = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"), col("label"))
+    Similarity.appendIvfIndex(s, dir, b1, "vec_id", "embedding", "b1")
+    Similarity.deleteFromIvfIndex(s, dir,
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 500000L).as("vec_id")),
+      "vec_id", "d1")
+    Similarity.compactIvfIndex(s, dir)
+    Similarity.compactIvfIndex(s, dir) // replayed compaction: no-op
+    val b2 = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 600000L).as("vec_id"),
+        col("embedding"), col("label"))
+    Similarity.appendIvfIndex(s, dir, b2, "vec_id", "embedding", "b2")
+  }
+
+  private def ensureIvfLifecycle(s: org.apache.spark.sql.SparkSession,
+                                 d: String): Unit = {
+    val dir = ivfLifecycleDir(d)
+    if (!new java.io.File(s"$dir/tags/b2").isFile ||
+        !new java.io.File(s"$dir/assigned").isDirectory)
+      buildIvfLifecycle(s, d)
+  }
+
   private def dupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("source"))
       .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -1313,6 +1354,39 @@ object TrainingQueries {
           WHERE a.vec_id != q.vec_id) GROUP BY query_id)
         ORDER BY query_id"""),
       setup = Some((s, d) => buildIvfAppendIndex(s, d))),
+
+    // Index MAINTENANCE lifecycle (delete + compact, the other half of a
+    // daily pipeline): tombstoned ids vanish immediately, compaction
+    // (run TWICE — replay-idempotent) folds them in physically, and a
+    // post-compaction append still lands its twin at rank 1 / cos 1.0.
+    // n_index_rows = 2N proves the arithmetic: N base + N appended − 5
+    // deleted + 5 re-appended.
+    Q("q_ann_ivf_lifecycle",
+      (s, d) => {
+        ensureIvfLifecycle(s, d)
+        val merged = Similarity.loadIvfIndex(s, ivfLifecycleDir(d))
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val ivf = Similarity.ivfTopKWith(merged, qs,
+          "vec_id", "embedding", 5, 2)
+        val nIdx = merged.assigned.count()
+        ivf.groupBy(col("query_id"))
+          .agg(count(lit(1)).cast("int").as("n_cands"),
+            bool_and(!col("cand_id").between(500000L, 500004L))
+              .as("no_deleted"),
+            max(when(col("rk") === 1, col("cos"))).as("top1"),
+            max(when(col("rk") === 1, col("cand_id"))).as("top1_cand"))
+          .select(col("query_id"), col("n_cands"), col("no_deleted"),
+            col("top1"), col("top1_cand"),
+            lit(nIdx).as("n_index_rows"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT vec_id AS query_id, 5 AS n_cands, true AS no_deleted,
+          1.0 AS top1, vec_id + 600000 AS top1_cand,
+          CAST(2 * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+            AS n_index_rows
+        FROM embeddings WHERE vec_id < 5 ORDER BY query_id"""),
+      setup = Some((s, d) => buildIvfLifecycle(s, d))),
 
     // multimodal plumbing: binary payload + metadata + stubbed decode
     Q("q_multimodal_meta",

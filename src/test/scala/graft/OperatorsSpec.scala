@@ -230,6 +230,70 @@ class OperatorsSpec extends SparkSpec {
     Similarity.deleteIndexDir(dir)
   }
 
+  test("IVF index lifecycle: delete tombstones immediately, compact folds " +
+    "them in + merges append files, replay and mid-swap crash are safe") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(11f, 2f)), (3L, Array(10.5f, 1f)),
+      (4L, Array(0f, 10f)), (5L, Array(1f, 11f)), (6L, Array(0.5f, 10.5f))
+    ).toDF("vec_id", "embedding")
+    val dir = "target/graft_ivf_lifecycle_spec"
+    Similarity.deleteIndexDir(dir)
+    Similarity.persistIvfIndex(
+      Similarity.ivfIndex(base, "vec_id", "embedding", 2, cacheKey = None),
+      dir)
+    // append a twin of vec 1 and one more vector
+    val batch = Seq((100L, Array(10f, 0f)), (101L, Array(0f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding", "t1")
+    // delete the twin: it must vanish from probes IMMEDIATELY (pre-compact)
+    Similarity.deleteFromIvfIndex(s, dir,
+      Seq(100L).toDF("vec_id"), "vec_id", "d1")
+    val afterDel = Similarity.loadIvfIndex(s, dir)
+    assert(afterDel.assigned.count() == 7L)
+    val top1 = Similarity.ivfTopKWith(afterDel,
+        base.filter($"vec_id" === 1L), "vec_id", "embedding", 3, 1)
+      .filter($"rk" === 1).collect().head
+    assert(top1.getAs[Long]("cand_id") != 100L)
+    // replayed delete batch is a no-op (overwrite-idempotent)
+    Similarity.deleteFromIvfIndex(s, dir,
+      Seq(100L).toDF("vec_id"), "vec_id", "d1")
+    assert(Similarity.loadIvfIndex(s, dir).assigned.count() == 7L)
+    // compact: physical removal + tombstones cleared + files merged
+    Similarity.compactIvfIndex(s, dir)
+    assert(!new java.io.File(s"$dir/tombstones").isDirectory)
+    assert(Similarity.loadIvfIndex(s, dir).assigned.count() == 7L)
+    // compaction replay is harmless
+    Similarity.compactIvfIndex(s, dir)
+    assert(Similarity.loadIvfIndex(s, dir).assigned.count() == 7L)
+    // append markers survive compaction: replaying t1 still no-ops, so
+    // the deleted-then-compacted twin cannot resurrect via replay
+    Similarity.appendIvfIndex(s, dir, batch, "vec_id", "embedding", "t1")
+    assert(Similarity.loadIvfIndex(s, dir).assigned.count() == 7L)
+    // a fresh append of a NEW twin lands and answers at rank 1, cos 1.0
+    Similarity.appendIvfIndex(s, dir,
+      Seq((200L, Array(10f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "t2")
+    val top2 = Similarity.ivfTopKWith(Similarity.loadIvfIndex(s, dir),
+        base.filter($"vec_id" === 1L), "vec_id", "embedding", 3, 1)
+      .filter($"rk" === 1).collect().head
+    assert(top2.getAs[Long]("cand_id") == 200L &&
+      top2.getAs[Double]("cos") == 1.0)
+    // mid-swap crash: simulate by re-staging a compact copy and removing
+    // `assigned` (the state between the two renames); recovery at next
+    // load must promote the staged copy intact
+    val live = Similarity.loadIvfIndex(s, dir).assigned
+    live.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assigned_compact_tmp")
+    val retired = new java.io.File(s"$dir/assigned_retiring")
+    assert(new java.io.File(s"$dir/assigned").renameTo(retired))
+    val recovered = Similarity.loadIvfIndex(s, dir)
+    assert(recovered.assigned.count() == 8L)
+    assert(!retired.isDirectory)
+    Similarity.deleteIndexDir(dir)
+  }
+
   test("Profile.columns: null counting, exact ndv, typed min/max") {
     val s = spark
     import s.implicits._
