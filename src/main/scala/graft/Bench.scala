@@ -195,6 +195,64 @@ object Bench {
 
     val results = runSuite()
 
+    // ---- streaming micro-batch pass: the dedup sinks driven as a real
+    // micro-batch stream (MemoryStream → foreachBatch protocol), so the
+    // streaming path has a recorded time series like every batch
+    // operator. Per-batch wall times ship in the artifact's `stream`
+    // block; totals join the queries map as q_stream_* entries.
+    final case class StreamRes(name: String, totalSec: Double,
+                               batchMs: Seq[Long], survivors: Long)
+    val streamResults: Seq[StreamRes] = try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .as[(Long, String)].collect()
+      val nBatches = 8
+      val chunk = math.max(1,
+        math.ceil(docs.length.toDouble / nBatches).toInt)
+      val chunks = docs.grouped(chunk).toSeq
+      def drive(name: String)
+               (mk: (org.apache.spark.sql.DataFrame,
+                     org.apache.spark.sql.DataFrame => Unit) =>
+                 org.apache.spark.sql.streaming.DataStreamWriter[
+                   org.apache.spark.sql.Row]): StreamRes = {
+        val mem = MemoryStream[(Long, String)]
+        val df = mem.toDF().toDF("doc_id", "text")
+        var survivors = 0L
+        val times = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val t0 = System.nanoTime()
+        val q = mk(df, out => survivors += out.count()).start()
+        chunks.foreach { c =>
+          val b0 = System.nanoTime()
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable()
+          times += (System.nanoTime() - b0) / 1000000
+        }
+        q.stop()
+        val r = StreamRes(name, (System.nanoTime() - t0) / 1e9,
+          times.toSeq, survivors)
+        System.err.println(f"[bench] ${r.name}%-28s ${r.totalSec}%8.3fs " +
+          s"batches_ms=${r.batchMs.mkString(",")} survivors=$survivors")
+        r
+      }
+      val bloom = drive("q_stream_bloom_dedup")((df, h) =>
+        graft.streaming.Streams.bloomDedupSink(df, "text")(h))
+      graft.operators.Dedup.dropIndex(spark, "bench_stream_near")
+      val near = drive("q_stream_neardup")((df, h) =>
+        graft.streaming.Streams.nearDedupSink(df, "text", "doc_id",
+          "bench_stream_near", minAgree = 0.75)(h))
+      graft.operators.Dedup.dropIndex(spark, "bench_stream_near")
+      graft.operators.Checkpoints.sweep()
+      Seq(bloom, near)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream pass failed: $e")
+      graft.operators.Checkpoints.sweep()
+      Seq.empty
+    }
+
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -205,7 +263,12 @@ object Bench {
       kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
 
     val ok = results.filter(_.err.isEmpty)
-    val qs = jmap(ok.map(r => r.name -> r.sec))
+    val qs = jmap(ok.map(r => r.name -> r.sec) ++
+      streamResults.map(r => r.name -> r.totalSec))
+    val streamJson = if (streamResults.isEmpty) "" else
+      s""","stream":${jmap(streamResults.map(r => r.name ->
+        (s"""{"total_sec":${r.totalSec},"batches_ms":${r.batchMs
+          .mkString("[", ",", "]")},"survivors":${r.survivors}}""")))}"""
     val errs = results.collect { case r if r.err.isDefined =>
       r.name -> jstr(r.err.get) }
     val errJson = if (errs.isEmpty) "" else s""","errors":${jmap(errs)}"""
@@ -352,7 +415,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson$streamJson$scaleJson,"sf":"$sfDir"}"""
     // The FULL artifact lands on disk; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_latest.json"))

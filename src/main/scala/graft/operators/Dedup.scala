@@ -933,22 +933,39 @@ object Dedup {
 
   /** Might-contain probe as a pure codegen column: every probe position
     * of the key is set. The bitmap rides the plan as ONE array literal —
-    * fine to ~10⁷ bits; a production-scale bloom (GBs) would ship the
-    * same arithmetic via a broadcast variable inside a native
-    * Expression, the plan shape is already right (map-only, no join,
-    * no shuffle). */
+    * the right shape for SMALL blooms, where the literal stays cheap to
+    * analyze/serialize; [[bloomMightContainBc]] is the large-bitmap tier. */
   def bloomMightContain(model: BloomModel, keyCol: Column): Column = {
     val bLit = typedLit(model.bits.toSeq)
     forall(bloomProbes(keyCol, model.mBits, model.seeds),
       p => element_at(bLit, p.cast("int") + 1))
   }
 
+  /** [[bloomMightContain]] with the bitmap as a BROADCAST variable
+    * instead of a plan literal: a 2²⁰-bit filter as a literal costs
+    * seconds PER QUERY in analysis + per-task serialization (it
+    * dominated the streaming sink's micro-batch time at ~2.5 s/batch);
+    * broadcast ships the bits to each executor once. Probe positions
+    * are the same hash60 arithmetic (computed as columns — only the
+    * final array-of-bools lookup crosses the UDF boundary), so values
+    * and the DuckDB replay are unchanged. */
+  def bloomMightContainBc(model: BloomModel, keyCol: Column): Column = {
+    val session = org.apache.spark.sql.SparkSession.active
+    val bc = session.sparkContext.broadcast(model.bits)
+    val look = udf((probes: Seq[Long]) =>
+      probes.forall(p => bc.value(p.toInt)))
+    look(bloomProbes(keyCol, model.mBits, model.seeds))
+  }
+
   /** Drop rows whose key the bloom filter claims to have seen (new-rows
     * survivor stream; false positives drop a few extra — the documented
-    * BFF trade). Map-only filter. */
+    * BFF trade). Map-only filter; the bitmap ships as a codegen literal
+    * while small and as a broadcast past 2¹⁶ bits. */
   def bloomFilterNew(df: DataFrame, model: BloomModel,
                      keyCol: Column): DataFrame =
-    df.filter(!bloomMightContain(model, keyCol))
+    if (model.mBits <= (1 << 16))
+      df.filter(!bloomMightContain(model, keyCol))
+    else df.filter(!bloomMightContainBc(model, keyCol))
 
   /** Merge a frame's keys into an existing bitmap (mutates `bits`) —
     * the micro-batch update step of the streaming bloom sink. One
