@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, REAL image decode/resize over the JDK's
-  * `javax.imageio` (PNG/JPEG/BMP/GIF — no external libs needed), and a
-  * batched decode hook.
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — no external libs needed), a REAL
+  * RIFF/WAVE PCM audio codec (hand-rolled chunk walker — WAV is a plain
+  * container, no codec library required), and a batched decode hook.
   *
   * Only VIDEO remains stubbed ([[frameSample]] — no video codec ships with
   * the JDK): [[fakeFeatures]] stays as the oracle-replicable placeholder
@@ -226,6 +227,141 @@ object Multimodal {
         imageHash(col(binCol), side, method).as("phash"))
       .filter(col("phash").isNotNull)
     Dedup.hammingPairsWithin(sigs, "phash", idCol, side * side, maxDist)
+  }
+
+  // ---- real audio tier (RIFF/WAVE PCM — no codec library needed) ----
+
+  /** Encode 16-bit little-endian PCM frames as a canonical WAV file
+    * (RIFF header + fmt + data chunks). `samples` is channel-interleaved. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int,
+                     channels: Int): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+      s"interleave mismatch: ${samples.length} samples, $channels channels")
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Chunk-walking WAV parser: accepts any chunk ordering, skips unknown
+    * chunks (LIST/INFO/fact...) honoring RIFF's odd-size pad byte, and
+    * requires format 1 (integer PCM) at 16 bits. Returns
+    * (sampleRate, channels, interleaved samples); None for anything it
+    * cannot decode — corrupt rows are data, not errors, at crawl scale. */
+  def decodeWavPcm16(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      if (bytes == null || bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val tag = new Array[Byte](4)
+      bb.get(tag)
+      if (!java.util.Arrays.equals(tag, "RIFF".getBytes("US-ASCII")))
+        return None
+      bb.getInt // declared RIFF size — trust actual buffer instead
+      bb.get(tag)
+      if (!java.util.Arrays.equals(tag, "WAVE".getBytes("US-ASCII")))
+        return None
+      var fmt: Option[(Int, Int, Int, Int)] = None // format,channels,rate,bits
+      var data: Option[Array[Short]] = None
+      while (bb.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
+        bb.get(tag)
+        val size = bb.getInt
+        if (size < 0 || size > bb.remaining()) return None
+        val id = new String(tag, "US-ASCII")
+        if (id == "fmt " && size >= 16) {
+          val p = bb.position()
+          fmt = Some((bb.getShort & 0xFFFF, bb.getShort & 0xFFFF,
+            bb.getInt, { bb.getInt; bb.getShort; bb.getShort & 0xFFFF }))
+          bb.position(p + size + (size & 1))
+        } else if (id == "data") {
+          val out = new Array[Short](size / 2)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort; i += 1 }
+          if ((size & 1) == 1 && bb.remaining() > 0) bb.get
+          data = Some(out)
+        } else {
+          bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      for {
+        (format, ch, rate, bits) <- fmt
+        if format == 1 && bits == 16 && ch > 0 && rate > 0
+        s <- data
+      } yield (rate, ch, s)
+    } catch { case _: Exception => None }
+
+  /** Header-true audio metadata: sample rate / channels / frame count /
+    * integer-ms duration from a real parse of the RIFF chunks. */
+  def audioMeta(bin: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeWavPcm16(bytes).map { case (rate, ch, s) =>
+        val frames = (s.length / ch).toLong
+        (rate, ch, frames, frames * 1000L / rate, true)
+      }.getOrElse((0, 0, 0L, 0L, false))
+    }
+    f(bin).cast("struct<sample_rate:int,channels:int,num_frames:bigint," +
+      "duration_ms:bigint,decodable:boolean>")
+  }
+
+  /** Integer-exact audio features over all (interleaved) samples: Σ|s|
+    * (energy proxy), peak |s|, and strict zero crossings
+    * (s[i-1]·s[i] < 0) — the cheap front end of voice-activity /
+    * silence-trim curation, bit-replayable in SQL. Undecodable → null. */
+  def audioFeatures(bin: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeWavPcm16(bytes).map { case (_, _, s) =>
+        var sumAbs = 0L
+        var peak = 0
+        var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          val a = math.abs(v)
+          sumAbs += a
+          if (a > peak) peak = a
+          if (i > 0 && s(i - 1).toInt * v < 0) zc += 1
+          i += 1
+        }
+        (sumAbs, peak, zc)
+      }
+    }
+    f(bin).cast("struct<sum_abs:bigint,peak:int,zero_cross:bigint>")
+  }
+
+  /** REAL audio resample (mono PCM16): linear interpolation at source
+    * position t = j·srcRate/dstRate, round-half-up — integer-exact at
+    * rational rate ratios so the kernel is SQL-replayable (the audio twin
+    * of the bilinear image gate). Re-encodes WAV at `dstRate`. */
+  def resampleAudio(bin: Column, dstRate: Int): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeWavPcm16(bytes).collect { case (srcRate, 1, s) if s.nonEmpty =>
+        val n = math.max(1, (s.length.toLong * dstRate / srcRate).toInt)
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          val t = j.toDouble * srcRate / dstRate
+          val i0 = math.min(s.length - 1, t.toInt)
+          val i1 = math.min(s.length - 1, i0 + 1)
+          val fr = t - i0
+          out(j) = math.floor(
+            s(i0) * (1 - fr) + s(i1) * fr + 0.5).toShort
+          j += 1
+        }
+        encodeWavPcm16(out, dstRate, 1)
+      }
+    }
+    f(bin)
   }
 
   /** STUB frame-sample: `n` evenly spaced fixed-width byte windows from a

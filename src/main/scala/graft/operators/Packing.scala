@@ -123,6 +123,36 @@ object Packing {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Per-document sliding-window chunking (the RAG / long-context prep
+    * twin of [[concatChunks]]): each document's token stream is split
+    * into windows of `size` tokens advancing by `stride` (overlap =
+    * size − stride; stride = size → disjoint chunks). Emits one row per
+    * chunk: (idCol, chunk_idx, chunk, n_tokens); the final window may be
+    * short; zero-token documents emit nothing.
+    *
+    * Scale: tokenize → sequence → explode → slice is pure per-row
+    * generator work — whole-stage codegen, zero shuffle, linear in
+    * corpus tokens × (size/stride) duplication factor. The duplication
+    * is inherent to overlap (each token appears in ≤ ⌈size/stride⌉
+    * chunks), so the output, not the operator, is what costs at 100 TB —
+    * pick stride accordingly. */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize/stride must be positive, got $chunkSize/$stride")
+    df.select(col(idCol), TA.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1,
+          lit(chunkSize))).as("chunk"),
+        least(lit(chunkSize), col("__n") - col("__start"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Per-chunk occupancy view over a packed corpus: how many documents
     * touch each chunk and how many of its `budget` token slots are filled
     * (every chunk except the last must be exactly full — the spec gate). */

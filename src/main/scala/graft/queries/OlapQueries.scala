@@ -17,6 +17,38 @@ object OlapQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Streaming-results surface (GrpcQueryServer.java:120-175 DATA* +
+    // METADATA protocol): selection-only query fetched incrementally as
+    // bounded blocks, then reassembled client-side. The gate proves the
+    // paged protocol is lossless and the trailer counts are honest; the
+    // spec additionally proves laziness (first page ≠ whole query).
+    Q("q_stream_results",
+      (s, d) => {
+        val sel = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_returnflag"))
+        graft.operators.ResultStream.reassemble(s, sel.schema,
+          graft.operators.ResultStream.blocks(sel, blockRows = 500))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        FROM lineitem WHERE l_quantity >= 48""")),
+
+    // Blocking plan through the same protocol: the group-by completes its
+    // shuffle, then the final stage streams partition-by-partition — the
+    // reference's combine-then-stream (StreamingGroupByCombineOperator).
+    Q("q_stream_results_agg",
+      (s, d) => {
+        val agg = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), Par.dsum(col("l_quantity")).as("qty"))
+        graft.operators.ResultStream.reassemble(s, agg.schema,
+          graft.operators.ResultStream.blocks(agg, blockRows = 2))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ${graft.ParSql.dsum("l_quantity")} AS qty
+        FROM lineitem GROUP BY 1, 2""")),
+
     // One-pass column profiling (reference: per-segment ColumnMetadata —
     // cardinality/min/max computed at segment build): n, nulls, exact
     // ndv, typed min/max per column in ONE aggregation over the table.

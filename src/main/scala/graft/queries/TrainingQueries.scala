@@ -689,6 +689,28 @@ object TrainingQueries {
             AS BIGINT) AS end_chunk
         FROM w ORDER BY doc_id""")),
 
+    // Per-document sliding-window chunking (RAG / long-context prep):
+    // 40-token windows advancing by 30 (10-token overlap), final window
+    // short, empty docs emit nothing. Pure generator work — zero
+    // shuffle; the oracle replays tokenize → generate_series → slice.
+    Q("q_chunk_sliding",
+      (s, d) => graft.operators.Packing.slidingChunks(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, ${toksSql("text")} AS toks,
+            len(${toksSql("text")}) AS n
+          FROM documents),
+        st AS (
+          SELECT doc_id, toks, n,
+            unnest(generate_series(0, n - 1, 30)) AS start
+          FROM t WHERE n > 0)
+        SELECT doc_id, CAST(start // 30 AS BIGINT) AS chunk_idx,
+          array_to_string(toks[start + 1 : start + 40], ' ') AS chunk,
+          CAST(LEAST(40, n - start) AS BIGINT) AS n_tokens
+        FROM st ORDER BY doc_id, chunk_idx""")),
+
     // Token-budget SHARD assignment (documents stay whole, shards hold
     // ≈budget tokens): the training-shard writer's assignment step, same
     // deterministic salted-hash order as packing. Oracle replays the
@@ -1549,6 +1571,109 @@ object TrainingQueries {
             THEN CAST(POWER(2, c.i - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
             AS h_hi
         FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id""")),
+
+    // REAL audio round-trip, oracle-checked end-to-end: deterministic
+    // PCM16 WAVs built from a sample formula (s(i) = ((id·37 + i·11) %
+    // 2048) − 1024, 8 kHz mono, frame count varying per doc), encoded
+    // through the production RIFF writer and parsed back by the
+    // chunk-walking decoder (Multimodal.audioMeta) — any header/layout
+    // deviation breaks the hash. Oracle replays the arithmetic.
+    Q("q_audio_meta",
+      (s, d) => {
+        val makeWav = udf { (id: Long) =>
+          val n = 400 + (id % 4).toInt * 100
+          val smp = Array.tabulate(n)(i =>
+            (((id * 37 + i * 11) % 2048) - 1024).toShort)
+          Multimodal.encodeWavPcm16(smp, 8000, 1)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("wav", makeWav(col("doc_id")))
+          .withColumn("m", Multimodal.audioMeta(col("wav")))
+          .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.num_frames").as("num_frames"),
+            col("m.duration_ms").as("duration_ms"))
+      },
+      Some("""SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+          CAST(400 + (doc_id % 4) * 100 AS BIGINT) AS num_frames,
+          (400 + (doc_id % 4) * 100) * 1000 // 8000 AS duration_ms
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16)""")),
+
+    // Integer-exact audio features (Σ|s|, peak |s|, strict zero
+    // crossings) through the real decode path; the oracle regenerates
+    // the sample stream with generate_series and replays the three
+    // aggregates — bit-for-bit, no floats anywhere.
+    Q("q_audio_features",
+      (s, d) => {
+        val makeWav = udf { (id: Long) =>
+          val n = 400 + (id % 4).toInt * 100
+          val smp = Array.tabulate(n)(i =>
+            (((id * 37 + i * 11) % 2048) - 1024).toShort)
+          Multimodal.encodeWavPcm16(smp, 8000, 1)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("wav", makeWav(col("doc_id")))
+          .withColumn("f", Multimodal.audioFeatures(col("wav")))
+          .select(col("doc_id"), col("f.sum_abs").as("sum_abs"),
+            col("f.peak").as("peak"), col("f.zero_cross").as("zero_cross"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16),
+          s AS (SELECT d.doc_id, gi.i,
+              ((d.doc_id * 37 + gi.i * 11) % 2048) - 1024 AS v
+            FROM d, (SELECT unnest(generate_series(0, 699)) AS i) gi
+            WHERE gi.i < 400 + (d.doc_id % 4) * 100),
+          lagged AS (SELECT doc_id, i, v,
+              lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        SELECT doc_id, CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+          CAST(MAX(ABS(v)) AS INT) AS peak,
+          CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_cross
+        FROM lagged GROUP BY doc_id""")),
+
+    // Linear-interpolation resample kernel, 1:2 upsample (8→16 kHz):
+    // even output frames copy source frames, odd frames land exactly
+    // midway (fr = 0.5) so the blend is floor((s_k + s_{k+1})/2 + 0.5) —
+    // integer-exact and replayed in SQL, hash-checking decode →
+    // interpolate → re-encode → re-decode end-to-end (the audio twin of
+    // q_image_bilinear).
+    Q("q_audio_resample",
+      (s, d) => {
+        val makeWav = udf { (id: Long) =>
+          val n = 40 + (id % 4).toInt * 10
+          val smp = Array.tabulate(n)(i =>
+            (((id * 37 + i * 11) % 2048) - 1024).toShort)
+          Multimodal.encodeWavPcm16(smp, 8000, 1)
+        }
+        val readSamples = udf { (bytes: Array[Byte]) =>
+          Multimodal.decodeWavPcm16(bytes).map { case (_, _, smp) =>
+            smp.zipWithIndex.map { case (v, j) => (j.toLong, v.toLong) }.toSeq
+          }.getOrElse(Seq.empty)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("wav", makeWav(col("doc_id")))
+          .withColumn("rs", Multimodal.resampleAudio(col("wav"), 16000))
+          .select(col("doc_id"), explode(readSamples(col("rs"))).as("p"))
+          .select(col("doc_id"), col("p._1").as("j"), col("p._2").as("v"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+              40 + (doc_id % 4) * 10 AS nf
+            FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 16)),
+          js AS (SELECT unnest(generate_series(0, 139)) AS j)
+        SELECT d.doc_id, CAST(js.j AS BIGINT) AS j,
+          CAST(CASE
+            WHEN js.j % 2 = 0 THEN
+              ((d.doc_id * 37 + (js.j // 2) * 11) % 2048) - 1024
+            WHEN js.j = 2 * d.nf - 1 THEN
+              ((d.doc_id * 37 + (d.nf - 1) * 11) % 2048) - 1024
+            ELSE FLOOR(
+              ((((d.doc_id * 37 + ((js.j - 1) // 2) * 11) % 2048) - 1024)
+             + (((d.doc_id * 37 + ((js.j + 1) // 2) * 11) % 2048) - 1024))
+              / 2.0 + 0.5)
+          END AS BIGINT) AS v
+        FROM d, js WHERE js.j < 2 * d.nf""")),
 
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides

@@ -2079,4 +2079,27 @@ class OperatorsSpec extends SparkSpec {
       "vec_id", "embedding", 5, 2).collect()
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
+
+  test("slidingChunks: overlap, short tail, empty docs emit nothing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x y"), // fits in one window
+      (3L, "   ")) // zero tokens
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing
+      .slidingChunks(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[String]("chunk"),
+        r.getAs[Long]("n_tokens")))
+    assert(d1.toSeq == Seq(
+      (0L, "a b c d", 4L), // tokens 0-3
+      (1L, "d e f g", 4L), // tokens 3-6 (1-token overlap)
+      (2L, "g", 1L))) // short tail at start 6
+    assert(out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk"))
+      .toSeq == Seq("x y"))
+    assert(!out.exists(_.getLong(0) == 3L))
+  }
 }
