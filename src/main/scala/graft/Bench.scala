@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, length, sum}
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Results are fully materialized through the `noop`
@@ -374,6 +375,21 @@ object Bench {
         // `cold`/`cold_ratio` — build-path scaling is a real signal, it
         // just must be compared cold-to-cold.
         val scaled = runSuite(scaleSel, scaleDir, rerunBudget = 1e9)
+        // The replica expansion prefixes every token with "r{N}_", so the
+        // "10×" corpus carries ~15× the text BYTES of the base (measured
+        // 14.92× at sf0.1). Text-bearing queries are linear in bytes, not
+        // rows — record the byte-true factor so a ratio of ~14 on a text
+        // scan reads as linear, not super-linear. (The flag threshold
+        // stays on the row factor: 1.5× headroom already absorbs the
+        // inflation, and tightening it against bytes_factor would hide
+        // genuinely super-linear row-shaped work.)
+        val bytesFactor = try {
+          val b = spark.read.parquet(s"$sfDir/documents.parquet")
+            .agg(sum(length(col("text")))).head.getLong(0)
+          val bS = spark.read.parquet(s"$scaleDir/documents.parquet")
+            .agg(sum(length(col("text")))).head.getLong(0)
+          math.round(bS.toDouble / b * 100) / 100.0
+        } catch { case _: Exception => scaleFactor.toDouble }
         val okS = scaled.filter(_.err.isEmpty)
         val baseTimes = ok.map(r => r.name -> r.sec).toMap
         val baseFirst = ok.map(r => r.name -> r.firstSec).toMap
@@ -399,7 +415,8 @@ object Bench {
             s""","super_linear_cold":${superLinearCold.map(jstr)
               .mkString("[", ",", "]")}""" +
             s""","worst_warm_ratio":${jmap(worst)}}"""
-        s""","scale":{"factor":$scaleFactor,"prep_sec":$prepSec""" +
+        s""","scale":{"factor":$scaleFactor,"bytes_factor":$bytesFactor""" +
+          s""","prep_sec":$prepSec""" +
           s""","queries":${jmap(okS.map(r => r.name -> r.sec))}""" +
           s""","cold":${jmap(okS.map(r => r.name -> r.firstSec))}""" +
           s""","gc_ms":${jmap(okS.map(r => r.name -> r.gcMs))}""" +
