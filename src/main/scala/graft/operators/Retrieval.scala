@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{TextAnalysis => TA, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: reciprocal-rank fusion (RRF) of a lexical BM25
+  * ranking and a dense cosine ranking — the fusion layer a RAG / search
+  * pipeline puts over the engine's two existing retrieval tiers (Lucene
+  * BM25 behind the reference's TEXT_MATCH,
+  * `pinot-core/.../filter/TextMatchFilterOperator.java`, re-expressed in
+  * [[HybridTable.bm25]]; dense ANN in [[Similarity]]).
+  *
+  * rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the rankers that returned d
+  * (Cormack, Clarke & Buettcher, SIGIR'09) — only RANKS enter the sum, so
+  * incomparable score scales (BM25 vs cosine) fuse without calibration,
+  * and a document missing from one list simply contributes the other
+  * list's term.
+  *
+  * Scale shape: each ranker is the already-proven operator (BM25 =
+  * postings aggregations that shuffle once; cosine = brute oracle tier or
+  * IVF/PQ scale tier); fusion itself joins top-n ranked LISTS (n ≪
+  * corpus) — negligible next to the rankers, and embarrassingly parallel
+  * per query if the inputs carry a query id in `idCol`'s grouping. */
+object Retrieval {
+
+  /** Fuse named ranked lists. Each input holds (idCol, rank) with rank
+    * 1-based; output: (idCol, <name>_rank…, rrf, rank) — the fused
+    * 1-based ranking, ties broken by idCol, truncated to `k`. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && k0 >= 0, s"bad k=$k / k0=$k0")
+    val renamed = rankings.map { case (name, df) =>
+      df.select(col(idCol), col("rank").cast("int").as(s"${name}_rank"))
+    }
+    val joined = renamed.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val score = rankings.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(k0) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("rrf").desc, col(idCol))
+    joined.withColumn("rrf", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Single-query hybrid top-k over an aligned (documents, embeddings)
+    * pair: BM25 of `queryTerms` (summed over terms) fused with cosine
+    * against `queryVec`. `nPerRanker` bounds each ranked list before
+    * fusion (the standard candidate-pool cut). */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+                 textCol: String, vecCol: String,
+                 queryTerms: Seq[String], queryVec: Seq[Float],
+                 k: Int, k0: Int = 60, nPerRanker: Int = 100): DataFrame = {
+    require(queryTerms.nonEmpty && queryVec.nonEmpty, "empty query")
+    val postings = docs.select(col(idCol),
+      explode(TA.tokens(col(textCol))).as("token"))
+    val nDocs = docs.count()
+    // top-n per ranker via orderBy+limit (TakeOrderedAndProject — a
+    // distributed per-partition top-n + driver merge, never a global
+    // sort); the row_number window then ranks only the ≤ nPerRanker
+    // survivors, so its single partition is bounded by construction.
+    val lexW = Window.orderBy(col("score").desc, col(idCol))
+    val lex = HybridTable.bm25(postings, idCol, nDocs)
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("bm25")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(nPerRanker)
+      .withColumn("rank", row_number().over(lexW))
+    val qv = typedLit(queryVec)
+    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val denseW = Window.orderBy(col("cos").desc, col(idCol))
+    val dense = emb.select(col(idCol),
+        round(Vectors.dot(col(vecCol), qv) /
+          (Vectors.norm2(col(vecCol)) * lit(qn)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(nPerRanker)
+      .withColumn("rank", row_number().over(denseW))
+    rrfFuse(Seq("lex" -> lex, "dense" -> dense), idCol, k, k0)
+  }
+}

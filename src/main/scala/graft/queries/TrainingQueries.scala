@@ -1731,6 +1731,61 @@ object TrainingQueries {
         FROM tf_t JOIN dl_t USING (doc_id) JOIN df_t USING (token), st, n_t
         ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // Hybrid retrieval: BM25('vector','hash') fused with cosine against
+    // embedding 0 by reciprocal-rank fusion (rrf = Σ 1/(60+rank), only
+    // RANKS enter — scale-free across the two rankers). Both ranked
+    // lists cut at 50 via distributed top-n; two query terms keep the
+    // per-doc BM25 sum a 2-operand add (commutative — bit-stable across
+    // engines). Oracle replays BM25, cosine, both rankings, and the
+    // full-outer fusion.
+    Q("q_hybrid_rrf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qvec = emb.filter(col("vec_id") === 0)
+          .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        graft.operators.Retrieval.hybridTopK(
+          Tables.documents(s, d),
+          emb.withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", "text", "embedding",
+          queryTerms = Seq("vector", "hash"), queryVec = qvec,
+          k = 20, k0 = 60, nPerRanker = 50)
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(${toksSql("text")}) AS token
+          FROM documents),
+        tf_t AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token IN ('vector', 'hash') GROUP BY doc_id, token),
+        dl_t AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        df_t AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          GROUP BY token),
+        st AS (SELECT AVG(dl) AS avgdl FROM dl_t),
+        n_t AS (SELECT COUNT(*) AS n FROM documents),
+        lex0 AS (SELECT doc_id, ROUND(SUM(
+            ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS score
+          FROM tf_t JOIN dl_t USING (doc_id) JOIN df_t USING (token), st, n_t
+          GROUP BY doc_id),
+        lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+          FROM (SELECT * FROM lex0 ORDER BY score DESC, doc_id LIMIT 50)),
+        dense0 AS (SELECT a.vec_id AS doc_id, ROUND($qaCosSql, 6) AS cos
+          FROM embeddings a,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        dense AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY cos DESC, doc_id) AS INT) AS dense_rank
+          FROM (SELECT * FROM dense0 ORDER BY cos DESC, doc_id LIMIT 50)),
+        fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+            l.lex_rank, de.dense_rank,
+            COALESCE(1.0 / (60 + l.lex_rank), 0.0) +
+            COALESCE(1.0 / (60 + de.dense_rank), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+        SELECT * FROM (SELECT doc_id, lex_rank, dense_rank, rrf,
+            CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+              AS "rank"
+          FROM fused) WHERE "rank" <= 20 ORDER BY 5""")),
+
     // Corpus vocabulary: top-K tokens by occurrence count, deterministic
     // ties (count desc, token asc), with doc frequency and 1-based rank —
     // the count-and-rank step before BPE merges / embedding-table sizing.

@@ -2080,6 +2080,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
 
+  test("rrfFuse: missing-list docs, score formula, deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuse(Seq("lex" -> lex, "dense" -> dense), "doc_id", k = 10, k0 = 60)
+      .orderBy("rank").collect()
+    // doc 20 is in both lists -> top; 10 (lex#1) beats 40 (dense#2);
+    // ties impossible here, but 30 (lex#3) scores 1/63
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 10L, 40L, 30L))
+    val top = out.head
+    assert(math.abs(top.getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(top.getAs[Int]("lex_rank") == 2 && top.getAs[Int]("dense_rank") == 1)
+    // doc 10 has no dense rank -> null column, single-term score
+    val d10 = out(1)
+    assert(d10.isNullAt(d10.fieldIndex("dense_rank")))
+    assert(math.abs(d10.getAs[Double]("rrf") - 1.0 / 61) < 1e-12)
+    // equal-score tie (lex#4 only vs dense#4 only) breaks by doc_id
+    val lex2 = Seq((5L, 4)).toDF("doc_id", "rank")
+    val dense2 = Seq((3L, 4)).toDF("doc_id", "rank")
+    val tied = graft.operators.Retrieval
+      .rrfFuse(Seq("lex" -> lex2, "dense" -> dense2), "doc_id", k = 2)
+      .orderBy("rank").collect()
+    assert(tied.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L))
+  }
+
   test("slidingChunks: overlap, short tail, empty docs emit nothing") {
     val s = spark
     import s.implicits._
