@@ -228,8 +228,16 @@ object Vocab {
                 wordPattern: String = "^[a-z0-9]+$",
                 outCol: String = "subwords",
                 exprChainMax: Int = 64,
-                broadcastVocabMax: Long = 2000000L): DataFrame = {
+                broadcastVocabMax: Long = 2000000L,
+                markWordEnd: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Column
+    // classic Sennrich/GPT-2 end-of-word marker: appended to each word's
+    // LAST subword so the flat subword stream stays losslessly decodable
+    // ([[bpeDecode]]); off by default to keep id-space compatibility with
+    // marker-free vocabularies.
+    def markLastCol(arr: Column): Column =
+      concat(slice(arr, lit(1), size(arr) - 1),
+        array(concat(element_at(arr, -1), lit(WordEnd))))
     if (merges.size <= exprChainMax) {
       val encodeWord: Column => Column = { w =>
         val enc0 = rtrim(regexp_replace(w, "(.)", "|$1| "))
@@ -238,9 +246,13 @@ object Vocab {
         }
         transform(split(encN, " "), t => t.substr(lit(2), length(t) - 2))
       }
-      df.withColumn(outCol, flatten(transform(TA.tokens(col(textCol)),
-        w => when(w.rlike(wordPattern), encodeWord(w))
-          .otherwise(array(w)))))
+      val perWord: Column => Column = { w =>
+        val base = when(w.rlike(wordPattern), encodeWord(w))
+          .otherwise(array(w))
+        if (markWordEnd) markLastCol(base) else base
+      }
+      df.withColumn(outCol,
+        flatten(transform(TA.tokens(col(textCol)), perWord)))
     } else {
       val merged = merges.toArray
       val pattern = wordPattern.r
@@ -269,12 +281,15 @@ object Vocab {
           .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
         vocab.unpersist(false) // collected — nothing lazy reads it now
         val bc = df.sparkSession.sparkContext.broadcast(table)
+        val mark = markWordEnd
         val apply = udf { (text: String) =>
           if (text == null) Seq.empty[String]
           else text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
             .flatMap { word =>
-              if (pattern.findFirstIn(word).isEmpty) Seq(word)
-              else bc.value.getOrElse(word, encodeWord(word))
+              val segs =
+                if (pattern.findFirstIn(word).isEmpty) Seq(word)
+                else bc.value.getOrElse(word, encodeWord(word))
+              if (mark) segs.init :+ (segs.last + WordEnd) else segs
             }
         }
         df.withColumn(outCol, apply(col(textCol)))
@@ -286,9 +301,10 @@ object Vocab {
         val withId = df.withColumn("__rid", monotonically_increasing_id())
         val occ = withId.select(col("__rid"),
           posexplode(TA.tokens(col(textCol))).as(Seq("__pos", "__w")))
+        val rawSub = coalesce(col("__sub"), array(col("__w")))
         val seg = occ.join(vocab, Seq("__w"), "left")
           .select(col("__rid"), col("__pos"),
-            coalesce(col("__sub"), array(col("__w"))).as("__sub"))
+            (if (markWordEnd) markLastCol(rawSub) else rawSub).as("__sub"))
         val agg = seg.groupBy(col("__rid")).agg(
           flatten(transform(
             array_sort(collect_list(struct(col("__pos"), col("__sub")))),
@@ -312,6 +328,20 @@ object Vocab {
   : DataFrame =
     bpeEncode(df, textCol, mergesDf.orderBy("round").collect().toSeq
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
+
+  /** End-of-word marker for `markWordEnd` encodes (Sennrich '16 / GPT-2
+    * convention — boundary info rides the subword id space, keeping the
+    * flat token stream decodable). */
+  val WordEnd = "</w>"
+
+  /** Inverse of a `markWordEnd = true` [[bpeEncode]]: concatenate the
+    * subword stream and turn each end-of-word marker back into a space —
+    * lossless on the whitespace-normalized lowercase token stream the
+    * encoder consumed (BPE merges only re-SEGMENT, they never rewrite
+    * bytes). Pure codegen string expression, zero shuffle. */
+  def bpeDecode(subwords: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    rtrim(replace(concat_ws("", subwords), lit(WordEnd), lit(" ")))
 
   /** Per-document OOV fraction against a vocabulary — the coverage check
     * a pipeline runs after [[build]] (vocab sizing) and before

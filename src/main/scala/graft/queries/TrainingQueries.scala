@@ -2067,6 +2067,28 @@ object TrainingQueries {
     // through whole, per-doc subword stream reassembled in order. The
     // oracle re-learns the merges (word-carried CTE chain) and re-encodes
     // every document, so the full rebuilt subtext is bit-checked.
+    // Tokenizer round-trip: encode with the end-of-word marker
+    // (markWordEnd — Sennrich/GPT-2 `</w>` convention), decode by
+    // concat + marker→space. The invariant is merge-table-independent
+    // (BPE only re-segments, never rewrites bytes), so the oracle is
+    // simply the whitespace-normalized lowercase token stream — any
+    // encoder/decoder defect breaks the hash.
+    Q("q_bpe_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Vocab.bpeMerges(docs, "text", n = 3)
+          .orderBy("round").collect().toSeq
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+        graft.operators.Vocab
+          .bpeEncode(docs, "text", merges, markWordEnd = true)
+          .select(col("doc_id"),
+            graft.operators.Vocab.bpeDecode(col("subwords")).as("decoded"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+          array_to_string(${toksSql("text")}, ' ') AS decoded
+        FROM documents ORDER BY doc_id""")),
+
     Q("q_bpe_encode",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -2080,6 +2080,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
 
+  test("bpeDecode inverts markWordEnd encode across all three tiers") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    val docs = Seq(
+      (1L, "low  LOWER newest"), // mixed case + double space normalize
+      (2L, "c++! low"), // pass-through token keeps marker semantics
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val expect = Seq("low lower newest", "c++! low", "")
+    for ((ecm, bvm) <- Seq((64, 2000000L), (0, 2000000L), (0, 0L))) {
+      val dec = Vocab.bpeEncode(docs, "text", merges,
+          exprChainMax = ecm, broadcastVocabMax = bvm, markWordEnd = true)
+        .select(col("doc_id"), Vocab.bpeDecode(col("subwords")).as("t"))
+        .orderBy("doc_id").collect().map(_.getString(1))
+      assert(dec.toSeq == expect, s"tier ecm=$ecm bvm=$bvm")
+    }
+    // marked segmentation carries the boundary on the LAST subword only
+    val marked = Vocab.bpeEncode(Seq((1L, "lower low"))
+        .toDF("doc_id", "text"), "text", merges, markWordEnd = true)
+      .head().getSeq[String](2)
+    assert(marked == Seq("low", "er</w>", "low</w>"))
+  }
+
   test("rrfFuse: missing-list docs, score formula, deterministic ties") {
     val s = spark
     import s.implicits._
