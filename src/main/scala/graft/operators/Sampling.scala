@@ -30,6 +30,33 @@ object Sampling {
     df.filter(bucket(col(idCol), salt) < lit(math.round(fraction * 10000)))
   }
 
+  /** Deterministic per-key reservoir: exactly min(k, |group|) rows per
+    * key, chosen by salted content hash of the id — the stratified
+    * "k examples per source/language/bucket" sampler (eval-set carving,
+    * per-domain caps with exact counts, few-shot pool selection). Unlike
+    * [[sampleByHash]]'s fractional keep, group sizes are EXACT, and
+    * unlike an RNG reservoir the choice is reproducible at any
+    * parallelism (same salt → same sample).
+    *
+    * Adds `sample_rank` (1-based, the key's hash order). Scale: one
+    * shuffle on the key + a per-key window sort. A pathologically hot
+    * key serializes its own partition's sort; for corpus-scale hot keys
+    * pre-thin with `sampleByHash` at a fraction that still guarantees
+    * ≥ k survivors, then rank the survivors. */
+  def reservoirPerKey(df: DataFrame, keyCols: Seq[String], idCol: String,
+                      k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(keyCols.nonEmpty, "need at least one key column")
+    // full 60-bit hash order (not the 10k-bucket split resolution —
+    // fewer ties), id as the deterministic tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(Scalars.hash60(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Weighted source mixing: downsample each source to its target weight —
     * the corpus-mixing step of a training pipeline ("keep 100% of wiki,
     * 30% of web, 5% of logs"). Sources absent from `weights` keep

@@ -575,6 +575,22 @@ object TrainingQueries {
         WHERE ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} % 10000
           < FLOOR((CAST(doc_id % 100 AS DOUBLE) / 100.0) * 10000 + 0.5)""")),
 
+    // Deterministic per-key reservoir: exactly 5 docs per source chosen
+    // by salted hash order — the stratified eval-carving / few-shot-pool
+    // sampler. Oracle replays the hash ranking per source.
+    Q("q_sample_reservoir",
+      (s, d) => graft.operators.Sampling.reservoirPerKey(
+          Tables.documents(s, d), Seq("source"), "doc_id", k = 5)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy(col("source"), col("sample_rank")),
+      Some(s"""SELECT doc_id, source, sample_rank FROM (
+          SELECT doc_id, source, CAST(ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")},
+              doc_id) AS INT) AS sample_rank
+          FROM documents)
+        WHERE sample_rank <= 5 ORDER BY source, sample_rank""")),
+
     // Dedup canonicalization: case/punct/whitespace-insensitive canonical
     // forms + the dup groups exact dedup finds ONLY after canonicalizing
     // (raw-distinct texts that collide post-canon). Both the canon string

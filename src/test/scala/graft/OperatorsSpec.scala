@@ -2080,6 +2080,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
 
+  test("reservoirPerKey: exact per-key counts, determinism, small groups") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small"))
+      .toDF("id", "src")
+    val out = graft.operators.Sampling
+      .reservoirPerKey(df, Seq("src"), "id", k = 8)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 8L, "small" -> 8L)) // min(k, |group|=10)...
+    // groups smaller than k keep everything
+    val tiny = graft.operators.Sampling
+      .reservoirPerKey(df.filter(col("id") > 38), Seq("src"), "id", k = 8)
+    assert(tiny.count() == 2)
+    // same salt -> identical sample at different parallelism
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.Sampling
+      .reservoirPerKey(df.repartition(7), Seq("src"), "id", k = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // different salt -> (almost surely) different sample
+    val c = graft.operators.Sampling
+      .reservoirPerKey(df, Seq("src"), "id", k = 8, salt = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+    // ranks are 1..k within each key
+    assert(out.filter(col("src") === "big")
+      .select("sample_rank").collect().map(_.getInt(0)).sorted.toSeq
+      == (1 to 8))
+  }
+
   test("bpeDecode inverts markWordEnd encode across all three tiers") {
     val s = spark
     import s.implicits._
