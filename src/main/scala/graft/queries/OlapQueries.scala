@@ -462,6 +462,36 @@ object OlapQueries {
           "CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END")} AS sum_bal
         FROM customer GROUP BY c_mktsegment""")),
 
+    // Session-window aggregation (Spark-superset streaming semantic —
+    // the same session_window works unchanged under readStream +
+    // watermark): per-user sessions closed by a 30-min silence gap,
+    // window end = last event + gap (Spark's session_window contract).
+    // Oracle replays it as classic gaps-and-islands: lag-gap flag →
+    // running sum → per-island min/max.
+    Q("q_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          Par.dsum(col("value")).as("sum_val"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("sw.end").as("sess_end"), col("n_events"), col("sum_val"))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some(Par.evOracle("""SELECT user_id, MIN(ts) AS sess_start,
+          MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+          COUNT(*) AS n_events,
+          """ + graft.ParSql.dsum("\"value\"") + """ AS sum_val
+        FROM (SELECT user_id, ts, "value",
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM (SELECT user_id, ts, "value",
+              CASE WHEN ts - COALESCE(lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts), ts - INTERVAL 1 HOUR) >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+            FROM ev))
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_start"""))),
+
     // ingestion-time rollup (aggregateMetrics ValueAggregators):
     // 15-min pre-aggregation as the streaming sink would produce
     Q("q_rollup_ingest",
