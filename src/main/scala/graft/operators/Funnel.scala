@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event funnels (superset: upstream Apache Pinot grew
+  * FUNNEL_COUNT / FUNNEL_MATCH_STEP / FUNNEL_COMPLETE_COUNT for exactly
+  * this; the reference fork predates them — re-expressed here with the
+  * greedy-earliest matching those functions use).
+  *
+  * Semantics: per user, step 1 anchors at the EARLIEST matching event;
+  * step i (i > 1) matches the earliest event STRICTLY after step i−1
+  * and within `windowSec` of the anchor. Greedy-earliest is the
+  * standard funnel contract — it can miss sequences a later anchor
+  * would catch (documented trade-off of every funnel engine; exhaustive
+  * anchoring is quadratic in events-per-user).
+  *
+  * Scale shape: k steps = k (filter → keyed partial-min aggregation →
+  * join on the user key) rounds. Every shuffle is on the user key and
+  * carries one row per user per round; no per-user event lists ever
+  * materialize (the collect_list-per-user formulation every naive
+  * funnel takes is the anti-pattern — a hot user would explode a row).
+  * Step predicates push into the event scan as disjuncts of the step
+  * filters. */
+object Funnel {
+
+  /** Per-user funnel match: (userCol, t_1 … t_k timestamp-or-null,
+    * steps_matched). t_i is null (and counting stops) at the first
+    * unreached step. */
+  def matchSteps(events: DataFrame, userCol: String, tsCol: String,
+                 steps: Seq[Column], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one step predicate")
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val user = col(userCol)
+    val ts = col(tsCol)
+    val anchor = events.filter(steps.head)
+      .groupBy(user).agg(min(ts).as("t_1"))
+    val matched = steps.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (prev, (pred, i)) =>
+        val stepN = i + 1 // 1-based step number
+        val cand = events.filter(pred)
+          .join(prev.select(user, col(s"t_$i"), col("t_1").as("__a")), userCol)
+          .filter(ts > col(s"t_$i") &&
+            ts <= col("__a") + expr(s"INTERVAL $windowSec SECOND"))
+          .groupBy(user).agg(min(ts).as(s"t_$stepN"))
+        prev.join(cand, Seq(userCol), "left")
+    }
+    // steps_matched = contiguous non-null prefix length; a null t_i makes
+    // every later t_j null by construction (each round joins on the
+    // previous step's survivors), so counting non-nulls is equivalent.
+    val reached = steps.indices
+      .map(i => when(col(s"t_${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    matched.withColumn("steps_matched", reached.cast("int"))
+  }
+
+  /** Funnel drop-off curve: for each step, how many users reached it
+    * (FUNNEL_COUNT role). One aggregation over [[matchSteps]]' one-row-
+    * per-user output. */
+  def count(events: DataFrame, userCol: String, tsCol: String,
+            steps: Seq[Column], windowSec: Long): DataFrame = {
+    val m = matchSteps(events, userCol, tsCol, steps, windowSec)
+    val perStep = steps.indices.map { i =>
+      sum(when(col("steps_matched") >= i + 1, 1L).otherwise(0L))
+        .as(s"n_step_${i + 1}")
+    }
+    m.agg(perStep.head, perStep.tail: _*)
+      .select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"),
+          col(s"n_step_${i + 1}").as("n_users"))): _*)).as("s"))
+      .select(col("s.step").as("step"), col("s.n_users").as("n_users"))
+  }
+}

@@ -462,6 +462,85 @@ object OlapQueries {
           "CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END")} AS sum_bal
         FROM customer GROUP BY c_mktsegment""")),
 
+    // Ordered event funnel (upstream-Pinot FUNNEL_MATCH_STEP semantics,
+    // greedy-earliest): view → click → purchase within 24 h of the
+    // anchor, one row per user reaching step 1 with per-step timestamps
+    // + depth. Oracle replays the same k-round earliest-match chain.
+    Q("q_funnel_match",
+      (s, d) => graft.operators.Funnel.matchSteps(
+          Tables.events(s, d), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowSec = 86400)
+        .orderBy(col("user_id")),
+      Some(Par.evOracle("""SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+          CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+               WHEN s2.t_2 IS NOT NULL THEN 2 ELSE 1 END AS INT)
+            AS steps_matched
+        FROM
+          (SELECT user_id, MIN(ts) AS t_1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id) s1
+        LEFT JOIN
+          (SELECT e.user_id, MIN(e.ts) AS t_2 FROM ev e
+           JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                 WHERE event_type = 'view' GROUP BY user_id) a
+             ON e.user_id = a.user_id
+           WHERE e.event_type = 'click' AND e.ts > a.t_1
+             AND e.ts <= a.t_1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id) s2 ON s1.user_id = s2.user_id
+        LEFT JOIN
+          (SELECT e.user_id, MIN(e.ts) AS t_3 FROM ev e
+           JOIN (SELECT e.user_id, MIN(e.ts) AS t_2, MIN(a.t_1) AS t_1
+                 FROM ev e
+                 JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                       WHERE event_type = 'view' GROUP BY user_id) a
+                   ON e.user_id = a.user_id
+                 WHERE e.event_type = 'click' AND e.ts > a.t_1
+                   AND e.ts <= a.t_1 + INTERVAL 86400 SECOND
+                 GROUP BY e.user_id) p
+             ON e.user_id = p.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > p.t_2
+             AND e.ts <= p.t_1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id) s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id"""))),
+
+    // Funnel drop-off curve (FUNNEL_COUNT role): users reaching each
+    // step of the same 3-step funnel.
+    Q("q_funnel_count",
+      (s, d) => graft.operators.Funnel.count(
+          Tables.events(s, d), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowSec = 86400)
+        .orderBy(col("step")),
+      Some(Par.evOracle("""SELECT step, n_users FROM (
+          SELECT 1 AS step, COUNT(*) AS n_users FROM
+            (SELECT user_id FROM ev WHERE event_type = 'view'
+             GROUP BY user_id)
+          UNION ALL
+          SELECT 2, COUNT(*) FROM
+            (SELECT e.user_id FROM ev e
+             JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                   WHERE event_type = 'view' GROUP BY user_id) a
+               ON e.user_id = a.user_id
+             WHERE e.event_type = 'click' AND e.ts > a.t_1
+               AND e.ts <= a.t_1 + INTERVAL 86400 SECOND
+             GROUP BY e.user_id)
+          UNION ALL
+          SELECT 3, COUNT(*) FROM
+            (SELECT e.user_id FROM ev e
+             JOIN (SELECT e.user_id, MIN(e.ts) AS t_2, MIN(a.t_1) AS t_1
+                   FROM ev e
+                   JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                         WHERE event_type = 'view' GROUP BY user_id) a
+                     ON e.user_id = a.user_id
+                   WHERE e.event_type = 'click' AND e.ts > a.t_1
+                     AND e.ts <= a.t_1 + INTERVAL 86400 SECOND
+                   GROUP BY e.user_id) p
+               ON e.user_id = p.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > p.t_2
+               AND e.ts <= p.t_1 + INTERVAL 86400 SECOND
+             GROUP BY e.user_id))
+        ORDER BY step"""))),
+
     // Session-window aggregation (Spark-superset streaming semantic —
     // the same session_window works unchanged under readStream +
     // watermark): per-user sessions closed by a 30-min silence gap,

@@ -2080,6 +2080,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
 
+  test("funnel: greedy-earliest anchor, strict order, window bound") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Funnel
+    def t(m: Int) = ts(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val ev = Seq(
+      // u1 completes A->B->C in order
+      (1L, t(0), "A"), (1L, t(5), "B"), (1L, t(10), "C"),
+      // u2: B before A never counts; reaches only step 1
+      (2L, t(0), "B"), (2L, t(5), "A"),
+      // u3: same-timestamp B as the A anchor is NOT strictly after
+      (3L, t(0), "A"), (3L, t(0), "B"),
+      // u4: B lands outside the 10-min window from the anchor
+      (4L, t(0), "A"), (4L, t(20), "B"),
+      // u5: greedy-earliest anchor at t0 (window misses the later B->C),
+      // even though anchoring at t(30) would have completed — documented
+      (5L, t(0), "A"), (5L, t(30), "A"), (5L, t(35), "B"),
+      // u6: no A at all -> absent from output
+      (6L, t(0), "C"))
+      .toDF("user_id", "ts", "event_type")
+    val steps = Seq(col("event_type") === "A", col("event_type") === "B",
+      col("event_type") === "C")
+    val m = Funnel.matchSteps(ev, "user_id", "ts", steps, windowSec = 600)
+      .orderBy("user_id").collect()
+    assert(m.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(m.map(_.getAs[Int]("steps_matched")).toSeq == Seq(3, 1, 1, 1, 1))
+    assert(m(0).getAs[java.sql.Timestamp]("t_3") == t(10))
+    val c = Funnel.count(ev, "user_id", "ts", steps, windowSec = 600)
+      .orderBy("step").collect()
+    assert(c.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 5L), (2, 1L), (3, 1L)))
+  }
+
   test("reservoirPerKey: exact per-key counts, determinism, small groups") {
     val s = spark
     import s.implicits._
