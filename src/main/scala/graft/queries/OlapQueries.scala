@@ -462,6 +462,39 @@ object OlapQueries {
           "CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END")} AS sum_bal
         FROM customer GROUP BY c_mktsegment""")),
 
+    // Z-order (Morton) layout key: per-column min/max quantization to
+    // 8-bit ranks + bit interleave — the multi-column file-pruning
+    // clustering key (Delta ZORDER's curve). Pure codegen bit math;
+    // the oracle replays quantize + interleave with integer bit ops.
+    Q("q_layout_zorder",
+      (s, d) => {
+        val (withZ, _) = graft.operators.Layout.withZValue(
+          Tables.lineitem(s, d), Seq("l_partkey", "l_suppkey"),
+          bits = 8, zCol = "z")
+        withZ.select(col("l_orderkey"), col("l_linenumber"), col("z"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some {
+        def q(c: String, lo: String, hi: String) =
+          s"""CAST(LEAST(255, FLOOR((CAST($c AS DOUBLE) - $lo) /
+            ($hi - $lo) * 256)) AS BIGINT)"""
+        val inter = (0 until 8).flatMap(i => Seq(
+          s"(((q1 >> $i) & 1) << ${i * 2})",
+          s"(((q2 >> $i) & 1) << ${i * 2 + 1})")).mkString(" + ")
+        s"""WITH r AS (SELECT
+            MIN(CAST(l_partkey AS DOUBLE)) AS lo1,
+            MAX(CAST(l_partkey AS DOUBLE)) AS hi1,
+            MIN(CAST(l_suppkey AS DOUBLE)) AS lo2,
+            MAX(CAST(l_suppkey AS DOUBLE)) AS hi2
+          FROM lineitem),
+        qq AS (SELECT l_orderkey, l_linenumber,
+            ${q("l_partkey", "r.lo1", "r.hi1")} AS q1,
+            ${q("l_suppkey", "r.lo2", "r.hi2")} AS q2
+          FROM lineitem, r)
+        SELECT l_orderkey, l_linenumber, CAST($inter AS BIGINT) AS z
+        FROM qq ORDER BY l_orderkey, l_linenumber"""
+      }),
+
     // Ordered event funnel (upstream-Pinot FUNNEL_MATCH_STEP semantics,
     // greedy-earliest): view → click → purchase within 24 h of the
     // anchor, one row per user reaching step 1 with per-step timestamps

@@ -2080,6 +2080,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
 
+  test("zorder: interleave bits, quantize edges, clustering beats 1-col sort") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Layout
+    // hand-checked Morton interleave: x=0b101 (cols idx 0 → even bits),
+    // y=0b011 (odd bits) → z = 1<<0 | 1<<4 | 1<<1 | 1<<3 = 0b11011
+    val one = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.interleaveBits(Seq(col("x"), col("y")), 3).as("z"))
+    assert(one.head().getLong(0) == 0x1BL)
+    // quantize edges: lo→0, hi→top bucket, constant column → 0
+    val edges = Seq(0.0, 50.0, 100.0).toDF("v")
+      .select(Layout.quantize(col("v"), 0.0, 100.0, 4).as("q"))
+      .collect().map(_.getLong(0))
+    assert(edges.toSeq == Seq(0L, 8L, 15L))
+    assert(Seq(7.0).toDF("v")
+      .select(Layout.quantize(col("v"), 7.0, 7.0, 4)).head().getLong(0) == 0L)
+
+    // clustering: on a 64×64 grid, z-order partitions touch a small
+    // window of BOTH dims; sorting by x alone leaves y unclustered
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    def meanSpan(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val rows = Layout.clusteringSpan(df, Seq("x", "y")).collect()
+      rows.map(r => r.getAs[Double](s"hi_$c") - r.getAs[Double](s"lo_$c"))
+        .sum / rows.length / 63.0
+    }
+    val (withZ, _) = Layout.withZValue(grid, Seq("x", "y"), bits = 6)
+    val zParts = withZ.repartitionByRange(16, col("__z"))
+      .sortWithinPartitions("__z").drop("__z")
+    val xParts = grid.repartitionByRange(16, col("x"), col("y"))
+    val (zy, xy) = (meanSpan(zParts, "y"), meanSpan(xParts, "y"))
+    assert(zy < 0.5 * xy, s"z-order y-span $zy !< half of x-sort y-span $xy")
+
+    // zorderWrite round-trips content exactly
+    val out = s"/tmp/graft_zorder_${System.nanoTime()}"
+    Layout.zorderWrite(grid, Seq("x", "y"), out, nFiles = 8, bits = 6)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 64 * 64 &&
+      back.except(grid).isEmpty && grid.except(back).isEmpty)
+  }
+
   test("funnel: greedy-earliest anchor, strict order, window bound") {
     val s = spark
     import s.implicits._
