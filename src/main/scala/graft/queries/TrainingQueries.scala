@@ -1691,6 +1691,42 @@ object TrainingQueries {
           END AS BIGINT) AS v
         FROM d, js WHERE js.j < 2 * d.nf""")),
 
+    // Text-index lifecycle (the Lucene-index add/remove role at file
+    // granularity): build from the even-id half, append the odd half,
+    // REPLAY the append (must no-op), tombstone every 10th doc, compact
+    // TWICE (replay-idempotent), and answer a token lookup from the
+    // surviving postings. Oracle = positional postings of the expected
+    // final corpus — any double-index, lost delete, or bad swap breaks
+    // the hash.
+    Q("q_text_index_lifecycle",
+      (s, d) => {
+        import graft.sources.TextIndexLifecycle
+        val root = "/tmp/graft_textidx_gate"
+        TextIndexLifecycle.deleteRoot(root)
+        val docs = Tables.documents(s, d)
+        TextIndexLifecycle.append(s, root, "text", "doc_id",
+          docs.filter(col("doc_id") % 2 === 0), "batch_even")
+        TextIndexLifecycle.append(s, root, "text", "doc_id",
+          docs.filter(col("doc_id") % 2 === 1), "batch_odd")
+        TextIndexLifecycle.append(s, root, "text", "doc_id",
+          docs.filter(col("doc_id") % 2 === 1), "batch_odd") // replay
+        TextIndexLifecycle.delete(s, root, "text",
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+          "doc_id", "del_1")
+        TextIndexLifecycle.compact(s, root, "text", "doc_id")
+        TextIndexLifecycle.compact(s, root, "text", "doc_id") // replay
+        TextIndexLifecycle.load(s, root, "text", "doc_id")
+          .filter(col("token") === "vector")
+          .select(col("doc_id"), col("pos"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks
+          FROM documents WHERE doc_id % 10 != 0),
+        ix AS (SELECT doc_id, toks,
+          unnest(generate_series(1, len(toks))) AS i FROM t)
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos FROM ix
+        WHERE toks[i] = 'vector' ORDER BY doc_id, pos""")),
+
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides
     // absorbs libm log ulp differences; unique doc_id breaks rank ties.

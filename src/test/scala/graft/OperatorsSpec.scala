@@ -2080,6 +2080,48 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("cand_id")).toSet == Set(1L))
   }
 
+  test("text index lifecycle: idempotent append, delete, crash-safe compact") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.TextIndexLifecycle
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft_textidx_spec_${System.nanoTime()}"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    def tokenDocs(tok: String): Set[Long] =
+      TextIndexLifecycle.load(s, root, "text", "doc_id")
+        .filter(col("token") === tok)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      docs.filter(col("doc_id") < 3), "b1")
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      docs.filter(col("doc_id") === 3), "b2")
+    // replayed tag is a no-op: no doubled postings
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      docs.filter(col("doc_id") === 3), "b2")
+    assert(TextIndexLifecycle.load(s, root, "text", "doc_id")
+      .groupBy("doc_id", "token", "pos").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(tokenDocs("alpha") == Set(1L, 3L))
+
+    // delete visible immediately, physical after compact
+    TextIndexLifecycle.delete(s, root, "text",
+      Seq(1L).toDF("doc_id"), "doc_id", "d1")
+    assert(tokenDocs("alpha") == Set(3L))
+    TextIndexLifecycle.compact(s, root, "text", "doc_id")
+    assert(tokenDocs("alpha") == Set(3L))
+    assert(!Files.isDirectory(Paths.get(s"$root/text_text_tombstones")))
+
+    // crash between the two compaction renames: live gone, tmp staged —
+    // the next load recovers and answers correctly
+    val live = Paths.get(s"$root/text_text")
+    val tmp = Paths.get(s"$root/text_text_compact_tmp")
+    Files.move(live, tmp)
+    assert(tokenDocs("beta") == Set(2L))
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
   test("zorder: interleave bits, quantize edges, clustering beats 1-col sort") {
     val s = spark
     import s.implicits._
