@@ -1701,7 +1701,8 @@ object TrainingQueries {
     Q("q_text_index_lifecycle",
       (s, d) => {
         import graft.sources.TextIndexLifecycle
-        val root = "/tmp/graft_textidx_gate"
+        val root =
+          s"target/graft_textidx_${new java.io.File(d).getName}"
         TextIndexLifecycle.deleteRoot(root)
         val docs = Tables.documents(s, d)
         TextIndexLifecycle.append(s, root, "text", "doc_id",
