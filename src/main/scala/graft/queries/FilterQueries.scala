@@ -357,6 +357,48 @@ object FilterQueries {
            OR o_orderpriority = '1-URGENT'
         GROUP BY o_orderpriority""")),
 
+    // JSON-index lifecycle (same IncrementalIndex protocol as the text
+    // and IVF indexes, with staged moves preserving the path= partition
+    // dirs): build from the even-key half, append the odd half, REPLAY
+    // the append, tombstone every 10th order, compact TWICE, answer a
+    // path predicate from the surviving postings. The filter on the
+    // partition column prunes to ONE path= dir — the property appends
+    // must preserve. Oracle = the expected final corpus queried on the
+    // source columns directly.
+    Q("q_json_index_lifecycle",
+      (s, d) => {
+        import graft.sources.JsonIndexLifecycle
+        val root =
+          s"target/graft_jsonidx_lc_${new java.io.File(d).getName}"
+        JsonIndexLifecycle.deleteRoot(root)
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        val docs = Tables.orders(s, d).withColumn("doc", j)
+        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", schema,
+          docs.filter(col("o_orderkey") % 2 === 0), "b_even")
+        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", schema,
+          docs.filter(col("o_orderkey") % 2 === 1), "b_odd")
+        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", schema,
+          docs.filter(col("o_orderkey") % 2 === 1), "b_odd") // replay
+        JsonIndexLifecycle.delete(s, root, "doc",
+          docs.filter(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey")), "o_orderkey", "d1")
+        JsonIndexLifecycle.compact(s, root, "doc", "o_orderkey")
+        JsonIndexLifecycle.compact(s, root, "doc", "o_orderkey") // replay
+        JsonIndexLifecycle.load(s, root, "doc", "o_orderkey")
+          .filter(col("path") === "$.meta.pri" &&
+            col("value") === "1-URGENT")
+          .select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 10 != 0 AND o_orderpriority = '1-URGENT'
+        ORDER BY o_orderkey""")),
+
     // JSON_MATCH (JsonMatchFilterOperator → json-path predicate rewrite)
     Q("q_filter_json_match",
       (s, d) => Tables.events(s, d)

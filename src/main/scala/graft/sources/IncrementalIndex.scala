@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Shared crash-safe incremental lifecycle for parquet-backed index
+  * directories — the one protocol behind the IVF, text-postings, and
+  * json-postings lifecycles:
+  *
+  *  - **append**: stage the batch's rows under a tag-scoped temp dir,
+  *    move files into the live dir under deterministic
+  *    `tag-<batchTag>-` names preserving any partition subdirs (a replay
+  *    first sweeps partial moves of the same tag), then write the
+  *    marker. Tag-idempotent; crash-safe in either direction.
+  *  - **delete**: tag-scoped tombstone parquet of ids (overwrite mode —
+  *    replays rewrite the same path); [[load]] subtracts them with one
+  *    broadcast anti-join so deletes are visible without a rewrite.
+  *  - **compact**: rewrite live-minus-tombstones to a staged copy, then
+  *    a two-rename swap; [[recover]] (called from every entry point)
+  *    completes a swap interrupted between the renames. Re-running
+  *    compact after success is a harmless rewrite; append markers
+  *    survive compaction so pre-compaction batches replayed later still
+  *    no-op. */
+object IncrementalIndex {
+
+  /** Directory layout + partitioning of one incremental index. All dirs
+    * are siblings derived from (root, name); `partitionCol` is the
+    * hive-style partition column of the live parquet (None = flat). */
+  final case class Spec(root: String, name: String,
+                        partitionCol: Option[String]) {
+    def liveDir: String = s"$root/$name"
+    def tagsDir: String = s"$root/${name}_tags"
+    def tombsDir: String = s"$root/${name}_tombstones"
+    def tmpDir: String = s"$root/${name}_compact_tmp"
+    def retiringDir: String = s"$root/${name}_retiring"
+    def stagingRoot: String = s"$root/${name}_staging"
+  }
+
+  def rmTree(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val st = Files.walk(root)
+      try st.iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
+  /** Complete a compaction swap interrupted between its two renames. */
+  def recover(s: Spec): Unit = {
+    val live = Paths.get(s.liveDir)
+    val tmp = Paths.get(s.tmpDir)
+    val retiring = Paths.get(s.retiringDir)
+    if (!Files.isDirectory(live) && Files.isDirectory(tmp)) {
+      Files.move(tmp, live)
+      rmTree(s.retiringDir)
+      rmTree(s.tombsDir)
+    } else if (Files.isDirectory(live) && Files.isDirectory(retiring)) {
+      rmTree(s.retiringDir)
+      rmTree(s.tombsDir)
+    }
+  }
+
+  /** Append `rows` (already in index schema) under `batchTag`. */
+  def append(spark: SparkSession, s: Spec, rows: DataFrame,
+             batchTag: String): Unit = {
+    recover(s)
+    val marker = new java.io.File(s"${s.tagsDir}/$batchTag")
+    if (marker.isFile) return
+    val staging = s"${s.stagingRoot}/$batchTag"
+    val writer = rows.write.mode("overwrite")
+    s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(staging)
+    val liveRoot = Paths.get(s.liveDir)
+    Files.createDirectories(liveRoot)
+    val prefix = s"tag-$batchTag-"
+    // sweep a partial prior move of this tag (any depth), then move the
+    // staged parquet files in, preserving partition subdirs
+    val sweep = Files.walk(liveRoot)
+    try sweep.iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith(prefix))
+      .foreach(Files.deleteIfExists(_))
+    finally sweep.close()
+    val stagingPath = Paths.get(staging)
+    val st = Files.walk(stagingPath)
+    try st.iterator().asScala.toSeq
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val rel: Path = stagingPath.relativize(p.getParent)
+        val dst = liveRoot.resolve(rel)
+        Files.createDirectories(dst)
+        Files.move(p, dst.resolve(prefix + p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    finally st.close()
+    marker.getParentFile.mkdirs()
+    Files.write(marker.toPath, batchTag.getBytes("UTF-8"))
+    rmTree(s.stagingRoot)
+  }
+
+  /** Tombstone ids (tag-idempotent; visible at [[load]]; physical at
+    * [[compact]]). Re-adding a deleted id requires a compact first. */
+  def delete(spark: SparkSession, s: Spec, ids: DataFrame,
+             idCol: String, batchTag: String): Unit = {
+    recover(s)
+    ids.select(col(idCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(s"${s.tombsDir}/tag=$batchTag")
+  }
+
+  /** Live rows: base + appends minus tombstoned ids. */
+  def load(spark: SparkSession, s: Spec, idCol: String): DataFrame = {
+    recover(s)
+    val all = spark.read.parquet(s.liveDir)
+    val tombs = new java.io.File(s.tombsDir)
+    if (!tombs.isDirectory || tombs.listFiles().isEmpty) all
+    else all.join(
+      broadcast(spark.read.parquet(s.tombsDir).select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Fold tombstones in + merge append dust; crash-safe, replayable. */
+  def compact(spark: SparkSession, s: Spec, idCol: String): Unit = {
+    recover(s)
+    val live = load(spark, s, idCol)
+    val writer = live.write.mode("overwrite")
+    s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(s.tmpDir)
+    rmTree(s.retiringDir) // stale from a prior crashed run
+    Files.move(Paths.get(s.liveDir), Paths.get(s.retiringDir))
+    Files.move(Paths.get(s.tmpDir), Paths.get(s.liveDir))
+    rmTree(s.retiringDir)
+    rmTree(s.tombsDir)
+  }
+}

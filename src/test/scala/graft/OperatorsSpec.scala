@@ -2122,6 +2122,40 @@ class OperatorsSpec extends SparkSpec {
     TextIndexLifecycle.deleteRoot(root)
   }
 
+  test("json index lifecycle preserves path= partition dirs on append") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.JsonIndexLifecycle
+    val root = s"/tmp/graft_jsonidx_spec_${System.nanoTime()}"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "a string, b double")
+    val docs = Seq(
+      (1L, """{"a":"x","b":1}"""), (2L, """{"a":"y","b":2}"""))
+      .toDF("id", "doc")
+    JsonIndexLifecycle.append(s, root, "doc", "id", schema,
+      docs.filter(col("id") === 1), "t1")
+    JsonIndexLifecycle.append(s, root, "doc", "id", schema,
+      docs.filter(col("id") === 2), "t2")
+    JsonIndexLifecycle.append(s, root, "doc", "id", schema,
+      docs.filter(col("id") === 2), "t2") // replay no-ops
+    // appended files live under hive path= dirs with tag-prefixed names
+    val live = new java.io.File(JsonIndexLifecycle.postingsDir(root, "doc"))
+    val pathDirs = live.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(pathDirs.exists(_.startsWith("path=")), pathDirs.toSeq)
+    assert(live.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .forall(f => f.getName.startsWith("tag-t")))
+    val idx = JsonIndexLifecycle.load(s, root, "doc", "id")
+    assert(idx.filter(col("path") === "$.a").count() == 2)
+    JsonIndexLifecycle.delete(s, root, "doc", Seq(1L).toDF("id"), "id", "d")
+    assert(JsonIndexLifecycle.load(s, root, "doc", "id")
+      .filter(col("path") === "$.a").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+    JsonIndexLifecycle.compact(s, root, "doc", "id")
+    assert(JsonIndexLifecycle.load(s, root, "doc", "id")
+      .filter(col("path") === "$.a").count() == 1)
+    JsonIndexLifecycle.deleteRoot(root)
+  }
+
   test("zorder: interleave bits, quantize edges, clustering beats 1-col sort") {
     val s = spark
     import s.implicits._
