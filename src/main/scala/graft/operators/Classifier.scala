@@ -15,44 +15,70 @@ import org.apache.spark.sql.functions._
   * shape (a per-class log-linear score summed over token features).
   *
   * Model: score(c, doc) = ln P(c) + Σ_tok ln p(tok|c), with
-  * p(tok|c) = (count(tok, c) + k) / (total_c + k·V), V = train vocab
-  * size. Prediction = argmax_c, ties broken by label ascending.
+  * p(tok|c) = (count(tok, c) + k) / (total_c + k·V). The vocabulary is
+  * the train tokens whose TOTAL corpus count ≥ `minCount`; V = |vocab|,
+  * total_c = the surviving token mass of class c, and any token outside
+  * the vocabulary (pruned or never seen) takes the smoothed-zero
+  * likelihood k / (total_c + k·V). Prediction = argmax_c, ties broken
+  * by label ascending. `minCount = 1` keeps every train token — the
+  * unpruned model.
   *
   * Exactness: every per-token ln rounds to 6dp and rides as a
   * 1e6-scaled long, so per-document per-class sums are integer-exact
   * and aggregation-order-free — the DuckDB oracle replays predictions
   * bit-for-bit (same pattern as [[LmQuality]]).
   *
-  * Scale shape: training is ONE map-side-combined keyed aggregation
-  * over the exploded (label, token) stream plus two scalar-sized
-  * side aggregates (label totals, vocab size). Scoring explodes test
-  * tokens once, expands by the label set (a handful of rows — the
-  * label frame is crossJoin-safe), equi-joins the count table on
-  * (token, label) — AQE broadcasts it when it fits, and at 100 TB the
-  * count table prunes to min-count survivors first — and re-aggregates
-  * per (doc, label). No shuffle carries document text; the widest
-  * stream is tokens × nLabels. The driver holds two scalars (V, N). */
+  * Scale shape: training is ONE pass over the exploded (label, token)
+  * stream into a map-side-combined keyed count table, which persists;
+  * label totals, priors, and the vocab size all derive from that table
+  * (scalar/label-sized aggregates — the corpus is never re-tokenized).
+  * Scoring explodes test tokens once, expands by the label set (a
+  * handful of rows — the label frame is crossJoin-safe) and equi-joins
+  * the count table on (token, label). The count-table join carries an
+  * EXPLICIT broadcast hint whenever the table holds ≤
+  * `broadcastCountMax` entries — the plan cannot flip to sort-merge at
+  * the AQE threshold boundary — and at 100 TB `minCount` prunes the
+  * table to its frequent survivors first (Zipf: a minCount of even 2–5
+  * drops the long tail, most of the distinct-token mass). Above the
+  * cap it degrades to a keyed shuffle join, never a replicated build.
+  * No shuffle carries document text; the widest stream is tokens ×
+  * nLabels. The driver holds three scalars (V, N, count-table size). */
 object Classifier {
 
   /** Score and classify `test` against a model trained on `train`.
     * Output: (idCol, pred, score_u, n_tokens) — one row per test doc,
     * `score_u` the winning class's 1e6-scaled log-posterior numerator,
     * `n_tokens` the doc's token count (0-token docs classify by prior
-    * alone). */
+    * alone).
+    *
+    * @param minCount vocabulary pruning: train tokens with total corpus
+    *   count below this leave the model (scored as unseen). 1 = keep all.
+    * @param broadcastCountMax max (label, token) entries for which the
+    *   count table is force-broadcast to the scoring join. */
   def nbClassify(train: DataFrame, test: DataFrame, textCol: String,
                  labelCol: String, idCol: String,
-                 k: Double = 1.0): DataFrame = {
+                 k: Double = 1.0, minCount: Long = 1L,
+                 broadcastCountMax: Long = 5000000L): DataFrame = {
     require(k > 0, s"smoothing k=$k must be > 0")
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
     val trTok = train.select(col(labelCol).as("__lbl"),
       explode(TA.tokens(col(textCol))).as("__t"))
-    // one pass each: (label, token) counts, per-label token totals,
-    // per-label doc counts, vocab size, corpus doc count
-    val ct = trTok.groupBy("__lbl", "__t").agg(count(lit(1)).as("__c"))
-    val lt = trTok.groupBy("__lbl").agg(count(lit(1)).as("__tot"))
+    // ONE corpus pass: the (label, token) count table. Vocab pruning on
+    // the token's cross-label total; everything downstream (label token
+    // totals, vocab size, broadcast decision) derives from this table.
+    val ctAll = trTok.groupBy("__lbl", "__t").agg(count(lit(1)).as("__c"))
+    val ct = (if (minCount > 1L) {
+      val wt = Window.partitionBy(col("__t"))
+      ctAll.withColumn("__ttot", sum(col("__c")).over(wt))
+        .filter(col("__ttot") >= minCount).drop("__ttot")
+    } else ctAll).persist()
+    val stats = ct.agg(count(lit(1)).as("nPairs"),
+      count_distinct(col("__t")).as("v")).head()
+    val (nPairs, v) = (stats.getLong(0), stats.getLong(1))
+    val lt = ct.groupBy("__lbl").agg(sum(col("__c")).as("__tot"))
     val nd = train.groupBy(col(labelCol).as("__lbl"))
       .agg(count(lit(1)).as("__ndc"))
     val nDocs = train.count()
-    val v = trTok.agg(count_distinct(col("__t"))).head().getLong(0)
 
     def u6(x: org.apache.spark.sql.Column) =
       round(round(log(x), 6) * 1e6).cast("long")
@@ -66,9 +92,13 @@ object Classifier {
     val teTok = test.select(col(idCol), posexplode(TA.tokens(col(textCol))))
       .select(col(idCol), col("col").as("__t"))
     // token stream × label set, count looked up per (token, label);
-    // unseen (token, label) pairs take the smoothed-zero likelihood
+    // out-of-vocab (token, label) pairs take the smoothed-zero
+    // likelihood. Size-guarded EXPLICIT broadcast: the count table's
+    // cardinality was just measured, so the join shape is deterministic
+    // — never left to flip at the AQE byte-estimate boundary.
+    val ctSide = if (nPairs <= broadcastCountMax) broadcast(ct) else ct
     val scored = teTok.crossJoin(labels)
-      .join(ct, Seq("__lbl", "__t"), "left")
+      .join(ctSide, Seq("__lbl", "__t"), "left")
       .select(col(idCol), col("__lbl"), col("__pu"),
         u6((coalesce(col("__c"), lit(0L)).cast("double") + lit(k)) /
           (col("__tot").cast("double") + lit(k) * lit(v.toDouble)))
@@ -85,9 +115,13 @@ object Classifier {
         coalesce(col("__n"), lit(0L)).as("n_tokens"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_u").desc, col("__lbl").asc)
-    anchored.withColumn("__rn", row_number().over(w))
+    val out = anchored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("__lbl").as("pred"), col("score_u"),
         col("n_tokens"))
+    // materialize before releasing the count-table cache the join reads
+    val result = graft.operators.Checkpoints.eager(out)
+    ct.unpersist(false)
+    result
   }
 }

@@ -60,9 +60,11 @@ object Funnel {
   def count(events: DataFrame, userCol: String, tsCol: String,
             steps: Seq[Column], windowSec: Long): DataFrame = {
     val m = matchSteps(events, userCol, tsCol, steps, windowSec)
+    // coalesce: sum over zero matched users is NULL in SQL; the funnel
+    // contract (and the COUNT(*)-style oracle) wants 0 at every step.
     val perStep = steps.indices.map { i =>
-      sum(when(col("steps_matched") >= i + 1, 1L).otherwise(0L))
-        .as(s"n_step_${i + 1}")
+      coalesce(sum(when(col("steps_matched") >= i + 1, 1L).otherwise(0L)),
+        lit(0L)).as(s"n_step_${i + 1}")
     }
     m.agg(perStep.head, perStep.tail: _*)
       .select(explode(array(steps.indices.map(i =>

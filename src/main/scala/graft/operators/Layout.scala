@@ -57,8 +57,16 @@ object Layout {
       Seq(min(col(c).cast("double")).as(s"__lo_$c"),
         max(col(c).cast("double")).as(s"__hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = cols.map(c => c ->
-      (row.getAs[Double](s"__lo_$c"), row.getAs[Double](s"__hi_$c"))).toMap
+    // min/max over an empty frame (or an all-null column) come back as
+    // NULL; unboxing them via getAs[Double] would NPE. Fall back to the
+    // constant-column path (0.0, 0.0) → quantize maps everything to 0.
+    def boxed(name: String): Option[Double] =
+      Option(row.getAs[java.lang.Double](name)).map(_.doubleValue())
+    val ranges = cols.map { c =>
+      val lo = boxed(s"__lo_$c")
+      val hi = boxed(s"__hi_$c")
+      c -> ((lo.getOrElse(0.0), hi.getOrElse(0.0)))
+    }.toMap
     val z = interleaveBits(cols.map { c =>
       val (lo, hi) = ranges(c)
       quantize(col(c), lo, hi, bits)

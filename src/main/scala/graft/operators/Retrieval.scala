@@ -71,9 +71,14 @@ object Retrieval {
     val qv = typedLit(queryVec)
     val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
     val denseW = Window.orderBy(col("cos").desc, col(idCol))
+    // zero-norm guard: a zero-norm embedding divides 0/0, which is NaN in
+    // legacy mode (sorting LARGEST under desc — it would silently occupy
+    // the top of the list) and a DIVIDE_BY_ZERO error under ANSI.
+    // try_divide nulls the quotient either way; drop before the cut.
     val dense = emb.select(col(idCol),
-        round(Vectors.dot(col(vecCol), qv) /
-          (Vectors.norm2(col(vecCol)) * lit(qn)), 6).as("cos"))
+        round(try_divide(Vectors.dot(col(vecCol), qv),
+          Vectors.norm2(col(vecCol)) * lit(qn)), 6).as("cos"))
+      .filter(col("cos").isNotNull)
       .orderBy(col("cos").desc, col(idCol)).limit(nPerRanker)
       .withColumn("rank", row_number().over(denseW))
     rrfFuse(Seq("lex" -> lex, "dense" -> dense), idCol, k, k0)

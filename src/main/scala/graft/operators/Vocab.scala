@@ -338,7 +338,17 @@ object Vocab {
     * subword stream and turn each end-of-word marker back into a space —
     * lossless on the whitespace-normalized lowercase token stream the
     * encoder consumed (BPE merges only re-SEGMENT, they never rewrite
-    * bytes). Pure codegen string expression, zero shuffle. */
+    * bytes). Pure codegen string expression, zero shuffle.
+    *
+    * PRECONDITION: no input token may contain the literal [[WordEnd]]
+    * marker string. Words matching `wordPattern` can't (the default
+    * pattern admits only `[a-z0-9]`), but a pass-through token that
+    * embeds `</w>` would have its embedded marker replaced with a space
+    * too, breaking the encode→decode inverse. The GPT-2/Sennrich
+    * convention shares this contract — the marker is reserved out of the
+    * input alphabet rather than escaped, because global-replace escape
+    * chains are order-ambiguous (e.g. `\\m` vs `\` + `\m`) and a true
+    * escape would need a per-character scan on the hot decode path. */
   def bpeDecode(subwords: org.apache.spark.sql.Column)
   : org.apache.spark.sql.Column =
     rtrim(replace(concat_ws("", subwords), lit(WordEnd), lit(" ")))

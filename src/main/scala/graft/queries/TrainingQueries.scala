@@ -2714,6 +2714,63 @@ object TrainingQueries {
         FROM rk r JOIN te ON r.doc_id = te.doc_id
         WHERE r.rn = 1
         ORDER BY r.doc_id"""
+      }),
+
+    // Pruned-vocabulary NB (minCount = 3): tokens with total train count
+    // < 3 leave the model — V shrinks, label token-mass shrinks to the
+    // survivors, pruned/unseen tokens score the smoothed zero. This is
+    // the 100 TB path (Zipf tail off the count table before the scoring
+    // join); the oracle re-derives the pruned model from scratch so the
+    // pruning semantics are bit-checked, not just "runs".
+    Q("q_nb_classify_pruned",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tr = docs.filter(col("doc_id") % 5 =!= 0)
+        val te = docs.filter(col("doc_id") % 5 === 0)
+        graft.operators.Classifier
+          .nbClassify(tr, te, "text", "lang", "doc_id", minCount = 3L)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def u6(x: String) =
+          s"CAST(ROUND(ROUND(LN($x), 6) * 1e6) AS BIGINT)"
+        s"""WITH tr AS (SELECT doc_id, lang, ${toksSql("text")} AS tk
+              FROM documents WHERE doc_id % 5 <> 0),
+          te AS (SELECT doc_id, lang, ${toksSql("text")} AS tk
+              FROM documents WHERE doc_id % 5 = 0),
+          trtok AS (SELECT lang, unnest(tk) AS t FROM tr),
+          ctall AS (SELECT lang, t, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
+          tokt AS (SELECT t, SUM(c) AS ttot FROM ctall GROUP BY 1),
+          ct AS (SELECT ctall.lang, ctall.t, ctall.c FROM ctall
+            JOIN tokt ON ctall.t = tokt.t WHERE tokt.ttot >= 3),
+          lt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot
+            FROM ct GROUP BY 1),
+          nd AS (SELECT lang, COUNT(*) AS ndc FROM tr GROUP BY 1),
+          na AS (SELECT COUNT(*) AS n FROM tr),
+          vv AS (SELECT COUNT(DISTINCT t) AS v FROM ct),
+          lbl AS (SELECT lt.lang, lt.tot,
+              ${u6("CAST(nd.ndc AS DOUBLE) / CAST(na.n AS DOUBLE)")} AS pu
+            FROM lt JOIN nd ON lt.lang = nd.lang CROSS JOIN na),
+          tt AS (SELECT doc_id, unnest(tk) AS t FROM te),
+          sc AS (SELECT tt.doc_id, l.lang, l.pu,
+              ${u6("""(CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0) /
+                (CAST(l.tot AS DOUBLE) + 1.0 * vv.v)""")} AS u
+            FROM tt CROSS JOIN lbl l
+            LEFT JOIN ct c ON c.lang = l.lang AND c.t = tt.t
+            CROSS JOIN vv),
+          pc AS (SELECT doc_id, lang, pu, CAST(SUM(u) AS BIGINT) AS su,
+              COUNT(*) AS ntok
+            FROM sc GROUP BY 1, 2, 3),
+          anch AS (SELECT te.doc_id, l.lang,
+              l.pu + COALESCE(pc.su, 0) AS score_u,
+              COALESCE(pc.ntok, 0) AS n_tokens
+            FROM te CROSS JOIN lbl l
+            LEFT JOIN pc ON pc.doc_id = te.doc_id AND pc.lang = l.lang),
+          rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_u DESC, lang ASC) AS rn FROM anch)
+        SELECT doc_id, lang AS pred, score_u, n_tokens
+        FROM rk WHERE rn = 1
+        ORDER BY doc_id"""
       }))
 
   /** DuckDB cosine between a.embedding and b.embedding (per-pair, double,

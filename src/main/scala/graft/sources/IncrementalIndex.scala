@@ -54,13 +54,18 @@ object IncrementalIndex {
     val live = Paths.get(s.liveDir)
     val tmp = Paths.get(s.tmpDir)
     val retiring = Paths.get(s.retiringDir)
+    // tombstones are removed BEFORE the retiring dir in both branches:
+    // the retiring dir's presence must cover the whole cleanup window,
+    // else a crash between the two rmTrees leaves stale tombstones that
+    // no recover() branch cleans and load() silently filters re-appended
+    // ids forever.
     if (!Files.isDirectory(live) && Files.isDirectory(tmp)) {
       Files.move(tmp, live)
-      rmTree(s.retiringDir)
       rmTree(s.tombsDir)
+      rmTree(s.retiringDir)
     } else if (Files.isDirectory(live) && Files.isDirectory(retiring)) {
-      rmTree(s.retiringDir)
       rmTree(s.tombsDir)
+      rmTree(s.retiringDir)
     }
   }
 
@@ -130,7 +135,9 @@ object IncrementalIndex {
     rmTree(s.retiringDir) // stale from a prior crashed run
     Files.move(Paths.get(s.liveDir), Paths.get(s.retiringDir))
     Files.move(Paths.get(s.tmpDir), Paths.get(s.liveDir))
-    rmTree(s.retiringDir)
+    // tombstones before retiring dir — see recover() for the crash-window
+    // reasoning; retiringDir's presence keys the cleanup branch.
     rmTree(s.tombsDir)
+    rmTree(s.retiringDir)
   }
 }

@@ -60,6 +60,51 @@ class ClassifierSpec extends SparkSpec {
     assert(got.head.getLong(3) == 2L)
   }
 
+  test("nbClassify: minCount prunes the vocabulary (V, totals, counts)") {
+    // "cat" appears 3×, "mat" 2×, "rare" 1× in train; minCount=2 keeps
+    // {the×?…}: every token with total count >= 2 survives, "rare" and
+    // other singletons leave V and the label token-mass
+    val tr = Seq(
+      (1L, "en", "cat cat mat"), (2L, "en", "cat mat rare"),
+      (3L, "fr", "chien chien chat"), (4L, "fr", "chien chat solo")
+    ).toDF("doc_id", "lang", "text")
+    val te = Seq((50L, "cat mat"), (51L, "chien chat")).toDF("doc_id", "text")
+    val pruned = Classifier.nbClassify(tr, te, "text", "lang", "doc_id",
+      minCount = 2L).orderBy("doc_id").collect()
+    assert(pruned.map(_.getString(1)).toSeq == Seq("en", "fr"))
+    // hand-check doc 50 under the pruned model: vocab {cat,mat,chien,
+    // chat} → V=4; en totals = 3+2 = 5 (rare pruned); p(cat|en) =
+    // (3+1)/(5+4), p(mat|en) = (2+1)/(5+4); prior ln(0.5)
+    def u6(x: Double) = math.round(math.rint(math.log(x) * 1e6))
+    val expect50 = u6(0.5) + u6(4.0 / 9) + u6(3.0 / 9)
+    assert(pruned.head.getLong(2) == expect50,
+      s"got ${pruned.head.getLong(2)}, want $expect50")
+    // minCount=1 default is the unpruned model: scores differ (V=6)
+    val full = Classifier.nbClassify(tr, te, "text", "lang", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(full.head.getLong(2) != expect50)
+    // a pruned-away token scores as unseen: smoothed zero, still counted
+    val te2 = Seq((60L, "rare rare")).toDF("doc_id", "text")
+    val g2 = Classifier.nbClassify(tr, te2, "text", "lang", "doc_id",
+      minCount = 2L).collect()
+    assert(g2.head.getLong(3) == 2L)
+  }
+
+  test("nbClassify: count-table join is broadcast under the guard, " +
+    "shuffle-join above it") {
+    // the result frame is checkpointed (plan truncated), so the guard is
+    // asserted behaviorally: both join shapes must produce bit-identical
+    // scores — the hint changes the plan, never the result
+    val te = Seq((70L, "the cat"), (71L, "le chat")).toDF("doc_id", "text")
+    val wide = Classifier.nbClassify(corpus, te, "text", "lang", "doc_id",
+      broadcastCountMax = 5000000L).orderBy("doc_id").collect()
+    val narrow = Classifier.nbClassify(corpus, te, "text", "lang", "doc_id",
+      broadcastCountMax = 0L).orderBy("doc_id").collect()
+    assert(wide.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == narrow.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+    assert(wide.head.getString(1) == "en")
+  }
+
   test("nbClassify: scores are integer-scaled and order-free") {
     val te = Seq((40L, "the cat"), (41L, "le chat")).toDF("doc_id", "text")
     val a = Classifier.nbClassify(corpus, te, "text", "lang", "doc_id")

@@ -2334,4 +2334,67 @@ class OperatorsSpec extends SparkSpec {
       .toSeq == Seq("x y"))
     assert(!out.exists(_.getLong(0) == 3L))
   }
+
+  test("edge hardening: funnel zero-match, zorder empty/all-null, NaN cosine, tombstone crash window") {
+    val s = spark
+    import s.implicits._
+    // Funnel.count over a corpus where NO user matches step 1: every
+    // step must report 0 (not NULL from a sum over an empty aggregate)
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), "X"))
+      .toDF("user_id", "ts", "event_type")
+    val c = graft.operators.Funnel.count(ev, "user_id", "ts",
+        Seq(col("event_type") === "A", col("event_type") === "B"), 600)
+      .orderBy("step").collect()
+    assert(c.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 0L), (2, 0L)))
+
+    // withZValue on an empty frame and an all-null column: constant-path
+    // fallback, no NPE; z computes to 0 for null-range columns
+    import graft.operators.Layout
+    val empty = Seq.empty[(Int, Int)].toDF("x", "y")
+    val (ez, er) = Layout.withZValue(empty, Seq("x", "y"), bits = 4)
+    assert(ez.count() == 0L && er("x") == ((0.0, 0.0)))
+    val nulls = Seq((Some(1), Option.empty[Int]), (Some(3), None))
+      .toDF("x", "y")
+    val (nz, nr) = Layout.withZValue(nulls, Seq("x", "y"), bits = 4)
+    assert(nr("y") == ((0.0, 0.0)) && nz.count() == 2L)
+
+    // zero-norm embedding must NOT ride NaN to the top of the dense list
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 0f))) // zero-norm: cosine would be 0/0 = NaN
+      .toDF("doc_id", "embedding")
+    val fused = graft.operators.Retrieval.hybridTopK(docs, emb, "doc_id",
+      "text", "embedding", Seq("alpha"), Seq(1f, 0f), k = 3)
+    val denseRanked = fused.filter(col("dense_rank").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!denseRanked.contains(3L), "zero-norm doc must have no dense rank")
+    assert(fused.orderBy("rank").head().getAs[Long]("doc_id") == 1L)
+
+    // IncrementalIndex: crash between compact's two rmTrees (retiring
+    // still present, tombstones maybe present) — recover() must clear
+    // BOTH, so a re-appended previously-deleted id is never silently
+    // filtered by stale tombstones
+    import graft.sources.IncrementalIndex
+    val root = s"/tmp/graft_incidx_${System.nanoTime()}"
+    val spec = IncrementalIndex.Spec(root, "idx", None)
+    IncrementalIndex.append(s, spec,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t1")
+    IncrementalIndex.delete(s, spec, Seq(2L).toDF("id"), "id", "d1")
+    IncrementalIndex.compact(s, spec, "id")
+    // simulate the mid-cleanup crash state: live is compacted, retiring
+    // and tombstones both still on disk
+    IncrementalIndex.load(s, spec, "id").write.mode("overwrite")
+      .parquet(spec.retiringDir)
+    Seq(2L).toDF("id").write.mode("overwrite")
+      .parquet(s"${spec.tombsDir}/tag=stale")
+    IncrementalIndex.append(s, spec, Seq((2L, "b2")).toDF("id", "v"), "t2")
+    val live = IncrementalIndex.load(s, spec, "id")
+    assert(live.count() == 2L, "re-appended id filtered by stale tombstones")
+    assert(!new java.io.File(spec.tombsDir).isDirectory)
+    assert(!new java.io.File(spec.retiringDir).isDirectory)
+    IncrementalIndex.rmTree(root)
+  }
 }
