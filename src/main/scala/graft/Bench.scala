@@ -63,14 +63,26 @@ object Bench {
     cur.collect { case (n, v) if prior.get(n).exists(p => v > p * factor) =>
       n }.toSeq.sorted
 
-  /** Salvage `"q_name":seconds` pairs from a prior bench JSON. Regex, not
-    * a JSON parser, on purpose: prior files can arrive tail-truncated or
-    * embedded as an escaped string inside a wrapper object (the driver's
-    * BENCH_r*.json does both) and the intact pairs are still useful. */
-  private[graft] def parsePriorQueries(json: String): Map[String, Double] =
+  /** Salvage `"q_name":seconds` pairs from a prior bench JSON's `queries`
+    * block. Regex, not a JSON parser, on purpose: prior files can arrive
+    * tail-truncated or embedded as an escaped string inside a wrapper
+    * object (the driver's BENCH_r*.json does both) and the intact pairs
+    * are still useful.
+    *
+    * Scoped to the `queries` object ONLY (round 11): the old
+    * whole-document sweep also matched `gc_ms`/`storage_bytes`/
+    * `shuffle_bytes` pairs, and since later matches overwrote earlier
+    * ones, a query's "prior seconds" was silently its shuffle BYTES —
+    * inflating the baseline so far that the ≥[[OutlierFactor]]× isolated
+    * re-timer almost never fired (round 10's 26.7× q_edge_constants move
+    * shipped unattributed exactly this way). */
+  private[graft] def parsePriorQueries(json: String): Map[String, Double] = {
+    val block = "\\\\?\"queries\\\\?\"\\s*:\\s*\\{([^}]*)".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     "\\\\?\"(q_\\w+)\\\\?\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
-      .findAllMatchIn(json)
+      .findAllMatchIn(block)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
 
   private def loadPrior(): Map[String, Double] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
@@ -266,10 +278,17 @@ object Bench {
     val ok = results.filter(_.err.isEmpty)
     val qs = jmap(ok.map(r => r.name -> r.sec) ++
       streamResults.map(r => r.name -> r.totalSec))
+    // flat_ratio = last batch / batch 2 (batch 1 pays first-run warmup):
+    // ≈1 means per-batch cost independent of accumulated index size; the
+    // round-10 near-dup sink read 5.5 here (O(index) probe re-read).
+    def flatRatio(ms: Seq[Long]): Double =
+      if (ms.length < 3) 1.0
+      else math.round(ms.last.toDouble / math.max(ms(1), 1) * 100) / 100.0
     val streamJson = if (streamResults.isEmpty) "" else
       s""","stream":${jmap(streamResults.map(r => r.name ->
         (s"""{"total_sec":${r.totalSec},"batches_ms":${r.batchMs
-          .mkString("[", ",", "]")},"survivors":${r.survivors}}""")))}"""
+          .mkString("[", ",", "]")},"survivors":${r.survivors
+          },"flat_ratio":${flatRatio(r.batchMs)}}""")))}"""
     val errs = results.collect { case r if r.err.isDefined =>
       r.name -> jstr(r.err.get) }
     val errJson = if (errs.isEmpty) "" else s""","errors":${jmap(errs)}"""
@@ -306,16 +325,20 @@ object Bench {
     val isoJson = if (isolated.isEmpty) ""
       else s""","isolated":${jmap(isolated)}"""
 
-    // degradation gate: the LAST 5 suite queries re-run isolated — a flat
-    // session scores ≈1; round 6's degraded session would have scored
-    // 20–300 here (q_pdb_* at 102s in-suite vs 0.4s isolated)
-    val last5 = ok.takeRight(5)
-    val last5Iso = last5.flatMap(r => isolatedRun(r.name))
+    // degradation gate: the 5 SLOWEST suite queries re-run isolated — a
+    // flat session scores ≈1; round 6's degraded session would have
+    // scored 20–300 here (q_pdb_* at 102s in-suite vs 0.4s isolated).
+    // Slowest, not last (round 11): the last-5 window happened to land on
+    // sub-second q_pdb_* entries whose isolated noise floor dominated the
+    // quotient (the double-suite read 2.05 from denominator jitter alone);
+    // the slowest queries carry enough signal that the ratio is stable.
+    val deg5 = ok.sortBy(-_.sec).take(5)
+    val deg5Iso = deg5.flatMap(r => isolatedRun(r.name))
     val degradation =
-      if (last5Iso.isEmpty) 1.0
+      if (deg5Iso.isEmpty) 1.0
       else {
-        val suiteT = last5.map(_.sec).sum
-        val isoT = math.max(last5Iso.map(_._2).sum, 1e-9)
+        val suiteT = deg5.map(_.sec).sum
+        val isoT = math.max(deg5Iso.map(_._2).sum, 1e-9)
         suiteT / isoT
       }
     val degJson = s""","degradation":$degradation"""

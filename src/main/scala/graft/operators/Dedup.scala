@@ -519,12 +519,27 @@ object Dedup {
     * appeared in ANY earlier batch (or earlier in this batch), using a
     * persisted hash index instead of re-scanning the historical corpus.
     *
-    * The index is a bucketed+sorted table on the content hash (via
-    * [[Bucketing]]), so the anti-join reads the index co-located — only
-    * the NEW BATCH shuffles, which is the whole point at 100 TB: deduping
-    * today's crawl costs O(|batch|) shuffle, not O(|corpus|). Survivors'
-    * hashes append to the index under the same bucket spec, keeping the
-    * layout for the next batch.
+    * Index layout (round 11 — replaces the round-8 bucketed table): a
+    * hash-prefix partitioned parquet directory on the shared
+    * [[graft.sources.IncrementalIndex]] lifecycle — `hp=hXX/` hive
+    * subdirs keyed by the first two hex chars of the content hash (256
+    * partitions). The probe:
+    *  1. collects the BATCH's distinct prefixes (≤ 256 strings) and
+    *     loads the index pruned to those subdirs — directory pruning,
+    *     so a small micro-batch reads only the slices of the index its
+    *     own hashes can live in, instead of the whole accumulated index
+    *     every batch (the round-10 O(N²)-over-a-stream's-life defect);
+    *  2. hash-joins the pruned scan against the batch's keys with the
+    *     BATCH side broadcast (size-guarded) — no shuffle and no sort
+    *     of the index side ever (the old MERGE-hint plan re-sorted the
+    *     whole index each micro-batch).
+    * Deduping today's crawl therefore shuffles O(|batch|) and streams
+    * the pruned index scan map-side.
+    *
+    * Lifecycle: [[retireFromIndex]] tombstones dropped doc ids (their
+    * hashes stop suppressing new content immediately at probe time);
+    * [[compactIndex]] folds tombstones in and merges per-batch append
+    * dust — same crash-safe protocol as the IVF/text/json indexes.
     *
     * The survivors are materialized with an eager localCheckpoint before
     * the index append: lineage truncation, not just caching — a recompute
@@ -536,34 +551,47 @@ object Dedup {
     * is at-least-once — a replayed micro-batch must not probe an index
     * already containing its own survivors, which would silently drop the
     * whole batch): index rows carry the tag, the probe excludes the
-    * current tag, and the append is skipped when the tag is already
-    * present. Pass the streaming batchId (or any stable per-batch id);
-    * None = a fresh unique tag (plain run-once batch semantics). */
+    * current tag, and the append is skipped when the tag's marker is
+    * already committed (the tag COLUMN survives compaction, so replays
+    * stay correct even after a compact anonymizes file names). Pass the
+    * streaming batchId (or any stable per-batch id); None = a fresh
+    * unique tag (plain run-once batch semantics). */
   def incrementalExact(spark: org.apache.spark.sql.SparkSession,
                        batch: DataFrame, textCol: String, idCol: String,
-                       indexName: String, buckets: Int = 32,
-                       batchTag: Option[String] = None): DataFrame = {
+                       indexName: String,
+                       batchTag: Option[String] = None,
+                       broadcastProbeMax: Long = 4000000L): DataFrame = {
     val tag = batchTag.getOrElse(freshTag())
+    val spec = indexSpec(spark, indexName)
     val hashed = batch.withColumn("content_hash", md5(col(textCol)))
     // first occurrence within the batch (deterministic: min id wins)
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
     val inBatch = hashed.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    val table = Bucketing.indexTable(spark, indexName)
-    val exists = spark.catalog.tableExists(table)
+      .filter(col("__rn") === 1).drop("__rn").persist()
+    val nBatch = inBatch.count() // materializes; sizes the probe shape
+    val exists = graft.sources.IncrementalIndex.exists(spec)
     val fresh =
-      if (exists)
-        inBatch.join(
-          readIndex(spark, table)
-            .filter(!(col("batch_tag") <=> lit(tag))).hint("MERGE")
-            .select(col("content_hash")),
-          Seq("content_hash"), "left_anti")
-      else inBatch
+      if (exists) {
+        val prefixes = inBatch.select(hpOf(col("content_hash")).as("hp"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val idx = graft.sources.IncrementalIndex
+          .load(spark, spec, "id", Some(col("hp").isin(prefixes: _*)))
+          .filter(!(col("batch_tag") <=> lit(tag)))
+        val keys = inBatch.select(col("content_hash"))
+        val probe = if (nBatch <= broadcastProbeMax) broadcast(keys) else keys
+        // semi first: `dup` is ≤ |batch| rows, so the anti-join below is
+        // itself a broadcast — the index side never shuffles or sorts
+        val dup = idx.join(probe, Seq("content_hash"), "left_semi")
+          .select(col("content_hash")).distinct()
+        inBatch.join(dup, Seq("content_hash"), "left_anti")
+      } else inBatch
     val out = Checkpoints.eager(fresh) // materialize BEFORE the append
-    if (!exists || !tagPresent(spark, table, tag))
-      appendIndex(spark, table, exists,
-        out.select(col("content_hash"), lit(tag).as("batch_tag")),
-        buckets, "content_hash")
+    if (!exists || !graft.sources.IncrementalIndex.hasTag(spec, tag))
+      graft.sources.IncrementalIndex.append(spark, spec,
+        out.select(col(idCol).as("id"), col("content_hash"),
+          lit(tag).as("batch_tag"),
+          hpOf(col("content_hash")).as("hp")), tag)
+    inBatch.unpersist(false)
     out.drop("content_hash")
   }
 
@@ -571,54 +599,37 @@ object Dedup {
   private def freshTag(): String =
     s"auto_${System.nanoTime()}_${tagCounter.incrementAndGet()}"
 
-  /** Read the index tolerating PRE-TAG tables — an index persisted by the
-    * earlier untagged format, or one shared with an external writer that
-    * does not stamp tags. A missing `batch_tag` column reads as null, and
-    * the probes' null-safe `!(batch_tag <=> tag)` then treats every such
-    * row as FOREIGN (probed against) — exactly the legacy semantics,
-    * instead of an unresolved-column failure on upgrade. */
-  private def readIndex(spark: org.apache.spark.sql.SparkSession,
-                        table: String): DataFrame = {
-    val t = spark.table(table)
-    if (t.columns.contains("batch_tag")) t
-    else t.withColumn("batch_tag", lit(null).cast("string"))
+  /** Partition prefix of a hex-hash column: first two chars with a
+    * letter sentinel ("h3f"), 256 values. The sentinel keeps hive
+    * partition-type inference from reading all-digit prefixes back as
+    * integers (which would silently break the string isin pruning). */
+  private def hpOf(hashCol: Column): Column =
+    concat(lit("h"), substring(hashCol, 1, 2))
+
+  /** Directory spec of a named incremental-dedup index — app-scoped like
+    * [[Bucketing]]'s warehouse, partitioned by the `hp` hash prefix. */
+  private def indexSpec(spark: org.apache.spark.sql.SparkSession,
+                        name: String)
+  : graft.sources.IncrementalIndex.Spec = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad index name: $name")
+    graft.sources.IncrementalIndex.Spec(
+      s"/tmp/graft-warehouse/apps/" +
+        s"${spark.sparkContext.applicationId}/dedup_idx",
+      name, Some("hp"))
   }
 
-  /** Append `rows` (which carry batch_tag) to the index, dropping the tag
-    * column when appending to a legacy untagged table so the schemas
-    * match. Legacy indexes therefore keep working but WITHOUT replay
-    * idempotency (the pre-tag behavior); rebuild the index to upgrade. */
-  private def appendIndex(spark: org.apache.spark.sql.SparkSession,
-                          table: String, exists: Boolean, rows: DataFrame,
-                          buckets: Int, bucketCol: String): Unit = {
-    val legacy = exists && !spark.table(table).columns.contains("batch_tag")
-    val toWrite = if (legacy) rows.drop("batch_tag") else rows
-    toWrite.write.mode("append").bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol).format("parquet").saveAsTable(table)
-  }
-
-  /** Is a batch tag already in the index? One pushdown-filtered probe —
-    * duplicate tag rows would not change the ANY/anti-join probe
-    * semantics, but skipping keeps replays byte-idempotent and the index
-    * from growing per retry. A legacy untagged index never contains the
-    * tag (no idempotency to preserve there). */
-  private def tagPresent(spark: org.apache.spark.sql.SparkSession,
-                         table: String, tag: String): Boolean = {
-    val t = spark.table(table)
-    t.columns.contains("batch_tag") &&
-      !t.filter(col("batch_tag") === tag).limit(1).isEmpty
-  }
-
-  /** Cross-batch incremental NEAR-dup over a persisted band-bucketed
-    * MinHash signature index — the continuous-ingestion analog of
-    * [[incrementalExact]] for near-duplicates.
+  /** Cross-batch incremental NEAR-dup over a persisted band-key
+    * partitioned MinHash signature index — the continuous-ingestion
+    * analog of [[incrementalExact]] for near-duplicates, on the same
+    * [[graft.sources.IncrementalIndex]] lifecycle (prefix-pruned probe,
+    * broadcast batch side, [[retireFromIndex]]/[[compactIndex]]).
     *
-    * A new batch computes signatures once, probes the index by LSH band
-    * key (equi-join co-located on the bucketed key — only the batch's own
-    * band keys are read, the corpus is never re-scanned), and drops docs
-    * whose signature agreement with any indexed doc — or with a
-    * SMALLER-id doc of the same batch — reaches `minAgree`. Survivors'
-    * band rows append to the index.
+    * A new batch computes signatures once, probes the index pruned to
+    * the batch's band-key prefixes (directory pruning — the accumulated
+    * index is never re-scanned whole), and drops docs whose signature
+    * agreement with any indexed doc — or with a SMALLER-id doc of the
+    * same batch — reaches `minAgree`. Survivors' band rows append to
+    * the index.
     *
     * Within-batch semantics are pairwise-greedy (a doc drops iff some
     * smaller-id batch doc band-matches it at ≥ minAgree, whether or not
@@ -632,8 +643,8 @@ object Dedup {
                          batch: DataFrame, textCol: String, idCol: String,
                          indexName: String, k: Int = 3, bands: Int = 4,
                          rowsPerBand: Int = 2, minAgree: Double = 1.0,
-                         buckets: Int = 32,
-                         batchTag: Option[String] = None): DataFrame = {
+                         batchTag: Option[String] = None,
+                         broadcastProbeMax: Long = 4000000L): DataFrame = {
     val tag = batchTag.getOrElse(freshTag())
     val seeds = bands * rowsPerBand
     // signature + band keys in ONE projection: the native kernels hash each
@@ -650,6 +661,7 @@ object Dedup {
     val ex = batch.select(col(idCol), sigExpr.as("sig"))
       .select(col(idCol), col("sig"), explode(bandArr).as("bkey"))
       .persist()
+    val nEx = ex.count() // materializes; sizes the probe shape
     def agrees(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), v => v))
         .cast("double") / lit(seeds.toDouble) >= lit(minAgree)
@@ -660,34 +672,73 @@ object Dedup {
       .filter(col("__oid") < col(idCol) &&
         agrees(col("sig"), col("__osig")))
       .select(col(idCol))
-    val table = Bucketing.indexTable(spark, indexName)
-    val exists = spark.catalog.tableExists(table)
+    val spec = indexSpec(spark, indexName)
+    val exists = graft.sources.IncrementalIndex.exists(spec)
     val vsIndex =
-      if (exists)
-        ex.join(readIndex(spark, table)
-            .filter(!(col("batch_tag") <=> lit(tag)))
-            .hint("MERGE")
-            .select(col("bkey"), col("sig").as("__osig")), "bkey")
+      if (exists) {
+        val prefixes = ex.select(hpOf(md5(col("bkey"))).as("hp"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val idx = graft.sources.IncrementalIndex
+          .load(spark, spec, "id", Some(col("hp").isin(prefixes: _*)))
+          .filter(!(col("batch_tag") <=> lit(tag)))
+          .select(col("bkey"), col("sig").as("__osig"))
+        val bex = ex.select(col(idCol), col("sig"), col("bkey"))
+        val probe = if (nEx <= broadcastProbeMax) broadcast(bex) else bex
+        // index side streams map-side against the broadcast batch — no
+        // shuffle and no sort of the accumulated index, ever
+        idx.join(probe, "bkey")
           .filter(agrees(col("sig"), col("__osig")))
           .select(col(idCol))
-      else ex.select(col(idCol)).limit(0)
+      } else ex.select(col(idCol)).limit(0)
     val dupIds = inBatch.unionAll(vsIndex).distinct()
     val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
     val out = Checkpoints.eager(fresh) // materialize BEFORE the append
-    if (!exists || !tagPresent(spark, table, tag))
-      appendIndex(spark, table, exists,
+    if (!exists || !graft.sources.IncrementalIndex.hasTag(spec, tag))
+      graft.sources.IncrementalIndex.append(spark, spec,
         ex.join(out.select(col(idCol)), Seq(idCol))
-          .select(col("bkey"), col("sig"), lit(tag).as("batch_tag")),
-        buckets, "bkey")
+          .select(col(idCol).as("id"), col("bkey"), col("sig"),
+            lit(tag).as("batch_tag"), hpOf(md5(col("bkey"))).as("hp")),
+        tag)
     ex.unpersist(false)
     out
   }
 
-  /** Drop an incremental-dedup hash index (catalog entry AND files — the
-    * in-memory catalog is session-scoped, the warehouse files are not). */
+  /** Tombstone `ids`' rows out of an incremental-dedup index (exact or
+    * minhash): the retired docs stop suppressing new duplicates at the
+    * very next probe (the load subtracts tombstones), and leave the
+    * files physically at the next [[compactIndex]]. Tag-idempotent like
+    * the append. The daily-pipeline shape: retire yesterday's dropped
+    * docs, append today's crawl, compact on the weekend. */
+  def retireFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexName: String, ids: DataFrame, idCol: String,
+                      batchTag: String): Unit =
+    graft.sources.IncrementalIndex.delete(spark, indexSpec(spark, indexName),
+      ids.select(col(idCol).as("id")), "id", batchTag)
+
+  /** Fold tombstones in and merge per-batch append dust — the crash-safe
+    * two-rename swap shared with the IVF/text/json indexes. Re-appending
+    * a previously-retired id requires the compact first (tombstones
+    * filter by id until then). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexName: String): Unit =
+    graft.sources.IncrementalIndex.compact(spark, indexSpec(spark, indexName),
+      "id")
+
+  /** Live rows of an incremental-dedup index (appends minus tombstones):
+    * (id, content_hash | bkey+sig, batch_tag, hp). Inspection/audit
+    * surface — the probes inside [[incrementalExact]]/
+    * [[incrementalMinHash]] read the same view pruned to the batch's
+    * prefixes. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                indexName: String): DataFrame =
+    graft.sources.IncrementalIndex.load(spark, indexSpec(spark, indexName),
+      "id")
+
+  /** Drop an incremental-dedup hash index — live dir, tag markers,
+    * tombstones, and any in-flight compaction state. */
   def dropIndex(spark: org.apache.spark.sql.SparkSession,
                 indexName: String): Unit =
-    Bucketing.dropTable(spark, Bucketing.indexTable(spark, indexName))
+    graft.sources.IncrementalIndex.drop(indexSpec(spark, indexName))
 
   /** C4-style span-level exact dedup: chunk each document into consecutive
     * non-overlapping k-token spans (trailing partial span included), keep

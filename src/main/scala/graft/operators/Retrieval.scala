@@ -45,6 +45,80 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Per-group [[rrfFuse]]: every input holds (byCol, idCol, rank) with
+    * rank 1-based WITHIN its byCol group (one group per query of a
+    * batch); fusion, ranking, and the top-k cut all happen per group in
+    * one pass — N queries cost one job wave, not N. */
+  def rrfFuseBy(rankings: Seq[(String, DataFrame)], idCol: String,
+                byCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && k0 >= 0, s"bad k=$k / k0=$k0")
+    val renamed = rankings.map { case (name, df) =>
+      df.select(col(byCol), col(idCol),
+        col("rank").cast("int").as(s"${name}_rank"))
+    }
+    val joined = renamed.reduce(_.join(_, Seq(byCol, idCol), "full_outer"))
+    val score = rankings.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(k0) + col(s"${name}_rank")), lit(0.0))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col("rrf").desc, col(idCol))
+    joined.withColumn("rrf", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** BATCH hybrid retrieval: fuse a whole frame of queries —
+    * (queryIdCol, termsCol: array&lt;string&gt;, qvecCol:
+    * array&lt;float&gt;) — against one corpus in ONE pass per ranker
+    * (the service shape; [[hybridTopK]] is the single-query oracle
+    * tier). Corpus statistics (postings, BM25 weights, doc count) are
+    * computed once and shared by every query; the query frame
+    * broadcasts; per-query ranking is a window partitioned by query id
+    * (WindowGroupLimit bounds it to nPerRanker per group before any full
+    * sort). Output: (queryIdCol, idCol, lex_rank, dense_rank, rrf,
+    * rank ≤ k) — embarrassingly parallel across queries, exactly one
+    * job wave over the corpus per ranker.
+    *
+    * Scale: the dense tier here is the brute one-pass baseline
+    * (corpus × N scored map-side off a broadcast query frame, then the
+    * grouped top-n cut); swap in [[Similarity.ivfTopKWith]] per cell for
+    * the IVF-pruned path when N × corpus stops fitting a wave. */
+  def hybridTopKBatch(docs: DataFrame, emb: DataFrame, idCol: String,
+                      textCol: String, vecCol: String, queries: DataFrame,
+                      queryIdCol: String = "query_id",
+                      termsCol: String = "terms", qvecCol: String = "qvec",
+                      k: Int = 10, k0: Int = 60, nPerRanker: Int = 100)
+  : DataFrame = {
+    val postings = docs.select(col(idCol),
+      explode(TA.tokens(col(textCol))).as("token"))
+    val nDocs = docs.count() // once per BATCH, shared by all queries
+    val qTerms = queries.select(col(queryIdCol),
+      explode(col(termsCol)).as("token"))
+    val lexW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    val lex = HybridTable.bm25(postings, idCol, nDocs)
+      .join(broadcast(qTerms), "token")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("bm25")), 6).as("score"))
+      .withColumn("rank", row_number().over(lexW))
+      .filter(col("rank") <= nPerRanker)
+      .select(col(queryIdCol), col(idCol), col("rank"))
+    val denseW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    val dense = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(queries.select(col(queryIdCol), col(qvecCol))))
+      .select(col(queryIdCol), col(idCol),
+        round(try_divide(Vectors.dot(col(vecCol), col(qvecCol)),
+          Vectors.norm2(col(vecCol)) * Vectors.norm2(col(qvecCol))), 6)
+          .as("cos"))
+      .filter(col("cos").isNotNull) // zero-norm guard, as in hybridTopK
+      .withColumn("rank", row_number().over(denseW))
+      .filter(col("rank") <= nPerRanker)
+      .select(col(queryIdCol), col(idCol), col("rank"))
+    rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
+  }
+
   /** Single-query hybrid top-k over an aligned (documents, embeddings)
     * pair: BM25 of `queryTerms` (summed over terms) fused with cosine
     * against `queryVec`. `nPerRanker` bounds each ranked list before

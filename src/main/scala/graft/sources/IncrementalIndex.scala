@@ -115,16 +115,37 @@ object IncrementalIndex {
       .write.mode("overwrite").parquet(s"${s.tombsDir}/tag=$batchTag")
   }
 
-  /** Live rows: base + appends minus tombstoned ids. */
-  def load(spark: SparkSession, s: Spec, idCol: String): DataFrame = {
+  /** Live rows: base + appends minus tombstoned ids. `prune`, when set,
+    * filters immediately over the scan — a predicate on `partitionCol`
+    * becomes hive-style DIRECTORY pruning (only the matching `col=value`
+    * subdirs are listed and read), the lever that keeps an incremental
+    * probe from re-reading the whole accumulated index. */
+  def load(spark: SparkSession, s: Spec, idCol: String,
+           prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     recover(s)
-    val all = spark.read.parquet(s.liveDir)
+    val base = spark.read.parquet(s.liveDir)
+    val all = prune.fold(base)(base.filter)
     val tombs = new java.io.File(s.tombsDir)
     if (!tombs.isDirectory || tombs.listFiles().isEmpty) all
     else all.join(
       broadcast(spark.read.parquet(s.tombsDir).select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
   }
+
+  /** Has `batchTag`'s append already committed? O(1) marker-file check —
+    * the probe-side twin of [[append]]'s idempotency. */
+  def hasTag(s: Spec, batchTag: String): Boolean =
+    new java.io.File(s"${s.tagsDir}/$batchTag").isFile
+
+  /** Does the index exist on disk (any committed append)? */
+  def exists(s: Spec): Boolean =
+    new java.io.File(s.liveDir).isDirectory
+
+  /** Remove the whole index: live dir, markers, tombstones, and any
+    * in-flight staging/compaction state. */
+  def drop(s: Spec): Unit =
+    Seq(s.liveDir, s.tagsDir, s.tombsDir, s.tmpDir, s.retiringDir,
+      s.stagingRoot).foreach(rmTree)
 
   /** Fold tombstones in + merge append dust; crash-safe, replayable. */
   def compact(spark: SparkSession, s: Spec, idCol: String): Unit = {

@@ -89,7 +89,7 @@ object Streams {
   def nearDedupSink(docs: DataFrame, textCol: String, idCol: String,
                     indexName: String, minAgree: Double = 1.0,
                     k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                    buckets: Int = 32, streamTag: Option[String] = None)
+                    streamTag: Option[String] = None)
                    (handler: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val instance = streamTag.getOrElse(freshStreamTag())
@@ -101,7 +101,7 @@ object Streams {
       val prior = graft.operators.Checkpoints.liveIds
       handler(graft.operators.Dedup.incrementalMinHash(
         batch.sparkSession, batch, textCol, idCol, indexName,
-        k, bands, rowsPerBand, minAgree, buckets,
+        k, bands, rowsPerBand, minAgree,
         batchTag = Some(s"${instance}_$batchId")))
       graft.operators.Checkpoints.sweepOnly(prior)
     }
@@ -173,7 +173,7 @@ object Streams {
     * idempotency contract, shared with batch ingestion on the same
     * index. */
   def exactDedupSink(docs: DataFrame, textCol: String, idCol: String,
-                     indexName: String, buckets: Int = 32,
+                     indexName: String,
                      streamTag: Option[String] = None)
                     (handler: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
@@ -181,7 +181,7 @@ object Streams {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val prior = graft.operators.Checkpoints.liveIds // see nearDedupSink
       handler(graft.operators.Dedup.incrementalExact(
-        batch.sparkSession, batch, textCol, idCol, indexName, buckets,
+        batch.sparkSession, batch, textCol, idCol, indexName,
         batchTag = Some(s"${instance}_$batchId")))
       graft.operators.Checkpoints.sweepOnly(prior)
     }

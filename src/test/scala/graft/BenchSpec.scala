@@ -30,10 +30,17 @@ class BenchSpec extends AnyFunSuite {
     val got = Bench.parsePriorQueries(truncated)
     assert(got("q_a") == 0.5 && got("q_b") == 1.9)
     assert(Bench.parsePriorQueries("not json") == Map.empty)
-    // the driver's wrapper format: pairs escaped inside a "tail" string
+    // the driver's wrapper format: the queries block escaped inside a
+    // "tail" string
     val wrapped =
-      """{"n":4,"tail":"_lag\":0.38,\"q_a\":0.5,\"q_b\":1.9,\"q_c\":2"}"""
+      """{"n":4,"tail":"...\"queries\":{\"q_a\":0.5,\"q_b\":1.9,\"q_c\":2"}"""
     val w = Bench.parsePriorQueries(wrapped)
     assert(w("q_a") == 0.5 && w("q_b") == 1.9)
+    // pairs OUTSIDE the queries block (gc_ms, shuffle_bytes) must NOT
+    // overwrite the suite seconds — round 10's isolated re-timer missed a
+    // 26.7× move because a query's "prior" was silently its shuffle bytes
+    val blocks =
+      """{"queries":{"q_a":0.5},"gc_ms":{"q_a":2000},"shuffle_bytes":{"q_a":123456}}"""
+    assert(Bench.parsePriorQueries(blocks) == Map("q_a" -> 0.5))
   }
 }

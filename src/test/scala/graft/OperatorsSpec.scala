@@ -558,11 +558,13 @@ class OperatorsSpec extends SparkSpec {
       minAgree = 0.75)
     assert(out3.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(21L))
-    // the index is a bucketed table (co-located probes)
-    import graft.operators.Bucketing
-    val t = Bucketing.indexTable(s, "tincn")
-    assert(s.catalog.tableExists(t))
+    // the index is a prefix-partitioned directory (pruned probes)
+    val dir = new java.io.File(s"/tmp/graft-warehouse/apps/" +
+      s"${s.sparkContext.applicationId}/dedup_idx/tincn")
+    assert(dir.isDirectory &&
+      dir.listFiles().exists(_.getName.startsWith("hp=h")))
     Dedup.dropIndex(s, "tincn")
+    assert(!dir.isDirectory)
   }
 
   test("Vocab.build: deterministic tie order, rank dense, minCount floor") {
@@ -1982,7 +1984,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("incrementalExact dedups across batches via the persisted index " +
-    "and within a batch, and the index is bucketed") {
+    "and within a batch, and the index is prefix-partitioned") {
     val s = spark
     import s.implicits._
     Dedup.dropIndex(s, "spec_inc")
@@ -2001,34 +2003,63 @@ class OperatorsSpec extends SparkSpec {
       val b3 = Seq((20L, "cc"), (21L, "dd")).toDF("id", "text")
       val s3 = Dedup.incrementalExact(s, b3, "text", "id", "spec_inc")
       assert(s3.collect().map(_.getLong(0)).toSet == Set(21L))
-      // index accumulated one hash per unique text, in a bucketed table
-      val table = operators.Bucketing.indexTable(s, "spec_inc")
-      assert(s.table(table).count() == 4) // aa bb cc dd
-      val desc = s.sql(s"DESCRIBE EXTENDED $table").collect().map(_.mkString)
-      assert(desc.exists(_.contains("Num Buckets")), desc.mkString("\n"))
+      // index accumulated one hash per unique text, in a hive-partitioned
+      // directory keyed by the letter-sentinel hash prefix
+      val dir = new java.io.File(s"/tmp/graft-warehouse/apps/" +
+        s"${s.sparkContext.applicationId}/dedup_idx/spec_inc")
+      val idx = s.read.parquet(dir.getPath)
+      assert(idx.count() == 4) // aa bb cc dd
+      assert(idx.columns.toSet == Set("id", "content_hash", "batch_tag",
+        "hp"))
+      assert(dir.listFiles().forall(f => f.getName.startsWith("hp=h") ||
+        f.getName.startsWith("_")))
+      // the pruned probe plan touches only the batch's prefix dirs: a
+      // one-row batch prunes the partition count in the scan
+      val hp = "h" + Seq("aa").toDF("t")
+        .select(md5(col("t"))).head().getString(0).substring(0, 2)
+      // input_file_name over the EXECUTED scan (inputFiles on the frame
+      // reports the relation pre-pushdown): only hp=<prefix> files read
+      val readFiles = s.read.parquet(dir.getPath)
+        .filter(col("hp") === hp)
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(readFiles.nonEmpty && readFiles.forall(_.contains(s"hp=$hp")),
+        readFiles.mkString(", "))
     } finally Dedup.dropIndex(s, "spec_inc")
   }
 
-  test("incrementalExact tolerates a LEGACY untagged index: rows probe as " +
-    "foreign, append matches the old schema, no unresolved-column failure") {
+  test("incremental dedup index lifecycle: retire frees content for " +
+    "re-index, compact folds tombstones, replayed appends no-op") {
     val s = spark
     import s.implicits._
-    Dedup.dropIndex(s, "spec_legacy")
+    Dedup.dropIndex(s, "spec_lc")
     try {
-      // simulate an index persisted by the pre-batch_tag format (or an
-      // external writer): content_hash only
-      val table = operators.Bucketing.indexTable(s, "spec_legacy")
-      Seq("aa", "bb").toDF("text").select(md5(col("text")).as("content_hash"))
-        .write.bucketBy(4, "content_hash").sortBy("content_hash")
-        .format("parquet").saveAsTable(table)
-      val b = Seq((1L, "aa"), (2L, "cc")).toDF("id", "text")
-      val out = Dedup.incrementalExact(s, b, "text", "id", "spec_legacy", 4)
-      // legacy rows are treated as foreign: "aa" drops, "cc" survives
-      assert(out.collect().map(_.getLong(0)).toSet == Set(2L))
-      // the append matched the legacy schema (no batch_tag column added)
-      assert(s.table(table).columns.toSeq == Seq("content_hash"))
-      assert(s.table(table).count() == 3) // aa bb cc
-    } finally Dedup.dropIndex(s, "spec_legacy")
+      val b1 = Seq((1L, "aa"), (2L, "bb")).toDF("id", "text")
+      Dedup.incrementalExact(s, b1, "text", "id", "spec_lc",
+        batchTag = Some("t1"))
+      // "aa" indexed: a new doc with the same content drops
+      val b2 = Seq((10L, "aa"), (11L, "cc")).toDF("id", "text")
+      assert(Dedup.incrementalExact(s, b2, "text", "id", "spec_lc",
+        batchTag = Some("t2")).collect().map(_.getLong(0)).toSet == Set(11L))
+      // retire doc 1 (its "aa" hash row): tombstone visible immediately
+      Dedup.retireFromIndex(s, "spec_lc", Seq(1L).toDF("id"), "id", "d1")
+      val b3 = Seq((20L, "aa")).toDF("id", "text")
+      assert(Dedup.incrementalExact(s, b3, "text", "id", "spec_lc",
+        batchTag = Some("t3")).count() == 1L, "retired content must re-index")
+      // compact: physical removal; double compact harmless
+      Dedup.compactIndex(s, "spec_lc")
+      Dedup.compactIndex(s, "spec_lc")
+      val dir = s"/tmp/graft-warehouse/apps/" +
+        s"${s.sparkContext.applicationId}/dedup_idx/spec_lc"
+      val idx = s.read.parquet(dir)
+      // rows: bb(2), cc(11), aa(20) — doc 1's row gone
+      assert(idx.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(2L, 11L, 20L))
+      // replayed append (marker survives compaction) still no-ops: the
+      // t2 batch re-runs and returns the same survivors
+      assert(Dedup.incrementalExact(s, b2, "text", "id", "spec_lc",
+        batchTag = Some("t2")).collect().map(_.getLong(0)).toSet == Set(11L))
+      assert(s.read.parquet(dir).count() == 3L)
+    } finally Dedup.dropIndex(s, "spec_lc")
   }
 
   test("Curation.annotate flags each filter independently and keep is " +
@@ -2310,6 +2341,47 @@ class OperatorsSpec extends SparkSpec {
       .rrfFuse(Seq("lex" -> lex2, "dense" -> dense2), "doc_id", k = 2)
       .orderBy("rank").collect()
     assert(tied.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 5L))
+  }
+
+  test("rrfFuseBy: per-group fusion, ranks and cuts independent per query") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1), (2L, 40L, 1), (2L, 30L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.operators.Retrieval
+      .rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), "doc_id", "query_id",
+        k = 2, k0 = 60)
+      .orderBy("query_id", "rank").collect()
+    // q1: doc 20 in both lists wins over lex-only doc 10; q2: doc 30 in
+    // both (ranks 1+2) beats dense-only doc 40 — groups never mix
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(5))).toSeq ==
+      Seq((1L, 20L, 1), (1L, 10L, 2), (2L, 30L, 1), (2L, 40L, 2)))
+    val q2top = out(2)
+    assert(math.abs(q2top.getAs[Double]("rrf") -
+      (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    // batch = per-query single-query equivalence: each query of the
+    // batch fuses exactly as its standalone hybridTopK run
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0f, 1f))).toDF("doc_id", "embedding")
+    val queries = Seq((100L, Seq("alpha"), Seq(1f, 0f)),
+      (200L, Seq("delta"), Seq(0f, 1f))).toDF("query_id", "terms", "qvec")
+    val batch = graft.operators.Retrieval.hybridTopKBatch(
+      docs, emb, "doc_id", "text", "embedding", queries, k = 3)
+    for ((qid, terms, qv) <- Seq((100L, Seq("alpha"), Seq(1f, 0f)),
+        (200L, Seq("delta"), Seq(0f, 1f)))) {
+      val single = graft.operators.Retrieval.hybridTopK(docs, emb,
+          "doc_id", "text", "embedding", terms, qv, k = 3)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val part = batch.filter(col("query_id") === qid)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(part == single, s"query $qid: batch $part vs single $single")
+    }
   }
 
   test("slidingChunks: overlap, short tail, empty docs emit nothing") {

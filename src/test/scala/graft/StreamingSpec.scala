@@ -255,7 +255,7 @@ class StreamingSpec extends SparkSpec {
       val mem = MemoryStream[(Long, String)]
       val df = mem.toDF().toDF("doc_id", "text")
       val q = Streams.nearDedupSink(df, "text", "doc_id", "tstream",
-        minAgree = 0.75, buckets = 4) { out =>
+        minAgree = 0.75) { out =>
         survivors ++= out.select("doc_id").collect().map(_.getLong(0))
       }.start()
       mem.addData(data: _*)
@@ -331,7 +331,7 @@ class StreamingSpec extends SparkSpec {
     val streamSurvivors = scala.collection.mutable.ArrayBuffer.empty[Long]
     val mem = MemoryStream[(Long, String)]
     val q = Streams.exactDedupSink(mem.toDF().toDF("doc_id", "text"),
-      "text", "doc_id", "tpar_s", buckets = 4) { out =>
+      "text", "doc_id", "tpar_s") { out =>
       streamSurvivors ++= out.select("doc_id").collect().map(_.getLong(0))
     }.start()
     batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
@@ -346,7 +346,7 @@ class StreamingSpec extends SparkSpec {
       "identical survivors, index does not grow (at-least-once retry)") {
     val s = spark
     import s.implicits._
-    import graft.operators.{Bucketing, Dedup}
+    import graft.operators.Dedup
     Dedup.dropIndex(s, "tretry")
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val b1 = Seq(1L -> base).toDF("doc_id", "text")
@@ -355,18 +355,17 @@ class StreamingSpec extends SparkSpec {
       10L -> base.stripPrefix("alpha "),
       11L -> "wholly unrelated text about other things").toDF("doc_id", "text")
     Dedup.incrementalMinHash(s, b1, "text", "doc_id", "tretry",
-      minAgree = 0.75, buckets = 4, batchTag = Some("t_0"))
+      minAgree = 0.75, batchTag = Some("t_0"))
     def attempt(): Seq[Long] =
       Dedup.incrementalMinHash(s, b2, "text", "doc_id", "tretry",
-          minAgree = 0.75, buckets = 4, batchTag = Some("t_1"))
+          minAgree = 0.75, batchTag = Some("t_1"))
         .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
     val first = attempt()
-    val table = Bucketing.indexTable(s, "tretry")
-    val rowsAfterFirst = s.table(table).count()
+    val rowsAfterFirst = Dedup.loadIndex(s, "tretry").count()
     // the retry must not probe against its own survivors (would drop 11)
     // and must not re-append them
     val second = attempt()
-    val rowsAfterSecond = s.table(table).count()
+    val rowsAfterSecond = Dedup.loadIndex(s, "tretry").count()
     assert(first == Seq(11L) && second == first)
     assert(rowsAfterSecond == rowsAfterFirst,
       s"index grew on replay: $rowsAfterFirst -> $rowsAfterSecond")
