@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: per user, step 1 anchors at the EARLIEST matching event;
   * step i (i > 1) matches the earliest event STRICTLY after step i−1
-  * and within `windowSec` of the anchor. Greedy-earliest is the
-  * standard funnel contract — it can miss sequences a later anchor
-  * would catch (documented trade-off of every funnel engine; exhaustive
-  * anchoring is quadratic in events-per-user).
+  * and within the window — which is measured from the ANCHOR
+  * ([[WindowMode.Anchor]], the FUNNEL_COUNT default: the whole funnel
+  * completes within `windowSec` of step 1) or from the PREVIOUS step
+  * ([[WindowMode.PerStep]], the maxStepDuration-style mode: each
+  * consecutive gap is at most `windowSec`, the funnel's total span may
+  * reach (k−1)·windowSec). Greedy-earliest is the standard funnel
+  * contract — it can miss sequences a later anchor would catch
+  * (documented trade-off of every funnel engine; exhaustive anchoring
+  * is quadratic in events-per-user).
   *
   * Scale shape: k steps = k (filter → keyed partial-min aggregation →
   * join on the user key) rounds. Every shuffle is on the user key and
@@ -24,11 +29,21 @@ import org.apache.spark.sql.functions._
   * filters. */
 object Funnel {
 
+  /** Window anchoring mode — see the object doc. */
+  sealed trait WindowMode
+  object WindowMode {
+    /** Every step within `windowSec` of the step-1 anchor (default). */
+    case object Anchor extends WindowMode
+    /** Every step within `windowSec` of the PREVIOUS step. */
+    case object PerStep extends WindowMode
+  }
+
   /** Per-user funnel match: (userCol, t_1 … t_k timestamp-or-null,
     * steps_matched). t_i is null (and counting stops) at the first
     * unreached step. */
   def matchSteps(events: DataFrame, userCol: String, tsCol: String,
-                 steps: Seq[Column], windowSec: Long): DataFrame = {
+                 steps: Seq[Column], windowSec: Long,
+                 mode: WindowMode = WindowMode.Anchor): DataFrame = {
     require(steps.nonEmpty, "need at least one step predicate")
     require(windowSec > 0, s"windowSec must be positive, got $windowSec")
     val user = col(userCol)
@@ -38,10 +53,14 @@ object Funnel {
     val matched = steps.zipWithIndex.drop(1).foldLeft(anchor) {
       case (prev, (pred, i)) =>
         val stepN = i + 1 // 1-based step number
+        val windowFrom = mode match {
+          case WindowMode.Anchor => col("__a")
+          case WindowMode.PerStep => col(s"t_$i")
+        }
         val cand = events.filter(pred)
           .join(prev.select(user, col(s"t_$i"), col("t_1").as("__a")), userCol)
           .filter(ts > col(s"t_$i") &&
-            ts <= col("__a") + expr(s"INTERVAL $windowSec SECOND"))
+            ts <= windowFrom + expr(s"INTERVAL $windowSec SECOND"))
           .groupBy(user).agg(min(ts).as(s"t_$stepN"))
         prev.join(cand, Seq(userCol), "left")
     }
@@ -58,8 +77,9 @@ object Funnel {
     * (FUNNEL_COUNT role). One aggregation over [[matchSteps]]' one-row-
     * per-user output. */
   def count(events: DataFrame, userCol: String, tsCol: String,
-            steps: Seq[Column], windowSec: Long): DataFrame = {
-    val m = matchSteps(events, userCol, tsCol, steps, windowSec)
+            steps: Seq[Column], windowSec: Long,
+            mode: WindowMode = WindowMode.Anchor): DataFrame = {
+    val m = matchSteps(events, userCol, tsCol, steps, windowSec, mode)
     // coalesce: sum over zero matched users is NULL in SQL; the funnel
     // contract (and the COUNT(*)-style oracle) wants 0 at every step.
     val perStep = steps.indices.map { i =>
@@ -72,4 +92,15 @@ object Funnel {
           col(s"n_step_${i + 1}").as("n_users"))): _*)).as("s"))
       .select(col("s.step").as("step"), col("s.n_users").as("n_users"))
   }
+
+  /** FUNNEL_COMPLETE_COUNT role: how many users completed EVERY step —
+    * one row, (n_complete). The last point of [[count]]'s curve without
+    * materializing the curve. */
+  def completeCount(events: DataFrame, userCol: String, tsCol: String,
+                    steps: Seq[Column], windowSec: Long,
+                    mode: WindowMode = WindowMode.Anchor): DataFrame =
+    matchSteps(events, userCol, tsCol, steps, windowSec, mode)
+      .agg(coalesce(sum(
+        when(col("steps_matched") === steps.size, 1L).otherwise(0L)),
+        lit(0L)).as("n_complete"))
 }

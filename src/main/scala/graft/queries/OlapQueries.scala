@@ -574,6 +574,70 @@ object OlapQueries {
              GROUP BY e.user_id))
         ORDER BY step"""))),
 
+    // Per-step-window funnel (the maxStepDuration-style mode upstream
+    // grew): each consecutive gap at most windowSec — step 3's bound is
+    // t_2 + window, not the anchor's t_1 + window. Oracle re-derives the
+    // whole chain under the per-step bound; a tighter 6h window keeps
+    // the two modes observably different on the synthetic events.
+    Q("q_funnel_step_window",
+      (s, d) => graft.operators.Funnel.matchSteps(
+          Tables.events(s, d), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowSec = 21600,
+          mode = graft.operators.Funnel.WindowMode.PerStep)
+        .orderBy(col("user_id")),
+      Some(Par.evOracle("""SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+          CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+               WHEN s2.t_2 IS NOT NULL THEN 2 ELSE 1 END AS INT)
+            AS steps_matched
+        FROM
+          (SELECT user_id, MIN(ts) AS t_1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id) s1
+        LEFT JOIN
+          (SELECT e.user_id, MIN(e.ts) AS t_2 FROM ev e
+           JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                 WHERE event_type = 'view' GROUP BY user_id) a
+             ON e.user_id = a.user_id
+           WHERE e.event_type = 'click' AND e.ts > a.t_1
+             AND e.ts <= a.t_1 + INTERVAL 21600 SECOND
+           GROUP BY e.user_id) s2 ON s1.user_id = s2.user_id
+        LEFT JOIN
+          (SELECT e.user_id, MIN(e.ts) AS t_3 FROM ev e
+           JOIN (SELECT e.user_id, MIN(e.ts) AS t_2 FROM ev e
+                 JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                       WHERE event_type = 'view' GROUP BY user_id) a
+                   ON e.user_id = a.user_id
+                 WHERE e.event_type = 'click' AND e.ts > a.t_1
+                   AND e.ts <= a.t_1 + INTERVAL 21600 SECOND
+                 GROUP BY e.user_id) p
+             ON e.user_id = p.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > p.t_2
+             AND e.ts <= p.t_2 + INTERVAL 21600 SECOND
+           GROUP BY e.user_id) s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id"""))),
+
+    // FUNNEL_COMPLETE_COUNT role: one number — users completing all
+    // three steps within the anchor window.
+    Q("q_funnel_complete",
+      (s, d) => graft.operators.Funnel.completeCount(
+          Tables.events(s, d), "user_id", "ts",
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), windowSec = 86400),
+      Some(Par.evOracle("""SELECT COUNT(*) AS n_complete FROM
+          (SELECT e.user_id FROM ev e
+           JOIN (SELECT e.user_id, MIN(e.ts) AS t_2, MIN(a.t_1) AS t_1
+                 FROM ev e
+                 JOIN (SELECT user_id, MIN(ts) AS t_1 FROM ev
+                       WHERE event_type = 'view' GROUP BY user_id) a
+                   ON e.user_id = a.user_id
+                 WHERE e.event_type = 'click' AND e.ts > a.t_1
+                   AND e.ts <= a.t_1 + INTERVAL 86400 SECOND
+                 GROUP BY e.user_id) p
+             ON e.user_id = p.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > p.t_2
+             AND e.ts <= p.t_1 + INTERVAL 86400 SECOND
+           GROUP BY e.user_id)"""))),
+
     // Session-window aggregation (Spark-superset streaming semantic —
     // the same session_window works unchanged under readStream +
     // watermark): per-user sessions closed by a 30-min silence gap,

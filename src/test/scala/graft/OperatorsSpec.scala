@@ -2259,6 +2259,25 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("step").collect()
     assert(c.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
       Seq((1, 5L), (2, 1L), (3, 1L)))
+    // FUNNEL_COMPLETE_COUNT: only u1 completes all three
+    assert(Funnel.completeCount(ev, "user_id", "ts", steps, 600)
+      .head().getLong(0) == 1L)
+    // per-step window: u4's B at +20min is outside a 10-min ANCHOR
+    // window but INSIDE a 25-min per-step window (gap = 20min); u1's C
+    // at +10min has a 5-min gap from B — both complete under PerStep
+    val ps = Funnel.matchSteps(ev, "user_id", "ts", steps,
+        windowSec = 1500, mode = Funnel.WindowMode.PerStep)
+      .orderBy("user_id").collect()
+    assert(ps.map(r => (r.getLong(0), r.getAs[Int]("steps_matched")))
+      .toMap.apply(4L) == 2)
+    // anchor mode at the same 25-min window: u5's anchor at t0 still
+    // misses (B at +35min > 25min from anchor), but per-step B is only
+    // 5min after the second A — yet greedy anchors at t0, so the gap
+    // from t_1 is 35min; PerStep measures step2 from t_1 too → still 1
+    assert(ps.map(r => (r.getLong(0), r.getAs[Int]("steps_matched")))
+      .toMap.apply(5L) == 1)
+    assert(ps.map(r => (r.getLong(0), r.getAs[Int]("steps_matched")))
+      .toMap.apply(1L) == 3)
   }
 
   test("reservoirPerKey: exact per-key counts, determinism, small groups") {
