@@ -724,6 +724,17 @@ object Dedup {
     graft.sources.IncrementalIndex.compact(spark, indexSpec(spark, indexName),
       "id")
 
+  /** Does a named incremental-dedup index exist on disk? */
+  def indexExists(spark: org.apache.spark.sql.SparkSession,
+                  indexName: String): Boolean =
+    graft.sources.IncrementalIndex.exists(indexSpec(spark, indexName))
+
+  /** Has `batchTag`'s append already committed to the named index? */
+  def indexHasTag(spark: org.apache.spark.sql.SparkSession,
+                  indexName: String, batchTag: String): Boolean =
+    graft.sources.IncrementalIndex.hasTag(indexSpec(spark, indexName),
+      batchTag)
+
   /** Live rows of an incremental-dedup index (appends minus tombstones):
     * (id, content_hash | bkey+sig, batch_tag, hp). Inspection/audit
     * surface — the probes inside [[incrementalExact]]/

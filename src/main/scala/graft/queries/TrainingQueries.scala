@@ -90,6 +90,46 @@ object TrainingQueries {
       buildIvfLifecycle(s, d)
   }
 
+  /** Lifecycle protocol of q_dedup_index_lifecycle's setup phase: fresh
+    * index → append docs &lt; 300 (t1) → retire docs &lt; 50 → double
+    * compact → append dup-content batch t2 → REPLAY t2 (marker no-op). */
+  /** Lifecycle index name keyed by the corpus dir (sf0.001 smoke and
+    * sf0.01 verify runs in one session must not share state). */
+  private def qlcName(d: String): String =
+    "qlc_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def buildDedupLifecycle(s: org.apache.spark.sql.SparkSession,
+                                  d: String): Unit = {
+    import graft.operators.Dedup
+    Dedup.dropIndex(s, qlcName(d))
+    val docs = Tables.documents(s, d)
+    val b1 = docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    Dedup.incrementalExact(s, b1, "text", "doc_id", qlcName(d),
+      batchTag = Some("t1"))
+    // retire docs < 50: their content is re-admitted from here on
+    Dedup.retireFromIndex(s, qlcName(d),
+      docs.filter(col("doc_id") < 50).select(col("doc_id")),
+      "doc_id", "d1")
+    Dedup.compactIndex(s, qlcName(d))
+    Dedup.compactIndex(s, qlcName(d)) // double compact is a no-op rewrite
+    val b2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    Dedup.incrementalExact(s, b2, "text", "doc_id", qlcName(d),
+      batchTag = Some("t2"))
+    // replay of t2: marker makes the append a no-op
+    Dedup.incrementalExact(s, b2, "text", "doc_id", qlcName(d),
+      batchTag = Some("t2"))
+  }
+
+  private def ensureDedupLifecycle(s: org.apache.spark.sql.SparkSession,
+                                   d: String): Unit =
+    if (!graft.operators.Dedup.indexExists(s, qlcName(d)) ||
+        !graft.operators.Dedup.indexHasTag(s, qlcName(d), "t2"))
+      buildDedupLifecycle(s, d)
+
   /** IVF-PQ coarse cells + codebook for q_ann_ivfpq, memoized per corpus
     * dir: training runs once in setup= (timed separately); the measured
     * run encodes and probes with the held constants (driver cost:
@@ -2712,6 +2752,7 @@ object TrainingQueries {
     Q("q_dedup_index_lifecycle",
       (s, d) => {
         import graft.operators.Dedup
+        ensureDedupLifecycle(s, d) // no-op when setup already built it
         val docs = Tables.documents(s, d)
         val b3 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
           .select(col("doc_id"), col("text"))
@@ -2719,9 +2760,9 @@ object TrainingQueries {
             .select((col("doc_id") + 300000).as("doc_id"), col("text")))
         // index size BEFORE this probe's own append — excluding the t3
         // tag keeps re-runs (bench re-timing) byte-identical
-        val nIdx = Dedup.loadIndex(s, "qlc")
+        val nIdx = Dedup.loadIndex(s, qlcName(d))
           .filter(!(col("batch_tag") <=> lit("t3"))).count()
-        Dedup.incrementalExact(s, b3, "text", "doc_id", "qlc",
+        Dedup.incrementalExact(s, b3, "text", "doc_id", qlcName(d),
             batchTag = Some("t3"))
           .select(col("doc_id"), lit(nIdx).as("n_index_rows"))
           .orderBy(col("doc_id"))
@@ -2750,30 +2791,7 @@ object TrainingQueries {
         SELECT doc_id, (SELECT COUNT(*) FROM idx2) AS n_index_rows
         FROM s3 WHERE rn = 1 AND h NOT IN (SELECT h FROM idx2)
         ORDER BY doc_id"""),
-      setup = Some((s, d) => {
-        import graft.operators.Dedup
-        Dedup.dropIndex(s, "qlc")
-        val docs = Tables.documents(s, d)
-        val b1 = docs.filter(col("doc_id") < 300)
-          .select(col("doc_id"), col("text"))
-        Dedup.incrementalExact(s, b1, "text", "doc_id", "qlc",
-          batchTag = Some("t1"))
-        // retire docs < 50: their content is re-admitted from here on
-        Dedup.retireFromIndex(s, "qlc",
-          docs.filter(col("doc_id") < 50).select(col("doc_id")),
-          "doc_id", "d1")
-        Dedup.compactIndex(s, "qlc")
-        Dedup.compactIndex(s, "qlc") // double compact is a no-op rewrite
-        val b2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-          .unionAll(docs.filter(col("doc_id") < 50)
-            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-        Dedup.incrementalExact(s, b2, "text", "doc_id", "qlc",
-          batchTag = Some("t2"))
-        // replay of t2: marker makes the append a no-op
-        Dedup.incrementalExact(s, b2, "text", "doc_id", "qlc",
-          batchTag = Some("t2"))
-      })),
+      setup = Some((s, d) => buildDedupLifecycle(s, d))),
 
     // Composed curation stack (language ∧ length ∧ repetition ∧ quality)
     // in ONE codegen pass — the audit view with per-filter verdicts. The

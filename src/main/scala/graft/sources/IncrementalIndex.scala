@@ -76,7 +76,13 @@ object IncrementalIndex {
     val marker = new java.io.File(s"${s.tagsDir}/$batchTag")
     if (marker.isFile) return
     val staging = s"${s.stagingRoot}/$batchTag"
-    val writer = rows.write.mode("overwrite")
+    // co-locate each partition value's rows into one task before the
+    // partitioned write: without this, every (task, partition-value)
+    // pair emits its own file — a 32-task batch over 256 values could
+    // stage thousands of one-row files, and probe-side listing cost
+    // compounds per append. With it, one file per value per append.
+    val staged = s.partitionCol.fold(rows)(c => rows.repartition(col(c)))
+    val writer = staged.write.mode("overwrite")
     s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(staging)
     val liveRoot = Paths.get(s.liveDir)
     Files.createDirectories(liveRoot)
@@ -151,7 +157,9 @@ object IncrementalIndex {
   def compact(spark: SparkSession, s: Spec, idCol: String): Unit = {
     recover(s)
     val live = load(spark, s, idCol)
-    val writer = live.write.mode("overwrite")
+    // one file per partition value after compaction (see append)
+    val staged = s.partitionCol.fold(live)(c => live.repartition(col(c)))
+    val writer = staged.write.mode("overwrite")
     s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(s.tmpDir)
     rmTree(s.retiringDir) // stale from a prior crashed run
     Files.move(Paths.get(s.liveDir), Paths.get(s.retiringDir))
