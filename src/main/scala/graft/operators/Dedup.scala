@@ -599,12 +599,17 @@ object Dedup {
   private def freshTag(): String =
     s"auto_${System.nanoTime()}_${tagCounter.incrementAndGet()}"
 
-  /** Partition prefix of a hex-hash column: first two chars with a
-    * letter sentinel ("h3f"), 256 values. The sentinel keeps hive
-    * partition-type inference from reading all-digit prefixes back as
-    * integers (which would silently break the string isin pruning). */
+  /** Partition prefix of a hex-hash column: first char with a letter
+    * sentinel ("h3"), 16 values. The sentinel keeps hive partition-type
+    * inference from reading all-digit prefixes back as integers (which
+    * would silently break the string isin pruning). 16 is the measured
+    * sweet spot for a micro-batch cadence: each append/compact writes
+    * one file per prefix, so probe-side listing stays O(16 × appends)
+    * while a sparse probe still prunes to 1/16 of the index; at a
+    * petabyte tier widen the prefix to two chars when batch-key fans
+    * stay far below 256. */
   private def hpOf(hashCol: Column): Column =
-    concat(lit("h"), substring(hashCol, 1, 2))
+    concat(lit("h"), substring(hashCol, 1, 1))
 
   /** Directory spec of a named incremental-dedup index — app-scoped like
     * [[Bucketing]]'s warehouse, partitioned by the `hp` hash prefix. */

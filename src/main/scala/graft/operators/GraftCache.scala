@@ -23,8 +23,16 @@ object GraftCache {
 
   /** One entry budget across ALL owners. Entries are whole cached tables
     * (signatures, posting lists, IVF assignments) — the budget bounds how
-    * many such tables a session retains, LRU across operators. */
-  @volatile var globalCapacity: Int = 12
+    * many such tables a session retains, LRU across operators.
+    *
+    * 32 (round 11, was 12): the suite's cached working set outgrew the
+    * old cap — by the 200-gate mark the minhash-pairs entry built early
+    * in the dedup family was evicted before the clusters gates re-read
+    * it ~30 queries later, turning a 0.2 s warm hit into a 10 s cold
+    * rebuild in-suite. Entries are localCheckpointed derived tables
+    * (tens of MB at sf0.1), so the wider cap costs ~low GB against the
+    * 128 GiB heap; the scale pass still clearAll()s before 10×. */
+  @volatile var globalCapacity: Int = 32
 
   private val ownerCaps =
     scala.collection.concurrent.TrieMap.empty[String, Int]

@@ -2016,7 +2016,7 @@ class OperatorsSpec extends SparkSpec {
       // the pruned probe plan touches only the batch's prefix dirs: a
       // one-row batch prunes the partition count in the scan
       val hp = "h" + Seq("aa").toDF("t")
-        .select(md5(col("t"))).head().getString(0).substring(0, 2)
+        .select(md5(col("t"))).head().getString(0).substring(0, 1)
       // input_file_name over the EXECUTED scan (inputFiles on the frame
       // reports the relation pre-pushdown): only hp=<prefix> files read
       val readFiles = s.read.parquet(dir.getPath)
