@@ -91,12 +91,18 @@ object Bench {
     val fallback = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(_.getName).lastOption
-    explicit.orElse(fallback).filter(_.isFile).fold(Map.empty[String, Double]) {
-      f =>
+    // the official BENCH_r*.json wrapper truncates its tail (round 10's
+    // kept only ~25 pairs), which would starve the outlier re-timer; the
+    // last LOCAL artifact holds the full map, so merge it underneath —
+    // official pairs win where both exist
+    val local = Some(new java.io.File("tools/bench_latest.json"))
+    def parseOf(f: Option[java.io.File]): Map[String, Double] =
+      f.filter(_.isFile).fold(Map.empty[String, Double]) { f =>
         try parsePriorQueries(new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
         catch { case _: Throwable => Map.empty }
-    }
+      }
+    parseOf(local) ++ parseOf(explicit.orElse(fallback))
   }
 
   private def gcMillis(): Long = {
