@@ -568,12 +568,16 @@ object Dedup {
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
     val inBatch = hashed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").persist()
-    val nBatch = inBatch.count() // materializes; sizes the probe shape
+    // ONE job materializes the persist AND yields both probe inputs:
+    // the batch's distinct prefixes (for directory pruning) and its row
+    // count (for the broadcast guard)
+    val perPrefix = inBatch.groupBy(hpOf(col("content_hash")).as("hp"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val nBatch = perPrefix.map(_.getLong(1)).sum
     val exists = graft.sources.IncrementalIndex.exists(spec)
     val fresh =
       if (exists) {
-        val prefixes = inBatch.select(hpOf(col("content_hash")).as("hp"))
-          .distinct().collect().map(_.getString(0)).toSeq
+        val prefixes = perPrefix.map(_.getString(0)).toSeq
         val idx = graft.sources.IncrementalIndex
           .load(spark, spec, "id", Some(col("hp").isin(prefixes: _*)))
           .filter(!(col("batch_tag") <=> lit(tag)))
@@ -666,7 +670,11 @@ object Dedup {
     val ex = batch.select(col(idCol), sigExpr.as("sig"))
       .select(col(idCol), col("sig"), explode(bandArr).as("bkey"))
       .persist()
-    val nEx = ex.count() // materializes; sizes the probe shape
+    // ONE job: materialize the persist + prefix set + row count (see
+    // incrementalExact)
+    val perPrefix = ex.groupBy(hpOf(md5(col("bkey"))).as("hp"))
+      .agg(count(lit(1)).as("__n")).collect()
+    val nEx = perPrefix.map(_.getLong(1)).sum
     def agrees(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), v => v))
         .cast("double") / lit(seeds.toDouble) >= lit(minAgree)
@@ -681,8 +689,7 @@ object Dedup {
     val exists = graft.sources.IncrementalIndex.exists(spec)
     val vsIndex =
       if (exists) {
-        val prefixes = ex.select(hpOf(md5(col("bkey"))).as("hp"))
-          .distinct().collect().map(_.getString(0)).toSeq
+        val prefixes = perPrefix.map(_.getString(0)).toSeq
         val idx = graft.sources.IncrementalIndex
           .load(spark, spec, "id", Some(col("hp").isin(prefixes: _*)))
           .filter(!(col("batch_tag") <=> lit(tag)))

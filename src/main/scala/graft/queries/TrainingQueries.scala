@@ -2269,12 +2269,19 @@ object TrainingQueries {
     // encoder/decoder defect breaks the hash.
     // merge LEARNING is the setup phase (memoized per corpus dir) so the
     // measured number is the encode→decode round-trip it names, not the
-    // distributed merge loop other gates (q_bpe_merges*) already time
+    // distributed merge loop other gates (q_bpe_merges*) already time.
+    // exprChainMax = 0 routes to the broadcast-vocab tier: encode each
+    // DISTINCT word once and broadcast the map, instead of running the
+    // per-character regexp chain on every token occurrence — measured
+    // 5.5 s → 1.1 s on the sf0.1 corpus (the expr tier re-pays the
+    // regex per occurrence; the vocab tier is the corpus-scale path,
+    // falling to a join above broadcastVocabMax distinct words)
     Q("q_bpe_roundtrip",
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.operators.Vocab
-          .bpeEncode(docs, "text", roundtripMerges(s, d), markWordEnd = true)
+          .bpeEncode(docs, "text", roundtripMerges(s, d), markWordEnd = true,
+            exprChainMax = 0)
           .select(col("doc_id"),
             graft.operators.Vocab.bpeDecode(col("subwords")).as("decoded"))
           .orderBy(col("doc_id"))
@@ -2288,7 +2295,11 @@ object TrainingQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val merges = graft.operators.Vocab.bpeMerges(docs, "text", n = 3)
-        graft.operators.Vocab.bpeEncode(docs, "text", merges)
+          .orderBy("round").collect().toSeq
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+        // broadcast-vocab tier — see q_bpe_roundtrip's measurement
+        graft.operators.Vocab.bpeEncode(docs, "text", merges,
+          exprChainMax = 0)
           .select(col("doc_id"),
             size(col("subwords")).as("n_subwords"),
             array_join(col("subwords"), " ").as("subtext"))
