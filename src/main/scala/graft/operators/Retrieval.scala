@@ -90,20 +90,8 @@ object Retrieval {
                       termsCol: String = "terms", qvecCol: String = "qvec",
                       k: Int = 10, k0: Int = 60, nPerRanker: Int = 100)
   : DataFrame = {
-    val postings = docs.select(col(idCol),
-      explode(TA.tokens(col(textCol))).as("token"))
-    val nDocs = docs.count() // once per BATCH, shared by all queries
-    val qTerms = queries.select(col(queryIdCol),
-      explode(col(termsCol)).as("token"))
-    val lexW = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(idCol))
-    val lex = HybridTable.bm25(postings, idCol, nDocs)
-      .join(broadcast(qTerms), "token")
-      .groupBy(col(queryIdCol), col(idCol))
-      .agg(round(sum(col("bm25")), 6).as("score"))
-      .withColumn("rank", row_number().over(lexW))
-      .filter(col("rank") <= nPerRanker)
-      .select(col(queryIdCol), col(idCol), col("rank"))
+    val lex = lexRankedBatch(docs, idCol, textCol, queries, queryIdCol,
+      termsCol, nPerRanker)
     val denseW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos").desc, col(idCol))
     val dense = emb.select(col(idCol), col(vecCol))
@@ -117,6 +105,87 @@ object Retrieval {
       .filter(col("rank") <= nPerRanker)
       .select(col(queryIdCol), col(idCol), col("rank"))
     rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
+  }
+
+  /** [[hybridTopKBatch]] with the dense tier IVF-PRUNED: corpus vectors
+    * assign once to the supplied coarse `cells` (argmin over the
+    * scaled-long distance — one codegen projection, zero shuffle; ties
+    * break to the lowest cell like the ANN tiers), each query probes its
+    * `nProbe` nearest cells, and only those cells' candidates score —
+    * per query the scan touches ~nProbe/nCells of the corpus instead of
+    * all of it. This is the scale path the brute batch tier documents:
+    * at 100 TB the assignment is the persisted cell-partitioned IVF
+    * layout ([[Similarity.persistIvfIndex]]) and the probe join prunes
+    * to cell directories. `cells` from [[Similarity.ivfCellsSeeded]]
+    * (deterministic, oracle-replayable) or [[Similarity.ivfCellsLloyd]]
+    * (quality mode) — identical plan, different constants. */
+  def hybridTopKBatchIvf(docs: DataFrame, emb: DataFrame, idCol: String,
+                         textCol: String, vecCol: String,
+                         queries: DataFrame, cells: Array[Array[Float]],
+                         nProbe: Int, queryIdCol: String = "query_id",
+                         termsCol: String = "terms",
+                         qvecCol: String = "qvec", k: Int = 10,
+                         k0: Int = 60, nPerRanker: Int = 100): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells.length,
+      s"nProbe $nProbe not in [1, ${cells.length}]")
+    require(vecCol != qvecCol,
+      "corpus and query vector columns must have distinct names")
+    val lex = lexRankedBatch(docs, idCol, textCol, queries, queryIdCol,
+      termsCol, nPerRanker)
+    val cellSeeds = cells.map(_.toSeq)
+    def cellScores(v: org.apache.spark.sql.Column) =
+      array(cellSeeds.zipWithIndex.map { case (cv, c) =>
+        struct(Similarity.subDistU(v, cv).as("d"), lit(c).as("c"))
+      }: _*)
+    val cellOf = {
+      val scored = cellSeeds.zipWithIndex.map { case (cv, c) =>
+        struct(Similarity.subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
+      }
+      (if (scored.size == 1) scored.head else least(scored: _*))
+        .getField("c")
+    }
+    val assigned = emb.select(col(idCol), col(vecCol), cellOf.as("cell"))
+    // nProbe nearest cells per query: struct sort = (distance, cell id),
+    // the exact total order the oracle's ROW_NUMBER replays
+    val qprobe = queries.select(col(queryIdCol), col(qvecCol),
+      explode(transform(slice(array_sort(cellScores(col(qvecCol))), 1,
+        nProbe), p => p.getField("c"))).as("cell"))
+    val denseW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    val dense = assigned.join(broadcast(qprobe), Seq("cell"))
+      .select(col(queryIdCol), col(idCol),
+        round(try_divide(Vectors.dot(col(vecCol), col(qvecCol)),
+          Vectors.norm2(col(vecCol)) * Vectors.norm2(col(qvecCol))), 6)
+          .as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(denseW))
+      .filter(col("rank") <= nPerRanker)
+      .select(col(queryIdCol), col(idCol), col("rank"))
+    rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
+  }
+
+  /** Shared lexical tier of the batch hybrids: corpus BM25 weights
+    * computed once, joined to the broadcast exploded query terms,
+    * summed per (query, doc), ranked per query with a
+    * WindowGroupLimit-bounded cut. */
+  private def lexRankedBatch(docs: DataFrame, idCol: String,
+                             textCol: String, queries: DataFrame,
+                             queryIdCol: String, termsCol: String,
+                             nPerRanker: Int): DataFrame = {
+    val postings = docs.select(col(idCol),
+      explode(TA.tokens(col(textCol))).as("token"))
+    val nDocs = docs.count() // once per BATCH, shared by all queries
+    val qTerms = queries.select(col(queryIdCol),
+      explode(col(termsCol)).as("token"))
+    val lexW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    HybridTable.bm25(postings, idCol, nDocs)
+      .join(broadcast(qTerms), "token")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("bm25")), 6).as("score"))
+      .withColumn("rank", row_number().over(lexW))
+      .filter(col("rank") <= nPerRanker)
+      .select(col(queryIdCol), col(idCol), col("rank"))
   }
 
   /** Single-query hybrid top-k over an aligned (documents, embeddings)

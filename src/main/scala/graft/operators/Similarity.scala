@@ -533,7 +533,7 @@ object Similarity {
     * quantized-integer form makes every downstream SUM order-independent
     * and therefore engine-exact (distances are ≥ 0 up to float noise ≪
     * the 1e-6 resolution, so floor(v+0.5) is exact half-up). */
-  private def subDistU(x: Column, cv: Seq[Float]): Column = {
+  private[graft] def subDistU(x: Column, cv: Seq[Float]): Column = {
     val cvLit = typedLit(cv)
     val d = round(Vectors.dot(x, x) - lit(2.0) * Vectors.dot(x, cvLit) +
       Vectors.dot(cvLit, cvLit), 6)

@@ -2403,6 +2403,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hybridTopKBatchIvf: probes prune the dense tier; full probe " +
+    "equals the brute batch") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    // two well-separated clusters: docs 1,2 near (1,0); doc 3 near (0,1)
+    val emb = Seq((1L, Array(1f, 0.1f)), (2L, Array(0.9f, 0f)),
+      (3L, Array(0.1f, 1f))).toDF("doc_id", "embedding")
+    val queries = Seq((100L, Seq("delta"), Seq(1f, 0f)))
+      .toDF("query_id", "terms", "qvec")
+    val cells = Array(Array(1f, 0f), Array(0f, 1f))
+    // nProbe=1: the query vector probes cell 0 only — doc 3 (cell 1) can
+    // take no dense rank, but its lexical match still surfaces it
+    val pruned = graft.operators.Retrieval.hybridTopKBatchIvf(docs, emb,
+      "doc_id", "text", "embedding", queries, cells, nProbe = 1, k = 3)
+    val d3 = pruned.filter(col("doc_id") === 3L).collect()
+    assert(d3.length == 1 && d3.head.isNullAt(d3.head.fieldIndex("dense_rank")))
+    assert(d3.head.getAs[Int]("lex_rank") == 1)
+    assert(pruned.filter(col("dense_rank").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // nProbe = nCells: every cell probed — identical output to the brute
+    // batch tier, row for row
+    val full = graft.operators.Retrieval.hybridTopKBatchIvf(docs, emb,
+        "doc_id", "text", "embedding", queries, cells, nProbe = 2, k = 3)
+      .orderBy("rank").collect()
+    val brute = graft.operators.Retrieval.hybridTopKBatch(docs, emb,
+        "doc_id", "text", "embedding", queries, k = 3)
+      .orderBy("rank").collect()
+    assert(full.map(_.toSeq).toSeq == brute.map(_.toSeq).toSeq)
+  }
+
   test("slidingChunks: overlap, short tail, empty docs emit nothing") {
     val s = spark
     import s.implicits._
