@@ -56,7 +56,7 @@ object Bench {
     "q_decontaminate", "q_nb_classify", "q_nb_classify_pruned",
     "q_dedup_keep_rep", "q_split_leakproof", "q_ann_ivf_append",
     "q_ann_ivf_lifecycle", "q_dedup_index_lifecycle", "q_hybrid_rrf_batch",
-    "q_hybrid_rrf_batch_ivf")
+    "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed")
 
   /** Queries whose suite time exceeds `factor`× their prior recording. */
   private[graft] def outliers(cur: Map[String, Double],

@@ -132,27 +132,81 @@ object Retrieval {
       "corpus and query vector columns must have distinct names")
     val lex = lexRankedBatch(docs, idCol, textCol, queries, queryIdCol,
       termsCol, nPerRanker)
+    val assigned = emb.select(col(idCol), col(vecCol),
+      cellArgmin(col(vecCol), cells).as("cell"))
+    val dense = denseCellProbe(assigned, idCol, vecCol, queries, cells,
+      nProbe, queryIdCol, qvecCol, nPerRanker)
+    rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
+  }
+
+  /** Batch hybrid over PERSISTED indexes — the service at steady state:
+    * `postings` is the live positional text index
+    * ([[graft.sources.TextIndexLifecycle.load]]: one row per token
+    * occurrence, so tf/dl/df and BM25 derive without touching any
+    * document text) and `assigned` the cell-assigned vector index
+    * ([[Similarity.loadIvfIndex]]`.assigned`, cell-partitioned on disk —
+    * each query's probes prune to nProbe cell directories). Nothing here
+    * reads the corpus: both rankers run entirely off index files, which
+    * is the point at 100 TB — the crawl is cold storage, the indexes are
+    * the hot set. Same fusion and output shape as [[hybridTopKBatch]]. */
+  def hybridTopKBatchIndexed(postings: DataFrame, assigned: DataFrame,
+                             idCol: String, vecCol: String,
+                             queries: DataFrame,
+                             cells: Array[Array[Float]], nProbe: Int,
+                             queryIdCol: String = "query_id",
+                             termsCol: String = "terms",
+                             qvecCol: String = "qvec", k: Int = 10,
+                             k0: Int = 60, nPerRanker: Int = 100)
+  : DataFrame = {
+    val nDocs = postings.select(col(idCol)).distinct().count()
+    val lex = lexRankedFromPostings(postings, idCol, nDocs, queries,
+      queryIdCol, termsCol, nPerRanker)
+    val dense = denseCellProbe(assigned, idCol, vecCol, queries, cells,
+      nProbe, queryIdCol, qvecCol, nPerRanker)
+    rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
+  }
+
+  /** Seeded-cell assignment of a vector frame — the build side of the
+    * persisted index [[hybridTopKBatchIndexed]] probes: (idCol, vecCol,
+    * cell). Persist cell-partitioned ([[Similarity.persistIvfIndex]])
+    * so probes prune to cell directories. */
+  def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
+                  cells: Array[Array[Float]]): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+      cellArgmin(col(vecCol), cells).as("cell"))
+
+  /** Argmin cell id over the scaled-long distance — codegen projection,
+    * ties to the lowest cell (the ANN tiers' total order). */
+  private def cellArgmin(v: org.apache.spark.sql.Column,
+                         cells: Array[Array[Float]])
+  : org.apache.spark.sql.Column = {
+    val scored = cells.map(_.toSeq).zipWithIndex.map { case (cv, c) =>
+      struct(Similarity.subDistU(v, cv).as("d"), lit(c).as("c"))
+    }
+    (if (scored.length == 1) scored.head
+     else least(scored.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** IVF-pruned dense tier shared by the batch hybrids: each query
+    * probes its nProbe nearest cells (struct sort = (distance, cell id),
+    * the exact total order the oracles replay) and scores only those
+    * cells' candidates. */
+  private def denseCellProbe(assigned: DataFrame, idCol: String,
+                             vecCol: String, queries: DataFrame,
+                             cells: Array[Array[Float]], nProbe: Int,
+                             queryIdCol: String, qvecCol: String,
+                             nPerRanker: Int): DataFrame = {
     val cellSeeds = cells.map(_.toSeq)
     def cellScores(v: org.apache.spark.sql.Column) =
       array(cellSeeds.zipWithIndex.map { case (cv, c) =>
         struct(Similarity.subDistU(v, cv).as("d"), lit(c).as("c"))
       }: _*)
-    val cellOf = {
-      val scored = cellSeeds.zipWithIndex.map { case (cv, c) =>
-        struct(Similarity.subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
-      }
-      (if (scored.size == 1) scored.head else least(scored: _*))
-        .getField("c")
-    }
-    val assigned = emb.select(col(idCol), col(vecCol), cellOf.as("cell"))
-    // nProbe nearest cells per query: struct sort = (distance, cell id),
-    // the exact total order the oracle's ROW_NUMBER replays
     val qprobe = queries.select(col(queryIdCol), col(qvecCol),
       explode(transform(slice(array_sort(cellScores(col(qvecCol))), 1,
         nProbe), p => p.getField("c"))).as("cell"))
     val denseW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos").desc, col(idCol))
-    val dense = assigned.join(broadcast(qprobe), Seq("cell"))
+    assigned.join(broadcast(qprobe), Seq("cell"))
       .select(col(queryIdCol), col(idCol),
         round(try_divide(Vectors.dot(col(vecCol), col(qvecCol)),
           Vectors.norm2(col(vecCol)) * Vectors.norm2(col(qvecCol))), 6)
@@ -161,7 +215,6 @@ object Retrieval {
       .withColumn("rank", row_number().over(denseW))
       .filter(col("rank") <= nPerRanker)
       .select(col(queryIdCol), col(idCol), col("rank"))
-    rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
   }
 
   /** Shared lexical tier of the batch hybrids: corpus BM25 weights
@@ -175,11 +228,23 @@ object Retrieval {
     val postings = docs.select(col(idCol),
       explode(TA.tokens(col(textCol))).as("token"))
     val nDocs = docs.count() // once per BATCH, shared by all queries
+    lexRankedFromPostings(postings, idCol, nDocs, queries, queryIdCol,
+      termsCol, nPerRanker)
+  }
+
+  /** BM25 ranking off an occurrence-level postings frame (one row per
+    * token occurrence — raw tokenization or the persisted positional
+    * text index equally). */
+  private def lexRankedFromPostings(postings: DataFrame, idCol: String,
+                                    nDocs: Long, queries: DataFrame,
+                                    queryIdCol: String, termsCol: String,
+                                    nPerRanker: Int): DataFrame = {
     val qTerms = queries.select(col(queryIdCol),
       explode(col(termsCol)).as("token"))
     val lexW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol))
-    HybridTable.bm25(postings, idCol, nDocs)
+    HybridTable.bm25(postings.select(col(idCol), col("token")), idCol,
+        nDocs)
       .join(broadcast(qTerms), "token")
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("bm25")), 6).as("score"))

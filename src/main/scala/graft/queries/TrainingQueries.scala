@@ -130,6 +130,41 @@ object TrainingQueries {
         !graft.operators.Dedup.indexHasTag(s, qlcName(d), "t2"))
       buildDedupLifecycle(s, d)
 
+  /** Persisted text + IVF indexes for q_hybrid_rrf_indexed, keyed by
+    * corpus dir: the text side through TextIndexLifecycle (tag b1), the
+    * dense side a seeded-cell assignment persisted cell-partitioned. */
+  private def hybIdxRoot(d: String): String =
+    s"target/graft_hyb_idx_${new java.io.File(d).getName}"
+
+  private def buildHybridIndexes(s: org.apache.spark.sql.SparkSession,
+                                 d: String): Unit = {
+    val root = hybIdxRoot(d)
+    graft.sources.TextIndexLifecycle.deleteRoot(root)
+    graft.sources.TextIndexLifecycle.append(s, root, "text", "doc_id",
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "b1")
+    val emb = Tables.embeddings(s, d)
+    val cells = Similarity.ivfCellsSeeded(emb, "vec_id", "embedding", 8)
+    val assigned = graft.operators.Retrieval
+      .assignCells(emb, "vec_id", "embedding", cells)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("cell"),
+        graft.functions.Vectors.norm2(col("embedding")).as("cn"))
+    val centroids = s.createDataFrame(
+      cells.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    Similarity.deleteIndexDir(s"$root/ivf")
+    Similarity.persistIvfIndex(Similarity.IvfIndex(assigned, centroids),
+      s"$root/ivf")
+  }
+
+  private def ensureHybridIndexes(s: org.apache.spark.sql.SparkSession,
+                                  d: String): Unit = {
+    val root = hybIdxRoot(d)
+    if (!new java.io.File(s"$root/text_text_tags/b1").isFile ||
+        !new java.io.File(s"$root/ivf/assigned").isDirectory)
+      buildHybridIndexes(s, d)
+  }
+
   /** IVF-PQ coarse cells + codebook for q_ann_ivfpq, memoized per corpus
     * dir: training runs once in setup= (timed separately); the measured
     * run encodes and probes with the held constants (driver cost:
@@ -2076,6 +2111,111 @@ object TrainingQueries {
               ORDER BY rrf DESC, doc_id) AS INT) AS "rank"
           FROM fused) WHERE "rank" <= 10 ORDER BY query_id, "rank""""
       }),
+
+    // Batch hybrid over the PERSISTED indexes — the steady-state service:
+    // BM25 runs off the positional text index (occurrence rows, no
+    // document text read) and the dense tier off the cell-partitioned
+    // persisted IVF assignment; setup builds both indexes once per
+    // corpus dir. nDocs comes from the text index itself
+    // (COUNT(DISTINCT doc)), so the gate is self-contained on index
+    // files; the oracle replays exactly that.
+    Q("q_hybrid_rrf_indexed",
+      (s, d) => {
+        import s.implicits._
+        ensureHybridIndexes(s, d)
+        val root = hybIdxRoot(d)
+        val postings = graft.sources.TextIndexLifecycle
+          .load(s, root, "text", "doc_id")
+        val ivf = Similarity.loadIvfIndex(s, s"$root/ivf")
+        val assigned = ivf.assigned.select(col("cand_id").as("doc_id"),
+          col("cv").as("embedding"), col("cell"))
+        val emb = Tables.embeddings(s, d)
+        val cells = Similarity.ivfCellsSeeded(emb, "vec_id", "embedding", 8)
+        val queries = Seq(
+          0L -> Seq("vector", "hash"),
+          1L -> Seq("index", "tree"),
+          2L -> Seq("data", "query")).toDF("query_id", "terms")
+          .join(emb.select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec")), "query_id")
+        graft.operators.Retrieval.hybridTopKBatchIndexed(
+          postings, assigned, "doc_id", "embedding", queries, cells,
+          nProbe = 2, k = 10, k0 = 60, nPerRanker = 50)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        def dotS(x: String, y: String) =
+          s"""list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+              for i in generate_series(1, len($x))])"""
+        def du(x: String, y: String) =
+          s"""CAST(FLOOR(ROUND(${dotS(x, x)} - 2 * ${dotS(x, y)} +
+            ${dotS(y, y)}, 6) * 1e6 + 0.5) AS BIGINT)"""
+        s"""WITH qs AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+            terms FROM (VALUES
+            (0, ['vector', 'hash']), (1, ['index', 'tree']),
+            (2, ['data', 'query'])) AS t(query_id, terms)),
+        qt AS (SELECT query_id, unnest(terms) AS token FROM qs),
+        toks AS (
+          SELECT doc_id, unnest(${toksSql("text")}) AS token
+          FROM documents),
+        tf_t AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+          WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token),
+        dl_t AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        df_t AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          GROUP BY token),
+        st AS (SELECT AVG(dl) AS avgdl FROM dl_t),
+        n_t AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        lex0 AS (SELECT qt.query_id, tf_t.doc_id, ROUND(SUM(
+            ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+            (tf * (1.2 + 1.0)) /
+            (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS score
+          FROM qt JOIN tf_t USING (token) JOIN dl_t USING (doc_id)
+            JOIN df_t USING (token), st, n_t
+          GROUP BY 1, 2),
+        lex AS (SELECT query_id, doc_id, lex_rank FROM (
+            SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT)
+              AS lex_rank FROM lex0)
+          WHERE lex_rank <= 50),
+        cs AS (SELECT embedding AS cv, ROW_NUMBER() OVER (ORDER BY vec_id)
+            - 1 AS c
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        cd AS (SELECT vec_id, c, ${du("x", "cv")} AS du
+          FROM (SELECT e.vec_id, s.c, e.embedding AS x, s.cv
+            FROM embeddings e CROSS JOIN cs s)),
+        cellof AS (SELECT vec_id, c AS cell FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY du, c) AS rk FROM cd)
+          WHERE rk = 1),
+        probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY du, c) AS rk
+            FROM cd WHERE vec_id < 3)
+          WHERE rk <= 2),
+        dense0 AS (SELECT p.query_id, a.vec_id AS doc_id,
+            ROUND(${cosSql("qe.embedding", "a.embedding")}, 6) AS cos
+          FROM probes p
+          JOIN cellof cl ON cl.cell = p.cell
+          JOIN embeddings a ON a.vec_id = cl.vec_id
+          JOIN embeddings qe ON qe.vec_id = p.query_id),
+        dense AS (SELECT query_id, doc_id, dense_rank FROM (
+            SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT)
+              AS dense_rank FROM dense0)
+          WHERE dense_rank <= 50),
+        fused AS (SELECT
+            COALESCE(l.query_id, de.query_id) AS query_id,
+            COALESCE(l.doc_id, de.doc_id) AS doc_id,
+            l.lex_rank, de.dense_rank,
+            COALESCE(1.0 / (60 + l.lex_rank), 0.0) +
+            COALESCE(1.0 / (60 + de.dense_rank), 0.0) AS rrf
+          FROM lex l FULL OUTER JOIN dense de
+            ON l.query_id = de.query_id AND l.doc_id = de.doc_id)
+        SELECT * FROM (SELECT query_id, doc_id, lex_rank, dense_rank, rrf,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, doc_id) AS INT) AS "rank"
+          FROM fused) WHERE "rank" <= 10 ORDER BY query_id, "rank""""
+      },
+      setup = Some((s, d) => buildHybridIndexes(s, d))),
 
     // Corpus vocabulary: top-K tokens by occurrence count, deterministic
     // ties (count desc, token asc), with doc frequency and 1-based rank —
