@@ -97,7 +97,7 @@ object Classifier {
     // cardinality was just measured, so the join shape is deterministic
     // — never left to flip at the AQE byte-estimate boundary.
     val ctSide = if (nPairs <= broadcastCountMax) broadcast(ct) else ct
-    val scored = teTok.crossJoin(labels)
+    val scored = teTok.crossJoin(broadcast(labels))
       .join(ctSide, Seq("__lbl", "__t"), "left")
       .select(col(idCol), col("__lbl"), col("__pu"),
         u6((coalesce(col("__c"), lit(0L)).cast("double") + lit(k)) /
@@ -107,8 +107,8 @@ object Classifier {
       .agg(sum(col("__u")).as("__su"), count(lit(1)).as("__n"))
     // every test doc gets every class row even with zero tokens:
     // re-anchor on test × labels and coalesce the token sums to 0
-    val anchored = test.select(col(idCol)).crossJoin(labels
-        .select(col("__lbl"), col("__pu")))
+    val anchored = test.select(col(idCol)).crossJoin(broadcast(labels
+        .select(col("__lbl"), col("__pu"))))
       .join(perClass, Seq(idCol, "__lbl", "__pu"), "left")
       .select(col(idCol), col("__lbl"),
         (col("__pu") + coalesce(col("__su"), lit(0L))).as("score_u"),

@@ -171,9 +171,11 @@ object Retrieval {
     * cell). Persist cell-partitioned ([[Similarity.persistIvfIndex]])
     * so probes prune to cell directories. */
   def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
-                  cells: Array[Array[Float]]): DataFrame =
+                  cells: Array[Array[Float]]): DataFrame = {
+    require(cells.nonEmpty, "need at least one cell centroid")
     vectors.select(col(idCol), col(vecCol),
       cellArgmin(col(vecCol), cells).as("cell"))
+  }
 
   /** Argmin cell id over the scaled-long distance — codegen projection,
     * ties to the lowest cell (the ANN tiers' total order). */

@@ -143,9 +143,20 @@ object IncrementalIndex {
   def hasTag(s: Spec, batchTag: String): Boolean =
     new java.io.File(s"${s.tagsDir}/$batchTag").isFile
 
-  /** Does the index exist on disk (any committed append)? */
-  def exists(s: Spec): Boolean =
-    new java.io.File(s.liveDir).isDirectory
+  /** Does the index hold any DATA on disk? Requires at least one parquet
+    * file, not just the directory: an empty-batch append creates the
+    * live dir with zero files (its marker still commits, so replays
+    * no-op), and a later probe must treat that as "no index yet" — a
+    * bare spark.read.parquet on a fileless dir fails schema inference. */
+  def exists(s: Spec): Boolean = {
+    val root = Paths.get(s.liveDir)
+    Files.isDirectory(root) && {
+      val st = Files.walk(root)
+      try st.iterator().asScala.exists(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+  }
 
   /** Remove the whole index: live dir, markers, tombstones, and any
     * in-flight staging/compaction state. */
@@ -156,6 +167,7 @@ object IncrementalIndex {
   /** Fold tombstones in + merge append dust; crash-safe, replayable. */
   def compact(spark: SparkSession, s: Spec, idCol: String): Unit = {
     recover(s)
+    if (!exists(s)) return // marker-only (empty-batch) index: no data to fold
     val live = load(spark, s, idCol)
     // one file per partition value after compaction (see append)
     val staged = s.partitionCol.fold(live)(c => live.repartition(col(c)))

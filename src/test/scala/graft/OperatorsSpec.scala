@@ -2519,5 +2519,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!new java.io.File(spec.tombsDir).isDirectory)
     assert(!new java.io.File(spec.retiringDir).isDirectory)
     IncrementalIndex.rmTree(root)
+
+    // empty FIRST batch: the append commits its marker but writes no
+    // files — exists() must read false (a probe would otherwise crash
+    // schema inference on the fileless dir), the empty replay no-ops,
+    // and the incremental probe sequence stays correct end-to-end
+    graft.operators.Dedup.dropIndex(s, "spec_empty")
+    val none = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(graft.operators.Dedup.incrementalExact(s, none, "text", "id",
+      "spec_empty", batchTag = Some("e1")).count() == 0L)
+    assert(!graft.operators.Dedup.indexExists(s, "spec_empty"))
+    assert(graft.operators.Dedup.indexHasTag(s, "spec_empty", "e1"))
+    val b = Seq((1L, "aa"), (2L, "aa")).toDF("id", "text")
+    assert(graft.operators.Dedup.incrementalExact(s, b, "text", "id",
+        "spec_empty", batchTag = Some("e2"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // replayed empty batch after data landed still returns nothing and
+    // removes nothing
+    assert(graft.operators.Dedup.incrementalExact(s, none, "text", "id",
+      "spec_empty", batchTag = Some("e1")).count() == 0L)
+    assert(graft.operators.Dedup.loadIndex(s, "spec_empty").count() == 1L)
+    graft.operators.Dedup.dropIndex(s, "spec_empty")
   }
 }
