@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * RIFF/WAVE PCM audio codec (hand-rolled chunk walker — WAV is a plain
   * container, no codec library required), and a batched decode hook.
   *
-  * Only VIDEO remains stubbed ([[frameSample]] — no video codec ships with
-  * the JDK): [[fakeFeatures]] stays as the oracle-replicable placeholder
-  * for learned feature extraction (an embedding model is out of scope by
+  * VIDEO has a REAL container tier too (round 11): [[decodeAvi]] walks the
+  * RIFF/AVI chunk grammar the same way the WAV codec does, and under
+  * MJPEG every sampled frame ([[frameSampleAvi]]) is a full JPEG the
+  * JDK's ImageIO decodes — so the whole image tier applies per frame.
+  * The remaining waiver is the CODEC boundary, not the container:
+  * inter-coded streams (H.264 etc.) have no JDK decoder, and
+  * [[frameSample]] stays as the format-agnostic byte-window fallback.
+  * [[fakeFeatures]] stays as the oracle-replicable placeholder for
+  * learned feature extraction (an embedding model is out of scope by
   * nature, not environment). Everything image-shaped is real:
   * [[imageMeta]] decodes actual headers, [[resizeImage]] decodes, resamples
   * (nearest / bilinear, implemented directly over the ARGB raster so the
@@ -367,7 +373,9 @@ object Multimodal {
   /** STUB frame-sample: `n` evenly spaced fixed-width byte windows from a
     * video-role binary column, as array<struct<frame_idx, frame>> — the
     * row-explodes-to-frames plumbing (schema, ordering, per-frame
-    * metadata) of a real frame sampler. */
+    * metadata) of a real frame sampler. Superseded by the REAL container
+    * tier below ([[frameSampleAvi]]) for RIFF/AVI payloads; kept as the
+    * format-agnostic fallback for opaque blobs. */
   def frameSample(bin: Column, n: Int, frameBytes: Int = 16): Column = {
     val stride = greatest(
       (length(bin) - frameBytes).cast("double") / math.max(1, n - 1),
@@ -376,5 +384,160 @@ object Multimodal {
       struct(i.as("frame_idx"),
         substring(bin, (i.cast("double") * stride).cast("int") + 1,
           lit(frameBytes)).as("frame")))
+  }
+
+  // ---- real video tier (RIFF/AVI container — the WAV playbook applied
+  // to video: AVI is the same RIFF chunk grammar, so the container
+  // parses with a hand-rolled walker and no codec library; per-frame
+  // payloads are MJPEG (one full JPEG per '00dc' chunk), which the JDK's
+  // ImageIO decodes natively — [[resizeImage]]/[[imageFeatures]] apply
+  // per frame. What stays out: inter-coded codecs (H.264 etc.), which no
+  // JDK facility decodes — that boundary, not the container, is the
+  // remaining waiver. ----
+
+  /** A parsed AVI: dimensions + frame cadence from the `avih` header,
+    * frame payloads from the `movi` list's `..dc`/`..db` chunks. */
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+                            frames: Vector[Array[Byte]])
+
+  /** Encode frame payloads as a minimal RIFF/AVI-MJPEG file: `hdrl`
+    * (avih + one `vids`/`MJPG` stream with BITMAPINFOHEADER) + `movi`
+    * of `00dc` chunks, odd sizes padded per RIFF. Deterministic bytes
+    * for deterministic inputs. */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                     usPerFrame: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0, "bad avi params")
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(ascii(id)).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", ascii(listType) ++ children)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      bb.array() // 4 reserved u32s stay zero
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(ascii("vids")).put(ascii("MJPG"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(usPerFrame) // scale (with rate = 1e6 → us cadence)
+        .putInt(1000000)    // rate
+        .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+      bb.putShort(0).putShort(0).putShort(width.toShort)
+        .putShort(height.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .put(ascii("MJPG")).putInt(width * height * 3)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).foldLeft(Array.empty[Byte])(_ ++ _))
+    chunk("RIFF", ascii("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** Chunk-walking AVI parser (the [[decodeWavPcm16]] discipline): any
+    * chunk order, unknown chunks skipped with RIFF odd-size padding,
+    * `..dc`/`..db` frame chunks collected in file order from `movi`
+    * (including `rec ` sub-lists), dimensions/cadence from `avih`. None
+    * for anything it cannot parse — corrupt rows are data, not errors. */
+  def decodeAvi(bytes: Array[Byte]): Option[AviVideo] =
+    try {
+      if (bytes == null || bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val tag = new Array[Byte](4)
+      bb.get(tag)
+      if (!java.util.Arrays.equals(tag, "RIFF".getBytes("US-ASCII")))
+        return None
+      bb.getInt // declared size — trust the buffer
+      bb.get(tag)
+      if (!java.util.Arrays.equals(tag, "AVI ".getBytes("US-ASCII")))
+        return None
+      var wh: Option[(Int, Int, Int)] = None // width, height, usPerFrame
+      val frames = Vector.newBuilder[Array[Byte]]
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      def walk(end: Int): Unit =
+        while (bb.position() + 8 <= end) {
+          bb.get(tag)
+          val id = new String(tag, "US-ASCII")
+          val size = bb.getInt
+          if (size < 0 || bb.position() + size > end)
+            throw new IllegalArgumentException("chunk overruns parent")
+          val next = bb.position() + size + (size & 1)
+          if (id == "LIST" && size >= 4) {
+            bb.get(tag) // list type (hdrl/strl/movi/rec /...)
+            walk(bb.position() + size - 4)
+          } else if (id == "avih" && size >= 40) {
+            val p = bb.position()
+            val us = bb.getInt
+            bb.position(p + 32)
+            wh = Some((bb.getInt, bb.getInt, us))
+          } else if (isFrameId(id)) {
+            val f = new Array[Byte](size)
+            bb.get(f)
+            frames += f
+          }
+          bb.position(math.min(next, end))
+        }
+      walk(bytes.length)
+      wh.collect { case (w, h, us) if w > 0 && h > 0 && us > 0 =>
+        AviVideo(w, h, us, frames.result())
+      }
+    } catch { case _: Exception => None }
+
+  /** Container metadata of a video-role binary column — the real-parse
+    * twin of [[audioMeta]]. Unparsable → zeros + decodable=false. */
+  def videoMeta(bin: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeAvi(bytes).map(v =>
+        (v.width, v.height, v.frames.length, v.usPerFrame, true))
+        .getOrElse((0, 0, 0, 0, false))
+    }
+    f(bin).cast("struct<width:int,height:int,n_frames:int," +
+      "us_per_frame:int,decodable:boolean>")
+  }
+
+  /** REAL frame sampling from an AVI container: `n` evenly spaced frames
+    * by integer index `i·(F−1) / (n−1)` (i = 0 … n−1; single-frame
+    * request takes frame 0), each the frame's full payload (a decodable
+    * JPEG under MJPEG) — feed [[resizeImage]]/[[imageFeatures]] per
+    * frame downstream. Fewer frames than `n` → every frame once, in
+    * order; unparsable input → null. The sampling arithmetic is integer
+    * division, bit-replayable in SQL. */
+  def frameSampleAvi(bin: Column, n: Int): Column = {
+    require(n > 0, s"n must be positive, got $n")
+    val f = udf { (bytes: Array[Byte]) =>
+      decodeAvi(bytes).map { v =>
+        val fCount = v.frames.length
+        if (fCount == 0) Seq.empty[(Int, Array[Byte])]
+        else if (fCount <= n)
+          v.frames.zipWithIndex.map { case (fr, i) => (i, fr) }
+        else
+          (0 until n).map { i =>
+            val idx = if (n == 1) 0 else (i * (fCount - 1)) / (n - 1)
+            (idx, v.frames(idx))
+          }
+      }.orNull
+    }
+    f(bin).cast("array<struct<frame_idx:int,frame:binary>>")
   }
 }

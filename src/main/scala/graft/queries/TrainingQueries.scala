@@ -1796,6 +1796,59 @@ object TrainingQueries {
           END AS BIGINT) AS v
         FROM d, js WHERE js.j < 2 * d.nf""")),
 
+    // REAL video container tier (RIFF/AVI — the WAV playbook applied to
+    // video): deterministic variable-length frame payloads (odd sizes
+    // exercise RIFF pad bytes) ride a real AVI encode → container parse
+    // → even-index frame sampling; header fields and every sampled
+    // frame's length / first byte / byte sum are bit-checked, so a
+    // one-byte parse-offset error anywhere in the chunk walk fails the
+    // hash. The MJPEG JPEG-decode path is spec-gated (lossy codec —
+    // cross-engine pixel replay is a PNG-tier property, see
+    // q_image_resize).
+    Q("q_video_frames",
+      (s, d) => {
+        val mk = udf { (id: Long) =>
+          val frames = (0 until 6).map { f =>
+            Array.tabulate(16 + f)(j =>
+              ((id * 7 + f * 13 + j * 3) % 251).toByte)
+          }
+          Multimodal.encodeAviMjpeg(frames, 8, 8, 40000)
+        }
+        val stats = udf { (fr: Array[Byte]) =>
+          (fr.length, fr(0) & 0xFF, fr.map(_ & 0xFF).map(_.toLong).sum)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(24)
+          .withColumn("avi", mk(col("doc_id")))
+          .select(col("doc_id"),
+            Multimodal.videoMeta(col("avi")).as("m"),
+            explode(Multimodal.frameSampleAvi(col("avi"), 3)).as("fr"))
+          .select(col("doc_id"), col("m.width").as("width"),
+            col("m.height").as("height"),
+            col("m.n_frames").as("n_frames"),
+            col("m.us_per_frame").as("us_per_frame"),
+            col("fr.frame_idx").as("frame_idx"),
+            stats(col("fr.frame")).as("s"))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("us_per_frame"), col("frame_idx"),
+            col("s._1").as("frame_len"), col("s._2").as("first_byte"),
+            col("s._3").as("byte_sum"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+            ORDER BY doc_id LIMIT 24),
+          fi AS (SELECT unnest([0, 2, 5]) AS frame_idx)
+        SELECT d.doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+          CAST(6 AS INT) AS n_frames, CAST(40000 AS INT) AS us_per_frame,
+          CAST(fi.frame_idx AS INT) AS frame_idx,
+          CAST(16 + fi.frame_idx AS INT) AS frame_len,
+          CAST((d.doc_id * 7 + fi.frame_idx * 13) % 251 AS INT)
+            AS first_byte,
+          CAST(list_sum([(d.doc_id * 7 + fi.frame_idx * 13 + j * 3) % 251
+            for j in generate_series(0, 15 + fi.frame_idx)]) AS BIGINT)
+            AS byte_sum
+        FROM d CROSS JOIN fi ORDER BY doc_id, frame_idx""")),
+
     // Text-index lifecycle (the Lucene-index add/remove role at file
     // granularity): build from the even-id half, append the odd half,
     // REPLAY the append (must no-op), tombstone every 10th doc, compact

@@ -1434,6 +1434,65 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("video tier: AVI/MJPEG container round-trip, frame sampling, " +
+    "JPEG frames decode via ImageIO") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    // real JPEG frames from a pixel formula (lossy codec — determinism
+    // comes from byte-identity of payloads, not pixel formulas)
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = (seed * 31 + x * 7 + y * 13) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = (0 until 5).map(jpeg)
+    val avi = Multimodal.encodeAviMjpeg(frames, 8, 8, 40000)
+    val v = Multimodal.decodeAvi(avi).get
+    assert(v.width == 8 && v.height == 8 && v.usPerFrame == 40000)
+    assert(v.frames.length == 5)
+    assert(v.frames.zip(frames).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) }, "frame payloads must round-trip")
+    // sampled frames are the evenly spaced payloads, and each decodes
+    // as a real JPEG through the JDK codec
+    val df = Seq(("v1", avi)).toDF("id", "content")
+    val sampled = df.select(explode(
+        Multimodal.frameSampleAvi(col("content"), 3)).as("f"))
+      .select(col("f.frame_idx"), col("f.frame")).orderBy("frame_idx")
+      .collect()
+    assert(sampled.map(_.getInt(0)).toSeq == Seq(0, 2, 4))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sampled(1).getAs[Array[Byte]](1)))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    // a sampled frame feeds the image tier directly
+    val rz = df.select(Multimodal.resizeImage(
+        element_at(Multimodal.frameSampleAvi(col("content"), 1), 1)
+          .getField("frame"), 4, 4, "nearest").as("r"))
+      .select(col("r.width")).head()
+    assert(rz.getInt(0) == 4)
+    // metadata; corrupt input is data, not an error
+    val meta = df.select(Multimodal.videoMeta(col("content")).as("m"))
+      .select(col("m.width"), col("m.n_frames"), col("m.decodable")).head()
+    assert(meta.getInt(0) == 8 && meta.getInt(1) == 5 && meta.getBoolean(2))
+    val bad = Seq(("x", "notanavi".getBytes)).toDF("id", "content")
+    assert(!bad.select(Multimodal.videoMeta(col("content"))("decodable"))
+      .head().getBoolean(0))
+    assert(bad.select(Multimodal.frameSampleAvi(col("content"), 2))
+      .head().isNullAt(0))
+    // fewer frames than requested: every frame once, in order
+    val short = Multimodal.encodeAviMjpeg(frames.take(2), 8, 8, 40000)
+    val sf = Seq(("s", short)).toDF("id", "content")
+      .select(explode(Multimodal.frameSampleAvi(col("content"), 5)).as("f"))
+      .select(col("f.frame_idx")).collect().map(_.getInt(0)).toSeq
+    assert(sf == Seq(0, 1))
+  }
+
   test("multimodal frame-sample stub (video): schema, frame spread") {
     val s = spark
     import s.implicits._
