@@ -1849,6 +1849,49 @@ object TrainingQueries {
             AS byte_sum
         FROM d CROSS JOIN fi ORDER BY doc_id, frame_idx""")),
 
+    // Video → image pipeline: REAL MJPEG frames (per-frame-varying
+    // dimensions, JPEG-encoded via ImageIO) ride the AVI container,
+    // get frame-sampled, and each sampled frame decodes through the
+    // image tier — the decoded width/height are codec-EXACT even for a
+    // lossy codec, so the oracle bit-checks that the right JPEG landed
+    // in the right sampled slot and actually decodes.
+    Q("q_video_pipeline",
+      (s, d) => {
+        val mk = udf { (id: Long) =>
+          val frames = (0 until 4).map { f =>
+            val (w, h) = (8 + f, 6)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until h; x <- 0 until w) {
+              val g = ((id * 31 + x * 7 + y * 13 + f * 3) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", out)
+            out.toByteArray
+          }
+          Multimodal.encodeAviMjpeg(frames, 8, 6, 33333)
+        }
+        Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(16)
+          .withColumn("avi", mk(col("doc_id")))
+          .select(col("doc_id"),
+            explode(Multimodal.frameSampleAvi(col("avi"), 2)).as("fr"))
+          .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+            Multimodal.imageMeta(col("fr.frame")).as("m"))
+          .select(col("doc_id"), col("frame_idx"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("m.decodable").as("decodable"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+            ORDER BY doc_id LIMIT 16),
+          fi AS (SELECT unnest([0, 3]) AS frame_idx)
+        SELECT d.doc_id, CAST(fi.frame_idx AS INT) AS frame_idx,
+          CAST(8 + fi.frame_idx AS INT) AS width, CAST(6 AS INT) AS height,
+          true AS decodable
+        FROM d CROSS JOIN fi ORDER BY doc_id, frame_idx""")),
+
     // Text-index lifecycle (the Lucene-index add/remove role at file
     // granularity): build from the even-id half, append the odd half,
     // REPLAY the append (must no-op), tombstone every 10th doc, compact
