@@ -224,4 +224,53 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"seed $seed")
     }
   }
+
+  test("AVI container: encode→decode round-trips arbitrary frame " +
+    "payloads; truncation/corruption never throws") {
+    import graft.operators.Multimodal
+    val frameGen = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+    val videoGen = for {
+      n <- Gen.chooseNum(0, 12)
+      fs <- Gen.listOfN(n, frameGen)
+      w <- Gen.chooseNum(1, 512)
+      h <- Gen.chooseNum(1, 512)
+      us <- Gen.chooseNum(1, 2000000)
+    } yield (fs, w, h, us)
+    for (seed <- 1L to 40L) {
+      val (fs, w, h, us) = sample(videoGen, seed)
+      val avi = Multimodal.encodeAviMjpeg(fs, w, h, us)
+      val v = Multimodal.decodeAvi(avi)
+        .getOrElse(fail(s"seed $seed: undecodable"))
+      assert(v.width == w && v.height == h && v.usPerFrame == us,
+        s"seed $seed header")
+      assert(v.frames.length == fs.length, s"seed $seed frame count")
+      assert(v.frames.zip(fs).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) }, s"seed $seed payloads")
+      // sampling indices are sorted, unique, in range, of the right size
+      val n = 1 + (seed % 5).toInt
+      val idx = Multimodal.decodeAvi(avi).get.frames.length match {
+        case 0 => Seq.empty
+        case f =>
+          val s2 = spark
+          import s2.implicits._
+          Seq(("x", avi)).toDF("id", "content")
+            .select(explode(Multimodal
+              .frameSampleAvi(col("content"), n)).as("fr"))
+            .select(col("fr.frame_idx")).collect().map(_.getInt(0)).toSeq
+      }
+      assert(idx == idx.sorted && idx.distinct == idx, s"seed $seed order")
+      assert(idx.size == math.min(n, fs.length), s"seed $seed size")
+      assert(idx.forall(i => i >= 0 && i < fs.length), s"seed $seed range")
+      // truncations and bit flips are DATA, never exceptions
+      for (cut <- Seq(0, 3, 8, 11, 12, avi.length / 2, avi.length - 1)) {
+        Multimodal.decodeAvi(java.util.Arrays.copyOf(avi, cut))
+      }
+      val flipped = avi.clone()
+      val pos = (seed * 7 % math.max(1, avi.length)).toInt
+      flipped(pos) = (flipped(pos) ^ 0x5A).toByte
+      Multimodal.decodeAvi(flipped) // Option or None — must not throw
+    }
+  }
 }
