@@ -103,7 +103,11 @@ object Bench {
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
         catch { case _: Throwable => Map.empty }
       }
-    parseOf(local) ++ parseOf(explicit.orElse(fallback))
+    // an EXPLICIT prior is a pinned baseline — it alone governs the
+    // outlier gate; the local merge only backfills the auto-discovered
+    // (truncated) official artifact
+    if (explicit.isDefined) parseOf(explicit)
+    else parseOf(local) ++ parseOf(fallback)
   }
 
   private def gcMillis(): Long = {

@@ -84,9 +84,13 @@ object Classifier {
       round(round(log(x), 6) * 1e6).cast("long")
 
     // per-label prior + smoothing denominator — one tiny frame, joined
-    // to everything else by label (broadcast by size)
-    val labels = lt.join(nd, Seq("__lbl"))
-      .select(col("__lbl"), col("__tot"),
+    // to everything else by label (broadcast by size). LEFT join from the
+    // doc counts: a class whose every token was pruned (or whose docs
+    // are all empty) must SURVIVE with zero token mass — its tokens
+    // score the smoothed zero, its prior still competes — not vanish
+    // from the model.
+    val labels = nd.join(lt, Seq("__lbl"), "left")
+      .select(col("__lbl"), coalesce(col("__tot"), lit(0L)).as("__tot"),
         u6(col("__ndc").cast("double") / lit(nDocs.toDouble)).as("__pu"))
 
     val teTok = test.select(col(idCol), posexplode(TA.tokens(col(textCol))))
@@ -97,12 +101,17 @@ object Classifier {
     // cardinality was just measured, so the join shape is deterministic
     // — never left to flip at the AQE byte-estimate boundary.
     val ctSide = if (nPairs <= broadcastCountMax) broadcast(ct) else ct
+    // v == 0 (every token pruned — the degenerate all-OOV model): token
+    // likelihoods are undefined, so each token contributes 0 and docs
+    // classify by prior alone; the branch is a driver-side constant, so
+    // the plan never divides by the zero denominator.
+    val tokenU =
+      if (v == 0) lit(0L)
+      else u6((coalesce(col("__c"), lit(0L)).cast("double") + lit(k)) /
+        (col("__tot").cast("double") + lit(k) * lit(v.toDouble)))
     val scored = teTok.crossJoin(broadcast(labels))
       .join(ctSide, Seq("__lbl", "__t"), "left")
-      .select(col(idCol), col("__lbl"), col("__pu"),
-        u6((coalesce(col("__c"), lit(0L)).cast("double") + lit(k)) /
-          (col("__tot").cast("double") + lit(k) * lit(v.toDouble)))
-          .as("__u"))
+      .select(col(idCol), col("__lbl"), col("__pu"), tokenU.as("__u"))
     val perClass = scored.groupBy(col(idCol), col("__lbl"), col("__pu"))
       .agg(sum(col("__u")).as("__su"), count(lit(1)).as("__n"))
     // every test doc gets every class row even with zero tokens:

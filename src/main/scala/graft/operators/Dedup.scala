@@ -521,10 +521,10 @@ object Dedup {
     *
     * Index layout (round 11 — replaces the round-8 bucketed table): a
     * hash-prefix partitioned parquet directory on the shared
-    * [[graft.sources.IncrementalIndex]] lifecycle — `hp=hXX/` hive
-    * subdirs keyed by the first two hex chars of the content hash (256
-    * partitions). The probe:
-    *  1. collects the BATCH's distinct prefixes (≤ 256 strings) and
+    * [[graft.sources.IncrementalIndex]] lifecycle — `hp=hX/` hive
+    * subdirs keyed by a hex-char prefix of the content hash (16
+    * partitions; see [[hpOf]] for the fan-out trade). The probe:
+    *  1. collects the BATCH's distinct prefixes (≤ 16 strings) and
     *     loads the index pruned to those subdirs — directory pruning,
     *     so a small micro-batch reads only the slices of the index its
     *     own hashes can live in, instead of the whole accumulated index
@@ -753,9 +753,16 @@ object Dedup {
     * [[incrementalMinHash]] read the same view pruned to the batch's
     * prefixes. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-                indexName: String): DataFrame =
-    graft.sources.IncrementalIndex.load(spark, indexSpec(spark, indexName),
-      "id")
+                indexName: String): DataFrame = {
+    val spec = indexSpec(spark, indexName)
+    // a marker-only index (every append so far was empty) has no files
+    // to infer a schema from — surface that state, don't let the parquet
+    // reader throw an opaque inference error
+    require(graft.sources.IncrementalIndex.exists(spec),
+      s"dedup index '$indexName' holds no data yet " +
+        "(check Dedup.indexExists before loading)")
+    graft.sources.IncrementalIndex.load(spark, spec, "id")
+  }
 
   /** Drop an incremental-dedup hash index — live dir, tag markers,
     * tombstones, and any in-flight compaction state. */

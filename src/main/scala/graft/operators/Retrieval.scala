@@ -90,6 +90,8 @@ object Retrieval {
                       termsCol: String = "terms", qvecCol: String = "qvec",
                       k: Int = 10, k0: Int = 60, nPerRanker: Int = 100)
   : DataFrame = {
+    require(vecCol != qvecCol,
+      "corpus and query vector columns must have distinct names")
     val lex = lexRankedBatch(docs, idCol, textCol, queries, queryIdCol,
       termsCol, nPerRanker)
     val denseW = Window.partitionBy(col(queryIdCol))
@@ -132,8 +134,7 @@ object Retrieval {
       "corpus and query vector columns must have distinct names")
     val lex = lexRankedBatch(docs, idCol, textCol, queries, queryIdCol,
       termsCol, nPerRanker)
-    val assigned = emb.select(col(idCol), col(vecCol),
-      cellArgmin(col(vecCol), cells).as("cell"))
+    val assigned = assignCells(emb, idCol, vecCol, cells)
     val dense = denseCellProbe(assigned, idCol, vecCol, queries, cells,
       nProbe, queryIdCol, qvecCol, nPerRanker)
     rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
@@ -156,9 +157,17 @@ object Retrieval {
                              queryIdCol: String = "query_id",
                              termsCol: String = "terms",
                              qvecCol: String = "qvec", k: Int = 10,
-                             k0: Int = 60, nPerRanker: Int = 100)
+                             k0: Int = 60, nPerRanker: Int = 100,
+                             nDocsKnown: Option[Long] = None)
   : DataFrame = {
-    val nDocs = postings.select(col(idCol)).distinct().count()
+    require(vecCol != qvecCol,
+      "corpus and query vector columns must have distinct names")
+    // nDocs is constant between index appends: a service passes the
+    // memoized stat via nDocsKnown so each query batch skips the
+    // distinct-count scan of the postings; None recomputes (the
+    // self-contained gate path).
+    val nDocs = nDocsKnown.getOrElse(
+      postings.select(col(idCol)).distinct().count())
     val lex = lexRankedFromPostings(postings, idCol, nDocs, queries,
       queryIdCol, termsCol, nPerRanker)
     val dense = denseCellProbe(assigned, idCol, vecCol, queries, cells,

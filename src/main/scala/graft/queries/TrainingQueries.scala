@@ -3228,9 +3228,9 @@ object TrainingQueries {
           nd AS (SELECT lang, COUNT(*) AS ndc FROM tr GROUP BY 1),
           na AS (SELECT COUNT(*) AS n FROM tr),
           vv AS (SELECT COUNT(DISTINCT t) AS v FROM trtok),
-          lbl AS (SELECT lt.lang, lt.tot,
+          lbl AS (SELECT nd.lang, COALESCE(lt.tot, 0) AS tot,
               ${u6("CAST(nd.ndc AS DOUBLE) / CAST(na.n AS DOUBLE)")} AS pu
-            FROM lt JOIN nd ON lt.lang = nd.lang CROSS JOIN na),
+            FROM nd LEFT JOIN lt ON lt.lang = nd.lang CROSS JOIN na),
           tt AS (SELECT doc_id, unnest(tk) AS t FROM te),
           sc AS (SELECT tt.doc_id, l.lang, l.pu,
               ${u6("""(CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0) /
@@ -3287,9 +3287,9 @@ object TrainingQueries {
           nd AS (SELECT lang, COUNT(*) AS ndc FROM tr GROUP BY 1),
           na AS (SELECT COUNT(*) AS n FROM tr),
           vv AS (SELECT COUNT(DISTINCT t) AS v FROM ct),
-          lbl AS (SELECT lt.lang, lt.tot,
+          lbl AS (SELECT nd.lang, COALESCE(lt.tot, 0) AS tot,
               ${u6("CAST(nd.ndc AS DOUBLE) / CAST(na.n AS DOUBLE)")} AS pu
-            FROM lt JOIN nd ON lt.lang = nd.lang CROSS JOIN na),
+            FROM nd LEFT JOIN lt ON lt.lang = nd.lang CROSS JOIN na),
           tt AS (SELECT doc_id, unnest(tk) AS t FROM te),
           sc AS (SELECT tt.doc_id, l.lang, l.pu,
               ${u6("""(CAST(COALESCE(c.c, 0) AS DOUBLE) + 1.0) /

@@ -90,6 +90,30 @@ class ClassifierSpec extends SparkSpec {
     assert(g2.head.getLong(3) == 2L)
   }
 
+  test("nbClassify: a fully-pruned class survives on its prior; " +
+    "all-pruned vocabulary degrades to prior-only") {
+    // class "bb"'s tokens are all singletons: minCount=2 prunes its
+    // entire token mass, but the class must stay in the model — its
+    // prior (3 of 4 docs) has to beat "aa" for an all-unseen test doc
+    val tr = Seq(
+      (1L, "aa", "x x x"),
+      (2L, "bb", "p q"), (3L, "bb", "r t"), (4L, "bb", "u w")
+    ).toDF("doc_id", "lang", "text")
+    val te = Seq((80L, "zz ww")).toDF("doc_id", "text")
+    val got = Classifier.nbClassify(tr, te, "text", "lang", "doc_id",
+      minCount = 2L).collect()
+    assert(got.length == 1 && got.head.getString(1) == "bb",
+      s"pruned-out class must still win on prior: ${got.toSeq}")
+    // minCount above EVERY token's count: empty vocabulary — every doc
+    // classifies by prior alone, nothing divides by zero
+    val got2 = Classifier.nbClassify(tr, te, "text", "lang", "doc_id",
+      minCount = 100L).collect()
+    assert(got2.head.getString(1) == "bb")
+    // prior-only score: ln(3/4) scaled
+    val expect = math.round(math.rint(math.log(0.75) * 1e6))
+    assert(got2.head.getLong(2) == expect)
+  }
+
   test("nbClassify: count-table join is broadcast under the guard, " +
     "shuffle-join above it") {
     // the result frame is checkpointed (plan truncated), so the guard is
