@@ -2086,6 +2086,43 @@ class OperatorsSpec extends SparkSpec {
     } finally Dedup.dropIndex(s, "spec_inc")
   }
 
+  test("incrementalMinHash lifecycle: retiring a doc frees its near-dup " +
+    "suppression; compact folds the band rows physically") {
+    val s = spark
+    import s.implicits._
+    Dedup.dropIndex(s, "spec_mh_lc")
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val b1 = Seq(
+        (1L, base),
+        (2L, "wholly different content about other matters entirely here"))
+        .toDF("doc_id", "text")
+      Dedup.incrementalMinHash(s, b1, "text", "doc_id", "spec_mh_lc",
+        minAgree = 0.75, batchTag = Some("m1"))
+      // near-dup of doc 1 drops while doc 1 is indexed
+      val nd = Seq((10L, base.stripPrefix("alpha "))).toDF("doc_id", "text")
+      assert(Dedup.incrementalMinHash(s, nd, "text", "doc_id", "spec_mh_lc",
+        minAgree = 0.75, batchTag = Some("m2")).count() == 0L)
+      // retire doc 1: ALL its band rows leave the live view at once, so
+      // the same near-dup (fresh tag) now survives and re-indexes
+      Dedup.retireFromIndex(s, "spec_mh_lc", Seq(1L).toDF("doc_id"),
+        "doc_id", "md1")
+      val nd2 = Seq((11L, base.stripPrefix("alpha "))).toDF("doc_id", "text")
+      assert(Dedup.incrementalMinHash(s, nd2, "text", "doc_id", "spec_mh_lc",
+        minAgree = 0.75, batchTag = Some("m3")).count() == 1L,
+        "retired doc must stop suppressing near-dups")
+      // compact: doc 1's band rows physically gone; survivors' remain
+      Dedup.compactIndex(s, "spec_mh_lc")
+      val ids = Dedup.loadIndex(s, "spec_mh_lc")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 11L), s"got $ids")
+      // and the re-indexed twin now suppresses the next copy
+      val nd3 = Seq((12L, base.stripPrefix("alpha "))).toDF("doc_id", "text")
+      assert(Dedup.incrementalMinHash(s, nd3, "text", "doc_id", "spec_mh_lc",
+        minAgree = 0.75, batchTag = Some("m4")).count() == 0L)
+    } finally Dedup.dropIndex(s, "spec_mh_lc")
+  }
+
   test("incremental dedup index lifecycle: retire frees content for " +
     "re-index, compact folds tombstones, replayed appends no-op") {
     val s = spark
