@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * handful of rows — the label frame is crossJoin-safe) and equi-joins
   * the count table on (token, label). The count-table join carries an
   * EXPLICIT broadcast hint whenever the table holds ≤
-  * `broadcastCountMax` entries — the plan cannot flip to sort-merge at
+  * `broadcastCountMax` entries AND ≤ `broadcastBytesMax` measured
+  * bytes — the plan cannot flip to sort-merge at
   * the AQE threshold boundary — and at 100 TB `minCount` prunes the
   * table to its frequent survivors first (Zipf: a minCount of even 2–5
   * drops the long tail, most of the distinct-token mass). Above the
@@ -54,11 +55,16 @@ object Classifier {
     * @param minCount vocabulary pruning: train tokens with total corpus
     *   count below this leave the model (scored as unseen). 1 = keep all.
     * @param broadcastCountMax max (label, token) entries for which the
-    *   count table is force-broadcast to the scoring join. */
+    *   count table is force-broadcast to the scoring join.
+    * @param broadcastBytesMax max MEASURED count-table bytes (string
+    *   payloads + per-entry overhead, aggregated in the stats pass) for
+    *   the broadcast — both caps must hold, so wide tokens/labels stop
+    *   a broadcast the entry cap alone would admit. */
   def nbClassify(train: DataFrame, test: DataFrame, textCol: String,
                  labelCol: String, idCol: String,
                  k: Double = 1.0, minCount: Long = 1L,
-                 broadcastCountMax: Long = 5000000L): DataFrame = {
+                 broadcastCountMax: Long = 5000000L,
+                 broadcastBytesMax: Long = 192L << 20): DataFrame = {
     require(k > 0, s"smoothing k=$k must be > 0")
     require(minCount >= 1, s"minCount=$minCount must be >= 1")
     val trTok = train.select(col(labelCol).as("__lbl"),
@@ -72,9 +78,17 @@ object Classifier {
       ctAll.withColumn("__ttot", sum(col("__c")).over(wt))
         .filter(col("__ttot") >= minCount).drop("__ttot")
     } else ctAll).persist()
+    // one pass also MEASURES the count table's bytes (token + label
+    // string payloads + a long + UnsafeRow overhead per entry) — the
+    // broadcast guard below is sized in what the build actually weighs,
+    // not entries: 5M short-token entries are ~150 MB, 5M long-label
+    // entries can be >0.5 GB, and only the bytes tell them apart.
     val stats = ct.agg(count(lit(1)).as("nPairs"),
-      count_distinct(col("__t")).as("v")).head()
-    val (nPairs, v) = (stats.getLong(0), stats.getLong(1))
+      count_distinct(col("__t")).as("v"),
+      coalesce(sum(length(col("__t")) + length(col("__lbl")) + lit(24)),
+        lit(0L)).as("bytes")).head()
+    val (nPairs, v, ctBytes) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val lt = ct.groupBy("__lbl").agg(sum(col("__c")).as("__tot"))
     val nd = train.groupBy(col(labelCol).as("__lbl"))
       .agg(count(lit(1)).as("__ndc"))
@@ -100,7 +114,9 @@ object Classifier {
     // likelihood. Size-guarded EXPLICIT broadcast: the count table's
     // cardinality was just measured, so the join shape is deterministic
     // — never left to flip at the AQE byte-estimate boundary.
-    val ctSide = if (nPairs <= broadcastCountMax) broadcast(ct) else ct
+    val ctSide =
+      if (nPairs <= broadcastCountMax && ctBytes <= broadcastBytesMax)
+        broadcast(ct) else ct
     // v == 0 (every token pruned — the degenerate all-OOV model): token
     // likelihoods are undefined, so each token contributes 0 and docs
     // classify by prior alone; the branch is a driver-side constant, so

@@ -560,7 +560,7 @@ object Dedup {
                        batch: DataFrame, textCol: String, idCol: String,
                        indexName: String,
                        batchTag: Option[String] = None,
-                       broadcastProbeMax: Long = 4000000L): DataFrame = {
+                       broadcastProbeMaxBytes: Long = 192L << 20): DataFrame = {
     val tag = batchTag.getOrElse(freshTag())
     val spec = indexSpec(spark, indexName)
     val hashed = batch.withColumn("content_hash", md5(col(textCol)))
@@ -582,7 +582,13 @@ object Dedup {
           .load(spark, spec, "id", Some(col("hp").isin(prefixes: _*)))
           .filter(!(col("batch_tag") <=> lit(tag)))
         val keys = inBatch.select(col("content_hash"))
-        val probe = if (nBatch <= broadcastProbeMax) broadcast(keys) else keys
+        // BYTE-sized guard, not row-count: a broadcast pins its build on
+        // every executor, so the cap must be what a row actually weighs.
+        // Probe rows here are one 32-char md5 (32 UTF8 bytes) + UnsafeRow
+        // overhead ≈ 48 B; 192 MB ≈ the old 4M-row default for this shape.
+        val probe =
+          if (nBatch * ExactProbeRowBytes <= broadcastProbeMaxBytes)
+            broadcast(keys) else keys
         // semi first: `dup` is ≤ |batch| rows, so the anti-join below is
         // itself a broadcast — the index side never shuffles or sorts
         val dup = idx.join(probe, Seq("content_hash"), "left_semi")
@@ -598,6 +604,16 @@ object Dedup {
     inBatch.unpersist(false)
     out.drop("content_hash")
   }
+
+  /** Estimated broadcast-row widths for the incremental-index probes —
+    * the guards below are sized in BYTES (rows × width vs a byte cap),
+    * not row counts, because what pins executor memory is the build
+    * side's serialized size and a signature-carrying minhash row is
+    * ~3× wider than a bare content hash. Exact probe: 32-byte md5 hex +
+    * UnsafeRow overhead. MinHash probe: id + band key (~40 B) + the
+    * Int signature array (4 B × seeds + array header). */
+  private val ExactProbeRowBytes = 48L
+  private def minhashProbeRowBytes(seeds: Int): Long = 96L + 4L * seeds
 
   private val tagCounter = new java.util.concurrent.atomic.AtomicLong()
   private def freshTag(): String =
@@ -653,7 +669,7 @@ object Dedup {
                          indexName: String, k: Int = 3, bands: Int = 4,
                          rowsPerBand: Int = 2, minAgree: Double = 1.0,
                          batchTag: Option[String] = None,
-                         broadcastProbeMax: Long = 4000000L): DataFrame = {
+                         broadcastProbeMaxBytes: Long = 192L << 20): DataFrame = {
     val tag = batchTag.getOrElse(freshTag())
     val seeds = bands * rowsPerBand
     // signature + band keys in ONE projection: the native kernels hash each
@@ -695,7 +711,12 @@ object Dedup {
           .filter(!(col("batch_tag") <=> lit(tag)))
           .select(col("bkey"), col("sig").as("__osig"))
         val bex = ex.select(col(idCol), col("sig"), col("bkey"))
-        val probe = if (nEx <= broadcastProbeMax) broadcast(bex) else bex
+        // byte guard (see ExactProbeRowBytes): these rows carry the full
+        // Int-signature array, so the same byte cap admits ~3× fewer
+        // rows than the exact-dedup hash probe — by design
+        val probe =
+          if (nEx * minhashProbeRowBytes(seeds) <= broadcastProbeMaxBytes)
+            broadcast(bex) else bex
         // index side streams map-side against the broadcast batch — no
         // shuffle and no sort of the accumulated index, ever
         idx.join(probe, "bkey")

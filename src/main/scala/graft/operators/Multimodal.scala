@@ -475,7 +475,12 @@ object Multimodal {
       def isFrameId(id: String): Boolean =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           (id.endsWith("dc") || id.endsWith("db"))
-      def walk(end: Int): Unit =
+      // Depth-capped: a crafted file nesting a LIST every 12 bytes would
+      // otherwise recurse ~bytes/12 deep and StackOverflowError past the
+      // Exception handler. Real AVI nests 3-4 levels; 64 is unreachable
+      // by honest input, so deeper == unparsable (None), not a crash.
+      val MaxListDepth = 64
+      def walk(end: Int, depth: Int): Unit =
         while (bb.position() + 8 <= end) {
           bb.get(tag)
           val id = new String(tag, "US-ASCII")
@@ -484,8 +489,10 @@ object Multimodal {
             throw new IllegalArgumentException("chunk overruns parent")
           val next = bb.position() + size + (size & 1)
           if (id == "LIST" && size >= 4) {
+            if (depth >= MaxListDepth)
+              throw new IllegalArgumentException("LIST nesting too deep")
             bb.get(tag) // list type (hdrl/strl/movi/rec /...)
-            walk(bb.position() + size - 4)
+            walk(bb.position() + size - 4, depth + 1)
           } else if (id == "avih" && size >= 40) {
             val p = bb.position()
             val us = bb.getInt
@@ -498,7 +505,7 @@ object Multimodal {
           }
           bb.position(math.min(next, end))
         }
-      walk(bytes.length)
+      walk(bytes.length, 0)
       wh.collect { case (w, h, us) if w > 0 && h > 0 && us > 0 =>
         AviVideo(w, h, us, frames.result())
       }

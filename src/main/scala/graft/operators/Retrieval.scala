@@ -149,11 +149,17 @@ object Retrieval {
     * each query's probes prune to nProbe cell directories). Nothing here
     * reads the corpus: both rankers run entirely off index files, which
     * is the point at 100 TB — the crawl is cold storage, the indexes are
-    * the hot set. Same fusion and output shape as [[hybridTopKBatch]]. */
-  def hybridTopKBatchIndexed(postings: DataFrame, assigned: DataFrame,
+    * the hot set. Same fusion and output shape as [[hybridTopKBatch]].
+    *
+    * The probe centroids come FROM THE INDEX (`index.centroids` — the
+    * ones its rows were assigned under), never from the caller: a
+    * centroid array that differed from the assignment-time cells would
+    * silently probe the wrong cells and bleed recall with no error. The
+    * centroid collect is nCells rows — driver-trivial. */
+  def hybridTopKBatchIndexed(postings: DataFrame,
+                             index: Similarity.IvfIndex,
                              idCol: String, vecCol: String,
-                             queries: DataFrame,
-                             cells: Array[Array[Float]], nProbe: Int,
+                             queries: DataFrame, nProbe: Int,
                              queryIdCol: String = "query_id",
                              termsCol: String = "terms",
                              qvecCol: String = "qvec", k: Int = 10,
@@ -162,6 +168,9 @@ object Retrieval {
   : DataFrame = {
     require(vecCol != qvecCol,
       "corpus and query vector columns must have distinct names")
+    val cells = centroidCells(index)
+    val assigned = index.assigned.select(col("cand_id").as(idCol),
+      col("cv").as(vecCol), col("cell"))
     // nDocs is constant between index appends: a service passes the
     // memoized stat via nDocsKnown so each query batch skips the
     // distinct-count scan of the postings; None recomputes (the
@@ -173,6 +182,22 @@ object Retrieval {
     val dense = denseCellProbe(assigned, idCol, vecCol, queries, cells,
       nProbe, queryIdCol, qvecCol, nPerRanker)
     rrfFuseBy(Seq("lex" -> lex, "dense" -> dense), idCol, queryIdCol, k, k0)
+  }
+
+  /** The index's own probe centroids as a dense 0..n-1 array (the form
+    * [[cellArgmin]]/[[denseCellProbe]] consume) — cell ids must be the
+    * contiguous range the assignment wrote, asserted here so a corrupt
+    * or hand-edited centroid table fails loudly instead of mis-probing. */
+  private def centroidCells(index: Similarity.IvfIndex)
+  : Array[Array[Float]] = {
+    val rows = index.centroids.select(col("cell").cast("int"),
+      col("centroid")).collect()
+    require(rows.nonEmpty, "index has no centroids")
+    val byCell = rows.map(r => r.getInt(0) ->
+      r.getSeq[Float](1).toArray).sortBy(_._1)
+    require(byCell.map(_._1).sameElements(byCell.indices),
+      s"centroid cell ids not contiguous 0..${rows.length - 1}")
+    byCell.map(_._2)
   }
 
   /** Seeded-cell assignment of a vector frame — the build side of the
@@ -265,41 +290,23 @@ object Retrieval {
   }
 
   /** Single-query hybrid top-k over an aligned (documents, embeddings)
-    * pair: BM25 of `queryTerms` (summed over terms) fused with cosine
-    * against `queryVec`. `nPerRanker` bounds each ranked list before
-    * fusion (the standard candidate-pool cut). */
+    * pair: BM25 of `queryTerms` (summed over distinct terms) fused with
+    * cosine against `queryVec`. A strict special case of
+    * [[hybridTopKBatch]] — one query row, same rankers, same fusion, the
+    * batch's query-id column projected away — so the two APIs cannot
+    * drift. (Terms dedupe first: the historical single-query ranker
+    * filtered with `isin`, which never counted a term twice.) */
   def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
                  textCol: String, vecCol: String,
                  queryTerms: Seq[String], queryVec: Seq[Float],
                  k: Int, k0: Int = 60, nPerRanker: Int = 100): DataFrame = {
     require(queryTerms.nonEmpty && queryVec.nonEmpty, "empty query")
-    val postings = docs.select(col(idCol),
-      explode(TA.tokens(col(textCol))).as("token"))
-    val nDocs = docs.count()
-    // top-n per ranker via orderBy+limit (TakeOrderedAndProject — a
-    // distributed per-partition top-n + driver merge, never a global
-    // sort); the row_number window then ranks only the ≤ nPerRanker
-    // survivors, so its single partition is bounded by construction.
-    val lexW = Window.orderBy(col("score").desc, col(idCol))
-    val lex = HybridTable.bm25(postings, idCol, nDocs)
-      .filter(col("token").isin(queryTerms: _*))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("bm25")), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol)).limit(nPerRanker)
-      .withColumn("rank", row_number().over(lexW))
-    val qv = typedLit(queryVec)
-    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
-    val denseW = Window.orderBy(col("cos").desc, col(idCol))
-    // zero-norm guard: a zero-norm embedding divides 0/0, which is NaN in
-    // legacy mode (sorting LARGEST under desc — it would silently occupy
-    // the top of the list) and a DIVIDE_BY_ZERO error under ANSI.
-    // try_divide nulls the quotient either way; drop before the cut.
-    val dense = emb.select(col(idCol),
-        round(try_divide(Vectors.dot(col(vecCol), qv),
-          Vectors.norm2(col(vecCol)) * lit(qn)), 6).as("cos"))
-      .filter(col("cos").isNotNull)
-      .orderBy(col("cos").desc, col(idCol)).limit(nPerRanker)
-      .withColumn("rank", row_number().over(denseW))
-    rrfFuse(Seq("lex" -> lex, "dense" -> dense), idCol, k, k0)
+    val one = docs.sparkSession.range(1).select(
+      lit(0).as("__qid"), typedLit(queryTerms.distinct).as("__terms"),
+      typedLit(queryVec).as("__qvec"))
+    hybridTopKBatch(docs, emb, idCol, textCol, vecCol, one,
+      queryIdCol = "__qid", termsCol = "__terms", qvecCol = "__qvec",
+      k = k, k0 = k0, nPerRanker = nPerRanker)
+      .drop("__qid")
   }
 }

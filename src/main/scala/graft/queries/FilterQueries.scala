@@ -369,7 +369,7 @@ object FilterQueries {
       (s, d) => {
         import graft.sources.JsonIndexLifecycle
         val root =
-          s"target/graft_jsonidx_lc_${new java.io.File(d).getName}"
+          s"target/graft_jsonidx_lc_${CorpusKey.of(d)}"
         JsonIndexLifecycle.deleteRoot(root)
         val j = concat(
           lit("""{"meta":{"pri":""""), col("o_orderpriority"),

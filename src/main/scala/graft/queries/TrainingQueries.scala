@@ -19,7 +19,7 @@ object TrainingQueries {
     * positives to find. */
   /** Deterministic per-corpus dir for the incremental-IVF gate. */
   private def ivfAppendDir(sfDir: String): String =
-    s"target/graft_ivf_append_${new java.io.File(sfDir).getName}"
+    s"target/graft_ivf_append_${CorpusKey.of(sfDir)}"
 
   /** Full build+append protocol for the incremental-IVF gate: fresh
     * index, one appended batch, one deliberately REPLAYED append (the
@@ -50,7 +50,7 @@ object TrainingQueries {
   }
 
   private def ivfLifecycleDir(sfDir: String): String =
-    s"target/graft_ivf_lifecycle_${new java.io.File(sfDir).getName}"
+    s"target/graft_ivf_lifecycle_${CorpusKey.of(sfDir)}"
 
   /** Full index-lifecycle protocol for the ANN maintenance gate: fresh
     * index → append twins of the whole corpus (b1) → tombstone the five
@@ -96,7 +96,7 @@ object TrainingQueries {
   /** Lifecycle index name keyed by the corpus dir (sf0.001 smoke and
     * sf0.01 verify runs in one session must not share state). */
   private def qlcName(d: String): String =
-    "qlc_" + new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    "qlc_" + CorpusKey.of(d)
 
   private def buildDedupLifecycle(s: org.apache.spark.sql.SparkSession,
                                   d: String): Unit = {
@@ -134,7 +134,7 @@ object TrainingQueries {
     * corpus dir: the text side through TextIndexLifecycle (tag b1), the
     * dense side a seeded-cell assignment persisted cell-partitioned. */
   private def hybIdxRoot(d: String): String =
-    s"target/graft_hyb_idx_${new java.io.File(d).getName}"
+    s"target/graft_hyb_idx_${CorpusKey.of(d)}"
 
   private def buildHybridIndexes(s: org.apache.spark.sql.SparkSession,
                                  d: String): Unit = {
@@ -1903,7 +1903,7 @@ object TrainingQueries {
       (s, d) => {
         import graft.sources.TextIndexLifecycle
         val root =
-          s"target/graft_textidx_${new java.io.File(d).getName}"
+          s"target/graft_textidx_${CorpusKey.of(d)}"
         TextIndexLifecycle.deleteRoot(root)
         val docs = Tables.documents(s, d)
         TextIndexLifecycle.append(s, root, "text", "doc_id",
@@ -2222,11 +2222,11 @@ object TrainingQueries {
         val root = hybIdxRoot(d)
         val postings = graft.sources.TextIndexLifecycle
           .load(s, root, "text", "doc_id")
+        // the probe centroids come from the loaded index itself — the
+        // gate no longer recomputes cells at query time, so probe and
+        // assignment cannot drift (round-12 ADVICE fix)
         val ivf = Similarity.loadIvfIndex(s, s"$root/ivf")
-        val assigned = ivf.assigned.select(col("cand_id").as("doc_id"),
-          col("cv").as("embedding"), col("cell"))
         val emb = Tables.embeddings(s, d)
-        val cells = Similarity.ivfCellsSeeded(emb, "vec_id", "embedding", 8)
         val queries = Seq(
           0L -> Seq("vector", "hash"),
           1L -> Seq("index", "tree"),
@@ -2234,7 +2234,7 @@ object TrainingQueries {
           .join(emb.select(col("vec_id").as("query_id"),
             col("embedding").as("qvec")), "query_id")
         graft.operators.Retrieval.hybridTopKBatchIndexed(
-          postings, assigned, "doc_id", "embedding", queries, cells,
+          postings, ivf, "doc_id", "embedding", queries,
           nProbe = 2, k = 10, k0 = 60, nPerRanker = 50)
           .orderBy(col("query_id"), col("rank"))
       },

@@ -273,4 +273,20 @@ class PropertySpec extends SparkSpec {
       Multimodal.decodeAvi(flipped) // Option or None — must not throw
     }
   }
+
+  test("decodeAvi: pathological LIST nesting is data (None), not a " +
+    "StackOverflowError") {
+    import graft.operators.Multimodal
+    // a LIST every 12 bytes nests one level per chunk; thousands of
+    // levels would blow the stack without the parser's depth cap
+    val depth = 20000
+    val bb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + depth * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    for (i <- depth to 1 by -1)
+      bb.put("LIST".getBytes("US-ASCII")).putInt((i - 1) * 12 + 4)
+        .put("recx".getBytes("US-ASCII"))
+    assert(Multimodal.decodeAvi(bb.array()).isEmpty)
+  }
 }
