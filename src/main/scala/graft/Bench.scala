@@ -30,12 +30,34 @@ import org.apache.spark.sql.functions.{col, length, sum}
   * `isolated` carries the re-run — interference and real regressions are
   * distinguishable from the JSON alone.
   *
+  * INLINE self-defense (round 12): the post-hoc isolation above
+  * attributes interference but the headline total still eats it, so the
+  * suite now also defends itself in place. A first timing past
+  * [[InlineRerunFactor]]× the query's prior recording triggers an
+  * immediate GC settle + checkpoint sweep and a median-of-3 re-measure
+  * whose MEDIAN becomes the suite number (a transient stall recovers;
+  * a real regression repeats and keeps its slow number); the inflated
+  * first timing ships in `inline_rerun` so nothing is hidden. An
+  * absolute outlier (> [[AbsOutlierSec]] s on a prior-sub-second query)
+  * forces the settle even when no prior-ratio fires.
+  *
+  * `cache` block: per-query graft-cache deltas (hits/misses/evictions)
+  * so a cap outgrown by a growing suite shows up in the artifact as an
+  * eviction storm, not as unexplained 10 s in-suite rebuilds.
+  *
   * SPARK_GRAFT_BENCH_REPEAT=2 runs the whole suite a second time in the
   * SAME JVM and ships `queries2`/`total2` — the flat-session proof artifact
   * (suite 2 ≈ suite 1 means no session-lifetime accumulation). */
 object Bench {
 
   val OutlierFactor = 1.5
+
+  /** First timing past this ×prior → settle + median-of-3 in place. */
+  val InlineRerunFactor = 3.0
+
+  /** Absolute mid-suite alarm: a prior-sub-second query crossing this
+    * many seconds forces a GC settle + sweep before re-measuring. */
+  val AbsOutlierSec = 5.0
 
   /** The heavy tier re-run at FACTOR× by the scale-stress pass: every
     * query here reads only documents/embeddings (the tables
@@ -57,6 +79,19 @@ object Bench {
     "q_dedup_keep_rep", "q_split_leakproof", "q_ann_ivf_append",
     "q_ann_ivf_lifecycle", "q_dedup_index_lifecycle", "q_hybrid_rrf_batch",
     "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed")
+
+  /** Should a first in-suite timing trigger the inline settle +
+    * median-of-3 re-measure? Ratio trigger (3× the prior round) or the
+    * absolute alarm (prior-sub-second query past [[AbsOutlierSec]]). No
+    * prior → no trigger (nothing to compare against; the post-hoc
+    * degradation gate still covers it). */
+  private[graft] def needsInlineRerun(first: Double,
+                                      prior: Option[Double]): Boolean =
+    prior.exists(p => first > p * InlineRerunFactor ||
+      (p < 1.0 && first > AbsOutlierSec))
+
+  private[graft] def median3(a: Double, b: Double, c: Double): Double =
+    Seq(a, b, c).sorted.apply(1)
 
   /** Queries whose suite time exceeds `factor`× their prior recording. */
   private[graft] def outliers(cur: Map[String, Double],
@@ -175,11 +210,25 @@ object Bench {
     final case class Res(name: String, sec: Double, err: Option[String],
                          gcMs: Long, storage: Long,
                          setupSec: Option[Double], shuffle: Long,
-                         firstSec: Double)
+                         firstSec: Double,
+                         inlineRerun: Boolean = false,
+                         cacheHits: Long = 0L, cacheMisses: Long = 0L,
+                         cacheEvicts: Long = 0L)
+
+    // prior-round per-query seconds: the inline defense inside runSuite
+    // and the post-hoc outlier isolation both key off it
+    val prior = loadPrior()
+
+    def settleSession(): Unit = {
+      graft.operators.Checkpoints.sweep()
+      System.gc()
+      Thread.sleep(200)
+    }
 
     def runSuite(sel: Seq[graft.Q] = selected,
                  dir: String = sfDir,
-                 rerunBudget: Double = rerunBudgetSec): Seq[Res] = sel.map { q =>
+                 rerunBudget: Double = rerunBudgetSec,
+                 inlineDefense: Boolean = true): Seq[Res] = sel.map { q =>
       // a failing query must surface as an error, not masquerade as a
       // fast wall-time silently inflating the bench
       var err: Option[String] = None
@@ -193,6 +242,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val gc0 = gcMillis()
+      val (h0, m0, e0) = graft.operators.GraftCache.statsSnapshot()
       // build phase (catalog/index construction) timed apart from the
       // operator so saveAsTable ceremony can't pollute the headline
       val setupSec = q.setup.map(s => timedPhase(() => s(spark, dir)))
@@ -200,20 +250,43 @@ object Bench {
       def timed(): Double = timedPhase(() => runOnce(q.run, dir))
       val first = timed()
       val firstShuffle = drainShuffleBytes() // ONE run's volume, not iters'
-      val rest = if (err.isEmpty && first <= rerunBudget)
-        (2 to iters).map(_ => timed()) else Nil
+      // INLINE defense: a degraded session mustn't ship an inflated
+      // headline. Ratio trigger = first > InlineRerunFactor× the prior
+      // round; absolute trigger = >AbsOutlierSec on a prior-sub-second
+      // query. Either way: settle (sweep + GC — the interference source
+      // is usually old-gen/block-manager pressure left by neighbors),
+      // then re-measure twice and let the MEDIAN of the three carry the
+      // suite number. A transient stall recovers; a true regression
+      // repeats its slow time twice and the median keeps it.
+      val inflated = inlineDefense && err.isEmpty &&
+        needsInlineRerun(first, prior.get(q.name))
+      val sec =
+        if (inflated) {
+          settleSession()
+          val sec2 = timed()
+          val sec3 = timed()
+          drainShuffleBytes()
+          median3(first, sec2, sec3)
+        } else {
+          val rest = if (err.isEmpty && first <= rerunBudget)
+            (2 to iters).map(_ => timed()) else Nil
+          (first +: rest).min
+        }
       val gcMs = gcMillis() - gc0
+      val (h1, m1, e1) = graft.operators.GraftCache.statsSnapshot()
       // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
       // query): a long suite must not accumulate block-manager state
       graft.operators.Checkpoints.sweep()
       drainShuffleBytes()
-      val r = Res(q.name, (first +: rest).min, err, gcMs, storageBytes(),
-        setupSec, firstShuffle, first)
+      val r = Res(q.name, sec, err, gcMs, storageBytes(),
+        setupSec, firstShuffle, first, inflated,
+        h1 - h0, m1 - m0, e1 - e0)
       // per-query progress on stderr (stdout carries only the JSON line):
       // a wedged suite is attributable to a query from the log alone
       System.err.println(
         f"[bench] ${q.name}%-28s ${r.sec}%8.3fs first=$first%.3fs" +
           setupSec.fold("")(s => f" setup=$s%.3fs") +
+          (if (inflated) " inline-rerun" else "") +
           err.fold("")(e => s" ERROR $e"))
       r
     }
@@ -315,10 +388,26 @@ object Bench {
       s""","storage_bytes":${jmap(results.map(r => r.name -> r.storage))}"""
     val shJson =
       s""","shuffle_bytes":${jmap(results.map(r => r.name -> r.shuffle))}"""
+    // inflated first timings the inline defense replaced (median shipped
+    // in `queries`) — the interference is attributed, never hidden
+    val inlineJson = {
+      val ir = results.collect { case r if r.inlineRerun =>
+        r.name -> r.firstSec }
+      if (ir.isEmpty) "" else s""","inline_rerun":${jmap(ir)}"""
+    }
+    // per-query graft-cache activity; only rows with activity ship (most
+    // queries touch no cached derived table)
+    val cacheJson = {
+      val c = results.collect {
+        case r if r.cacheHits + r.cacheMisses + r.cacheEvicts > 0 =>
+          r.name -> (s"""{"hits":${r.cacheHits},"misses":${r.cacheMisses}""" +
+            s""","evictions":${r.cacheEvicts}}""")
+      }
+      if (c.isEmpty) "" else s""","cache":${jmap(c)}"""
+    }
 
     // re-bench suite outliers alone (post-GC) so interference can't
     // masquerade as regression; both numbers ship
-    val prior = loadPrior()
     val flagged = outliers(ok.map(r => r.name -> r.sec).toMap, prior)
     def isolatedRun(name: String): Option[(String, Double)] =
       selected.find(_.name == name).map { q =>
@@ -409,7 +498,12 @@ object Bench {
         // divided by warm 1× minima). Cold times ship separately as
         // `cold`/`cold_ratio` — build-path scaling is a real signal, it
         // just must be compared cold-to-cold.
-        val scaled = runSuite(scaleSel, scaleDir, rerunBudget = 1e9)
+        // inlineDefense off: prior-round seconds are BASE-corpus numbers,
+        // so at 10× nearly every first run would trip the 3× trigger and
+        // the median-of-3 would bias scale minima upward vs the base
+        // suite's min-of-2 — the ratio must compare like with like
+        val scaled = runSuite(scaleSel, scaleDir, rerunBudget = 1e9,
+          inlineDefense = false)
         // The replica expansion prefixes every token with "r{N}_", so the
         // "10×" corpus carries ~15× the text BYTES of the base (measured
         // 14.92× at sf0.1). Text-bearing queries are linear in bytes, not
@@ -467,7 +561,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$repeatJson$streamJson$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$inlineJson$cacheJson$repeatJson$streamJson$scaleJson,"sf":"$sfDir"}"""
     // The FULL artifact lands on disk; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_latest.json"))
@@ -507,9 +601,12 @@ object Bench {
         .map(jstr).mkString("[", ",", "]")}"""
     val scaleCompact = if (scaleSummary.isEmpty) "" else scaleSummary
     val tot2Compact = if (repeat < 2) "" else s""","total2":$total2Sum"""
+    val nInline = results.count(_.inlineRerun)
+    val inlineCompact =
+      if (nInline == 0) "" else s""","n_inline_rerun":$nInline"""
     def compactLine(withQueries: Boolean, withScale: Boolean): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
-        s""","n_queries":${ok.size}$errsCompact""" +
+        s""","n_queries":${ok.size}$errsCompact$inlineCompact""" +
         s""","degradation":${r3(degradation)}$tot2Compact""" +
         (if (withQueries) s""","queries":$headJson""" else "") +
         (if (withScale) scaleCompact else "") +

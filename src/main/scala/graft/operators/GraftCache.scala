@@ -56,6 +56,18 @@ object GraftCache {
   private val evictedReleases =
     new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
+  // Session-lifetime counters for the bench artifact's `cache` block: an
+  // eviction storm (cap outgrown by the suite's working set — round 11's
+  // 12→32 bump) must be visible from the JSON alone, before it costs
+  // 10 s in-suite rebuilds. Monotonic; readers diff snapshots.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong()
+  private val missCount = new java.util.concurrent.atomic.AtomicLong()
+  private val evictCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (hits, misses, evictions) since session start. */
+  def statsSnapshot(): (Long, Long, Long) =
+    (hitCount.get(), missCount.get(), evictCount.get())
+
   /** Fetch-or-build. `release` frees the entry's distributed state once it
     * can no longer be in use: at the sweep after eviction (see
     * [[Checkpoints.releaseFrame]] for DataFrame entries), or immediately on
@@ -64,10 +76,14 @@ object GraftCache {
                              (build: => T)(release: T => Unit): T = {
     map.synchronized {
       val hit = map.get((owner, key))
-      if (hit != null) return hit.value.asInstanceOf[T]
+      if (hit != null) {
+        hitCount.incrementAndGet()
+        return hit.value.asInstanceOf[T]
+      }
     }
     // build OUTSIDE the lock: builds run Spark jobs (seconds); holding the
     // lock would serialize unrelated operators' cache access behind them.
+    missCount.incrementAndGet()
     val built = build
     val (result, loser) = map.synchronized {
       val prev = map.get((owner, key))
@@ -129,6 +145,7 @@ object GraftCache {
       val eldest = map.entrySet().iterator().next()
       evictedReleases.add(eldest.getValue.release)
       map.remove(eldest.getKey)
+      evictCount.incrementAndGet()
     }
     val counts = map.keySet().asScala.groupBy(_._1).map { case (o, ks) =>
       o -> ks.size }
@@ -140,6 +157,7 @@ object GraftCache {
           val e = it.next()
           if (e.getKey._1 == owner) {
             evictedReleases.add(e.getValue.release); it.remove(); over -= 1
+            evictCount.incrementAndGet()
           }
         }
       }

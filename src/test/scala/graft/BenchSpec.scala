@@ -43,4 +43,25 @@ class BenchSpec extends AnyFunSuite {
       """{"queries":{"q_a":0.5},"gc_ms":{"q_a":2000},"shuffle_bytes":{"q_a":123456}}"""
     assert(Bench.parsePriorQueries(blocks) == Map("q_a" -> 0.5))
   }
+
+  test("needsInlineRerun: ratio and absolute triggers; no prior is safe") {
+    // ratio trigger: strictly greater than 3x the prior
+    assert(!Bench.needsInlineRerun(0.6, Some(0.2)))
+    assert(Bench.needsInlineRerun(0.61, Some(0.2)))
+    // absolute alarm: prior-sub-second query past 5s fires even when the
+    // prior is large enough that 3x would not (prior 0.9 -> 3x = 2.7)
+    assert(Bench.needsInlineRerun(5.1, Some(0.9)))
+    // a genuinely slow query (prior 4s) at 5.1s is neither 3x nor
+    // prior-sub-second: no trigger
+    assert(!Bench.needsInlineRerun(5.1, Some(4.0)))
+    // no prior round -> never triggers (degradation gate still covers it)
+    assert(!Bench.needsInlineRerun(100.0, None))
+  }
+
+  test("median3: transient stall recovers, true regression persists") {
+    // interference: 10.9s first, 0.6s after the settle -> median ships 0.6
+    assert(Bench.median3(10.9, 0.6, 0.63) == 0.63)
+    // real regression: slow time repeats -> median keeps it
+    assert(Bench.median3(3.1, 3.0, 2.9) == 3.0)
+  }
 }
