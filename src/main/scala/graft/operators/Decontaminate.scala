@@ -24,11 +24,38 @@ object Decontaminate {
 
   /** Distinct ids of corpus documents sharing ≥1 k-shingle with `bench`. */
   def flagged(corpus: DataFrame, textCol: String, idCol: String,
-              bench: DataFrame, benchTextCol: String, k: Int): DataFrame = {
-    val benchSh = bench.select(shingles(bench, benchTextCol, k)).distinct()
+              bench: DataFrame, benchTextCol: String, k: Int): DataFrame =
+    flaggedWith(corpus, textCol, idCol,
+      bench.select(shingles(bench, benchTextCol, k)).distinct(), k)
+
+  /** [[flagged]] against an already-built bench-shingle set (one `sh`
+    * column) — the steady-state shape: the eval set changes rarely, so
+    * its distinct shingle hashes build ONCE ([[benchShingles]]) and
+    * every decontamination pass afterwards is just the corpus scan +
+    * broadcast probe. */
+  def flaggedWith(corpus: DataFrame, textCol: String, idCol: String,
+                  benchSh: DataFrame, k: Int): DataFrame =
     corpus.select(col(idCol), shingles(corpus, textCol, k))
       .join(broadcast(benchSh), "sh")
       .select(col(idCol)).distinct()
+
+  private val Owner = "decon"
+
+  /** The benchmark set's distinct k-shingle hashes, MATERIALIZED (eager
+    * localCheckpoint) and cached in [[GraftCache]] keyed on the bench
+    * frame's plan — the one-time build a recurring decontamination
+    * pipeline pays once per eval-set version, not per pass. Blocks are
+    * pinned (cache-owned) and freed on eviction. */
+  def benchShingles(bench: DataFrame, benchTextCol: String, k: Int)
+  : DataFrame = {
+    val key = (System.identityHashCode(bench.sparkSession),
+      s"sh$k:${bench.queryExecution.analyzed.semanticHash()}")
+    GraftCache.getOrBuild(Owner, key) {
+      val built = Checkpoints.eager(
+        bench.select(shingles(bench, benchTextCol, k)).distinct())
+      Checkpoints.pin(built)
+      built
+    }(Checkpoints.releaseFrame)
   }
 
   /** The corpus minus flagged documents (anti-join on ids — ships only
