@@ -318,6 +318,49 @@ object FilterQueries {
         WHERE o_orderstatus = 'F' AND (o_custkey % 5) > 3
         GROUP BY o_orderpriority""")),
 
+    // The FULL q_filter_json_array predicate — (tags[*].p='F' AND
+    // tags[*].n>3) OR meta.pri='1-URGENT' — through the SQL surface with
+    // the registered posting table: JsonIndexRoute compiles the whole
+    // AND/OR marker tree into posting-set algebra (∩ = keyed semi-join,
+    // ∪ = id-set union — the reference's bitmap AND/OR in
+    // JsonMatchFilterOperator) and probes ONE combined id set. Same
+    // oracle as q_filter_json_array, so the set-algebra plan is
+    // hash-checked against the per-row twin; JsonIndexRouteSpec asserts
+    // the LEFT SEMI shape for this exact predicate tree.
+    Q("q_filter_json_array_routed",
+      (s, d) => {
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        val dir = new java.io.File(
+          s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          Tables.orders(s, d).withColumn("doc", j)
+            .write.mode("overwrite").parquet(dir.getPath)
+        }
+        val docs = s.read.parquet(dir.getPath)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        graft.rules.JsonIndexCatalog.clear()
+        graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
+          graft.operators.JsonIndex.cachedPostings(
+            docs, "doc", "o_orderkey", schema,
+            cacheKey = Some(s"$d:orders.doc.routed")),
+          docs.select(col("o_orderkey")).distinct())
+        docs.createOrReplaceTempView("orders_jm_arr")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm_arr
+          WHERE (json_match(doc, '"$.tags[*].p" = ''F''')
+             AND json_match(doc, '"$.tags[*].n" > 3'))
+             OR json_match(doc, '"$.meta.pri" = ''1-URGENT''')
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus = 'F' AND (o_custkey % 5) > 3)
+           OR o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority""")),
+
     // The MATERIALIZED json index: postings written path-partitioned to
     // disk once (the reference's index lives in the segment), predicates
     // answered from the parquet postings via per-predicate id lookups +

@@ -60,12 +60,20 @@ object JsonIndexCatalog {
 }
 
 /** Routes `WHERE json_match(col, '…')` onto the registered json posting
-  * table: the filter conjunct becomes a LEFT SEMI join against the
-  * matching doc-id set ([[JsonIndex.matchIds]] — a pruned postings lookup,
-  * one path partition when the index is disk-materialized). At scale the
-  * semi-join touches ~|matching postings|, not the json corpus. Markers
-  * with no covering index — or outside a routable filter conjunct
-  * (projections, disjunctions) — lower to the per-row jsonpath tree, which
+  * table: each routable filter conjunct becomes a LEFT SEMI join against
+  * a matching doc-id set ([[JsonIndex.matchIds]] — a pruned postings
+  * lookup, one path partition when the index is disk-materialized). At
+  * scale the semi-join touches ~|matching postings|, not the json corpus.
+  *
+  * A routable conjunct is any AND/OR tree whose LEAVES are all
+  * json_match markers covered by one index and probing the same id
+  * column — the set-algebra compilation the reference's
+  * `JsonMatchFilterOperator` does on posting bitmaps (AND = bitmap
+  * intersect = keyed semi-join of id sets; OR = bitmap union = id-set
+  * union). So `(jm(A) AND jm(B)) OR jm(C)` routes as
+  * `(ids(A) ∩ ids(B)) ∪ ids(C)` — one semi-join against the combined
+  * set. Markers with no covering index, under NOT, or mixed into a tree
+  * with non-marker predicates lower to the per-row jsonpath tree, which
   * fuses into the scan. */
 case class JsonIndexRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
 
@@ -90,43 +98,62 @@ case class JsonIndexRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(cond, child)
         if child.resolved && cond.exists(isMarker) =>
-      val (markers, rest0) = conjuncts(cond).partition(isMarker)
-      // markers nested under OR/NOT can't semi-join — per-row semantics
-      val rest = rest0.map(lowerNested)
+      // bind one marker to its covering index entry + the probe-side id
+      // attribute (the marker's json column and the entry's id column
+      // must trace to the SAME leaf relation the index was built over)
+      def resolve(m: JsonMatchMarker)
+      : Option[(JsonIndexCatalog.Entry, Attribute)] = m.json match {
+        case a: AttributeReference =>
+          JsonIndexCatalog.all.iterator.flatMap { e =>
+            if (a.name != e.jsonCol) Iterator.empty
+            else TextMatchRoute.traceToLeaf(child, a.exprId) match {
+              case Some((l, ord)) if ord == e.jsonOrd &&
+                  l.sameResult(e.sourceLeaf) =>
+                child.output.iterator.filter(o => o.name == e.idCol &&
+                  TextMatchRoute.traceToLeaf(child, o.exprId).exists {
+                    case (l2, o2) => (l2 eq l) && o2 == e.idOrd })
+                  .map(idAttr => (e, idAttr))
+              case _ => Iterator.empty
+            }
+          }.nextOption()
+        case _ => None
+      }
+      // compile an AND/OR tree of markers into one id set (set algebra
+      // over the postings); None when any leaf is unresolvable, under a
+      // NOT, or not a marker — those trees keep per-row semantics
+      def treeIds(e: Expression): Option[(DataFrame, Attribute)] = e match {
+        case m: JsonMatchMarker => resolve(m).map { case (en, idAttr) =>
+          (JsonIndex.matchIds(en.index, en.universe, en.idCol, m.predicate)
+            .toDF(idAttr.name), idAttr)
+        }
+        case And(l, r) =>
+          for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
+                if al.exprId == ar.exprId }
+            yield (dl.join(dr, Seq(al.name), "left_semi"), al)
+        case Or(l, r) =>
+          for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
+                if al.exprId == ar.exprId }
+            yield (dl.unionByName(dr).distinct(), al)
+        case _ => None
+      }
+      val parts = conjuncts(cond).map { c =>
+        (c, if (c.exists(isMarker)) treeIds(c) else None)
+      }
+      val rest = parts.collect { case (c, None) => lowerNested(c) }
       var base: LogicalPlan =
         if (rest.isEmpty) child else Filter(rest.reduce(And), child)
-      var leftover: Seq[Expression] = Nil
-      markers.foreach { case m @ JsonMatchMarker(attr, pred) =>
-        val entry = attr match {
-          case a: AttributeReference =>
-            JsonIndexCatalog.all.iterator.flatMap { e =>
-              if (a.name != e.jsonCol) Iterator.empty
-              else TextMatchRoute.traceToLeaf(child, a.exprId) match {
-                case Some((l, ord)) if ord == e.jsonOrd &&
-                    l.sameResult(e.sourceLeaf) =>
-                  child.output.iterator.filter(o => o.name == e.idCol &&
-                    TextMatchRoute.traceToLeaf(child, o.exprId).exists {
-                      case (l2, o2) => (l2 eq l) && o2 == e.idOrd })
-                    .map(idAttr => (e, idAttr))
-                case _ => Iterator.empty
-              }
-            }.nextOption()
-          case _ => None
-        }
-        entry match {
-          case Some((e, idAttr)) =>
-            val ids = JsonIndex.matchIds(e.index, e.universe, e.idCol, pred)
-            val idsPlan = ids.queryExecution.analyzed
-            // fresh output attribute so the injected side can never
-            // collide with the probe side's expr ids (self-lineage case)
-            val alias = Alias(idsPlan.output.head, e.idCol)()
-            val right = Project(Seq(alias), idsPlan)
-            base = Join(base, right, LeftSemi,
-              Some(EqualTo(idAttr, alias.toAttribute)), JoinHint.NONE)
-          case None => leftover :+= perRow(m)
-        }
+      parts.foreach {
+        case (_, Some((ids, idAttr))) =>
+          val idsPlan = ids.queryExecution.analyzed
+          // fresh output attribute so the injected side can never
+          // collide with the probe side's expr ids (self-lineage case)
+          val alias = Alias(idsPlan.output.head, idAttr.name)()
+          val right = Project(Seq(alias), idsPlan)
+          base = Join(base, right, LeftSemi,
+            Some(EqualTo(idAttr, alias.toAttribute)), JoinHint.NONE)
+        case _ => ()
       }
-      if (leftover.isEmpty) base else Filter(leftover.reduce(And), base)
+      base
 
     // markers outside a filter conjunct (projections, aggregates, …):
     // always per-row

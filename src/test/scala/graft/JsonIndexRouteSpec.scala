@@ -106,6 +106,36 @@ class JsonIndexRouteSpec extends SparkSpec with BeforeAndAfterEach {
       3L -> Some(true), 4L -> None, 5L -> Some(true)))
   }
 
+  test("AND/OR trees of markers route as posting-set algebra") {
+    registered()
+    docs.createOrReplaceTempView("jm_docs")
+    // (p=F AND n>3) OR pri=HIGH — the disjunctive shape that used to
+    // lower per-row; now ids(F) ∩ ids(n>3) ∪ ids(HIGH), one semi-join
+    val q = spark.sql(
+      """SELECT id FROM jm_docs
+         WHERE (json_match(doc, '"$.tags[*].p" = ''F''')
+            AND json_match(doc, '"$.tags[*].n" > 3'))
+            OR json_match(doc, '"$.pri" = ''HIGH''')""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join plan:\n$plan")
+    assert(!plan.contains("get_json_object"), s"per-row probe leaked:\n$plan")
+    // ground truth: 2 (F,4>3), 5 (F,9>3 + HIGH), 1/3 (HIGH)
+    assert(q.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L))
+    // per-row twin agrees
+    val perRow = docs.filter(
+      (graft.functions.Scalars.jsonMatch(col("doc"), """"$.tags[*].p" = 'F'""") &&
+        graft.functions.Scalars.jsonMatch(col("doc"), """"$.tags[*].n" > 3""")) ||
+      graft.functions.Scalars.jsonMatch(col("doc"), """"$.pri" = 'HIGH'"""))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(perRow == Set(1L, 2L, 3L, 5L))
+    // a marker OR'd with a NON-marker predicate still lowers per-row
+    val mixed = spark.sql(
+      """SELECT id FROM jm_docs
+         WHERE json_match(doc, '"$.pri" = ''HIGH''') OR id = 4""")
+    assert(!mixed.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(mixed.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+  }
+
   test("bad grammar fails at resolution, not mid-execution") {
     docs.createOrReplaceTempView("jm_docs")
     val e = intercept[Exception](spark.sql(
