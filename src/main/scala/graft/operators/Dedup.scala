@@ -560,9 +560,14 @@ object Dedup {
                        batch: DataFrame, textCol: String, idCol: String,
                        indexName: String,
                        batchTag: Option[String] = None,
-                       broadcastProbeMaxBytes: Long = 192L << 20): DataFrame = {
+                       broadcastProbeMaxBytes: Long = 192L << 20,
+                       prefixWidth: Int = 1): DataFrame = {
+    require(prefixWidth >= 1 && prefixWidth <= 4,
+      s"prefixWidth $prefixWidth not in [1, 4]")
     val tag = batchTag.getOrElse(freshTag())
     val spec = indexSpec(spark, indexName)
+    // layout on disk wins over the knob (see persistedPrefixWidth)
+    val hpw = persistedPrefixWidth(spec).getOrElse(prefixWidth)
     val hashed = batch.withColumn("content_hash", md5(col(textCol)))
     // first occurrence within the batch (deterministic: min id wins)
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
@@ -571,7 +576,7 @@ object Dedup {
     // ONE job materializes the persist AND yields both probe inputs:
     // the batch's distinct prefixes (for directory pruning) and its row
     // count (for the broadcast guard)
-    val perPrefix = inBatch.groupBy(hpOf(col("content_hash")).as("hp"))
+    val perPrefix = inBatch.groupBy(hpOf(col("content_hash"), hpw).as("hp"))
       .agg(count(lit(1)).as("__n")).collect()
     val nBatch = perPrefix.map(_.getLong(1)).sum
     val exists = graft.sources.IncrementalIndex.exists(spec)
@@ -600,7 +605,7 @@ object Dedup {
       graft.sources.IncrementalIndex.append(spark, spec,
         out.select(col(idCol).as("id"), col("content_hash"),
           lit(tag).as("batch_tag"),
-          hpOf(col("content_hash")).as("hp")), tag)
+          hpOf(col("content_hash"), hpw).as("hp")), tag)
     inBatch.unpersist(false)
     out.drop("content_hash")
   }
@@ -619,17 +624,38 @@ object Dedup {
   private def freshTag(): String =
     s"auto_${System.nanoTime()}_${tagCounter.incrementAndGet()}"
 
-  /** Partition prefix of a hex-hash column: first char with a letter
-    * sentinel ("h3"), 16 values. The sentinel keeps hive partition-type
-    * inference from reading all-digit prefixes back as integers (which
-    * would silently break the string isin pruning). 16 is the measured
-    * sweet spot for a micro-batch cadence: each append/compact writes
-    * one file per prefix, so probe-side listing stays O(16 × appends)
-    * while a sparse probe still prunes to 1/16 of the index; at a
-    * petabyte tier widen the prefix to two chars when batch-key fans
-    * stay far below 256. */
-  private def hpOf(hashCol: Column): Column =
-    concat(lit("h"), substring(hashCol, 1, 1))
+  /** Partition prefix of a hex-hash column: first `width` chars with a
+    * letter sentinel ("h3"), 16^width values. The sentinel keeps hive
+    * partition-type inference from reading all-digit prefixes back as
+    * integers (which would silently break the string isin pruning).
+    *
+    * Width trade (measured, round 11/12): width 1 (16 prefixes) is the
+    * sweet spot for a micro-batch cadence — each append/compact writes
+    * one file per TOUCHED prefix, so probe-side listing stays
+    * O(16 × appends) while a sparse probe still prunes to 1/16 of the
+    * index; width 2 (256 prefixes) measured ~4.5× slower APPENDS at
+    * micro-batch sizes (16× the staged files + partition dirs per
+    * append) but prunes probes to 1/256. The knob inverts in width 2's
+    * favor when the per-prefix index slice outweighs the append fan-out:
+    * batches large enough to touch most of 256 prefixes anyway
+    * (≳10k distinct hashes/batch) and an accumulated index whose 1/16
+    * slice no longer fits a probe's scan budget — i.e. the petabyte
+    * tier, reached via [[compactIndex]] folding append dust first. */
+  private def hpOf(hashCol: Column, width: Int = 1): Column =
+    concat(lit("h"), substring(hashCol, 1, width))
+
+  /** Prefix width persisted in an existing index's `hp=h…` partition
+    * directories — probes and appends MUST agree with the layout on
+    * disk, so a live index's own width always overrides the caller's
+    * knob (the knob takes effect on the index's FIRST batch). */
+  private def persistedPrefixWidth(spec: graft.sources.IncrementalIndex.Spec)
+  : Option[Int] = {
+    val live = new java.io.File(spec.liveDir)
+    if (!live.isDirectory) None
+    else Option(live.listFiles()).toSeq.flatten
+      .collectFirst { case f if f.isDirectory &&
+        f.getName.startsWith("hp=h") => f.getName.length - 4 }
+  }
 
   /** Directory spec of a named incremental-dedup index — app-scoped like
     * [[Bucketing]]'s warehouse, partitioned by the `hp` hash prefix. */
@@ -669,7 +695,10 @@ object Dedup {
                          indexName: String, k: Int = 3, bands: Int = 4,
                          rowsPerBand: Int = 2, minAgree: Double = 1.0,
                          batchTag: Option[String] = None,
-                         broadcastProbeMaxBytes: Long = 192L << 20): DataFrame = {
+                         broadcastProbeMaxBytes: Long = 192L << 20,
+                         prefixWidth: Int = 1): DataFrame = {
+    require(prefixWidth >= 1 && prefixWidth <= 4,
+      s"prefixWidth $prefixWidth not in [1, 4]")
     val tag = batchTag.getOrElse(freshTag())
     val seeds = bands * rowsPerBand
     // signature + band keys in ONE projection: the native kernels hash each
@@ -686,9 +715,12 @@ object Dedup {
     val ex = batch.select(col(idCol), sigExpr.as("sig"))
       .select(col(idCol), col("sig"), explode(bandArr).as("bkey"))
       .persist()
+    val spec = indexSpec(spark, indexName)
+    // layout on disk wins over the knob (see persistedPrefixWidth)
+    val hpw = persistedPrefixWidth(spec).getOrElse(prefixWidth)
     // ONE job: materialize the persist + prefix set + row count (see
     // incrementalExact)
-    val perPrefix = ex.groupBy(hpOf(md5(col("bkey"))).as("hp"))
+    val perPrefix = ex.groupBy(hpOf(md5(col("bkey")), hpw).as("hp"))
       .agg(count(lit(1)).as("__n")).collect()
     val nEx = perPrefix.map(_.getLong(1)).sum
     def agrees(a: Column, b: Column): Column =
@@ -701,7 +733,6 @@ object Dedup {
       .filter(col("__oid") < col(idCol) &&
         agrees(col("sig"), col("__osig")))
       .select(col(idCol))
-    val spec = indexSpec(spark, indexName)
     val exists = graft.sources.IncrementalIndex.exists(spec)
     val vsIndex =
       if (exists) {
@@ -730,7 +761,7 @@ object Dedup {
       graft.sources.IncrementalIndex.append(spark, spec,
         ex.join(out.select(col(idCol)), Seq(idCol))
           .select(col(idCol).as("id"), col("bkey"), col("sig"),
-            lit(tag).as("batch_tag"), hpOf(md5(col("bkey"))).as("hp")),
+            lit(tag).as("batch_tag"), hpOf(md5(col("bkey")), hpw).as("hp")),
         tag)
     ex.unpersist(false)
     out

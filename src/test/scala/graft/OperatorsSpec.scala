@@ -2086,6 +2086,45 @@ class OperatorsSpec extends SparkSpec {
     } finally Dedup.dropIndex(s, "spec_inc")
   }
 
+  test("incrementalExact prefixWidth=2: 256-prefix layout, probe still " +
+    "prunes, persisted width overrides the knob") {
+    val s = spark
+    import s.implicits._
+    Dedup.dropIndex(s, "spec_inc_w2")
+    try {
+      val b1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "text")
+      val s1 = Dedup.incrementalExact(s, b1, "text", "id", "spec_inc_w2",
+        prefixWidth = 2)
+      assert(s1.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // the layout on disk is two-char prefixes (hp=hXY)
+      val dir = new java.io.File(s"/tmp/graft-warehouse/apps/" +
+        s"${s.sparkContext.applicationId}/dedup_idx/spec_inc_w2")
+      val hpDirs = dir.listFiles().filter(_.getName.startsWith("hp="))
+        .map(_.getName)
+      assert(hpDirs.nonEmpty && hpDirs.forall(_.length == 6), // "hp=h" + 2
+        hpDirs.mkString(", "))
+      // a second batch dedups cross-batch EVEN WITH the default width-1
+      // knob: the persisted layout wins, so probe and append stay
+      // consistent with what's on disk
+      val b2 = Seq((10L, "aa"), (11L, "cc")).toDF("id", "text")
+      val s2 = Dedup.incrementalExact(s, b2, "text", "id", "spec_inc_w2")
+      assert(s2.collect().map(_.getLong(0)).toSet == Set(11L))
+      val idx = s.read.parquet(dir.getPath)
+      assert(idx.count() == 3) // aa bb cc
+      assert(idx.select("hp").distinct().collect()
+        .forall(_.getString(0).length == 3)) // h + 2 hex chars
+      // probe pruning holds at 256 prefixes: the executed scan for one
+      // prefix reads only that hp subdir's files
+      val hp = "h" + Seq("aa").toDF("t")
+        .select(md5(col("t"))).head().getString(0).substring(0, 2)
+      val readFiles = s.read.parquet(dir.getPath)
+        .filter(col("hp") === hp)
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(readFiles.nonEmpty && readFiles.forall(_.contains(s"hp=$hp")),
+        readFiles.mkString(", "))
+    } finally Dedup.dropIndex(s, "spec_inc_w2")
+  }
+
   test("incrementalMinHash lifecycle: retiring a doc frees its near-dup " +
     "suppression; compact folds the band rows physically") {
     val s = spark
