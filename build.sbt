@@ -3,6 +3,21 @@ ThisBuild / version := "0.1.0"
 name := "hurricanedbspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// OPTIONAL connector jars (e.g. the Kafka source: spark-sql-kafka-0-10,
+// spark-token-provider-kafka-0-10, kafka-clients, commons-pool2). The
+// container ships no broker or connector, so the live Kafka consume loop
+// is an environment waiver — but the code path is wired: drop the jars
+// into lib/ (sbt's default unmanaged dir, scanned here explicitly since
+// unmanagedBase points at the Spark image) or a dir named by
+// GRAFT_EXTRA_JARS, and graft.streaming.Streams.kafkaSource resolves the
+// real source with zero code changes (StreamingSpec's gated smoke test
+// then runs against SPARK_GRAFT_KAFKA_SMOKE=broker:port/topic).
+Compile / unmanagedJars ++= {
+  val dirs = Seq(file("lib")) ++
+    sys.env.get("GRAFT_EXTRA_JARS").map(file(_)).toSeq
+  dirs.filter(_.isDirectory).flatMap(d => (d ** "*.jar").get).classpath
+}
+Test / unmanagedJars := (Compile / unmanagedJars).value
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
