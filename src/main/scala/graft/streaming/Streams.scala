@@ -33,6 +33,10 @@ object Streams {
     * hands the source — `StreamingSpec`); only the live consume loop
     * needs a broker + connector jar and stays waived in this container
     * (MemoryStream drives the same DataFrame contract in the specs).
+    * The waiver is one jar-drop away from closing: connector jars in
+    * `lib/` (or `GRAFT_EXTRA_JARS`) join the classpath via build.sbt
+    * with zero code changes, and [[KafkaSmoke]] is the one-command
+    * live-consume proof against a real broker.
     *
     * `maxOffsetsPerTrigger` is the per-micro-batch rate cap (the
     * reference's realtime ingestion throttles per consuming segment);
