@@ -81,14 +81,18 @@ object Bench {
     "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed")
 
   /** Should a first in-suite timing trigger the inline settle +
-    * median-of-3 re-measure? Ratio trigger (3× the prior round) or the
-    * absolute alarm (prior-sub-second query past [[AbsOutlierSec]]). No
-    * prior → no trigger (nothing to compare against; the post-hoc
-    * degradation gate still covers it). */
+    * median-of-3 re-measure? Ratio trigger (3× the prior round), or the
+    * absolute alarm: a query that recorded UNDER [[AbsOutlierSec]] now
+    * crossing it by ≥1.5× its prior — which covers the 1–5 s priors the
+    * ratio clause leaves exposed (prior 2 s, first 5.5 s is only 2.75×
+    * but is absolutely alarming; the 1.5× floor keeps a 4.9 s → 5.05 s
+    * wobble from re-running a 5 s query for nothing). No prior → no
+    * trigger (nothing to compare against; the post-hoc degradation gate
+    * still covers it). */
   private[graft] def needsInlineRerun(first: Double,
                                       prior: Option[Double]): Boolean =
     prior.exists(p => first > p * InlineRerunFactor ||
-      (p < 1.0 && first > AbsOutlierSec))
+      (p < AbsOutlierSec && first > AbsOutlierSec && first > p * 1.5))
 
   private[graft] def median3(a: Double, b: Double, c: Double): Double =
     Seq(a, b, c).sorted.apply(1)
@@ -260,9 +264,15 @@ object Bench {
       // repeats its slow time twice and the median keeps it.
       val inflated = inlineDefense && err.isEmpty &&
         needsInlineRerun(first, prior.get(q.name))
+      // the settle's own System.gc() is defense overhead, not query GC —
+      // subtract its window so gc_ms keeps attributing the QUERY's
+      // collector pressure (the diagnostic the block exists for)
+      var settleGcMs = 0L
       val sec =
         if (inflated) {
+          val gcPreSettle = gcMillis()
           settleSession()
+          settleGcMs = gcMillis() - gcPreSettle
           val sec2 = timed()
           val sec3 = timed()
           drainShuffleBytes()
@@ -272,7 +282,7 @@ object Bench {
             (2 to iters).map(_ => timed()) else Nil
           (first +: rest).min
         }
-      val gcMs = gcMillis() - gc0
+      val gcMs = gcMillis() - gc0 - settleGcMs
       val (h1, m1, e1) = graft.operators.GraftCache.statsSnapshot()
       // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
       // query): a long suite must not accumulate block-manager state
@@ -444,11 +454,15 @@ object Bench {
       }
     val degJson = s""","degradation":$degradation"""
 
-    // optional same-JVM second full suite — the flat-session proof
+    // optional same-JVM second full suite — the flat-session proof.
+    // Inline defense OFF: queries2 exists to SHOW session-lifetime
+    // degradation; healing a degraded second pass in place (and not
+    // reporting it — inline_rerun only covers suite 1) would ship a
+    // masked "flat" total2 that contradicts the artifact's purpose.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     var total2Sum: Double = 0.0
     val repeatJson = if (repeat < 2) "" else {
-      val again = runSuite()
+      val again = runSuite(inlineDefense = false)
       val ok2 = again.filter(_.err.isEmpty)
       total2Sum = ok2.map(_.sec).sum
       s""","queries2":${jmap(ok2.map(r => r.name -> r.sec))}""" +

@@ -83,10 +83,14 @@ object Classifier {
     // broadcast guard below is sized in what the build actually weighs,
     // not entries: 5M short-token entries are ~150 MB, 5M long-label
     // entries can be >0.5 GB, and only the bytes tell them apart.
+    // octet_length, not length: the guard must count BYTES — a CJK token
+    // is 3 UTF-8 bytes per char, and a char-counted "150 MB" table can
+    // serialize to ~450 MB, exactly the oversized broadcast the cap exists
+    // to stop
     val stats = ct.agg(count(lit(1)).as("nPairs"),
       count_distinct(col("__t")).as("v"),
-      coalesce(sum(length(col("__t")) + length(col("__lbl")) + lit(24)),
-        lit(0L)).as("bytes")).head()
+      coalesce(sum(octet_length(col("__t")) + octet_length(col("__lbl")) +
+        lit(24)), lit(0L)).as("bytes")).head()
     val (nPairs, v, ctBytes) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val lt = ct.groupBy("__lbl").agg(sum(col("__c")).as("__tot"))

@@ -48,8 +48,11 @@ object Decontaminate {
     * pinned (cache-owned) and freed on eviction. */
   def benchShingles(bench: DataFrame, benchTextCol: String, k: Int)
   : DataFrame = {
+    // key carries the TEXT COLUMN too: the plan hash is of the unprojected
+    // bench frame, so two shingle sets over different columns of the same
+    // frame must not collide
     val key = (System.identityHashCode(bench.sparkSession),
-      s"sh$k:${bench.queryExecution.analyzed.semanticHash()}")
+      s"sh$k:$benchTextCol:${bench.queryExecution.analyzed.semanticHash()}")
     GraftCache.getOrBuild(Owner, key) {
       val built = Checkpoints.eager(
         bench.select(shingles(bench, benchTextCol, k)).distinct())

@@ -43,8 +43,12 @@ object KafkaSmoke {
   }
 
   /** One bounded micro-batch from the live source: earliest offsets,
-    * rate-capped at `maxRows`, counted via foreachBatch. Returns the
-    * row count (0 for an empty topic — still a successful consume). */
+    * rate-capped at `maxRows`, counted via foreachBatch, and STOPPED
+    * after the first batch completes — AvailableNow alone would keep
+    * draining the whole topic backlog in maxRows-sized batches, so the
+    * stop is what makes the smoke's total work actually bounded.
+    * Returns the row count (0 for an empty topic — still a successful
+    * consume; the 60 s latch timeout covers the zero-batch case). */
   def consumeOneBatch(spark: org.apache.spark.sql.SparkSession,
                       brokers: String, topic: String,
                       maxRows: Long): Long = {
@@ -52,14 +56,22 @@ object KafkaSmoke {
       startingOffsets = "earliest",
       maxOffsetsPerTrigger = Some(maxRows),
       kafkaOptions = Map("failOnDataLoss" -> "false"))
-    var n = 0L
+    val n = new java.util.concurrent.atomic.AtomicLong()
+    val firstBatch = new java.util.concurrent.CountDownLatch(1)
     val q = src.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        n += batch.count()
+        // only the first batch counts (the latch gates the main thread);
+        // AtomicLong because this closure runs on the stream thread
+        if (firstBatch.getCount > 0) {
+          n.set(batch.count())
+          firstBatch.countDown()
+        }
       }
       .start()
+    firstBatch.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    q.stop()
     q.awaitTermination()
-    n
+    n.get()
   }
 }

@@ -48,12 +48,17 @@ class BenchSpec extends AnyFunSuite {
     // ratio trigger: strictly greater than 3x the prior
     assert(!Bench.needsInlineRerun(0.6, Some(0.2)))
     assert(Bench.needsInlineRerun(0.61, Some(0.2)))
-    // absolute alarm: prior-sub-second query past 5s fires even when the
-    // prior is large enough that 3x would not (prior 0.9 -> 3x = 2.7)
-    assert(Bench.needsInlineRerun(5.1, Some(0.9)))
+    // absolute alarm: a query that recorded UNDER 5s crossing 5s at
+    // >=1.5x its prior — the 1-5s prior band the ratio clause leaves
+    // exposed (prior 2s, first 5.5s is only 2.75x, fires absolutely)
+    assert(Bench.needsInlineRerun(5.5, Some(2.0)))
     // a genuinely slow query (prior 4s) at 5.1s is neither 3x nor
-    // prior-sub-second: no trigger
+    // 1.5x past the alarm line: no trigger
     assert(!Bench.needsInlineRerun(5.1, Some(4.0)))
+    // a 4.9s query wobbling to 5.05s does not re-run (1.5x floor)
+    assert(!Bench.needsInlineRerun(5.05, Some(4.9)))
+    // a query already slower than the alarm line is ratio-only
+    assert(!Bench.needsInlineRerun(8.0, Some(6.0)))
     // no prior round -> never triggers (degradation gate still covers it)
     assert(!Bench.needsInlineRerun(100.0, None))
   }

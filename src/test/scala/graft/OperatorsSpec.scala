@@ -2515,8 +2515,16 @@ class OperatorsSpec extends SparkSpec {
     val q2top = out(2)
     assert(math.abs(q2top.getAs[Double]("rrf") -
       (1.0 / 61 + 1.0 / 62)) < 1e-12)
-    // batch = per-query single-query equivalence: each query of the
-    // batch fuses exactly as its standalone hybridTopK run
+    // batch ranking against a HAND-DERIVED expectation (hybridTopK now
+    // DELEGATES to hybridTopKBatch, so comparing the two would be the
+    // implementation against itself — the independent cross-check lives
+    // here as worked-out ground truth, and in the DuckDB oracles of
+    // q_hybrid_rrf / q_hybrid_rrf_batch).
+    // q100 (terms=alpha, qvec=(1,0)): lex ranks docs 1,2 (equal BM25,
+    //   id tie-break); dense ranks 1(cos 1.0), 2(0.6), 3(0.0) →
+    //   rrf: d1 2/61 > d2 2/62 > d3 1/63 → ranks 1,2,3.
+    // q200 (terms=delta, qvec=(0,1)): lex ranks doc 3 only; dense
+    //   3(1.0), 2(0.8), 1(0.0) → d3 2/61 > d2 1/62 > d1 1/63.
     val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"))
       .toDF("doc_id", "text")
     val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0.6f, 0.8f)),
@@ -2524,18 +2532,21 @@ class OperatorsSpec extends SparkSpec {
     val queries = Seq((100L, Seq("alpha"), Seq(1f, 0f)),
       (200L, Seq("delta"), Seq(0f, 1f))).toDF("query_id", "terms", "qvec")
     val batch = graft.operators.Retrieval.hybridTopKBatch(
-      docs, emb, "doc_id", "text", "embedding", queries, k = 3)
-    for ((qid, terms, qv) <- Seq((100L, Seq("alpha"), Seq(1f, 0f)),
-        (200L, Seq("delta"), Seq(0f, 1f)))) {
-      val single = graft.operators.Retrieval.hybridTopK(docs, emb,
-          "doc_id", "text", "embedding", terms, qv, k = 3)
-        .select("doc_id", "rank").collect()
-        .map(r => (r.getLong(0), r.getInt(1))).toSet
-      val part = batch.filter(col("query_id") === qid)
-        .select("doc_id", "rank").collect()
-        .map(r => (r.getLong(0), r.getInt(1))).toSet
-      assert(part == single, s"query $qid: batch $part vs single $single")
-    }
+        docs, emb, "doc_id", "text", "embedding", queries, k = 3)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch == Set(
+      (100L, 1L, 1), (100L, 2L, 2), (100L, 3L, 3),
+      (200L, 3L, 1), (200L, 2L, 2), (200L, 1L, 3)))
+    // the single-query wrapper projects the batch's query id away and
+    // keeps the fused output shape
+    val single = graft.operators.Retrieval.hybridTopK(docs, emb,
+      "doc_id", "text", "embedding", Seq("alpha"), Seq(1f, 0f), k = 3)
+    assert(single.columns.toSeq ==
+      Seq("doc_id", "lex_rank", "dense_rank", "rrf", "rank"))
+    assert(single.select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 1), (2L, 2), (3L, 3)))
   }
 
   test("hybridTopKBatchIvf: probes prune the dense tier; full probe " +
