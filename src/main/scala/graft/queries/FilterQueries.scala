@@ -220,6 +220,35 @@ object FilterQueries {
                AND NOT list_contains(tk, 'slow'))
         ORDER BY doc_id""")),
 
+    // An OR of two separate TEXT_MATCH calls through the SQL surface,
+    // routed as posting-set algebra (id-set union — the reference's
+    // bitmap OR across filter operators): each side compiles against
+    // the registered postings, the union probes as ONE semi-join. The
+    // oracle replays both token predicates, so the set-union plan is
+    // hash-checked; TextMatchRouteSpec asserts the LeftSemi shape.
+    Q("q_filter_text_or_routed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.rules.TextIndexCatalog.clear()
+        graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
+          graft.operators.HybridTable.positionalTextIndex(
+            docs, "text", "doc_id"),
+          docs.select(col("doc_id")).distinct())
+        docs.createOrReplaceTempView("documents_tmo")
+        s.sql("""SELECT doc_id FROM documents_tmo
+          WHERE text_match(text, 'qu?ry AND NOT slow')
+             OR text_match(text, '"merge join"')
+          ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE (len(list_filter(tk, w -> w LIKE 'qu_ry')) > 0
+               AND NOT list_contains(tk, 'slow'))
+           OR len(list_filter(range(1, len(tk)),
+                i -> tk[i] = 'merge' AND tk[i+1] = 'join')) > 0
+        ORDER BY doc_id""")),
+
     // Same JSON_MATCH compound predicate as q_filter_json_array, routed
     // through the JSON index analog (json posting table from ONE from_json
     // parse, one-pass predicate flags) instead of per-row jsonpath — the

@@ -62,13 +62,23 @@ object TextIndexCatalog {
 }
 
 /** Routes `WHERE text_match(col, '…')` onto the registered postings index:
-  * the filter conjunct becomes a LEFT SEMI join against the compiled
-  * doc-id set (postings lookups + keyed set algebra — [[TextMatch.compile]]),
-  * exactly the reference's filter-operator-over-inverted-index plan. At
-  * scale the semi-join touches ~|matching postings|, not the corpus text.
-  * Markers with no covering index — or outside a routable filter conjunct
-  * (projections, disjunctions) — lower to the per-row expression tree,
-  * which fuses into the scan. */
+  * each routable filter conjunct becomes a LEFT SEMI join against the
+  * compiled doc-id set (postings lookups + keyed set algebra —
+  * [[TextMatch.compile]]), exactly the reference's
+  * filter-operator-over-inverted-index plan. At scale the semi-join
+  * touches ~|matching postings|, not the corpus text.
+  *
+  * A routable conjunct is any AND/OR tree whose LEAVES are all covered
+  * markers probing the same id column (round 12, same treatment as
+  * [[JsonIndexRoute]]): `text_match(a,…) OR text_match(b,…)` compiles to
+  * an id-set union, AND to a keyed semi-join — which also makes
+  * MULTI-COLUMN trees routable (title-index OR body-index), a shape one
+  * Lucene query string cannot express. Markers with no covering index,
+  * under NOT, or mixed with non-marker predicates lower to the per-row
+  * expression tree, which fuses into the scan (NOT keeps per-row
+  * three-valued NULL semantics; the GRAMMAR's own NOT inside one
+  * predicate string still routes — [[TextMatch.compile]] answers it
+  * with the universe anti-join). */
 object TextMatchRoute {
   /** Trace an attribute's lineage down to the leaf relation that produces
     * it: follows pass-through nodes and Project aliases of plain column
@@ -125,50 +135,66 @@ case class TextMatchRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(cond, child)
         if child.resolved && cond.exists(isMarker) =>
-      val (markers, rest0) = conjuncts(cond).partition(isMarker)
-      // markers nested under OR/NOT can't semi-join — per-row semantics
-      val rest = rest0.map(lowerNested)
+      // Bind one marker by lineage, not by name: the marker's column must
+      // trace (through aliases/projections) to the same leaf relation +
+      // ordinal the index was registered over, and the id column in the
+      // plan's output must trace to that leaf's id ordinal. A different
+      // table with identically-named columns falls through to per-row
+      // lowering.
+      def resolve(m: TextMatchMarker)
+      : Option[(TextIndexCatalog.Entry, Attribute)] = m.text match {
+        case a: AttributeReference =>
+          TextIndexCatalog.all.iterator.flatMap { e =>
+            if (a.name != e.textCol) Iterator.empty
+            else TextMatchRoute.traceToLeaf(child, a.exprId) match {
+              case Some((l, ord)) if ord == e.textOrd &&
+                  l.sameResult(e.sourceLeaf) =>
+                child.output.iterator.filter(o => o.name == e.idCol &&
+                  TextMatchRoute.traceToLeaf(child, o.exprId).exists {
+                    case (l2, o2) => (l2 eq l) && o2 == e.idOrd })
+                  .map(idAttr => (e, idAttr))
+              case _ => Iterator.empty
+            }
+          }.nextOption()
+        case _ => None
+      }
+      // compile an AND/OR tree of markers into one id set — same
+      // posting-set algebra as JsonIndexRoute (∩ = keyed semi-join,
+      // ∪ = union + distinct); None when any leaf is unresolvable,
+      // under a NOT, or not a marker
+      def treeIds(e: Expression): Option[(DataFrame, Attribute)] = e match {
+        case m: TextMatchMarker => resolve(m).map { case (en, idAttr) =>
+          (TextMatch.compile(en.posIndex, en.universe, en.idCol,
+            TextMatch.parse(m.query)).toDF(idAttr.name), idAttr)
+        }
+        case And(l, r) =>
+          for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
+                if al.exprId == ar.exprId }
+            yield (dl.join(dr, Seq(al.name), "left_semi"), al)
+        case Or(l, r) =>
+          for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
+                if al.exprId == ar.exprId }
+            yield (dl.unionByName(dr).distinct(), al)
+        case _ => None
+      }
+      val parts = conjuncts(cond).map { c =>
+        (c, if (c.exists(isMarker)) treeIds(c) else None)
+      }
+      val rest = parts.collect { case (c, None) => lowerNested(c) }
       var base: LogicalPlan =
         if (rest.isEmpty) child else Filter(rest.reduce(And), child)
-      var leftover: Seq[Expression] = Nil
-      markers.foreach { case m @ TextMatchMarker(attr, q) =>
-        // Bind by lineage, not by name: the marker's column must trace
-        // (through aliases/projections) to the same leaf relation +
-        // ordinal the index was registered over, and the id column in the
-        // plan's output must trace to that leaf's id ordinal. A different
-        // table with identically-named columns falls through to per-row
-        // lowering.
-        val entry = attr match {
-          case a: AttributeReference =>
-            TextIndexCatalog.all.iterator.flatMap { e =>
-              if (a.name != e.textCol) Iterator.empty
-              else TextMatchRoute.traceToLeaf(child, a.exprId) match {
-                case Some((l, ord)) if ord == e.textOrd &&
-                    l.sameResult(e.sourceLeaf) =>
-                  child.output.iterator.filter(o => o.name == e.idCol &&
-                    TextMatchRoute.traceToLeaf(child, o.exprId).exists {
-                      case (l2, o2) => (l2 eq l) && o2 == e.idOrd })
-                    .map(idAttr => (e, idAttr))
-                case _ => Iterator.empty
-              }
-            }.nextOption()
-          case _ => None
-        }
-        entry match {
-          case Some((e, idAttr)) =>
-            val ids = TextMatch.compile(e.posIndex, e.universe, e.idCol,
-              TextMatch.parse(q))
-            val idsPlan = ids.queryExecution.analyzed
-            // fresh output attribute so the injected side can never
-            // collide with the probe side's expr ids (self-lineage case)
-            val alias = Alias(idsPlan.output.head, e.idCol)()
-            val right = Project(Seq(alias), idsPlan)
-            base = Join(base, right, LeftSemi,
-              Some(EqualTo(idAttr, alias.toAttribute)), JoinHint.NONE)
-          case None => leftover :+= perRow(m)
-        }
+      parts.foreach {
+        case (_, Some((ids, idAttr))) =>
+          val idsPlan = ids.queryExecution.analyzed
+          // fresh output attribute so the injected side can never
+          // collide with the probe side's expr ids (self-lineage case)
+          val alias = Alias(idsPlan.output.head, idAttr.name)()
+          val right = Project(Seq(alias), idsPlan)
+          base = Join(base, right, LeftSemi,
+            Some(EqualTo(idAttr, alias.toAttribute)), JoinHint.NONE)
+        case _ => ()
       }
-      if (leftover.isEmpty) base else Filter(leftover.reduce(And), base)
+      base
 
     // markers outside a filter conjunct (projections, aggregates, …):
     // always per-row

@@ -110,6 +110,47 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(disj == Set(2L, 4L))
   }
 
+  test("AND/OR trees of markers route as posting-set algebra, " +
+    "including across two indexed columns") {
+    val s = spark
+    import s.implicits._
+    registered()
+    docs.createOrReplaceTempView("tm_docs")
+    // OR of two separate text_match calls routes (union of id sets):
+    // merge → {2}; slow → {4}
+    val disj = spark.sql(
+      """SELECT doc_id FROM tm_docs
+         WHERE text_match(text, 'merge') OR text_match(text, 'slow')""")
+    val plan = disj.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join plan:\n$plan")
+    assert(disj.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // (hash AND stream) OR slow: ({1,3,5} ∩ {2,3}) ∪ {4} = {3,4}
+    val tree = spark.sql(
+      """SELECT doc_id FROM tm_docs
+         WHERE (text_match(text, 'hash') AND text_match(text, 'stream'))
+            OR text_match(text, 'slow')""")
+    assert(tree.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(tree.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // TWO indexed columns fused in one OR — a shape a single Lucene
+    // query string cannot express: title hits {10}, body hits {11}
+    val two = Seq(
+      (10L, "alpha report", "nothing here"),
+      (11L, "other title", "alpha inside body"),
+      (12L, "plain", "plain")).toDF("id", "title", "body")
+    TextIndexCatalog.register(two, "title", "id",
+      HybridTable.positionalTextIndex(two, "title", "id"),
+      two.select(col("id")).distinct())
+    TextIndexCatalog.register(two, "body", "id",
+      HybridTable.positionalTextIndex(two, "body", "id"),
+      two.select(col("id")).distinct())
+    two.createOrReplaceTempView("tm_two")
+    val multi = spark.sql(
+      """SELECT id FROM tm_two
+         WHERE text_match(title, 'alpha') OR text_match(body, 'alpha')""")
+    assert(multi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(multi.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+  }
+
   test("bad grammar fails at resolution, not mid-execution") {
     docs.createOrReplaceTempView("tm_docs")
     val e = intercept[Exception](spark.sql(
