@@ -133,8 +133,13 @@ object Bench {
       .sortBy(_.getName).lastOption
     // the official BENCH_r*.json wrapper truncates its tail (round 10's
     // kept only ~25 pairs), which would starve the outlier re-timer; the
-    // last LOCAL artifact holds the full map, so merge it underneath —
-    // official pairs win where both exist
+    // last LOCAL artifact holds the full map, so merge it in. Where BOTH
+    // record a query, take the MINIMUM (round 12; was official-wins): a
+    // prior is the best-known achievable time for the trigger math, and
+    // an official artifact from a degraded session (round 11 shipped
+    // q_filter_json_match at 10.9 s vs 0.63 s real) would otherwise
+    // inflate the baseline so far the 3× inline trigger can't fire on
+    // the very interference it exists to catch.
     val local = Some(new java.io.File("tools/bench_latest.json"))
     def parseOf(f: Option[java.io.File]): Map[String, Double] =
       f.filter(_.isFile).fold(Map.empty[String, Double]) { f =>
@@ -143,10 +148,16 @@ object Bench {
         catch { case _: Throwable => Map.empty }
       }
     // an EXPLICIT prior is a pinned baseline — it alone governs the
-    // outlier gate; the local merge only backfills the auto-discovered
-    // (truncated) official artifact
+    // outlier gate
     if (explicit.isDefined) parseOf(explicit)
-    else parseOf(local) ++ parseOf(fallback)
+    else {
+      val a = parseOf(local)
+      val b = parseOf(fallback)
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        k -> math.min(a.getOrElse(k, Double.MaxValue),
+          b.getOrElse(k, Double.MaxValue))
+      }.toMap
+    }
   }
 
   private def gcMillis(): Long = {

@@ -93,7 +93,8 @@ object Streams {
   def nearDedupSink(docs: DataFrame, textCol: String, idCol: String,
                     indexName: String, minAgree: Double = 1.0,
                     k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                    streamTag: Option[String] = None)
+                    streamTag: Option[String] = None,
+                    prefixWidth: Int = 1)
                    (handler: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val instance = streamTag.getOrElse(freshStreamTag())
@@ -106,7 +107,8 @@ object Streams {
       handler(graft.operators.Dedup.incrementalMinHash(
         batch.sparkSession, batch, textCol, idCol, indexName,
         k, bands, rowsPerBand, minAgree,
-        batchTag = Some(s"${instance}_$batchId")))
+        batchTag = Some(s"${instance}_$batchId"),
+        prefixWidth = prefixWidth))
       graft.operators.Checkpoints.sweepOnly(prior)
     }
   }
@@ -175,10 +177,12 @@ object Streams {
     * [[graft.operators.Dedup.incrementalExact]]: unbounded horizon (index
     * table, not executor state), the same `(streamTag, batchId)`
     * idempotency contract, shared with batch ingestion on the same
-    * index. */
+    * index. `prefixWidth` passes through to the index layout knob (an
+    * existing index's on-disk width wins — see Dedup.persistedPrefixWidth). */
   def exactDedupSink(docs: DataFrame, textCol: String, idCol: String,
                      indexName: String,
-                     streamTag: Option[String] = None)
+                     streamTag: Option[String] = None,
+                     prefixWidth: Int = 1)
                     (handler: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     val instance = streamTag.getOrElse(freshStreamTag())
@@ -186,7 +190,8 @@ object Streams {
       val prior = graft.operators.Checkpoints.liveIds // see nearDedupSink
       handler(graft.operators.Dedup.incrementalExact(
         batch.sparkSession, batch, textCol, idCol, indexName,
-        batchTag = Some(s"${instance}_$batchId")))
+        batchTag = Some(s"${instance}_$batchId"),
+        prefixWidth = prefixWidth))
       graft.operators.Checkpoints.sweepOnly(prior)
     }
   }
