@@ -29,6 +29,27 @@ import org.apache.spark.sql.functions._
   * universe). All operations stay keyed — nothing materializes on the
   * driver and no cross joins appear at any query size. */
 object TextMatch {
+
+  /** Partition prefix of a token — the persisted text index's on-disk
+    * layout key ([[graft.sources.TextIndexLifecycle]] writes postings
+    * hive-partitioned by it) and the probe's pruning predicate: letter
+    * sentinel + the token's first md5 hex char, 16 values. Hash-based
+    * (not first-letter) so arbitrary token bytes stay path-safe and the
+    * 16 partitions stay balanced under any vocabulary skew. Exact-term
+    * and phrase probes prune to their terms' partitions; prefix /
+    * wildcard / fuzzy probes scan all 16 by construction (they match
+    * unknown tokens) — exactly the reference's Lucene trade, where a
+    * wildcard also walks the whole term dictionary. */
+  def tpCol(token: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("t"), substring(md5(token), 1, 1))
+
+  /** Driver-side twin of [[tpCol]] for probe literals. */
+  def tpOf(term: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    "t" + "%02x".format(d(0)).substring(0, 1)
+  }
+
   sealed trait Node
   final case class Term(t: String) extends Node
   final case class Prefix(p: String) extends Node
@@ -134,9 +155,17 @@ object TextMatch {
     */
   def compile(posIndex: DataFrame, universe: DataFrame, idCol: String,
               q: Node): DataFrame = {
+    // partition pruning for known-term probes: when the postings carry
+    // the tp layout column (persisted index), restrict the scan to the
+    // terms' partitions BEFORE the token filter — the directory-pruned
+    // read. In-session indexes without tp scan as before.
+    val hasTp = posIndex.columns.contains("tp")
+    def byTp(terms: Seq[String]): DataFrame =
+      if (hasTp) posIndex.filter(col("tp").isin(terms.map(tpOf): _*))
+      else posIndex
     def ids(n: Node): DataFrame = n match {
       case Term(t) =>
-        posIndex.filter(col("token") === t).select(col(idCol)).distinct()
+        byTp(Seq(t)).filter(col("token") === t).select(col(idCol)).distinct()
       case Prefix(p) =>
         posIndex.filter(col("token").startsWith(p))
           .select(col(idCol)).distinct()
@@ -155,7 +184,7 @@ object TextMatch {
           .filter(levenshtein(col("token"), lit(t)) <= d)
         posIndex.join(vocab, Seq("token"), "left_semi")
           .select(col(idCol)).distinct()
-      case Phrase(ts) => HybridTable.matchPhrase(posIndex, idCol, ts)
+      case Phrase(ts) => HybridTable.matchPhrase(byTp(ts), idCol, ts)
       case And(l, Not(r)) => ids(l).join(ids(r), Seq(idCol), "left_anti")
       case And(Not(l), r) => ids(r).join(ids(l), Seq(idCol), "left_anti")
       case And(l, r) => ids(l).join(ids(r), Seq(idCol), "left_semi")

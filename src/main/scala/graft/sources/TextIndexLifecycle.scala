@@ -14,8 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compaction with interrupted-swap recovery). */
 object TextIndexLifecycle {
 
+  // postings are hive-partitioned by the token's tp prefix
+  // ([[graft.operators.TextMatch.tpCol]], 16 values): an exact-term or
+  // phrase probe prunes to its terms' partitions — the json index's
+  // path-partition discipline applied to the text index. Wildcard/fuzzy
+  // probes scan all 16 (they match unknown tokens), same as Lucene
+  // walking the whole term dictionary.
   private def spec(indexRoot: String, column: String) =
-    IncrementalIndex.Spec(indexRoot, s"text_$column", partitionCol = None)
+    IncrementalIndex.Spec(indexRoot, s"text_$column",
+      partitionCol = Some("tp"))
 
   def postingsDir(indexRoot: String, column: String): String =
     spec(indexRoot, column).liveDir
@@ -28,7 +35,9 @@ object TextIndexLifecycle {
   def append(spark: SparkSession, indexRoot: String, column: String,
              idCol: String, batch: DataFrame, batchTag: String): Unit =
     IncrementalIndex.append(spark, spec(indexRoot, column),
-      HybridTable.positionalTextIndex(batch, column, idCol), batchTag)
+      HybridTable.positionalTextIndex(batch, column, idCol)
+        .withColumn("tp", graft.operators.TextMatch.tpCol(
+          org.apache.spark.sql.functions.col("token"))), batchTag)
 
   /** Tombstone whole documents out of the index. */
   def delete(spark: SparkSession, indexRoot: String, column: String,

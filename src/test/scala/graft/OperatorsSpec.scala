@@ -2288,6 +2288,49 @@ class OperatorsSpec extends SparkSpec {
     TextIndexLifecycle.deleteRoot(root)
   }
 
+  test("persisted text index is tp-partitioned; term/phrase probes prune " +
+    "to their partitions, wildcard probes stay correct") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.TextIndexLifecycle
+    import graft.operators.TextMatch
+    val root = s"/tmp/graft_textidx_tp_${System.nanoTime()}"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha delta"), (4L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    TextIndexLifecycle.append(s, root, "text", "doc_id", docs, "b1")
+    // on-disk layout: hive tp= dirs (letter sentinel + 1 hex char)
+    val live = new java.io.File(
+      TextIndexLifecycle.postingsDir(root, "text"))
+    val tpDirs = live.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(tpDirs.nonEmpty && tpDirs.forall(n =>
+      n.startsWith("tp=t") && n.length == 5), tpDirs.toSeq)
+    val idx = TextIndexLifecycle.load(s, root, "text", "doc_id")
+    val universe = docs.select(col("doc_id")).distinct()
+    // a term probe reads ONLY its tp partition (executed-scan files)
+    val termIds = TextMatch.compile(idx, universe, "doc_id",
+      TextMatch.parse("alpha"))
+    assert(termIds.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val tp = TextMatch.tpOf("alpha")
+    val readFiles = idx.filter(col("tp") === tp)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(readFiles.nonEmpty && readFiles.forall(_.contains(s"tp=$tp")),
+      readFiles.mkString(", "))
+    // phrase prunes to its terms' partitions and still position-joins
+    val phraseIds = TextMatch.compile(idx, universe, "doc_id",
+      TextMatch.parse("\"gamma delta\""))
+    assert(phraseIds.collect().map(_.getLong(0)).toSet == Set(4L))
+    // wildcard/fuzzy probes (unknown tokens) scan all partitions, correct
+    val wildIds = TextMatch.compile(idx, universe, "doc_id",
+      TextMatch.parse("*amma"))
+    assert(wildIds.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // driver-side tpOf matches the layout column for every indexed token
+    val mismatches = idx.select(col("token"), col("tp")).distinct()
+      .collect().filter(r => TextMatch.tpOf(r.getString(0)) != r.getString(1))
+    assert(mismatches.isEmpty, mismatches.mkString(", "))
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
   test("json index lifecycle preserves path= partition dirs on append") {
     val s = spark
     import s.implicits._
