@@ -154,8 +154,14 @@ object IndexedTable {
           cfg.text.foreach { t =>
             val dir = s"$root/text_${t.column}"
             if (!exists(spark, dir))
+              // tp-partitioned like TextIndexLifecycle: the registered
+              // frame carries the layout column, so routed term/phrase
+              // probes prune to their partitions automatically
               HybridTable.positionalTextIndex(df, t.column, t.id)
-                .write.mode("overwrite").parquet(dir)
+                .withColumn("tp",
+                  graft.operators.TextMatch.tpCol(col("token")))
+                .repartition(col("tp"))
+                .write.mode("overwrite").partitionBy("tp").parquet(dir)
             TextIndexCatalog.register(df, t.column, t.id,
               spark.read.parquet(dir),
               df.select(col(t.id)).distinct())
