@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lucene-subset TEXT_MATCH (reference
@@ -152,9 +152,14 @@ object TextMatch {
     *                 [[HybridTable.positionalTextIndex]]
     * @param universe distinct doc ids (needed only for NOT without a
     *                 positive conjunct)
+    * @param vocab    optional persisted term dictionary (a `token`
+    *                 column; [[graft.sources.TextIndexLifecycle.loadVocab]])
+    *                 — dictionary-shaped probes (prefix/wildcard/fuzzy)
+    *                 resolve candidate tokens there instead of scanning
+    *                 the postings' distinct tokens
     */
   def compile(posIndex: DataFrame, universe: DataFrame, idCol: String,
-              q: Node): DataFrame = {
+              q: Node, vocab: Option[DataFrame] = None): DataFrame = {
     // partition pruning for known-term probes: when the postings carry
     // the tp layout column (persisted index), restrict the scan to the
     // terms' partitions BEFORE the token filter — the directory-pruned
@@ -163,27 +168,45 @@ object TextMatch {
     def byTp(terms: Seq[String]): DataFrame =
       if (hasTp) posIndex.filter(col("tp").isin(terms.map(tpOf): _*))
       else posIndex
+    // Lucene's term dictionary: dictionary-shaped probes (prefix /
+    // wildcard / fuzzy — the ones that cannot hash their target tokens)
+    // resolve candidate TOKENS on the persisted vocabulary when one is
+    // supplied (|vocab| ≪ |postings|), then semi-join back onto the
+    // postings keyed by token (tp rides along when present, so even the
+    // postings side of the semi-join prunes). Without a vocab the
+    // distinct-token set derives from the postings — correct, one
+    // corpus-postings scan per dictionary probe.
+    def byDict(tokens: DataFrame): DataFrame =
+      posIndex.join(tokens, Seq("token"), "left_semi")
+        .select(col(idCol)).distinct()
+    // token-pattern probe: with a dictionary, match TOKENS there and
+    // semi-join the postings; without one, the direct postings filter is
+    // one scan (deriving a distinct-token set first would cost more)
+    def byPattern(f: Column => Column): DataFrame = vocab match {
+      case Some(v) => byDict(v.select(col("token")).distinct()
+        .filter(f(col("token"))))
+      case None => posIndex.filter(f(col("token")))
+        .select(col(idCol)).distinct()
+    }
     def ids(n: Node): DataFrame = n match {
       case Term(t) =>
         byTp(Seq(t)).filter(col("token") === t).select(col(idCol)).distinct()
-      case Prefix(p) =>
-        posIndex.filter(col("token").startsWith(p))
-          .select(col(idCol)).distinct()
+      case Prefix(p) => byPattern(_.startsWith(p))
       case Wildcard(p) =>
-        // Lucene WildcardQuery analog: the LIKE probe runs over the token
-        // column of the (token-bucketed) postings, never the corpus text.
-        posIndex.filter(col("token").like(likePattern(p)))
-          .select(col(idCol)).distinct()
+        // Lucene WildcardQuery analog: the LIKE probe runs over the term
+        // dictionary (or the postings' token column), never the corpus
+        // text.
+        byPattern(_.like(likePattern(p)))
       case Fuzzy(t, d) =>
         // Lucene FuzzyQuery analog: edit-distance match resolved on the
-        // distinct-token VOCABULARY (|vocab| << |postings|), then a keyed
-        // semi-join back onto the postings — levenshtein never runs
-        // per-posting-row. (Classic Levenshtein; Lucene additionally counts
-        // a transposition as one edit — documented divergence.)
-        val vocab = posIndex.select(col("token")).distinct()
-          .filter(levenshtein(col("token"), lit(t)) <= d)
-        posIndex.join(vocab, Seq("token"), "left_semi")
-          .select(col(idCol)).distinct()
+        // vocabulary (persisted term dictionary when supplied, else the
+        // postings' distinct tokens), then a keyed semi-join back onto
+        // the postings — levenshtein never runs per-posting-row.
+        // (Classic Levenshtein; Lucene additionally counts a
+        // transposition as one edit — documented divergence.)
+        val dict = vocab.getOrElse(posIndex.select(col("token")))
+          .select(col("token")).distinct()
+        byDict(dict.filter(levenshtein(col("token"), lit(t)) <= d))
       case Phrase(ts) => HybridTable.matchPhrase(byTp(ts), idCol, ts)
       case And(l, Not(r)) => ids(l).join(ids(r), Seq(idCol), "left_anti")
       case And(Not(l), r) => ids(r).join(ids(l), Seq(idCol), "left_anti")

@@ -1907,6 +1907,39 @@ object TrainingQueries {
           true AS decodable
         FROM d CROSS JOIN fi ORDER BY doc_id, frame_idx""")),
 
+    // Dictionary-backed fuzzy probe over the persisted text index (the
+    // Lucene term-dictionary role, round 12): candidate tokens within
+    // edit distance 1 of the (misspelled) query resolve on the persisted
+    // VOCAB sidecar — |vocab| rows, not a distinct over all postings —
+    // then semi-join the tp-partitioned postings. Oracle replays the
+    // levenshtein predicate over raw tokens, so dictionary resolution,
+    // the semi-join, and the postings layout are all hash-checked.
+    Q("q_text_dict_fuzzy",
+      (s, d) => {
+        import graft.sources.TextIndexLifecycle
+        val root = s"target/graft_textdict_${CorpusKey.of(d)}"
+        val docs = Tables.documents(s, d)
+        // self-contained without the setup phase (tag replay no-ops)
+        TextIndexLifecycle.append(s, root, "text", "doc_id", docs, "b1")
+        val idx = TextIndexLifecycle.load(s, root, "text", "doc_id")
+        val vocab = TextIndexLifecycle.loadVocab(s, root, "text")
+        graft.operators.TextMatch.compile(idx,
+          docs.select(col("doc_id")).distinct(), "doc_id",
+          graft.operators.TextMatch.parse("vectr~1"), vocab)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id FROM (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents) t
+        WHERE len(list_filter(tk, w -> levenshtein(w, 'vectr') <= 1)) > 0
+        ORDER BY doc_id""")
+      ,
+      setup = Some((s, d) => {
+        import graft.sources.TextIndexLifecycle
+        val root = s"target/graft_textdict_${CorpusKey.of(d)}"
+        TextIndexLifecycle.append(s, root, "text", "doc_id",
+          Tables.documents(s, d), "b1")
+      })),
+
     // Text-index lifecycle (the Lucene-index add/remove role at file
     // granularity): build from the even-id half, append the odd half,
     // REPLAY the append (must no-op), tombstone every 10th doc, compact

@@ -37,12 +37,17 @@ object TextIndexCatalog {
     * same table. */
   final case class Entry(textCol: String, idCol: String,
                          posIndex: DataFrame, universe: DataFrame,
-                         sourceLeaf: LogicalPlan, textOrd: Int, idOrd: Int)
+                         sourceLeaf: LogicalPlan, textOrd: Int, idOrd: Int,
+                         vocab: Option[DataFrame] = None)
   @volatile private var entries: List[Entry] = Nil
 
-  /** Register a positional index built over `indexed`'s `textCol`. */
+  /** Register a positional index built over `indexed`'s `textCol`.
+    * `vocab` (optional persisted term dictionary) lets routed
+    * prefix/wildcard/fuzzy probes resolve candidate tokens there
+    * instead of scanning the postings' distinct tokens. */
   def register(indexed: DataFrame, textCol: String, idCol: String,
-               posIndex: DataFrame, universe: DataFrame): Unit = {
+               posIndex: DataFrame, universe: DataFrame,
+               vocab: Option[DataFrame] = None): Unit = {
     val plan = indexed.queryExecution.analyzed
     val bound = for {
       t <- plan.output.find(_.name == textCol)
@@ -54,8 +59,8 @@ object TextIndexCatalog {
     val (leaf, tOrd, iOrd) = bound.getOrElse(throw new IllegalArgumentException(
       s"cannot bind index registration: columns '$textCol'/'$idCol' do not " +
         s"trace to one leaf relation of the indexed plan:\n$plan"))
-    entries = Entry(textCol, idCol, posIndex, universe, leaf, tOrd, iOrd) ::
-      entries
+    entries = Entry(textCol, idCol, posIndex, universe, leaf, tOrd, iOrd,
+      vocab) :: entries
   }
   def clear(): Unit = entries = Nil
   def all: List[Entry] = entries
@@ -165,7 +170,7 @@ case class TextMatchRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
       def treeIds(e: Expression): Option[(DataFrame, Attribute)] = e match {
         case m: TextMatchMarker => resolve(m).map { case (en, idAttr) =>
           (TextMatch.compile(en.posIndex, en.universe, en.idCol,
-            TextMatch.parse(m.query)).toDF(idAttr.name), idAttr)
+            TextMatch.parse(m.query), en.vocab).toDF(idAttr.name), idAttr)
         }
         case And(l, r) =>
           for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)

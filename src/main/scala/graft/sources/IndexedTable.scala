@@ -153,6 +153,7 @@ object IndexedTable {
         if (!opened.contains(key)) {
           cfg.text.foreach { t =>
             val dir = s"$root/text_${t.column}"
+            val vocabDir = s"$root/text_${t.column}_vocab"
             if (!exists(spark, dir))
               // tp-partitioned like TextIndexLifecycle: the registered
               // frame carries the layout column, so routed term/phrase
@@ -162,9 +163,16 @@ object IndexedTable {
                   graft.operators.TextMatch.tpCol(col("token")))
                 .repartition(col("tp"))
                 .write.mode("overwrite").partitionBy("tp").parquet(dir)
+            if (!exists(spark, vocabDir))
+              // the term dictionary rides alongside: routed dictionary
+              // probes (prefix/wildcard/fuzzy) resolve candidate tokens
+              // here instead of scanning the postings' distinct tokens
+              spark.read.parquet(dir).select(col("token")).distinct()
+                .coalesce(1).write.mode("overwrite").parquet(vocabDir)
             TextIndexCatalog.register(df, t.column, t.id,
               spark.read.parquet(dir),
-              df.select(col(t.id)).distinct())
+              df.select(col(t.id)).distinct(),
+              vocab = Some(spark.read.parquet(vocabDir)))
           }
           cfg.json.foreach { j =>
             val dir = s"$root/json_${j.column}"

@@ -24,6 +24,20 @@ object TextIndexLifecycle {
     IncrementalIndex.Spec(indexRoot, s"text_$column",
       partitionCol = Some("tp"))
 
+  // Lucene's term dictionary alongside the postings: one (token, tp) row
+  // per DISTINCT batch token, append-only on the same tag protocol.
+  // Dictionary-shaped probes (prefix/wildcard/fuzzy) resolve candidate
+  // tokens here — |vocab| ≪ |postings| — then semi-join the postings.
+  // Deletes deliberately do NOT touch the vocab: an over-claiming
+  // dictionary is still CORRECT (a retired token's candidates simply
+  // find no postings rows in the semi-join), which is what makes the
+  // maintenance O(batch) instead of O(corpus). loadVocab distincts at
+  // read, so cross-append duplicates cost space (folded by compact's
+  // file merge), never correctness.
+  private def vocabSpec(indexRoot: String, column: String) =
+    IncrementalIndex.Spec(indexRoot, s"text_${column}_vocab",
+      partitionCol = Some("tp"))
+
   def postingsDir(indexRoot: String, column: String): String =
     spec(indexRoot, column).liveDir
 
@@ -33,11 +47,30 @@ object TextIndexLifecycle {
   /** Append a document batch: tokenize ONLY the batch (O(batch), never a
     * corpus re-index), then the shared staged move. Replayed tags no-op. */
   def append(spark: SparkSession, indexRoot: String, column: String,
-             idCol: String, batch: DataFrame, batchTag: String): Unit =
-    IncrementalIndex.append(spark, spec(indexRoot, column),
+             idCol: String, batch: DataFrame, batchTag: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val postings = HybridTable.positionalTextIndex(batch, column, idCol)
+      .withColumn("tp", graft.operators.TextMatch.tpCol(col("token")))
+    IncrementalIndex.append(spark, spec(indexRoot, column), postings,
+      batchTag)
+    // recompute rather than reuse `postings` (already consumed by the
+    // staged write above): the vocab append is over the batch's distinct
+    // tokens — O(batch) either way
+    IncrementalIndex.append(spark, vocabSpec(indexRoot, column),
       HybridTable.positionalTextIndex(batch, column, idCol)
-        .withColumn("tp", graft.operators.TextMatch.tpCol(
-          org.apache.spark.sql.functions.col("token"))), batchTag)
+        .select(col("token")).distinct()
+        .withColumn("tp", graft.operators.TextMatch.tpCol(col("token"))),
+      batchTag)
+  }
+
+  /** The persisted term dictionary (distinct at read — see
+    * [[vocabSpec]]); None for a pre-dictionary index layout. */
+  def loadVocab(spark: SparkSession, indexRoot: String, column: String)
+  : Option[DataFrame] = {
+    val vs = vocabSpec(indexRoot, column)
+    if (!IncrementalIndex.exists(vs)) None
+    else Some(IncrementalIndex.load(spark, vs, "token").distinct())
+  }
 
   /** Tombstone whole documents out of the index. */
   def delete(spark: SparkSession, indexRoot: String, column: String,
@@ -50,8 +83,28 @@ object TextIndexLifecycle {
            idCol: String): DataFrame =
     IncrementalIndex.load(spark, spec(indexRoot, column), idCol)
 
-  /** Fold tombstones in and merge append dust. */
+  /** Fold tombstones in and merge append dust — the vocab's compaction
+    * also folds its cross-append duplicate (token, tp) rows (load
+    * distincts at read, so the rewrite lands deduplicated). */
   def compact(spark: SparkSession, indexRoot: String, column: String,
-              idCol: String): Unit =
+              idCol: String): Unit = {
     IncrementalIndex.compact(spark, spec(indexRoot, column), idCol)
+    val vs = vocabSpec(indexRoot, column)
+    if (IncrementalIndex.exists(vs)) {
+      // route through load().distinct() + a staged overwrite of our own:
+      // IncrementalIndex.compact rewrites rows as-is, which would keep
+      // the duplicates
+      val deduped = IncrementalIndex.load(spark, vs, "token").distinct()
+        .repartition(org.apache.spark.sql.functions.col("tp"))
+      deduped.write.mode("overwrite").partitionBy("tp")
+        .parquet(vs.tmpDir)
+      IncrementalIndex.rmTree(vs.retiringDir)
+      java.nio.file.Files.move(java.nio.file.Paths.get(vs.liveDir),
+        java.nio.file.Paths.get(vs.retiringDir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(vs.tmpDir),
+        java.nio.file.Paths.get(vs.liveDir))
+      IncrementalIndex.rmTree(vs.tombsDir)
+      IncrementalIndex.rmTree(vs.retiringDir)
+    }
+  }
 }

@@ -2328,6 +2328,41 @@ class OperatorsSpec extends SparkSpec {
     val mismatches = idx.select(col("token"), col("tp")).distinct()
       .collect().filter(r => TextMatch.tpOf(r.getString(0)) != r.getString(1))
     assert(mismatches.isEmpty, mismatches.mkString(", "))
+    // the term DICTIONARY rides alongside: one row per distinct token,
+    // and dictionary-shaped probes resolve against it with identical
+    // results to the postings-derived path
+    val vocab = TextIndexLifecycle.loadVocab(s, root, "text")
+    assert(vocab.isDefined)
+    assert(vocab.get.collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta", "gamma", "delta", "epsilon"))
+    val fuzzyDict = TextMatch.compile(idx, universe, "doc_id",
+      TextMatch.parse("alphaa~1"), vocab)
+    assert(fuzzyDict.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    val prefDict = TextMatch.compile(idx, universe, "doc_id",
+      TextMatch.parse("gam*"), vocab)
+    assert(prefDict.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+    // deletes do NOT touch the vocab — over-claiming is correct: after
+    // every 'epsilon' doc retires, the token stays in the dictionary but
+    // its dict-backed probe finds no postings rows
+    TextIndexLifecycle.delete(s, root, "text",
+      Seq(4L).toDF("doc_id"), "doc_id", "d_eps")
+    val idx2 = TextIndexLifecycle.load(s, root, "text", "doc_id")
+    val vocab2 = TextIndexLifecycle.loadVocab(s, root, "text")
+    assert(vocab2.get.filter(col("token") === "epsilon").count() == 1)
+    assert(TextMatch.compile(idx2, universe, "doc_id",
+      TextMatch.parse("epsilon~1"), vocab2).isEmpty)
+    // compact folds the vocab's cross-append duplicates physically
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      Seq((9L, "alpha zeta")).toDF("doc_id", "text"), "b2")
+    TextIndexLifecycle.compact(s, root, "text", "doc_id")
+    val vocabDir = new java.io.File(s"$root/text_text_vocab")
+    val physRows = s.read.parquet(vocabDir.getPath).count()
+    assert(physRows == 6, s"expected 6 deduped vocab rows, got $physRows")
+    assert(TextMatch.compile(
+      TextIndexLifecycle.load(s, root, "text", "doc_id"), universe,
+      "doc_id", TextMatch.parse("zet*"),
+      TextIndexLifecycle.loadVocab(s, root, "text"))
+      .collect().map(_.getLong(0)).toSet == Set(9L))
     TextIndexLifecycle.deleteRoot(root)
   }
 
