@@ -125,7 +125,24 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  private def loadPrior(): Map[String, Double] = {
+  /** Every scale factor recorded anywhere in an artifact, normalized to
+    * the numeric factor: the driver wrapper writes `"sf": 0.1`, the
+    * local artifact `"sf":"/…/sf0.1"`, and the wrapper embeds the
+    * latter escaped — all three parse. */
+  private[graft] def parsePriorSfs(json: String): Set[Double] = {
+    "\\\\?\"sf\\\\?\"\\s*:\\s*(.{0,80})".r.findAllMatchIn(json).flatMap { m =>
+      val v = m.group(1)
+      "^([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(v).map(_.group(1).toDouble)
+        .orElse("sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(v)
+          .map(_.group(1).toDouble))
+    }.toSet
+  }
+
+  private[graft] def sfOfDir(sfDir: String): Option[Double] =
+    "sf([0-9]+(?:\\.[0-9]+)?)/*$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble)
+
+  private def loadPrior(sfDir: String): Map[String, Double] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
       .map(new java.io.File(_))
     val fallback = Option(new java.io.File(".").listFiles()).toSeq.flatten
@@ -141,15 +158,28 @@ object Bench {
     // inflate the baseline so far the 3× inline trigger can't fire on
     // the very interference it exists to catch.
     val local = Some(new java.io.File("tools/bench_latest.json"))
-    def parseOf(f: Option[java.io.File]): Map[String, Double] =
+    // scale-factor gate on the min-merge: a dev run against a smaller
+    // corpus writes tiny per-query times into tools/bench_latest.json,
+    // and min-merging them into a full-scale run's prior would make
+    // nearly every query "exceed 3× prior" — re-running most of the
+    // suite. An artifact whose recorded sf disagrees with this run's is
+    // skipped; artifacts with no parseable sf are kept (old layouts).
+    val runSf = sfOfDir(sfDir)
+    def parseOf(f: Option[java.io.File], sfGate: Boolean = true)
+    : Map[String, Double] =
       f.filter(_.isFile).fold(Map.empty[String, Double]) { f =>
-        try parsePriorQueries(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        catch { case _: Throwable => Map.empty }
+        try {
+          val json = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val sfs = parsePriorSfs(json)
+          if (sfGate && runSf.isDefined && sfs.nonEmpty &&
+              !sfs.contains(runSf.get)) Map.empty
+          else parsePriorQueries(json)
+        } catch { case _: Throwable => Map.empty }
       }
     // an EXPLICIT prior is a pinned baseline — it alone governs the
-    // outlier gate
-    if (explicit.isDefined) parseOf(explicit)
+    // outlier gate, and pinning overrides the sf gate too
+    if (explicit.isDefined) parseOf(explicit, sfGate = false)
     else {
       val a = parseOf(local)
       val b = parseOf(fallback)
@@ -232,7 +262,7 @@ object Bench {
 
     // prior-round per-query seconds: the inline defense inside runSuite
     // and the post-hoc outlier isolation both key off it
-    val prior = loadPrior()
+    val prior = loadPrior(sfDir)
 
     def settleSession(): Unit = {
       graft.operators.Checkpoints.sweep()

@@ -28,9 +28,17 @@ object IncrementalIndex {
 
   /** Directory layout + partitioning of one incremental index. All dirs
     * are siblings derived from (root, name); `partitionCol` is the
-    * hive-style partition column of the live parquet (None = flat). */
+    * hive-style partition column of the live parquet (None = flat).
+    * `migrate`, when set, derives the partition column from a legacy
+    * FLAT live dir written before the spec declared `partitionCol`
+    * (e.g. the text postings gained `tp` in round 12): every entry
+    * point detects the flat layout and rewrites it once via the staged
+    * two-rename swap, so old roots keep working and a partitioned
+    * append can never interleave `col=value` subdirs with flat files
+    * (which would break parquet partition discovery for good). */
   final case class Spec(root: String, name: String,
-                        partitionCol: Option[String]) {
+                        partitionCol: Option[String],
+                        migrate: Option[DataFrame => DataFrame] = None) {
     def liveDir: String = s"$root/$name"
     def tagsDir: String = s"$root/${name}_tags"
     def tombsDir: String = s"$root/${name}_tombstones"
@@ -69,12 +77,72 @@ object IncrementalIndex {
     }
   }
 
+  // ---- legacy flat-layout migration ----------------------------------
+
+  /** Top-level data files of the live dir. Under a declared
+    * `partitionCol` the staged moves only ever place parquet inside
+    * `col=value` subdirs, so any top-level parquet file marks a legacy
+    * flat layout written before the spec was partitioned. */
+  private def topLevelParquet(s: Spec): Seq[Path] = {
+    val root = Paths.get(s.liveDir)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val ls = Files.list(root)
+      try ls.iterator().asScala.toSeq.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+  }
+
+  private def hasPartitionSubdirs(s: Spec): Boolean =
+    s.partitionCol.exists { c =>
+      val root = Paths.get(s.liveDir)
+      Files.isDirectory(root) && {
+        val ls = Files.list(root)
+        try ls.iterator().asScala.exists(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$c="))
+        finally ls.close()
+      }
+    }
+
+  /** One-time rewrite of a pre-partitioning flat live dir into the
+    * spec's declared layout — called from every entry point, no-op on
+    * a current layout. Folds pending tombstones like [[compact]] (the
+    * tombstone parquet's single column IS the id column), then swaps
+    * via the same staged two-rename protocol, so a crash anywhere is
+    * healed by [[recover]]. Append markers survive: replays of
+    * pre-migration tags still no-op. */
+  private def migrateLegacy(spark: SparkSession, s: Spec): Unit = {
+    if (s.partitionCol.isEmpty) return
+    val flat = topLevelParquet(s)
+    if (flat.isEmpty) return
+    require(!hasPartitionSubdirs(s),
+      s"${s.liveDir}: mixed flat + ${s.partitionCol.get}= layout — a " +
+        "partitioned append ran against a legacy flat dir with " +
+        "pre-migration code; restore from the flat layout and re-append")
+    val m = s.migrate.getOrElse(throw new IllegalStateException(
+      s"${s.liveDir} has a legacy flat layout but the spec declares " +
+        s"partitionCol=${s.partitionCol.get} and no migrate function"))
+    val base = spark.read.parquet(s.liveDir)
+    val tombs = new java.io.File(s.tombsDir)
+    val live =
+      if (!tombs.isDirectory || tombs.listFiles().isEmpty) base
+      else {
+        val t = spark.read.parquet(s.tombsDir)
+        val idCol = t.columns.head
+        base.join(broadcast(t.select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+      }
+    swapIn(spark, s, m(live))
+  }
+
   /** Append `rows` (already in index schema) under `batchTag`. */
   def append(spark: SparkSession, s: Spec, rows: DataFrame,
              batchTag: String): Unit = {
     recover(s)
     val marker = new java.io.File(s"${s.tagsDir}/$batchTag")
     if (marker.isFile) return
+    migrateLegacy(spark, s)
     val staging = s"${s.stagingRoot}/$batchTag"
     // co-locate each partition value's rows into one task before the
     // partitioned write: without this, every (task, partition-value)
@@ -129,6 +197,7 @@ object IncrementalIndex {
   def load(spark: SparkSession, s: Spec, idCol: String,
            prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     recover(s)
+    migrateLegacy(spark, s)
     val base = spark.read.parquet(s.liveDir)
     val all = prune.fold(base)(base.filter)
     val tombs = new java.io.File(s.tombsDir)
@@ -164,13 +233,23 @@ object IncrementalIndex {
     Seq(s.liveDir, s.tagsDir, s.tombsDir, s.tmpDir, s.retiringDir,
       s.stagingRoot).foreach(rmTree)
 
-  /** Fold tombstones in + merge append dust; crash-safe, replayable. */
-  def compact(spark: SparkSession, s: Spec, idCol: String): Unit = {
+  /** Fold tombstones in + merge append dust; crash-safe, replayable.
+    * `transform` rewrites the folded rows on the way out (e.g. the text
+    * vocab's cross-append duplicate fold) — it must preserve the index
+    * schema including `partitionCol`. */
+  def compact(spark: SparkSession, s: Spec, idCol: String,
+              transform: DataFrame => DataFrame = identity): Unit = {
     recover(s)
     if (!exists(s)) return // marker-only (empty-batch) index: no data to fold
-    val live = load(spark, s, idCol)
-    // one file per partition value after compaction (see append)
-    val staged = s.partitionCol.fold(live)(c => live.repartition(col(c)))
+    swapIn(spark, s, transform(load(spark, s, idCol)))
+  }
+
+  /** Staged rewrite + two-rename swap of the live dir — the crash-safe
+    * tail shared by [[compact]] and [[migrateLegacy]]. Tombstones must
+    * already be folded into `rows`; the swap clears them. */
+  private def swapIn(spark: SparkSession, s: Spec, rows: DataFrame): Unit = {
+    // one file per partition value after the rewrite (see append)
+    val staged = s.partitionCol.fold(rows)(c => rows.repartition(col(c)))
     val writer = staged.write.mode("overwrite")
     s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(s.tmpDir)
     rmTree(s.retiringDir) // stale from a prior crashed run

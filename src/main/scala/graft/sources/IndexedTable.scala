@@ -154,7 +154,8 @@ object IndexedTable {
           cfg.text.foreach { t =>
             val dir = s"$root/text_${t.column}"
             val vocabDir = s"$root/text_${t.column}_vocab"
-            if (!exists(spark, dir))
+            val rebuilt = !exists(spark, dir)
+            if (rebuilt)
               // tp-partitioned like TextIndexLifecycle: the registered
               // frame carries the layout column, so routed term/phrase
               // probes prune to their partitions automatically
@@ -163,10 +164,14 @@ object IndexedTable {
                   graft.operators.TextMatch.tpCol(col("token")))
                 .repartition(col("tp"))
                 .write.mode("overwrite").partitionBy("tp").parquet(dir)
-            if (!exists(spark, vocabDir))
+            if (rebuilt || !exists(spark, vocabDir))
               // the term dictionary rides alongside: routed dictionary
               // probes (prefix/wildcard/fuzzy) resolve candidate tokens
-              // here instead of scanning the postings' distinct tokens
+              // here instead of scanning the postings' distinct tokens.
+              // Rebuilt whenever the POSTINGS were (not gated on its own
+              // existence alone): a surviving stale vocab would
+              // under-claim new tokens, silently emptying their
+              // dictionary-shaped probes while term probes still match
               spark.read.parquet(dir).select(col("token")).distinct()
                 .coalesce(1).write.mode("overwrite").parquet(vocabDir)
             TextIndexCatalog.register(df, t.column, t.id,

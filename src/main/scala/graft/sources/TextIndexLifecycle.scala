@@ -20,9 +20,17 @@ object TextIndexLifecycle {
   // path-partition discipline applied to the text index. Wildcard/fuzzy
   // probes scan all 16 (they match unknown tokens), same as Lucene
   // walking the whole term dictionary.
+  // pre-round-12 roots hold FLAT postings (no tp column); the migrate
+  // hook derives it so the shared protocol rewrites such a root once
+  // instead of corrupting it with a mixed layout on the next append
+  private def addTp(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("tp", graft.operators.TextMatch.tpCol(col("token")))
+  }
+
   private def spec(indexRoot: String, column: String) =
     IncrementalIndex.Spec(indexRoot, s"text_$column",
-      partitionCol = Some("tp"))
+      partitionCol = Some("tp"), migrate = Some(addTp))
 
   // Lucene's term dictionary alongside the postings: one (token, tp) row
   // per DISTINCT batch token, append-only on the same tag protocol.
@@ -36,7 +44,7 @@ object TextIndexLifecycle {
   // file merge), never correctness.
   private def vocabSpec(indexRoot: String, column: String) =
     IncrementalIndex.Spec(indexRoot, s"text_${column}_vocab",
-      partitionCol = Some("tp"))
+      partitionCol = Some("tp"), migrate = Some(addTp))
 
   def postingsDir(indexRoot: String, column: String): String =
     spec(indexRoot, column).liveDir
@@ -49,17 +57,15 @@ object TextIndexLifecycle {
   def append(spark: SparkSession, indexRoot: String, column: String,
              idCol: String, batch: DataFrame, batchTag: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val postings = HybridTable.positionalTextIndex(batch, column, idCol)
-      .withColumn("tp", graft.operators.TextMatch.tpCol(col("token")))
-    IncrementalIndex.append(spark, spec(indexRoot, column), postings,
-      batchTag)
-    // recompute rather than reuse `postings` (already consumed by the
-    // staged write above): the vocab append is over the batch's distinct
-    // tokens — O(batch) either way
+    val postings = addTp(HybridTable.positionalTextIndex(batch, column, idCol))
+    // vocab FIRST: a crash between the two appends then leaves an
+    // OVER-claiming dictionary (extra candidates that find no postings
+    // in the semi-join — correct), where postings-first would leave an
+    // UNDER-claiming one that silently drops the batch's docs from
+    // dictionary-shaped probes until the tag is replayed
     IncrementalIndex.append(spark, vocabSpec(indexRoot, column),
-      HybridTable.positionalTextIndex(batch, column, idCol)
-        .select(col("token")).distinct()
-        .withColumn("tp", graft.operators.TextMatch.tpCol(col("token"))),
+      postings.select(col("token"), col("tp")).distinct(), batchTag)
+    IncrementalIndex.append(spark, spec(indexRoot, column), postings,
       batchTag)
   }
 
@@ -68,6 +74,10 @@ object TextIndexLifecycle {
   def loadVocab(spark: SparkSession, indexRoot: String, column: String)
   : Option[DataFrame] = {
     val vs = vocabSpec(indexRoot, column)
+    // heal an interrupted compaction swap BEFORE the exists probe: a
+    // crash between its two renames leaves no live dir (only tmp), and
+    // a bare exists() would misread that as "no dictionary" forever
+    IncrementalIndex.recover(vs)
     if (!IncrementalIndex.exists(vs)) None
     else Some(IncrementalIndex.load(spark, vs, "token").distinct())
   }
@@ -89,22 +99,10 @@ object TextIndexLifecycle {
   def compact(spark: SparkSession, indexRoot: String, column: String,
               idCol: String): Unit = {
     IncrementalIndex.compact(spark, spec(indexRoot, column), idCol)
-    val vs = vocabSpec(indexRoot, column)
-    if (IncrementalIndex.exists(vs)) {
-      // route through load().distinct() + a staged overwrite of our own:
-      // IncrementalIndex.compact rewrites rows as-is, which would keep
-      // the duplicates
-      val deduped = IncrementalIndex.load(spark, vs, "token").distinct()
-        .repartition(org.apache.spark.sql.functions.col("tp"))
-      deduped.write.mode("overwrite").partitionBy("tp")
-        .parquet(vs.tmpDir)
-      IncrementalIndex.rmTree(vs.retiringDir)
-      java.nio.file.Files.move(java.nio.file.Paths.get(vs.liveDir),
-        java.nio.file.Paths.get(vs.retiringDir))
-      java.nio.file.Files.move(java.nio.file.Paths.get(vs.tmpDir),
-        java.nio.file.Paths.get(vs.liveDir))
-      IncrementalIndex.rmTree(vs.tombsDir)
-      IncrementalIndex.rmTree(vs.retiringDir)
-    }
+    // the vocab rides the same protocol with a dedup transform (plain
+    // compact rewrites rows as-is, which would keep the cross-append
+    // duplicates) — recover-on-entry and the staged swap come with it
+    IncrementalIndex.compact(spark, vocabSpec(indexRoot, column), "token",
+      transform = _.distinct())
   }
 }

@@ -44,6 +44,28 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePriorQueries(blocks) == Map("q_a" -> 0.5))
   }
 
+  test("parsePriorSfs + sfOfDir: the min-merge's scale-factor gate") {
+    // the driver wrapper records a numeric sf
+    assert(Bench.parsePriorSfs("""{"n":4, "sf": 0.1, "tail": "x"}""") ==
+      Set(0.1))
+    // the local artifact records the corpus dir path
+    assert(Bench.parsePriorSfs("""{"sf":"/root/testdata/sf0.01"}""") ==
+      Set(0.01))
+    // the wrapper embeds the local form ESCAPED; both normalize to one
+    val wrapped =
+      "{\"sf\": 0.1, \"tail\": \"...\\\"sf\\\":\\\"/root/testdata/sf0.1\\\"\"}"
+    assert(Bench.parsePriorSfs(wrapped) == Set(0.1))
+    // no sf anywhere → empty set (old layouts stay accepted by the gate)
+    assert(Bench.parsePriorSfs("""{"queries":{"q_a":0.5}}""").isEmpty)
+    // a dev artifact from a different corpus normalizes differently —
+    // the condition loadPrior uses to drop it
+    assert(Bench.parsePriorSfs("""{"sf":"/tmp/mini/sf0.001"}""") ==
+      Set(0.001))
+    assert(Bench.sfOfDir("/root/testdata/sf0.1").contains(0.1))
+    assert(Bench.sfOfDir("/root/testdata/sf0.1/").contains(0.1))
+    assert(Bench.sfOfDir("/data/corpus").isEmpty)
+  }
+
   test("needsInlineRerun: ratio and absolute triggers; no prior is safe") {
     // ratio trigger: strictly greater than 3x the prior
     assert(!Bench.needsInlineRerun(0.6, Some(0.2)))

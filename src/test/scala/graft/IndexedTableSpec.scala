@@ -96,6 +96,28 @@ class IndexedTableSpec extends SparkSpec with BeforeAndAfterEach {
     assert(df2.count() == 5)
   }
 
+  test("a rebuilt postings dir rebuilds the vocab alongside — a stale " +
+    "dictionary cannot survive a reindex") {
+    val s = spark
+    import s.implicits._
+    val dataDir = freshTable()
+    IndexedTable.open(s, dataDir)
+    val pDir = s"$dataDir/_graft/text_text"
+    val vDir = s"$dataDir/_graft/text_text_vocab"
+    // simulate a forced reindex (postings dropped, e.g. after the table
+    // data changed) where a stale dictionary survives on disk
+    graft.sources.IncrementalIndex.rmTree(pDir)
+    Seq("stale").toDF("token").coalesce(1)
+      .write.mode("overwrite").parquet(vDir)
+    IndexedTable.reset()
+    TextIndexCatalog.clear(); JsonIndexCatalog.clear(); StarTreeCatalog.clear()
+    IndexedTable.open(s, dataDir)
+    val vocab = s.read.parquet(vDir).collect().map(_.getString(0)).toSet
+    // without the rebuild coupling the vocab would still read {stale} and
+    // dictionary-shaped probes for real tokens would silently return empty
+    assert(vocab.contains("hash") && !vocab.contains("stale"), vocab)
+  }
+
   test("open without a config is a plain parquet read") {
     val s = spark
     import s.implicits._

@@ -2400,6 +2400,99 @@ class OperatorsSpec extends SparkSpec {
     JsonIndexLifecycle.deleteRoot(root)
   }
 
+  test("legacy flat text index migrates to the tp layout on first touch; " +
+    "pending tombstones fold and appends never mix layouts") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.TextIndexLifecycle
+    import graft.operators.TextMatch
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft_textidx_legacy_${System.nanoTime()}"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    // round-11 layout: flat postings (no tp column) straight in the live
+    // dir, no vocab sidecar
+    val liveDir = TextIndexLifecycle.postingsDir(root, "text")
+    graft.operators.HybridTable.positionalTextIndex(docs, "text", "doc_id")
+      .coalesce(1).write.parquet(liveDir)
+    // a tombstone recorded against the flat layout folds during migration
+    TextIndexLifecycle.delete(s, root, "text",
+      Seq(2L).toDF("doc_id"), "doc_id", "d0")
+    val idx = TextIndexLifecycle.load(s, root, "text", "doc_id")
+    assert(idx.columns.contains("tp"))
+    assert(idx.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // physically rewritten: tp= subdirs, no flat files, tombstones gone
+    val live = new java.io.File(liveDir)
+    assert(!live.listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+    assert(live.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("tp=")))
+    assert(!Files.isDirectory(Paths.get(s"$root/text_text_tombstones")))
+    // appends after migration land partitioned and probe correctly
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      Seq((3L, "gamma delta")).toDF("doc_id", "text"), "b1")
+    val universe = Seq(1L, 2L, 3L).toDF("doc_id")
+    val ids = TextMatch.compile(
+      TextIndexLifecycle.load(s, root, "text", "doc_id"),
+      universe, "doc_id", TextMatch.parse("gamma"))
+    assert(ids.collect().map(_.getLong(0)).toSet == Set(3L))
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
+  test("interrupted vocab compaction swap heals at loadVocab") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.TextIndexLifecycle
+    import java.nio.file.{Files, Paths}
+    val root = s"/tmp/graft_textidx_vrec_${System.nanoTime()}"
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "b1")
+    // crash between the swap's two renames: live gone, tmp staged
+    Files.move(Paths.get(s"$root/text_text_vocab"),
+      Paths.get(s"$root/text_text_vocab_compact_tmp"))
+    val vocab = TextIndexLifecycle.loadVocab(s, root, "text")
+    assert(vocab.isDefined, "recover must heal before the exists probe")
+    assert(vocab.get.collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta"))
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
+  test("a crash between the vocab and postings appends leaves an " +
+    "over-claiming dictionary; replaying the tag completes the batch") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{IncrementalIndex, TextIndexLifecycle}
+    import graft.operators.TextMatch
+    val root = s"/tmp/graft_textidx_vfirst_${System.nanoTime()}"
+    val b1 = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val b2 = Seq((9L, "zeta")).toDF("doc_id", "text")
+    TextIndexLifecycle.append(s, root, "text", "doc_id", b1, "b1")
+    // simulate append(b2) dying after its FIRST commit (the vocab):
+    // replicate exactly the vocab rows + tag the real append writes
+    val vs = IncrementalIndex.Spec(root, "text_text_vocab", Some("tp"))
+    IncrementalIndex.append(s, vs,
+      graft.operators.HybridTable.positionalTextIndex(b2, "text", "doc_id")
+        .select(col("token")).distinct()
+        .withColumn("tp", TextMatch.tpCol(col("token"))), "b2")
+    val universe = Seq(1L, 9L).toDF("doc_id")
+    def probe(q: String): Set[Long] = TextMatch.compile(
+      TextIndexLifecycle.load(s, root, "text", "doc_id"), universe,
+      "doc_id", TextMatch.parse(q),
+      TextIndexLifecycle.loadVocab(s, root, "text"))
+      .collect().map(_.getLong(0)).toSet
+    // over-claiming window: 'zeta' is in the dictionary, its postings
+    // are not yet — dictionary probes find NOTHING (correct), while b1
+    // stays fully visible
+    assert(probe("zet*") == Set.empty[Long])
+    assert(probe("alpha") == Set(1L))
+    // the documented recovery: replay the batch tag — vocab no-ops on
+    // its marker, postings commit, probes light up
+    TextIndexLifecycle.append(s, root, "text", "doc_id", b2, "b2")
+    assert(probe("zet*") == Set(9L))
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
   test("zorder: interleave bits, quantize edges, clustering beats 1-col sort") {
     val s = spark
     import s.implicits._
