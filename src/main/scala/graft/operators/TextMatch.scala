@@ -223,18 +223,23 @@ object TextMatch {
     * against the realtime Lucene index; here the filter fuses into the
     * scan). Terms/prefixes probe the token array; phrases are a
     * whitespace-bounded regex on the lowered text (tokens are whitespace
-    * splits, so the two formulations agree with the postings plan). */
+    * splits, so the two formulations agree with the postings plan).
+    * Leaves are TWO-VALUED: NULL text collapses to false (the reference
+    * stores nulls as the default empty string — an empty doc matches no
+    * term), which makes `NOT` here agree with [[compile]]'s universe
+    * anti-join on null-text docs too, not just on non-matching ones. */
   def columnFor(text: org.apache.spark.sql.Column, query: String)
   : org.apache.spark.sql.Column = {
     val toks = graft.functions.TextAnalysis.tokens(text)
+    def leaf(x: org.apache.spark.sql.Column) = coalesce(x, lit(false))
     def c(n: Node): org.apache.spark.sql.Column = n match {
-      case Term(t) => array_contains(toks, t)
-      case Prefix(p) => exists(toks, x => x.startsWith(p))
-      case Wildcard(p) => exists(toks, x => x.like(likePattern(p)))
-      case Fuzzy(t, d) => exists(toks, x => levenshtein(x, lit(t)) <= d)
+      case Term(t) => leaf(array_contains(toks, t))
+      case Prefix(p) => leaf(exists(toks, x => x.startsWith(p)))
+      case Wildcard(p) => leaf(exists(toks, x => x.like(likePattern(p))))
+      case Fuzzy(t, d) => leaf(exists(toks, x => levenshtein(x, lit(t)) <= d))
       case Phrase(ts) =>
         val body = ts.map(java.util.regex.Pattern.quote).mkString("\\s+")
-        lower(text).rlike(s"(^|\\s)$body(\\s|$$)")
+        leaf(lower(text).rlike(s"(^|\\s)$body(\\s|$$)"))
       case And(l, r) => c(l) && c(r)
       case Or(l, r) => c(l) || c(r)
       case Not(inner) => !c(inner)

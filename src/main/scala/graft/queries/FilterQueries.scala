@@ -249,6 +249,40 @@ object FilterQueries {
                 i -> tk[i] = 'merge' AND tk[i+1] = 'join')) > 0
         ORDER BY doc_id""")),
 
+    // Plan-level NOT over a marker TREE, routed as a universe complement
+    // (the reference's ANDNOT over posting bitmaps): NOT(a OR b) pushes
+    // De Morgan in set space to (U \ ids(a)) ∩ (U \ ids(b)) and probes
+    // ONE semi-join id set — the corpus text is never re-read for the
+    // negation (an anti-scan at 100 TB would be a full-corpus Lucene
+    // walk; here it is an id-column anti-join). The first marker also
+    // carries an IN-GRAMMAR OR + wildcard, so both NOT tiers (grammar
+    // universe anti-join inside compile, plan-level complement in the
+    // route) compose in one query. Oracle replays the token predicates
+    // under classical two-valued NOT — valid because marker leaves
+    // collapse NULL text to false, matching "absent from the postings".
+    Q("q_filter_text_not_routed",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.rules.TextIndexCatalog.clear()
+        graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
+          graft.operators.HybridTable.positionalTextIndex(
+            docs, "text", "doc_id"),
+          docs.select(col("doc_id")).distinct())
+        docs.createOrReplaceTempView("documents_tmn")
+        s.sql("""SELECT doc_id FROM documents_tmn
+          WHERE NOT (text_match(text, 'slow OR qu?ry')
+                  OR text_match(text, '"merge join"'))
+          ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE NOT (list_contains(tk, 'slow')
+               OR len(list_filter(tk, w -> w LIKE 'qu_ry')) > 0
+               OR len(list_filter(range(1, len(tk)),
+                    i -> tk[i] = 'merge' AND tk[i+1] = 'join')) > 0)
+        ORDER BY doc_id""")),
+
     // Same JSON_MATCH compound predicate as q_filter_json_array, routed
     // through the JSON index analog (json posting table from ONE from_json
     // parse, one-pass predicate flags) instead of per-row jsonpath — the
@@ -388,6 +422,47 @@ object FilterQueries {
       Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
         WHERE (o_orderstatus = 'F' AND (o_custkey % 5) > 3)
            OR o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority""")),
+
+    // Plan-level NOT over a JSON marker tree, routed as the universe
+    // complement (reference: ANDNOT over JsonMatchFilterOperator's
+    // posting bitmaps). De Morgan pushes the NOT to the leaves in set
+    // space; the probe is still ONE semi-join against the combined id
+    // set — the json corpus is never re-parsed for the negation. Docs
+    // lacking a path have no posting and so fall in the complement,
+    // exactly the per-row two-valued lowering's answer; here every doc
+    // carries both paths, so the oracle is plain boolean algebra on the
+    // source columns.
+    Q("q_filter_json_not_routed",
+      (s, d) => {
+        val j = concat(
+          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+          lit("""},{"p":"X","n":2}]}"""))
+        val dir = new java.io.File(
+          s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          Tables.orders(s, d).withColumn("doc", j)
+            .write.mode("overwrite").parquet(dir.getPath)
+        }
+        val docs = s.read.parquet(dir.getPath)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        graft.rules.JsonIndexCatalog.clear()
+        graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
+          graft.operators.JsonIndex.cachedPostings(
+            docs, "doc", "o_orderkey", schema,
+            cacheKey = Some(s"$d:orders.doc.routed")),
+          docs.select(col("o_orderkey")).distinct())
+        docs.createOrReplaceTempView("orders_jm_not")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm_not
+          WHERE NOT (json_match(doc, '"$.tags[*].p" = ''F''')
+                  OR json_match(doc, '"$.meta.pri" = ''1-URGENT'''))
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE NOT (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
         GROUP BY o_orderpriority""")),
 
     // The MATERIALIZED json index: postings written path-partitioned to

@@ -76,11 +76,17 @@ case class JsonIndexRoute(dummy: Boolean = true)
     m.predicate
 
   override protected def perRow(m: JsonMatchMarker): Expression =
-    GraftExpressions.toExpression(Scalars.jsonMatch(
-      GraftExpressions.asColumn(m.json), m.predicate))
+    // two-valued collapse (NULL doc / missing path ⇒ false): matches
+    // "no posting row" in the index tier, so a routed NOT (universe
+    // anti-join) and the per-row negation agree row for row — the
+    // reference's JSON_MATCH is a filter-only construct with exactly
+    // these no-posting semantics
+    GraftExpressions.toExpression(org.apache.spark.sql.functions.coalesce(
+      Scalars.jsonMatch(GraftExpressions.asColumn(m.json), m.predicate),
+      org.apache.spark.sql.functions.lit(false)))
 
   override protected def candidates: List[MarkerRoute.Candidate] =
     JsonIndexCatalog.all.map(e => MarkerRoute.Candidate(
       e.jsonCol, e.idCol, e.sourceLeaf, e.jsonOrd, e.idOrd,
-      p => JsonIndex.matchIds(e.index, e.universe, e.idCol, p)))
+      p => JsonIndex.matchIds(e.index, e.universe, e.idCol, p), e.universe))
 }

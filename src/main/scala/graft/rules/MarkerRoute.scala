@@ -41,22 +41,30 @@ object MarkerRoute {
 
   /** One covering-index candidate, reduced to what the routing skeleton
     * needs: the indexed column's identity (leaf relation + ordinal), the
-    * probe id column's identity, and a compile function from the
-    * marker's query string to the matching single-column id DataFrame. */
+    * probe id column's identity, a compile function from the marker's
+    * query string to the matching single-column id DataFrame, and the
+    * registered id universe (distinct ids of the indexed frame) — the
+    * complement base for NOT routing, exactly the universe the in-grammar
+    * NOT already consults inside compile. */
   final case class Candidate(colName: String, idCol: String,
                              sourceLeaf: LogicalPlan, colOrd: Int, idOrd: Int,
-                             compile: String => DataFrame)
+                             compile: String => DataFrame,
+                             universe: DataFrame)
 }
 
 /** The routing skeleton both marker rules share: routable filter
-  * conjuncts — AND/OR trees whose LEAVES are all covered markers probing
-  * the same id column — compile to posting-set algebra (AND = keyed
-  * semi-join of id sets, OR = id-set union; the reference's bitmap
-  * AND/OR in its filter operators) and probe ONE combined id set with a
-  * single LEFT SEMI join. Markers with no covering index, under NOT, or
-  * mixed with non-marker predicates lower to the per-row expression
-  * tree, which fuses into the scan (NOT keeps per-row three-valued NULL
-  * semantics for missing paths/tokens).
+  * conjuncts — AND/OR/NOT trees whose LEAVES are all covered markers
+  * probing the same id column — compile to posting-set algebra (AND =
+  * keyed semi-join of id sets, OR = id-set union, NOT = anti-join
+  * against the registered id universe; the reference's bitmap AND/OR/
+  * ANDNOT in its filter operators) and probe ONE combined id set with a
+  * single LEFT SEMI join. NOT over a sub-TREE is pushed to the leaves in
+  * set space (De Morgan — sound in Kleene logic, and the marker leaves
+  * are two-valued: their per-row lowerings collapse NULL input to false,
+  * matching "absent from the postings", so set complement against the
+  * universe is EXACTLY the per-row negation). Markers with no covering
+  * index or mixed with non-marker predicates lower to the per-row
+  * expression tree, which fuses into the scan.
   *
   * Subclasses supply the marker type, its probed column + query string,
   * the per-row lowering, and the live index candidates — everything
@@ -120,14 +128,27 @@ abstract class MarkerRoute[M <: Expression](implicit
             }.nextOption()
           case _ => None
         }
-      // compile an AND/OR tree of markers into one id set (set algebra
-      // over the postings); None when any leaf is unresolvable, under a
-      // NOT, or not a marker — those trees keep per-row semantics
+      // compile an AND/OR/NOT tree of markers into one id set (set
+      // algebra over the postings); None when any leaf is unresolvable
+      // or not a marker — those trees keep per-row semantics. NOT over
+      // a composite pushes to the leaves in set space (De Morgan); a
+      // NOT leaf is the universe anti-join — sound because the marker
+      // leaves are two-valued (NULL input ≡ no posting ≡ false), so
+      // complement-of-matches is exactly the per-row negation.
       def treeIds(e: Expression): Option[(DataFrame, Attribute)] = e match {
         case m if isMarker(m) =>
           asMarker(m).flatMap(mm => resolve(mm).map { case (en, idAttr) =>
             (en.compile(markerQuery(mm)).toDF(idAttr.name), idAttr)
           })
+        case Not(m) if isMarker(m) =>
+          asMarker(m).flatMap(mm => resolve(mm).map { case (en, idAttr) =>
+            (en.universe.toDF(idAttr.name).join(
+              en.compile(markerQuery(mm)).toDF(idAttr.name),
+              Seq(idAttr.name), "left_anti"), idAttr)
+          })
+        case Not(And(l, r)) => treeIds(Or(Not(l), Not(r)))
+        case Not(Or(l, r)) => treeIds(And(Not(l), Not(r)))
+        case Not(Not(x)) => treeIds(x)
         case And(l, r) =>
           for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
                 if al.exprId == ar.exprId }

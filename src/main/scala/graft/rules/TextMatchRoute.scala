@@ -79,10 +79,14 @@ object TextMatchRoute {
   * filter-operator-over-inverted-index plan. At scale the semi-join
   * touches ~|matching postings|, not the corpus text. Multi-column trees
   * (title-index OR body-index) route too — a shape one Lucene query
-  * string cannot express. The GRAMMAR's own NOT inside one predicate
-  * string still routes ([[TextMatch.compile]] answers it with the
-  * universe anti-join); a plan-level NOT above markers keeps per-row
-  * NULL semantics. */
+  * string cannot express. NOT routes at BOTH levels with one semantics:
+  * the grammar's own NOT inside a predicate string ([[TextMatch.compile]]
+  * answers it with the universe anti-join) and a plan-level
+  * `NOT text_match(…)` (the skeleton's set complement against the same
+  * registered universe). [[TextMatch.columnFor]]'s leaves are two-valued
+  * (NULL text ≡ empty doc — the reference stores nulls as the default
+  * empty string), so the complement and the per-row negation agree row
+  * for row. */
 case class TextMatchRoute(dummy: Boolean = true)
     extends MarkerRoute[TextMatchMarker] {
 
@@ -97,5 +101,5 @@ case class TextMatchRoute(dummy: Boolean = true)
     TextIndexCatalog.all.map(e => MarkerRoute.Candidate(
       e.textCol, e.idCol, e.sourceLeaf, e.textOrd, e.idOrd,
       q => TextMatch.compile(e.posIndex, e.universe, e.idCol,
-        TextMatch.parse(q), e.vocab)))
+        TextMatch.parse(q), e.vocab), e.universe))
 }

@@ -100,10 +100,11 @@ class JsonIndexRouteSpec extends SparkSpec with BeforeAndAfterEach {
          FROM jm_docs""")
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
-    // empty tags (id 4): the jsonpath yields no values → NULL, the same
-    // three-valued semantics the per-row tree always had
+    // empty tags (id 4): the jsonpath yields no values — TWO-VALUED
+    // collapse to false ("no posting"), so the per-row lowering agrees
+    // with the index tier everywhere, including under NOT
     assert(proj == Map(1L -> Some(false), 2L -> Some(false),
-      3L -> Some(true), 4L -> None, 5L -> Some(true)))
+      3L -> Some(true), 4L -> Some(false), 5L -> Some(true)))
   }
 
   test("AND/OR trees of markers route as posting-set algebra") {
@@ -134,6 +135,47 @@ class JsonIndexRouteSpec extends SparkSpec with BeforeAndAfterEach {
          WHERE json_match(doc, '"$.pri" = ''HIGH''') OR id = 4""")
     assert(!mixed.queryExecution.executedPlan.toString.contains("LeftSemi"))
     assert(mixed.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("plan-level NOT routes as a universe complement; missing path and " +
+    "NULL doc behave as no-posting (false) in both tiers") {
+    val s = spark
+    import s.implicits._
+    // doc 6 lacks $.pri entirely, doc 7 is a NULL document: neither has a
+    // posting, so a positive match is false and its NOT is true — the
+    // universe complement and the two-valued per-row lowering agree
+    val d = Seq(
+      (1L, """{"pri":"HIGH","tags":[{"p":"F","n":1}]}"""),
+      (2L, """{"pri":"LOW","tags":[{"p":"F","n":4}]}"""),
+      (6L, """{"tags":[{"p":"O","n":2}]}"""),
+      (7L, null.asInstanceOf[String])).toDF("id", "doc")
+    JsonIndexCatalog.register(d, "doc", "id",
+      JsonIndex.postings(d, "doc", "id", schema),
+      d.select(col("id")).distinct())
+    d.createOrReplaceTempView("jm_not")
+    val q = spark.sql(
+      """SELECT id FROM jm_not WHERE NOT json_match(doc, '"$.pri" = ''HIGH''')""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected routed complement:\n$plan")
+    assert(!plan.contains("get_json_object"), s"per-row probe leaked:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(2L, 6L, 7L))
+    // per-row tier (no index): identical rows, including 6 and 7
+    JsonIndexCatalog.clear()
+    val pr = spark.sql(
+      """SELECT id FROM jm_not WHERE NOT json_match(doc, '"$.pri" = ''HIGH''')""")
+    assert(!pr.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(pr.collect().map(_.getLong(0)).toSet == Set(2L, 6L, 7L))
+    // De Morgan across markers: NOT (pri=HIGH OR n>3) = {6,7} ∪ … docs
+    // with neither posting — {6,7}; doc 1 has pri=HIGH, doc 2 has n=4
+    JsonIndexCatalog.register(d, "doc", "id",
+      JsonIndex.postings(d, "doc", "id", schema),
+      d.select(col("id")).distinct())
+    val dm = spark.sql(
+      """SELECT id FROM jm_not
+         WHERE NOT (json_match(doc, '"$.pri" = ''HIGH''')
+                 OR json_match(doc, '"$.tags[*].n" > 3'))""")
+    assert(dm.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(dm.collect().map(_.getLong(0)).toSet == Set(6L, 7L))
   }
 
   test("bad grammar fails at resolution, not mid-execution") {

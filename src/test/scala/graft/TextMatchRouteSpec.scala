@@ -151,6 +151,43 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(multi.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
   }
 
+  test("plan-level NOT routes as a universe complement, null text included") {
+    val s = spark
+    import s.implicits._
+    // a NULL-text doc: absent from the postings, present in the universe —
+    // NOT must include it (reference stores nulls as the empty string; an
+    // empty doc matches no term), and the per-row tier must agree
+    val d = Seq((1L, "hash join scan"), (2L, "merge stream"),
+      (3L, null.asInstanceOf[String]), (4L, "join order"))
+      .toDF("doc_id", "text")
+    TextIndexCatalog.register(d, "text", "doc_id",
+      HybridTable.positionalTextIndex(d, "text", "doc_id"),
+      d.select(col("doc_id")).distinct())
+    d.createOrReplaceTempView("tm_not")
+    val q = spark.sql(
+      "SELECT doc_id FROM tm_not WHERE NOT text_match(text, 'join')")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected routed complement:\n$plan")
+    assert(!plan.contains("array_contains"), s"per-row probe leaked:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // per-row twin (no index consulted) agrees row for row
+    val perRow = d.filter(!TextMatch.columnFor(col("text"), "join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(perRow == Set(2L, 3L), "two-valued per-row NOT must agree")
+    // De Morgan over a composite: NOT (hash OR merge) = {3,4}
+    val dm = spark.sql(
+      """SELECT doc_id FROM tm_not
+         WHERE NOT (text_match(text, 'hash') OR text_match(text, 'merge'))""")
+    assert(dm.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(dm.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // mixed positive AND NOT: join AND NOT hash = {4}
+    val mix = spark.sql(
+      """SELECT doc_id FROM tm_not
+         WHERE text_match(text, 'join') AND NOT text_match(text, 'hash')""")
+    assert(mix.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(mix.collect().map(_.getLong(0)).toSet == Set(4L))
+  }
+
   test("bad grammar fails at resolution, not mid-execution") {
     docs.createOrReplaceTempView("tm_docs")
     val e = intercept[Exception](spark.sql(
