@@ -917,9 +917,19 @@ object Dedup {
     * `cluster` column; the only shuffle is the within-cluster equi-join,
     * whose fan-out is bounded per cluster. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
-                    k: Int, minCos: Double): DataFrame = {
-    val asg = semanticAssign(df, vecCol, idCol, k)
-    val t = cached(df, s"semAssign:$vecCol:$idCol:$k") {
+                    k: Int, minCos: Double): DataFrame =
+    pruneWithinClusters(df, semanticAssign(df, vecCol, idCol, k),
+      vecCol, idCol, minCos, s"semAssign:$vecCol:$idCol:$k")
+
+  /** Within-cluster greedy-by-id τ-prune shared by the semantic-dedup
+    * variants: a row drops iff some LOWER-id row in the same `cluster`
+    * has rounded cosine ≥ minCos. `tag` keys the cached
+    * (id, vec, cluster, norm) frame; the only shuffle is the
+    * within-cluster equi-join, fan-out bounded per cluster. */
+  private def pruneWithinClusters(df: DataFrame, asg: DataFrame,
+      vecCol: String, idCol: String, minCos: Double, tag: String)
+  : DataFrame = {
+    val t = cached(df, tag) {
       val s = asg.select(col(idCol), col(vecCol), col("cluster"),
         Vectors.norm2(col(vecCol)).as("nrm")).persist()
       s.count()
@@ -932,6 +942,97 @@ object Dedup {
         (col("a.nrm") * col("b.nrm")), 6) >= minCos)
       .select(col(s"b.$idCol").as("__drop")).distinct()
     asg.join(drops, asg(idCol) === drops("__drop"), "left_anti")
+  }
+
+  /** Cluster count for a target EXPECTED cluster population: k =
+    * max(minK, ceil(n / targetCluster)). With k ∝ n the within-cluster
+    * pair join stays O(n · targetCluster) — constant work per row —
+    * where a FIXED k makes it O(n²/k). The 100× scale run measured
+    * exactly that cliff on the fixed-k gate: ratio 1341 at factor 100
+    * (13.4× super-linear); the adaptive variant rides ~linear. Pure
+    * integer arithmetic so the DuckDB oracle replays it exactly. */
+  def adaptiveClusters(n: Long, targetCluster: Int = 64,
+                       minK: Int = 8): Int = {
+    require(targetCluster > 0 && minK >= 1,
+      s"targetCluster=$targetCluster minK=$minK")
+    val nn = math.max(0L, n)
+    // overflow-safe ceil-div, result clamped into Int range
+    val groups = nn / targetCluster + (if (nn % targetCluster == 0) 0 else 1)
+    math.min(Int.MaxValue.toLong, math.max(minK.toLong, groups)).toInt
+  }
+
+  /** Two-level deterministic centroid assignment — [[semanticAssign]]'s
+    * scale tier for cluster counts past what one unrolled argmax
+    * projection should carry (the flat variant compiles k cosine
+    * expressions into ONE codegen projection; fine to ~low hundreds,
+    * codegen-hostile at the thousands adaptive k reaches). Level 1
+    * assigns to k1 = ceil(√k) coarse centroids (the k1 lowest-id
+    * vectors — flat unrolled argmax, map-only); level 2 assigns within
+    * the coarse cell to the cell's k2 = ceil(k/k1) lowest-id members
+    * via a BROADCAST centroid join + per-id argmax window (rounded-cos
+    * DESC, index ASC — the same deterministic order as level 1).
+    * Assignment work is n·(k1+k2) ≈ 2n√k dot products instead of n·k;
+    * deeper trees generalize the same way when √k itself outgrows the
+    * projection. Output cluster id = coarse·k2 + fine ∈ [0, k1·k2).
+    *
+    * The fine argmax is a NARROW probe — (id, cell, vec) only, never the
+    * caller's other columns — reduced by a map-side-combined `max` over
+    * a (cos, −fineIdx) struct (lexicographic max = rounded-cos DESC,
+    * index ASC, the level-1 order exactly), so the n·√k fan-out
+    * collapses to n rows before it ever shuffles; a window formulation
+    * here shuffled the whole fan-out and was measured 3× slower at the
+    * 100× corpus. */
+  def semanticAssignHier(df: DataFrame, vecCol: String, idCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"cluster count $k must be >= 1")
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = ((k + k1 - 1) / k1)
+    val coarse = semanticAssign(df, vecCol, idCol, k1)
+      .withColumnRenamed("cluster", "__coarse")
+    val wCell = Window.partitionBy(col("__coarse")).orderBy(col(idCol))
+    val cents = coarse.select(col("__coarse"), col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") <= k2)
+      .select(col("__coarse"), (col("__rn") - 1).as("__fidx"),
+        col(vecCol).as("__cvec"), Vectors.norm2(col(vecCol)).as("__cnrm"))
+    val probe = coarse.select(col(idCol), col("__coarse"), col(vecCol),
+      Vectors.norm2(col(vecCol)).as("__nrm"))
+    // __coarse rides inside the struct: constant within an id's group
+    // (each row has ONE coarse cell), so the max carries it unchanged
+    val best = probe.join(broadcast(cents), Seq("__coarse"))
+      .select(col(idCol),
+        round(Vectors.dot(col(vecCol), col("__cvec")) /
+          (col("__nrm") * col("__cnrm")), 6).as("__cos"),
+        (-col("__fidx")).as("__neg"), col("__coarse"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), col("__neg"), col("__coarse")))
+        .as("__best"))
+      .select(col(idCol),
+        (col("__best.__coarse") * k2 - col("__best.__neg")).cast("int")
+          .as("cluster"))
+    coarse.drop("__coarse").join(best, Seq(idCol))
+  }
+
+  /** [[semanticDedup]] with the cluster count scaled to the corpus
+    * (k = ceil(n/targetCluster)) and the two-level assignment — the
+    * shape that survives a 100× corpus: expected cluster population
+    * stays ~targetCluster, so the pair join is O(n·targetCluster) and
+    * assignment is O(n·√k) dots. One count() over the input derives k
+    * (columnar scan, no shuffle). */
+  def semanticDedupAuto(df: DataFrame, vecCol: String, idCol: String,
+                        minCos: Double, targetCluster: Int = 64)
+  : DataFrame = {
+    val k = adaptiveClusters(df.count(), targetCluster)
+    // the two-level assignment is a real multi-stage job (unlike the
+    // flat variant's map-only projection) — materialize it once; the
+    // prune consults it for the pair join AND the survivor anti-join
+    val asg = cached(df, s"semHier:$vecCol:$idCol:$k") {
+      val a = semanticAssignHier(df, vecCol, idCol, k).persist()
+      a.count()
+      a
+    }
+    pruneWithinClusters(df, asg, vecCol, idCol, minCos,
+      s"semAssignAuto:$vecCol:$idCol:$targetCluster")
   }
 
   /** ExactSubstr-style duplicated-passage excision (public method: Lee
@@ -1012,7 +1113,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dups, LSH-blocked by sign-bucket: pairs in the
-    * same bucket with cosine ≥ threshold. */
+    * same bucket with cosine ≥ threshold. `nBits` is a FIXED width —
+    * size it to the corpus, or use [[embeddingPairsAuto]], which holds
+    * the expected bucket population constant as n grows. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      nBits: Int, minCos: Double): DataFrame = {
     // norms precomputed per vector (cached) — the per-pair work is one dot
@@ -1032,6 +1135,41 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Sign-LSH width for a target EXPECTED bucket population: the
+    * smallest bit count giving ≥ ceil(n/targetBucket) buckets, clamped
+    * to [minBits, maxBits]. With bits ∝ log₂(n) the bucket self-join
+    * stays O(n · targetBucket); a FIXED width makes it O(n²/2^bits) —
+    * the 100× scale run measured ratio 613 at factor 100 on the fixed
+    * 4-bit gate. Recall per pair falls as bits grow (each extra bit
+    * halves the chance a τ-near pair shares the bucket) — the same
+    * trade the minhash band planner prices; multiprobe neighbors of
+    * the bucket recover it when needed. Integer arithmetic only
+    * (highest-bit position, no floating log), so the oracle replays it
+    * exactly. `maxBits` must stay ≤ the embedding dim — [[Vectors
+    * .signBucket]] reads one element per bit. */
+  def adaptiveSignBits(n: Long, targetBucket: Int = 64, minBits: Int = 4,
+                       maxBits: Int = 30): Int = {
+    require(targetBucket > 0 && minBits >= 1 && maxBits >= minBits,
+      s"targetBucket=$targetBucket minBits=$minBits maxBits=$maxBits")
+    val nn = math.max(0L, n)
+    // overflow-safe ceil-div (n + target - 1 would wrap near Long.Max)
+    val groups = math.max(1L,
+      nn / targetBucket + (if (nn % targetBucket == 0) 0 else 1))
+    val need =
+      if (groups <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(groups - 1)
+    math.min(maxBits, math.max(minBits, need))
+  }
+
+  /** [[embeddingPairs]] with the sign-bucket width scaled to the corpus
+    * via [[adaptiveSignBits]] — the shape that survives a 100× corpus.
+    * One count() over the input derives the width. */
+  def embeddingPairsAuto(df: DataFrame, vecCol: String, idCol: String,
+                         minCos: Double, targetBucket: Int = 64)
+  : DataFrame =
+    embeddingPairs(df, vecCol, idCol,
+      adaptiveSignBits(df.count(), targetBucket), minCos)
 
   // ----- Bloom-filter cross-batch dedup (the Dolma "BFF" pattern) -----
 

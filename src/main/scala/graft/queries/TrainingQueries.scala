@@ -1158,6 +1158,34 @@ object TrainingQueries {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         WHERE cos >= 0.2""")),
 
+    // embedding near-dup pairs with the sign-bucket width SCALED to the
+    // corpus (Dedup.adaptiveSignBits: smallest width giving
+    // ceil(n/64) buckets, floor 4) — the 100-TB shape: expected bucket
+    // population stays ~64 as n grows, so the pair join is O(n·64)
+    // where the fixed-width twin above goes O(n²/2^bits) (measured
+    // ratio 613 at the 100× corpus vs ~linear here). The oracle
+    // derives the SAME width with integer arithmetic (length of the
+    // binary of groups−1), so the adaptive parameter itself is
+    // hash-checked: at sf0.01 (n=500 → 4 bits) this equals the fixed
+    // gate; at sf0.1 (n=2000 → 5 bits) the two diverge and each
+    // matches its own oracle.
+    Q("q_dedup_embed_auto",
+      (s, d) => Dedup.embeddingPairsAuto(Tables.embeddings(s, d),
+        "embedding", "vec_id", 0.2),
+      Some(s"""WITH prm AS (SELECT LEAST(30, GREATEST(4,
+            CASE WHEN g <= 1 THEN 0 ELSE length(bin(g - 1)) END)) AS b
+          FROM (SELECT (COUNT(*) + 63) // 64 AS g FROM embeddings)),
+        e AS (SELECT vec_id, embedding,
+          CAST(list_sum(list_transform(range(1, (SELECT b FROM prm) + 1),
+            i -> CASE WHEN embedding[i] >= 0
+                 THEN CAST(POW(2, i - 1) AS BIGINT) ELSE 0 END))
+            AS BIGINT) AS bucket FROM embeddings)
+        SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND($pairCosSql, 6) AS cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.2""")),
+
     // SemDeDup-style semantic dedup: deterministic seed centroids (8
     // lowest-id vectors), map-only nearest-centroid assignment (unrolled
     // codegen argmax, no shuffle), within-cluster τ-prune keyed on the
@@ -1186,6 +1214,66 @@ object TrainingQueries {
             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
           WHERE ROUND($pairCosSql, 6) >= 0.25)
         SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM asg
+        WHERE vec_id NOT IN (SELECT drop_id FROM drops)""")),
+
+    // SemDeDup with the cluster count SCALED to the corpus
+    // (k = max(8, ceil(n/64))) and the TWO-LEVEL deterministic
+    // assignment (coarse argmax over ceil(√k) lowest-id centroids,
+    // fine argmax within the cell over its ceil(k/√k) lowest-id
+    // members — n·2√k dots instead of n·k, and no k-wide codegen
+    // projection). The 100-TB shape: expected cluster population
+    // stays ~64, so the τ-prune join is O(n·64) where the fixed-k twin
+    // goes O(n²/k) (measured ratio 1341 at the 100× corpus vs ~linear
+    // here). The oracle replays EVERYTHING — k/k1/k2 integer
+    // arithmetic, both argmax levels, the cluster id composition
+    // coarse·k2+fine, and the greedy-by-id drops.
+    Q("q_dedup_semantic_auto",
+      (s, d) => Dedup.semanticDedupAuto(Tables.embeddings(s, d),
+          "embedding", "vec_id", 0.25)
+        .select(col("vec_id"), col("cluster")),
+      Some(s"""WITH prm AS (
+          SELECT k, k1, (k + k1 - 1) // k1 AS k2 FROM (
+            SELECT k, CAST(CEIL(SQRT(k)) AS BIGINT) AS k1 FROM (
+              SELECT GREATEST(8, (COUNT(*) + 63) // 64) AS k
+              FROM embeddings))),
+        cent1 AS (
+          SELECT cvec, cidx FROM (
+            SELECT embedding AS cvec,
+              ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+            FROM embeddings)
+          WHERE cidx < (SELECT k1 FROM prm)),
+        asg1 AS (
+          SELECT vec_id, embedding, coarse FROM (
+            SELECT e.vec_id, e.embedding, c.cidx AS coarse,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ROUND(${cosSql("e.embedding", "c.cvec")}, 6) DESC,
+                  c.cidx) AS rk
+            FROM embeddings e CROSS JOIN cent1 c)
+          WHERE rk = 1),
+        cent2 AS (
+          SELECT coarse, fidx, cvec FROM (
+            SELECT coarse, embedding AS cvec,
+              ROW_NUMBER() OVER (PARTITION BY coarse ORDER BY vec_id) - 1
+                AS fidx
+            FROM asg1)
+          WHERE fidx < (SELECT k2 FROM prm)),
+        asg AS (
+          SELECT vec_id, embedding,
+            CAST(coarse * (SELECT k2 FROM prm) + fidx AS INTEGER)
+              AS cluster
+          FROM (
+            SELECT a.vec_id, a.embedding, a.coarse, c.fidx,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY ROUND(${cosSql("a.embedding", "c.cvec")}, 6) DESC,
+                  c.fidx) AS rk
+            FROM asg1 a JOIN cent2 c ON a.coarse = c.coarse)
+          WHERE rk = 1),
+        drops AS (
+          SELECT DISTINCT b.vec_id AS drop_id
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ROUND($pairCosSql, 6) >= 0.25)
+        SELECT vec_id, cluster FROM asg
         WHERE vec_id NOT IN (SELECT drop_id FROM drops)""")),
 
     // brute-force cosine top-k (exact ANN baseline)

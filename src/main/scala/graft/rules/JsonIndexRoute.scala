@@ -35,8 +35,10 @@ object JsonIndexCatalog {
   @volatile private var entries: List[Entry] = Nil
 
   /** Register a posting table ([[JsonIndex.postings]] shape) built over
-    * `indexed`'s `jsonCol`. `universe` = distinct ids (consulted for
-    * IS NULL anti-joins). */
+    * `indexed`'s `jsonCol`. `idCol` must be a KEY of the indexed frame
+    * (non-null, one row per id — the reference's docId): routing
+    * answers by id membership. `universe` = distinct ids (consulted
+    * for IS NULL and NOT anti-joins). */
   def register(indexed: DataFrame, jsonCol: String, idCol: String,
                index: DataFrame, universe: DataFrame): Unit = {
     val plan = indexed.queryExecution.analyzed

@@ -40,8 +40,11 @@ object TextIndexCatalog {
   @volatile private var entries: List[Entry] = Nil
 
   /** Register a positional index built over `indexed`'s `textCol`.
-    * `vocab` (optional persisted term dictionary) lets routed
-    * prefix/wildcard/fuzzy probes resolve candidate tokens there
+    * `idCol` must be a KEY of the indexed frame (non-null, one row per
+    * id — the reference's docId): routing answers by id membership, so
+    * duplicate ids would blur rows together and null ids never match a
+    * probe join. `vocab` (optional persisted term dictionary) lets
+    * routed prefix/wildcard/fuzzy probes resolve candidate tokens there
     * instead of scanning the postings' distinct tokens. */
   def register(indexed: DataFrame, textCol: String, idCol: String,
                posIndex: DataFrame, universe: DataFrame,

@@ -1575,6 +1575,69 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("adaptive sign bits / cluster counts: integer-exact, clamped; " +
+      "hier assignment covers every row, bounded ids, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    // integer arithmetic pinned (the oracle replays the same formulas)
+    assert(Dedup.adaptiveSignBits(500) == 4)   // g=8 → 3 bits → floor 4
+    assert(Dedup.adaptiveSignBits(2000) == 5)  // g=32 → 5
+    assert(Dedup.adaptiveSignBits(200000) == 12) // g=3125 → 12
+    assert(Dedup.adaptiveSignBits(64 * 4096) == 12) // exact power edge
+    assert(Dedup.adaptiveSignBits(64 * 4096 + 1) == 13)
+    assert(Dedup.adaptiveSignBits(0) == 4)
+    assert(Dedup.adaptiveSignBits(Long.MaxValue, maxBits = 20) == 20)
+    assert(Dedup.adaptiveClusters(500) == 8)
+    assert(Dedup.adaptiveClusters(2000) == 32)
+    assert(Dedup.adaptiveClusters(200000) == 3125)
+    // auto == fixed where the derived parameter coincides (vectors carry
+    // ≥ minBits dims — signBucket reads one element per bit, ANSI-strict)
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat, 0.1f, -0.1f)
+    val df = (0L until 40L).map(i => (i, v(i * 9.0))).toDF(
+      "vec_id", "embedding")
+    val fixed = Dedup.embeddingPairs(df, "embedding", "vec_id",
+      Dedup.adaptiveSignBits(40), 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.embeddingPairsAuto(df, "embedding", "vec_id", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    // hier assignment: every row assigned exactly once, cluster ids in
+    // [0, k1*k2), deterministic at any parallelism
+    val k = 9 // k1 = 3, k2 = 3
+    val h = Dedup.semanticAssignHier(df, "embedding", "vec_id", k)
+    val rows = h.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(rows.length == 40 && rows.map(_._1).distinct.length == 40)
+    assert(rows.forall { case (_, c) => c >= 0 && c < 9 })
+    val h7 = Dedup.semanticAssignHier(
+      df.repartition(7), "embedding", "vec_id", k)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(h7.toMap == rows.toMap)
+    // auto dedup: survivors carry clusters, no surviving pair in one
+    // cluster is τ-close, and every dropped row has a lower-id shield
+    val tau = 0.999
+    val out = Dedup.semanticDedupAuto(df, "embedding", "vec_id", tau,
+      targetCluster = 5)
+    val surv = out.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(surv.nonEmpty && surv.length <= 40)
+    val byCluster = surv.groupBy(_._2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.rint(d / (na * nb) * 1e6) / 1e6
+    }
+    val vecs = (0L until 40L).map(i => i -> v(i * 9.0)).toMap
+    for ((_, members) <- byCluster; Array(a, b) <-
+           members.map(_._1).sorted.combinations(2).map(_.toArray))
+      assert(cos(vecs(a), vecs(b)) < tau,
+        s"surviving pair ($a,$b) is τ-close in one cluster")
+  }
+
   test("int8 quantization: round-trip error ≤ scale/2, zero-vector safe, " +
       "quantized top-k tracks exact top-k") {
     val s = spark

@@ -205,6 +205,11 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
         "SELECT doc_id FROM tm_docs WHERE TEXT_MATCH(text, 'st*m AND NOT merge')")
       assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"))
       assert(q.collect().map(_.getLong(0)).toSet == Set(3L))
+      // plan-level NOT through the dialect routes as the complement too
+      val n = spark.sql(
+        "SELECT doc_id FROM tm_docs WHERE NOT TEXT_MATCH(text, 'merge')")
+      assert(n.queryExecution.executedPlan.toString.contains("LeftSemi"))
+      assert(n.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
     } finally spark.conf.unset("spark.graft.sql.dialect")
   }
 }
