@@ -925,13 +925,18 @@ object Dedup {
     * variants: a row drops iff some LOWER-id row in the same `cluster`
     * has rounded cosine ≥ minCos. `tag` keys the cached
     * (id, vec, cluster, norm) frame; the only shuffle is the
-    * within-cluster equi-join, fan-out bounded per cluster. */
+    * within-cluster equi-join, fan-out bounded per cluster.
+    * `asgMaterialized` = the caller already persisted `asg` (the hier
+    * path) — the prune then derives its narrow frame straight off that
+    * cache instead of persisting a SECOND copy of the vectors. */
   private def pruneWithinClusters(df: DataFrame, asg: DataFrame,
-      vecCol: String, idCol: String, minCos: Double, tag: String)
+      vecCol: String, idCol: String, minCos: Double, tag: String,
+      asgMaterialized: Boolean = false)
   : DataFrame = {
-    val t = cached(df, tag) {
-      val s = asg.select(col(idCol), col(vecCol), col("cluster"),
-        Vectors.norm2(col(vecCol)).as("nrm")).persist()
+    def narrow = asg.select(col(idCol), col(vecCol), col("cluster"),
+      Vectors.norm2(col(vecCol)).as("nrm"))
+    val t = if (asgMaterialized) narrow else cached(df, tag) {
+      val s = narrow.persist()
       s.count()
       s
     }
@@ -1032,7 +1037,8 @@ object Dedup {
       a
     }
     pruneWithinClusters(df, asg, vecCol, idCol, minCos,
-      s"semAssignAuto:$vecCol:$idCol:$targetCluster")
+      s"semAssignAuto:$vecCol:$idCol:$targetCluster",
+      asgMaterialized = true)
   }
 
   /** ExactSubstr-style duplicated-passage excision (public method: Lee
@@ -1164,12 +1170,22 @@ object Dedup {
 
   /** [[embeddingPairs]] with the sign-bucket width scaled to the corpus
     * via [[adaptiveSignBits]] — the shape that survives a 100× corpus.
-    * One count() over the input derives the width. */
+    * One count() over the input derives the width; the cap is clamped
+    * to the EMBEDDING DIMENSION (read from the first row — vectors are
+    * fixed-dim by contract) because [[Vectors.signBucket]] reads one
+    * element per bit and ANSI element access errors past the end.
+    * Past-the-dim corpora (n > target·2^dim) saturate at dim bits —
+    * sign-LSH has no more planes to cut; the pair join degrades
+    * gracefully toward the residual bucket population. */
   def embeddingPairsAuto(df: DataFrame, vecCol: String, idCol: String,
                          minCos: Double, targetBucket: Int = 64)
-  : DataFrame =
+  : DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(30) // empty frame: unused
     embeddingPairs(df, vecCol, idCol,
-      adaptiveSignBits(df.count(), targetBucket), minCos)
+      adaptiveSignBits(df.count(), targetBucket,
+        maxBits = math.max(1, math.min(30, dim))), minCos)
+  }
 
   // ----- Bloom-filter cross-batch dedup (the Dolma "BFF" pattern) -----
 

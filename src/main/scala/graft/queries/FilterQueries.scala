@@ -10,6 +10,56 @@ import org.apache.spark.sql.functions._
   * the Spark analog of the reference's inverted/sorted/range index pruning. */
 object FilterQueries {
 
+  /** The synthesized per-order JSON doc shared by every json gate: the
+    * oracle can state ground truth on the raw orders columns while
+    * Spark exercises the real json machinery. */
+  private def ordersJsonDoc: org.apache.spark.sql.Column = concat(
+    lit("""{"meta":{"pri":""""), col("o_orderpriority"),
+    lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
+    lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
+    lit("""},{"p":"X","n":2}]}"""))
+
+  private val ordersJsonSchema = org.apache.spark.sql.types.StructType
+    .fromDDL("meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+
+  /** STORED json docs (parquet round-trip — index registration binds to
+    * leaf columns, exactly the reference, where the indexed column
+    * lives in the segment) with the posting table registered for
+    * routing; shared by the three routed json gates so the doc shape /
+    * registration can never diverge between them. Returns the docs
+    * frame registered under `view`. */
+  private def registeredJsonDocs(s: org.apache.spark.sql.SparkSession,
+      d: String, view: String): org.apache.spark.sql.DataFrame = {
+    val dir = new java.io.File(s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
+    if (!dir.exists()) {
+      Tables.orders(s, d).withColumn("doc", ordersJsonDoc)
+        .write.mode("overwrite").parquet(dir.getPath)
+    }
+    val docs = s.read.parquet(dir.getPath)
+    graft.rules.JsonIndexCatalog.clear()
+    graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
+      graft.operators.JsonIndex.cachedPostings(
+        docs, "doc", "o_orderkey", ordersJsonSchema,
+        cacheKey = Some(s"$d:orders.doc.routed")),
+      docs.select(col("o_orderkey")).distinct())
+    docs.createOrReplaceTempView(view)
+    docs
+  }
+
+  /** Documents with the positional text index registered for routing;
+    * shared by the three routed text gates. */
+  private def registeredTextDocs(s: org.apache.spark.sql.SparkSession,
+      d: String, view: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.rules.TextIndexCatalog.clear()
+    graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
+      graft.operators.HybridTable.positionalTextIndex(
+        docs, "text", "doc_id"),
+      docs.select(col("doc_id")).distinct())
+    docs.createOrReplaceTempView(view)
+    docs
+  }
+
   val all: Seq[Q] = Seq(
 
     // AND / OR / NOT (And/Or/NotFilterOperator)
@@ -176,12 +226,7 @@ object FilterQueries {
     // raw columns while Spark exercises the real json-path machinery.
     Q("q_filter_json_array",
       (s, d) => {
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        Tables.orders(s, d).withColumn("doc", j)
+        Tables.orders(s, d).withColumn("doc", ordersJsonDoc)
           .filter(
             (Scalars.jsonMatch(col("doc"), """"$.tags[*].p" = 'F'""") &&
               Scalars.jsonMatch(col("doc"), """"$.tags[*].n" > 3""")) ||
@@ -200,13 +245,7 @@ object FilterQueries {
     // hash-checked against DuckDB replaying the token predicates.
     Q("q_filter_text_routed",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        graft.rules.TextIndexCatalog.clear()
-        graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
-          graft.operators.HybridTable.positionalTextIndex(
-            docs, "text", "doc_id"),
-          docs.select(col("doc_id")).distinct())
-        docs.createOrReplaceTempView("documents_tm")
+registeredTextDocs(s, d, "documents_tm")
         s.sql("""SELECT doc_id FROM documents_tm
           WHERE text_match(text, '"merge join" OR qu?ry AND NOT slow')
           ORDER BY doc_id""")
@@ -228,13 +267,7 @@ object FilterQueries {
     // hash-checked; TextMatchRouteSpec asserts the LeftSemi shape.
     Q("q_filter_text_or_routed",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        graft.rules.TextIndexCatalog.clear()
-        graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
-          graft.operators.HybridTable.positionalTextIndex(
-            docs, "text", "doc_id"),
-          docs.select(col("doc_id")).distinct())
-        docs.createOrReplaceTempView("documents_tmo")
+registeredTextDocs(s, d, "documents_tmo")
         s.sql("""SELECT doc_id FROM documents_tmo
           WHERE text_match(text, 'qu?ry AND NOT slow')
              OR text_match(text, '"merge join"')
@@ -262,13 +295,7 @@ object FilterQueries {
     // collapse NULL text to false, matching "absent from the postings".
     Q("q_filter_text_not_routed",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        graft.rules.TextIndexCatalog.clear()
-        graft.rules.TextIndexCatalog.register(docs, "text", "doc_id",
-          graft.operators.HybridTable.positionalTextIndex(
-            docs, "text", "doc_id"),
-          docs.select(col("doc_id")).distinct())
-        docs.createOrReplaceTempView("documents_tmn")
+registeredTextDocs(s, d, "documents_tmn")
         s.sql("""SELECT doc_id FROM documents_tmn
           WHERE NOT (text_match(text, 'slow OR qu?ry')
                   OR text_match(text, '"merge join"'))
@@ -290,16 +317,9 @@ object FilterQueries {
     // identical, so the two formulations are cross-checked.
     Q("q_filter_json_indexed",
       (s, d) => {
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        val docs = Tables.orders(s, d).withColumn("doc", j)
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
+        val docs = Tables.orders(s, d).withColumn("doc", ordersJsonDoc)
         val idx = graft.operators.JsonIndex.cachedPostings(
-          docs, "doc", "o_orderkey", schema,
+          docs, "doc", "o_orderkey", ordersJsonSchema,
           cacheKey = Some(s"$d:orders.doc")) // ingest-time build, reused
         val f = graft.operators.JsonIndex.flags(idx, "o_orderkey", Seq(
           """"$.tags[*].p" = 'F'""",
@@ -351,27 +371,7 @@ object FilterQueries {
     // json gates, so the routed plan is hash-checked too.
     Q("q_filter_json_routed",
       (s, d) => {
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        val dir = new java.io.File(
-          s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
-        if (!dir.exists()) {
-          Tables.orders(s, d).withColumn("doc", j)
-            .write.mode("overwrite").parquet(dir.getPath)
-        }
-        val docs = s.read.parquet(dir.getPath)
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
-        graft.rules.JsonIndexCatalog.clear()
-        graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
-          graft.operators.JsonIndex.cachedPostings(
-            docs, "doc", "o_orderkey", schema,
-            cacheKey = Some(s"$d:orders.doc.routed")),
-          docs.select(col("o_orderkey")).distinct())
-        docs.createOrReplaceTempView("orders_jm")
+registeredJsonDocs(s, d, "orders_jm")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm
           WHERE json_match(doc, '"$.tags[*].p" = ''F''')
             AND json_match(doc, '"$.tags[*].n" > 3')
@@ -392,27 +392,7 @@ object FilterQueries {
     // the LEFT SEMI shape for this exact predicate tree.
     Q("q_filter_json_array_routed",
       (s, d) => {
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        val dir = new java.io.File(
-          s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
-        if (!dir.exists()) {
-          Tables.orders(s, d).withColumn("doc", j)
-            .write.mode("overwrite").parquet(dir.getPath)
-        }
-        val docs = s.read.parquet(dir.getPath)
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
-        graft.rules.JsonIndexCatalog.clear()
-        graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
-          graft.operators.JsonIndex.cachedPostings(
-            docs, "doc", "o_orderkey", schema,
-            cacheKey = Some(s"$d:orders.doc.routed")),
-          docs.select(col("o_orderkey")).distinct())
-        docs.createOrReplaceTempView("orders_jm_arr")
+registeredJsonDocs(s, d, "orders_jm_arr")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm_arr
           WHERE (json_match(doc, '"$.tags[*].p" = ''F''')
              AND json_match(doc, '"$.tags[*].n" > 3'))
@@ -435,27 +415,7 @@ object FilterQueries {
     // source columns.
     Q("q_filter_json_not_routed",
       (s, d) => {
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        val dir = new java.io.File(
-          s"/tmp/graft_jmdocs_${math.abs(d.hashCode)}")
-        if (!dir.exists()) {
-          Tables.orders(s, d).withColumn("doc", j)
-            .write.mode("overwrite").parquet(dir.getPath)
-        }
-        val docs = s.read.parquet(dir.getPath)
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
-        graft.rules.JsonIndexCatalog.clear()
-        graft.rules.JsonIndexCatalog.register(docs, "doc", "o_orderkey",
-          graft.operators.JsonIndex.cachedPostings(
-            docs, "doc", "o_orderkey", schema,
-            cacheKey = Some(s"$d:orders.doc.routed")),
-          docs.select(col("o_orderkey")).distinct())
-        docs.createOrReplaceTempView("orders_jm_not")
+registeredJsonDocs(s, d, "orders_jm_not")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm_not
           WHERE NOT (json_match(doc, '"$.tags[*].p" = ''F''')
                   OR json_match(doc, '"$.meta.pri" = ''1-URGENT'''))
@@ -473,20 +433,13 @@ object FilterQueries {
     // hash-checked too.
     Q("q_filter_json_disk",
       (s, d) => {
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
         val dir = new java.io.File(
           s"/tmp/graft_jsonidx_${math.abs(d.hashCode)}")
         if (!dir.exists()) {
           graft.operators.JsonIndex.materialize(
             graft.operators.JsonIndex.postings(
-              Tables.orders(s, d).withColumn("doc", j),
-              "doc", "o_orderkey", schema),
+              Tables.orders(s, d).withColumn("doc", ordersJsonDoc),
+              "doc", "o_orderkey", ordersJsonSchema),
             dir.getPath)
         }
         val idx = s.read.parquet(dir.getPath)
@@ -518,19 +471,12 @@ object FilterQueries {
         val root =
           s"target/graft_jsonidx_lc_${CorpusKey.of(d)}"
         JsonIndexLifecycle.deleteRoot(root)
-        val j = concat(
-          lit("""{"meta":{"pri":""""), col("o_orderpriority"),
-          lit(""""},"tags":[{"p":""""), col("o_orderstatus"),
-          lit("""","n":"""), (col("o_custkey") % 5).cast("string"),
-          lit("""},{"p":"X","n":2}]}"""))
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "meta struct<pri:string>, tags array<struct<p:string,n:double>>")
-        val docs = Tables.orders(s, d).withColumn("doc", j)
-        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", schema,
+        val docs = Tables.orders(s, d).withColumn("doc", ordersJsonDoc)
+        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", ordersJsonSchema,
           docs.filter(col("o_orderkey") % 2 === 0), "b_even")
-        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", schema,
+        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", ordersJsonSchema,
           docs.filter(col("o_orderkey") % 2 === 1), "b_odd")
-        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", schema,
+        JsonIndexLifecycle.append(s, root, "doc", "o_orderkey", ordersJsonSchema,
           docs.filter(col("o_orderkey") % 2 === 1), "b_odd") // replay
         JsonIndexLifecycle.delete(s, root, "doc",
           docs.filter(col("o_orderkey") % 10 === 0)

@@ -130,33 +130,35 @@ abstract class MarkerRoute[M <: Expression](implicit
         }
       // compile an AND/OR/NOT tree of markers into one id set (set
       // algebra over the postings); None when any leaf is unresolvable
-      // or not a marker — those trees keep per-row semantics. NOT over
-      // a composite pushes to the leaves in set space (De Morgan); a
-      // NOT leaf is the universe anti-join — sound because the marker
-      // leaves are two-valued (NULL input ≡ no posting ≡ false), so
-      // complement-of-matches is exactly the per-row negation.
-      def treeIds(e: Expression): Option[(DataFrame, Attribute)] = e match {
+      // or not a marker — those trees keep per-row semantics. NOT at
+      // ANY tree level is ONE complement of the inner set against the
+      // registered universe (threaded through the fold — never one
+      // universe scan per negated leaf, which a leaf-level De Morgan
+      // push would cost). Sound because the marker leaves are
+      // two-valued (NULL input ≡ no posting ≡ false) and every probe
+      // row's id lies in the universe, so complement-of-matches is
+      // exactly the per-row negation — in classical logic over
+      // two-valued leaves, which Kleene three-valued logic collapses
+      // to.
+      def treeIds(e: Expression)
+      : Option[(DataFrame, Attribute, DataFrame)] = e match {
         case m if isMarker(m) =>
           asMarker(m).flatMap(mm => resolve(mm).map { case (en, idAttr) =>
-            (en.compile(markerQuery(mm)).toDF(idAttr.name), idAttr)
+            (en.compile(markerQuery(mm)).toDF(idAttr.name), idAttr,
+              en.universe.toDF(idAttr.name))
           })
-        case Not(m) if isMarker(m) =>
-          asMarker(m).flatMap(mm => resolve(mm).map { case (en, idAttr) =>
-            (en.universe.toDF(idAttr.name).join(
-              en.compile(markerQuery(mm)).toDF(idAttr.name),
-              Seq(idAttr.name), "left_anti"), idAttr)
-          })
-        case Not(And(l, r)) => treeIds(Or(Not(l), Not(r)))
-        case Not(Or(l, r)) => treeIds(And(Not(l), Not(r)))
-        case Not(Not(x)) => treeIds(x)
+        case Not(x) =>
+          treeIds(x).map { case (dx, ax, u) =>
+            (u.join(dx, Seq(ax.name), "left_anti"), ax, u)
+          }
         case And(l, r) =>
-          for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
+          for { (dl, al, ul) <- treeIds(l); (dr, ar, _) <- treeIds(r)
                 if al.exprId == ar.exprId }
-            yield (dl.join(dr, Seq(al.name), "left_semi"), al)
+            yield (dl.join(dr, Seq(al.name), "left_semi"), al, ul)
         case Or(l, r) =>
-          for { (dl, al) <- treeIds(l); (dr, ar) <- treeIds(r)
+          for { (dl, al, ul) <- treeIds(l); (dr, ar, _) <- treeIds(r)
                 if al.exprId == ar.exprId }
-            yield (dl.unionByName(dr).distinct(), al)
+            yield (dl.unionByName(dr).distinct(), al, ul)
         case _ => None
       }
       val parts = conjuncts(cond).map { c =>
@@ -166,7 +168,7 @@ abstract class MarkerRoute[M <: Expression](implicit
       var base: LogicalPlan =
         if (rest.isEmpty) child else Filter(rest.reduce(And), child)
       parts.foreach {
-        case (_, Some((ids, idAttr))) =>
+        case (_, Some((ids, idAttr, _))) =>
           val idsPlan = ids.queryExecution.analyzed
           // fresh output attribute so the injected side can never
           // collide with the probe side's expr ids (self-lineage case)
