@@ -480,7 +480,18 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dups within a blocking key (e.g. source or length
-    * band): exact Jaccard over k-shingle sets for co-blocked pairs. */
+    * band): exact Jaccard over k-shingle sets for co-blocked pairs.
+    *
+    * Scale boundary: this is the EXACT-VERIFICATION tier — the caller's
+    * `blockCol` bounds the pair fan-out, so its CARDINALITY must grow
+    * with the corpus or the within-block self-join goes O(n²/blocks)
+    * (the cliff the 100× campaign measured on the fixed-granularity
+    * embedding tiers; a (source, length-band) key is fixed-cardinality
+    * and is an oracle-scale choice only). At corpus scale, generate
+    * candidates with [[minHashPairs]] — its (band, bandKey) keys are
+    * content hashes, so cardinality grows with distinct content — and
+    * reserve this operator for exact re-verification of those
+    * candidates. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: Column, k: Int, minJaccard: Double)
   : DataFrame = {
