@@ -1616,6 +1616,19 @@ class OperatorsSpec extends SparkSpec {
       .select("vec_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1))
     assert(h7.toMap == rows.toMap)
+    // the dim clamp: 70 dim-4 vectors want ceil(log2(ceil(70/4)))=5 bits
+    // at targetBucket=4, but the vectors only carry 4 elements — the
+    // width clamps to the dimension instead of erroring under ANSI
+    // element access, and the pairs still verify against brute force
+    val df70 = (0L until 70L).map(i => (i, v(i * 5.1))).toDF(
+      "vec_id", "embedding")
+    val clamped = Dedup.embeddingPairsAuto(df70, "embedding", "vec_id",
+      0.2, targetBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clampedFixed = Dedup.embeddingPairs(df70, "embedding", "vec_id",
+      4, 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clamped == clampedFixed,
+      "width past the dim must clamp to dim, not error or diverge")
     // auto dedup: survivors carry clusters, no surviving pair in one
     // cluster is τ-close, and every dropped row has a lower-id shield
     val tau = 0.999

@@ -188,6 +188,36 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(mix.collect().map(_.getLong(0)).toSet == Set(4L))
   }
 
+  test("NOT over a TWO-COLUMN marker tree routes as one complement") {
+    val s = spark
+    import s.implicits._
+    // the complement's universe is threaded through the set-algebra fold
+    // across candidates from two different index entries (title, body) —
+    // a doc is in the result iff NEITHER column matches
+    val two = Seq(
+      (10L, "alpha report", "nothing here"),
+      (11L, "other title", "alpha inside body"),
+      (12L, "plain", "plain"),
+      (13L, null.asInstanceOf[String], "no title text")) // null title
+      .toDF("id", "title", "body")
+    TextIndexCatalog.register(two, "title", "id",
+      HybridTable.positionalTextIndex(two, "title", "id"),
+      two.select(col("id")).distinct())
+    TextIndexCatalog.register(two, "body", "id",
+      HybridTable.positionalTextIndex(two, "body", "id"),
+      two.select(col("id")).distinct())
+    two.createOrReplaceTempView("tm_two_not")
+    val q = spark.sql(
+      """SELECT id FROM tm_two_not
+         WHERE NOT (text_match(title, 'alpha') OR text_match(body, 'alpha'))""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected routed complement:\n$plan")
+    assert(!plan.contains("array_contains"), s"per-row probe leaked:\n$plan")
+    // 10 matches via title, 11 via body; 12 and 13 (null title counts as
+    // an empty doc) fall in the complement
+    assert(q.collect().map(_.getLong(0)).toSet == Set(12L, 13L))
+  }
+
   test("bad grammar fails at resolution, not mid-execution") {
     docs.createOrReplaceTempView("tm_docs")
     val e = intercept[Exception](spark.sql(
