@@ -540,21 +540,39 @@ object Similarity {
     floor(d * 1e6 + 0.5).cast("long")
   }
 
-  /** Encode each vector as `array<tinyint>` of per-subspace nearest-
-    * centroid codes (ties → lowest code). One unrolled codegen
-    * projection — m·k dot products per row, no join, no shuffle. */
-  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
-               codesCol: String = "pq_codes"): DataFrame = {
-    val codes = array((0 until model.m).map { j =>
-      val x = slice(col(vecCol), j * model.sub + 1, model.sub)
-      val scored = (0 until model.k).map { c =>
-        struct(subDistU(x, model.centroids(j)(c).toSeq).as("d"),
-          lit(c).as("c"))
-      }
-      least(scored: _*).getField("c").cast("byte")
-    }: _*)
-    df.withColumn(codesCol, codes)
+  /** Coarse-cell distance scores for probe selection:
+    * `array<struct<d: long, c: int>>` over the nCells centroids, the
+    * struct sort order (distance, then cell id) the probe slice and the
+    * oracle's ROW_NUMBER share. One [[org.apache.spark.sql.graft.PqAdcTableExpr]]
+    * call at m=1 (sub = full dim) — the same compact kernel as the PQ
+    * tier, so whole-stage codegen survives any nCells. */
+  private def cellScores(x: Column, cells: Array[Array[Float]]): Column = {
+    val dists = element_at(org.apache.spark.sql.graft.PqExpressions
+      .pqAdcTable(x, Array(cells)), 1)
+    transform(dists, (d, i) => struct(d.as("d"), i.as("c")))
   }
+
+  /** Nearest coarse cell id (ties → lowest id):
+    * [[org.apache.spark.sql.graft.PqCodesExpr]] at m=1 — bit-identical to
+    * `least(struct(subDistU, c)…).getField("c")` without the k-unrolled
+    * expression tree. */
+  private def cellArgmin(x: Column, cells: Array[Array[Float]]): Column =
+    element_at(org.apache.spark.sql.graft.PqExpressions
+      .pqCodes(x, Array(cells)), 1)
+
+  /** Encode each vector as `array<tinyint>` of per-subspace nearest-
+    * centroid codes (ties → lowest code). ONE compact codegen call per
+    * row ([[org.apache.spark.sql.graft.PqCodesExpr]] — the previous
+    * m·k-unrolled Column tree generated ~12k-line Java that janino
+    * refused, silently de-optimizing to interpreted eval); no join, no
+    * shuffle. Values are bit-identical to the unrolled form. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+               codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(codesCol,
+      org.apache.spark.sql.graft.PqExpressions
+        .pqCodes(col(vecCol), model.centroids)
+        .cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ByteType, containsNull = false)))
 
   /** IVF-PQ top-k — the canonical billion-scale ANN composition (FAISS's
     * IVFPQ layout, public knowledge): coarse IVF cells prune the corpus
@@ -609,35 +627,18 @@ object Similarity {
     val nCells = cells.length
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe $nProbe not in [1, $nCells]")
-    val m = model.m
-    val k = model.k
-    val cellSeeds = cells.map(_.toSeq)
-    def cellScores = array(cellSeeds.zipWithIndex.map { case (cv, c) =>
-      struct(subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
-    }: _*)
-    val cellOf = {
-      val scored = cellSeeds.zipWithIndex.map { case (cv, c) =>
-        struct(subDistU(col(vecCol), cv).as("d"), lit(c).as("c"))
-      }
-      (if (scored.size == 1) scored.head else least(scored: _*))
-        .getField("c")
-    }
     val enc = pqEncode(corpus, vecCol, model)
-      .select(col(idCol).as("cand_id"), cellOf.as("cell"), col("pq_codes"))
-    val qtabs = array((0 until m).map { j =>
-      val x = slice(col(vecCol), j * model.sub + 1, model.sub)
-      array((0 until k).map(c =>
-        subDistU(x, model.centroids(j)(c).toSeq)): _*)
-    }: _*)
+      .select(col(idCol).as("cand_id"),
+        cellArgmin(col(vecCol), cells).as("cell"), col("pq_codes"))
+    val qtabs = org.apache.spark.sql.graft.PqExpressions
+      .pqAdcTable(col(vecCol), model.centroids)
     // nProbe nearest cells: struct sort orders by (distance, cell id) —
     // the same total order the oracle's ROW_NUMBER uses
     val q = queries.select(col(idCol).as("query_id"), qtabs.as("qtab"),
-      explode(transform(slice(array_sort(cellScores), 1, nProbe),
-        p => p.getField("c"))).as("cell"))
-    val adistU = (0 until m).map(j =>
-      element_at(element_at(col("qtab"), j + 1),
-        element_at(col("pq_codes"), j + 1).cast("int") + 1))
-      .reduce(_ + _)
+      explode(transform(slice(array_sort(cellScores(col(vecCol), cells)),
+        1, nProbe), p => p.getField("c"))).as("cell"))
+    val adistU = org.apache.spark.sql.graft.PqExpressions
+      .pqAdcSum(col("qtab"), col("pq_codes"))
     val scored = enc.join(broadcast(q), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), adistU.as("adist_u"))
@@ -663,20 +664,13 @@ object Similarity {
     * Same ADC plan either way; only the centroid constants differ. */
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, model: PqModel, topK: Int): DataFrame = {
-    val m = model.m
-    val k = model.k
     val enc = pqEncode(corpus, vecCol, model)
       .select(col(idCol).as("cand_id"), col("pq_codes"))
-    val qtabs = array((0 until m).map { j =>
-      val x = slice(col(vecCol), j * model.sub + 1, model.sub)
-      array((0 until k).map(c =>
-        subDistU(x, model.centroids(j)(c).toSeq)): _*)
-    }: _*)
+    val qtabs = org.apache.spark.sql.graft.PqExpressions
+      .pqAdcTable(col(vecCol), model.centroids)
     val q = queries.select(col(idCol).as("query_id"), qtabs.as("qtab"))
-    val adistU = (0 until m).map(j =>
-      element_at(element_at(col("qtab"), j + 1),
-        element_at(col("pq_codes"), j + 1).cast("int") + 1))
-      .reduce(_ + _)
+    val adistU = org.apache.spark.sql.graft.PqExpressions
+      .pqAdcSum(col("qtab"), col("pq_codes"))
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), adistU.as("adist_u"))
