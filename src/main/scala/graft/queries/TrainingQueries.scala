@@ -2053,7 +2053,13 @@ object TrainingQueries {
           "doc_id", "del_1")
         TextIndexLifecycle.compact(s, root, "text", "doc_id")
         TextIndexLifecycle.compact(s, root, "text", "doc_id") // replay
+        // the probe prunes to its term's tp partition (the layout's
+        // point — a known-term lookup reads 1/16th of the postings);
+        // tp is derived from the token, so the filter is a no-op on
+        // the result and the oracle is unchanged
         TextIndexLifecycle.load(s, root, "text", "doc_id")
+          .filter(col("tp") ===
+            graft.operators.TextMatch.tpOf("vector"))
           .filter(col("token") === "vector")
           .select(col("doc_id"), col("pos"))
           .orderBy(col("doc_id"), col("pos"))

@@ -138,10 +138,22 @@ object IncrementalIndex {
 
   /** Append `rows` (already in index schema) under `batchTag`. */
   def append(spark: SparkSession, s: Spec, rows: DataFrame,
-             batchTag: String): Unit = {
+             batchTag: String): Unit =
+    if (stage(spark, s, rows, batchTag).isDefined)
+      commitStaged(s, batchTag)
+
+  /** Phase 1 of [[append]]: write the batch under the tag-scoped staging
+    * dir and return its path, or None when the tag already committed.
+    * Callers that derive a SECOND index from the same rows (e.g. the
+    * text vocab sidecar from its postings) read the staged parquet back
+    * instead of recomputing the batch transform — one pass over the
+    * expensive job, two sinks — then [[commitStaged]] finishes the move.
+    * Nothing is visible to [[load]] until commit; an uncommitted staging
+    * dir is swept by the next append's replay or [[drop]]. */
+  def stage(spark: SparkSession, s: Spec, rows: DataFrame,
+            batchTag: String): Option[String] = {
     recover(s)
-    val marker = new java.io.File(s"${s.tagsDir}/$batchTag")
-    if (marker.isFile) return
+    if (new java.io.File(s"${s.tagsDir}/$batchTag").isFile) return None
     migrateLegacy(spark, s)
     val staging = s"${s.stagingRoot}/$batchTag"
     // co-locate each partition value's rows into one task before the
@@ -152,6 +164,13 @@ object IncrementalIndex {
     val staged = s.partitionCol.fold(rows)(c => rows.repartition(col(c)))
     val writer = staged.write.mode("overwrite")
     s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(staging)
+    Some(staging)
+  }
+
+  /** Phase 2 of [[append]]: move the staged parquet files into the live
+    * dir under deterministic `tag-` names (sweeping any partial prior
+    * move of the same tag first), write the marker, clear staging. */
+  def commitStaged(s: Spec, batchTag: String): Unit = {
     val liveRoot = Paths.get(s.liveDir)
     Files.createDirectories(liveRoot)
     val prefix = s"tag-$batchTag-"
@@ -162,7 +181,7 @@ object IncrementalIndex {
       .filter(p => p.getFileName.toString.startsWith(prefix))
       .foreach(Files.deleteIfExists(_))
     finally sweep.close()
-    val stagingPath = Paths.get(staging)
+    val stagingPath = Paths.get(s"${s.stagingRoot}/$batchTag")
     val st = Files.walk(stagingPath)
     try st.iterator().asScala.toSeq
       .filter(p => Files.isRegularFile(p) &&
@@ -175,6 +194,7 @@ object IncrementalIndex {
           StandardCopyOption.REPLACE_EXISTING)
       }
     finally st.close()
+    val marker = new java.io.File(s"${s.tagsDir}/$batchTag")
     marker.getParentFile.mkdirs()
     Files.write(marker.toPath, batchTag.getBytes("UTF-8"))
     rmTree(s.stagingRoot)
@@ -212,6 +232,38 @@ object IncrementalIndex {
   def hasTag(s: Spec, batchTag: String): Boolean =
     new java.io.File(s"${s.tagsDir}/$batchTag").isFile
 
+  /** All committed batch tags. */
+  def tags(s: Spec): Set[String] =
+    Option(new java.io.File(s.tagsDir).listFiles()).toSeq.flatten
+      .filter(_.isFile).map(_.getName).toSet
+
+  /** Commit a marker WITHOUT data — for derived indexes whose rows for
+    * `batchTag` landed under another tag (e.g. a combined lazy fold) or
+    * whose batch was empty. Idempotent like [[append]]'s marker. */
+  def markTag(s: Spec, batchTag: String): Unit = {
+    val marker = new java.io.File(s"${s.tagsDir}/$batchTag")
+    marker.getParentFile.mkdirs()
+    Files.write(marker.toPath, batchTag.getBytes("UTF-8"))
+  }
+
+  /** Live-dir parquet files belonging to `batchTag`'s append (any
+    * partition depth). Empty after a compaction has folded the tag's
+    * rows into plain `part-` files — callers using per-tag files must
+    * handle that window (see TextIndexLifecycle's vocab fold). */
+  def tagFiles(s: Spec, batchTag: String): Seq[String] = {
+    val root = Paths.get(s.liveDir)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val prefix = s"tag-$batchTag-"
+      val st = Files.walk(root)
+      try st.iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith(prefix))
+        .map(_.toString)
+      finally st.close()
+    }
+  }
+
   /** Does the index hold any DATA on disk? Requires at least one parquet
     * file, not just the directory: an empty-batch append creates the
     * live dir with zero files (its marker still commits, so replays
@@ -233,14 +285,36 @@ object IncrementalIndex {
     Seq(s.liveDir, s.tagsDir, s.tombsDir, s.tmpDir, s.retiringDir,
       s.stagingRoot).foreach(rmTree)
 
+  /** Any pending work for [[compact]] to fold? Tombstones, append dust
+    * (files carrying a `tag-` prefix — [[swapIn]]'s rewrite emits plain
+    * `part-` names, so a freshly compacted dir has none), or a legacy
+    * flat layout awaiting migration. */
+  private def hasPendingWork(s: Spec): Boolean = {
+    val tombs = new java.io.File(s.tombsDir)
+    if (tombs.isDirectory && tombs.listFiles().nonEmpty) return true
+    if (s.partitionCol.isDefined && topLevelParquet(s).nonEmpty) return true
+    val root = Paths.get(s.liveDir)
+    Files.isDirectory(root) && {
+      val st = Files.walk(root)
+      try st.iterator().asScala.exists(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("tag-"))
+      finally st.close()
+    }
+  }
+
   /** Fold tombstones in + merge append dust; crash-safe, replayable.
     * `transform` rewrites the folded rows on the way out (e.g. the text
     * vocab's cross-append duplicate fold) — it must preserve the index
-    * schema including `partitionCol`. */
+    * schema including `partitionCol`. A replay against an already-
+    * compacted dir (no tombstones, no `tag-` append files, no legacy
+    * layout) no-ops at file-listing cost instead of rewriting the whole
+    * index — the idempotence the protocol promises, at the price it
+    * implies. */
   def compact(spark: SparkSession, s: Spec, idCol: String,
               transform: DataFrame => DataFrame = identity): Unit = {
     recover(s)
     if (!exists(s)) return // marker-only (empty-batch) index: no data to fold
+    if (!hasPendingWork(s)) return // replay after success: nothing to fold
     swapIn(spark, s, transform(load(spark, s, idCol)))
   }
 

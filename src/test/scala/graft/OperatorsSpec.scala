@@ -2427,18 +2427,27 @@ class OperatorsSpec extends SparkSpec {
     assert(vocab2.get.filter(col("token") === "epsilon").count() == 1)
     assert(TextMatch.compile(idx2, universe, "doc_id",
       TextMatch.parse("epsilon~1"), vocab2).isEmpty)
-    // compact folds the vocab's cross-append duplicates physically
+    // compact does NOT pay for the dictionary (lazy maintenance): b2's
+    // fold happens at the next loadVocab — here via the exact-rebuild
+    // path, because the compaction already rewrote b2's tag files into
+    // the base. Retired epsilon stays (over-claiming from the earlier
+    // fold), zeta appears from the rebuild.
     TextIndexLifecycle.append(s, root, "text", "doc_id",
       Seq((9L, "alpha zeta")).toDF("doc_id", "text"), "b2")
+    TextIndexLifecycle.compact(s, root, "text", "doc_id")
+    val v3 = TextIndexLifecycle.loadVocab(s, root, "text")
+    assert(v3.get.collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    assert(TextMatch.compile(
+      TextIndexLifecycle.load(s, root, "text", "doc_id"), universe,
+      "doc_id", TextMatch.parse("zet*"), v3)
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    // a second compact merges the fold dust physically: one row per
+    // distinct (token, tp)
     TextIndexLifecycle.compact(s, root, "text", "doc_id")
     val vocabDir = new java.io.File(s"$root/text_text_vocab")
     val physRows = s.read.parquet(vocabDir.getPath).count()
     assert(physRows == 6, s"expected 6 deduped vocab rows, got $physRows")
-    assert(TextMatch.compile(
-      TextIndexLifecycle.load(s, root, "text", "doc_id"), universe,
-      "doc_id", TextMatch.parse("zet*"),
-      TextIndexLifecycle.loadVocab(s, root, "text"))
-      .collect().map(_.getLong(0)).toSet == Set(9L))
     TextIndexLifecycle.deleteRoot(root)
   }
 
@@ -2524,7 +2533,9 @@ class OperatorsSpec extends SparkSpec {
     val root = s"/tmp/graft_textidx_vrec_${System.nanoTime()}"
     TextIndexLifecycle.append(s, root, "text", "doc_id",
       Seq((1L, "alpha beta")).toDF("doc_id", "text"), "b1")
-    // crash between the swap's two renames: live gone, tmp staged
+    // materialize the lazy dictionary, then simulate a compaction crash
+    // between the swap's two renames: live gone, tmp staged
+    assert(TextIndexLifecycle.loadVocab(s, root, "text").isDefined)
     Files.move(Paths.get(s"$root/text_text_vocab"),
       Paths.get(s"$root/text_text_vocab_compact_tmp"))
     val vocab = TextIndexLifecycle.loadVocab(s, root, "text")
