@@ -310,6 +310,35 @@ registeredTextDocs(s, d, "documents_tmn")
                     i -> tk[i] = 'merge' AND tk[i+1] = 'join')) > 0)
         ORDER BY doc_id""")),
 
+    // Marker OR'd with an ORDINARY predicate, routed (the reference's
+    // OrFilterOperator unions a bitmap child with a scan child —
+    // pinot-core/…/operator/filter/OrFilterOperator.java, heterogeneous
+    // children ordered by FilterOperatorUtils.java:183): the posting set
+    // of the marker leg unions with ids(σ residual over the id-projected
+    // scan) — the residual stays a pushable scan predicate on its own
+    // branch — and ONE LEFT SEMI probes the combined id set. At 100 TB
+    // the text is read only by the postings build, never by the OR.
+    Q("q_filter_text_or_mixed",
+      (s, d) => {
+        registeredTextDocs(s, d, "documents_tmm")
+        val q = s.sql("""SELECT doc_id FROM documents_tmm
+          WHERE text_match(text, '"merge join"') OR n_chars < 120
+          ORDER BY doc_id""")
+        // plan-asserted: routed semi-join, no per-row token probe
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("LeftSemi"),
+          s"mixed OR did not route:\n$plan")
+        q
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, n_chars,
+            list_filter(string_split_regex(lower(text), '\s+'),
+            t -> length(t) > 0) AS tk FROM documents) t
+        WHERE len(list_filter(range(1, len(tk)),
+                i -> tk[i] = 'merge' AND tk[i+1] = 'join')) > 0
+           OR n_chars < 120
+        ORDER BY doc_id""")),
+
     // Same JSON_MATCH compound predicate as q_filter_json_array, routed
     // through the JSON index analog (json posting table from ONE from_json
     // parse, one-pass predicate flags) instead of per-row jsonpath — the

@@ -140,7 +140,25 @@ abstract class MarkerRoute[M <: Expression](implicit
       // exactly the per-row negation — in classical logic over
       // two-valued leaves, which Kleene three-valued logic collapses
       // to.
-      def treeIds(e: Expression)
+      //
+      // Marker-OR-ordinary disjunctions (the reference's
+      // OrFilterOperator unioning a bitmap child with a scan child,
+      // pinot-core/…/operator/filter/OrFilterOperator.java): an OR leg
+      // with NO markers at all contributes ids(σ residual over the
+      // probe child) — the residual filter stays a pushable scan
+      // predicate on its own branch, and the union joins the posting
+      // set in id space. Positive positions only: under a routed NOT
+      // the complement of a three-valued residual would admit
+      // NULL-valued rows that per-row NOT(unknown) drops, so mixed
+      // trees under NOT fall back per-row (allowResidual=false).
+      def residualIds(e: Expression, idAttr: Attribute)
+      : Option[DataFrame] =
+        if (e.exists(isMarker) || !e.deterministic ||
+            e.exists(_.isInstanceOf[PlanExpression[_]])) None
+        else Some(org.apache.spark.sql.graft.PlanBridge.ofRows(
+          org.apache.spark.sql.SparkSession.active,
+          Project(Seq(idAttr), Filter(e, child))).distinct())
+      def treeIds(e: Expression, allowResidual: Boolean = true)
       : Option[(DataFrame, Attribute, DataFrame)] = e match {
         case m if isMarker(m) =>
           asMarker(m).flatMap(mm => resolve(mm).map { case (en, idAttr) =>
@@ -148,17 +166,27 @@ abstract class MarkerRoute[M <: Expression](implicit
               en.universe.toDF(idAttr.name))
           })
         case Not(x) =>
-          treeIds(x).map { case (dx, ax, u) =>
+          treeIds(x, allowResidual = false).map { case (dx, ax, u) =>
             (u.join(dx, Seq(ax.name), "left_anti"), ax, u)
           }
         case And(l, r) =>
-          for { (dl, al, ul) <- treeIds(l); (dr, ar, _) <- treeIds(r)
+          for { (dl, al, ul) <- treeIds(l, allowResidual)
+                (dr, ar, _) <- treeIds(r, allowResidual)
                 if al.exprId == ar.exprId }
             yield (dl.join(dr, Seq(al.name), "left_semi"), al, ul)
         case Or(l, r) =>
-          for { (dl, al, ul) <- treeIds(l); (dr, ar, _) <- treeIds(r)
-                if al.exprId == ar.exprId }
-            yield (dl.unionByName(dr).distinct(), al, ul)
+          (treeIds(l, allowResidual), treeIds(r, allowResidual)) match {
+            case (Some((dl, al, ul)), Some((dr, ar, _)))
+                if al.exprId == ar.exprId =>
+              Some((dl.unionByName(dr).distinct(), al, ul))
+            case (Some((dl, al, ul)), None) if allowResidual =>
+              residualIds(r, al).map(dr =>
+                (dl.unionByName(dr).distinct(), al, ul))
+            case (None, Some((dr, ar, ur))) if allowResidual =>
+              residualIds(l, ar).map(dl =>
+                (dl.unionByName(dr).distinct(), ar, ur))
+            case _ => None
+          }
         case _ => None
       }
       val parts = conjuncts(cond).map { c =>

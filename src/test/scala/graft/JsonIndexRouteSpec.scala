@@ -129,12 +129,21 @@ class JsonIndexRouteSpec extends SparkSpec with BeforeAndAfterEach {
       graft.functions.Scalars.jsonMatch(col("doc"), """"$.pri" = 'HIGH'"""))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(perRow == Set(1L, 2L, 3L, 5L))
-    // a marker OR'd with a NON-marker predicate still lowers per-row
+    // a marker OR'd with a NON-marker predicate routes too (round 13 —
+    // the reference's OrFilterOperator unions a bitmap child with a
+    // scan child): ids(marker) ∪ ids(σ residual), one semi-join
     val mixed = spark.sql(
       """SELECT id FROM jm_docs
          WHERE json_match(doc, '"$.pri" = ''HIGH''') OR id = 4""")
-    assert(!mixed.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(mixed.queryExecution.executedPlan.toString.contains("LeftSemi"))
     assert(mixed.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    // …but NOT over a mixed tree falls back per-row: the complement of
+    // a three-valued residual would wrongly admit NULL-valued rows
+    val notMixed = spark.sql(
+      """SELECT id FROM jm_docs
+         WHERE NOT (json_match(doc, '"$.pri" = ''HIGH''') OR id = 4)""")
+    assert(!notMixed.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    assert(notMixed.collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
   test("plan-level NOT routes as a universe complement; missing path and " +
