@@ -926,7 +926,13 @@ object Dedup {
     * dropped document can still shield its own near-dups, so survivor
     * sets are stable under reordering). Returns survivors with their
     * `cluster` column; the only shuffle is the within-cluster equi-join,
-    * whose fan-out is bounded per cluster. */
+    * whose fan-out is bounded per cluster.
+    *
+    * '''Scale foot-gun''': `k` is FIXED, so the within-cluster pair join
+    * is O(n²/k) — measured 954 s at a 100× corpus with k=8 where the
+    * corpus-adaptive [[semanticDedupAuto]] (k ≈ ceil(n/64), two-level
+    * assignment) took 2.3 s. Reach for `semanticDedupAuto` unless you
+    * are deliberately pinning k for replayability at a known small n. */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
                     k: Int, minCos: Double): DataFrame =
     pruneWithinClusters(df, semanticAssign(df, vecCol, idCol, k),
@@ -1130,9 +1136,14 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dups, LSH-blocked by sign-bucket: pairs in the
-    * same bucket with cosine ≥ threshold. `nBits` is a FIXED width —
-    * size it to the corpus, or use [[embeddingPairsAuto]], which holds
-    * the expected bucket population constant as n grows. */
+    * same bucket with cosine ≥ threshold.
+    *
+    * '''Scale foot-gun''': `nBits` is a FIXED width, so the bucketed
+    * pair join is O(n²/2^nBits) — measured 227 s at a 100× corpus with
+    * 4 bits where the corpus-adaptive [[embeddingPairsAuto]] (width
+    * holds the expected bucket population ~64 as n grows) took 1.1 s.
+    * Reach for `embeddingPairsAuto` unless you are deliberately pinning
+    * the width for replayability at a known small n. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      nBits: Int, minCos: Double): DataFrame = {
     // norms precomputed per vector (cached) — the per-pair work is one dot
@@ -1193,9 +1204,12 @@ object Dedup {
   : DataFrame = {
     val dim = df.select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(30) // empty frame: unused
+    val maxBits = math.max(1, math.min(30, dim))
+    // a sub-4-dim corpus saturates at dim bits rather than tripping
+    // adaptiveSignBits' maxBits >= minBits require
     embeddingPairs(df, vecCol, idCol,
       adaptiveSignBits(df.count(), targetBucket,
-        maxBits = math.max(1, math.min(30, dim))), minCos)
+        minBits = math.min(4, maxBits), maxBits = maxBits), minCos)
   }
 
   // ----- Bloom-filter cross-batch dedup (the Dolma "BFF" pattern) -----

@@ -245,7 +245,7 @@ object FilterQueries {
     // hash-checked against DuckDB replaying the token predicates.
     Q("q_filter_text_routed",
       (s, d) => {
-registeredTextDocs(s, d, "documents_tm")
+        registeredTextDocs(s, d, "documents_tm")
         s.sql("""SELECT doc_id FROM documents_tm
           WHERE text_match(text, '"merge join" OR qu?ry AND NOT slow')
           ORDER BY doc_id""")
@@ -267,7 +267,7 @@ registeredTextDocs(s, d, "documents_tm")
     // hash-checked; TextMatchRouteSpec asserts the LeftSemi shape.
     Q("q_filter_text_or_routed",
       (s, d) => {
-registeredTextDocs(s, d, "documents_tmo")
+        registeredTextDocs(s, d, "documents_tmo")
         s.sql("""SELECT doc_id FROM documents_tmo
           WHERE text_match(text, 'qu?ry AND NOT slow')
              OR text_match(text, '"merge join"')
@@ -295,7 +295,7 @@ registeredTextDocs(s, d, "documents_tmo")
     // collapse NULL text to false, matching "absent from the postings".
     Q("q_filter_text_not_routed",
       (s, d) => {
-registeredTextDocs(s, d, "documents_tmn")
+        registeredTextDocs(s, d, "documents_tmn")
         s.sql("""SELECT doc_id FROM documents_tmn
           WHERE NOT (text_match(text, 'slow OR qu?ry')
                   OR text_match(text, '"merge join"'))
@@ -400,7 +400,7 @@ registeredTextDocs(s, d, "documents_tmn")
     // json gates, so the routed plan is hash-checked too.
     Q("q_filter_json_routed",
       (s, d) => {
-registeredJsonDocs(s, d, "orders_jm")
+        registeredJsonDocs(s, d, "orders_jm")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm
           WHERE json_match(doc, '"$.tags[*].p" = ''F''')
             AND json_match(doc, '"$.tags[*].n" > 3')
@@ -421,7 +421,7 @@ registeredJsonDocs(s, d, "orders_jm")
     // the LEFT SEMI shape for this exact predicate tree.
     Q("q_filter_json_array_routed",
       (s, d) => {
-registeredJsonDocs(s, d, "orders_jm_arr")
+        registeredJsonDocs(s, d, "orders_jm_arr")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm_arr
           WHERE (json_match(doc, '"$.tags[*].p" = ''F''')
              AND json_match(doc, '"$.tags[*].n" > 3'))
@@ -444,7 +444,7 @@ registeredJsonDocs(s, d, "orders_jm_arr")
     // source columns.
     Q("q_filter_json_not_routed",
       (s, d) => {
-registeredJsonDocs(s, d, "orders_jm_not")
+        registeredJsonDocs(s, d, "orders_jm_not")
         s.sql("""SELECT o_orderpriority, COUNT(*) AS n FROM orders_jm_not
           WHERE NOT (json_match(doc, '"$.tags[*].p" = ''F''')
                   OR json_match(doc, '"$.meta.pri" = ''1-URGENT'''))

@@ -1160,7 +1160,9 @@ object TrainingQueries {
 
     // embedding near-dup pairs with the sign-bucket width SCALED to the
     // corpus (Dedup.adaptiveSignBits: smallest width giving
-    // ceil(n/64) buckets, floor 4) — the 100-TB shape: expected bucket
+    // ceil(n/64) buckets, floor 4, both clamped to the embedding dim —
+    // the oracle's prm CTE replays the clamp too) — the 100-TB shape:
+    // expected bucket
     // population stays ~64 as n grows, so the pair join is O(n·64)
     // where the fixed-width twin above goes O(n²/2^bits) (measured
     // ratio 613 at the 100× corpus vs ~linear here). The oracle
@@ -1172,9 +1174,11 @@ object TrainingQueries {
     Q("q_dedup_embed_auto",
       (s, d) => Dedup.embeddingPairsAuto(Tables.embeddings(s, d),
         "embedding", "vec_id", 0.2),
-      Some(s"""WITH prm AS (SELECT LEAST(30, GREATEST(4,
+      Some(s"""WITH prm AS (SELECT LEAST(mb, GREATEST(LEAST(4, mb),
             CASE WHEN g <= 1 THEN 0 ELSE length(bin(g - 1)) END)) AS b
-          FROM (SELECT (COUNT(*) + 63) // 64 AS g FROM embeddings)),
+          FROM (SELECT (COUNT(*) + 63) // 64 AS g,
+            GREATEST(1, LEAST(30, ANY_VALUE(len(embedding)))) AS mb
+            FROM embeddings)),
         e AS (SELECT vec_id, embedding,
           CAST(list_sum(list_transform(range(1, (SELECT b FROM prm) + 1),
             i -> CASE WHEN embedding[i] >= 0

@@ -165,6 +165,16 @@ abstract class MarkerRoute[M <: Expression](implicit
             (en.compile(markerQuery(mm)).toDF(idAttr.name), idAttr,
               en.universe.toDF(idAttr.name))
           })
+        // FRESHNESS CONTRACT of the complement: the postings must cover
+        // every id in the registered universe. Under positive routing a
+        // stale persisted index merely misses late rows (false
+        // negatives); under NOT, an id the index never saw falls into
+        // the complement even when the row matches the negated term —
+        // staleness becomes false POSITIVES. Candidates therefore must
+        // register universe and postings from the same snapshot (the
+        // catalogs here derive both from the registered frame; a
+        // persisted-index registration must pair the on-disk postings
+        // with the ids they were built over, not a live re-read).
         case Not(x) =>
           treeIds(x, allowResidual = false).map { case (dx, ax, u) =>
             (u.join(dx, Seq(ax.name), "left_anti"), ax, u)

@@ -1629,6 +1629,18 @@ class OperatorsSpec extends SparkSpec {
       4, 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(clamped == clampedFixed,
       "width past the dim must clamp to dim, not error or diverge")
+    // sub-4-dim corpus (dim < the default minBits floor): minBits
+    // clamps to the dimension too, so the width saturates at dim bits
+    // instead of tripping adaptiveSignBits' maxBits >= minBits require
+    val df2d = (0L until 50L).map(i =>
+      (i, Array((i % 7).toFloat + 1f, (i % 3).toFloat - 1f)))
+      .toDF("vec_id", "embedding")
+    val sub = Dedup.embeddingPairsAuto(df2d, "embedding", "vec_id",
+      0.2, targetBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val subFixed = Dedup.embeddingPairs(df2d, "embedding", "vec_id",
+      2, 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sub == subFixed, "sub-4-dim corpus must clamp minBits to dim")
     // auto dedup: survivors carry clusters, no surviving pair in one
     // cluster is τ-close, and every dropped row has a lower-id shield
     val tau = 0.999
