@@ -895,28 +895,23 @@ object Dedup {
     * prune) keep exactly the shape the k-means version has.
     *
     * Scale shape: centroids collect to the driver (k rows, O(k) driver
-    * memory) and ship as constants inside ONE codegen projection — the
-    * per-row argmax over k cosines is unrolled expression code, so
-    * assignment is map-only: no join, no shuffle. Cosines round to 6dp so
-    * the argmax order is engine-independent; ties break to the lowest
-    * centroid index. */
+    * memory) and ride into ONE compact codegen kernel call
+    * ([[org.apache.spark.sql.graft.CosArgmaxExpr]] — the codebook is a
+    * reference object, the k·dim loop is pre-compiled bytecode; the
+    * previous k-unrolled greatest(struct…) tree was codegen-hostile at
+    * the √k the adaptive path reaches), so assignment is map-only: no
+    * join, no shuffle. Cosines round to 6dp so the argmax order is
+    * engine-independent; ties break to the lowest centroid index —
+    * values bit-identical to the unrolled form. */
   def semanticAssign(df: DataFrame, vecCol: String, idCol: String, k: Int)
   : DataFrame = {
     require(k >= 1, s"cluster count $k must be >= 1")
-    val cents: Array[Seq[Float]] = df.select(col(idCol), col(vecCol))
+    val cents: Array[Array[Float]] = df.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k).collect()
-      .map(_.getSeq[Float](1))
-    val nrm = Vectors.norm2(col(vecCol))
-    val scored = cents.toSeq.zipWithIndex.map { case (cv, i) =>
-      val cvLit = typedLit(cv)
-      struct(
-        round(Vectors.dot(col(vecCol), cvLit) /
-          (nrm * Vectors.norm2(cvLit)), 6).as("cos"),
-        lit(-i).as("neg"))
-    }
-    val best =
-      if (scored.size == 1) scored.head else greatest(scored: _*)
-    df.withColumn("cluster", (-best.getField("neg")).cast("int"))
+      .map(_.getSeq[Float](1).toArray)
+    df.withColumn("cluster",
+      org.apache.spark.sql.graft.PqExpressions
+        .cosArgmax(col(vecCol), cents))
   }
 
   /** SemDeDup-style semantic dedup: assign clusters ([[semanticAssign]]),

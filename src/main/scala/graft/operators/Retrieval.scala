@@ -211,17 +211,13 @@ object Retrieval {
       cellArgmin(col(vecCol), cells).as("cell"))
   }
 
-  /** Argmin cell id over the scaled-long distance — codegen projection,
-    * ties to the lowest cell (the ANN tiers' total order). */
+  /** Argmin cell id over the scaled-long distance — ONE compact codegen
+    * kernel call ([[Similarity.cellArgmin]]; an unrolled least(struct…)
+    * tree here breaks janino at large nCells), ties to the lowest cell
+    * (the ANN tiers' total order). */
   private def cellArgmin(v: org.apache.spark.sql.Column,
                          cells: Array[Array[Float]])
-  : org.apache.spark.sql.Column = {
-    val scored = cells.map(_.toSeq).zipWithIndex.map { case (cv, c) =>
-      struct(Similarity.subDistU(v, cv).as("d"), lit(c).as("c"))
-    }
-    (if (scored.length == 1) scored.head
-     else least(scored.toIndexedSeq: _*)).getField("c")
-  }
+  : org.apache.spark.sql.Column = Similarity.cellArgmin(v, cells)
 
   /** IVF-pruned dense tier shared by the batch hybrids: each query
     * probes its nProbe nearest cells (struct sort = (distance, cell id),
@@ -232,13 +228,12 @@ object Retrieval {
                              cells: Array[Array[Float]], nProbe: Int,
                              queryIdCol: String, qvecCol: String,
                              nPerRanker: Int): DataFrame = {
-    val cellSeeds = cells.map(_.toSeq)
-    def cellScores(v: org.apache.spark.sql.Column) =
-      array(cellSeeds.zipWithIndex.map { case (cv, c) =>
-        struct(Similarity.subDistU(v, cv).as("d"), lit(c).as("c"))
-      }: _*)
+    // probe choice = struct sort over the compact kernel's distance
+    // vector ([[Similarity.cellScores]]) — same (distance, cell) total
+    // order the oracles replay, no k-unrolled expression tree
     val qprobe = queries.select(col(queryIdCol), col(qvecCol),
-      explode(transform(slice(array_sort(cellScores(col(qvecCol))), 1,
+      explode(transform(slice(array_sort(
+        Similarity.cellScores(col(qvecCol), cells)), 1,
         nProbe), p => p.getField("c"))).as("cell"))
     val denseW = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos").desc, col(idCol))

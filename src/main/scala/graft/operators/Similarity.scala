@@ -546,7 +546,7 @@ object Similarity {
     * oracle's ROW_NUMBER share. One [[org.apache.spark.sql.graft.PqAdcTableExpr]]
     * call at m=1 (sub = full dim) — the same compact kernel as the PQ
     * tier, so whole-stage codegen survives any nCells. */
-  private def cellScores(x: Column, cells: Array[Array[Float]]): Column = {
+  private[graft] def cellScores(x: Column, cells: Array[Array[Float]]): Column = {
     val dists = element_at(org.apache.spark.sql.graft.PqExpressions
       .pqAdcTable(x, Array(cells)), 1)
     transform(dists, (d, i) => struct(d.as("d"), i.as("c")))
@@ -556,7 +556,7 @@ object Similarity {
     * [[org.apache.spark.sql.graft.PqCodesExpr]] at m=1 — bit-identical to
     * `least(struct(subDistU, c)…).getField("c")` without the k-unrolled
     * expression tree. */
-  private def cellArgmin(x: Column, cells: Array[Array[Float]]): Column =
+  private[graft] def cellArgmin(x: Column, cells: Array[Array[Float]]): Column =
     element_at(org.apache.spark.sql.graft.PqExpressions
       .pqCodes(x, Array(cells)), 1)
 

@@ -141,6 +141,43 @@ object PqKernels {
     new GenericArrayData(rows)
   }
 
+  /** Rounded-cosine argmax over k centroids (ties → lowest index) — the
+    * SemDeDup assignment kernel. Bit-exact with the Column formulation
+    * `greatest(struct(round(dot(x,c)/(|x|·|c|), 6), -i)…)`: dots are
+    * left-to-right float→double, |x| is the FULL-vector norm, each
+    * centroid dot runs over min(sub, |x|) elements, and the rounded
+    * cosine maps to a scaled long via [[quantU]] (monotone and
+    * injective on the 6-dp grid, so comparisons agree exactly). NaN
+    * cosines (zero vectors) map to Long.MaxValue, matching Spark's
+    * NaN-greatest double ordering. */
+  def cosArgmax(vec: ArrayData, k: Int, sub: Int, cb: Array[Float],
+                cnorms: Array[Double]): Int = {
+    val n = vec.numElements()
+    var xx = 0.0
+    var i = 0
+    while (i < n) { val v = vec.getFloat(i).toDouble; xx += v * v; i += 1 }
+    val nx = Math.sqrt(xx)
+    val lim = math.max(0, math.min(sub, n))
+    var bestU = Long.MinValue
+    var best = 0
+    var c = 0
+    while (c < k) {
+      var xc = 0.0
+      var p = c * sub
+      i = 0
+      while (i < lim) {
+        xc += vec.getFloat(i).toDouble * cb(p).toDouble
+        i += 1; p += 1
+      }
+      val cos = xc / (nx * cnorms(c))
+      val u =
+        if (java.lang.Double.isNaN(cos)) Long.MaxValue else quantU(cos)
+      if (u > bestU) { bestU = u; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** ADC accumulation: Σ_j qtab[j][codes[j]] — exact long sum. */
   def pqAdcSum(qtab: ArrayData, codes: ArrayData, bytes: Boolean): Long = {
     val m = codes.numElements()
@@ -212,6 +249,34 @@ case class PqAdcTableExpr(child: Expression, m: Int, k: Int, sub: Int,
     copy(child = nc)
 }
 
+/** Rounded-cosine argmax as ONE compact codegen call: array<float>
+  * vector → int centroid index (the SemDeDup flat-assignment kernel;
+  * the k-unrolled greatest(struct…) tree it replaces is codegen-hostile
+  * at the √k the adaptive path reaches on large corpora). */
+case class CosArgmaxExpr(child: Expression, k: Int, sub: Int,
+                         codebook: Array[Float])
+  extends UnaryExpression with ExpectsInputTypes {
+  require(codebook.length == k * sub,
+    s"codebook length ${codebook.length} != k*sub = ${k * sub}")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cos_argmax"
+  @transient private lazy val cnorms: Array[Double] =
+    PqKernels.selfDots(codebook, sub).map(Math.sqrt)
+  override protected def nullSafeEval(a: Any): Any =
+    PqKernels.cosArgmax(a.asInstanceOf[ArrayData], k, sub, codebook, cnorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode = {
+    val cbRef = ctx.addReferenceObj("cosCodebook", codebook, "float[]")
+    val cnRef = ctx.addReferenceObj("cosNorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = " +
+      s"org.apache.spark.sql.graft.PqKernels.cosArgmax($c, $k, $sub, " +
+      s"$cbRef, $cnRef);")
+  }
+  override protected def withNewChildInternal(nc: Expression): CosArgmaxExpr =
+    copy(child = nc)
+}
+
 /** ADC distance: Σ_j qtab[j][codes[j]] as one exact long sum. Codes may
   * be array<tinyint> (the persisted m-byte form) or array<int>. */
 case class PqAdcSumExpr(left: Expression, right: Expression)
@@ -274,4 +339,12 @@ object PqExpressions {
   def pqAdcSum(qtab: Column, codes: Column): Column =
     ExpressionUtils.column(PqAdcSumExpr(
       ExpressionUtils.expression(qtab), ExpressionUtils.expression(codes)))
+
+  def cosArgmax(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val k = centroids.length
+    val sub = centroids.head.length
+    ExpressionUtils.column(CosArgmaxExpr(
+      ExpressionUtils.expression(vec), k, sub,
+      centroids.flatten))
+  }
 }
