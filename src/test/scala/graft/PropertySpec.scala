@@ -274,6 +274,91 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PQ / cosine kernels are bit-identical to the unrolled Column " +
+    "formulations they replaced, including ties and degenerate vectors") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graft.PqExpressions
+    val m = 3; val sub = 4; val k = 5; val dim = m * sub
+    val coord = Gen.chooseNum(-2.0f, 2.0f)
+    val vecGen = Gen.listOfN(dim, coord).map(_.toArray)
+    val base = (1L to 48L).map(i => (i, sample(vecGen, i * 31)))
+    // adversarial rows: a zero vector (NaN cosines), exact centroid
+    // copies (force distance-0 / cosine-1 ties), a short vector
+    // (slice-prefix semantics)
+    val centroids: Array[Array[Array[Float]]] = Array.tabulate(m, k) {
+      (j, c) => base((j * k + c) % base.length)._2
+        .slice(j * sub, j * sub + sub)
+    }
+    // duplicate centroid → guaranteed argmin tie inside subspace 0
+    centroids(0)(3) = centroids(0)(1).clone()
+    val rows = base ++ Seq(
+      (100L, Array.fill(dim)(0f)),
+      (101L, base.head._2.clone()),
+      (102L, base.head._2.take(sub + 1)))
+    val df = rows.toDF("id", "vec")
+    val model = Similarity.PqModel(m, k, centroids)
+
+    // reference formulations = the pre-kernel unrolled Column trees
+    def refCodes = array((0 until m).map { j =>
+      val x = slice(col("vec"), j * sub + 1, sub)
+      least((0 until k).map(c =>
+        struct(Similarity.subDistU(x, centroids(j)(c).toSeq).as("d"),
+          lit(c).as("c"))): _*).getField("c").cast("byte")
+    }: _*)
+    def refTab = array((0 until m).map { j =>
+      val x = slice(col("vec"), j * sub + 1, sub)
+      array((0 until k).map(c =>
+        Similarity.subDistU(x, centroids(j)(c).toSeq)): _*)
+    }: _*)
+    val got = df.select(col("id"),
+      PqExpressions.pqCodes(col("vec"), centroids).as("kc"),
+      refCodes.as("rc"),
+      PqExpressions.pqAdcTable(col("vec"), centroids).as("kt"),
+      refTab.as("rt")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Byte](2).map(_.toInt),
+        s"codes diverge for id ${r.getLong(0)}")
+      assert(r.getSeq[Seq[Long]](3) == r.getSeq[Seq[Long]](4),
+        s"ADC table diverges for id ${r.getLong(0)}")
+    }
+    // ADC sum over kernel codes == manual lookup of the reference table
+    val sums = df.select(col("id"),
+      PqExpressions.pqAdcSum(refTab,
+        PqExpressions.pqCodes(col("vec"), centroids)).as("ks"),
+      (0 until m).map(j =>
+        element_at(element_at(refTab, j + 1),
+          element_at(PqExpressions.pqCodes(col("vec"), centroids),
+            j + 1) + 1)).reduce(_ + _).as("rs")).collect()
+    sums.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"ADC sum diverges for id ${r.getLong(0)}"))
+
+    // cosArgmax vs greatest(struct(round(cos,6), -i)) — full-dim
+    // centroids, duplicated to force a cosine tie
+    val cents2: Array[Array[Float]] =
+      Array.tabulate(6)(c => base(c * 5 % base.length)._2)
+    cents2(4) = cents2(2).clone()
+    val nrm = graft.functions.Vectors.norm2(col("vec"))
+    val refArg = {
+      val scored = cents2.toSeq.zipWithIndex.map { case (cv, i) =>
+        struct(round(graft.functions.Vectors.dot(col("vec"),
+            typedLit(cv.toSeq)) /
+          (nrm * graft.functions.Vectors.norm2(typedLit(cv.toSeq))), 6)
+          .as("cos"), lit(-i).as("neg"))
+      }
+      (-greatest(scored: _*).getField("neg")).cast("int")
+    }
+    // the zero vector stays out of the Column-parity set: ANSI double
+    // division throws on 0/0 in the unrolled form (the kernel's NaN
+    // path matches Spark's NaN-greatest ordering instead of throwing)
+    val args = df.filter(col("id") =!= 100L).select(col("id"),
+      PqExpressions.cosArgmax(col("vec"), cents2).as("ka"),
+      refArg.as("ra")).collect()
+    args.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"cosArgmax diverges for id ${r.getLong(0)}"))
+  }
+
   test("decodeAvi: pathological LIST nesting is data (None), not a " +
     "StackOverflowError") {
     import graft.operators.Multimodal
