@@ -2376,6 +2376,51 @@ class OperatorsSpec extends SparkSpec {
     TextIndexLifecycle.deleteRoot(root)
   }
 
+  test("staged-but-uncommitted appends are invisible; commitStaged " +
+    "finishes them; partial vocab-fold markers re-fold without data loss") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{IncrementalIndex, TextIndexLifecycle}
+    val root = s"/tmp/graft_textidx_stage_${System.nanoTime()}"
+    val b1 = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    TextIndexLifecycle.append(s, root, "text", "doc_id", b1, "b1")
+    // crash BETWEEN stage and commit of a second batch: stage the
+    // postings exactly as append would, then stop
+    val ps = IncrementalIndex.Spec(root, "text_text", Some("tp"))
+    val p2fixed = graft.operators.HybridTable.positionalTextIndex(
+      Seq((9L, "zeta")).toDF("doc_id", "text"), "text", "doc_id")
+      .withColumn("tp", graft.operators.TextMatch.tpCol(col("token")))
+    val staged = IncrementalIndex.stage(s, ps, p2fixed, "b2")
+    assert(staged.isDefined)
+    // uncommitted: invisible to load AND to the vocab fold (no marker)
+    assert(TextIndexLifecycle.load(s, root, "text", "doc_id")
+      .filter(col("token") === "zeta").isEmpty)
+    assert(!TextIndexLifecycle.loadVocab(s, root, "text").get
+      .collect().map(_.getString(0)).contains("zeta"))
+    // replayed append (the documented recovery) re-stages and commits
+    TextIndexLifecycle.append(s, root, "text", "doc_id",
+      Seq((9L, "zeta")).toDF("doc_id", "text"), "b2")
+    assert(TextIndexLifecycle.load(s, root, "text", "doc_id")
+      .filter(col("token") === "zeta").count() == 1)
+    // vocab-fold partial-marker crash: fold b2 (loadVocab), then delete
+    // its vocab marker — the re-fold appends a duplicate delta under a
+    // NEW fold tag; distinct-at-read absorbs it, compact folds it
+    assert(TextIndexLifecycle.loadVocab(s, root, "text").get
+      .collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta", "zeta"))
+    val vs = IncrementalIndex.Spec(root, "text_text_vocab", Some("tp"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"${vs.tagsDir}/b2"))
+    val refolded = TextIndexLifecycle.loadVocab(s, root, "text").get
+      .collect().map(_.getString(0))
+    assert(refolded.toSet == Set("alpha", "beta", "zeta") &&
+      refolded.length == 3, "re-fold must stay distinct at read")
+    TextIndexLifecycle.compact(s, root, "text", "doc_id")
+    val phys = s.read.parquet(vs.liveDir).count()
+    assert(phys == 3, s"compact must fold re-fold duplicates, got $phys")
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
   test("persisted text index is tp-partitioned; term/phrase probes prune " +
     "to their partitions, wildcard probes stay correct") {
     val s = spark
