@@ -634,7 +634,12 @@ object Bench {
           .sortBy(-_._2).take(3).map(_._1)
         def isoScale(name: String, cold: Boolean): Option[(String, Double)] =
           scaleSel.find(_.name == name).map { q =>
-            if (cold) graft.operators.GraftCache.clearAll()
+            if (cold) {
+              graft.operators.GraftCache.clearAll()
+              // suite cold timings run AFTER the untimed setup phase;
+              // replay it so the isolated cold measures the same thing
+              q.setup.foreach(s => s(spark, scaleDir))
+            }
             settleSession()
             def once(): Double = {
               val t0 = System.nanoTime()
