@@ -402,8 +402,18 @@ object Bench {
         graft.streaming.Streams.nearDedupSink(df, "text", "doc_id",
           "bench_stream_near", minAgree = 0.75)(h))
       graft.operators.Dedup.dropIndex(spark, "bench_stream_near")
+      // realtime text-index maintenance (per-batch tag-idempotent
+      // appends — the reference's mutable-segment Lucene path); a flat
+      // batches_ms series here proves per-batch cost independent of the
+      // accumulated index size
+      val tiRoot = "target/graft_bench_stream_textidx"
+      graft.sources.TextIndexLifecycle.deleteRoot(tiRoot)
+      val tidx = drive("q_stream_textindex")((df, h) =>
+        graft.streaming.Streams.textIndexSink(df, "text", "doc_id",
+          tiRoot)(h))
+      graft.sources.TextIndexLifecycle.deleteRoot(tiRoot)
       graft.operators.Checkpoints.sweep()
-      Seq(bloom, near)
+      Seq(bloom, near, tidx)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream pass failed: $e")
       graft.operators.Checkpoints.sweep()

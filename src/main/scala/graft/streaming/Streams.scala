@@ -200,6 +200,53 @@ object Streams {
   private def freshStreamTag(): String =
     s"sink_${System.nanoTime()}_${sinkCounter.incrementAndGet()}"
 
+  /** Streaming TEXT-index maintenance — the reference's realtime text
+    * indexing (mutable segments index text AT INGEST —
+    * `RealtimeLuceneTextIndex`, `pinot-segment-local/.../realtime/impl/
+    * invertedindex/RealtimeLuceneTextIndex.java` — so TEXT_MATCH answers
+    * over data seconds old). Each micro-batch appends its postings to
+    * the persisted tp-partitioned index through the tag-idempotent
+    * [[graft.sources.TextIndexLifecycle]] protocol: O(batch), one
+    * tokenize job + one partitioned write, never a corpus re-index; a
+    * replayed micro-batch no-ops on its `(streamTag, batchId)` marker,
+    * so at-least-once retries cannot double-index. The batch rows pass
+    * through to `handler` unchanged — index maintenance is a side
+    * effect of ingest, exactly the reference's shape — and the index is
+    * shared with batch ingestion on the same root (the hybrid
+    * realtime + offline story). The term dictionary stays lazy (folds
+    * at `loadVocab`), so this hot path pays nothing for it.
+    * `streamTag` contract as in [[nearDedupSink]]. */
+  def textIndexSink(docs: DataFrame, textCol: String, idCol: String,
+                    indexRoot: String, streamTag: Option[String] = None)
+                   (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.TextIndexLifecycle.append(batch.sparkSession,
+        indexRoot, textCol, idCol, batch, s"${instance}_$batchId")
+      handler(batch)
+    }
+  }
+
+  /** Streaming JSON-index maintenance — the realtime twin of the json
+    * posting table (`MutableJsonIndexImpl`: the reference builds the
+    * json index inside consuming segments too). Same contract as
+    * [[textIndexSink]]: per-batch O(batch) flatten + path-partitioned
+    * append, tag-idempotent replays, batch passed through, index shared
+    * with batch lifecycle writers on the same root. */
+  def jsonIndexSink(docs: DataFrame, jsonCol: String, idCol: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    indexRoot: String, streamTag: Option[String] = None)
+                   (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.sources.JsonIndexLifecycle.append(batch.sparkSession,
+        indexRoot, jsonCol, idCol, schema, batch, s"${instance}_$batchId")
+      handler(batch)
+    }
+  }
+
   /** Ingestion-time rollup: per (keys, bucket) count/sum/min/max, the
     * streaming twin of OlapQueries.q_rollup_ingest. `withWatermark` bounds
     * state; `update` output mode emits refined buckets per micro-batch. */

@@ -400,4 +400,75 @@ class StreamingSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("key", "value", "topic",
       "partition", "offset", "timestamp", "timestampType"))
   }
+
+  test("streaming text-index sink: micro-batches append tag-idempotently; " +
+      "probes and the lazy dictionary see all batches; restart-safe") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.sources.TextIndexLifecycle
+    import graft.operators.TextMatch
+    val root = s"/tmp/graft_stream_textidx_${System.nanoTime()}"
+    var seen = 0L
+    def run(tag: String, data: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      val q = Streams.textIndexSink(df, "text", "doc_id", root,
+        streamTag = Some(tag))(out => seen += out.count()).start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run("t1", Seq(1L -> "alpha beta", 2L -> "beta gamma"))
+    // second QUERY (restart, new tag scope = new data)
+    run("t2", Seq(9L -> "zeta alpha"))
+    assert(seen == 3)
+    val idx = TextIndexLifecycle.load(s, root, "text", "doc_id")
+    val universe = Seq(1L, 2L, 9L).toDF("doc_id")
+    assert(TextMatch.compile(idx, universe, "doc_id",
+      TextMatch.parse("alpha")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 9L))
+    // the lazy dictionary folds BOTH stream batches at loadVocab
+    val vocab = TextIndexLifecycle.loadVocab(s, root, "text")
+    assert(vocab.get.collect().map(_.getString(0)).toSet ==
+      Set("alpha", "beta", "gamma", "zeta"))
+    // replayed micro-batch (same streamTag + batchId) no-ops on its
+    // marker: postings stay single-copy
+    run("t2", Seq(9L -> "zeta alpha"))
+    assert(idx.filter(col("token") === "zeta").count() == 1)
+    TextIndexLifecycle.deleteRoot(root)
+  }
+
+  test("streaming json-index sink: per-batch path-partitioned appends, " +
+      "shared with the batch lifecycle, replay-idempotent") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.sources.JsonIndexLifecycle
+    val root = s"/tmp/graft_stream_jsonidx_${System.nanoTime()}"
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("pri string")
+    def run(tag: String, data: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("id", "doc")
+      val q = Streams.jsonIndexSink(df, "doc", "id", schema, root,
+        streamTag = Some(tag))(_ => ()).start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run("j1", Seq(1L -> """{"pri":"HIGH"}""", 2L -> """{"pri":"LOW"}"""))
+    run("j2", Seq(3L -> """{"pri":"HIGH"}"""))
+    // batch-lifecycle writer shares the same root (hybrid story)
+    JsonIndexLifecycle.append(s, root, "doc", "id", schema,
+      Seq(4L -> """{"pri":"MID"}""").toDF("id", "doc"), "offline_b1")
+    val live = JsonIndexLifecycle.load(s, root, "doc", "id")
+    assert(live.filter(col("path") === "$.pri" && col("value") === "HIGH")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(live.filter(col("value") === "MID").count() == 1)
+    // replay of a stream batch no-ops
+    run("j2", Seq(3L -> """{"pri":"HIGH"}"""))
+    assert(live.filter(col("value") === "HIGH").count() == 2)
+    JsonIndexLifecycle.deleteRoot(root)
+  }
 }
