@@ -247,6 +247,32 @@ object Streams {
     }
   }
 
+  /** Streaming VECTOR-index maintenance — the realtime tier of the ANN
+    * lifecycle (upstream Pinot's mutable vector index assigns consuming
+    * rows into the trained structure; FAISS deployments do the same:
+    * train centroids offline once, stream arrivals into fixed cells).
+    * The IVF index at `indexDir` must already exist
+    * ([[graft.operators.Similarity.persistIvfIndex]]); each micro-batch
+    * assigns its vectors to their nearest cell against the (tiny)
+    * broadcast centroid frame and appends cell-partitioned —
+    * O(batch·nCells) dots, the indexed corpus is never re-read, and a
+    * replayed micro-batch no-ops on its `(streamTag, batchId)` marker.
+    * Batch passes through to `handler`; probes
+    * ([[graft.operators.Similarity.ivfTopKWith]] over `loadIvfIndex`)
+    * see streamed rows immediately. `streamTag` contract as in
+    * [[nearDedupSink]]. */
+  def vectorIndexSink(vecs: DataFrame, vecCol: String, idCol: String,
+                      indexDir: String, streamTag: Option[String] = None)
+                     (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Similarity.appendIvfIndex(batch.sparkSession,
+        indexDir, batch, idCol, vecCol, s"${instance}_$batchId")
+      handler(batch)
+    }
+  }
+
   /** Ingestion-time rollup: per (keys, bucket) count/sum/min/max, the
     * streaming twin of OlapQueries.q_rollup_ingest. `withWatermark` bounds
     * state; `update` output mode emits refined buckets per micro-batch. */

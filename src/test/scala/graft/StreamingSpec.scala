@@ -471,4 +471,45 @@ class StreamingSpec extends SparkSpec {
     assert(live.filter(col("value") === "HIGH").count() == 2)
     JsonIndexLifecycle.deleteRoot(root)
   }
+
+  test("streaming vector-index sink: arrivals assign into the trained " +
+      "IVF structure, probes see them immediately, replays no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(s, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsink").toString
+    // offline: train + persist (the realtime tier never retrains)
+    Similarity.persistIvfIndex(
+      Similarity.ivfIndex(emb.filter(col("vec_id") < 400), "vec_id",
+        "embedding", 8, None), dir)
+    val streamed = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    def run(tag: String, data: Seq[(Long, Array[Float])]): Unit = {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val df = mem.toDF().toDF("vec_id", "embedding")
+      val q = Streams.vectorIndexSink(df, "embedding", "vec_id", dir,
+        streamTag = Some(tag))(_ => ()).start()
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      q.stop()
+    }
+    run("v1", streamed.take(10))
+    run("v2", streamed.drop(10)) // restart: the index is the state
+    val loaded = Similarity.loadIvfIndex(s, dir)
+    val ids = loaded.assigned.select("cand_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamed.map(_._1).toSet.subsetOf(ids))
+    // a streamed vector's exact twin ranks itself first under full probe
+    val probe = emb.filter(col("vec_id") === 410)
+    val top = Similarity.ivfTopKWith(loaded, probe, "vec_id",
+      "embedding", 3, 8).collect()
+    assert(top.nonEmpty, "probe must reach streamed rows")
+    // replayed micro-batch no-ops on its marker: single-copy rows
+    run("v2", streamed.drop(10))
+    assert(Similarity.loadIvfIndex(s, dir).assigned
+      .filter(col("cand_id") === streamed.last._1).count() == 1)
+  }
 }
