@@ -2075,6 +2075,54 @@ object TrainingQueries {
         SELECT doc_id, CAST(i - 1 AS INT) AS pos FROM ix
         WHERE toks[i] = 'vector' ORDER BY doc_id, pos""")),
 
+    // The STREAMING text-index path, hash-gated: the corpus arrives as 4
+    // micro-batches through Streams.textIndexSink (per-batch
+    // tag-idempotent appends — the reference's realtime Lucene indexing),
+    // one batch REPLAYED to prove at-least-once safety, and the final
+    // persisted index answers the same pruned token lookup as the batch
+    // lifecycle gate. Oracle = positional postings of the full corpus:
+    // any double-index from the replay or lost batch breaks the hash.
+    Q("q_stream_text_index",
+      (s, d) => {
+        import graft.sources.TextIndexLifecycle
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val root = s"target/graft_streamtextidx_${CorpusKey.of(d)}"
+        TextIndexLifecycle.deleteRoot(root)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(docs.length / 4.0).toInt)
+        val mem = MemoryStream[(Long, String)]
+        val df = mem.toDF().toDF("doc_id", "text")
+        val q = graft.streaming.Streams.textIndexSink(df, "text",
+          "doc_id", root, streamTag = Some("gate"))(_ => ()).start()
+        docs.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        // at-least-once replay of the LAST micro-batch: the lifecycle
+        // marker must no-op it (same streamTag + batchId a restarted
+        // query would replay)
+        val nBatches = math.ceil(docs.length.toDouble / chunk).toInt
+        TextIndexLifecycle.append(s, root, "text", "doc_id",
+          docs.grouped(chunk).toSeq.last.toSeq.toDF("doc_id", "text"),
+          s"gate_${nBatches - 1}")
+        TextIndexLifecycle.load(s, root, "text", "doc_id")
+          .filter(col("tp") ===
+            graft.operators.TextMatch.tpOf("vector"))
+          .filter(col("token") === "vector")
+          .select(col("doc_id"), col("pos"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks
+          FROM documents),
+        ix AS (SELECT doc_id, toks,
+          unnest(generate_series(1, len(toks))) AS i FROM t)
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos FROM ix
+        WHERE toks[i] = 'vector' ORDER BY doc_id, pos""")),
+
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides
     // absorbs libm log ulp differences; unique doc_id breaks rank ties.
