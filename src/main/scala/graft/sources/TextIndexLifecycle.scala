@@ -36,9 +36,9 @@ object TextIndexLifecycle {
   // per distinct indexed token. Maintained LAZILY (round 13 — the
   // round-12 shape wrote it eagerly inside every append, doubling the
   // ingest hot path's jobs and file ceremony): append touches ONLY the
-  // postings; [[loadVocab]] and [[compact]] fold any postings batches
-  // the dictionary hasn't seen yet — reading the batches' own `tag-`
-  // files, |batch| rows, never the corpus — under the same
+  // postings; [[loadVocab]] folds any postings batches the dictionary
+  // hasn't seen yet — reading the batches' own `tag-` files, |batch|
+  // rows, never the corpus — under the same
   // tag-idempotent marker protocol, so the dictionary any probe SEES is
   // always complete. Deletes deliberately do NOT touch the vocab: an
   // over-claiming dictionary is still CORRECT (a retired token's
@@ -58,9 +58,9 @@ object TextIndexLifecycle {
 
   /** Append a document batch: tokenize ONLY the batch (O(batch), never a
     * corpus re-index), then the shared staged move. Replayed tags no-op.
-    * One sink — the vocab sidecar catches up lazily at [[loadVocab]] /
-    * [[compact]], so continuous ingest pays exactly one tokenize job and
-    * one partitioned write per batch. */
+    * One sink — the vocab sidecar catches up lazily at [[loadVocab]], so
+    * continuous ingest pays exactly one tokenize job and one partitioned
+    * write per batch. */
   def append(spark: SparkSession, indexRoot: String, column: String,
              idCol: String, batch: DataFrame, batchTag: String): Unit =
     IncrementalIndex.append(spark, spec(indexRoot, column),
