@@ -2123,6 +2123,58 @@ object TrainingQueries {
         SELECT doc_id, CAST(i - 1 AS INT) AS pos FROM ix
         WHERE toks[i] = 'vector' ORDER BY doc_id, pos""")),
 
+    // The STREAMING exact-dedup path, hash-gated: the corpus arrives in
+    // doc_id order as 4 micro-batches through Streams.exactDedupSink
+    // (each probes the persisted index, appends its survivors tagged),
+    // and the LAST batch is replayed through the same protocol — the
+    // tag contract must hand back byte-identical survivors, asserted
+    // in-gate. With ordered batches and lowest-id-first within-batch
+    // survival, the sequential protocol's survivor set equals global
+    // first-occurrence per text, which the oracle states directly —
+    // any lost batch, double-probe, or replay drift breaks the hash.
+    Q("q_stream_exact_dedup",
+      (s, d) => {
+        import graft.operators.Dedup
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val ixName = s"qsed_${CorpusKey.of(d)}"
+        Dedup.dropIndex(s, ixName)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(docs.length / 4.0).toInt)
+        val chunks = docs.grouped(chunk).toSeq
+        val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var lastBatch = Seq.empty[Long]
+        val mem = MemoryStream[(Long, String)]
+        val df = mem.toDF().toDF("doc_id", "text")
+        val q = graft.streaming.Streams.exactDedupSink(df, "text",
+          "doc_id", ixName, streamTag = Some("gate")) { out =>
+          lastBatch = out.select(col("doc_id")).collect()
+            .map(_.getLong(0)).toSeq
+          survivors ++= lastBatch
+        }.start()
+        chunks.foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        // at-least-once replay of the last micro-batch: the batch-tagged
+        // protocol must return byte-identical survivors, not zero (a
+        // probe against its own rows) and not doubles (a second append)
+        val replayed = Dedup.incrementalExact(s,
+          chunks.last.toSeq.toDF("doc_id", "text"), "text", "doc_id",
+          ixName, batchTag = Some(s"gate_${chunks.length - 1}"))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        require(replayed.sorted == lastBatch.sorted,
+          s"replay drift: ${replayed.length} vs ${lastBatch.length}")
+        survivors.toSeq.toDF("doc_id").orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1 ORDER BY doc_id""")),
+
     // TF-IDF relevance ranking: top docs for one term by tf·ln(N/df) —
     // the Lucene scoring role over the same postings. r6 on both sides
     // absorbs libm log ulp differences; unique doc_id breaks rank ties.
