@@ -56,6 +56,28 @@ class TextMatchRouteSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("mixed marker-OR-ordinary disjunctions: routed results match " +
+    "per-row across randomized residuals and marker terms") {
+    registered()
+    docs.createOrReplaceTempView("tm_docs")
+    val terms = Seq("hash", "stream", "\"merge join\"", "sc*", "jion~1")
+    val residuals = Seq("doc_id = 4", "doc_id > 3", "doc_id < 2",
+      "doc_id % 2 = 0", "doc_id > 99", "length(text) < 18")
+    for (t <- terms; r <- residuals) {
+      val routed = spark.sql(
+        s"""SELECT doc_id FROM tm_docs
+            WHERE text_match(text, '${t.replace("'", "''")}') OR $r""")
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"'$t OR $r' did not route:\n$plan")
+      val perRow = docs.filter(
+        TextMatch.columnFor(col("text"), t) || expr(r))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(routed.collect().map(_.getLong(0)).toSet == perRow,
+        s"route/per-row disagree on '$t OR $r'")
+    }
+  }
+
   test("an unrelated table with identical column names is NOT routed") {
     registered()
     val s = spark
