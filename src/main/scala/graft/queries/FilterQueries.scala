@@ -454,6 +454,25 @@ object FilterQueries {
         WHERE NOT (o_orderstatus = 'F' OR o_orderpriority = '1-URGENT')
         GROUP BY o_orderpriority""")),
 
+    // Marker OR'd with an ORDINARY predicate on the json side — same
+    // OrFilterOperator union shape as q_filter_text_or_mixed: posting
+    // ids of the marker leg ∪ ids(σ residual over the id-projected
+    // scan), one LEFT SEMI, the residual pushed to its own scan branch.
+    Q("q_filter_json_or_mixed",
+      (s, d) => {
+        registeredJsonDocs(s, d, "orders_jmx")
+        val q = s.sql("""SELECT o_orderkey FROM orders_jmx
+          WHERE json_match(doc, '"$.meta.pri" = ''1-URGENT''')
+             OR o_totalprice < 2000
+          ORDER BY o_orderkey""")
+        require(q.queryExecution.executedPlan.toString.contains("LeftSemi"),
+          "mixed json OR did not route")
+        q
+      },
+      Some("""SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' OR o_totalprice < 2000
+        ORDER BY o_orderkey""")),
+
     // The MATERIALIZED json index: postings written path-partitioned to
     // disk once (the reference's index lives in the segment), predicates
     // answered from the parquet postings via per-predicate id lookups +
