@@ -117,4 +117,39 @@ object UrlCuration {
       .filter(col("__r") <= maxPerDomain)
       .drop("__r")
   }
+
+  /** Every dot-suffix of a host, shortest first: `a.b.com` →
+    * `[com, b.com, a.b.com]`. Pure projection (split + HOF transform —
+    * hosts have a handful of labels, so the per-row cost is constant). */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    transform(sequence(lit(1), n),
+      i => array_join(slice(labels, n - i + 1, i), "."))
+  }
+
+  /** Distinct ids of rows whose host falls under any blocklist entry —
+    * UT1-style host-suffix semantics (the convention of every public URL
+    * blocklist): entry `example.com` blocks `example.com` AND every
+    * subdomain `*.example.com`; entry `ads.example.com` blocks only that
+    * subtree. `blocklist` carries one `domain` column of lowercase entries.
+    *
+    * Scale shape (the [[Decontaminate]] playbook): the blocklist is the
+    * small side — UT1's largest category is a few million entries, tens of
+    * MB — so it BROADCASTS; the corpus computes its ≤label-count suffixes
+    * in one projection, explodes, and broadcast-semi-joins. The corpus
+    * never shuffles; only the matched ids are aggregated. */
+  def blockedByList(df: DataFrame, hostCol: String, idCol: String,
+                    blocklist: DataFrame): DataFrame =
+    df.select(col(idCol),
+        explode(hostSuffixes(col(hostCol))).as("domain"))
+      .join(broadcast(blocklist.select(col("domain")).distinct()), "domain")
+      .select(col(idCol)).distinct()
+
+  /** The corpus minus blocklisted rows (anti-join on ids — ships keys
+    * only, the corpus's payload columns never shuffle). */
+  def filterBlocklist(df: DataFrame, hostCol: String, idCol: String,
+                      blocklist: DataFrame): DataFrame =
+    df.join(blockedByList(df, hostCol, idCol, blocklist),
+      Seq(idCol), "left_anti")
 }

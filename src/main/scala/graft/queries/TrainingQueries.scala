@@ -209,6 +209,57 @@ object TrainingQueries {
   private def toksSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '\\s+'), t -> length(t) > 0)"
 
+  /** DuckDB twins of [[graft.functions.Html]] — each renders the SAME
+    * RE2-subset pattern chain the Spark side runs ('g' is DuckDB's global
+    * flag; Spark's regexp_replace is always global), so extraction replays
+    * bit-for-bit. Patterns arrive with literal backslashes (e.g. `\s`);
+    * RE2 and Java interpret them identically in this subset. */
+  private def rrSql(e: String, pat: String, repl: String): String =
+    s"regexp_replace($e, '$pat', $repl, 'g')"
+
+  private def htmlStripSql(e: String): String = {
+    val noScript = rrSql(e, "(?is)<script[^>]*>.*?</script[ \\t\\n\\r\\f]*>", "' '")
+    val noStyle = rrSql(noScript, "(?is)<style[^>]*>.*?</style[ \\t\\n\\r\\f]*>", "' '")
+    val noComment = rrSql(noStyle, "(?s)<!--.*?-->", "' '")
+    val broke = rrSql(noComment, "(?i)<br[ \\t\\n\\r\\f]*/?>", "chr(10)")
+    val blocked = rrSql(broke,
+      "(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|pre)[ \\t\\n\\r\\f]*>",
+      "chr(10)")
+    val noTag = rrSql(blocked, "(?s)<[^>]*>", "' '")
+    rrSql(noTag, "<[^>]*$", "' '")
+  }
+
+  private def htmlEntitySql(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''",
+      "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (c, (f, t)) => s"replace($c, '$f', '$t')" }
+
+  private def htmlWsSql(e: String): String = {
+    val sp = rrSql(e, "[ \\t\\f\\r]+", "' '")
+    val nl = rrSql(sp, " *\\n *", "chr(10)")
+    val capped = rrSql(nl, "\\n{3,}", "chr(10)||chr(10)")
+    rrSql(capped, "^[ \\n]+|[ \\n]+$", "''")
+  }
+
+  private def htmlTextSql(e: String): String =
+    htmlWsSql(htmlEntitySql(htmlStripSql(e)))
+
+  private def htmlTitleSql(e: String): String = {
+    val raw =
+      s"regexp_extract($e, '(?is)<title[^>]*>(.*?)</title[ \\t\\n\\r\\f]*>', 1)"
+    val flat = rrSql(htmlEntitySql(raw), "[ \\t\\f\\r\\n]+", "' '")
+    rrSql(flat, "^ +| +$", "''")
+  }
+
+  /** Anchor-chars numerator of Html.linkDensity: per-anchor inner HTML,
+    * tag-stripped, entity-decoded, whitespace-normalized, lengths summed
+    * (empty list → 0, the Spark aggregate's init). */
+  private def htmlAnchorCharsSql(e: String): String = {
+    val inner = htmlWsSql(htmlEntitySql(rrSql("a", "(?s)<[^>]*>", "' '")))
+    "COALESCE(list_sum(list_transform(regexp_extract_all(" +
+      s"$e, '(?is)<a\\b[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>', 1), a -> length($inner))), 0)"
+  }
+
   /** DuckDB twin of TextAnalysis.gopherSignals over table/CTE `src`
     * (columns doc_id, text): rows of (doc_id, symbol_ratio, bullet_frac,
     * ellipsis_frac, alpha_frac, stop_hits, gopher_pass). */
@@ -3154,6 +3205,103 @@ object TrainingQueries {
               doc_id) AS rn
           FROM documents)
         WHERE rn <= 30 GROUP BY source ORDER BY source""")),
+
+    // HTML → text extraction (the WARC/WET boilerplate step CCNet /
+    // RefinedWeb / Dolma / FineWeb all start from): script/style/comments
+    // drop WITH content, every other tag drops keeping its content, block
+    // closers and <br> become line breaks, the common named entities
+    // decode once (&amp; last), whitespace canonicalizes. Each row
+    // synthesizes its own HTML (title, style, comment, conditional
+    // script/anchor/list blocks, entity-decorated heading) from corpus
+    // columns so both engines build identical bytes; title, visible text,
+    // and the anchor-chars/visible-chars link-density boilerplate signal
+    // are all replayed through the same RE2-subset chain and hash-gated.
+    // Scale: one scan, zero shuffle, ~15 codegen regexp/replace passes.
+    Q("q_html_extract",
+      (s, d) => {
+        import graft.functions.Html
+        val did = col("doc_id").cast("string")
+        val h = concat(
+          lit("<html><head><title>Doc "), did, lit(" &amp; Co</title>"),
+          lit("<style>body { c: 1 }</style></head><body><!-- hidden "),
+          did, lit(" -->"),
+          when(col("doc_id") % 3 === 0,
+            lit("<script>var x = \"<p>junk</p>\";</script>"))
+            .otherwise(lit("")),
+          lit("<h1>"), col("source"), lit(" &lt;news&gt;</h1><p>"),
+          col("text"), lit("</p>"),
+          when(col("doc_id") % 2 === 0,
+            lit("<p>See <a href=\"u\">the &quot;docs&quot;</a> here</p>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("<ul><li>a&nbsp;b</li><li>c&#39;d</li></ul>"))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        Tables.documents(s, d).select(col("doc_id"),
+            Html.htmlTitle(h).as("title"),
+            Html.htmlText(h).as("text_out"),
+            Par.r6(Html.linkDensity(h)).as("link_density"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          ' &amp; Co</title><style>body { c: 1 }</style></head>' ||
+          '<body><!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+          CASE WHEN doc_id % 3 = 0
+            THEN '<script>var x = "<p>junk</p>";</script>' ELSE '' END ||
+          '<h1>' || source || ' &lt;news&gt;</h1><p>' || text || '</p>' ||
+          CASE WHEN doc_id % 2 = 0
+            THEN '<p>See <a href="u">the &quot;docs&quot;</a> here</p>'
+            ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+            THEN '<ul><li>a&nbsp;b</li><li>c&#39;d</li></ul>' ELSE '' END ||
+          '</body></html>' AS html FROM documents),
+        t AS (SELECT doc_id, html, ${htmlTextSql("html")} AS text_out
+          FROM h)
+        SELECT doc_id, ${htmlTitleSql("html")} AS title, text_out,
+          ROUND(CAST(${htmlAnchorCharsSql("html")} AS DOUBLE) /
+            NULLIF(length(text_out), 0), 6) AS link_density
+        FROM t ORDER BY doc_id""")),
+
+    // UT1-style host-suffix URL blocklist (the Dolma/FineWeb filter over
+    // public blocklists): an entry blocks its own host AND every
+    // subdomain; lookalike hosts that merely CONTAIN the entry survive.
+    // Hosts synthesize from corpus columns; the list blocks one
+    // registered domain and one subtree. The oracle states the suffix
+    // semantics directly (= or '.'-suffix LIKE). Scale: the blocklist is
+    // the small side and BROADCASTS; the corpus computes its ≤4 label
+    // suffixes in one projection and broadcast-semi-joins — it never
+    // shuffles; the anti-join ships ids only.
+    Q("q_url_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val host = concat(col("source"), lit("."),
+          when(col("doc_id") % 4 === 0, lit("blocked.example.com"))
+            .when(col("doc_id") % 4 === 1, lit("ok.example.org"))
+            .when(col("doc_id") % 4 === 2, lit("ads.tracker.net"))
+            .otherwise(lit("clean.io")))
+        val docs = Tables.documents(s, d).withColumn("host", host)
+        graft.operators.UrlCuration.filterBlocklist(docs, "host",
+            "doc_id",
+            Seq("blocked.example.com", "tracker.net").toDF("domain"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id") % 1000003L).as("id_checksum"))
+          .orderBy(col("host"))
+      },
+      Some("""WITH u AS (SELECT doc_id, source || '.' ||
+            CASE WHEN doc_id % 4 = 0 THEN 'blocked.example.com'
+                 WHEN doc_id % 4 = 1 THEN 'ok.example.org'
+                 WHEN doc_id % 4 = 2 THEN 'ads.tracker.net'
+                 ELSE 'clean.io' END AS host
+          FROM documents)
+        SELECT host, COUNT(*) AS n,
+          CAST(SUM(doc_id % 1000003) AS BIGINT) AS id_checksum
+        FROM u
+        WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('blocked.example.com'),
+            ('tracker.net')) b(domain)
+          WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)
+        GROUP BY host ORDER BY host""")),
 
     // C4-style span-level exact dedup: 3-token non-overlapping spans, the
     // globally first occurrence of each distinct span wins, text
