@@ -886,6 +886,44 @@ object Dedup {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** Dolma-style PARAGRAPH dedup — [[spanDedup]]'s separator-based
+    * sibling, the form web pipelines run on extracted text (boilerplate
+    * lines — nav, footers, cookie banners — repeat across a domain's
+    * pages far more than arbitrary k-token spans do): paragraphs are the
+    * text's `sep`-separated segments compared as RAW strings, the
+    * globally first occurrence (lowest id, then position) survives, later
+    * occurrences drop, survivors rejoin with `sep` in original order.
+    * Whitespace-only paragraphs drop (every blank line would otherwise
+    * "duplicate" the first). Composes directly with
+    * [[graft.functions.Html.htmlText]], whose block-structure newlines
+    * are exactly the paragraph boundaries this expects.
+    *
+    * Scale shape (identical to [[spanDedup]], proven sub-linear there):
+    * one generator projection + a window on the paragraph key + one
+    * groupBy on the id — two linear shuffles, never a self-join; the
+    * paragraph-key window is as skewed as the most-repeated boilerplate
+    * line, which is precisely the row_number-1 partition AQE handles. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val exploded = df
+      .select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+      .filter(trim(col("para")) =!= "")
+    val w = Window.partitionBy(col("para"))
+      .orderBy(col(idCol), col("para_idx"))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    df.select(col(idCol)).join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            s => s.getField("para")), sep).as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** SemDeDup-style cluster assignment (public method: Abbas et al. 2023 —
     * cluster the embedding space, then prune near-duplicates within each
     * cluster so the pair fan-out is bounded by cluster size, never the

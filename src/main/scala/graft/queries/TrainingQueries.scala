@@ -3327,6 +3327,46 @@ object TrainingQueries {
           ON d.doc_id = f.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // Dolma-style PARAGRAPH dedup (spanDedup's separator-based sibling —
+    // the form web pipelines run on extracted text, where boilerplate
+    // LINES repeat across pages): the corpus reshapes into 4-token lines
+    // joined by newlines, each raw line dedups to its global first
+    // occurrence (lowest id, then position), survivors rejoin in order,
+    // whitespace-only lines drop. The oracle replays the line synthesis,
+    // the first-occurrence window, and the rebuild — full text
+    // bit-checked. Same two-linear-shuffle shape as q_dedup_spans.
+    Q("q_dedup_paragraphs",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val last = greatest(((size(toks) - 1) / 4).cast("int"), lit(0))
+        val lines = transform(sequence(lit(0), last),
+          i => array_join(slice(toks, i * 4 + 1, lit(4)), " "))
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          array_join(lines, "\n").as("text"))
+        Dedup.paragraphDedup(docs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        lined AS (SELECT doc_id, array_to_string(list_transform(
+            generate_series(0, greatest((len(tk) - 1) // 4, 0)),
+            i -> array_to_string(tk[i*4+1:i*4+4], ' ')), chr(10)) AS text
+          FROM tk),
+        sp AS (SELECT doc_id, i - 1 AS para_idx, parts[i] AS para
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+              unnest(generate_series(1,
+                len(string_split(text, chr(10))))) AS i
+            FROM lined)
+          WHERE trim(parts[i]) != ''),
+        first AS (SELECT doc_id, para_idx, para, ROW_NUMBER() OVER (
+            PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM sp)
+        SELECT d.doc_id,
+          COALESCE(string_agg(f.para, chr(10) ORDER BY f.para_idx), '')
+            AS text
+        FROM lined d LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
+          ON d.doc_id = f.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     // ExactSubstr-style duplicated-passage excision (Lee 2021): every
     // 8-token window at every offset; later occurrences of a duplicated
     // window excise their positions (overlaps merge); text rebuilt. The

@@ -2068,6 +2068,32 @@ class OperatorsSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("paragraphDedup keeps the global first occurrence of each raw " +
+    "paragraph, drops blank lines, preserves order, honors custom " +
+    "separators, and is partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "cookie banner\nreal content one\n\ncookie banner"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "  \nreal content one more")) // blank-only line drops
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "cookie banner\nreal content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "real content one more") // raw-string compare: not
+    // a dup of "real content one"
+    val re = Dedup.paragraphDedup(df.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == out)
+    // custom separator, all-lose → empty text, row kept
+    val df2 = Seq((1L, "x|y"), (2L, "x|y")).toDF("doc_id", "text")
+    val out2 = Dedup.paragraphDedup(df2, "doc_id", "text", "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "x|y", 2L -> ""))
+  }
+
   test("normalizeUrl applies every rule and only those") {
     val s = spark
     import s.implicits._
