@@ -3327,6 +3327,89 @@ object TrainingQueries {
           ON d.doc_id = f.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // Web-curation capstone — the WARC→training-text front half of a web
+    // pipeline, every stage the proven fragment chained in pipeline
+    // order (cheapest drop first): host-suffix blocklist → HTML text/
+    // title extraction → link-density boilerplate gate (≤0.02, 6dp on
+    // both sides so the threshold compare is bit-stable; pages with no
+    // visible text drop with it) → cross-doc paragraph dedup, titles
+    // rejoined by id. The oracle replays all four stages; survivor set,
+    // titles, AND rebuilt text are hash-checked.
+    Q("q_web_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Html
+        import graft.operators.UrlCuration
+        val host = concat(col("source"), lit("."),
+          when(col("doc_id") % 4 === 0, lit("blocked.example.com"))
+            .when(col("doc_id") % 4 === 1, lit("ok.example.org"))
+            .when(col("doc_id") % 4 === 2, lit("ads.tracker.net"))
+            .otherwise(lit("clean.io")))
+        val did = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Doc "), did, lit(" &amp; Co</title>"),
+          lit("</head><body><h1>"), col("source"),
+          lit(" &lt;news&gt;</h1><p>"), col("text"), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<p>See <a href=\"u\">the &quot;docs&quot;</a> here</p>"))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), host.as("host"), html.as("html"))
+        val surv = UrlCuration.filterBlocklist(docs, "host", "doc_id",
+          Seq("blocked.example.com", "tracker.net").toDF("domain"))
+        val extracted = surv.select(col("doc_id"),
+            Html.htmlTitle(col("html")).as("title"),
+            Html.htmlText(col("html")).as("text"),
+            Par.r6(Html.linkDensity(col("html"))).as("ld"))
+          .filter(col("ld") <= 0.02)
+        val deduped = graft.operators.Dedup.paragraphDedup(
+          extracted.select(col("doc_id"), col("text")), "doc_id", "text")
+        deduped.join(extracted.select(col("doc_id"), col("title")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("title"), col("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val htmlSyn = """'<html><head><title>Doc ' ||
+            CAST(doc_id AS VARCHAR) ||
+            ' &amp; Co</title></head><body><h1>' || source ||
+            ' &lt;news&gt;</h1><p>' || text || '</p>' ||
+            CASE WHEN doc_id % 3 = 0
+              THEN '<p>See <a href="u">the &quot;docs&quot;</a> here</p>'
+              ELSE '' END || '</body></html>'"""
+        s"""WITH u AS (SELECT doc_id, source, text, source || '.' ||
+              CASE WHEN doc_id % 4 = 0 THEN 'blocked.example.com'
+                   WHEN doc_id % 4 = 1 THEN 'ok.example.org'
+                   WHEN doc_id % 4 = 2 THEN 'ads.tracker.net'
+                   ELSE 'clean.io' END AS host
+            FROM documents),
+          h AS (SELECT doc_id, $htmlSyn AS html FROM u
+            WHERE NOT EXISTS (SELECT 1 FROM (VALUES
+                ('blocked.example.com'), ('tracker.net')) b(domain)
+              WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)),
+          x AS (SELECT doc_id, ${htmlTitleSql("html")} AS title,
+              ${htmlTextSql("html")} AS text_out, html FROM h),
+          kept AS (SELECT doc_id, title, text_out FROM x
+            WHERE ROUND(CAST(${htmlAnchorCharsSql("html")} AS DOUBLE) /
+              NULLIF(length(text_out), 0), 6) <= 0.02),
+          sp AS (SELECT doc_id, i - 1 AS para_idx, parts[i] AS para
+            FROM (SELECT doc_id,
+                string_split(text_out, chr(10)) AS parts,
+                unnest(generate_series(1,
+                  len(string_split(text_out, chr(10))))) AS i
+              FROM kept)
+            WHERE trim(parts[i]) != ''),
+          first AS (SELECT doc_id, para_idx, para, ROW_NUMBER() OVER (
+              PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM sp)
+          SELECT k.doc_id, k.title,
+            COALESCE(string_agg(f.para, chr(10) ORDER BY f.para_idx), '')
+              AS text
+          FROM kept k LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
+            ON k.doc_id = f.doc_id
+          GROUP BY k.doc_id, k.title ORDER BY k.doc_id"""
+      }),
+
     // Dolma-style PARAGRAPH dedup (spanDedup's separator-based sibling —
     // the form web pipelines run on extracted text, where boilerplate
     // LINES repeat across pages): the corpus reshapes into 4-token lines
