@@ -77,7 +77,7 @@ object Bench {
   val ScaleFamily: Set[String] = Set(
     "q_dedup_exact", "q_text_canon", "q_dedup_minhash_pairs",
     "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_substr",
-    "q_dedup_spans",
+    "q_dedup_spans", "q_dedup_paragraphs", "q_web_pipeline",
     "q_dedup_semantic_auto", "q_dedup_embed_auto",
     "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
     "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_merges_fast",

@@ -172,6 +172,58 @@ object Streams {
       }
   }
 
+  /** Streaming PARAGRAPH dedup — Dolma's production shape (its paragraph
+    * dedup IS a Bloom filter over paragraphs): each micro-batch splits
+    * its documents into `sep`-separated paragraphs, drops those whose
+    * bits were set by EARLIER batches, first-occurrence-dedups the rest
+    * within the batch (the bitmap only advances between batches, so the
+    * within-batch rule is exactly batch
+    * [[graft.operators.Dedup.paragraphDedup]]'s window), rebuilds each
+    * document in paragraph order, and hands the rebuilt frame to
+    * `handler` — every input id appears, a fully-deduped document as
+    * empty text. Dedup state is m BITS on the driver — constant for any
+    * stream length, the trade being a deterministic false-positive rate
+    * (a genuinely new paragraph dropped as "seen"). Replay contract =
+    * [[bloomDedupSink]]: the pre-batch bitmap is retained, so an
+    * at-least-once retry of the last batch rebuilds byte-identical
+    * documents; older replays throw. */
+  def paragraphDedupSink(docs: DataFrame, textCol: String, idCol: String,
+                         mBits: Int = 1 << 20, seeds: Int = 3,
+                         sep: String = "\n")
+                        (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val state = new BloomDedupState("para", mBits, seeds)
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      handler(paragraphDedupBatch(state, batch, batchId, textCol, idCol,
+        sep))
+    }
+  }
+
+  /** One micro-batch of [[paragraphDedupSink]], factored out so the
+    * protocol is unit-testable (the [[BloomDedupState]] pattern). */
+  private[graft] def paragraphDedupBatch(state: BloomDedupState,
+                                         batch: DataFrame, batchId: Long,
+                                         textCol: String, idCol: String,
+                                         sep: String): DataFrame = {
+    val paras = split(col(textCol),
+      java.util.regex.Pattern.quote(sep), -1)
+    val exploded = batch
+      .select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+      .filter(trim(col("para")) =!= "")
+    val fresh = state.process(exploded, batchId)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para")).orderBy(col(idCol), col("para_idx"))
+    val kept = fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    batch.select(col(idCol)).join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            p => p.getField("para")), sep).as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Streaming EXACT dedup against the persisted content-hash index —
     * the continuous-crawl twin of [[nearDedupSink]] over
     * [[graft.operators.Dedup.incrementalExact]]: unbounded horizon (index

@@ -307,6 +307,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq(1L, 2L, 4L))
   }
 
+  test("streaming paragraph dedup sink: within-batch first occurrence, " +
+      "cross-batch bloom suppression, empty-text rows for fully-deduped " +
+      "docs, replay yields identical rebuilds") {
+    val s = spark
+    import s.implicits._
+    val state = new Streams.BloomDedupState("para", 1 << 16, 3)
+    def run(batch: Seq[(Long, String)], id: Long): Map[Long, String] =
+      Streams.paragraphDedupBatch(state, batch.toDF("doc_id", "text"),
+          id, "text", "doc_id", "\n")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b0 = run(Seq(
+      1L -> "banner\ncontent one\nbanner", // in-batch + in-doc dup
+      2L -> "banner\ncontent two"), 0)
+    assert(b0 == Map(1L -> "banner\ncontent one", 2L -> "content two"))
+    val b1 = run(Seq(
+      3L -> "banner\ncontent three", // "banner" seen in batch 0
+      4L -> "content two"), 1) // whole doc seen → empty text, row kept
+    assert(b1 == Map(3L -> "content three", 4L -> ""))
+    // at-least-once retry of batch 1: byte-identical rebuilds
+    assert(run(Seq(3L -> "banner\ncontent three", 4L -> "content two"),
+      1) == b1)
+    // end-to-end through the writer
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = Streams.paragraphDedupSink(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", 1 << 16, 3) { out =>
+      out.collect().foreach(r => got(r.getLong(0)) = r.getString(1))
+    }.start()
+    Seq(Seq(10L -> "x\ny"), Seq(11L -> "y\nz"))
+      .foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    assert(got.toMap == Map(10L -> "x\ny", 11L -> "z"))
+  }
+
   test("streaming exact dedup sink: N micro-batches produce byte-identical " +
       "survivors to the N-batch batch protocol on the same data") {
     val s = spark
