@@ -3450,6 +3450,98 @@ object TrainingQueries {
           ON d.doc_id = f.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
+    // STREAMING paragraph dedup, hash-gated (Dolma's production shape —
+    // a Bloom filter over paragraphs): the same synthesized-line corpus
+    // as q_dedup_paragraphs runs through Streams.paragraphDedupSink as 4
+    // ordered micro-batches, then the last batch REPLAYS through the
+    // same state and must rebuild byte-identically (at-least-once
+    // contract), asserted in-gate. The oracle replays the whole
+    // protocol from first principles: line synthesis, the ceil(n/4)
+    // batch assignment, the 3 hash60-probe bloom positions, bit
+    // advancement BETWEEN batches only (a paragraph is suppressed iff
+    // every probe position was first set by a strictly earlier batch),
+    // the within-batch first-occurrence window, and the per-doc rebuild
+    // with empty-text rows — full text bit-checked, so a lost batch, a
+    // premature bit set, or replay drift all break the hash.
+    Q("q_stream_para_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val toks = TA.tokens(col("text"))
+        val last = greatest(((size(toks) - 1) / 4).cast("int"), lit(0))
+        val lines = transform(sequence(lit(0), last),
+          i => array_join(slice(toks, i * 4 + 1, lit(4)), " "))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), array_join(lines, "\n").as("text"))
+          .orderBy(col("doc_id")).as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(docs.length / 4.0).toInt)
+        val chunks = docs.grouped(chunk).toSeq
+        val state =
+          new graft.streaming.Streams.BloomDedupState("para", 1 << 20, 3)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        var lastBatch = Map.empty[Long, String]
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.paragraphDedupSinkWith(state,
+            mem.toDF().toDF("doc_id", "text"), "text", "doc_id", "\n") {
+          b =>
+            lastBatch =
+              b.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+            out ++= lastBatch
+        }.start()
+        chunks.foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        val replayed = graft.streaming.Streams.paragraphDedupBatch(state,
+            chunks.last.toSeq.toDF("doc_id", "text"), chunks.length - 1L,
+            "text", "doc_id", "\n")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        require(replayed == lastBatch,
+          s"replay drift: ${replayed.size} vs ${lastBatch.size}")
+        out.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some {
+        val probes = (0 until 3).map(i =>
+          s"${hash60Sql(s"'$i:' || para")} % ${1 << 20}").mkString(", ")
+        s"""WITH tk AS (
+            SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+          lined AS (SELECT doc_id, array_to_string(list_transform(
+              generate_series(0, greatest((len(tk) - 1) // 4, 0)),
+              i -> array_to_string(tk[i*4+1:i*4+4], ' ')), chr(10))
+              AS text
+            FROM tk),
+          rk AS (SELECT doc_id, text,
+              CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) /
+                CEIL((SELECT COUNT(*) FROM lined) / 4.0)) AS BIGINT) AS b
+            FROM lined),
+          sp AS (SELECT doc_id, b, i - 1 AS para_idx, parts[i] AS para
+            FROM (SELECT doc_id, b, string_split(text, chr(10)) AS parts,
+                unnest(generate_series(1,
+                  len(string_split(text, chr(10))))) AS i
+              FROM rk)
+            WHERE trim(parts[i]) != ''),
+          pr AS (SELECT doc_id, b, para_idx, para, unnest([$probes]) AS p
+            FROM sp),
+          firstset AS (SELECT p, MIN(b) AS fb FROM pr GROUP BY p),
+          hit AS (SELECT pr.doc_id, pr.b, pr.para_idx, pr.para,
+              COUNT(*) AS np, COUNT(f.p) AS ns
+            FROM pr LEFT JOIN firstset f
+              ON f.p = pr.p AND f.fb < pr.b
+            GROUP BY 1, 2, 3, 4),
+          kept AS (SELECT doc_id, para_idx, para FROM (
+              SELECT doc_id, b, para_idx, para, ROW_NUMBER() OVER (
+                PARTITION BY b, para ORDER BY doc_id, para_idx) AS rn
+              FROM hit WHERE ns < np)
+            WHERE rn = 1)
+          SELECT d.doc_id,
+            COALESCE(string_agg(k.para, chr(10) ORDER BY k.para_idx), '')
+              AS text
+          FROM lined d LEFT JOIN kept k ON d.doc_id = k.doc_id
+          GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }),
+
     // ExactSubstr-style duplicated-passage excision (Lee 2021): every
     // 8-token window at every offset; later occurrences of a duplicated
     // window excise their positions (overlaps merge); text rebuilt. The

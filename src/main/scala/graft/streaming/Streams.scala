@@ -191,13 +191,23 @@ object Streams {
                          mBits: Int = 1 << 20, seeds: Int = 3,
                          sep: String = "\n")
                         (handler: DataFrame => Unit)
-  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val state = new BloomDedupState("para", mBits, seeds)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    paragraphDedupSinkWith(new BloomDedupState("para", mBits, seeds),
+      docs, textCol, idCol, sep)(handler)
+
+  /** [[paragraphDedupSink]] over a caller-held [[BloomDedupState]] — the
+    * state handle is what lets a test or gate replay the last micro-batch
+    * through [[paragraphDedupBatch]] and assert byte-identical rebuilds. */
+  private[graft] def paragraphDedupSinkWith(state: BloomDedupState,
+                                            docs: DataFrame,
+                                            textCol: String, idCol: String,
+                                            sep: String)
+                                           (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       handler(paragraphDedupBatch(state, batch, batchId, textCol, idCol,
         sep))
     }
-  }
 
   /** One micro-batch of [[paragraphDedupSink]], factored out so the
     * protocol is unit-testable (the [[BloomDedupState]] pattern). */
