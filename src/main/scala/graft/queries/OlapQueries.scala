@@ -462,6 +462,94 @@ object OlapQueries {
           "CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END")} AS sum_bal
         FROM customer GROUP BY c_mktsegment""")),
 
+    // WARC input (ISO 28500 — the container web corpora ship in, and the
+    // byte source of the q_web_pipeline curation chain): documents
+    // synthesized into HTML, wrapped as HTTP-200 response records across
+    // four archives (two plain, two whole-stream gzip — the multi-member
+    // read path), each led by a warcinfo record and salted with request
+    // records that the response filter must skip. Read back, the payload
+    // must decode byte-exactly and the target URI must carry doc id +
+    // source through — the oracle aggregates the same synthesis straight
+    // from the parquet, so any framing, Content-Length, HTTP-split, gzip,
+    // or charset defect breaks the hash.
+    Q("q_ingest_warc",
+      (s, d) => {
+        import graft.sources.Warc
+        val did = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Doc "), did, lit(" &amp; Co</title>"),
+          lit("</head><body><h1>"), col("source"),
+          lit(" &lt;news&gt;</h1><p>"), col("text"), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<p>See <a href=\"u\">the &quot;docs&quot;</a> here</p>"))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        val dir = new java.io.File(
+          s"/tmp/graft_warc_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          dir.mkdirs()
+          val rows = Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), html.as("html"))
+            .collect()
+          val date = "2026-01-01T00:00:00Z"
+          (0 until 4).foreach { part =>
+            val recs = Iterator(Warc.warcinfoRecord(
+                s"urn:uuid:info-$part", date,
+                Seq("software" -> "graft", "isPartOf" -> s"part$part"))) ++
+              rows.iterator.filter(_.getLong(0) % 4 == part).flatMap { r =>
+                val (id, src) = (r.getLong(0), r.getString(1))
+                val uri = s"https://$src.example.com/doc/$id"
+                val resp = Warc.responseRecord(uri, s"urn:uuid:resp-$id",
+                  date, r.getString(2).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                if (id % 5 == 0)
+                  Iterator(Warc.record("request", s"urn:uuid:req-$id",
+                    date, s"GET /doc/$id HTTP/1.1\r\n\r\n".getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8),
+                    Some("application/http; msgtype=request"),
+                    Some(uri)), resp)
+                else Iterator(resp)
+              }
+            Warc.writeFile(recs,
+              s"${dir.getPath}/part$part.warc${if (part % 2 == 1) ".gz" else ""}",
+              gzip = part % 2 == 1)
+          }
+        }
+        Warc.read(s, dir.getPath)
+          .filter(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(
+            regexp_extract(col("target_uri"),
+              "^https://([^.]+)\\.", 1).as("source"),
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            col("payload").cast("string").as("html"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id") % 1000003L).as("id_checksum"),
+            sum(length(col("html"))).as("sum_len"),
+            sum(graft.functions.Scalars.hash60(col("html")) % 1000003L)
+              .as("sum_hash"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val htmlSyn = """'<html><head><title>Doc ' ||
+            CAST(doc_id AS VARCHAR) ||
+            ' &amp; Co</title></head><body><h1>' || source ||
+            ' &lt;news&gt;</h1><p>' || text || '</p>' ||
+            CASE WHEN doc_id % 3 = 0
+              THEN '<p>See <a href="u">the &quot;docs&quot;</a> here</p>'
+              ELSE '' END || '</body></html>'"""
+        s"""WITH h AS (SELECT doc_id, source, $htmlSyn AS html
+            FROM documents)
+          SELECT source, COUNT(*) AS n,
+            CAST(SUM(doc_id % 1000003) AS BIGINT) AS id_checksum,
+            CAST(SUM(LENGTH(html)) AS BIGINT) AS sum_len,
+            CAST(SUM(${graft.ParSql.hash60("html")} % 1000003) AS BIGINT)
+              AS sum_hash
+          FROM h GROUP BY source ORDER BY source"""
+      }),
+
     // Z-order (Morton) layout key: per-column min/max quantization to
     // 8-bit ranks + bit interleave — the multi-column file-pruning
     // clustering key (Delta ZORDER's curve). Pure codegen bit math;

@@ -38,6 +38,8 @@ object Ingest {
       "confluent-avro needs a registry — use Ingest.readConfluentAvro")
     require(!format.equalsIgnoreCase("clplog") && !format.equalsIgnoreCase("clp"),
       "CLP logs need their archive layout — use ClpLog.read")
+    require(!format.equalsIgnoreCase("warc"),
+      "WARC needs record-level parsing — use Warc.read")
     val r = spark.read.format(format.toLowerCase match {
       case "jsonl" => "json"
       case f => f

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.sources.Warc
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) archive codec: record framing, header folding, HTTP
+  * payload split, gzip members, malformed-capture leniency. */
+class WarcSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-warc").toString
+  private val date = "2026-01-01T00:00:00Z"
+
+  private def archive(gzip: Boolean, path: String): Unit = {
+    val recs = Iterator(
+      Warc.warcinfoRecord("urn:uuid:info-0", date,
+        Seq("software" -> "graft", "format" -> "WARC File Format 1.0")),
+      Warc.record("request", "urn:uuid:req-1", date,
+        "GET /a HTTP/1.1\r\nHost: x.io\r\n\r\n".getBytes(UTF_8),
+        Some("application/http; msgtype=request"),
+        Some("https://x.io/a")),
+      Warc.responseRecord("https://x.io/a", "urn:uuid:resp-1", date,
+        "<html><body>Hello &amp; welcome</body></html>".getBytes(UTF_8)),
+      Warc.responseRecord("https://y.io/b?q=1", "urn:uuid:resp-2", date,
+        Array[Byte](0, 1, 2, -1, 127), httpContentType = "application/pdf"))
+    Warc.writeFile(recs, path, gzip = gzip)
+  }
+
+  test("record round-trip: types, uri/id unwrapping, http payload split, " +
+      "binary-exact payloads, non-http blocks kept whole") {
+    archive(gzip = false, s"$tmp/plain.warc")
+    val rows = Warc.read(spark, s"$tmp/plain.warc")
+      .orderBy(col("record_id")).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("warcinfo", "request", "response", "response"))
+    val info = rows(0)
+    assert(info.getString(1) == "urn:uuid:info-0") // angles stripped
+    assert(new String(info.getAs[Array[Byte]](7), UTF_8)
+      .contains("software: graft"))
+    assert(info.isNullAt(5)) // no http status on warc-fields
+    val req = rows(1) // request blocks are http too: payload empty
+    assert(req.getString(3) == "https://x.io/a" && req.isNullAt(5))
+    val resp = rows(2)
+    assert(resp.getInt(5) == 200 &&
+      resp.getString(6) == "text/html; charset=utf-8")
+    assert(new String(resp.getAs[Array[Byte]](7), UTF_8) ==
+      "<html><body>Hello &amp; welcome</body></html>")
+    val pdf = rows(3)
+    assert(pdf.getString(3) == "https://y.io/b?q=1" &&
+      pdf.getString(6) == "application/pdf" &&
+      pdf.getAs[Array[Byte]](7).toSeq == Seq[Byte](0, 1, 2, -1, 127))
+  }
+
+  test("gzip archive parses identically to the plain twin (multi-member " +
+      "path), sniffed by magic bytes not extension") {
+    archive(gzip = false, s"$tmp/t.warc")
+    archive(gzip = true, s"$tmp/t2.warc") // .warc name, gzip content
+    val plain = Warc.read(spark, s"$tmp/t.warc")
+      .orderBy(col("record_id")).collect()
+    val gz = Warc.read(spark, s"$tmp/t2.warc")
+      .orderBy(col("record_id")).collect()
+    assert(plain.length == gz.length &&
+      plain.zip(gz).forall { case (a, b) =>
+        a.toSeq.dropRight(1) == b.toSeq.dropRight(1) &&
+          a.getAs[Array[Byte]](7).toSeq == b.getAs[Array[Byte]](7).toSeq })
+  }
+
+  test("header folding, case-insensitive names, and a truncated http " +
+      "capture falling back to whole-block payload") {
+    val folded = ("WARC/1.0\r\nwarc-type: metadata\r\n" +
+      "WARC-Record-ID: <urn:uuid:m-1>\r\nWARC-Date: " + date + "\r\n" +
+      "WARC-Target-URI: https://long.example/\r\n\tpath\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8)
+    val truncated = Warc.record("response", "urn:uuid:t-1", date,
+      "HTTP/1.1 200 OK\r\nContent-Type: text".getBytes(UTF_8),
+      Some("application/http; msgtype=response"), Some("https://t.io/"))
+    Files.write(java.nio.file.Paths.get(s"$tmp/edge.warc"),
+      folded ++ truncated)
+    val rows = Warc.read(spark, s"$tmp/edge.warc")
+      .orderBy(col("record_id")).collect()
+    assert(rows(0).getString(0) == "metadata" &&
+      rows(0).getString(3) == "https://long.example/ path")
+    assert(new String(rows(0).getAs[Array[Byte]](7), UTF_8) == "ok")
+    assert(rows(1).isNullAt(5) && new String(
+      rows(1).getAs[Array[Byte]](7), UTF_8).startsWith("HTTP/1.1 200"))
+  }
+
+  test("multi-file archives: one task per file, every record surfaces") {
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/m"))
+    archive(gzip = false, s"$tmp/m/f0.warc")
+    archive(gzip = true, s"$tmp/m/f1.warc.gz")
+    val df = Warc.read(spark, s"$tmp/m")
+    assert(df.count() == 8)
+    assert(df.filter(col("warc_type") === "response").count() == 4)
+  }
+}
