@@ -200,12 +200,16 @@ object Warc {
     out.toArray
   }
 
-  /** A `response` record wrapping an HTTP 200 with `body` as entity. */
+  /** A `response` record wrapping an HTTP response with `body` as entity
+    * (status line reason phrase is free text per RFC 9112 — parsers key
+    * on the code). */
   def responseRecord(uri: String, recordId: String, date: String,
                      body: Array[Byte],
-                     httpContentType: String = "text/html; charset=utf-8")
-  : Array[Byte] = {
-    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpContentType\r\n" +
+                     httpContentType: String = "text/html; charset=utf-8",
+                     status: Int = 200): Array[Byte] = {
+    val reason = if (status == 200) "OK" else "Status"
+    val http = (s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $httpContentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
     record("response", recordId, date, http ++ body,
       Some("application/http; msgtype=response"), Some(uri))
