@@ -163,6 +163,18 @@ object TextAnalysis {
   def fingerprint(text: Column, k: Int = 5): Column =
     array_min(TextHashExprs.shingleHash60(tokens(text), k))
 
+  /** Mojibake repair (ftfy's `fix_encoding` core — the step CC-style
+    * pipelines run right after HTML extraction): UTF-8 text that was
+    * mis-decoded as Latin-1/Windows-1252 upstream ("cafÃ©" → "café")
+    * repairs via the sloppy-cp1252 inverse + strict UTF-8 re-decode,
+    * fixpoint-iterated so double mojibake heals too; clean text — ASCII,
+    * valid non-Latin scripts, genuine Latin-1 prose whose re-encode is
+    * not valid UTF-8 — passes through byte-identical. Native kernel
+    * ([[org.apache.spark.sql.graft.EncodingKernels]]): per-row char
+    * scan, zero allocation on the ASCII fast path, whole-stage codegen. */
+  def fixEncoding(text: Column): Column =
+    org.apache.spark.sql.graft.EncodingExprs.fixMojibake(text)
+
   /** HOF formulation of [[fingerprint]] — interpreted; kept as the
     * reference implementation the native kernel is spec-checked against. */
   def fingerprintHof(text: Column, k: Int = 5): Column =

@@ -406,6 +406,36 @@ object TrainingQueries {
             GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
           FROM documents)""")),
 
+    // Mojibake repair (ftfy's fix_encoding — the step CC pipelines run
+    // right after HTML extraction): documents decorated with non-ASCII
+    // tails, then mis-decoded as Latin-1 in-gate (doc_id%5==0 left
+    // clean, %4==0 double-corrupted — the two-bad-decodes-upstream
+    // case), and the repaired text must equal the decorated ORIGINAL
+    // byte-for-byte — which is what the oracle states directly from the
+    // parquet. Clean rows prove the fixpoint never overshoots (a
+    // repaired string re-encodes to invalid UTF-8); an edit gate over
+    // full text, not a metric gate.
+    Q("q_text_fix_encoding",
+      (s, d) => {
+        val deco = concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" café — naïve ½"))
+            .when(col("doc_id") % 3 === 1, lit(" “smart” quotes™ €9"))
+            .otherwise(lit(" русский 中文")))
+        def moji(c: org.apache.spark.sql.Column) =
+          decode(encode(c, "UTF-8"), "ISO-8859-1")
+        val corrupted = when(col("doc_id") % 5 === 0, deco)
+          .when(col("doc_id") % 4 === 0, moji(moji(deco)))
+          .otherwise(moji(deco))
+        Tables.documents(s, d).select(col("doc_id"),
+            TA.fixEncoding(corrupted).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' café — naïve ½'
+               WHEN doc_id % 3 = 1 THEN ' “smart” quotes™ €9'
+               ELSE ' русский 中文' END AS text
+        FROM documents ORDER BY doc_id""")),
+
     // language ID (stopword-ratio argmax; deterministic tiebreak)
     Q("q_text_langid",
       (s, d) => Tables.documents(s, d).select(

@@ -588,4 +588,55 @@ class FunctionsSpec extends SparkSpec {
     assert(g2.getAs[Int]("stop_hits") == 8)
     assert(g2.getAs[Boolean]("gopher_pass"))
   }
+
+  test("fixEncoding: repairs latin-1 and cp1252 mojibake, heals double " +
+      "mojibake, never touches clean text (fixpoint cannot overshoot)") {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    def fix(s: String): String =
+      one(TA.fixEncoding(lit(s))).asInstanceOf[String]
+    def latin1Moji(s: String): String =
+      new String(s.getBytes(UTF_8), ISO_8859_1)
+    def cp1252Moji(s: String): String = {
+      // sloppy-windows-1252 decode (what broken pipelines actually do):
+      // the five bytes cp1252 leaves undefined fall back to C1 controls
+      // instead of Java's information-destroying U+FFFD
+      val sb = new StringBuilder
+      s.getBytes(UTF_8).foreach { b =>
+        val c = new String(Array(b), "windows-1252").charAt(0)
+        sb.append(if (c == '�') (b & 0xff).toChar else c)
+      }
+      sb.toString
+    }
+    val cleans = Seq("plain ascii only", "café — naïve ½",
+      "“smart” quotes™ €9", "русский текст", "日本語と中文",
+      "emoji 🙂 stays", "lone ¢ sign", "Paweł Ângela")
+    cleans.foreach { s =>
+      // clean text is a fixpoint: never altered
+      assert(fix(s) == s, s"clean altered: $s")
+      if (s.exists(_ >= 0x80) && !s.exists(_ >= 0x2E80) &&
+          !s.exists(Character.isSurrogate)) {
+        // both mis-decode flavors repair back to the true text
+        assert(fix(latin1Moji(s)) == s, s"latin1 repair failed: $s")
+        assert(fix(cp1252Moji(s)) == s, s"cp1252 repair failed: $s")
+        // double mojibake heals through the fixpoint loop
+        assert(fix(latin1Moji(latin1Moji(s))) == s,
+          s"double repair failed: $s")
+      }
+    }
+    // the classic single-word case, spelled out
+    assert(fix("cafÃ©") == "café")
+    // CJK/emoji mojibake repairs too (bytes are high, all cp1252-mapped)
+    assert(fix(latin1Moji("日本語")) == "日本語")
+    // a string with chars outside the cp1252 image is never touched
+    assert(fix("valid № here") == "valid № here")
+    // null-safety through the expression
+    val s2 = spark
+    import s2.implicits._
+    val r = Seq((1L, "cafÃ©"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(TA.fixEncoding(col("t")).as("f")).orderBy(col("f"))
+      .collect()
+    assert(r.map(x => Option(x.getString(0))).toSeq ==
+      Seq(None, Some("café")))
+  }
 }
