@@ -78,6 +78,7 @@ object Bench {
     "q_dedup_exact", "q_text_canon", "q_dedup_minhash_pairs",
     "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_substr",
     "q_dedup_spans", "q_dedup_paragraphs", "q_web_pipeline",
+    "q_text_fix_encoding",
     "q_dedup_semantic_auto", "q_dedup_embed_auto",
     "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
     "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_merges_fast",
@@ -412,8 +413,14 @@ object Bench {
         graft.streaming.Streams.textIndexSink(df, "text", "doc_id",
           tiRoot)(h))
       graft.sources.TextIndexLifecycle.deleteRoot(tiRoot)
+      // paragraph-level bloom dedup (Dolma's production shape): state is
+      // m driver bits, so a flat batches_ms series proves per-batch cost
+      // independent of how many paragraphs the stream has absorbed
+      val para = drive("q_stream_paradedup")((df, h) =>
+        graft.streaming.Streams.paragraphDedupSink(df, "text",
+          "doc_id")(h))
       graft.operators.Checkpoints.sweep()
-      Seq(bloom, near, tidx)
+      Seq(bloom, near, tidx, para)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream pass failed: $e")
       graft.operators.Checkpoints.sweep()
