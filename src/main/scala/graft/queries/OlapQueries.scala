@@ -550,6 +550,58 @@ object OlapQueries {
           FROM h GROUP BY source ORDER BY source"""
       }),
 
+    // WARC charset handling (the CCNet step a real web corpus forces:
+    // payloads are NOT uniformly UTF-8): documents decorated with
+    // non-ASCII tails and SERVED in the charset their HTTP header
+    // declares — UTF-8, quoted-uppercase ISO-8859-1, windows-1252 (the
+    // charset Spark's decode whitelist lacks — native sloppy-cp1252
+    // kernel) — then payloadText must route on the charset parameter
+    // and restore the original text byte-for-byte, which the oracle
+    // states directly from the parquet. A UTF-8 cast in place of the
+    // routing would mojibake two of the three classes and break the
+    // hash.
+    Q("q_warc_charset",
+      (s, d) => {
+        import graft.sources.Warc
+        val dir = new java.io.File(
+          s"/tmp/graft_warccs_${math.abs(d.hashCode)}")
+        if (!dir.exists()) {
+          dir.mkdirs()
+          val rows = Tables.documents(s, d)
+            .select(col("doc_id"), col("text")).collect()
+          val date = "2026-01-01T00:00:00Z"
+          val recs = rows.iterator.map { r =>
+            val id = r.getLong(0)
+            val (deco, cs, label) = (id % 3) match {
+              case 0 => (" русский 中文", "UTF-8", "charset=utf-8")
+              case 1 => (" café ½ naïve", "ISO-8859-1",
+                "charset=\"ISO-8859-1\"")
+              case _ => (" “smart” €", "windows-1252",
+                "charset=windows-1252")
+            }
+            Warc.responseRecord(s"https://w.example.com/doc/$id",
+              s"urn:uuid:cs-$id", date,
+              (r.getString(1) + deco).getBytes(cs),
+              httpContentType = s"text/html; $label")
+          }
+          Warc.writeFile(recs, s"${dir.getPath}/part0.warc.gz",
+            gzip = true)
+        }
+        Warc.read(s, dir.getPath)
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            Warc.payloadText(col("payload"), col("http_content_type"))
+              .as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' русский 中文'
+               WHEN doc_id % 3 = 1 THEN ' café ½ naïve'
+               ELSE ' “smart” €' END AS text
+        FROM documents ORDER BY doc_id""")),
+
     // Z-order (Morton) layout key: per-column min/max quantization to
     // 8-bit ranks + bit interleave — the multi-column file-pruning
     // clustering key (Delta ZORDER's curve). Pure codegen bit math;

@@ -62,6 +62,28 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Charset-aware payload decode — the CCNet charset-handling step: a
+    * web corpus is NOT uniformly UTF-8, and decoding everything as
+    * UTF-8 is exactly the mis-decode mojibake repair exists to undo.
+    * Honors the HTTP `Content-Type: …; charset=…` parameter: Latin-1
+    * family through Spark's built-in decode, windows-1252 through the
+    * native sloppy-cp1252 kernel (Spark's whitelist lacks it), UTF-8 /
+    * unlabeled / unknown fall through to the UTF-8 cast. ASCII labels
+    * route to the UTF-8 cast too (a strict superset on valid input).
+    * Pure projection — the decode rides the same scan as the parse. */
+  def payloadText(payload: org.apache.spark.sql.Column,
+                  httpContentType: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cs = lower(regexp_extract(coalesce(httpContentType, lit("")),
+      "(?i)charset=\"?([A-Za-z0-9_\\-]+)", 1))
+    when(cs.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1"),
+        decode(payload, "ISO-8859-1"))
+      .when(cs.isin("windows-1252", "cp1252"),
+        org.apache.spark.sql.graft.EncodingExprs.cp1252Decode(payload))
+      .otherwise(payload.cast("string"))
+  }
+
   // ---- parse ------------------------------------------------------------
 
   private[graft] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =

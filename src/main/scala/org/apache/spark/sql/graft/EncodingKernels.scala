@@ -55,6 +55,38 @@ object EncodingKernels {
     catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 
+  /** cp1252 remaps of bytes 0x80–0x9F (sloppy: the five undefined bytes
+    * and untouched positions fall back to their Latin-1/C1 identity —
+    * the inverse of [[cp1252Byte]] restricted to that range). */
+  private val Cp1252High: Array[Char] = {
+    val a = (0x80 to 0x9F).map(_.toChar).toArray
+    val remaps = Seq(0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192,
+      0x84 -> 0x201E, 0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021,
+      0x88 -> 0x02C6, 0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039,
+      0x8C -> 0x0152, 0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019,
+      0x93 -> 0x201C, 0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013,
+      0x97 -> 0x2014, 0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161,
+      0x9B -> 0x203A, 0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+    remaps.foreach { case (b, c) => a(b - 0x80) = c.toChar }
+    a
+  }
+
+  /** Sloppy-windows-1252 decode of raw bytes (total — every byte maps;
+    * the charset tier [[graft.sources.Warc.payloadText]] routes here
+    * when an HTTP header declares cp1252, which Spark's `decode`
+    * whitelist lacks). */
+  def cp1252Decode(b: Array[Byte]): UTF8String = {
+    val chars = new Array[Char](b.length)
+    var i = 0
+    while (i < b.length) {
+      val ub = b(i) & 0xff
+      chars(i) =
+        if (ub >= 0x80 && ub <= 0x9F) Cp1252High(ub - 0x80) else ub.toChar
+      i += 1
+    }
+    UTF8String.fromString(new String(chars))
+  }
+
   def fixMojibake(u: UTF8String): UTF8String = {
     var s = u.toString
     var pass = 0
@@ -105,8 +137,27 @@ case class FixMojibakeExpr(child: Expression)
   : FixMojibakeExpr = copy(child = nc)
 }
 
+/** `cp1252_decode(bin)` — sloppy-windows-1252 bytes → string. */
+case class Cp1252DecodeExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "cp1252_decode"
+  override protected def nullSafeEval(b: Any): Any =
+    EncodingKernels.cp1252Decode(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+  : ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.EncodingKernels.cp1252Decode($c)")
+  override protected def withNewChildInternal(nc: Expression)
+  : Cp1252DecodeExpr = copy(child = nc)
+}
+
 /** Column builder (mirrors [[HtmlExprs]]). */
 object EncodingExprs {
   def fixMojibake(c: Column): Column =
     ExpressionUtils.column(FixMojibakeExpr(ExpressionUtils.expression(c)))
+  def cp1252Decode(c: Column): Column =
+    ExpressionUtils.column(Cp1252DecodeExpr(ExpressionUtils.expression(c)))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.nio.file.Files
 
 import graft.sources.Warc
@@ -126,6 +126,33 @@ class WarcSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]](7).toSeq == payload.toSeq,
         s"payload drift on $id")
     }
+  }
+
+  test("payloadText: routes on the declared charset — latin-1 and " +
+      "cp1252 payloads decode correctly, utf-8/unlabeled/unknown fall " +
+      "through, a blind utf-8 cast would mojibake") {
+    val s2 = spark
+    import s2.implicits._
+    val text = "café ½ “q” €"
+    val rows = Seq(
+      (1L, text.getBytes(UTF_8), "text/html; charset=utf-8"),
+      (2L, "café ½".getBytes(ISO_8859_1), "text/html; charset=\"ISO-8859-1\""),
+      (3L, text.getBytes("windows-1252"), "text/html; charset=WINDOWS-1252"),
+      (4L, "plain".getBytes(UTF_8), "text/html"),
+      (5L, "plain".getBytes(UTF_8), null.asInstanceOf[String]),
+      (6L, text.getBytes(UTF_8), "text/html; charset=x-unknown-enc"))
+      .toDF("id", "payload", "ct")
+    val got = rows.select(col("id"),
+        Warc.payloadText(col("payload"), col("ct")).as("t"))
+      .orderBy(col("id")).collect().map(_.getString(1))
+    assert(got(0) == text && got(1) == "café ½" && got(2) == text)
+    assert(got(3) == "plain" && got(4) == "plain" && got(5) == text)
+    // the five cp1252-undefined bytes decode sloppily (C1 controls),
+    // keeping the round trip total rather than information-destroying
+    val edge = Seq((1L, Array[Byte](0x81.toByte, 0x9D.toByte),
+      "text/html; charset=cp1252")).toDF("id", "payload", "ct")
+    assert(edge.select(Warc.payloadText(col("payload"), col("ct")))
+      .head().getString(0) == "\u0081\u009d")
   }
 
   test("multi-file archives: one task per file, every record surfaces") {
