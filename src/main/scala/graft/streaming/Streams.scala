@@ -56,6 +56,34 @@ object Streams {
     reader.load()
   }
 
+  /** Streaming WARC ingestion — continuous-crawl archives LANDING in a
+    * directory (the shape a fetch fleet produces: finished `.warc.gz`
+    * files dropped into object storage). Spark's file stream source
+    * tracks seen files in the checkpoint; each NEW archive becomes one
+    * task of the next micro-batch, parsed by the same single-cursor
+    * pass as batch [[graft.sources.Warc.read]] — per-batch cost is
+    * O(new archives), nothing rescans the directory's history. Emits
+    * [[graft.sources.Warc.schema]] rows; chain the curation stages
+    * (`payloadText`, html kernels, dedup sinks) downstream.
+    * `maxFilesPerTrigger` is the per-micro-batch rate cap (the same
+    * throttle role as kafka's `maxOffsetsPerTrigger`). */
+  def warcSource(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val binSchema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    val reader = spark.readStream.format("binaryFile").schema(binSchema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    withOpt.load(dir).select(col("content"))
+      .as(org.apache.spark.sql.Encoders.BINARY)
+      .flatMap(b => graft.sources.Warc.parseAll(
+        graft.sources.Warc.gunzipIfNeeded(b)))(
+        org.apache.spark.sql.Encoders.row(graft.sources.Warc.schema))
+      .toDF()
+  }
+
   /** Micro-batch parquet sink — the "segment seal" path: each micro-batch
     * appends a columnar file set, checkpointed for exactly-once. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,

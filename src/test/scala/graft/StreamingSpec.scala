@@ -342,6 +342,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toMap == Map(10L -> "x\ny", 11L -> "z"))
   }
 
+  test("streaming WARC source: archives dropped into the directory " +
+      "surface as parsed records in subsequent micro-batches, gzip and " +
+      "plain alike; nothing reprocesses") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.sources.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-stream").toString
+    val date = "2026-01-01T00:00:00Z"
+    def archive(path: String, ids: Seq[Int], gzip: Boolean): Unit =
+      Warc.writeFile(ids.iterator.map(i =>
+        Warc.responseRecord(s"https://x.io/$i", s"urn:uuid:r-$i", date,
+          s"<html>doc $i</html>".getBytes(UTF_8))), path, gzip)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Streams.warcSource(spark, dir)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.collect().foreach(r => seen += ((id, r.getString(1))))
+      }.start()
+    archive(s"$dir/a0.warc", Seq(0, 1), gzip = false)
+    q.processAllAvailable()
+    archive(s"$dir/a1.warc.gz", Seq(2, 3, 4), gzip = true)
+    q.processAllAvailable()
+    q.processAllAvailable() // no new files → no new rows
+    q.stop()
+    val byBatch = seen.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    assert(seen.map(_._2).sorted ==
+      (0 to 4).map(i => s"urn:uuid:r-$i").sorted)
+    // the two drops landed in different micro-batches, no overlap
+    assert(byBatch.values.toSeq.map(_.size).sorted == Seq(2, 3))
+  }
+
   test("streaming exact dedup sink: N micro-batches produce byte-identical " +
       "survivors to the N-batch batch protocol on the same data") {
     val s = spark
