@@ -3549,7 +3549,10 @@ object TrainingQueries {
               "^https://([^/]+)/", 1).as("host"),
             regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
               .cast("long").as("doc_id"),
-            col("payload").cast("string").as("html"))
+            // charset-aware decode (all utf-8 here; q_warc_charset is
+            // the gate that exercises the routing)
+            Warc.payloadText(col("payload"), col("http_content_type"))
+              .as("html"))
         val surv = UrlCuration.filterBlocklist(fetched, "host", "doc_id",
           Seq("blocked.example.com", "tracker.net").toDF("domain"))
         val extracted = surv.select(col("doc_id"),
