@@ -100,28 +100,47 @@ object Warc {
       out.toByteArray
     } else bytes
 
-  /** Linear single-pass record iterator over one archive's bytes. */
+  /** Linear single-pass record iterator over one archive's bytes.
+    *
+    * Truncation policy (what production readers do at crawl scale): a
+    * record cut off at END of archive — header break or content block
+    * running past EOF, the shape an interrupted fetch/upload leaves —
+    * is DROPPED and iteration ends; every complete record before it
+    * still surfaces, so one bad tail can't kill a 100 TB job. Bytes at
+    * a record boundary that are not a WARC version line still throw:
+    * that is framing desync (a lying Content-Length mid-file), where
+    * silently skipping would misattribute payloads. */
   private[graft] def parseAll(bytes: Array[Byte]): Iterator[Row] =
     new Iterator[Row] {
       private var p = skipCrlf(0)
+      private var ready: Row = _
+      advance()
       private def skipCrlf(q0: Int): Int = {
         var q = q0
         while (q + 1 < bytes.length && bytes(q) == '\r' &&
           bytes(q + 1) == '\n') q += 2
         q
       }
-      def hasNext: Boolean = p < bytes.length
+      def hasNext: Boolean = ready != null
       def next(): Row = {
+        if (ready == null) throw new NoSuchElementException
+        val r = ready
+        advance()
+        r
+      }
+      private def advance(): Unit = {
+        ready = null
+        if (p >= bytes.length) return
         require(startsWith(p, "WARC/"),
           s"malformed WARC: no version line at offset $p")
         val headEnd = indexOfBreak(p)
+        if (headEnd < 0) return // truncated tail: drop
         val head = new String(bytes, p, headEnd - p, UTF_8)
         val headers = parseHeaders(head)
         val len = headers.getOrElse("content-length",
           sys.error("malformed WARC: no Content-Length")).toInt
         val blockStart = headEnd + 4
-        require(blockStart + len <= bytes.length,
-          "malformed WARC: truncated block")
+        if (blockStart + len > bytes.length) return // truncated tail
         val block = java.util.Arrays.copyOfRange(
           bytes, blockStart, blockStart + len)
         p = skipCrlf(blockStart + len)
@@ -130,7 +149,7 @@ object Warc {
           ctype != null && ctype.toLowerCase.startsWith("application/http")
         val (status, httpCt, payload) =
           if (isHttp) parseHttp(block) else (null, null, block)
-        Row(headers.get("warc-type").orNull,
+        ready = Row(headers.get("warc-type").orNull,
           headers.get("warc-record-id").map(stripAngles).orNull,
           headers.get("warc-date").orNull,
           headers.get("warc-target-uri").map(stripAngles).orNull,
@@ -144,8 +163,7 @@ object Warc {
         while (q + 3 < bytes.length &&
           !(bytes(q) == '\r' && bytes(q + 1) == '\n' &&
             bytes(q + 2) == '\r' && bytes(q + 3) == '\n')) q += 1
-        require(q + 3 < bytes.length, "malformed WARC: no header break")
-        q
+        if (q + 3 < bytes.length) q else -1
       }
     }
 

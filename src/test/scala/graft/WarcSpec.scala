@@ -155,6 +155,27 @@ class WarcSpec extends SparkSpec {
       .head().getString(0) == "\u0081\u009d")
   }
 
+  test("truncated archive tails drop gracefully — complete records " +
+      "surface, the cut-off trailing record doesn't kill the task; " +
+      "mid-file desync still throws") {
+    val full = Warc.responseRecord("https://x.io/a", "urn:uuid:t-0", date,
+      "<html>ok</html>".getBytes(UTF_8))
+    val victim = Warc.responseRecord("https://x.io/b", "urn:uuid:t-1",
+      date, "<html>cut</html>".getBytes(UTF_8))
+    // cut mid-BLOCK (content-length runs past EOF) and mid-HEADER
+    val cutBlock = full ++ full ++ victim.dropRight(12)
+    val cutHead = full ++ victim.take(30)
+    Files.write(java.nio.file.Paths.get(s"$tmp/cutb.warc"), cutBlock)
+    Files.write(java.nio.file.Paths.get(s"$tmp/cuth.warc"), cutHead)
+    assert(Warc.read(spark, s"$tmp/cutb.warc").count() == 2)
+    assert(Warc.read(spark, s"$tmp/cuth.warc").count() == 1)
+    // desync (garbage at a record boundary) is NOT tail truncation
+    val desync = full ++ "GARBAGE".getBytes(UTF_8) ++ full
+    intercept[Exception] {
+      Warc.parseAll(desync).toList
+    }
+  }
+
   test("multi-file archives: one task per file, every record surfaces") {
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/m"))
     archive(gzip = false, s"$tmp/m/f0.warc")
