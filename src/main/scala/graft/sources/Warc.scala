@@ -262,19 +262,71 @@ object Warc {
       fields.map { case (k, v) => s"$k: $v\r\n" }.mkString.getBytes(UTF_8),
       Some("application/warc-fields"))
 
+  /** A `conversion` record — WET's shape: the extracted-text derivative
+    * of a response, `text/plain` content, no HTTP envelope (ISO 28500
+    * §6.8; Common Crawl's WET files are exactly WARC conversion
+    * records). */
+  def conversionRecord(uri: String, recordId: String, date: String,
+                       text: String): Array[Byte] =
+    record("conversion", recordId, date, text.getBytes(UTF_8),
+      Some("text/plain"), Some(uri))
+
   /** Concatenate records into one archive file (gzip whole-stream when
     * `gzip` — parseable by the same multi-member read path). */
   def writeFile(records: Iterator[Array[Byte]], outFile: String,
                 gzip: Boolean = false): Unit = {
     val raw = new ArrayBuffer[Byte]()
     records.foreach(raw ++= _)
-    val bytes =
-      if (gzip) {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(raw.toArray); gz.close()
-        bos.toByteArray
-      } else raw.toArray
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile), bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      if (gzip) gzipBytes(raw.toArray) else raw.toArray)
+  }
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  /** Distributed WET sink — the pipeline's OUTPUT half: curated text
+    * written back as `conversion`-record archives, ONE ARCHIVE PER
+    * PARTITION through the Hadoop filesystem API (works on HDFS/S3A the
+    * same as local), which is the production shape — archive size is
+    * governed by partitioning (repartition upstream to hit the ~1 GB
+    * sweet spot), each task streams its records through one gzip
+    * member, nothing aggregates on the driver. Record ids derive from
+    * the URI hash so the write is deterministic for a fixed
+    * partitioning. Returns the shard file names. */
+  def writeWet(df: DataFrame, uriCol: String, textCol: String,
+               outDir: String, date: String, gzip: Boolean = true)
+  : Seq[String] = {
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val suffix = if (gzip) ".warc.wet.gz" else ".warc.wet"
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(uriCol).cast("string"),
+      col(textCol).cast("string"))
+    val names = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val name = f"part-$pid%05d$suffix"
+        val path = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = path.getFileSystem(conf.value)
+        val raw = fs.create(path, true)
+        val out = if (gzip) new java.util.zip.GZIPOutputStream(raw)
+          else raw: java.io.OutputStream
+        try it.foreach { r =>
+          val uri = r.getString(0)
+          val id = "urn:graft:wet:" + java.lang.Long.toHexString(
+            org.apache.spark.sql.graft.TextKernels.hash60(
+              org.apache.spark.unsafe.types.UTF8String.fromString(uri)))
+          out.write(conversionRecord(uri, id, date,
+            Option(r.getString(1)).getOrElse("")))
+        } finally out.close()
+        Iterator.single(name)
+      }
+    }.collect().toSeq
+    names
   }
 }

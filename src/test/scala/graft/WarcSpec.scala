@@ -176,6 +176,33 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("writeWet: one conversion-record archive per partition through " +
+      "the Hadoop FS API; round-trips through the gated reader") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = (0 until 40)
+      .map(i => (s"https://x.io/$i", s"curated text $i\nline two"))
+      .toDF("uri", "text").repartition(4)
+    val out = s"$tmp/wet"
+    val names = Warc.writeWet(docs, "uri", "text", out, date)
+    assert(names.size == 4 && names.forall(_.endsWith(".warc.wet.gz")))
+    val back = Warc.read(spark, out)
+    assert(back.count() == 40)
+    val r = back.filter(col("target_uri") === "https://x.io/7")
+      .head()
+    assert(r.getString(0) == "conversion" &&
+      r.getString(4) == "text/plain" && r.isNullAt(5) &&
+      new String(r.getAs[Array[Byte]](7), UTF_8) ==
+        "curated text 7\nline two")
+    // uncompressed twin + null text → empty record
+    val n2 = Warc.writeWet(Seq(("https://x.io/n", null: String))
+      .toDF("uri", "text").coalesce(1), "uri", "text", s"$tmp/wet2",
+      date, gzip = false)
+    assert(n2 == Seq("part-00000.warc.wet"))
+    val b2 = Warc.read(spark, s"$tmp/wet2").head()
+    assert(b2.getAs[Array[Byte]](7).isEmpty)
+  }
+
   test("multi-file archives: one task per file, every record surfaces") {
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/m"))
     archive(gzip = false, s"$tmp/m/f0.warc")
