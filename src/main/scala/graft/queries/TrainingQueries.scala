@@ -364,6 +364,132 @@ object TrainingQueries {
 
   private def hash60Sql(e: String): String = ParSql.hash60(e)
 
+  /** Shared front half of q_warc_pipeline / q_warc_shards: synthesize
+    * the four response archives once per corpus (404s at doc_id%7,
+    * PDFs at %11, blocklist-tier hosts at %4, two archives gzip), then
+    * run the curation chain — parse → HTTP-200 text/html gate → host
+    * blocklist → HTML text/title extraction → link-density gate →
+    * cross-doc paragraph dedup. Returns (doc_id, title, text). */
+  private def warcCurated(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Html
+    import graft.operators.UrlCuration
+    import graft.sources.Warc
+    val dir = new java.io.File(
+      s"/tmp/graft_warcpipe_${math.abs(d.hashCode)}")
+    if (!dir.exists()) {
+      dir.mkdirs()
+      val host = concat(col("source"), lit("."),
+        when(col("doc_id") % 4 === 0, lit("blocked.example.com"))
+          .when(col("doc_id") % 4 === 1, lit("ok.example.org"))
+          .when(col("doc_id") % 4 === 2, lit("ads.tracker.net"))
+          .otherwise(lit("clean.io")))
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did, lit(" &amp; Co</title>"),
+        lit("</head><body><h1>"), col("source"),
+        lit(" &lt;news&gt;</h1><p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<p>See <a href=\"u\">the &quot;docs&quot;</a> here</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), host.as("host"), html.as("html"))
+        .collect()
+      val date = "2026-01-01T00:00:00Z"
+      (0 until 4).foreach { part =>
+        val recs = Iterator(Warc.warcinfoRecord(
+            s"urn:uuid:info-$part", date,
+            Seq("isPartOf" -> s"p$part"))) ++
+          rows.iterator.filter(_.getLong(0) % 4 == part).map { r =>
+            val id = r.getLong(0)
+            Warc.responseRecord(
+              s"https://${r.getString(1)}/doc/$id",
+              s"urn:uuid:resp-$id", date,
+              r.getString(2).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8),
+              httpContentType = if (id % 11 == 0) "application/pdf"
+                else "text/html; charset=utf-8",
+              status = if (id % 7 == 0) 404 else 200)
+          }
+        Warc.writeFile(recs,
+          s"${dir.getPath}/part$part.warc${
+            if (part % 2 == 1) ".gz" else ""}",
+          gzip = part % 2 == 1)
+      }
+    }
+    val fetched = Warc.read(s, dir.getPath)
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"),
+          "^https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        // charset-aware decode (all utf-8 here; q_warc_charset is the
+        // gate that exercises the routing)
+        Warc.payloadText(col("payload"), col("http_content_type"))
+          .as("html"))
+    val surv = UrlCuration.filterBlocklist(fetched, "host", "doc_id",
+      Seq("blocked.example.com", "tracker.net").toDF("domain"))
+    val extracted = surv.select(col("doc_id"),
+        Html.htmlTitle(col("html")).as("title"),
+        Html.htmlText(col("html")).as("text"),
+        Par.r6(Html.linkDensity(col("html"))).as("ld"))
+      .filter(col("ld") <= 0.02)
+    val deduped = graft.operators.Dedup.paragraphDedup(
+      extracted.select(col("doc_id"), col("text")), "doc_id", "text")
+    deduped.join(extracted.select(col("doc_id"), col("title")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("title"), col("text"))
+  }
+
+  /** DuckDB twin of [[warcCurated]] as a WITH-clause body ending in
+    * `wp(doc_id, title, text)` — shared by the q_warc_pipeline and
+    * q_warc_shards oracles. */
+  private lazy val warcPipeSql: String = {
+    val htmlSyn = """'<html><head><title>Doc ' ||
+        CAST(doc_id AS VARCHAR) ||
+        ' &amp; Co</title></head><body><h1>' || source ||
+        ' &lt;news&gt;</h1><p>' || text || '</p>' ||
+        CASE WHEN doc_id % 3 = 0
+          THEN '<p>See <a href="u">the &quot;docs&quot;</a> here</p>'
+          ELSE '' END || '</body></html>'"""
+    s"""u AS (SELECT doc_id, source, text, source || '.' ||
+          CASE WHEN doc_id % 4 = 0 THEN 'blocked.example.com'
+               WHEN doc_id % 4 = 1 THEN 'ok.example.org'
+               WHEN doc_id % 4 = 2 THEN 'ads.tracker.net'
+               ELSE 'clean.io' END AS host
+        FROM documents
+        WHERE doc_id % 7 != 0 AND doc_id % 11 != 0),
+      h AS (SELECT doc_id, $htmlSyn AS html FROM u
+        WHERE NOT EXISTS (SELECT 1 FROM (VALUES
+            ('blocked.example.com'), ('tracker.net')) b(domain)
+          WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)),
+      x AS (SELECT doc_id, ${htmlTitleSql("html")} AS title,
+          ${htmlTextSql("html")} AS text_out, html FROM h),
+      kept AS (SELECT doc_id, title, text_out FROM x
+        WHERE ROUND(CAST(${htmlAnchorCharsSql("html")} AS DOUBLE) /
+          NULLIF(length(text_out), 0), 6) <= 0.02),
+      wpsp AS (SELECT doc_id, i - 1 AS para_idx, parts[i] AS para
+        FROM (SELECT doc_id,
+            string_split(text_out, chr(10)) AS parts,
+            unnest(generate_series(1,
+              len(string_split(text_out, chr(10))))) AS i
+          FROM kept)
+        WHERE trim(parts[i]) != ''),
+      wpfirst AS (SELECT doc_id, para_idx, para, ROW_NUMBER() OVER (
+          PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM wpsp),
+      wp AS (SELECT k.doc_id, k.title,
+          COALESCE(string_agg(f.para, chr(10) ORDER BY f.para_idx), '')
+            AS text
+        FROM kept k LEFT JOIN (SELECT * FROM wpfirst WHERE rn = 1) f
+          ON k.doc_id = f.doc_id
+        GROUP BY k.doc_id, k.title)"""
+  }
+
   /** DuckDB twins of TextAnalysis.minHash: base-hash list from a shingle
     * list, and the per-seed affine-rehash signature over a `base` column
     * (same constants as minHashCoeffs). */
@@ -3490,123 +3616,41 @@ object TrainingQueries {
     // stage drops or rewrites real rows, and the status/content-type
     // gates CHANGE which doc owns each paragraph's first occurrence, so
     // the oracle must replay the whole chain from the parquet to match —
-    // survivor set, titles, and rebuilt text hash-checked.
+    // survivor set, titles, and rebuilt text hash-checked. The chain is
+    // shared with q_warc_shards via warcCurated/warcPipeSql below.
     Q("q_warc_pipeline",
-      (s, d) => {
-        import s.implicits._
-        import graft.functions.Html
-        import graft.operators.UrlCuration
-        import graft.sources.Warc
-        val dir = new java.io.File(
-          s"/tmp/graft_warcpipe_${math.abs(d.hashCode)}")
-        if (!dir.exists()) {
-          dir.mkdirs()
-          val host = concat(col("source"), lit("."),
-            when(col("doc_id") % 4 === 0, lit("blocked.example.com"))
-              .when(col("doc_id") % 4 === 1, lit("ok.example.org"))
-              .when(col("doc_id") % 4 === 2, lit("ads.tracker.net"))
-              .otherwise(lit("clean.io")))
-          val did = col("doc_id").cast("string")
-          val html = concat(
-            lit("<html><head><title>Doc "), did, lit(" &amp; Co</title>"),
-            lit("</head><body><h1>"), col("source"),
-            lit(" &lt;news&gt;</h1><p>"), col("text"), lit("</p>"),
-            when(col("doc_id") % 3 === 0,
-              lit("<p>See <a href=\"u\">the &quot;docs&quot;</a> here</p>"))
-              .otherwise(lit("")),
-            lit("</body></html>"))
-          val rows = Tables.documents(s, d)
-            .select(col("doc_id"), host.as("host"), html.as("html"))
-            .collect()
-          val date = "2026-01-01T00:00:00Z"
-          (0 until 4).foreach { part =>
-            val recs = Iterator(Warc.warcinfoRecord(
-                s"urn:uuid:info-$part", date,
-                Seq("isPartOf" -> s"p$part"))) ++
-              rows.iterator.filter(_.getLong(0) % 4 == part).map { r =>
-                val id = r.getLong(0)
-                Warc.responseRecord(
-                  s"https://${r.getString(1)}/doc/$id",
-                  s"urn:uuid:resp-$id", date,
-                  r.getString(2).getBytes(
-                    java.nio.charset.StandardCharsets.UTF_8),
-                  httpContentType = if (id % 11 == 0) "application/pdf"
-                    else "text/html; charset=utf-8",
-                  status = if (id % 7 == 0) 404 else 200)
-              }
-            Warc.writeFile(recs,
-              s"${dir.getPath}/part$part.warc${
-                if (part % 2 == 1) ".gz" else ""}",
-              gzip = part % 2 == 1)
-          }
-        }
-        val fetched = Warc.read(s, dir.getPath)
-          .filter(col("warc_type") === "response" &&
-            col("http_status") === 200 &&
-            col("http_content_type").startsWith("text/html"))
-          .select(
-            regexp_extract(col("target_uri"),
-              "^https://([^/]+)/", 1).as("host"),
-            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
-              .cast("long").as("doc_id"),
-            // charset-aware decode (all utf-8 here; q_warc_charset is
-            // the gate that exercises the routing)
-            Warc.payloadText(col("payload"), col("http_content_type"))
-              .as("html"))
-        val surv = UrlCuration.filterBlocklist(fetched, "host", "doc_id",
-          Seq("blocked.example.com", "tracker.net").toDF("domain"))
-        val extracted = surv.select(col("doc_id"),
-            Html.htmlTitle(col("html")).as("title"),
-            Html.htmlText(col("html")).as("text"),
-            Par.r6(Html.linkDensity(col("html"))).as("ld"))
-          .filter(col("ld") <= 0.02)
-        val deduped = graft.operators.Dedup.paragraphDedup(
-          extracted.select(col("doc_id"), col("text")), "doc_id", "text")
-        deduped.join(extracted.select(col("doc_id"), col("title")),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("title"), col("text"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val htmlSyn = """'<html><head><title>Doc ' ||
-            CAST(doc_id AS VARCHAR) ||
-            ' &amp; Co</title></head><body><h1>' || source ||
-            ' &lt;news&gt;</h1><p>' || text || '</p>' ||
-            CASE WHEN doc_id % 3 = 0
-              THEN '<p>See <a href="u">the &quot;docs&quot;</a> here</p>'
-              ELSE '' END || '</body></html>'"""
-        s"""WITH u AS (SELECT doc_id, source, text, source || '.' ||
-              CASE WHEN doc_id % 4 = 0 THEN 'blocked.example.com'
-                   WHEN doc_id % 4 = 1 THEN 'ok.example.org'
-                   WHEN doc_id % 4 = 2 THEN 'ads.tracker.net'
-                   ELSE 'clean.io' END AS host
-            FROM documents
-            WHERE doc_id % 7 != 0 AND doc_id % 11 != 0),
-          h AS (SELECT doc_id, $htmlSyn AS html FROM u
-            WHERE NOT EXISTS (SELECT 1 FROM (VALUES
-                ('blocked.example.com'), ('tracker.net')) b(domain)
-              WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)),
-          x AS (SELECT doc_id, ${htmlTitleSql("html")} AS title,
-              ${htmlTextSql("html")} AS text_out, html FROM h),
-          kept AS (SELECT doc_id, title, text_out FROM x
-            WHERE ROUND(CAST(${htmlAnchorCharsSql("html")} AS DOUBLE) /
-              NULLIF(length(text_out), 0), 6) <= 0.02),
-          sp AS (SELECT doc_id, i - 1 AS para_idx, parts[i] AS para
-            FROM (SELECT doc_id,
-                string_split(text_out, chr(10)) AS parts,
-                unnest(generate_series(1,
-                  len(string_split(text_out, chr(10))))) AS i
-              FROM kept)
-            WHERE trim(parts[i]) != ''),
-          first AS (SELECT doc_id, para_idx, para, ROW_NUMBER() OVER (
-              PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM sp)
-          SELECT k.doc_id, k.title,
-            COALESCE(string_agg(f.para, chr(10) ORDER BY f.para_idx), '')
-              AS text
-          FROM kept k LEFT JOIN (SELECT * FROM first WHERE rn = 1) f
-            ON k.doc_id = f.doc_id
-          GROUP BY k.doc_id, k.title ORDER BY k.doc_id"""
-      }),
+      (s, d) => warcCurated(s, d)
+        .select(col("doc_id"), col("title"), col("text"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $warcPipeSql
+          SELECT doc_id, title, text FROM wp ORDER BY doc_id""")),
+
+    // GRAND capstone — archive bytes to TRAINING SHARDS, the complete
+    // factory in one gate: the q_warc_pipeline curation chain (parse →
+    // HTTP gate → blocklist → extract → link density → paragraph dedup)
+    // feeds token-budget sharding (the distributed two-pass prefix sum
+    // of q_shard_tokens). Every upstream drop or text rewrite moves
+    // token counts and therefore every downstream shard boundary, so
+    // the oracle replays the curation CTEs AND the prefix-sum window in
+    // one statement — assignment bit-checked per document.
+    Q("q_warc_shards",
+      (s, d) => graft.operators.Packing.shardByTokens(
+          warcCurated(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", budget = 2000L)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $warcPipeSql,
+          t AS (SELECT doc_id,
+              CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+              ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS ord
+            FROM wp),
+          w AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY ord % 256, ord, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS prev
+            FROM t)
+          SELECT doc_id, n_tokens, CAST(prev // 2000 AS BIGINT) AS shard
+          FROM w ORDER BY doc_id""")),
 
     // STREAMING paragraph dedup, hash-gated (Dolma's production shape —
     // a Bloom filter over paragraphs): the same synthesized-line corpus
