@@ -61,6 +61,61 @@ object Curation {
     annotate(df, textCol, cfg).filter(col("keep"))
       .drop("lang_ok", "len_ok", "rep_ok", "qual_ok", "keep")
 
+  /** C4-style bad-word / bad-phrase hit flag (Raffel 2020 §2.2: drop any
+    * page containing a word from the public blocklist; real lists carry
+    * multi-word phrases too). Matching is on the lowercased whitespace
+    * token stream — a p-token phrase hits iff it appears as p
+    * consecutive tokens, so "ass" in "class" can never hit (the classic
+    * substring-blocklist false positive). Literal tier: phrases group
+    * by token count and each group rides into codegen as ONE
+    * `arrays_overlap` against that length's shingles — zero shuffle,
+    * zero explode (C4's production list is ~400 entries; this tier).
+    * For lists past literal size use [[badPhraseIds]]. Note
+    * [[TA.shingles]]' short-doc edge: a doc shorter than p tokens
+    * contributes its whole text as one p-shingle — a phrase can
+    * therefore match a doc that IS the phrase, which is the intended
+    * outcome. */
+  def phraseHit(text: org.apache.spark.sql.Column, phrases: Seq[String])
+  : org.apache.spark.sql.Column = {
+    require(phrases.nonEmpty, "empty blocklist")
+    val norm = phrases.map(_.toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_.nonEmpty)
+    val toks = TA.tokens(text)
+    norm.groupBy(_.length).toSeq.sortBy(_._1).map { case (k, ps) =>
+      arrays_overlap(TA.shingles(toks, k),
+        typedlit(ps.map(_.mkString(" ")).distinct))
+    }.reduce(_ || _)
+  }
+
+  /** Ids of documents hit by a LARGE phrase blocklist (the tier for
+    * lists past codegen-literal size — host blocklists repurposed as
+    * text, multi-locale lists): the corpus explodes shingles once per
+    * distinct phrase length and broadcast-semi-joins the list — the
+    * corpus never shuffles, hit ids only. Distinct lengths come off the
+    * (by-definition broadcastable) list itself. */
+  def badPhraseIds(df: DataFrame, textCol: String, idCol: String,
+                   phrases: DataFrame): DataFrame = {
+    val p = phrases.select(
+      array_join(TA.tokens(col(phrases.columns.head)), " ").as("p"))
+      .filter(length(col("p")) > 0).distinct()
+    val lens = p.select(size(split(col("p"), " ")).as("k"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val toks = TA.tokens(col(textCol))
+    lens.map { k =>
+      df.select(col(idCol),
+          explode(TA.shingles(toks, k)).as("sh"))
+        .join(broadcast(p.filter(
+          size(split(col("p"), " ")) === k)),
+          col("sh") === col("p"), "left_semi")
+        .select(col(idCol))
+    }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Survivors of the blocklist — literal tier. */
+  def filterBadPhrases(df: DataFrame, textCol: String,
+                       phrases: Seq[String]): DataFrame =
+    df.filter(!phraseHit(col(textCol), phrases))
+
   /** Capstone end-to-end curation — the C4/Gopher/CCNet stack composed
     * in pipeline order: exact dedup (first copy survives) → Gopher rule
     * gate ([[TA.gopherSignals]]) → self-trained bigram-LM perplexity

@@ -4008,6 +4008,43 @@ object TrainingQueries {
         ORDER BY doc_id"""
       }),
 
+    // C4-style bad-word/phrase blocklist (Raffel 2020 §2.2 — drop any
+    // page containing a listed word or phrase). Token-stream matching,
+    // not substring ("ass" never hits "class"); multi-word phrases
+    // match as consecutive tokens. The literal tier (one codegen
+    // arrays_overlap per phrase length, zero shuffle) produces the
+    // verdicts; the broadcast-semi big-list tier must agree on the
+    // blocked id set, asserted in-gate. The oracle replays shingle
+    // membership per length, so every verdict is bit-checked.
+    Q("q_curate_badwords",
+      (s, d) => {
+        import s.implicits._
+        val bad = Seq("slow", "big data", "hash join")
+        val docs = Tables.documents(s, d)
+        val flagged = docs.select(col("doc_id"),
+            graft.operators.Curation.phraseHit(col("text"), bad)
+              .as("blocked"))
+          .orderBy(col("doc_id"))
+        val semiIds = graft.operators.Curation.badPhraseIds(
+            docs, "text", "doc_id", bad.toDF("phrase"))
+          .collect().map(_.getLong(0)).toSet
+        val litIds = flagged.filter(col("blocked"))
+          .collect().map(_.getLong(0)).toSet
+        require(semiIds == litIds,
+          s"tier drift: ${semiIds.size} vs ${litIds.size}")
+        flagged
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sh AS (SELECT doc_id, ${shinglesSql("tk", 1)} AS s1,
+            ${shinglesSql("tk", 2)} AS s2
+          FROM tk)
+        SELECT doc_id,
+          len(list_filter(s1, x -> list_contains(['slow'], x))) > 0 OR
+          len(list_filter(s2, x -> list_contains(
+            ['big data', 'hash join'], x))) > 0 AS blocked
+        FROM sh ORDER BY doc_id""")),
+
     // Supervised quality/routing classifier (the fastText tier of LLM
     // data pipelines): multinomial Naive Bayes trained on the 80% split
     // (doc_id % 5 != 0) with lang as the class, scoring the held-out 20%.

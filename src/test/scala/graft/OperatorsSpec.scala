@@ -3028,4 +3028,31 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.operators.Dedup.loadIndex(s, "spec_empty").count() == 1L)
     graft.operators.Dedup.dropIndex(s, "spec_empty")
   }
+
+  test("phrase blocklist: token-stream matching (no substring hits), " +
+      "multi-word consecutive-only phrases, case-insensitive, short-doc " +
+      "edge, literal ≡ broadcast-semi tier") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the class is great"),  // "ass" must NOT hit inside "class"
+      (2L, "this is ASS content"), // case-insensitive token hit
+      (3L, "a big data story"),    // 2-token phrase hit
+      (4L, "big story about data"),// non-consecutive → no hit
+      (5L, "big data"),            // doc IS the phrase
+      (6L, "big"))                 // short-doc 2-shingle = "big" → no hit
+      .toDF("doc_id", "text")
+    val bad = Seq("ass", "Big Data") // list itself normalizes
+    val got = docs.select(col("doc_id"),
+        Curation.phraseHit(col("text"), bad).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false))
+    val semi = Curation.badPhraseIds(docs, "text", "doc_id",
+        bad.toDF("phrase")).collect().map(_.getLong(0)).toSet
+    assert(semi == Set(2L, 3L, 5L))
+    assert(Curation.filterBadPhrases(docs, "text", bad)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L, 6L))
+  }
 }
