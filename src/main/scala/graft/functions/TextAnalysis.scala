@@ -148,6 +148,41 @@ object TextAnalysis {
         alphaFrac >= 0.8 && stopHits >= 2).as("gopher_pass"))
   }
 
+  /** StarCoder-family code-quality signals (Li 2023 "StarCoder" §3 /
+    * BigCode's preprocessing; also The Stack's filters): per-FILE line
+    * metrics that catch minified, autogenerated, and data-blob files —
+    * max and mean line length, fraction of alphanumeric chars, comment
+    * and blank line fractions (`#`, `//`, `--` prefixes after indent) —
+    * plus the conjunct `code_pass` with the published thresholds
+    * (max ≤ 1000, mean ≤ 100, alnum ≥ 0.25). Ratios are integer-count
+    * divisions rounded 6dp so the oracle replays exactly. One codegen
+    * projection, no shuffle — the same shape as [[gopherSignals]]. */
+  def codeSignals(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val lens = transform(lines, l => length(l))
+    val maxLine = coalesce(array_max(lens), lit(0))
+    val meanLine = round(
+      aggregate(lens, lit(0L), (a, x) => a + x).cast("double") / nLines, 6)
+    val alnumFrac = round(
+      length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double"), 6)
+    val trimmed = transform(lines, l => ltrim(l))
+    val commentFrac = round(size(filter(trimmed, l =>
+      l.startsWith("#") || l.startsWith("//") ||
+        l.startsWith("--"))).cast("double") / nLines, 6)
+    val blankFrac = round(size(filter(trimmed, l => l === ""))
+      .cast("double") / nLines, 6)
+    struct(
+      maxLine.as("max_line_len"),
+      meanLine.as("mean_line_len"),
+      alnumFrac.as("alnum_frac"),
+      commentFrac.as("comment_frac"),
+      blankFrac.as("blank_frac"),
+      (maxLine <= 1000 && meanLine <= 100.0 && alnumFrac >= 0.25)
+        .as("code_pass"))
+  }
+
   // ---- shingles / fingerprints / sketches ----
   /** Word k-shingles: sliding windows of k tokens joined by a space. */
   def shingles(toks: Column, k: Int): Column =

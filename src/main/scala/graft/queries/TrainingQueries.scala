@@ -656,6 +656,71 @@ object TrainingQueries {
             FROM documents))
         GROUP BY split ORDER BY split""")),
 
+    // StarCoder/The-Stack code-quality signals (Li 2023 §3): the corpus
+    // reshaped into code-ish files — 4-token lines with deterministic
+    // comment (#, //), and blank lines salted in by (doc_id+i) residues
+    // — then per-file max/mean line length, alnum fraction, comment and
+    // blank line fractions, and the published-threshold conjunct. The
+    // oracle replays the line synthesis AND every metric, so each
+    // division and each threshold compare is bit-checked.
+    Q("q_code_signals",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val last = greatest(((size(toks) - 1) / 4).cast("int"), lit(0))
+        val lines = transform(sequence(lit(0), last), i => {
+          val body = array_join(slice(toks, i * 4 + 1, lit(4)), " ")
+          when((col("doc_id") + i) % 7 === 0, lit(""))
+            .when((col("doc_id") + i) % 5 === 0, concat(lit("# "), body))
+            .when((col("doc_id") + i) % 11 === 0,
+              concat(lit("// "), body))
+            .otherwise(body)
+        })
+        val sig = TA.codeSignals(array_join(lines, "\n"))
+        Tables.documents(s, d).select(col("doc_id"),
+            sig.getField("max_line_len").cast("long").as("max_line_len"),
+            sig.getField("mean_line_len").as("mean_line_len"),
+            sig.getField("alnum_frac").as("alnum_frac"),
+            sig.getField("comment_frac").as("comment_frac"),
+            sig.getField("blank_frac").as("blank_frac"),
+            sig.getField("code_pass").as("code_pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        lined AS (SELECT doc_id, list_transform(
+            generate_series(0, greatest((len(tk) - 1) // 4, 0)),
+            i -> CASE WHEN (doc_id + i) % 7 = 0 THEN ''
+              WHEN (doc_id + i) % 5 = 0
+                THEN '# ' || array_to_string(tk[i*4+1:i*4+4], ' ')
+              WHEN (doc_id + i) % 11 = 0
+                THEN '// ' || array_to_string(tk[i*4+1:i*4+4], ' ')
+              ELSE array_to_string(tk[i*4+1:i*4+4], ' ') END) AS lines
+          FROM tk),
+        m AS (SELECT doc_id,
+            CAST(list_aggregate(list_transform(lines, x -> length(x)),
+              'max') AS BIGINT) AS max_line_len,
+            ROUND(CAST(list_aggregate(list_transform(lines,
+                x -> length(x)), 'sum') AS DOUBLE) /
+              GREATEST(len(lines), 1), 6) AS mean_line_len,
+            ROUND(CAST(length(regexp_replace(
+                array_to_string(lines, chr(10)), '[^a-zA-Z0-9]', '', 'g'))
+                AS DOUBLE) /
+              GREATEST(length(array_to_string(lines, chr(10))), 1), 6)
+              AS alnum_frac,
+            ROUND(CAST(len(list_filter(lines, x ->
+                starts_with(ltrim(x), '#') OR starts_with(ltrim(x), '//')
+                OR starts_with(ltrim(x), '--'))) AS DOUBLE) /
+              GREATEST(len(lines), 1), 6) AS comment_frac,
+            ROUND(CAST(len(list_filter(lines, x -> ltrim(x) = ''))
+                AS DOUBLE) /
+              GREATEST(len(lines), 1), 6) AS blank_frac
+          FROM lined)
+        SELECT doc_id, max_line_len, mean_line_len, alnum_frac,
+          comment_frac, blank_frac,
+          (max_line_len <= 1000 AND mean_line_len <= 100.0 AND
+           alnum_frac >= 0.25) AS code_pass
+        FROM m ORDER BY doc_id""")),
+
     // Gopher-style duplicate-"line" fraction (segments = space-separated
     // words on this corpus; real corpora pass "\n"). Pure projection.
     // Remaining Gopher quality rules (Rae 2021 Table A1): symbol/word

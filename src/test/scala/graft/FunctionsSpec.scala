@@ -589,6 +589,29 @@ class FunctionsSpec extends SparkSpec {
     assert(g2.getAs[Boolean]("gopher_pass"))
   }
 
+  test("codeSignals: hand-computed file — line metrics, comment/blank " +
+      "fractions, threshold conjunct; minified one-liner fails") {
+    val file = "x = 1\n# a comment\n\n  // indented comment\nyy zz ww"
+    val r = one(TA.codeSignals(lit(file)))
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.getAs[Int]("max_line_len") == 21) // "  // indented comment"
+    // lens: 5, 11, 0, 21, 8 → 45/5 = 9.0
+    assert(r.getAs[Double]("mean_line_len") == 9.0)
+    assert(r.getAs[Double]("comment_frac") == 0.4) // 2 of 5
+    assert(r.getAs[Double]("blank_frac") == 0.2)   // 1 of 5
+    assert(r.getAs[Boolean]("code_pass"))
+    val minified = "a" * 1200 // one 1200-char line
+    val m = one(TA.codeSignals(lit(minified)))
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(m.getAs[Int]("max_line_len") == 1200 &&
+      !m.getAs[Boolean]("code_pass"))
+    val blob = ("@@ " * 40).trim // low alnum fraction
+    val b = one(TA.codeSignals(lit(blob)))
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(b.getAs[Double]("alnum_frac") < 0.25 &&
+      !b.getAs[Boolean]("code_pass"))
+  }
+
   test("fixEncoding: repairs latin-1 and cp1252 mojibake, heals double " +
       "mojibake, never touches clean text (fixpoint cannot overshoot)") {
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
