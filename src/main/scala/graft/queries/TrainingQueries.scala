@@ -1468,6 +1468,45 @@ object TrainingQueries {
     // cluster id. The oracle replays ALL of it — centroid choice,
     // assignment argmax (rounded-cos DESC, cidx ASC), greedy-by-id drops —
     // so the hash covers both the clustering and the prune.
+    // Cluster-BALANCED sampling — the data-mixing move that keeps a
+    // dominant mode from swamping the mix (DoReMi/cluster-stratified
+    // curation): assign embeddings to semantic clusters (the proven
+    // seeded-centroid argmax), then take a deterministic per-cluster
+    // reservoir — exactly min(k,|cluster|) rows per cluster in salted
+    // hash order. The oracle replays centroid assignment AND the
+    // reservoir window, so membership, rank, and the cap are all
+    // bit-checked.
+    Q("q_sample_clustered",
+      (s, d) => {
+        val asg = Dedup.semanticAssign(
+          Tables.embeddings(s, d), "embedding", "vec_id", 8)
+        graft.operators.Sampling.reservoirPerKey(
+            asg, Seq("cluster"), "vec_id", k = 20)
+          .select(col("vec_id"), col("cluster"),
+            col("sample_rank").cast("long").as("sample_rank"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH cent AS (
+          SELECT embedding AS cvec,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+        asg AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cidx AS cluster,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ROUND(${cosSql("e.embedding", "c.cvec")}, 6) DESC,
+                  c.cidx) AS rk
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rk = 1),
+        rsv AS (SELECT vec_id, cluster, ROW_NUMBER() OVER (
+            PARTITION BY cluster ORDER BY
+              ${hash60Sql("'graft:' || CAST(vec_id AS VARCHAR)")}, vec_id)
+            AS sample_rank
+          FROM asg)
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+          CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM rsv WHERE sample_rank <= 20 ORDER BY vec_id""")),
+
     Q("q_dedup_semantic",
       (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d),
           "embedding", "vec_id", 8, 0.25)
