@@ -373,6 +373,27 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch.values.toSeq.map(_.size).sorted == Seq(2, 3))
   }
 
+  test("paragraph sink with everything in ONE batch ≡ batch " +
+      "paragraphDedup (empty bitmap → pure within-batch rule)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val last = greatest(((size(toks) - 1) / 4).cast("int"), lit(0))
+    val lines = transform(sequence(lit(0), last),
+      i => array_join(slice(toks, i * 4 + 1, lit(4)), " "))
+    val docs = Tables.documents(s, sfDir)
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+    val state = new Streams.BloomDedupState("para", 1 << 20, 3)
+    val streamed = Streams.paragraphDedupBatch(state, docs, 0L,
+        "text", "doc_id", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.operators.Dedup.paragraphDedup(docs,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup sink: N micro-batches produce byte-identical " +
       "survivors to the N-batch batch protocol on the same data") {
     val s = spark
