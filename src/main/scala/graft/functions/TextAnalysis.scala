@@ -183,6 +183,44 @@ object TextAnalysis {
         .as("code_pass"))
   }
 
+  /** Unicode-script profile (the CCNet-family companion to [[langId]] —
+    * stopword language ID is blind to non-spaced scripts, so pipelines
+    * bucket by SCRIPT first): fractions of non-whitespace chars in
+    * explicit codepoint ranges — Latin (ASCII letters + Latin-1/Extended
+    * supplements), Cyrillic, CJK (kana + unified ideographs), digits,
+    * other — plus the dominant label with a fixed priority tie-break
+    * (latin > cyrillic > cjk > digit > other on equal counts). Ranges
+    * and the whitespace class are spelled as explicit literals because
+    * Java and RE2 disagree on `\s` and on named script classes; these
+    * literals behave identically in both engines, so the oracle replays
+    * bit-exactly. One codegen projection. */
+  def scriptProfile(text: Column): Column = {
+    def cnt(cls: String): Column =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    val latin = cnt("[A-Za-zÀ-ɏ]")
+    val cyr = cnt("[Ѐ-ӿ]")
+    val cjk = cnt("[぀-ヿ一-鿿]")
+    val digit = cnt("[0-9]")
+    val nonWs = cnt("[^ \\t\\n\\r\\f]")
+    val other = nonWs - latin - cyr - cjk - digit
+    val base = greatest(nonWs, lit(1L)).cast("double")
+    def frac(c: Column): Column = round(c.cast("double") / base, 6)
+    val script =
+      when(latin >= cyr && latin >= cjk && latin >= digit &&
+        latin >= other, lit("latin"))
+      .when(cyr >= cjk && cyr >= digit && cyr >= other, lit("cyrillic"))
+      .when(cjk >= digit && cjk >= other, lit("cjk"))
+      .when(digit >= other, lit("digit"))
+      .otherwise(lit("other"))
+    struct(
+      frac(latin).as("latin_frac"),
+      frac(cyr).as("cyrillic_frac"),
+      frac(cjk).as("cjk_frac"),
+      frac(digit).as("digit_frac"),
+      frac(other).as("other_frac"),
+      script.as("script"))
+  }
+
   // ---- shingles / fingerprints / sketches ----
   /** Word k-shingles: sliding windows of k tokens joined by a space. */
   def shingles(toks: Column, k: Int): Column =

@@ -562,6 +562,67 @@ object TrainingQueries {
                ELSE ' русский 中文' END AS text
         FROM documents ORDER BY doc_id""")),
 
+    // Unicode-script profile (the script-bucketing step multilingual
+    // pipelines run before language ID — stopword langid is blind to
+    // non-spaced scripts): documents decorated with Cyrillic / CJK /
+    // digit tails by doc_id residue, then per-char script fractions
+    // over explicit codepoint ranges (spelled as literals — Java and
+    // RE2 disagree on \s and named script classes) and the dominant
+    // label with a fixed tie-break. Every fraction and label replayed.
+    Q("q_text_scripts",
+      (s, d) => {
+        val deco = concat(col("text"),
+          when(col("doc_id") % 4 === 1, lit(" русский текст здесь"))
+            .when(col("doc_id") % 4 === 2, lit(" 日本語のテキスト漢字"))
+            .when(col("doc_id") % 4 === 3, lit(" 12345 67890"))
+            .otherwise(lit("")))
+        val p = TA.scriptProfile(deco)
+        Tables.documents(s, d).select(col("doc_id"),
+            p.getField("latin_frac").as("latin_frac"),
+            p.getField("cyrillic_frac").as("cyrillic_frac"),
+            p.getField("cjk_frac").as("cjk_frac"),
+            p.getField("digit_frac").as("digit_frac"),
+            p.getField("other_frac").as("other_frac"),
+            p.getField("script").as("script"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH deco AS (SELECT doc_id, text ||
+            CASE WHEN doc_id % 4 = 1 THEN ' русский текст здесь'
+                 WHEN doc_id % 4 = 2 THEN ' 日本語のテキスト漢字'
+                 WHEN doc_id % 4 = 3 THEN ' 12345 67890'
+                 ELSE '' END AS t
+          FROM documents),
+        c AS (SELECT doc_id,
+            length(t) - length(regexp_replace(t, '[A-Za-zÀ-ɏ]', '', 'g'))
+              AS latin,
+            length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g'))
+              AS cyr,
+            length(t) - length(regexp_replace(t, '[぀-ヿ一-鿿]', '', 'g'))
+              AS cjk,
+            length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+              AS digit,
+            length(t) - length(regexp_replace(t, '[^ \t\n\r\f]', '', 'g'))
+              AS nonws
+          FROM deco),
+        f AS (SELECT doc_id, latin, cyr, cjk, digit,
+            nonws - latin - cyr - cjk - digit AS other,
+            CAST(GREATEST(nonws, 1) AS DOUBLE) AS base
+          FROM c)
+        SELECT doc_id,
+          ROUND(latin / base, 6) AS latin_frac,
+          ROUND(cyr / base, 6) AS cyrillic_frac,
+          ROUND(cjk / base, 6) AS cjk_frac,
+          ROUND(digit / base, 6) AS digit_frac,
+          ROUND(other / base, 6) AS other_frac,
+          CASE WHEN latin >= cyr AND latin >= cjk AND latin >= digit
+                 AND latin >= other THEN 'latin'
+               WHEN cyr >= cjk AND cyr >= digit AND cyr >= other
+                 THEN 'cyrillic'
+               WHEN cjk >= digit AND cjk >= other THEN 'cjk'
+               WHEN digit >= other THEN 'digit'
+               ELSE 'other' END AS script
+        FROM f ORDER BY doc_id""")),
+
     // language ID (stopword-ratio argmax; deterministic tiebreak)
     Q("q_text_langid",
       (s, d) => Tables.documents(s, d).select(

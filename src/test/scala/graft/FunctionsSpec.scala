@@ -612,6 +612,29 @@ class FunctionsSpec extends SparkSpec {
       !b.getAs[Boolean]("code_pass"))
   }
 
+  test("scriptProfile: per-script char fractions and dominant label " +
+      "with fixed tie-break; whitespace excluded from the base") {
+    def prof(s: String): org.apache.spark.sql.Row =
+      one(TA.scriptProfile(lit(s))).asInstanceOf[org.apache.spark.sql.Row]
+    val latin = prof("hello world")
+    assert(latin.getAs[Double]("latin_frac") == 1.0 &&
+      latin.getAs[String]("script") == "latin")
+    val cyr = prof("привет мир")
+    assert(cyr.getAs[Double]("cyrillic_frac") == 1.0 &&
+      cyr.getAs[String]("script") == "cyrillic")
+    val cjk = prof("日本語 です")
+    assert(cjk.getAs[Double]("cjk_frac") == 1.0 &&
+      cjk.getAs[String]("script") == "cjk")
+    // mixed: "ab 12" → 2 latin, 2 digit of 4 non-ws; tie → latin wins
+    val mixed = prof("ab 12")
+    assert(mixed.getAs[Double]("latin_frac") == 0.5 &&
+      mixed.getAs[Double]("digit_frac") == 0.5 &&
+      mixed.getAs[String]("script") == "latin")
+    val punct = prof("!!! ???")
+    assert(punct.getAs[Double]("other_frac") == 1.0 &&
+      punct.getAs[String]("script") == "other")
+  }
+
   test("fixEncoding: repairs latin-1 and cp1252 mojibake, heals double " +
       "mojibake, never touches clean text (fixpoint cannot overshoot)") {
     import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
