@@ -373,6 +373,45 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch.values.toSeq.map(_.size).sorted == Seq(2, 3))
   }
 
+  test("continuous-crawl capstone: warcSource → payloadText → htmlText " +
+      "→ paragraphDedupSink — archives landing across micro-batches, " +
+      "boilerplate deduped across them") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.functions._
+    import graft.sources.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-crawl").toString
+    val date = "2026-01-01T00:00:00Z"
+    def page(i: Int, body: String) =
+      Warc.responseRecord(s"https://x.io/$i", s"urn:uuid:p-$i", date,
+        s"<html><body><p>nav bar</p><p>$body</p></body></html>"
+          .getBytes(UTF_8))
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val stream = graft.streaming.Streams.warcSource(spark, dir)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        graft.functions.Html.htmlText(
+          Warc.payloadText(col("payload"), col("http_content_type")))
+          .as("text"))
+    val q = graft.streaming.Streams.paragraphDedupSink(stream, "text",
+      "doc_id") { out =>
+      out.collect().foreach(r => got(r.getLong(0)) = r.getString(1))
+    }.start()
+    Warc.writeFile(Iterator(page(1, "alpha beta"), page(2, "gamma")),
+      s"$dir/a0.warc", gzip = false)
+    q.processAllAvailable()
+    Warc.writeFile(Iterator(page(3, "alpha beta"), page(4, "delta")),
+      s"$dir/a1.warc.gz", gzip = true)
+    q.processAllAvailable()
+    q.stop()
+    // "nav bar" boilerplate survives only on the first page of batch 0;
+    // page 3's body duplicates page 1's ACROSS batches and drops
+    assert(got.toMap == Map(1L -> "nav bar\nalpha beta", 2L -> "gamma",
+      3L -> "", 4L -> "delta"))
+  }
+
   test("paragraph sink with everything in ONE batch ≡ batch " +
       "paragraphDedup (empty bitmap → pure within-batch rule)") {
     val s = spark
