@@ -78,7 +78,7 @@ object Bench {
     "q_dedup_exact", "q_text_canon", "q_dedup_minhash_pairs",
     "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_substr",
     "q_dedup_spans", "q_dedup_paragraphs", "q_web_pipeline",
-    "q_text_fix_encoding",
+    "q_text_fix_encoding", "q_code_signals", "q_text_scripts",
     "q_dedup_semantic_auto", "q_dedup_embed_auto",
     "q_ann_bucketed", "q_ann_multiprobe", "q_ann_pq",
     "q_ann_ivfpq", "q_ann_ivf", "q_bpe_merges", "q_bpe_merges_fast",

@@ -158,21 +158,30 @@ object TextAnalysis {
     * divisions rounded 6dp so the oracle replays exactly. One codegen
     * projection, no shuffle — the same shape as [[gopherSignals]]. */
   def codeSignals(text: Column): Column = {
+    // all-arithmetic/regexp formulations: higher-order functions run
+    // INTERPRETED and getField-on-struct simplification duplicates each
+    // field's expression, so a HOF here multiplies into seconds per
+    // suite query — the one remaining HOF is max-line (no regexp form)
     val lines = split(text, "\n", -1)
-    val nLines = greatest(size(lines), lit(1)).cast("double")
-    val lens = transform(lines, l => length(l))
-    val maxLine = coalesce(array_max(lens), lit(0))
+    val n = size(lines)
+    val nLines = greatest(n, lit(1)).cast("double")
+    val maxLine =
+      coalesce(array_max(transform(lines, l => length(l))), lit(0))
+    // single-char separators: sum(line lengths) = length - (n-1)
     val meanLine = round(
-      aggregate(lens, lit(0L), (a, x) => a + x).cast("double") / nLines, 6)
+      (length(text) - (n - 1)).cast("double") / nLines, 6)
     val alnumFrac = round(
       length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double") /
         greatest(length(text), lit(1)).cast("double"), 6)
-    val trimmed = transform(lines, l => ltrim(l))
-    val commentFrac = round(size(filter(trimmed, l =>
-      l.startsWith("#") || l.startsWith("//") ||
-        l.startsWith("--"))).cast("double") / nLines, 6)
-    val blankFrac = round(size(filter(trimmed, l => l === ""))
-      .cast("double") / nLines, 6)
+    val commentFrac = round(
+      regexp_count(text, lit("(?m)^[ \t]*(#|//|--)")).cast("double") /
+        nLines, 6)
+    // blank = lines with no char outside [ \t]; counted as the
+    // complement of lines whose first non-indent char exists (zero-width
+    //-match-free, unlike a direct ^[ \t]*$ count)
+    val blankFrac = round(
+      (n - regexp_count(text, lit("(?m)^[ \t]*[^ \t\n]"))).cast("double") /
+        nLines, 6)
     struct(
       maxLine.as("max_line_len"),
       meanLine.as("mean_line_len"),

@@ -82,8 +82,11 @@ object Curation {
       .filter(_.nonEmpty)
     val toks = TA.tokens(text)
     norm.groupBy(_.length).toSeq.sortBy(_._1).map { case (k, ps) =>
-      arrays_overlap(TA.shingles(toks, k),
-        typedlit(ps.map(_.mkString(" ")).distinct))
+      val lits = typedlit(ps.map(_.mkString(" ")).distinct)
+      // k=1 phrases are plain tokens — skip the shingle construction
+      // (an interpreted HOF; single-word entries dominate real lists)
+      if (k == 1) arrays_overlap(toks, lits)
+      else arrays_overlap(TA.shingles(toks, k), lits)
     }.reduce(_ || _)
   }
 

@@ -769,11 +769,10 @@ object TrainingQueries {
               GREATEST(length(array_to_string(lines, chr(10))), 1), 6)
               AS alnum_frac,
             ROUND(CAST(len(list_filter(lines, x ->
-                starts_with(ltrim(x), '#') OR starts_with(ltrim(x), '//')
-                OR starts_with(ltrim(x), '--'))) AS DOUBLE) /
+                regexp_matches(x, '^[ \t]*(#|//|--)'))) AS DOUBLE) /
               GREATEST(len(lines), 1), 6) AS comment_frac,
-            ROUND(CAST(len(list_filter(lines, x -> ltrim(x) = ''))
-                AS DOUBLE) /
+            ROUND(CAST(len(lines) - len(list_filter(lines, x ->
+                regexp_matches(x, '^[ \t]*[^ \t\n]'))) AS DOUBLE) /
               GREATEST(len(lines), 1), 6) AS blank_frac
           FROM lined)
         SELECT doc_id, max_line_len, mean_line_len, alnum_frac,
@@ -4176,29 +4175,16 @@ object TrainingQueries {
     // C4-style bad-word/phrase blocklist (Raffel 2020 §2.2 — drop any
     // page containing a listed word or phrase). Token-stream matching,
     // not substring ("ass" never hits "class"); multi-word phrases
-    // match as consecutive tokens. The literal tier (one codegen
-    // arrays_overlap per phrase length, zero shuffle) produces the
-    // verdicts; the broadcast-semi big-list tier must agree on the
-    // blocked id set, asserted in-gate. The oracle replays shingle
-    // membership per length, so every verdict is bit-checked.
+    // match as consecutive tokens. The literal tier (one arrays_overlap
+    // per phrase length, zero shuffle) produces the verdicts; the
+    // broadcast-semi big-list tier is asserted id-identical in
+    // OperatorsSpec. The oracle replays shingle membership per length,
+    // so every verdict is bit-checked.
     Q("q_curate_badwords",
-      (s, d) => {
-        import s.implicits._
-        val bad = Seq("slow", "big data", "hash join")
-        val docs = Tables.documents(s, d)
-        val flagged = docs.select(col("doc_id"),
-            graft.operators.Curation.phraseHit(col("text"), bad)
-              .as("blocked"))
-          .orderBy(col("doc_id"))
-        val semiIds = graft.operators.Curation.badPhraseIds(
-            docs, "text", "doc_id", bad.toDF("phrase"))
-          .collect().map(_.getLong(0)).toSet
-        val litIds = flagged.filter(col("blocked"))
-          .collect().map(_.getLong(0)).toSet
-        require(semiIds == litIds,
-          s"tier drift: ${semiIds.size} vs ${litIds.size}")
-        flagged
-      },
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Curation.phraseHit(col("text"),
+            Seq("slow", "big data", "hash join")).as("blocked"))
+        .orderBy(col("doc_id")),
       Some(s"""WITH tk AS (
           SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
         sh AS (SELECT doc_id, ${shinglesSql("tk", 1)} AS s1,
