@@ -736,8 +736,14 @@ object TrainingQueries {
               concat(lit("// "), body))
             .otherwise(body)
         })
-        val sig = TA.codeSignals(array_join(lines, "\n"))
-        Tables.documents(s, d).select(col("doc_id"),
+        // materialize the synthesized files ONCE: getField-on-struct
+        // simplification would otherwise inline the line synthesis into
+        // every signal field (~6 interpreted-HOF evaluations per row)
+        val files = Tables.documents(s, d)
+          .select(col("doc_id"), array_join(lines, "\n").as("t"))
+          .localCheckpoint()
+        val sig = TA.codeSignals(col("t"))
+        files.select(col("doc_id"),
             sig.getField("max_line_len").cast("long").as("max_line_len"),
             sig.getField("mean_line_len").as("mean_line_len"),
             sig.getField("alnum_frac").as("alnum_frac"),
