@@ -78,8 +78,14 @@ object Curation {
   def phraseHit(text: org.apache.spark.sql.Column, phrases: Seq[String])
   : org.apache.spark.sql.Column = {
     require(phrases.nonEmpty, "empty blocklist")
-    val norm = phrases.map(_.toLowerCase.trim.split("\\s+").toSeq)
-      .filter(_.nonEmpty)
+    // drop entries that tokenize to nothing (a whitespace-only string
+    // trims to "" and String.split returns Array("") for it — the old
+    // `.filter(_.nonEmpty)` kept that degenerate Seq("") phrase)
+    val norm = phrases.map(_.toLowerCase.trim).filter(_.nonEmpty)
+      .map(_.split("\\s+").toSeq)
+    // without this the groupBy below is empty and .reduce throws an
+    // opaque empty.reduceLeft instead of the intended contract error
+    require(norm.nonEmpty, "blocklist has no non-empty phrases")
     val toks = TA.tokens(text)
     norm.groupBy(_.length).toSeq.sortBy(_._1).map { case (k, ps) =>
       val lits = typedlit(ps.map(_.mkString(" ")).distinct)
@@ -103,6 +109,9 @@ object Curation {
       .filter(length(col("p")) > 0).distinct()
     val lens = p.select(size(split(col("p"), " ")).as("k"))
       .distinct().collect().map(_.getInt(0)).sorted
+    // a list that normalizes to nothing hits nothing — empty-id frame,
+    // not an empty.reduceLeft from the fold below
+    if (lens.isEmpty) return df.select(col(idCol)).limit(0)
     val toks = TA.tokens(col(textCol))
     lens.map { k =>
       df.select(col(idCol),

@@ -1247,9 +1247,21 @@ object Dedup {
 
   // ----- Bloom-filter cross-batch dedup (the Dolma "BFF" pattern) -----
 
-  /** A built bloom filter: `mBits` bit positions, `seeds` salted probes
-    * per key, `bits(p)` = position p is set. */
-  case class BloomModel(mBits: Int, seeds: Int, bits: Array[Boolean])
+  /** A built bloom filter: `mBits` bit positions PACKED 64-per-long
+    * (`bits.length == ceil(mBits/64)` — true m/8 bytes, which is what
+    * makes "dedup state is m BITS" literal: a Dolma-production
+    * 40-gigabit paragraph bloom is 5 GB here, not the 40 GB an
+    * `Array[Boolean]`'s byte-per-element layout would cost), `seeds`
+    * salted probes per key. */
+  case class BloomModel(mBits: Int, seeds: Int, bits: Array[Long])
+
+  /** Packed-word count for an mBits bitmap. */
+  private[graft] def bloomWords(mBits: Int): Int =
+    ((mBits.toLong + 63) >>> 6).toInt
+  private[graft] def bloomSet(bits: Array[Long], p: Long): Unit =
+    bits((p >>> 6).toInt) |= 1L << (p & 63)
+  private[graft] def bloomGet(bits: Array[Long], p: Long): Boolean =
+    ((bits((p >>> 6).toInt) >>> (p & 63)) & 1L) != 0L
 
   /** The `seeds` salted probe positions of a key: hash60(s + ":" + key)
     * mod mBits for s in 0 until seeds — pure arithmetic the oracle
@@ -1269,10 +1281,10 @@ object Dedup {
   def bloomBuild(df: DataFrame, keyCol: Column, mBits: Int,
                  seeds: Int): BloomModel = {
     require(mBits > 0 && seeds > 0, s"mBits=$mBits seeds=$seeds")
-    val bits = new Array[Boolean](mBits)
+    val bits = new Array[Long](bloomWords(mBits))
     df.select(explode(bloomProbes(keyCol, mBits, seeds)).as("p"))
       .distinct().collect()
-      .foreach(r => bits(r.getLong(0).toInt) = true)
+      .foreach(r => bloomSet(bits, r.getLong(0)))
     BloomModel(mBits, seeds, bits)
   }
 
@@ -1281,9 +1293,18 @@ object Dedup {
     * the right shape for SMALL blooms, where the literal stays cheap to
     * analyze/serialize; [[bloomMightContainBc]] is the large-bitmap tier. */
   def bloomMightContain(model: BloomModel, keyCol: Column): Column = {
+    // packed literal: mBits/64 longs (a 2^16-bit filter is 1024 longs,
+    // not 65536 booleans) — word = bits[p >>> 6], bit = word >> (p & 63)
+    // & 1, all codegen'd integer ops (shiftright via call_function: the
+    // Scala helper only takes a literal shift amount, the SQL function
+    // takes a column)
     val bLit = typedLit(model.bits.toSeq)
-    forall(bloomProbes(keyCol, model.mBits, model.seeds),
-      p => element_at(bLit, p.cast("int") + 1))
+    forall(bloomProbes(keyCol, model.mBits, model.seeds), p =>
+      call_function("shiftright",
+        element_at(bLit,
+          call_function("shiftright", p, lit(6)).cast("int") + 1),
+        p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L))
   }
 
   /** [[bloomMightContain]] with the bitmap as a BROADCAST variable
@@ -1297,9 +1318,26 @@ object Dedup {
   def bloomMightContainBc(model: BloomModel, keyCol: Column): Column = {
     val session = org.apache.spark.sql.SparkSession.active
     val bc = session.sparkContext.broadcast(model.bits)
-    val look = udf((probes: Seq[Long]) =>
-      probes.forall(p => bc.value(p.toInt)))
-    look(bloomProbes(keyCol, model.mBits, model.seeds))
+    bloomMightContainWords(bc, model.mBits, model.seeds, keyCol)
+  }
+
+  /** [[bloomMightContainBc]] over a CALLER-HELD broadcast of the packed
+    * words — the streaming tier: the bitmap only changes BETWEEN
+    * micro-batches, so [[graft.streaming.Streams]]'s state holder
+    * broadcasts once per advancement and every probe (and at-least-once
+    * replay) in that window reads the same executor-resident words.
+    * Re-wrapping per batch (what a fresh [[BloomModel]] per micro-batch
+    * costs) re-ships the whole bitmap every trigger — at
+    * Dolma-production sizes (tens of gigabits → GBs of words) that is
+    * the real per-batch cliff, well before the FP rate. Probe positions
+    * are the same hash60 column arithmetic; only the final word lookup
+    * crosses the UDF boundary. */
+  def bloomMightContainWords(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      mBits: Int, seeds: Int, keyCol: Column): Column = {
+    val look = udf((probes: Seq[Long]) => probes.forall(p =>
+      ((bc.value((p >>> 6).toInt) >>> (p & 63)) & 1L) != 0L))
+    look(bloomProbes(keyCol, mBits, seeds))
   }
 
   /** Drop rows whose key the bloom filter claims to have seen (new-rows
@@ -1312,13 +1350,26 @@ object Dedup {
       df.filter(!bloomMightContain(model, keyCol))
     else df.filter(!bloomMightContainBc(model, keyCol))
 
-  /** Merge a frame's keys into an existing bitmap (mutates `bits`) —
-    * the micro-batch update step of the streaming bloom sink. One
-    * map-side-combined distinct; only newly relevant positions reach
-    * the driver. */
-  def bloomAddInPlace(bits: Array[Boolean], seeds: Int, df: DataFrame,
-                      keyCol: Column): Unit =
-    df.select(explode(bloomProbes(keyCol, bits.length, seeds)).as("p"))
+  /** Drop rows the caller-broadcast bitmap claims to have seen — the
+    * streaming twin of [[bloomFilterNew]] (see
+    * [[bloomMightContainWords]] for why the broadcast lives outside). */
+  def bloomFilterNewWords(
+      df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      mBits: Int, seeds: Int, keyCol: Column): DataFrame =
+    df.filter(!bloomMightContainWords(bc, mBits, seeds, keyCol))
+
+  /** Merge a frame's keys into an existing packed bitmap (mutates
+    * `bits`) — the micro-batch update step of the streaming bloom sink.
+    * `mBits` is the logical bit count (the words array is ceil(m/64)
+    * long, so it can't derive m). One map-side-combined distinct; only
+    * newly relevant positions reach the driver. */
+  def bloomAddInPlace(bits: Array[Long], mBits: Int, seeds: Int,
+                      df: DataFrame, keyCol: Column): Unit = {
+    require(bits.length == bloomWords(mBits),
+      s"words=${bits.length} != ceil($mBits/64)")
+    df.select(explode(bloomProbes(keyCol, mBits, seeds)).as("p"))
       .distinct().collect()
-      .foreach(r => bits(r.getLong(0).toInt) = true)
+      .foreach(r => bloomSet(bits, r.getLong(0)))
+  }
 }

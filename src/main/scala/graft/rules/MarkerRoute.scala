@@ -151,6 +151,17 @@ abstract class MarkerRoute[M <: Expression](implicit
       // the complement of a three-valued residual would admit
       // NULL-valued rows that per-row NOT(unknown) drops, so mixed
       // trees under NOT fall back per-row (allowResidual=false).
+      //
+      // ID-UNIQUENESS CONTRACT: routing evaluates the whole disjunction
+      // as a semi-join on the probe id column, so the id must be a
+      // row-unique key of the probe child. Marker predicates are
+      // functionally determined by the id (the postings ARE keyed by
+      // it), but an arbitrary residual predicate is not: with duplicate
+      // ids, a row failing BOTH legs would survive because a same-id
+      // sibling satisfies the residual. This matches the
+      // index-registration contract (candidates register a key column);
+      // registering a non-unique id column is out of contract for
+      // residual routing.
       def residualIds(e: Expression, idAttr: Attribute)
       : Option[DataFrame] =
         if (e.exists(isMarker) || !e.deterministic ||

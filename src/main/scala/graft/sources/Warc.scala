@@ -310,20 +310,38 @@ object Warc {
     val names = rows.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
+        // output-committer discipline: stream to a per-ATTEMPT temp name
+        // and rename into place only after a clean close, so a task
+        // attempt dying mid-write leaves a .tmp (never a truncated final
+        // archive) and a zombie/speculative attempt can't interleave
+        // bytes with the retry — rename is the atomic commit point
+        // (best-effort atomic on object stores, exact on HDFS/local)
         val name = f"part-$pid%05d$suffix"
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val path = new org.apache.hadoop.fs.Path(outDir, name)
+        val tmp = new org.apache.hadoop.fs.Path(outDir,
+          s".$name.attempt-$attempt.tmp")
         val fs = path.getFileSystem(conf.value)
-        val raw = fs.create(path, true)
+        val raw = fs.create(tmp, true)
         val out = if (gzip) new java.util.zip.GZIPOutputStream(raw)
           else raw: java.io.OutputStream
-        try it.foreach { r =>
-          val uri = r.getString(0)
-          val id = "urn:graft:wet:" + java.lang.Long.toHexString(
-            org.apache.spark.sql.graft.TextKernels.hash60(
-              org.apache.spark.unsafe.types.UTF8String.fromString(uri)))
-          out.write(conversionRecord(uri, id, date,
-            Option(r.getString(1)).getOrElse("")))
-        } finally out.close()
+        var ok = false
+        try {
+          it.foreach { r =>
+            val uri = r.getString(0)
+            val id = "urn:graft:wet:" + java.lang.Long.toHexString(
+              org.apache.spark.sql.graft.TextKernels.hash60(
+                org.apache.spark.unsafe.types.UTF8String.fromString(uri)))
+            out.write(conversionRecord(uri, id, date,
+              Option(r.getString(1)).getOrElse("")))
+          }
+          ok = true
+        } finally {
+          out.close()
+          if (ok) { fs.delete(path, false); fs.rename(tmp, path) }
+          else fs.delete(tmp, false)
+        }
         Iterator.single(name)
       }
     }.collect().toSeq

@@ -173,9 +173,27 @@ object Streams {
     * suppression is wanted. */
   private[graft] final class BloomDedupState(keyCol: String, mBits: Int,
                                              seeds: Int) {
-    private var before = new Array[Boolean](mBits)
-    private var after = new Array[Boolean](mBits)
+    // packed 64-per-long — true m/8 bytes of driver state, the
+    // documented "m BITS" claim made literal (an Array[Boolean] is a
+    // byte per element: 8× the heap at Dolma-production bloom sizes)
+    private val words = graft.operators.Dedup.bloomWords(mBits)
+    private var before = new Array[Long](words)
+    private var after = new Array[Long](words)
     private var lastBatch = -1L
+    // ONE broadcast per bitmap VERSION: `before` is immutable from the
+    // moment it is swapped in (mutations go to `after`), so it ships to
+    // executors once per advancement and every probe in that window —
+    // including the at-least-once replay — reads the executor-resident
+    // copy. Re-broadcasting per micro-batch (a fresh BloomModel wrap
+    // each trigger) re-ships the whole bitmap every batch: GBs per
+    // trigger at production sizes. Superseded handles are left to
+    // Spark's ContextCleaner — a still-lazy survivor frame from the
+    // prior window may yet probe one.
+    private var bcBefore
+    : org.apache.spark.broadcast.Broadcast[Array[Long]] = null
+    // bitmap versions shipped — the spec's one-broadcast-per-advancement
+    // pin ([[StreamingSpec]])
+    private[graft] var broadcasts = 0L
     def process(batch: DataFrame, batchId: Long): DataFrame =
       synchronized {
         val kc = org.apache.spark.sql.functions.col(keyCol)
@@ -187,13 +205,18 @@ object Streams {
         if (batchId > lastBatch) {
           before = after
           after = before.clone()
+          bcBefore = null
         }
-        val model =
-          graft.operators.Dedup.BloomModel(mBits, seeds, before)
-        val fresh =
-          graft.operators.Dedup.bloomFilterNew(batch, model, kc)
+        if (bcBefore == null) {
+          bcBefore =
+            batch.sparkSession.sparkContext.broadcast(before)
+          broadcasts += 1
+        }
+        val fresh = graft.operators.Dedup.bloomFilterNewWords(
+          batch, bcBefore, mBits, seeds, kc)
         if (batchId > lastBatch) {
-          graft.operators.Dedup.bloomAddInPlace(after, seeds, fresh, kc)
+          graft.operators.Dedup.bloomAddInPlace(after, mBits, seeds,
+            fresh, kc)
           lastBatch = batchId
         }
         fresh

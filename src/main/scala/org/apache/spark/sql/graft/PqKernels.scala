@@ -44,7 +44,12 @@ object PqKernels {
     val t = d * 1e6 + 0.5
     val fl = Math.floor(t)
     val frac = t - fl
-    if (frac > 1e-3 && frac < 0.999) fl.toLong
+    // past 2^51 double spacing reaches 0.5, so frac is exactly 0 or 0.5
+    // — the half-integer case lands INSIDE the accept band while the
+    // accumulated error of d*1e6+0.5 can exceed it; route to the exact
+    // path whenever spacing makes the band test meaningless
+    if (Math.abs(t) < 2.251799813685248e15 &&
+        frac > 1e-3 && frac < 0.999) fl.toLong
     else {
       val r = java.math.BigDecimal.valueOf(d)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -1060,6 +1060,9 @@ class OperatorsSpec extends SparkSpec {
       .toDF("id", "t")
     val seen = docs.filter(col("id") < 100)
     val model = Dedup.bloomBuild(seen, col("t"), 1 << 16, 3)
+    // the state really is m BITS: packed 64-per-long → m/8 bytes
+    assert(model.bits.length == (1 << 16) / 64,
+      "bitmap must be packed words (ceil(m/64) longs = m/8 bytes)")
     val verdicts = docs.select(col("id"),
       Dedup.bloomMightContain(model, col("t")).as("hit")).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap

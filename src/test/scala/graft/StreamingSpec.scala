@@ -294,6 +294,11 @@ class StreamingSpec extends SparkSpec {
     // 5 dropped by batch 1's survivor; 6/7 are an in-batch dup of a NEW
     // key and BOTH pass (documented: state only advances between batches)
     assert(ids(state.process(b2, 2)) == Seq(6L, 7L, 8L))
+    // one broadcast per bitmap VERSION (3 advancements), not per batch —
+    // the batch-1 replay above probed the executor-resident copy
+    assert(state.broadcasts == 3,
+      s"expected 3 bitmap broadcasts (one per advancement), " +
+        s"got ${state.broadcasts}")
     intercept[IllegalStateException](state.process(b0, 0))
     // end-to-end through the writer: same protocol, MemoryStream batches
     implicit val sq = s.sqlContext
