@@ -1263,13 +1263,15 @@ object Dedup {
   private[graft] def bloomGet(bits: Array[Long], p: Long): Boolean =
     ((bits((p >>> 6).toInt) >>> (p & 63)) & 1L) != 0L
 
-  /** The `seeds` salted probe positions of a key: hash60(s + ":" + key)
-    * mod mBits for s in 0 until seeds — pure arithmetic the oracle
-    * replays exactly. */
+  /** The s-th salted probe position of a key: hash60(s + ":" + key) mod
+    * mBits — pure arithmetic the oracle replays exactly. */
+  private def bloomProbe(key: Column, mBits: Int, s: Int): Column =
+    graft.functions.Scalars.hash60(concat(lit(s"$s:"), key)) %
+      lit(mBits.toLong)
+
+  /** All `seeds` probe positions as one array column. */
   private def bloomProbes(key: Column, mBits: Int, seeds: Int): Column =
-    array((0 until seeds).map(s =>
-      graft.functions.Scalars.hash60(concat(lit(s"$s:"), key)) %
-        lit(mBits.toLong)): _*)
+    array((0 until seeds).map(bloomProbe(key, mBits, _)): _*)
 
   /** Build a bloom filter over a batch's keys — the Dolma "BFF"
     * alternative to [[incrementalExact]]'s persisted index: dedup state
@@ -1297,14 +1299,17 @@ object Dedup {
     // not 65536 booleans) — word = bits[p >>> 6], bit = word >> (p & 63)
     // & 1, all codegen'd integer ops (shiftright via call_function: the
     // Scala helper only takes a literal shift amount, the SQL function
-    // takes a column)
+    // takes a column). An unrolled seed conjunction, not a forall over
+    // a probe array: a HOF here would run interpreted per row.
     val bLit = typedLit(model.bits.toSeq)
-    forall(bloomProbes(keyCol, model.mBits, model.seeds), p =>
+    (0 until model.seeds).map { s =>
+      val p = bloomProbe(keyCol, model.mBits, s)
       call_function("shiftright",
         element_at(bLit,
           call_function("shiftright", p, lit(6)).cast("int") + 1),
         p.bitwiseAND(lit(63L)).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
   }
 
   /** [[bloomMightContain]] with the bitmap as a BROADCAST variable

@@ -370,11 +370,12 @@ object TrainingQueries {
     * run the curation chain — parse → HTTP-200 text/html gate → host
     * blocklist → HTML text/title extraction → link-density gate →
     * cross-doc paragraph dedup. Returns (doc_id, title, text). */
-  private def warcCurated(s: org.apache.spark.sql.SparkSession,
-                          d: String): DataFrame = {
-    import s.implicits._
-    import graft.functions.Html
-    import graft.operators.UrlCuration
+  /** Synthesize (once per corpus) the four response archives shared by
+    * the WARC gates: part p holds doc_id%4==p, 404s at %7, PDFs at %11,
+    * blocklist-tier hosts at %4, parts 1/3 gzip. Returns the archive
+    * directory; file p is `part$p.warc` (`.gz` when p is odd). */
+  private def warcArchiveDir(s: org.apache.spark.sql.SparkSession,
+                             d: String): java.io.File = {
     import graft.sources.Warc
     val dir = new java.io.File(
       s"/tmp/graft_warcpipe_${math.abs(d.hashCode)}")
@@ -419,6 +420,16 @@ object TrainingQueries {
           gzip = part % 2 == 1)
       }
     }
+    dir
+  }
+
+  private def warcCurated(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Html
+    import graft.operators.UrlCuration
+    import graft.sources.Warc
+    val dir = warcArchiveDir(s, d)
     val fetched = Warc.read(s, dir.getPath)
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -449,14 +460,18 @@ object TrainingQueries {
   /** DuckDB twin of [[warcCurated]] as a WITH-clause body ending in
     * `wp(doc_id, title, text)` — shared by the q_warc_pipeline and
     * q_warc_shards oracles. */
-  private lazy val warcPipeSql: String = {
-    val htmlSyn = """'<html><head><title>Doc ' ||
+  /** DuckDB twin of [[warcArchiveDir]]'s synthesized page html. */
+  private val htmlSynSql: String =
+    """'<html><head><title>Doc ' ||
         CAST(doc_id AS VARCHAR) ||
         ' &amp; Co</title></head><body><h1>' || source ||
         ' &lt;news&gt;</h1><p>' || text || '</p>' ||
         CASE WHEN doc_id % 3 = 0
           THEN '<p>See <a href="u">the &quot;docs&quot;</a> here</p>'
           ELSE '' END || '</body></html>'"""
+
+  private lazy val warcPipeSql: String = {
+    val htmlSyn = htmlSynSql
     s"""u AS (SELECT doc_id, source, text, source || '.' ||
           CASE WHEN doc_id % 4 = 0 THEN 'blocked.example.com'
                WHEN doc_id % 4 = 1 THEN 'ok.example.org'
@@ -3911,6 +3926,104 @@ object TrainingQueries {
             COALESCE(string_agg(k.para, chr(10) ORDER BY k.para_idx), '')
               AS text
           FROM lined d LEFT JOIN kept k ON d.doc_id = k.doc_id
+          GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }),
+
+    // CONTINUOUS-CRAWL streaming capstone, hash-gated: the flagship
+    // streaming chain warcSource → HTTP gate → payloadText → htmlText →
+    // paragraphDedupSink driven end-to-end from ARCHIVE BYTES — the four
+    // synthesized response archives land in a watched directory one per
+    // micro-batch (the shape a fetch fleet produces), each new archive
+    // is parsed/decoded/extracted in its own batch, and cross-batch
+    // paragraph dedup advances the bloom between batches. The last
+    // batch then REPLAYS from its own archive through the same state
+    // and must rebuild byte-identically (at-least-once contract),
+    // asserted in-gate. The oracle replays everything from the parquet:
+    // page synthesis, the 404/PDF HTTP gate, html text extraction,
+    // batch assignment b = doc_id%4 (archive p holds doc_id%4==p,
+    // dropped in order), the 3 hash60-probe positions, bit advancement
+    // BETWEEN batches only, the within-batch first-occurrence window,
+    // and the per-doc rebuild with empty-text rows — full text
+    // bit-checked, so a lost archive, a premature bit set, a charset
+    // drift, or replay divergence all break the hash.
+    Q("q_stream_warc_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.Warc
+        val src = warcArchiveDir(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_warcstream").toFile
+        def extract(df: DataFrame): DataFrame = df
+          .filter(col("warc_type") === "response" &&
+            col("http_status") === 200 &&
+            col("http_content_type").startsWith("text/html"))
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.functions.Html.htmlText(
+              Warc.payloadText(col("payload"), col("http_content_type")))
+              .as("text"))
+        val parts = (0 until 4).map(p =>
+          s"part$p.warc${if (p % 2 == 1) ".gz" else ""}")
+        def drop(p: Int): Unit = java.nio.file.Files.copy(
+          new java.io.File(src, parts(p)).toPath,
+          new java.io.File(dir, parts(p)).toPath)
+        val state =
+          new graft.streaming.Streams.BloomDedupState("para", 1 << 20, 3)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        var lastBatch = Map.empty[Long, String]
+        val stream = extract(
+          graft.streaming.Streams.warcSource(s, dir.getPath))
+        drop(0) // present before start → the first micro-batch
+        val q = graft.streaming.Streams.paragraphDedupSinkWith(state,
+            stream, "text", "doc_id", "\n") { b =>
+          lastBatch =
+            b.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          out ++= lastBatch
+        }.start()
+        q.processAllAvailable()
+        (1 until 4).foreach { p => drop(p); q.processAllAvailable() }
+        q.stop()
+        // at-least-once replay of the LAST batch from its own archive
+        val replayed = graft.streaming.Streams.paragraphDedupBatch(state,
+            extract(Warc.read(s, s"${dir.getPath}/${parts(3)}")), 3L,
+            "text", "doc_id", "\n")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        require(replayed == lastBatch,
+          s"replay drift: ${replayed.size} vs ${lastBatch.size}")
+        out.toSeq.toDF("doc_id", "text").orderBy(col("doc_id"))
+      },
+      Some {
+        val probes = (0 until 3).map(i =>
+          s"${hash60Sql(s"'$i:' || para")} % ${1 << 20}").mkString(", ")
+        s"""WITH u AS (SELECT doc_id, source, text FROM documents
+            WHERE doc_id % 7 != 0 AND doc_id % 11 != 0),
+          h AS (SELECT doc_id, doc_id % 4 AS b, $htmlSynSql AS html
+            FROM u),
+          x AS (SELECT doc_id, b, ${htmlTextSql("html")} AS text FROM h),
+          sp AS (SELECT doc_id, b, i - 1 AS para_idx, parts[i] AS para
+            FROM (SELECT doc_id, b, string_split(text, chr(10)) AS parts,
+                unnest(generate_series(1,
+                  len(string_split(text, chr(10))))) AS i
+              FROM x)
+            WHERE trim(parts[i]) != ''),
+          pr AS (SELECT doc_id, b, para_idx, para, unnest([$probes]) AS p
+            FROM sp),
+          firstset AS (SELECT p, MIN(b) AS fb FROM pr GROUP BY p),
+          hit AS (SELECT pr.doc_id, pr.b, pr.para_idx, pr.para,
+              COUNT(*) AS np, COUNT(f.p) AS ns
+            FROM pr LEFT JOIN firstset f
+              ON f.p = pr.p AND f.fb < pr.b
+            GROUP BY 1, 2, 3, 4),
+          kept AS (SELECT doc_id, para_idx, para FROM (
+              SELECT doc_id, b, para_idx, para, ROW_NUMBER() OVER (
+                PARTITION BY b, para ORDER BY doc_id, para_idx) AS rn
+              FROM hit WHERE ns < np)
+            WHERE rn = 1)
+          SELECT d.doc_id,
+            COALESCE(string_agg(k.para, chr(10) ORDER BY k.para_idx), '')
+              AS text
+          FROM x d LEFT JOIN kept k ON d.doc_id = k.doc_id
           GROUP BY d.doc_id ORDER BY d.doc_id"""
       }),
 
