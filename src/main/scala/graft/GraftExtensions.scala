@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // star-tree plan routing: fitting aggregates answered from registered
     // materialized summaries instead of the fact scan
     ext.injectOptimizerRule(_ => graft.rules.StarTreeRoute())
+    // JsonStatementOptimizer analog: N json paths over one column share
+    // one document parse per row. PreCBO (after the pushdown fixpoint)
+    // on purpose — see the rule's scaladoc
+    ext.injectPreCBORule(_ => graft.rules.JsonSharedParse())
     // TEXT_MATCH routing: registered postings indexes answer SQL
     // text_match filters (semi-join plan); everything else lowers per-row.
     // Resolution-time so lowered Column trees pass through the analyzer.
