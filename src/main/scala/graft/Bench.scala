@@ -85,7 +85,8 @@ object Bench {
     "q_bpe_encode_10k",
     "q_pipeline_e2e", "q_pack_chunks", "q_epoch_pack_shards",
     "q_decontaminate", "q_nb_classify", "q_nb_classify_pruned",
-    "q_dedup_keep_rep", "q_split_leakproof", "q_ann_ivf_append",
+    "q_dedup_keep_rep", "q_split_leakproof", "q_pagerank",
+    "q_ann_ivf_append",
     "q_ann_ivf_lifecycle", "q_dedup_index_lifecycle", "q_hybrid_rrf_batch",
     "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed")
 

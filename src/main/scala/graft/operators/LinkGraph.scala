@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-level link graph + PageRank from crawl HTML — the host-quality
+  * tier of web-corpus curation (Common Crawl publishes exactly this:
+  * host/domain-level ranks from the crawl's link graph, used to weight
+  * and gate pages before text-level filters; see commoncrawl.org's
+  * cc-webgraph ranking releases). Complements the per-page signals
+  * ([[graft.functions.Html.linkDensity]], Gopher/C4 gates) with a
+  * corpus-global one.
+  *
+  * Scale shape: edge extraction is a pure projection + one (src,dst)
+  * keyed agg; each PageRank iteration broadcast-joins the SMALL rank
+  * frame (one row per host — even a 100 TB crawl has ~10⁸ hosts, and
+  * the rank frame carries two columns) onto the edge frame and reduces
+  * by destination — the edge frame, the big side, never re-shuffles
+  * across iterations.
+  *
+  * Determinism: ranks are 10⁻¹² micro-units on BIGINT with
+  * floor-division at every step (the lmScore integer playbook), so
+  * per-node inflow sums are order-free and the DuckDB oracle replays
+  * iterations bit-for-bit. This is the common simplified PageRank:
+  * dangling-node mass is dropped, not redistributed (total mass decays
+  * toward the teleport term — fine for RANKING, documented here). */
+object LinkGraph {
+
+  /** href values of anchor tags. Whitespace spelled as an explicit
+    * class (house rule: Java's \s includes U+000B where RE2's does
+    * not, and the oracle replays this regex in DuckDB/RE2). */
+  def anchorHrefs(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\""),
+      lit(1))
+
+  /** Lowercased host of an ABSOLUTE http(s) url; null for relative /
+    * mailto / malformed — the edges tier only follows cross-host
+    * absolute links. */
+  def hostOfAbs(url: Column): Column = {
+    val h = regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1)
+    when(length(h) > 0, lower(h))
+  }
+
+  /** (src_host, dst_host, n) edge list: one row per linked host pair,
+    * self-loops dropped (intra-site nav would dominate every host). */
+  def edges(pages: DataFrame, uriCol: String, htmlCol: String)
+  : DataFrame =
+    pages.select(hostOfAbs(col(uriCol)).as("src"),
+        explode(anchorHrefs(col(htmlCol))).as("href"))
+      .select(col("src"), hostOfAbs(col("href")).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+
+  /** Total rank mass at iteration 0: 10¹² micro-units split evenly. */
+  private val Scale = 1000000000000L
+
+  /** `iters` rounds of integer PageRank over an (src, dst, n) edge
+    * frame; returns (host, rank_u). `dampingPermille`=850 is the
+    * classic d=0.85. Per edge the contribution is
+    * floor(rank_u·n / outdeg) (weighted by link multiplicity); per node
+    * the update is floor((1000−d)·base/1000) + floor(d·inflow/1000).
+    * Long-range audit: rank_u ≤ 10¹², inflow ≤ 10¹² (mass conservation
+    * minus floor dust), rank_u·n ≤ 10¹⁸ < 2⁶³ for n up to a million
+    * parallel links between one host pair. */
+  def pageRank(edgeFrame: DataFrame, iters: Int = 3,
+               dampingPermille: Int = 850): DataFrame = {
+    require(iters >= 0 && dampingPermille >= 0 && dampingPermille <= 1000)
+    val edges = edgeFrame.select(col("src"), col("dst"),
+      col("n").cast("long").as("n"))
+    // the static big side persists once (the clusters/labelProp
+    // discipline): iterations re-read blocks, never re-extract edges
+    val withOd = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("n")).as("od")), "src")
+      .persist() // od ≥ n > 0 by construction
+    val nodes = Checkpoints.eager(
+      edges.select(col("src").as("host"))
+        .unionAll(edges.select(col("dst").as("host"))).distinct())
+    val nNodes = math.max(nodes.count(), 1L) // one bounded driver scalar
+    val base = Scale / nNodes
+    val d = dampingPermille.toLong
+    val teleport = (1000L - d) * base / 1000L
+    // exact integral division: double division then truncate would lose
+    // bits past 2^53 — rank_u·n reaches 10^18
+    def idiv(x: Column, y: Column): Column =
+      org.apache.spark.sql.graft.GraftExpressions.integralDiv(x, y)
+    var ranks = nodes.select(col("host"), lit(base).as("rank_u"))
+    (0 until iters).foreach { _ =>
+      val inflow = withOd
+        .join(broadcast(ranks), col("src") === col("host"))
+        .select(col("dst"),
+          idiv(col("rank_u") * col("n"), col("od")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      // eager per round: iterative joins otherwise nest the whole prior
+      // lineage into every new plan; the previous round's blocks are
+      // released as soon as this round materializes
+      ranks = Checkpoints.eager(
+        nodes.join(inflow, col("host") === col("dst"), "left")
+          .select(col("host"),
+            (lit(teleport) +
+              idiv(coalesce(col("inflow"), lit(0L)) * d, lit(1000L)))
+              .as("rank_u")))
+    }
+    withOd.unpersist()
+    ranks
+  }
+
+  /** The composed signal: pages in, per-host rank out. */
+  def hostRank(pages: DataFrame, uriCol: String, htmlCol: String,
+               iters: Int = 3, dampingPermille: Int = 850): DataFrame =
+    pageRank(edges(pages, uriCol, htmlCol), iters, dampingPermille)
+}

@@ -423,6 +423,60 @@ object TrainingQueries {
     dir
   }
 
+  /** Synthesized crawl pages for the link-graph gates: 29 hosts
+    * (h0..h28.example.org), page doc_id lives on host doc_id%29 and —
+    * unless doc_id%5==0 (a link-less page: its host can be dangling) —
+    * links to hosts (doc_id·3+k²)%29 for k=1..3 (self-links occur and
+    * must drop), plus one relative and one mailto anchor the
+    * absolute-host extractor must ignore. */
+  private def linkPages(s: org.apache.spark.sql.SparkSession,
+                        d: String): DataFrame = {
+    def hostOf(e: org.apache.spark.sql.Column) =
+      concat(lit("h"), (e % 29).cast("string"), lit(".example.org"))
+    val did = col("doc_id")
+    val anchors = when(did % 5 === 0, lit(""))
+      .otherwise(concat((1 to 3).map(k => concat(
+        lit("<a href=\"https://"), hostOf(did * 3 + k * k),
+        lit(s"/p$k\">t</a>"))): _*))
+    Tables.documents(s, d).select(
+      concat(lit("https://"), hostOf(did), lit("/doc/"),
+        did.cast("string")).as("uri"),
+      concat(lit("<html><body>"), anchors,
+        lit("<a href=\"/local\">l</a>" +
+          "<a href=\"mailto:x@y.z\">m</a></body></html>")).as("html"))
+  }
+
+  /** DuckDB twin of [[linkPages]] + `LinkGraph.edges` as a WITH-clause
+    * body ending in `edges(src, dst, n)`. */
+  private val linkEdgesSql: String = {
+    def hostOf(e: String) =
+      s"'h' || CAST(($e) % 29 AS VARCHAR) || '.example.org'"
+    val anchors = (1 to 3).map(k =>
+      s"'<a href=\"https://' || ${hostOf(s"doc_id*3+${k * k}")} || " +
+        s"'/p$k\">t</a>'").mkString(" || ")
+    s"""pg AS (SELECT
+          'https://' || ${hostOf("doc_id")} || '/doc/' ||
+            CAST(doc_id AS VARCHAR) AS uri,
+          '<html><body>' ||
+            CASE WHEN doc_id % 5 = 0 THEN '' ELSE $anchors END ||
+            '<a href="/local">l</a><a href="mailto:x@y.z">m</a>' ||
+            '</body></html>' AS html
+        FROM documents),
+      lhr AS (SELECT
+          lower(regexp_extract(uri, '(?i)^https?://([^/:?#]+)', 1))
+            AS src,
+          unnest(regexp_extract_all(html,
+            '(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"', 1))
+            AS href
+        FROM pg),
+      le0 AS (SELECT src,
+          lower(regexp_extract(href, '(?i)^https?://([^/:?#]+)', 1))
+            AS dst
+        FROM lhr),
+      edges AS (SELECT src, dst, COUNT(*) AS n FROM le0
+        WHERE dst != '' AND src != dst GROUP BY 1, 2)"""
+  }
+
   private def warcCurated(s: org.apache.spark.sql.SparkSession,
                           d: String): DataFrame = {
     import s.implicits._
@@ -3643,6 +3697,58 @@ object TrainingQueries {
             ('tracker.net')) b(domain)
           WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)
         GROUP BY host ORDER BY host""")),
+
+    // Host-level link graph from crawl HTML (the cc-webgraph tier:
+    // Common Crawl's host-rank releases are exactly this signal, used
+    // to weight/gate pages before text filters). Anchor hrefs extract
+    // by the explicit-whitespace regex (house \s rule), absolute
+    // http(s) links resolve to lowercased hosts, self-loops drop, the
+    // pair count aggregates. One projection + one keyed agg — the
+    // corpus scans once, nothing joins.
+    Q("q_link_graph",
+      (s, d) => graft.operators.LinkGraph.edges(
+          linkPages(s, d), "uri", "html")
+        .orderBy(col("src"), col("dst")),
+      Some(s"""WITH $linkEdgesSql
+          SELECT src, dst, n FROM edges ORDER BY src, dst""")),
+
+    // Integer-deterministic PageRank over the host graph (3 iterations,
+    // d=0.85): ranks are 1e-12 micro-units on BIGINT with floor
+    // division at every step, so per-host inflow sums are order-free
+    // and the oracle replays all three iterations bit-for-bit —
+    // including the floor dust and the dropped dangling mass (the
+    // documented simplified form). Scale shape: the rank frame (one row
+    // per host) BROADCASTS onto the persisted edge frame each
+    // iteration; the big side never re-shuffles, each round is one
+    // broadcast join + one keyed agg, lineage truncated per round.
+    Q("q_pagerank",
+      (s, d) => graft.operators.LinkGraph.hostRank(
+          linkPages(s, d), "uri", "html", iters = 3)
+        .orderBy(col("host")),
+      Some {
+        def iter(prev: String, i: String, r: String) =
+          s"""$i AS (SELECT e.dst,
+              CAST(SUM((r.ru * e.n) // o.od) AS BIGINT) AS inflow
+            FROM edges e JOIN $prev r ON e.src = r.host
+            JOIN lod o ON e.src = o.src GROUP BY 1),
+          $r AS (SELECT n.host, CAST(
+              (150 * (SELECT base FROM prm)) // 1000
+              + (COALESCE(i.inflow, 0) * 850) // 1000 AS BIGINT) AS ru
+            FROM lnodes n LEFT JOIN $i i ON n.host = i.dst)"""
+        s"""WITH $linkEdgesSql,
+          lnodes AS (SELECT DISTINCT host FROM (
+            SELECT src AS host FROM edges
+            UNION ALL SELECT dst AS host FROM edges)),
+          prm AS (SELECT CAST(1000000000000 //
+            (SELECT COUNT(*) FROM lnodes) AS BIGINT) AS base),
+          lod AS (SELECT src, CAST(SUM(n) AS BIGINT) AS od
+            FROM edges GROUP BY 1),
+          r0 AS (SELECT host, (SELECT base FROM prm) AS ru FROM lnodes),
+          ${iter("r0", "i1", "r1")},
+          ${iter("r1", "i2", "r2")},
+          ${iter("r2", "i3", "r3")}
+          SELECT host, ru AS rank_u FROM r3 ORDER BY host"""
+      }),
 
     // C4-style span-level exact dedup: 3-token non-overlapping spans, the
     // globally first occurrence of each distinct span wins, text

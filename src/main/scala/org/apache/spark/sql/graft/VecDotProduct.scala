@@ -74,6 +74,15 @@ object GraftExpressions {
     ExpressionUtils.column(VecDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Exact integral division (SQL's `a div b`, floor-toward-zero on
+    * BIGINT): the `/` Column operator divides as DOUBLE, which silently
+    * loses bits past 2^53 — fatal for micro-unit rank arithmetic. `div`
+    * is parser-level only (not in FunctionRegistry), hence this bridge. */
+  def integralDiv(a: Column, b: Column): Column =
+    ExpressionUtils.column(org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(ExpressionUtils.expression(a),
+        ExpressionUtils.expression(b)))
+
   /** Lift a Column-level function into a FunctionRegistry builder —
     * how the Pinot-named surface becomes callable from spark.sql. Uses the
     * EAGER ColumnNode converter: `ExpressionUtils.expression` returns a
