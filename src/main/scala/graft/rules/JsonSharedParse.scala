@@ -1,6 +1,6 @@
 package graft.rules
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GetArrayItem, GetJsonObject, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GetArrayItem, GetJsonObject, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.{JsonExtractMulti, JsonKernels}
@@ -20,24 +20,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * shared parse ([[org.apache.spark.sql.graft.JsonKernels]], bit-parity
   * with per-row GetJsonObject fallback).
   *
-  * Sharing mechanism differs by node, deliberately:
-  *  - Project: the rewritten items reference STRUCTURALLY IDENTICAL
-  *    JsonExtractMulti subtrees; (whole-stage codegen and interpreted)
-  *    subexpression elimination evaluates one per row. No plan-shape
-  *    change, so pushdown/pruning around the Project are untouched.
-  *    (Worst case — CSE off — each item still costs exactly one parse,
-  *    never more than before.)
-  *  - Filter: predicate evaluation has no subexpression elimination, so
-  *    the shared parse is planted as an ALIAS in a Project under the
-  *    filter and the condition reads the attribute — guaranteed
-  *    once-per-row. Registered via injectPreCBORule (NOT the operator-
-  *    optimization fixpoint) so this runs after predicate pushdown:
-  *    PushPredicateThroughProject would otherwise push the filter back
-  *    through the planted Project, re-inlining one full parse per
-  *    reference. Catalyst's own `With`/RewriteWithExpression mechanism
-  *    is not usable here — its rewrite batch precedes every extension
-  *    injection point, so a `With` built by this rule would reach
-  *    codegen unevaluable. */
+  * The rewrite is IN PLACE in both node kinds — occurrences become
+  * structurally identical JsonExtractMulti subtrees read at different
+  * indexes. Sharing is guaranteed by two mechanisms: Project lists get
+  * whole-stage-codegen subexpression elimination (one evaluation per
+  * row); and for every shape the optimizer can still produce — filter
+  * predicates have no subexpression elimination, and plan surgery is
+  * not robust here (Spark's late "Pushdown Filters from
+  * PartitionPruning" batch re-inlines any alias planted under a
+  * Filter one copy per reference; Catalyst's own `With`/
+  * RewriteWithExpression batch precedes every extension injection
+  * point, so a `With` built by an injected rule reaches codegen
+  * unevaluable) — the kernel keeps a per-thread last-row memo: equal
+  * path sets on the same row parse once, the other occurrences hit the
+  * cache ([[org.apache.spark.sql.graft.JsonKernels]], spec-pinned by a
+  * parse counter). Worst case everywhere: one parse per occurrence —
+  * never more than the un-rewritten plan. */
 case class JsonSharedParse() extends Rule[LogicalPlan] {
 
   /** canonicalized doc → (original doc expr, ordered distinct supported
@@ -77,16 +75,9 @@ case class JsonSharedParse() extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val gs = groups(Seq(cond))
       if (gs.isEmpty) f
-      else {
-        val aliases = gs.map { case (_, j, paths) =>
-          Alias(JsonExtractMulti(j, paths), "_json_shared")() }
-        val newCond = gs.zip(aliases).foldLeft(cond) {
-          case (c, ((canon, _, paths), a)) =>
-            replace(c, canon, paths, a.toAttribute)
-        }
-        Project(child.output,
-          Filter(newCond, Project(child.output ++ aliases, child)))
-      }
+      else Filter(gs.foldLeft(cond) { case (c, (canon, j, paths)) =>
+        replace(c, canon, paths, JsonExtractMulti(j, paths))
+      }, child)
 
     case pr @ Project(list, child) =>
       val gs = groups(list)

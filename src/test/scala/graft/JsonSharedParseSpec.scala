@@ -108,10 +108,21 @@ class JsonSharedParseSpec extends SparkSpec {
     val filt = df.filter(
       get_json_object(col("doc"), "$.k") === "3" ||
         get_json_object(col("doc"), "$.m.pri") === "p2")
-    val exec = filt.queryExecution.executedPlan.toString
-    assert(exec.contains("json_extract_multi"),
-      s"filter rewrite did not plant the shared parse:\n$exec")
+    val opt = filt.queryExecution.optimizedPlan
+    val fMultis = opt.flatMap(_.expressions).flatMap(_.collect {
+      case m: JsonExtractMulti => m })
+    assert(fMultis.nonEmpty &&
+      fMultis.map(_.canonicalized).distinct.size == 1,
+      s"filter rewrite must produce one shared extraction:\n" +
+        opt.treeString)
+    // the sharing pin: 100 rows through a 2-reference predicate must
+    // parse 100 documents, not 200 — the other reference hits the
+    // kernel's per-thread row memo (plan surgery can't guarantee this;
+    // Spark's late pushdown batch re-inlines planted aliases)
+    JsonKernels.parses.reset()
     assert(filt.count() == 1 + 33) // id=3, plus ids ≡ 2 (mod 3)
+    assert(JsonKernels.parses.sum == 100L,
+      s"expected 100 parses for 100 rows, got ${JsonKernels.parses.sum}")
   }
 
   test("rule leaves single-path and unsupported-path calls alone") {
