@@ -698,6 +698,7 @@ object Bench {
       if (scaleSel.isEmpty) "" else {
         val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
           s"target/graft_scale_${scaleFactor}x")
+        lintQuery = "" // corpus expansion is harness work, not a gate's
         val prepSec =
           graft.sources.ScaleCorpus.materialize(spark, sfDir, scaleDir,
             scaleFactor)
@@ -779,6 +780,8 @@ object Bench {
           .sortBy(-_._2).take(3).map(_._1)
         def isoScale(name: String, cold: Boolean): Option[(String, Double)] =
           scaleSel.find(_.name == name).map { q =>
+            lintQuery = q.name // else this re-run's expressions would
+            // attribute to whatever query finished the scale suite
             if (cold) {
               graft.operators.GraftCache.clearAll()
               // suite cold timings run AFTER the untimed setup phase;
@@ -881,11 +884,6 @@ object Bench {
       if (lintViolations.isEmpty) ""
       else s""","interpreted":${jmap(lintViolations.map { case (q, cls) =>
         q -> cls.map(jstr).mkString("[", ",", "]") })}"""
-    if (lintViolations.nonEmpty &&
-        sys.env.get("SPARK_GRAFT_BENCH_STRICT_INTERPRETED").contains("1"))
-      throw new IllegalStateException("interpreted expressions outside " +
-        s"whitelist: ${lintViolations.map(_._1).mkString(", ")}")
-
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$inlineJson$cacheJson$repeatJson$streamJson$interpJson$scaleJson,"sf":"$sfDir"}"""
     // The FULL artifact lands on disk; SPARK_GRAFT_BENCH_OUT overrides.
@@ -897,6 +895,14 @@ object Bench {
       System.err.println(s"[bench] full artifact: ${outPath.toAbsolutePath}")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: $e")
+    }
+    // strict close: fail AFTER the artifact lands — a tripped lint must
+    // cost a red exit code, not 15 minutes of lost measurements
+    if (lintViolations.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_BENCH_STRICT_INTERPRETED").contains("1")) {
+      System.err.println(json.takeRight(400))
+      throw new IllegalStateException("interpreted expressions outside " +
+        s"whitelist: ${lintViolations.map(_._1).mkString(", ")}")
     }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail. The full line above is >10 KB at 190
