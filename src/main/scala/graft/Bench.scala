@@ -327,6 +327,17 @@ object Bench {
     val lintFound = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.Set[String]]()
     @volatile var lintQuery: String = ""
+    // attribution handoff: the listener bus is async and the end-of-query
+    // drain caps at 2 s — a 100× query's tail events can land AFTER the
+    // cursor moved (the first 100× web run attributed q_web_pipeline's
+    // whitelisted ArrayAggregate to q_dedup_paragraphs). Settle the bus
+    // with a generous cap BEFORE every cursor move; it returns the
+    // moment the bus empties, so the cost is zero on a healthy session.
+    def lintFocus(name: String): Unit = {
+      org.apache.spark.graft.ListenerBusAccess
+        .waitUntilEmpty(spark.sparkContext, 15000)
+      lintQuery = name
+    }
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
@@ -395,7 +406,7 @@ object Bench {
                  dir: String = sfDir,
                  rerunBudget: Double = rerunBudgetSec,
                  inlineDefense: Boolean = true): Seq[Res] = sel.map { q =>
-      lintQuery = q.name // every execution until the end-of-query drain
+      lintFocus(q.name) // every execution until the end-of-query drain
       // a failing query must surface as an error, not masquerade as a
       // fast wall-time silently inflating the bench
       var err: Option[String] = None
@@ -491,7 +502,7 @@ object Bench {
                  org.apache.spark.sql.streaming.DataStreamWriter[
                    org.apache.spark.sql.Row]): StreamRes = {
         val mem = MemoryStream[(Long, String)]
-        lintQuery = name
+        lintFocus(name)
         val df = mem.toDF().toDF("doc_id", "text")
         var survivors = 0L
         val times = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -556,7 +567,7 @@ object Bench {
     // masquerade as regression; both numbers ship
     def isolatedRun(name: String): Option[(String, Double)] =
       selected.find(_.name == name).map { q =>
-        lintQuery = q.name
+        lintFocus(q.name)
         System.gc()
         Thread.sleep(200)
         def once(): Double = {
@@ -698,7 +709,7 @@ object Bench {
       if (scaleSel.isEmpty) "" else {
         val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
           s"target/graft_scale_${scaleFactor}x")
-        lintQuery = "" // corpus expansion is harness work, not a gate's
+        lintFocus("") // corpus expansion is harness work, not a gate's
         val prepSec =
           graft.sources.ScaleCorpus.materialize(spark, sfDir, scaleDir,
             scaleFactor)
@@ -780,7 +791,7 @@ object Bench {
           .sortBy(-_._2).take(3).map(_._1)
         def isoScale(name: String, cold: Boolean): Option[(String, Double)] =
           scaleSel.find(_.name == name).map { q =>
-            lintQuery = q.name // else this re-run's expressions would
+            lintFocus(q.name) // else this re-run's expressions would
             // attribute to whatever query finished the scale suite
             if (cold) {
               graft.operators.GraftCache.clearAll()
@@ -863,9 +874,7 @@ object Bench {
     }
 
     // ---- interpreted-expression verdict ([[PlanLint]] tripwire) ----
-    lintQuery = ""
-    org.apache.spark.graft.ListenerBusAccess
-      .waitUntilEmpty(spark.sparkContext, 5000)
+    lintFocus("")
     val lintViolations = {
       import scala.jdk.CollectionConverters._
       lintFound.asScala.toSeq.sortBy(_._1).flatMap { case (q, cls) =>

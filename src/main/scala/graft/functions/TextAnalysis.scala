@@ -157,7 +157,16 @@ object TextAnalysis {
     * (max ≤ 1000, mean ≤ 100, alnum ≥ 0.25). Ratios are integer-count
     * divisions rounded 6dp so the oracle replays exactly. One codegen
     * projection, no shuffle — the same shape as [[gopherSignals]]. */
-  def codeSignals(text: Column): Column = {
+  def codeSignals(text: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.codeSignals(text)
+
+  /** Column-chain formulation of [[codeSignals]] — the oracle-replay
+    * reference and the spec's parity baseline. Kept OFF the hot path:
+    * per row it costs a split allocation, an interpreted max-line HOF,
+    * three multiline-regex passes and a whole-text regexp_replace copy
+    * (the 100× web one-off measured 50 s warm at bytes_factor 170 —
+    * the one-scan kernel replaces it). */
+  private[graft] def codeSignalsChain(text: Column): Column = {
     // all-arithmetic/regexp formulations: higher-order functions run
     // INTERPRETED and getField-on-struct simplification duplicates each
     // field's expression, so a HOF here multiplies into seconds per

@@ -74,6 +74,11 @@ object GraftExpressions {
     ExpressionUtils.column(VecDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** One-scan StarCoder code-signal struct (see [[CodeKernels]]). */
+  def codeSignals(text: Column): Column =
+    ExpressionUtils.column(CodeSignalsExpr(
+      ExpressionUtils.expression(text)))
+
   /** Exact integral division (SQL's `a div b`, floor-toward-zero on
     * BIGINT): the `/` Column operator divides as DOUBLE, which silently
     * loses bits past 2^53 — fatal for micro-unit rank arithmetic. `div`

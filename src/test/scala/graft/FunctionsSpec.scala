@@ -612,6 +612,29 @@ class FunctionsSpec extends SparkSpec {
       !b.getAs[Boolean]("code_pass"))
   }
 
+  test("codeSignals kernel ≡ Column chain on adversarial texts and the " +
+      "corpus (one-scan native vs the regex/HOF oracle reference)") {
+    val s = spark
+    import s.implicits._
+    val crafted = Seq(
+      "", "\n", "\n\n", "x", "x\n", "#c", " \t #c", "//x", "/x", "-",
+      "--", " --x\n-\n", "a\r\nb", "\r", "  \t ", "é multi ⽕ 字\n#é",
+      "code // not a comment start\n  //but this is",
+      "a" * 1200, ("@@ " * 40).trim,
+      "x = 1\n# a comment\n\n  // indented comment\nyy zz ww",
+      "ln1\n\tln2 with\ttabs\n   \n--sql comment\n#py\nend")
+    val docs = Tables.documents(s, sfDir).select(col("text"))
+      .collect().map(_.getString(0)).toSeq
+    (crafted ++ docs).zipWithIndex.toDF("t", "i").select(
+        TA.codeSignals(col("t")).as("k"),
+        TA.codeSignalsChain(col("t")).as("c"), col("i"))
+      .collect().foreach { r =>
+        assert(r.get(0) == r.get(1),
+          s"kernel/chain drift on input ${r.getInt(2)}: " +
+            s"${r.get(0)} vs ${r.get(1)}")
+      }
+  }
+
   test("scriptProfile: per-script char fractions and dominant label " +
       "with fixed tie-break; whitespace excluded from the base") {
     def prof(s: String): org.apache.spark.sql.Row =
