@@ -247,5 +247,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("hamming64", "bit_count(xor) distance of two simhash longs") {
       a => TA.simHashDistance(a(0), a(1))
     }
+    reg("code_signals",
+      "StarCoder code-quality struct (line metrics + threshold conjunct)") {
+      a => TA.codeSignals(a(0))
+    }
+    reg("script_profile",
+      "Unicode-script fraction struct + dominant script label") {
+      a => TA.scriptProfile(a(0))
+    }
+    reg("fix_encoding", "mojibake repair (ftfy fix_encoding core)") {
+      a => TA.fixEncoding(a(0))
+    }
   }
 }

@@ -42,6 +42,36 @@ object LinkGraph {
     when(length(h) > 0, lower(h))
   }
 
+  /** Full anchor elements (`<a …>inner</a>`), for paired
+    * href+anchor-text extraction. (?s): anchors may span lines; the
+    * lazy body stops at the first closing tag, so adjacent anchors
+    * don't merge. */
+  private val anchorFullPat =
+    "(?is)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*\"[^\"]*\"[^>]*>" +
+      ".*?</a>"
+
+  /** Incoming ANCHOR-TEXT harvest — the classic web-corpus augmentation
+    * signal (what others call a page when linking to it; search and
+    * corpus pipelines attach harvested anchor text to the TARGET
+    * document as auxiliary description). One row per (dst_host,
+    * anchor_text) with its occurrence count; inner markup stripped,
+    * whitespace canonicalized to single spaces, absolute http(s)
+    * targets only. Pure projection + explode + one keyed agg. */
+  def anchorTexts(pages: DataFrame, htmlCol: String): DataFrame = {
+    val a = col("__a")
+    val inner = regexp_extract(a, "(?is)^<a[^>]*>(.*)</a>$", 1)
+    val txt = trim(regexp_replace(
+      regexp_replace(inner, "<[^>]*>", ""), "[ \t\n\r]+", " "))
+    pages.select(explode(regexp_extract_all(col(htmlCol),
+        lit(anchorFullPat), lit(0))).as("__a"))
+      .select(
+        hostOfAbs(regexp_extract(a,
+          "(?i)href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\"", 1)).as("dst"),
+        txt.as("anchor"))
+      .filter(col("dst").isNotNull && length(col("anchor")) > 0)
+      .groupBy(col("dst"), col("anchor")).agg(count(lit(1)).as("n"))
+  }
+
   /** (src_host, dst_host, n) edge list: one row per linked host pair,
     * self-loops dropped (intra-site nav would dominate every host). */
   def edges(pages: DataFrame, uriCol: String, htmlCol: String)

@@ -437,7 +437,8 @@ object TrainingQueries {
     val anchors = when(did % 5 === 0, lit(""))
       .otherwise(concat((1 to 3).map(k => concat(
         lit("<a href=\"https://"), hostOf(did * 3 + k * k),
-        lit(s"/p$k\">t</a>"))): _*))
+        lit(s"/p$k\">read <b>about</b> "), col("source"),
+        lit(s" $k</a>"))): _*))
     Tables.documents(s, d).select(
       concat(lit("https://"), hostOf(did), lit("/doc/"),
         did.cast("string")).as("uri"),
@@ -453,7 +454,8 @@ object TrainingQueries {
       s"'h' || CAST(($e) % 29 AS VARCHAR) || '.example.org'"
     val anchors = (1 to 3).map(k =>
       s"'<a href=\"https://' || ${hostOf(s"doc_id*3+${k * k}")} || " +
-        s"'/p$k\">t</a>'").mkString(" || ")
+        s"'/p$k\">read <b>about</b> ' || source || ' $k</a>'")
+      .mkString(" || ")
     s"""pg AS (SELECT
           'https://' || ${hostOf("doc_id")} || '/doc/' ||
             CAST(doc_id AS VARCHAR) AS uri,
@@ -3711,6 +3713,33 @@ object TrainingQueries {
         .orderBy(col("src"), col("dst")),
       Some(s"""WITH $linkEdgesSql
           SELECT src, dst, n FROM edges ORDER BY src, dst""")),
+
+    // Incoming anchor-text harvest (the augmentation signal: what other
+    // pages call a target when linking to it — attached to the TARGET
+    // document as auxiliary description in search/corpus pipelines).
+    // Full anchor elements pair href + inner text; markup strips,
+    // whitespace canonicalizes, absolute-host targets only, counted per
+    // (dst_host, anchor). Pure projection + explode + one keyed agg.
+    Q("q_anchor_text",
+      (s, d) => graft.operators.LinkGraph.anchorTexts(
+          linkPages(s, d), "html")
+        .orderBy(col("dst"), col("anchor")),
+      Some(s"""WITH $linkEdgesSql,
+          fa AS (SELECT unnest(regexp_extract_all(html,
+              '(?is)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"[^"]*"[^>]*>.*?</a>',
+              0)) AS a
+            FROM pg),
+          px AS (SELECT
+              lower(regexp_extract(regexp_extract(a,
+                '(?i)href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"', 1),
+                '(?i)^https?://([^/:?#]+)', 1)) AS dst,
+              trim(regexp_replace(regexp_replace(
+                regexp_extract(a, '(?is)^<a[^>]*>(.*)</a>$$', 1),
+                '<[^>]*>', '', 'g'), '[ \t\n\r]+', ' ', 'g')) AS anchor
+            FROM fa)
+          SELECT dst, anchor, COUNT(*) AS n FROM px
+          WHERE dst != '' AND length(anchor) > 0
+          GROUP BY 1, 2 ORDER BY dst, anchor""")),
 
     // Integer-deterministic PageRank over the host graph (3 iterations,
     // d=0.85): ranks are 1e-12 micro-units on BIGINT with floor

@@ -67,6 +67,25 @@ class LinkGraphSpec extends SparkSpec {
     assert(r0 == Set(333333333333L))
   }
 
+  test("anchorTexts: href+inner pairing, markup strip, whitespace " +
+      "canon, relative targets dropped, counts aggregate") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      """<a href="https://x.io/a">read <b>this</b>
+        |  now</a><a href="https://x.io/b">read this now</a>""".stripMargin,
+      """<a class="k" href="https://y.io/c">other</a>
+        |<a href="/rel">skipped</a><a href="https://z.io/d">  </a>"""
+        .stripMargin).toDF("html")
+    val got = graft.operators.LinkGraph.anchorTexts(pages, "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // the two x.io anchors canonicalize to the SAME text and aggregate;
+    // the whitespace-only z.io anchor drops; /rel drops
+    assert(got == Set(("x.io", "read this now", 2L),
+      ("y.io", "other", 1L)))
+  }
+
   test("hostRank composes extraction and ranking; a hub host outranks " +
       "leaves after 3 iterations") {
     val s = spark
