@@ -54,4 +54,24 @@ object Scrub {
       d.withColumn(s"n_${r.name}", countOf(t, r)))
     counted.withColumn(s"${textCol}_scrubbed", redact(t, rules))
   }
+
+  /** Luhn-validated payment-card scrub — the tier a regex CANNOT
+    * express: candidates are maximal 13–19-digit runs (one space/dash
+    * allowed between digits), and only runs passing the Luhn mod-10
+    * check redact to `<CC>` — order numbers and timestamps survive.
+    * Returns a struct (scrubbed, n_candidates, n_valid, valid_cards);
+    * native one-scan kernel, whole-stage codegen, no shuffle. */
+  def cardScrub(text: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.scrubCards(text)
+
+  /** [[cardScrub]] over a frame: adds `<textCol>_scrubbed`, `n_cc_cand`,
+    * `n_cc_valid`. */
+  def scrubCards(df: DataFrame, textCol: String): DataFrame = {
+    val s = cardScrub(col(textCol))
+    df.withColumn("__cc", s)
+      .withColumn(s"${textCol}_scrubbed", col("__cc.scrubbed"))
+      .withColumn("n_cc_cand", col("__cc.n_candidates"))
+      .withColumn("n_cc_valid", col("__cc.n_valid"))
+      .drop("__cc")
+  }
 }

@@ -465,13 +465,15 @@ object TrainingQueries {
             '</body></html>' AS html
         FROM documents),
       lhr AS (SELECT
+          CAST(regexp_extract(uri, '/doc/([0-9]+)$$', 1) AS BIGINT)
+            AS did,
           lower(regexp_extract(uri, '(?i)^https?://([^/:?#]+)', 1))
             AS src,
           unnest(regexp_extract_all(html,
             '(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"', 1))
             AS href
         FROM pg),
-      le0 AS (SELECT src,
+      le0 AS (SELECT did, src,
           lower(regexp_extract(href, '(?i)^https?://([^/:?#]+)', 1))
             AS dst
         FROM lhr),
@@ -1018,6 +1020,78 @@ object TrainingQueries {
               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')""")}
             AS scrub_sig
         FROM p ORDER BY doc_id""")),
+
+    // Luhn-validated card scrubbing — the PII tier a regex alone cannot
+    // express (Dolma/FineWeb pair a digit-run candidate regex WITH the
+    // mod-10 check so order ids survive while card numbers redact).
+    // Docs decorate with: a fixed valid/invalid test card by residue
+    // (separator formats vary), a DOC-VARYING 15-digit number whose
+    // Luhn verdict the oracle must compute per document, an 8-digit
+    // ref (too short — not a candidate) and a 20-digit blob (too long).
+    // The oracle replays the candidate regex, digit extraction, the
+    // full Luhn arithmetic, and the appearance-ordered valid list.
+    Q("q_scrub_cards",
+      (s, d) => {
+        val deco = concat(col("text"), lit(" pay "),
+          when(col("doc_id") % 3 === 0, lit("4111 1111 1111 1111"))
+            .when(col("doc_id") % 3 === 1, lit("4111-1111-1111-1112"))
+            .otherwise(lit("30569309025904")),
+          lit(" card 35"),
+          lpad(((col("doc_id") * 7919) % 10000000000000L).cast("string"),
+            13, "0"),
+          lit(" ref "),
+          lpad((col("doc_id") % 100000000L).cast("string"), 8, "0"),
+          lit(" num 12345678901234567890"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.Scrub.cardScrub(deco).as("cc"))
+          .select(col("doc_id"),
+            col("cc.n_candidates").cast("long").as("n_candidates"),
+            col("cc.n_valid").cast("long").as("n_valid"),
+            col("cc.valid_cards").as("valid_cards"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text || ' pay ' ||
+            CASE WHEN doc_id % 3 = 0 THEN '4111 1111 1111 1111'
+                 WHEN doc_id % 3 = 1 THEN '4111-1111-1111-1112'
+                 ELSE '30569309025904' END
+            || ' card 35' ||
+            lpad(CAST((doc_id * 7919) % 10000000000000 AS VARCHAR),
+              13, '0')
+            || ' ref ' ||
+            lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+            || ' num 12345678901234567890' AS x
+          FROM documents),
+        ca AS (SELECT doc_id,
+            regexp_extract_all(x, '[0-9](?:[ -]?[0-9])+', 0) AS cs
+          FROM t),
+        cx AS (SELECT doc_id, i, cs[i] AS cand FROM (
+            SELECT doc_id, cs,
+              unnest(generate_series(1, len(cs))) AS i FROM ca)),
+        dd AS (SELECT doc_id, i, cand,
+            regexp_replace(cand, '[^0-9]', '', 'g') AS ds FROM cx),
+        cc AS (SELECT * FROM dd
+          WHERE length(ds) BETWEEN 13 AND 19),
+        lu AS (SELECT doc_id, i, cand,
+            (list_sum(list_transform(generate_series(1, length(ds)),
+              k -> CASE WHEN (length(ds) - k) % 2 = 0
+                   THEN CAST(ds[k] AS INT)
+                   ELSE CASE WHEN 2 * CAST(ds[k] AS INT) > 9
+                        THEN 2 * CAST(ds[k] AS INT) - 9
+                        ELSE 2 * CAST(ds[k] AS INT) END END)) % 10 = 0)
+              AS ok
+          FROM cc),
+        agg AS (SELECT doc_id, COUNT(*) AS n_candidates,
+            SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
+            COALESCE(string_agg(CASE WHEN ok THEN cand END, '|'
+              ORDER BY i), '') AS valid_cards
+          FROM lu GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+          CAST(COALESCE(a.n_valid, 0) AS BIGINT) AS n_valid,
+          COALESCE(a.valid_cards, '') AS valid_cards
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id""")),
 
     // Weighted source mixing: per-source deterministic downsampling
     // (wiki 100%, web 40%, logs 5% style). Oracle replays the salted
@@ -3777,6 +3851,67 @@ object TrainingQueries {
           ${iter("r1", "i2", "r2")},
           ${iter("r2", "i3", "r3")}
           SELECT host, ru AS rank_u FROM r3 ORDER BY host"""
+      }),
+
+    // WARM-START incremental PageRank — the continuous-crawl
+    // maintenance shape: a day's archives extend the edge set, and
+    // re-iterating from the PREVIOUS ranks converges in far fewer
+    // rounds than a cold uniform start. The semantics are exact, not
+    // "approximately converged": batch-1 pages (doc_id%4 != 3) rank for
+    // 3 rounds, the day-2 pages merge in, carried hosts warm-start from
+    // their prior rank_u, NEW hosts from the merged graph's uniform
+    // base, and ONE more round runs on the merged edges — the oracle
+    // replays all four rounds across both graph versions bit-for-bit.
+    Q("q_pagerank_incremental",
+      (s, d) => {
+        import graft.operators.LinkGraph
+        val pages = linkPages(s, d)
+        val did = regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+          .cast("long")
+        val prior = LinkGraph.pageRank(
+          LinkGraph.edges(pages.filter(did % 4 =!= 3), "uri", "html"),
+          iters = 3)
+        LinkGraph.pageRankWarm(
+            LinkGraph.edges(pages, "uri", "html"), prior, iters = 1)
+          .orderBy(col("host"))
+      },
+      Some {
+        def itr(e: String, o: String, nds: String, prm: String,
+                prev: String, i: String, r: String) =
+          s"""$i AS (SELECT e.dst,
+              CAST(SUM((r.ru * e.n) // o.od) AS BIGINT) AS inflow
+            FROM $e e JOIN $prev r ON e.src = r.host
+            JOIN $o o ON e.src = o.src GROUP BY 1),
+          $r AS (SELECT n.host, CAST(
+              (150 * (SELECT base FROM $prm)) // 1000
+              + (COALESCE(i.inflow, 0) * 850) // 1000 AS BIGINT) AS ru
+            FROM $nds n LEFT JOIN $i i ON n.host = i.dst)"""
+        s"""WITH $linkEdgesSql,
+          b1 AS (SELECT src, dst, COUNT(*) AS n FROM le0
+            WHERE dst != '' AND src != dst AND did % 4 <> 3
+            GROUP BY 1, 2),
+          n1 AS (SELECT DISTINCT host FROM (
+            SELECT src AS host FROM b1 UNION ALL SELECT dst FROM b1)),
+          p1 AS (SELECT CAST(1000000000000 //
+            (SELECT COUNT(*) FROM n1) AS BIGINT) AS base),
+          o1 AS (SELECT src, CAST(SUM(n) AS BIGINT) AS od
+            FROM b1 GROUP BY 1),
+          a0 AS (SELECT host, (SELECT base FROM p1) AS ru FROM n1),
+          ${itr("b1", "o1", "n1", "p1", "a0", "i1", "a1")},
+          ${itr("b1", "o1", "n1", "p1", "a1", "i2", "a2")},
+          ${itr("b1", "o1", "n1", "p1", "a2", "i3", "a3")},
+          n2 AS (SELECT DISTINCT host FROM (
+            SELECT src AS host FROM edges
+            UNION ALL SELECT dst FROM edges)),
+          p2 AS (SELECT CAST(1000000000000 //
+            (SELECT COUNT(*) FROM n2) AS BIGINT) AS base),
+          o2 AS (SELECT src, CAST(SUM(n) AS BIGINT) AS od
+            FROM edges GROUP BY 1),
+          w0 AS (SELECT n.host,
+              COALESCE(a.ru, (SELECT base FROM p2)) AS ru
+            FROM n2 n LEFT JOIN a3 a ON n.host = a.host),
+          ${itr("edges", "o2", "n2", "p2", "w0", "i4", "w1")}
+          SELECT host, ru AS rank_u FROM w1 ORDER BY host"""
       }),
 
     // C4-style span-level exact dedup: 3-token non-overlapping spans, the

@@ -74,6 +74,11 @@ object GraftExpressions {
     ExpressionUtils.column(VecDotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Luhn-validated card scrub struct (see [[CardKernels]]). */
+  def scrubCards(text: Column): Column =
+    ExpressionUtils.column(CardScrubExpr(
+      ExpressionUtils.expression(text)))
+
   /** One-scan StarCoder code-signal struct (see [[CodeKernels]]). */
   def codeSignals(text: Column): Column =
     ExpressionUtils.column(CodeSignalsExpr(

@@ -86,6 +86,32 @@ class LinkGraphSpec extends SparkSpec {
       ("y.io", "other", 1L)))
   }
 
+  test("pageRankWarm: carried hosts start from prior ranks, new hosts " +
+      "from the merged base; one warm round equals the hand-traceable " +
+      "update") {
+    val s = spark
+    import s.implicits._
+    val e1 = Seq(("a", "b", 1L)).toDF("src", "dst", "n")
+    val prior = LinkGraph.pageRank(e1, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=2, base=5e11, teleport=75e9: a gets teleport only, b gets
+    // teleport + 850‰ of a's 5e11
+    assert(prior == Map("a" -> 75000000000L, "b" -> 500000000000L))
+    val merged = Seq(("a", "b", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "n")
+    val warm = LinkGraph.pageRankWarm(merged,
+        Seq(("a", 75000000000L), ("b", 500000000000L))
+          .toDF("host", "rank_u"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=3: base=333333333333, teleport=49999999999; c is NEW → starts
+    // from the merged base. a ← 850‰·c: 49999999999+283333333333
+    // b ← 850‰·a(prior 75e9): 49999999999+63750000000
+    assert(warm == Map(
+      "a" -> 333333333332L,
+      "b" -> 113749999999L,
+      "c" -> 49999999999L))
+  }
+
   test("hostRank composes extraction and ranking; a hub host outranks " +
       "leaves after 3 iterations") {
     val s = spark
