@@ -164,4 +164,44 @@ object LinkGraph {
   def hostRank(pages: DataFrame, uriCol: String, htmlCol: String,
                iters: Int = 3, dampingPermille: Int = 850): DataFrame =
     pageRank(edges(pages, uriCol, htmlCol), iters, dampingPermille)
+
+  // ----- persisted edge index (continuous-crawl accumulation) -----
+
+  /** App-scoped edge-index spec (the dedup-index convention). FLAT —
+    * unlike the probe-pruned dedup/ANN indexes, PageRank reads EVERY
+    * edge, so partition pruning buys nothing; what matters is that
+    * appends are O(batch): each batch lands its own PARTIAL (src,dst,n)
+    * counts and [[loadEdges]] re-aggregates, so the accumulated index
+    * is never read (let alone rewritten) on the ingest path. */
+  private def indexSpec(spark: org.apache.spark.sql.SparkSession,
+                        name: String)
+  : graft.sources.IncrementalIndex.Spec = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad index name: $name")
+    graft.sources.IncrementalIndex.Spec(
+      s"/tmp/graft-warehouse/apps/" +
+        s"${spark.sparkContext.applicationId}/linkgraph_idx",
+      name, None)
+  }
+
+  /** Append one batch of pages' edges, tag-idempotent (an at-least-once
+    * replay of a committed `batchTag` is a no-op). */
+  def appendEdges(spark: org.apache.spark.sql.SparkSession,
+                  pages: DataFrame, uriCol: String, htmlCol: String,
+                  indexName: String, batchTag: String): Unit =
+    graft.sources.IncrementalIndex.append(spark,
+      indexSpec(spark, indexName), edges(pages, uriCol, htmlCol),
+      batchTag)
+
+  /** The accumulated edge set: per-batch partials re-aggregated —
+    * identical to [[edges]] over the union of every appended page
+    * batch. Feed to [[pageRank]]/[[pageRankWarm]]. */
+  def loadEdges(spark: org.apache.spark.sql.SparkSession,
+                indexName: String): DataFrame =
+    graft.sources.IncrementalIndex.load(spark,
+        indexSpec(spark, indexName), "src")
+      .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("n"))
+
+  def dropEdgeIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexName: String): Unit =
+    graft.sources.IncrementalIndex.drop(indexSpec(spark, indexName))
 }

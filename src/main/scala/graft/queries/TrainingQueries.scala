@@ -3853,6 +3853,43 @@ object TrainingQueries {
           SELECT host, ru AS rank_u FROM r3 ORDER BY host"""
       }),
 
+    // STREAMING link-graph maintenance, hash-gated: fetched pages land
+    // as 4 ordered micro-batches, each appending its PARTIAL edge
+    // counts tag-idempotently to the persisted edge index (O(batch) —
+    // the accumulated index is never read on the ingest path); an
+    // at-least-once REPLAY of the last batch re-appends under its own
+    // tag and must be a no-op (a real re-append would double counts and
+    // break the hash). The loaded, re-aggregated edge set must equal
+    // the one-shot batch extraction — the oracle is q_link_graph's.
+    Q("q_stream_link_graph",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        import graft.operators.LinkGraph
+        val pages = linkPages(s, d).orderBy(col("uri"))
+          .as[(String, String)].collect()
+        val chunk = math.max(1, math.ceil(pages.length / 4.0).toInt)
+        val chunks = pages.grouped(chunk).toSeq
+        LinkGraph.dropEdgeIndex(s, "lg_stream")
+        val mem = MemoryStream[(String, String)]
+        val q = graft.streaming.Streams.linkGraphSink(
+          mem.toDF().toDF("uri", "html"), "uri", "html", "lg_stream",
+          streamTag = Some("lgs")) { _ => () }.start()
+        chunks.foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        // at-least-once replay of the final batch: committed tag → no-op
+        LinkGraph.appendEdges(s, chunks.last.toSeq.toDF("uri", "html"),
+          "uri", "html", "lg_stream", s"lgs_${chunks.length - 1}")
+        LinkGraph.loadEdges(s, "lg_stream")
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(s"""WITH $linkEdgesSql
+          SELECT src, dst, n FROM edges ORDER BY src, dst""")),
+
     // WARM-START incremental PageRank — the continuous-crawl
     // maintenance shape: a day's archives extend the edge set, and
     // re-iterating from the PREVIOUS ranks converges in far fewer

@@ -341,6 +341,29 @@ object Streams {
     }
   }
 
+  /** Streaming LINK-GRAPH maintenance — the crawl's edge set
+    * accumulates per micro-batch: each batch of fetched pages extracts
+    * its (src,dst,n) PARTIAL counts and appends them tag-idempotently
+    * to the persisted edge index
+    * ([[graft.operators.LinkGraph.appendEdges]] — O(batch), the
+    * accumulated index is never read on the ingest path);
+    * [[graft.operators.LinkGraph.loadEdges]] +
+    * [[graft.operators.LinkGraph.pageRankWarm]] are the periodic
+    * re-rank over everything absorbed so far. Same contract as
+    * [[textIndexSink]]: tag-idempotent replays, batch passed through,
+    * index shared with batch writers on the same name. */
+  def linkGraphSink(pages: DataFrame, uriCol: String, htmlCol: String,
+                    indexName: String, streamTag: Option[String] = None)
+                   (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    pages.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.LinkGraph.appendEdges(batch.sparkSession, batch,
+        uriCol, htmlCol, indexName, s"${instance}_$batchId")
+      handler(batch)
+    }
+  }
+
   /** Streaming JSON-index maintenance — the realtime twin of the json
     * posting table (`MutableJsonIndexImpl`: the reference builds the
     * json index inside consuming segments too). Same contract as

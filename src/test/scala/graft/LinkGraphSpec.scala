@@ -112,6 +112,35 @@ class LinkGraphSpec extends SparkSpec {
       "c" -> 49999999999L))
   }
 
+  test("edge index: per-batch partial counts accumulate, a replayed " +
+      "tag is a no-op, loadEdges equals one-shot extraction") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.LinkGraph
+    def page(host: String, links: String*): (String, String) =
+      (s"https://$host/p",
+        links.map(l => s"""<a href="https://$l/x">t</a>""").mkString)
+    val b1 = Seq(page("a.io", "b.io"), page("b.io", "a.io"))
+    val b2 = Seq(page("a.io", "b.io", "c.io"))
+    LinkGraph.dropEdgeIndex(s, "lg_spec")
+    LinkGraph.appendEdges(s, b1.toDF("uri", "html"), "uri", "html",
+      "lg_spec", "t0")
+    LinkGraph.appendEdges(s, b2.toDF("uri", "html"), "uri", "html",
+      "lg_spec", "t1")
+    // at-least-once replay of t1 must not double the counts
+    LinkGraph.appendEdges(s, b2.toDF("uri", "html"), "uri", "html",
+      "lg_spec", "t1")
+    val got = LinkGraph.loadEdges(s, "lg_spec").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = LinkGraph.edges((b1 ++ b2).toDF("uri", "html"),
+        "uri", "html").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == oneShot &&
+      got == Set(("a.io", "b.io", 2L), ("b.io", "a.io", 1L),
+        ("a.io", "c.io", 1L)))
+    LinkGraph.dropEdgeIndex(s, "lg_spec")
+  }
+
   test("hostRank composes extraction and ranking; a hub host outranks " +
       "leaves after 3 iterations") {
     val s = spark
