@@ -86,6 +86,11 @@ object LinkGraph {
   /** Total rank mass at iteration 0: 10¹² micro-units split evenly. */
   private val Scale = 1000000000000L
 
+  /** Hosts up to which the per-iteration rank frame broadcasts (~a few
+    * hundred MB of host strings + longs); past it the iteration joins
+    * by shuffle. */
+  private[graft] val BroadcastHostMax = 5000000L
+
   /** `iters` rounds of integer PageRank over an (src, dst, n) edge
     * frame; returns (host, rank_u). `dampingPermille`=850 is the
     * classic d=0.85. Per edge the contribution is
@@ -140,9 +145,18 @@ object LinkGraph {
           .select(col("host"),
             coalesce(col("__pr"), lit(base)).as("rank_u")))
     }
+    // size-guarded broadcast (the nbClassify discipline): one row per
+    // host is small until it isn't — at ~10⁸ hosts (a full-crawl graph)
+    // the rank frame is GBs and re-broadcasting it per iteration IS the
+    // cliff; past the guard the iteration joins by shuffle on src,
+    // which AQE plans against the persisted edge side. The node count
+    // is already measured above, so the join shape is deterministic —
+    // never left to flip at the AQE byte-estimate boundary.
+    val bcastRanks = nNodes <= BroadcastHostMax
     (0 until iters).foreach { _ =>
+      val rside = if (bcastRanks) broadcast(ranks) else ranks
       val inflow = withOd
-        .join(broadcast(ranks), col("src") === col("host"))
+        .join(rside, col("src") === col("host"))
         .select(col("dst"),
           idiv(col("rank_u") * col("n"), col("od")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
