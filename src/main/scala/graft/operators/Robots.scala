@@ -1,0 +1,250 @@
+package graft.operators
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing + frontier politeness — the crawl-scheduling tier
+  * that fronts the WARC/link-graph story (a pipeline that re-crawls or
+  * extends Common Crawl must honor the Robots Exclusion Protocol before
+  * any fetch; CC itself publishes per-crawl robots.txt captures for
+  * exactly this). Semantics follow RFC 9309 (the 2022 REP standard):
+  *
+  *   - groups = one or more `User-agent` lines followed by rules; a
+  *     rule before any group is ignored; consecutive UA lines share the
+  *     following rules; ONE group applies per (host, agent): the group
+  *     naming the agent's product token (case-insensitive, full-token
+  *     match) if any group does, else the `*` group, else no rules
+  *     (everything allowed).
+  *   - rule paths match as prefixes of path+query, with `*` = any char
+  *     run and a trailing `$` = end anchor (RFC 9309 §2.2.3).
+  *   - precedence = longest PATTERN (octet length of the rule text,
+  *     RFC 9309 §2.2.2); on a length tie `Allow` wins. No matching rule
+  *     → allowed.
+  *   - `Crawl-delay` is the de-facto extension every major engine but
+  *     Google honors: it is group-scoped here (a group member like
+  *     allow/disallow); `Sitemap` is file-scoped (RFC 9309 §2.2.4
+  *     "other records": outside groups).
+  *   - comments strip from `#` to end of line; keys are
+  *     case-insensitive; unknown keys are ignored and do NOT split a
+  *     UA run (RFC: "Crawlers MAY ignore lines they don't support").
+  *
+  * Scale shape: robots frames are one small document per HOST (RFC caps
+  * parse obligation at 500 KiB) — parsing is one projection + one
+  * per-host line window (bounded partitions by the cap). The frontier is
+  * the big side: the decision joins the per-host rule table (size-guard
+  * broadcast, the nbClassify/LinkGraph discipline) onto the frontier's
+  * DISTINCT urls and reduces with one keyed max — the frontier never
+  * shuffles beyond that one agg, and per-URL work is (rules on its
+  * host) pattern probes. Politeness scheduling is inherently per-host
+  * sequential (that IS the semantics), expressed as one window over the
+  * host key. */
+object Robots {
+
+  /** Hosts up to which the per-agent rule table broadcasts; past it the
+    * decision joins by shuffle (a full-crawl robots corpus is ~10⁸
+    * hosts × a handful of rules — GBs). */
+  private[graft] val BroadcastRuleMax = 2000000L
+
+  // ----- parse tier -----
+
+  /** One row per recognized directive line:
+    * (host, ln 1-based, grp, key, val). `grp` numbers UA-led groups
+    * 1..k per host (0 = before any group); `sitemap` rows carry the
+    * group they textually fall in but are file-scoped by contract. */
+  private def directives(robots: DataFrame, hostCol: String,
+                         bodyCol: String): DataFrame = {
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")))
+      .select(col("host"), (col("pos") + 1).cast("long").as("ln"),
+        trim(regexp_replace(col("col"), "#.*", ""), " \t\r").as("line"))
+    val parsed = lines.select(col("host"), col("ln"),
+        lower(regexp_extract(col("line"), "^([A-Za-z-]+)[ \t]*:", 1))
+          .as("key"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+[ \t]*:(.*)$", 1),
+          " \t").as("val"))
+      .filter(col("key").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"))
+    // group islands over the GROUP-MEMBER lines only (sitemap is
+    // file-scoped and must not split a UA run)
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val isUa = col("key") === "user-agent"
+    val member = parsed.filter(col("key") =!= "sitemap")
+      .withColumn("__gs",
+        (isUa && !coalesce(lag(isUa, 1).over(w), lit(false)))
+          .cast("int"))
+      .withColumn("grp", sum(col("__gs")).over(w)).drop("__gs")
+    member.unionByName(
+      parsed.filter(col("key") === "sitemap").withColumn("grp", lit(0L)))
+  }
+
+  /** Parsed rule table: one row per (host, agent, rule) —
+    * (host, agent, ln, allow, path). Rules under a multi-UA group
+    * repeat per agent; empty-path rules (the `Disallow:` allow-all
+    * idiom) match nothing and are dropped; rules before any group are
+    * ignored per RFC. */
+  def rules(robots: DataFrame, hostCol: String, bodyCol: String)
+  : DataFrame = {
+    val dirs = directives(robots, hostCol, bodyCol)
+    val agents = dirs.filter(col("key") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("val")).as("agent"))
+    dirs.filter(col("key").isin("allow", "disallow") &&
+        col("grp") > 0 && length(col("val")) > 0)
+      .select(col("host"), col("grp"), col("ln"),
+        (col("key") === "allow").as("allow"), col("val").as("path"))
+      .join(agents, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("ln"), col("allow"),
+        col("path"))
+  }
+
+  /** Group-scoped crawl delays: (host, agent, ln, delay_ms). Fractional
+    * seconds parse exactly through decimal(18,3); unparseable values
+    * drop (try_cast — a malformed delay is no delay). */
+  def crawlDelays(robots: DataFrame, hostCol: String, bodyCol: String)
+  : DataFrame = {
+    val dirs = directives(robots, hostCol, bodyCol)
+    val agents = dirs.filter(col("key") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("val")).as("agent"))
+    dirs.filter(col("key") === "crawl-delay" && col("grp") > 0)
+      .select(col("host"), col("grp"), col("ln"),
+        (expr("try_cast(val as decimal(18,3))") * 1000)
+          .cast("long").as("delay_ms"))
+      .filter(col("delay_ms").isNotNull)
+      .join(agents, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("ln"), col("delay_ms"))
+  }
+
+  /** File-scoped sitemap declarations: (host, sitemap). */
+  def sitemaps(robots: DataFrame, hostCol: String, bodyCol: String)
+  : DataFrame =
+    directives(robots, hostCol, bodyCol)
+      .filter(col("key") === "sitemap" && length(col("val")) > 0)
+      .select(col("host"), col("val").as("sitemap"))
+
+  // ----- match tier -----
+
+  /** Lowercased host of an absolute http(s) url (null otherwise). */
+  private def hostOf(url: Column): Column = {
+    val h = regexp_extract(url, "(?i)^https?://([^/:?#]+)", 1)
+    when(length(h) > 0, lower(h))
+  }
+
+  /** path+query of an absolute url (fragment excluded, RFC 9309 matches
+    * against path and query); no path → "/". */
+  private def pathOf(url: Column): Column =
+    coalesce(
+      when(length(regexp_extract(url, "(?i)^https?://[^/]*(/[^#]*)", 1))
+        > 0, regexp_extract(url, "(?i)^https?://[^/]*(/[^#]*)", 1)),
+      lit("/"))
+
+  /** Rule path → anchored regex: `*` → `.*`, trailing `$` → end
+    * anchor, every other regex metachar escaped. Spelled so the DuckDB
+    * oracle can build the identical pattern (RE2 and Java agree on this
+    * subset). */
+  private def ruleRegex(path: Column): Column = {
+    val anchored = path.endsWith("$")
+    val core = when(anchored, path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val esc = regexp_replace(core, "([\\\\.^$+?(){}\\[\\]|])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** The (host, grp) pairs whose group governs `agent` on each host:
+    * the agent-naming group when one exists, else the `*` group. */
+  private def chosenGroups(dirs: DataFrame, agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(Locale.ROOT)
+    val agents = dirs.filter(col("key") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("val")).as("agent"))
+      .filter(col("agent") === agentLc || col("agent") === "*")
+    val hasSpecific = agents.groupBy(col("host"))
+      .agg(max(when(col("agent") === agentLc, 1).otherwise(0)).as("__hs"))
+    agents.join(hasSpecific, "host")
+      .filter((col("agent") === agentLc && col("__hs") === 1) ||
+        (col("agent") === "*" && col("__hs") === 0))
+      .select(col("host"), col("grp")).distinct()
+  }
+
+  /** Annotate a frontier with the REP verdict for `agent`: adds
+    * `host` and `allowed` (true when no applicable rule matches, or the
+    * longest matching rule — Allow on ties — is an Allow). URLs on
+    * hosts with no robots data are allowed. The frontier pays one
+    * distinct + one join + one keyed max; the rule table broadcasts
+    * under the size guard. */
+  def frontierFilter(frontier: DataFrame, urlCol: String,
+                     robots: DataFrame, hostCol: String, bodyCol: String,
+                     agent: String): DataFrame = {
+    require(!frontier.columns.contains("allowed") &&
+      !frontier.columns.contains("host"),
+      "frontier already has an 'allowed'/'host' column")
+    val dirs = directives(robots, hostCol, bodyCol)
+    val ruleTable = dirs
+      .filter(col("key").isin("allow", "disallow") &&
+        col("grp") > 0 && length(col("val")) > 0)
+      .select(col("host").as("__rh"), col("grp"),
+        (col("key") === "allow").as("__allow"), col("val").as("path"))
+      .join(chosenGroups(dirs, agent)
+          .select(col("host").as("__rh"), col("grp")),
+        Seq("__rh", "grp"))
+      .select(col("__rh"), col("__allow"), col("path"),
+        length(col("path")).as("__plen"), ruleRegex(col("path")).as("__re"))
+    // deterministic join shape (the LinkGraph/nbClassify discipline):
+    // measure once, never let the plan flip at an AQE size estimate
+    val rt = if (ruleTable.count() <= BroadcastRuleMax) broadcast(ruleTable)
+      else ruleTable
+    val urls = frontier.select(col(urlCol).as("__u")).distinct()
+      .select(col("__u"), hostOf(col("__u")).as("__h"),
+        pathOf(col("__u")).as("__p"))
+    val verdict = urls
+      .join(rt, col("__h") === col("__rh"), "left")
+      .groupBy(col("__u"))
+      .agg(max(when(regexp_like(col("__p"), col("__re")),
+        struct(col("__plen"), col("__allow").cast("int").as("__a"))))
+        .as("__w"))
+      .select(col("__u"),
+        (col("__w").isNull || col("__w")("__a") === 1).as("allowed"))
+    frontier
+      .join(verdict, frontier(urlCol) === verdict("__u"), "left")
+      .withColumn("host", hostOf(col(urlCol)))
+      .drop("__u")
+  }
+
+  /** Politeness schedule for the allowed frontier: per host, fetches
+    * sequence in url order at the group's crawl-delay (default when the
+    * governing group declares none; the LAST delay line in a group
+    * wins). Adds `slot` (0-based per-host fetch index) and
+    * `fetch_at_ms` (= slot · delay). Per-host sequencing is the
+    * semantics of politeness — the window partitions by host, and a
+    * frontier mega-host serializes exactly as its crawl would. */
+  def schedule(frontier: DataFrame, urlCol: String,
+               robots: DataFrame, hostCol: String, bodyCol: String,
+               agent: String, defaultDelayMs: Long = 1000L): DataFrame = {
+    val dirs = directives(robots, hostCol, bodyCol)
+    val delay0 = dirs.filter(col("key") === "crawl-delay" && col("grp") > 0)
+      .select(col("host").as("__dh"), col("grp"), col("ln"),
+        (expr("try_cast(val as decimal(18,3))") * 1000)
+          .cast("long").as("__dm"))
+      .filter(col("__dm").isNotNull)
+      .join(chosenGroups(dirs, agent)
+          .select(col("host").as("__dh"), col("grp")),
+        Seq("__dh", "grp"))
+      .groupBy(col("__dh"))
+      .agg(max(struct(col("ln"), col("__dm"))).as("__last"))
+      .select(col("__dh"), col("__last")("__dm").as("__delay"))
+    // one row per delay-declaring host: same guard as the rule table
+    val delay = if (delay0.count() <= BroadcastRuleMax) broadcast(delay0)
+      else delay0
+    val allowedF = frontierFilter(frontier, urlCol, robots, hostCol,
+      bodyCol, agent).filter(col("allowed")).drop("allowed")
+    val w = Window.partitionBy(col("host")).orderBy(col(urlCol))
+    allowedF
+      .join(delay, col("host") === col("__dh"), "left")
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_ms",
+        col("slot") * coalesce(col("__delay"), lit(defaultDelayMs)))
+      .drop("__dh", "__delay")
+  }
+}

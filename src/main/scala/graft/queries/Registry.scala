@@ -8,5 +8,6 @@ object Registry {
     AggQueries.all ++ FilterQueries.all ++ ScalarQueries.all ++
       JoinQueries.all ++ WindowQueries.all ++ SortSetQueries.all ++
       OlapQueries.all ++ TrainingQueries.all ++ MvQueries.all ++
-      EdgeQueries.all ++ SsbQueries.all ++ PdbQueries.all
+      EdgeQueries.all ++ SsbQueries.all ++ PdbQueries.all ++
+      CrawlQueries.all
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.Robots
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends SparkSpec {
+
+  private val body =
+    """# policy
+      |Disallow: /stray
+      |User-Agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |Disallow: /tmp*
+      |Disallow: /exact$
+      |Crawl-delay: 1.5
+      |
+      |User-agent: GraftBot
+      |User-agent: otherbot
+      |Disallow: /graft
+      |Allow: /graft/ok*
+      |Sitemap: https://a.io/sitemap.xml
+      |Crawl-delay: 2
+      |Crawl-delay: 3
+      |""".stripMargin
+
+  private def robotsDf: org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(("a.io", body)).toDF("host", "body")
+  }
+
+  private def urlDf(urls: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    urls.toDF("url")
+  }
+
+  test("rules: groups split on UA runs, multi-UA groups repeat rules, " +
+      "pre-group rules drop, comments and case handled") {
+    val got = Robots.rules(robotsDf, "host", "body")
+      .orderBy(col("agent"), col("ln"))
+      .collect()
+      .map(r => (r.getString(1), r.getBoolean(3), r.getString(4)))
+      .toSeq
+    val star = Seq(
+      ("*", false, "/private"), ("*", true, "/private/ok"),
+      ("*", false, "/tmp*"), ("*", false, "/exact$"))
+    val graft = Seq(
+      ("graftbot", false, "/graft"), ("graftbot", true, "/graft/ok*"))
+    val other = Seq(
+      ("otherbot", false, "/graft"), ("otherbot", true, "/graft/ok*"))
+    assert(got == star ++ graft ++ other)
+  }
+
+  test("crawlDelays are group-scoped and fractional-exact; sitemaps " +
+      "are file-scoped and don't split the UA run") {
+    val d = Robots.crawlDelays(robotsDf, "host", "body")
+      .orderBy(col("agent"), col("ln")).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    // sitemap line sits between the graftbot group's rules and its
+    // delays — both delays must still land in that group
+    assert(d == Seq(("*", 1500L), ("graftbot", 2000L),
+      ("graftbot", 3000L), ("otherbot", 2000L), ("otherbot", 3000L)))
+    val sm = Robots.sitemaps(robotsDf, "host", "body").collect()
+      .map(_.getString(1)).toSeq
+    assert(sm == Seq("https://a.io/sitemap.xml"))
+  }
+
+  test("frontierFilter: longest-match wins, Allow wins ties, * and $ " +
+      "wildcards, specific group shadows *, unknown host allowed") {
+    val f = urlDf(Seq(
+      "https://a.io/private/x", // * group would block; graftbot has no rule
+      "https://a.io/graft/z", // graftbot: blocked (/graft)
+      "https://a.io/graft/ok9", // graftbot: /graft/ok* (10) beats /graft (6)
+      "https://nobody.example/x")) // no robots → allowed
+    val got = Robots.frontierFilter(f, "url", robotsDf, "host", "body",
+        "GraftBot")
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getBoolean(r.fieldIndex("allowed"))))
+      .toSeq
+    assert(got == Seq(
+      ("https://a.io/graft/ok9", true),
+      ("https://a.io/graft/z", false),
+      ("https://a.io/private/x", true),
+      ("https://nobody.example/x", true)))
+    // the * group for an agent no group names
+    val got2 = Robots.frontierFilter(
+      urlDf(Seq("https://a.io/private/x", "https://a.io/private/ok/y",
+        "https://a.io/tmp123?q=1#frag", "https://a.io/exact",
+        "https://a.io/exactly", "https://a.io")),
+      "url", robotsDf, "host", "body", "Crawlzilla")
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getBoolean(r.fieldIndex("allowed"))))
+      .toSeq
+    assert(got2 == Seq(
+      ("https://a.io", true), // no path → "/" matches nothing
+      ("https://a.io/exact", false), // $-anchored
+      ("https://a.io/exactly", true), // anchor rejects the superstring
+      ("https://a.io/private/ok/y", true), // Allow(11) beats Disallow(8)
+      ("https://a.io/private/x", false),
+      ("https://a.io/tmp123?q=1#frag", false))) // * spans path+query
+  }
+
+  test("schedule: per-host url-ordered slots at the governing group's " +
+      "last declared delay, default where none") {
+    val f = urlDf(Seq("https://a.io/p2", "https://a.io/p1",
+      "https://b.io/q1", "https://b.io/q2"))
+    val got = Robots.schedule(f, "url", robotsDf, "host", "body",
+        "GraftBot", defaultDelayMs = 700L)
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(r.fieldIndex("url")),
+        r.getLong(r.fieldIndex("slot")),
+        r.getLong(r.fieldIndex("fetch_at_ms")))).toSeq
+    // a.io: graftbot group's LAST delay (3s); b.io: no robots → default
+    assert(got == Seq(
+      ("https://a.io/p1", 0L, 0L), ("https://a.io/p2", 1L, 3000L),
+      ("https://b.io/q1", 0L, 0L), ("https://b.io/q2", 1L, 700L)))
+  }
+
+  test("frontierFilter result is partition-layout invariant") {
+    val urls = (0 until 64).map(i => s"https://a.io/tmp$i")
+    val one = Robots.frontierFilter(
+      urlDf(urls).repartition(1), "url",
+      robotsDf, "host", "body", "x").orderBy(col("url"))
+      .collect().map(_.toSeq).toSeq
+    val many = Robots.frontierFilter(
+      urlDf(urls).repartition(7), "url",
+      robotsDf, "host", "body", "x").orderBy(col("url"))
+      .collect().map(_.toSeq).toSeq
+    assert(one == many && one.size == 64)
+  }
+}
