@@ -168,6 +168,87 @@ object CrawlQueries {
         OVER (PARTITION BY url ORDER BY plen DESC, allow DESC) AS rn
       FROM cand) WHERE rn = 1)"""
 
+  /** Synthesized per-document sitemaps (host = the linkPages scheme):
+    * each document publishes a 2-entry `<urlset>` — a /doc url with an
+    * XML-escaped query (`&amp;` must decode once) + optional
+    * lastmod/priority (omitted when doc_id%6==0) + mixed-case
+    * changefreq, and a /private url the robots gates can block. */
+  private def sitemapDocs(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame = {
+    val did = col("doc_id")
+    val hstr = concat(lit("h"), (did % 29).cast("string"),
+      lit(".example.org"))
+    val base = concat(lit("https://"), hstr)
+    val opt = when(did % 6 === 0, lit(""))
+      .otherwise(concat(lit("<lastmod>2026-01-"),
+        lpad((did % 28 + 1).cast("string"), 2, "0"),
+        lit("T10:00:00Z</lastmod><priority>0."),
+        (did % 10).cast("string"), lit("</priority>")))
+    val cf = element_at(array(lit("DAILY"), lit("weekly"),
+      lit("Monthly"), lit("hourly")), (did % 4 + 1).cast("int"))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset>"),
+      lit("<url><loc> "), base, lit("/doc/"), did.cast("string"),
+      lit("?a=1&amp;b=2 </loc>"), opt,
+      lit("<changefreq>"), cf, lit("</changefreq></url>"),
+      lit("<url><loc>"), base, lit("/private/"), did.cast("string"),
+      lit("</loc></url></urlset>"))
+    Tables.documents(s, d).select(hstr.as("host"), xml.as("xml"))
+  }
+
+  /** DuckDB twin of [[sitemapDocs]], ending in `sm(host, xml)`. */
+  private val sitemapDocsSql: String =
+    """sm AS (SELECT
+        'h' || CAST(doc_id % 29 AS VARCHAR) || '.example.org' AS host,
+        '<?xml version="1.0"?><urlset>' ||
+        '<url><loc> https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+          '.example.org/doc/' || CAST(doc_id AS VARCHAR) ||
+          '?a=1&amp;b=2 </loc>' ||
+        CASE WHEN doc_id % 6 = 0 THEN '' ELSE
+          '<lastmod>2026-01-' ||
+          lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+          'T10:00:00Z</lastmod><priority>0.' ||
+          CAST(doc_id % 10 AS VARCHAR) || '</priority>' END ||
+        '<changefreq>' ||
+          (['DAILY','weekly','Monthly','hourly'])
+            [CAST(doc_id % 4 + 1 AS INT)] ||
+          '</changefreq></url>' ||
+        '<url><loc>https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+          '.example.org/private/' || CAST(doc_id AS VARCHAR) ||
+          '</loc></url></urlset>' AS xml
+      FROM documents)"""
+
+  /** One-decode XML entity chain (the Html.decodeEntities order). */
+  private def decodeSql(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&apos;" -> "''", "&nbsp;" -> " ",
+      "&amp;" -> "&")
+      .foldLeft(e) { case (acc, (f, t)) =>
+        s"replace($acc, '$f', '$t')"
+      }
+
+  /** DuckDB replay of the Sitemaps.urls parse over `sm`, ending in
+    * `smu(host, loc, lastmod_date, changefreq, priority)`. */
+  private val sitemapParseSql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(13)"
+    def f(tag: String) =
+      s"regexp_extract(b, '(?is)<$tag[^>]*>([^<]*)</$tag[ \\t\\n\\r]*>', 1)"
+    s"""smb AS (SELECT host, unnest(regexp_extract_all(xml,
+        '(?is)<url[ \\t\\n\\r]*>.*?</url[ \\t\\n\\r]*>', 0)) AS b
+      FROM sm),
+    smf AS (SELECT host,
+        ${decodeSql(s"trim(${f("loc")}, $ws)")} AS loc,
+        ${f("lastmod")} AS lm,
+        lower(trim(${f("changefreq")}, $ws)) AS cf,
+        ${f("priority")} AS pr
+      FROM smb),
+    smu AS (SELECT host, loc,
+        TRY_CAST(substr(lm, 1, 10) AS DATE) AS lastmod_date,
+        CASE WHEN length(cf) > 0 THEN cf END AS changefreq,
+        TRY_CAST(pr AS DECIMAL(2,1)) AS priority
+      FROM smf WHERE length(loc) > 0)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // robots.txt parse: full rule table (host, agent, ln, allow, path)
@@ -229,6 +310,104 @@ object CrawlQueries {
           FROM alw)
         SELECT s.url, s.host, s.slot,
           s.slot * coalesce(c.delay_ms, 1000) AS fetch_at_ms
-        FROM sch s LEFT JOIN cdly c USING (host) ORDER BY url"""))
+        FROM sch s LEFT JOIN cdly c USING (host) ORDER BY url""")),
+
+    // Sitemap <urlset> parse: loc entity-decodes once (&amp; last),
+    // lastmod parses its W3C-datetime date prefix, changefreq
+    // case-normalizes, priority is exact decimal; absent optional
+    // fields are null (every 6th entry omits them).
+    Q("q_sitemap_urls",
+      (s, d) => graft.operators.Sitemaps.urls(
+          sitemapDocs(s, d), "xml", keep = Seq("host"))
+        // gate-portable types: DATE→string, DECIMAL(2,1)→double (both
+        // single correctly-rounded conversions on each engine)
+        .withColumn("lastmod_date", col("lastmod_date").cast("string"))
+        .withColumn("priority", col("priority").cast("double"))
+        .orderBy(col("loc")),
+      Some(s"""WITH $sitemapDocsSql, $sitemapParseSql
+        SELECT host, loc, CAST(lastmod_date AS VARCHAR) AS lastmod_date,
+          changefreq, CAST(priority AS DOUBLE) AS priority
+        FROM smu ORDER BY loc""")),
+
+    // Sitemap index tier: child sitemap locations of <sitemapindex>
+    // documents (whitespace-trimmed, entity-decoded); urls() over an
+    // index doc yields nothing — spec-pinned, and here the twin parse
+    // proves the two record shapes don't cross-match.
+    Q("q_sitemap_index",
+      (s, d) => {
+        val did = col("doc_id")
+        val base = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/sm/"), did.cast("string"))
+        val idx = Tables.documents(s, d).select(concat(
+          lit("<sitemapindex><sitemap><loc> "), base,
+          lit("-1.xml </loc><lastmod>2026-02-02</lastmod></sitemap>" +
+            "<sitemap><loc>"), base,
+          lit("-2.xml</loc></sitemap></sitemapindex>")).as("xml"))
+        graft.operators.Sitemaps.indexLocs(idx, "xml")
+          .orderBy(col("loc"))
+      },
+      Some("""WITH ix AS (SELECT
+          '<sitemapindex><sitemap><loc> https://h' ||
+            CAST(doc_id % 29 AS VARCHAR) || '.example.org/sm/' ||
+            CAST(doc_id AS VARCHAR) ||
+            '-1.xml </loc><lastmod>2026-02-02</lastmod></sitemap>' ||
+            '<sitemap><loc>https://h' ||
+            CAST(doc_id % 29 AS VARCHAR) || '.example.org/sm/' ||
+            CAST(doc_id AS VARCHAR) ||
+            '-2.xml</loc></sitemap></sitemapindex>' AS xml
+          FROM documents),
+        ib AS (SELECT unnest(regexp_extract_all(xml,
+            '(?is)<sitemap[ \t\n\r]*>.*?</sitemap[ \t\n\r]*>', 0)) AS b
+          FROM ix),
+        il AS (SELECT trim(regexp_extract(b,
+            '(?is)<loc[^>]*>([^<]*)</loc[ \t\n\r]*>', 1),
+            ' ' || chr(9) || chr(10) || chr(13)) AS loc FROM ib)
+        SELECT loc FROM il WHERE length(loc) > 0 ORDER BY loc""")),
+
+    // CRAWL-DISCOVERY capstone: sitemap-declared URLs ∪ link-extracted
+    // absolute URLs, deduped with provenance flags, then the RFC 9309
+    // verdict for GraftBot — discovery → dedup → policy gate, the full
+    // front half of a polite crawl. The /private sitemap entries are
+    // blocked on *-group hosts but ALLOWED where a GraftBot group
+    // shadows * (and on the empty-robots host); /doc and /p links pass
+    // everywhere.
+    Q("q_frontier_build",
+      (s, d) => {
+        val sm = graft.operators.Sitemaps.urls(sitemapDocs(s, d), "xml")
+        val fr = graft.operators.Sitemaps.discoverFrontier(
+          sm, "loc", TrainingQueries.linkPages(s, d), "html")
+        graft.operators.Robots.frontierFilter(fr, "url",
+            robotsFrame(s, d), "host", "body", "GraftBot")
+          .select(col("url"), col("host"), col("from_sitemap"),
+            col("from_link"), col("allowed"))
+          .orderBy(col("url"))
+      },
+      Some(s"""WITH $robotsSql, $robotsParseSql, $sitemapDocsSql,
+        $sitemapParseSql, ${TrainingQueries.linkPgSql},
+        fl AS (SELECT DISTINCT unnest(regexp_extract_all(html,
+            '(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+            1)) AS url
+          FROM pg),
+        fb0 AS (SELECT loc AS url, TRUE AS from_sitemap,
+            FALSE AS from_link FROM smu
+          UNION ALL
+          SELECT url, FALSE, TRUE FROM fl
+          WHERE regexp_matches(url, '(?i)^https?://')),
+        fb AS (SELECT url, bool_or(from_sitemap) AS from_sitemap,
+            bool_or(from_link) AS from_link
+          FROM fb0 GROUP BY url),
+        fh AS (SELECT url,
+            lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1))
+              AS host,
+            CASE WHEN length(regexp_extract(url,
+                '(?i)^https?://[^/]*(/[^#]*)', 1)) > 0
+              THEN regexp_extract(url, '(?i)^https?://[^/]*(/[^#]*)', 1)
+              ELSE '/' END AS pth
+          FROM fb),
+        $decisionSql
+        SELECT f.url, f.host, b.from_sitemap, b.from_link,
+          coalesce(d.allow, TRUE) AS allowed
+        FROM fh f JOIN fb b USING (url) LEFT JOIN dec d USING (url)
+        ORDER BY url"""))
   )
 }

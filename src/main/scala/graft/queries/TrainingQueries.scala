@@ -429,8 +429,8 @@ object TrainingQueries {
     * links to hosts (doc_id·3+k²)%29 for k=1..3 (self-links occur and
     * must drop), plus one relative and one mailto anchor the
     * absolute-host extractor must ignore. */
-  private def linkPages(s: org.apache.spark.sql.SparkSession,
-                        d: String): DataFrame = {
+  private[queries] def linkPages(s: org.apache.spark.sql.SparkSession,
+                                 d: String): DataFrame = {
     def hostOf(e: org.apache.spark.sql.Column) =
       concat(lit("h"), (e % 29).cast("string"), lit(".example.org"))
     val did = col("doc_id")
@@ -447,9 +447,9 @@ object TrainingQueries {
           "<a href=\"mailto:x@y.z\">m</a></body></html>")).as("html"))
   }
 
-  /** DuckDB twin of [[linkPages]] + `LinkGraph.edges` as a WITH-clause
-    * body ending in `edges(src, dst, n)`. */
-  private val linkEdgesSql: String = {
+  /** DuckDB twin of [[linkPages]] alone, a CTE ending in
+    * `pg(uri, html)` (shared with the crawl-discovery gates). */
+  private[queries] val linkPgSql: String = {
     def hostOf(e: String) =
       s"'h' || CAST(($e) % 29 AS VARCHAR) || '.example.org'"
     val anchors = (1 to 3).map(k =>
@@ -463,7 +463,19 @@ object TrainingQueries {
             CASE WHEN doc_id % 5 = 0 THEN '' ELSE $anchors END ||
             '<a href="/local">l</a><a href="mailto:x@y.z">m</a>' ||
             '</body></html>' AS html
-        FROM documents),
+        FROM documents)"""
+  }
+
+  /** DuckDB twin of [[linkPages]] + `LinkGraph.edges` as a WITH-clause
+    * body ending in `edges(src, dst, n)`. */
+  private val linkEdgesSql: String = {
+    def hostOf(e: String) =
+      s"'h' || CAST(($e) % 29 AS VARCHAR) || '.example.org'"
+    val anchors = (1 to 3).map(k =>
+      s"'<a href=\"https://' || ${hostOf(s"doc_id*3+${k * k}")} || " +
+        s"'/p$k\">read <b>about</b> ' || source || ' $k</a>'")
+      .mkString(" || ")
+    s"""$linkPgSql,
       lhr AS (SELECT
           CAST(regexp_extract(uri, '/doc/([0-9]+)$$', 1) AS BIGINT)
             AS did,
