@@ -114,4 +114,48 @@ object Html {
       lit(0), (acc, x) => acc + x)
     anchorChars.cast("double") / nullif(length(htmlText(h)), lit(0))
   }
+
+  // ----- head-metadata harvest (canonical dedup / indexability) -----
+
+  /** First-nonempty of two attribute-order variants, entity-decoded;
+    * null when neither matches (attributes have no fixed order in
+    * HTML, so every pair probes both). */
+  private def attrPair(h: Column, relFirst: String, hrefFirst: String)
+  : Column = {
+    val a = regexp_extract(h, relFirst, 1)
+    val b = regexp_extract(h, hrefFirst, 1)
+    val v = when(length(a) > 0, a).otherwise(b)
+    when(length(v) > 0, decodeEntities(v))
+  }
+
+  /** `<link rel="canonical" href=…>` target (entity-decoded, null when
+    * absent) — the page's self-declared duplicate-group key. */
+  def canonicalUrl(h: Column): Column = attrPair(h,
+    "(?is)<link[ \t\n\r][^>]*rel[ \t\n\r]*=[ \t\n\r]*\"canonical\"" +
+      "[^>]*href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\"",
+    "(?is)<link[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\"" +
+      "[^>]*rel[ \t\n\r]*=[ \t\n\r]*\"canonical\"")
+
+  /** `<meta name="…" content="…">` value (entity-decoded, null when
+    * absent). `name` must be a literal token ([A-Za-z0-9:_-]) — it is
+    * spliced into the pattern. */
+  def metaContent(h: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9:_-]+"), s"bad meta name: $name")
+    attrPair(h,
+      s"(?is)<meta[ \t\n\r][^>]*name[ \t\n\r]*=[ \t\n\r]*\"$name\"" +
+        "[^>]*content[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\"",
+      s"(?is)<meta[ \t\n\r][^>]*content[ \t\n\r]*=[ \t\n\r]*" +
+        s"\"([^\"]*)\"[^>]*name[ \t\n\r]*=[ \t\n\r]*\"$name\"")
+  }
+
+  /** Lowercased robots meta directives (null when absent); probe with
+    * e.g. `contains("noindex")`. */
+  def metaRobots(h: Column): Column = lower(metaContent(h, "robots"))
+
+  /** Lowercased `<html lang="…">` attribute (null when absent). */
+  def htmlLang(h: Column): Column = {
+    val v = regexp_extract(h,
+      "(?is)<html[ \t\n\r][^>]*lang[ \t\n\r]*=[ \t\n\r]*\"([^\"]*)\"", 1)
+    when(length(v) > 0, lower(v))
+  }
 }

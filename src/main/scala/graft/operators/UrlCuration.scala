@@ -152,4 +152,34 @@ object UrlCuration {
                       blocklist: DataFrame): DataFrame =
     df.join(blockedByList(df, hostCol, idCol, blocklist),
       Seq(idCol), "left_anti")
+
+  /** Canonical-URL dedup — the head-metadata tier of web dedup (a CMS
+    * serves one article under many URLs and SAYS SO via
+    * `<link rel="canonical">`; honoring it removes the whole alias
+    * class before any content hashing runs). Semantics:
+    *
+    *   1. `noindex` pages drop (the page itself opted out of reuse);
+    *   2. each survivor keys on its absolute canonical target (pages
+    *      with no/relative canonical key on their own URL);
+    *   3. one representative per key: the SELF-canonical page when the
+    *      group has one, else the lexicographically smallest URL.
+    *
+    * One projection + one per-alias-group window (alias groups are CMS
+    * duplicate classes — bounded small). Output = surviving rows with
+    * their `canon_key`. */
+  def canonicalDedup(pages: DataFrame, urlCol: String, htmlCol: String)
+  : DataFrame = {
+    val canon = graft.functions.Html.canonicalUrl(col(htmlCol))
+    val robots = graft.functions.Html.metaRobots(col(htmlCol))
+    val keyed = pages
+      .filter(!coalesce(robots, lit("")).contains("noindex"))
+      .withColumn("canon_key",
+        when(canon.rlike("(?i)^https?://"), canon)
+          .otherwise(col(urlCol)))
+    val w = Window.partitionBy(col("canon_key"))
+      .orderBy((col(urlCol) =!= col("canon_key")).cast("int"),
+        col(urlCol))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

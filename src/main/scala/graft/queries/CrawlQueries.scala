@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Crawl-policy gates: robots.txt (RFC 9309) parsing, the frontier
@@ -249,6 +249,99 @@ object CrawlQueries {
       FROM smf WHERE length(loc) > 0)"""
   }
 
+  /** Synthesized pages with head metadata: canonical links in BOTH
+    * attribute orders (every 3rd page self-canonical, the next an
+    * alias pointing at it, the third bare), robots metas in both
+    * orders (every 7th noindex, the next nofollow-only), an
+    * entity-escaped description, and a 4-cycle of lang attributes
+    * (one absent). */
+  private def metaPages(s: org.apache.spark.sql.SparkSession,
+                        d: String): DataFrame = {
+    val did = col("doc_id")
+    def urlOf(e: Column) = concat(lit("https://h"),
+      (e % 29).cast("string"), lit(".example.org/doc/"),
+      e.cast("string"))
+    val langAttr = element_at(array(lit(" lang=\"en\""),
+      lit(" lang=\"EN-us\""), lit(" lang=\"fr\""), lit("")),
+      (did % 4 + 1).cast("int"))
+    val canonTag = when(did % 3 === 0,
+        concat(lit("<link rel=\"canonical\" href=\""), urlOf(did),
+          lit("\">")))
+      .when(did % 3 === 1,
+        concat(lit("<link href=\""), urlOf(did - 1),
+          lit("\" rel=\"canonical\">")))
+      .otherwise(lit(""))
+    val robotsTag = when(did % 7 === 0,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .when(did % 7 === 1,
+        lit("<meta content=\"NOFOLLOW\" name=\"robots\">"))
+      .otherwise(lit(""))
+    Tables.documents(s, d).select(urlOf(did).as("url"),
+      concat(lit("<html"), langAttr, lit("><head>"), canonTag,
+        robotsTag,
+        lit("<meta name=\"description\" content=\"Q&amp;A on "),
+        col("source"), lit(" "), did.cast("string"), lit("\">"),
+        lit("</head><body>b</body></html>")).as("html"))
+  }
+
+  /** DuckDB twin of [[metaPages]] + the head-metadata extraction,
+    * ending in `mx(url, canonical, robots, lang, description)`. */
+  private val metaExtractSql: String = {
+    val u = "'https://h' || CAST(doc_id % 29 AS VARCHAR) || " +
+      "'.example.org/doc/' || CAST(doc_id AS VARCHAR)"
+    val uPrev = "'https://h' || CAST((doc_id - 1) % 29 AS VARCHAR) || " +
+      "'.example.org/doc/' || CAST(doc_id - 1 AS VARCHAR)"
+    def pair(first: String, second: String) =
+      s"""CASE WHEN length($first) > 0 THEN ${decodeSql(first)}
+          WHEN length($second) > 0 THEN ${decodeSql(second)} END"""
+    s"""mp AS (SELECT $u AS url,
+        '<html' || ([' lang="en"', ' lang="EN-us"', ' lang="fr"', ''])
+          [CAST(doc_id % 4 + 1 AS INT)] || '><head>' ||
+        CASE WHEN doc_id % 3 = 0 THEN
+            '<link rel="canonical" href="' || $u || '">'
+          WHEN doc_id % 3 = 1 THEN
+            '<link href="' || $uPrev || '" rel="canonical">'
+          ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0 THEN
+            '<meta name="robots" content="noindex, nofollow">'
+          WHEN doc_id % 7 = 1 THEN
+            '<meta content="NOFOLLOW" name="robots">'
+          ELSE '' END ||
+        '<meta name="description" content="Q&amp;A on ' || source ||
+          ' ' || CAST(doc_id AS VARCHAR) || '">' ||
+        '</head><body>b</body></html>' AS html
+      FROM documents),
+    mr AS (SELECT url,
+        regexp_extract(html,
+          '(?is)<link[ \t\n\r][^>]*rel[ \t\n\r]*=[ \t\n\r]*"canonical"[^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+          1) AS c1,
+        regexp_extract(html,
+          '(?is)<link[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"[^>]*rel[ \t\n\r]*=[ \t\n\r]*"canonical"',
+          1) AS c2,
+        regexp_extract(html,
+          '(?is)<meta[ \t\n\r][^>]*name[ \t\n\r]*=[ \t\n\r]*"robots"[^>]*content[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+          1) AS r1,
+        regexp_extract(html,
+          '(?is)<meta[ \t\n\r][^>]*content[ \t\n\r]*=[ \t\n\r]*"([^"]*)"[^>]*name[ \t\n\r]*=[ \t\n\r]*"robots"',
+          1) AS r2,
+        regexp_extract(html,
+          '(?is)<meta[ \t\n\r][^>]*name[ \t\n\r]*=[ \t\n\r]*"description"[^>]*content[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+          1) AS d1,
+        regexp_extract(html,
+          '(?is)<meta[ \t\n\r][^>]*content[ \t\n\r]*=[ \t\n\r]*"([^"]*)"[^>]*name[ \t\n\r]*=[ \t\n\r]*"description"',
+          1) AS d2,
+        regexp_extract(html,
+          '(?is)<html[ \t\n\r][^>]*lang[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+          1) AS lg
+      FROM mp),
+    mx AS (SELECT url,
+        ${pair("c1", "c2")} AS canonical,
+        lower(${pair("r1", "r2")}) AS robots,
+        CASE WHEN length(lg) > 0 THEN lower(lg) END AS lang,
+        ${pair("d1", "d2")} AS description
+      FROM mr)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // robots.txt parse: full rule table (host, agent, ln, allow, path)
@@ -408,6 +501,47 @@ object CrawlQueries {
         SELECT f.url, f.host, b.from_sitemap, b.from_link,
           coalesce(d.allow, TRUE) AS allowed
         FROM fh f JOIN fb b USING (url) LEFT JOIN dec d USING (url)
-        ORDER BY url"""))
+        ORDER BY url""")),
+
+    // Head-metadata harvest: canonical target (both attribute orders,
+    // entity-decoded), robots directives (lowercased), lang attribute,
+    // description — the indexability/alias signals a web-curation
+    // pipeline reads before touching page content.
+    Q("q_html_meta",
+      (s, d) => {
+        import graft.functions.Html
+        metaPages(s, d).select(col("url"),
+          Html.canonicalUrl(col("html")).as("canonical"),
+          Html.metaRobots(col("html")).as("robots"),
+          Html.htmlLang(col("html")).as("lang"),
+          Html.metaContent(col("html"), "description").as("description"))
+          .orderBy(col("url"))
+      },
+      Some(s"""WITH $metaExtractSql
+        SELECT url, canonical, robots, lang, description
+        FROM mx ORDER BY url""")),
+
+    // Canonical-URL dedup: noindex pages drop, alias classes key on
+    // their absolute canonical target, one representative survives per
+    // class (self-canonical preferred, else smallest url). The alias
+    // whose self-canonical rep was itself noindex-dropped survives as
+    // its class's only member — replayed in full.
+    Q("q_canonical_dedup",
+      (s, d) => graft.operators.UrlCuration.canonicalDedup(
+          metaPages(s, d), "url", "html")
+        .select(col("url"), col("canon_key"))
+        .orderBy(col("url")),
+      Some(s"""WITH $metaExtractSql,
+        mk AS (SELECT url,
+            CASE WHEN canonical IS NOT NULL AND
+                regexp_matches(canonical, '(?i)^https?://')
+              THEN canonical ELSE url END AS canon_key
+          FROM mx
+          WHERE NOT contains(coalesce(robots, ''), 'noindex')),
+        mrep AS (SELECT url, canon_key, row_number() OVER (
+            PARTITION BY canon_key
+            ORDER BY CAST(url != canon_key AS INT), url) AS rn
+          FROM mk)
+        SELECT url, canon_key FROM mrep WHERE rn = 1 ORDER BY url"""))
   )
 }

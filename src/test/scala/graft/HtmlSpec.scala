@@ -156,4 +156,61 @@ class HtmlSpec extends SparkSpec {
       Seq("zz").toDF("domain")).collect().map(_.getLong(0)).toSet
     assert(kept == Set(3L))
   }
+
+  test("head metadata: canonical both attribute orders + entity decode, " +
+      "metaContent, metaRobots lowercases, htmlLang; nulls when absent") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("<html lang=\"EN-us\"><head>" +
+        "<link rel=\"canonical\" href=\"https://a.io/x?a=1&amp;b=2\">" +
+        "<meta name=\"robots\" content=\"NOINDEX, nofollow\">" +
+        "<meta content=\"Q&amp;A site\" name=\"description\">" +
+        "</head></html>"),
+      ("<html><head>" +
+        "<link href=\"https://b.io/y\" rel=\"canonical\"></head></html>"),
+      ("<html><body>plain</body></html>")).toDF("h")
+    val got = pages.select(
+      functions.Html.canonicalUrl(col("h")).as("c"),
+      functions.Html.metaRobots(col("h")).as("r"),
+      functions.Html.metaContent(col("h"), "description").as("d"),
+      functions.Html.htmlLang(col("h")).as("l")).collect()
+    assert(got(0).getString(0) == "https://a.io/x?a=1&b=2")
+    assert(got(0).getString(1) == "noindex, nofollow")
+    assert(got(0).getString(2) == "Q&A site")
+    assert(got(0).getString(3) == "en-us")
+    assert(got(1).getString(0) == "https://b.io/y")
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2) && got(1).isNullAt(3))
+    assert((0 to 3).forall(got(2).isNullAt))
+  }
+
+  test("canonicalDedup: noindex drops, alias groups collapse to the " +
+      "self-canonical page (else smallest url), no-canonical pages key " +
+      "on themselves") {
+    val s = spark
+    import s.implicits._
+    def canon(href: String) =
+      s"""<link rel="canonical" href="$href">"""
+    val pages = Seq(
+      ("https://a.io/1", canon("https://a.io/1")), // self-canonical rep
+      ("https://a.io/1?utm=x", canon("https://a.io/1")), // alias drops
+      ("https://a.io/0", canon("https://a.io/1")), // alias (smaller url!)
+      ("https://b.io/2", canon("https://b.io/gone")), // target absent:
+      ("https://b.io/3", canon("https://b.io/gone")), //  smallest wins
+      ("https://c.io/4",
+        canon("https://c.io/4") +
+          "<meta name=\"robots\" content=\"noindex\">"), // drops
+      ("https://d.io/5", ""), // no canonical → own key
+      ("https://d.io/5?p=1", "<link rel=\"canonical\" href=\"/rel\">")
+    ).toDF("url", "html")
+    val got = operators.UrlCuration.canonicalDedup(pages, "url", "html")
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("https://a.io/1", "https://a.io/1"),
+      ("https://b.io/2", "https://b.io/gone"),
+      ("https://d.io/5", "https://d.io/5"),
+      // relative canonical ignored → own-url key → distinct group
+      ("https://d.io/5?p=1", "https://d.io/5?p=1")))
+  }
 }
