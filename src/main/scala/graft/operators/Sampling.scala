@@ -78,6 +78,74 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** TOKEN-budget source mixing — the cut real pretraining mixes are
+    * specified in ("take 30B tokens of web, 5B of code"): per-source
+    * token budgets, not row fractions ([[mixSources]]' unit). Each
+    * source's documents order by a salted content hash of the id (the
+    * Packing order discipline — reproducible at any parallelism) and
+    * the source keeps exactly the prefix of documents whose preceding
+    * token count `tok_start` is < its budget. Document-whole
+    * semantics: the last kept document may overshoot, the
+    * shardByTokens "≈budget ± one tail" convention. Sources absent
+    * from `budgets` drop — a mix is exhaustive by definition; a zero
+    * budget keeps nothing.
+    *
+    * Scale: the Packing two-pass distributed prefix sum, per source —
+    * a window per (source, hash-bucket) computes local prefixes
+    * (~|source|/nBuckets rows each; scale nBuckets with the cluster),
+    * then |sources|·nBuckets per-bucket totals prefix-sum on the
+    * driver (bounded: a mix has config-many sources) and broadcast
+    * back. The corpus shuffles once, into (source, bucket). */
+  def takeTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, budgets: Map[String, Long],
+                      nBuckets: Int = 256, salt: String = "graft")
+  : DataFrame = {
+    require(budgets.nonEmpty, "empty budget map")
+    budgets.values.foreach(b =>
+      require(b >= 0, s"negative token budget $b"))
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import graft.functions.{TextAnalysis => TA}
+    val ord = Scalars.hash60(concat(lit(salt), lit(":"),
+      col(idCol).cast("string")))
+    val base = df
+      .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .select(col(idCol), col(sourceCol).as("__src"),
+        TA.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        ord.as("__ord"), (ord % nBuckets).as("__bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src"), col("__bucket"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val withLocal = base.withColumn("__prev_local",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // pass 2: per-(source, bucket) totals → driver per-source prefix
+    // sums → broadcast back as each bucket's source-global offset
+    val totals = base.groupBy(col("__src"), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap {
+      case (src, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2)
+          .zip(sorted.map(_._3).scanLeft(0L)(_ + _).init)
+          .map { case (bkt, off) => (src, bkt, off) }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("__osrc", "__obucket", "__off")
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (els, (s, b)) =>
+      when(col("__src") === s, lit(b)).otherwise(els)
+    }
+    withLocal
+      .join(broadcast(offsetDf), col("__src") === col("__osrc") &&
+        col("__bucket") === col("__obucket"))
+      .withColumn("tok_start", col("__off") + col("__prev_local"))
+      .filter(col("tok_start") < budgetCol)
+      .select(col(idCol), col("__src").as(sourceCol), col("n_tokens"),
+        col("tok_start"))
+  }
+
   /** Temperature-flattened source mixing (public method: the p_s ∝ n_s^τ
     * rebalance of Conneau 2019 / XLM-R and most LLM data recipes — τ < 1
     * upweights rare sources relative to their natural share). The largest

@@ -1358,6 +1358,38 @@ object TrainingQueries {
         SELECT doc_id, n_tokens, CAST(prev // 5000 AS BIGINT) AS shard
         FROM w ORDER BY doc_id""")),
 
+    // TOKEN-budget source mixing — pretraining mixes are specified in
+    // per-source token budgets ("30B of web, 5B of code"), not row
+    // fractions: each source keeps the deterministic hash-order prefix
+    // of documents whose preceding token count is under its budget
+    // (document-whole, last doc may overshoot — the shard convention).
+    // src1 cuts mid-corpus, src7's budget exceeds the source (keeps
+    // all), src12 is zero (keeps none), every other source is absent
+    // from the mix (drops). The oracle replays the per-source prefix
+    // sum in the two-pass bucket order.
+    Q("q_mix_token_budget",
+      (s, d) => graft.operators.Sampling.takeTokenBudget(
+          Tables.documents(s, d), "doc_id", "source", "text",
+          budgets = Map("src1" -> 800L, "src7" -> 1000000L,
+            "src12" -> 0L))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+            ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS ord
+          FROM documents WHERE source IN ('src1', 'src7', 'src12')),
+        w AS (
+          SELECT doc_id, source, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY ord % 256, ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+          FROM t)
+        SELECT doc_id, source, n_tokens, tok_start FROM w
+        WHERE tok_start < CASE source WHEN 'src1' THEN 800
+          WHEN 'src7' THEN 1000000 ELSE 0 END
+        ORDER BY doc_id""")),
+
     // CAPSTONE composition — the end-to-end training-loader feed:
     // epochShuffle (deterministic epoch-3 permutation) → pack the corpus
     // into 1000-token chunks IN THAT ORDER (concatChunksOrdered's

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Gapfill, Similarity, Upsert}
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
@@ -831,6 +832,48 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed("src2") == 1000, "default weight 1.0 keeps everything")
     intercept[IllegalArgumentException](
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
+  }
+
+  test("takeTokenBudget: budgets bound kept prefixes, overshoot is one " +
+      "document, budgets nest, zero/absent sources drop, " +
+      "layout-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 300L)
+      .map(i => (i, s"src${i % 3}", ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("id", "source", "text")
+    def kept(budgets: Map[String, Long], parts: Int = 4): Seq[Row] =
+      Sampling.takeTokenBudget(df.repartition(parts), "id", "source",
+        "text", budgets, nBuckets = 8).orderBy(col("id")).collect().toSeq
+    val g = kept(Map("src0" -> 50L, "src1" -> 1000000L, "src2" -> 0L))
+    val bySrc = g.groupBy(_.getString(1))
+    // zero budget and absent-from-map sources keep nothing
+    assert(!bySrc.contains("src2"))
+    // unbounded budget keeps the whole source, prefix positions exact
+    val s1 = bySrc("src1")
+    assert(s1.size == 100)
+    assert(s1.map(_.getLong(2)).sum ==
+      (1L to 300L).filter(_ % 3 == 1).map(_ % 7 + 1).sum)
+    // every kept doc starts under budget; all but the last fit whole
+    val s0 = bySrc("src0").sortBy(_.getLong(3))
+    assert(s0.forall(_.getLong(3) < 50L))
+    assert(s0.init.forall(r => r.getLong(3) + r.getLong(2) <= 50L) ||
+      s0.last.getLong(3) + s0.last.getLong(2) >= 50L)
+    // tok_start is the running sum of the kept order
+    assert(s0.sliding(2).forall {
+      case Seq(a, b) => b.getLong(3) == a.getLong(3) + a.getLong(2)
+      case _ => true
+    })
+    // budgets nest: B ⊂ B' keeps a prefix-subset
+    val small = kept(Map("src0" -> 20L)).map(_.getLong(0)).toSet
+    val big = kept(Map("src0" -> 50L)).map(_.getLong(0)).toSet
+    assert(small.subsetOf(big) && small.nonEmpty && small != big)
+    // layout invariance
+    assert(kept(Map("src0" -> 50L), parts = 1).map(_.toSeq) ==
+      kept(Map("src0" -> 50L), parts = 13).map(_.toSeq))
+    intercept[IllegalArgumentException](
+      Sampling.takeTokenBudget(df, "id", "source", "text", Map.empty))
   }
 
   test("mixByTemperature: rare source keeps all, counts track n^tau, " +
