@@ -141,10 +141,12 @@ object Robots {
       lit("/"))
 
   /** Rule path → anchored regex: `*` → `.*`, trailing `$` → end
-    * anchor, every other regex metachar escaped. Spelled so the DuckDB
-    * oracle can build the identical pattern (RE2 and Java agree on this
-    * subset). */
-  private def ruleRegex(path: Column): Column = {
+    * anchor, every other regex metachar escaped. The DuckDB oracle
+    * builds the identical pattern (RE2 and Java agree on this subset);
+    * the EXECUTION path uses [[org.apache.spark.sql.graft.RepMatchKernel]]
+    * instead (regex with a join-supplied pattern recompiles per row) —
+    * this chain stays as the kernel's fuzz-parity reference. */
+  private[graft] def ruleRegex(path: Column): Column = {
     val anchored = path.endsWith("$")
     val core = when(anchored, path.substr(lit(1), length(path) - 1))
       .otherwise(path)
@@ -190,7 +192,7 @@ object Robots {
           .select(col("host").as("__rh"), col("grp")),
         Seq("__rh", "grp"))
       .select(col("__rh"), col("__allow"), col("path"),
-        length(col("path")).as("__plen"), ruleRegex(col("path")).as("__re"))
+        length(col("path")).as("__plen"))
     // deterministic join shape (the LinkGraph/nbClassify discipline):
     // measure once, never let the plan flip at an AQE size estimate
     val rt = if (ruleTable.count() <= BroadcastRuleMax) broadcast(ruleTable)
@@ -201,7 +203,8 @@ object Robots {
     val verdict = urls
       .join(rt, col("__h") === col("__rh"), "left")
       .groupBy(col("__u"))
-      .agg(max(when(regexp_like(col("__p"), col("__re")),
+      .agg(max(when(org.apache.spark.sql.graft.RepMatchKernel
+          .column(col("__p"), col("path")),
         struct(col("__plen"), col("__allow").cast("int").as("__a"))))
         .as("__w"))
       .select(col("__u"),

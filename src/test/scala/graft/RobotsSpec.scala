@@ -118,6 +118,33 @@ class RobotsSpec extends SparkSpec {
       ("https://b.io/q1", 0L, 0L), ("https://b.io/q2", 1L, 700L)))
   }
 
+  test("RepMatch kernel ≡ the ruleRegex regexp chain on 600 fuzzed " +
+      "(path, rule) pairs incl. wildcards, anchors, and metachars") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val pathAlpha = "abc/.?&=%+()[]|^"
+    val ruleAlpha = "abc/.*$?+()"
+    def rand(alpha: String, n: Int): String =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (0 until 600).map { _ =>
+      ("/" + rand(pathAlpha, rnd.nextInt(18)),
+        "/" + rand(ruleAlpha, rnd.nextInt(10)))
+    } ++ Seq( // directed edges
+      ("/exact", "/exact$"), ("/exactly", "/exact$"),
+      ("/a/b/c", "/a*c$"), ("/a/b/c", "/a*c"), ("/ac", "/a*c$"),
+      ("/a**b", "/a**b"), ("/aXYb", "/a**b$"), ("/x", "/"),
+      ("/.dot", "/.dot"), ("/qdot", "/.dot"), ("/a$b", "/a$b"))
+    val df = pairs.toDF("p", "r")
+    val bad = df.select(col("p"), col("r"),
+        org.apache.spark.sql.graft.RepMatchKernel
+          .column(col("p"), col("r")).as("k"),
+        org.apache.spark.sql.functions.regexp_like(col("p"),
+          graft.operators.Robots.ruleRegex(col("r"))).as("re"))
+      .filter(col("k") =!= col("re")).collect()
+    assert(bad.isEmpty, bad.take(5).mkString(";"))
+  }
+
   test("frontierFilter result is partition-layout invariant") {
     val urls = (0 until 64).map(i => s"https://a.io/tmp$i")
     val one = Robots.frontierFilter(
