@@ -40,6 +40,65 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training data (the DPR /
+    * SimCSE prep step): for each anchor, the k MOST-similar candidates
+    * whose cosine is strictly BELOW `dupCut`. Candidates at or above
+    * the cut are near-duplicates/paraphrases of the anchor — the
+    * classic FALSE negatives that poison a contrastive objective — and
+    * are excluded along with self; what survives is the hardest honest
+    * negative band. Output (query_id, cand_id, cos, rk), the ANN
+    * tiers' shape. Brute tier: corpus×anchors Cross with the anchor
+    * BATCH broadcast (anchors are a training batch, not a corpus) —
+    * the oracle shape; [[hardNegativesCells]] is the scale path. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dupCut: Double): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm2(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      Vectors.norm2(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+      .filter(col("cos") < dupCut)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF-pruned hard negatives — the 100 TB path: anchors probe their
+    * `nProbe` nearest seeded cells (the ANN probe order: scaled-long
+    * distance, ties to the lowest cell) and mine only those cells'
+    * candidates. Hard negatives are by definition NEAR the anchor —
+    * exactly what cell probing retrieves; the unprobed cells hold easy
+    * negatives, which in-batch random sampling supplies for free. Per
+    * anchor the scan touches ~nProbe/nCells of the corpus. */
+  def hardNegativesCells(corpus: DataFrame, anchors: DataFrame,
+                         idCol: String, vecCol: String,
+                         cells: Array[Array[Float]], nProbe: Int, k: Int,
+                         dupCut: Double): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cells.length,
+      s"nProbe $nProbe not in [1, ${cells.length}]")
+    val assigned = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), cellArgmin(col(vecCol), cells).as("cell"),
+      Vectors.norm2(col(vecCol)).as("cn"))
+    val qprobe = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), Vectors.norm2(col(vecCol)).as("qn"),
+      explode(transform(slice(array_sort(
+        cellScores(col(vecCol), cells)), 1, nProbe),
+        p => p.getField("c"))).as("cell"))
+    val scored = assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cos"))
+      .filter(col("cos") < dupCut)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Multi-probe sign-bucket LSH: each query also probes the buckets at
     * Hamming distance 1 from its own (flip each sign bit once) — the
     * standard recall recovery for points near a hyperplane. Candidate

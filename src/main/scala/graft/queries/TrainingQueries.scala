@@ -1862,6 +1862,89 @@ object TrainingQueries {
           WHERE a.vec_id != q.vec_id))
         WHERE rk <= 5""")),
 
+    // HARD-NEGATIVE mining (contrastive training prep): per anchor the
+    // top-5 most-similar candidates with cos < 0.95 — each anchor's
+    // PLANTED exact clone (vec_id+100000, cos 1.0, would be rank 1) is
+    // a false negative and must be excluded; the honest negative band
+    // (max cos ≈ 0.49 in this corpus) survives. Brute oracle tier.
+    Q("q_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.unionAll(emb.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Similarity.hardNegatives(planted, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5, dupCut = 0.95)
+      },
+      Some(s"""WITH pl AS (SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000, embedding FROM embeddings)
+        SELECT query_id, cand_id, cos, rk FROM (
+          SELECT query_id, cand_id, cos, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+          FROM (SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+            ROUND($qaCosSql, 6) AS cos
+            FROM pl a, (SELECT * FROM embeddings WHERE vec_id < 8) q
+            WHERE a.vec_id != q.vec_id)
+          WHERE cos < 0.95)
+        WHERE rk <= 5""")),
+
+    // IVF-pruned hard negatives — the scale path: anchors probe their 2
+    // nearest seeded cells and mine only those cells' candidates. The
+    // planted clone assigns to its anchor's own cell (identical vector,
+    // same argmin), so the false-negative cut fires inside the pruned
+    // scan too; the full seeded-cell machinery (scaled-long distances,
+    // tie-to-lowest-cell, probe order) replays in the oracle.
+    Q("q_hard_negatives_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.unionAll(emb.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val cells = Similarity.ivfCellsSeeded(emb, "vec_id", "embedding", 8)
+        Similarity.hardNegativesCells(planted,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          cells, nProbe = 2, k = 5, dupCut = 0.95)
+      },
+      Some {
+        def dotS(x: String, y: String) =
+          s"""list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+              for i in generate_series(1, len($x))])"""
+        def du(x: String, y: String) =
+          s"""CAST(FLOOR(ROUND(${dotS(x, x)} - 2 * ${dotS(x, y)} +
+            ${dotS(y, y)}, 6) * 1e6 + 0.5) AS BIGINT)"""
+        s"""WITH pl AS (SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings),
+          cs AS (SELECT embedding AS cv, ROW_NUMBER() OVER (ORDER BY vec_id)
+              - 1 AS c
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          cd AS (SELECT vec_id, c, ${du("x", "cv")} AS du
+            FROM (SELECT e.vec_id, s.c, e.embedding AS x, s.cv
+              FROM pl e CROSS JOIN cs s)),
+          cellof AS (SELECT vec_id, c AS cell FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY du, c) AS rk FROM cd)
+            WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, c AS cell FROM (
+              SELECT vec_id, c, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY du, c) AS rk
+              FROM cd WHERE vec_id < 8)
+            WHERE rk <= 2)
+          SELECT query_id, cand_id, cos, rk FROM (
+            SELECT query_id, cand_id, cos, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+            FROM (SELECT p.query_id, a.vec_id AS cand_id,
+              ROUND(${cosSql("qe.embedding", "a.embedding")}, 6) AS cos
+              FROM probes p
+              JOIN cellof cl ON cl.cell = p.cell
+              JOIN pl a ON a.vec_id = cl.vec_id
+              JOIN embeddings qe ON qe.vec_id = p.query_id
+              WHERE a.vec_id != p.query_id)
+            WHERE cos < 0.95)
+          WHERE rk <= 5"""
+      }),
+
     // LSH-bucketed ANN (the scale path: equi-join on sign-bucket)
     Q("q_ann_bucketed",
       (s, d) => {

@@ -834,6 +834,40 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("hardNegatives: near-duplicates above the cut are excluded, the " +
+      "honest band ranks by cosine; cells tier ≡ brute at full probe") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), // anchor
+      (1L, Array(0.999f, 0.01f, 0f)), // near-dup (cos ≈ 1) → excluded
+      (2L, Array(0.7f, 0.7f, 0f)), // hard negative (cos ≈ .707)
+      (3L, Array(0f, 1f, 0f)), // orthogonal
+      (4L, Array(-1f, 0f, 0f))) // opposite
+      .toDF("id", "vec")
+    val anchors = vecs.filter(col("id") === 0L)
+    val got = Similarity.hardNegatives(vecs, anchors, "id", "vec",
+        k = 2, dupCut = 0.95)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    // clone excluded; hard negative first, orthogonal second
+    assert(got == Seq((2L, 1), (3L, 2)))
+    // cells tier with nProbe = nCells degenerates to brute
+    val cells = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    val ivf = Similarity.hardNegativesCells(vecs, anchors, "id", "vec",
+        cells, nProbe = 2, k = 2, dupCut = 0.95)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(ivf == got)
+    // pruned probe (nProbe = 1): only the anchor's own cell is mined
+    val pruned = Similarity.hardNegativesCells(vecs, anchors, "id",
+        "vec", cells, nProbe = 1, k = 2, dupCut = 0.95)
+      .collect().map(_.getLong(1)).toSet
+    // 3 and 4 assign to cell 1 (d² from (-1,0,0): cell0 4, cell1 2) —
+    // outside the anchor's single probed cell, so only 2 survives
+    assert(pruned == Set(2L))
+  }
+
   test("takeTokenBudget: budgets bound kept prefixes, overshoot is one " +
       "document, budgets nest, zero/absent sources drop, " +
       "layout-invariant") {
