@@ -88,7 +88,10 @@ object Bench {
     "q_dedup_keep_rep", "q_split_leakproof", "q_pagerank",
     "q_ann_ivf_append",
     "q_ann_ivf_lifecycle", "q_dedup_index_lifecycle", "q_hybrid_rrf_batch",
-    "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed")
+    "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed",
+    // r14 wave 2: crawl-policy + mixing + hard-negative tiers
+    "q_robots_frontier", "q_frontier_build", "q_sitemap_urls",
+    "q_canonical_dedup", "q_mix_token_budget", "q_hard_negatives_ivf")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -128,6 +131,7 @@ object Bench {
     // routed json-index gates (the routed twins carry the scale story)
     "q_filter_json_array" -> Set("JsonToStructs"),
     "q_json_index_lifecycle" -> Set("ArrayTransform", "JsonToStructs"),
+    "q_hard_negatives_ivf" -> Set("ArraySort", "ArrayTransform"),
     "q_html_extract" -> Set("ArrayAggregate", "ArrayTransform"),
     "q_hybrid_rrf_batch_ivf" -> Set("ArraySort", "ArrayTransform"),
     "q_hybrid_rrf_indexed" -> Set("ArraySort", "ArrayTransform"),
