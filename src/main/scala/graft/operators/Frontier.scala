@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted crawl-frontier ledger — the state of the continuous-crawl
+  * LOOP between discovery ([[Sitemaps.discoverFrontier]], link
+  * extraction, sitemap parses) and policy/scheduling
+  * ([[Robots.frontierFilter]]/[[Robots.schedule]]): what has been seen,
+  * what has been fetched, and therefore what to fetch next.
+  *
+  * Two append-only ledgers per frontier name, the LinkGraph edge-index
+  * discipline: `discovered` holds (url, from_sitemap, from_link)
+  * provenance PARTIALS (one row per sighting — OR-folded at read), and
+  * `fetched` holds fetch receipts. Appends are O(batch) and
+  * tag-idempotent (an at-least-once replay of a committed tag no-ops);
+  * the accumulated state is never read on the ingest path. The PENDING
+  * frontier — distinct discoveries minus fetch receipts — is computed
+  * at read time by the periodic scheduling pass, exactly like
+  * [[LinkGraph.loadEdges]] feeds the periodic re-rank. */
+object Frontier {
+
+  private def spec(spark: org.apache.spark.sql.SparkSession,
+                   name: String, sub: String)
+  : graft.sources.IncrementalIndex.Spec = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad frontier name: $name")
+    graft.sources.IncrementalIndex.Spec(
+      s"/tmp/graft-warehouse/apps/" +
+        s"${spark.sparkContext.applicationId}/frontier_idx",
+      s"${name}_$sub", None)
+  }
+
+  /** Append one batch of discovery sightings: `urls` carries `urlCol`
+    * plus boolean `from_sitemap`/`from_link` provenance columns
+    * (seed/self sightings pass false/false). Partials — duplicates
+    * across batches are expected and fold at [[pending]] time. */
+  def appendDiscovered(spark: org.apache.spark.sql.SparkSession,
+                       urls: DataFrame, urlCol: String, name: String,
+                       batchTag: String): Unit =
+    graft.sources.IncrementalIndex.append(spark, spec(spark, name, "disc"),
+      urls.select(col(urlCol).as("url"),
+        col("from_sitemap").cast("boolean"),
+        col("from_link").cast("boolean")),
+      batchTag)
+
+  /** Append one batch of fetch receipts. */
+  def appendFetched(spark: org.apache.spark.sql.SparkSession,
+                    urls: DataFrame, urlCol: String, name: String,
+                    batchTag: String): Unit =
+    graft.sources.IncrementalIndex.append(spark, spec(spark, name, "fet"),
+      urls.select(col(urlCol).as("url")), batchTag)
+
+  /** The pending frontier: every url sighted but not yet fetched, with
+    * OR-folded provenance — (url, from_sitemap, from_link). One keyed
+    * agg over the discovery partials + one anti-join on fetch receipts
+    * (ids only ship). Feed to [[Robots.frontierFilter]] /
+    * [[Robots.schedule]] for the next fetch round. */
+  def pending(spark: org.apache.spark.sql.SparkSession, name: String)
+  : DataFrame = {
+    val disc = graft.sources.IncrementalIndex
+      .load(spark, spec(spark, name, "disc"), "url")
+      .groupBy(col("url"))
+      .agg(max(col("from_sitemap")).as("from_sitemap"),
+        max(col("from_link")).as("from_link"))
+    val fetched = graft.sources.IncrementalIndex
+      .load(spark, spec(spark, name, "fet"), "url")
+      .select(col("url")).distinct()
+    disc.join(fetched, Seq("url"), "left_anti")
+  }
+
+  /** Raw discovery partials (pre-fold) — spec hook for pinning the
+    * replay no-op, which [[pending]]'s OR-fold would otherwise hide. */
+  private[graft] def discoveredPartials(
+      spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    graft.sources.IncrementalIndex.load(spark, spec(spark, name, "disc"),
+      "url")
+
+  /** Has this batch tag already committed to the discovery ledger? */
+  def hasDiscoveredTag(spark: org.apache.spark.sql.SparkSession,
+                       name: String, batchTag: String): Boolean =
+    graft.sources.IncrementalIndex.hasTag(spec(spark, name, "disc"),
+      batchTag)
+
+  def drop(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    graft.sources.IncrementalIndex.drop(spec(spark, name, "disc"))
+    graft.sources.IncrementalIndex.drop(spec(spark, name, "fet"))
+  }
+}

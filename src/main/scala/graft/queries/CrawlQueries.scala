@@ -503,6 +503,63 @@ object CrawlQueries {
         FROM fh f JOIN fb b USING (url) LEFT JOIN dec d USING (url)
         ORDER BY url""")),
 
+    // Streaming frontier maintenance — the continuous-crawl LOOP's
+    // state: 4 micro-batches of fetched pages append fetch receipts +
+    // self/link discovery sightings; the sitemap channel appends on its
+    // own tag (replayed once — committed-tag no-op, partial-count
+    // pinned in spec); pending = discovered ∖ fetched with OR-folded
+    // provenance. Every fetched uri retires from pending; /p-path link
+    // targets and sitemap locs (incl. the ?query variants of fetched
+    // uris — distinct urls!) remain.
+    Q("q_stream_frontier",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        import graft.operators.{Frontier, Sitemaps}
+        val pages = TrainingQueries.linkPages(s, d).orderBy(col("uri"))
+          .as[(String, String)].collect()
+        val chunk = math.max(1, math.ceil(pages.length / 4.0).toInt)
+        val chunks = pages.grouped(chunk).toSeq
+        Frontier.drop(s, "crawl_front")
+        val mem = MemoryStream[(String, String)]
+        val q = graft.streaming.Streams.frontierSink(
+          mem.toDF().toDF("uri", "html"), "uri", "html", "crawl_front",
+          streamTag = Some("cfs")) { _ => () }.start()
+        chunks.foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        def sitemapChannel() = Frontier.appendDiscovered(s,
+          Sitemaps.urls(sitemapDocs(s, d), "xml")
+            .select(col("loc").as("url"), lit(true).as("from_sitemap"),
+              lit(false).as("from_link")),
+          "url", "crawl_front", "sm_1")
+        sitemapChannel()
+        sitemapChannel() // at-least-once replay: committed tag no-ops
+        Frontier.pending(s, "crawl_front").orderBy(col("url"))
+      },
+      Some(s"""WITH ${TrainingQueries.linkPgSql}, $sitemapDocsSql,
+        $sitemapParseSql,
+        fl AS (SELECT unnest(regexp_extract_all(html,
+            '(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+            1)) AS url
+          FROM pg),
+        d0 AS (SELECT uri AS url, FALSE AS from_sitemap,
+            FALSE AS from_link FROM pg
+          UNION ALL
+          SELECT url, FALSE, TRUE FROM fl
+          WHERE regexp_matches(url, '(?i)^https?://')
+          UNION ALL
+          SELECT loc, TRUE, FALSE FROM smu),
+        dd AS (SELECT url, bool_or(from_sitemap) AS from_sitemap,
+            bool_or(from_link) AS from_link
+          FROM d0 GROUP BY url)
+        SELECT url, from_sitemap, from_link FROM dd
+        WHERE url NOT IN (SELECT DISTINCT uri FROM pg)
+        ORDER BY url""")),
+
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,
     // description — the indexability/alias signals a web-curation

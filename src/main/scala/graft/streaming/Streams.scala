@@ -364,6 +364,41 @@ object Streams {
     }
   }
 
+  /** Streaming frontier maintenance — the state of the continuous-crawl
+    * LOOP: each micro-batch of fetched pages appends (a) its own uris
+    * to the FETCHED ledger (receipts) and as seed sightings to the
+    * DISCOVERED ledger (a fetched url was by definition discovered —
+    * this is what retires it from pending), and (b) every absolute
+    * anchor href it contains as link sightings. Both appends are
+    * O(batch) and tag-idempotent; [[graft.operators.Frontier.pending]]
+    * (discovered ∖ fetched, provenance OR-folded) then feeds
+    * Robots.frontierFilter/schedule for the NEXT fetch round — the
+    * sitemap channel appends through
+    * [[graft.operators.Frontier.appendDiscovered]] on its own tags. */
+  def frontierSink(pages: DataFrame, uriCol: String, htmlCol: String,
+                   frontierName: String, streamTag: Option[String] = None)
+                  (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    pages.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val self = batch.select(col(uriCol).as("url"),
+        lit(false).as("from_sitemap"), lit(false).as("from_link"))
+      val links = batch.select(explode(
+          graft.operators.LinkGraph.anchorHrefs(col(htmlCol))).as("url"))
+        .filter(col("url").rlike("(?i)^https?://"))
+        .select(col("url"), lit(false).as("from_sitemap"),
+          lit(true).as("from_link"))
+      graft.operators.Frontier.appendDiscovered(s,
+        self.unionByName(links), "url", frontierName,
+        s"${instance}_d_$batchId")
+      graft.operators.Frontier.appendFetched(s,
+        batch.select(col(uriCol)), uriCol, frontierName,
+        s"${instance}_f_$batchId")
+      handler(batch)
+    }
+  }
+
   /** Streaming JSON-index maintenance — the realtime twin of the json
     * posting table (`MutableJsonIndexImpl`: the reference builds the
     * json index inside consuming segments too). Same contract as
