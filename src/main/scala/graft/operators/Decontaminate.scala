@@ -67,4 +67,34 @@ object Decontaminate {
             bench: DataFrame, benchTextCol: String, k: Int): DataFrame =
     corpus.join(flagged(corpus, textCol, idCol, bench, benchTextCol, k),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination — the embedding twin of the n-gram gate
+    * (paraphrased benchmark items share no shingle; they DO share an
+    * embedding neighborhood — the reason modern pipelines run both
+    * filters): flag corpus documents whose cosine to ANY benchmark
+    * vector reaches `cut`. Scale: the benchmark is tiny next to the
+    * corpus — it BROADCASTS onto one corpus scan (a documented
+    * corpus×bench Cross, like the n-gram gate's broadcast probe); the
+    * corpus never shuffles and only flagged ids leave the scan. */
+  def flaggedSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+                      bench: DataFrame, benchVecCol: String, cut: Double)
+  : DataFrame = {
+    import graft.functions.Vectors
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      Vectors.norm2(col(vecCol)).as("__cn"))
+    val b = bench.select(col(benchVecCol).as("__bv"),
+      Vectors.norm2(col(benchVecCol)).as("__bn"))
+    c.crossJoin(broadcast(b))
+      .filter(round(Vectors.dot(col("__cv"), col("__bv")) /
+        (col("__cn") * col("__bn")), 6) >= cut)
+      .select(col(idCol)).distinct()
+  }
+
+  /** The corpus minus semantically contaminated documents. */
+  def cleanSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+                    bench: DataFrame, benchVecCol: String, cut: Double)
+  : DataFrame =
+    corpus.join(
+      flaggedSemantic(corpus, idCol, vecCol, bench, benchVecCol, cut),
+      Seq(idCol), "left_anti")
 }

@@ -342,6 +342,11 @@ object CrawlQueries {
       FROM mr)"""
   }
 
+  /** Corpus-keyed frontier-ledger name (one JVM can verify several
+    * corpus dirs — a tag from another corpus must never be reused). */
+  private def cfName(d: String): String =
+    s"crawl_front_${CorpusKey.of(d)}"
+
   def all: Seq[Q] = Seq(
 
     // robots.txt parse: full rule table (host, agent, ln, allow, path)
@@ -521,10 +526,10 @@ object CrawlQueries {
           .as[(String, String)].collect()
         val chunk = math.max(1, math.ceil(pages.length / 4.0).toInt)
         val chunks = pages.grouped(chunk).toSeq
-        Frontier.drop(s, "crawl_front")
+        Frontier.drop(s, cfName(d))
         val mem = MemoryStream[(String, String)]
         val q = graft.streaming.Streams.frontierSink(
-          mem.toDF().toDF("uri", "html"), "uri", "html", "crawl_front",
+          mem.toDF().toDF("uri", "html"), "uri", "html", cfName(d),
           streamTag = Some("cfs")) { _ => () }.start()
         chunks.foreach { c =>
           mem.addData(c.toSeq: _*)
@@ -535,10 +540,10 @@ object CrawlQueries {
           Sitemaps.urls(sitemapDocs(s, d), "xml")
             .select(col("loc").as("url"), lit(true).as("from_sitemap"),
               lit(false).as("from_link")),
-          "url", "crawl_front", "sm_1")
+          "url", cfName(d), "sm_1")
         sitemapChannel()
         sitemapChannel() // at-least-once replay: committed tag no-ops
-        Frontier.pending(s, "crawl_front").orderBy(col("url"))
+        Frontier.pending(s, cfName(d)).orderBy(col("url"))
       },
       Some(s"""WITH ${TrainingQueries.linkPgSql}, $sitemapDocsSql,
         $sitemapParseSql,
@@ -559,6 +564,94 @@ object CrawlQueries {
         SELECT url, from_sitemap, from_link FROM dd
         WHERE url NOT IN (SELECT DISTINCT uri FROM pg)
         ORDER BY url""")),
+
+    // CRAWL-LOOP capstone — the full next-round fetch plan from
+    // accumulated streaming state: the persisted frontier's pending set
+    // (q_stream_frontier's ledger, reused if its batches already ran;
+    // rebuilt deterministically otherwise) → RFC 9309 verdict →
+    // politeness schedule. Every stage boundary (ledger fold, anti-join,
+    // group choice, wildcard match, slot window, delay pick) sits under
+    // one oracle hash.
+    Q("q_crawl_loop",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        import graft.operators.{Frontier, Sitemaps}
+        if (!Frontier.hasDiscoveredTag(s, cfName(d), "sm_1")) {
+          val pages = TrainingQueries.linkPages(s, d).orderBy(col("uri"))
+            .as[(String, String)].collect()
+          val chunk = math.max(1, math.ceil(pages.length / 4.0).toInt)
+          Frontier.drop(s, cfName(d))
+          val mem = MemoryStream[(String, String)]
+          val q = graft.streaming.Streams.frontierSink(
+            mem.toDF().toDF("uri", "html"), "uri", "html", cfName(d),
+            streamTag = Some("cfs")) { _ => () }.start()
+          pages.grouped(chunk).foreach { c =>
+            mem.addData(c.toSeq: _*)
+            q.processAllAvailable()
+          }
+          q.stop()
+          Frontier.appendDiscovered(s,
+            Sitemaps.urls(sitemapDocs(s, d), "xml")
+              .select(col("loc").as("url"), lit(true).as("from_sitemap"),
+                lit(false).as("from_link")),
+            "url", cfName(d), "sm_1")
+        }
+        graft.operators.Robots.schedule(
+            Frontier.pending(s, cfName(d)), "url",
+            robotsFrame(s, d), "host", "body", "GraftBot",
+            defaultDelayMs = 1000L)
+          .select(col("url"), col("host"), col("from_sitemap"),
+            col("from_link"), col("slot"), col("fetch_at_ms"))
+          .orderBy(col("url"))
+      },
+      Some(s"""WITH ${TrainingQueries.linkPgSql}, $sitemapDocsSql,
+        $sitemapParseSql, $robotsSql, $robotsParseSql,
+        fl AS (SELECT unnest(regexp_extract_all(html,
+            '(?i)<a[ \t\n\r][^>]*href[ \t\n\r]*=[ \t\n\r]*"([^"]*)"',
+            1)) AS url
+          FROM pg),
+        d0 AS (SELECT uri AS url, FALSE AS from_sitemap,
+            FALSE AS from_link FROM pg
+          UNION ALL
+          SELECT url, FALSE, TRUE FROM fl
+          WHERE regexp_matches(url, '(?i)^https?://')
+          UNION ALL
+          SELECT loc, TRUE, FALSE FROM smu),
+        dd AS (SELECT url, bool_or(from_sitemap) AS from_sitemap,
+            bool_or(from_link) AS from_link
+          FROM d0 GROUP BY url),
+        pend AS (SELECT * FROM dd
+          WHERE url NOT IN (SELECT DISTINCT uri FROM pg)),
+        fh AS (SELECT url,
+            lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1))
+              AS host,
+            CASE WHEN length(regexp_extract(url,
+                '(?i)^https?://[^/]*(/[^#]*)', 1)) > 0
+              THEN regexp_extract(url, '(?i)^https?://[^/]*(/[^#]*)', 1)
+              ELSE '/' END AS pth
+          FROM pend),
+        $decisionSql,
+        cdel AS (SELECT m.host, m.val, m.ln
+          FROM rmem m JOIN cgr USING (host, grp)
+          WHERE key = 'crawl-delay' AND
+            TRY_CAST(val AS DECIMAL(18,3)) IS NOT NULL),
+        cdly AS (SELECT host,
+            CAST(TRY_CAST(val AS DECIMAL(18,3)) * 1000 AS BIGINT)
+              AS delay_ms
+          FROM (SELECT *, row_number()
+              OVER (PARTITION BY host ORDER BY ln DESC) AS rn
+            FROM cdel) WHERE rn = 1),
+        alw AS (SELECT f.url, f.host FROM fh f
+          LEFT JOIN dec dc USING (url) WHERE coalesce(dc.allow, TRUE)),
+        sch AS (SELECT url, host, row_number()
+            OVER (PARTITION BY host ORDER BY url) - 1 AS slot
+          FROM alw)
+        SELECT s.url, s.host, p.from_sitemap, p.from_link, s.slot,
+          s.slot * coalesce(c.delay_ms, 1000) AS fetch_at_ms
+        FROM sch s JOIN pend p USING (url)
+        LEFT JOIN cdly c USING (host) ORDER BY url""")),
 
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,

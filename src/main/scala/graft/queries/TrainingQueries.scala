@@ -1259,6 +1259,30 @@ object TrainingQueries {
     // eval-set version in a real pipeline — and the former cold-scale
     // flag's whole margin); the measured run is the recurring work:
     // corpus scan + broadcast probe
+    // SEMANTIC decontamination — the embedding twin of the n-gram gate
+    // (a paraphrased benchmark item shares no 5-shingle but DOES share
+    // an embedding neighborhood): corpus vectors whose cosine to ANY
+    // benchmark vector (every 17th, so the planted contamination is the
+    // identical vector at cos 1.0) reaches 0.95 drop; the bench
+    // broadcasts onto one corpus scan.
+    Q("q_decontaminate_semantic",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val bench = emb.filter(col("vec_id") % 17 === 0)
+          .select(col("embedding").as("bvec"))
+        graft.operators.Decontaminate.cleanSemantic(emb, "vec_id",
+            "embedding", bench, "bvec", cut = 0.95)
+          .select(col("vec_id")).orderBy(col("vec_id"))
+      },
+      Some(s"""WITH b AS (SELECT embedding AS bv FROM embeddings
+          WHERE vec_id % 17 = 0),
+        fl AS (SELECT DISTINCT e.vec_id FROM embeddings e, b
+          WHERE ROUND(${cosSql("e.embedding", "b.bv")}, 6) >= 0.95)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM fl)
+        ORDER BY vec_id""")),
+
     Q("q_decontaminate",
       (s, d) => {
         val docs = Tables.documents(s, d)

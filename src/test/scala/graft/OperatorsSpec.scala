@@ -834,6 +834,25 @@ class OperatorsSpec extends SparkSpec {
       Sampling.mixSources(df, "id", "source", Map("src0" -> 1.5)))
   }
 
+  test("flaggedSemantic/cleanSemantic: benchmark clones and near-dups " +
+      "drop at the cut, the honest band survives") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)), // exact bench clone → drops
+      (1L, Array(0.999f, 0.01f, 0f)), // paraphrase neighborhood → drops
+      (2L, Array(0.7f, 0.7f, 0f)), // cos ≈ .707 < cut → survives
+      (3L, Array(0f, 1f, 0f))).toDF("id", "vec")
+    val bench = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("bvec")
+    val flagged = Decontaminate.flaggedSemantic(corpus, "id", "vec",
+      bench, "bvec", cut = 0.95).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(0L, 1L))
+    val clean = Decontaminate.cleanSemantic(corpus, "id", "vec",
+      bench, "bvec", cut = 0.95).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("hardNegatives: near-duplicates above the cut are excluded, the " +
       "honest band ranks by cosine; cells tier ≡ brute at full probe") {
     val s = spark
