@@ -81,6 +81,62 @@ object Frontier {
     graft.sources.IncrementalIndex.hasTag(spec(spark, name, "disc"),
       batchTag)
 
+  /** sitemaps.org changefreq → revisit interval (ms). `always` = 0,
+    * `never` = no interval (revisits only on a newer lastmod). */
+  private val ChangefreqMs: Seq[(String, Long)] = Seq(
+    "always" -> 0L, "hourly" -> 3600000L, "daily" -> 86400000L,
+    "weekly" -> 604800000L, "monthly" -> 2592000000L,
+    "yearly" -> 31536000000L)
+
+  /** REVISIT scheduling — the third phase of the crawl lifecycle
+    * (discover → fetch → refresh): which fetched urls are due for
+    * refetch at `nowMs`, from fetch receipts and the sitemap's change
+    * metadata ([[Sitemaps.urls]] output). Due when
+    *
+    *   (a) the declared lastmod is NEWER than the stored fetch — the
+    *       site says it changed, due regardless of interval; or
+    *   (b) the changefreq interval has elapsed since the fetch
+    *       (`never` has no interval; absent changefreq falls back to
+    *       `defaultIntervalMs`).
+    *
+    * Output = the due rows with `host`, protocol-default-coalesced
+    * `priority` (0.5), `staleness_ms` (= now − fetched_at), and
+    * `revisit_rank` — the per-host fetch-queue position (priority
+    * desc, staleness desc, url; per-host because the queue IS
+    * per-host under politeness — the [[Robots.schedule]] partition).
+    * One equi-join on url + one per-host window; all arithmetic is
+    * integer-ms, oracle-replayable. */
+  def revisitDue(fetched: DataFrame, urlCol: String, fetchedAtCol: String,
+                 meta: DataFrame, locCol: String, nowMs: Long,
+                 defaultIntervalMs: Long = 86400000L): DataFrame = {
+    val m = meta.select(col(locCol).as("__mu"),
+      col("lastmod_date").as("__lm"), col("changefreq").as("__cf"),
+      col("priority").as("__pr"))
+    val interval = ChangefreqMs.foldLeft(
+      when(col("__cf").isNull, lit(defaultIntervalMs))) {
+        case (e, (k, v)) => e.when(col("__cf") === k, lit(v))
+      } // 'never' and unknown values fall through to null = no interval
+    val lastmodMs = col("__lm").cast("timestamp").cast("long") * 1000
+    val freshDue = coalesce(lastmodMs > col(fetchedAtCol), lit(false))
+    val due = fetched
+      .join(m, col(urlCol) === col("__mu"), "left")
+      .withColumn("__iv", interval)
+      .filter(freshDue ||
+        coalesce(col(fetchedAtCol) + col("__iv") <= nowMs, lit(false)))
+      .withColumn("host", lower(regexp_extract(col(urlCol),
+        "(?i)^https?://([^/:?#]+)", 1)))
+      .withColumn("priority",
+        coalesce(col("__pr").cast("double"), lit(0.5)))
+      .withColumn("staleness_ms", lit(nowMs) - col(fetchedAtCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("staleness_ms").desc,
+        col(urlCol))
+    due.withColumn("revisit_rank",
+        (row_number().over(w)).cast("long"))
+      .drop("__mu", "__lm", "__cf", "__pr", "__iv")
+  }
+
   def drop(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     graft.sources.IncrementalIndex.drop(spec(spark, name, "disc"))
     graft.sources.IncrementalIndex.drop(spec(spark, name, "fet"))

@@ -653,6 +653,81 @@ object CrawlQueries {
         FROM sch s JOIN pend p USING (url)
         LEFT JOIN cdly c USING (host) ORDER BY url""")),
 
+    // REVISIT scheduling — the refresh phase of the crawl lifecycle:
+    // fetched urls come due when the sitemap's lastmod postdates the
+    // stored fetch (site-declared change, any interval) or when the
+    // changefreq interval elapses ('never' only on fresh lastmod,
+    // absent metadata at the default interval); due rows rank per host
+    // by (priority, staleness). Synthesis cycles fetch ages, lastmod
+    // days, all changefreq values incl. never/absent, null priorities,
+    // and urls with no sitemap entry at all.
+    Q("q_revisit_due",
+      (s, d) => {
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        val fetched = Tables.documents(s, d).select(url.as("url"),
+          (lit(1767225600000L) + (did % 20) * 86400000L)
+            .as("fetched_at_ms"))
+        val meta = Tables.documents(s, d).filter(did % 3 =!= 2).select(
+          url.as("loc"),
+          expr("try_to_date('2026-01-' || " +
+            "lpad(cast(doc_id % 28 + 1 as string), 2, '0'))")
+            .as("lastmod_date"),
+          when(did % 6 === 0, "hourly").when(did % 6 === 1, "daily")
+            .when(did % 6 === 2, "weekly").when(did % 6 === 3, "never")
+            .when(did % 6 === 5, "monthly").as("changefreq"),
+          when(did % 4 === 0, lit(null)).otherwise(
+            expr("try_cast('0.' || cast(doc_id % 10 as string) " +
+              "as decimal(2,1))")).as("priority"))
+        graft.operators.Frontier.revisitDue(fetched, "url",
+            "fetched_at_ms", meta, "loc", nowMs = 1768435200000L)
+          .select(col("url"), col("host"), col("priority"),
+            col("staleness_ms"), col("revisit_rank"))
+          .orderBy(col("url"))
+      },
+      Some {
+        val u = "'https://h' || CAST(doc_id % 29 AS VARCHAR) || " +
+          "'.example.org/doc/' || CAST(doc_id AS VARCHAR)"
+        s"""WITH f AS (SELECT $u AS url,
+            1767225600000 + (doc_id % 20) * 86400000 AS fa
+          FROM documents),
+        mt AS (SELECT $u AS loc,
+            TRY_CAST('2026-01-' ||
+              lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+              AS lm,
+            CASE doc_id % 6 WHEN 0 THEN 'hourly' WHEN 1 THEN 'daily'
+              WHEN 2 THEN 'weekly' WHEN 3 THEN 'never'
+              WHEN 5 THEN 'monthly' END AS cf,
+            CASE WHEN doc_id % 4 = 0 THEN NULL ELSE
+              TRY_CAST('0.' || CAST(doc_id % 10 AS VARCHAR)
+                AS DECIMAL(2,1)) END AS pr
+          FROM documents WHERE doc_id % 3 != 2),
+        j AS (SELECT f.url, f.fa, mt.lm, mt.cf, mt.pr
+          FROM f LEFT JOIN mt ON f.url = mt.loc),
+        iv AS (SELECT *, CASE WHEN cf IS NULL THEN 86400000
+            WHEN cf = 'always' THEN 0 WHEN cf = 'hourly' THEN 3600000
+            WHEN cf = 'daily' THEN 86400000
+            WHEN cf = 'weekly' THEN 604800000
+            WHEN cf = 'monthly' THEN 2592000000
+            WHEN cf = 'yearly' THEN 31536000000 END AS ivms
+          FROM j),
+        du AS (SELECT url, fa, pr FROM iv
+          WHERE coalesce(epoch_ms(CAST(lm AS TIMESTAMP)) > fa, FALSE)
+             OR coalesce(fa + ivms <= 1768435200000, FALSE)),
+        r AS (SELECT url,
+            lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1))
+              AS host,
+            coalesce(CAST(pr AS DOUBLE), 0.5) AS priority,
+            1768435200000 - fa AS staleness_ms
+          FROM du)
+        SELECT url, host, priority, staleness_ms,
+          ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY priority DESC, staleness_ms DESC, url)
+            AS revisit_rank
+        FROM r ORDER BY url"""
+      }),
+
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,
     // description — the indexability/alias signals a web-curation

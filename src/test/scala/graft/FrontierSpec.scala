@@ -42,6 +42,42 @@ class FrontierSpec extends SparkSpec {
     Frontier.drop(s, "fspec")
   }
 
+  test("revisitDue: fresh lastmod overrides any interval, 'never' only " +
+      "revisits on fresh lastmod, absent meta uses the default, " +
+      "per-host rank orders by priority then staleness") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val t0 = 1767225600000L // 2026-01-01T00:00Z
+    val now = t0 + 14 * day // 2026-01-15
+    val fetched = Seq(
+      ("https://a.io/hourly-due", t0), // hourly: long elapsed
+      ("https://a.io/weekly-not", now - day), // weekly: fetched 1d ago
+      ("https://a.io/never-stale", t0), // never + old lastmod: NOT due
+      ("https://a.io/never-fresh", t0), // never + lastmod after fetch: due
+      ("https://a.io/nometa-due", t0), // no meta row: default 1d → due
+      ("https://a.io/nometa-not", now) // no meta row, just fetched
+    ).toDF("url", "fetched_at_ms")
+    val meta = Seq(
+      ("https://a.io/hourly-due", "2025-12-01", "hourly", Some(0.9)),
+      ("https://a.io/weekly-not", "2025-12-01", "weekly", Some(0.9)),
+      ("https://a.io/never-stale", "2025-12-01", "never", None),
+      ("https://a.io/never-fresh", "2026-01-03", "never", None))
+      .toDF("loc", "lm", "changefreq", "priority")
+      .withColumn("lastmod_date", col("lm").cast("date")).drop("lm")
+    val got = graft.operators.Frontier.revisitDue(fetched, "url",
+        "fetched_at_ms", meta, "loc", nowMs = now)
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getDouble(r.fieldIndex("priority")),
+        r.getLong(r.fieldIndex("revisit_rank")))).toSeq
+    // due set: hourly-due (0.9), never-fresh (0.5 default priority),
+    // nometa-due (0.5); ranks: priority desc then staleness desc then url
+    assert(got == Seq(
+      ("https://a.io/hourly-due", 0.9, 1L),
+      ("https://a.io/never-fresh", 0.5, 2L),
+      ("https://a.io/nometa-due", 0.5, 3L)))
+  }
+
   test("at-least-once replay of a committed tag is a no-op on the " +
       "partial ledger (not just hidden by the OR-fold)") {
     val s = spark
