@@ -81,6 +81,58 @@ object Frontier {
     graft.sources.IncrementalIndex.hasTag(spec(spark, name, "disc"),
       batchTag)
 
+  // ----- changed-only re-processing (revisit-fetch economics) -----
+
+  /** Latest recorded content hash per url: (url → __ph); empty before
+    * the first append (every first-batch url is "never seen"). */
+  private def latestHashes(spark: org.apache.spark.sql.SparkSession,
+                           name: String): DataFrame = {
+    val sp = spec(spark, name, "chg")
+    if (!new java.io.File(sp.liveDir).isDirectory) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("__pu", "__ph")
+    } else graft.sources.IncrementalIndex.load(spark, sp, "url")
+      .groupBy(col("url"))
+      .agg(max(struct(col("seq"), col("h"))).as("__last"))
+      .select(col("url").as("__pu"), col("__last")("h").as("__ph"))
+  }
+
+  /** CHANGED-ONLY gate for revisit fetches — the re-processing
+    * economics of a continuous crawl: a revisit re-downloads the page,
+    * but unchanged content must not re-enter curation (at 100 TB the
+    * curation cost dwarfs the fetch). A per-frontier ledger records
+    * the latest content hash per url (append-only partials, latest =
+    * max (seq, hash)); this filters the batch to rows whose hash
+    * differs from the recorded latest (urls never seen pass), then
+    * advances the ledger with the CHANGED rows only — an unchanged
+    * row's recorded latest already equals its content, so the ledger
+    * stays both correct and small. Tag-idempotent with the natural
+    * at-least-once semantics: a REPLAY of a committed batch returns NO
+    * new work (its hashes are already the recorded latest) and
+    * appends nothing — exactly what a restarted pipeline wants.
+    * `batchSeq` must be monotone per frontier (one batch per seq). */
+  def changedOnly(spark: org.apache.spark.sql.SparkSession,
+                  batch: DataFrame, urlCol: String, contentCol: String,
+                  name: String, batchSeq: Long, batchTag: String)
+  : DataFrame = {
+    val withH = batch.withColumn("__h",
+      graft.functions.Scalars.hash60(col(contentCol)))
+    val changed = Checkpoints.eager(
+      withH.join(latestHashes(spark, name),
+          col(urlCol) === col("__pu"), "left")
+        .filter(col("__pu").isNull || col("__h") =!= col("__ph"))
+        .drop("__pu", "__ph"))
+    graft.sources.IncrementalIndex.append(spark, spec(spark, name, "chg"),
+      changed.select(col(urlCol).as("url"), col("__h").as("h"),
+        lit(batchSeq).as("seq")),
+      batchTag)
+    changed.drop("__h")
+  }
+
+  def dropChangeLedger(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Unit =
+    graft.sources.IncrementalIndex.drop(spec(spark, name, "chg"))
+
   /** sitemaps.org changefreq → revisit interval (ms). `always` = 0,
     * `never` = no interval (revisits only on a newer lastmod). */
   private val ChangefreqMs: Seq[(String, Long)] = Seq(

@@ -728,6 +728,48 @@ object CrawlQueries {
         FROM r ORDER BY url"""
       }),
 
+    // CHANGED-ONLY re-processing — revisit-fetch economics: three crawl
+    // rounds of the same urls, where round 2 rewrites every 3rd page
+    // and round 3 rewrites the evens EXCEPT that every 6th page reverts
+    // to ITS ROUND-2 TEXT (unchanged vs the ledger even though round 2
+    // had changed it — only a ledger that actually carried round-2
+    // state excludes it). A replay of the committed round-3 batch is
+    // asserted in-gate to yield zero new work. Output = round 3's
+    // changed set, bit-checked.
+    Q("q_changed_only",
+      (s, d) => {
+        import graft.operators.Frontier
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        def round(v: Column) = Tables.documents(s, d).select(
+          url.as("url"),
+          concat(col("text"), lit("|"), v.cast("string")).as("content"))
+        val v2 = when(did % 3 === 0, 2).otherwise(1)
+        val v3 = when(did % 6 === 0, 2).when(did % 2 === 0, 3)
+          .otherwise(v2)
+        val name = s"chg_${CorpusKey.of(d)}"
+        Frontier.dropChangeLedger(s, name)
+        Frontier.changedOnly(s, round(lit(1)), "url", "content",
+          name, 1, "b1")
+        Frontier.changedOnly(s, round(v2), "url", "content",
+          name, 2, "b2")
+        val c3 = Frontier.changedOnly(s, round(v3), "url", "content",
+          name, 3, "b3")
+        val replay = Frontier.changedOnly(s, round(v3), "url", "content",
+          name, 3, "b3")
+        require(replay.isEmpty,
+          "replayed committed batch must yield no new work")
+        c3.orderBy(col("url"))
+      },
+      Some("""SELECT
+          'https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+            '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          text || '|3' AS content
+        FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 6 != 0
+        ORDER BY url""")),
+
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,
     // description — the indexability/alias signals a web-curation

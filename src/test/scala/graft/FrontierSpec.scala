@@ -42,6 +42,31 @@ class FrontierSpec extends SparkSpec {
     Frontier.drop(s, "fspec")
   }
 
+  test("changedOnly: new urls pass, unchanged content is filtered " +
+      "against the LATEST recorded version, reverts to an old version " +
+      "count as changes, replay yields no new work") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Frontier
+    Frontier.dropChangeLedger(s, "chgspec")
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("url", "content")
+    def run(seq: Long, tag: String, rows: (String, String)*) =
+      Frontier.changedOnly(s, batch(rows: _*), "url", "content",
+        "chgspec", seq, tag).collect().map(_.getString(0)).toSet
+    assert(run(1, "b1", ("u1", "a"), ("u2", "x")) == Set("u1", "u2"))
+    // u1 changes, u2 doesn't
+    assert(run(2, "b2", ("u1", "b"), ("u2", "x")) == Set("u1"))
+    // u1 REVERTS to its round-1 content — vs the latest ("b") that IS
+    // a change; u3 is new
+    assert(run(3, "b3", ("u1", "a"), ("u2", "x"), ("u3", "z")) ==
+      Set("u1", "u3"))
+    // replay of the committed batch: no new work, ledger unchanged
+    assert(run(3, "b3", ("u1", "a"), ("u2", "x"), ("u3", "z")) ==
+      Set.empty)
+    assert(run(4, "b4", ("u1", "a")) == Set.empty) // still latest
+    Frontier.dropChangeLedger(s, "chgspec")
+  }
+
   test("revisitDue: fresh lastmod overrides any interval, 'never' only " +
       "revisits on fresh lastmod, absent meta uses the default, " +
       "per-host rank orders by priority then staleness") {
