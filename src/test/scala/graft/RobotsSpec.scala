@@ -145,6 +145,24 @@ class RobotsSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(5).mkString(";"))
   }
 
+  test("CRLF bodies and tab-padded keys parse identically to LF " +
+      "(real-world robots.txt is frequently CRLF)") {
+    val s = spark
+    import s.implicits._
+    val crlf = "User-agent:\t*\r\nDisallow : /sp\r\n" +
+      "Disallow:\t/private\r\nAllow: /private/ok\t\r\nCrawl-delay: 2\r\n"
+    // "Disallow : /sp" has whitespace around the colon — RFC 9309's
+    // grammar allows it and the parser (like the oracle) accepts it
+    val df = Seq(("a.io", crlf)).toDF("host", "body")
+    val rules = Robots.rules(df, "host", "body").orderBy(col("ln"))
+      .collect().map(r => (r.getBoolean(3), r.getString(4))).toSeq
+    assert(rules == Seq((false, "/sp"), (false, "/private"),
+      (true, "/private/ok")))
+    val d = Robots.crawlDelays(df, "host", "body").collect()
+      .map(_.getLong(3)).toSeq
+    assert(d == Seq(2000L))
+  }
+
   test("frontierFilter result is partition-layout invariant") {
     val urls = (0 until 64).map(i => s"https://a.io/tmp$i")
     val one = Robots.frontierFilter(
