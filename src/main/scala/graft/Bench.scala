@@ -52,12 +52,35 @@ object Bench {
 
   val OutlierFactor = 1.5
 
-  /** First timing past this ×prior → settle + median-of-3 in place. */
+  /** First timing past this ×prior → inline defense (warm-confirm, then
+    * settle + re-measure — see runSuite). */
   val InlineRerunFactor = 3.0
 
   /** Absolute mid-suite alarm: a prior-sub-second query crossing this
     * many seconds forces a GC settle + sweep before re-measuring. */
   val AbsOutlierSec = 5.0
+
+  /** Ratio-trigger floor (round 15): priors are min-merged across every
+    * recorded artifact, so they only ratchet DOWN round over round — and
+    * a 0.15 s prior meeting a 0.5 s first run (plain session noise at
+    * sub-second scale, measured ±50% between same-code sessions on this
+    * host) tripped the 3× trigger for nothing. Round 14's official run
+    * burned 21 inline reruns, several on sub-second firsts
+    * (q_indexed_table 0.90 s, q_agg_idset_sketch 0.78 s,
+    * q_ingest_confluent 0.44 s). A sub-second first can't meaningfully
+    * contaminate the total or the degradation gate, and the post-hoc
+    * 1.5× outlier isolation still re-times it — so the INLINE trigger
+    * ignores firsts under this line. */
+  val MinInlineSec = 1.0
+
+  /** Queries that ALWAYS re-time isolated at suite end (round 15, judge
+    * ask): the routed-json family + star-tree gates are small enough
+    * that session noise swamps them, and round 14 shipped
+    * q_filter_json_disk creep with no isolated twin to adjudicate it.
+    * Their clean twins now ship in `isolated` every round. */
+  val WatchIsolated: Set[String] = Set(
+    "q_filter_json_routed", "q_filter_json_array_routed",
+    "q_filter_json_not_routed", "q_filter_json_disk", "q_startree")
 
   /** The heavy tier re-run at FACTOR× by the scale-stress pass: every
     * query here reads only documents/embeddings (the tables
@@ -179,8 +202,55 @@ object Bench {
     * still covers it). */
   private[graft] def needsInlineRerun(first: Double,
                                       prior: Option[Double]): Boolean =
-    prior.exists(p => first > p * InlineRerunFactor ||
-      (p < AbsOutlierSec && first > AbsOutlierSec && first > p * 1.5))
+    first >= MinInlineSec &&
+      prior.exists(p => first > p * InlineRerunFactor ||
+        (p < AbsOutlierSec && first > AbsOutlierSec && first > p * 1.5))
+
+  // ---- host-contention instrumentation (round 15) ----
+  // The bench runs in a VM guest: when the HOST is contended, the guest's
+  // vCPUs are simply not scheduled and wall-clock inflates with zero
+  // in-guest signal (storage flat at ~30 MB, total GC ~3 s/190 s in the
+  // round-14 official artifact — neither explains its 1.65 degradation).
+  // /proc/stat's steal column IS the direct signal: ticks the hypervisor
+  // ran someone else while this guest was runnable. Per-query steal time
+  // ships in the artifact so an interference band is attributable to the
+  // host from the JSON alone, and the defense paths WAIT for steal to
+  // subside before re-measuring instead of re-measuring into the band
+  // (round 14's q_json_index_lifecycle stayed at 13.5 s through a settle
+  // + 2 re-runs — the band outlived the old defense).
+
+  /** Cumulative steal ticks (USER_HZ=100 → ×10 = ms of one stolen core);
+    * 0 where /proc/stat is unreadable (non-Linux dev host). */
+  private[graft] def stealTicks(): Long = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else 0L
+    } finally src.close()
+  } catch { case _: Throwable => 0L }
+
+  private[graft] def stealMsSince(t0Ticks: Long): Long =
+    math.max(stealTicks() - t0Ticks, 0L) * 10L
+
+  /** Block (bounded) until host steal subsides: samples steal over
+    * 300 ms windows until a window's stolen share of machine capacity
+    * drops under 2%, or `maxWaitMs` elapses. Returns ms waited. Called
+    * only on the defense paths (confirmed-slow re-measures), so a quiet
+    * host pays one 300 ms sample. */
+  private[graft] def awaitQuietHost(cpus: Int,
+                                    maxWaitMs: Long = 30000): Long = {
+    val t0 = System.nanoTime()
+    var waitedMs = 0L
+    var quiet = false
+    while (!quiet && waitedMs < maxWaitMs) {
+      val s0 = stealTicks()
+      Thread.sleep(300)
+      val stolenMs = stealMsSince(s0)
+      quiet = stolenMs < 0.02 * cpus * 300
+      waitedMs = (System.nanoTime() - t0) / 1000000
+    }
+    waitedMs
+  }
 
   private[graft] def median3(a: Double, b: Double, c: Double): Double =
     Seq(a, b, c).sorted.apply(1)
@@ -289,6 +359,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // [[graft.operators.Checkpoints.sweep]] frees finished scratch
+    // frames' blocks deterministically between gates; Spark warns "RDD
+    // was locally checkpointed … cannot be recomputed after unpersisting"
+    // on every such release. That recompute never happens here by
+    // construction (released frames are dead — that is WHY they are
+    // released), so the warning is expected-per-release noise that buried
+    // the round-14 artifact tail. Silence exactly that logger; all other
+    // RDD/Spark warnings stay on.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String = sfDir): Unit =
@@ -394,7 +476,8 @@ object Bench {
                          firstSec: Double,
                          inlineRerun: Boolean = false,
                          cacheHits: Long = 0L, cacheMisses: Long = 0L,
-                         cacheEvicts: Long = 0L)
+                         cacheEvicts: Long = 0L,
+                         stealMs: Long = 0L, stealWaitMs: Long = 0L)
 
     // prior-round per-query seconds: the inline defense inside runSuite
     // and the post-hoc outlier isolation both key off it
@@ -424,6 +507,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val gc0 = gcMillis()
+      val steal0 = stealTicks()
       val (h0, m0, e0) = graft.operators.GraftCache.statsSnapshot()
       // build phase (catalog/index construction) timed apart from the
       // operator so saveAsTable ceremony can't pollute the headline
@@ -432,49 +516,66 @@ object Bench {
       def timed(): Double = timedPhase(() => runOnce(q.run, dir))
       val first = timed()
       val firstShuffle = drainShuffleBytes() // ONE run's volume, not iters'
-      // INLINE defense: a degraded session mustn't ship an inflated
-      // headline. Ratio trigger = first > InlineRerunFactor× the prior
-      // round; absolute trigger = >AbsOutlierSec on a prior-sub-second
-      // query. Either way: settle (sweep + GC — the interference source
-      // is usually old-gen/block-manager pressure left by neighbors),
-      // then re-measure twice and let the MEDIAN of the three carry the
-      // suite number. A transient stall recovers; a true regression
-      // repeats its slow time twice and the median keeps it.
-      val inflated = inlineDefense && err.isEmpty &&
+      // INLINE defense (restructured round 15): a degraded session mustn't
+      // ship an inflated headline — but round 14's official run recorded
+      // 21 inline events, most of them NOT session degradation: queries
+      // whose first run builds a cached derived table read first ≈
+      // build+query against a warm min-merged prior and trip the 3×
+      // trigger structurally, every round. So an alarming first is now
+      // WARM-CONFIRMED by the immediate second run (which the untriggered
+      // path runs anyway): if the second run is quiet, the result is the
+      // plain min-of-2 — identical to the untriggered path, no event. Only
+      // a second run that is ALSO alarming escalates: settle (sweep + GC),
+      // WAIT for host steal to subside (round 14's q_json_index_lifecycle
+      // band outlived a settle + 2 immediate re-runs — re-measuring INTO
+      // the band is useless), then median-of-3 over (second, t3, t4). A
+      // true regression repeats its slow time and the median keeps it.
+      val trip1 = inlineDefense && err.isEmpty &&
         needsInlineRerun(first, prior.get(q.name))
       // the settle's own System.gc() is defense overhead, not query GC —
       // subtract its window so gc_ms keeps attributing the QUERY's
       // collector pressure (the diagnostic the block exists for)
       var settleGcMs = 0L
+      var stealWaitMs = 0L
+      var confirmed = false
       val sec =
-        if (inflated) {
-          val gcPreSettle = gcMillis()
-          settleSession()
-          settleGcMs = gcMillis() - gcPreSettle
-          val sec2 = timed()
-          val sec3 = timed()
-          drainShuffleBytes()
-          median3(first, sec2, sec3)
+        if (trip1) {
+          val second = timed()
+          if (err.isDefined || !needsInlineRerun(second, prior.get(q.name)))
+            math.min(first, second) // cold build / transient — not an event
+          else {
+            confirmed = true
+            val gcPreSettle = gcMillis()
+            settleSession()
+            stealWaitMs = awaitQuietHost(cpus)
+            settleGcMs = gcMillis() - gcPreSettle
+            val t3 = timed()
+            val t4 = timed()
+            drainShuffleBytes()
+            median3(second, t3, t4)
+          }
         } else {
           val rest = if (err.isEmpty && first <= rerunBudget)
             (2 to iters).map(_ => timed()) else Nil
           (first +: rest).min
         }
       val gcMs = gcMillis() - gc0 - settleGcMs
+      val stealMs = stealMsSince(steal0)
       val (h1, m1, e1) = graft.operators.GraftCache.statsSnapshot()
       // reclaim orphaned checkpoint blocks BETWEEN queries (never mid-
       // query): a long suite must not accumulate block-manager state
       graft.operators.Checkpoints.sweep()
       drainShuffleBytes()
       val r = Res(q.name, sec, err, gcMs, storageBytes(),
-        setupSec, firstShuffle, first, inflated,
-        h1 - h0, m1 - m0, e1 - e0)
+        setupSec, firstShuffle, first, confirmed,
+        h1 - h0, m1 - m0, e1 - e0, stealMs, stealWaitMs)
       // per-query progress on stderr (stdout carries only the JSON line):
       // a wedged suite is attributable to a query from the log alone
       System.err.println(
         f"[bench] ${q.name}%-28s ${r.sec}%8.3fs first=$first%.3fs" +
           setupSec.fold("")(s => f" setup=$s%.3fs") +
-          (if (inflated) " inline-rerun" else "") +
+          (if (confirmed) " inline-rerun" else "") +
+          (if (stealMs > 500) s" steal=${stealMs}ms" else "") +
           err.fold("")(e => s" ERROR $e"))
       r
     }
@@ -574,6 +675,9 @@ object Bench {
         lintFocus(q.name)
         System.gc()
         Thread.sleep(200)
+        // an isolated re-time measured INSIDE a host-steal band would
+        // "confirm" the interference it exists to refute — wait it out
+        awaitQuietHost(cpus, 15000)
         def once(): Double = {
           val t0 = System.nanoTime()
           runOnce(q.run)
@@ -593,8 +697,9 @@ object Bench {
     // itself stays computed on the PRE-substitution suite numbers.
     val deg5 = ok0.sortBy(-_.sec).take(5)
     val isolated =
-      (flagged ++ deg5.map(_.name).filterNot(flagged.contains))
-        .flatMap(isolatedRun)
+      (flagged ++ deg5.map(_.name) ++
+        WatchIsolated.toSeq.sorted.filter(n => ok0.exists(_.name == n)))
+        .distinct.flatMap(isolatedRun)
     // Substitution rule (round 13): the inline defense ships the median
     // of a settle + re-measure, but a SUSTAINED pressure band keeps that
     // median inflated (round 12 shipped q_join_bucketed at 1.37 s while
@@ -633,6 +738,23 @@ object Bench {
     val gcJson = s""","gc_ms":${jmap(results.map(r => r.name -> r.gcMs))}"""
     val stJson =
       s""","storage_bytes":${jmap(results.map(r => r.name -> r.storage))}"""
+    // cross-gate block-manager high-water (round 15, judge ask): the
+    // one-number accumulation verdict — round 14's official artifact
+    // peaked at 34 MB, i.e. the per-gate teardown already bounds it
+    val storageHighWater =
+      if (results.isEmpty) 0L else results.map(_.storage).max
+    val highJson = s""","storage_high_water_bytes":$storageHighWater"""
+    // host-steal attribution: per-query stolen-core ms + the subside
+    // waits the defense paths paid; a degraded official run is now
+    // attributable to the hypervisor from the JSON alone
+    val stealTotalMs = results.map(_.stealMs).sum
+    val stealJson =
+      s""","steal_ms":${jmap(results.map(r => r.name -> r.stealMs))}""" +
+        s""","steal_total_ms":$stealTotalMs""" + {
+        val w = results.collect { case r if r.stealWaitMs > 0 =>
+          r.name -> r.stealWaitMs }
+        if (w.isEmpty) "" else s""","steal_wait_ms":${jmap(w)}"""
+      }
     val shJson =
       s""","shuffle_bytes":${jmap(results.map(r => r.name -> r.shuffle))}"""
     // inflated first timings the inline defense replaced (median shipped
@@ -898,7 +1020,7 @@ object Bench {
       else s""","interpreted":${jmap(lintViolations.map { case (q, cls) =>
         q -> cls.map(jstr).mkString("[", ",", "]") })}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$shJson$inlineJson$cacheJson$repeatJson$streamJson$interpJson$scaleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$setupJson$isoJson$degJson$gcJson$stJson$highJson$stealJson$shJson$inlineJson$cacheJson$repeatJson$streamJson$interpJson$scaleJson,"sf":"$sfDir"}"""
     // The FULL artifact lands on disk; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_latest.json"))
@@ -956,6 +1078,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
         s""","n_queries":${ok.size}$errsCompact$inlineCompact$interpCompact""" +
         s""","degradation":${r3(degradation)}$tot2Compact""" +
+        s""","steal_total_ms":$stealTotalMs""" +
+        s""","storage_high_water_bytes":$storageHighWater""" +
         (if (withQueries) s""","queries":$headJson""" else "") +
         (if (withScale) scaleCompact else "") +
         s""","artifact":${jstr(outPath.toString)},"sf":"$sfDir"}"""

@@ -11,8 +11,22 @@ import org.apache.spark.sql.SparkSession
   * re-planning. `local[N]` here only for tests/bench.
   */
 object GraftSession {
+  /** Extra session confs from the environment (semicolon-separated k=v
+    * pairs in SPARK_GRAFT_CONF) — lets bench/verify A/B a runtime conf
+    * (e.g. spark.graft.json.sharedParse=false) without a code edit,
+    * mirroring spark-submit --conf for the forked local JVM. */
+  private def envConfs: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';')).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }
+
   def builder(cpus: Int): SparkSession.Builder =
-    SparkSession.builder()
+    envConfs.foldLeft(SparkSession.builder()) { case (b, (k, v)) =>
+      b.config(k, v)
+    }
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -185,29 +185,61 @@ object Checkpoints {
   private val pinnedIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
-  /** Eagerly localCheckpoint `df` and track the materialized blocks.
-    * localCheckpoint (not reliable checkpoint): lineage truncation at
-    * memory+disk cost, the right trade for single-app scratch state; a
-    * production run surviving executor loss swaps in checkpoint(). */
-  def eager(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(true)
+  /** Reliable-mode switch (round 15, was a code edit): every iterative
+    * operator (PageRank, label propagation, incremental ledgers) routes
+    * its per-round lineage truncation through here, and localCheckpoint
+    * is the right single-app trade (memory+disk blocks, no HDFS round
+    * trip) — but its blocks die with their executor, so a preemptible
+    * 1000-executor run needs `checkpoint()` against reliable storage.
+    * `spark.graft.checkpoint.reliable=true` flips EVERY [[eager]]/
+    * [[lazily]] call site to `checkpoint()`;
+    * `spark.graft.checkpoint.dir` names the storage (a durable
+    * DFS path in production; defaults to a local tmp dir so the mode is
+    * testable here). Results are identical under either mode — spec
+    * `ReliableCheckpointSpec` pins that on an iterative operator. */
+  private def reliableMode(df: DataFrame): Boolean =
+    df.sparkSession.conf
+      .get("spark.graft.checkpoint.reliable", "false")
+      .equalsIgnoreCase("true")
+
+  private def ensureCheckpointDir(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(df.sparkSession.conf.get(
+        "spark.graft.checkpoint.dir", "/tmp/graft-checkpoints"))
+  }
+
+  private def track(out: DataFrame): DataFrame = {
     rddsOf(out).foreach(r =>
       live.put(r.id, new java.lang.ref.WeakReference[RDD[_]](r)))
     out
   }
 
-  /** Lazily localCheckpoint `df` and track it: the checkpoint
-    * materializes as a side effect of the FIRST action that computes the
-    * frame — lets an iterative round fold its materialization and its
-    * convergence check into ONE job ([[Dedup.clusters]]). The
-    * materializing action MUST compute every partition (count(), not
-    * isEmpty/limit) or the truncated lineage leaves holes. */
-  def lazily(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint(false)
-    rddsOf(out).foreach(r =>
-      live.put(r.id, new java.lang.ref.WeakReference[RDD[_]](r)))
-    out
-  }
+  /** Eagerly checkpoint `df` (lineage truncation) and track the
+    * materialized blocks. localCheckpoint by default; reliable
+    * `checkpoint()` when `spark.graft.checkpoint.reliable=true` — see
+    * [[reliableMode]]. For reliable checkpoints the tracked "release" is
+    * a no-op on the data (it lives in files, not executor blocks);
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` governs file
+    * cleanup, exactly Spark's contract. */
+  def eager(df: DataFrame): DataFrame =
+    if (reliableMode(df)) {
+      ensureCheckpointDir(df)
+      track(df.checkpoint(true))
+    } else track(df.localCheckpoint(true))
+
+  /** Lazily checkpoint `df` and track it: the checkpoint materializes as
+    * a side effect of the FIRST action that computes the frame — lets an
+    * iterative round fold its materialization and its convergence check
+    * into ONE job ([[Dedup.clusters]]). The materializing action MUST
+    * compute every partition (count(), not isEmpty/limit) or the
+    * truncated lineage leaves holes. Honors the same reliable-mode
+    * switch as [[eager]]. */
+  def lazily(df: DataFrame): DataFrame =
+    if (reliableMode(df)) {
+      ensureCheckpointDir(df)
+      track(df.checkpoint(false))
+    } else track(df.localCheckpoint(false))
 
   /** The checkpoint RDDs a frame reads (LogicalRDD leaves of its plan). */
   private[graft] def rddsOf(df: DataFrame): Seq[RDD[_]] =

@@ -71,7 +71,12 @@ case class JsonSharedParse() extends Rule[LogicalPlan] {
         else GetArrayItem(multi, Literal(i), failOnError = false)
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.json.sharedParse", "true")
+      .equalsIgnoreCase("true")) plan
+    else applyShared(plan)
+
+  private def applyShared(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val gs = groups(Seq(cond))
       if (gs.isEmpty) f

@@ -67,9 +67,16 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("needsInlineRerun: ratio and absolute triggers; no prior is safe") {
-    // ratio trigger: strictly greater than 3x the prior
+    // sub-second floor (round 15): min-merged priors only ratchet down,
+    // so a 0.2s prior meeting 0.61s of session noise used to trip the
+    // trigger for nothing — firsts under MinInlineSec never fire
     assert(!Bench.needsInlineRerun(0.6, Some(0.2)))
-    assert(Bench.needsInlineRerun(0.61, Some(0.2)))
+    assert(!Bench.needsInlineRerun(0.61, Some(0.2)))
+    assert(!Bench.needsInlineRerun(0.99, Some(0.1)))
+    // at or past the floor the ratio trigger is live again
+    assert(Bench.needsInlineRerun(1.0, Some(0.2)))
+    assert(Bench.needsInlineRerun(1.21, Some(0.4)))
+    assert(!Bench.needsInlineRerun(1.2, Some(0.4)))
     // absolute alarm: a query that recorded UNDER 5s crossing 5s at
     // >=1.5x its prior — the 1-5s prior band the ratio clause leaves
     // exposed (prior 2s, first 5.5s is only 2.75x, fires absolutely)
@@ -90,5 +97,19 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median3(10.9, 0.6, 0.63) == 0.63)
     // real regression: slow time repeats -> median keeps it
     assert(Bench.median3(3.1, 3.0, 2.9) == 3.0)
+  }
+
+  test("host-steal instrumentation: monotone ticks, bounded quiet wait") {
+    // /proc/stat steal is cumulative — two reads never go backwards
+    // (0 on hosts without the column, which stealMsSince clamps)
+    val a = Bench.stealTicks()
+    val b = Bench.stealTicks()
+    assert(b >= a)
+    assert(Bench.stealMsSince(a) >= 0)
+    assert(Bench.stealMsSince(Long.MaxValue) == 0) // clamped, never negative
+    // a quiet host exits after ~one 300ms sample; the budget bounds a
+    // noisy one — either way the wait never exceeds maxWaitMs by much
+    val waited = Bench.awaitQuietHost(cpus = 32, maxWaitMs = 1200)
+    assert(waited >= 0 && waited <= 2500)
   }
 }
