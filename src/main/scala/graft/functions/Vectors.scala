@@ -26,7 +26,13 @@ object Vectors {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Zero-norm guard: an all-zero vector yields NULL (SQL's answer for
+    * an undefined similarity), never 0/0 = NaN — NaN sorts GREATEST in
+    * Spark, so an unguarded NaN would outrank every real match and
+    * pass every `>= cut` gate (ADVICE r14). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / org.apache.spark.sql.functions.nullif(
+      norm2(a) * norm2(b), org.apache.spark.sql.functions.lit(0.0))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(

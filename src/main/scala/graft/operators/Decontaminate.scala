@@ -86,7 +86,7 @@ object Decontaminate {
       Vectors.norm2(col(benchVecCol)).as("__bn"))
     c.crossJoin(broadcast(b))
       .filter(round(Vectors.dot(col("__cv"), col("__bv")) /
-        (col("__cn") * col("__bn")), 6) >= cut)
+        nullif(col("__cn") * col("__bn"), lit(0.0)), 6) >= cut)
       .select(col(idCol)).distinct()
   }
 

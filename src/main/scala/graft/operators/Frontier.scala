@@ -50,30 +50,46 @@ object Frontier {
     graft.sources.IncrementalIndex.append(spark, spec(spark, name, "fet"),
       urls.select(col(urlCol).as("url")), batchTag)
 
+  /** Ledger load with the before-first-append guard (ADVICE r14):
+    * querying a frontier before anything was appended must return an
+    * EMPTY frame of the ledger's schema, not throw a parquet path
+    * error — [[latestHashes]] always had this; [[pending]] and
+    * [[discoveredPartials]] now share it. */
+  private def loadOrEmpty(spark: org.apache.spark.sql.SparkSession,
+                          sp: graft.sources.IncrementalIndex.Spec,
+                          ddl: String): DataFrame =
+    if (!new java.io.File(sp.liveDir).isDirectory)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else graft.sources.IncrementalIndex.load(spark, sp, "url")
+
   /** The pending frontier: every url sighted but not yet fetched, with
     * OR-folded provenance — (url, from_sitemap, from_link). One keyed
     * agg over the discovery partials + one anti-join on fetch receipts
     * (ids only ship). Feed to [[Robots.frontierFilter]] /
-    * [[Robots.schedule]] for the next fetch round. */
+    * [[Robots.schedule]] for the next fetch round. Empty (not an
+    * error) before the first discovery append. */
   def pending(spark: org.apache.spark.sql.SparkSession, name: String)
   : DataFrame = {
-    val disc = graft.sources.IncrementalIndex
-      .load(spark, spec(spark, name, "disc"), "url")
+    val disc = loadOrEmpty(spark, spec(spark, name, "disc"),
+        "url string, from_sitemap boolean, from_link boolean")
       .groupBy(col("url"))
       .agg(max(col("from_sitemap")).as("from_sitemap"),
         max(col("from_link")).as("from_link"))
-    val fetched = graft.sources.IncrementalIndex
-      .load(spark, spec(spark, name, "fet"), "url")
+    val fetched = loadOrEmpty(spark, spec(spark, name, "fet"),
+        "url string")
       .select(col("url")).distinct()
     disc.join(fetched, Seq("url"), "left_anti")
   }
 
   /** Raw discovery partials (pre-fold) — spec hook for pinning the
-    * replay no-op, which [[pending]]'s OR-fold would otherwise hide. */
+    * replay no-op, which [[pending]]'s OR-fold would otherwise hide.
+    * Empty (not an error) before the first append. */
   private[graft] def discoveredPartials(
       spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
-    graft.sources.IncrementalIndex.load(spark, spec(spark, name, "disc"),
-      "url")
+    loadOrEmpty(spark, spec(spark, name, "disc"),
+      "url string, from_sitemap boolean, from_link boolean")
 
   /** Has this batch tag already committed to the discovery ledger? */
   def hasDiscoveredTag(spark: org.apache.spark.sql.SparkSession,
@@ -124,6 +140,8 @@ object Frontier {
         .drop("__pu", "__ph"))
     graft.sources.IncrementalIndex.append(spark, spec(spark, name, "chg"),
       changed.select(col(urlCol).as("url"), col("__h").as("h"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("string").as("last_modified"),
         lit(batchSeq).as("seq")),
       batchTag)
     changed.drop("__h")
@@ -132,6 +150,127 @@ object Frontier {
   def dropChangeLedger(spark: org.apache.spark.sql.SparkSession,
                        name: String): Unit =
     graft.sources.IncrementalIndex.drop(spec(spark, name, "chg"))
+
+  // ----- conditional fetch (ETag / If-Modified-Since receipts) -----
+  // The cheapest recrawl byte is the one never downloaded: HTTP
+  // validators (RFC 9110 §8.8 / §13) let a revisit send If-None-Match /
+  // If-Modified-Since and receive a body-less 304 when the page is
+  // unchanged. The change ledger therefore records each url's latest
+  // validator pair next to its content hash: [[latestReceipts]] is what
+  // the fetcher attaches to a conditional request, and
+  // [[changedOnlyConditional]] is the ingest twin that accepts a mixed
+  // 304/200 batch — 304 receipts short-circuit BEFORE content hashing
+  // (there is no content), 200 bodies flow through the same hash gate
+  // as [[changedOnly]].
+
+  /** Latest validator receipt per url from the change ledger:
+    * (url, cond_etag, cond_last_modified) of the max-seq row. Empty
+    * before the first append. The fetcher's conditional-request side —
+    * join onto the next revisit batch ([[withConditional]]). */
+  def latestReceipts(spark: org.apache.spark.sql.SparkSession,
+                     name: String): DataFrame = {
+    val sp = spec(spark, name, "chg")
+    if (!new java.io.File(sp.liveDir).isDirectory)
+      loadOrEmpty(spark, sp,
+        "url string, cond_etag string, cond_last_modified string")
+    else graft.sources.IncrementalIndex.load(spark, sp, "url")
+      .groupBy(col("url"))
+      .agg(max(struct(col("seq"), col("h"), col("etag"),
+        col("last_modified"))).as("__last"))
+      .select(col("url"), col("__last")("etag").as("cond_etag"),
+        col("__last")("last_modified").as("cond_last_modified"))
+  }
+
+  /** [[changedOnly]] for a CONDITIONAL revisit batch — rows are either
+    * 304 receipts (`statusCol` = 304, no body) or full responses (any
+    * other status, body in `contentCol`):
+    *
+    *   - 304 rows short-circuit before hashing: the protocol asserts
+    *     the stored content is current, so they never enter the output
+    *     (no re-processing) and the ledger carries their stored hash
+    *     forward at `batchSeq` with refreshed validators (a 304 may
+    *     rotate the ETag — response validators win over stored ones).
+    *     A 304 for a NEVER-SEEN url is a protocol impossibility (no
+    *     validators were ever sent); such rows are dropped entirely.
+    *   - other rows hash and gate exactly like [[changedOnly]]:
+    *     changed (or never-seen) rows pass to the output and advance
+    *     the ledger with their `etagCol`/`lastModifiedCol` validators;
+    *     unchanged bodies drop (server ignored the validators — the
+    *     hash gate still saves the re-processing).
+    *
+    * Same tag-idempotence as [[changedOnly]]: a replay of a committed
+    * batch returns no new work and appends nothing. One keyed join
+    * against the ledger fold; the batch side never shuffles twice. */
+  def changedOnlyConditional(spark: org.apache.spark.sql.SparkSession,
+                             batch: DataFrame, urlCol: String,
+                             contentCol: String, statusCol: String,
+                             etagCol: String, lastModifiedCol: String,
+                             name: String, batchSeq: Long,
+                             batchTag: String): DataFrame = {
+    val led = {
+      val sp = spec(spark, name, "chg")
+      if (!new java.io.File(sp.liveDir).isDirectory) {
+        import spark.implicits._
+        Seq.empty[(String, Long, String, String)]
+          .toDF("__pu", "__ph", "__pe", "__plm")
+      } else graft.sources.IncrementalIndex.load(spark, sp, "url")
+        .groupBy(col("url"))
+        .agg(max(struct(col("seq"), col("h"), col("etag"),
+          col("last_modified"))).as("__last"))
+        .select(col("url").as("__pu"), col("__last")("h").as("__ph"),
+          col("__last")("etag").as("__pe"),
+          col("__last")("last_modified").as("__plm"))
+    }
+    val j = batch.join(led, col(urlCol) === col("__pu"), "left")
+    val notMod = col(statusCol) === 304
+    // 304 receipts: carry the stored hash forward, refresh validators
+    val carried = j.filter(notMod && col("__ph").isNotNull)
+      .select(col(urlCol).as("url"), col("__ph").as("h"),
+        coalesce(col(etagCol), col("__pe")).as("etag"),
+        coalesce(col(lastModifiedCol), col("__plm")).as("last_modified"),
+        lit(batchSeq).as("seq"))
+    // full responses: the changedOnly hash gate
+    val withH = j.filter(!notMod).withColumn("__h",
+      graft.functions.Scalars.hash60(col(contentCol)))
+    val changed = Checkpoints.eager(
+      withH.filter(col("__pu").isNull || col("__h") =!= col("__ph"))
+        .drop("__pu", "__ph", "__pe", "__plm"))
+    // the append payload reads the PRE-append ledger (carried) — eager
+    // both legs so the union can never observe its own append
+    val payload = Checkpoints.eager(
+      changed.select(col(urlCol).as("url"), col("__h").as("h"),
+        col(etagCol).cast("string").as("etag"),
+        col(lastModifiedCol).cast("string").as("last_modified"),
+        lit(batchSeq).as("seq"))
+        .unionByName(carried))
+    graft.sources.IncrementalIndex.append(spark, spec(spark, name, "chg"),
+      payload, batchTag)
+    changed.drop("__h")
+  }
+
+  /** Attach conditional-fetch validators to a due-revisit frame
+    * ([[revisitDue]] output — must carry `host`, `priority`,
+    * `staleness_ms`): `cond_etag` / `cond_last_modified` from the
+    * change ledger's latest receipts, `has_validator`, and `cond_rank`
+    * — the per-host fetch-queue position where VALIDATOR-BEARING urls
+    * come first (a conditional probe costs a ~zero-byte 304 when
+    * unchanged, so polling those ahead of unconditional fetches buys
+    * freshness at near-zero bandwidth), then the [[revisitDue]]
+    * (priority, staleness) order. One keyed equi-join; the receipts
+    * side is the ledger fold, never the corpus. */
+  def withConditional(due: DataFrame, urlCol: String,
+                      receipts: DataFrame): DataFrame = {
+    val r = receipts.select(col("url").as("__ru"), col("cond_etag"),
+      col("cond_last_modified"))
+    val j = due.join(r, col(urlCol) === col("__ru"), "left").drop("__ru")
+      .withColumn("has_validator",
+        col("cond_etag").isNotNull || col("cond_last_modified").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("has_validator").desc, col("priority").desc,
+        col("staleness_ms").desc, col(urlCol))
+    j.withColumn("cond_rank", row_number().over(w).cast("long"))
+  }
 
   /** sitemaps.org changefreq → revisit interval (ms). `always` = 0,
     * `never` = no interval (revisits only on a newer lastmod). */

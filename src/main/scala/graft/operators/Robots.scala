@@ -31,6 +31,19 @@ import org.apache.spark.sql.functions._
   *     case-insensitive; unknown keys are ignored and do NOT split a
   *     UA run (RFC: "Crawlers MAY ignore lines they don't support").
   *
+  * DELIBERATE SCOPING CONTRACT (ADVICE r14): rules key on the
+  * LOWERCASED HOST only. RFC 9309 scopes a robots.txt per authority
+  * (scheme + host + port), so under this contract http/https and
+  * non-default-port variants of one host share one rule set, and a
+  * port-bearing frontier url inherits the portless host's rules
+  * ([[hostOf]] strips the port). This is the shape every large-crawl
+  * corpus uses in practice (Common Crawl keys robots captures by
+  * host-level domain; a curation frontier treats scheme/port variants
+  * of one host as one politeness domain), and it keeps the join key
+  * identical across the robots/sitemap/link-graph/PageRank tiers. A
+  * caller that genuinely needs per-authority scoping can pass an
+  * authority string in `hostCol` and pre-key its frontier the same way.
+  *
   * Scale shape: robots frames are one small document per HOST (RFC caps
   * parse obligation at 500 KiB) — parsing is one projection + one
   * per-host line window (bounded partitions by the cap). The frontier is
@@ -133,11 +146,17 @@ object Robots {
   }
 
   /** path+query of an absolute url (fragment excluded, RFC 9309 matches
-    * against path and query); no path → "/". */
+    * against path and query); no path → "/". An absolute url with a
+    * query but NO path (`https://h.io?q=1`) matches against `/?q=1` —
+    * the query must stay in the match target or a Disallow rule with a
+    * `q=` wildcard pattern could never block such urls (ADVICE r14). */
   private def pathOf(url: Column): Column =
     coalesce(
       when(length(regexp_extract(url, "(?i)^https?://[^/]*(/[^#]*)", 1))
         > 0, regexp_extract(url, "(?i)^https?://[^/]*(/[^#]*)", 1)),
+      when(length(regexp_extract(url, "(?i)^https?://[^/?#]*(\\?[^#]*)",
+        1)) > 0, concat(lit("/"),
+        regexp_extract(url, "(?i)^https?://[^/?#]*(\\?[^#]*)", 1))),
       lit("/"))
 
   /** Rule path → anchored regex: `*` → `.*`, trailing `$` → end

@@ -32,7 +32,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -59,7 +59,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos"))
       .filter(col("cos") < dupCut)
     val w = Window.partitionBy(col("query_id"))
@@ -91,7 +91,7 @@ object Similarity {
     val scored = assigned.join(broadcast(qprobe), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos"))
       .filter(col("cos") < dupCut)
     val w = Window.partitionBy(col("query_id"))
@@ -119,7 +119,7 @@ object Similarity {
     val scored = c.join(broadcast(probed), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
@@ -403,7 +403,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -424,7 +424,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -480,7 +480,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+        round(Vectors.dot(col("qv"), col("cv")) / nullif(col("qn") * col("cn"), lit(0.0)), 6)
           .as("qcos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("cand_id"))

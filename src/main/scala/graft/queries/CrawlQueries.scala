@@ -770,6 +770,95 @@ object CrawlQueries {
         WHERE doc_id % 2 = 0 AND doc_id % 6 != 0
         ORDER BY url""")),
 
+    // CONDITIONAL-FETCH receipts (RFC 9110 validators) — the byte a
+    // recrawl never downloads: round 1 fetches every url (ETags on the
+    // evens, Last-Modified on the %3s), round 2 revisits conditionally —
+    // rewritten pages (%5s) return 200 bodies with ROTATED validators,
+    // validator-bearing unchanged pages return body-less 304s (stored
+    // hash carried forward, stored validators kept), validator-less
+    // unchanged pages return full 200 bodies the hash gate drops. The
+    // output is the NEXT conditional revisit queue: latest receipts
+    // joined onto the due set, validator-bearing urls ranked first per
+    // host (a conditional probe costs ~zero bytes when unchanged).
+    // In-gate: a replay of the committed round-2 batch yields no new
+    // work, and the changed set is exactly the rewritten pages.
+    Q("q_revisit_conditional",
+      (s, d) => {
+        import graft.operators.Frontier
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        val name = s"cfr_${CorpusKey.of(d)}"
+        Frontier.dropChangeLedger(s, name)
+        val docs = Tables.documents(s, d)
+        val r1 = docs.select(url.as("url"),
+          concat(col("text"), lit("|1")).as("content"),
+          lit(200).as("status"),
+          when(did % 2 === 0, concat(lit("v1-"), did.cast("string")))
+            .as("etag"),
+          when(did % 3 === 0, concat(lit("lm1-"), did.cast("string")))
+            .as("last_modified"))
+        def cond(batch: DataFrame, seq: Long, tag: String) =
+          Frontier.changedOnlyConditional(s, batch, "url", "content",
+            "status", "etag", "last_modified", name, seq, tag)
+        cond(r1, 1, "b1")
+        val rewritten = did % 5 === 0
+        val hasVal = did % 2 === 0 || did % 3 === 0
+        val r2 = docs.select(url.as("url"),
+          when(rewritten, concat(col("text"), lit("|2")))
+            .when(hasVal, lit(null).cast("string"))
+            .otherwise(concat(col("text"), lit("|1"))).as("content"),
+          when(!rewritten && hasVal, 304).otherwise(200).as("status"),
+          when(rewritten && did % 2 === 0,
+            concat(lit("v2-"), did.cast("string"))).as("etag"),
+          when(rewritten && did % 3 === 0,
+            concat(lit("lm2-"), did.cast("string"))).as("last_modified"))
+        val c2 = cond(r2, 2, "b2")
+        require(cond(r2, 2, "b2").isEmpty,
+          "replayed committed conditional batch must yield no new work")
+        require(c2.count() == docs.filter(rewritten).count(),
+          "changed set must be exactly the rewritten pages")
+        val fetched = docs.select(url.as("url"),
+          (lit(1767225600000L) + (did % 20) * 86400000L)
+            .as("fetched_at_ms"))
+        val meta = docs.filter(lit(false)).select(url.as("loc"),
+          lit(null).cast("date").as("lastmod_date"),
+          lit(null).cast("string").as("changefreq"),
+          lit(null).cast("decimal(2,1)").as("priority"))
+        val due = Frontier.revisitDue(fetched, "url", "fetched_at_ms",
+          meta, "loc", nowMs = 1769817600000L)
+        Frontier.withConditional(due, "url", Frontier.latestReceipts(s, name))
+          .select(col("url"), col("host"), col("has_validator"),
+            col("cond_etag"), col("cond_last_modified"),
+            col("staleness_ms"), col("cond_rank"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH f AS (SELECT
+          'https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+            '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          1767225600000 + (doc_id % 20) * 86400000 AS fa,
+          doc_id AS did FROM documents),
+        rc AS (SELECT url,
+          lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1))
+            AS host,
+          CASE WHEN did % 2 = 0 THEN
+            (CASE WHEN did % 5 = 0 THEN 'v2-' ELSE 'v1-' END) ||
+              CAST(did AS VARCHAR) END AS cond_etag,
+          CASE WHEN did % 3 = 0 THEN
+            (CASE WHEN did % 5 = 0 THEN 'lm2-' ELSE 'lm1-' END) ||
+              CAST(did AS VARCHAR) END AS cond_last_modified,
+          1769817600000 - fa AS staleness_ms
+        FROM f)
+        SELECT url, host,
+          (cond_etag IS NOT NULL OR cond_last_modified IS NOT NULL)
+            AS has_validator,
+          cond_etag, cond_last_modified, staleness_ms,
+          ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+            (cond_etag IS NOT NULL OR cond_last_modified IS NOT NULL)
+              DESC,
+            staleness_ms DESC, url) AS cond_rank
+        FROM rc ORDER BY url""")),
+
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,
     // description — the indexability/alias signals a web-curation

@@ -103,6 +103,69 @@ class FrontierSpec extends SparkSpec {
       ("https://a.io/nometa-due", 0.5, 3L)))
   }
 
+  test("pending/discoveredPartials on a never-appended frontier return " +
+      "empty frames, not a parquet path error (ADVICE r14)") {
+    val s = spark
+    Frontier.drop(s, "fspec_nv")
+    assert(Frontier.pending(s, "fspec_nv").count() == 0)
+    assert(Frontier.discoveredPartials(s, "fspec_nv").count() == 0)
+    assert(Frontier.latestReceipts(s, "fspec_nv").count() == 0)
+  }
+
+  test("conditional fetch: 304 carries the stored hash forward and keeps " +
+      "or rotates validators; never-seen 304 drops; receipts surface " +
+      "validator-bearing urls first in the revisit queue") {
+    val s = spark
+    import s.implicits._
+    Frontier.dropChangeLedger(s, "cfspec")
+    def batch(rows: (String, String, Int, String, String)*) =
+      rows.toSeq.toDF("url", "content", "status", "etag", "last_modified")
+    def run(seq: Long, tag: String,
+            rows: (String, String, Int, String, String)*) =
+      Frontier.changedOnlyConditional(s, batch(rows: _*), "url",
+        "content", "status", "etag", "last_modified", "cfspec", seq, tag)
+        .collect().map(_.getString(0)).toSet
+    // round 1: u1 with etag, u2 with last-modified, u3 bare
+    assert(run(1, "b1",
+      ("u1", "a", 200, "e1", null),
+      ("u2", "b", 200, null, "lm1"),
+      ("u3", "c", 200, null, null)) == Set("u1", "u2", "u3"))
+    // round 2: u1 304 with a ROTATED etag (response wins), u2 304 with
+    // no validators (stored carry forward), u3 changed body, u9 is a
+    // protocol-impossible never-seen 304 (dropped entirely)
+    assert(run(2, "b2",
+      ("u1", null, 304, "e2", null),
+      ("u2", null, 304, null, null),
+      ("u3", "c2", 200, null, null),
+      ("u9", null, 304, "ghost", null)) == Set("u3"))
+    val rec = Frontier.latestReceipts(s, "cfspec").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rec("u1") == ("e2", null)) // rotated
+    assert(rec("u2") == (null, "lm1")) // carried
+    assert(rec("u3") == (null, null)) // changed body shipped none
+    assert(!rec.contains("u9"))
+    // round 3: u1 comes back UNCHANGED as a 200 body (server ignored
+    // the validator) — the hash gate still drops it, validators keep
+    assert(run(3, "b3", ("u1", "a", 200, null, null)) == Set.empty)
+    assert(Frontier.latestReceipts(s, "cfspec").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("u1") == "e2")
+    // the conditional revisit queue: validator-bearing urls first per
+    // host, then staleness — u3 (no validators) sorts last
+    val due = Seq(
+      ("u1", "h.io", 0.5, 100L), ("u2", "h.io", 0.5, 300L),
+      ("u3", "h.io", 0.5, 999L))
+      .toDF("url", "host", "priority", "staleness_ms")
+    val q = Frontier.withConditional(due, "url",
+        Frontier.latestReceipts(s, "cfspec"))
+      .orderBy(col("cond_rank"))
+      .collect().map(r => (r.getAs[String]("url"),
+        r.getAs[Boolean]("has_validator"), r.getAs[Long]("cond_rank")))
+    assert(q.toSeq == Seq(("u2", true, 1L), ("u1", true, 2L),
+      ("u3", false, 3L)))
+    Frontier.dropChangeLedger(s, "cfspec")
+  }
+
   test("at-least-once replay of a committed tag is a no-op on the " +
       "partial ledger (not just hidden by the OR-fold)") {
     val s = spark

@@ -853,6 +853,35 @@ class OperatorsSpec extends SparkSpec {
     assert(clean == Set(2L, 3L))
   }
 
+  test("zero-norm vectors are never flagged or ranked (cosine → NULL, " +
+      "not NaN; ADVICE r14)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Decontaminate
+    // unguarded dot/(n1·n2) gives 0/0 = NaN, and NaN >= cut is TRUE in
+    // Spark's ordering — a zero embedding would read as contaminated
+    // and outrank every real match
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)), // clone → flagged
+      (1L, Array(0f, 0f, 0f)), // zero vector → must NOT flag
+      (2L, Array(0f, 1f, 0f))).toDF("id", "vec")
+    val bench = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("bvec")
+    val flagged = Decontaminate.flaggedSemantic(corpus, "id", "vec",
+      bench, "bvec", cut = 0.95).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(0L))
+    // hardNegatives: the zero vector can neither rank nor dup-exclude
+    val anchors = corpus.filter(col("id") === 0L)
+    val got = Similarity.hardNegatives(corpus, anchors, "id", "vec",
+        k = 3, dupCut = 0.95)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(2L)) // zero vector absent, orthogonal ranks
+    // the SQL surface inherits the guard
+    val c = Seq((Array(0f, 0f), Array(1f, 0f))).toDF("a", "b")
+      .select(graft.functions.Vectors.cosine(col("a"), col("b")))
+      .collect()(0)
+    assert(c.isNullAt(0))
+  }
+
   test("hardNegatives: near-duplicates above the cut are excluded, the " +
       "honest band ranks by cosine; cells tier ≡ brute at full probe") {
     val s = spark

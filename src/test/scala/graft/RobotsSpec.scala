@@ -102,6 +102,27 @@ class RobotsSpec extends SparkSpec {
       ("https://a.io/tmp123?q=1#frag", false))) // * spans path+query
   }
 
+  test("query-no-path urls match against '/?query' (RFC 9309 matches " +
+      "path+query; ADVICE r14)") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(("q.io",
+      "User-agent: *\nDisallow: *q=1\nDisallow: /only-slash$"))
+      .toDF("host", "body")
+    val got = Robots.frontierFilter(urlDf(Seq(
+        "https://q.io?q=1", // no path, query → target "/?q=1" → blocked
+        "https://q.io?q=2#f", // fragment excluded, query kept → allowed
+        "https://q.io")), // no path, no query → "/" → allowed
+      "url", robots, "host", "body", "x")
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getBoolean(r.fieldIndex("allowed"))))
+      .toSeq
+    assert(got == Seq(
+      ("https://q.io", true),
+      ("https://q.io?q=1", false),
+      ("https://q.io?q=2#f", true)))
+  }
+
   test("schedule: per-host url-ordered slots at the governing group's " +
       "last declared delay, default where none") {
     val f = urlDf(Seq("https://a.io/p2", "https://a.io/p1",
