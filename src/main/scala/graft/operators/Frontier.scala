@@ -328,6 +328,52 @@ object Frontier {
       .drop("__mu", "__lm", "__cf", "__pr", "__iv")
   }
 
+  /** SCORE-PROPORTIONAL crawl budgets — how a bounded fetch round is
+    * split across hosts (Common Crawl allocates per-host page budgets
+    * from its harmonic-centrality host ranks; [[LinkGraph.pageRank]]'s
+    * micro-unit ranks plug in directly as `scoreCol`):
+    *
+    *   budget(host) = clamp(floor(total · score / Σ score),
+    *                        minPerHost, maxPerHost)
+    *
+    * then each host's urls rank by url order and rows past the budget
+    * drop. Hosts absent from `hostScores` get `minPerHost` (a crawl
+    * must not starve hosts it has never ranked). Arithmetic is exact —
+    * decimal(38,0) products (a 10⁹-url budget times a 10¹² micro-unit
+    * rank overflows BIGINT), floor division, oracle-replayable. The
+    * floor may under-fill `total` by < #hosts urls; redistribution is
+    * deliberately NOT done (it would make budgets order-dependent).
+    *
+    * Shape: one scalar Σ (a one-row agg), one size-bounded score join
+    * (hosts, not urls), one per-host window — the politeness partition
+    * [[Robots.schedule]] already sorts by. */
+  def crawlBudget(pending: DataFrame, urlCol: String, hostCol: String,
+                  hostScores: DataFrame, scoreCol: String, total: Long,
+                  minPerHost: Long = 1L,
+                  maxPerHost: Long = Long.MaxValue): DataFrame = {
+    require(total > 0 && minPerHost >= 0 && maxPerHost >= minPerHost,
+      s"bad budget: total=$total min=$minPerHost max=$maxPerHost")
+    val sc = hostScores.select(col(hostCol).as("__bh"),
+      col(scoreCol).cast("decimal(38,0)").as("__bs"))
+    val totalScore = sc.agg(sum(col("__bs"))).head.getDecimal(0)
+    val budget =
+      if (totalScore == null || totalScore.signum() <= 0)
+        lit(minPerHost)
+      else least(greatest(floor(col("__bs") * lit(total) /
+          lit(totalScore)).cast("long"), lit(minPerHost)),
+        lit(maxPerHost))
+    val withB = pending
+      .join(sc, col(hostCol) === col("__bh"), "left")
+      .withColumn("host_budget",
+        coalesce(when(col("__bs").isNotNull, budget), lit(minPerHost)))
+      .drop("__bh", "__bs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(urlCol))
+    withB.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("host_budget"))
+      .drop("__rk")
+  }
+
   def drop(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     graft.sources.IncrementalIndex.drop(spec(spark, name, "disc"))
     graft.sources.IncrementalIndex.drop(spec(spark, name, "fet"))

@@ -234,6 +234,39 @@ object Robots {
       .drop("__u")
   }
 
+  /** [[frontierFilter]] with RFC 9309 §2.3.1 fetch-status semantics —
+    * what a real crawl knows about each host's robots.txt is a fetch
+    * RESULT, not always a body:
+    *
+    *   - 2xx: parse the body and apply the rules (§2.3.1.1);
+    *   - 4xx ("unavailable", incl. 404): the crawler MAY access any
+    *     resource — full allow (§2.3.1.3);
+    *   - 5xx / unreachable ("server errors"): the file is undefined
+    *     and the crawler MUST assume complete disallow (§2.3.1.4).
+    *
+    * `robots` carries (hostCol, statusCol, bodyCol); hosts absent from
+    * it entirely are allowed (no robots data, the [[frontierFilter]]
+    * contract). Redirects (3xx) are the fetcher's business — pass the
+    * terminal status here. Cost on top of [[frontierFilter]]: one
+    * size-guard-broadcast join against the 5xx host set. */
+  def frontierFilterWithStatus(frontier: DataFrame, urlCol: String,
+                               robots: DataFrame, hostCol: String,
+                               statusCol: String, bodyCol: String,
+                               agent: String): DataFrame = {
+    val ok = robots.filter(col(statusCol) >= 200 && col(statusCol) < 300)
+      .select(col(hostCol), col(bodyCol))
+    val verdict = frontierFilter(frontier, urlCol, ok, hostCol, bodyCol,
+      agent)
+    val errHosts = robots.filter(col(statusCol) >= 500)
+      .select(lower(col(hostCol)).as("__eh")).distinct()
+    val eh = if (errHosts.count() <= BroadcastRuleMax) broadcast(errHosts)
+      else errHosts
+    verdict.join(eh, verdict("host") === col("__eh"), "left")
+      .withColumn("allowed",
+        when(col("__eh").isNotNull, lit(false)).otherwise(col("allowed")))
+      .drop("__eh")
+  }
+
   /** Politeness schedule for the allowed frontier: per host, fetches
     * sequence in url order at the group's crawl-delay (default when the
     * governing group declares none; the LAST delay line in a group

@@ -859,6 +859,85 @@ object CrawlQueries {
             staleness_ms DESC, url) AS cond_rank
         FROM rc ORDER BY url""")),
 
+    // robots.txt FETCH-STATUS semantics (RFC 9309 §2.3.1) — a crawl
+    // knows a fetch RESULT per host, not always a body: 5xx hosts are
+    // complete-disallow (the file is undefined), 4xx hosts (incl. 404)
+    // are full-allow, 2xx hosts parse normally. h%7==1 → 503 (one such
+    // host also carries a Disallow body — ignored, status wins),
+    // h%7==2 → 404 (h=9 carries a Disallow body — ignored, 4xx allows),
+    // h%3==0 → 200 with Disallow: /doc/, else 200 empty.
+    Q("q_robots_unavailable",
+      (s, d) => {
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        val hosts = Tables.documents(s, d)
+          .select((did % 29).cast("int").as("h")).distinct()
+        val robots = hosts.select(
+          concat(lit("h"), col("h").cast("string"), lit(".example.org"))
+            .as("rhost"),
+          when(col("h") % 7 === 1, 503).when(col("h") % 7 === 2, 404)
+            .otherwise(200).as("rstatus"),
+          when(col("h") % 3 === 0,
+            lit("User-agent: *\nDisallow: /doc/"))
+            .otherwise(lit("")).as("rbody"))
+        graft.operators.Robots.frontierFilterWithStatus(
+            Tables.documents(s, d).select(url.as("url")), "url",
+            robots, "rhost", "rstatus", "rbody", "GraftBot")
+          .select(col("url"), col("host"), col("allowed"))
+          .orderBy(col("url"))
+      },
+      Some("""SELECT
+          'https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+            '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          'h' || CAST(doc_id % 29 AS VARCHAR) || '.example.org' AS host,
+          CASE WHEN (doc_id % 29) % 7 = 1 THEN FALSE
+               WHEN (doc_id % 29) % 7 = 2 THEN TRUE
+               WHEN (doc_id % 29) % 3 = 0 THEN FALSE
+               ELSE TRUE END AS allowed
+        FROM documents ORDER BY url""")),
+
+    // Score-proportional crawl budgets — a bounded fetch round split
+    // across hosts by their (PageRank-style) micro-unit scores:
+    // budget(h) = clamp(floor(total·score/Σscore), min, max), urls past
+    // the budget drop in url order. Scores here are (k+1)·10⁹ for host
+    // hk, total 1000, clamp [1, 60] — h28's raw floor(1000·29/435)=66
+    // exercises the max clamp, h0's 2 stays above the min.
+    Q("q_crawl_budget",
+      (s, d) => {
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        val host = concat(lit("h"), (did % 29).cast("string"),
+          lit(".example.org"))
+        val pending = Tables.documents(s, d)
+          .select(url.as("url"), host.as("host"))
+        val scores = Tables.documents(s, d)
+          .select((did % 29).cast("int").as("h")).distinct()
+          .select(
+            concat(lit("h"), col("h").cast("string"), lit(".example.org"))
+              .as("host"),
+            ((col("h") + 1).cast("long") * 1000000000L).as("score"))
+        graft.operators.Frontier.crawlBudget(pending, "url", "host",
+            scores, "score", total = 1000L, minPerHost = 1L,
+            maxPerHost = 60L)
+          .select(col("url"), col("host"), col("host_budget"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH f AS (SELECT
+          'https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+            '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          'h' || CAST(doc_id % 29 AS VARCHAR) || '.example.org' AS host,
+          doc_id % 29 AS k FROM documents),
+        b AS (SELECT DISTINCT host,
+          GREATEST(LEAST((1000 * (k + 1)) // 435, 60), 1) AS host_budget
+          FROM f),
+        r AS (SELECT f.url, f.host, b.host_budget,
+          ROW_NUMBER() OVER (PARTITION BY f.host ORDER BY f.url) AS rk
+          FROM f JOIN b USING (host))
+        SELECT url, host, host_budget FROM r
+        WHERE rk <= host_budget ORDER BY url""")),
+
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,
     // description — the indexability/alias signals a web-curation

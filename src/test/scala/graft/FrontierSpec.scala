@@ -166,6 +166,49 @@ class FrontierSpec extends SparkSpec {
     Frontier.dropChangeLedger(s, "cfspec")
   }
 
+  test("crawlBudget: proportional floor allocation, min/max clamps, " +
+      "unranked hosts get the floor, BIGINT-overflow scores stay exact") {
+    val s = spark
+    import s.implicits._
+    // big.io dominates, small.io rounds to 0 (min clamp), huge scores
+    // (10^12 micro-units × 10^9-url totals) overflow BIGINT products —
+    // the decimal path must stay exact
+    val scores = Seq(
+      ("big.io", 900000000000L), ("mid.io", 99000000000L),
+      ("small.io", 1000000000L)).toDF("host", "score")
+    val pending = (1 to 30).map(i => (f"https://big.io/$i%02d", "big.io")) ++
+      (1 to 30).map(i => (f"https://mid.io/$i%02d", "mid.io")) ++
+      (1 to 30).map(i => (f"https://small.io/$i%02d", "small.io")) ++
+      Seq(("https://new.io/1", "new.io"), ("https://new.io/2", "new.io"))
+    val got = graft.operators.Frontier.crawlBudget(
+        pending.toDF("url", "host"), "url", "host",
+        scores, "score", total = 20L, minPerHost = 1L, maxPerHost = 15L)
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n"), max(col("host_budget")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // Σ = 10^12; raw floors: big 18 → max-clamps to 15, mid 1,
+    // small 0 → min-clamps to 1; new.io unranked → min 1
+    assert(got == Map(
+      "big.io" -> ((15L, 15L)), "mid.io" -> ((1L, 1L)),
+      "small.io" -> ((1L, 1L)), "new.io" -> ((1L, 1L))))
+    // budgeted rows are the per-host url-order prefix
+    val taken = graft.operators.Frontier.crawlBudget(
+        pending.toDF("url", "host"), "url", "host",
+        scores, "score", total = 20L, minPerHost = 1L, maxPerHost = 15L)
+      .filter(col("host") === "big.io")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(taken == (1 to 15).map(i => f"https://big.io/$i%02d"))
+    // a zero/empty score table degrades to the floor everywhere
+    val zero = graft.operators.Frontier.crawlBudget(
+        pending.toDF("url", "host"), "url", "host",
+        scores.filter(lit(false)), "score", total = 20L,
+        minPerHost = 2L, maxPerHost = 15L)
+      .groupBy(col("host")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zero.values.toSet == Set(2L))
+  }
+
   test("at-least-once replay of a committed tag is a no-op on the " +
       "partial ledger (not just hidden by the OR-fold)") {
     val s = spark

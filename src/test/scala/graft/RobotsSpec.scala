@@ -123,6 +123,33 @@ class RobotsSpec extends SparkSpec {
       ("https://q.io?q=2#f", true)))
   }
 
+  test("frontierFilterWithStatus: 5xx = complete disallow, 4xx = full " +
+      "allow (body ignored), 2xx parses, absent host allowed " +
+      "(RFC 9309 §2.3.1)") {
+    val s = spark
+    import s.implicits._
+    val deny = "User-agent: *\nDisallow: /"
+    val robots = Seq(
+      ("ok.io", 200, deny), // parsed: everything blocked
+      ("gone.io", 404, deny), // 4xx: body ignored, full allow
+      ("err.io", 503, ""), // 5xx: complete disallow
+      ("moved.io", 301, deny)) // non-2xx/4xx/5xx terminal: no rules
+      .toDF("host", "status", "body")
+    val got = Robots.frontierFilterWithStatus(urlDf(Seq(
+        "https://ok.io/x", "https://gone.io/x", "https://err.io/x",
+        "https://moved.io/x", "https://nobody.io/x")),
+      "url", robots, "host", "status", "body", "x")
+      .orderBy(col("url")).collect()
+      .map(r => (r.getString(0), r.getBoolean(r.fieldIndex("allowed"))))
+      .toSeq
+    assert(got == Seq(
+      ("https://err.io/x", false),
+      ("https://gone.io/x", true),
+      ("https://moved.io/x", true),
+      ("https://nobody.io/x", true),
+      ("https://ok.io/x", false)))
+  }
+
   test("schedule: per-host url-ordered slots at the governing group's " +
       "last declared delay, default where none") {
     val f = urlDf(Seq("https://a.io/p2", "https://a.io/p1",
