@@ -60,7 +60,11 @@ case class StarTreeRoute(dummy: Boolean = true) extends Rule[LogicalPlan] {
       .equalsIgnoreCase("true")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!starTreeEnabled(plan)) plan
+    // empty-catalog fast path (round 15): with nothing registered the
+    // transform is a guaranteed no-op — skip the whole-plan traversal
+    // (and the options lookup) the other ~290 gates would otherwise pay
+    // on every optimizer run
+    if (StarTreeCatalog.all.isEmpty || !starTreeEnabled(plan)) plan
     else plan transform {
       case agg: Aggregate if scanPaths(agg.child).nonEmpty =>
         val paths = scanPaths(agg.child).get
