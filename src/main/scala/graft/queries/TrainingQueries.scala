@@ -2473,6 +2473,70 @@ object TrainingQueries {
             AS h_hi
         FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id""")),
 
+    // Image NEAR-DUP pairs (r15 — the cross-modal twin of SimHash text
+    // dedup, the path a multimodal corpus dedups screenshots/logos by):
+    // aHash signatures blocked by pigeonhole hamming chunks — perfect
+    // recall within maxDist, so the oracle can be the BRUTE pair set:
+    // replay the exact integer aHash per doc (same arithmetic as
+    // q_image_phash, as two 32-bit halves), then every id<id pair with
+    // bit_count(xor_lo)+bit_count(xor_hi) ≤ maxDist. Synthesis: 24
+    // PNGs in 4 base-pattern groups, one sampled cell perturbed per
+    // doc — within-group hashes differ in few bits (pairs exist),
+    // cross-group in many (pairs don't).
+    Q("q_image_neardup",
+      (s, d) => {
+        val makePng = udf { (id: Long) =>
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val g0 = ((id % 4) * 53 + x * 7 + y * 13) % 256
+              val g = (if (x == 1 && y == 1) (g0 + id * 17) % 256
+                       else g0).toInt
+              img.setRGB(x, y, 0xFF000000 | (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        val pngs = Tables.documents(s, d).select(col("doc_id"))
+          .orderBy("doc_id").limit(24)
+          .withColumn("png", makePng(col("doc_id")))
+        graft.operators.Multimodal.imageNearDupPairs(pngs, "png",
+            "doc_id", maxDist = 8, side = 8, method = "nearest")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+            ORDER BY doc_id LIMIT 24),
+          cell AS (SELECT d.doc_id, ys.y * 8 + xs.x AS i,
+              1000 * (CASE WHEN xs.x = 0 AND ys.y = 0
+                THEN ((d.doc_id % 4) * 53 + 7 + 13 + d.doc_id * 17) % 256
+                ELSE ((d.doc_id % 4) * 53 + (2*xs.x+1) * 7
+                  + (2*ys.y+1) * 13) % 256 END) AS lu
+            FROM d,
+              (SELECT unnest(generate_series(0, 7)) AS x) xs,
+              (SELECT unnest(generate_series(0, 7)) AS y) ys),
+          tot AS (SELECT doc_id, SUM(lu) AS s FROM cell GROUP BY doc_id),
+          h AS (SELECT c.doc_id,
+              CAST(SUM(CASE WHEN c.lu * 64 > t.s AND c.i < 32
+                THEN CAST(POWER(2, c.i) AS BIGINT) ELSE 0 END) AS BIGINT)
+                AS lo,
+              CAST(SUM(CASE WHEN c.lu * 64 > t.s AND c.i >= 32
+                THEN CAST(POWER(2, c.i - 32) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS hi
+            FROM cell c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS INTEGER) AS dist
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
+        ORDER BY id_a, id_b""")),
+
     // REAL audio round-trip, oracle-checked end-to-end: deterministic
     // PCM16 WAVs built from a sample formula (s(i) = ((id·37 + i·11) %
     // 2048) − 1024, 8 kHz mono, frame count varying per doc), encoded
@@ -3924,6 +3988,55 @@ object TrainingQueries {
             ('tracker.net')) b(domain)
           WHERE u.host = b.domain OR u.host LIKE '%.' || b.domain)
         GROUP BY host ORDER BY host""")),
+
+    // SURT keys (r15 — the Sort-friendly URI Reordering Transform web
+    // archives sort URL indexes by: IA CDX files and Common Crawl url
+    // indexes are SURT-ordered so a host's captures are contiguous).
+    // Synthesis cycles the interesting shapes: mixed-case www host
+    // with a fragment to drop (query order preserved — SURT lowercases
+    // and reorders only the authority), default ports dropped on both
+    // schemes, non-default port kept, query-no-path, userinfo. Oracle states
+    // the expected key per shape directly from the synthesis arms —
+    // independent ground truth, not a regex mirror.
+    Q("q_url_surt",
+      (s, d) => {
+        val did = col("doc_id")
+        val k = (did % 29).cast("string")
+        val id = did.cast("string")
+        val url = when(did % 5 === 0, concat(lit("https://WWW.H"), k,
+            lit(".Example.ORG/Doc/"), id, lit("?b=2&a=1#frag")))
+          .when(did % 5 === 1, concat(lit("http://h"), k,
+            lit(".example.org:80/doc/"), id))
+          .when(did % 5 === 2, concat(lit("https://h"), k,
+            lit(".example.org:8443/doc/"), id))
+          .when(did % 5 === 3, concat(lit("http://h"), k,
+            lit(".example.org?q="), id))
+          .otherwise(concat(lit("https://user@h"), k,
+            lit(".example.org/")))
+        Tables.documents(s, d).select(url.as("url"),
+            graft.operators.UrlCuration.surtKey(url).as("surt"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS did,
+          CAST(doc_id % 29 AS VARCHAR) AS k,
+          CAST(doc_id AS VARCHAR) AS id FROM documents),
+        u AS (SELECT
+          CASE did % 5
+            WHEN 0 THEN 'https://WWW.H' || k || '.Example.ORG/Doc/' ||
+              id || '?b=2&a=1#frag'
+            WHEN 1 THEN 'http://h' || k || '.example.org:80/doc/' || id
+            WHEN 2 THEN 'https://h' || k || '.example.org:8443/doc/' || id
+            WHEN 3 THEN 'http://h' || k || '.example.org?q=' || id
+            ELSE 'https://user@h' || k || '.example.org/' END AS url,
+          CASE did % 5
+            WHEN 0 THEN 'org,example,h' || k || ')/Doc/' || id ||
+              '?b=2&a=1'
+            WHEN 1 THEN 'org,example,h' || k || ')/doc/' || id
+            WHEN 2 THEN 'org,example,h' || k || ':8443)/doc/' || id
+            WHEN 3 THEN 'org,example,h' || k || ')/?q=' || id
+            ELSE 'org,example,h' || k || ')/' END AS surt
+        FROM f)
+        SELECT url, surt FROM u ORDER BY url""")),
 
     // Host-level link graph from crawl HTML (the cc-webgraph tier:
     // Common Crawl's host-rank releases are exactly this signal, used

@@ -2243,6 +2243,38 @@ class OperatorsSpec extends SparkSpec {
     cases.foreach { case (in, want) => assert(got(in) == want, in) }
   }
 
+  test("surtKey: authority lowercased+reversed, www/default-port/fragment " +
+      "drop, userinfo drop, subdomain grouping, non-http null") {
+    val s = spark
+    import s.implicits._
+    val cases: Seq[(String, String)] = Seq(
+      "https://WWW.News.Example.ORG/A/b?z=1&a=2#f" ->
+        "org,example,news)/A/b?z=1&a=2", // case kept past the authority
+      "http://example.com:80/x" -> "com,example)/x",
+      "https://example.com:443/x" -> "com,example)/x",
+      "http://example.com:443/x" -> "com,example:443)/x", // not its default
+      "https://h.io:8443/x" -> "io,h:8443)/x",
+      "http://h.io?q=1" -> "io,h)/?q=1", // query-no-path keeps the query
+      "https://user@h.io/" -> "io,h)/",
+      "https://example.com" -> "com,example)/")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), operators.UrlCuration.surtKey(col("u")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, in) }
+    // non-http schemes and bare strings are null, like the url helpers
+    val nulls = Seq("ftp://example.com/x", "example.com/x").toDF("u")
+      .select(operators.UrlCuration.surtKey(col("u")))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+    // the point of SURT: sorting groups a registered domain's hosts —
+    // every example.com url sorts between the com,example-prefixed keys
+    val keys = Seq("https://b.example.com/x", "https://example.com/y",
+      "https://a.example.com/z").toDF("u")
+      .select(operators.UrlCuration.surtKey(col("u")).as("k"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keys.forall(_.startsWith("com,example")))
+  }
+
   test("hostOf/registeredDomainOf extract host and registered domain " +
       "(PSL multi-label suffixes register at three labels)") {
     val s = spark
