@@ -114,7 +114,10 @@ object Bench {
     "q_hybrid_rrf_batch_ivf", "q_hybrid_rrf_indexed",
     // r14 wave 2: crawl-policy + mixing + hard-negative tiers
     "q_robots_frontier", "q_frontier_build", "q_sitemap_urls",
-    "q_canonical_dedup", "q_mix_token_budget", "q_hard_negatives_ivf")
+    "q_canonical_dedup", "q_mix_token_budget", "q_hard_negatives_ivf",
+    // r15: conditional-fetch ledger, status verdicts, budgets, SURT
+    "q_revisit_conditional", "q_robots_unavailable", "q_crawl_budget",
+    "q_url_surt")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
