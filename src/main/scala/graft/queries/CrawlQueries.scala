@@ -938,6 +938,83 @@ object CrawlQueries {
         SELECT url, host, host_budget FROM r
         WHERE rk <= host_budget ORDER BY url""")),
 
+    // STREAMING conditional revisits — the refresh fetcher's mixed
+    // 304/200 output driven as 4 micro-batches through
+    // conditionalRevisitSink: 304 receipts advance the validator ledger
+    // without bodies, unchanged 200s drop at the hash gate, only the
+    // rewritten pages (%5s) reach the handler. Output = the final
+    // receipt ledger + the accumulated changed set, both replayed in
+    // SQL. Stream seqs ride above the round-1 batch seq (seqBase) so
+    // the latest-wins fold stays seq-ordered across the two channels.
+    Q("q_stream_conditional",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        import graft.operators.Frontier
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        val name = s"cfsr_${CorpusKey.of(d)}"
+        Frontier.dropChangeLedger(s, name)
+        val docs = Tables.documents(s, d)
+        val r1 = docs.select(url.as("url"),
+          concat(col("text"), lit("|1")).as("content"),
+          lit(200).as("status"),
+          when(did % 2 === 0, concat(lit("v1-"), did.cast("string")))
+            .as("etag"),
+          when(did % 3 === 0, concat(lit("lm1-"), did.cast("string")))
+            .as("last_modified"))
+        Frontier.changedOnlyConditional(s, r1, "url", "content",
+          "status", "etag", "last_modified", name, 1, "b1")
+        val rewritten = did % 5 === 0
+        val hasVal = did % 2 === 0 || did % 3 === 0
+        val r2rows = docs.select(url.as("url"),
+            when(rewritten, concat(col("text"), lit("|2")))
+              .when(hasVal, lit(null).cast("string"))
+              .otherwise(concat(col("text"), lit("|1"))).as("content"),
+            when(!rewritten && hasVal, 304).otherwise(200).as("status"),
+            when(rewritten && did % 2 === 0,
+              concat(lit("v2-"), did.cast("string"))).as("etag"),
+            when(rewritten && did % 3 === 0,
+              concat(lit("lm2-"), did.cast("string"))).as("last_modified"))
+          .orderBy(col("url"))
+          .as[(String, String, Int, String, String)].collect()
+        val chunk = math.max(1, math.ceil(r2rows.length / 4.0).toInt)
+        val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
+        val mem = MemoryStream[(String, String, Int, String, String)]
+        val q = graft.streaming.Streams.conditionalRevisitSink(
+          mem.toDF().toDF("url", "content", "status", "etag",
+            "last_modified"),
+          "url", "content", "status", "etag", "last_modified", name,
+          seqBase = 10L, streamTag = Some("ccs")) { changed =>
+          survivors ++= changed.select(col("url")).collect()
+            .map(_.getString(0))
+        }.start()
+        r2rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        val ch = survivors.toSeq.toDF("__cu")
+        Frontier.latestReceipts(s, name)
+          .join(ch, col("url") === col("__cu"), "left")
+          .select(col("url"), col("cond_etag"), col("cond_last_modified"),
+            col("__cu").isNotNull.as("changed"))
+          .orderBy(col("url"))
+      },
+      Some("""SELECT
+          'https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+            '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          CASE WHEN doc_id % 2 = 0 THEN
+            (CASE WHEN doc_id % 5 = 0 THEN 'v2-' ELSE 'v1-' END) ||
+              CAST(doc_id AS VARCHAR) END AS cond_etag,
+          CASE WHEN doc_id % 3 = 0 THEN
+            (CASE WHEN doc_id % 5 = 0 THEN 'lm2-' ELSE 'lm1-' END) ||
+              CAST(doc_id AS VARCHAR) END AS cond_last_modified,
+          (doc_id % 5 = 0) AS changed
+        FROM documents ORDER BY url""")),
+
     // Head-metadata harvest: canonical target (both attribute orders,
     // entity-decoded), robots directives (lowercased), lang attribute,
     // description — the indexability/alias signals a web-curation

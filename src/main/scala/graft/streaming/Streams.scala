@@ -399,6 +399,37 @@ object Streams {
     }
   }
 
+  /** Streaming CONDITIONAL-REVISIT ingest — the refresh fetcher's
+    * output as a micro-batch stream: each batch mixes body-less 304
+    * receipts with full 200 responses, and the sink routes it through
+    * [[graft.operators.Frontier.changedOnlyConditional]] — 304s
+    * advance the validator ledger without re-processing, unchanged 200
+    * bodies drop at the hash gate, and ONLY actually-changed rows
+    * reach `handler` (the downstream curation feed). The ledger seq is
+    * `seqBase + batchId`; compose with earlier batch rounds by passing
+    * a `seqBase` above their seqs (the ledger's latest-wins fold is
+    * seq-ordered). Tag-idempotent: an at-least-once replayed
+    * micro-batch appends nothing and hands `handler` an empty frame.
+    * Checkpoint discipline as [[exactDedupSink]] — only PRIOR batches'
+    * scratch checkpoints free at batch end. */
+  def conditionalRevisitSink(fetches: DataFrame, urlCol: String,
+                             contentCol: String, statusCol: String,
+                             etagCol: String, lastModifiedCol: String,
+                             frontierName: String, seqBase: Long = 0L,
+                             streamTag: Option[String] = None)
+                            (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    fetches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Frontier.changedOnlyConditional(
+        batch.sparkSession, batch, urlCol, contentCol, statusCol,
+        etagCol, lastModifiedCol, frontierName, seqBase + batchId,
+        s"${instance}_$batchId"))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+  }
+
   /** Streaming JSON-index maintenance — the realtime twin of the json
     * posting table (`MutableJsonIndexImpl`: the reference builds the
     * json index inside consuming segments too). Same contract as

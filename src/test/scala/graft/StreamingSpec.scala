@@ -473,6 +473,47 @@ class StreamingSpec extends SparkSpec {
     assert(batchSurvivors.toSet == Set(1L, 2L, 5L, 8L))
   }
 
+  test("streaming conditional-revisit sink: 304s advance the validator " +
+      "ledger bodylessly, unchanged 200s drop at the hash gate, only " +
+      "changed rows reach the handler; seqBase orders across channels") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Frontier
+    Frontier.dropChangeLedger(s, "csink")
+    // round 1 through the BATCH channel at seq 1: seed hashes+validators
+    Frontier.changedOnlyConditional(s,
+      Seq(("u1", "a", 200, "e1", null),
+          ("u2", "b", 200, null, "lm1"),
+          ("u3", "c", 200, null, null))
+        .toDF("url", "content", "status", "etag", "last_modified"),
+      "url", "content", "status", "etag", "last_modified", "csink",
+      1L, "seed")
+    // stream batches ride ABOVE the batch seq via seqBase
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[(String, String, Int, String, String)]
+    val q = Streams.conditionalRevisitSink(
+      mem.toDF().toDF("url", "content", "status", "etag", "last_modified"),
+      "url", "content", "status", "etag", "last_modified", "csink",
+      seqBase = 10L) { out =>
+      got ++= out.select("url").collect().map(_.getString(0))
+    }.start()
+    // batch A: u1 304 (etag rotates), u3 changed body
+    mem.addData(("u1", null, 304, "e2", null), ("u3", "c9", 200, null, null))
+    q.processAllAvailable()
+    // batch B: u2 unchanged 200 (server ignored the validator) → drops
+    mem.addData(("u2", "b", 200, null, null))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSeq == Seq("u3")) // the only changed row
+    val rec = Frontier.latestReceipts(s, "csink").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rec("u1") == ("e2", null)) // rotated by the 304
+    assert(rec("u2") == (null, "lm1")) // kept: unchanged-200 appends nothing
+    assert(rec("u3") == (null, null)) // changed body shipped no validators
+    Frontier.dropChangeLedger(s, "csink")
+  }
+
   test("incremental dedup replay with the same batch tag is idempotent: " +
       "identical survivors, index does not grow (at-least-once retry)") {
     val s = spark
