@@ -359,6 +359,57 @@ class PropertySpec extends SparkSpec {
       s"cosArgmax diverges for id ${r.getLong(0)}"))
   }
 
+  test("conditional change ledger: under random 200/304 interleavings, " +
+    "changed sets track a reference model and receipts are the last " +
+    "witnessed validators") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Frontier
+    Frontier.dropChangeLedger(s, "propcond")
+    val urls = (0 until 12).map(i => s"u$i")
+    // reference model on the driver: content + validators per url
+    var modelHash = Map.empty[String, String] // url -> last 200 content
+    var modelVal = Map.empty[String, (String, String)]
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 6) {
+      val rows = urls.flatMap { u =>
+        rnd.nextInt(4) match {
+          case 0 => None // url absent this round
+          case 1 if modelHash.contains(u) => // 304 revisit; etag rotates half the time
+            val newTag = if (rnd.nextBoolean()) s"e$round-$u" else null
+            Some((u, null: String, 304, newTag, null: String))
+          case _ => // 200 body; changes content with p=1/2
+            val content = if (rnd.nextBoolean() || !modelHash.contains(u))
+              s"c$round-$u" else modelHash(u)
+            Some((u, content, 200, s"et$round-$u", s"lm$round-$u"))
+        }
+      }
+      val expectChanged = rows.collect {
+        case (u, c, 200, _, _) if !modelHash.get(u).contains(c) => u
+      }.toSet
+      val got = Frontier.changedOnlyConditional(s,
+        rows.toDF("url", "content", "status", "etag", "last_modified"),
+        "url", "content", "status", "etag", "last_modified",
+        "propcond", round.toLong, s"r$round")
+        .select("url").collect().map(_.getString(0)).toSet
+      assert(got == expectChanged, s"round $round")
+      // advance the model exactly as the contract says
+      rows.foreach {
+        case (u, c, 200, e, lm) if !modelHash.get(u).contains(c) =>
+          modelHash += u -> c; modelVal += u -> ((e, lm))
+        case (u, _, 304, e, _) if modelHash.contains(u) =>
+          val (pe, plm) = modelVal.getOrElse(u, (null, null))
+          modelVal += u -> ((Option(e).getOrElse(pe), plm))
+        case _ => () // unchanged 200 / never-seen 304: no ledger effect
+      }
+    }
+    val rec = Frontier.latestReceipts(s, "propcond").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rec.keySet == modelHash.keySet)
+    modelVal.foreach { case (u, v) => assert(rec(u) == v, u) }
+    Frontier.dropChangeLedger(s, "propcond")
+  }
+
   test("decodeAvi: pathological LIST nesting is data (None), not a " +
     "StackOverflowError") {
     import graft.operators.Multimodal
