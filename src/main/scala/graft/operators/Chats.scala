@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-turn chat corpus preparation — the SFT/instruct-tuning front
+  * half every post-training pipeline runs between raw conversation
+  * logs and the token loader:
+  *
+  *   1. [[turns]]: parse chat-JSON documents
+  *      (`{"messages":[{"role":…,"content":…},…]}` — the de-facto
+  *      interchange shape OpenAI-format exports, ShareGPT dumps, and
+  *      most open SFT datasets use) into one row per turn with its
+  *      0-based position. One `from_json` + one `posexplode` — the
+  *      corpus scans once, nothing shuffles.
+  *   2. [[packWithMask]]: render each conversation to ONE training
+  *      string with per-turn character spans and a LOSS MASK — SFT
+  *      trains only on assistant turns, so the loader needs exact
+  *      [start, end) offsets of every turn in the rendered text to
+  *      zero the loss elsewhere. Rendering is `<|role|>content\n` per
+  *      turn; offsets are a per-conversation running sum of rendered
+  *      lengths (one window over the conversation key — conversations
+  *      are short, the partition is the natural unit), and the full
+  *      text is one ordered `concat_ws`-style aggregation.
+  *
+  * Everything is integer character arithmetic — spans are
+  * oracle-replayable in SQL, and a tokenizer-side loader converts
+  * char spans to token spans after BPE (offsets survive because
+  * [[graft.operators.Vocab]]'s encode is per-word deterministic).
+  *
+  * Scale shape: per-conversation windows partition on the id key (a
+  * conversation is KBs — no mega-partition risk); the rendered-text
+  * rebuild is one keyed agg. No driver state, no collect. */
+object Chats {
+
+  /** messages schema of the interchange chat shape. */
+  val MessagesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "messages array<struct<role:string,content:string>>")
+
+  /** One row per turn: (idCol, turn_idx, role, content). Documents
+    * whose json does not parse (or has no messages array) produce no
+    * rows — malformed logs drop, they do not poison the corpus. */
+  def turns(df: DataFrame, jsonCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(from_json(col(jsonCol), MessagesSchema)("messages")))
+      .select(col(idCol), col("pos").cast("long").as("turn_idx"),
+        col("col")("role").as("role"),
+        col("col")("content").as("content"))
+
+  /** Rendered form of one turn: `<|role|>content\n`. */
+  private def rendered(role: Column, content: Column): Column =
+    concat(lit("<|"), role, lit("|>"), coalesce(content, lit("")),
+      lit("\n"))
+
+  /** Per-turn spans + loss mask over the rendered conversation:
+    * adds `start`/`end` (0-based character offsets, end exclusive) and
+    * `mask` (true = contributes to the loss; `lossRoles`, default
+    * assistant-only). Offsets are a running sum of rendered lengths in
+    * turn order — one window on the conversation key. */
+  def turnSpans(turnsDf: DataFrame, idCol: String,
+                lossRoles: Seq[String] = Seq("assistant")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    turnsDf
+      .withColumn("__rl",
+        length(rendered(col("role"), col("content"))).cast("long"))
+      .withColumn("start", coalesce(sum(col("__rl")).over(w), lit(0L)))
+      .withColumn("end", col("start") + col("__rl"))
+      .withColumn("mask", col("role").isin(lossRoles: _*))
+      .drop("__rl")
+  }
+
+  /** One row per conversation: (idCol, text, n_turns) where `text` is
+    * the full rendered conversation (turn-ordered). Combine with
+    * [[turnSpans]] — `text.substring(start, end)` is exactly turn i's
+    * rendered form, the invariant the spec pins. */
+  def packWithMask(turnsDf: DataFrame, idCol: String): DataFrame =
+    turnsDf
+      .withColumn("__r", rendered(col("role"), col("content")))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("", array_sort(collect_list(
+          struct(col("turn_idx"), col("__r"))))
+          .getField("__r")).as("text"),
+        count(lit(1)).as("n_turns"))
+}

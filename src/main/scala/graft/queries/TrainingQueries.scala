@@ -1308,6 +1308,70 @@ object TrainingQueries {
         ()
       })),
 
+    // SFT chat packing (r15 — the post-training front half): chat-JSON
+    // conversations (2-4 turns, system/user/assistant roles) parse to
+    // turns (from_json + posexplode), render to ONE training string
+    // per conversation, and each turn carries its [start, end)
+    // character span + the LOSS MASK (assistant-only) the SFT loader
+    // zeroes loss with. The gate re-slices the packed text at each
+    // span (`seg`) so the oracle bit-checks offsets against its own
+    // rendering — an off-by-one anywhere breaks the hash.
+    Q("q_chat_pack",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def roleOf(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def turn(i: Int) = concat(
+          lit("{\"role\":\"" + roleOf(i) + "\",\"content\":\""),
+          substring(ct, 1 + 7 * i, 12 + i), lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val t = Chats.turns(docs, "chat", "doc_id")
+        val spans = Chats.turnSpans(t, "doc_id")
+        val packed = Chats.packWithMask(t, "doc_id")
+        spans.join(packed, "doc_id")
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("start"), col("end"), col("mask"),
+            col("text").substr(
+              (col("start") + 1).cast("int"),
+              (col("end") - col("start")).cast("int")).as("seg"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id % 3 + 2 AS n,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        t0 AS (SELECT doc_id, ct,
+          unnest(generate_series(0, n - 1)) AS turn_idx FROM b),
+        t AS (SELECT doc_id, turn_idx,
+          CASE WHEN turn_idx = 0 THEN 'system'
+               WHEN turn_idx % 2 = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          substr(ct, CAST(1 + 7 * turn_idx AS INT),
+            CAST(12 + turn_idx AS INT)) AS content
+        FROM t0),
+        r AS (SELECT *,
+          '<|' || role || '|>' || content || chr(10) AS seg,
+          CAST(length('<|' || role || '|>' || content || chr(10))
+            AS BIGINT) AS rl
+        FROM t),
+        o AS (SELECT *, CAST(COALESCE(SUM(rl) OVER (PARTITION BY doc_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start
+        FROM r)
+        SELECT doc_id, turn_idx, role, start,
+          CAST(start + rl AS BIGINT) AS "end",
+          (role = 'assistant') AS mask, seg
+        FROM o ORDER BY doc_id, turn_idx""")),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass
