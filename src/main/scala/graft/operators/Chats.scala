@@ -86,4 +86,86 @@ object Chats {
           struct(col("turn_idx"), col("__r"))))
           .getField("__r")).as("text"),
         count(lit(1)).as("n_turns"))
+
+  /** Structural validation — the gate SFT trainers enforce before a
+    * conversation may become a training example:
+    *
+    *   - every role ∈ {system, user, assistant};
+    *   - `system` only at turn 0 (one optional leading system turn);
+    *   - after it, user/assistant STRICTLY alternate starting with
+    *     user (no doubled speakers);
+    *   - the last turn is an assistant turn (something to learn from).
+    *
+    * Returns one row per conversation: (idCol, n_turns, valid). One
+    * lag window on the conversation key + one keyed agg. */
+  def validateTurns(turnsDf: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx"))
+    val prev = lag(col("role"), 1).over(w)
+    val okTurn =
+      col("role").isin("system", "user", "assistant") &&
+        (col("role") =!= "system" || col("turn_idx") === 0) &&
+        // the first non-system turn is user; after that speakers
+        // alternate, which the pairwise predicate enforces transitively
+        when(prev.isNull, col("role").isin("system", "user"))
+          .when(prev === "system", col("role") === "user")
+          .otherwise(col("role") =!= prev)
+    turnsDf
+      .withColumn("__ok", okTurn)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        (min(col("__ok").cast("int")) === 1 &&
+          max(struct(col("turn_idx"), col("role")))("role")
+            === "assistant").as("valid"))
+  }
+
+  /** Context-budget trimming with WHOLE-TURN boundaries — the standard
+    * long-conversation policy: keep the leading system turn (if any)
+    * plus the LONGEST TAIL of turns whose rendered length, with the
+    * system turn, fits `budget` characters (chars here; a token loader
+    * applies the same shape post-BPE). Dropping the oldest exchanges
+    * first preserves the most recent context — exactly what chat
+    * trainers and servers do. Input is [[turnSpans]] output (needs
+    * start/end); adds `kept` and, for kept turns, re-based
+    * `new_start`/`new_end` offsets (null on dropped turns). Tail sums
+    * are one descending window; the suffix property (tail sums
+    * decrease) makes the kept set contiguous by construction. */
+  def fitBudget(spansDf: DataFrame, idCol: String, budget: Long)
+  : DataFrame = {
+    require(budget >= 0, s"negative budget $budget")
+    val rl = col("end") - col("start")
+    val isSys = col("role") === "system" && col("turn_idx") === 0
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val withSums = spansDf
+      .withColumn("__rl", rl)
+      .withColumn("__sys", isSys)
+      // rendered length of the system turn (0 when absent)
+      .withColumn("__sysLen",
+        max(when(col("__sys"), col("__rl")).otherwise(lit(0L))).over(wId))
+      // Σ rendered length from this turn to the conversation end,
+      // excluding the system turn (it is budgeted separately)
+      .withColumn("__tail",
+        sum(when(col("__sys"), lit(0L)).otherwise(col("__rl")))
+          .over(wDesc))
+    val kept = col("__sys") ||
+      (col("__tail") + col("__sysLen") <= budget)
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    withSums
+      .withColumn("kept", kept)
+      .withColumn("new_start",
+        when(col("kept"), coalesce(sum(
+          when(col("kept"), col("__rl")).otherwise(lit(0L))).over(wAsc),
+          lit(0L))))
+      .withColumn("new_end",
+        when(col("kept"), col("new_start") + col("__rl")))
+      .drop("__rl", "__sys", "__sysLen", "__tail")
+  }
 }

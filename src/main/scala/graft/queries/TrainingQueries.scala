@@ -1372,6 +1372,113 @@ object TrainingQueries {
           (role = 'assistant') AS mask, seg
         FROM o ORDER BY doc_id, turn_idx""")),
 
+    // SFT structural validation (r15): conversations must carry known
+    // roles, at most one LEADING system turn, strict user/assistant
+    // alternation starting with user, and end on an assistant turn.
+    // Synthesis: the q_chat_pack shape is valid only at n=3
+    // (system,user,assistant — n=2 and n=4 end on user), %7s double the
+    // assistant (turn 1 becomes assistant), %13s carry an off-vocab
+    // 'tool' role — all three violation classes must flag.
+    Q("q_chat_validate",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def baseRole(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def roleCol(i: Int): org.apache.spark.sql.Column =
+          if (i != 1) lit(baseRole(i))
+          else when(did % 7 === 0, "assistant")
+            .when(did % 13 === 0, "tool")
+            .otherwise(baseRole(i))
+        def turn(i: Int) = concat(lit("{\"role\":\""), roleCol(i),
+          lit("\",\"content\":\""), substring(ct, 1 + 7 * i, 12 + i),
+          lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        Chats.validateTurns(Chats.turns(docs, "chat", "doc_id"),
+            "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CAST(doc_id % 3 + 2 AS BIGINT) AS n_turns,
+          (doc_id % 3 = 1 AND doc_id % 7 != 0 AND doc_id % 13 != 0)
+            AS valid
+        FROM documents ORDER BY doc_id""")),
+
+    // SFT context-budget trimming (r15): keep the leading system turn
+    // plus the longest TAIL of turns fitting 60 rendered characters
+    // with it — oldest exchanges drop first, whole-turn boundaries,
+    // re-based offsets on the survivors. The oracle replays rendered
+    // lengths, the descending tail sums, the keep rule, and the
+    // re-based running offsets.
+    Q("q_chat_fit",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def roleOf(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def turn(i: Int) = concat(
+          lit("{\"role\":\"" + roleOf(i) + "\",\"content\":\""),
+          substring(ct, 1 + 7 * i, 12 + i), lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val spans = Chats.turnSpans(
+          Chats.turns(docs, "chat", "doc_id"), "doc_id")
+        Chats.fitBudget(spans, "doc_id", budget = 60L)
+          .select(col("doc_id"), col("turn_idx"), col("kept"),
+            col("new_start"), col("new_end"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id % 3 + 2 AS n,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        t0 AS (SELECT doc_id, ct,
+          unnest(generate_series(0, n - 1)) AS turn_idx FROM b),
+        t AS (SELECT doc_id, turn_idx,
+          CASE WHEN turn_idx = 0 THEN 'system'
+               WHEN turn_idx % 2 = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          substr(ct, CAST(1 + 7 * turn_idx AS INT),
+            CAST(12 + turn_idx AS INT)) AS content
+        FROM t0),
+        r AS (SELECT doc_id, turn_idx, (turn_idx = 0) AS sys,
+          CAST(length('<|' || role || '|>' || content || chr(10))
+            AS BIGINT) AS rl
+        FROM t),
+        w AS (SELECT *,
+          CAST(MAX(CASE WHEN sys THEN rl ELSE 0 END)
+            OVER (PARTITION BY doc_id) AS BIGINT) AS syslen,
+          CAST(SUM(CASE WHEN sys THEN 0 ELSE rl END)
+            OVER (PARTITION BY doc_id ORDER BY turn_idx DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS tail
+        FROM r),
+        k AS (SELECT *, (sys OR tail + syslen <= 60) AS kept FROM w),
+        o AS (SELECT *,
+          CAST(COALESCE(SUM(CASE WHEN kept THEN rl ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS ns
+        FROM k)
+        SELECT doc_id, turn_idx, kept,
+          CASE WHEN kept THEN ns END AS new_start,
+          CASE WHEN kept THEN CAST(ns + rl AS BIGINT) END AS new_end
+        FROM o ORDER BY doc_id, turn_idx""")),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass

@@ -68,4 +68,60 @@ class ChatsSpec extends SparkSpec {
       .map(_.getAs[Boolean]("mask")).toSeq
     assert(userMask == Seq(true, false, true, false))
   }
+
+  test("validateTurns: alternation, leading-system-only, known roles, " +
+      "assistant-final — each violation class flags alone") {
+    val s = spark
+    import s.implicits._
+    def conv(id: Long, roles: String*) =
+      roles.zipWithIndex.map { case (r, i) => (id, i.toLong, r, "x") }
+    val turns = (
+      conv(1L, "system", "user", "assistant") ++ // valid
+      conv(2L, "user", "assistant") ++ // valid, no system
+      conv(3L, "system", "user", "assistant", "user") ++ // ends on user
+      conv(4L, "system", "assistant") ++ // assistant can't open
+      conv(5L, "user", "user", "assistant") ++ // doubled speaker
+      conv(6L, "user", "assistant", "system") ++ // system not leading
+      conv(7L, "user", "tool", "assistant") // unknown role
+      ).toDF("id", "turn_idx", "role", "content")
+    val got = Chats.validateTurns(turns, "id")
+      .orderBy(col("id")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("valid")).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false))
+  }
+
+  test("fitBudget: system always kept, longest tail fits, offsets " +
+      "re-base over survivors, tiny budgets keep system only") {
+    val s = spark
+    import s.implicits._
+    // rendered lengths: system 11, then 9/14/9/14 (roles u/a/u/a)
+    val turns = Seq(
+      (1L, 0L, "system", "be"), (1L, 1L, "user", "a"),
+      (1L, 2L, "assistant", "b"), (1L, 3L, "user", "c"),
+      (1L, 4L, "assistant", "d")).toDF("id", "turn_idx", "role",
+      "content")
+    val spans = Chats.turnSpans(turns, "id")
+    def fit(budget: Long) = Chats.fitBudget(spans, "id", budget)
+      .orderBy(col("turn_idx")).collect()
+      .map(r => (r.getLong(1), r.getAs[Boolean]("kept"),
+        Option(r.get(r.fieldIndex("new_start"))).map(_.toString.toLong)))
+    // rendered: sys=13 '<|system|>be\n', u 10, a 15, u 10, a 15
+    // budget 40: tail sums (excl sys) from each turn: 50,40,25,15 →
+    // turns 2..4 fit (25+? wait 40 from turn1: 10+15+10+15=50; turn2:
+    // 40; 40+13>40 → turn2 out; turn3: 25+13=38 ≤ 40 → kept)
+    val g40 = fit(40)
+    assert(g40.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, true), (1L, false), (2L, false), (3L, true), (4L, true)))
+    // re-based offsets: sys 0-13, turn3 13-23, turn4 23-38
+    assert(g40.collect { case (_, true, Some(st)) => st }.toSeq ==
+      Seq(0L, 13L, 23L))
+    // budget below any turn: only the system turn survives
+    val g5 = fit(5)
+    assert(g5.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, true), (1L, false), (2L, false), (3L, false), (4L, false)))
+    // budget covering everything keeps everything with original shape
+    val gBig = fit(1000)
+    assert(gBig.forall(_._2))
+  }
 }
