@@ -156,6 +156,13 @@ object Bench {
     // per-row jsonpath twins: the deliberate oracle baselines of the
     // routed json-index gates (the routed twins carry the scale story)
     "q_filter_json_array" -> Set("JsonToStructs"),
+    // chat-JSON parsing IS the operator (Chats.turns = one from_json
+    // per document; Spark's JsonToStructs has no codegen path by
+    // design), and packWithMask's ordered rebuild sorts one
+    // per-conversation struct array (KB-sized)
+    "q_chat_pack" -> Set("ArraySort", "JsonToStructs"),
+    "q_chat_validate" -> Set("JsonToStructs"),
+    "q_chat_fit" -> Set("JsonToStructs"),
     "q_json_index_lifecycle" -> Set("ArrayTransform", "JsonToStructs"),
     "q_hard_negatives_ivf" -> Set("ArraySort", "ArrayTransform"),
     "q_html_extract" -> Set("ArrayAggregate", "ArrayTransform"),
