@@ -163,6 +163,9 @@ object Bench {
     "q_chat_pack" -> Set("ArraySort", "JsonToStructs"),
     "q_chat_validate" -> Set("JsonToStructs"),
     "q_chat_fit" -> Set("JsonToStructs"),
+    // prompt rendering maps over the per-conversation turns array
+    // (KB-sized); the parse is the operator, as in the chat gates
+    "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),
     "q_json_index_lifecycle" -> Set("ArrayTransform", "JsonToStructs"),
     "q_hard_negatives_ivf" -> Set("ArraySort", "ArrayTransform"),
     "q_html_extract" -> Set("ArrayAggregate", "ArrayTransform"),

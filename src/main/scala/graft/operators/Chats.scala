@@ -119,6 +119,36 @@ object Chats {
             === "assistant").as("valid"))
   }
 
+  /** Preference-pair preparation — the DPO/RLHF-reward data shape: a
+    * shared PROMPT (the conversation so far) plus two candidate
+    * assistant completions, where the trainer computes loss only on
+    * the completion region of each branch. Renders the prompt turns
+    * exactly as [[packWithMask]] (so SFT and preference data share one
+    * template), appends each completion as an assistant turn, and
+    * emits `response_start` — the character offset where BOTH
+    * completions begin (= rendered prompt length; the loss boundary a
+    * DPO loader needs). Rows whose prompt json is malformed drop, as
+    * in [[turns]]. One parse + one projection — no shuffle beyond the
+    * input's. */
+  def preferencePairs(df: DataFrame, idCol: String, promptJsonCol: String,
+                      chosenCol: String, rejectedCol: String): DataFrame = {
+    val msgs = from_json(col(promptJsonCol), MessagesSchema)("messages")
+    // gate on the PARSED array, not the rendered string: concat_ws
+    // folds a null array to "" — a malformed prompt would otherwise
+    // survive as an empty-prompt pair
+    df.select(col(idCol), msgs.as("__m"),
+        col(chosenCol).as("__c"), col(rejectedCol).as("__r"))
+      .filter(col("__m").isNotNull)
+      .withColumn("prompt_text", concat_ws("",
+        transform(col("__m"), m => rendered(m("role"), m("content")))))
+      .select(col(idCol), col("prompt_text"),
+        concat(col("prompt_text"),
+          rendered(lit("assistant"), col("__c"))).as("chosen_text"),
+        concat(col("prompt_text"),
+          rendered(lit("assistant"), col("__r"))).as("rejected_text"),
+        length(col("prompt_text")).cast("long").as("response_start"))
+  }
+
   /** Context-budget trimming with WHOLE-TURN boundaries — the standard
     * long-conversation policy: keep the leading system turn (if any)
     * plus the LONGEST TAIL of turns whose rendered length, with the

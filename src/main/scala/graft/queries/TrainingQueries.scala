@@ -1372,6 +1372,42 @@ object TrainingQueries {
           (role = 'assistant') AS mask, seg
         FROM o ORDER BY doc_id, turn_idx""")),
 
+    // DPO preference pairs (r15): shared rendered prompt + two
+    // candidate assistant completions + the response_start offset a
+    // preference trainer computes loss from. Both branch texts are
+    // hash-checked in full, so template drift anywhere (role wrappers,
+    // newline, offset) breaks the gate.
+    Q("q_dpo_pairs",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val json = concat(
+          lit("{\"messages\":[{\"role\":\"system\",\"content\":\""),
+          substring(ct, 1, 12),
+          lit("\"},{\"role\":\"user\",\"content\":\""),
+          substring(ct, 8, 13), lit("\"}]}"))
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          json.as("prompt"), substring(ct, 21, 14).as("chosen"),
+          substring(ct, 35, 14).as("rejected"))
+        Chats.preferencePairs(docs, "doc_id", "prompt", "chosen",
+            "rejected")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        p AS (SELECT doc_id,
+          '<|system|>' || substr(ct, 1, 12) || chr(10) ||
+            '<|user|>' || substr(ct, 8, 13) || chr(10) AS prompt_text,
+          substr(ct, 21, 14) AS c, substr(ct, 35, 14) AS r
+        FROM b)
+        SELECT doc_id, prompt_text,
+          prompt_text || '<|assistant|>' || c || chr(10) AS chosen_text,
+          prompt_text || '<|assistant|>' || r || chr(10)
+            AS rejected_text,
+          CAST(length(prompt_text) AS BIGINT) AS response_start
+        FROM p ORDER BY doc_id""")),
+
     // SFT structural validation (r15): conversations must carry known
     // roles, at most one LEADING system turn, strict user/assistant
     // alternation starting with user, and end on an assistant turn.

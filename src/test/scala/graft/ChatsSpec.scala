@@ -91,6 +91,35 @@ class ChatsSpec extends SparkSpec {
       5L -> false, 6L -> false, 7L -> false))
   }
 
+  test("preferencePairs: shared prompt template matches packWithMask, " +
+      "response_start is the loss boundary, malformed prompts drop") {
+    val s = spark
+    import s.implicits._
+    val prompt =
+      """{"messages":[{"role":"system","content":"be brief"},
+        |{"role":"user","content":"hi"}]}""".stripMargin
+    val df = Seq(
+      (1L, prompt, "hello", "HELLO THERE"),
+      (2L, "{broken", "x", "y")).toDF("id", "prompt", "good", "bad")
+    val got = Chats.preferencePairs(df, "id", "prompt", "good", "bad")
+      .collect()
+    assert(got.length == 1) // malformed prompt dropped
+    val r = got(0)
+    val p = r.getAs[String]("prompt_text")
+    assert(p == "<|system|>be brief\n<|user|>hi\n")
+    assert(r.getAs[String]("chosen_text") == p + "<|assistant|>hello\n")
+    assert(r.getAs[String]("rejected_text") ==
+      p + "<|assistant|>HELLO THERE\n")
+    // the loss boundary: both completions start exactly at prompt end
+    assert(r.getAs[Long]("response_start") == p.length.toLong)
+    // template parity with the SFT path: packWithMask over the same
+    // prompt turns renders the identical prefix
+    val packed = Chats.packWithMask(
+      Chats.turns(df.filter(col("id") === 1L), "prompt", "id"), "id")
+      .collect()(0).getAs[String]("text")
+    assert(packed == p)
+  }
+
   test("fitBudget: system always kept, longest tail fits, offsets " +
       "re-base over survivors, tiny budgets keep system only") {
     val s = spark
