@@ -102,6 +102,34 @@ class RobotsSpec extends SparkSpec {
       ("https://a.io/tmp123?q=1#frag", false))) // * spans path+query
   }
 
+  test("crawl composition: pending → crawlBudget → schedule — the " +
+      "budget prefix enters the politeness queue, slots pace at the " +
+      "group delay") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(("a.io", "User-agent: *\nCrawl-delay: 2"))
+      .toDF("host", "body")
+    val pending = ((1 to 10).map(i => (f"https://a.io/$i%02d", "a.io")) ++
+      (1 to 4).map(i => (f"https://b.io/$i%02d", "b.io")))
+      .toDF("url", "host")
+    val scores = Seq(("a.io", 3000000000L), ("b.io", 1000000000L))
+      .toDF("host", "score")
+    // budgets: Σ=4e9, total 4 → a.io floor(3)=3, b.io floor(1)=1
+    val budgeted = graft.operators.Frontier.crawlBudget(
+      pending, "url", "host", scores, "score", total = 4L)
+    val sched = graft.operators.Robots.schedule(
+        budgeted.drop("host", "host_budget"), "url",
+        robots, "host", "body", "GraftBot")
+      .orderBy(col("host"), col("slot")).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("slot"),
+        r.getAs[Long]("fetch_at_ms")))
+    assert(sched.toSeq == Seq(
+      ("https://a.io/01", 0L, 0L), // a.io paces at its 2s crawl-delay
+      ("https://a.io/02", 1L, 2000L),
+      ("https://a.io/03", 2L, 4000L),
+      ("https://b.io/01", 0L, 0L))) // b.io: budget 1, default delay
+  }
+
   test("query-no-path urls match against '/?query' (RFC 9309 matches " +
       "path+query; ADVICE r14)") {
     val s = spark
