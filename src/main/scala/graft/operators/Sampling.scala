@@ -175,6 +175,36 @@ object Sampling {
       salt = salt)
   }
 
+  /** STRATIFIED quality gate — keep the top `frac` of each stratum by
+    * score (CCNet keeps the best perplexity bucket PER LANGUAGE; the
+    * FineWeb ablations filter per dump): a GLOBAL threshold lets one
+    * high-resource stratum crowd every tail stratum out entirely, so
+    * the quantile must be per stratum. Deterministic: rows rank by
+    * (score desc, id asc) within their stratum and the top
+    * ceil(frac · n_s) survive — exact arithmetic, no RNG, same
+    * survivors at any parallelism. One count agg (|strata| rows,
+    * broadcast back) + one per-stratum window. */
+  def keepTopFraction(df: DataFrame, stratumCol: String, scoreCol: String,
+                      idCol: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction $frac not in [0,1]")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol).as("__ks"), col("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    // the threshold multiplies in DECIMAL, not double: 10 × 0.3 is
+    // 3.0000000000000004 in IEEE doubles and would ceil to 4 — a
+    // config-stated fraction is a finite decimal, so the product is
+    // exact and ceil(n·frac) means what the config says
+    val fracDec = lit(new java.math.BigDecimal(frac.toString))
+    df.join(broadcast(counts), col(stratumCol) === col("__ks"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <=
+        ceil(col("__n") * fracDec).cast("long"))
+      .drop("__ks", "__n", "__rk")
+  }
+
   /** Per-row weighted keep (importance sampling — the DSIR-style
     * resampling primitive: keep each document with probability equal to
     * its weight, e.g. a quality score or domain importance ratio in

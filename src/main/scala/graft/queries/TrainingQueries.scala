@@ -1129,6 +1129,34 @@ object TrainingQueries {
                    WHEN 'src1' THEN 500 ELSE 10000 END)
         GROUP BY source ORDER BY source""")),
 
+    // Stratified quality gate (r15 — CCNet keeps the best perplexity
+    // bucket PER LANGUAGE, FineWeb filters per dump: a global score
+    // threshold would let one high-resource stratum crowd the tail
+    // strata out): top ceil(0.3·n_s) per source by (score desc, id),
+    // exact DECIMAL threshold arithmetic (10·0.3 in doubles is
+    // 3.0000000000000004 and would ceil to 4). Survivors bit-checked.
+    Q("q_quality_stratified",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          col("source"),
+          (((col("doc_id") * 37) % 1000).cast("double") / 10)
+            .as("score"))
+        graft.operators.Sampling.keepTopFraction(scored, "source",
+            "score", "doc_id", frac = 0.3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+          CAST((doc_id * 37) % 1000 AS DOUBLE) / 10 AS score
+        FROM documents),
+        c AS (SELECT source, COUNT(*) AS n FROM s GROUP BY source),
+        r AS (SELECT s.doc_id, s.source, s.score,
+          ROW_NUMBER() OVER (PARTITION BY s.source
+            ORDER BY s.score DESC, s.doc_id) AS rk,
+          CAST(CEIL(c.n * CAST(0.3 AS DECIMAL(10,4))) AS BIGINT) AS cut
+        FROM s JOIN c USING (source))
+        SELECT doc_id, source, score FROM r WHERE rk <= cut
+        ORDER BY doc_id""")),
+
     // Temperature-flattened source mixing (p_s ∝ n_s^τ at τ=0.5): the
     // oracle re-learns the per-source counts, re-derives each keep rate
     // (n_min/n_s)^(1-τ), re-rounds the 1/10000 threshold, and replays the

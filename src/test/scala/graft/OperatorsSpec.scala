@@ -2297,6 +2297,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7) == ("example.couk", "example.couk")) // not a PSL match
   }
 
+  test("keepTopFraction: per-stratum ceil quantile, score-desc/id ties, " +
+      "frac 0/1 degeneracies, exact decimal threshold") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    // stratum a: 10 rows (ceil(10·0.3)=3 — the double-arithmetic trap
+    // would ceil 3.0000000000000004 to 4); stratum b: 4 rows → ceil 2
+    val df = ((1 to 10).map(i => (i.toLong, "a", (i % 5).toDouble)) ++
+      (11 to 14).map(i => (i.toLong, "b", 1.0))).toDF("id", "st", "sc")
+    val got = Sampling.keepTopFraction(df, "st", "sc", "id", 0.3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // a: scores 1,2,3,4,0,1,2,3,4,0 → top by (sc desc, id): id 4 (4),
+    // id 9 (4), id 3 (3) — exactly 3 rows
+    // b: all tied at 1.0 → ids 11, 12 (lowest ids win ties)
+    assert(got == Set(("a", 4L), ("a", 9L), ("a", 3L),
+      ("b", 11L), ("b", 12L)))
+    assert(Sampling.keepTopFraction(df, "st", "sc", "id", 0.0)
+      .count() == 0)
+    assert(Sampling.keepTopFraction(df, "st", "sc", "id", 1.0)
+      .count() == 14)
+    // partition-layout invariance: same survivors at any parallelism
+    val one = Sampling.keepTopFraction(df.coalesce(1), "st", "sc", "id",
+      0.3).collect().map(_.getLong(0)).toSet
+    val many = Sampling.keepTopFraction(df.repartition(7), "st", "sc",
+      "id", 0.3).collect().map(_.getLong(0)).toSet
+    assert(one == many)
+  }
+
   test("capPerDomain keeps exactly n per domain, deterministically at any " +
     "parallelism") {
     val s = spark
