@@ -252,6 +252,12 @@ object Bench {
     * host pays one 300 ms sample. */
   private[graft] def awaitQuietHost(cpus: Int,
                                     maxWaitMs: Long = 30000): Long = {
+    // /proc/stat steal is summed over ALL guest vCPUs, so the 2% quiet
+    // share normalizes by the machine's core count, not the Spark
+    // parallelism parameter (ADVICE r15: cpus=4 on a 32-core guest made
+    // the threshold 8× too strict and burned the full wait per event)
+    val hostCores =
+      math.max(Runtime.getRuntime.availableProcessors(), cpus)
     val t0 = System.nanoTime()
     var waitedMs = 0L
     var quiet = false
@@ -259,7 +265,7 @@ object Bench {
       val s0 = stealTicks()
       Thread.sleep(300)
       val stolenMs = stealMsSince(s0)
-      quiet = stolenMs < 0.02 * cpus * 300
+      quiet = stolenMs < 0.02 * hostCores * 300
       waitedMs = (System.nanoTime() - t0) / 1000000
     }
     waitedMs

@@ -23,10 +23,8 @@ object GraftSession {
       }
     }
 
-  def builder(cpus: Int): SparkSession.Builder =
-    envConfs.foldLeft(SparkSession.builder()) { case (b, (k, v)) =>
-      b.config(k, v)
-    }
+  def builder(cpus: Int): SparkSession.Builder = {
+    val base = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,6 +62,11 @@ object GraftSession {
       // MICROS logical type is flagged UTC-adjusted, which the driver's
       // pandas side reads as tz-aware while DuckDB's oracle output is
       // naive → every timestamp column would mismatch.
+    // env overrides apply LAST so SPARK_GRAFT_CONF can override the
+    // built-in keys above too (e.g. spark.sql.shuffle.partitions), the
+    // way spark-submit --conf would (ADVICE r15)
+    envConfs.foldLeft(base) { case (b, (k, v)) => b.config(k, v) }
+  }
 
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt

@@ -99,6 +99,22 @@ object Frontier {
 
   // ----- changed-only re-processing (revisit-fetch economics) -----
 
+  /** Load the change ledger with schema evolution (ADVICE r15): a
+    * ledger written before the conditional-fetch columns existed lacks
+    * `etag`/`last_modified` — backfill them as null strings so
+    * [[latestReceipts]]/[[changedOnlyConditional]] read pre-existing
+    * ledgers instead of failing with AnalysisException (a pre-validator
+    * row genuinely has no receipt, which null states exactly). */
+  private def loadChg(spark: org.apache.spark.sql.SparkSession,
+                      sp: graft.sources.IncrementalIndex.Spec)
+  : DataFrame = {
+    val raw = graft.sources.IncrementalIndex.load(spark, sp, "url")
+    Seq("etag", "last_modified").foldLeft(raw) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast("string"))
+    }
+  }
+
   /** Latest recorded content hash per url: (url → __ph); empty before
     * the first append (every first-batch url is "never seen"). */
   private def latestHashes(spark: org.apache.spark.sql.SparkSession,
@@ -107,7 +123,7 @@ object Frontier {
     if (!new java.io.File(sp.liveDir).isDirectory) {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("__pu", "__ph")
-    } else graft.sources.IncrementalIndex.load(spark, sp, "url")
+    } else loadChg(spark, sp)
       .groupBy(col("url"))
       .agg(max(struct(col("seq"), col("h"))).as("__last"))
       .select(col("url").as("__pu"), col("__last")("h").as("__ph"))
@@ -131,12 +147,16 @@ object Frontier {
                   batch: DataFrame, urlCol: String, contentCol: String,
                   name: String, batchSeq: Long, batchTag: String)
   : DataFrame = {
-    val withH = batch.withColumn("__h",
+    // NULL content never enters the gate (ADVICE r15): a null hash
+    // committed to the ledger would NULL-poison every later comparison
+    // for that url — such rows (a fetch that produced no body) drop
+    // here, and the hash compare below is null-safe besides.
+    val withH = batch.filter(col(contentCol).isNotNull).withColumn("__h",
       graft.functions.Scalars.hash60(col(contentCol)))
     val changed = Checkpoints.eager(
       withH.join(latestHashes(spark, name),
           col(urlCol) === col("__pu"), "left")
-        .filter(col("__pu").isNull || col("__h") =!= col("__ph"))
+        .filter(!(col("__h") <=> col("__ph")))
         .drop("__pu", "__ph"))
     graft.sources.IncrementalIndex.append(spark, spec(spark, name, "chg"),
       changed.select(col(urlCol).as("url"), col("__h").as("h"),
@@ -173,7 +193,7 @@ object Frontier {
     if (!new java.io.File(sp.liveDir).isDirectory)
       loadOrEmpty(spark, sp,
         "url string, cond_etag string, cond_last_modified string")
-    else graft.sources.IncrementalIndex.load(spark, sp, "url")
+    else loadChg(spark, sp)
       .groupBy(col("url"))
       .agg(max(struct(col("seq"), col("h"), col("etag"),
         col("last_modified"))).as("__last"))
@@ -200,7 +220,14 @@ object Frontier {
     *
     * Same tag-idempotence as [[changedOnly]]: a replay of a committed
     * batch returns no new work and appends nothing. One keyed join
-    * against the ledger fold; the batch side never shuffles twice. */
+    * against the ledger fold; the batch side never shuffles twice.
+    *
+    * PRECONDITION (ADVICE r15): one row per url per batch. A batch
+    * carrying the same url twice (e.g. a 304 AND a 200) appends two
+    * ledger rows at one seq, and the latest-wins fold then tie-breaks
+    * by hash/validator string VALUE — deterministic but semantically
+    * arbitrary. A real fetcher issues one request per url per round;
+    * callers merging channels must dedupe on `urlCol` first. */
   def changedOnlyConditional(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, urlCol: String,
                              contentCol: String, statusCol: String,
@@ -213,7 +240,7 @@ object Frontier {
         import spark.implicits._
         Seq.empty[(String, Long, String, String)]
           .toDF("__pu", "__ph", "__pe", "__plm")
-      } else graft.sources.IncrementalIndex.load(spark, sp, "url")
+      } else loadChg(spark, sp)
         .groupBy(col("url"))
         .agg(max(struct(col("seq"), col("h"), col("etag"),
           col("last_modified"))).as("__last"))
@@ -229,11 +256,14 @@ object Frontier {
         coalesce(col(etagCol), col("__pe")).as("etag"),
         coalesce(col(lastModifiedCol), col("__plm")).as("last_modified"),
         lit(batchSeq).as("seq"))
-    // full responses: the changedOnly hash gate
-    val withH = j.filter(!notMod).withColumn("__h",
-      graft.functions.Scalars.hash60(col(contentCol)))
+    // full responses: the changedOnly hash gate. NULL-content 200s drop
+    // before hashing and the compare is null-safe (ADVICE r15) — a null
+    // hash in the ledger would otherwise mute the url forever.
+    val withH = j.filter(!notMod && col(contentCol).isNotNull)
+      .withColumn("__h",
+        graft.functions.Scalars.hash60(col(contentCol)))
     val changed = Checkpoints.eager(
-      withH.filter(col("__pu").isNull || col("__h") =!= col("__ph"))
+      withH.filter(!(col("__h") <=> col("__ph")))
         .drop("__pu", "__ph", "__pe", "__plm"))
     // the append payload reads the PRE-append ledger (carried) — eager
     // both legs so the union can never observe its own append

@@ -166,6 +166,44 @@ class FrontierSpec extends SparkSpec {
     Frontier.dropChangeLedger(s, "cfspec")
   }
 
+  test("NULL-content 200s drop without poisoning the ledger: the url " +
+      "still registers later genuine changes (ADVICE r15)") {
+    val s = spark
+    import s.implicits._
+    Frontier.dropChangeLedger(s, "nullspec")
+    def batch(rows: (String, String)*) = rows.toSeq.toDF("url", "content")
+    def run(seq: Long, tag: String, rows: (String, String)*) =
+      Frontier.changedOnly(s, batch(rows: _*), "url", "content",
+        "nullspec", seq, tag).collect().map(_.getString(0)).toSet
+    // never-seen url arrives with a NULL body (failed fetch): drops,
+    // ledger stays empty for it
+    assert(run(1, "b1", ("u1", null), ("u2", "x")) == Set("u2"))
+    // the url's first REAL body is new work — a committed null hash
+    // would have muted it forever (the old =!= NULL bug)
+    assert(run(2, "b2", ("u1", "a"), ("u2", "x")) == Set("u1"))
+    // a later null body on a SEEN url also drops and leaves the
+    // recorded hash alone
+    assert(run(3, "b3", ("u1", null)) == Set.empty)
+    assert(run(4, "b4", ("u1", "a")) == Set.empty) // still latest
+    assert(run(5, "b5", ("u1", "b")) == Set("u1"))
+    // conditional twin: a null-content 200 drops the same way
+    Frontier.dropChangeLedger(s, "nullspec2")
+    def cbatch(rows: (String, String, Int, String, String)*) =
+      rows.toSeq.toDF("url", "content", "status", "etag", "last_modified")
+    def crun(seq: Long, tag: String,
+             rows: (String, String, Int, String, String)*) =
+      Frontier.changedOnlyConditional(s, cbatch(rows: _*), "url",
+        "content", "status", "etag", "last_modified", "nullspec2",
+        seq, tag).collect().map(_.getString(0)).toSet
+    assert(crun(1, "c1", ("u1", null, 200, "e1", null)) == Set.empty)
+    assert(crun(2, "c2", ("u1", "a", 200, "e2", null)) == Set("u1"))
+    assert(Frontier.latestReceipts(s, "nullspec2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("u1") == "e2")
+    Frontier.dropChangeLedger(s, "nullspec")
+    Frontier.dropChangeLedger(s, "nullspec2")
+  }
+
   test("crawlBudget: proportional floor allocation, min/max clamps, " +
       "unranked hosts get the floor, BIGINT-overflow scores stay exact") {
     val s = spark
