@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *      text is one ordered `concat_ws`-style aggregation.
   *
   * Everything is integer character arithmetic — spans are
-  * oracle-replayable in SQL, and a tokenizer-side loader converts
-  * char spans to token spans after BPE (offsets survive because
-  * [[graft.operators.Vocab]]'s encode is per-word deterministic).
+  * oracle-replayable in SQL — and [[tokenSpans]] completes the
+  * contract in TOKEN space: per-turn [token_start, token_end) in the
+  * packed text's BPE stream (exact because [[graft.operators.Vocab]]'s
+  * encode is per-word deterministic and turns break on whitespace).
   *
   * Scale shape: per-conversation windows partition on the id key (a
   * conversation is KBs — no mega-partition risk); the rendered-text
@@ -86,6 +87,55 @@ object Chats {
           struct(col("turn_idx"), col("__r"))))
           .getField("__r")).as("text"),
         count(lit(1)).as("n_turns"))
+
+  /** TOKEN-aligned turn spans + loss mask — the second half of the SFT
+    * contract [[turnSpans]]' char spans only open: the trainer's loss
+    * mask lives in TOKEN space, so the loader needs each turn's
+    * [token_start, token_end) in the BPE stream of the packed text.
+    *
+    * The conversion leans on one provable invariant: every rendered
+    * turn ends with `\n` and [[graft.functions.TextAnalysis.tokens]]
+    * splits on whitespace, so no token ever crosses a turn boundary —
+    * and BPE segments word-by-word — so
+    *
+    *   bpeEncode(packed text) == per-turn bpeEncode streams
+    *                             concatenated in turn order
+    *
+    * (spec-pinned). Token offsets therefore come WITHOUT re-scanning
+    * the packed text: encode each turn's rendered form, count its
+    * subwords, and running-sum the counts over the conversation window
+    * — the exact token-space twin of [[turnSpans]]' char arithmetic.
+    *
+    * Adds `n_tok`, `token_start`, `token_end` (0-based, end exclusive)
+    * and `mask` (true = the turn's tokens contribute to the loss).
+    * Mask parity with the char spans is structural: both key on
+    * `role ∈ lossRoles` per turn.
+    *
+    * Scale shape: the encode is one per-row projection (codegen
+    * replace chain for small merge tables; the broadcast-vocab tier
+    * past [[Vocab.bpeEncode]]'s `exprChainMax` — no corpus shuffle
+    * either way) plus the same per-conversation window [[turnSpans]]
+    * pays. KB-sized partitions, no driver state. */
+  def tokenSpans(turnsDf: DataFrame, idCol: String,
+                 merges: Seq[(String, String)],
+                 lossRoles: Seq[String] = Seq("assistant"),
+                 wordPattern: String = "^[a-z0-9]+$"): DataFrame = {
+    val withR = turnsDf.withColumn("__rt",
+      rendered(col("role"), col("content")))
+    val enc = Vocab.bpeEncode(withR, "__rt", merges, wordPattern,
+      outCol = "__sub")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    enc
+      .withColumn("n_tok", size(col("__sub")).cast("long"))
+      .withColumn("token_start",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("token_end", col("token_start") + col("n_tok"))
+      .withColumn("mask", col("role").isin(lossRoles: _*))
+      .drop("__rt", "__sub")
+  }
 
   /** Structural validation — the gate SFT trainers enforce before a
     * conversation may become a training example:

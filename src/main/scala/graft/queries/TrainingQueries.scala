@@ -1543,6 +1543,102 @@ object TrainingQueries {
           CASE WHEN kept THEN CAST(ns + rl AS BIGINT) END AS new_end
         FROM o ORDER BY doc_id, turn_idx""")),
 
+    // TOKEN-aligned loss masks (r16 — the SFT contract's second half):
+    // each turn's [token_start, token_end) in the packed text's BPE
+    // stream, from per-turn subword counts + the conversation window
+    // (turns break on whitespace, BPE is per-word, so per-turn encodes
+    // concatenate exactly — spec-pinned). Merges are the 3 learned
+    // rounds (memoized setup); the oracle re-learns them in SQL,
+    // re-tokenizes every rendered turn, replays the replace-chain
+    // segmentation per token, and re-sums — token offsets are derived
+    // fully independently, then bit-checked.
+    Q("q_chat_token_spans",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def roleOf(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def turn(i: Int) = concat(
+          lit("{\"role\":\"" + roleOf(i) + "\",\"content\":\""),
+          substring(ct, 1 + 7 * i, 12 + i), lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        Chats.tokenSpans(Chats.turns(docs, "chat", "doc_id"), "doc_id",
+            roundtripMerges(s, d))
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("mask"), col("n_tok"), col("token_start"),
+            col("token_end"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
+            freq FROM $prev, b$i b)"""
+        }
+        s"""WITH w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
+          freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        cb AS (SELECT doc_id, doc_id % 3 + 2 AS n,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        ct0 AS (SELECT doc_id, ct,
+          unnest(generate_series(0, n - 1)) AS turn_idx FROM cb),
+        ctt AS (SELECT doc_id, turn_idx,
+          CASE WHEN turn_idx = 0 THEN 'system'
+               WHEN turn_idx % 2 = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          substr(ct, CAST(1 + 7 * turn_idx AS INT),
+            CAST(12 + turn_idx AS INT)) AS content
+        FROM ct0),
+        ctr AS (SELECT doc_id, turn_idx, role,
+          '<|' || role || '|>' || content || chr(10) AS rt FROM ctt),
+        ctk AS (SELECT doc_id, turn_idx, role, unnest(${toksSql("rt")})
+          AS wt FROM ctr),
+        csg AS (SELECT doc_id, turn_idx, role,
+          CASE WHEN regexp_matches(wt, '^[a-z0-9]+$$') THEN
+            len(string_split(
+              replace(replace(replace(
+                rtrim(regexp_replace(wt, '(.)', '|\\1| ', 'g')),
+                b1.pat, replace(b1.pat, '| |', '')),
+                b2.pat, replace(b2.pat, '| |', '')),
+                b3.pat, replace(b3.pat, '| |', '')), ' '))
+          ELSE 1 END AS ntk
+          FROM ctk, b1, b2, b3),
+        cnt AS (SELECT doc_id, turn_idx, role,
+          CAST(SUM(ntk) AS BIGINT) AS n_tok
+          FROM csg GROUP BY doc_id, turn_idx, role),
+        cof AS (SELECT *,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS token_start
+        FROM cnt)
+        SELECT doc_id, turn_idx, role, (role = 'assistant') AS mask,
+          n_tok, token_start,
+          CAST(token_start + n_tok AS BIGINT) AS token_end
+        FROM cof ORDER BY doc_id, turn_idx"""
+      },
+      setup = Some((s, d) => roundtripMerges(s, d))),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass

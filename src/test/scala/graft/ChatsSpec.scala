@@ -69,6 +69,62 @@ class ChatsSpec extends SparkSpec {
     assert(userMask == Seq(true, false, true, false))
   }
 
+  test("tokenSpans: offsets tile the packed text's BPE stream exactly " +
+      "(per-turn encodes concatenate to the full-text encode), mask " +
+      "mirrors the char-span mask per turn") {
+    val s = spark
+    import s.implicits._
+    val turns = Seq(
+      (1L, 0L, "system", "aa ab"),
+      (1L, 1L, "user", "abab b2! cc"),
+      (1L, 2L, "assistant", "ab aa"),
+      (2L, 0L, "user", ""),
+      (2L, 1L, "assistant", "zz")).toDF("id", "turn_idx", "role",
+      "content")
+    val merges = Seq(("a", "a"), ("a", "b"))
+    val ts = Chats.tokenSpans(turns, "id", merges)
+      .orderBy(col("id"), col("turn_idx")).collect()
+    // hand-checked: role-glued tokens pass through whole (1 subword),
+    // 'ab' merges to 1, 'cc' stays 2, 'b2!' passes whole
+    assert(ts.map(_.getAs[Long]("n_tok")).toSeq == Seq(2L, 4L, 2L, 1L, 1L))
+    assert(ts.map(_.getAs[Long]("token_start")).toSeq ==
+      Seq(0L, 2L, 6L, 0L, 1L))
+    assert(ts.map(_.getAs[Long]("token_end")).toSeq ==
+      Seq(2L, 6L, 8L, 1L, 2L))
+    assert(ts.map(_.getAs[Boolean]("mask")).toSeq ==
+      Seq(false, false, true, false, true))
+    // THE invariant: encoding the packed text in one shot equals the
+    // per-turn encodes concatenated in turn order — token offsets
+    // derived per turn are therefore offsets into the real stream
+    val packed = Chats.packWithMask(turns, "id")
+    val full = graft.operators.Vocab.bpeEncode(packed, "text", merges)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[String](r.fieldIndex("subwords"))).toMap
+    val perTurn = graft.operators.Vocab.bpeEncode(
+        turns.withColumn("rt", concat(lit("<|"), col("role"), lit("|>"),
+          col("content"), lit("\n"))), "rt", merges, outCol = "sub")
+      .orderBy(col("id"), col("turn_idx")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getSeq[String](r.fieldIndex("sub")))
+    perTurn.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.flatMap(_._2).toSeq == full(id).toSeq,
+        s"per-turn concat != full-text encode for id $id")
+    }
+    // mask parity with the char-span contract, turn by turn
+    val charMask = Chats.turnSpans(turns, "id")
+      .orderBy(col("id"), col("turn_idx")).collect()
+      .map(_.getAs[Boolean]("mask")).toSeq
+    assert(ts.map(_.getAs[Boolean]("mask")).toSeq == charMask)
+    // and token spans tile: each start = previous end within an id
+    ts.groupBy(_.getAs[Long]("id")).foreach { case (_, rows) =>
+      rows.sortBy(_.getAs[Long]("turn_idx")).sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("token_end") ==
+          b.getAs[Long]("token_start"))
+        case _ => ()
+      }
+    }
+  }
+
   test("validateTurns: alternation, leading-system-only, known roles, " +
       "assistant-final — each violation class flags alone") {
     val s = spark
