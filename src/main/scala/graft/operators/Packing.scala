@@ -153,6 +153,70 @@ object Packing {
           .cast("long").as("n_tokens"))
   }
 
+  /** MULTI-EXAMPLE sample packing with attention boundaries — the SFT
+    * trainer's window builder: many short examples pack into fixed
+    * `capacity`-token context windows WITHOUT splitting any example
+    * (unlike [[concatChunks]], which cuts mid-document), and each
+    * window's per-example [start_off, end_off) boundaries feed the
+    * block-diagonal attention mask that stops examples attending to
+    * each other. Algorithm: first-fit-decreasing per group — items
+    * sort by (len desc, id) and each takes the first window with
+    * room, opening a new one otherwise ("Fewer Truncations Improve
+    * Language Modeling", Ding et al. 2024, packs SFT corpora exactly
+    * this way). An item longer than `capacity` opens its own window
+    * (which then never fits anything else) — flagged by
+    * `len > capacity`, never silently truncated.
+    *
+    * `groupCol` is the parallel unit (a shard/date key): packing is
+    * inherently sequential within a window set, so each group packs
+    * independently and deterministically — same input, same windows
+    * at any cluster parallelism. Groups must be bounded (≤ ~1M items:
+    * one shard), which is also what loaders want — windows that
+    * stream shard-by-shard. Ties in the sort break on the STRING form
+    * of the id (engine-independent; ids must be unique).
+    *
+    * Output: one row per example — (groupCol, idCol, len, bin, slot,
+    * start_off, end_off): window index within the group, position in
+    * the window, and the boundary offsets. Scale shape: one shuffle
+    * into groups (O(group) executor memory in the packing pass), one
+    * keyed join restoring the caller's id/group dtypes; rows are
+    * id+len metadata, never the text itself. */
+  def packExamples(df: DataFrame, idCol: String, lenCol: String,
+                   groupCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val asg = df
+      .filter(col(lenCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(idCol).cast("string"),
+        col(lenCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val sorted = it.map { case (_, id, len) => (id, len) }.toArray
+          .sortBy { case (id, len) => (len, id) }(
+            Ordering.Tuple2(Ordering[Long].reverse, Ordering[String]))
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val cnt = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.iterator.map { case (id, len) =>
+          var b = 0
+          while (b < rem.length && rem(b) < len) b += 1
+          if (b == rem.length) { rem += capacity; fill += 0L; cnt += 0L }
+          rem(b) -= len
+          val out = (g, id, len, b.toLong, cnt(b), fill(b), fill(b) + len)
+          cnt(b) += 1
+          fill(b) += len
+          out
+        }
+      }
+      .toDF("__g", "__id", "len", "bin", "slot", "start_off", "end_off")
+    df.select(col(groupCol), col(idCol))
+      .join(asg, col(groupCol).cast("string") === col("__g") &&
+        col(idCol).cast("string") === col("__id"))
+      .drop("__g", "__id")
+  }
+
   /** Per-chunk occupancy view over a packed corpus: how many documents
     * touch each chunk and how many of its `budget` token slots are filled
     * (every chunk except the last must be exactly full — the spec gate). */

@@ -1668,6 +1668,70 @@ object TrainingQueries {
             AS BIGINT) AS end_chunk
         FROM w ORDER BY doc_id""")),
 
+    // Multi-example sample packing (r16): first-fit-decreasing into
+    // 128-token windows per group — whole examples, per-window
+    // [start_off, end_off) attention boundaries. Synthesis: 8 groups,
+    // lens 3..99 plus %101 oversize (150 > capacity — owns a window
+    // that never refills). The oracle replays FFD ITSELF — a DuckDB
+    // recursive CTE carrying each group's remaining-capacity list,
+    // first-fit via list_position over a >=len scan, all groups
+    // advancing in lockstep — so bin assignment, slots, and boundary
+    // offsets are bit-checked, not just invariants.
+    Q("q_pack_examples",
+      (s, d) => {
+        val did = col("doc_id")
+        val items = Tables.documents(s, d).select(did,
+          (did % 8).as("grp"),
+          when(did % 101 === 0, lit(150L))
+            .otherwise((did * 7) % 97 + 3).cast("long").as("len"))
+        graft.operators.Packing.packExamples(items, "doc_id", "len",
+            "grp", capacity = 128L)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val pos = "NULLIF(list_position(list_transform(st.caps, " +
+          "c -> c >= it.len), true), 0)"
+        s"""WITH RECURSIVE items AS (
+          SELECT doc_id % 8 AS grp, doc_id AS id,
+            CAST(CASE WHEN doc_id % 101 = 0 THEN 150
+              ELSE (doc_id * 7) % 97 + 3 END AS BIGINT) AS len
+          FROM documents),
+        it AS (
+          SELECT grp, id, len,
+            ROW_NUMBER() OVER (PARTITION BY grp
+              ORDER BY len DESC, CAST(id AS VARCHAR)) AS i,
+            COUNT(*) OVER (PARTITION BY grp) AS n
+          FROM items),
+        st AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS id,
+            CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin,
+            CAST([] AS BIGINT[]) AS caps, n
+          FROM (SELECT DISTINCT grp, n FROM it)
+          UNION ALL
+          SELECT it.grp, it.i, it.id, it.len,
+            CASE WHEN $pos IS NULL THEN len(st.caps)
+                 ELSE $pos - 1 END AS bin,
+            CASE WHEN $pos IS NULL
+                 THEN list_append(st.caps, 128 - it.len)
+                 ELSE list_slice(st.caps, 1, $pos - 1)
+                      || [st.caps[$pos] - it.len]
+                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 END AS caps,
+            st.n
+          FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
+          WHERE st.i < st.n)
+        SELECT grp, id AS doc_id, len, CAST(bin AS BIGINT) AS bin,
+          CAST(ROW_NUMBER() OVER (PARTITION BY grp, bin ORDER BY i) - 1
+            AS BIGINT) AS slot,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY grp, bin ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_off,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY grp, bin ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + len
+            AS BIGINT) AS end_off
+        FROM st WHERE i > 0 ORDER BY doc_id"""
+      }),
+
     // Per-document sliding-window chunking (RAG / long-context prep):
     // 40-token windows advancing by 30 (10-token overlap), final window
     // short, empty docs emit nothing. Pure generator work — zero

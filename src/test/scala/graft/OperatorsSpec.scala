@@ -478,6 +478,46 @@ class OperatorsSpec extends SparkSpec {
     assert(packed13 == got)
   }
 
+  test("packExamples: hand-checked FFD windows, oversize items own a " +
+      "window, boundaries tile, groups independent, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val items = Seq(
+      ("a", 1L, 6L), ("a", 2L, 5L), ("a", 3L, 4L), ("a", 4L, 4L),
+      ("a", 5L, 2L), ("a", 6L, 12L), // oversize vs capacity 10
+      ("b", 7L, 3L)).toDF("grp", "id", "len")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packExamples(df, "id", "len", "grp", capacity = 10L)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[String]("grp"), r.getAs[Long]("bin"),
+            r.getAs[Long]("slot"), r.getAs[Long]("start_off"),
+            r.getAs[Long]("end_off"))).toMap
+    val got = run(items)
+    // FFD order in 'a': 12(id6) 6(id1) 5(id2) 4(id3) 4(id4) 2(id5)
+    assert(got(6L) == (("a", 0L, 0L, 0L, 12L))) // oversize: own window
+    assert(got(1L) == (("a", 1L, 0L, 0L, 6L)))
+    assert(got(3L) == (("a", 1L, 1L, 6L, 10L))) // first fit into bin 1
+    assert(got(2L) == (("a", 2L, 0L, 0L, 5L)))
+    assert(got(4L) == (("a", 2L, 1L, 5L, 9L)))
+    assert(got(5L) == (("a", 3L, 0L, 0L, 2L))) // nothing had room ≥ 2
+    assert(got(7L) == (("b", 0L, 0L, 0L, 3L))) // groups independent
+    // id dtype survives the round trip (long in, long out)
+    assert(Packing.packExamples(items, "id", "len", "grp", 10L)
+      .schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // determinism at any parallelism
+    assert(run(items.repartition(7)) == got)
+    // non-oversize windows never exceed capacity
+    val fills = Packing.packExamples(items, "id", "len", "grp", 10L)
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(col("len")).as("fill"), max(col("len")).as("mx"))
+      .collect()
+    fills.foreach { r =>
+      assert(r.getAs[Long]("fill") <= 10L || r.getAs[Long]("mx") > 10L)
+    }
+  }
+
   test("shardByTokens: docs whole, shard sizes budget ± one doc, " +
       "partition-invariant; writeShards round-trips partitioned by shard") {
     val s = spark
