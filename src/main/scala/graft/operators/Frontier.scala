@@ -329,12 +329,25 @@ object Frontier {
     * integer-ms, oracle-replayable. */
   def revisitDue(fetched: DataFrame, urlCol: String, fetchedAtCol: String,
                  meta: DataFrame, locCol: String, nowMs: Long,
-                 defaultIntervalMs: Long = 86400000L): DataFrame = {
+                 defaultIntervalMs: Long = 86400000L): DataFrame =
+    revisitCore(fetched, urlCol, fetchedAtCol, meta, locCol, nowMs,
+      lit(defaultIntervalMs))
+
+  /** [[revisitDue]] body with a caller-supplied FALLBACK interval
+    * column for urls whose sitemap changefreq is absent (the plain
+    * path passes the constant default; the adaptive path passes the
+    * ledger-derived estimate). Output additionally carries
+    * `interval_ms` — the interval actually applied (null = `never`). */
+  private def revisitCore(fetched: DataFrame, urlCol: String,
+                          fetchedAtCol: String, meta: DataFrame,
+                          locCol: String, nowMs: Long,
+                          fallbackIntervalMs: org.apache.spark.sql.Column)
+  : DataFrame = {
     val m = meta.select(col(locCol).as("__mu"),
       col("lastmod_date").as("__lm"), col("changefreq").as("__cf"),
       col("priority").as("__pr"))
     val interval = ChangefreqMs.foldLeft(
-      when(col("__cf").isNull, lit(defaultIntervalMs))) {
+      when(col("__cf").isNull, fallbackIntervalMs)) {
         case (e, (k, v)) => e.when(col("__cf") === k, lit(v))
       } // 'never' and unknown values fall through to null = no interval
     val lastmodMs = col("__lm").cast("timestamp").cast("long") * 1000
@@ -355,7 +368,80 @@ object Frontier {
         col(urlCol))
     due.withColumn("revisit_rank",
         (row_number().over(w)).cast("long"))
+      .withColumn("interval_ms", col("__iv"))
       .drop("__mu", "__lm", "__cf", "__pr", "__iv")
+  }
+
+  /** Per-url CHANGE-RATE estimate from the conditional change ledger —
+    * the observed twin of sitemap changefreq: over the url's receipt
+    * history (seq-ordered), `n_revisits` = observations after the
+    * first, `n_changed` = how many of them carried a NEW content hash.
+    * Exact under the [[changedOnlyConditional]] contract where every
+    * revisit leaves a receipt (changed 200s append the new hash, 304s
+    * carry the old one forward); validator-less unchanged revisits
+    * append nothing, so a plain-[[changedOnly]] ledger UNDERCOUNTS
+    * revisits and the estimate errs toward "changes often" — the
+    * conservative direction for a crawler. One keyed window + one
+    * keyed agg over the ledger (receipts, never the corpus). */
+  def changeRates(spark: org.apache.spark.sql.SparkSession,
+                  name: String): DataFrame = {
+    val sp = spec(spark, name, "chg")
+    if (!new java.io.File(sp.liveDir).isDirectory)
+      loadOrEmpty(spark, sp,
+        "url string, n_revisits bigint, n_changed bigint")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url")).orderBy(col("seq"))
+      loadChg(spark, sp)
+        .withColumn("__ph", lag(col("h"), 1).over(w))
+        .groupBy(col("url"))
+        .agg((count(lit(1)) - 1).as("n_revisits"),
+          sum(when(col("__ph").isNotNull && col("h") =!= col("__ph"), 1L)
+            .otherwise(0L)).as("n_changed"))
+    }
+  }
+
+  /** CHANGE-RATE-ADAPTIVE revisit scheduling — closes the crawl-
+    * economics loop [[revisitDue]] only approximates from declared
+    * metadata: where a url has NO sitemap changefreq, its revisit
+    * interval comes from its own observed history instead of a blanket
+    * default. The estimator inverts the observed rate:
+    *
+    *   interval = clamp(default · n_revisits DIV n_changed, min, max)
+    *
+    * — a page that changed on every revisit polls at `default`, one
+    * that changed half the time at 2·default, one never seen to change
+    * at `max` (never-crawled-again is a policy no crawler wants, so
+    * the cap, not `never`); urls with no history fall back to
+    * `default`. Integer-exact (DIV), oracle-replayable. Declared
+    * changefreq still wins where present (the site knows best), as
+    * does a fresh lastmod. Output = [[revisitDue]]'s plus
+    * `interval_ms`/`n_revisits`/`n_changed` for observability. One
+    * extra keyed join vs [[revisitDue]] — receipts-sized, never the
+    * corpus. */
+  def revisitDueAdaptive(fetched: DataFrame, urlCol: String,
+                         fetchedAtCol: String, meta: DataFrame,
+                         locCol: String, rates: DataFrame, nowMs: Long,
+                         defaultIntervalMs: Long = 86400000L,
+                         minIntervalMs: Long = 3600000L,
+                         maxIntervalMs: Long = 2592000000L): DataFrame = {
+    require(minIntervalMs <= maxIntervalMs && defaultIntervalMs > 0,
+      s"bad intervals: default=$defaultIntervalMs min=$minIntervalMs " +
+        s"max=$maxIntervalMs")
+    val r = rates.select(col("url").as("__ru"),
+      col("n_revisits").as("n_revisits"),
+      col("n_changed").as("n_changed"))
+    val withR = fetched.join(r, col(urlCol) === col("__ru"), "left")
+      .drop("__ru")
+    val fallback =
+      when(col("n_revisits").isNull || col("n_revisits") === 0,
+        lit(defaultIntervalMs))
+        .when(col("n_changed") === 0, lit(maxIntervalMs))
+        .otherwise(least(greatest(
+          expr(s"($defaultIntervalMs * n_revisits) DIV n_changed"),
+          lit(minIntervalMs)), lit(maxIntervalMs)))
+    revisitCore(withR, urlCol, fetchedAtCol, meta, locCol, nowMs,
+      fallback)
   }
 
   /** SCORE-PROPORTIONAL crawl budgets — how a bounded fetch round is

@@ -859,6 +859,89 @@ object CrawlQueries {
             staleness_ms DESC, url) AS cond_rank
         FROM rc ORDER BY url""")),
 
+    // CHANGE-RATE-ADAPTIVE revisit intervals (r16) — the ledger-driven
+    // twin of q_revisit_due's declared changefreq: four conditional
+    // crawl rounds leave a full receipt history (round 1 fetches all
+    // with ETags; rounds 2/3/4 rewrite the %2s/%3s/%5s and 304 the
+    // rest), so every url's observed change count is %2+%3+%5 ∈ [0,3].
+    // Where no changefreq is declared the interval inverts that rate —
+    // default·revisits DIV changes, clamped [1.5d, 30d]; never-changed
+    // urls poll at the 30d cap, %7s carry a DECLARED 'weekly' that
+    // wins over their history. The oracle re-derives rates closed-form
+    // from the synthesis pattern — the ledger fold, the estimator, the
+    // clamps, and the due set are all bit-checked.
+    Q("q_revisit_adaptive",
+      (s, d) => {
+        import graft.operators.Frontier
+        val did = col("doc_id")
+        val url = concat(lit("https://h"), (did % 29).cast("string"),
+          lit(".example.org/doc/"), did.cast("string"))
+        val name = s"adp_${CorpusKey.of(d)}"
+        Frontier.dropChangeLedger(s, name)
+        val docs = Tables.documents(s, d)
+        def cond(batch: DataFrame, seq: Long, tag: String) =
+          Frontier.changedOnlyConditional(s, batch, "url", "content",
+            "status", "etag", "last_modified", name, seq, tag)
+        val r1 = docs.select(url.as("url"),
+          concat(col("text"), lit("|1")).as("content"),
+          lit(200).as("status"),
+          concat(lit("e1-"), did.cast("string")).as("etag"),
+          lit(null).cast("string").as("last_modified"))
+        cond(r1, 1, "b1")
+        def round(k: Int, mod: Int) = docs.select(url.as("url"),
+          when(did % mod === 0, concat(col("text"), lit(s"|$k")))
+            .as("content"),
+          when(did % mod === 0, 200).otherwise(304).as("status"),
+          when(did % mod === 0, concat(lit(s"e$k-"), did.cast("string")))
+            .as("etag"),
+          lit(null).cast("string").as("last_modified"))
+        cond(round(2, 2), 2, "b2")
+        cond(round(3, 3), 3, "b3")
+        cond(round(4, 5), 4, "b4")
+        val fetched = docs.select(url.as("url"),
+          (lit(1767225600000L) + (did % 20) * 86400000L)
+            .as("fetched_at_ms"))
+        val meta = docs.filter(did % 7 === 0).select(url.as("loc"),
+          lit(null).cast("date").as("lastmod_date"),
+          lit("weekly").as("changefreq"),
+          lit(null).cast("decimal(2,1)").as("priority"))
+        Frontier.revisitDueAdaptive(fetched, "url", "fetched_at_ms",
+            meta, "loc", Frontier.changeRates(s, name),
+            nowMs = 1768953600000L, defaultIntervalMs = 86400000L,
+            minIntervalMs = 129600000L, maxIntervalMs = 2592000000L)
+          .select(col("url"), col("host"), col("n_revisits"),
+            col("n_changed"), col("interval_ms"), col("staleness_ms"),
+            col("revisit_rank"))
+          .orderBy(col("url"))
+      },
+      Some("""WITH f AS (SELECT
+          'https://h' || CAST(doc_id % 29 AS VARCHAR) ||
+            '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          1767225600000 + (doc_id % 20) * 86400000 AS fa,
+          doc_id AS did FROM documents),
+        rt AS (SELECT url, fa, did,
+          CAST(3 AS BIGINT) AS n_revisits,
+          CAST((CASE WHEN did % 2 = 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN did % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_changed
+          FROM f),
+        aiv AS (SELECT *, CASE WHEN did % 7 = 0 THEN 604800000
+            WHEN n_changed = 0 THEN 2592000000
+            ELSE LEAST(GREATEST((86400000 * n_revisits) // n_changed,
+              129600000), 2592000000) END AS interval_ms
+          FROM rt),
+        du AS (SELECT url, did, n_revisits, n_changed, interval_ms,
+            lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1))
+              AS host,
+            1768953600000 - fa AS staleness_ms
+          FROM aiv WHERE fa + interval_ms <= 1768953600000)
+        SELECT url, host, n_revisits, n_changed,
+          CAST(interval_ms AS BIGINT) AS interval_ms, staleness_ms,
+          ROW_NUMBER() OVER (PARTITION BY host
+            ORDER BY staleness_ms DESC, url) AS revisit_rank
+        FROM du ORDER BY url""")),
+
     // robots.txt FETCH-STATUS semantics (RFC 9309 §2.3.1) — a crawl
     // knows a fetch RESULT per host, not always a body: 5xx hosts are
     // complete-disallow (the file is undefined), 4xx hosts (incl. 404)

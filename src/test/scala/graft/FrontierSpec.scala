@@ -204,6 +204,55 @@ class FrontierSpec extends SparkSpec {
     Frontier.dropChangeLedger(s, "nullspec2")
   }
 
+  test("changeRates + revisitDueAdaptive: observed rates invert to " +
+      "intervals with clamps; declared changefreq and fresh lastmod " +
+      "still win; no-history urls fall back to the default") {
+    val s = spark
+    import s.implicits._
+    Frontier.dropChangeLedger(s, "adspec")
+    def cbatch(rows: (String, String, Int, String, String)*) =
+      rows.toSeq.toDF("url", "content", "status", "etag", "last_modified")
+    def crun(seq: Long, tag: String,
+             rows: (String, String, Int, String, String)*) =
+      Frontier.changedOnlyConditional(s, cbatch(rows: _*), "url",
+        "content", "status", "etag", "last_modified", "adspec", seq, tag)
+        .collect()
+    crun(1, "a1", ("u1", "a", 200, "e1", null),
+      ("u2", "b", 200, "e1", null), ("u3", "c", 200, "e1", null))
+    crun(2, "a2", ("u1", "a2", 200, "e2", null),
+      ("u2", null, 304, null, null), ("u3", "c2", 200, "e2", null))
+    crun(3, "a3", ("u1", "a3", 200, "e3", null),
+      ("u2", null, 304, null, null), ("u3", null, 304, null, null))
+    val rates = Frontier.changeRates(s, "adspec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // u1 changed on both revisits, u2 on neither, u3 on one
+    assert(rates == Map("u1" -> ((2L, 2L)), "u2" -> ((2L, 0L)),
+      "u3" -> ((2L, 1L))))
+    val fetched = Seq(("u1", 0L), ("u2", 0L), ("u3", 0L), ("u4", 0L))
+      .toDF("url", "fetched_at_ms")
+    // u2 declares a FRESH lastmod (due regardless of its 0-rate cap);
+    // u3 declares hourly (declared wins over its adaptive 200ms)
+    val meta = Seq(
+      ("u2", Some("2026-01-01"), None: Option[String]),
+      ("u3", None: Option[String], Some("hourly")))
+      .toDF("loc", "lm", "changefreq")
+      .withColumn("lastmod_date", col("lm").cast("date")).drop("lm")
+      .withColumn("priority", lit(null).cast("double"))
+    val got = Frontier.revisitDueAdaptive(fetched, "url",
+        "fetched_at_ms", meta, "loc",
+        Frontier.changeRates(s, "adspec"), nowMs = 300L,
+        defaultIntervalMs = 100L, minIntervalMs = 150L,
+        maxIntervalMs = 1000L)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("interval_ms")).toMap
+    // u1: 100·2/2 = 100 → min-clamps to 150, due at 300
+    // u2: 0 changes → 1000 cap, NOT elapsed — due only via lastmod
+    // u3: declared hourly → 3_600_000, not due
+    // u4: no history → default 100, due
+    assert(got == Map("u1" -> 150L, "u2" -> 1000L, "u4" -> 100L))
+    Frontier.dropChangeLedger(s, "adspec")
+  }
+
   test("crawlBudget: proportional floor allocation, min/max clamps, " +
       "unranked hosts get the floor, BIGINT-overflow scores stay exact") {
     val s = spark
