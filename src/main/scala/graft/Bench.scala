@@ -117,7 +117,12 @@ object Bench {
     "q_canonical_dedup", "q_mix_token_budget", "q_hard_negatives_ivf",
     // r15: conditional-fetch ledger, status verdicts, budgets, SURT
     "q_revisit_conditional", "q_robots_unavailable", "q_crawl_budget",
-    "q_url_surt")
+    "q_url_surt",
+    // r16: chat/DPO tier (from_json is interpreted by necessity — the
+    // highest per-byte cost in the repo, so its curve must ship) plus
+    // the round's new gates
+    "q_chat_pack", "q_dpo_pairs", "q_chat_token_spans",
+    "q_pack_examples", "q_revisit_adaptive")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -163,6 +168,9 @@ object Bench {
     "q_chat_pack" -> Set("ArraySort", "JsonToStructs"),
     "q_chat_validate" -> Set("JsonToStructs"),
     "q_chat_fit" -> Set("JsonToStructs"),
+    // token spans: same chat parse + the BPE expr-chain tier's per-word
+    // segmentation HOFs (3 merges — per-row small-array work)
+    "q_chat_token_spans" -> Set("ArrayTransform", "JsonToStructs"),
     // prompt rendering maps over the per-conversation turns array
     // (KB-sized); the parse is the operator, as in the chat gates
     "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),
