@@ -122,7 +122,7 @@ object Bench {
     // highest per-byte cost in the repo, so its curve must ship) plus
     // the round's new gates
     "q_chat_pack", "q_dpo_pairs", "q_chat_token_spans",
-    "q_pack_examples", "q_revisit_adaptive")
+    "q_pack_examples", "q_revisit_adaptive", "q_sft_windows")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -171,6 +171,7 @@ object Bench {
     // token spans: same chat parse + the BPE expr-chain tier's per-word
     // segmentation HOFs (3 merges — per-row small-array work)
     "q_chat_token_spans" -> Set("ArrayTransform", "JsonToStructs"),
+    "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs"),
     // prompt rendering maps over the per-conversation turns array
     // (KB-sized); the parse is the operator, as in the chat gates
     "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),

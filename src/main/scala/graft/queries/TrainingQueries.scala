@@ -1639,6 +1639,162 @@ object TrainingQueries {
       },
       setup = Some((s, d) => roundtripMerges(s, d))),
 
+    // SFT FACTORY capstone (r16): raw chat logs → trainable windows in
+    // one composed pipeline — validateTurns gates malformed logs
+    // (q_chat_validate's synthesis: only n=3 alternates and ends on
+    // assistant; %7s double a speaker, %13s carry an off-vocab role),
+    // tokenSpans prices every valid conversation in BPE tokens,
+    // packExamples FFDs whole conversations into 32-token windows per
+    // shard group, and each turn's loss-mask span lands REBASED into
+    // its window (win_start = window offset + turn token offset) — the
+    // block-diagonal-attention + token-mask contract a trainer loads
+    // directly. The oracle replays ALL of it in one statement: merge
+    // learning, validity, per-turn token counts, the FFD recursion,
+    // and the rebase join — every window boundary and mask span in the
+    // corpus is bit-checked through four composed operators.
+    Q("q_sft_windows",
+      (s, d) => {
+        import graft.operators.{Chats, Packing}
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def baseRole(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def roleCol(i: Int): org.apache.spark.sql.Column =
+          if (i != 1) lit(baseRole(i))
+          else when(did % 7 === 0, "assistant")
+            .when(did % 13 === 0, "tool")
+            .otherwise(baseRole(i))
+        def turn(i: Int) = concat(lit("{\"role\":\""), roleCol(i),
+          lit("\",\"content\":\""), substring(ct, 1 + 7 * i, 12 + i),
+          lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val t = Chats.turns(docs, "chat", "doc_id")
+        val valid = Chats.validateTurns(t, "doc_id")
+          .filter(col("valid")).select(col("doc_id"))
+        val spans = Chats.tokenSpans(t.join(valid, "doc_id"), "doc_id",
+          roundtripMerges(s, d))
+        val conv = spans.groupBy(col("doc_id"))
+          .agg(max(col("token_end")).as("len"))
+          .withColumn("grp", col("doc_id") % 4)
+        val packed = Packing.packExamples(conv, "doc_id", "len", "grp",
+          capacity = 32L)
+        spans.join(packed.select(col("doc_id"), col("grp"), col("bin"),
+            col("slot"), col("start_off")), "doc_id")
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("mask"), col("grp"), col("bin"), col("slot"),
+            (col("start_off") + col("token_start")).as("win_start"),
+            (col("start_off") + col("token_end")).as("win_end"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
+            freq FROM $prev, b$i b)"""
+        }
+        val pos = "NULLIF(list_position(list_transform(st.caps, " +
+          "c -> c >= it.len), true), 0)"
+        s"""WITH RECURSIVE w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
+          freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        vb AS (SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents
+        WHERE doc_id % 3 = 1 AND doc_id % 7 != 0 AND doc_id % 13 != 0),
+        vt0 AS (SELECT doc_id, ct,
+          unnest(generate_series(0, 2)) AS turn_idx FROM vb),
+        vtt AS (SELECT doc_id, turn_idx,
+          CASE WHEN turn_idx = 0 THEN 'system'
+               WHEN turn_idx = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          substr(ct, CAST(1 + 7 * turn_idx AS INT),
+            CAST(12 + turn_idx AS INT)) AS content
+        FROM vt0),
+        vtr AS (SELECT doc_id, turn_idx, role,
+          '<|' || role || '|>' || content || chr(10) AS rt FROM vtt),
+        vtk AS (SELECT doc_id, turn_idx, role, unnest(${toksSql("rt")})
+          AS wt FROM vtr),
+        vsg AS (SELECT doc_id, turn_idx, role,
+          CASE WHEN regexp_matches(wt, '^[a-z0-9]+$$') THEN
+            len(string_split(
+              replace(replace(replace(
+                rtrim(regexp_replace(wt, '(.)', '|\\1| ', 'g')),
+                b1.pat, replace(b1.pat, '| |', '')),
+                b2.pat, replace(b2.pat, '| |', '')),
+                b3.pat, replace(b3.pat, '| |', '')), ' '))
+          ELSE 1 END AS ntk
+          FROM vtk, b1, b2, b3),
+        vcnt AS (SELECT doc_id, turn_idx, role,
+          CAST(SUM(ntk) AS BIGINT) AS n_tok
+          FROM vsg GROUP BY doc_id, turn_idx, role),
+        vcof AS (SELECT *,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS token_start
+        FROM vcnt),
+        cv AS (SELECT doc_id, doc_id % 4 AS grp,
+          CAST(SUM(n_tok) AS BIGINT) AS len
+          FROM vcnt GROUP BY doc_id),
+        it AS (SELECT grp, doc_id AS id, len,
+          ROW_NUMBER() OVER (PARTITION BY grp
+            ORDER BY len DESC, CAST(doc_id AS VARCHAR)) AS i,
+          COUNT(*) OVER (PARTITION BY grp) AS nn
+          FROM cv),
+        st AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS id,
+            CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin,
+            CAST([] AS BIGINT[]) AS caps, nn
+          FROM (SELECT DISTINCT grp, nn FROM it)
+          UNION ALL
+          SELECT it.grp, it.i, it.id, it.len,
+            CASE WHEN $pos IS NULL THEN len(st.caps)
+                 ELSE $pos - 1 END AS bin,
+            CASE WHEN $pos IS NULL
+                 THEN list_append(st.caps, 32 - it.len)
+                 ELSE list_slice(st.caps, 1, $pos - 1)
+                      || [st.caps[$pos] - it.len]
+                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 END AS caps,
+            st.nn
+          FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
+          WHERE st.i < st.nn),
+        asg AS (SELECT grp, id, CAST(bin AS BIGINT) AS bin,
+          CAST(ROW_NUMBER() OVER (PARTITION BY grp, bin ORDER BY i) - 1
+            AS BIGINT) AS slot,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY grp, bin ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_off
+          FROM st WHERE i > 0)
+        SELECT c.doc_id, c.turn_idx, c.role,
+          (c.role = 'assistant') AS mask,
+          CAST(a.grp AS BIGINT) AS grp, a.bin, a.slot,
+          CAST(a.start_off + c.token_start AS BIGINT) AS win_start,
+          CAST(a.start_off + c.token_start + c.n_tok AS BIGINT)
+            AS win_end
+        FROM vcof c JOIN asg a ON c.doc_id = a.id
+        ORDER BY c.doc_id, c.turn_idx"""
+      },
+      setup = Some((s, d) => roundtripMerges(s, d))),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass
