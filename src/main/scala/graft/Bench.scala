@@ -169,9 +169,12 @@ object Bench {
     "q_chat_validate" -> Set("JsonToStructs"),
     "q_chat_fit" -> Set("JsonToStructs"),
     // token spans: same chat parse + the BPE expr-chain tier's per-word
-    // segmentation HOFs (3 merges — per-row small-array work)
-    "q_chat_token_spans" -> Set("ArrayTransform", "JsonToStructs"),
-    "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs"),
+    // segmentation HOFs (3 merges — per-row small-array work); ZipWith
+    // is the memoized merge-LEARNING setup (q_bpe_merges' pair
+    // alignment), paid once by whichever chat gate runs first
+    "q_chat_token_spans" ->
+      Set("ArrayTransform", "JsonToStructs", "ZipWith"),
+    "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs", "ZipWith"),
     // prompt rendering maps over the per-conversation turns array
     // (KB-sized); the parse is the operator, as in the chat gates
     "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),
