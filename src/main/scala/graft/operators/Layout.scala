@@ -101,4 +101,107 @@ object Layout {
         max(col(c).cast("double")).as(s"hi_$c")))
     withPid.groupBy(col("__pid")).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ---- semantic document ordering (in-context pretraining) ----------
+  // "In-Context Pretraining: Language Modeling Beyond Document
+  // Boundaries" (Shi et al. 2024): order the corpus so RELATED
+  // documents are adjacent before concat-and-chunk packing — the model
+  // then reads coherent multi-document contexts instead of random
+  // juxtapositions. The paper walks a greedy nearest-neighbor path
+  // over document embeddings within each shard; this is that walk,
+  // deterministic and oracle-replayable.
+
+  /** Greedy nearest-neighbor chain per bucket: start at the bucket's
+    * min id, repeatedly hop to the unvisited member with the highest
+    * cosine to the CURRENT document (rounded to 6 dp for cross-engine
+    * determinism; ties and zero-norm vectors — cosine = −999 — break
+    * ascending by id). Returns (bucketCol, idCol, chain_pos) with
+    * chain_pos 1-based in walk order.
+    *
+    * `bucketCol` is the parallel unit, exactly like
+    * [[Packing.packExamples]]'s group: the paper orders within shards,
+    * an IVF user orders within cells. The walk is O(n² · dim) per
+    * bucket in memory — bound buckets accordingly (an IVF cell of 10k
+    * docs × dim 64 ≈ 10⁹ mults, seconds on one executor core; buckets
+    * run in parallel). Ids tie-break on their STRING form
+    * (engine-independent, as in packExamples). */
+  def semanticChain(df: DataFrame, idCol: String, vecCol: String,
+                    bucketCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chained = df
+      .select(col(bucketCol).cast("string"), col(idCol).cast("string"),
+        col(vecCol).cast("array<float>"))
+      .as[(String, String, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (b, it) =>
+        val mem = it.map { case (_, id, v) => (id, v) }.toArray
+          .sortBy(_._1)
+        def cos6(u: Array[Float], v: Array[Float]): Double = {
+          var du = 0.0; var dv = 0.0; var dd = 0.0; var i = 0
+          while (i < u.length) {
+            du += u(i).toDouble * u(i); dv += v(i).toDouble * v(i)
+            dd += u(i).toDouble * v(i); i += 1
+          }
+          if (du == 0.0 || dv == 0.0) -999.0
+          else BigDecimal(dd / (math.sqrt(du) * math.sqrt(dv)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val n = mem.length
+        val visited = new Array[Boolean](n)
+        val out = new Array[(String, String, Long)](n)
+        var cur = 0 // min id = first after the sort
+        visited(0) = true
+        out(0) = (b, mem(0)._1, 1L)
+        var pos = 1
+        while (pos < n) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < n) {
+            if (!visited(j)) {
+              val sc = cos6(mem(cur)._2, mem(j)._2)
+              // ties break ascending by id: the sort above makes the
+              // FIRST unvisited j with this score the smallest id
+              if (sc > bestScore) { bestScore = sc; best = j }
+            }
+            j += 1
+          }
+          visited(best) = true
+          cur = best
+          out(pos) = (b, mem(best)._1, pos + 1L)
+          pos += 1
+        }
+        out.iterator
+      }
+      .toDF("__b", "__id", "chain_pos")
+    df.select(col(bucketCol), col(idCol))
+      .join(chained, col(bucketCol).cast("string") === col("__b") &&
+        col(idCol).cast("string") === col("__id"))
+      .drop("__b", "__id")
+  }
+
+  /** [[semanticChain]] lifted to a TOTAL corpus order: `ctx_pos` =
+    * bucket offset + (chain_pos − 1), buckets ordered by their string
+    * form — feed straight into
+    * [[Packing.concatChunksOrdered]] as the order column ("shuffle by
+    * meaning, then pack"). Bucket offsets are the same two-pass
+    * prefix-sum idiom as packing: one tiny per-bucket count collect,
+    * never a global window. */
+  def semanticOrder(df: DataFrame, idCol: String, vecCol: String,
+                    bucketCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chained = semanticChain(df, idCol, vecCol, bucketCol)
+    val totals = chained.groupBy(col(bucketCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offsetDf = totals.map(_._1).zip(offsets).toSeq
+      .toDF("__b", "__off")
+    chained
+      .join(broadcast(offsetDf),
+        col(bucketCol).cast("string") === col("__b"))
+      .withColumn("ctx_pos", col("__off") + col("chain_pos") - 1)
+      .drop("__b", "__off")
+  }
 }

@@ -1888,6 +1888,64 @@ object TrainingQueries {
         FROM st WHERE i > 0 ORDER BY doc_id"""
       }),
 
+    // Semantic document ordering for in-context pretraining (r16 —
+    // Shi et al. 2024): a greedy nearest-neighbor walk over document
+    // embeddings per bucket, lifted to a total corpus order (ctx_pos)
+    // that concat-and-chunk packing consumes — related documents
+    // become ADJACENT in the training context. Deterministic: 6-dp
+    // rounded cosines, string-id tie-breaks, min-id start per bucket.
+    // The oracle replays the WALK itself — a recursive CTE carrying
+    // (current doc, visited list) per bucket, argmax via min over a
+    // (-score, id) struct — so every hop of every chain is
+    // bit-checked. Deliberately NOT on the 10x scale curve: the walk
+    // is O(n²·dim) per bucket BY CONSTRUCTION (documented, like the
+    // fixed-granularity semantic-dedup tiers); the scale lever is
+    // bucket granularity (IVF cells at corpus scale), not this gate's
+    // fixed %8.
+    Q("q_incontext_order",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding"), (col("vec_id") % 8).as("bucket"))
+        graft.operators.Layout.semanticOrder(emb, "vec_id",
+            "embedding", "bucket")
+          .select(col("vec_id"), col("bucket"), col("chain_pos"),
+            col("ctx_pos"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val cosr = s"COALESCE(ROUND(${cosSql("st.vec", "i2.vec")}, 6), -999)"
+        s"""WITH RECURSIVE it AS (
+          SELECT vec_id % 8 AS b, vec_id AS id, embedding AS vec
+          FROM embeddings),
+        base AS (
+          SELECT b, CAST(1 AS BIGINT) AS pos, id, vec, [id] AS visited
+          FROM it QUALIFY ROW_NUMBER() OVER (PARTITION BY b
+            ORDER BY CAST(id AS VARCHAR)) = 1),
+        st AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT u.b, u.pos, u.best['id'] AS id, u.best['vec'] AS vec,
+            list_append(u.visited, u.best['id']) AS visited
+          FROM (
+            SELECT st.b AS b, st.pos + 1 AS pos, st.visited AS visited,
+              min(struct_pack(s := -($cosr),
+                n := CAST(i2.id AS VARCHAR),
+                id := i2.id, vec := i2.vec)) AS best
+            FROM st JOIN it i2 ON i2.b = st.b
+              AND NOT list_contains(st.visited, i2.id)
+            GROUP BY st.b, st.pos, st.visited
+          ) u),
+        sz AS (SELECT b, COUNT(*) AS n FROM it GROUP BY b),
+        o AS (SELECT b, CAST(COALESCE(SUM(n) OVER (
+            ORDER BY CAST(b AS VARCHAR)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off FROM sz)
+        SELECT st.id AS vec_id, st.b AS bucket, st.pos AS chain_pos,
+          CAST(o.off + st.pos - 1 AS BIGINT) AS ctx_pos
+        FROM st JOIN o ON st.b = o.b
+        ORDER BY vec_id"""
+      }),
+
     // Per-document sliding-window chunking (RAG / long-context prep):
     // 40-token windows advancing by 30 (10-token overlap), final window
     // short, empty docs emit nothing. Pure generator work — zero

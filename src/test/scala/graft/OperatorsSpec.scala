@@ -518,6 +518,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semanticChain/semanticOrder: greedy NN walk is hand-checkable, " +
+      "zero-norm vectors go last, buckets independent, ctx_pos stacks " +
+      "buckets in string order, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Layout
+    val rows = Seq(
+      ("x", "a", Array(1f, 0f)),
+      ("x", "b", Array(-1f, 0.05f)),
+      ("x", "c", Array(0.9f, 0.1f)),
+      ("x", "z", Array(0f, 0f)), // zero norm: cosine −999, visited last
+      ("y", "q", Array(1f, 1f))).toDF("bucket", "id", "vec")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Layout.semanticOrder(df, "id", "vec", "bucket")
+        .collect().map(r => r.getAs[String]("id") ->
+          (r.getAs[Long]("chain_pos"), r.getAs[Long]("ctx_pos"))).toMap
+    val got = run(rows)
+    // walk in x: start min-id a → nearest c (cos≈0.994) → b → z
+    assert(got("a") == ((1L, 0L)))
+    assert(got("c") == ((2L, 1L)))
+    assert(got("b") == ((3L, 2L)))
+    assert(got("z") == ((4L, 3L)))
+    // bucket y stacks after x (string order), its own chain restarts
+    assert(got("q") == ((1L, 4L)))
+    // deterministic at any parallelism
+    assert(run(rows.repartition(5)) == got)
+    // ctx_pos is a dense total order
+    assert(got.values.map(_._2).toSeq.sorted == (0L to 4L))
+  }
+
   test("shardByTokens: docs whole, shard sizes budget ± one doc, " +
       "partition-invariant; writeShards round-trips partitioned by shard") {
     val s = spark

@@ -176,6 +176,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packExamples matches a naive sequential FFD reference on random " +
+      "inputs; windows never overflow except oversize own-windows") {
+    val s = spark
+    import s.implicits._
+    def naive(items: Seq[(String, Long, Long)], cap: Long)
+    : Map[Long, (String, Long, Long, Long)] = {
+      items.groupBy(_._1).flatMap { case (g, its) =>
+        val sorted = its.map(t => (t._2, t._3))
+          .sortBy { case (id, len) => (len, id.toString) }(
+            Ordering.Tuple2(Ordering[Long].reverse, Ordering[String]))
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.map { case (id, len) =>
+          var b = 0
+          while (b < rem.length && rem(b) < len) b += 1
+          if (b == rem.length) { rem += cap; fill += 0L }
+          rem(b) -= len
+          val off = fill(b); fill(b) += len
+          id -> ((g, b.toLong, off, off + len))
+        }
+      }
+    }
+    for (seed <- 1L to 3L) {
+      val lenGen = Gen.frequency(
+        8 -> Gen.chooseNum(1L, 9L), // mostly packable vs cap 10
+        1 -> Gen.chooseNum(10L, 25L)) // some exact-fit and oversize
+      val n = 40
+      val items = (1L to n).map { i =>
+        (s"g${i % 3}", i, sample(lenGen, seed * 1000 + i))
+      }
+      val expect = naive(items, 10L)
+      val got = graft.operators.Packing.packExamples(
+          items.toDF("grp", "id", "len"), "id", "len", "grp", 10L)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("grp"), r.getAs[Long]("bin"),
+            r.getAs[Long]("start_off"), r.getAs[Long]("end_off")))).toMap
+      assert(got == expect, s"seed $seed")
+      // capacity invariant: a window's fill exceeds cap only when it
+      // holds a single oversize item
+      val lens = items.map(t => t._2 -> t._3).toMap
+      got.toSeq.groupBy { case (_, (g, b, _, _)) => (g, b) }.foreach {
+        case ((g, b), rows) =>
+          val total = rows.map { case (id, _) => lens(id) }.sum
+          assert(total <= 10L ||
+            (rows.size == 1 && lens(rows.head._1) > 10L),
+            s"window ($g,$b) overflows: $total seed=$seed")
+      }
+    }
+  }
+
   test("bpeMerges matches a naive sequential reference on random corpora") {
     val s = spark
     import s.implicits._
