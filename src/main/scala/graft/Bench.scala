@@ -175,6 +175,8 @@ object Bench {
     "q_chat_token_spans" ->
       Set("ArrayTransform", "JsonToStructs", "ZipWith"),
     "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs", "ZipWith"),
+    // streaming twin of q_chat_pack: same parse + ordered rebuild
+    "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
     // prompt rendering maps over the per-conversation turns array
     // (KB-sized); the parse is the operator, as in the chat gates
     "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),

@@ -199,6 +199,61 @@ object Chats {
         length(col("prompt_text")).cast("long").as("response_start"))
   }
 
+  // ---- continuous SFT ingest (the streaming twin of the pack path) --
+
+  private def sftSpec(spark: org.apache.spark.sql.SparkSession,
+                      name: String): graft.sources.IncrementalIndex.Spec = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad sft corpus name: $name")
+    graft.sources.IncrementalIndex.Spec(
+      s"/tmp/graft-warehouse/apps/" +
+        s"${spark.sparkContext.applicationId}/sft_idx",
+      s"${name}_sft", None)
+  }
+
+  /** Ingest ONE batch of raw chat logs into the accumulated SFT corpus
+    * `name`: parse → [[validateTurns]] (malformed and rule-breaking
+    * conversations drop — the trainer never sees them) →
+    * [[packWithMask]] → tag-idempotent append of (id, text, n_turns)
+    * to the corpus index (the [[graft.sources.IncrementalIndex]]
+    * protocol: an at-least-once replay of a committed tag no-ops).
+    * Returns the batch's SURVIVING packed conversations. O(batch) per
+    * call — the accumulated corpus is never read on the ingest path;
+    * [[loadSftCorpus]] folds it at training time. Ids store as
+    * strings (the index is schema-generic); cast back on load if
+    * needed. */
+  def ingestSft(spark: org.apache.spark.sql.SparkSession,
+                batch: DataFrame, jsonCol: String, idCol: String,
+                name: String, batchTag: String): DataFrame = {
+    val t = turns(batch, jsonCol, idCol)
+    val valid = validateTurns(t, idCol).filter(col("valid"))
+      .select(col(idCol))
+    val packed = Checkpoints.eager(
+      packWithMask(t, idCol).join(valid, idCol)
+        .select(col(idCol).cast("string").as("id"), col("text"),
+          col("n_turns")))
+    graft.sources.IncrementalIndex.append(spark, sftSpec(spark, name),
+      packed, batchTag)
+    packed
+  }
+
+  /** The accumulated SFT corpus: (id, text, n_turns) across every
+    * committed ingest batch. Empty (not an error) before the first
+    * append. */
+  def loadSftCorpus(spark: org.apache.spark.sql.SparkSession,
+                    name: String): DataFrame = {
+    val sp = sftSpec(spark, name)
+    if (!new java.io.File(sp.liveDir).isDirectory)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id string, text string, n_turns bigint"))
+    else graft.sources.IncrementalIndex.load(spark, sp, "id")
+  }
+
+  def dropSftCorpus(spark: org.apache.spark.sql.SparkSession,
+                    name: String): Unit =
+    graft.sources.IncrementalIndex.drop(sftSpec(spark, name))
+
   /** Context-budget trimming with WHOLE-TURN boundaries — the standard
     * long-conversation policy: keep the leading system turn (if any)
     * plus the LONGEST TAIL of turns whose rendered length, with the

@@ -1795,6 +1795,77 @@ object TrainingQueries {
       },
       setup = Some((s, d) => roundtripMerges(s, d))),
 
+    // STREAMING SFT ingest (r16) — the continuous twin of the pack
+    // path: a live chat-log feed drives 4 micro-batches through
+    // sftIngestSink; malformed conversations (q_chat_validate's %7
+    // doubled-speaker / %13 off-vocab / wrong-final shapes) drop at
+    // the validator, survivors pack and append tag-idempotently to
+    // the accumulated corpus index. In-gate: re-ingesting under a
+    // COMMITTED batch tag must not grow the corpus (at-least-once
+    // replay no-op). Output = the full accumulated corpus — ids,
+    // packed texts, turn counts all replayed closed-form in SQL.
+    Q("q_stream_sft_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def baseRole(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def roleCol(i: Int): org.apache.spark.sql.Column =
+          if (i != 1) lit(baseRole(i))
+          else when(did % 7 === 0, "assistant")
+            .when(did % 13 === 0, "tool")
+            .otherwise(baseRole(i))
+        def turn(i: Int) = concat(lit("{\"role\":\""), roleCol(i),
+          lit("\",\"content\":\""), substring(ct, 1 + 7 * i, 12 + i),
+          lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val name = s"sftq_${CorpusKey.of(d)}"
+        Chats.dropSftCorpus(s, name)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val rows = docs.orderBy(col("doc_id"))
+          .as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.sftIngestSink(
+          mem.toDF().toDF("doc_id", "chat"), "chat", "doc_id", name,
+          streamTag = Some("sfq")) { _ => () }.start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        // at-least-once replay of a COMMITTED tag must not grow the
+        // corpus (batch 0's tag is sfq_0)
+        val n0 = Chats.loadSftCorpus(s, name).count()
+        Chats.ingestSft(s, docs, "chat", "doc_id", name, "sfq_0")
+        require(Chats.loadSftCorpus(s, name).count() == n0,
+          "replayed committed ingest tag must no-op")
+        Chats.loadSftCorpus(s, name)
+          .select(col("id").cast("long").as("doc_id"), col("text"),
+            col("n_turns"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents
+        WHERE doc_id % 3 = 1 AND doc_id % 7 != 0 AND doc_id % 13 != 0)
+        SELECT doc_id,
+          '<|system|>' || substr(ct, 1, 12) || chr(10) ||
+            '<|user|>' || substr(ct, 8, 13) || chr(10) ||
+            '<|assistant|>' || substr(ct, 15, 14) || chr(10) AS text,
+          CAST(3 AS BIGINT) AS n_turns
+        FROM b ORDER BY doc_id""")),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass

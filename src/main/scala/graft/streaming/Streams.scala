@@ -449,6 +449,30 @@ object Streams {
     }
   }
 
+  /** Streaming SFT ingest — the post-training twin of the curation
+    * sinks: a live feed of raw chat logs (exports, annotation-tool
+    * output) validates, packs, and accumulates into the SFT corpus
+    * index PER MICRO-BATCH ([[graft.operators.Chats.ingestSft]]):
+    * malformed conversations drop at the validator, survivors land as
+    * (id, packed text, n_turns), appends are O(batch) and
+    * tag-idempotent (at-least-once replays no-op), and the accumulated
+    * corpus is never read on the ingest path —
+    * [[graft.operators.Chats.loadSftCorpus]] folds it at training
+    * time. Each batch's surviving packed conversations pass to
+    * `handler`. */
+  def sftIngestSink(chats: DataFrame, jsonCol: String, idCol: String,
+                    corpusName: String, streamTag: Option[String] = None)
+                   (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    chats.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Chats.ingestSft(batch.sparkSession, batch,
+        jsonCol, idCol, corpusName, s"${instance}_$batchId"))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+  }
+
   /** Streaming VECTOR-index maintenance — the realtime tier of the ANN
     * lifecycle (upstream Pinot's mutable vector index assigns consuming
     * rows into the trained structure; FAISS deployments do the same:
