@@ -199,6 +199,89 @@ object Chats {
         length(col("prompt_text")).cast("long").as("response_start"))
   }
 
+  /** BEST-OF-N selection — rejection-sampling / distillation prep: of
+    * `n` scored candidate completions per prompt, keep the best and
+    * report the decision margin (best − runner-up; null for single-
+    * candidate prompts — no evidence). Deterministic: ties break on
+    * the candidate STRING ascending, so the same pool always selects
+    * the same winner on any cluster. One keyed window over the prompt
+    * key (pools are n-sized — no skew risk); emits
+    * (idCol, best, best_score, n_candidates, margin). */
+  def bestOfN(df: DataFrame, idCol: String, candidateCol: String,
+              scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(scoreCol).desc, col(candidateCol))
+    df.select(col(idCol), col(candidateCol), col(scoreCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__next", lead(col(scoreCol), 1).over(w))
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(candidateCol).as("best"),
+        col(scoreCol).as("best_score"),
+        col("__n").as("n_candidates"),
+        (col(scoreCol) - col("__next")).as("margin"))
+  }
+
+  /** PROMPT-level dedup — the SFT hygiene step between collection and
+    * training: corpora assembled from many sources repeat prompts
+    * (the same instruction scraped or exported twice), and training
+    * on repeats both overweights them and leaks across splits. Keeps
+    * ONE conversation per distinct prompt key — the highest-`scoreCol`
+    * one (quality rating, reward score), ties broken by id ascending
+    * (string form). One keyed window; the prompt key should be the
+    * RENDERED prompt prefix ([[preferencePairs]]' `prompt_text` or
+    * [[packWithMask]] text up to the first assistant span) so
+    * whitespace-identical prompts collide. */
+  def dedupeByPrompt(df: DataFrame, idCol: String, promptCol: String,
+                     scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(idCol).cast("string"))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** GROUP-RELATIVE ADVANTAGE — the data-side step of GRPO-style
+    * preference optimization (group-relative policy optimization,
+    * Shao et al. 2024 "DeepSeekMath" §4.1): for each prompt's group
+    * of sampled completions, advantage_i = (r_i − mean(r)) / std(r)
+    * with POPULATION std (ddof=0, the reference implementations'
+    * np.std). Zero-variance groups (every sample scored identically,
+    * including singletons) carry no signal — advantage 0.0, matching
+    * the (r−mean)→0 numerator rather than an epsilon hack.
+    *
+    * Determinism at any parallelism: the window sums ride as
+    * DECIMAL(18,6) (scores beyond 6 fractional digits round at entry
+    * — rewards are model scores, 6dp is the repo's cross-engine
+    * contract) so Σr and Σr² are order-free and exact; one double
+    * cast, division, and sqrt at the end are IEEE-determined from
+    * those exact sums. ONE unordered window over the prompt key —
+    * groups are sample-count-sized (n≤64 in practice), no skew
+    * partition, no join, no shuffle beyond the keyed exchange.
+    * All input columns ride along. */
+  def groupAdvantage(df: DataFrame, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val sc = col(scoreCol).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val s1 = sum(sc).over(w).cast("double")
+    val s2 = sum(sc * sc).over(w).cast("double")
+    val n = count(lit(1)).over(w)
+    val nn = n.cast("double")
+    val mean = s1 / nn
+    val varp = greatest(s2 / nn - mean * mean, lit(0.0))
+    val std = sqrt(varp)
+    df.withColumn("n_samples", n)
+      .withColumn("group_mean", mean)
+      .withColumn("group_std", std)
+      .withColumn("advantage",
+        when(col("group_std") === 0.0, lit(0.0))
+          .otherwise((col(scoreCol).cast("double") - col("group_mean")) /
+            col("group_std")))
+  }
+
   // ---- continuous SFT ingest (the streaming twin of the pack path) --
 
   private def sftSpec(spark: org.apache.spark.sql.SparkSession,

@@ -1436,6 +1436,122 @@ object TrainingQueries {
           CAST(length(prompt_text) AS BIGINT) AS response_start
         FROM p ORDER BY doc_id""")),
 
+    // Best-of-n selection (r16 — rejection-sampling / distillation
+    // prep): pools of scored candidates per prompt, keep the winner +
+    // the decision margin (best − runner-up). Synthesis: pools of ≤3
+    // consecutive docs with a %7 filter so 1- and 2-candidate pools
+    // exist (margin NULL on singletons); score = floor(doc_id/2)%50
+    // ties inside even-rooted pools, forcing the candidate-string
+    // tie-break; a '#doc_id' suffix makes candidates unique so the
+    // winner is deterministic on both engines.
+    Q("q_best_of_n",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d)
+          .filter((col("doc_id") * 13) % 7 < 5)
+          .select(
+            floor(col("doc_id") / 3).cast("long").as("prompt_id"),
+            concat(substring(ct, 1, 12), lit("#"),
+              col("doc_id").cast("string")).as("cand"),
+            (floor(col("doc_id") / 2).cast("long") % 50).as("score"))
+        Chats.bestOfN(docs, "prompt_id", "cand", "score")
+          .orderBy(col("prompt_id"))
+      },
+      Some("""WITH c AS (SELECT
+          CAST(floor(doc_id / 3) AS BIGINT) AS prompt_id,
+          substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+            1, 12) || '#' || CAST(doc_id AS VARCHAR) AS cand,
+          CAST(floor(doc_id / 2) AS BIGINT) % 50 AS score
+        FROM documents WHERE (doc_id * 13) % 7 < 5),
+        r AS (SELECT *,
+          row_number() OVER (PARTITION BY prompt_id
+            ORDER BY score DESC, cand) AS rk,
+          lead(score) OVER (PARTITION BY prompt_id
+            ORDER BY score DESC, cand) AS nxt,
+          count(*) OVER (PARTITION BY prompt_id) AS n
+        FROM c)
+        SELECT prompt_id, cand AS best, score AS best_score,
+          CAST(n AS BIGINT) AS n_candidates, score - nxt AS margin
+        FROM r WHERE rk = 1 ORDER BY prompt_id""")),
+
+    // Prompt-level dedup (r16 — SFT hygiene between collection and
+    // training): one conversation per distinct rendered prompt, the
+    // highest-scored one, ties by id-as-string (lexicographic on BOTH
+    // engines — the CAST(doc_id AS VARCHAR) in the oracle is load-
+    // bearing). prompt = doc_id%50 so every group has ~n/50 members
+    // and score = (doc_id*7)%23 cycles, guaranteeing real ties.
+    Q("q_prompt_dedup",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("p"), (col("doc_id") % 50).cast("string"))
+            .as("prompt_text"),
+          ((col("doc_id") * 7) % 23).as("score"),
+          substring(ct, 1, 10).as("snippet"))
+        Chats.dedupeByPrompt(docs, "doc_id", "prompt_text", "score")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+          'p' || CAST(doc_id % 50 AS VARCHAR) AS prompt_text,
+          (doc_id * 7) % 23 AS score,
+          substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+            1, 10) AS snippet
+        FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY prompt_text
+            ORDER BY score DESC, CAST(doc_id AS VARCHAR)) AS rk
+        FROM c)
+        SELECT doc_id, prompt_text, score, snippet FROM r
+        WHERE rk = 1 ORDER BY doc_id""")),
+
+    // GRPO group-relative advantage (r16): per prompt pool of sampled
+    // completions, advantage = (r − mean)/std_pop — the normalization
+    // GRPO trainers consume instead of a learned critic. Pools of ≤4
+    // consecutive docs; every 10th pool scores constant (5) so the
+    // zero-variance → advantage-0.0 branch fires on real rows; the
+    // exact-decimal window sums make mean/std order-free so the 6dp
+    // round lands identically on both engines.
+    Q("q_grpo_advantage",
+      (s, d) => {
+        import graft.operators.Chats
+        val pid = floor(col("doc_id") / 4).cast("long")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          pid.as("prompt_id"),
+          when(pid % 10 === 0, lit(5L))
+            .otherwise((col("doc_id") * 31) % 17).as("score"))
+        Chats.groupAdvantage(docs, "prompt_id", "score")
+          .select(col("prompt_id"), col("doc_id"), col("score"),
+            col("n_samples"),
+            round(col("group_mean"), 6).as("group_mean"),
+            round(col("group_std"), 6).as("group_std"),
+            round(col("advantage"), 6).as("advantage"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+          CAST(floor(doc_id / 4) AS BIGINT) AS prompt_id,
+          CASE WHEN CAST(floor(doc_id / 4) AS BIGINT) % 10 = 0 THEN 5
+               ELSE (doc_id * 31) % 17 END AS score
+        FROM documents),
+        a AS (SELECT *,
+          CAST(SUM(CAST(score AS DECIMAL(18,6)))
+            OVER (PARTITION BY prompt_id) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(score AS DECIMAL(18,6)) *
+              CAST(score AS DECIMAL(18,6)))
+            OVER (PARTITION BY prompt_id) AS DOUBLE) AS s2,
+          COUNT(*) OVER (PARTITION BY prompt_id) AS n_samples
+        FROM c),
+        b AS (SELECT *, s1 / n_samples AS m,
+          greatest(s2 / n_samples -
+            (s1 / n_samples) * (s1 / n_samples), 0.0) AS varp
+        FROM a)
+        SELECT prompt_id, doc_id, score, n_samples,
+          ROUND(m, 6) AS group_mean,
+          ROUND(sqrt(varp), 6) AS group_std,
+          ROUND(CASE WHEN varp = 0 THEN 0.0
+                ELSE (score - m) / sqrt(varp) END, 6) AS advantage
+        FROM b ORDER BY doc_id""")),
+
     // SFT structural validation (r15): conversations must carry known
     // roles, at most one LEADING system turn, strict user/assistant
     // alternation starting with user, and end on an assistant turn.

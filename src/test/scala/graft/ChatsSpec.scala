@@ -209,4 +209,74 @@ class ChatsSpec extends SparkSpec {
     val gBig = fit(1000)
     assert(gBig.forall(_._2))
   }
+
+  test("bestOfN: keeps the top-scored candidate per pool, margin is " +
+      "best minus runner-up, ties break on candidate string, " +
+      "singleton pools report null margin") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha", 3L), (1L, "beta", 7L), (1L, "gamma", 5L),
+      (2L, "zzz", 4L), (2L, "aaa", 4L), // score tie → string asc wins
+      (3L, "solo", 9L)).toDF("pid", "cand", "score")
+    val got = Chats.bestOfN(df, "pid", "cand", "score")
+      .orderBy(col("pid")).collect()
+    assert(got.map(r => (r.getLong(0), r.getAs[String]("best"),
+      r.getAs[Long]("best_score"), r.getAs[Long]("n_candidates"))).toSeq ==
+      Seq((1L, "beta", 7L, 3L), (2L, "aaa", 4L, 2L), (3L, "solo", 9L, 1L)))
+    // margins: 7-5=2; tie pool 4-4=0; singleton null (no evidence)
+    assert(Option(got(0).get(got(0).fieldIndex("margin"))) ==
+      Some(2L))
+    assert(Option(got(1).get(got(1).fieldIndex("margin"))) ==
+      Some(0L))
+    assert(got(2).isNullAt(got(2).fieldIndex("margin")))
+  }
+
+  test("dedupeByPrompt: one survivor per prompt key — highest score, " +
+      "id-as-string tiebreak — and non-key columns ride along") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "p1", 5L, "a"), (2L, "p1", 9L, "b"), (3L, "p1", 9L, "c"),
+      (10L, "p2", 1L, "d"),
+      (9L, "p3", 2L, "e"), (11L, "p3", 2L, "f") // "11" < "9" as string
+    ).toDF("id", "prompt", "score", "extra")
+    val got = Chats.dedupeByPrompt(df, "id", "prompt", "score")
+      .orderBy(col("prompt")).collect()
+      .map(r => (r.getAs[String]("prompt"), r.getLong(0),
+        r.getAs[String]("extra")))
+    assert(got.toSeq == Seq(("p1", 2L, "b"), ("p2", 10L, "d"),
+      ("p3", 11L, "f")))
+  }
+
+  test("groupAdvantage: population-std normalization per pool, " +
+      "zero-variance and singleton pools get advantage 0.0, " +
+      "payload columns ride along") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 11L, 2L, "b"), (1L, 12L, 3L, "c"),
+      (2L, 20L, 7L, "d"), (2L, 21L, 7L, "e"), // zero variance
+      (3L, 30L, 4L, "f") // singleton
+    ).toDF("pid", "sid", "score", "extra")
+    val got = Chats.groupAdvantage(df, "pid", "score")
+      .orderBy(col("sid")).collect()
+    def row(i: Int) = (got(i).getAs[Long]("n_samples"),
+      got(i).getAs[Double]("group_mean"),
+      got(i).getAs[Double]("group_std"),
+      got(i).getAs[Double]("advantage"),
+      got(i).getAs[String]("extra"))
+    // pool 1: mean 2, var_pop 2/3, std .81650, adv ±1.22474 / 0
+    val (n0, m0, sd0, a0, e0) = row(0)
+    assert(n0 == 3L && m0 == 2.0 && e0 == "a")
+    assert(math.abs(sd0 - 0.816496580927726) < 1e-12)
+    assert(math.abs(a0 - (-1.224744871391589)) < 1e-12)
+    assert(math.abs(row(1)._4) < 1e-12)
+    assert(math.abs(row(2)._4 - 1.224744871391589) < 1e-12)
+    // zero-variance pool: std 0, advantage exactly 0.0 (no eps hack)
+    assert(row(3) == ((2L, 7.0, 0.0, 0.0, "d")))
+    assert(row(4)._4 == 0.0)
+    // singleton: n=1, mean=score, std 0, advantage 0.0
+    assert(row(5) == ((1L, 4.0, 0.0, 0.0, "f")))
+  }
 }
