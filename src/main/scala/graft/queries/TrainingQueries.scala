@@ -1552,6 +1552,170 @@ object TrainingQueries {
                 ELSE (score - m) / sqrt(varp) END, 6) AS advantage
         FROM b ORDER BY doc_id""")),
 
+    // Chat PII hygiene composition (r16): the scrub pass applied
+    // INSIDE turns, before packing — the order a real SFT pipeline
+    // must use, because redacting the packed text would silently
+    // invalidate every stored span. User turns leak an email,
+    // assistant turns an IP; redaction changes rendered lengths, so
+    // every downstream [start, end) moves — the gate re-slices the
+    // packed text at each post-scrub span and the oracle replays
+    // parse → per-turn redaction → render → running-sum offsets.
+    Q("q_chat_scrub",
+      (s, d) => {
+        import graft.operators.{Chats, Scrub}
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def roleOf(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def leak(i: Int): org.apache.spark.sql.Column =
+          if (i % 2 == 1) concat(lit(" u"), did.cast("string"),
+            lit("@example.com"))
+          else if (i > 0) concat(lit(" at 10.1."),
+            (did % 200).cast("string"), lit(".9"))
+          else lit("")
+        def turn(i: Int) = concat(
+          lit("{\"role\":\"" + roleOf(i) + "\",\"content\":\""),
+          substring(ct, 1 + 7 * i, 12 + i), leak(i), lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val scrubbed = Chats.turns(docs, "chat", "doc_id")
+          .withColumn("content", Scrub.redact(col("content")))
+        val spans = Chats.turnSpans(scrubbed, "doc_id")
+        val packed = Chats.packWithMask(scrubbed, "doc_id")
+        spans.join(packed, "doc_id")
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("start"), col("end"), col("mask"),
+            col("text").substr(
+              (col("start") + 1).cast("int"),
+              (col("end") - col("start")).cast("int")).as("seg"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some("""WITH b AS (SELECT doc_id, doc_id % 3 + 2 AS n,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        t0 AS (SELECT doc_id, ct,
+          unnest(generate_series(0, n - 1)) AS turn_idx FROM b),
+        t1 AS (SELECT doc_id, turn_idx,
+          CASE WHEN turn_idx = 0 THEN 'system'
+               WHEN turn_idx % 2 = 1 THEN 'user'
+               ELSE 'assistant' END AS role,
+          substr(ct, CAST(1 + 7 * turn_idx AS INT),
+            CAST(12 + turn_idx AS INT)) ||
+          CASE WHEN turn_idx % 2 = 1
+               THEN ' u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN turn_idx > 0
+               THEN ' at 10.1.' || CAST(doc_id % 200 AS VARCHAR) || '.9'
+               ELSE '' END AS content
+        FROM t0),
+        t AS (SELECT doc_id, turn_idx, role,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            content,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g'),
+            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS content
+        FROM t1),
+        r AS (SELECT *,
+          '<|' || role || '|>' || content || chr(10) AS seg,
+          CAST(length('<|' || role || '|>' || content || chr(10))
+            AS BIGINT) AS rl
+        FROM t),
+        o AS (SELECT *, CAST(COALESCE(SUM(rl) OVER (PARTITION BY doc_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start
+        FROM r)
+        SELECT doc_id, turn_idx, role, start,
+          CAST(start + rl AS BIGINT) AS "end",
+          (role = 'assistant') AS mask, seg
+        FROM o ORDER BY doc_id, turn_idx""")),
+
+    // SFT decontamination (r16): eval leakage into post-training data
+    // — an SFT example whose USER turn matches a held-out benchmark
+    // question trains on the test set. Probes are per-user-turn (finer
+    // than whole-conversation: one leaked question flags the
+    // conversation even when the rest is clean), checked against the
+    // benchmark shingle set exactly like document decontamination —
+    // short turns hash as one whole-text shingle (the kernel/oracle
+    // shared convention), so the match is normalized-content equality.
+    // Bench set = user turns of every 9th conversation.
+    Q("q_sft_decontam",
+      (s, d) => {
+        import graft.operators.{Chats, Decontaminate}
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def roleOf(i: Int) =
+          if (i == 0) "system" else if (i % 2 == 1) "user" else "assistant"
+        def turn(i: Int) = concat(
+          lit("{\"role\":\"" + roleOf(i) + "\",\"content\":\""),
+          substring(ct, 1 + 7 * i, 12 + i), lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0), lit(","),
+          turn(1),
+          when(n > 2, concat(lit(","), turn(2))).otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3))).otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val users = Chats.turns(docs, "chat", "doc_id")
+          .filter(col("role") === "user" &&
+            length(trim(col("content"))) > 0)
+        val bench = users.filter(col("doc_id") % 9 === 0)
+          .select(col("content").as("btext"))
+        Decontaminate.flaggedWith(users, "content", "doc_id",
+            Decontaminate.benchShingles(bench, "btext", 5), 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, doc_id % 3 + 2 AS n,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        u0 AS (
+          SELECT doc_id, substr(ct, 8, 13) AS content FROM b
+          UNION ALL
+          SELECT doc_id, substr(ct, 22, 15) AS content FROM b
+          WHERE n > 3),
+        u AS (SELECT * FROM u0 WHERE length(trim(content)) > 0),
+        tk AS (SELECT doc_id, ${toksSql("content")} AS tk FROM u),
+        sh AS (SELECT doc_id,
+          list_distinct([${hash60Sql("s")} for s in ${shinglesSql("tk", 5)}])
+            AS shs FROM tk),
+        csh AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+          WHERE doc_id % 9 = 0)
+        SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (sh)
+        ORDER BY doc_id"""),
+      setup = Some((s, d) => {
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def turn(i: Int, role: String) = concat(
+          lit("{\"role\":\"" + role + "\",\"content\":\""),
+          substring(ct, 1 + 7 * i, 12 + i), lit("\"}"))
+        val n = did % 3 + 2
+        val json = concat(lit("{\"messages\":["), turn(0, "system"),
+          lit(","), turn(1, "user"),
+          when(n > 2, concat(lit(","), turn(2, "assistant")))
+            .otherwise(lit("")),
+          when(n > 3, concat(lit(","), turn(3, "user")))
+            .otherwise(lit("")),
+          lit("]}"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), json.as("chat"))
+        val users = graft.operators.Chats.turns(docs, "chat", "doc_id")
+          .filter(col("role") === "user" &&
+            length(trim(col("content"))) > 0)
+        graft.operators.Decontaminate.benchShingles(
+          users.filter(col("doc_id") % 9 === 0)
+            .select(col("content").as("btext")), "btext", 5)
+        ()
+      })),
+
     // SFT structural validation (r15): conversations must carry known
     // roles, at most one LEADING system turn, strict user/assistant
     // alternation starting with user, and end on an assistant turn.
