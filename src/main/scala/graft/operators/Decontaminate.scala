@@ -68,6 +68,28 @@ object Decontaminate {
     corpus.join(flagged(corpus, textCol, idCol, bench, benchTextCol, k),
       Seq(idCol), "left_anti")
 
+  /** CONTAMINATION REPORT — the graded twin of [[flaggedWith]]'s
+    * binary verdict (GPT-3 appendix C / Llama-style contamination
+    * measurement): per document, the count of its DISTINCT k-shingles,
+    * how many land in the benchmark set, and the overlap fraction —
+    * the number a pipeline thresholds ("drop above 20% dirty") or
+    * reports per eval suite instead of flag-any. Same plan shape as
+    * the flag: one kernel pass computes sorted-distinct shingle hashes,
+    * one broadcast LEFT probe marks hits, one keyed agg counts — the
+    * corpus never shuffles its text, only (id, hash) pairs reach the
+    * aggregation. Returns (idCol, n_shingles, n_hit, overlap_frac
+    * rounded 6dp). */
+  def overlapFraction(corpus: DataFrame, textCol: String, idCol: String,
+                      benchSh: DataFrame, k: Int): DataFrame =
+    corpus.select(col(idCol), shingles(corpus, textCol, k))
+      .join(broadcast(benchSh.withColumn("__hit", lit(1L))),
+        Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_frac",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+
   /** SEMANTIC decontamination — the embedding twin of the n-gram gate
     * (paraphrased benchmark items share no shingle; they DO share an
     * embedding neighborhood — the reason modern pipelines run both

@@ -1336,6 +1336,43 @@ object TrainingQueries {
         ()
       })),
 
+    // Contamination REPORT (r16): the graded twin of q_decontaminate's
+    // binary flag — per document, distinct-shingle count, benchmark
+    // hits, and the overlap fraction pipelines threshold on ("drop
+    // above 20% dirty") instead of flag-any. Bench docs themselves
+    // read 1.0; sharing docs grade in between; clean docs 0.0 — all
+    // three bands bit-checked.
+    Q("q_decontam_frac",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.overlapFraction(docs, "text",
+            "doc_id",
+            graft.operators.Decontaminate.benchShingles(
+              docs.filter(col("doc_id") % 97 === 0), "text", 5), 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+          list_distinct([${hash60Sql("s")} for s in ${shinglesSql("tk", 5)}])
+            AS shs FROM tk),
+        csh AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+          WHERE doc_id % 97 = 0)
+        SELECT c.doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+          ROUND(CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*), 6) AS overlap_frac
+        FROM csh c LEFT JOIN bsh b USING (sh)
+        GROUP BY c.doc_id ORDER BY c.doc_id"""),
+      setup = Some((s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.benchShingles(
+          docs.filter(col("doc_id") % 97 === 0), "text", 5)
+        ()
+      })),
+
     // SFT chat packing (r15 — the post-training front half): chat-JSON
     // conversations (2-4 turns, system/user/assistant roles) parse to
     // turns (from_json + posexplode), render to ONE training string

@@ -1474,6 +1474,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("decontaminate overlapFraction: per-doc shingle counts, hits, " +
+      "and graded fraction — 0.0 clean, 1.0 fully-contained, " +
+      "in-between for partial overlap") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      // 6 distinct 5-shingles, 2 of them in the bench text
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence with no overlap here"),
+      // 5 tokens = exactly one 5-shingle, fully contained in bench
+      (3L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox jumps high"))
+      .toDF("bid", "btext")
+    val sh = Decontaminate.benchShingles(bench, "btext", 5)
+    val got = Decontaminate.overlapFraction(corpus, "text", "doc_id",
+        sh, 5).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("overlap_frac")))
+    // doc1: 10 tokens → 6 shingles; bench has 3 shingles, shared:
+    // "the quick brown fox jumps" only → 1 hit
+    assert(got(0)._2 == 6L && got(0)._3 == 1L)
+    assert(got(0)._4 == round3(1.0 / 6))
+    assert(got(1) == ((2L, 4L, 0L, 0.0)))
+    assert(got(2) == ((3L, 1L, 1L, 1.0)))
+  }
+
   test("dedup cache: build-once reuse, LRU eviction unpersists") {
     val s = spark
     import s.implicits._
