@@ -90,6 +90,35 @@ object Decontaminate {
       .withColumn("overlap_frac",
         round(col("n_hit").cast("double") / col("n_shingles"), 6))
 
+  /** EVAL-SIDE contamination — the REVERSED direction of
+    * [[overlapFraction]] (the number Llama/PaLM model cards report):
+    * for each BENCHMARK item, what fraction of its distinct k-shingles
+    * appears anywhere in the training corpus. The direction matters at
+    * scale: corpus-side shingle sets are corpus-sized and can never
+    * broadcast, so the eval-side report keeps the TINY side — the
+    * bench (id, shingle) pairs — as the broadcast build and lets the
+    * corpus pay one kernel scan; only MATCHED (bench_id, shingle)
+    * pairs leave the scan (bounded by the bench set, not the corpus),
+    * then one distinct + keyed count per bench item. Returns
+    * (benchIdCol, n_shingles, n_hit, contam_frac rounded 6dp). */
+  def evalContamination(corpus: DataFrame, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        benchIdCol: String, k: Int): DataFrame = {
+    val bsh = bench.select(col(benchIdCol),
+      shingles(bench, benchTextCol, k))
+    val totals = bsh.groupBy(col(benchIdCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.select(shingles(corpus, textCol, k))
+      .join(broadcast(bsh), "sh")
+      .select(col(benchIdCol), col("sh")).distinct()
+      .groupBy(col(benchIdCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(benchIdCol), "left")
+      .select(col(benchIdCol), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("contam_frac"))
+  }
+
   /** SEMANTIC decontamination — the embedding twin of the n-gram gate
     * (paraphrased benchmark items share no shingle; they DO share an
     * embedding neighborhood — the reason modern pipelines run both

@@ -1373,6 +1373,45 @@ object TrainingQueries {
         ()
       })),
 
+    // Eval-side contamination (r16): the REVERSED report direction —
+    // per BENCHMARK item, the fraction of its shingles found anywhere
+    // in the training corpus (the model-card number). Direction
+    // matters at scale: the corpus shingle set can never broadcast,
+    // so the bench (id, shingle) pairs are the build side and only
+    // matched pairs leave the corpus scan. Bench = the %97 docs,
+    // corpus = everything else — duplicate texts in the corpus put
+    // some bench items at 1.0, unshared ones at 0.0, paragraph
+    // sharers in between.
+    Q("q_eval_contam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.evalContamination(
+            docs.filter(col("doc_id") % 97 =!= 0), "text",
+            docs.filter(col("doc_id") % 97 === 0)
+              .select(col("doc_id").as("bench_id"), col("text")),
+            "text", "bench_id", 5)
+          .orderBy(col("bench_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+          list_distinct([${hash60Sql("s")} for s in ${shinglesSql("tk", 5)}])
+            AS shs FROM tk),
+        bsh AS (SELECT doc_id AS bench_id, unnest(shs) AS sh FROM sh
+          WHERE doc_id % 97 = 0),
+        csh AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+          WHERE doc_id % 97 <> 0),
+        tot AS (SELECT bench_id, COUNT(*) AS n_shingles FROM bsh
+          GROUP BY 1),
+        hit AS (SELECT bench_id, COUNT(*) AS n_hit
+          FROM bsh JOIN csh USING (sh) GROUP BY 1)
+        SELECT t.bench_id, t.n_shingles,
+          COALESCE(h.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6)
+            AS contam_frac
+        FROM tot t LEFT JOIN hit h USING (bench_id)
+        ORDER BY bench_id""")),
+
     // SFT chat packing (r15 — the post-training front half): chat-JSON
     // conversations (2-4 turns, system/user/assistant roles) parse to
     // turns (from_json + posexplode), render to ONE training string

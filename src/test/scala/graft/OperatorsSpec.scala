@@ -1501,6 +1501,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, 1L, 1.0)))
   }
 
+  test("decontaminate evalContamination: per-bench-item fraction of " +
+      "shingles found in the corpus; zero-hit items report 0.0") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence with no overlap here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      // 3 shingles; only "the quick brown fox jumps" is in the corpus
+      (100L, "watch the quick brown fox jumps high"),
+      // fully contained (exact 5-token substring of doc 1)
+      (101L, "jumps over the lazy dog"),
+      (102L, "nothing of this benchmark appears anywhere at all"))
+      .toDF("bench_id", "btext")
+    val got = Decontaminate.evalContamination(corpus, "text",
+        bench, "btext", "bench_id", 5)
+      .orderBy(col("bench_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("contam_frac")))
+    assert(got(0) == ((100L, 3L, 1L, round3(1.0 / 3))))
+    assert(got(1) == ((101L, 1L, 1L, 1.0)))
+    assert(got(2) == ((102L, 4L, 0L, 0.0)))
+  }
+
   test("dedup cache: build-once reuse, LRU eviction unpersists") {
     val s = spark
     import s.implicits._
