@@ -128,6 +128,27 @@ object Curation {
                        phrases: Seq[String]): DataFrame =
     df.filter(!phraseHit(col(textCol), phrases))
 
+  /** HOT-N-GRAM audit — the boilerplate/memorization-risk report: the
+    * top-N most frequent word k-shingles across the corpus with their
+    * OCCURRENCE counts (repeats inside one document count — boilerplate
+    * that repeats within pages is exactly what the audit hunts).
+    * Shingles materialize as readable STRINGS (the audit's consumers
+    * are humans deciding what to strip, unlike the hashed dedup
+    * kernels), counts map-side combine before one hash exchange, and
+    * the top-N is TakeOrderedAndProject — no global sort ever ranks
+    * the full n-gram table. Ties break on the n-gram string ascending
+    * so the cut is deterministic at any parallelism. `minCount` prunes
+    * the Zipf tail before the ordering (singleton n-grams are most of
+    * the table and can never be boilerplate). */
+  def hotNgrams(df: DataFrame, textCol: String, k: Int, topN: Int,
+                minCount: Long = 2L): DataFrame =
+    df.select(explode(TA.shingles(TA.tokens(col(textCol)), k))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(topN)
+
   /** Capstone end-to-end curation — the C4/Gopher/CCNet stack composed
     * in pipeline order: exact dedup (first copy survives) → Gopher rule
     * gate ([[TA.gopherSignals]]) → self-trained bigram-LM perplexity

@@ -1412,6 +1412,25 @@ object TrainingQueries {
         FROM tot t LEFT JOIN hit h USING (bench_id)
         ORDER BY bench_id""")),
 
+    // Hot-n-gram audit (r16): the top-50 most frequent 5-shingles with
+    // occurrence counts — the boilerplate report a curation team reads
+    // before writing strip rules. Duplicate documents in the corpus
+    // guarantee real repeats; ties at the cut break on the n-gram
+    // string so the top-50 set is deterministic on both engines.
+    Q("q_ngram_hot",
+      (s, d) => {
+        graft.operators.Curation.hotNgrams(
+            Tables.documents(s, d), "text", 5, 50)
+          .orderBy(col("cnt").desc, col("ngram"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sh AS (SELECT unnest(${shinglesSql("tk", 5)}) AS ngram FROM tk),
+        c AS (SELECT ngram, COUNT(*) AS cnt FROM sh GROUP BY 1
+          HAVING COUNT(*) >= 2)
+        SELECT ngram, cnt FROM c
+        ORDER BY cnt DESC, ngram LIMIT 50""")),
+
     // SFT chat packing (r15 — the post-training front half): chat-JSON
     // conversations (2-4 turns, system/user/assistant roles) parse to
     // turns (from_json + posexplode), render to ONE training string

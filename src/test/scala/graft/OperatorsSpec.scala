@@ -1527,6 +1527,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2) == ((102L, 4L, 0L, 0.0)))
   }
 
+  test("hotNgrams: occurrence-counted top-N with deterministic ties, " +
+      "minCount prunes singletons, within-doc repeats count") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Curation
+    val df = Seq(
+      (1L, "click here to subscribe now please click here to subscribe"),
+      (2L, "click here to subscribe now and thanks"),
+      (3L, "entirely unrelated words that appear only once ever")
+    ).toDF("doc_id", "text")
+    val got = Curation.hotNgrams(df, "text", 3, 10).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("cnt")))
+    // "click here to" ×3 (twice in doc 1 — within-doc repeats count,
+    // once in doc 2); "here to subscribe" ×3; "to subscribe now" ×2;
+    // every doc-3 shingle is a singleton and pruned
+    assert(got.take(2).toSeq ==
+      Seq(("click here to", 3L), ("here to subscribe", 3L)))
+    assert(got.contains(("to subscribe now", 2L)))
+    assert(got.forall(_._2 >= 2L))
+    assert(!got.exists(_._1.contains("unrelated")))
+  }
+
   test("dedup cache: build-once reuse, LRU eviction unpersists") {
     val s = spark
     import s.implicits._
