@@ -184,10 +184,6 @@ object Bench {
     // per-user-turn decontamination probes ride on the chat parse;
     // the shingle hashing is the native kernel
     "q_sft_decontam" -> Set("JsonToStructs"),
-    // hot-ngram audit: word shingles materialize as STRINGS (the
-    // audit's whole point is readable n-grams, unlike the hashed
-    // dedup kernels) via one transform over per-doc token arrays
-    "q_ngram_hot" -> Set("ArrayTransform"),
     // prompt rendering maps over the per-conversation turns array
     // (KB-sized); the parse is the operator, as in the chat gates
     "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),

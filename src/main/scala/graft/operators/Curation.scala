@@ -131,23 +131,43 @@ object Curation {
   /** HOT-N-GRAM audit — the boilerplate/memorization-risk report: the
     * top-N most frequent word k-shingles across the corpus with their
     * OCCURRENCE counts (repeats inside one document count — boilerplate
-    * that repeats within pages is exactly what the audit hunts).
-    * Shingles materialize as readable STRINGS (the audit's consumers
-    * are humans deciding what to strip, unlike the hashed dedup
-    * kernels), counts map-side combine before one hash exchange, and
-    * the top-N is TakeOrderedAndProject — no global sort ever ranks
-    * the full n-gram table. Ties break on the n-gram string ascending
-    * so the cut is deterministic at any parallelism. `minCount` prunes
-    * the Zipf tail before the ordering (singleton n-grams are most of
-    * the table and can never be boilerplate). */
+    * that repeats within pages is exactly what the audit hunts), as
+    * readable STRINGS (the audit's consumers are humans deciding what
+    * to strip).
+    *
+    * Two passes, because the strings are the REPORT, not the count
+    * key: pass 1 counts on the codegen'd 60-bit shingle-hash kernel —
+    * longs cross the exchange, map-side combined, `minCount` prunes
+    * the Zipf singleton tail (most of the table) and the top-N cut is
+    * TakeOrderedAndProject (ties at the cut break on the HASH,
+    * deterministic at any parallelism). Pass 2 re-scans and resolves
+    * ONLY the winners: shingle strings build AFTER the broadcast
+    * probe against the topN hash set, on matched positions alone —
+    * the corpus never materializes (or shuffles) its full n-gram
+    * string table, the 100 TB failure mode of the naive explode.
+    * Hash collisions merge counts and keep the MIN string — both
+    * replayed by the oracle. Output (ngram, cnt), ordered
+    * (cnt desc, ngram). */
   def hotNgrams(df: DataFrame, textCol: String, k: Int, topN: Int,
-                minCount: Long = 2L): DataFrame =
-    df.select(explode(TA.shingles(TA.tokens(col(textCol)), k))
-        .as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+                minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.graft.TextHashExprs
+    val hashed = df.select(TA.tokens(col(textCol)).as("__tk"))
+      .withColumn("__hs", TextHashExprs.shingleHash60(col("__tk"), k))
+    val top = hashed.select(explode(col("__hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("h")).limit(topN)
+    hashed.select(col("__tk"), posexplode(col("__hs")).as(Seq("p", "h")))
+      .join(broadcast(top), "h")
+      .select(col("h"), col("cnt"),
+        when(size(col("__tk")) < k, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ",
+            slice(col("__tk"), col("p") + 1, lit(k))))
+          .as("ngram"))
+      .groupBy(col("h"), col("cnt")).agg(min(col("ngram")).as("ngram"))
+      .select(col("ngram"), col("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
-      .limit(topN)
+  }
 
   /** Capstone end-to-end curation — the C4/Gopher/CCNet stack composed
     * in pipeline order: exact dedup (first copy survives) → Gopher rule

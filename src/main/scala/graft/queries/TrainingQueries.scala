@@ -1415,8 +1415,9 @@ object TrainingQueries {
     // Hot-n-gram audit (r16): the top-50 most frequent 5-shingles with
     // occurrence counts — the boilerplate report a curation team reads
     // before writing strip rules. Duplicate documents in the corpus
-    // guarantee real repeats; ties at the cut break on the n-gram
-    // string so the top-50 set is deterministic on both engines.
+    // guarantee real repeats; counting runs on the hash kernel (ties
+    // at the cut break on the HASH — the oracle replays the cut,
+    // collision-merge, and min-string resolution exactly).
     Q("q_ngram_hot",
       (s, d) => {
         graft.operators.Curation.hotNgrams(
@@ -1426,10 +1427,13 @@ object TrainingQueries {
       Some(s"""WITH tk AS (
           SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
         sh AS (SELECT unnest(${shinglesSql("tk", 5)}) AS ngram FROM tk),
-        c AS (SELECT ngram, COUNT(*) AS cnt FROM sh GROUP BY 1
-          HAVING COUNT(*) >= 2)
-        SELECT ngram, cnt FROM c
-        ORDER BY cnt DESC, ngram LIMIT 50""")),
+        c AS (SELECT ngram, ${hash60Sql("ngram")} AS h, COUNT(*) AS cnt
+          FROM sh GROUP BY 1, 2),
+        hc AS (SELECT h, CAST(SUM(cnt) AS BIGINT) AS cnt,
+          MIN(ngram) AS ngram FROM c GROUP BY 1),
+        top AS (SELECT * FROM hc WHERE cnt >= 2
+          ORDER BY cnt DESC, h LIMIT 50)
+        SELECT ngram, cnt FROM top ORDER BY cnt DESC, ngram""")),
 
     // SFT chat packing (r15 — the post-training front half): chat-JSON
     // conversations (2-4 turns, system/user/assistant roles) parse to
