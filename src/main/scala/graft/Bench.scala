@@ -184,6 +184,9 @@ object Bench {
     // per-user-turn decontamination probes ride on the chat parse;
     // the shingle hashing is the native kernel
     "q_sft_decontam" -> Set("JsonToStructs"),
+    // RFT capstone: winners re-enter the SFT pack path (chat parse +
+    // ordered rebuild), as in q_chat_pack
+    "q_rft_windows" -> Set("ArraySort", "JsonToStructs"),
     // prompt rendering maps over the per-conversation turns array
     // (KB-sized); the parse is the operator, as in the chat gates
     "q_dpo_pairs" -> Set("ArrayTransform", "JsonToStructs"),

@@ -1435,6 +1435,82 @@ object TrainingQueries {
           ORDER BY cnt DESC, h LIMIT 50)
         SELECT ngram, cnt FROM top ORDER BY cnt DESC, ngram""")),
 
+    // RFT factory capstone (r16): rejection-sampling fine-tuning end
+    // to end — pools of scored candidate completions → bestOfN picks
+    // winners per pool → dedupeByPrompt collapses pools that rendered
+    // the SAME prompt (two pools share each prompt text by
+    // construction, so the dedup stage provably fires) → the winner
+    // becomes the assistant turn of a chat → packWithMask renders the
+    // training window and turnSpans yields response_start. Every
+    // downstream byte moves with the upstream argmaxes; the oracle
+    // replays pool selection, margins, dedup, rendering, and the loss
+    // boundary in one statement.
+    Q("q_rft_windows",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val cands = Tables.documents(s, d).select(
+          concat(lit("q"), (did % 80).cast("string")).as("pool_id"),
+          concat(lit("question "), (did % 40).cast("string"))
+            .as("prompt_text"),
+          concat(substring(ct, 5, 12), lit("#"), did.cast("string"))
+            .as("cand"),
+          (floor(did / 3).cast("long") % 7).as("score"))
+        val pmap = cands.select(col("pool_id"), col("prompt_text"))
+          .distinct()
+        val winners = Chats.bestOfN(cands, "pool_id", "cand", "score")
+          .join(pmap, "pool_id")
+        val best = Chats.dedupeByPrompt(winners, "pool_id",
+          "prompt_text", "best_score")
+        val chats = best.withColumn("chat", concat(
+          lit("{\"messages\":[{\"role\":\"user\",\"content\":\""),
+          col("prompt_text"),
+          lit("\"},{\"role\":\"assistant\",\"content\":\""),
+          col("best"), lit("\"}]}")))
+        val turns = Chats.turns(chats, "chat", "pool_id")
+        val packed = Chats.packWithMask(turns, "pool_id")
+        val rs = Chats.turnSpans(turns, "pool_id")
+          .filter(col("role") === "assistant")
+          .select(col("pool_id"), col("start").as("response_start"))
+        chats.join(packed, "pool_id").join(rs, "pool_id")
+          .select(col("pool_id"), col("prompt_text"), col("best"),
+            col("best_score"), col("n_candidates"), col("margin"),
+            col("text"), col("response_start"))
+          .orderBy(col("pool_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+          regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+        FROM documents),
+        c AS (SELECT doc_id,
+          'q' || CAST(doc_id % 80 AS VARCHAR) AS pool_id,
+          'question ' || CAST(doc_id % 40 AS VARCHAR) AS prompt_text,
+          substr(ct, 5, 12) || '#' || CAST(doc_id AS VARCHAR) AS cand,
+          CAST(floor(doc_id / 3) AS BIGINT) % 7 AS score
+        FROM b),
+        w AS (SELECT *,
+          row_number() OVER (PARTITION BY pool_id
+            ORDER BY score DESC, cand) AS rk,
+          lead(score) OVER (PARTITION BY pool_id
+            ORDER BY score DESC, cand) AS nxt,
+          count(*) OVER (PARTITION BY pool_id) AS nc
+        FROM c),
+        win AS (SELECT pool_id, prompt_text, cand AS best,
+          score AS best_score, CAST(nc AS BIGINT) AS n_candidates,
+          score - nxt AS margin
+        FROM w WHERE rk = 1),
+        ded AS (SELECT *, row_number() OVER (PARTITION BY prompt_text
+            ORDER BY best_score DESC, pool_id) AS rk2 FROM win),
+        f AS (SELECT * FROM ded WHERE rk2 = 1),
+        r AS (SELECT *,
+          '<|user|>' || prompt_text || chr(10) AS useg,
+          '<|assistant|>' || best || chr(10) AS aseg
+        FROM f)
+        SELECT pool_id, prompt_text, best, best_score, n_candidates,
+          margin, useg || aseg AS text,
+          CAST(length(useg) AS BIGINT) AS response_start
+        FROM r ORDER BY pool_id""")),
+
     // SFT chat packing (r15 — the post-training front half): chat-JSON
     // conversations (2-4 turns, system/user/assistant roles) parse to
     // turns (from_json + posexplode), render to ONE training string
