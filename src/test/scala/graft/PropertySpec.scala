@@ -460,6 +460,64 @@ class PropertySpec extends SparkSpec {
     Frontier.dropChangeLedger(s, "propcond")
   }
 
+  test("selection tier is partition-invariant: bestOfN, dedupeByPrompt " +
+      "and groupAdvantage return identical rows at 1, 3 and 32 " +
+      "partitions on random scored pools") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Chats
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 400L).map { i =>
+      (i, s"p${rnd.nextInt(17)}", s"c${rnd.nextInt(50)}#$i",
+        rnd.nextInt(9).toLong)
+    }
+    val base = rows.toDF("id", "prompt", "cand", "score")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val refB = canon(Chats.bestOfN(base, "prompt", "cand", "score"))
+    val refD = canon(Chats.dedupeByPrompt(base, "id", "prompt", "score"))
+    val refA = canon(Chats.groupAdvantage(base, "prompt", "score"))
+    for (n <- Seq(1, 3, 32)) {
+      val p = base.repartition(n)
+      assert(canon(Chats.bestOfN(p, "prompt", "cand", "score")) == refB,
+        s"bestOfN at $n partitions")
+      assert(canon(Chats.dedupeByPrompt(p, "id", "prompt", "score"))
+        == refD, s"dedupeByPrompt at $n partitions")
+      assert(canon(Chats.groupAdvantage(p, "prompt", "score")) == refA,
+        s"groupAdvantage at $n partitions")
+    }
+  }
+
+  test("groupAdvantage matches a naive double-precision reference on " +
+      "random pools and is shift-covariant on the score") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Chats
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i, s"g${rnd.nextInt(11)}",
+      rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "pool", "score")
+    val got = Chats.groupAdvantage(df, "pool", "score").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("advantage")).toMap
+    val byPool = rows.groupBy(_._2)
+    byPool.foreach { case (_, members) =>
+      val xs = members.map(_._3.toDouble)
+      val m = xs.sum / xs.size
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.size
+      members.foreach { case (id, _, sc) =>
+        val want = if (v == 0.0) 0.0 else (sc - m) / math.sqrt(v)
+        assert(math.abs(got(id) - want) < 1e-9, s"id $id")
+      }
+    }
+    // shifting every score by a constant leaves advantages unchanged
+    val shifted = rows.map { case (i, p, sc) => (i, p, sc + 1000L) }
+      .toDF("id", "pool", "score")
+    val gotS = Chats.groupAdvantage(shifted, "pool", "score").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("advantage")).toMap
+    got.foreach { case (id, a) =>
+      assert(math.abs(gotS(id) - a) < 1e-9, s"shift id $id") }
+  }
+
   test("decodeAvi: pathological LIST nesting is data (None), not a " +
     "StackOverflowError") {
     import graft.operators.Multimodal
