@@ -99,6 +99,25 @@ object TextAnalysis {
     round((lenScore * 0.4 + wordScore * 0.3 + alphaRatio * 0.3), 4)
   }
 
+  /** Flesch reading-ease (Flesch 1948 — the classic readability
+    * heuristic curation stacks carry as a quality covariate next to
+    * the length/alpha composite): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words), with deterministic STRUCTURAL counts
+    * both engines replay exactly — words = whitespace tokens,
+    * sentences = `[.!?]+` runs (min 1), syllables = `[aeiouy]+` vowel
+    * groups over the lowercased text (min 1; the standard regex
+    * estimate, not a dictionary). Pure codegen regexp projection, no
+    * shuffle; 4-dp output for the same cross-engine double-rounding
+    * reason as [[qualityScore]]. */
+  def fleschEase(text: Column): Column = {
+    val w = greatest(tokenCount(text), lit(1)).cast("double")
+    val sct = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("double")
+    val y = greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1))
+      .cast("double")
+    round(lit(206.835) - lit(1.015) * (w / sct) - lit(84.6) * (y / w), 4)
+  }
+
   /** Gopher's English stopword list for the ≥2-distinct-hits rule. */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

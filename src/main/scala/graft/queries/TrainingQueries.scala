@@ -617,6 +617,46 @@ object TrainingQueries {
             GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
           FROM documents)""")),
 
+    // Flesch reading-ease (r16): structural readability next to the
+    // composite quality score — sentence/syllable shape, not length.
+    // Docs decorate with 0/1/3-sentence tails by residue so the
+    // sentence count actually varies; counts and the 4dp score are
+    // bit-checked per document.
+    Q("q_text_flesch",
+      (s, d) => {
+        val t = concat(col("text"),
+          when(col("doc_id") % 3 === 1, lit(". extra tail here."))
+            .when(col("doc_id") % 3 === 2,
+              lit("! two more! and a third?"))
+            .otherwise(lit("")))
+        Tables.documents(s, d).select(col("doc_id"),
+          TA.tokenCount(t).cast("long").as("n_words"),
+          greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+            .as("n_sentences"),
+          greatest(regexp_count(lower(t), lit("[aeiouy]+")), lit(1))
+            .cast("long").as("n_syllables"),
+          TA.fleschEase(t).as("flesch"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 1 THEN '. extra tail here.'
+               WHEN doc_id % 3 = 2 THEN '! two more! and a third?'
+               ELSE '' END AS t FROM documents),
+        c AS (SELECT doc_id,
+          CAST(len(${toksSql("t")}) AS BIGINT) AS n_words,
+          GREATEST(CAST(len(regexp_extract_all(t, '[.!?]+'))
+            AS BIGINT), 1) AS n_sentences,
+          GREATEST(CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+            AS BIGINT), 1) AS n_syllables
+        FROM t0)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          ROUND(206.835
+            - 1.015 * (CAST(GREATEST(n_words, 1) AS DOUBLE) /
+                n_sentences)
+            - 84.6 * (CAST(n_syllables AS DOUBLE) /
+                GREATEST(n_words, 1)), 4) AS flesch
+        FROM c ORDER BY doc_id""")),
+
     // Mojibake repair (ftfy's fix_encoding — the step CC pipelines run
     // right after HTML extraction): documents decorated with non-ASCII
     // tails, then mis-decoded as Latin-1 in-gate (doc_id%5==0 left

@@ -708,4 +708,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.map(x => Option(x.getString(0))).toSeq ==
       Seq(None, Some("café")))
   }
+  test("fleschEase: hand-computed score, sentence and syllable floors") {
+    val s2 = spark
+    import s2.implicits._
+    def f(t: String): Double =
+      Seq(t).toDF("t").select(TA.fleschEase(col("t")).as("f"))
+        .collect()(0).getDouble(0)
+    // "The cat sat." -> 3 words, 1 sentence, 3 vowel groups:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(f("The cat sat.") == 119.19)
+    // no terminal punctuation -> sentence floor of 1, same score
+    assert(f("The cat sat") == 119.19)
+    // "see saw!! see?" -> 3 words; [.!?]+ runs = 2 ("!!", "?");
+    // vowel groups: ee, aw? a(w) -> see=1, saw=1, see=1 = 3
+    // 206.835 - 1.015*1.5 - 84.6*1 = 120.7125 -> 120.7125
+    assert(f("see saw!! see?") == 120.7125)
+    // vowel-less text -> syllable floor 1:
+    // 1 word, 1 sentence: 206.835 - 1.015 - 84.6 = 121.22
+    assert(f("pfft") == 121.22)
+  }
 }
