@@ -2361,6 +2361,73 @@ object TrainingQueries {
           CAST(3 AS BIGINT) AS n_turns
         FROM b ORDER BY doc_id""")),
 
+    // STREAMING decontamination (r16) — the prevention twin of the
+    // measurement tiers: a live document feed drives 4 micro-batches
+    // through decontamSink, and anything sharing a 5-shingle with the
+    // benchmark set (the %9 docs) is dropped BEFORE the corpus sink —
+    // contaminated text never lands in training storage. Stateless
+    // (static bench set, broadcast per batch), so the in-gate replay
+    // of batch 1 must yield the identical survivor subset. Output =
+    // accumulated survivors, replayed closed-form.
+    Q("q_stream_decontam",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        val bench = graft.operators.Decontaminate.benchShingles(
+          docs.filter(col("doc_id") % 9 === 0)
+            .select(col("text").as("btext")), "btext", 5)
+        val rows = docs.orderBy(col("doc_id")).as[(Long, String)]
+          .collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val out = scala.collection.mutable.ArrayBuffer[Long]()
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.decontamSink(
+          mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+          bench, 5) { b =>
+            out ++= b.select(col("doc_id")).as[Long].collect()
+          }.start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        // stateless replay: re-filtering batch 1's rows must produce
+        // exactly the survivors the stream emitted for them
+        val b1 = rows.grouped(chunk).next().toSeq
+        val b1df = b1.toDF("doc_id", "text")
+        val rep = b1df.join(graft.operators.Decontaminate.flaggedWith(
+            b1df, "text", "doc_id", bench, 5), Seq("doc_id"),
+            "left_anti")
+          .select(col("doc_id")).as[Long].collect().toSet
+        require(rep == out.filter(i => b1.exists(_._1 == i)).toSet,
+          "stateless replay must reproduce batch-1 survivors")
+        out.toSeq.toDF("doc_id").orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+          list_distinct([${hash60Sql("s")} for s in ${shinglesSql("tk", 5)}])
+            AS shs FROM tk),
+        csh AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM sh
+          WHERE doc_id % 9 = 0),
+        fl AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b
+          USING (sh))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM fl)
+        ORDER BY doc_id"""),
+      setup = Some((s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        graft.operators.Decontaminate.benchShingles(
+          docs.filter(col("doc_id") % 9 === 0)
+            .select(col("text").as("btext")), "btext", 5)
+        ()
+      })),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass

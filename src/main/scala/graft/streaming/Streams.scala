@@ -313,6 +313,30 @@ object Streams {
   private def freshStreamTag(): String =
     s"sink_${System.nanoTime()}_${sinkCounter.incrementAndGet()}"
 
+  /** Streaming DECONTAMINATION gate — "never train on eval" enforced
+    * AT INGEST: each micro-batch drops documents sharing a k-shingle
+    * with the benchmark set BEFORE they reach the corpus sink, so
+    * contaminated text never lands in training storage at all (the
+    * batch-side report tiers measure; this tier prevents). STATELESS,
+    * unlike the dedup sinks: the bench shingle set is static per
+    * eval-set version — build it once with
+    * [[graft.operators.Decontaminate.benchShingles]] (eager, pinned,
+    * plan-keyed) and it broadcasts into every batch's probe — so
+    * there is no growing index, no horizon, and no idempotency tag: a
+    * replayed batch filters to the identical survivor set by
+    * construction. Per batch: one kernel shingle pass + one broadcast
+    * probe + one anti join, all O(batch). Survivors pass to
+    * `handler`. */
+  def decontamSink(docs: DataFrame, textCol: String, idCol: String,
+                   benchSh: DataFrame, k: Int)
+                  (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val flagged = graft.operators.Decontaminate.flaggedWith(
+        batch, textCol, idCol, benchSh, k)
+      handler(batch.join(flagged, Seq(idCol), "left_anti"))
+    }
+
   /** Streaming TEXT-index maintenance — the reference's realtime text
     * indexing (mutable segments index text AT INGEST —
     * `RealtimeLuceneTextIndex`, `pinot-segment-local/.../realtime/impl/
