@@ -123,6 +123,36 @@ object Packing {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** SHARD MANIFEST — the reproducibility record ("data card" numbers)
+    * a training run pins next to its shards: per shard, document
+    * count, token sum, id range, and an ORDER-FREE content fingerprint
+    * — the DECIMAL(38,0) sum of per-document 60-bit text hashes.
+    * Commutative addition means ANY partitioning, write order, or
+    * executor count yields the identical manifest, while one changed,
+    * dropped, or duplicated document changes it — the property that
+    * lets two clusters attest they trained on the same bytes without
+    * shipping them. The sum rides exactly in DECIMAL(38,0) and
+    * reduces mod the Mersenne prime 2^61−1 so the published
+    * fingerprint is a plain BIGINT every storage system round-trips
+    * losslessly (an unreduced 38-digit decimal degrades to a float in
+    * half the tools that read the manifest). One keyed agg over the
+    * assignment join; the manifest is shard-count-sized. */
+  val FingerprintP: Long = 2305843009213693951L // 2^61 − 1
+
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nBuckets: Int = 256,
+                    salt: String = "graft"): DataFrame =
+    df.join(shardByTokens(df, idCol, textCol, budget, nBuckets, salt)
+        .select(col(idCol), col("n_tokens"), col("shard")), idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        (sum(graft.functions.Scalars.hash60(col(textCol))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(new java.math.BigDecimal(FingerprintP)))
+          .cast("long").as("fingerprint"))
+
   /** Per-document sliding-window chunking (the RAG / long-context prep
     * twin of [[concatChunks]]): each document's token stream is split
     * into windows of `size` tokens advancing by `stride` (overlap =

@@ -2428,6 +2428,34 @@ object TrainingQueries {
         ()
       })),
 
+    // Shard manifest (r16): the reproducibility record pinned next to
+    // training shards — per shard, doc count, token sum, id range,
+    // and the order-free DECIMAL fingerprint (sum of per-doc 60-bit
+    // text hashes). Any write order yields the same manifest; one
+    // changed byte changes it.
+    Q("q_shard_manifest",
+      (s, d) => graft.operators.Packing.shardManifest(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", budget = 2000L)
+        .orderBy(col("shard")),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+          CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+          ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS ord
+        FROM documents),
+        w AS (SELECT doc_id, text, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (
+            ORDER BY ord % 256, ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS prev
+        FROM t)
+        SELECT CAST(prev // 2000 AS BIGINT) AS shard,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(CAST(${hash60Sql("text")} AS HUGEINT))
+            % 2305843009213693951 AS BIGINT) AS fingerprint
+        FROM w GROUP BY 1 ORDER BY shard""")),
+
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
     // and split into 1000-token windows. Spark side is a two-pass

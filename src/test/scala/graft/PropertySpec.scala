@@ -518,6 +518,32 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(gotS(id) - a) < 1e-9, s"shift id $id") }
   }
 
+  test("shardManifest: fingerprint is order- and partition-free, and " +
+      "any single-document change moves it") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 5 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(99)}")
+        .mkString(" ")))
+    val base = docs.toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Packing.shardManifest(df, "doc_id", "text", budget = 100L)
+        .orderBy(col("shard")).collect().map(_.toString).toSeq
+    val ref = manifest(base)
+    assert(ref.nonEmpty)
+    // partitioning and row order never move the manifest
+    assert(manifest(base.repartition(7)) == ref)
+    assert(manifest(base.orderBy(col("text"))) == ref)
+    // one flipped character in one document changes its shard's
+    // fingerprint (and only token-preserving edits leave counts alone)
+    val mutated = docs.map { case (i, t) =>
+      (i, if (i == 30L) t.replaceFirst("w", "x") else t)
+    }.toDF("doc_id", "text")
+    assert(manifest(mutated) != ref)
+  }
+
   test("decodeAvi: pathological LIST nesting is data (None), not a " +
     "StackOverflowError") {
     import graft.operators.Multimodal
