@@ -247,6 +247,28 @@ object Packing {
       .drop("__g", "__id")
   }
 
+  /** PACKING-EFFICIENCY report over a [[packExamples]] assignment —
+    * the padding-waste numbers a trainer watches before burning
+    * compute: per group, window count, item count, filled tokens,
+    * window capacity total, oversize-item count, and the 6dp
+    * `fill_rate` = filled / (windows·capacity) — 1 − fill_rate IS the
+    * padding fraction the loader pays. Oversize items (len >
+    * capacity) are counted separately: each owns a window whose
+    * overflow is real content, not padding, so a report dominated by
+    * oversize items reads > 1 by design. One keyed agg over the
+    * metadata-only assignment rows. */
+  def packingReport(asg: DataFrame, groupCol: String,
+                    capacity: Long): DataFrame =
+    asg.groupBy(col(groupCol))
+      .agg((max(col("bin")) + 1).as("n_windows"),
+        count(lit(1)).as("n_items"),
+        sum(col("len")).as("sum_len"),
+        sum(when(col("len") > capacity, 1L).otherwise(0L))
+          .as("n_oversize"))
+      .withColumn("capacity_total", col("n_windows") * capacity)
+      .withColumn("fill_rate",
+        round(col("sum_len").cast("double") / col("capacity_total"), 6))
+
   /** Per-chunk occupancy view over a packed corpus: how many documents
     * touch each chunk and how many of its `budget` token slots are filled
     * (every chunk except the last must be exactly full — the spec gate). */

@@ -2549,6 +2549,68 @@ object TrainingQueries {
         FROM st WHERE i > 0 ORDER BY doc_id"""
       }),
 
+    // Packing-efficiency report (r16): the padding-waste numbers a
+    // trainer reads before burning compute — per group, windows,
+    // items, filled tokens, capacity, oversize count, fill_rate
+    // (1 − fill_rate = padding fraction). Same synthesis as
+    // q_pack_examples; the oracle re-runs the FFD recursion and
+    // aggregates it, so window counts and fill rates are bit-checked
+    // through the packing itself.
+    Q("q_pack_fill",
+      (s, d) => {
+        val did = col("doc_id")
+        val items = Tables.documents(s, d).select(did,
+          (did % 8).as("grp"),
+          when(did % 101 === 0, lit(150L))
+            .otherwise((did * 7) % 97 + 3).cast("long").as("len"))
+        graft.operators.Packing.packingReport(
+          graft.operators.Packing.packExamples(items, "doc_id", "len",
+            "grp", capacity = 128L), "grp", capacity = 128L)
+          .orderBy(col("grp"))
+      },
+      Some {
+        val pos = "NULLIF(list_position(list_transform(st.caps, " +
+          "c -> c >= it.len), true), 0)"
+        s"""WITH RECURSIVE items AS (
+          SELECT doc_id % 8 AS grp, doc_id AS id,
+            CAST(CASE WHEN doc_id % 101 = 0 THEN 150
+              ELSE (doc_id * 7) % 97 + 3 END AS BIGINT) AS len
+          FROM documents),
+        it AS (
+          SELECT grp, id, len,
+            ROW_NUMBER() OVER (PARTITION BY grp
+              ORDER BY len DESC, CAST(id AS VARCHAR)) AS i,
+            COUNT(*) OVER (PARTITION BY grp) AS n
+          FROM items),
+        st AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS id,
+            CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin,
+            CAST([] AS BIGINT[]) AS caps, n
+          FROM (SELECT DISTINCT grp, n FROM it)
+          UNION ALL
+          SELECT it.grp, it.i, it.id, it.len,
+            CASE WHEN $pos IS NULL THEN len(st.caps)
+                 ELSE $pos - 1 END AS bin,
+            CASE WHEN $pos IS NULL
+                 THEN list_append(st.caps, 128 - it.len)
+                 ELSE list_slice(st.caps, 1, $pos - 1)
+                      || [st.caps[$pos] - it.len]
+                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 END AS caps,
+            st.n
+          FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
+          WHERE st.i < st.n)
+        SELECT grp, CAST(MAX(bin) + 1 AS BIGINT) AS n_windows,
+          COUNT(*) AS n_items,
+          CAST(SUM(len) AS BIGINT) AS sum_len,
+          CAST(SUM(CASE WHEN len > 128 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oversize,
+          CAST((MAX(bin) + 1) * 128 AS BIGINT) AS capacity_total,
+          ROUND(CAST(SUM(len) AS DOUBLE) / ((MAX(bin) + 1) * 128), 6)
+            AS fill_rate
+        FROM st WHERE i > 0 GROUP BY grp ORDER BY grp"""
+      }),
+
     // Semantic document ordering for in-context pretraining (r16 —
     // Shi et al. 2024): a greedy nearest-neighbor walk over document
     // embeddings per bucket, lifted to a total corpus order (ctx_pos)
