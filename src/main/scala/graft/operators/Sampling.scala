@@ -273,6 +273,35 @@ object Sampling {
     df.withColumn("split", cases)
   }
 
+  /** EPOCH / repetition plan for data-constrained mixing (Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models": repeating
+    * data up to ~4 epochs costs little — the planning step that turns
+    * (available tokens, target mixture weight, total budget) into how
+    * many times each source actually repeats): per source,
+    * `target_tokens` = floor(weight·budget) in EXACT decimal,
+    * `tokens_realized` = min(target, floor(maxEpochs·available)) —
+    * integer-exact, the cap is where repetition stops paying —
+    * `epochs` = realized/available (6dp), and `deficit` = target −
+    * realized, the tokens the cap refuses (to be re-weighted onto
+    * other sources or accepted as a smaller run). Pure projection
+    * over the per-source frame (one row per source — driver-scale). */
+  def epochPlan(perSource: DataFrame, sourceCol: String,
+                tokensCol: String, weightCol: String, budget: Long,
+                maxEpochs: java.math.BigDecimal): DataFrame = {
+    val w = col(weightCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    perSource
+      .withColumn("target_tokens",
+        floor(w * lit(budget)).cast("long"))
+      .withColumn("tokens_realized",
+        least(col("target_tokens"),
+          floor(lit(maxEpochs) * col(tokensCol)).cast("long")))
+      .withColumn("epochs",
+        round(col("tokens_realized").cast("double") / col(tokensCol), 6))
+      .withColumn("deficit",
+        col("target_tokens") - col("tokens_realized"))
+  }
+
   /** Leakage-safe split: near-duplicate CLUSTERS move as a unit, so no
     * eval document has a near-dup of itself in train — the published
     * train/test-contamination failure of splitting after (or without)

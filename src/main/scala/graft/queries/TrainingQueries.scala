@@ -2428,6 +2428,50 @@ object TrainingQueries {
         ()
       })),
 
+    // Epoch / repetition plan (r16 — Muennighoff 2023): per source,
+    // target tokens from an exact-decimal weight·budget, realized
+    // tokens under the 4-epoch repetition cap, the 6dp epoch count,
+    // and the deficit the cap refuses. Weights = (suffix+1)·0.0047 —
+    // 4 decimal digits, so every decimal op is exact on both engines;
+    // small sources hit the cap (positive deficit), large ones don't.
+    Q("q_mix_epochs",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TA.tokenCount(col("text"))).cast("long")
+            .as("avail_tokens"))
+          .withColumn("weight",
+            (regexp_extract(col("source"), "(\\d+)", 1).cast("long") + 1)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+              lit(new java.math.BigDecimal("0.0047")))
+        graft.operators.Sampling.epochPlan(per, "source",
+            "avail_tokens", "weight", budget = 1000000L,
+            maxEpochs = new java.math.BigDecimal("4.0"))
+          .select(col("source"), col("avail_tokens"),
+            col("weight").cast("double").as("weight"),
+            col("target_tokens"), col("tokens_realized"),
+            col("epochs"), col("deficit"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH per AS (SELECT source,
+          CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS avail_tokens,
+          CAST((CAST(substr(source, 4) AS BIGINT) + 1)
+            AS DECIMAL(18,6)) * CAST(0.0047 AS DECIMAL(18,6)) AS w
+        FROM documents GROUP BY source),
+        p AS (SELECT source, avail_tokens,
+          CAST(floor(CAST(w AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+            AS target_tokens,
+          CAST(floor(CAST(4.0 AS DECIMAL(18,6)) * avail_tokens)
+            AS BIGINT) AS cap_tokens,
+          CAST(w AS DOUBLE) AS weight
+        FROM per)
+        SELECT source, avail_tokens, weight, target_tokens,
+          LEAST(target_tokens, cap_tokens) AS tokens_realized,
+          ROUND(CAST(LEAST(target_tokens, cap_tokens) AS DOUBLE) /
+            avail_tokens, 6) AS epochs,
+          target_tokens - LEAST(target_tokens, cap_tokens) AS deficit
+        FROM p ORDER BY source""")),
+
     // Shard manifest (r16): the reproducibility record pinned next to
     // training shards — per shard, doc count, token sum, id range,
     // and the order-free DECIMAL fingerprint (sum of per-doc 60-bit
