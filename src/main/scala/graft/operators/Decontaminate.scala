@@ -90,6 +90,40 @@ object Decontaminate {
       .withColumn("overlap_frac",
         round(col("n_hit").cast("double") / col("n_shingles"), 6))
 
+  /** PARAGRAPH-level decontamination — the surgical tier between
+    * flag-the-document (which discards a whole document for one leaked
+    * line) and doing nothing: drop only the PARAGRAPHS sharing a
+    * k-shingle with the benchmark and rebuild each document from the
+    * survivors in original order — the FineWeb/CCNet line-level
+    * removal shape, on [[graft.operators.Dedup.paragraphDedup]]'s
+    * explode/rebuild idiom (whitespace-only paragraphs drop in the
+    * rebuild, same convention). Scale: one generator projection, the
+    * broadcast shingle probe runs on PARAGRAPHS keyed by
+    * (id, para_idx), one groupBy rebuild — two linear shuffles, the
+    * corpus never self-joins and bench stays the broadcast side. */
+  def cleanParagraphs(corpus: DataFrame, textCol: String, idCol: String,
+                      benchSh: DataFrame, k: Int,
+                      sep: String = "\n"): DataFrame = {
+    val paras = split(col(textCol),
+      java.util.regex.Pattern.quote(sep), -1)
+    val keyed = corpus
+      .select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("__pk", concat(col(idCol).cast("string"), lit("#"),
+        col("para_idx").cast("string")))
+    val kept = keyed.join(
+      flaggedWith(keyed, "para", "__pk", benchSh, k), Seq("__pk"),
+      "left_anti")
+    corpus.select(col(idCol)).join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("para_idx"),
+              col("para")))),
+            s => s.getField("para")), sep).as(textCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** EVAL-SIDE contamination — the REVERSED direction of
     * [[overlapFraction]] (the number Llama/PaLM model cards report):
     * for each BENCHMARK item, what fraction of its distinct k-shingles

@@ -1413,6 +1413,59 @@ object TrainingQueries {
         ()
       })),
 
+    // Paragraph-level decontamination (r16): the surgical tier — drop
+    // only the leaked LINES and rebuild the document, instead of
+    // discarding whole documents for one contaminated paragraph. Docs
+    // line as 4-token rows (the q_dedup_paragraphs synthesis); bench =
+    // all 4-gram shingles of every 13th doc, so each aligned line of a
+    // %13 doc (and its duplicates anywhere) vanishes from the rebuilt
+    // text while sub-4-token tail lines provably survive (a shorter
+    // whole-line shingle can't equal any 4-gram). Rebuilt texts
+    // bit-checked per document.
+    Q("q_para_decontam",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val last = greatest(((size(toks) - 1) / 4).cast("int"), lit(0))
+        val lines = transform(sequence(lit(0), last),
+          i => array_join(slice(toks, i * 4 + 1, lit(4)), " "))
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          array_join(lines, "\n").as("text"))
+        val bench = graft.operators.Decontaminate.benchShingles(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
+          "text", 4)
+        graft.operators.Decontaminate.cleanParagraphs(docs, "text",
+            "doc_id", bench, 4)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        lined AS (SELECT doc_id, array_to_string(list_transform(
+            generate_series(0, greatest((len(tk) - 1) // 4, 0)),
+            i -> array_to_string(tk[i*4+1:i*4+4], ' ')), chr(10)) AS text
+          FROM tk),
+        sp AS (SELECT doc_id, i - 1 AS para_idx, parts[i] AS para
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+              unnest(generate_series(1,
+                len(string_split(text, chr(10))))) AS i
+            FROM lined)
+          WHERE trim(parts[i]) != ''),
+        bsh AS (SELECT DISTINCT unnest(list_distinct(
+            [${hash60Sql("s")} for s in ${shinglesSql("tk", 4)}])) AS sh
+          FROM tk WHERE doc_id % 13 = 0),
+        kept AS (SELECT * FROM sp
+          WHERE ${hash60Sql("para")} NOT IN (SELECT sh FROM bsh))
+        SELECT d.doc_id,
+          COALESCE(string_agg(k.para, chr(10) ORDER BY k.para_idx), '')
+            AS text
+        FROM lined d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id"""),
+      setup = Some((s, d) => {
+        graft.operators.Decontaminate.benchShingles(
+          Tables.documents(s, d).filter(col("doc_id") % 13 === 0),
+          "text", 4)
+        ()
+      })),
+
     // Eval-side contamination (r16): the REVERSED report direction —
     // per BENCHMARK item, the fraction of its shingles found anywhere
     // in the training corpus (the model-card number). Direction

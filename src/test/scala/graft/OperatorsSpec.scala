@@ -1527,6 +1527,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2) == ((102L, 4L, 0L, 0.0)))
   }
 
+  test("cleanParagraphs: only the leaked lines vanish, order and " +
+      "untouched documents survive byte-identical") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "keep this line intact\nthe secret benchmark answer leaked\nand the tail stays"),
+      (2L, "totally unrelated document text\nnothing shared at all"),
+      (3L, "the secret benchmark answer leaked")).toDF("doc_id", "text")
+    val bench = Seq((9L, "q: what is it a: the secret benchmark answer leaked"))
+      .toDF("bid", "btext")
+    val sh = Decontaminate.benchShingles(bench, "btext", 5)
+    val got = Decontaminate.cleanParagraphs(corpus, "text", "doc_id",
+        sh, 5).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got(0) == ((1L,
+      "keep this line intact\nand the tail stays")))
+    assert(got(1) == ((2L,
+      "totally unrelated document text\nnothing shared at all")))
+    assert(got(2) == ((3L, ""))) // fully contaminated -> empty rebuild
+  }
+
   test("hotNgrams: occurrence-counted top-N with deterministic ties, " +
       "minCount prunes singletons, within-doc repeats count") {
     val s = spark
