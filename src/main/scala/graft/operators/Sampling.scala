@@ -273,6 +273,29 @@ object Sampling {
     df.withColumn("split", cases)
   }
 
+  /** SPLIT-LEAKAGE report — MEASURES what [[splitByCluster]] prevents:
+    * documents in a non-train split whose EXACT text also appears in
+    * train — eval rows the model has literally seen, the inflation a
+    * post-hoc audit must quantify before trusting any eval number.
+    * Exact tier by 60-bit text hash: train's distinct hashes
+    * semi-probe the eval side, so only (hash, id) longs shuffle and
+    * the report is eval-split-sized. For NEAR-dup leakage, run
+    * [[splitByCluster]]'s pair input through the same shape — or
+    * better, split by cluster and make this report return empty.
+    * Returns (idCol, splitCol) of leaked eval documents. */
+  def splitLeakage(labeled: DataFrame, idCol: String, textCol: String,
+                   splitCol: String = "split",
+                   trainName: String = "train"): DataFrame = {
+    val train = labeled.filter(col(splitCol) === trainName)
+      .select(Scalars.hash60(col(textCol)).as("__h")).distinct()
+    labeled
+      .filter(col(splitCol) =!= trainName && col(splitCol).isNotNull)
+      .select(col(idCol), col(splitCol),
+        Scalars.hash60(col(textCol)).as("__h"))
+      .join(train, Seq("__h"), "left_semi")
+      .select(col(idCol), col(splitCol))
+  }
+
   /** EPOCH / repetition plan for data-constrained mixing (Muennighoff
     * et al. 2023, "Scaling Data-Constrained Language Models": repeating
     * data up to ~4 epochs costs little — the planning step that turns

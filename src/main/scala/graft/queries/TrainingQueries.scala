@@ -1413,6 +1413,42 @@ object TrainingQueries {
         ()
       })),
 
+    // Split-leakage report (r16): the audit that MEASURES what
+    // splitByCluster prevents — a corpus with exact-duplicate twins
+    // split by id hash (the naive split) leaks twins across the
+    // train/eval boundary, and every leaked val/test document is
+    // reported. The companion q_split_leakproof shows the prevention;
+    // this gate quantifies the failure mode it closes.
+    Q("q_split_leak_report",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        val corpus = base.unionAll(base.select(
+          (col("doc_id") + 100000).as("doc_id"), col("text")))
+        val labeled = graft.operators.Sampling.hashSplit(corpus,
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        graft.operators.Sampling.splitLeakage(labeled, "doc_id",
+            "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents),
+        lab AS (SELECT doc_id, text,
+          CASE WHEN ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")}
+              % 10000 < 8000 THEN 'train'
+            WHEN ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")}
+              % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split
+          FROM corpus),
+        tr AS (SELECT DISTINCT ${hash60Sql("text")} AS h FROM lab
+          WHERE split = 'train')
+        SELECT doc_id, split FROM lab
+        WHERE split <> 'train' AND ${hash60Sql("text")} IN
+          (SELECT h FROM tr)
+        ORDER BY doc_id""")),
+
     // Paragraph-level decontamination (r16): the surgical tier — drop
     // only the leaked LINES and rebuild the document, instead of
     // discarding whole documents for one contaminated paragraph. Docs
