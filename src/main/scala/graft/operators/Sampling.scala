@@ -296,6 +296,30 @@ object Sampling {
       .select(col(idCol), col(splitCol))
   }
 
+  /** NEAR-DUP tier of [[splitLeakage]]: documents in a non-train split
+    * with a near-duplicate (an edge in `pairs` — [[Dedup.minHashPairs]]
+    * / simHash / embedding pairs, whatever the pipeline's dedup tier
+    * produces) in train. Catches the leakage exact hashing cannot see
+    * — paraphrased or lightly-edited twins — which is precisely the
+    * case that motivated [[splitByCluster]]. Edges symmetrize, train
+    * ids semi-probe the eval endpoint; everything shuffled is id
+    * pairs. Returns (idCol, splitCol) of leaked eval documents. */
+  def splitLeakageNear(labeled: DataFrame, pairs: DataFrame,
+                       idCol: String, splitCol: String = "split",
+                       trainName: String = "train"): DataFrame = {
+    val e = pairs.select(col("id_a").as("__s"), col("id_b").as("__d"))
+      .unionAll(pairs.select(col("id_b").as("__s"),
+        col("id_a").as("__d")))
+    val trainIds = labeled.filter(col(splitCol) === trainName)
+      .select(col(idCol).as("__d")).distinct()
+    val leakEnds = e.join(trainIds, Seq("__d"), "left_semi")
+      .select(col("__s").as(idCol)).distinct()
+    labeled
+      .filter(col(splitCol) =!= trainName && col(splitCol).isNotNull)
+      .join(leakEnds, Seq(idCol), "left_semi")
+      .select(col(idCol), col(splitCol))
+  }
+
   /** EPOCH / repetition plan for data-constrained mixing (Muennighoff
     * et al. 2023, "Scaling Data-Constrained Language Models": repeating
     * data up to ~4 epochs costs little — the planning step that turns

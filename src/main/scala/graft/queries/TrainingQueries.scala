@@ -1449,6 +1449,52 @@ object TrainingQueries {
           (SELECT h FROM tr)
         ORDER BY doc_id""")),
 
+    // Near-dup split leakage (r16): the tier exact hashing cannot see
+    // — the dupCorpus twins differ by their first word, so
+    // q_split_leak_report's exact-hash audit finds NOTHING here, while
+    // the minhash-pair tier reports every eval doc whose lightly-
+    // edited twin landed in train under the naive id-hash split.
+    Q("q_split_leak_near",
+      (s, d) => {
+        val docs = dupCorpus(Tables.documents(s, d))
+        val labeled = graft.operators.Sampling.hashSplit(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        graft.operators.Sampling.splitLeakageNear(labeled,
+            Dedup.minHashPairs(docs, "text", "doc_id", 3, 4, 2),
+            "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key AND a.doc_id < e.doc_id),
+          edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+          lab AS (SELECT doc_id,
+            CASE WHEN ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")}
+                % 10000 < 8000 THEN 'train'
+              WHEN ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")}
+                % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+            FROM corpus),
+          tr AS (SELECT doc_id FROM lab WHERE split = 'train'),
+          lk AS (SELECT DISTINCT e.s AS doc_id FROM edges e
+            JOIN tr ON e.t = tr.doc_id)
+        SELECT l.doc_id, l.split FROM lab l JOIN lk USING (doc_id)
+        WHERE l.split <> 'train' ORDER BY doc_id"""
+      }),
+
     // Paragraph-level decontamination (r16): the surgical tier — drop
     // only the leaked LINES and rebuild the document, instead of
     // discarding whole documents for one contaminated paragraph. Docs
