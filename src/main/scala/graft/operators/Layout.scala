@@ -187,6 +187,46 @@ object Layout {
     * meaning, then pack"). Bucket offsets are the same two-pass
     * prefix-sum idiom as packing: one tiny per-bucket count collect,
     * never a global window. */
+  /** CURRICULUM ordering — a scale-correct GLOBAL position by score
+    * (easy→hard data ordering; Bengio et al. 2009's curriculum
+    * schedule applied to corpus layout): `orderBy` + one row_number
+    * window is a single-partition funnel at corpus scale, so the
+    * global rank computes as the range-bucketed TWO-PASS PREFIX SUM
+    * the packing tier already proves out — rows bucket by coarse
+    * score range, each bucket ranks locally (bucket-keyed window),
+    * bucket counts collect (|buckets| rows, driver-tiny) and
+    * broadcast back as offsets; `curriculum_pos` = offset + local
+    * rank − 1 equals the global (score, id-string) rank EXACTLY
+    * because bucketing is monotone in score. `buckets` bounds the
+    * largest window partition at ~n/buckets for spread scores; a
+    * heavily-skewed score distribution wants finer buckets. Ascending
+    * (easy-first); negate the score column for hard-first. */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      lo: Double, hi: Double,
+                      buckets: Int = 256): DataFrame = {
+    require(hi > lo, s"score range [$lo, $hi) is empty")
+    require(buckets >= 1, "need at least one bucket")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = least(greatest(
+        floor((col(scoreCol) - lo) / (hi - lo) * buckets), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("int")
+    val bucketed = df.withColumn("__ob", b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__ob"))
+      .orderBy(col(scoreCol), col(idCol).cast("string"))
+    val totals = bucketed.groupBy(col("__ob"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offDf = totals.map(_._1).zip(offsets).toSeq
+      .toDF("__ob", "__off")
+    bucketed.withColumn("__r", row_number().over(w))
+      .join(broadcast(offDf), Seq("__ob"))
+      .withColumn("curriculum_pos", col("__off") + col("__r") - 1)
+      .drop("__ob", "__r", "__off")
+  }
+
   def semanticOrder(df: DataFrame, idCol: String, vecCol: String,
                     bucketCol: String): DataFrame = {
     val spark = df.sparkSession

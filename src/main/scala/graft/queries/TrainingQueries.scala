@@ -1413,6 +1413,42 @@ object TrainingQueries {
         ()
       })),
 
+    // Curriculum ordering (r16): a GLOBAL easy→hard position by
+    // quality score, computed as the range-bucketed two-pass prefix
+    // sum (never a single-partition global window). The oracle IS the
+    // single global rank — ROW_NUMBER over (score, id-string) — so
+    // the distributed bucket+offset math must equal it exactly, which
+    // the monotone bucketing guarantees; quality ties are common at
+    // 4dp, forcing the id-string tie-break on both engines.
+    Q("q_curriculum_order",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          TA.qualityScore(col("text")).as("score"))
+        graft.operators.Layout.curriculumOrder(docs, "doc_id",
+            "score", lo = 0.0, hi = 1.0, buckets = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id, ROUND(
+          (CASE WHEN n_tok < 5 THEN 0.2 WHEN n_tok > 1000 THEN 0.5
+                ELSE 1.0 END) * 0.4 +
+          (CASE WHEN mean_word >= 3.0 AND mean_word <= 10.0 THEN 1.0
+                ELSE 0.4 END) * 0.3 +
+          alpha_ratio * 0.3, 4) AS score
+        FROM (SELECT doc_id,
+          CAST(len(${toksSql("text")}) AS DOUBLE) AS n_tok,
+          CAST(length(text) AS DOUBLE) /
+            GREATEST(CAST(len(${toksSql("text")}) AS DOUBLE), 1.0)
+            AS mean_word,
+          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            AS DOUBLE) /
+            GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+          FROM documents))
+        SELECT doc_id, score,
+          CAST(ROW_NUMBER() OVER (
+            ORDER BY score, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT)
+            AS curriculum_pos
+        FROM q ORDER BY doc_id""")),
+
     // Split-leakage report (r16): the audit that MEASURES what
     // splitByCluster prevents — a corpus with exact-duplicate twins
     // split by id hash (the naive split) leaks twins across the

@@ -544,6 +544,25 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("curriculumOrder equals the global (score, id) rank at every " +
+      "bucket count and partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Layout
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(20) / 20.0))
+    val df = rows.toDF("id", "score")
+    val want = rows.sortBy { case (i, sc) => (sc, i.toString) }
+      .zipWithIndex.map { case ((i, _), p) => i -> p.toLong }.toMap
+    for (b <- Seq(1, 4, 64); p <- Seq(1, 13)) {
+      val got = Layout.curriculumOrder(df.repartition(p), "id",
+          "score", lo = 0.0, hi = 1.0, buckets = b)
+        .collect().map(r => r.getLong(0) ->
+          r.getLong(r.fieldIndex("curriculum_pos"))).toMap
+      assert(got == want, s"buckets=$b partitions=$p")
+    }
+  }
+
   test("decodeAvi: pathological LIST nesting is data (None), not a " +
     "StackOverflowError") {
     import graft.operators.Multimodal
