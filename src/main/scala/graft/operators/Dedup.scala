@@ -924,6 +924,23 @@ object Dedup {
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /** CORPUS DUPLICATION PROFILE — the data-card number summarizing how
+    * duplicated a corpus is BEFORE dedup runs (the histogram Dolma/
+    * RefinedWeb report: how many exact-duplicate groups of each size,
+    * how many documents they hold): group documents by 60-bit text
+    * hash, then histogram the group sizes. Returns one row per
+    * distinct group size — (group_size, n_groups, n_docs) — so the
+    * duplication factor is Σn_docs / Σn_groups and the singleton row
+    * is the unique mass. Two keyed aggs (the second over |distinct
+    * texts| rows); output is histogram-sized. */
+  def duplicationProfile(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(graft.functions.Scalars.hash60(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_docs"))
+      .orderBy(col("group_size"))
+
   /** SemDeDup-style cluster assignment (public method: Abbas et al. 2023 —
     * cluster the embedding space, then prune near-duplicates within each
     * cluster so the pair fan-out is bounded by cluster size, never the

@@ -1413,6 +1413,33 @@ object TrainingQueries {
         ()
       })),
 
+    // Corpus duplication profile (r16): the pre-dedup data-card
+    // histogram — groups of each size and the documents they hold.
+    // Synthesis: every doc gets an exact twin, every 5th a triple —
+    // so the profile must read exactly {2: the non-%5 docs,
+    // 3: the %5 docs} with zero singletons.
+    Q("q_dedup_profile",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        val corpus = base
+          .unionAll(base.select((col("doc_id") + 100000).as("doc_id"),
+            col("text")))
+          .unionAll(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        Dedup.duplicationProfile(corpus, "text")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents
+          UNION ALL SELECT doc_id + 200000, text FROM documents
+            WHERE doc_id % 5 = 0),
+        g AS (SELECT text, COUNT(*) AS group_size FROM corpus
+          GROUP BY text)
+        SELECT group_size, COUNT(*) AS n_groups,
+          CAST(SUM(group_size) AS BIGINT) AS n_docs
+        FROM g GROUP BY group_size ORDER BY group_size""")),
+
     // Curriculum ordering (r16): a GLOBAL easy→hard position by
     // quality score, computed as the range-bucketed two-pass prefix
     // sum (never a single-partition global window). The oracle IS the
