@@ -154,6 +154,9 @@ object Bench {
     "q_dedup_incr_near" -> Set("ArrayFilter", "ZipWith"),
     "q_dedup_minhash_sig" -> Set("ArrayTransform"),
     "q_dedup_paragraphs" -> Set("ArraySort", "ArrayTransform"),
+    // paragraph decontamination rebuilds documents with the SAME
+    // per-document paragraph-array sort/transform as paragraphDedup
+    "q_para_decontam" -> Set("ArraySort", "ArrayTransform"),
     "q_dedup_spans" -> Set("ArraySort", "ArrayTransform"),
     "q_dedup_substr" -> Set("ArraySort", "ArrayTransform"),
     "q_dsir_score" -> Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
