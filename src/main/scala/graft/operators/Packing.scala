@@ -247,6 +247,78 @@ object Packing {
       .drop("__g", "__id")
   }
 
+  private def manifestSpec(spark: org.apache.spark.sql.SparkSession,
+                           name: String)
+  : graft.sources.IncrementalIndex.Spec = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad manifest name: $name")
+    graft.sources.IncrementalIndex.Spec(
+      s"/tmp/graft-warehouse/apps/" +
+        s"${spark.sparkContext.applicationId}/manifest_idx",
+      s"${name}_manifest", None)
+  }
+
+  /** Ingest ONE batch into the running shard manifest `name` — the
+    * continuous twin of [[shardManifest]]: the batch aggregates to a
+    * PARTIAL manifest (one row per touched shard) appended
+    * tag-idempotently ([[graft.sources.IncrementalIndex]] protocol;
+    * at-least-once replays no-op). Partials MERGE EXACTLY because
+    * every manifest column is commutative — counts and token sums
+    * add, id ranges min/max, and the fingerprint ADDS mod 2^61−1,
+    * which is the design reason [[shardManifest]]'s fingerprint is an
+    * additive hash sum and not an ordered digest. `shardCol` is the
+    * caller's shard key (a time bucket, a layout key — whatever the
+    * stream partitions by; the batch-side prefix-sum assignment is
+    * not streamable and not needed here). O(batch) per call; the
+    * accumulated manifest is never read on the ingest path —
+    * [[loadManifest]] folds it at read time. */
+  def ingestManifest(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, shardCol: String, idCol: String,
+                     textCol: String, name: String,
+                     batchTag: String): DataFrame = {
+    val partial = Checkpoints.eager(
+      batch.groupBy(col(shardCol).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextAnalysis.tokenCount(col(textCol))
+            .cast("long")).as("n_tokens"),
+          min(col(idCol).cast("long")).as("min_id"),
+          max(col(idCol).cast("long")).as("max_id"),
+          (sum(graft.functions.Scalars.hash60(col(textCol))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(new java.math.BigDecimal(FingerprintP)))
+            .cast("long").as("fingerprint")))
+    graft.sources.IncrementalIndex.append(spark,
+      manifestSpec(spark, name), partial, batchTag)
+    partial
+  }
+
+  /** The accumulated manifest: partials folded per shard — sums add,
+    * ranges min/max, fingerprints add mod 2^61−1. Empty (not an
+    * error) before the first append. */
+  def loadManifest(spark: org.apache.spark.sql.SparkSession,
+                   name: String): DataFrame = {
+    val sp = manifestSpec(spark, name)
+    if (!new java.io.File(sp.liveDir).isDirectory)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "shard bigint, n_docs bigint, n_tokens bigint, " +
+            "min_id bigint, max_id bigint, fingerprint bigint"))
+    else graft.sources.IncrementalIndex.load(spark, sp, "shard")
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("min_id")).as("min_id"),
+        max(col("max_id")).as("max_id"),
+        (sum(col("fingerprint")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(new java.math.BigDecimal(FingerprintP)))
+          .cast("long").as("fingerprint"))
+  }
+
+  def dropManifest(spark: org.apache.spark.sql.SparkSession,
+                   name: String): Unit =
+    graft.sources.IncrementalIndex.drop(manifestSpec(spark, name))
+
   /** PACKING-EFFICIENCY report over a [[packExamples]] assignment —
     * the padding-waste numbers a trainer watches before burning
     * compute: per group, window count, item count, filled tokens,

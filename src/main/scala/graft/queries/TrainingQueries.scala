@@ -1440,6 +1440,53 @@ object TrainingQueries {
           CAST(SUM(group_size) AS BIGINT) AS n_docs
         FROM g GROUP BY group_size ORDER BY group_size""")),
 
+    // STREAMING manifest maintenance (r16): continuous attestation —
+    // 4 micro-batches each append their partial shard manifest;
+    // partials fold exactly (sums add, ranges min/max, fingerprints
+    // add mod 2^61−1), so the folded result must equal the batch
+    // manifest over everything ingested — which the oracle states
+    // closed-form. In-gate: replaying a COMMITTED batch tag must not
+    // change the manifest.
+    Q("q_stream_manifest",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val name = s"mani_${CorpusKey.of(d)}"
+        graft.operators.Packing.dropManifest(s, name)
+        val rows = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 7).as("shard"))
+          .orderBy(col("doc_id")).as[(Long, String, Long)].collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val mem = MemoryStream[(Long, String, Long)]
+        val q = graft.streaming.Streams.manifestSink(
+          mem.toDF().toDF("doc_id", "text", "shard"), "shard",
+          "doc_id", "text", name, streamTag = Some("mq")) { _ => () }
+          .start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        val before = graft.operators.Packing.loadManifest(s, name)
+          .agg(sum(col("n_docs"))).head.getLong(0)
+        graft.operators.Packing.ingestManifest(s,
+          rows.take(chunk).toSeq.toDF("doc_id", "text", "shard"),
+          "shard", "doc_id", "text", name, "mq_0")
+        require(graft.operators.Packing.loadManifest(s, name)
+          .agg(sum(col("n_docs"))).head.getLong(0) == before,
+          "replayed committed manifest tag must no-op")
+        graft.operators.Packing.loadManifest(s, name)
+          .orderBy(col("shard"))
+      },
+      Some(s"""SELECT doc_id % 7 AS shard, COUNT(*) AS n_docs,
+          CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(CAST(${hash60Sql("text")} AS HUGEINT))
+            % 2305843009213693951 AS BIGINT) AS fingerprint
+        FROM documents GROUP BY 1 ORDER BY shard""")),
+
     // Curriculum ordering (r16): a GLOBAL easy→hard position by
     // quality score, computed as the range-bucketed two-pass prefix
     // sum (never a single-partition global window). The oracle IS the

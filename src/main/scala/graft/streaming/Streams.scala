@@ -497,6 +497,31 @@ object Streams {
     }
   }
 
+  /** Streaming MANIFEST maintenance — continuous attestation for a
+    * continuously-ingested corpus: each micro-batch appends its
+    * partial shard manifest (counts, token sums, id ranges, additive
+    * mod-2^61−1 fingerprints) tag-idempotently
+    * ([[graft.operators.Packing.ingestManifest]]); partials merge
+    * exactly at read time because every column is commutative, so the
+    * folded manifest equals the batch [[graft.operators.Packing
+    * .shardManifest]] over everything ever ingested — the property
+    * that lets a training run attest its bytes WITHOUT re-reading
+    * them. O(batch) per call. Partials pass to `handler`. */
+  def manifestSink(docs: DataFrame, shardCol: String, idCol: String,
+                   textCol: String, name: String,
+                   streamTag: Option[String] = None)
+                  (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Packing.ingestManifest(
+        batch.sparkSession, batch, shardCol, idCol, textCol, name,
+        s"${instance}_$batchId"))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+  }
+
   /** Streaming VECTOR-index maintenance — the realtime tier of the ANN
     * lifecycle (upstream Pinot's mutable vector index assigns consuming
     * rows into the trained structure; FAISS deployments do the same:
