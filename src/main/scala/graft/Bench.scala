@@ -152,6 +152,10 @@ object Bench {
     "q_curate" -> Set("ArrayFilter", "ArrayTransform"),
     "q_curate_badwords" -> Set("ArrayTransform"),
     "q_dedup_incr_near" -> Set("ArrayFilter", "ZipWith"),
+    // near-dup eval contamination: the minhash signature pipeline +
+    // full-signature agreement refine, as in the dedup minhash gates
+    "q_eval_contam_near" ->
+      Set("ArrayFilter", "ArrayTransform", "ZipWith"),
     "q_dedup_minhash_sig" -> Set("ArrayTransform"),
     "q_dedup_paragraphs" -> Set("ArraySort", "ArrayTransform"),
     // paragraph decontamination rebuilds documents with the SAME

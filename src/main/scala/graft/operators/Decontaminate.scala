@@ -153,6 +153,41 @@ object Decontaminate {
           col("n_shingles"), 6).as("contam_frac"))
   }
 
+  /** NEAR-DUP eval contamination — the n-gram-PARAPHRASE tier between
+    * exact shingle overlap ([[flaggedWith]]) and embedding cosine
+    * ([[flaggedSemantic]]): benchmark items with a banded-minhash
+    * near-duplicate anywhere in the corpus — a lightly reworded test
+    * question that shares no long exact n-gram run but most of its
+    * shingle set. Bench is tiny, so ITS banded signatures broadcast;
+    * the corpus computes signatures in one kernel pass and probes —
+    * only band-colliding (bench, corpus) rows survive the join, then
+    * full-signature agreement ≥ `minAgree` refines the LSH
+    * candidates. At minAgree = 1.0 the band step is pure pruning (a
+    * fully-agreeing pair shares every band), so the result is
+    * EXACTLY "bench items with an identical full signature in the
+    * corpus" — the oracle-replayable setting the gate uses. */
+  def flaggedNearDup(corpus: DataFrame, textCol: String, idCol: String,
+                     bench: DataFrame, benchTextCol: String,
+                     benchIdCol: String, k: Int = 3, bands: Int = 4,
+                     rowsPerBand: Int = 2,
+                     minAgree: Double = 1.0): DataFrame = {
+    val cs = Dedup.minHashSignatures(corpus, textCol, idCol, k, bands,
+      rowsPerBand)
+    val bs = Dedup.minHashSignatures(bench, benchTextCol, benchIdCol,
+      k, bands, rowsPerBand)
+    def ex(df: DataFrame, id: String, idAs: String, sigAs: String) =
+      df.select(col(id).as(idAs), col("sig").as(sigAs),
+        explode(array((0 until bands).map(b => col(s"band_$b")): _*))
+          .as("band"))
+    ex(cs, idCol, "__cid", "sig_c")
+      .join(broadcast(ex(bs, benchIdCol, benchIdCol, "sig_b")),
+        Seq("band"))
+      .filter(size(filter(zip_with(col("sig_c"), col("sig_b"),
+          (x, y) => x === y), v => v)).cast("double") /
+        lit(bands * rowsPerBand) >= minAgree)
+      .select(col(benchIdCol)).distinct()
+  }
+
   /** SEMANTIC decontamination — the embedding twin of the n-gram gate
     * (paraphrased benchmark items share no shingle; they DO share an
     * embedding neighborhood — the reason modern pipelines run both

@@ -1697,6 +1697,52 @@ object TrainingQueries {
         FROM tot t LEFT JOIN hit h USING (bench_id)
         ORDER BY bench_id""")),
 
+    // Near-dup eval contamination (r16): the paraphrase tier — bench
+    // items (the %97 docs with their FIRST WORD STRIPPED — no
+    // verbatim duplicate of a bench TEXT exists in the corpus, their
+    // originals do) flagged when a corpus doc shares an LSH band AND ≥6 of 8
+    // minhash rows. The oracle replays the band join and the
+    // agreement refine — LSH pruning is part of the contract at
+    // minAgree<1, so it must be replayed, not shortcut.
+    Q("q_eval_contam_near",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Decontaminate.flaggedNearDup(
+            docs, "text", "doc_id",
+            docs.filter(col("doc_id") % 97 === 0)
+              .select(col("doc_id").as("bench_id"),
+                regexp_replace(col("text"), "^\\S+\\s+", "")
+                  .as("btext")),
+            "btext", "bench_id", minAgree = 0.75)
+          .orderBy(col("bench_id"))
+      },
+      Some(s"""WITH cs AS (
+          SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+          FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+            FROM (SELECT doc_id,
+              ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+              FROM documents))),
+        bs AS (
+          SELECT doc_id AS bench_id, ${minHashSigFromBase(8)} AS sig
+          FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+            FROM (SELECT doc_id,
+              ${shinglesSql(s"(${toksSql("bt")})", 3)} AS sh
+              FROM (SELECT doc_id,
+                regexp_replace(text, '^\\S+\\s+', '') AS bt
+                FROM documents WHERE doc_id % 97 = 0)))),
+        exc AS (SELECT doc_id, sig, b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+          FROM cs, (SELECT unnest(range(4)) AS b) b),
+        exb AS (SELECT bench_id, sig, b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+          FROM bs, (SELECT unnest(range(4)) AS b) b)
+        SELECT DISTINCT b.bench_id
+        FROM exb b JOIN exc c ON b.band = c.band AND b.key = c.key
+        WHERE CAST(len(list_filter([b.sig[i] = c.sig[i]
+            for i in generate_series(1, 8)], x -> x)) AS DOUBLE) / 8
+          >= 0.75
+        ORDER BY bench_id""")),
+
     // Hot-n-gram audit (r16): the top-50 most frequent 5-shingles with
     // occurrence counts — the boilerplate report a curation team reads
     // before writing strip rules. Duplicate documents in the corpus
