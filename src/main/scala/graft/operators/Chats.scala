@@ -272,7 +272,15 @@ object Chats {
     val nn = n.cast("double")
     val mean = s1 / nn
     val varp = greatest(s2 / nn - mean * mean, lit(0.0))
-    val std = sqrt(varp)
+    // Zero variance is detected STRUCTURALLY on the exact decimal —
+    // min==max over the group — not by comparing the derived double
+    // std to 0.0: a constant group with fractional 6dp scores (every
+    // score 0.1, say) can yield a tiny positive varp after the double
+    // casts, which would turn the documented exact 0.0 advantage into
+    // ~1e-8 noise (ADVICE r16). The reported group_std is forced to
+    // exactly 0.0 in that case for the same reason.
+    val constGroup = min(sc).over(w) === max(sc).over(w)
+    val std = when(constGroup, lit(0.0)).otherwise(sqrt(varp))
     df.withColumn("n_samples", n)
       .withColumn("group_mean", mean)
       .withColumn("group_std", std)

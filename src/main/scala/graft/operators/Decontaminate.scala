@@ -78,11 +78,15 @@ object Decontaminate {
     * one broadcast LEFT probe marks hits, one keyed agg counts — the
     * corpus never shuffles its text, only (id, hash) pairs reach the
     * aggregation. Returns (idCol, n_shingles, n_hit, overlap_frac
-    * rounded 6dp). */
+    * rounded 6dp). The bench side is DISTINCT-ed here (bench-sized,
+    * cheap) so a caller passing per-bench-item (id, sh) pairs rather
+    * than [[benchShingles]] output cannot multiply corpus rows through
+    * the left join and inflate both counters (ADVICE r16). */
   def overlapFraction(corpus: DataFrame, textCol: String, idCol: String,
                       benchSh: DataFrame, k: Int): DataFrame =
     corpus.select(col(idCol), shingles(corpus, textCol, k))
-      .join(broadcast(benchSh.withColumn("__hit", lit(1L))),
+      .join(broadcast(benchSh.select(col("sh")).distinct()
+          .withColumn("__hit", lit(1L))),
         Seq("sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -104,11 +104,20 @@ object Frontier {
     * `etag`/`last_modified` — backfill them as null strings so
     * [[latestReceipts]]/[[changedOnlyConditional]] read pre-existing
     * ledgers instead of failing with AnalysisException (a pre-validator
-    * row genuinely has no receipt, which null states exactly). */
+    * row genuinely has no receipt, which null states exactly).
+    *
+    * Reads with `mergeSchema` (ADVICE r16): after the first conditional
+    * append to a pre-existing 3-column ledger the directory holds mixed
+    * 3- and 5-column files, and a plain read infers the schema from ONE
+    * sampled footer — whether the stored etag/last_modified receipts
+    * are visible would depend on file-listing order. Merging the
+    * footers makes the evolved columns deterministic; the backfill
+    * below then only fires for ledgers with NO 5-column file at all. */
   private def loadChg(spark: org.apache.spark.sql.SparkSession,
                       sp: graft.sources.IncrementalIndex.Spec)
   : DataFrame = {
-    val raw = graft.sources.IncrementalIndex.load(spark, sp, "url")
+    val raw = graft.sources.IncrementalIndex.load(spark, sp, "url",
+      mergeSchema = true)
     Seq("etag", "last_modified").foldLeft(raw) { (d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast("string"))

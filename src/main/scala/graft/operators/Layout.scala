@@ -200,12 +200,22 @@ object Layout {
     * because bucketing is monotone in score. `buckets` bounds the
     * largest window partition at ~n/buckets for spread scores; a
     * heavily-skewed score distribution wants finer buckets. Ascending
-    * (easy-first); negate the score column for hard-first. */
+    * (easy-first); negate the score column for hard-first.
+    *
+    * Null scores are rejected up front (ADVICE r16): `floor(null)`
+    * would give a null bucket key, the offsets collect would NPE on
+    * the null key, and a null score has no defined place in a
+    * monotone easy→hard order anyway — filter or impute before
+    * calling. */
   def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
                       lo: Double, hi: Double,
                       buckets: Int = 256): DataFrame = {
     require(hi > lo, s"score range [$lo, $hi) is empty")
     require(buckets >= 1, "need at least one bucket")
+    val nullScores = df.filter(col(scoreCol).isNull).limit(1).count()
+    require(nullScores == 0L,
+      s"curriculumOrder: null $scoreCol — a null score has no place " +
+        "in a monotone score order; filter or impute first")
     val spark = df.sparkSession
     import spark.implicits._
     val b = least(greatest(

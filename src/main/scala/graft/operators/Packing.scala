@@ -210,7 +210,14 @@ object Packing {
     * the window, and the boundary offsets. Scale shape: one shuffle
     * into groups (O(group) executor memory in the packing pass), one
     * keyed join restoring the caller's id/group dtypes; rows are
-    * id+len metadata, never the text itself. */
+    * id+len metadata, never the text itself.
+    *
+    * Rows with a NULL `lenCol` are DROPPED — a null length has no
+    * defined packing position (ADVICE r16: this is deliberate and the
+    * caller must know it). An example whose tokenizer pass failed
+    * should be repaired or excluded upstream; if silent loss is
+    * unacceptable, assert `df.filter(col(lenCol).isNull).isEmpty`
+    * before calling. */
   def packExamples(df: DataFrame, idCol: String, lenCol: String,
                    groupCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")

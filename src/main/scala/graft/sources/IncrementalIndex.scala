@@ -213,12 +213,18 @@ object IncrementalIndex {
     * filters immediately over the scan — a predicate on `partitionCol`
     * becomes hive-style DIRECTORY pruning (only the matching `col=value`
     * subdirs are listed and read), the lever that keeps an incremental
-    * probe from re-reading the whole accumulated index. */
+    * probe from re-reading the whole accumulated index. `mergeSchema`
+    * unions the footers' schemas instead of sampling one file — set it
+    * when the index's schema has EVOLVED (columns added by later
+    * appends), otherwise column visibility depends on file-listing
+    * order (ADVICE r16). */
   def load(spark: SparkSession, s: Spec, idCol: String,
-           prune: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+           prune: Option[org.apache.spark.sql.Column] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     recover(s)
     migrateLegacy(spark, s)
-    val base = spark.read.parquet(s.liveDir)
+    val base = spark.read
+      .option("mergeSchema", mergeSchema.toString).parquet(s.liveDir)
     val all = prune.fold(base)(base.filter)
     val tombs = new java.io.File(s.tombsDir)
     if (!tombs.isDirectory || tombs.listFiles().isEmpty) all

@@ -279,4 +279,24 @@ class ChatsSpec extends SparkSpec {
     // singleton: n=1, mean=score, std 0, advantage 0.0
     assert(row(5) == ((1L, 4.0, 0.0, 0.0, "f")))
   }
+
+  test("groupAdvantage: a constant group with FRACTIONAL scores is " +
+      "detected structurally — exact 0.0, not double-cast noise " +
+      "(ADVICE r16)") {
+    val s = spark
+    import s.implicits._
+    // every score 0.1: s2/n − mean² through doubles can be ~1e-18 > 0,
+    // which a std===0.0 test would miss
+    val df = Seq((1L, 0.1), (1L, 0.1), (1L, 0.1),
+      (2L, 0.1), (2L, 0.3)).toDF("pid", "score")
+    val got = Chats.groupAdvantage(df, "pid", "score")
+      .orderBy(col("pid"), col("score")).collect()
+    got.take(3).foreach { r =>
+      assert(r.getAs[Double]("group_std") == 0.0)
+      assert(r.getAs[Double]("advantage") == 0.0)
+    }
+    // a genuinely-varying group still normalizes
+    assert(got(3).getAs[Double]("group_std") > 0.0)
+    assert(math.abs(got(3).getAs[Double]("advantage") + 1.0) < 1e-12)
+  }
 }

@@ -296,6 +296,51 @@ class FrontierSpec extends SparkSpec {
     assert(zero.values.toSet == Set(2L))
   }
 
+  test("mixed-schema change ledger: receipts stay visible after a " +
+      "conditional append to a legacy 3-column ledger (ADVICE r16 — " +
+      "mergeSchema read, not footer-sampling luck)") {
+    val s = spark
+    import s.implicits._
+    Frontier.dropChangeLedger(s, "mixspec")
+    // legacy pre-validator ledger: several 3-column (url, h, seq)
+    // files, written before etag/last_modified existed — enough files
+    // that a single-sampled-footer read would likely pick a legacy one
+    val legacy = graft.sources.IncrementalIndex.Spec(
+      s"/tmp/graft-warehouse/apps/" +
+        s"${s.sparkContext.applicationId}/frontier_idx",
+      "mixspec_chg", None)
+    (1 to 4).foreach { i =>
+      graft.sources.IncrementalIndex.append(s, legacy,
+        Seq((s"legacy$i", i.toLong, 0L)).toDF("url", "h", "seq")
+          .repartition(2),
+        s"legacy$i")
+    }
+    // first conditional append lands 5-column files next to them
+    Frontier.changedOnlyConditional(s,
+      Seq(("u1", "body", 200, "e1", "lm1"))
+        .toDF("url", "content", "status", "etag", "last_modified"),
+      "url", "content", "status", "etag", "last_modified",
+      "mixspec", 1L, "c1")
+    // the stored receipt must be deterministically visible
+    val rec = Frontier.latestReceipts(s, "mixspec").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rec("u1") == (("e1", "lm1")))
+    assert(rec("legacy1") == ((null, null))) // backfilled, not an error
+    // and conditional revalidation actually uses it: an unchanged 304
+    // for u1 drops while the ledger carries the validators forward
+    val out = Frontier.changedOnlyConditional(s,
+      Seq(("u1", null.asInstanceOf[String], 304,
+        null.asInstanceOf[String], null.asInstanceOf[String]))
+        .toDF("url", "content", "status", "etag", "last_modified"),
+      "url", "content", "status", "etag", "last_modified",
+      "mixspec", 2L, "c2").collect()
+    assert(out.isEmpty)
+    assert(Frontier.latestReceipts(s, "mixspec").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .apply("u1") == "e1")
+    Frontier.dropChangeLedger(s, "mixspec")
+  }
+
   test("at-least-once replay of a committed tag is a no-op on the " +
       "partial ledger (not just hidden by the OR-fold)") {
     val s = spark

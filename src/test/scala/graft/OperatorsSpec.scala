@@ -1499,6 +1499,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0)._4 == round3(1.0 / 6))
     assert(got(1) == ((2L, 4L, 0L, 0.0)))
     assert(got(2) == ((3L, 1L, 1L, 1.0)))
+    // a NON-DISTINCT bench side (per-item (id, sh) pairs with repeats)
+    // must not multiply corpus rows through the left join (ADVICE r16)
+    val dup = sh.union(sh)
+    val got2 = Decontaminate.overlapFraction(corpus, "text", "doc_id",
+        dup, 5).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("overlap_frac")))
+    assert(got2.toSeq == got.toSeq)
   }
 
   test("decontaminate evalContamination: per-bench-item fraction of " +

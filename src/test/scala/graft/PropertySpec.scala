@@ -561,6 +561,14 @@ class PropertySpec extends SparkSpec {
           r.getLong(r.fieldIndex("curriculum_pos"))).toMap
       assert(got == want, s"buckets=$b partitions=$p")
     }
+    // null scores are a fail-fast precondition, not an opaque NPE in
+    // the offsets collect (ADVICE r16)
+    val withNull = df.union(Seq((999L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "score"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.curriculumOrder(withNull, "id", "score", 0.0, 1.0, 4)
+    }
+    assert(e.getMessage.contains("null"))
   }
 
   test("decodeAvi: pathological LIST nesting is data (None), not a " +
