@@ -122,7 +122,9 @@ object Bench {
     // highest per-byte cost in the repo, so its curve must ship) plus
     // the round's new gates
     "q_chat_pack", "q_dpo_pairs", "q_chat_token_spans",
-    "q_pack_examples", "q_revisit_adaptive", "q_sft_windows")
+    "q_pack_examples", "q_revisit_adaptive", "q_sft_windows",
+    // r17: tool-call traces join the chat tier's curve
+    "q_chat_tools", "q_sft_tool_windows")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -182,6 +184,19 @@ object Bench {
     "q_chat_token_spans" ->
       Set("ArrayTransform", "JsonToStructs", "ZipWith"),
     "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs", "ZipWith"),
+    // tool-call traces (r17): the chat parse is the operator, as in
+    // the chat gates; ArrayForAll/ArrayTransform are the per-turn
+    // call-list checks (ids distinct, arguments parse) and the
+    // call-serialization render — tool_calls arrays are per-turn tiny
+    // (a handful of calls), the whitelisted small-array class
+    "q_chat_tools" ->
+      Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
+    "q_chat_tool_spans" ->
+      Set("ArrayForAll", "ArraySort", "ArrayTransform", "JsonToStructs"),
+    // the tool capstone adds the BPE expr-chain segmentation HOFs, as
+    // in q_sft_windows
+    "q_sft_tool_windows" ->
+      Set("ArrayForAll", "ArrayTransform", "JsonToStructs", "ZipWith"),
     // streaming twin of q_chat_pack: same parse + ordered rebuild
     "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
     // scrub-inside-turns composition: the chat parse + packWithMask's

@@ -394,4 +394,144 @@ object Chats {
         when(col("kept"), col("new_start") + col("__rl")))
       .drop("__rl", "__sys", "__sysLen", "__tail")
   }
+
+  // ---- tool-call / agentic traces (r17) ----
+
+  /** messages schema of the TOOL-CALL interchange shape — the OpenAI
+    * function-calling export, the de-facto format for agentic SFT
+    * traces: assistant turns may carry `tool_calls` (each a call id +
+    * tool name + arguments-JSON string), and `tool`-role turns answer
+    * one call via `tool_call_id`. A plain role+content conversation
+    * parses too (the extra fields read null), so this is a strict
+    * superset of [[MessagesSchema]]. */
+  val ToolMessagesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "messages array<struct<role:string,content:string," +
+        "tool_calls:array<struct<id:string,name:string," +
+        "arguments:string>>,tool_call_id:string>>")
+
+  /** [[turns]] for tool-call traces: one row per turn — (idCol,
+    * turn_idx, role, content, tool_calls, tool_call_id). Malformed
+    * json drops exactly as in [[turns]]. */
+  def toolTurns(df: DataFrame, jsonCol: String, idCol: String)
+  : DataFrame =
+    df.select(col(idCol),
+        posexplode(from_json(col(jsonCol),
+          ToolMessagesSchema)("messages")))
+      .select(col(idCol), col("pos").cast("long").as("turn_idx"),
+        col("col")("role").as("role"),
+        col("col")("content").as("content"),
+        col("col")("tool_calls").as("tool_calls"),
+        col("col")("tool_call_id").as("tool_call_id"))
+
+  /** [[validateTurns]] for the tool-call protocol — the gate an
+    * agentic-trace corpus needs before a conversation may train:
+    *
+    *   - every role ∈ {system, user, assistant, tool}; `system` only
+    *     at turn 0; the first non-system turn is `user`;
+    *   - `tool_calls` only on assistant turns; each declared call
+    *     carries a non-null id and name and its `arguments` string
+    *     PARSES AS JSON; call ids are distinct within the turn;
+    *   - `tool_call_id` on tool turns and ONLY tool turns;
+    *   - an assistant turn that declared calls is followed by tool
+    *     turns; an assistant turn without calls is followed by user;
+    *     tool turns are followed by tool or assistant — so tool
+    *     results sit contiguously between the calling assistant turn
+    *     and the assistant turn that consumes them;
+    *   - per calling turn, the multiset of answered `tool_call_id`s
+    *     equals the declared call ids exactly (every call answered
+    *     once, no stray or duplicate answers; answer ORDER is free —
+    *     results of parallel calls arrive in any order);
+    *   - the last turn is an assistant turn with no pending calls.
+    *
+    * Returns (idCol, n_turns, valid). Scale shape: one lag window +
+    * one running-max window on the conversation key, then two keyed
+    * aggs (per calling-block, per conversation) — conversations are
+    * KBs, no skew, no driver state. The block key is the most recent
+    * assistant turn index, so the answered-vs-declared compare never
+    * materializes anything beyond one sorted id list per block. */
+  def validateToolTurns(turnsDf: DataFrame, idCol: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("turn_idx"))
+    val wRun = wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window
+      .currentRow)
+    val callIds = transform(col("tool_calls"), c => c("id"))
+    val emptyIds = array().cast("array<string>")
+    val withFlags = turnsDf
+      .withColumn("__hc", coalesce(size(col("tool_calls")) > 0,
+        lit(false)))
+      .withColumn("__wf", col("tool_calls").isNull ||
+        (forall(col("tool_calls"), c =>
+          c("id").isNotNull && c("name").isNotNull &&
+            try_parse_json(c("arguments")).isNotNull) &&
+          size(array_distinct(callIds)) === size(col("tool_calls"))))
+    val prevRole = lag(col("role"), 1).over(wOrd)
+    val prevCalls = lag(col("__hc"), 1).over(wOrd)
+    val okTurn =
+      col("role").isin("system", "user", "assistant", "tool") &&
+        (col("role") =!= "system" || col("turn_idx") === 0) &&
+        (!col("__hc") || col("role") === "assistant") &&
+        ((col("role") === "tool") === col("tool_call_id").isNotNull) &&
+        col("__wf") &&
+        when(prevRole.isNull, col("role").isin("system", "user"))
+          .when(prevRole === "system", col("role") === "user")
+          .when(prevRole === "user", col("role") === "assistant")
+          .when(prevRole === "assistant" && prevCalls,
+            col("role") === "tool")
+          .when(prevRole === "assistant", col("role") === "user")
+          .otherwise(col("role").isin("tool", "assistant"))
+    withFlags
+      .withColumn("__ok", okTurn)
+      .withColumn("__blk", max(when(col("role") === "assistant",
+        col("turn_idx"))).over(wRun))
+      .groupBy(col(idCol), col("__blk"))
+      .agg(count(lit(1)).as("__n"),
+        min(col("__ok").cast("int")).as("__okmin"),
+        first(when(col("role") === "assistant",
+            coalesce(sort_array(callIds), emptyIds)),
+          ignoreNulls = true).as("__decl"),
+        sort_array(collect_list(when(col("role") === "tool",
+          col("tool_call_id")))).as("__ans"),
+        max(struct(col("turn_idx"), col("role"), col("__hc")))
+          .as("__lt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_turns"),
+        (min(col("__okmin")) === 1 &&
+          min((coalesce(col("__decl"), emptyIds) === col("__ans"))
+            .cast("int")) === 1 &&
+          max(col("__lt"))("role") === "assistant" &&
+          !max(col("__lt"))("__hc")).as("valid"))
+  }
+
+  /** Collapse a tool-trace turns frame ([[toolTurns]] output) to the
+    * standard (idCol, turn_idx, role, content) shape with the protocol
+    * payload serialized INTO the content, so [[turnSpans]],
+    * [[packWithMask]], and [[tokenSpans]] apply UNCHANGED:
+    *
+    *   - assistant turns append `<|call:name|>arguments` per declared
+    *     call, in declaration order — the model must learn to EMIT its
+    *     calls, so they stay inside the assistant turn and under the
+    *     role-keyed loss mask;
+    *   - tool turns become `[tool_call_id] content` — results are
+    *     CONTEXT the model conditions on, never loss, which the
+    *     default `lossRoles = assistant` already states.
+    *
+    * The serialized forms contain no newline, so the per-turn
+    * `\n`-terminated rendering (and with it [[tokenSpans]]' no-token-
+    * crosses-a-turn-boundary invariant) holds for tool traces exactly
+    * as for plain chats. Run [[validateToolTurns]] FIRST — rendering
+    * assumes a protocol-clean trace. */
+  def renderToolCalls(toolTurnsDf: DataFrame, idCol: String): DataFrame =
+    toolTurnsDf.select(col(idCol), col("turn_idx"), col("role"),
+      when(col("role") === "assistant" &&
+          coalesce(size(col("tool_calls")) > 0, lit(false)),
+        concat(coalesce(col("content"), lit("")),
+          concat_ws("", transform(col("tool_calls"), c =>
+            concat(lit("<|call:"), c("name"), lit("|>"),
+              c("arguments"))))))
+        .when(col("role") === "tool",
+          concat(lit("["), col("tool_call_id"), lit("] "),
+            coalesce(col("content"), lit(""))))
+        .otherwise(col("content")).as("content"))
 }

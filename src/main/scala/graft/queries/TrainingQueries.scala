@@ -192,6 +192,143 @@ object TrainingQueries {
         .orderBy("round").collect().toSeq
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
 
+  /** Synthesized tool-call trace (r17): `did % 5` selects the shape —
+    * 0 plain valid chat; 1 valid two-call trace answered in REVERSE
+    * order (order-free matching must pass it); 2 wrong answer id;
+    * 3 unanswered call (assistant speaks again directly); 4 non-JSON
+    * arguments. Contents are clean a-z/space slices so the JSON needs
+    * no escaping beyond the arguments-string quotes. */
+  private def toolTraceJson(did: org.apache.spark.sql.Column,
+                            ct: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    type C = org.apache.spark.sql.Column
+    val k = did % 5
+    val u = substring(ct, 1, 10)
+    val a = substring(ct, 8, 8)
+    val fin = substring(ct, 20, 10)
+    val r1 = substring(ct, 12, 8)
+    val r2 = substring(ct, 16, 8)
+    val ida = concat(lit("a"), did.cast("string"))
+    val idb = concat(lit("b"), did.cast("string"))
+    val idx = concat(lit("x"), did.cast("string"))
+    // arguments are JSON-string VALUES inside the outer JSON, so their
+    // quotes arrive backslash-escaped; from_json unescapes them
+    val j1 = concat(lit("{\\\"q\\\":\\\""), substring(ct, 3, 5),
+      lit("\\\"}"))
+    val j2 = concat(lit("{\\\"k\\\":\\\""), substring(ct, 6, 5),
+      lit("\\\"}"))
+    def msg(role: String, content: C): C =
+      concat(lit("{\"role\":\"" + role + "\",\"content\":\""), content,
+        lit("\"}"))
+    def callObj(id: C, name: String, args: C): C =
+      concat(lit("{\"id\":\""), id,
+        lit("\",\"name\":\"" + name + "\",\"arguments\":\""), args,
+        lit("\"}"))
+    def toolMsg(content: C, tcid: C): C =
+      concat(lit("{\"role\":\"tool\",\"content\":\""), content,
+        lit("\",\"tool_call_id\":\""), tcid, lit("\"}"))
+    val calls = when(k === 1, concat(callObj(ida, "search", j1),
+        lit(","), callObj(idb, "fetch", j2)))
+      .when(k === 4, callObj(ida, "search", lit("{oops")))
+      .otherwise(callObj(ida, "search", j1))
+    val asst1 = when(k === 0, msg("assistant", fin))
+      .otherwise(concat(lit("{\"role\":\"assistant\",\"content\":\""),
+        a, lit("\",\"tool_calls\":["), calls, lit("]}")))
+    val tools = when(k === 1, concat(lit(","), toolMsg(r2, idb),
+        lit(","), toolMsg(r1, ida)))
+      .when(k === 2, concat(lit(","), toolMsg(r1, idx)))
+      .when(k === 4, concat(lit(","), toolMsg(r1, ida)))
+      .otherwise(lit(""))
+    val finish = when(k === 0, lit(""))
+      .otherwise(concat(lit(","), msg("assistant", fin)))
+    concat(lit("{\"messages\":["), msg("user", u), lit(","), asst1,
+      tools, finish, lit("]}"))
+  }
+
+  /** DuckDB twin of [[toolTraceJson]]: re-synthesizes the same turn
+    * rows directly (doc_id, k, turn_idx, role, content, calls list of
+    * (id, nm, args) structs, tcid) — CTEs `b`, `p`, `tt`. */
+  private val toolTraceSql: String =
+    """b AS (SELECT doc_id, doc_id % 5 AS k,
+        regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+      FROM documents),
+      p AS (SELECT doc_id, k,
+        substr(ct, 1, 10) AS u, substr(ct, 8, 8) AS a,
+        substr(ct, 20, 10) AS fin,
+        substr(ct, 12, 8) AS r1, substr(ct, 16, 8) AS r2,
+        '{"q":"' || substr(ct, 3, 5) || '"}' AS j1,
+        '{"k":"' || substr(ct, 6, 5) || '"}' AS j2,
+        'a' || CAST(doc_id AS VARCHAR) AS ida,
+        'b' || CAST(doc_id AS VARCHAR) AS idb,
+        'x' || CAST(doc_id AS VARCHAR) AS idx
+      FROM b),
+      tt AS (
+        SELECT doc_id, k, CAST(0 AS BIGINT) AS turn_idx,
+          'user' AS role, u AS content,
+          CAST(NULL AS STRUCT(id VARCHAR, nm VARCHAR, args VARCHAR)[])
+            AS calls,
+          CAST(NULL AS VARCHAR) AS tcid
+        FROM p
+        UNION ALL
+        SELECT doc_id, k, 1, 'assistant',
+          CASE WHEN k = 0 THEN fin ELSE a END,
+          CASE WHEN k = 0 THEN NULL
+            WHEN k = 1 THEN [{'id': ida, 'nm': 'search', 'args': j1},
+                             {'id': idb, 'nm': 'fetch', 'args': j2}]
+            WHEN k = 4 THEN [{'id': ida, 'nm': 'search',
+                              'args': '{oops'}]
+            ELSE [{'id': ida, 'nm': 'search', 'args': j1}] END,
+          NULL
+        FROM p
+        UNION ALL
+        SELECT doc_id, k, 2,
+          CASE WHEN k = 3 THEN 'assistant' ELSE 'tool' END,
+          CASE WHEN k = 1 THEN r2 WHEN k = 3 THEN fin ELSE r1 END,
+          NULL,
+          CASE WHEN k = 1 THEN idb WHEN k = 2 THEN idx
+               WHEN k = 4 THEN ida END
+        FROM p WHERE k != 0
+        UNION ALL
+        SELECT doc_id, k, 3,
+          CASE WHEN k = 1 THEN 'tool' ELSE 'assistant' END,
+          CASE WHEN k = 1 THEN r1 ELSE fin END,
+          NULL,
+          CASE WHEN k = 1 THEN ida END
+        FROM p WHERE k IN (1, 2, 4)
+        UNION ALL
+        SELECT doc_id, k, 4, 'assistant', fin, NULL, NULL
+        FROM p WHERE k = 1)"""
+
+  /** DuckDB twin of Chats.renderToolCalls over the VALID synthesized
+    * traces (k ∈ {0,1} — the shapes [[toolTraceSql]] constructs valid;
+    * q_chat_tools replays the validation RULES over all five classes,
+    * so the composed gates may take the verdict as given): per-turn
+    * (doc_id, turn_idx, role, rt) rendered rows — CTE `vtr` (requires
+    * `p` from [[toolTraceSql]]). */
+  private val toolRenderSql: String =
+    """vtr AS (
+        SELECT doc_id, CAST(0 AS BIGINT) AS turn_idx, 'user' AS role,
+          '<|user|>' || u || chr(10) AS rt
+        FROM p WHERE k IN (0, 1)
+        UNION ALL
+        SELECT doc_id, 1, 'assistant',
+          CASE WHEN k = 0 THEN '<|assistant|>' || fin || chr(10)
+            ELSE '<|assistant|>' || a || '<|call:search|>' || j1 ||
+              '<|call:fetch|>' || j2 || chr(10) END
+        FROM p WHERE k IN (0, 1)
+        UNION ALL
+        SELECT doc_id, 2, 'tool',
+          '<|tool|>[' || idb || '] ' || r2 || chr(10)
+        FROM p WHERE k = 1
+        UNION ALL
+        SELECT doc_id, 3, 'tool',
+          '<|tool|>[' || ida || '] ' || r1 || chr(10)
+        FROM p WHERE k = 1
+        UNION ALL
+        SELECT doc_id, 4, 'assistant',
+          '<|assistant|>' || fin || chr(10)
+        FROM p WHERE k = 1)"""
+
   private def dupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("source"))
       .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -2556,6 +2693,236 @@ object TrainingQueries {
                  ELSE $pos - 1 END AS bin,
             CASE WHEN $pos IS NULL
                  THEN list_append(st.caps, 32 - it.len)
+                 ELSE list_slice(st.caps, 1, $pos - 1)
+                      || [st.caps[$pos] - it.len]
+                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 END AS caps,
+            st.nn
+          FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
+          WHERE st.i < st.nn),
+        asg AS (SELECT grp, id, CAST(bin AS BIGINT) AS bin,
+          CAST(ROW_NUMBER() OVER (PARTITION BY grp, bin ORDER BY i) - 1
+            AS BIGINT) AS slot,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY grp, bin ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_off
+          FROM st WHERE i > 0)
+        SELECT c.doc_id, c.turn_idx, c.role,
+          (c.role = 'assistant') AS mask,
+          CAST(a.grp AS BIGINT) AS grp, a.bin, a.slot,
+          CAST(a.start_off + c.token_start AS BIGINT) AS win_start,
+          CAST(a.start_off + c.token_start + c.n_tok AS BIGINT)
+            AS win_end
+        FROM vcof c JOIN asg a ON c.doc_id = a.id
+        ORDER BY c.doc_id, c.turn_idx"""
+      },
+      setup = Some((s, d) => roundtripMerges(s, d))),
+
+    // TOOL-CALL / agentic trace validation (r17 — the SFT tier's
+    // missing data class): conversations where assistant turns declare
+    // tool_calls (id + name + arguments-JSON) answered by tool-role
+    // turns. Five synthesized shapes — plain chat, a two-call trace
+    // answered in REVERSE order (order-free matching must accept it),
+    // a wrong answer id, an unanswered call, and non-JSON arguments —
+    // and the oracle replays the protocol RULES themselves (role
+    // lattice, lag transitions, per-calling-block answered-vs-declared
+    // set compare via sorted lists, JSON validity via json_valid, the
+    // pending-calls final-turn rule), not the construction.
+    Q("q_chat_tools",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        Chats.validateToolTurns(
+            Chats.toolTurns(docs, "chat", "doc_id"), "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toolTraceSql,
+        h AS (SELECT *, COALESCE(len(calls) > 0, false) AS hc,
+          (calls IS NULL OR (len(list_filter(calls,
+             c -> c.id IS NOT NULL AND c.nm IS NOT NULL
+               AND json_valid(c.args))) = len(calls)
+           AND len(list_distinct([c.id for c in calls]))
+             = len(calls))) AS wf
+         FROM tt),
+        x AS (SELECT *,
+          lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS pr,
+          lag(hc) OVER (PARTITION BY doc_id ORDER BY turn_idx) AS ph,
+          max(CASE WHEN role = 'assistant' THEN turn_idx END)
+            OVER (PARTITION BY doc_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
+         FROM h),
+        o AS (SELECT *,
+          (role IN ('system','user','assistant','tool')
+           AND (role != 'system' OR turn_idx = 0)
+           AND (NOT hc OR role = 'assistant')
+           AND ((role = 'tool') = (tcid IS NOT NULL))
+           AND wf
+           AND CASE WHEN pr IS NULL THEN role IN ('system','user')
+                WHEN pr = 'system' THEN role = 'user'
+                WHEN pr = 'user' THEN role = 'assistant'
+                WHEN pr = 'assistant' AND ph THEN role = 'tool'
+                WHEN pr = 'assistant' THEN role = 'user'
+                ELSE role IN ('tool','assistant') END) AS ok
+         FROM x),
+        g AS (SELECT doc_id, blk, COUNT(*) AS n, bool_and(ok) AS okb,
+          COALESCE(any_value(CASE WHEN role = 'assistant'
+            THEN COALESCE(list_sort([c.id for c in calls]),
+              CAST([] AS VARCHAR[])) END), CAST([] AS VARCHAR[]))
+            AS decl,
+          COALESCE(list_sort(list(tcid) FILTER (WHERE role = 'tool')),
+            CAST([] AS VARCHAR[])) AS ans,
+          arg_max(role, turn_idx) AS lrole,
+          arg_max(hc, turn_idx) AS lhc,
+          max(turn_idx) AS mx
+         FROM o GROUP BY doc_id, blk)
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_turns,
+          (bool_and(okb) AND bool_and(decl = ans)
+           AND arg_max(lrole, mx) = 'assistant'
+           AND NOT arg_max(lhc, mx)) AS valid
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Tool-trace span treatment (r17): valid traces render through
+    // renderToolCalls — calls serialize INTO the assistant turn (the
+    // model must learn to EMIT them → loss), tool results become
+    // `[call_id] content` context turns (mask false) — then the
+    // STANDARD turnSpans/packWithMask pipeline applies unchanged. The
+    // gate re-slices the packed text at every span (`seg`) so the
+    // oracle bit-checks the whole rendering against its own.
+    Q("q_chat_tool_spans",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        val t = Chats.toolTurns(docs, "chat", "doc_id")
+        val valid = Chats.validateToolTurns(t, "doc_id")
+          .filter(col("valid")).select(col("doc_id"))
+        val rendered = Chats.renderToolCalls(t.join(valid, "doc_id"),
+          "doc_id")
+        val spans = Chats.turnSpans(rendered, "doc_id")
+        val packed = Chats.packWithMask(rendered, "doc_id")
+        spans.join(packed, "doc_id")
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("start"), col("end"), col("mask"),
+            col("text").substr(
+              (col("start") + 1).cast("int"),
+              (col("end") - col("start")).cast("int")).as("seg"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some(s"""WITH $toolTraceSql, $toolRenderSql,
+        r AS (SELECT *, CAST(length(rt) AS BIGINT) AS rl FROM vtr),
+        o AS (SELECT *, CAST(COALESCE(SUM(rl) OVER (
+            PARTITION BY doc_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start
+        FROM r)
+        SELECT doc_id, turn_idx, role, start,
+          CAST(start + rl AS BIGINT) AS "end",
+          (role = 'assistant') AS mask, rt AS seg
+        FROM o ORDER BY doc_id, turn_idx""")),
+
+    // SFT TOOL-TRACE capstone (r17 — q_sft_windows' composition for
+    // the agentic data class): validateToolTurns gates the protocol,
+    // renderToolCalls serializes calls/results, tokenSpans prices
+    // every turn in learned-BPE tokens, packExamples FFDs whole
+    // traces into 64-token windows per shard group, and each turn's
+    // loss-mask span lands REBASED into its window. The oracle
+    // replays merge learning, the tool rendering, per-turn token
+    // counts, the FFD recursion, and the rebase join in one
+    // statement.
+    Q("q_sft_tool_windows",
+      (s, d) => {
+        import graft.operators.{Chats, Packing}
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        val t = Chats.toolTurns(docs, "chat", "doc_id")
+        val valid = Chats.validateToolTurns(t, "doc_id")
+          .filter(col("valid")).select(col("doc_id"))
+        val rendered = Chats.renderToolCalls(t.join(valid, "doc_id"),
+          "doc_id")
+        val spans = Chats.tokenSpans(rendered, "doc_id",
+          roundtripMerges(s, d))
+        val conv = spans.groupBy(col("doc_id"))
+          .agg(max(col("token_end")).as("len"))
+          .withColumn("grp", col("doc_id") % 4)
+        val packed = Packing.packExamples(conv, "doc_id", "len", "grp",
+          capacity = 64L)
+        spans.join(packed.select(col("doc_id"), col("grp"), col("bin"),
+            col("slot"), col("start_off")), "doc_id")
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("mask"), col("grp"), col("bin"), col("slot"),
+            (col("start_off") + col("token_start")).as("win_start"),
+            (col("start_off") + col("token_end")).as("win_end"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq
+                FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', ''))
+            AS e, freq FROM $prev, b$i b)"""
+        }
+        val pos = "NULLIF(list_position(list_transform(st.caps, " +
+          "c -> c >= it.len), true), 0)"
+        s"""WITH RECURSIVE w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g'))
+          AS e, freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        $toolTraceSql, $toolRenderSql,
+        vtk AS (SELECT doc_id, turn_idx, role, unnest(${toksSql("rt")})
+          AS wt FROM vtr),
+        vsg AS (SELECT doc_id, turn_idx, role,
+          CASE WHEN regexp_matches(wt, '^[a-z0-9]+$$') THEN
+            len(string_split(
+              replace(replace(replace(
+                rtrim(regexp_replace(wt, '(.)', '|\\1| ', 'g')),
+                b1.pat, replace(b1.pat, '| |', '')),
+                b2.pat, replace(b2.pat, '| |', '')),
+                b3.pat, replace(b3.pat, '| |', '')), ' '))
+          ELSE 1 END AS ntk
+          FROM vtk, b1, b2, b3),
+        vcnt AS (SELECT doc_id, turn_idx, role,
+          CAST(SUM(ntk) AS BIGINT) AS n_tok
+          FROM vsg GROUP BY doc_id, turn_idx, role),
+        vcof AS (SELECT *,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS token_start
+        FROM vcnt),
+        cv AS (SELECT doc_id, doc_id % 4 AS grp,
+          CAST(SUM(n_tok) AS BIGINT) AS len
+          FROM vcnt GROUP BY doc_id),
+        it AS (SELECT grp, doc_id AS id, len,
+          ROW_NUMBER() OVER (PARTITION BY grp
+            ORDER BY len DESC, CAST(doc_id AS VARCHAR)) AS i,
+          COUNT(*) OVER (PARTITION BY grp) AS nn
+          FROM cv),
+        st AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT)
+            AS id, CAST(NULL AS BIGINT) AS len,
+            CAST(NULL AS BIGINT) AS bin,
+            CAST([] AS BIGINT[]) AS caps, nn
+          FROM (SELECT DISTINCT grp, nn FROM it)
+          UNION ALL
+          SELECT it.grp, it.i, it.id, it.len,
+            CASE WHEN $pos IS NULL THEN len(st.caps)
+                 ELSE $pos - 1 END AS bin,
+            CASE WHEN $pos IS NULL
+                 THEN list_append(st.caps, 64 - it.len)
                  ELSE list_slice(st.caps, 1, $pos - 1)
                       || [st.caps[$pos] - it.len]
                       || list_slice(st.caps, $pos + 1, len(st.caps))

@@ -280,6 +280,170 @@ class ChatsSpec extends SparkSpec {
     assert(row(5) == ((1L, 4.0, 0.0, 0.0, "f")))
   }
 
+  // ---- tool-call / agentic traces (r17) ----
+
+  private def toolChat(msgs: String): String =
+    s"""{"messages":[$msgs]}"""
+  private def m(role: String, content: String,
+                extra: String = ""): String =
+    s"""{"role":"$role","content":"$content"$extra}"""
+  private def call(id: String, name: String, args: String): String =
+    s"""{"id":"$id","name":"$name","arguments":"$args"}"""
+
+  test("toolTurns: tool_calls and tool_call_id parse; plain chats " +
+      "read with null tool fields; malformed json drops") {
+    val good = toolChat(Seq(
+      m("user", "weather in oslo"),
+      m("assistant", "",
+        s""","tool_calls":[${call("c1", "get_weather",
+          """{\"city\":\"oslo\"}""")}]"""),
+      m("tool", "4C rain", ""","tool_call_id":"c1""""),
+      m("assistant", "cold and wet")).mkString(","))
+    val plain = toolChat(m("user", "hi") + "," + m("assistant", "yo"))
+    val df = chats(Seq(1L -> good, 2L -> plain, 3L -> "{nope"))
+    val got = Chats.toolTurns(df, "chat", "id")
+      .orderBy(col("id"), col("turn_idx")).collect()
+    assert(got.length == 6)
+    val asst = got(1)
+    val calls = asst.getSeq[org.apache.spark.sql.Row](
+      asst.fieldIndex("tool_calls"))
+    assert(calls.length == 1 &&
+      calls.head.getString(0) == "c1" &&
+      calls.head.getString(1) == "get_weather" &&
+      calls.head.getString(2) == """{"city":"oslo"}""")
+    assert(got(2).getString(got(2).fieldIndex("tool_call_id")) == "c1")
+    // plain chat: tool fields null
+    assert(got(4).isNullAt(got(4).fieldIndex("tool_calls")) &&
+      got(4).isNullAt(got(4).fieldIndex("tool_call_id")))
+  }
+
+  test("validateToolTurns: the protocol gate — every violation class " +
+      "flags, order-free answers and plain chats pass") {
+    val argsOk = """{\"q\":\"x\"}"""
+    val cases: Seq[(Long, String, Boolean)] = Seq(
+      // plain valid chat (no tools)
+      (1L, toolChat(Seq(m("system", "s"), m("user", "u"),
+        m("assistant", "a")).mkString(",")), true),
+      // two calls answered in REVERSE order — order-free matching
+      (2L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a", s""","tool_calls":[${call("c1", "f", argsOk)},
+          |${call("c2", "g", argsOk)}]""".stripMargin.replace("\n", "")),
+        m("tool", "r2", ""","tool_call_id":"c2""""),
+        m("tool", "r1", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), true),
+      // wrong answer id
+      (3L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r", ""","tool_call_id":"cX""""),
+        m("assistant", "done")).mkString(",")), false),
+      // unanswered call (assistant speaks again directly)
+      (4L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("assistant", "done")).mkString(",")), false),
+      // arguments do not parse as JSON
+      (5L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", "{oops")}]"""),
+        m("tool", "r", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), false),
+      // duplicate declared call ids
+      (6L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a", s""","tool_calls":[${call("c1", "f", argsOk)},
+          |${call("c1", "g", argsOk)}]""".stripMargin.replace("\n", "")),
+        m("tool", "r1", ""","tool_call_id":"c1""""),
+        m("tool", "r2", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), false),
+      // duplicate ANSWER for a single declared call
+      (7L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r1", ""","tool_call_id":"c1""""),
+        m("tool", "r2", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), false),
+      // tool turn with no tool_call_id
+      (8L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r"),
+        m("assistant", "done")).mkString(",")), false),
+      // tool_calls on a USER turn
+      (9L, toolChat(Seq(
+        m("user", "u", s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("assistant", "a")).mkString(",")), false),
+      // tool turn before any assistant spoke
+      (10L, toolChat(Seq(m("user", "u"),
+        m("tool", "r", ""","tool_call_id":"c1""""),
+        m("assistant", "a")).mkString(",")), false),
+      // trailing assistant still has PENDING calls
+      (11L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""))
+        .mkString(",")), false),
+      // tool_call_id on an assistant turn
+      (12L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a", ""","tool_call_id":"c1""""))
+        .mkString(",")), false))
+    val got = Chats.validateToolTurns(
+        Chats.toolTurns(chats(cases.map(c => c._1 -> c._2)), "chat",
+          "id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"case $id")
+    }
+  }
+
+  test("renderToolCalls: calls serialize into the assistant turn " +
+      "(loss), results into context-marked tool turns; spans and " +
+      "packed text stay exact through the standard pipeline") {
+    val s = spark
+    import s.implicits._
+    val chat = toolChat(Seq(
+      m("user", "weather"),
+      m("assistant", "checking",
+        s""","tool_calls":[${call("c1", "get",
+          """{\"q\":\"oslo\"}""")}]"""),
+      m("tool", "4C", ""","tool_call_id":"c1""""),
+      m("assistant", "cold")).mkString(","))
+    val rendered = Chats.renderToolCalls(
+      Chats.toolTurns(chats(Seq(1L -> chat)), "chat", "id"), "id")
+    val spans = Chats.turnSpans(rendered, "id")
+    val packed = Chats.packWithMask(rendered, "id")
+    val text = packed.collect()(0).getAs[String]("text")
+    assert(text ==
+      "<|user|>weather\n" +
+        "<|assistant|>checking<|call:get|>{\"q\":\"oslo\"}\n" +
+        "<|tool|>[c1] 4C\n" +
+        "<|assistant|>cold\n")
+    val rows = spans.orderBy(col("turn_idx")).collect()
+    rows.foreach { r =>
+      val seg = text.substring(r.getAs[Long]("start").toInt,
+        r.getAs[Long]("end").toInt)
+      assert(seg.endsWith("\n"))
+    }
+    // mask: assistant turns (including the call) are loss; tool is not
+    assert(rows.map(_.getAs[Boolean]("mask")).toSeq ==
+      Seq(false, true, false, true))
+    // token spans flow through unchanged: with zero merges BPE
+    // segments vocabulary words ([a-z0-9]+) into characters and
+    // counts every other whitespace token as 1, so the conversation's
+    // token_end must equal that sum over the packed text — the
+    // no-token-crosses-a-turn-boundary invariant end to end
+    val toks = Chats.tokenSpans(rendered, "id", merges = Seq.empty)
+    val n = toks.agg(max(col("token_end"))).collect()(0).getLong(0)
+    val want = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(w => if (w.matches("^[a-z0-9]+$")) w.length.toLong else 1L)
+      .sum
+    assert(n == want)
+    // and the spans partition [0, n): each turn starts where the
+    // previous ended
+    val ts = toks.orderBy(col("turn_idx")).collect()
+      .map(r => (r.getAs[Long]("token_start"), r.getAs[Long]("token_end")))
+    assert(ts.head._1 == 0L && ts.last._2 == n)
+    ts.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1) }
+  }
+
   test("groupAdvantage: a constant group with FRACTIONAL scores is " +
       "detected structurally — exact 0.0, not double-cast noise " +
       "(ADVICE r16)") {
