@@ -123,8 +123,12 @@ object Bench {
     // the round's new gates
     "q_chat_pack", "q_dpo_pairs", "q_chat_token_spans",
     "q_pack_examples", "q_revisit_adaptive", "q_sft_windows",
-    // r17: tool-call traces join the chat tier's curve
-    "q_chat_tools", "q_sft_tool_windows")
+    // r17: tool-call traces join the chat tier's curve; the
+    // IVF-bucketed in-context composition rides the curve because its
+    // cell COUNT (not size) grows with the corpus — the walk stays
+    // O(62²·dim) per cell (the fixed-%8 q_incontext_order gate stays
+    // off the curve by construction, as adjudicated r16)
+    "q_chat_tools", "q_sft_tool_windows", "q_incontext_ivf")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted

@@ -3371,6 +3371,82 @@ object TrainingQueries {
         ORDER BY vec_id"""
       }),
 
+    // IVF-bucketed in-context ordering (r17 — the composition
+    // q_incontext_order's scaladoc claims): buckets are the corpus's
+    // OWN IVF cell assignment (seeded cells, the same scaled-long
+    // argmin kernel as the ANN tier), sized ~62 docs/cell by deriving
+    // nCells from the corpus count — so the O(cell²·dim) walk stays
+    // CONSTANT per cell as the corpus grows and the composed operator
+    // rides the 10× curve (cells grow in NUMBER, not size; they run
+    // in parallel). The oracle replays cell assignment (scaled-long
+    // distances, tie-to-lowest-cell) AND every hop of every walk.
+    Q("q_incontext_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val nCells = math.max((emb.count() / 62L).toInt, 8)
+        val cells = Similarity.ivfCellsSeeded(emb, "vec_id",
+          "embedding", nCells)
+        val assigned = emb.withColumn("cell",
+          Similarity.cellArgmin(col("embedding"), cells).cast("int"))
+        graft.operators.Layout.semanticOrder(assigned, "vec_id",
+            "embedding", "cell")
+          .select(col("vec_id"), col("cell"), col("chain_pos"),
+            col("ctx_pos"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def dotS(x: String, y: String) =
+          s"""list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)
+              for i in generate_series(1, len($x))])"""
+        def du(x: String, y: String) =
+          s"""CAST(FLOOR(ROUND(${dotS(x, x)} - 2 * ${dotS(x, y)} +
+            ${dotS(y, y)}, 6) * 1e6 + 0.5) AS BIGINT)"""
+        val cosr = s"COALESCE(ROUND(${cosSql("st.vec", "i2.vec")}, 6), -999)"
+        s"""WITH RECURSIVE cs AS (
+          SELECT embedding AS cv,
+            ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+          FROM embeddings
+          QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+            <= GREATEST(COUNT(*) OVER () // 62, 8)),
+        cd AS (SELECT vec_id, c, ${du("x", "cv")} AS du
+          FROM (SELECT e.vec_id, s.c, e.embedding AS x, s.cv
+            FROM embeddings e CROSS JOIN cs s)),
+        cellof AS (SELECT vec_id, CAST(c AS INT) AS b FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY du, c) AS rk FROM cd)
+          WHERE rk = 1),
+        it AS (SELECT cl.b AS b, e.vec_id AS id, e.embedding AS vec
+          FROM embeddings e JOIN cellof cl ON cl.vec_id = e.vec_id),
+        base AS (
+          SELECT b, CAST(1 AS BIGINT) AS pos, id, vec, [id] AS visited
+          FROM it QUALIFY ROW_NUMBER() OVER (PARTITION BY b
+            ORDER BY CAST(id AS VARCHAR)) = 1),
+        st AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT u.b, u.pos, u.best['id'] AS id, u.best['vec'] AS vec,
+            list_append(u.visited, u.best['id']) AS visited
+          FROM (
+            SELECT st.b AS b, st.pos + 1 AS pos, st.visited AS visited,
+              min(struct_pack(s := -($cosr),
+                n := CAST(i2.id AS VARCHAR),
+                id := i2.id, vec := i2.vec)) AS best
+            FROM st JOIN it i2 ON i2.b = st.b
+              AND NOT list_contains(st.visited, i2.id)
+            GROUP BY st.b, st.pos, st.visited
+          ) u),
+        sz AS (SELECT b, COUNT(*) AS n FROM it GROUP BY b),
+        o AS (SELECT b, CAST(COALESCE(SUM(n) OVER (
+            ORDER BY CAST(b AS VARCHAR)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off FROM sz)
+        SELECT st.id AS vec_id, st.b AS cell, st.pos AS chain_pos,
+          CAST(o.off + st.pos - 1 AS BIGINT) AS ctx_pos
+        FROM st JOIN o ON st.b = o.b
+        ORDER BY vec_id"""
+      }),
+
     // Per-document sliding-window chunking (RAG / long-context prep):
     // 40-token windows advancing by 30 (10-token overlap), final window
     // short, empty docs emit nothing. Pure generator work — zero
