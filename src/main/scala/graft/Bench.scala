@@ -128,7 +128,8 @@ object Bench {
     // cell COUNT (not size) grows with the corpus — the walk stays
     // O(62²·dim) per cell (the fixed-%8 q_incontext_order gate stays
     // off the curve by construction, as adjudicated r16)
-    "q_chat_tools", "q_sft_tool_windows", "q_incontext_ivf")
+    "q_chat_tools", "q_sft_tool_windows", "q_incontext_ivf",
+    "q_vocab_fertility")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -222,6 +223,11 @@ object Bench {
     "q_hybrid_rrf_batch_ivf" -> Set("ArraySort", "ArrayTransform"),
     "q_hybrid_rrf_indexed" -> Set("ArraySort", "ArrayTransform"),
     "q_lm_buckets" -> Set("ZipWith"),
+    // tokenizer data card (r17): the BPE expr-chain per-word
+    // segmentation HOFs (3 merges, per-row small arrays) as in the
+    // chat token-span gates; ZipWith is the memoized merge-learning
+    // setup paid once per session
+    "q_vocab_fertility" -> Set("ArrayTransform", "ZipWith"),
     "q_lm_score" -> Set("ZipWith"),
     "q_mv_transform" -> Set("ArrayAggregate"),
     "q_pipeline_e2e" -> Set("ArrayFilter", "ArrayTransform", "ZipWith"),

@@ -290,6 +290,101 @@ object Chats {
             col("group_std")))
   }
 
+  /** Preference PAIRS from scored candidate pools — the standard
+    * construction when no human pairwise labels exist: best vs
+    * runner-up per pool, margin = the score gap (the same decision
+    * margin [[bestOfN]] reports). Pools with fewer than 2 candidates
+    * drop (no pair to form). Deterministic like [[bestOfN]]: the pool
+    * orders by (score desc, candidate string asc), so the same pool
+    * always yields the same pair at any parallelism. One keyed window;
+    * emits (idCol, chosen, rejected, margin, n_candidates). */
+  def pairsFromPools(df: DataFrame, idCol: String, candidateCol: String,
+                     scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(scoreCol).desc, col(candidateCol))
+    df.select(col(idCol), col(candidateCol), col(scoreCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__nc", lead(col(candidateCol), 1).over(w))
+      .withColumn("__ns", lead(col(scoreCol), 1).over(w))
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))))
+      .filter(col("__rk") === 1 && col("__nc").isNotNull)
+      .select(col(idCol), col(candidateCol).as("chosen"),
+        col("__nc").as("rejected"),
+        (col(scoreCol) - col("__ns")).as("margin"),
+        col("__n").as("n_candidates"))
+  }
+
+  /** DPO/RLHF pair HYGIENE AUDIT — the checks a preference dataset
+    * needs before it trains a reward model or a DPO policy, as one
+    * summary row:
+    *
+    *   - `n_identical`: pairs whose chosen and rejected texts are
+    *     byte-equal (pure noise — the loss gradient is zero but the
+    *     pair still dilutes batches);
+    *   - `len_margin_corr`: Pearson correlation between the chosen −
+    *     rejected LENGTH gap and the margin — the classic
+    *     reward-hacking signal (a strongly positive value means the
+    *     judge rewards verbosity, and the trained policy will too);
+    *   - pool-size skew: `max_pool` / `avg_pool` over `poolCol` (few
+    *     giant pools dominate gradient estimates) and
+    *     `max_pairs_per_prompt` / `n_prompts` (the same prompt pair
+    *     repeated overweights it, [[dedupeByPrompt]]'s concern).
+    *
+    * Determinism: margins ride as 1e6-scaled longs (6-dp score
+    * contract, as [[groupAdvantage]]) and all five correlation moments
+    * are EXACT integer sums emitted as columns (`sx`, `sy_u`, `sxx`,
+    * `sxy_u`, `syy_u` — order-free, bit-checkable); the correlation is
+    * one IEEE formula over those exact sums, rounded 6 dp, null when
+    * either variable is structurally constant (min == max — no
+    * epsilon). Scale shape: one keyed agg (per prompt) + one global
+    * agg; products accumulate in DECIMAL(38,0), nothing driver-side. */
+  def dpoAudit(pairs: DataFrame, promptCol: String, chosenCol: String,
+               rejectedCol: String, marginCol: String,
+               poolCol: String = "n_candidates"): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = (length(col(chosenCol)) - length(col(rejectedCol)))
+      .cast("long")
+    val yu = (col(marginCol)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+      .cast("long")
+    val perPrompt = pairs.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("__pp"))
+      .agg(count(lit(1)).as("n_prompts"),
+        max(col("__pp")).as("max_pairs_per_prompt"))
+    val agg = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum((col(chosenCol) <=> col(rejectedCol)).cast("long"))
+        .as("n_identical"),
+      max(col(poolCol).cast("long")).as("max_pool"),
+      round(sum(col(poolCol).cast("long")).cast("double") /
+        count(lit(1)), 6).as("avg_pool"),
+      sum(x).as("sx"), sum(yu).as("sy_u"),
+      sum((x.cast(d38) * x.cast(d38))).cast("long").as("sxx"),
+      sum((x.cast(d38) * yu.cast(d38))).cast("long").as("sxy_u"),
+      sum((yu.cast(d38) * yu.cast(d38))).cast("long").as("syy_u"),
+      min(x).as("__xmin"), max(x).as("__xmax"),
+      min(yu).as("__ymin"), max(yu).as("__ymax"))
+    val n = col("n_pairs").cast("double")
+    val cov = n * col("sxy_u").cast("double") -
+      col("sx").cast("double") * col("sy_u").cast("double")
+    val vx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = n * col("syy_u").cast("double") -
+      col("sy_u").cast("double") * col("sy_u").cast("double")
+    agg.crossJoin(perPrompt)
+      .withColumn("len_margin_corr",
+        when(col("__xmin") === col("__xmax") ||
+          col("__ymin") === col("__ymax"), lit(null).cast("double"))
+          .otherwise(round(cov / (sqrt(vx) * sqrt(vy)), 6)))
+      .select(col("n_pairs"), col("n_identical"), col("n_prompts"),
+        col("max_pairs_per_prompt"), col("max_pool"), col("avg_pool"),
+        col("sx"), col("sy_u"), col("sxx"), col("sxy_u"), col("syy_u"),
+        col("len_margin_corr"))
+  }
+
   // ---- continuous SFT ingest (the streaming twin of the pack path) --
 
   private def sftSpec(spark: org.apache.spark.sql.SparkSession,

@@ -278,24 +278,71 @@ object Packing {
     * not streamable and not needed here). O(batch) per call; the
     * accumulated manifest is never read on the ingest path —
     * [[loadManifest]] folds it at read time. */
+  /** One manifest over an EXPLICIT shard assignment — the pure
+    * aggregation [[ingestManifest]] appends as partials and
+    * [[shardManifest]] derives over its own token-budget assignment:
+    * (shard, n_docs, n_tokens, min_id, max_id, fingerprint), with the
+    * same commutative mod-2^61−1 content fingerprint. One keyed agg;
+    * the output is shard-count-sized. */
+  def manifestOf(df: DataFrame, shardCol: String, idCol: String,
+                 textCol: String): DataFrame =
+    df.groupBy(col(shardCol).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount(col(textCol))
+          .cast("long")).as("n_tokens"),
+        min(col(idCol).cast("long")).as("min_id"),
+        max(col(idCol).cast("long")).as("max_id"),
+        (sum(graft.functions.Scalars.hash60(col(textCol))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(new java.math.BigDecimal(FingerprintP)))
+          .cast("long").as("fingerprint"))
+
   def ingestManifest(spark: org.apache.spark.sql.SparkSession,
                      batch: DataFrame, shardCol: String, idCol: String,
                      textCol: String, name: String,
                      batchTag: String): DataFrame = {
     val partial = Checkpoints.eager(
-      batch.groupBy(col(shardCol).cast("long").as("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(graft.functions.TextAnalysis.tokenCount(col(textCol))
-            .cast("long")).as("n_tokens"),
-          min(col(idCol).cast("long")).as("min_id"),
-          max(col(idCol).cast("long")).as("max_id"),
-          (sum(graft.functions.Scalars.hash60(col(textCol))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            % lit(new java.math.BigDecimal(FingerprintP)))
-            .cast("long").as("fingerprint")))
+      manifestOf(batch, shardCol, idCol, textCol))
     graft.sources.IncrementalIndex.append(spark,
       manifestSpec(spark, name), partial, batchTag)
     partial
+  }
+
+  /** MANIFEST DIFF — the consumer operation of the attestation story:
+    * compare TWO manifests (one cluster at two times, or two clusters
+    * claiming the same corpus) and answer per shard whether they hold
+    * the SAME BYTES. One full-outer join on the shard key —
+    * manifest-sized (shards, not documents) — with a severity-ordered
+    * verdict in `status`:
+    *
+    *   - `only_left` / `only_right`: a shard one side lacks entirely;
+    *   - `count_mismatch`: document counts differ;
+    *   - `tokens_mismatch`: counts agree, token sums differ;
+    *   - `fingerprint_mismatch`: counts and tokens agree but the
+    *     content fingerprint differs — same shape, DIFFERENT BYTES
+    *     (the case that silently poisons a resumed run);
+    *   - `range_mismatch`: contents attest identical but the id range
+    *     moved (a re-keyed corpus);
+    *   - `match`: same bytes, same keys.
+    *
+    * Both sides' values ride along (`_a`/`_b` suffixes) so the report
+    * is actionable without a second pass. Null-safe compares
+    * throughout — a null fingerprint never reads as equal-by-luck. */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = Seq("n_docs", "n_tokens", "min_id", "max_id",
+      "fingerprint")
+    val la = cols.foldLeft(a)((d, c) => d.withColumnRenamed(c, c + "_a"))
+    val lb = cols.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + "_b"))
+    def same(c: String) = col(c + "_a") <=> col(c + "_b")
+    la.join(lb, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("n_docs_b").isNull, "only_left")
+          .when(col("n_docs_a").isNull, "only_right")
+          .when(!same("n_docs"), "count_mismatch")
+          .when(!same("n_tokens"), "tokens_mismatch")
+          .when(!same("fingerprint"), "fingerprint_mismatch")
+          .when(!same("min_id") || !same("max_id"), "range_mismatch")
+          .otherwise("match"))
   }
 
   /** The accumulated manifest: partials folded per shard — sums add,

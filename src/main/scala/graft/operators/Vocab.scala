@@ -381,6 +381,33 @@ object Vocab {
           col("n_tokens").cast("double"), 6).as("oov_frac"))
   }
 
+  /** Tokenizer DATA CARD — fertility (tokens per word) and bytes per
+    * token, per corpus slice: the two numbers tokenizer choices are
+    * actually judged by. Fertility above ~1.3 on a slice means the
+    * merge table undertrained there (every word fragments — training
+    * cost per word inflates); bytes/token is the compression rate the
+    * context window buys. Words are the whitespace tokens of
+    * [[graft.functions.TextAnalysis.tokens]]; token counts run the
+    * corpus through [[bpeEncode]] with the caller's merges (same
+    * convention as the SFT token spans); bytes are UTF-8 octets of
+    * the raw text. Per `groupCol` slice: n_docs, n_words, n_tokens,
+    * n_bytes, fertility, bytes_per_token (ratios rounded 6 dp — one
+    * IEEE division of exact longs on either engine). Scale shape: one
+    * encode projection + ONE keyed agg; nothing driver-side. */
+  def fertility(df: DataFrame, textCol: String, groupCol: String,
+                merges: Seq[(String, String)],
+                wordPattern: String = "^[a-z0-9]+$"): DataFrame =
+    bpeEncode(df, textCol, merges, wordPattern, outCol = "__sub")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TA.tokens(col(textCol))).cast("long")).as("n_words"),
+        sum(size(col("__sub")).cast("long")).as("n_tokens"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .withColumn("bytes_per_token",
+        round(col("n_bytes").cast("double") / col("n_tokens"), 6))
+
   /** Skip-gram co-occurrence counts (the word2vec / GloVe preparation
     * step — Mikolov 2013, Pennington 2014): ordered (center, context)
     * pairs within `window` positions, with both the raw count and the

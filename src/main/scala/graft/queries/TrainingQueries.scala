@@ -2118,6 +2118,93 @@ object TrainingQueries {
           CAST(n AS BIGINT) AS n_candidates, score - nxt AS margin
         FROM r WHERE rk = 1 ORDER BY prompt_id""")),
 
+    // DPO/RLHF pair HYGIENE AUDIT (r17): candidate pools → best-vs-
+    // runner-up pairs (pairsFromPools) → one summary row of the checks
+    // a preference set needs before training — identical-pair count
+    // (pools where every candidate is the same text: pool%6=0 here),
+    // the length-bias correlation between the chosen−rejected length
+    // gap and the margin (all five moments emitted as EXACT integer
+    // sums and bit-checked; the corr is one IEEE formula over them,
+    // replayed verbatim), and pool/prompt skew (prompt = pool%40, so
+    // prompts repeat across pools). Pools of ≤3 docs with the %7
+    // filter, so 1-candidate pools exist and DROP from pairing.
+    Q("q_dpo_audit",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val pool = floor(col("doc_id") / 3).cast("long")
+        val cands = Tables.documents(s, d)
+          .filter((col("doc_id") * 13) % 7 < 5)
+          .select(pool.as("pool_id"),
+            concat(lit("q"), (pool % 40).cast("string")).as("prompt"),
+            when(pool % 6 === 0,
+              concat(lit("dup"), pool.cast("string")))
+              .otherwise(concat(
+                ct.substr(lit(5), (lit(6) + col("doc_id") % 9)
+                  .cast("int")),
+                lit("#"), col("doc_id").cast("string"))).as("cand"),
+            (floor(col("doc_id") / 2).cast("long") % 50).as("score"))
+        val pairs = Chats.pairsFromPools(cands, "pool_id", "cand",
+          "score")
+        val pmap = cands.select(col("pool_id"), col("prompt"))
+          .distinct()
+        Chats.dpoAudit(pairs.join(pmap, "pool_id"), "prompt",
+          "chosen", "rejected", "margin")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+          doc_id // 3 AS pool_id,
+          'q' || CAST((doc_id // 3) % 40 AS VARCHAR) AS prompt,
+          CASE WHEN (doc_id // 3) % 6 = 0
+            THEN 'dup' || CAST(doc_id // 3 AS VARCHAR)
+            ELSE substr(regexp_replace(lower(text), '[^a-z ]', '',
+              'g'), 5, CAST(6 + doc_id % 9 AS INT))
+              || '#' || CAST(doc_id AS VARCHAR) END
+            AS cand,
+          (doc_id // 2) % 50 AS score
+        FROM documents WHERE (doc_id * 13) % 7 < 5),
+        w AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY pool_id
+            ORDER BY score DESC, cand) AS rk,
+          lead(cand) OVER (PARTITION BY pool_id
+            ORDER BY score DESC, cand) AS nc,
+          lead(score) OVER (PARTITION BY pool_id
+            ORDER BY score DESC, cand) AS ns,
+          COUNT(*) OVER (PARTITION BY pool_id) AS np
+        FROM c),
+        pr AS (SELECT pool_id, prompt, cand AS chosen, nc AS rejected,
+          score - ns AS margin, np
+        FROM w WHERE rk = 1 AND nc IS NOT NULL),
+        mm AS (SELECT *,
+          CAST(length(chosen) - length(rejected) AS BIGINT) AS x,
+          CAST(margin * 1000000 AS BIGINT) AS yu FROM pr),
+        pp AS (SELECT prompt, COUNT(*) AS ppn FROM mm GROUP BY prompt),
+        ppa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_prompts,
+          CAST(MAX(ppn) AS BIGINT) AS max_pairs_per_prompt FROM pp),
+        ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CASE WHEN chosen = rejected THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_identical,
+          CAST(MAX(np) AS BIGINT) AS max_pool,
+          ROUND(CAST(SUM(np) AS DOUBLE) / COUNT(*), 6) AS avg_pool,
+          CAST(SUM(x) AS BIGINT) AS sx,
+          CAST(SUM(yu) AS BIGINT) AS sy_u,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(x * yu) AS BIGINT) AS sxy_u,
+          CAST(SUM(yu * yu) AS BIGINT) AS syy_u,
+          MIN(x) AS xmin, MAX(x) AS xmax,
+          MIN(yu) AS ymin, MAX(yu) AS ymax
+        FROM mm)
+        SELECT n_pairs, n_identical, n_prompts, max_pairs_per_prompt,
+          max_pool, avg_pool, sx, sy_u, sxx, sxy_u, syy_u,
+          CASE WHEN xmin = xmax OR ymin = ymax THEN NULL
+            ELSE ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy_u AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy_u AS DOUBLE)) /
+              (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy_u AS DOUBLE)
+                - CAST(sy_u AS DOUBLE) * CAST(sy_u AS DOUBLE))), 6)
+          END AS len_margin_corr
+        FROM ag CROSS JOIN ppa""")),
+
     // Prompt-level dedup (r16 — SFT hygiene between collection and
     // training): one conversation per distinct rendered prompt, the
     // highest-scored one, ties by id-as-string (lexicographic on BOTH
@@ -3157,6 +3244,90 @@ object TrainingQueries {
           CAST(SUM(CAST(${hash60Sql("text")} AS HUGEINT))
             % 2305843009213693951 AS BIGINT) AS fingerprint
         FROM w GROUP BY 1 ORDER BY shard""")),
+
+    // MANIFEST DIFF (r17 — the attestation story's consumer side):
+    // manifest A is the corpus plus an A-only shard (98); manifest B
+    // perturbs it five ways on a STABLE shard key (doc_id % 16, so one
+    // edit stays one shard's problem): doc 37 dropped (count), doc 44
+    // gains a token (tokens), doc 40's bytes mutate token-preserving
+    // via translate (fingerprint — the silent-poison case), doc 48
+    // re-keys +160000 ≡ 0 mod 16 (range), plus a B-only shard (99).
+    // Every other shard must read `match`. The oracle builds BOTH
+    // manifests independently and replays the severity lattice.
+    Q("q_manifest_diff",
+      (s, d) => {
+        import graft.operators.Packing
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 16).as("shard"))
+        val extraA = Tables.documents(s, d)
+          .filter(col("doc_id") < 3)
+          .select(col("doc_id"), col("text"), lit(98L).as("shard"))
+        val extraB = Tables.documents(s, d)
+          .filter(col("doc_id") < 5)
+          .select(col("doc_id"), col("text"), lit(99L).as("shard"))
+        val bdocs = base.filter(col("doc_id") =!= 37)
+          .select(
+            when(col("doc_id") === 48, col("doc_id") + 160000)
+              .otherwise(col("doc_id")).as("doc_id"),
+            when(col("doc_id") === 40, translate(col("text"), "e", "3"))
+              .when(col("doc_id") === 44,
+                concat(col("text"), lit(" zz")))
+              .otherwise(col("text")).as("text"),
+            col("shard"))
+        val ma = Packing.manifestOf(base.unionByName(extraA),
+          "shard", "doc_id", "text")
+        val mb = Packing.manifestOf(bdocs.unionByName(extraB),
+          "shard", "doc_id", "text")
+        Packing.manifestDiff(ma, mb).orderBy(col("shard"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, text, doc_id % 16 AS shard
+          FROM documents),
+        a0 AS (SELECT * FROM base
+          UNION ALL
+          SELECT doc_id, text, 98 FROM documents WHERE doc_id < 3),
+        b0 AS (SELECT
+            CASE WHEN doc_id = 48 THEN doc_id + 160000
+                 ELSE doc_id END AS doc_id,
+            CASE WHEN doc_id = 40 THEN translate(text, 'e', '3')
+                 WHEN doc_id = 44 THEN text || ' zz'
+                 ELSE text END AS text,
+            shard
+          FROM base WHERE doc_id != 37
+          UNION ALL
+          SELECT doc_id, text, 99 FROM documents WHERE doc_id < 5),
+        ma AS (SELECT CAST(shard AS BIGINT) AS shard,
+            COUNT(*) AS n_docs,
+            CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS n_tokens,
+            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+            CAST(SUM(CAST(${hash60Sql("text")} AS HUGEINT))
+              % 2305843009213693951 AS BIGINT) AS fingerprint
+          FROM a0 GROUP BY 1),
+        mb AS (SELECT CAST(shard AS BIGINT) AS shard,
+            COUNT(*) AS n_docs,
+            CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS n_tokens,
+            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+            CAST(SUM(CAST(${hash60Sql("text")} AS HUGEINT))
+              % 2305843009213693951 AS BIGINT) AS fingerprint
+          FROM b0 GROUP BY 1)
+        SELECT COALESCE(a.shard, b.shard) AS shard,
+          a.n_docs AS n_docs_a, a.n_tokens AS n_tokens_a,
+          a.min_id AS min_id_a, a.max_id AS max_id_a,
+          a.fingerprint AS fingerprint_a,
+          b.n_docs AS n_docs_b, b.n_tokens AS n_tokens_b,
+          b.min_id AS min_id_b, b.max_id AS max_id_b,
+          b.fingerprint AS fingerprint_b,
+          CASE WHEN b.n_docs IS NULL THEN 'only_left'
+            WHEN a.n_docs IS NULL THEN 'only_right'
+            WHEN a.n_docs != b.n_docs THEN 'count_mismatch'
+            WHEN a.n_tokens != b.n_tokens THEN 'tokens_mismatch'
+            WHEN a.fingerprint != b.fingerprint
+              THEN 'fingerprint_mismatch'
+            WHEN a.min_id != b.min_id OR a.max_id != b.max_id
+              THEN 'range_mismatch'
+            ELSE 'match' END AS status
+        FROM ma a FULL OUTER JOIN mb b ON a.shard = b.shard
+        ORDER BY shard""")),
 
     // Sequence packing (concat-and-chunk): every doc's start chunk/offset
     // and end chunk when the corpus is concatenated in salted-hash order
@@ -5528,6 +5699,67 @@ object TrainingQueries {
           UNION ALL SELECT 2, pat, cnt FROM b2
           UNION ALL SELECT 3, pat, cnt FROM b3)"""
       }),
+
+    // Tokenizer DATA CARD (r17): fertility (tokens/word) and
+    // bytes/token per source slice through the learned 3-round merges
+    // — the numbers a tokenizer choice is judged by. The oracle
+    // re-learns the merges, re-segments every word occurrence with the
+    // replace-chain replay (same convention as q_chat_token_spans),
+    // and re-sums per source; the ratio divisions are one IEEE divide
+    // of bit-checked longs on both engines.
+    Q("q_vocab_fertility",
+      (s, d) => graft.operators.Vocab.fertility(
+          Tables.documents(s, d).select(col("source"), col("text")),
+          "text", "source", roundtripMerges(s, d))
+        .orderBy(col("source")),
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq
+                FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', ''))
+            AS e, freq FROM $prev, b$i b)"""
+        }
+        s"""WITH w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g'))
+          AS e, freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        d0 AS (SELECT source, text,
+          CAST(strlen(text) AS BIGINT) AS nb FROM documents),
+        vk AS (SELECT source, unnest(${toksSql("text")}) AS wt FROM d0),
+        vsg AS (SELECT source,
+          CASE WHEN regexp_matches(wt, '^[a-z0-9]+$$') THEN
+            len(string_split(
+              replace(replace(replace(
+                rtrim(regexp_replace(wt, '(.)', '|\\1| ', 'g')),
+                b1.pat, replace(b1.pat, '| |', '')),
+                b2.pat, replace(b2.pat, '| |', '')),
+                b3.pat, replace(b3.pat, '| |', '')), ' '))
+          ELSE 1 END AS ntk
+          FROM vk, b1, b2, b3),
+        va AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(ntk) AS BIGINT) AS n_tokens
+          FROM vsg GROUP BY source),
+        vd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nb) AS BIGINT) AS n_bytes
+          FROM d0 GROUP BY source)
+        SELECT v.source, vd.n_docs, v.n_words, v.n_tokens, vd.n_bytes,
+          ROUND(CAST(v.n_tokens AS DOUBLE) / v.n_words, 6)
+            AS fertility,
+          ROUND(CAST(vd.n_bytes AS DOUBLE) / v.n_tokens, 6)
+            AS bytes_per_token
+        FROM va v JOIN vd USING (source) ORDER BY source"""
+      },
+      setup = Some((s, d) => roundtripMerges(s, d))),
 
     // Skip-gram co-occurrence (word2vec/GloVe prep): ordered pairs within
     // window 2, raw counts + exact scaled 1/distance weights; top 100 by

@@ -280,6 +280,58 @@ class ChatsSpec extends SparkSpec {
     assert(row(5) == ((1L, 4.0, 0.0, 0.0, "f")))
   }
 
+  test("pairsFromPools: best vs runner-up with score-gap margin, " +
+      "singleton pools drop, ties break on candidate string") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("p1", "b", 5L), ("p1", "a", 9L), ("p1", "c", 7L),
+      ("p2", "solo", 4L),
+      ("p3", "y", 3L), ("p3", "x", 3L) // tie: x before y
+    ).toDF("pid", "cand", "score")
+    val got = Chats.pairsFromPools(df, "pid", "cand", "score")
+      .orderBy(col("pid")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("p1", "a", "c", 2L, 3L),
+      ("p3", "x", "y", 0L, 2L)))
+  }
+
+  test("dpoAudit: identical pairs count, exact correlation moments, " +
+      "structural zero-variance -> null corr, prompt/pool skew") {
+    val s = spark
+    import s.implicits._
+    // x = len(chosen) - len(rejected); margin y. Constructed on the
+    // line y = x + 1: (1, 2), (-1, 0), (2, 3) → perfect corr 1.0
+    val pairs = Seq(
+      ("q1", "aa", "a", 2.0, 3L),
+      ("q1", "b", "bb", 0.0, 2L),
+      ("q2", "ccc", "c", 3.0, 5L)).toDF("prompt", "chosen",
+      "rejected", "margin", "n_candidates")
+    val got = Chats.dpoAudit(pairs, "prompt", "chosen", "rejected",
+      "margin").collect()(0)
+    assert(got.getAs[Long]("n_pairs") == 3L)
+    assert(got.getAs[Long]("n_identical") == 0L)
+    assert(got.getAs[Long]("n_prompts") == 2L)
+    assert(got.getAs[Long]("max_pairs_per_prompt") == 2L)
+    assert(got.getAs[Long]("max_pool") == 5L)
+    assert(got.getAs[Long]("sx") == 2L)
+    assert(got.getAs[Long]("sy_u") == 5000000L)
+    assert(got.getAs[Long]("sxx") == 6L)
+    assert(got.getAs[Long]("syy_u") == 13000000000000L)
+    assert(got.getAs[Long]("sxy_u") == 8000000L)
+    assert(got.getAs[Double]("len_margin_corr") == 1.0)
+    // identical pair counts; constant margin → structurally null corr
+    val flat = Seq(
+      ("q1", "same", "same", 1.5, 2L),
+      ("q2", "ab", "xyz", 1.5, 2L)).toDF("prompt", "chosen",
+      "rejected", "margin", "n_candidates")
+    val g2 = Chats.dpoAudit(flat, "prompt", "chosen", "rejected",
+      "margin").collect()(0)
+    assert(g2.getAs[Long]("n_identical") == 1L)
+    assert(g2.isNullAt(g2.fieldIndex("len_margin_corr")))
+  }
+
   // ---- tool-call / agentic traces (r17) ----
 
   private def toolChat(msgs: String): String =

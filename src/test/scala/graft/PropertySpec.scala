@@ -544,6 +544,37 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("manifestDiff: severity lattice — only_left/right, count, " +
+      "tokens, fingerprint, range, match — each fires on exactly its " +
+      "own perturbation") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val base = (0L to 69L).map(i => (i, s"alpha beta w$i", i % 7))
+      .toDF("doc_id", "text", "shard")
+    def mOf(df: org.apache.spark.sql.DataFrame) =
+      Packing.manifestOf(df, "shard", "doc_id", "text")
+    val b = base.filter(col("doc_id") =!= 8) // shard 1: count
+      .select(
+        when(col("doc_id") === 9, col("doc_id") + 700) // shard 2: range
+          .otherwise(col("doc_id")).as("doc_id"),
+        when(col("doc_id") === 10, lit("alpha beta W10")) // 3: bytes
+          .when(col("doc_id") === 11, lit("alpha beta w11 x")) // 4: tok
+          .otherwise(col("text")).as("text"),
+        col("shard"))
+      .unionByName(Seq((999L, "zz", 99L)).toDF("doc_id", "text",
+        "shard"))
+    val a = base.unionByName(Seq((998L, "yy", 98L)).toDF("doc_id",
+      "text", "shard"))
+    val got = Packing.manifestDiff(mOf(a), mOf(b))
+      .orderBy(col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(got == Map(0L -> "match", 1L -> "count_mismatch",
+      2L -> "range_mismatch", 3L -> "fingerprint_mismatch",
+      4L -> "tokens_mismatch", 5L -> "match", 6L -> "match",
+      98L -> "only_left", 99L -> "only_right"))
+  }
+
   test("curriculumOrder equals the global (score, id) rank at every " +
       "bucket count and partitioning") {
     val s = spark
