@@ -204,6 +204,10 @@ object Bench {
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs", "ZipWith"),
     // streaming twin of q_chat_pack: same parse + ordered rebuild
     "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
+    // streaming twin of the tool-trace pack path: the tool parse +
+    // per-turn call checks + ordered rebuild, as in q_chat_tool_spans
+    "q_stream_tool_ingest" ->
+      Set("ArrayForAll", "ArraySort", "ArrayTransform", "JsonToStructs"),
     // scrub-inside-turns composition: the chat parse + packWithMask's
     // ordered rebuild, as in q_chat_pack (the redaction itself is
     // codegen'd regexp_replace)

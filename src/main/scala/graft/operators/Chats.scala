@@ -422,6 +422,30 @@ object Chats {
     packed
   }
 
+  /** [[ingestSft]] for TOOL-CALL traces — one batch of raw agentic
+    * logs: parse ([[toolTurns]]) → [[validateToolTurns]] (protocol
+    * violations drop: stray/unanswered/duplicate answers, non-JSON
+    * arguments, pending trailing calls) → [[renderToolCalls]] (calls
+    * serialize into the assistant turn, results into context turns) →
+    * [[packWithMask]] → tag-idempotent append of (id, text, n_turns).
+    * Same O(batch) / replay-no-op contract as [[ingestSft]]; the
+    * packed corpus loads with [[loadSftCorpus]] under the same name
+    * space. */
+  def ingestToolSft(spark: org.apache.spark.sql.SparkSession,
+                    batch: DataFrame, jsonCol: String, idCol: String,
+                    name: String, batchTag: String): DataFrame = {
+    val t = toolTurns(batch, jsonCol, idCol)
+    val valid = validateToolTurns(t, idCol).filter(col("valid"))
+      .select(col(idCol))
+    val packed = Checkpoints.eager(
+      packWithMask(renderToolCalls(t, idCol), idCol).join(valid, idCol)
+        .select(col(idCol).cast("string").as("id"), col("text"),
+          col("n_turns")))
+    graft.sources.IncrementalIndex.append(spark, sftSpec(spark, name),
+      packed, batchTag)
+    packed
+  }
+
   /** The accumulated SFT corpus: (id, text, n_turns) across every
     * committed ingest batch. Empty (not an error) before the first
     * append. */

@@ -3106,6 +3106,55 @@ object TrainingQueries {
           CAST(3 AS BIGINT) AS n_turns
         FROM b ORDER BY doc_id""")),
 
+    // STREAMING tool-trace ingest (r17) — the continuous twin of the
+    // agentic pack path: a live feed of tool-call logs (the five
+    // toolTraceJson shapes) drives 4 micro-batches through
+    // toolIngestSink; protocol violations (wrong answer id, unanswered
+    // call, non-JSON arguments) drop at the validator, survivors
+    // render (calls = loss, results = context) and pack into the
+    // accumulated corpus tag-idempotently. In-gate: a replay of a
+    // COMMITTED batch tag must not grow the corpus. Output = the full
+    // accumulated corpus, replayed closed-form over the valid shapes.
+    Q("q_stream_tool_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val name = s"toolq_${CorpusKey.of(d)}"
+        Chats.dropSftCorpus(s, name)
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        val rows = docs.orderBy(col("doc_id"))
+          .as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.toolIngestSink(
+          mem.toDF().toDF("doc_id", "chat"), "chat", "doc_id", name,
+          streamTag = Some("tlq")) { _ => () }.start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk
+        }
+        q.stop()
+        // at-least-once replay of a COMMITTED tag must not grow the
+        // corpus (batch 0's tag is tlq_0)
+        val n0 = Chats.loadSftCorpus(s, name).count()
+        Chats.ingestToolSft(s, docs, "chat", "doc_id", name, "tlq_0")
+        require(Chats.loadSftCorpus(s, name).count() == n0,
+          "replayed committed tool-ingest tag must no-op")
+        Chats.loadSftCorpus(s, name)
+          .select(col("id").cast("long").as("doc_id"), col("text"),
+            col("n_turns"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $toolTraceSql, $toolRenderSql
+        SELECT doc_id,
+          string_agg(rt, '' ORDER BY turn_idx) AS text,
+          CAST(COUNT(*) AS BIGINT) AS n_turns
+        FROM vtr GROUP BY doc_id ORDER BY doc_id""")),
+
     // STREAMING decontamination (r16) — the prevention twin of the
     // measurement tiers: a live document feed drives 4 micro-batches
     // through decontamSink, and anything sharing a 5-shingle with the

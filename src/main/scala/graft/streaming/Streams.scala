@@ -497,6 +497,27 @@ object Streams {
     }
   }
 
+  /** [[sftIngestSink]] for TOOL-CALL traces — the continuous twin of
+    * the agentic-trace pack path
+    * ([[graft.operators.Chats.ingestToolSft]]): per micro-batch the
+    * tool PROTOCOL validates (stray/unanswered/duplicate answers,
+    * non-JSON arguments, pending trailing calls all drop), survivors
+    * render (calls = loss, results = context) and pack, appends are
+    * O(batch) and tag-idempotent. Surviving packed traces pass to
+    * `handler`. */
+  def toolIngestSink(chats: DataFrame, jsonCol: String, idCol: String,
+                     corpusName: String, streamTag: Option[String] = None)
+                    (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val instance = streamTag.getOrElse(freshStreamTag())
+    chats.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Chats.ingestToolSft(batch.sparkSession,
+        batch, jsonCol, idCol, corpusName, s"${instance}_$batchId"))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+  }
+
   /** Streaming MANIFEST maintenance — continuous attestation for a
     * continuously-ingested corpus: each micro-batch appends its
     * partial shard manifest (counts, token sums, id ranges, additive
