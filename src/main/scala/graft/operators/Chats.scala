@@ -623,6 +623,66 @@ object Chats {
           !max(col("__lt"))("__hc")).as("valid"))
   }
 
+  /** [[fitBudget]] for tool-call traces — context trimming that NEVER
+    * splits a tool-call block: dropping a calling assistant turn while
+    * keeping its tool results (or vice versa) breaks the protocol a
+    * validated trace satisfies, so the trim unit is the BLOCK — a
+    * calling assistant turn together with its contiguous tool answers
+    * (every other turn is its own unit). Takes the [[toolTurns]] frame
+    * of a VALIDATED trace, renders via [[renderToolCalls]] +
+    * [[turnSpans]], and applies [[fitBudget]]'s rule at unit
+    * granularity: the leading system turn always keeps, plus the
+    * longest TAIL of whole units whose rendered length fits `budget`
+    * with it; offsets re-base over surviving turns. A unit keeps iff
+    * the running tail at its FIRST member fits — tails decrease with
+    * turn order, so kept units form a suffix exactly as in
+    * [[fitBudget]], just never cutting inside a block. Three windows
+    * on the conversation key, no join, no driver state. */
+  def fitBudgetTools(toolTurnsDf: DataFrame, idCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget $budget")
+    val W = org.apache.spark.sql.expressions.Window
+    val wRun = W.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val spans = turnSpans(renderToolCalls(toolTurnsDf, idCol), idCol)
+    val rl = col("end") - col("start")
+    val isSys = col("role") === "system" && col("turn_idx") === 0
+    val wDesc = W.partitionBy(col(idCol)).orderBy(col("turn_idx").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wId = W.partitionBy(col(idCol))
+    val wAsc = W.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val withSums = spans
+      .withColumn("__blk", max(when(col("role") === "assistant",
+        col("turn_idx"))).over(wRun))
+      .withColumn("__unit", when(col("role") === "tool", col("__blk"))
+        .otherwise(col("turn_idx")))
+      .withColumn("__rl", rl)
+      .withColumn("__sys", isSys)
+      .withColumn("__sysLen",
+        max(when(col("__sys"), col("__rl")).otherwise(lit(0L)))
+          .over(wId))
+      .withColumn("__tail",
+        sum(when(col("__sys"), lit(0L)).otherwise(col("__rl")))
+          .over(wDesc))
+      // the unit's decision tail = the tail at its FIRST member (the
+      // max over the unit, tails being descending in turn order)
+      .withColumn("__unitTail", max(col("__tail"))
+        .over(W.partitionBy(col(idCol), col("__unit"))))
+    val kept = col("__sys") ||
+      (col("__unitTail") + col("__sysLen") <= budget)
+    withSums
+      .withColumn("kept", kept)
+      .withColumn("new_start",
+        when(col("kept"), coalesce(sum(
+          when(col("kept"), col("__rl")).otherwise(lit(0L))).over(wAsc),
+          lit(0L))))
+      .withColumn("new_end",
+        when(col("kept"), col("new_start") + col("__rl")))
+      .drop("__blk", "__unit", "__rl", "__sys", "__sysLen", "__tail",
+        "__unitTail")
+  }
+
   /** Collapse a tool-trace turns frame ([[toolTurns]] output) to the
     * standard (idCol, turn_idx, role, content) shape with the protocol
     * payload serialized INTO the content, so [[turnSpans]],

@@ -2910,6 +2910,62 @@ object TrainingQueries {
           (role = 'assistant') AS mask, rt AS seg
         FROM o ORDER BY doc_id, turn_idx""")),
 
+    // Tool-trace context trimming (r17): fitBudget at BLOCK
+    // granularity — a calling assistant turn and its tool answers trim
+    // as one unit, so the surviving trace stays protocol-valid (a tool
+    // result without its call, or a call without its result, would
+    // fail validateToolTurns). Valid traces (plain + two-call), budget
+    // 130: the two-call traces drop leading units while the plain
+    // chats fit whole. The oracle replays the unit key (running-max
+    // assistant index), the descending tail sums, the unit-head keep
+    // rule, and the re-based offsets.
+    Q("q_chat_tool_fit",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        val t = Chats.toolTurns(docs, "chat", "doc_id")
+        val valid = Chats.validateToolTurns(t, "doc_id")
+          .filter(col("valid")).select(col("doc_id"))
+        Chats.fitBudgetTools(t.join(valid, "doc_id"), "doc_id",
+            budget = 130L)
+          .select(col("doc_id"), col("turn_idx"), col("role"),
+            col("kept"), col("new_start"), col("new_end"))
+          .orderBy(col("doc_id"), col("turn_idx"))
+      },
+      Some(s"""WITH $toolTraceSql, $toolRenderSql,
+        fr AS (SELECT *, CAST(length(rt) AS BIGINT) AS rl,
+          CASE WHEN role = 'tool' THEN
+            max(CASE WHEN role = 'assistant' THEN turn_idx END) OVER
+              (PARTITION BY doc_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ELSE turn_idx END AS unit
+         FROM vtr),
+        f2 AS (SELECT *, (role = 'system' AND turn_idx = 0) AS sys
+         FROM fr),
+        f3 AS (SELECT *,
+          CAST(MAX(CASE WHEN sys THEN rl ELSE 0 END) OVER
+            (PARTITION BY doc_id) AS BIGINT) AS syslen,
+          CAST(SUM(CASE WHEN sys THEN 0 ELSE rl END) OVER
+            (PARTITION BY doc_id ORDER BY turn_idx DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS tail
+         FROM f2),
+        f4 AS (SELECT *, CAST(MAX(tail) OVER
+            (PARTITION BY doc_id, unit) AS BIGINT) AS utail FROM f3),
+        f5 AS (SELECT *, (sys OR utail + syslen <= 130) AS kept
+         FROM f4),
+        f6 AS (SELECT *, CAST(COALESCE(SUM(CASE WHEN kept THEN rl
+            ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS ns
+         FROM f5)
+        SELECT doc_id, turn_idx, role, kept,
+          CASE WHEN kept THEN ns END AS new_start,
+          CASE WHEN kept THEN CAST(ns + rl AS BIGINT) END AS new_end
+        FROM f6 ORDER BY doc_id, turn_idx""")),
+
     // SFT TOOL-TRACE capstone (r17 — q_sft_windows' composition for
     // the agentic data class): validateToolTurns gates the protocol,
     // renderToolCalls serializes calls/results, tokenSpans prices

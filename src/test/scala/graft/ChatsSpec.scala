@@ -496,6 +496,47 @@ class ChatsSpec extends SparkSpec {
     ts.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1) }
   }
 
+  test("fitBudgetTools: blocks trim atomically — a budget that would " +
+      "cut mid-block drops the whole block; system always keeps; " +
+      "offsets re-base over survivors") {
+    val argsOk = """{\"q\":\"x\"}"""
+    // rendered lengths: sys 13, user 11, asst+call 36, tool 14,
+    // asst final 18 (verified below via spans)
+    val chat = toolChat(Seq(
+      m("system", "be"), m("user", "hi"),
+      m("assistant", "a",
+        s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+      m("tool", "r", ""","tool_call_id":"c1""""),
+      m("assistant", "done!")).mkString(","))
+    val t = Chats.toolTurns(chats(Seq(1L -> chat)), "chat", "id")
+    val lens = Chats.turnSpans(Chats.renderToolCalls(t, "id"), "id")
+      .orderBy(col("turn_idx")).collect()
+      .map(r => r.getAs[Long]("end") - r.getAs[Long]("start"))
+    def kept(budget: Long): Seq[Boolean] =
+      Chats.fitBudgetTools(t, "id", budget)
+        .orderBy(col("turn_idx")).collect()
+        .map(_.getAs[Boolean]("kept")).toSeq
+    val Seq(ls, lu, la, lt, lf) = lens.toSeq
+    // the budget covers system + tail, as in fitBudget
+    assert(kept(ls + lu + la + lt + lf) ==
+      Seq(true, true, true, true, true))
+    // budget fits final + TOOL RESULT but not its calling assistant:
+    // the whole block must drop — keeping the result alone would
+    // break the protocol (this is where plain fitBudget would cut)
+    assert(kept(ls + lt + lf) == Seq(true, false, false, false, true))
+    assert(kept(ls + la + lt + lf) ==
+      Seq(true, false, true, true, true))
+    // tiny budget: system only, nothing else fits
+    assert(kept(ls + lf - 1) == Seq(true, false, false, false, false))
+    // offsets re-base contiguously over survivors
+    val got = Chats.fitBudgetTools(t, "id", ls + la + lt + lf)
+      .filter(col("kept")).orderBy(col("turn_idx")).collect()
+      .map(r => (r.getAs[Long]("new_start"), r.getAs[Long]("new_end")))
+    assert(got.head._1 == 0L)
+    got.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1)
+      case _ => () }
+  }
+
   test("groupAdvantage: a constant group with FRACTIONAL scores is " +
       "detected structurally — exact 0.0, not double-cast noise " +
       "(ADVICE r16)") {
