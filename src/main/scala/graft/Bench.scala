@@ -200,6 +200,7 @@ object Bench {
       Set("ArrayForAll", "ArraySort", "ArrayTransform", "JsonToStructs"),
     "q_chat_tool_fit" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
+    "q_tool_stats" -> Set("JsonToStructs"),
     // the tool capstone adds the BPE expr-chain segmentation HOFs, as
     // in q_sft_windows
     "q_sft_tool_windows" ->

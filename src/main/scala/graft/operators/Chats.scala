@@ -683,6 +683,42 @@ object Chats {
         "__unitTail")
   }
 
+  /** TOOL-USAGE data card — per tool name across a trace corpus: how
+    * often each tool is called, by how many conversations, how many
+    * calls got answered, and the mean arguments / result payload
+    * sizes (the numbers an agentic-SFT data card reports, and the
+    * triage view for a raw pre-validation corpus — a tool with
+    * n_answered ≪ n_calls is a broken exporter). One explode of the
+    * per-turn call lists + one conversation-local equi-join of
+    * results to their calls on (conversation, call id) + one keyed
+    * agg — no skew (call ids are conversation-scoped), nothing
+    * driver-side. Averages round 6 dp; `avg_result_len` is null for
+    * a tool never answered. Duplicate answers to one call id (an
+    * invalid trace) multiply through the join — run after
+    * [[validateToolTurns]] for card-grade numbers. */
+  def toolStats(toolTurnsDf: DataFrame, idCol: String): DataFrame = {
+    val calls = toolTurnsDf.filter(col("tool_calls").isNotNull)
+      .select(col(idCol), explode(col("tool_calls")).as("__c"))
+      .select(col(idCol), col("__c")("id").as("__cid"),
+        col("__c")("name").as("tool_name"),
+        length(col("__c")("arguments")).cast("long").as("__alen"))
+    val results = toolTurnsDf.filter(col("role") === "tool")
+      .select(col(idCol), col("tool_call_id").as("__cid"),
+        length(coalesce(col("content"), lit(""))).cast("long")
+          .as("__rlen"))
+    val answered = sum(col("__rlen").isNotNull.cast("long"))
+    calls.join(results, Seq(idCol, "__cid"), "left")
+      .groupBy(col("tool_name"))
+      .agg(count(lit(1)).as("n_calls"),
+        countDistinct(col(idCol)).as("n_convs"),
+        answered.as("n_answered"),
+        round(sum(col("__alen")).cast("double") / count(lit(1)), 6)
+          .as("avg_args_len"),
+        when(answered === 0, lit(null).cast("double"))
+          .otherwise(round(sum(col("__rlen")).cast("double") /
+            answered, 6)).as("avg_result_len"))
+  }
+
   /** Collapse a tool-trace turns frame ([[toolTurns]] output) to the
     * standard (idCol, turn_idx, role, content) shape with the protocol
     * payload serialized INTO the content, so [[turnSpans]],

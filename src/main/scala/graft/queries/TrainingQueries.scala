@@ -2910,6 +2910,48 @@ object TrainingQueries {
           (role = 'assistant') AS mask, rt AS seg
         FROM o ORDER BY doc_id, turn_idx""")),
 
+    // Tool-usage data card (r17): per tool name — call counts,
+    // conversations using it, answered-call counts, mean argument and
+    // result payload sizes. Runs over the RAW parsed corpus (all five
+    // synthesized shapes) so the triage signal shows: 'search' is
+    // called by four classes but answered in only two (the wrong-id
+    // and unanswered classes leave n_answered < n_calls); 'fetch'
+    // appears only in the valid two-call class and is always
+    // answered. The oracle replays the explode, the per-conversation
+    // call↔result join, and every aggregate.
+    Q("q_tool_stats",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        Chats.toolStats(Chats.toolTurns(docs, "chat", "doc_id"),
+            "doc_id")
+          .orderBy(col("tool_name"))
+      },
+      Some(s"""WITH $toolTraceSql,
+        ca AS (SELECT doc_id, c.id AS cid, c.nm AS tool_name,
+            CAST(length(c.args) AS BIGINT) AS alen
+          FROM (SELECT doc_id, unnest(calls) AS c FROM tt
+            WHERE calls IS NOT NULL)),
+        re AS (SELECT doc_id, tcid AS cid,
+            CAST(length(COALESCE(content, '')) AS BIGINT) AS rlen
+          FROM tt WHERE role = 'tool'),
+        j AS (SELECT ca.*, re.rlen FROM ca LEFT JOIN re
+          ON ca.doc_id = re.doc_id AND ca.cid = re.cid)
+        SELECT tool_name, CAST(COUNT(*) AS BIGINT) AS n_calls,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_convs,
+          CAST(SUM(CASE WHEN rlen IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_answered,
+          ROUND(CAST(SUM(alen) AS DOUBLE) / COUNT(*), 6)
+            AS avg_args_len,
+          CASE WHEN SUM(CASE WHEN rlen IS NOT NULL THEN 1 ELSE 0 END)
+              = 0 THEN NULL
+            ELSE ROUND(CAST(SUM(rlen) AS DOUBLE) /
+              SUM(CASE WHEN rlen IS NOT NULL THEN 1 ELSE 0 END), 6)
+          END AS avg_result_len
+        FROM j GROUP BY tool_name ORDER BY tool_name""")),
+
     // Tool-trace context trimming (r17): fitBudget at BLOCK
     // granularity — a calling assistant turn and its tool answers trim
     // as one unit, so the surviving trace stays protocol-valid (a tool
