@@ -129,7 +129,8 @@ object Bench {
     // O(62²·dim) per cell (the fixed-%8 q_incontext_order gate stays
     // off the curve by construction, as adjudicated r16)
     "q_chat_tools", "q_sft_tool_windows", "q_incontext_ivf",
-    "q_vocab_fertility")
+    "q_vocab_fertility", "q_chat_tool_fit", "q_tool_stats",
+    "q_dpo_audit")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
