@@ -130,7 +130,7 @@ object Bench {
     // off the curve by construction, as adjudicated r16)
     "q_chat_tools", "q_sft_tool_windows", "q_incontext_ivf",
     "q_vocab_fertility", "q_chat_tool_fit", "q_tool_stats",
-    "q_dpo_audit")
+    "q_dpo_audit", "q_tool_args")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -202,6 +202,7 @@ object Bench {
     "q_chat_tool_fit" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
     "q_tool_stats" -> Set("JsonToStructs"),
+    "q_tool_args" -> Set("JsonToStructs"),
     // the tool capstone adds the BPE expr-chain segmentation HOFs, as
     // in q_sft_windows
     "q_sft_tool_windows" ->

@@ -683,6 +683,44 @@ object Chats {
         "__unitTail")
   }
 
+  /** Per-call REQUIRED-ARGUMENT audit against a per-tool contract —
+    * the tier above [[validateToolTurns]]'s arguments-parse rule: each
+    * declared call's arguments must be a JSON OBJECT carrying the
+    * tool's required keys (extra keys allowed — additive tool schemas
+    * are the norm; value TYPES are the tool runtime's concern, key
+    * presence is the data-quality gate). `contract` maps tool name →
+    * required keys; a call to a tool OUTSIDE the contract reports
+    * `missing = ['__unknown_tool']` (an agent calling an undeclared
+    * tool is a protocol bug, not a pass), and non-object/unparseable
+    * arguments report every required key missing. Returns one row per
+    * declared call: (idCol, turn_idx, call_id, tool_name, missing
+    * [sorted], args_ok). One explode + one broadcast join on tool
+    * name + a set difference — no corpus shuffle beyond the
+    * explode. */
+  def toolArgsAudit(toolTurnsDf: DataFrame, idCol: String,
+                    contract: Map[String, Seq[String]]): DataFrame = {
+    val spark = toolTurnsDf.sparkSession
+    import spark.implicits._
+    val req = contract.toSeq.toDF("tool_name", "__req")
+    val calls = toolTurnsDf.filter(col("tool_calls").isNotNull)
+      .select(col(idCol), col("turn_idx"),
+        explode(col("tool_calls")).as("__c"))
+      .select(col(idCol), col("turn_idx"),
+        col("__c")("id").as("call_id"),
+        col("__c")("name").as("tool_name"),
+        json_object_keys(col("__c")("arguments")).as("__keys"))
+    calls.join(broadcast(req), Seq("tool_name"), "left")
+      .withColumn("missing",
+        when(col("__req").isNull, array(lit("__unknown_tool")))
+          .otherwise(sort_array(array_except(col("__req"),
+            coalesce(col("__keys"), array().cast("array<string>"))))))
+      .withColumn("args_ok",
+        col("__req").isNotNull && col("__keys").isNotNull &&
+          size(col("missing")) === 0)
+      .select(col(idCol), col("turn_idx"), col("call_id"),
+        col("tool_name"), col("missing"), col("args_ok"))
+  }
+
   /** TOOL-USAGE data card — per tool name across a trace corpus: how
     * often each tool is called, by how many conversations, how many
     * calls got answered, and the mean arguments / result payload

@@ -2910,6 +2910,54 @@ object TrainingQueries {
           (role = 'assistant') AS mask, rt AS seg
         FROM o ORDER BY doc_id, turn_idx""")),
 
+    // Per-call argument-contract audit (r17): each declared call's
+    // arguments must be a JSON OBJECT carrying its tool's required
+    // keys. Contract: search needs {q} (satisfied by the valid
+    // shapes, violated by the '{oops' class which reports every key
+    // missing), fetch needs {k, url} (the synthesized fetch args
+    // carry only k — a real missing-key verdict on a VALID object).
+    // The oracle replays key extraction (json_valid + json_type +
+    // json_keys ≡ Spark's json_object_keys), the contract join, and
+    // the sorted set difference.
+    Q("q_tool_args",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        Chats.toolArgsAudit(Chats.toolTurns(docs, "chat", "doc_id"),
+            "doc_id",
+            Map("search" -> Seq("q"), "fetch" -> Seq("k", "url")))
+          .orderBy(col("doc_id"), col("turn_idx"), col("call_id"))
+      },
+      Some(s"""WITH $toolTraceSql,
+        ca AS (SELECT doc_id, turn_idx, c.id AS call_id,
+            c.nm AS tool_name, c.args AS args
+          FROM (SELECT doc_id, turn_idx, unnest(calls) AS c FROM tt
+            WHERE calls IS NOT NULL)),
+        -- json_type/json_keys raise on malformed input even inside a
+        -- CASE guard (vectorized eval) — null out invalid args FIRST;
+        -- json functions pass null through
+        va AS (SELECT *, CASE WHEN json_valid(args) THEN args END
+          AS vargs FROM ca),
+        ky AS (SELECT *, CASE WHEN json_type(vargs) = 'OBJECT'
+            THEN CAST(json_keys(vargs) AS VARCHAR[]) END AS keys
+          FROM va),
+        rq AS (SELECT * FROM (VALUES
+          ('search', ['q']), ('fetch', ['k', 'url']))
+          AS t(tool_name, req)),
+        mm AS (SELECT k.doc_id, k.turn_idx, k.call_id, k.tool_name,
+            r.req, k.keys,
+            CASE WHEN r.req IS NULL THEN ['__unknown_tool']
+              ELSE list_sort(list_filter(r.req, x ->
+                NOT list_contains(COALESCE(k.keys,
+                  CAST([] AS VARCHAR[])), x))) END AS missing
+          FROM ky k LEFT JOIN rq r USING (tool_name))
+        SELECT doc_id, turn_idx, call_id, tool_name, missing,
+          (req IS NOT NULL AND keys IS NOT NULL
+            AND len(missing) = 0) AS args_ok
+        FROM mm ORDER BY doc_id, turn_idx, call_id""")),
+
     // Tool-usage data card (r17): per tool name — call counts,
     // conversations using it, answered-call counts, mean argument and
     // result payload sizes. Runs over the RAW parsed corpus (all five

@@ -496,6 +496,35 @@ class ChatsSpec extends SparkSpec {
     ts.sliding(2).foreach { case Array(a, b) => assert(a._2 == b._1) }
   }
 
+  test("toolArgsAudit: required keys present / missing on a valid " +
+      "object / unparseable args / unknown tool — each verdict class") {
+    val chat = toolChat(Seq(
+      m("user", "u"),
+      m("assistant", "a", s""","tool_calls":[
+        |${call("c1", "search", """{\"q\":\"x\",\"extra\":\"y\"}""")},
+        |${call("c2", "search", """{\"lang\":\"en\"}""")},
+        |${call("c3", "search", "{oops")},
+        |${call("c4", "rogue", """{\"a\":\"b\"}""")}]"""
+        .stripMargin.replace("\n", "")),
+      m("tool", "r1", ""","tool_call_id":"c1""""),
+      m("tool", "r2", ""","tool_call_id":"c2""""),
+      m("tool", "r3", ""","tool_call_id":"c3""""),
+      m("tool", "r4", ""","tool_call_id":"c4""""),
+      m("assistant", "done")).mkString(","))
+    val got = Chats.toolArgsAudit(
+        Chats.toolTurns(chats(Seq(1L -> chat)), "chat", "id"), "id",
+        Map("search" -> Seq("q")))
+      .orderBy(col("call_id")).collect()
+      .map(r => (r.getAs[String]("call_id"),
+        r.getSeq[String](r.fieldIndex("missing")).toSeq,
+        r.getAs[Boolean]("args_ok")))
+    assert(got.toSeq == Seq(
+      ("c1", Seq(), true), // extra keys allowed
+      ("c2", Seq("q"), false), // valid object, required key absent
+      ("c3", Seq("q"), false), // unparseable arguments
+      ("c4", Seq("__unknown_tool"), false))) // undeclared tool
+  }
+
   test("fitBudgetTools: blocks trim atomically — a budget that would " +
       "cut mid-block drops the whole block; system always keeps; " +
       "offsets re-base over survivors") {
