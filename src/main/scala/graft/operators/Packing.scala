@@ -153,6 +153,42 @@ object Packing {
           % lit(new java.math.BigDecimal(FingerprintP)))
           .cast("long").as("fingerprint"))
 
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022 "Efficient
+    * Training of Language Models to Fill in the Middle"): a
+    * hash-selected `rate` of documents re-serialize as
+    * `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle` — PSM mode,
+    * the paper's recommended joint objective: the model learns to emit
+    * the middle given both sides, while the remaining documents pass
+    * through as plain LM data. Split points are two independent
+    * salted-hash offsets of the id mod (len+1), ordered — no RNG, the
+    * same document transforms identically at any parallelism
+    * (document-level / "context-level" FIM, character-granular; run
+    * BEFORE packing so window boundaries see the transformed
+    * lengths). Adds `fim` (boolean) and `text_fim`; null text passes
+    * through untransformed. Pure projection — zero shuffle. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rate: Double, salt: String = "graft"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate $rate not in [0,1]")
+    val n = length(col(textCol)).cast("long")
+    def pt(tag: String) =
+      (graft.functions.Scalars.hash60(concat(lit(s"$salt:$tag:"),
+        col(idCol).cast("string"))) % (n + 1)).cast("int")
+    val lo = least(pt("fim1"), pt("fim2"))
+    val hi = greatest(pt("fim1"), pt("fim2"))
+    val sel = Sampling.bucket(col(idCol), s"$salt:fim") <
+      lit(math.round(rate * 10000))
+    df.withColumn("fim", col(textCol).isNotNull && sel)
+      .withColumn("text_fim",
+        when(col("fim"),
+          concat(lit("<|fim_pre|>"),
+            col(textCol).substr(lit(1), lo),
+            lit("<|fim_suf|>"),
+            col(textCol).substr(hi + 1, n.cast("int") - hi),
+            lit("<|fim_mid|>"),
+            col(textCol).substr(lo + 1, hi - lo)))
+          .otherwise(col(textCol)))
+  }
+
   /** Per-document sliding-window chunking (the RAG / long-context prep
     * twin of [[concatChunks]]): each document's token stream is split
     * into windows of `size` tokens advancing by `stride` (overlap =

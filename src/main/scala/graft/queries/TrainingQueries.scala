@@ -3813,6 +3813,40 @@ object TrainingQueries {
         ORDER BY vec_id"""
       }),
 
+    // Fill-in-the-middle transform (r17 — Bavarian et al. 2022, the
+    // code-model infilling objective): a hash-selected half of the
+    // corpus re-serializes as PSM (<|fim_pre|>prefix<|fim_suf|>suffix
+    // <|fim_mid|>middle) with the two split points derived from
+    // salted id hashes mod (len+1); the rest passes through as plain
+    // LM data. The oracle replays selection, both offsets, and the
+    // three substrings — every transformed byte is hash-checked.
+    Q("q_fim",
+      (s, d) => graft.operators.Packing.fimTransform(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", rate = 0.5)
+        .select(col("doc_id"), col("fim"), col("text_fim"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+          CAST(length(text) AS BIGINT) AS n,
+          ${hash60Sql("'graft:fim1:' || CAST(doc_id AS VARCHAR)")}
+            % (length(text) + 1) AS p1,
+          ${hash60Sql("'graft:fim2:' || CAST(doc_id AS VARCHAR)")}
+            % (length(text) + 1) AS p2,
+          ${hash60Sql("'graft:fim:' || CAST(doc_id AS VARCHAR)")}
+            % 10000 AS b
+        FROM documents),
+        x AS (SELECT doc_id, text, n, b,
+          CAST(LEAST(p1, p2) AS INT) AS lo,
+          CAST(GREATEST(p1, p2) AS INT) AS hi
+        FROM t)
+        SELECT doc_id, (b < 5000) AS fim,
+          CASE WHEN b < 5000 THEN
+            '<|fim_pre|>' || substr(text, 1, lo) ||
+            '<|fim_suf|>' || substr(text, hi + 1) ||
+            '<|fim_mid|>' || substr(text, lo + 1, hi - lo)
+          ELSE text END AS text_fim
+        FROM x ORDER BY doc_id""")),
+
     // Per-document sliding-window chunking (RAG / long-context prep):
     // 40-token windows advancing by 30 (10-token overlap), final window
     // short, empty docs emit nothing. Pure generator work — zero

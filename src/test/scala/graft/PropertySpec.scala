@@ -544,6 +544,39 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("fimTransform: PSM parts reassemble to the original document, " +
+      "selection is the hash gate, rate 0/1 edges, empty/null text") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Packing, Sampling}
+    val docs = ((1L to 80L).map(i => (i, s"doc $i body ${"x" * (i % 17).toInt}")) ++
+      Seq((81L, ""), (82L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val got = Packing.fimTransform(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[String]("text")),
+        r.getAs[Boolean]("fim"), Option(r.getAs[String]("text_fim"))))
+    val re = ("""(?s)^<\|fim_pre\|>(.*)<\|fim_suf\|>(.*)""" +
+      """<\|fim_mid\|>(.*)$""").r
+    got.foreach { case (id, text, fim, out) =>
+      if (!fim) assert(out == text, s"passthrough $id")
+      else out.get match {
+        case re(pre, suf, mid) =>
+          assert(pre + mid + suf == text.get, s"reassembly $id")
+        case other => fail(s"bad FIM shape for $id: $other")
+      }
+    }
+    // null text never transforms; the gate selects ~half
+    assert(!got.find(_._1 == 82L).get._3)
+    val nFim = got.count(_._3)
+    assert(nFim > 10 && nFim < 70)
+    // rate edges
+    assert(Packing.fimTransform(docs, "doc_id", "text", 0.0)
+      .filter(col("fim")).count() == 0)
+    assert(Packing.fimTransform(docs, "doc_id", "text", 1.0)
+      .filter(!col("fim")).count() == 1) // only the null-text row
+  }
+
   test("manifestDiff: severity lattice — only_left/right, count, " +
       "tokens, fingerprint, range, match — each fires on exactly its " +
       "own perturbation") {
