@@ -40,7 +40,8 @@ object Packing {
                    salt: String = "graft"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val ord = ordKey(col(idCol), salt)
-    packCore(df, idCol, textCol, budget, ord, ord % nBuckets)
+    packCore(df, idCol, TA.tokenCount(col(textCol)), budget, ord,
+      ord % nBuckets)
   }
 
   /** Pack in an EXPLICIT precomputed total order — the composition hook
@@ -57,16 +58,16 @@ object Packing {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val n = df.count()
     val span = math.max(1L, (n + nBuckets - 1) / nBuckets)
-    packCore(df, idCol, textCol, budget, col(orderCol),
-      expr(s"$orderCol DIV $span"))
+    packCore(df, idCol, TA.tokenCount(col(textCol)), budget,
+      col(orderCol), expr(s"$orderCol DIV $span"))
   }
 
-  private def packCore(df: DataFrame, idCol: String, textCol: String,
+  private def packCore(df: DataFrame, idCol: String, costExpr: Column,
                        budget: Long, ordExpr: Column,
                        bucketExpr: Column): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val base = df.select(col(idCol), TA.tokenCount(col(textCol))
-        .cast("long").as("n_tokens"), ordExpr.as("__ord"),
+    val base = df.select(col(idCol),
+        costExpr.cast("long").as("n_tokens"), ordExpr.as("__ord"),
         bucketExpr.cast("long").as("__bucket"))
 
     import org.apache.spark.sql.expressions.Window
@@ -110,6 +111,26 @@ object Packing {
                     salt: String = "graft"): DataFrame =
     concatChunks(df, idCol, textCol, budget, nBuckets, salt)
       .select(col(idCol), col("n_tokens"), col("start_chunk").as("shard"))
+
+  /** [[shardByTokens]] over an EXPLICIT per-document COST — the
+    * interleaved-multimodal generalization: a vision-language
+    * document's context cost is its text tokens PLUS a fixed
+    * per-image patch count (576 for a 336² ViT-L/14, the LLaVA
+    * convention — the caller sums whatever modality costs apply into
+    * `costCol`), and loss-weighted or modality-weighted budgets are
+    * the same shape. Same deterministic salted-hash order and
+    * two-pass distributed prefix sum as [[shardByTokens]]; documents
+    * assign WHOLLY to the shard where their packed start lands.
+    * Returns (idCol, cost, shard). `costCol` must be non-negative. */
+  def shardByCost(df: DataFrame, idCol: String, costCol: String,
+                  budget: Long, nBuckets: Int = 256,
+                  salt: String = "graft"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val ord = ordKey(col(idCol), salt)
+    packCore(df, idCol, col(costCol), budget, ord, ord % nBuckets)
+      .select(col(idCol), col("n_tokens").as("cost"),
+        col("start_chunk").as("shard"))
+  }
 
   /** Write the corpus as token-budget shards: parquet partitioned by
     * `shard=`, one directory per ≈`budget`-token shard. The corpus

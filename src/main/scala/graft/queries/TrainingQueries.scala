@@ -3892,6 +3892,45 @@ object TrainingQueries {
         SELECT doc_id, n_tokens, CAST(prev // 5000 AS BIGINT) AS shard
         FROM w ORDER BY doc_id""")),
 
+    // Interleaved-multimodal shard assignment (r17): vision-language
+    // documents cost text tokens PLUS 576 context tokens per image
+    // (the 336² ViT-L/14 patch count — LLaVA's convention), so the
+    // shard writer budgets on the SUMMED cost; n_images synthesized
+    // did%4 (image-free docs exist). Same deterministic hash-order
+    // two-pass prefix sum as q_shard_tokens; the oracle replays the
+    // cost formula, the global prefix sum, and the integer DIV.
+    Q("q_mm_shards",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            (col("doc_id") % 4).as("n_images"))
+          .withColumn("cost",
+            graft.functions.TextAnalysis.tokenCount(col("text"))
+              .cast("long") + col("n_images") * 576L)
+        graft.operators.Packing.shardByCost(docs, "doc_id", "cost",
+            budget = 8000L)
+          .join(docs.select(col("doc_id"), col("n_images")), "doc_id")
+          .select(col("doc_id"), col("n_images"), col("cost"),
+            col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, doc_id % 4 AS n_images,
+            CAST(len(${toksSql("text")}) + (doc_id % 4) * 576
+              AS BIGINT) AS cost,
+            ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")} AS ord
+          FROM documents),
+        w AS (
+          SELECT doc_id, n_images, cost,
+            CAST(COALESCE(SUM(cost) OVER (
+              ORDER BY ord % 256, ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev
+          FROM t)
+        SELECT doc_id, n_images, cost,
+          CAST(prev // 8000 AS BIGINT) AS shard
+        FROM w ORDER BY doc_id""")),
+
     // TOKEN-budget source mixing — pretraining mixes are specified in
     // per-source token budgets ("30B of web, 5B of code"), not row
     // fractions: each source keeps the deterministic hash-order prefix
