@@ -153,4 +153,43 @@ object Classifier {
     ct.unpersist(false)
     result
   }
+
+  /** CLASSIFIER EVALUATION report — the confusion-derived per-class
+    * metrics a quality/routing classifier is judged by before its
+    * threshold gates a corpus (the fastText-router workflow: train →
+    * EVALUATE → deploy): per class label — gold and predicted support,
+    * tp/fp/fn, precision, recall, F1 (6 dp; null when the denominator
+    * is 0, no epsilon; F1 via the equivalent 2·tp/(n_pred+n_gold) so
+    * no null-chaining through p and r). Labels appearing only in gold
+    * or only in predictions still get a row (full outer on the label —
+    * a classifier that invents a class, or never predicts one, must
+    * show). Two keyed aggs + one label-sized join; no corpus text past
+    * the first projection. */
+  def evalReport(df: DataFrame, predCol: String, goldCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val byGold = df.groupBy(col(goldCol).as("label"))
+      .agg(count(lit(1)).as("n_gold"),
+        sum((col(predCol) <=> col(goldCol)).cast("long")).as("tp"))
+    val byPred = df.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byGold.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_gold") - col("tp"))
+      .withColumn("precision",
+        when(col("n_pred") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") / col("n_pred"), 6)))
+      .withColumn("recall",
+        when(col("n_gold") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") / col("n_gold"), 6)))
+      .withColumn("f1",
+        when(col("n_pred") + col("n_gold") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (col("n_pred") + col("n_gold")), 6)))
+  }
 }

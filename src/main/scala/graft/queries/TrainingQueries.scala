@@ -907,6 +907,57 @@ object TrainingQueries {
             $best AS best FROM documents)"""
       }),
 
+    // Classifier evaluation report (r17): the language-ID heuristic
+    // evaluated against the corpus's gold lang labels — per class:
+    // supports, tp/fp/fn, precision/recall/F1 (F1 via 2tp/(np+ng), no
+    // null-chaining). 'und' predictions give a predicted-only class
+    // (recall null); the oracle replays the langid predictor AND the
+    // full-outer confusion math.
+    Q("q_classifier_eval",
+      (s, d) => graft.operators.Classifier.evalReport(
+          Tables.documents(s, d).select(
+            TA.langId(col("text")).as("pred"), col("lang")),
+          "pred", "lang")
+        .orderBy(col("label")),
+      Some {
+        val langs = TA.stopwords.keys.toSeq.sorted
+        def scoreSql(l: String) = {
+          val list = TA.stopwords(l).map(w => s"'$w'")
+            .mkString("[", ",", "]")
+          s"""(CAST(len(list_filter(tk, t -> list_contains($list, t)))
+              AS DOUBLE) / CAST(GREATEST(len(tk), 1) AS DOUBLE))"""
+        }
+        val best = s"GREATEST(${langs.map(scoreSql).mkString(", ")})"
+        val caseExpr = langs.reverse.foldLeft("'und'") { (acc, l) =>
+          s"CASE WHEN ${scoreSql(l)} = best AND best > 0.0 " +
+            s"THEN '$l' ELSE $acc END"
+        }
+        s"""WITH pr AS (SELECT $caseExpr AS p, lang AS g
+          FROM (SELECT lang, ${toksSql("text")} AS tk,
+            $best AS best FROM documents)),
+        bg AS (SELECT g AS label, COUNT(*) AS n_gold,
+            SUM(CASE WHEN p = g THEN 1 ELSE 0 END) AS tp
+          FROM pr GROUP BY 1),
+        bp AS (SELECT p AS label, COUNT(*) AS n_pred
+          FROM pr GROUP BY 1),
+        j AS (SELECT COALESCE(bg.label, bp.label) AS label,
+            CAST(COALESCE(n_gold, 0) AS BIGINT) AS n_gold,
+            CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+            CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+          FROM bg FULL OUTER JOIN bp ON bg.label = bp.label)
+        SELECT label, n_gold, n_pred, tp,
+          CAST(n_pred - tp AS BIGINT) AS fp,
+          CAST(n_gold - tp AS BIGINT) AS fn,
+          CASE WHEN n_pred = 0 THEN NULL
+            ELSE ROUND(CAST(tp AS DOUBLE) / n_pred, 6) END
+            AS precision,
+          CASE WHEN n_gold = 0 THEN NULL
+            ELSE ROUND(CAST(tp AS DOUBLE) / n_gold, 6) END AS recall,
+          CASE WHEN n_pred + n_gold = 0 THEN NULL
+            ELSE ROUND(2.0 * tp / (n_pred + n_gold), 6) END AS f1
+        FROM j ORDER BY label"""
+      }),
+
     // document fingerprint (min-hash of 5-shingles — rolling-hash sketch)
     Q("q_text_fingerprint",
       (s, d) => Tables.documents(s, d).select(
