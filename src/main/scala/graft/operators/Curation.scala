@@ -192,4 +192,59 @@ object Curation {
     val scored = LmQuality.lmScore(gated, textCol, idCol)
     scored.filter(col("n_bigrams") === 0 || col("xent") <= maxXent)
   }
+
+  // ---- corpus drift monitoring (r17) -------------------------------
+
+  /** 1e6-scaled ln of a probability, rounded from its 6-dp round —
+    * the [[Classifier]]/[[LmQuality]] exact-integer idiom: every
+    * per-token ln rides as a long so SUMS are order-free and
+    * engine-exact. */
+  private def u6(x: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    round(round(log(x), 6) * 1e6).cast("long")
+
+  /** Per-token DRIFT TERMS between two corpus snapshots — the
+    * continuous-ingest monitoring step ("did this week's crawl change
+    * the token distribution?"): add-one-smoothed unigram distributions
+    * over the UNION vocabulary, and per token the exact-integer
+    * KL(A‖B) numerator `term_u = (c_a + 1) · (ln p_a − ln p_b)` with
+    * both lns as 1e6-scaled longs — so [[unigramDrift]]'s sum is
+    * order-free and the biggest |term_u| rows ARE the drift report's
+    * "what changed" list (take with TakeOrderedAndProject, never a
+    * global sort). Two token-count aggs + one full-outer token join;
+    * the three scalars (N_a, N_b, |V|) are one bounded driver agg. */
+  def unigramDriftTerms(a: DataFrame, b: DataFrame, textCol: String)
+  : DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(TA.tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    // materialize the count join ONCE: the scalar agg below and every
+    // downstream consumer (terms, report, top-k) read the same blocks
+    val joined = Checkpoints.eager(
+      counts(a, "c_a").join(counts(b, "c_b"), Seq("token"),
+          "full_outer")
+        .select(col("token"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+          coalesce(col("c_b"), lit(0L)).as("c_b")))
+    val Array(sc) = joined.agg(sum(col("c_a")), sum(col("c_b")),
+      count(lit(1))).collect()
+    val (na, nb, v) = (sc.getLong(0), sc.getLong(1), sc.getLong(2))
+    val pa = (col("c_a") + 1).cast("double") / lit((na + v).toDouble)
+    val pb = (col("c_b") + 1).cast("double") / lit((nb + v).toDouble)
+    joined.withColumn("term_u", (col("c_a") + 1) * (u6(pa) - u6(pb)))
+  }
+
+  /** The drift REPORT row: token totals, union vocabulary size, the
+    * exact-integer KL numerator sum, and KL(A‖B) in nats (6 dp) —
+    * ≈0 when the snapshots share a distribution, growing as sources
+    * shift. One agg over [[unigramDriftTerms]]; the normalizer
+    * (N_a + |V|) comes from the same aggregate row, no extra pass. */
+  def unigramDrift(a: DataFrame, b: DataFrame, textCol: String)
+  : DataFrame =
+    unigramDriftTerms(a, b, textCol)
+      .agg(sum(col("c_a")).cast("long").as("n_a"),
+        sum(col("c_b")).cast("long").as("n_b"),
+        count(lit(1)).as("v_union"),
+        sum(col("term_u")).cast("long").as("kl_u"))
+      .withColumn("kl", round(col("kl_u").cast("double") /
+        ((col("n_a") + col("v_union")).cast("double") * 1e6), 6))
 }

@@ -6103,6 +6103,89 @@ object TrainingQueries {
         FROM pb GROUP BY w1, w2
         ORDER BY cnt DESC, w1, w2 LIMIT 100""")),
 
+    // Unigram-distribution DRIFT between two corpus snapshots (r17 —
+    // continuous-ingest monitoring: "did this week's crawl change the
+    // token distribution?"): add-one-smoothed unigram KL(A‖B) over the
+    // union vocabulary, every per-token ln a 1e6-scaled long (the
+    // Classifier/LmQuality exact-integer idiom) so the numerator sum
+    // is order-free and bit-checked; snapshots = even/odd doc ids.
+    Q("q_unigram_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Curation.unigramDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text")
+      },
+      Some {
+        def u6(x: String) =
+          s"CAST(ROUND(ROUND(LN($x), 6) * 1e6) AS BIGINT)"
+        s"""WITH ca AS (SELECT token, COUNT(*) AS c_a FROM (
+            SELECT unnest(${toksSql("text")}) AS token FROM documents
+            WHERE doc_id % 2 = 0) GROUP BY 1),
+          cb AS (SELECT token, COUNT(*) AS c_b FROM (
+            SELECT unnest(${toksSql("text")}) AS token FROM documents
+            WHERE doc_id % 2 = 1) GROUP BY 1),
+          j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+              COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+            FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+          sc AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+              CAST(SUM(c_b) AS BIGINT) AS nb,
+              CAST(COUNT(*) AS BIGINT) AS v FROM j),
+          tm AS (SELECT c_a, c_b,
+              (c_a + 1) * (
+                ${u6("CAST(c_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)")}
+                - ${u6("CAST(c_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)")})
+              AS term_u
+            FROM j CROSS JOIN sc)
+          SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+            CAST(SUM(c_b) AS BIGINT) AS n_b,
+            CAST(COUNT(*) AS BIGINT) AS v_union,
+            CAST(SUM(term_u) AS BIGINT) AS kl_u,
+            ROUND(CAST(SUM(term_u) AS DOUBLE) /
+              (CAST(SUM(c_a) + COUNT(*) AS DOUBLE) * 1e6), 6) AS kl
+          FROM tm"""
+      }),
+
+    // The drift report's "what changed" list: top 10 tokens by
+    // |exact KL term| — TakeOrderedAndProject over the same terms
+    // frame, never a global sort.
+    Q("q_drift_tokens",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Curation.unigramDriftTerms(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1), "text")
+          .orderBy(abs(col("term_u")).desc, col("token"))
+          .limit(10)
+      },
+      Some {
+        def u6(x: String) =
+          s"CAST(ROUND(ROUND(LN($x), 6) * 1e6) AS BIGINT)"
+        s"""WITH ca AS (SELECT token, COUNT(*) AS c_a FROM (
+            SELECT unnest(${toksSql("text")}) AS token FROM documents
+            WHERE doc_id % 2 = 0) GROUP BY 1),
+          cb AS (SELECT token, COUNT(*) AS c_b FROM (
+            SELECT unnest(${toksSql("text")}) AS token FROM documents
+            WHERE doc_id % 2 = 1) GROUP BY 1),
+          j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+              COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+            FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+          sc AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+              CAST(SUM(c_b) AS BIGINT) AS nb,
+              CAST(COUNT(*) AS BIGINT) AS v FROM j)
+          SELECT token, c_a, c_b,
+            (c_a + 1) * (
+              ${u6("CAST(c_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)")}
+              - ${u6("CAST(c_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)")})
+            AS term_u
+          FROM j CROSS JOIN sc
+          ORDER BY abs((c_a + 1) * (
+              ${u6("CAST(c_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)")}
+              - ${u6("CAST(c_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)")}))
+            DESC, token
+          LIMIT 10"""
+      }),
+
     // Bigram LM cross-entropy (CCNet-style quality filter): self-trained
     // add-1 bigram model, per-doc −mean ln p. Each bigram's ln rides as a
     // 1e6-scaled long so the per-doc sum is integer-exact and order-free;

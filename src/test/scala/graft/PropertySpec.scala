@@ -544,6 +544,27 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("unigramDrift: KL(A||A) is exactly zero, a vocabulary shift " +
+      "moves it positive, and the top drift term names the new token") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Curation
+    val a = (1L to 40L).map(i => (i, s"alpha beta gamma w${i % 5}"))
+      .toDF("doc_id", "text")
+    val same = Curation.unigramDrift(a, a, "text").collect()(0)
+    assert(same.getAs[Long]("kl_u") == 0L &&
+      same.getAs[Double]("kl") == 0.0)
+    val b = (1L to 40L).map(i => (i, s"alpha beta NOVEL w${i % 5}"))
+      .toDF("doc_id", "text")
+    val drift = Curation.unigramDrift(a, b, "text").collect()(0)
+    assert(drift.getAs[Double]("kl") > 0.0)
+    val top = Curation.unigramDriftTerms(a, b, "text")
+      .orderBy(abs(col("term_u")).desc, col("token")).limit(2)
+      .collect().map(_.getString(0)).toSet
+    // the tokens that flipped between the snapshots dominate
+    assert(top == Set("gamma", "novel"))
+  }
+
   test("fimTransform: PSM parts reassemble to the original document, " +
       "selection is the hash gate, rate 0/1 edges, empty/null text") {
     val s = spark
