@@ -131,7 +131,8 @@ object Bench {
     "q_chat_tools", "q_sft_tool_windows", "q_incontext_ivf",
     "q_vocab_fertility", "q_chat_tool_fit", "q_tool_stats",
     "q_dpo_audit", "q_tool_args", "q_fim", "q_mm_shards",
-    "q_classifier_eval", "q_unigram_drift", "q_drift_tokens")
+    "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
+    "q_doremi")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted

@@ -349,6 +349,63 @@ object Sampling {
         col("target_tokens") - col("tokens_realized"))
   }
 
+  /** DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023 "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+    * the data-side analog of the paper's Group-DRO proxy run: domains
+    * where the proxy model's loss exceeds the reference model's
+    * ("excess loss" — the signal that more of that domain would help)
+    * receive multiplicatively increased mixture weight over `rounds`
+    * exponentiated-gradient updates, each smoothed toward uniform:
+    *
+    *   w ← (1 − c) · normalize(w · exp(η · λ)) + c/k,   w₀ = 1/k
+    *
+    * with λ_d = max(0, mean(proxy) − mean(ref)) per domain (6-dp
+    * rounded from exact decimal sums — order-free). The per-domain
+    * loop runs on the DRIVER over the |domains|-sized aggregate (the
+    * [[epochPlan]] idiom); normalization sums run in SORTED domain
+    * order so the oracle's running-sum replay is IEEE-identical, and
+    * exp() shares [[mixByTemperature]]'s pow() cross-engine
+    * justification (a boundary flip needs an exp ulp within 5e-7 of a
+    * 6-dp edge). Returns (domain, n_docs, excess, weight) with weight
+    * rounded 6 dp; feed the weights to [[epochPlan]] /
+    * [[takeTokenBudget]] as the mixture. */
+  def doremiWeights(scored: DataFrame, domainCol: String,
+                    proxyLossCol: String, refLossCol: String,
+                    eta: Double = 1.0, rounds: Int = 3,
+                    smoothing: Double = 0.01): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing $smoothing not in [0,1)")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val per = scored
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(proxyLossCol).cast(d6)).as("__sp"),
+        sum(col(refLossCol).cast(d6)).as("__sr"))
+      .withColumn("excess", greatest(lit(0.0),
+        round((col("__sp") - col("__sr")).cast("double") /
+          col("n_docs"), 6)))
+      .select(col("domain"), col("n_docs"), col("excess"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val k = per.length
+    require(k > 0, "no domains")
+    var w = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to rounds) {
+      val wp = Array.tabulate(k)(i => w(i) * math.exp(eta * per(i)._3))
+      var tot = 0.0 // sequential adds in sorted-domain order — the
+      wp.foreach(tot += _) // oracle's running-sum replay
+      w = wp.map(x => (1 - smoothing) * (x / tot) + smoothing / k)
+    }
+    per.zip(w).toSeq.map { case ((d, n, e), wt) =>
+      (d, n, e, BigDecimal(wt)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("domain", "n_docs", "excess", "weight")
+  }
+
   /** Leakage-safe split: near-duplicate CLUSTERS move as a unit, so no
     * eval document has a near-dup of itself in train — the published
     * train/test-contamination failure of splitting after (or without)

@@ -6103,6 +6103,55 @@ object TrainingQueries {
         FROM pb GROUP BY w1, w2
         ORDER BY cnt DESC, w1, w2 LIMIT 100""")),
 
+    // DoReMi domain reweighting (r17 — Xie et al. 2023): per-domain
+    // excess loss (proxy − reference, clamped at 0, 6dp from exact
+    // decimal sums) drives 3 exponentiated-gradient rounds with
+    // uniform smoothing; per-doc losses synthesized as exact binary
+    // QUARTERS ((id·7)%16/4, (id·3)%16/4) so the decimal sums are
+    // lossless on both engines. The oracle unrolls all three update
+    // rounds with the SAME ordered running normalization sum the
+    // driver loop uses (sorted-domain sequential adds ≡ the window
+    // running sum's last row) and the same (1.0 − 0.01) expression —
+    // never the 0.99 literal, whose parse could differ by an ulp.
+    Q("q_doremi",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("source"),
+          (((col("doc_id") * 7) % 16).cast("double") / 4.0).as("p"),
+          (((col("doc_id") * 3) % 16).cast("double") / 4.0).as("r"))
+        graft.operators.Sampling.doremiWeights(docs, "source",
+            "p", "r", eta = 1.0, rounds = 3, smoothing = 0.01)
+          .orderBy(col("domain"))
+      },
+      Some {
+        def upd(i: Int): String = {
+          val prev = s"dr${i - 1}"
+          s"""da$i AS (SELECT *, w * exp(1.0 * excess) AS wp
+              FROM $prev),
+            db$i AS (SELECT *, SUM(wp) OVER (ORDER BY domain
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM da$i),
+            dr$i AS (SELECT domain, n_docs, excess,
+              (1.0 - 0.01) * wp / MAX(cum) OVER ()
+                + 0.01 / (COUNT(*) OVER ()) AS w
+              FROM db$i)"""
+        }
+        s"""WITH dsc AS (SELECT source AS domain,
+            CAST((doc_id * 7) % 16 AS DOUBLE) / 4.0 AS p,
+            CAST((doc_id * 3) % 16 AS DOUBLE) / 4.0 AS r
+          FROM documents),
+        dper AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            GREATEST(0.0, ROUND(CAST(
+              SUM(CAST(p AS DECIMAL(18,6)))
+              - SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(*), 6)) AS excess
+          FROM dsc GROUP BY 1),
+        dr0 AS (SELECT domain, n_docs, excess,
+          1.0 / (SELECT COUNT(*) FROM dper) AS w FROM dper),
+        ${upd(1)}, ${upd(2)}, ${upd(3)}
+        SELECT domain, n_docs, excess, ROUND(w, 6) AS weight
+        FROM dr3 ORDER BY domain"""
+      }),
+
     // Unigram-distribution DRIFT between two corpus snapshots (r17 —
     // continuous-ingest monitoring: "did this week's crawl change the
     // token distribution?"): add-one-smoothed unigram KL(A‖B) over the

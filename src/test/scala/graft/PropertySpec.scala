@@ -544,6 +544,42 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("doremiWeights: zero excess everywhere stays uniform; the " +
+      "high-excess domain's weight grows with rounds; weights sum ~1; " +
+      "negative excess clamps to 0") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    // proxy == ref everywhere → uniform 1/4
+    val flat = (1L to 80L).map(i =>
+      (s"d${i % 4}", 2.5, 2.5)).toDF("dom", "p", "r")
+    Sampling.doremiWeights(flat, "dom", "p", "r").collect().foreach {
+      rr => assert(rr.getAs[Double]("weight") == 0.25 &&
+        rr.getAs[Double]("excess") == 0.0)
+    }
+    // d0 has excess 1.0, d1 NEGATIVE excess (clamps to 0), d2/d3 flat
+    val hot = (1L to 80L).map { i =>
+      val dom = s"d${i % 4}"
+      val (p, r) = dom match {
+        case "d0" => (3.5, 2.5)
+        case "d1" => (1.5, 2.5)
+        case _ => (2.5, 2.5)
+      }
+      (dom, p, r)
+    }.toDF("dom", "p", "r")
+    def wOf(rounds: Int): Map[String, Double] =
+      Sampling.doremiWeights(hot, "dom", "p", "r", rounds = rounds)
+        .collect().map(rr => rr.getString(0) ->
+          rr.getAs[Double]("weight")).toMap
+    val w1 = wOf(1); val w3 = wOf(3)
+    assert(w1("d0") > w1("d1") && w3("d0") > w1("d0"))
+    assert(w1("d1") == w1("d2") && w1("d2") == w1("d3")) // clamped ≡ flat
+    assert(math.abs(w3.values.sum - 1.0) < 1e-5)
+    val ex = Sampling.doremiWeights(hot, "dom", "p", "r").collect()
+      .map(rr => rr.getString(0) -> rr.getAs[Double]("excess")).toMap
+    assert(ex("d1") == 0.0 && ex("d0") == 1.0)
+  }
+
   test("unigramDrift: KL(A||A) is exactly zero, a vocabulary shift " +
       "moves it positive, and the top drift term names the new token") {
     val s = spark
