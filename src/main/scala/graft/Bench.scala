@@ -132,7 +132,7 @@ object Bench {
     "q_vocab_fertility", "q_chat_tool_fit", "q_tool_stats",
     "q_dpo_audit", "q_tool_args", "q_fim", "q_mm_shards",
     "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
-    "q_doremi")
+    "q_doremi", "q_attrition", "q_dedup_soft")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -160,6 +160,9 @@ object Bench {
     "q_code_signals" -> Set("ArrayTransform"),
     "q_cooc_counts" -> Set("ZipWith"),
     "q_curate" -> Set("ArrayFilter", "ArrayTransform"),
+    // the attrition funnel aggregates the SAME annotate verdict
+    // projection as q_curate
+    "q_attrition" -> Set("ArrayFilter", "ArrayTransform"),
     "q_curate_badwords" -> Set("ArrayTransform"),
     "q_dedup_incr_near" -> Set("ArrayFilter", "ZipWith"),
     // near-dup eval contamination: the minhash signature pipeline +

@@ -193,6 +193,33 @@ object Curation {
     scored.filter(col("n_bigrams") === 0 || col("xent") <= maxXent)
   }
 
+  /** CURATION ATTRITION funnel — the data-card table every released
+    * corpus publishes ("started with N; language kept X; length kept
+    * Y; …"): the SEQUENTIAL survivor counts through [[annotate]]'s
+    * stack in its declared order, plus each filter's SOLO rejection
+    * count (how much work each filter does regardless of order — the
+    * gap between solo drops and funnel steps is the overlap). One
+    * aggregate over the verdict projection; `keep_rate` 6 dp. */
+  def attrition(df: DataFrame, textCol: String, cfg: Config)
+  : DataFrame = {
+    val a = annotate(df, textCol, cfg)
+    val langC = col("lang_ok")
+    val lenC = langC && col("len_ok")
+    val repC = lenC && col("rep_ok")
+    val qualC = repC && col("qual_ok")
+    a.agg(count(lit(1)).as("n_total"),
+        sum(langC.cast("long")).as("after_lang"),
+        sum(lenC.cast("long")).as("after_len"),
+        sum(repC.cast("long")).as("after_rep"),
+        sum(qualC.cast("long")).as("n_kept"),
+        sum((!col("lang_ok")).cast("long")).as("drop_lang"),
+        sum((!col("len_ok")).cast("long")).as("drop_len"),
+        sum((!col("rep_ok")).cast("long")).as("drop_rep"),
+        sum((!col("qual_ok")).cast("long")).as("drop_qual"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 6))
+  }
+
   // ---- corpus drift monitoring (r17) -------------------------------
 
   /** 1e6-scaled ln of a probability, rounded from its 6-dp round —

@@ -372,6 +372,28 @@ object Dedup {
     * edge per (u, larger-neighbor), small-star ≤ one per (u, smaller-
     * neighbor ∪ self). Rounds checkpoint and release like the
     * label-prop loop. */
+  /** SOFT dedup — down-WEIGHT near-duplicate clusters instead of
+    * dropping members: every duplicate cluster's aggregate sampling
+    * mass equals one document's (weight = 1/cluster_size; singletons
+    * 1.0), so popular content is neither over-trained (the classic
+    * duplication harm) nor erased outright (keep-one loses the
+    * cluster's best-formatted variant by arbitrary tie-break). Feed
+    * the weights to [[graft.operators.Sampling.sampleByWeight]].
+    * Per document: (idCol, cluster_size, weight 6 dp). One
+    * [[clusters]] pass + one label-count agg + two id-keyed joins —
+    * ids only, text never shuffles. */
+  def softWeights(docs: DataFrame, pairs: DataFrame, idCol: String)
+  : DataFrame = {
+    val lbl = clusters(pairs).select(col("id").as(idCol), col("label"))
+    val sizes = lbl.groupBy(col("label")).agg(count(lit(1)).as("__cs"))
+    docs.select(col(idCol))
+      .join(lbl.join(sizes, "label"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cs"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("__cs"), lit(1L)), 6)
+          .as("weight"))
+  }
+
   def clustersStars(pairs: DataFrame, idA: String = "id_a",
                     idB: String = "id_b", maxIter: Int = 50): DataFrame =
     cached(pairs, s"clustersStars:$idA:$idB") {

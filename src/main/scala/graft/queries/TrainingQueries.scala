@@ -4093,6 +4093,54 @@ object TrainingQueries {
           ORDER BY doc_id"""
       }),
 
+    // SOFT dedup (r17): near-dup clusters down-weight to aggregate
+    // mass 1 instead of dropping members — per document the cluster
+    // size and 1/size sampling weight (singletons 1.0). The oracle
+    // replays the full minhash→LSH→components chain plus the size
+    // count and the weight division.
+    Q("q_dedup_soft",
+      (s, d) => {
+        val corpus = dupCorpus(Tables.documents(s, d))
+        Dedup.softWeights(corpus,
+            Dedup.minHashPairs(corpus, "text", "doc_id", 3, 4, 2),
+            "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key
+              AND a.doc_id < e.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach
+            JOIN edges e ON e.src = reach.id),
+          cl AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+          cs AS (SELECT label, COUNT(*) AS csize FROM cl
+            GROUP BY label)
+          SELECT c.doc_id,
+            CAST(COALESCE(cs.csize, 1) AS BIGINT) AS cluster_size,
+            ROUND(CAST(1 AS DOUBLE) / COALESCE(cs.csize, 1), 6)
+              AS weight
+          FROM corpus c
+          LEFT JOIN cl ON cl.id = c.doc_id
+          LEFT JOIN cs ON cs.label = cl.label
+          ORDER BY c.doc_id"""
+      }),
+
     // Same components via the alternating large-star/small-star edge
     // rewrite (Kiveris et al.) — the O(log n)-round plan of record for
     // 100 TB pair graphs; gated against the SAME recursive-CTE oracle so
@@ -7653,6 +7701,77 @@ object TrainingQueries {
               x -> x != '') AS segs
             FROM documents))
         ORDER BY doc_id"""
+      }),
+
+    // Curation ATTRITION funnel (r17 — the data-card table a released
+    // corpus publishes): sequential survivor counts through the
+    // annotate stack in declared order plus each filter's solo drop
+    // count. Same config as q_curate; the oracle recomputes every
+    // verdict from scratch (the q_curate replay) and re-aggregates.
+    Q("q_attrition",
+      (s, d) => {
+        val cfg = graft.operators.Curation.Config(
+          allowedLangs = Set("en"), minTokens = 12, maxTokens = 1000,
+          maxDupLineFrac = 0.5, minQuality = 0.6, segmentDelim = " ")
+        graft.operators.Curation.attrition(Tables.documents(s, d),
+          "text", cfg)
+      },
+      Some {
+        val langs = TA.stopwords.keys.toSeq.sorted
+        def scoreSql(l: String) = {
+          val list = TA.stopwords(l).map(w => s"'$w'")
+            .mkString("[", ",", "]")
+          s"""(CAST(len(list_filter(tk, t -> list_contains($list, t)))
+              AS DOUBLE) / CAST(GREATEST(len(tk), 1) AS DOUBLE))"""
+        }
+        val best = s"GREATEST(${langs.map(scoreSql).mkString(", ")})"
+        val langPred = langs.reverse.foldLeft("'und'") { (acc, l) =>
+          s"CASE WHEN ${scoreSql(l)} = best AND best > 0.0 " +
+            s"THEN '$l' ELSE $acc END"
+        }
+        s"""WITH cfl AS (SELECT doc_id,
+          ($langPred) IN ('en') AS lang_ok,
+          len(tk) BETWEEN 12 AND 1000 AS len_ok,
+          round(CASE WHEN len(segs) > 0 THEN
+              1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / len(segs)
+              ELSE 0.0 END, 6) <= 0.5 AS rep_ok,
+          round(
+            (CASE WHEN len(tk) < 5 THEN 0.2 WHEN len(tk) > 1000 THEN 0.5
+                  ELSE 1.0 END) * 0.4 +
+            (CASE WHEN mean_word >= 3.0 AND mean_word <= 10.0 THEN 1.0
+                  ELSE 0.4 END) * 0.3 +
+            alpha_ratio * 0.3, 4) >= 0.6 AS qual_ok
+        FROM (SELECT doc_id, tk, segs, $best AS best,
+            CAST(length(text) AS DOUBLE) /
+              GREATEST(CAST(len(tk) AS DOUBLE), 1.0) AS mean_word,
+            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              AS DOUBLE) /
+              GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio
+          FROM (SELECT doc_id, text, ${toksSql("text")} AS tk,
+            list_filter([trim(x) for x in string_split(text, ' ')],
+              x -> x != '') AS segs
+            FROM documents)))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+          CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS after_lang,
+          CAST(SUM(CASE WHEN lang_ok AND len_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS after_len,
+          CAST(SUM(CASE WHEN lang_ok AND len_ok AND rep_ok
+            THEN 1 ELSE 0 END) AS BIGINT) AS after_rep,
+          CAST(SUM(CASE WHEN lang_ok AND len_ok AND rep_ok AND qual_ok
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS drop_lang,
+          CAST(SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS drop_len,
+          CAST(SUM(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS drop_rep,
+          CAST(SUM(CASE WHEN NOT qual_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS drop_qual,
+          ROUND(CAST(SUM(CASE WHEN lang_ok AND len_ok AND rep_ok
+              AND qual_ok THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+            AS keep_rate
+        FROM cfl"""
       }),
 
     // C4-style bad-word/phrase blocklist (Raffel 2020 §2.2 — drop any

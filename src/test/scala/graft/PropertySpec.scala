@@ -544,6 +544,21 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("softWeights: cluster mass sums to one per component, " +
+      "singletons weigh 1.0, ids only ride through") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = (1L to 10L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // components: {1,2,3}, {4,5}; 6..10 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.softWeights(docs, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, 0.333333)) && got(2L)._1 == 3L)
+    assert(got(4L) == ((2L, 0.5)) && got(5L) == ((2L, 0.5)))
+    (6L to 10L).foreach(i => assert(got(i) == ((1L, 1.0))))
+  }
+
   test("doremiWeights: zero excess everywhere stays uniform; the " +
       "high-excess domain's weight grows with rounds; weights sum ~1; " +
       "negative excess clamps to 0") {
