@@ -3352,6 +3352,92 @@ object TrainingQueries {
           CAST(COUNT(*) AS BIGINT) AS n_turns
         FROM vtr GROUP BY doc_id ORDER BY doc_id""")),
 
+    // STREAMING drift monitoring (r17): a live feed (odd doc ids, 4
+    // micro-batches in doc_id order) reports add-one-smoothed unigram
+    // KL(batch ‖ reference) per batch against the static even-id
+    // reference snapshot. Stateless sink; the oracle re-derives every
+    // batch's membership (row-number quartiles), per-batch union
+    // vocabulary, exact integer KL numerators, and the report rows.
+    Q("q_stream_drift",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val rows = docs.filter(col("doc_id") % 2 === 1)
+          .orderBy(col("doc_id")).as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val out = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row]()
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.driftSink(
+          mem.toDF().toDF("doc_id", "text"), "text", ref, "text") {
+            rep => out ++= rep.collect()
+          }.start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "n_a bigint, n_b bigint, v_union bigint, kl_u bigint, " +
+            "kl double, batch_id bigint")
+        s.createDataFrame(
+            new java.util.ArrayList(
+              scala.jdk.CollectionConverters
+                .BufferHasAsJava(out).asJava), schema)
+          .select(col("batch_id"), col("n_a"), col("n_b"),
+            col("v_union"), col("kl_u"), col("kl"))
+          .orderBy(col("batch_id"))
+      },
+      Some {
+        def u6(x: String) =
+          s"CAST(ROUND(ROUND(LN($x), 6) * 1e6) AS BIGINT)"
+        s"""WITH str AS (SELECT doc_id, text,
+            ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn,
+            COUNT(*) OVER () AS n
+          FROM documents WHERE doc_id % 2 = 1),
+        bat AS (SELECT doc_id, text,
+            rn // CAST(ceil(n / 4.0) AS BIGINT) AS batch_id FROM str),
+        sca AS (SELECT batch_id, token, COUNT(*) AS c_a FROM (
+            SELECT batch_id, unnest(${toksSql("text")}) AS token
+            FROM bat) GROUP BY 1, 2),
+        scb AS (SELECT token, COUNT(*) AS c_b FROM (
+            SELECT unnest(${toksSql("text")}) AS token FROM documents
+            WHERE doc_id % 2 = 0) GROUP BY 1),
+        sv AS (SELECT DISTINCT batch_id, token FROM (
+            SELECT batch_id, token FROM sca
+            UNION ALL
+            SELECT b.batch_id, scb.token
+            FROM (SELECT DISTINCT batch_id FROM bat) b
+            CROSS JOIN scb)),
+        sj AS (SELECT sv.batch_id, sv.token,
+            COALESCE(sca.c_a, 0) AS c_a, COALESCE(scb.c_b, 0) AS c_b
+          FROM sv
+          LEFT JOIN sca ON sca.batch_id = sv.batch_id
+            AND sca.token = sv.token
+          LEFT JOIN scb ON scb.token = sv.token),
+        ssc AS (SELECT batch_id, CAST(SUM(c_a) AS BIGINT) AS na,
+            CAST(SUM(c_b) AS BIGINT) AS nb,
+            CAST(COUNT(*) AS BIGINT) AS v
+          FROM sj GROUP BY 1),
+        stm AS (SELECT sj.batch_id, sj.c_a, sj.c_b,
+            (sj.c_a + 1) * (
+              ${u6("CAST(sj.c_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)")}
+              - ${u6("CAST(sj.c_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)")})
+            AS term_u
+          FROM sj JOIN ssc ON ssc.batch_id = sj.batch_id)
+        SELECT batch_id, CAST(SUM(c_a) AS BIGINT) AS n_a,
+          CAST(SUM(c_b) AS BIGINT) AS n_b,
+          CAST(COUNT(*) AS BIGINT) AS v_union,
+          CAST(SUM(term_u) AS BIGINT) AS kl_u,
+          ROUND(CAST(SUM(term_u) AS DOUBLE) /
+            (CAST(SUM(c_a) + COUNT(*) AS DOUBLE) * 1e6), 6) AS kl
+        FROM stm GROUP BY batch_id ORDER BY batch_id"""
+      }),
+
     // STREAMING decontamination (r16) — the prevention twin of the
     // measurement tiers: a live document feed drives 4 micro-batches
     // through decontamSink, and anything sharing a 5-shingle with the

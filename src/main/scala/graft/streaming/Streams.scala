@@ -518,6 +518,28 @@ object Streams {
     }
   }
 
+  /** Streaming DRIFT monitoring — the continuous twin of
+    * [[graft.operators.Curation.unigramDrift]]: each micro-batch of a
+    * live document feed reports KL(batch ‖ reference) against a STATIC
+    * reference snapshot (the distribution the current model was
+    * trained on), so a crawl whose token distribution shifts pages the
+    * pipeline instead of silently skewing the next epoch. Stateless —
+    * the reference re-broadcasts per batch and nothing accumulates;
+    * per batch O(batch tokens + reference vocabulary). The one-row
+    * report (with `batch_id`) passes to `handler`. */
+  def driftSink(docs: DataFrame, textCol: String,
+                reference: DataFrame, refTextCol: String)
+               (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Curation.unigramDrift(
+          batch.withColumnRenamed(textCol, "__t"),
+          reference.withColumnRenamed(refTextCol, "__t"), "__t")
+        .withColumn("batch_id", lit(batchId)))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+
   /** Streaming MANIFEST maintenance — continuous attestation for a
     * continuously-ingested corpus: each micro-batch appends its
     * partial shard manifest (counts, token sums, id ranges, additive
