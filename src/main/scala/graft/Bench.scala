@@ -132,7 +132,8 @@ object Bench {
     "q_vocab_fertility", "q_chat_tool_fit", "q_tool_stats",
     "q_dpo_audit", "q_tool_args", "q_fim", "q_mm_shards",
     "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
-    "q_doremi", "q_attrition", "q_dedup_soft")
+    "q_doremi", "q_attrition", "q_dedup_soft", "q_para_chunks",
+    "q_doremi_plan")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -163,6 +164,13 @@ object Bench {
     // the attrition funnel aggregates the SAME annotate verdict
     // projection as q_curate
     "q_attrition" -> Set("ArrayFilter", "ArrayTransform"),
+    // paragraph chunking: the greedy fold IS an aggregate HOF over the
+    // per-document paragraph array (document-sized by construction),
+    // plus the paragraph split/count transforms and the ordered
+    // chunk rebuild's ArraySort — the whitelisted small-array class
+    "q_para_chunks" ->
+      Set("ArrayAggregate", "ArrayFilter", "ArraySort",
+        "ArrayTransform"),
     "q_curate_badwords" -> Set("ArrayTransform"),
     "q_dedup_incr_near" -> Set("ArrayFilter", "ZipWith"),
     // near-dup eval contamination: the minhash signature pipeline +

@@ -174,6 +174,52 @@ object Packing {
           % lit(new java.math.BigDecimal(FingerprintP)))
           .cast("long").as("fingerprint"))
 
+  /** PARAGRAPH-boundary chunking — the RAG "semantic splitter" tier
+    * between [[slidingChunks]]' fixed windows and whole documents:
+    * greedy-fill paragraphs into ≤`budget`-token chunks WITHOUT ever
+    * splitting a paragraph (the retrieval unit stays coherent) — a
+    * chunk closes when the next paragraph would overflow it, and a
+    * single paragraph larger than the budget owns its own chunk.
+    * Whitespace-only paragraphs drop ([[Dedup.paragraphDedup]]'s
+    * convention). The greedy fold runs INSIDE one row as an
+    * `aggregate` HOF over the per-document paragraph array — arrays
+    * are document-sized, there is no flatMapGroups and no shuffle
+    * before the rebuild's keyed agg. Emits one row per chunk:
+    * (idCol, chunk_idx, chunk, n_paras, n_tokens). */
+  def paragraphChunks(df: DataFrame, idCol: String, textCol: String,
+                      budget: Long, sep: String = "\n"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val rawParas = split(col(textCol),
+      java.util.regex.Pattern.quote(sep), -1)
+    val paras = filter(rawParas, p => length(trim(p)) > 0)
+    val st0 = struct(lit(0).cast("int").as("c"), lit(0L).as("t"),
+      array().cast("array<int>").as("a"))
+    val folded = aggregate(col("__tc"), st0, (st, t) => {
+      val roll = st("t") > lit(0L) && st("t") + t > lit(budget)
+      val nc = when(roll, st("c") + 1).otherwise(st("c")).cast("int")
+      struct(nc.as("c"),
+        when(roll, t).otherwise(st("t") + t).as("t"),
+        concat(st("a"), array(nc)).as("a"))
+    })
+    df.select(col(idCol), paras.as("__paras"))
+      .withColumn("__tc",
+        transform(col("__paras"), p => size(TA.tokens(p)).cast("long")))
+      .withColumn("__asg", folded("a"))
+      .select(col(idCol), posexplode(
+        arrays_zip(col("__paras"), col("__tc"), col("__asg")))
+        .as(Seq("__pi", "__z")))
+      .select(col(idCol), col("__pi"),
+        col("__z")("__paras").as("__p"),
+        col("__z")("__tc").as("__t"),
+        col("__z")("__asg").cast("long").as("chunk_idx"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(concat_ws(sep, array_sort(collect_list(
+          struct(col("__pi"), col("__p")))).getField("__p"))
+          .as("chunk"),
+        count(lit(1)).as("n_paras"),
+        sum(col("__t")).as("n_tokens"))
+  }
+
   /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022 "Efficient
     * Training of Language Models to Fill in the Middle"): a
     * hash-selected `rate` of documents re-serialize as

@@ -3950,6 +3950,66 @@ object TrainingQueries {
         ORDER BY vec_id"""
       }),
 
+    // Paragraph-boundary chunking (r17 — the RAG semantic splitter):
+    // 4-token synthesized lines greedy-fill into ≤10-token chunks
+    // without splitting a line; chunk 3 lines would be 12 > 10, so
+    // chunks hold 2 full lines with a short tail (and oversize final
+    // lines own their chunk). The oracle replays the greedy fold
+    // itself in a recursive CTE — every chunk boundary, rebuilt text,
+    // and token sum is bit-checked.
+    Q("q_para_chunks",
+      (s, d) => {
+        val toks = TA.tokens(col("text"))
+        val last = greatest(((size(toks) - 1) / 4).cast("int"), lit(0))
+        val lines = transform(sequence(lit(0), last),
+          i => array_join(slice(toks, i * 4 + 1, lit(4)), " "))
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          array_join(lines, "\n").as("text"))
+        graft.operators.Packing.paragraphChunks(docs, "doc_id",
+            "text", budget = 10L)
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH RECURSIVE ptk AS (
+          SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        plined AS (SELECT doc_id, array_to_string(list_transform(
+            generate_series(0, greatest((len(tk) - 1) // 4, 0)),
+            i -> array_to_string(tk[i*4+1:i*4+4], ' ')), chr(10))
+            AS text
+          FROM ptk),
+        psp AS (SELECT doc_id, i - 1 AS para_idx, parts[i] AS para
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+              unnest(generate_series(1,
+                len(string_split(text, chr(10))))) AS i
+            FROM plined)
+          WHERE trim(parts[i]) != ''),
+        pit AS (SELECT doc_id, para,
+            CAST(len(${toksSql("para")}) AS BIGINT) AS t,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY para_idx) AS i,
+            COUNT(*) OVER (PARTITION BY doc_id) AS n
+          FROM psp),
+        pst AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS i,
+            CAST(NULL AS VARCHAR) AS para, CAST(0 AS BIGINT) AS t,
+            CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS cur, n
+          FROM (SELECT DISTINCT doc_id, n FROM pit)
+          UNION ALL
+          SELECT it.doc_id, it.i, it.para, it.t,
+            CASE WHEN pst.cur > 0 AND pst.cur + it.t > 10
+              THEN pst.c + 1 ELSE pst.c END AS c,
+            CASE WHEN pst.cur > 0 AND pst.cur + it.t > 10
+              THEN it.t ELSE pst.cur + it.t END AS cur,
+            pst.n
+          FROM pst JOIN pit it
+            ON it.doc_id = pst.doc_id AND it.i = pst.i + 1
+          WHERE pst.i < pst.n)
+        SELECT doc_id, c AS chunk_idx,
+          string_agg(para, chr(10) ORDER BY i) AS chunk,
+          CAST(COUNT(*) AS BIGINT) AS n_paras,
+          CAST(SUM(t) AS BIGINT) AS n_tokens
+        FROM pst WHERE i > 0
+        GROUP BY doc_id, c ORDER BY doc_id, chunk_idx""")),
+
     // Fill-in-the-middle transform (r17 — Bavarian et al. 2022, the
     // code-model infilling objective): a hash-selected half of the
     // corpus re-serializes as PSM (<|fim_pre|>prefix<|fim_suf|>suffix
@@ -6284,6 +6344,80 @@ object TrainingQueries {
         ${upd(1)}, ${upd(2)}, ${upd(3)}
         SELECT domain, n_docs, excess, ROUND(w, 6) AS weight
         FROM dr3 ORDER BY domain"""
+      }),
+
+    // DoReMi → epoch-plan capstone (r17): the learned domain weights
+    // feed the data-constrained epoch planner directly — the full
+    // "measure excess loss → reweight → allocate the token budget"
+    // mixture pipeline in one gate. The oracle replays BOTH halves:
+    // the three exponentiated-gradient rounds and the exact-decimal
+    // budget/cap arithmetic over the same weights.
+    Q("q_doremi_plan",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.select(col("source"),
+          (((col("doc_id") * 7) % 16).cast("double") / 4.0).as("p"),
+          (((col("doc_id") * 3) % 16).cast("double") / 4.0).as("r"))
+        val w = graft.operators.Sampling.doremiWeights(scored,
+          "source", "p", "r", eta = 1.0, rounds = 3, smoothing = 0.01)
+        val per = docs.groupBy(col("source"))
+          .agg(sum(TA.tokenCount(col("text"))).cast("long")
+            .as("avail_tokens"))
+          .join(w.select(col("domain").as("source"), col("weight")),
+            "source")
+        graft.operators.Sampling.epochPlan(per, "source",
+            "avail_tokens", "weight", budget = 1000000L,
+            maxEpochs = new java.math.BigDecimal("4.0"))
+          .select(col("source"), col("avail_tokens"),
+            col("weight").cast("double").as("weight"),
+            col("target_tokens"), col("tokens_realized"),
+            col("epochs"), col("deficit"))
+          .orderBy(col("source"))
+      },
+      Some {
+        def upd(i: Int): String = {
+          val prev = s"pr${i - 1}"
+          s"""pa$i AS (SELECT *, w * exp(1.0 * excess) AS wp
+              FROM $prev),
+            pb$i AS (SELECT *, SUM(wp) OVER (ORDER BY domain
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM pa$i),
+            pr$i AS (SELECT domain, excess,
+              (1.0 - 0.01) * wp / MAX(cum) OVER ()
+                + 0.01 / (COUNT(*) OVER ()) AS w
+              FROM pb$i)"""
+        }
+        s"""WITH psc AS (SELECT source AS domain,
+            CAST((doc_id * 7) % 16 AS DOUBLE) / 4.0 AS p,
+            CAST((doc_id * 3) % 16 AS DOUBLE) / 4.0 AS r
+          FROM documents),
+        pper AS (SELECT domain,
+            GREATEST(0.0, ROUND(CAST(
+              SUM(CAST(p AS DECIMAL(18,6)))
+              - SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(*), 6)) AS excess
+          FROM psc GROUP BY 1),
+        pr0 AS (SELECT domain, excess,
+          1.0 / (SELECT COUNT(*) FROM pper) AS w FROM pper),
+        ${upd(1)}, ${upd(2)}, ${upd(3)},
+        pw AS (SELECT domain AS source, ROUND(w, 6) AS weight
+          FROM pr3),
+        pav AS (SELECT source,
+            CAST(SUM(len(${toksSql("text")})) AS BIGINT)
+              AS avail_tokens
+          FROM documents GROUP BY source),
+        pp AS (SELECT pav.source, avail_tokens, weight,
+            CAST(floor(CAST(weight AS DECIMAL(18,6)) * 1000000)
+              AS BIGINT) AS target_tokens,
+            CAST(floor(CAST(4.0 AS DECIMAL(18,6)) * avail_tokens)
+              AS BIGINT) AS cap_tokens
+          FROM pav JOIN pw ON pw.source = pav.source)
+        SELECT source, avail_tokens, weight, target_tokens,
+          LEAST(target_tokens, cap_tokens) AS tokens_realized,
+          ROUND(CAST(LEAST(target_tokens, cap_tokens) AS DOUBLE) /
+            avail_tokens, 6) AS epochs,
+          target_tokens - LEAST(target_tokens, cap_tokens) AS deficit
+        FROM pp ORDER BY source"""
       }),
 
     // Unigram-distribution DRIFT between two corpus snapshots (r17 —

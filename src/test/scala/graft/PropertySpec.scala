@@ -544,6 +544,33 @@ class PropertySpec extends SparkSpec {
     assert(manifest(mutated) != ref)
   }
 
+  test("paragraphChunks: greedy fill never splits a paragraph, " +
+      "oversize paragraphs own a chunk, whitespace-only paragraphs " +
+      "drop, rebuilt chunks cover the document in order") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val text = Seq(
+      "one two three", // 3 tokens
+      "four five", // 2 → chunk0 = 5 tokens
+      "six seven eight", // 3 → 5+3=8 > 6 → chunk1
+      "   ", // whitespace: drops
+      "w1 w2 w3 w4 w5 w6 w7 w8", // 8 > budget → own chunk2
+      "tail" // chunk3
+    ).mkString("\n")
+    val got = Packing.paragraphChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        budget = 6L)
+      .orderBy(col("chunk_idx")).collect()
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[String]("chunk"),
+        r.getAs[Long]("n_paras"), r.getAs[Long]("n_tokens")))
+    assert(got.toSeq == Seq(
+      (0L, "one two three\nfour five", 2L, 5L),
+      (1L, "six seven eight", 1L, 3L),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8", 1L, 8L),
+      (3L, "tail", 1L, 1L)))
+  }
+
   test("softWeights: cluster mass sums to one per component, " +
       "singletons weigh 1.0, ids only ride through") {
     val s = spark
