@@ -133,7 +133,7 @@ object Bench {
     "q_dpo_audit", "q_tool_args", "q_fim", "q_mm_shards",
     "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
     "q_doremi", "q_attrition", "q_dedup_soft", "q_para_chunks",
-    "q_doremi_plan")
+    "q_doremi_plan", "q_chat_quality")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -215,6 +215,9 @@ object Bench {
     "q_chat_tool_fit" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
     "q_tool_stats" -> Set("JsonToStructs"),
+    // refusal-phrase matching shingles each assistant turn's content
+    // (per-row small arrays, the q_curate_badwords class)
+    "q_chat_quality" -> Set("ArrayTransform"),
     "q_tool_args" -> Set("JsonToStructs"),
     // the tool capstone adds the BPE expr-chain segmentation HOFs, as
     // in q_sft_windows

@@ -290,6 +290,41 @@ object Chats {
             col("group_std")))
   }
 
+  /** Per-conversation QUALITY flags — the alignment-data cleaning
+    * pass between validation and training (refusal-bearing and
+    * degenerate assistant responses dilute an SFT set): per
+    * conversation — turn counts, total/mean assistant response
+    * length, `short_frac` (assistant turns under `shortLen` chars —
+    * the "ok."-reply degenerate class), and `refusal` (any assistant
+    * turn containing a blocklisted phrase as a TOKEN sequence —
+    * [[Curation.phraseHit]]'s matching, so "i cannot" never fires
+    * inside another word). One codegen projection + one keyed agg. */
+  def qualityFlags(turnsDf: DataFrame, idCol: String,
+                   refusalPhrases: Seq[String],
+                   shortLen: Int = 10): DataFrame = {
+    val isA = col("role") === "assistant"
+    val clen = length(coalesce(col("content"), lit("")))
+    turnsDf.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(isA.cast("long")).as("n_assistant"),
+        sum(when(isA, clen.cast("long")).otherwise(lit(0L)))
+          .as("asst_chars"),
+        sum(when(isA && clen < shortLen, 1L).otherwise(0L))
+          .as("n_short"),
+        max((isA && Curation.phraseHit(coalesce(col("content"),
+          lit("")), refusalPhrases)).cast("int")).as("__r"))
+      .withColumn("refusal", col("__r") === 1)
+      .withColumn("short_frac",
+        when(col("n_assistant") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_short").cast("double") /
+            col("n_assistant"), 6)))
+      .withColumn("mean_asst_len",
+        when(col("n_assistant") === 0, lit(null).cast("double"))
+          .otherwise(round(col("asst_chars").cast("double") /
+            col("n_assistant"), 6)))
+      .drop("__r")
+  }
+
   /** Preference PAIRS from scored candidate pools — the standard
     * construction when no human pairwise labels exist: best vs
     * runner-up per pool, margin = the score gap (the same decision

@@ -2030,6 +2030,76 @@ object TrainingQueries {
           CAST(length(useg) AS BIGINT) AS response_start
         FROM r ORDER BY pool_id""")),
 
+    // Per-conversation quality flags (r17 — alignment-data cleaning):
+    // refusal detection via token-sequence phrase matching on
+    // assistant turns ('i cannot …' planted on %9 docs), the short-
+    // degenerate-reply fraction (%6 docs get a 4-char assistant
+    // reply), and length stats; n=2 conversations have NO assistant
+    // turn so the null-fraction branch runs on real rows. Oracle
+    // replays the shingle membership and every aggregate.
+    Q("q_chat_quality",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        def contentOf(i: Int) = substring(ct, 1 + 7 * i, 12 + i)
+        val asstC = when(did % 9 === 0,
+            concat(lit("i cannot "), contentOf(2)))
+          .when(did % 6 === 0, substring(ct, 15, 4))
+          .otherwise(contentOf(2))
+        val n = (did % 3 + 2).cast("int")
+        val turns = Tables.documents(s, d).select(col("doc_id"),
+            posexplode(slice(array(
+              struct(lit("system").as("role"),
+                contentOf(0).as("content")),
+              struct(lit("user").as("role"),
+                contentOf(1).as("content")),
+              struct(lit("assistant").as("role"),
+                asstC.as("content")),
+              struct(lit("user").as("role"),
+                contentOf(3).as("content"))), lit(1), n))
+              .as(Seq("turn_idx", "t")))
+          .select(col("doc_id"), col("turn_idx"),
+            col("t")("role").as("role"),
+            col("t")("content").as("content"))
+        Chats.qualityFlags(turns, "doc_id",
+            Seq("i cannot", "as an ai"), shortLen = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hit = s"""len(list_filter(
+          ${shinglesSql(s"(${toksSql("ac")})", 2)},
+          x -> list_contains(['i cannot', 'as an ai'], x))) > 0"""
+        s"""WITH b AS (SELECT doc_id, doc_id % 3 + 2 AS n,
+            regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+          FROM documents),
+        a AS (SELECT doc_id, n,
+            CASE WHEN doc_id % 9 = 0 THEN 'i cannot ' ||
+                substr(ct, 15, 14)
+              WHEN doc_id % 6 = 0 THEN substr(ct, 15, 4)
+              ELSE substr(ct, 15, 14) END AS ac
+          FROM b),
+        f AS (SELECT doc_id, n, ac,
+            CASE WHEN n > 2 THEN 1 ELSE 0 END AS na,
+            CASE WHEN n > 2 THEN length(ac) ELSE 0 END AS achars,
+            CASE WHEN n > 2 AND length(ac) < 10 THEN 1 ELSE 0 END
+              AS nshort,
+            (n > 2 AND ($hit)) AS refusal
+          FROM a)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_turns,
+          CAST(na AS BIGINT) AS n_assistant,
+          CAST(achars AS BIGINT) AS asst_chars,
+          CAST(nshort AS BIGINT) AS n_short,
+          refusal,
+          CASE WHEN na = 0 THEN NULL
+            ELSE ROUND(CAST(nshort AS DOUBLE) / na, 6) END
+            AS short_frac,
+          CASE WHEN na = 0 THEN NULL
+            ELSE ROUND(CAST(achars AS DOUBLE) / na, 6) END
+            AS mean_asst_len
+        FROM f ORDER BY doc_id"""
+      }),
+
     // SFT chat packing (r15 — the post-training front half): chat-JSON
     // conversations (2-4 turns, system/user/assistant roles) parse to
     // turns (from_json + posexplode), render to ONE training string
