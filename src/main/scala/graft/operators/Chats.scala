@@ -369,7 +369,10 @@ object Chats {
     *     repeated overweights it, [[dedupeByPrompt]]'s concern).
     *
     * Determinism: margins ride as 1e6-scaled longs (6-dp score
-    * contract, as [[groupAdvantage]]) and all five correlation moments
+    * contract, as [[groupAdvantage]]; the long moment sums bound
+    * |margin| at ~3e3 per pair before `syy_u` can overflow at extreme
+    * corpus sizes — reward margins are score gaps, far inside that)
+    * and all five correlation moments
     * are EXACT integer sums emitted as columns (`sx`, `sy_u`, `sxx`,
     * `sxy_u`, `syy_u` — order-free, bit-checkable); the correlation is
     * one IEEE formula over those exact sums, rounded 6 dp, null when
