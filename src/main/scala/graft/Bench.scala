@@ -133,7 +133,7 @@ object Bench {
     "q_dpo_audit", "q_tool_args", "q_fim", "q_mm_shards",
     "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
     "q_doremi", "q_attrition", "q_dedup_soft", "q_para_chunks",
-    "q_doremi_plan", "q_chat_quality")
+    "q_doremi_plan", "q_chat_quality", "q_rft_tool_windows")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -223,6 +223,10 @@ object Bench {
     // in q_sft_windows
     "q_sft_tool_windows" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs", "ZipWith"),
+    // agentic RFT capstone: the tool parse + call checks + render +
+    // ordered pack rebuild, as in q_chat_tool_spans
+    "q_rft_tool_windows" ->
+      Set("ArrayForAll", "ArraySort", "ArrayTransform", "JsonToStructs"),
     // streaming twin of q_chat_pack: same parse + ordered rebuild
     "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
     // streaming twin of the tool-trace pack path: the tool parse +

@@ -199,10 +199,11 @@ object TrainingQueries {
     * arguments. Contents are clean a-z/space slices so the JSON needs
     * no escaping beyond the arguments-string quotes. */
   private def toolTraceJson(did: org.apache.spark.sql.Column,
-                            ct: org.apache.spark.sql.Column)
+                            ct: org.apache.spark.sql.Column,
+                            forceK: Option[Int] = None)
   : org.apache.spark.sql.Column = {
     type C = org.apache.spark.sql.Column
-    val k = did % 5
+    val k = forceK.map(v => lit(v.toLong): C).getOrElse(did % 5)
     val u = substring(ct, 1, 10)
     val a = substring(ct, 8, 8)
     val fin = substring(ct, 20, 10)
@@ -3372,6 +3373,103 @@ object TrainingQueries {
             '<|assistant|>' || substr(ct, 15, 14) || chr(10) AS text,
           CAST(3 AS BIGINT) AS n_turns
         FROM b ORDER BY doc_id""")),
+
+    // AGENTIC RFT capstone (r17 — selection over complete agent
+    // TRAJECTORIES, the q_rft_windows composition for the tool data
+    // class): pools of candidate tool traces (valid two-call shape
+    // per doc, pools of ≤3 with singletons) score, the protocol gate
+    // validates, traces render and pack, bestOfN keeps the top-scored
+    // TRACE per pool (ties on the packed text), and the winner's
+    // per-turn spans + mask ship as the training rows. The oracle
+    // replays rendering, packing, the pool window (rank, runner-up
+    // margin, pool size), the winner join, and every span.
+    Q("q_rft_tool_windows",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val cands = Tables.documents(s, d)
+          .filter((col("doc_id") * 13) % 7 < 5)
+          .select(col("doc_id"),
+            floor(col("doc_id") / 3).cast("long").as("pool_id"),
+            (floor(col("doc_id") / 2).cast("long") % 50).as("score"),
+            toolTraceJson(col("doc_id"), ct, forceK = Some(1))
+              .as("chat"))
+        val t = Chats.toolTurns(cands, "chat", "doc_id")
+        val valid = Chats.validateToolTurns(t, "doc_id")
+          .filter(col("valid")).select(col("doc_id"))
+        val rendered = Chats.renderToolCalls(t.join(valid, "doc_id"),
+          "doc_id")
+        val packed = Chats.packWithMask(rendered, "doc_id")
+          .join(cands.select(col("doc_id"), col("pool_id"),
+            col("score")), "doc_id")
+        val winners = Chats.bestOfN(packed, "pool_id", "text", "score")
+        val winDoc = winners.join(
+          packed.select(col("pool_id"), col("text"),
+            col("doc_id")),
+          Seq("pool_id")).filter(col("best") === col("text"))
+        val spans = Chats.turnSpans(rendered, "doc_id")
+        winDoc.join(spans, "doc_id")
+          .select(col("pool_id"), col("doc_id"), col("turn_idx"),
+            col("role"), col("start"), col("end"), col("mask"),
+            col("best_score"), col("n_candidates"), col("margin"))
+          .orderBy(col("pool_id"), col("turn_idx"))
+      },
+      Some(s"""WITH rb AS (SELECT doc_id, doc_id // 3 AS pool_id,
+            (doc_id // 2) % 50 AS score,
+            regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+          FROM documents WHERE (doc_id * 13) % 7 < 5),
+        rp AS (SELECT doc_id, pool_id, score,
+            substr(ct, 1, 10) AS u, substr(ct, 8, 8) AS a,
+            substr(ct, 20, 10) AS fin,
+            substr(ct, 12, 8) AS r1, substr(ct, 16, 8) AS r2,
+            '{"q":"' || substr(ct, 3, 5) || '"}' AS j1,
+            '{"k":"' || substr(ct, 6, 5) || '"}' AS j2,
+            'a' || CAST(doc_id AS VARCHAR) AS ida,
+            'b' || CAST(doc_id AS VARCHAR) AS idb
+          FROM rb),
+        rr AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS turn_idx,
+            'user' AS role, '<|user|>' || u || chr(10) AS rt FROM rp
+          UNION ALL
+          SELECT doc_id, 1, 'assistant',
+            '<|assistant|>' || a || '<|call:search|>' || j1 ||
+              '<|call:fetch|>' || j2 || chr(10) FROM rp
+          UNION ALL
+          SELECT doc_id, 2, 'tool',
+            '<|tool|>[' || idb || '] ' || r2 || chr(10) FROM rp
+          UNION ALL
+          SELECT doc_id, 3, 'tool',
+            '<|tool|>[' || ida || '] ' || r1 || chr(10) FROM rp
+          UNION ALL
+          SELECT doc_id, 4, 'assistant',
+            '<|assistant|>' || fin || chr(10) FROM rp),
+        rpk AS (SELECT doc_id,
+            string_agg(rt, '' ORDER BY turn_idx) AS text
+          FROM rr GROUP BY doc_id),
+        rw AS (SELECT p.pool_id, p.doc_id, p.score, k.text,
+            ROW_NUMBER() OVER (PARTITION BY p.pool_id
+              ORDER BY p.score DESC, k.text) AS rk,
+            lead(p.score) OVER (PARTITION BY p.pool_id
+              ORDER BY p.score DESC, k.text) AS ns,
+            COUNT(*) OVER (PARTITION BY p.pool_id) AS nc
+          FROM rp p JOIN rpk k ON k.doc_id = p.doc_id),
+        rwin AS (SELECT pool_id, doc_id, score AS best_score,
+            CAST(nc AS BIGINT) AS n_candidates,
+            score - ns AS margin
+          FROM rw WHERE rk = 1),
+        rsp AS (SELECT doc_id, turn_idx, role,
+            CAST(COALESCE(SUM(length(rt)) OVER (PARTITION BY doc_id
+              ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start,
+            CAST(length(rt) AS BIGINT) AS rl
+          FROM rr)
+        SELECT w.pool_id, w.doc_id, s.turn_idx, s.role, s.start,
+          CAST(s.start + s.rl AS BIGINT) AS "end",
+          (s.role = 'assistant') AS mask,
+          w.best_score, w.n_candidates, w.margin
+        FROM rwin w JOIN rsp s ON s.doc_id = w.doc_id
+        ORDER BY w.pool_id, s.turn_idx""")),
 
     // STREAMING tool-trace ingest (r17) — the continuous twin of the
     // agentic pack path: a live feed of tool-call logs (the five
