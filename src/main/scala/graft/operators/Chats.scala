@@ -556,19 +556,29 @@ object Chats {
 
   /** messages schema of the TOOL-CALL interchange shape — the OpenAI
     * function-calling export, the de-facto format for agentic SFT
-    * traces: assistant turns may carry `tool_calls` (each a call id +
-    * tool name + arguments-JSON string), and `tool`-role turns answer
-    * one call via `tool_call_id`. A plain role+content conversation
-    * parses too (the extra fields read null), so this is a strict
-    * superset of [[MessagesSchema]]. */
+    * traces: assistant turns may carry `tool_calls` (each a call id
+    * plus either the genuine NESTED form `function:{name,arguments}`
+    * — the shape `type:"function"` entries actually export — or the
+    * flattened `name`/`arguments` variant many internal dumps use),
+    * and `tool`-role turns answer one call via `tool_call_id`.
+    * [[toolTurns]] coalesces the two forms, nested taking precedence
+    * only where the flat field is absent. A plain role+content
+    * conversation parses too (the extra fields read null), so this is
+    * a strict superset of [[MessagesSchema]]. */
   val ToolMessagesSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "messages array<struct<role:string,content:string," +
         "tool_calls:array<struct<id:string,name:string," +
-        "arguments:string>>,tool_call_id:string>>")
+        "arguments:string,function:struct<name:string," +
+        "arguments:string>>>,tool_call_id:string>>")
 
   /** [[turns]] for tool-call traces: one row per turn — (idCol,
-    * turn_idx, role, content, tool_calls, tool_call_id). Malformed
+    * turn_idx, role, content, tool_calls, tool_call_id). Each emitted
+    * call is NORMALIZED to the flat {id, name, arguments} struct:
+    * nested `function.name`/`function.arguments` (the genuine OpenAI
+    * export) fill in wherever the flat variant's fields are absent,
+    * so every downstream consumer ([[validateToolTurns]],
+    * [[renderToolCalls]], the audits) reads one shape. Malformed
     * json drops exactly as in [[turns]]. */
   def toolTurns(df: DataFrame, jsonCol: String, idCol: String)
   : DataFrame =
@@ -578,7 +588,11 @@ object Chats {
       .select(col(idCol), col("pos").cast("long").as("turn_idx"),
         col("col")("role").as("role"),
         col("col")("content").as("content"),
-        col("col")("tool_calls").as("tool_calls"),
+        transform(col("col")("tool_calls"), c => struct(
+          c("id").as("id"),
+          coalesce(c("name"), c("function")("name")).as("name"),
+          coalesce(c("arguments"), c("function")("arguments"))
+            .as("arguments"))).as("tool_calls"),
         col("col")("tool_call_id").as("tool_call_id"))
 
   /** [[validateTurns]] for the tool-call protocol — the gate an
@@ -660,6 +674,128 @@ object Chats {
           max(col("__lt"))("role") === "assistant" &&
           !max(col("__lt"))("__hc")).as("valid"))
   }
+
+  /** PROTOCOL-VIOLATION TRIAGE — the attrition funnel for agentic
+    * corpora: [[validateToolTurns]] says only (valid?); a corpus owner
+    * staring at "40% of traces dropped" needs WHY. Per conversation,
+    * the FIRST FAILED RULE by a fixed severity order (each class named
+    * for the exporter bug it indicts):
+    *
+    *   1. `role`         — role outside {system,user,assistant,tool},
+    *                       system not at turn 0, `tool_calls` on a
+    *                       non-assistant turn, or `tool_call_id`
+    *                       present/absent on the wrong role;
+    *   2. `args_parse`   — a declared call with null id/name or
+    *                       arguments that don't parse as JSON;
+    *   3. `dup_call_id`  — duplicate ids among a turn's declared
+    *                       calls, or one call answered twice;
+    *   4. `stray_answer` — a tool turn answering an id its block
+    *                       never declared (wrong-id exporter bug);
+    *   5. `unanswered`   — a declared call with no answer in its
+    *                       block;
+    *   6. `transition`   — a role-lattice transition break (e.g. two
+    *                       user turns in a row) not already explained
+    *                       by 3–5;
+    *   7. `pending_final`— the trace doesn't end with a call-free
+    *                       assistant turn.
+    *
+    * With `dup_call_id` its own class, the remaining multiset
+    * declared-vs-answered equality decomposes exactly into
+    * stray/unanswered SET differences, so `fail_rule IS NULL` ⇔
+    * [[validateToolTurns]].valid (spec-pinned). Returns (idCol,
+    * n_turns, valid, fail_rule). Same scale shape as the validator:
+    * one lag window + one running-max window + two keyed aggs. */
+  def toolTriage(turnsDf: DataFrame, idCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+    val wRun = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val callIds = transform(col("tool_calls"), c => c("id"))
+    val emptyIds = array().cast("array<string>")
+    val withFlags = turnsDf
+      .withColumn("__hc", coalesce(size(col("tool_calls")) > 0,
+        lit(false)))
+      .withColumn("__rArgs", col("tool_calls").isNotNull &&
+        !forall(col("tool_calls"), c =>
+          c("id").isNotNull && c("name").isNotNull &&
+            try_parse_json(c("arguments")).isNotNull))
+      .withColumn("__rDup", col("tool_calls").isNotNull &&
+        size(array_distinct(callIds)) =!= size(col("tool_calls")))
+    val prevRole = lag(col("role"), 1).over(wOrd)
+    val prevCalls = lag(col("__hc"), 1).over(wOrd)
+    val rRole = coalesce(
+      !col("role").isin("system", "user", "assistant", "tool") ||
+        (col("role") === "system" && col("turn_idx") =!= 0) ||
+        (col("__hc") && col("role") =!= "assistant") ||
+        ((col("role") === "tool") =!= col("tool_call_id").isNotNull),
+      lit(true))
+    val rTrans = coalesce(
+      !when(prevRole.isNull, col("role").isin("system", "user"))
+        .when(prevRole === "system", col("role") === "user")
+        .when(prevRole === "user", col("role") === "assistant")
+        .when(prevRole === "assistant" && prevCalls,
+          col("role") === "tool")
+        .when(prevRole === "assistant", col("role") === "user")
+        .otherwise(col("role").isin("tool", "assistant")),
+      lit(true))
+    val blocks = withFlags
+      .withColumn("__fRole", rRole)
+      .withColumn("__fTrans", rTrans)
+      .withColumn("__blk", max(when(col("role") === "assistant",
+        col("turn_idx"))).over(wRun))
+      .groupBy(col(idCol), col("__blk"))
+      .agg(count(lit(1)).as("__n"),
+        max(col("__fRole")).as("__bRole"),
+        max(col("__rArgs")).as("__bArgs"),
+        max(col("__rDup")).as("__bDup"),
+        max(col("__fTrans")).as("__bTrans"),
+        first(when(col("role") === "assistant",
+            coalesce(sort_array(callIds), emptyIds)),
+          ignoreNulls = true).as("__decl"),
+        sort_array(collect_list(when(col("role") === "tool",
+          col("tool_call_id")))).as("__ans"),
+        max(struct(col("turn_idx"), col("role"), col("__hc")))
+          .as("__lt"))
+      .withColumn("__decl", coalesce(col("__decl"), emptyIds))
+      .withColumn("__bAnsDup",
+        size(col("__ans")) =!= size(array_distinct(col("__ans"))))
+      .withColumn("__bStray",
+        size(array_except(array_distinct(col("__ans")),
+          col("__decl"))) > 0)
+      .withColumn("__bUnans",
+        size(array_except(col("__decl"), col("__ans"))) > 0)
+    blocks.groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_turns"),
+        max(col("__bRole")).as("__r1"),
+        max(col("__bArgs")).as("__r2"),
+        max(col("__bDup") || col("__bAnsDup")).as("__r3"),
+        max(col("__bStray")).as("__r4"),
+        max(col("__bUnans")).as("__r5"),
+        max(col("__bTrans")).as("__r6"),
+        max(col("__lt")).as("__l"))
+      .withColumn("__r7", !(col("__l")("role") === "assistant" &&
+        !col("__l")("__hc")))
+      .withColumn("fail_rule",
+        when(col("__r1"), "role")
+          .when(col("__r2"), "args_parse")
+          .when(col("__r3"), "dup_call_id")
+          .when(col("__r4"), "stray_answer")
+          .when(col("__r5"), "unanswered")
+          .when(col("__r6"), "transition")
+          .when(col("__r7"), "pending_final"))
+      .withColumn("valid", col("fail_rule").isNull)
+      .select(col(idCol), col("n_turns"), col("valid"),
+        col("fail_rule"))
+  }
+
+  /** Corpus-level TRIAGE CARD over [[toolTriage]] — per verdict class
+    * ('valid' or the first-failed rule), conversation and turn counts:
+    * the one-page answer to "where did my agentic corpus go?". One
+    * keyed agg over the triage frame. */
+  def toolTriageCard(turnsDf: DataFrame, idCol: String): DataFrame =
+    toolTriage(turnsDf, idCol)
+      .groupBy(coalesce(col("fail_rule"), lit("valid")).as("verdict"))
+      .agg(count(lit(1)).as("n_convs"), sum(col("n_turns"))
+        .as("n_turns"))
 
   /** [[fitBudget]] for tool-call traces — context trimming that NEVER
     * splits a tool-call block: dropping a calling assistant turn while
@@ -757,6 +893,84 @@ object Chats {
           size(col("missing")) === 0)
       .select(col(idCol), col("turn_idx"), col("call_id"),
         col("tool_name"), col("missing"), col("args_ok"))
+  }
+
+  /** Per-call argument-VALUE TYPE audit — the one-expression tier
+    * above [[toolArgsAudit]]'s key-presence check: the contract now
+    * states each required key's JSON type (`tool → (key, type)` with
+    * type ∈ string | number | boolean | object | array | null), so a
+    * `url` that arrives as a number or a `k` that arrives as a string
+    * fails loudly before the trace trains an agent to emit it. Per
+    * declared call, every contract key probes via variant
+    * introspection (`try_parse_json` → `try_variant_get` →
+    * `schema_of_variant`, canonicalized to the six JSON type names —
+    * all ints/decimals/doubles are `number`); verdict entries are
+    * `key:expected:actual` with actual `missing` for an absent key
+    * and `unparseable` when the arguments string isn't JSON; a call
+    * to a tool outside the contract reports `bad =
+    * ['__unknown_tool']`. Keys must be plain identifiers (they ride
+    * into a `$.key` path literal). Returns one row per declared
+    * call: (idCol, turn_idx, call_id, tool_name, bad [sorted],
+    * types_ok). ONE explode + one codegen-built projection (the
+    * contract unrolls into literal-path expressions — no join, no
+    * extra shuffle). */
+  def toolArgTypes(toolTurnsDf: DataFrame, idCol: String,
+                   contract: Map[String, Seq[(String, String)]])
+  : DataFrame = {
+    require(contract.nonEmpty, "empty type contract")
+    val allowed =
+      Set("string", "number", "boolean", "object", "array", "null")
+    contract.foreach { case (t, ks) =>
+      ks.foreach { case (k, e) =>
+        require(allowed(e), s"contract $t.$k: unknown type '$e'")
+        require(k.matches("[A-Za-z0-9_]+"),
+          s"contract $t: key '$k' is not a plain identifier")
+      }
+    }
+    val emptyBad = array().cast("array<string>")
+    def canonical(c: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+      when(c.isNull, lit("missing"))
+        .when(c === "STRING", lit("string"))
+        .when(c === "BOOLEAN", lit("boolean"))
+        .when(c === "VOID", lit("null"))
+        .when(c.startsWith("OBJECT"), lit("object"))
+        .when(c.startsWith("ARRAY"), lit("array"))
+        .when(c.startsWith("DECIMAL") ||
+          c.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT",
+            "TINYINT"), lit("number"))
+        .otherwise(lit("other"))
+    val v = try_parse_json(col("__args"))
+    def actualOf(key: String) =
+      when(v.isNull, lit("unparseable"))
+        .otherwise(canonical(schema_of_variant(
+          try_variant_get(v, "$." + key, "variant"))))
+    val badByTool = contract.toSeq.sortBy(_._1).map { case (t, ks) =>
+      val entries = ks.map { case (k, e) =>
+        when(actualOf(k) =!= e,
+          array(concat(lit(s"$k:$e:"), actualOf(k))))
+          .otherwise(emptyBad)
+      }
+      val arr = if (entries.isEmpty) emptyBad
+        else sort_array(concat(entries: _*))
+      t -> arr
+    }
+    val bad = badByTool.foldRight(
+        array(lit("__unknown_tool")): org.apache.spark.sql.Column) {
+      case ((t, arr), els) =>
+        when(col("tool_name") === t, arr).otherwise(els)
+    }
+    toolTurnsDf.filter(col("tool_calls").isNotNull)
+      .select(col(idCol), col("turn_idx"),
+        explode(col("tool_calls")).as("__c"))
+      .select(col(idCol), col("turn_idx"),
+        col("__c")("id").as("call_id"),
+        col("__c")("name").as("tool_name"),
+        col("__c")("arguments").as("__args"))
+      .withColumn("bad", bad)
+      .withColumn("types_ok", size(col("bad")) === 0)
+      .select(col(idCol), col("turn_idx"), col("call_id"),
+        col("tool_name"), col("bad"), col("types_ok"))
   }
 
   /** TOOL-USAGE data card — per tool name across a trace corpus: how

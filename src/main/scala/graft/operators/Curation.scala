@@ -241,14 +241,33 @@ object Curation {
     * global sort). Two token-count aggs + one full-outer token join;
     * the three scalars (N_a, N_b, |V|) are one bounded driver agg. */
   def unigramDriftTerms(a: DataFrame, b: DataFrame, textCol: String)
+  : DataFrame =
+    unigramDriftTermsFromCounts(unigramCounts(a, textCol),
+      unigramCounts(b, textCol))
+
+  /** The (token, cnt) unigram-count frame of a corpus snapshot — the
+    * VOCABULARY-sized summary the counts-path drift entry points
+    * consume. A monitoring deployment computes this ONCE for the
+    * static reference snapshot (and broadcasts/caches it), so each
+    * comparison pays O(its own tokens + reference vocabulary), never
+    * a reference re-scan (ADVICE r17 — [[graft.streaming.Streams
+    * .driftSink]] used to re-tokenize the whole reference corpus
+    * every micro-batch). One explode + one keyed count agg. */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TA.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** [[unigramDriftTerms]] over PRECOMPUTED (token, cnt) snapshots
+    * ([[unigramCounts]] shape — extra columns ignored). The raw-text
+    * path delegates here; both paths are spec-pinned equal. */
+  def unigramDriftTermsFromCounts(aCounts: DataFrame, bCounts: DataFrame)
   : DataFrame = {
-    def counts(df: DataFrame, as: String) =
-      df.select(explode(TA.tokens(col(textCol))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as(as))
     // materialize the count join ONCE: the scalar agg below and every
     // downstream consumer (terms, report, top-k) read the same blocks
     val joined = Checkpoints.eager(
-      counts(a, "c_a").join(counts(b, "c_b"), Seq("token"),
+      aCounts.select(col("token"), col("cnt").cast("long").as("c_a"))
+        .join(bCounts.select(col("token"),
+          col("cnt").cast("long").as("c_b")), Seq("token"),
           "full_outer")
         .select(col("token"), coalesce(col("c_a"), lit(0L)).as("c_a"),
           coalesce(col("c_b"), lit(0L)).as("c_b")))
@@ -260,6 +279,15 @@ object Curation {
     joined.withColumn("term_u", (col("c_a") + 1) * (u6(pa) - u6(pb)))
   }
 
+  private def driftReport(terms: DataFrame): DataFrame =
+    terms
+      .agg(sum(col("c_a")).cast("long").as("n_a"),
+        sum(col("c_b")).cast("long").as("n_b"),
+        count(lit(1)).as("v_union"),
+        sum(col("term_u")).cast("long").as("kl_u"))
+      .withColumn("kl", round(col("kl_u").cast("double") /
+        ((col("n_a") + col("v_union")).cast("double") * 1e6), 6))
+
   /** The drift REPORT row: token totals, union vocabulary size, the
     * exact-integer KL numerator sum, and KL(A‖B) in nats (6 dp) —
     * ≈0 when the snapshots share a distribution, growing as sources
@@ -267,11 +295,12 @@ object Curation {
     * (N_a + |V|) comes from the same aggregate row, no extra pass. */
   def unigramDrift(a: DataFrame, b: DataFrame, textCol: String)
   : DataFrame =
-    unigramDriftTerms(a, b, textCol)
-      .agg(sum(col("c_a")).cast("long").as("n_a"),
-        sum(col("c_b")).cast("long").as("n_b"),
-        count(lit(1)).as("v_union"),
-        sum(col("term_u")).cast("long").as("kl_u"))
-      .withColumn("kl", round(col("kl_u").cast("double") /
-        ((col("n_a") + col("v_union")).cast("double") * 1e6), 6))
+    driftReport(unigramDriftTerms(a, b, textCol))
+
+  /** [[unigramDrift]] over PRECOMPUTED (token, cnt) snapshots — the
+    * monitoring-loop entry point: the reference counts compute once,
+    * each report pays only its own side. */
+  def unigramDriftFromCounts(aCounts: DataFrame, bCounts: DataFrame)
+  : DataFrame =
+    driftReport(unigramDriftTermsFromCounts(aCounts, bCounts))
 }

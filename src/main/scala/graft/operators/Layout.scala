@@ -202,32 +202,38 @@ object Layout {
     * heavily-skewed score distribution wants finer buckets. Ascending
     * (easy-first); negate the score column for hard-first.
     *
-    * Null scores are rejected up front (ADVICE r16): `floor(null)`
-    * would give a null bucket key, the offsets collect would NPE on
-    * the null key, and a null score has no defined place in a
+    * Null scores are rejected (ADVICE r16): `floor(null)` would give
+    * a null bucket key, and a null score has no defined place in a
     * monotone easy→hard order anyway — filter or impute before
-    * calling. */
+    * calling. The check rides the offsets collect the operator
+    * already pays (a null score surfaces as a null bucket key in the
+    * per-bucket totals — ADVICE r17 removed the extra up-front
+    * `filter(isNull).count()` scan this used to cost). */
   def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
                       lo: Double, hi: Double,
                       buckets: Int = 256): DataFrame = {
     require(hi > lo, s"score range [$lo, $hi) is empty")
     require(buckets >= 1, "need at least one bucket")
-    val nullScores = df.filter(col(scoreCol).isNull).limit(1).count()
-    require(nullScores == 0L,
-      s"curriculumOrder: null $scoreCol — a null score has no place " +
-        "in a monotone score order; filter or impute first")
     val spark = df.sparkSession
     import spark.implicits._
-    val b = least(greatest(
+    // when() keeps a null score a NULL bucket key (Spark's
+    // greatest/least SKIP nulls, which would silently file it under
+    // bucket 0) so the totals collect below can reject it
+    val b = when(col(scoreCol).isNotNull, least(greatest(
         floor((col(scoreCol) - lo) / (hi - lo) * buckets), lit(0.0)),
-      lit((buckets - 1).toDouble)).cast("int")
+      lit((buckets - 1).toDouble)).cast("int"))
     val bucketed = df.withColumn("__ob", b)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__ob"))
       .orderBy(col(scoreCol), col(idCol).cast("string"))
-    val totals = bucketed.groupBy(col("__ob"))
+    val totalRows = bucketed.groupBy(col("__ob"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect()
+    require(totalRows.forall(!_.isNullAt(0)),
+      s"curriculumOrder: null $scoreCol — a null score has no place " +
+        "in a monotone score order; filter or impute first")
+    val totals = totalRows.map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
     val offsets = totals.scanLeft(0L)(_ + _._2).init
     val offDf = totals.map(_._1).zip(offsets).toSeq
       .toDF("__ob", "__off")

@@ -127,7 +127,16 @@ object Packing {
                   salt: String = "graft"): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val ord = ordKey(col(idCol), salt)
-    packCore(df, idCol, col(costCol), budget, ord, ord % nBuckets)
+    // a negative (or null) cost silently corrupts the prefix-sum shard
+    // assignment (shard indices can regress) — fail loudly like the
+    // sibling require()s; assert_true rides the cost projection, so
+    // the clean-cost path pays no extra pass (ADVICE r17)
+    val cost = when(
+      assert_true(col(costCol) >= 0, concat(
+        lit(s"shardByCost: negative or null $costCol for "),
+        col(idCol).cast("string"))).isNull,
+      col(costCol))
+    packCore(df, idCol, cost, budget, ord, ord % nBuckets)
       .select(col(idCol), col("n_tokens").as("cost"),
         col("start_chunk").as("shard"))
   }

@@ -2068,9 +2068,18 @@ object TrainingQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val hit = s"""len(list_filter(
+        // phraseHit groups phrases BY TOKEN LENGTH and matches each
+        // group against that length's shingles — the oracle must do
+        // the same (2-shingles for 'i cannot', 3-shingles for 'as an
+        // ai'); matching both against 2-shingles alone would let a
+        // planted 'as an ai' flag refusal on the Spark side only
+        // (ADVICE r17).
+        val hit = s"""(len(list_filter(
           ${shinglesSql(s"(${toksSql("ac")})", 2)},
-          x -> list_contains(['i cannot', 'as an ai'], x))) > 0"""
+          x -> list_contains(['i cannot'], x))) > 0
+          OR len(list_filter(
+          ${shinglesSql(s"(${toksSql("ac")})", 3)},
+          x -> list_contains(['as an ai'], x))) > 0)"""
         s"""WITH b AS (SELECT doc_id, doc_id % 3 + 2 AS n,
             regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
           FROM documents),
@@ -3040,7 +3049,10 @@ object TrainingQueries {
     // carry only k — a real missing-key verdict on a VALID object).
     // The oracle replays key extraction (json_valid + json_type +
     // json_keys ≡ Spark's json_object_keys), the contract join, and
-    // the sorted set difference.
+    // the sorted set difference. The gate SERIALIZES the (sorted)
+    // missing list with array_join — the driver's frame compare sorts
+    // with pandas, which cannot hash raw list cells (r17's one `err`
+    // row); the operator API stays array-typed.
     Q("q_tool_args",
       (s, d) => {
         import graft.operators.Chats
@@ -3050,6 +3062,7 @@ object TrainingQueries {
         Chats.toolArgsAudit(Chats.toolTurns(docs, "chat", "doc_id"),
             "doc_id",
             Map("search" -> Seq("q"), "fetch" -> Seq("k", "url")))
+          .withColumn("missing", array_join(col("missing"), ","))
           .orderBy(col("doc_id"), col("turn_idx"), col("call_id"))
       },
       Some(s"""WITH $toolTraceSql,
@@ -3075,10 +3088,110 @@ object TrainingQueries {
                 NOT list_contains(COALESCE(k.keys,
                   CAST([] AS VARCHAR[])), x))) END AS missing
           FROM ky k LEFT JOIN rq r USING (tool_name))
-        SELECT doc_id, turn_idx, call_id, tool_name, missing,
+        -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is
+        -- '' — coalesce to match
+        SELECT doc_id, turn_idx, call_id, tool_name,
+          COALESCE(array_to_string(missing, ','), '') AS missing,
           (req IS NOT NULL AND keys IS NOT NULL
             AND len(missing) = 0) AS args_ok
         FROM mm ORDER BY doc_id, turn_idx, call_id""")),
+
+    // Argument-VALUE TYPE audit (r18 — the tier above q_tool_args'
+    // key presence): the contract states each required key's JSON
+    // type; actual types probe via Spark variant introspection
+    // (try_parse_json → try_variant_get → schema_of_variant) vs
+    // DuckDB json_type — both canonicalized to the six JSON type
+    // names. Six synthesized call shapes: conforming search, a
+    // conforming fetch (k genuinely a NUMBER), a fetch with both
+    // values type-flipped, a number-ok/url-missing fetch, non-JSON
+    // arguments ('unparseable'), and an out-of-contract tool. The
+    // oracle replays probing, canonicalization, and the sorted
+    // verdict list; the gate serializes `bad` (array columns crash
+    // the driver's pandas sort — r17).
+    Q("q_tool_arg_types",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val s5 = substring(ct, 3, 5)
+        val num = (did % 100).cast("string")
+        val args = when(did % 6 === 0,
+            concat(lit("{\"q\":\""), s5, lit("\"}")))
+          .when(did % 6 === 1, concat(lit("{\"k\":"), num,
+            lit(",\"url\":\""), s5, lit("\"}")))
+          .when(did % 6 === 2, concat(lit("{\"k\":\""), s5,
+            lit("\",\"url\":"), num, lit("}")))
+          .when(did % 6 === 3, lit("{\"k\":1.5}"))
+          .when(did % 6 === 4, lit("{oops"))
+          .otherwise(concat(lit("{\"to\":\""), s5, lit("\"}")))
+        val tool = when(did % 6 === 5, lit("mail"))
+          .when(did % 6 === 4 || did % 6 === 0, lit("search"))
+          .otherwise(lit("fetch"))
+        val turns = Tables.documents(s, d).select(did,
+          lit(1L).as("turn_idx"), lit("assistant").as("role"),
+          lit(null).cast("string").as("content"),
+          array(struct(concat(lit("c"), did.cast("string")).as("id"),
+            tool.as("name"), args.as("arguments"))).as("tool_calls"),
+          lit(null).cast("string").as("tool_call_id"))
+        Chats.toolArgTypes(turns, "doc_id",
+            Map("search" -> Seq("q" -> "string"),
+              "fetch" -> Seq("k" -> "number", "url" -> "string")))
+          .withColumn("bad", array_join(col("bad"), ","))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def canon(t: String) =
+          s"""CASE WHEN $t IS NULL THEN 'missing'
+            WHEN $t = 'VARCHAR' THEN 'string'
+            WHEN $t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+            WHEN $t = 'BOOLEAN' THEN 'boolean'
+            WHEN $t = 'OBJECT' THEN 'object'
+            WHEN $t = 'ARRAY' THEN 'array'
+            WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
+        def act(key: String) =
+          s"""CASE WHEN NOT json_valid(args) THEN 'unparseable'
+            ELSE ${canon(s"json_type(args, '$$.$key')")} END"""
+        s"""WITH b AS (SELECT doc_id, doc_id % 6 AS k,
+            regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+          FROM documents),
+        p AS (SELECT doc_id, k, substr(ct, 3, 5) AS s5,
+            CAST(doc_id % 100 AS VARCHAR) AS num FROM b),
+        c AS (SELECT doc_id,
+            'c' || CAST(doc_id AS VARCHAR) AS call_id,
+            CASE WHEN k = 5 THEN 'mail'
+              WHEN k IN (0, 4) THEN 'search'
+              ELSE 'fetch' END AS tool_name,
+            CASE WHEN k = 0 THEN '{"q":"' || s5 || '"}'
+              WHEN k = 1 THEN '{"k":' || num || ',"url":"' || s5
+                || '"}'
+              WHEN k = 2 THEN '{"k":"' || s5 || '","url":' || num
+                || '}'
+              WHEN k = 3 THEN '{"k":1.5}'
+              WHEN k = 4 THEN '{oops'
+              ELSE '{"to":"' || s5 || '"}' END AS args
+          FROM p),
+        ty AS (SELECT doc_id, call_id, tool_name,
+            ${act("q")} AS aq, ${act("k")} AS ak,
+            ${act("url")} AS aurl
+          FROM c),
+        bd AS (SELECT doc_id, call_id, tool_name,
+            CASE WHEN tool_name = 'search' THEN
+              list_sort(list_filter([CASE WHEN aq != 'string'
+                THEN 'q:string:' || aq END], x -> x IS NOT NULL))
+            WHEN tool_name = 'fetch' THEN
+              list_sort(list_filter([
+                CASE WHEN ak != 'number'
+                  THEN 'k:number:' || ak END,
+                CASE WHEN aurl != 'string'
+                  THEN 'url:string:' || aurl END],
+                x -> x IS NOT NULL))
+            ELSE ['__unknown_tool'] END AS bad
+          FROM ty)
+        SELECT doc_id, CAST(1 AS BIGINT) AS turn_idx, call_id,
+          tool_name, COALESCE(array_to_string(bad, ','), '') AS bad,
+          len(bad) = 0 AS types_ok
+        FROM bd ORDER BY doc_id"""
+      }),
 
     // Tool-usage data card (r17): per tool name — call counts,
     // conversations using it, answered-call counts, mean argument and
@@ -3177,6 +3290,98 @@ object TrainingQueries {
           CASE WHEN kept THEN ns END AS new_start,
           CASE WHEN kept THEN CAST(ns + rl AS BIGINT) END AS new_end
         FROM f6 ORDER BY doc_id, turn_idx""")),
+
+    // Protocol-violation TRIAGE card (r18 — the attrition funnel for
+    // agentic corpora): per conversation the FIRST FAILED protocol
+    // rule by the documented severity order (role / args_parse /
+    // dup_call_id / stray_answer / unanswered / transition /
+    // pending_final), rolled up per class. The five synthesized
+    // shapes land: k∈{0,1} valid, k=2 stray_answer (wrong answer id
+    // — it also leaves 'a…' unanswered, so class ORDER is load-
+    // bearing), k=3 unanswered (also a transition break — order
+    // again), k=4 args_parse ('{oops'). The oracle replays every
+    // per-turn flag, the block grouping, the set-difference
+    // decomposition, and the severity CASE — not the k→class map.
+    Q("q_tool_attrition",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        Chats.toolTriageCard(Chats.toolTurns(docs, "chat", "doc_id"),
+            "doc_id")
+          .orderBy(col("verdict"))
+      },
+      Some(s"""WITH $toolTraceSql,
+        a1 AS (SELECT doc_id, turn_idx, role, tcid,
+            COALESCE(len(calls) > 0, FALSE) AS hc,
+            (calls IS NOT NULL AND len(list_filter(calls, c ->
+              c.id IS NULL OR c.nm IS NULL
+                OR NOT json_valid(c.args))) > 0) AS rargs,
+            (calls IS NOT NULL AND
+              len(list_distinct([c.id FOR c IN calls]))
+                != len(calls)) AS rdup,
+            CASE WHEN role = 'assistant' THEN
+              COALESCE(list_sort([c.id FOR c IN calls]),
+                CAST([] AS VARCHAR[])) END AS declt
+          FROM tt),
+        a2 AS (SELECT *,
+            lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+              AS pr,
+            lag(hc) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+              AS ph,
+            max(CASE WHEN role = 'assistant' THEN turn_idx END)
+              OVER (PARTITION BY doc_id ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS blk
+          FROM a1),
+        a3 AS (SELECT *,
+            (role NOT IN ('system','user','assistant','tool')
+             OR (role = 'system' AND turn_idx != 0)
+             OR (hc AND role != 'assistant')
+             OR ((role = 'tool') != (tcid IS NOT NULL))) AS rrole,
+            (NOT CASE WHEN pr IS NULL THEN role IN ('system','user')
+              WHEN pr = 'system' THEN role = 'user'
+              WHEN pr = 'user' THEN role = 'assistant'
+              WHEN pr = 'assistant' AND ph THEN role = 'tool'
+              WHEN pr = 'assistant' THEN role = 'user'
+              ELSE role IN ('tool','assistant') END) AS rtrans
+          FROM a2),
+        ag AS (SELECT doc_id, blk, COUNT(*) AS n,
+            bool_or(rrole) AS brole, bool_or(rargs) AS bargs,
+            bool_or(rdup) AS bdup, bool_or(rtrans) AS btrans,
+            COALESCE(any_value(declt), CAST([] AS VARCHAR[]))
+              AS decl,
+            COALESCE(list_sort(list(tcid) FILTER (WHERE role =
+              'tool')), CAST([] AS VARCHAR[])) AS ans,
+            arg_max(role, turn_idx) AS lrole,
+            arg_max(hc, turn_idx) AS lhc,
+            max(turn_idx) AS mx
+          FROM a3 GROUP BY doc_id, blk),
+        ag2 AS (SELECT *,
+            (len(ans) != len(list_distinct(ans))) AS bansdup,
+            len(list_filter(list_distinct(ans), x ->
+              NOT list_contains(decl, x))) > 0 AS bstray,
+            len(list_filter(decl, x ->
+              NOT list_contains(ans, x))) > 0 AS bunans
+          FROM ag),
+        ac AS (SELECT doc_id, SUM(n) AS n_turns,
+            bool_or(brole) AS r1, bool_or(bargs) AS r2,
+            bool_or(bdup OR bansdup) AS r3, bool_or(bstray) AS r4,
+            bool_or(bunans) AS r5, bool_or(btrans) AS r6,
+            NOT (arg_max(lrole, mx) = 'assistant'
+              AND NOT arg_max(lhc, mx)) AS r7
+          FROM ag2 GROUP BY doc_id),
+        av AS (SELECT doc_id, n_turns,
+            CASE WHEN r1 THEN 'role' WHEN r2 THEN 'args_parse'
+              WHEN r3 THEN 'dup_call_id' WHEN r4 THEN 'stray_answer'
+              WHEN r5 THEN 'unanswered' WHEN r6 THEN 'transition'
+              WHEN r7 THEN 'pending_final' END AS fail_rule
+          FROM ac)
+        SELECT COALESCE(fail_rule, 'valid') AS verdict,
+          CAST(COUNT(*) AS BIGINT) AS n_convs,
+          CAST(SUM(n_turns) AS BIGINT) AS n_turns
+        FROM av GROUP BY 1 ORDER BY 1""")),
 
     // SFT TOOL-TRACE capstone (r17 — q_sft_windows' composition for
     // the agentic data class): validateToolTurns gates the protocol,
@@ -4453,6 +4658,90 @@ object TrainingQueries {
           LEFT JOIN cl ON cl.id = c.doc_id
           LEFT JOIN cs ON cs.label = cl.label
           ORDER BY c.doc_id"""
+      }),
+
+    // Soft-dedup → MIXTURE capstone (r18): the duplication-corrected
+    // masses actually feed the mixing plan — softWeights (cluster
+    // mass 1) → sampleByWeight (deterministic hash keep at the
+    // weight) → per-source surviving token counts → epochPlan
+    // (target 5% of a 200k budget per source, repetition capped at 4
+    // epochs). The oracle replays the ENTIRE chain: minhash→LSH→
+    // components→1/size weights, the salted bucket-vs-threshold
+    // keep, the token sums, and the exact-decimal budget/cap
+    // arithmetic.
+    Q("q_dedup_soft_mix",
+      (s, d) => {
+        val corpus = dupCorpus(Tables.documents(s, d))
+        val w = Dedup.softWeights(corpus,
+          Dedup.minHashPairs(corpus, "text", "doc_id", 3, 4, 2),
+          "doc_id")
+        val kept = graft.operators.Sampling.sampleByWeight(
+          corpus.join(w, "doc_id"), "doc_id", "weight")
+        val per = kept.groupBy(col("source"))
+          .agg(sum(TA.tokenCount(col("text"))).cast("long")
+            .as("avail_tokens"))
+          .withColumn("weight", lit(0.05))
+        graft.operators.Sampling.epochPlan(per, "source",
+            "avail_tokens", "weight", budget = 200000L,
+            maxEpochs = new java.math.BigDecimal("4.0"))
+          .select(col("source"), col("avail_tokens"),
+            col("weight").cast("double").as("weight"),
+            col("target_tokens"), col("tokens_realized"),
+            col("epochs"), col("deficit"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH RECURSIVE $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key
+              AND a.doc_id < e.doc_id),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r FROM reach
+            JOIN edges e ON e.src = reach.id),
+          cl AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+          cs AS (SELECT label, COUNT(*) AS csize FROM cl
+            GROUP BY label),
+          sw AS (SELECT c.doc_id, c.source, c.text,
+              ROUND(CAST(1 AS DOUBLE) / COALESCE(cs.csize, 1), 6)
+                AS weight
+            FROM corpus c
+            LEFT JOIN cl ON cl.id = c.doc_id
+            LEFT JOIN cs ON cs.label = cl.label),
+          kept AS (SELECT * FROM sw
+            WHERE ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")}
+              % 10000 < FLOOR(weight * 10000 + 0.5)),
+          per AS (SELECT source,
+              CAST(SUM(len(${toksSql("text")})) AS BIGINT)
+                AS avail_tokens
+            FROM kept GROUP BY source),
+          pl AS (SELECT source, avail_tokens,
+              CAST(floor(CAST(0.05 AS DECIMAL(18,6)) * 200000)
+                AS BIGINT) AS target_tokens,
+              CAST(floor(CAST(4.0 AS DECIMAL(18,6)) * avail_tokens)
+                AS BIGINT) AS cap_tokens
+            FROM per)
+          SELECT source, avail_tokens, CAST(0.05 AS DOUBLE) AS weight,
+            target_tokens,
+            LEAST(target_tokens, cap_tokens) AS tokens_realized,
+            ROUND(CAST(LEAST(target_tokens, cap_tokens) AS DOUBLE) /
+              avail_tokens, 6) AS epochs,
+            target_tokens - LEAST(target_tokens, cap_tokens)
+              AS deficit
+          FROM pl ORDER BY source"""
       }),
 
     // Same components via the alternating large-star/small-star edge

@@ -523,19 +523,50 @@ object Streams {
     * live document feed reports KL(batch ‖ reference) against a STATIC
     * reference snapshot (the distribution the current model was
     * trained on), so a crawl whose token distribution shifts pages the
-    * pipeline instead of silently skewing the next epoch. Stateless —
-    * the reference re-broadcasts per batch and nothing accumulates;
-    * per batch O(batch tokens + reference vocabulary). The one-row
-    * report (with `batch_id`) passes to `handler`. */
+    * pipeline instead of silently skewing the next epoch. The
+    * reference text tokenizes and counts ONCE at sink construction
+    * (materialized — the VOCABULARY-sized (token, cnt) frame), so per
+    * batch the cost is O(batch tokens + reference vocabulary); the
+    * reference TEXT is never re-scanned (ADVICE r17 — it used to
+    * re-tokenize per batch). Nothing accumulates across batches. The
+    * one-row report (with `batch_id`) passes to `handler`. Deployments
+    * that already persist the reference counts should call
+    * [[driftSinkCounts]] directly. */
   def driftSink(docs: DataFrame, textCol: String,
                 reference: DataFrame, refTextCol: String)
                (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    // the reference vocabulary is CACHE-OWNED (pinned, eviction-
+    // released — the Dedup.cached idiom): the per-batch sweepOnly
+    // must skip it, and re-opening a sink over the same reference
+    // frame reuses the counts instead of re-tokenizing
+    val key = (System.identityHashCode(reference.sparkSession),
+      s"driftRef:$refTextCol:" +
+        s"${reference.queryExecution.analyzed.semanticHash()}")
+    val refCounts = graft.operators.GraftCache.getOrBuild(
+        "Streams", key) {
+      val built = graft.operators.Checkpoints.eager(
+        graft.operators.Curation.unigramCounts(reference, refTextCol))
+      graft.operators.Checkpoints.pin(built)
+      built
+    }(graft.operators.Checkpoints.releaseFrame)
+    driftSinkCounts(docs, textCol, refCounts)(handler)
+  }
+
+  /** [[driftSink]] against a PRECOMPUTED (token, cnt) reference frame
+    * ([[graft.operators.Curation.unigramCounts]] shape) — the
+    * monitoring-loop entry point when the training-corpus vocabulary
+    * is already pinned next to the model. Per batch: count the
+    * batch's tokens, one vocabulary-sized join, one report agg. */
+  def driftSinkCounts(docs: DataFrame, textCol: String,
+                      refCounts: DataFrame)
+                     (handler: DataFrame => Unit)
   : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val prior = graft.operators.Checkpoints.liveIds
-      handler(graft.operators.Curation.unigramDrift(
-          batch.withColumnRenamed(textCol, "__t"),
-          reference.withColumnRenamed(refTextCol, "__t"), "__t")
+      handler(graft.operators.Curation.unigramDriftFromCounts(
+          graft.operators.Curation.unigramCounts(batch, textCol),
+          refCounts)
         .withColumn("batch_id", lit(batchId)))
       graft.operators.Checkpoints.sweepOnly(prior)
     }

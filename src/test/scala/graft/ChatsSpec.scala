@@ -566,6 +566,179 @@ class ChatsSpec extends SparkSpec {
       case _ => () }
   }
 
+  test("toolTurns: the genuine OpenAI nested function struct parses — " +
+      "name/arguments coalesce from function.{name,arguments}; a " +
+      "nested trace validates exactly like its flat twin (ADVICE r17)") {
+    def nestedCall(id: String, name: String, args: String): String =
+      s"""{"id":"$id","type":"function","function":""" +
+        s"""{"name":"$name","arguments":"$args"}}"""
+    val argsOk = """{\"city\":\"oslo\"}"""
+    def trace(callJson: String) = toolChat(Seq(
+      m("user", "weather"),
+      m("assistant", "a", s""","tool_calls":[$callJson]"""),
+      m("tool", "4C", ""","tool_call_id":"c1""""),
+      m("assistant", "done")).mkString(","))
+    val nested = trace(nestedCall("c1", "get_weather", argsOk))
+    val flat = trace(call("c1", "get_weather", argsOk))
+    val t = Chats.toolTurns(
+      chats(Seq(1L -> nested, 2L -> flat)), "chat", "id")
+    val asst = t.filter(col("turn_idx") === 1)
+      .orderBy(col("id")).collect()
+    asst.foreach { r =>
+      val calls = r.getSeq[org.apache.spark.sql.Row](
+        r.fieldIndex("tool_calls"))
+      assert(calls.length == 1 &&
+        calls.head.getString(0) == "c1" &&
+        calls.head.getString(1) == "get_weather" &&
+        calls.head.getString(2) == """{"city":"oslo"}""")
+    }
+    // both forms are protocol-valid and render identically
+    val v = Chats.validateToolTurns(t, "id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(v == Map(1L -> true, 2L -> true))
+    val texts = Chats.packWithMask(Chats.renderToolCalls(t, "id"), "id")
+      .orderBy(col("id")).collect().map(_.getAs[String]("text"))
+    assert(texts(0) == texts(1) &&
+      texts(0).contains("<|call:get_weather|>{\"city\":\"oslo\"}"))
+  }
+
+  test("toolTriage: every violation class gets its first-failed rule " +
+      "by severity order; valid ⇔ validateToolTurns.valid") {
+    val argsOk = """{\"q\":\"x\"}"""
+    // the validateToolTurns spec's 12 shapes, each with its expected
+    // triage class (None = valid)
+    val cases: Seq[(Long, String, Option[String])] = Seq(
+      (1L, toolChat(Seq(m("system", "s"), m("user", "u"),
+        m("assistant", "a")).mkString(",")), None),
+      (2L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a", s""","tool_calls":[${call("c1", "f", argsOk)},
+          |${call("c2", "g", argsOk)}]""".stripMargin.replace("\n", "")),
+        m("tool", "r2", ""","tool_call_id":"c2""""),
+        m("tool", "r1", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), None),
+      // wrong answer id: the stray answer outranks the unanswered call
+      (3L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r", ""","tool_call_id":"cX""""),
+        m("assistant", "done")).mkString(",")),
+        Some("stray_answer")),
+      // unanswered call (also a transition break — order decides)
+      (4L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("assistant", "done")).mkString(",")), Some("unanswered")),
+      (5L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", "{oops")}]"""),
+        m("tool", "r", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), Some("args_parse")),
+      (6L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a", s""","tool_calls":[${call("c1", "f", argsOk)},
+          |${call("c1", "g", argsOk)}]""".stripMargin.replace("\n", "")),
+        m("tool", "r1", ""","tool_call_id":"c1""""),
+        m("tool", "r2", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), Some("dup_call_id")),
+      (7L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r1", ""","tool_call_id":"c1""""),
+        m("tool", "r2", ""","tool_call_id":"c1""""),
+        m("assistant", "done")).mkString(",")), Some("dup_call_id")),
+      (8L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r"),
+        m("assistant", "done")).mkString(",")), Some("role")),
+      (9L, toolChat(Seq(
+        m("user", "u", s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("assistant", "a")).mkString(",")), Some("role")),
+      // a tool answer before any assistant spoke IS a stray answer
+      (10L, toolChat(Seq(m("user", "u"),
+        m("tool", "r", ""","tool_call_id":"c1""""),
+        m("assistant", "a")).mkString(",")), Some("stray_answer")),
+      // pending trailing calls report as the unanswered call
+      (11L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""))
+        .mkString(",")), Some("unanswered")),
+      (12L, toolChat(Seq(m("user", "u"),
+        m("assistant", "a", ""","tool_call_id":"c1""""))
+        .mkString(",")), Some("role")))
+    val t = Chats.toolTurns(chats(cases.map(c => c._1 -> c._2)),
+      "chat", "id")
+    val triage = Chats.toolTriage(t, "id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    val valid = Chats.validateToolTurns(t, "id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(triage(id)._2 == want, s"case $id")
+      assert(triage(id)._1 == want.isEmpty, s"case $id valid flag")
+      assert(triage(id)._1 == valid(id), s"case $id ⇔ validator")
+    }
+    // pure transition break (two users in a row) and a trace ending
+    // on a tool turn (all calls answered): the classes 3–5 can't
+    // explain
+    val extra: Seq[(Long, String)] = Seq(
+      13L -> toolChat(Seq(m("user", "u"), m("user", "u2"),
+        m("assistant", "a")).mkString(",")),
+      14L -> toolChat(Seq(m("user", "u"),
+        m("assistant", "a",
+          s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
+        m("tool", "r", ""","tool_call_id":"c1"""")).mkString(",")))
+    val t2 = Chats.toolTurns(chats(extra), "chat", "id")
+    val g2 = Chats.toolTriage(t2, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(g2 == Map(13L -> "transition", 14L -> "pending_final"))
+    // the card rolls the same verdicts up
+    val card = Chats.toolTriageCard(t, "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("valid") == 2L && card("role") == 3L &&
+      card("dup_call_id") == 2L && card("stray_answer") == 2L &&
+      card("unanswered") == 2L && card("args_parse") == 1L)
+  }
+
+  test("toolArgTypes: per-key JSON type verdicts — match, wrong type, " +
+      "missing, unparseable, unknown tool; number covers int and " +
+      "decimal") {
+    val mk: Seq[(String, String, String)] = Seq(
+      // (call id, tool, raw arguments JSON)
+      ("c1", "fetch", """{\"k\":5,\"url\":\"u\"}"""), // conforming
+      ("c2", "fetch", """{\"k\":1.5}"""), // decimal ok, url missing
+      ("c3", "fetch", """{\"k\":\"5\",\"url\":7}"""), // both flipped
+      ("c4", "fetch", "{oops"), // unparseable
+      ("c5", "mail", """{\"to\":\"x\"}""")) // out of contract
+    val chat = toolChat(Seq(
+      m("user", "u"),
+      m("assistant", "a", s""","tool_calls":[${mk.map { case (i, t, a) =>
+        call(i, t, a) }.mkString(",")}]"""),
+      m("assistant", "done")).mkString(","))
+    val got = Chats.toolArgTypes(
+        Chats.toolTurns(chats(Seq(1L -> chat)), "chat", "id"), "id",
+        Map("fetch" -> Seq("k" -> "number", "url" -> "string")))
+      .orderBy(col("call_id")).collect()
+      .map(r => (r.getAs[String]("call_id"),
+        r.getSeq[String](r.fieldIndex("bad")).toSeq,
+        r.getAs[Boolean]("types_ok")))
+    assert(got.toSeq == Seq(
+      ("c1", Seq(), true),
+      ("c2", Seq("url:string:missing"), false),
+      ("c3", Seq("k:number:string", "url:string:number"), false),
+      ("c4", Seq("k:number:unparseable", "url:string:unparseable"),
+        false),
+      ("c5", Seq("__unknown_tool"), false)))
+    // contract validation fails fast
+    intercept[IllegalArgumentException] {
+      Chats.toolArgTypes(Chats.toolTurns(chats(Seq(1L -> chat)),
+        "chat", "id"), "id", Map("fetch" -> Seq("k" -> "integer")))
+    }
+    intercept[IllegalArgumentException] {
+      Chats.toolArgTypes(Chats.toolTurns(chats(Seq(1L -> chat)),
+        "chat", "id"), "id", Map("fetch" -> Seq("a.b" -> "number")))
+    }
+  }
+
   test("groupAdvantage: a constant group with FRACTIONAL scores is " +
       "detected structurally — exact 0.0, not double-cast noise " +
       "(ADVICE r16)") {

@@ -643,6 +643,57 @@ class PropertySpec extends SparkSpec {
     assert(top == Set("gamma", "novel"))
   }
 
+  test("unigramDrift counts path: raw-text and precomputed-counts " +
+      "entry points are bit-identical — the monitoring loop never " +
+      "re-scans the reference text (ADVICE r17)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Curation
+    val a = (1L to 30L).map(i => (i, s"alpha beta w${i % 7} gamma"))
+      .toDF("doc_id", "text")
+    val b = (1L to 25L).map(i => (i, s"alpha NOVEL w${i % 4}"))
+      .toDF("doc_id", "text")
+    val raw = Curation.unigramDrift(a, b, "text").collect()(0)
+    val viaCounts = Curation.unigramDriftFromCounts(
+      Curation.unigramCounts(a, "text"),
+      Curation.unigramCounts(b, "text")).collect()(0)
+    Seq("n_a", "n_b", "v_union", "kl_u").foreach(c =>
+      assert(raw.getAs[Long](c) == viaCounts.getAs[Long](c), c))
+    assert(raw.getAs[Double]("kl") == viaCounts.getAs[Double]("kl"))
+    val rawTerms = Curation.unigramDriftTerms(a, b, "text")
+      .orderBy(col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val countTerms = Curation.unigramDriftTermsFromCounts(
+        Curation.unigramCounts(a, "text"),
+        Curation.unigramCounts(b, "text"))
+      .orderBy(col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rawTerms.toSeq == countTerms.toSeq)
+  }
+
+  test("shardByCost: a negative cost fails loudly instead of " +
+      "silently corrupting the prefix-sum shard assignment " +
+      "(ADVICE r17)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val ok = (1L to 40L).map(i => (i, i % 7 + 1)).toDF("id", "cost")
+    // clean costs keep working (the guard rides the projection)
+    assert(Packing.shardByCost(ok, "id", "cost", budget = 20L)
+      .count() == 40L)
+    val badRows = ok.union(Seq((99L, -3L)).toDF("id", "cost"))
+    val e = intercept[Exception] {
+      Packing.shardByCost(badRows, "id", "cost", budget = 20L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative or null cost")))
+  }
+
   test("fimTransform: PSM parts reassemble to the original document, " +
       "selection is the hash gate, rate 0/1 edges, empty/null text") {
     val s = spark

@@ -684,4 +684,55 @@ class StreamingSpec extends SparkSpec {
     assert(Similarity.loadIvfIndex(s, dir).assigned
       .filter(col("cand_id") === streamed.last._1).count() == 1)
   }
+
+  test("streaming drift sink: the raw-text and precomputed-counts " +
+      "entry points report identically, and both match the batch " +
+      "operator per micro-batch (ADVICE r17 — the reference text is " +
+      "tokenized once, not per batch)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Curation
+    val ref = (1L to 50L).map(i => (i, s"alpha beta w${i % 9} gamma"))
+      .toDF("doc_id", "text")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      (1L to 20L).map(i => (i, s"alpha w${i % 3} delta")),
+      (21L to 35L).map(i => (i, s"NOVEL beta w${i % 5}")))
+    def run(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row],
+            sink: scala.collection.mutable.ArrayBuffer[
+              org.apache.spark.sql.Row]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = mk(mem.toDF().toDF("doc_id", "text")).start()
+      batches.foreach { c =>
+        mem.addData(c: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    val viaText = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    run(df => Streams.driftSink(df, "text", ref, "text") { rep =>
+      viaText ++= rep.collect() }, viaText)
+    val refCounts = Curation.unigramCounts(ref, "text")
+    val viaCounts = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    run(df => Streams.driftSinkCounts(df, "text", refCounts) { rep =>
+      viaCounts ++= rep.collect() }, viaCounts)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("batch_id"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("v_union"),
+        r.getAs[Long]("kl_u"), r.getAs[Double]("kl"))
+    assert(viaText.map(key).sortBy(_._1) ==
+      viaCounts.map(key).sortBy(_._1))
+    // each batch's report equals the batch operator run offline
+    batches.zipWithIndex.foreach { case (c, i) =>
+      val want = Curation.unigramDrift(c.toDF("doc_id", "text"), ref,
+        "text").collect()(0)
+      val got = viaText.sortBy(_.getAs[Long]("batch_id")).apply(i)
+      assert(got.getAs[Long]("kl_u") == want.getAs[Long]("kl_u") &&
+        got.getAs[Double]("kl") == want.getAs[Double]("kl"), s"batch $i")
+    }
+  }
 }
