@@ -133,7 +133,10 @@ object Bench {
     "q_dpo_audit", "q_tool_args", "q_fim", "q_mm_shards",
     "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
     "q_doremi", "q_attrition", "q_dedup_soft", "q_para_chunks",
-    "q_doremi_plan", "q_chat_quality", "q_rft_tool_windows")
+    "q_doremi_plan", "q_chat_quality", "q_rft_tool_windows",
+    // r18: the triage/type tiers ride the tool-trace curve; the
+    // soft-mix capstone rides the dedup-chain curve like q_dedup_soft
+    "q_tool_attrition", "q_tool_arg_types", "q_dedup_soft_mix")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -214,11 +217,17 @@ object Bench {
       Set("ArrayForAll", "ArraySort", "ArrayTransform", "JsonToStructs"),
     "q_chat_tool_fit" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
-    "q_tool_stats" -> Set("JsonToStructs"),
+    // toolTurns' flat/nested call normalization (ADVICE r17) is an
+    // ArrayTransform over the per-turn call list in EVERY tool gate
+    "q_tool_stats" -> Set("ArrayTransform", "JsonToStructs"),
+    // triage replays the validator's per-turn call checks (forall) +
+    // the normalization transform on the same parse
+    "q_tool_attrition" ->
+      Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
     // refusal-phrase matching shingles each assistant turn's content
     // (per-row small arrays, the q_curate_badwords class)
     "q_chat_quality" -> Set("ArrayTransform"),
-    "q_tool_args" -> Set("JsonToStructs"),
+    "q_tool_args" -> Set("ArrayTransform", "JsonToStructs"),
     // the tool capstone adds the BPE expr-chain segmentation HOFs, as
     // in q_sft_windows
     "q_sft_tool_windows" ->
