@@ -134,9 +134,11 @@ object Bench {
     "q_classifier_eval", "q_unigram_drift", "q_drift_tokens",
     "q_doremi", "q_attrition", "q_dedup_soft", "q_para_chunks",
     "q_doremi_plan", "q_chat_quality", "q_rft_tool_windows",
-    // r18: the triage/type tiers ride the tool-trace curve; the
-    // soft-mix capstone rides the dedup-chain curve like q_dedup_soft
-    "q_tool_attrition", "q_tool_arg_types", "q_dedup_soft_mix")
+    // r18: the triage/type/inference/chain tiers ride the tool-trace
+    // curve; the soft-mix capstone rides the dedup-chain curve like
+    // q_dedup_soft
+    "q_tool_attrition", "q_tool_arg_types", "q_dedup_soft_mix",
+    "q_tool_contract", "q_tool_chains")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -228,6 +230,8 @@ object Bench {
     // (per-row small arrays, the q_curate_badwords class)
     "q_chat_quality" -> Set("ArrayTransform"),
     "q_tool_args" -> Set("ArrayTransform", "JsonToStructs"),
+    // chains: the tool parse + normalization transform only
+    "q_tool_chains" -> Set("ArrayTransform", "JsonToStructs"),
     // the tool capstone adds the BPE expr-chain segmentation HOFs, as
     // in q_sft_windows
     "q_sft_tool_windows" ->

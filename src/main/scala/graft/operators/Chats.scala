@@ -914,6 +914,24 @@ object Chats {
     * types_ok). ONE explode + one codegen-built projection (the
     * contract unrolls into literal-path expressions — no join, no
     * extra shuffle). */
+  /** `schema_of_variant`'s DDL string canonicalized to the six JSON
+    * type names (every int/decimal/double width is `number`; a SQL
+    * null — absent key / unparseable document — reads `missing`).
+    * The cross-engine contract: DuckDB's `json_type` values map onto
+    * the same six names. */
+  private def canonicalVariantType(c: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    when(c.isNull, lit("missing"))
+      .when(c === "STRING", lit("string"))
+      .when(c === "BOOLEAN", lit("boolean"))
+      .when(c === "VOID", lit("null"))
+      .when(c.startsWith("OBJECT"), lit("object"))
+      .when(c.startsWith("ARRAY"), lit("array"))
+      .when(c.startsWith("DECIMAL") ||
+        c.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT",
+          "TINYINT"), lit("number"))
+      .otherwise(lit("other"))
+
   def toolArgTypes(toolTurnsDf: DataFrame, idCol: String,
                    contract: Map[String, Seq[(String, String)]])
   : DataFrame = {
@@ -928,18 +946,7 @@ object Chats {
       }
     }
     val emptyBad = array().cast("array<string>")
-    def canonical(c: org.apache.spark.sql.Column)
-    : org.apache.spark.sql.Column =
-      when(c.isNull, lit("missing"))
-        .when(c === "STRING", lit("string"))
-        .when(c === "BOOLEAN", lit("boolean"))
-        .when(c === "VOID", lit("null"))
-        .when(c.startsWith("OBJECT"), lit("object"))
-        .when(c.startsWith("ARRAY"), lit("array"))
-        .when(c.startsWith("DECIMAL") ||
-          c.isin("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT",
-            "TINYINT"), lit("number"))
-        .otherwise(lit("other"))
+    val canonical = canonicalVariantType _
     val v = try_parse_json(col("__args"))
     def actualOf(key: String) =
       when(v.isNull, lit("unparseable"))
@@ -971,6 +978,101 @@ object Chats {
       .withColumn("types_ok", size(col("bad")) === 0)
       .select(col(idCol), col("turn_idx"), col("call_id"),
         col("tool_name"), col("bad"), col("types_ok"))
+  }
+
+  /** CONTRACT INFERENCE — the discovery twin of [[toolArgTypes]]:
+    * given a raw trace corpus, recover per tool what its de-facto
+    * argument contract IS — per (tool, key), how often the key
+    * appears among the tool's parseable OBJECT arguments
+    * (`presence`), the MAJORITY observed JSON type (`major_type`,
+    * ties broken (count desc, type asc)), the majority's share
+    * (`type_frac`), and `required` = presence ≥ `minPresence`. Run
+    * it on a healthy corpus, feed the (key, major_type) rows of the
+    * required keys straight into [[toolArgTypes]] to audit the next
+    * drop — contract drift surfaces as falling presence or a
+    * majority-type flip. Types probe per observed key via dynamic
+    * variant paths (`$.key` — keys that aren't plain identifiers
+    * still count toward presence but read type `missing`).
+    * Denominators: `n_calls` = all declared calls of the tool,
+    * `n_objects` = those whose arguments parse as a JSON object.
+    * One explode of calls + one explode of observed keys + keyed
+    * aggs + a (tool, key)-keyed top-1 window (partitions are
+    * vocabulary-sized) + one broadcast join of the tool-sized
+    * totals. */
+  def toolContractInfer(toolTurnsDf: DataFrame, idCol: String,
+                        minPresence: Double = 0.95): DataFrame = {
+    require(minPresence >= 0 && minPresence <= 1,
+      s"minPresence $minPresence not in [0,1]")
+    val calls = toolTurnsDf.filter(col("tool_calls").isNotNull)
+      .select(explode(col("tool_calls")).as("__c"))
+      .select(col("__c")("name").as("tool_name"),
+        col("__c")("arguments").as("__args"))
+      .withColumn("__keys", json_object_keys(col("__args")))
+    val totals = calls.groupBy(col("tool_name"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(col("__keys").isNotNull.cast("long")).as("n_objects"))
+    val perKey = calls.filter(col("__keys").isNotNull)
+      .select(col("tool_name"), explode(col("__keys")).as("key"),
+        col("__args"))
+      .withColumn("__t", canonicalVariantType(schema_of_variant(
+        try_variant_get(try_parse_json(col("__args")),
+          concat(lit("$."), col("key")), "variant"))))
+    val typed = perKey
+      .groupBy(col("tool_name"), col("key"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tool_name"), col("key"))
+      .orderBy(col("__n").desc, col("__t"))
+    val major = typed.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("tool_name"), col("key"),
+        col("__t").as("major_type"), col("__n"))
+    val keyCounts = perKey.groupBy(col("tool_name"), col("key"))
+      .agg(count(lit(1)).as("n_with_key"))
+    keyCounts.join(major, Seq("tool_name", "key"))
+      .join(broadcast(totals), "tool_name")
+      .withColumn("presence", round(col("n_with_key").cast("double") /
+        col("n_objects"), 6))
+      .withColumn("type_frac", round(col("__n").cast("double") /
+        col("n_with_key"), 6))
+      .withColumn("required", col("presence") >= minPresence)
+      .select(col("tool_name"), col("key"), col("n_calls"),
+        col("n_objects"), col("n_with_key"), col("presence"),
+        col("major_type"), col("type_frac"), col("required"))
+  }
+
+  /** TOOL-CHAIN transitions — the Markov view of agentic behavior:
+    * per conversation the declared tool names form a sequence in
+    * (turn, declaration-position) order; emit every (src → dst)
+    * transition count with `__start`/`__end` sentinels (so "which
+    * tool opens", "which tool is terminal", and "search→fetch vs
+    * fetch→search" all read off one frame — the card an agent-data
+    * release publishes next to [[toolStats]]). Returns (src, dst,
+    * n, n_convs). One posexplode + one lag window on the
+    * conversation key + one keyed agg. */
+  def toolChains(toolTurnsDf: DataFrame, idCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val calls = toolTurnsDf.filter(col("tool_calls").isNotNull)
+      .select(col(idCol), col("turn_idx"),
+        posexplode(col("tool_calls")).as(Seq("__p", "__c")))
+      .select(col(idCol), col("turn_idx"), col("__p"),
+        col("__c")("name").as("__tool"))
+    val wOrd = W.partitionBy(col(idCol))
+      .orderBy(col("turn_idx"), col("__p"))
+    val wDesc = W.partitionBy(col(idCol))
+      .orderBy(col("turn_idx").desc, col("__p").desc)
+    val seqd = calls
+      .withColumn("__src",
+        coalesce(lag(col("__tool"), 1).over(wOrd), lit("__start")))
+      .withColumn("__last", row_number().over(wDesc) === 1)
+    val trans = seqd.select(col("__src").as("src"),
+        col("__tool").as("dst"), col(idCol))
+      .unionAll(seqd.filter(col("__last"))
+        .select(col("__tool").as("src"), lit("__end").as("dst"),
+          col(idCol)))
+    trans.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("n_convs"))
   }
 
   /** TOOL-USAGE data card — per tool name across a trace corpus: how

@@ -3193,6 +3193,150 @@ object TrainingQueries {
         FROM bd ORDER BY doc_id"""
       }),
 
+    // Contract INFERENCE (r18 — the discovery twin of
+    // q_tool_arg_types, over the SAME six call shapes): per
+    // (tool, key) the presence fraction among parseable object
+    // arguments, the majority observed JSON type with its share, and
+    // the inferred `required` verdict. fetch.k reads number-majority
+    // (int + decimal shapes outvote the string shape), fetch.url
+    // splits string-vs-number and sits below the 0.95 presence bar
+    // (the {"k":1.5} shape omits it), search.q and mail.to infer
+    // required string. The oracle replays key extraction, dynamic-
+    // path type probing, majority tie-break, and both rounded
+    // fractions.
+    Q("q_tool_contract",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val s5 = substring(ct, 3, 5)
+        val num = (did % 100).cast("string")
+        val args = when(did % 6 === 0,
+            concat(lit("{\"q\":\""), s5, lit("\"}")))
+          .when(did % 6 === 1, concat(lit("{\"k\":"), num,
+            lit(",\"url\":\""), s5, lit("\"}")))
+          .when(did % 6 === 2, concat(lit("{\"k\":\""), s5,
+            lit("\",\"url\":"), num, lit("}")))
+          .when(did % 6 === 3, lit("{\"k\":1.5}"))
+          .when(did % 6 === 4, lit("{oops"))
+          .otherwise(concat(lit("{\"to\":\""), s5, lit("\"}")))
+        val tool = when(did % 6 === 5, lit("mail"))
+          .when(did % 6 === 4 || did % 6 === 0, lit("search"))
+          .otherwise(lit("fetch"))
+        val turns = Tables.documents(s, d).select(did,
+          lit(1L).as("turn_idx"), lit("assistant").as("role"),
+          lit(null).cast("string").as("content"),
+          array(struct(concat(lit("c"), did.cast("string")).as("id"),
+            tool.as("name"), args.as("arguments"))).as("tool_calls"),
+          lit(null).cast("string").as("tool_call_id"))
+        Chats.toolContractInfer(turns, "doc_id", minPresence = 0.95)
+          .orderBy(col("tool_name"), col("key"))
+      },
+      Some {
+        def canon(t: String) =
+          s"""CASE WHEN $t IS NULL THEN 'missing'
+            WHEN $t = 'VARCHAR' THEN 'string'
+            WHEN $t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+            WHEN $t = 'BOOLEAN' THEN 'boolean'
+            WHEN $t = 'OBJECT' THEN 'object'
+            WHEN $t = 'ARRAY' THEN 'array'
+            WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
+        s"""WITH b AS (SELECT doc_id, doc_id % 6 AS k,
+            regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+          FROM documents),
+        p AS (SELECT doc_id, k, substr(ct, 3, 5) AS s5,
+            CAST(doc_id % 100 AS VARCHAR) AS num FROM b),
+        c AS (SELECT doc_id,
+            CASE WHEN k = 5 THEN 'mail'
+              WHEN k IN (0, 4) THEN 'search'
+              ELSE 'fetch' END AS tool_name,
+            CASE WHEN k = 0 THEN '{"q":"' || s5 || '"}'
+              WHEN k = 1 THEN '{"k":' || num || ',"url":"' || s5
+                || '"}'
+              WHEN k = 2 THEN '{"k":"' || s5 || '","url":' || num
+                || '}'
+              WHEN k = 3 THEN '{"k":1.5}'
+              WHEN k = 4 THEN '{oops'
+              ELSE '{"to":"' || s5 || '"}' END AS args
+          FROM p),
+        va AS (SELECT tool_name,
+            CASE WHEN json_valid(args) THEN args END AS vargs
+          FROM c),
+        ob AS (SELECT tool_name, vargs,
+            CASE WHEN json_type(vargs) = 'OBJECT'
+              THEN CAST(json_keys(vargs) AS VARCHAR[]) END AS keys
+          FROM va),
+        tot AS (SELECT tool_name,
+            CAST(COUNT(*) AS BIGINT) AS n_calls,
+            CAST(SUM(CASE WHEN keys IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_objects
+          FROM ob GROUP BY 1),
+        pk AS (SELECT tool_name, unnest(keys) AS key, vargs
+          FROM ob WHERE keys IS NOT NULL),
+        pt AS (SELECT tool_name, key,
+            ${canon("json_type(vargs, '$.' || key)")} AS t
+          FROM pk),
+        tc AS (SELECT tool_name, key, t, COUNT(*) AS n
+          FROM pt GROUP BY 1, 2, 3),
+        mj AS (SELECT tool_name, key, t AS major_type, n,
+            row_number() OVER (PARTITION BY tool_name, key
+              ORDER BY n DESC, t) AS r
+          FROM tc),
+        kc AS (SELECT tool_name, key,
+            CAST(COUNT(*) AS BIGINT) AS n_with_key
+          FROM pt GROUP BY 1, 2)
+        SELECT kc.tool_name, kc.key, tot.n_calls, tot.n_objects,
+          kc.n_with_key,
+          ROUND(CAST(kc.n_with_key AS DOUBLE) / tot.n_objects, 6)
+            AS presence,
+          mj.major_type,
+          ROUND(CAST(mj.n AS DOUBLE) / kc.n_with_key, 6)
+            AS type_frac,
+          (ROUND(CAST(kc.n_with_key AS DOUBLE) / tot.n_objects, 6)
+            >= 0.95) AS required
+        FROM kc
+        JOIN mj ON mj.tool_name = kc.tool_name AND mj.key = kc.key
+          AND mj.r = 1
+        JOIN tot ON tot.tool_name = kc.tool_name
+        ORDER BY kc.tool_name, kc.key"""
+      }),
+
+    // Tool-CHAIN transitions (r18 — the Markov card next to
+    // q_tool_stats): per conversation the declared tool names in
+    // (turn, declaration-position) order, every (src → dst)
+    // transition counted with __start/__end sentinels. Over the five
+    // synthesized shapes: __start→search (4 classes), search→fetch
+    // (the two-call class — declaration order, though its ANSWERS
+    // arrive reversed), search→__end, fetch→__end. The oracle
+    // replays the zip-unnest, the lag window, and the end markers.
+    Q("q_tool_chains",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        Chats.toolChains(Chats.toolTurns(docs, "chat", "doc_id"),
+            "doc_id")
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(s"""WITH $toolTraceSql,
+        cc AS (SELECT doc_id, turn_idx,
+            unnest(range(len(calls))) AS p,
+            unnest([c.nm FOR c IN calls]) AS tool_name
+          FROM tt WHERE calls IS NOT NULL),
+        sq AS (SELECT doc_id, tool_name,
+            COALESCE(lag(tool_name) OVER (PARTITION BY doc_id
+              ORDER BY turn_idx, p), '__start') AS src,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY turn_idx DESC, p DESC) AS rn
+          FROM cc),
+        tr AS (SELECT src, tool_name AS dst, doc_id FROM sq
+          UNION ALL
+          SELECT tool_name, '__end', doc_id FROM sq WHERE rn = 1)
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_convs
+        FROM tr GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Tool-usage data card (r17): per tool name — call counts,
     // conversations using it, answered-call counts, mean argument and
     // result payload sizes. Runs over the RAW parsed corpus (all five

@@ -739,6 +739,82 @@ class ChatsSpec extends SparkSpec {
     }
   }
 
+  test("toolContractInfer: presence over object-parsed calls only, " +
+      "majority type with deterministic tie-break, required at the " +
+      "threshold; feeds toolArgTypes") {
+    def asst(calls: String*) = toolChat(Seq(
+      m("user", "u"),
+      m("assistant", "a", s""","tool_calls":[${calls.mkString(",")}]"""),
+      m("assistant", "done")).mkString(","))
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> asst(call("c1", "fetch", """{\"k\":5,\"url\":\"u\"}""")),
+      2L -> asst(call("c2", "fetch", """{\"k\":7,\"url\":\"v\"}""")),
+      3L -> asst(call("c3", "fetch", """{\"k\":\"s\"}""")), // k flips
+      4L -> asst(call("c4", "fetch", "{oops")), // not an object
+      5L -> asst(call("c5", "mail", """{\"to\":\"x\"}""")))
+    val got = Chats.toolContractInfer(
+        Chats.toolTurns(chats(rows), "chat", "id"), "id",
+        minPresence = 0.95)
+      .orderBy(col("tool_name"), col("key")).collect()
+      .map(r => (r.getAs[String]("tool_name"), r.getAs[String]("key"),
+        r.getAs[Long]("n_calls"), r.getAs[Long]("n_objects"),
+        r.getAs[Long]("n_with_key"), r.getAs[Double]("presence"),
+        r.getAs[String]("major_type"), r.getAs[Double]("type_frac"),
+        r.getAs[Boolean]("required")))
+    // fetch: 4 calls, 3 parse as objects; k in all 3 (number 2/3),
+    // url in 2 of 3 → presence 0.666667 < 0.95
+    assert(got.toSeq == Seq(
+      ("fetch", "k", 4L, 3L, 3L, 1.0, "number", 0.666667, true),
+      ("fetch", "url", 4L, 3L, 2L, 0.666667, "string", 1.0, false),
+      ("mail", "to", 1L, 1L, 1L, 1.0, "string", 1.0, true)))
+    // a 50/50 type split breaks ties alphabetically (count desc, type
+    // asc): number vs string → 'number'
+    val tie = Chats.toolContractInfer(Chats.toolTurns(chats(Seq(
+        1L -> asst(call("c1", "fetch", """{\"k\":5}""")),
+        2L -> asst(call("c2", "fetch", """{\"k\":\"s\"}""")))),
+      "chat", "id"), "id")
+      .collect()(0)
+    assert(tie.getAs[String]("major_type") == "number" &&
+      tie.getAs[Double]("type_frac") == 0.5)
+    // the inferred required rows audit clean through toolArgTypes on
+    // the conforming corpus rows
+    val inferred = got.filter(_._9).groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._7).toSeq).toMap
+    val audited = Chats.toolArgTypes(
+        Chats.toolTurns(chats(rows.take(2)), "chat", "id"), "id",
+        inferred)
+      .collect().map(_.getAs[Boolean]("types_ok"))
+    assert(audited.forall(identity))
+  }
+
+  test("toolChains: (turn, declaration-position) order with " +
+      "__start/__end sentinels — declaration order, not answer order") {
+    val argsOk = """{\"q\":\"x\"}"""
+    val two = toolChat(Seq(
+      m("user", "u"),
+      m("assistant", "a", s""","tool_calls":[${call("c1", "search",
+        argsOk)},${call("c2", "fetch", argsOk)}]"""),
+      // answers arrive REVERSED — chains must still read declaration
+      m("tool", "r2", ""","tool_call_id":"c2""""),
+      m("tool", "r1", ""","tool_call_id":"c1""""),
+      m("assistant", "", s""","tool_calls":[${call("c3", "search",
+        argsOk)}]"""),
+      m("tool", "r3", ""","tool_call_id":"c3""""),
+      m("assistant", "done")).mkString(","))
+    val plain = toolChat(m("user", "u") + "," + m("assistant", "a"))
+    val got = Chats.toolChains(
+        Chats.toolTurns(chats(Seq(1L -> two, 2L -> plain)), "chat",
+          "id"), "id")
+      .orderBy(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("__start", "search", 1L, 1L),
+      ("fetch", "search", 1L, 1L),
+      ("search", "__end", 1L, 1L),
+      ("search", "fetch", 1L, 1L)))
+  }
+
   test("groupAdvantage: a constant group with FRACTIONAL scores is " +
       "detected structurally — exact 0.0, not double-cast noise " +
       "(ADVICE r16)") {
