@@ -138,7 +138,10 @@ object Bench {
     // curve; the soft-mix capstone rides the dedup-chain curve like
     // q_dedup_soft
     "q_tool_attrition", "q_tool_arg_types", "q_dedup_soft_mix",
-    "q_tool_contract", "q_tool_chains")
+    "q_tool_contract", "q_tool_chains",
+    // r18 wave 2: tree flattening (forest count scales with corpus),
+    // the PR-curve reduction, the padding card
+    "q_tree_paths", "q_pr_curve", "q_padding_waste")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted

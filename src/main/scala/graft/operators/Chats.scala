@@ -980,6 +980,70 @@ object Chats {
         col("tool_name"), col("bad"), col("types_ok"))
   }
 
+  /** Conversation-TREE flattening — branched chat exports (regenerated
+    * answers, edited prompts: ShareGPT/LMSYS-style trees where a
+    * message may have SIBLINGS) become one LINEAR conversation per
+    * LEAF: the root→leaf path, root first. Input is one row per
+    * message node with an id column and a nullable parent column
+    * (both integral — cast to long internally); every other column
+    * rides through. Output adds (`conv_id` = the leaf's node id,
+    * `turn_idx` = 0-based depth) — feed straight into the
+    * [[turnSpans]]/[[packWithMask]] stack (each path is a normal
+    * conversation; shared prefixes duplicate across sibling paths by
+    * design — dedupe with [[dedupeByPrompt]] downstream if the
+    * training recipe wants one path per branch point).
+    *
+    * Scale shape: POINTER DOUBLING on the parent pointers — each
+    * round joins the state to itself (anc ← anc's anc, path segments
+    * concatenate), so a depth-d tree resolves in O(log d) equi-joins,
+    * never a per-level driver loop over a deep thread; per-round
+    * localCheckpoint truncates lineage exactly like
+    * [[graft.operators.Dedup.clusters]]. Leaves come from one
+    * anti-join against the distinct parent set; the final explode is
+    * one posexplode + one id-keyed join back to the node payload. A
+    * dangling parent id truncates that path at the dangler (treated
+    * as a root); a parent CYCLE fails loudly after `maxIter`
+    * rounds. */
+  def treePaths(nodes: DataFrame, idCol: String, parentCol: String,
+                maxIter: Int = 40): DataFrame = {
+    val emptyPath = array().cast("array<bigint>")
+    val base = nodes.select(col(idCol).cast("long").as("__id"),
+      col(parentCol).cast("long").as("__anc"))
+    var state = base.withColumn("__path",
+      when(col("__anc").isNotNull, array(col("__anc")))
+        .otherwise(emptyPath))
+    var remaining = 1L
+    var i = 0
+    while (remaining > 0 && i < maxIter) {
+      val a = state.select(col("__id").as("__aid"),
+        col("__anc").as("__aanc"), col("__path").as("__apath"))
+      state = Checkpoints.eager(
+        state.join(a, col("__anc") === col("__aid"), "left")
+          .select(col("__id"),
+            when(col("__anc").isNull, lit(null).cast("long"))
+              .otherwise(col("__aanc")).as("__anc"),
+            when(col("__anc").isNull, col("__path"))
+              .otherwise(concat(coalesce(col("__apath"), emptyPath),
+                col("__path"))).as("__path")))
+      remaining = state.filter(col("__anc").isNotNull).limit(1).count()
+      i += 1
+    }
+    require(remaining == 0,
+      s"treePaths: parent chain unresolved after $maxIter doubling " +
+        "rounds — a parent cycle, or depth beyond 2^maxIter")
+    val parents = base.filter(col("__anc").isNotNull)
+      .select(col("__anc").as("__pid")).distinct()
+    val leaves = base.select(col("__id"))
+      .join(parents, col("__id") === col("__pid"), "left_anti")
+    state.join(leaves, "__id")
+      .select(col("__id").as("conv_id"),
+        posexplode(concat(col("__path"), array(col("__id"))))
+          .as(Seq("turn_idx", "__node")))
+      .join(nodes, col("__node") === nodes(idCol))
+      .drop("__node")
+      .withColumn("turn_idx", col("turn_idx").cast("long"))
+  }
+
   /** CONTRACT INFERENCE — the discovery twin of [[toolArgTypes]]:
     * given a raw trace corpus, recover per tool what its de-facto
     * argument contract IS — per (tool, key), how often the key

@@ -192,4 +192,49 @@ object Classifier {
           .otherwise(round(lit(2.0) * col("tp") /
             (col("n_pred") + col("n_gold")), 6)))
   }
+
+  /** PRECISION-RECALL CURVE over a SCORED frame — the threshold-sweep
+    * card behind "route everything the quality classifier scores
+    * above t": one point per DISTINCT score, with tp/fp cumulative
+    * over the `score ≥ threshold` prefix (threshold semantics make
+    * within-score ordering irrelevant — every row at a score is in or
+    * out together). Emits (threshold, n_ge, tp, fp, precision,
+    * recall, f1 — 6 dp; recall null when the frame has no positives).
+    *
+    * Scale shape — the point of this formulation: the corpus reduces
+    * FIRST (one keyed agg to |distinct scores| rows: per-score n and
+    * tp), and only the threshold-sized frame enters the unpartitioned
+    * cumulative window — a classifier emits thousands of distinct
+    * scores, not billions, so the single-partition window is bounded
+    * by the score vocabulary, never by the corpus. A per-ROW sweep
+    * (window over the raw frame) would be a corpus-sized single
+    * partition — the anti-pattern this avoids. */
+  def prCurve(df: DataFrame, goldCol: String, scoreCol: String)
+  : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perScore = df.groupBy(col(scoreCol).cast("double")
+        .as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(goldCol).cast("long")).as("__tp"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    perScore
+      .withColumn("n_ge", sum(col("__n")).over(w))
+      .withColumn("tp", sum(col("__tp")).over(w))
+      .withColumn("__pos", sum(col("__tp")).over(wAll))
+      .withColumn("fp", col("n_ge") - col("tp"))
+      .withColumn("precision",
+        round(col("tp").cast("double") / col("n_ge"), 6))
+      .withColumn("recall",
+        when(col("__pos") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") / col("__pos"),
+            6)))
+      .withColumn("f1",
+        when(col("tp") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (col("n_ge") + col("__pos")), 6)))
+      .select(col("threshold"), col("n_ge"), col("tp"), col("fp"),
+        col("precision"), col("recall"), col("f1"))
+  }
 }

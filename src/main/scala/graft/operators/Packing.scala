@@ -141,6 +141,46 @@ object Packing {
         col("start_chunk").as("shard"))
   }
 
+  /** LENGTH-BUCKET PADDING report — the training-efficiency card
+    * behind "what bucket boundaries should the loader pad to?":
+    * given ascending candidate boundaries, each document lands in the
+    * smallest bucket that fits it (documents longer than the largest
+    * boundary land in bucket −1, reported as TRUNCATED tokens rather
+    * than padding). Per bucket: document count, real token sum, the
+    * padded capacity (boundary · n), the padding waste and its
+    * fraction (6 dp; truncation tokens for the overflow row). A
+    * sorted-batching loader reads this card to choose boundaries that
+    * cap `waste_frac`. One codegen CASE projection + one keyed agg —
+    * no shuffle beyond |buckets|+1 groups. */
+  def paddingWaste(df: DataFrame, lenCol: String, buckets: Seq[Long])
+  : DataFrame = {
+    require(buckets.nonEmpty, "need at least one bucket boundary")
+    require(buckets == buckets.sorted && buckets.distinct == buckets,
+      s"boundaries must be ascending and distinct: $buckets")
+    require(buckets.head > 0, "boundaries must be positive")
+    val len = col(lenCol).cast("long")
+    val bucket = buckets.reverse.foldLeft(lit(-1L)) { (els, b) =>
+      when(len <= b, lit(b)).otherwise(els)
+    }
+    val maxB = buckets.last
+    df.select(bucket.as("bucket"), len.as("__len"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("capacity",
+        when(col("bucket") === -1L, col("n_docs") * maxB)
+          .otherwise(col("bucket") * col("n_docs")))
+      .withColumn("waste",
+        when(col("bucket") === -1L, lit(0L))
+          .otherwise(col("capacity") - col("sum_len")))
+      .withColumn("truncated",
+        when(col("bucket") === -1L, col("sum_len") - col("capacity"))
+          .otherwise(lit(0L)))
+      .withColumn("waste_frac",
+        round(col("waste").cast("double") /
+          greatest(col("capacity"), lit(1L)), 6))
+  }
+
   /** Write the corpus as token-budget shards: parquet partitioned by
     * `shard=`, one directory per ≈`budget`-token shard. The corpus
     * shuffles once into shard key (so each shard writes contiguously),

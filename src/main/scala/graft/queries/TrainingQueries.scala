@@ -3337,6 +3337,131 @@ object TrainingQueries {
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_convs
         FROM tr GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Conversation-TREE flattening (r18 — branched exports with
+    // regenerated answers): each 4-node synthesized tree (root user →
+    // two sibling assistant regens, one carrying a user follow-up)
+    // flattens to one linear conversation per LEAF via pointer-
+    // doubling on the parent pointers. Leaves are the follow-up
+    // (path length 3) and the sibling regen (path length 2); the
+    // shared root duplicates across both paths BY DESIGN. The oracle
+    // re-walks the forest with a recursive CTE from the roots and
+    // zips each leaf path with its ordinality.
+    Q("q_tree_paths",
+      (s, d) => {
+        import graft.operators.Chats
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val parent = when(did % 4 === 0, lit(null).cast("long"))
+          .when(did % 4 === 1, did - 1)
+          .otherwise(did - 2)
+        val role = when(did % 4 === 1 || did % 4 === 2,
+          lit("assistant")).otherwise(lit("user"))
+        val nodes = Tables.documents(s, d).select(
+          did.as("node_id"), parent.as("parent_id"), role.as("role"),
+          ct.substr(lit(1) + (did % 4 * 3).cast("int"), lit(10))
+            .as("content"))
+        Chats.treePaths(nodes, "node_id", "parent_id")
+          .select(col("conv_id"), col("turn_idx"), col("node_id"),
+            col("role"), col("content"))
+          .orderBy(col("conv_id"), col("turn_idx"))
+      },
+      Some(s"""WITH RECURSIVE nd AS (SELECT doc_id AS id,
+            CASE WHEN doc_id % 4 = 0 THEN NULL
+              WHEN doc_id % 4 = 1 THEN doc_id - 1
+              ELSE doc_id - 2 END AS parent,
+            CASE WHEN doc_id % 4 IN (1, 2) THEN 'assistant'
+              ELSE 'user' END AS role,
+            substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+              CAST(1 + (doc_id % 4) * 3 AS BIGINT), 10) AS content
+          FROM documents),
+        walk AS (
+          SELECT id, [id] AS path FROM nd WHERE parent IS NULL
+          UNION ALL
+          SELECT nd.id, array_append(walk.path, nd.id)
+          FROM walk JOIN nd ON nd.parent = walk.id),
+        lv AS (SELECT id, path FROM walk
+          WHERE id NOT IN (SELECT parent FROM nd
+            WHERE parent IS NOT NULL)),
+        ex AS (SELECT id AS conv_id,
+            unnest(range(len(path))) AS turn_idx,
+            unnest(path) AS node_id
+          FROM lv)
+        SELECT ex.conv_id, CAST(ex.turn_idx AS BIGINT) AS turn_idx,
+          ex.node_id, nd.role, nd.content
+        FROM ex JOIN nd ON nd.id = ex.node_id
+        ORDER BY conv_id, turn_idx""")),
+
+    // Precision-recall CURVE (r18 — the threshold-sweep card behind
+    // "route everything the quality classifier scores above t"): the
+    // corpus reduces FIRST to per-distinct-score (n, tp) rows, and
+    // only that threshold-sized frame enters the cumulative window —
+    // never a corpus-sized single partition. Scores take 101 distinct
+    // values with ties; gold ≈ every third doc. The oracle replays
+    // the per-score agg, the descending cumulative sums, and all
+    // three rounded ratios.
+    Q("q_pr_curve",
+      (s, d) => graft.operators.Classifier.prCurve(
+          Tables.documents(s, d).select(
+            (col("doc_id") % 3 === 0).as("gold"),
+            ((col("doc_id") * 7 % 101).cast("double") / 100.0)
+              .as("score")),
+          "gold", "score")
+        .orderBy(col("threshold").desc),
+      Some("""WITH sc AS (SELECT (doc_id % 3 = 0) AS gold,
+            CAST((doc_id * 7) % 101 AS DOUBLE) / 100.0 AS threshold
+          FROM documents),
+        ps AS (SELECT threshold, COUNT(*) AS n,
+            SUM(CASE WHEN gold THEN 1 ELSE 0 END) AS tp0
+          FROM sc GROUP BY 1),
+        cm AS (SELECT threshold,
+            CAST(SUM(n) OVER w AS BIGINT) AS n_ge,
+            CAST(SUM(tp0) OVER w AS BIGINT) AS tp,
+            CAST(SUM(tp0) OVER () AS BIGINT) AS pos
+          FROM ps WINDOW w AS (ORDER BY threshold DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT threshold, n_ge, tp, n_ge - tp AS fp,
+          ROUND(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
+          CASE WHEN pos = 0 THEN NULL
+            ELSE ROUND(CAST(tp AS DOUBLE) / pos, 6) END AS recall,
+          CASE WHEN tp = 0 THEN 0.0
+            ELSE ROUND(2.0 * tp / (n_ge + pos), 6) END AS f1
+        FROM cm ORDER BY threshold DESC""")),
+
+    // Length-bucket PADDING report (r18 — "what boundaries should the
+    // loader pad to?"): docs land in the smallest bucket that fits,
+    // oversized docs land in the -1 overflow row as TRUNCATED tokens.
+    // The oracle replays the bucket CASE and every aggregate.
+    Q("q_padding_waste",
+      (s, d) => graft.operators.Packing.paddingWaste(
+          Tables.documents(s, d)
+            .select(TA.tokenCount(col("text")).as("len")),
+          "len", Seq(16L, 32L, 64L, 128L))
+        .orderBy(col("bucket")),
+      Some {
+        val len = s"len(${toksSql("text")})"
+        s"""WITH lw AS (SELECT CAST($len AS BIGINT) AS l
+            FROM documents),
+        bk AS (SELECT l, CASE WHEN l <= 16 THEN 16
+            WHEN l <= 32 THEN 32 WHEN l <= 64 THEN 64
+            WHEN l <= 128 THEN 128 ELSE -1 END AS bucket FROM lw),
+        ag AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(l) AS BIGINT) AS sum_len
+          FROM bk GROUP BY 1),
+        cp AS (SELECT *, CAST(CASE WHEN bucket = -1
+              THEN n_docs * 128 ELSE bucket * n_docs END AS BIGINT)
+            AS capacity
+          FROM ag)
+        SELECT bucket, n_docs, sum_len, capacity,
+          CAST(CASE WHEN bucket = -1 THEN 0
+            ELSE capacity - sum_len END AS BIGINT) AS waste,
+          CAST(CASE WHEN bucket = -1 THEN sum_len - capacity
+            ELSE 0 END AS BIGINT) AS truncated,
+          ROUND(CAST(CASE WHEN bucket = -1 THEN 0
+              ELSE capacity - sum_len END AS DOUBLE) /
+            GREATEST(capacity, 1), 6) AS waste_frac
+        FROM cp ORDER BY bucket"""
+      }),
+
     // Tool-usage data card (r17): per tool name — call counts,
     // conversations using it, answered-call counts, mean argument and
     // result payload sizes. Runs over the RAW parsed corpus (all five

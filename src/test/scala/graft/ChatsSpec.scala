@@ -815,6 +815,53 @@ class ChatsSpec extends SparkSpec {
       ("search", "fetch", 1L, 1L)))
   }
 
+  test("treePaths: branched trees flatten to one root-first path per " +
+      "leaf; a 33-deep chain resolves (pointer doubling); dangling " +
+      "parents truncate; cycles fail loudly") {
+    val s = spark
+    import s.implicits._
+    // tree: 1(root) -> 2 -> 4(leaf follow-up), 1 -> 3(leaf regen);
+    // plus a second root-only tree 9
+    val tree = Seq(
+      (1L, None: Option[Long], "user", "q"),
+      (2L, Some(1L), "assistant", "a1"),
+      (3L, Some(1L), "assistant", "a2"),
+      (4L, Some(2L), "user", "follow"),
+      (9L, None, "user", "solo"))
+      .toDF("node_id", "parent_id", "role", "content")
+    val got = Chats.treePaths(tree, "node_id", "parent_id")
+      .orderBy(col("conv_id"), col("turn_idx")).collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("turn_idx"),
+        r.getAs[Long]("node_id"), r.getAs[String]("content")))
+    assert(got.toSeq == Seq(
+      (3L, 0L, 1L, "q"), (3L, 1L, 3L, "a2"),
+      (4L, 0L, 1L, "q"), (4L, 1L, 2L, "a1"), (4L, 2L, 4L, "follow"),
+      (9L, 0L, 9L, "solo")))
+    // depth 33 chain: needs ~6 doubling rounds, far under maxIter
+    val chain = (1L to 33L).map(i =>
+        (i, if (i == 1) None else Some(i - 1), "user", s"m$i"))
+      .toDF("node_id", "parent_id", "role", "content")
+    val deep = Chats.treePaths(chain, "node_id", "parent_id")
+      .orderBy(col("turn_idx")).collect()
+    assert(deep.length == 33 &&
+      deep.forall(_.getAs[Long]("conv_id") == 33L) &&
+      deep.map(_.getAs[Long]("node_id")).toSeq == (1L to 33L))
+    // dangling parent: the path truncates at the dangler
+    val dangling = Seq((5L, Some(77L), "user", "orphan"))
+      .toDF("node_id", "parent_id", "role", "content")
+    val d = Chats.treePaths(dangling, "node_id", "parent_id")
+      .collect().map(r => (r.getAs[Long]("conv_id"),
+        r.getAs[Long]("turn_idx"), r.getAs[Long]("node_id")))
+    assert(d.toSeq == Seq((5L, 1L, 5L))) // dangler slot 0 has no row
+    // cycle: 6 -> 7 -> 6
+    val cyc = Seq((6L, Some(7L), "user", "x"), (7L, Some(6L), "user",
+      "y")).toDF("node_id", "parent_id", "role", "content")
+    val e = intercept[IllegalArgumentException] {
+      Chats.treePaths(cyc, "node_id", "parent_id", maxIter = 5)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("groupAdvantage: a constant group with FRACTIONAL scores is " +
       "detected structurally — exact 0.0, not double-cast noise " +
       "(ADVICE r16)") {

@@ -673,6 +673,53 @@ class PropertySpec extends SparkSpec {
     assert(rawTerms.toSeq == countTerms.toSeq)
   }
 
+  test("prCurve: per-threshold cumulative counts match hand " +
+      "computation; ties share a point; no positives → null recall") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Classifier
+    // scores: 0.9 (gold), 0.7 (gold), 0.7 (not), 0.3 (not)
+    val df = Seq((true, 0.9), (true, 0.7), (false, 0.7),
+      (false, 0.3)).toDF("gold", "score")
+    val got = Classifier.prCurve(df, "gold", "score")
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_ge"),
+        r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Double]("precision"), r.getAs[Double]("recall")))
+    assert(got.toSeq == Seq(
+      (0.9, 1L, 1L, 0L, 1.0, 0.5),
+      (0.7, 3L, 2L, 1L, 0.666667, 1.0),
+      (0.3, 4L, 2L, 2L, 0.5, 1.0)))
+    val none = Classifier.prCurve(
+      Seq((false, 0.5)).toDF("gold", "score"), "gold", "score")
+      .collect()(0)
+    assert(none.isNullAt(none.fieldIndex("recall")) &&
+      none.getAs[Double]("f1") == 0.0)
+  }
+
+  test("paddingWaste: smallest-fitting bucket, overflow row counts " +
+      "truncation not waste; boundary validation fails fast") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val df = Seq(3L, 8L, 8L, 20L, 100L).toDF("len")
+    val got = Packing.paddingWaste(df, "len", Seq(8L, 16L))
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_len"), r.getAs[Long]("capacity"),
+        r.getAs[Long]("waste"), r.getAs[Long]("truncated"),
+        r.getAs[Double]("waste_frac")))
+    assert(got.toSeq == Seq(
+      (-1L, 2L, 120L, 32L, 0L, 88L, 0.0), // 20 and 100 overflow 16
+      (8L, 3L, 19L, 24L, 5L, 0L, 0.208333)))
+    intercept[IllegalArgumentException] {
+      Packing.paddingWaste(df, "len", Seq(16L, 8L))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.paddingWaste(df, "len", Seq.empty)
+    }
+  }
+
   test("shardByCost: a negative cost fails loudly instead of " +
       "silently corrupting the prefix-sum shard assignment " +
       "(ADVICE r17)") {
