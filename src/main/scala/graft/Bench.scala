@@ -140,8 +140,10 @@ object Bench {
     "q_tool_attrition", "q_tool_arg_types", "q_dedup_soft_mix",
     "q_tool_contract", "q_tool_chains",
     // r18 wave 2: tree flattening (forest count scales with corpus),
-    // the PR-curve reduction, the padding card
-    "q_tree_paths", "q_pr_curve", "q_padding_waste")
+    // the PR-curve reduction, the padding card, sorted batching, the
+    // cross-source dup matrix
+    "q_tree_paths", "q_pr_curve", "q_padding_waste",
+    "q_bucket_batches", "q_dedup_cross_source")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -228,6 +230,9 @@ object Bench {
     // triage replays the validator's per-turn call checks (forall) +
     // the normalization transform on the same parse
     "q_tool_attrition" ->
+      Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
+    // its streaming twin runs the same stack per micro-batch
+    "q_stream_tool_triage" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
     // refusal-phrase matching shingles each assistant turn's content
     // (per-row small arrays, the q_curate_badwords class)

@@ -382,6 +382,31 @@ object Dedup {
     * Per document: (idCol, cluster_size, weight 6 dp). One
     * [[clusters]] pass + one label-count agg + two id-keyed joins —
     * ids only, text never shuffles. */
+  /** CROSS-SOURCE duplication matrix — the provenance forensics card
+    * ("which sources copy from which?"): near-dup pairs labeled by
+    * their endpoints' sources, counted per unordered source pair
+    * (sources sort within the pair, so A↔B and B↔A land in one cell
+    * regardless of which endpoint got the smaller id). A heavy
+    * off-diagonal cell = two feeds shipping the same content (drop
+    * one); a heavy diagonal = an internally-duplicated source. Ids
+    * only — two id-keyed joins (SMJ at corpus scale — the corpus-
+    * sized side must never broadcast) + one keyed agg over
+    * |sources|² cells at most. Returns (source_a ≤ source_b,
+    * n_pairs). */
+  def crossSourceMatrix(docs: DataFrame, pairs: DataFrame,
+                        idCol: String, srcCol: String): DataFrame = {
+    val s1 = docs.select(col(idCol).as("__ia"),
+      col(srcCol).cast("string").as("__sa"))
+    val s2 = docs.select(col(idCol).as("__ib"),
+      col(srcCol).cast("string").as("__sb"))
+    pairs.join(s1, col("id_a") === col("__ia"))
+      .join(s2, col("id_b") === col("__ib"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def softWeights(docs: DataFrame, pairs: DataFrame, idCol: String)
   : DataFrame = {
     val lbl = clusters(pairs).select(col("id").as(idCol), col("label"))

@@ -181,6 +181,40 @@ object Packing {
           greatest(col("capacity"), lit(1L)), 6))
   }
 
+  /** SORTED-BATCHING assignment — the loader step [[paddingWaste]]
+    * prices: each document lands in the smallest length bucket that
+    * fits (−1 = overflow past the largest boundary), documents order
+    * WITHIN their bucket by the salted id hash (deterministic at any
+    * parallelism, no RNG — the [[graft.operators.Sampling
+    * .epochShuffle]] idiom, so batches are content-shuffled but
+    * reproducible), and consecutive runs of `batchSize` become
+    * batches. Returns (idCol, bucket, batch_idx, pos_in_batch). One
+    * bucket-keyed window (partitions are bucket-sized — the
+    * [[graft.operators.Layout.curriculumOrder]] shape; more
+    * boundaries = smaller partitions). */
+  def bucketBatches(df: DataFrame, idCol: String, lenCol: String,
+                    buckets: Seq[Long], batchSize: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(buckets.nonEmpty, "need at least one bucket boundary")
+    require(buckets == buckets.sorted && buckets.distinct == buckets,
+      s"boundaries must be ascending and distinct: $buckets")
+    val len = col(lenCol).cast("long")
+    val bucket = buckets.reverse.foldLeft(lit(-1L)) { (els, b) =>
+      when(len <= b, lit(b)).otherwise(els)
+    }
+    val h = graft.functions.Scalars.hash60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("__h"), col(idCol).cast("string"))
+    df.select(col(idCol), bucket.as("bucket"), h.as("__h"))
+      .withColumn("__r", row_number().over(w) - 1)
+      .select(col(idCol), col("bucket"),
+        (col("__r") / batchSize).cast("long").as("batch_idx"),
+        (col("__r") % batchSize).cast("long").as("pos_in_batch"))
+  }
+
   /** Write the corpus as token-budget shards: parquet partitioned by
     * `shard=`, one directory per ≈`budget`-token shard. The corpus
     * shuffles once into shard key (so each shard writes contiguously),

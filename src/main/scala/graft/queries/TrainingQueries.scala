@@ -330,6 +330,79 @@ object TrainingQueries {
           '<|assistant|>' || fin || chr(10)
         FROM p WHERE k = 1)"""
 
+  /** DuckDB twin of Chats.toolTriage over the synthesized traces:
+    * per-turn protocol flags, block grouping, the set-difference
+    * decomposition, and the severity CASE — CTEs `a1`..`av`
+    * (requires `tt` from [[toolTraceSql]]); `av` =
+    * (doc_id, n_turns, fail_rule). Shared by q_tool_attrition and
+    * q_stream_tool_triage. */
+  private val toolTriageSql: String =
+    """a1 AS (SELECT doc_id, turn_idx, role, tcid,
+        COALESCE(len(calls) > 0, FALSE) AS hc,
+        (calls IS NOT NULL AND len(list_filter(calls, c ->
+          c.id IS NULL OR c.nm IS NULL
+            OR NOT json_valid(c.args))) > 0) AS rargs,
+        (calls IS NOT NULL AND
+          len(list_distinct([c.id FOR c IN calls]))
+            != len(calls)) AS rdup,
+        CASE WHEN role = 'assistant' THEN
+          COALESCE(list_sort([c.id FOR c IN calls]),
+            CAST([] AS VARCHAR[])) END AS declt
+      FROM tt),
+    a2 AS (SELECT *,
+        lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+          AS pr,
+        lag(hc) OVER (PARTITION BY doc_id ORDER BY turn_idx)
+          AS ph,
+        max(CASE WHEN role = 'assistant' THEN turn_idx END)
+          OVER (PARTITION BY doc_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS blk
+      FROM a1),
+    a3 AS (SELECT *,
+        (role NOT IN ('system','user','assistant','tool')
+         OR (role = 'system' AND turn_idx != 0)
+         OR (hc AND role != 'assistant')
+         OR ((role = 'tool') != (tcid IS NOT NULL))) AS rrole,
+        (NOT CASE WHEN pr IS NULL THEN role IN ('system','user')
+          WHEN pr = 'system' THEN role = 'user'
+          WHEN pr = 'user' THEN role = 'assistant'
+          WHEN pr = 'assistant' AND ph THEN role = 'tool'
+          WHEN pr = 'assistant' THEN role = 'user'
+          ELSE role IN ('tool','assistant') END) AS rtrans
+      FROM a2),
+    ag AS (SELECT doc_id, blk, COUNT(*) AS n,
+        bool_or(rrole) AS brole, bool_or(rargs) AS bargs,
+        bool_or(rdup) AS bdup, bool_or(rtrans) AS btrans,
+        COALESCE(any_value(declt), CAST([] AS VARCHAR[]))
+          AS decl,
+        COALESCE(list_sort(list(tcid) FILTER (WHERE role =
+          'tool')), CAST([] AS VARCHAR[])) AS ans,
+        arg_max(role, turn_idx) AS lrole,
+        arg_max(hc, turn_idx) AS lhc,
+        max(turn_idx) AS mx
+      FROM a3 GROUP BY doc_id, blk),
+    ag2 AS (SELECT *,
+        (len(ans) != len(list_distinct(ans))) AS bansdup,
+        len(list_filter(list_distinct(ans), x ->
+          NOT list_contains(decl, x))) > 0 AS bstray,
+        len(list_filter(decl, x ->
+          NOT list_contains(ans, x))) > 0 AS bunans
+      FROM ag),
+    ac AS (SELECT doc_id, SUM(n) AS n_turns,
+        bool_or(brole) AS r1, bool_or(bargs) AS r2,
+        bool_or(bdup OR bansdup) AS r3, bool_or(bstray) AS r4,
+        bool_or(bunans) AS r5, bool_or(btrans) AS r6,
+        NOT (arg_max(lrole, mx) = 'assistant'
+          AND NOT arg_max(lhc, mx)) AS r7
+      FROM ag2 GROUP BY doc_id),
+    av AS (SELECT doc_id, n_turns,
+        CASE WHEN r1 THEN 'role' WHEN r2 THEN 'args_parse'
+          WHEN r3 THEN 'dup_call_id' WHEN r4 THEN 'stray_answer'
+          WHEN r5 THEN 'unanswered' WHEN r6 THEN 'transition'
+          WHEN r7 THEN 'pending_final' END AS fail_rule
+      FROM ac)"""
+
   private def dupCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"), col("source"))
       .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
@@ -3462,6 +3535,37 @@ object TrainingQueries {
         FROM cp ORDER BY bucket"""
       }),
 
+    // SORTED-BATCHING assignment (r18 — the loader step the padding
+    // card prices): smallest-fitting bucket, salted-hash order within
+    // the bucket (reproducible content shuffle, no RNG), consecutive
+    // runs of 8 become batches. WHICH batch and slot every document
+    // gets is bit-checked — the oracle replays the bucket CASE, the
+    // salted hash ranking (VARCHAR id tie-break), and the div/mod.
+    Q("q_bucket_batches",
+      (s, d) => graft.operators.Packing.bucketBatches(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TA.tokenCount(col("text"))
+              .as("len")),
+          "doc_id", "len", Seq(16L, 32L, 64L, 128L), batchSize = 8)
+        .orderBy(col("doc_id")),
+      Some {
+        val len = s"len(${toksSql("text")})"
+        s"""WITH bl AS (SELECT doc_id,
+            CAST($len AS BIGINT) AS l FROM documents),
+        bb AS (SELECT doc_id, CASE WHEN l <= 16 THEN 16
+            WHEN l <= 32 THEN 32 WHEN l <= 64 THEN 64
+            WHEN l <= 128 THEN 128 ELSE -1 END AS bucket FROM bl),
+        rk AS (SELECT doc_id, bucket,
+            ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY
+              ${hash60Sql("'graft:' || CAST(doc_id AS VARCHAR)")},
+              CAST(doc_id AS VARCHAR)) - 1 AS r
+          FROM bb)
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+          CAST(r // 8 AS BIGINT) AS batch_idx,
+          CAST(r % 8 AS BIGINT) AS pos_in_batch
+        FROM rk ORDER BY doc_id"""
+      }),
+
     // Tool-usage data card (r17): per tool name — call counts,
     // conversations using it, answered-call counts, mean argument and
     // result payload sizes. Runs over the RAW parsed corpus (all five
@@ -3581,72 +3685,7 @@ object TrainingQueries {
             "doc_id")
           .orderBy(col("verdict"))
       },
-      Some(s"""WITH $toolTraceSql,
-        a1 AS (SELECT doc_id, turn_idx, role, tcid,
-            COALESCE(len(calls) > 0, FALSE) AS hc,
-            (calls IS NOT NULL AND len(list_filter(calls, c ->
-              c.id IS NULL OR c.nm IS NULL
-                OR NOT json_valid(c.args))) > 0) AS rargs,
-            (calls IS NOT NULL AND
-              len(list_distinct([c.id FOR c IN calls]))
-                != len(calls)) AS rdup,
-            CASE WHEN role = 'assistant' THEN
-              COALESCE(list_sort([c.id FOR c IN calls]),
-                CAST([] AS VARCHAR[])) END AS declt
-          FROM tt),
-        a2 AS (SELECT *,
-            lag(role) OVER (PARTITION BY doc_id ORDER BY turn_idx)
-              AS pr,
-            lag(hc) OVER (PARTITION BY doc_id ORDER BY turn_idx)
-              AS ph,
-            max(CASE WHEN role = 'assistant' THEN turn_idx END)
-              OVER (PARTITION BY doc_id ORDER BY turn_idx
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS blk
-          FROM a1),
-        a3 AS (SELECT *,
-            (role NOT IN ('system','user','assistant','tool')
-             OR (role = 'system' AND turn_idx != 0)
-             OR (hc AND role != 'assistant')
-             OR ((role = 'tool') != (tcid IS NOT NULL))) AS rrole,
-            (NOT CASE WHEN pr IS NULL THEN role IN ('system','user')
-              WHEN pr = 'system' THEN role = 'user'
-              WHEN pr = 'user' THEN role = 'assistant'
-              WHEN pr = 'assistant' AND ph THEN role = 'tool'
-              WHEN pr = 'assistant' THEN role = 'user'
-              ELSE role IN ('tool','assistant') END) AS rtrans
-          FROM a2),
-        ag AS (SELECT doc_id, blk, COUNT(*) AS n,
-            bool_or(rrole) AS brole, bool_or(rargs) AS bargs,
-            bool_or(rdup) AS bdup, bool_or(rtrans) AS btrans,
-            COALESCE(any_value(declt), CAST([] AS VARCHAR[]))
-              AS decl,
-            COALESCE(list_sort(list(tcid) FILTER (WHERE role =
-              'tool')), CAST([] AS VARCHAR[])) AS ans,
-            arg_max(role, turn_idx) AS lrole,
-            arg_max(hc, turn_idx) AS lhc,
-            max(turn_idx) AS mx
-          FROM a3 GROUP BY doc_id, blk),
-        ag2 AS (SELECT *,
-            (len(ans) != len(list_distinct(ans))) AS bansdup,
-            len(list_filter(list_distinct(ans), x ->
-              NOT list_contains(decl, x))) > 0 AS bstray,
-            len(list_filter(decl, x ->
-              NOT list_contains(ans, x))) > 0 AS bunans
-          FROM ag),
-        ac AS (SELECT doc_id, SUM(n) AS n_turns,
-            bool_or(brole) AS r1, bool_or(bargs) AS r2,
-            bool_or(bdup OR bansdup) AS r3, bool_or(bstray) AS r4,
-            bool_or(bunans) AS r5, bool_or(btrans) AS r6,
-            NOT (arg_max(lrole, mx) = 'assistant'
-              AND NOT arg_max(lhc, mx)) AS r7
-          FROM ag2 GROUP BY doc_id),
-        av AS (SELECT doc_id, n_turns,
-            CASE WHEN r1 THEN 'role' WHEN r2 THEN 'args_parse'
-              WHEN r3 THEN 'dup_call_id' WHEN r4 THEN 'stray_answer'
-              WHEN r5 THEN 'unanswered' WHEN r6 THEN 'transition'
-              WHEN r7 THEN 'pending_final' END AS fail_rule
-          FROM ac)
+      Some(s"""WITH $toolTraceSql, $toolTriageSql
         SELECT COALESCE(fail_rule, 'valid') AS verdict,
           CAST(COUNT(*) AS BIGINT) AS n_convs,
           CAST(SUM(n_turns) AS BIGINT) AS n_turns
@@ -4079,6 +4118,62 @@ object TrainingQueries {
             (CAST(SUM(c_a) + COUNT(*) AS DOUBLE) * 1e6), 6) AS kl
         FROM stm GROUP BY batch_id ORDER BY batch_id"""
       }),
+
+    // STREAMING protocol triage (r18 — the monitoring twin of
+    // q_tool_attrition): the five synthesized trace shapes drive 4
+    // micro-batches (doc_id order) through toolTriageSink; each batch
+    // reports its per-class verdict card, so a broken exporter pages
+    // the batch it breaks. The oracle re-derives batch membership
+    // (row-number quartiles) and replays the full triage
+    // classification per (batch, class).
+    Q("q_stream_tool_triage",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val rows = Tables.documents(s, d)
+          .select(col("doc_id"), toolTraceJson(col("doc_id"), ct)
+            .as("chat"))
+          .orderBy(col("doc_id")).as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val out = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row]()
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.toolTriageSink(
+          mem.toDF().toDF("doc_id", "chat"), "chat", "doc_id") {
+            card => out ++= card.collect()
+          }.start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "verdict string, n_convs bigint, n_turns bigint, " +
+            "batch_id bigint")
+        s.createDataFrame(
+            new java.util.ArrayList(
+              scala.jdk.CollectionConverters
+                .BufferHasAsJava(out).asJava), schema)
+          .select(col("batch_id"), col("verdict"), col("n_convs"),
+            col("n_turns"))
+          .orderBy(col("batch_id"), col("verdict"))
+      },
+      Some(s"""WITH $toolTraceSql, $toolTriageSql,
+        sbt AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn,
+            COUNT(*) OVER () AS nn
+          FROM documents),
+        sbb AS (SELECT doc_id,
+            rn // CAST(ceil(nn / 4.0) AS BIGINT) AS batch_id
+          FROM sbt)
+        SELECT sbb.batch_id,
+          COALESCE(av.fail_rule, 'valid') AS verdict,
+          CAST(COUNT(*) AS BIGINT) AS n_convs,
+          CAST(SUM(av.n_turns) AS BIGINT) AS n_turns
+        FROM av JOIN sbb ON sbb.doc_id = av.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // STREAMING decontamination (r16) — the prevention twin of the
     // measurement tiers: a live document feed drives 4 micro-batches
@@ -5011,6 +5106,47 @@ object TrainingQueries {
             target_tokens - LEAST(target_tokens, cap_tokens)
               AS deficit
           FROM pl ORDER BY source"""
+      }),
+
+    // CROSS-SOURCE duplication matrix (r18 — provenance forensics:
+    // which sources copy from which?): near-dup pairs labeled by
+    // their endpoints' sources, counted per UNORDERED source pair.
+    // dupCorpus clones every doc within its own source, so the truth
+    // is diagonal-heavy — but LSH also pairs cross-source near-dups,
+    // and both engines must agree cell by cell. The oracle replays
+    // the pair chain + both source joins + the least/greatest
+    // normalization.
+    Q("q_dedup_cross_source",
+      (s, d) => {
+        val corpus = dupCorpus(Tables.documents(s, d))
+        Dedup.crossSourceMatrix(corpus,
+            Dedup.minHashPairs(corpus, "text", "doc_id", 3, 4, 2),
+            "doc_id", "source")
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some {
+        s"""WITH $corpusSql,
+          sigs AS (SELECT doc_id, ${minHashSigFromBase(8)} AS sig
+            FROM (SELECT doc_id, ${minHashBaseSql("sh")} AS base
+              FROM (SELECT doc_id,
+                ${shinglesSql(s"(${toksSql("text")})", 3)} AS sh
+                FROM corpus))),
+          ex AS (SELECT doc_id, sig,
+            b.b AS band,
+            md5(array_to_string(sig[b.b*2+1:b.b*2+2], ',')) AS key
+            FROM sigs, (SELECT unnest(range(4)) AS b) b),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+            FROM ex a JOIN ex e
+            ON a.band = e.band AND a.key = e.key
+              AND a.doc_id < e.doc_id),
+          lab AS (SELECT LEAST(ca.source, cb.source) AS source_a,
+              GREATEST(ca.source, cb.source) AS source_b
+            FROM pairs p
+            JOIN corpus ca ON ca.doc_id = p.id_a
+            JOIN corpus cb ON cb.doc_id = p.id_b)
+          SELECT source_a, source_b,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
       }),
 
     // Same components via the alternating large-star/small-star edge

@@ -518,6 +518,27 @@ object Streams {
     }
   }
 
+  /** Streaming protocol-TRIAGE monitoring — the continuous twin of
+    * [[graft.operators.Chats.toolTriageCard]]: each micro-batch of a
+    * live agentic-trace feed reports its per-class verdict counts
+    * ('valid' or the first-failed protocol rule), so a broken
+    * exporter pages the pipeline the batch it breaks instead of
+    * silently starving [[toolIngestSink]]'s validator. Stateless —
+    * per batch one parse + the triage window/agg stack over the
+    * BATCH only; nothing accumulates. The card (with `batch_id`)
+    * passes to `handler`. */
+  def toolTriageSink(chats: DataFrame, jsonCol: String, idCol: String)
+                    (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    chats.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Chats.toolTriageCard(
+          graft.operators.Chats.toolTurns(batch, jsonCol, idCol),
+          idCol)
+        .withColumn("batch_id", lit(batchId)))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+
   /** Streaming DRIFT monitoring — the continuous twin of
     * [[graft.operators.Curation.unigramDrift]]: each micro-batch of a
     * live document feed reports KL(batch ‖ reference) against a STATIC

@@ -720,6 +720,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("crossSourceMatrix: pairs label by endpoint sources, unordered " +
+      "normalization folds A-B and B-A into one cell") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = Seq((1L, "web"), (2L, "web"), (3L, "books"),
+      (4L, "code")).toDF("doc_id", "source")
+    // 1-2 within web; 1-3 and 3-2 cross web/books (opposite id
+    // orientation — must land in ONE cell); 3-4 cross books/code
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 2L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.crossSourceMatrix(docs, pairs, "doc_id", "source")
+      .orderBy(col("source_a"), col("source_b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("books", "code", 1L),
+      ("books", "web", 2L),
+      ("web", "web", 1L)))
+  }
+
+  test("bucketBatches: smallest-fitting bucket, batches never exceed " +
+      "batchSize, slots tile 0..n-1 per bucket, deterministic at any " +
+      "partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Packing
+    val df = (1L to 100L).map(i => (i, i % 40 + 1)).toDF("id", "len")
+    def run(parts: Int) =
+      Packing.bucketBatches(df.repartition(parts), "id", "len",
+          Seq(8L, 16L, 32L), batchSize = 5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = run(1); val b = run(13)
+    assert(a == b && a.size == 100)
+    // bucket correctness and batch occupancy
+    val byDoc = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, (bucket, _, pos)) =>
+      val l = byDoc(id)
+      val want = if (l <= 8) 8L else if (l <= 16) 16L
+        else if (l <= 32) 32L else -1L
+      assert(bucket == want, s"id $id")
+      assert(pos >= 0 && pos < 5)
+    }
+    a.groupBy { case (_, (bu, ba, _)) => (bu, ba) }.foreach {
+      case ((bu, ba), members) =>
+        assert(members.size <= 5, s"batch ($bu,$ba) overfull")
+        // slots within a batch are distinct and contiguous from 0
+        val slots = members.values.map(_._3).toSeq.sorted
+        assert(slots == (0L until slots.size.toLong), s"($bu,$ba)")
+    }
+  }
+
   test("shardByCost: a negative cost fails loudly instead of " +
       "silently corrupting the prefix-sum shard assignment " +
       "(ADVICE r17)") {

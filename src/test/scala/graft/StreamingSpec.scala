@@ -685,6 +685,48 @@ class StreamingSpec extends SparkSpec {
       .filter(col("cand_id") === streamed.last._1).count() == 1)
   }
 
+  test("streaming tool-triage sink: per-batch verdict cards equal the " +
+      "batch operator; stateless across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Chats
+    def m(role: String, content: String, extra: String = "") =
+      s"""{"role":"$role","content":"$content"$extra}"""
+    val argsOk = """{\"q\":\"x\"}"""
+    val valid = s"""{"messages":[${m("user", "u")},${m("assistant",
+      "a")}]}"""
+    val unanswered = s"""{"messages":[${m("user", "u")},${m(
+      "assistant", "a",
+      s""","tool_calls":[{"id":"c1","name":"f","arguments":"$argsOk"}]""")},${
+      m("assistant", "done")}]}"""
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> valid, 2L -> valid),
+      Seq(3L -> valid, 4L -> unanswered, 5L -> unanswered))
+    val out = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.toolTriageSink(
+      mem.toDF().toDF("id", "chat"), "chat", "id") { card =>
+        out ++= card.collect() }.start()
+    batches.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val got = out.map(r => (r.getAs[Long]("batch_id"),
+      r.getAs[String]("verdict"), r.getAs[Long]("n_convs"))).sorted
+    assert(got.toSeq == Seq((0L, "valid", 2L), (1L, "unanswered", 2L),
+      (1L, "valid", 1L)))
+    // per-batch card ≡ the batch operator over that batch alone
+    batches.zipWithIndex.foreach { case (c, i) =>
+      val want = Chats.toolTriageCard(Chats.toolTurns(
+          c.toDF("id", "chat"), "chat", "id"), "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val gotB = out.filter(_.getAs[Long]("batch_id") == i)
+        .map(r => (r.getAs[String]("verdict"), r.getAs[Long]("n_convs")))
+        .toMap
+      assert(gotB == want, s"batch $i")
+    }
+  }
+
   test("streaming drift sink: the raw-text and precomputed-counts " +
       "entry points report identically, and both match the batch " +
       "operator per micro-batch (ADVICE r17 — the reference text is " +
