@@ -862,6 +862,77 @@ class ChatsSpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("toolTriage ⇔ validateToolTurns on seeded random traces: " +
+      "fail_rule is null exactly when the validator passes, across " +
+      "valid structures and every injected corruption class") {
+    val rnd = new scala.util.Random(42)
+    val argsOk = """{\"q\":\"x\"}"""
+    def buildTrace(id: Long): String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      if (rnd.nextBoolean()) parts += m("system", "s")
+      parts += m("user", s"u$id")
+      val nBlocks = rnd.nextInt(3) + 1
+      for (b <- 0 until nBlocks) {
+        val nCalls = rnd.nextInt(3) // 0..2 calls
+        if (nCalls == 0) {
+          parts += m("assistant", s"a$b")
+          if (b < nBlocks - 1) parts += m("user", s"u$b")
+        } else {
+          val ids = (0 until nCalls).map(i => s"c${id}_${b}_$i")
+          parts += m("assistant", s"a$b",
+            s""","tool_calls":[${ids.map(i =>
+              call(i, "t", argsOk)).mkString(",")}]""")
+          rnd.shuffle(ids).foreach(i =>
+            parts += m("tool", s"r$i", s""","tool_call_id":"$i""""))
+          if (b == nBlocks - 1) parts += m("assistant", "done")
+        }
+      }
+      // ~half the traces get one random corruption
+      if (rnd.nextBoolean()) {
+        val k = rnd.nextInt(6)
+        k match {
+          case 0 => // stray answer
+            parts += m("tool", "stray", ""","tool_call_id":"zz"""")
+            parts += m("assistant", "fin")
+          case 1 => // trailing pending call
+            parts += m("assistant", "p",
+              s""","tool_calls":[${call("pz", "t", argsOk)}]""")
+          case 2 => // two users in a row
+            parts += m("user", "x1")
+            parts += m("user", "x2")
+            parts += m("assistant", "fin")
+          case 3 => // tool_calls on a user turn
+            parts += m("user", "x",
+              s""","tool_calls":[${call("uz", "t", argsOk)}]""")
+            parts += m("assistant", "fin")
+          case 4 => // unparseable arguments, properly answered
+            parts += m("user", "x")
+            parts += m("assistant", "b",
+              s""","tool_calls":[${call("bz", "t", "{nope")}]""")
+            parts += m("tool", "rb", ""","tool_call_id":"bz"""")
+            parts += m("assistant", "fin")
+          case _ => // ends on a user turn
+            parts += m("user", "dangling")
+        }
+      }
+      toolChat(parts.mkString(","))
+    }
+    val rows = (1L to 80L).map(i => i -> buildTrace(i))
+    val t = Chats.toolTurns(chats(rows), "chat", "id")
+    val valid = Chats.validateToolTurns(t, "id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val triage = Chats.toolTriage(t, "id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    // both valid and invalid classes must actually occur
+    assert(valid.values.exists(identity) &&
+      valid.values.exists(!_), "degenerate fuzz corpus")
+    rows.foreach { case (id, _) =>
+      assert(triage(id)._1 == valid(id), s"trace $id disagreement")
+      assert(triage(id)._2.isEmpty == valid(id), s"trace $id rule")
+    }
+  }
+
   test("groupAdvantage: a constant group with FRACTIONAL scores is " +
       "detected structurally — exact 0.0, not double-cast noise " +
       "(ADVICE r16)") {
