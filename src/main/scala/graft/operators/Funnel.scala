@@ -103,4 +103,45 @@ object Funnel {
       .agg(coalesce(sum(
         when(col("steps_matched") === steps.size, 1L).otherwise(0L)),
         lit(0L)).as("n_complete"))
+
+  /** GAP-based SESSIONIZATION — the batch twin of the streaming
+    * session window (SURVEY §2.9) and the "interaction logs →
+    * training episodes" step an agent-data pipeline runs before
+    * [[graft.operators.Chats.treePaths]]-style episode assembly:
+    * per key, events sort by (ts, tieCols…) and a new session starts
+    * wherever the gap to the previous event EXCEEDS `gapSec`
+    * (microsecond arithmetic — sub-second gaps count). Adds
+    * `session_idx` (0-based per key, deterministic at any
+    * parallelism given a deciding tie order). One lag + one running
+    * sum over the SAME key-partitioned window — one exchange. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapSec: Long,
+                 tieCols: Seq[String] = Seq.empty): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val W = org.apache.spark.sql.expressions.Window
+    val ord: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = W.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(w)
+    val isNew = when(prevUs.isNull ||
+      us - prevUs > gapSec * 1000000L, 1L).otherwise(0L)
+    events.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(W.unboundedPreceding,
+        W.currentRow)) - 1)
+  }
+
+  /** Per-session SUMMARY over [[sessionize]] — the episode card:
+    * (keyCol, session_idx, n_events, ts_start, ts_end, duration_us).
+    * The keyed agg reuses the sessionize exchange's partitioning. */
+  def sessionSummary(events: DataFrame, keyCol: String, tsCol: String,
+                     gapSec: Long,
+                     tieCols: Seq[String] = Seq.empty): DataFrame =
+    sessionize(events, keyCol, tsCol, gapSec, tieCols)
+      .groupBy(col(keyCol), col("session_idx"))
+      // Funnel.count (the FUNNEL_COUNT role) shadows functions.count
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("ts_start"),
+        max(col(tsCol)).as("ts_end"))
+      .withColumn("duration_us",
+        unix_micros(col("ts_end")) - unix_micros(col("ts_start")))
 }

@@ -778,6 +778,39 @@ object OlapQueries {
              AND e.ts <= p.t_1 + INTERVAL 86400 SECOND
            GROUP BY e.user_id)"""))),
 
+    // Gap-based SESSIONIZATION with stable per-key session INDEXES
+    // (r18 — the batch gaps-and-islands operator next to
+    // q_session_window's Spark-native windows: a session_idx a
+    // downstream episode builder can key on, deterministic via the
+    // (ts, event_id) tie order): new session wherever the gap to the
+    // previous event exceeds 30 min (microsecond arithmetic), then
+    // the per-session episode card. Oracle replays lag-gap flag →
+    // running sum → per-island aggregates.
+    Q("q_sessionize",
+      (s, d) => graft.operators.Funnel.sessionSummary(
+          Tables.events(s, d), "user_id", "ts", gapSec = 1800,
+          tieCols = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_idx")),
+      Some(Par.evOracle("""SELECT user_id,
+          CAST(session_idx AS BIGINT) AS session_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          MIN(ts) AS ts_start, MAX(ts) AS ts_end,
+          epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+        FROM (
+          SELECT user_id, ts,
+            SUM(CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - 1 AS session_idx
+          FROM (SELECT user_id, ts, event_id,
+              lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM ev))
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx"""))),
+
     // Session-window aggregation (Spark-superset streaming semantic —
     // the same session_window works unchanged under readStream +
     // watermark): per-user sessions closed by a 30-min silence gap,

@@ -720,6 +720,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionize: gap threshold is exclusive in micros, indexes are " +
+      "0-based per key and partition-invariant, summary card matches") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Funnel
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    // user 1: gaps 10s, 31s, 5s with gapSec=30 → sessions {e1,e2},
+    // {e3,e4}; a gap of EXACTLY 30s must NOT split (strictly greater)
+    val ev = Seq(
+      (1L, ts(0L), 1L), (1L, ts(10000L), 2L), (1L, ts(41000L), 3L),
+      (1L, ts(46000L), 4L), (1L, ts(76000L), 5L), // exactly 30s gap
+      (2L, ts(0L), 6L))
+      .toDF("user_id", "ts", "event_id")
+    def run(parts: Int) = Funnel.sessionize(ev.repartition(parts),
+        "user_id", "ts", gapSec = 30, tieCols = Seq("event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("session_idx")).toMap
+    val a = run(1)
+    assert(a == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 0L))
+    assert(a == run(7))
+    val card = Funnel.sessionSummary(ev, "user_id", "ts", 30,
+        Seq("event_id"))
+      .orderBy(col("user_id"), col("session_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_us")))
+    assert(card.toSeq == Seq((1L, 0L, 2L, 10000000L),
+      (1L, 1L, 3L, 35000000L), (2L, 0L, 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Funnel.sessionize(ev, "user_id", "ts", 0)
+    }
+  }
+
   test("crossSourceMatrix: pairs label by endpoint sources, unordered " +
       "normalization folds A-B and B-A into one cell") {
     val s = spark
