@@ -161,7 +161,9 @@ object Chats {
           .when(prev === "system", col("role") === "user")
           .otherwise(col("role") =!= prev)
     turnsDf
-      .withColumn("__ok", okTurn)
+      // a NULL role must not validate: the raw predicate is SQL NULL
+      // there and min(cast) would IGNORE it — coalesce to a hard fail
+      .withColumn("__ok", coalesce(okTurn, lit(false)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_turns"),
         (min(col("__ok").cast("int")) === 1 &&
@@ -653,7 +655,12 @@ object Chats {
           .when(prevRole === "assistant", col("role") === "user")
           .otherwise(col("role").isin("tool", "assistant"))
     withFlags
-      .withColumn("__ok", okTurn)
+      // a NULL role must not validate (exporters drop fields): the
+      // raw predicate is SQL NULL there and min(cast) would IGNORE
+      // it — coalesce to a hard fail, matching toolTriage's 'role'
+      // verdict so the spec-pinned valid ⇔ fail_rule-null holds on
+      // malformed input too
+      .withColumn("__ok", coalesce(okTurn, lit(false)))
       .withColumn("__blk", max(when(col("role") === "assistant",
         col("turn_idx"))).over(wRun))
       .groupBy(col(idCol), col("__blk"))
@@ -946,16 +953,21 @@ object Chats {
       }
     }
     val emptyBad = array().cast("array<string>")
-    val canonical = canonicalVariantType _
     val v = try_parse_json(col("__args"))
     def actualOf(key: String) =
       when(v.isNull, lit("unparseable"))
-        .otherwise(canonical(schema_of_variant(
+        .otherwise(canonicalVariantType(schema_of_variant(
           try_variant_get(v, "$." + key, "variant"))))
+    // each distinct key's probe (parse → variant path → canonicalize)
+    // is HOISTED into one column and referenced from every verdict
+    // branch — the inlined form repeated the whole chain twice per
+    // (tool, key) and grew codegen quadratically with contract size
+    val allKeys = contract.values.flatten.map(_._1).toSet.toSeq.sorted
+    def actCol(k: String) = col(s"__act_$k")
     val badByTool = contract.toSeq.sortBy(_._1).map { case (t, ks) =>
       val entries = ks.map { case (k, e) =>
-        when(actualOf(k) =!= e,
-          array(concat(lit(s"$k:$e:"), actualOf(k))))
+        when(actCol(k) =!= e,
+          array(concat(lit(s"$k:$e:"), actCol(k))))
           .otherwise(emptyBad)
       }
       val arr = if (entries.isEmpty) emptyBad
@@ -967,13 +979,16 @@ object Chats {
       case ((t, arr), els) =>
         when(col("tool_name") === t, arr).otherwise(els)
     }
-    toolTurnsDf.filter(col("tool_calls").isNotNull)
+    val exploded = toolTurnsDf.filter(col("tool_calls").isNotNull)
       .select(col(idCol), col("turn_idx"),
         explode(col("tool_calls")).as("__c"))
       .select(col(idCol), col("turn_idx"),
         col("__c")("id").as("call_id"),
         col("__c")("name").as("tool_name"),
         col("__c")("arguments").as("__args"))
+    allKeys.foldLeft(exploded) { (d, k) =>
+        d.withColumn(s"__act_$k", actualOf(k))
+      }
       .withColumn("bad", bad)
       .withColumn("types_ok", size(col("bad")) === 0)
       .select(col(idCol), col("turn_idx"), col("call_id"),
@@ -1002,8 +1017,11 @@ object Chats {
     * anti-join against the distinct parent set; the final explode is
     * one posexplode + one id-keyed join back to the node payload. A
     * dangling parent id truncates that path at the dangler (treated
-    * as a root); a parent CYCLE fails loudly after `maxIter`
-    * rounds. */
+    * as a root); a parent CYCLE fails loudly after
+    * ceil(log2(n))+1 rounds — enough for ANY acyclic forest of n
+    * nodes, and early enough that a cycle's doubling paths stay ~2n
+    * elements instead of 2^maxIter (`maxIter` is only a cap on that
+    * bound). */
   def treePaths(nodes: DataFrame, idCol: String, parentCol: String,
                 maxIter: Int = 40): DataFrame = {
     val emptyPath = array().cast("array<bigint>")
@@ -1012,9 +1030,18 @@ object Chats {
     var state = base.withColumn("__path",
       when(col("__anc").isNotNull, array(col("__anc")))
         .otherwise(emptyPath))
+    // an acyclic forest of n nodes has depth ≤ n, and doubling
+    // resolves depth d in ceil(log2(d)) rounds — so any pointer still
+    // unresolved after ceil(log2(n))+1 rounds is a CYCLE; bounding by
+    // that (not maxIter alone) keeps the per-round doubled __path at
+    // ~2n elements worst case instead of 2^maxIter (a 2-cycle under a
+    // bare maxIter=40 would OOM long before the require fired)
+    val nNodes = math.max(base.count(), 2L)
+    val rounds = math.min(maxIter,
+      (64 - java.lang.Long.numberOfLeadingZeros(nNodes - 1)) + 1)
     var remaining = 1L
     var i = 0
-    while (remaining > 0 && i < maxIter) {
+    while (remaining > 0 && i < rounds) {
       val a = state.select(col("__id").as("__aid"),
         col("__anc").as("__aanc"), col("__path").as("__apath"))
       state = Checkpoints.eager(
@@ -1029,8 +1056,9 @@ object Chats {
       i += 1
     }
     require(remaining == 0,
-      s"treePaths: parent chain unresolved after $maxIter doubling " +
-        "rounds — a parent cycle, or depth beyond 2^maxIter")
+      s"treePaths: parent chain unresolved after $i doubling rounds " +
+        s"(enough for any acyclic forest of $nNodes nodes) — a " +
+        "parent cycle")
     val parents = base.filter(col("__anc").isNotNull)
       .select(col("__anc").as("__pid")).distinct()
     val leaves = base.select(col("__id"))

@@ -212,8 +212,15 @@ object Classifier {
   def prCurve(df: DataFrame, goldCol: String, scoreCol: String)
   : DataFrame = {
     import org.apache.spark.sql.functions._
-    val perScore = df.groupBy(col(scoreCol).cast("double")
-        .as("threshold"))
+    // a null score has no place on a threshold sweep (it would mint a
+    // phantom NULL-threshold point holding the whole corpus) — fail
+    // loudly in the grouping projection, the curriculumOrder contract
+    val score = when(
+      assert_true(col(scoreCol).isNotNull,
+        lit(s"prCurve: null $scoreCol — filter or impute first"))
+        .isNull,
+      col(scoreCol).cast("double"))
+    val perScore = df.groupBy(score.as("threshold"))
       .agg(count(lit(1)).as("__n"),
         sum(col(goldCol).cast("long")).as("__tp"))
     val w = Window.orderBy(col("threshold").desc)

@@ -134,7 +134,7 @@ object Packing {
     val cost = when(
       assert_true(col(costCol) >= 0, concat(
         lit(s"shardByCost: negative or null $costCol for "),
-        col(idCol).cast("string"))).isNull,
+        coalesce(col(idCol).cast("string"), lit("null")))).isNull,
       col(costCol))
     packCore(df, idCol, cost, budget, ord, ord % nBuckets)
       .select(col(idCol), col("n_tokens").as("cost"),
@@ -152,18 +152,40 @@ object Packing {
     * sorted-batching loader reads this card to choose boundaries that
     * cap `waste_frac`. One codegen CASE projection + one keyed agg —
     * no shuffle beyond |buckets|+1 groups. */
-  def paddingWaste(df: DataFrame, lenCol: String, buckets: Seq[Long])
-  : DataFrame = {
+  /** Ascending distinct positive boundaries — shared contract of
+    * [[paddingWaste]] and [[bucketBatches]]. */
+  private def requireBoundaries(buckets: Seq[Long]): Unit = {
     require(buckets.nonEmpty, "need at least one bucket boundary")
     require(buckets == buckets.sorted && buckets.distinct == buckets,
       s"boundaries must be ascending and distinct: $buckets")
     require(buckets.head > 0, "boundaries must be positive")
-    val len = col(lenCol).cast("long")
-    val bucket = buckets.reverse.foldLeft(lit(-1L)) { (els, b) =>
+  }
+
+  /** Smallest boundary that fits `len` (−1 = overflow), with the
+    * loud negative/null-length guard riding the projection (a null
+    * length would otherwise fall through every `<=` into the
+    * overflow bucket silently, and a negative one would inflate
+    * waste past capacity — the [[shardByCost]] guard class). */
+  private def smallestBucket(lenCol: String, buckets: Seq[Long])
+  : Column = {
+    val len = when(
+      assert_true(col(lenCol) >= 0,
+        // the message itself must survive a NULL length (concat with
+        // a null cast would null the whole error string)
+        concat(lit(s"negative or null $lenCol: "),
+          coalesce(col(lenCol).cast("string"), lit("null")))).isNull,
+      col(lenCol).cast("long"))
+    buckets.reverse.foldLeft(lit(-1L): Column) { (els, b) =>
       when(len <= b, lit(b)).otherwise(els)
     }
+  }
+
+  def paddingWaste(df: DataFrame, lenCol: String, buckets: Seq[Long])
+  : DataFrame = {
+    requireBoundaries(buckets)
     val maxB = buckets.last
-    df.select(bucket.as("bucket"), len.as("__len"))
+    df.select(smallestBucket(lenCol, buckets).as("bucket"),
+        col(lenCol).cast("long").as("__len"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__len")).as("sum_len"))
@@ -196,19 +218,14 @@ object Packing {
                     buckets: Seq[Long], batchSize: Int,
                     salt: String = "graft"): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    require(buckets.nonEmpty, "need at least one bucket boundary")
-    require(buckets == buckets.sorted && buckets.distinct == buckets,
-      s"boundaries must be ascending and distinct: $buckets")
-    val len = col(lenCol).cast("long")
-    val bucket = buckets.reverse.foldLeft(lit(-1L)) { (els, b) =>
-      when(len <= b, lit(b)).otherwise(els)
-    }
+    requireBoundaries(buckets)
     val h = graft.functions.Scalars.hash60(
       concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"))
       .orderBy(col("__h"), col(idCol).cast("string"))
-    df.select(col(idCol), bucket.as("bucket"), h.as("__h"))
+    df.select(col(idCol), smallestBucket(lenCol, buckets).as("bucket"),
+        h.as("__h"))
       .withColumn("__r", row_number().over(w) - 1)
       .select(col(idCol), col("bucket"),
         (col("__r") / batchSize).cast("long").as("batch_idx"),

@@ -330,6 +330,74 @@ object TrainingQueries {
           '<|assistant|>' || fin || chr(10)
         FROM p WHERE k = 1)"""
 
+  /** Six synthesized CALL shapes (r18, did % 6) — the argument-audit
+    * fixture SHARED by q_tool_arg_types and q_tool_contract: one
+    * assistant turn with one call each — 0 conforming search
+    * ({"q": str}), 1 conforming fetch ({"k": int, "url": str}),
+    * 2 fetch with both value types flipped, 3 fetch with a DECIMAL k
+    * and url missing, 4 unparseable arguments, 5 an out-of-contract
+    * tool. Returns a [[graft.operators.Chats.toolTurns]]-shaped
+    * frame. */
+  private def sixShapeToolTurns(s: org.apache.spark.sql.SparkSession, d: String)
+  : DataFrame = {
+    val did = col("doc_id")
+    val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    val s5 = substring(ct, 3, 5)
+    val num = (did % 100).cast("string")
+    val args = when(did % 6 === 0,
+        concat(lit("{\"q\":\""), s5, lit("\"}")))
+      .when(did % 6 === 1, concat(lit("{\"k\":"), num,
+        lit(",\"url\":\""), s5, lit("\"}")))
+      .when(did % 6 === 2, concat(lit("{\"k\":\""), s5,
+        lit("\",\"url\":"), num, lit("}")))
+      .when(did % 6 === 3, lit("{\"k\":1.5}"))
+      .when(did % 6 === 4, lit("{oops"))
+      .otherwise(concat(lit("{\"to\":\""), s5, lit("\"}")))
+    val tool = when(did % 6 === 5, lit("mail"))
+      .when(did % 6 === 4 || did % 6 === 0, lit("search"))
+      .otherwise(lit("fetch"))
+    Tables.documents(s, d).select(did,
+      lit(1L).as("turn_idx"), lit("assistant").as("role"),
+      lit(null).cast("string").as("content"),
+      array(struct(concat(lit("c"), did.cast("string")).as("id"),
+        tool.as("name"), args.as("arguments"))).as("tool_calls"),
+      lit(null).cast("string").as("tool_call_id"))
+  }
+
+  /** DuckDB twin of [[sixShapeToolTurns]] — CTEs `b`, `p`, `c` with
+    * `c` = (doc_id, call_id, tool_name, args). */
+  private val sixShapeSql: String =
+    """b AS (SELECT doc_id, doc_id % 6 AS k,
+        regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+      FROM documents),
+    p AS (SELECT doc_id, k, substr(ct, 3, 5) AS s5,
+        CAST(doc_id % 100 AS VARCHAR) AS num FROM b),
+    c AS (SELECT doc_id,
+        'c' || CAST(doc_id AS VARCHAR) AS call_id,
+        CASE WHEN k = 5 THEN 'mail'
+          WHEN k IN (0, 4) THEN 'search'
+          ELSE 'fetch' END AS tool_name,
+        CASE WHEN k = 0 THEN '{"q":"' || s5 || '"}'
+          WHEN k = 1 THEN '{"k":' || num || ',"url":"' || s5
+            || '"}'
+          WHEN k = 2 THEN '{"k":"' || s5 || '","url":' || num
+            || '}'
+          WHEN k = 3 THEN '{"k":1.5}'
+          WHEN k = 4 THEN '{oops'
+          ELSE '{"to":"' || s5 || '"}' END AS args
+      FROM p)"""
+
+  /** DuckDB json_type → the six canonical JSON type names (the
+    * cross-engine twin of Chats' variant canonicalization). */
+  private def canonTypeSql(t: String): String =
+    s"""CASE WHEN $t IS NULL THEN 'missing'
+      WHEN $t = 'VARCHAR' THEN 'string'
+      WHEN $t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
+      WHEN $t = 'BOOLEAN' THEN 'boolean'
+      WHEN $t = 'OBJECT' THEN 'object'
+      WHEN $t = 'ARRAY' THEN 'array'
+      WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
+
   /** DuckDB twin of Chats.toolTriage over the synthesized traces:
     * per-turn protocol flags, block grouping, the set-difference
     * decomposition, and the severity CASE — CTEs `a1`..`av`
@@ -339,9 +407,12 @@ object TrainingQueries {
   private val toolTriageSql: String =
     """a1 AS (SELECT doc_id, turn_idx, role, tcid,
         COALESCE(len(calls) > 0, FALSE) AS hc,
+        -- json_valid(NULL) is NULL and list_filter DROPS null-predicate
+        -- rows — coalesce so a call with MISSING arguments flags, as
+        -- Spark's try_parse_json(null).isNotNull=false does
         (calls IS NOT NULL AND len(list_filter(calls, c ->
           c.id IS NULL OR c.nm IS NULL
-            OR NOT json_valid(c.args))) > 0) AS rargs,
+            OR NOT COALESCE(json_valid(c.args), FALSE))) > 0) AS rargs,
         (calls IS NOT NULL AND
           len(list_distinct([c.id FOR c IN calls]))
             != len(calls)) AS rdup,
@@ -360,16 +431,19 @@ object TrainingQueries {
           AS blk
       FROM a1),
     a3 AS (SELECT *,
-        (role NOT IN ('system','user','assistant','tool')
+        -- COALESCE true: a NULL role is a role violation (Spark's
+        -- coalesce(..., lit(true)) twin)
+        COALESCE((role NOT IN ('system','user','assistant','tool')
          OR (role = 'system' AND turn_idx != 0)
          OR (hc AND role != 'assistant')
-         OR ((role = 'tool') != (tcid IS NOT NULL))) AS rrole,
-        (NOT CASE WHEN pr IS NULL THEN role IN ('system','user')
+         OR ((role = 'tool') != (tcid IS NOT NULL))), TRUE) AS rrole,
+        COALESCE((NOT CASE
+          WHEN pr IS NULL THEN role IN ('system','user')
           WHEN pr = 'system' THEN role = 'user'
           WHEN pr = 'user' THEN role = 'assistant'
           WHEN pr = 'assistant' AND ph THEN role = 'tool'
           WHEN pr = 'assistant' THEN role = 'user'
-          ELSE role IN ('tool','assistant') END) AS rtrans
+          ELSE role IN ('tool','assistant') END), TRUE) AS rtrans
       FROM a2),
     ag AS (SELECT doc_id, blk, COUNT(*) AS n,
         bool_or(rrole) AS brole, bool_or(rargs) AS bargs,
@@ -3045,7 +3119,9 @@ object TrainingQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk
          FROM h),
         o AS (SELECT *,
-          (role IN ('system','user','assistant','tool')
+          -- COALESCE false: a NULL role must not validate (the Spark
+          -- side coalesces the same predicate to false)
+          COALESCE((role IN ('system','user','assistant','tool')
            AND (role != 'system' OR turn_idx = 0)
            AND (NOT hc OR role = 'assistant')
            AND ((role = 'tool') = (tcid IS NOT NULL))
@@ -3055,7 +3131,7 @@ object TrainingQueries {
                 WHEN pr = 'user' THEN role = 'assistant'
                 WHEN pr = 'assistant' AND ph THEN role = 'tool'
                 WHEN pr = 'assistant' THEN role = 'user'
-                ELSE role IN ('tool','assistant') END) AS ok
+                ELSE role IN ('tool','assistant') END), FALSE) AS ok
          FROM x),
         g AS (SELECT doc_id, blk, COUNT(*) AS n, bool_and(ok) AS okb,
           COALESCE(any_value(CASE WHEN role = 'assistant'
@@ -3182,67 +3258,17 @@ object TrainingQueries {
     // verdict list; the gate serializes `bad` (array columns crash
     // the driver's pandas sort — r17).
     Q("q_tool_arg_types",
-      (s, d) => {
-        import graft.operators.Chats
-        val did = col("doc_id")
-        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
-        val s5 = substring(ct, 3, 5)
-        val num = (did % 100).cast("string")
-        val args = when(did % 6 === 0,
-            concat(lit("{\"q\":\""), s5, lit("\"}")))
-          .when(did % 6 === 1, concat(lit("{\"k\":"), num,
-            lit(",\"url\":\""), s5, lit("\"}")))
-          .when(did % 6 === 2, concat(lit("{\"k\":\""), s5,
-            lit("\",\"url\":"), num, lit("}")))
-          .when(did % 6 === 3, lit("{\"k\":1.5}"))
-          .when(did % 6 === 4, lit("{oops"))
-          .otherwise(concat(lit("{\"to\":\""), s5, lit("\"}")))
-        val tool = when(did % 6 === 5, lit("mail"))
-          .when(did % 6 === 4 || did % 6 === 0, lit("search"))
-          .otherwise(lit("fetch"))
-        val turns = Tables.documents(s, d).select(did,
-          lit(1L).as("turn_idx"), lit("assistant").as("role"),
-          lit(null).cast("string").as("content"),
-          array(struct(concat(lit("c"), did.cast("string")).as("id"),
-            tool.as("name"), args.as("arguments"))).as("tool_calls"),
-          lit(null).cast("string").as("tool_call_id"))
-        Chats.toolArgTypes(turns, "doc_id",
-            Map("search" -> Seq("q" -> "string"),
-              "fetch" -> Seq("k" -> "number", "url" -> "string")))
-          .withColumn("bad", array_join(col("bad"), ","))
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => graft.operators.Chats.toolArgTypes(
+          sixShapeToolTurns(s, d), "doc_id",
+          Map("search" -> Seq("q" -> "string"),
+            "fetch" -> Seq("k" -> "number", "url" -> "string")))
+        .withColumn("bad", array_join(col("bad"), ","))
+        .orderBy(col("doc_id")),
       Some {
-        def canon(t: String) =
-          s"""CASE WHEN $t IS NULL THEN 'missing'
-            WHEN $t = 'VARCHAR' THEN 'string'
-            WHEN $t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
-            WHEN $t = 'BOOLEAN' THEN 'boolean'
-            WHEN $t = 'OBJECT' THEN 'object'
-            WHEN $t = 'ARRAY' THEN 'array'
-            WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
         def act(key: String) =
           s"""CASE WHEN NOT json_valid(args) THEN 'unparseable'
-            ELSE ${canon(s"json_type(args, '$$.$key')")} END"""
-        s"""WITH b AS (SELECT doc_id, doc_id % 6 AS k,
-            regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
-          FROM documents),
-        p AS (SELECT doc_id, k, substr(ct, 3, 5) AS s5,
-            CAST(doc_id % 100 AS VARCHAR) AS num FROM b),
-        c AS (SELECT doc_id,
-            'c' || CAST(doc_id AS VARCHAR) AS call_id,
-            CASE WHEN k = 5 THEN 'mail'
-              WHEN k IN (0, 4) THEN 'search'
-              ELSE 'fetch' END AS tool_name,
-            CASE WHEN k = 0 THEN '{"q":"' || s5 || '"}'
-              WHEN k = 1 THEN '{"k":' || num || ',"url":"' || s5
-                || '"}'
-              WHEN k = 2 THEN '{"k":"' || s5 || '","url":' || num
-                || '}'
-              WHEN k = 3 THEN '{"k":1.5}'
-              WHEN k = 4 THEN '{oops'
-              ELSE '{"to":"' || s5 || '"}' END AS args
-          FROM p),
+            ELSE ${canonTypeSql(s"json_type(args, '$$.$key')")} END"""
+        s"""WITH $sixShapeSql,
         ty AS (SELECT doc_id, call_id, tool_name,
             ${act("q")} AS aq, ${act("k")} AS ak,
             ${act("url")} AS aurl
@@ -3278,60 +3304,11 @@ object TrainingQueries {
     // path type probing, majority tie-break, and both rounded
     // fractions.
     Q("q_tool_contract",
-      (s, d) => {
-        import graft.operators.Chats
-        val did = col("doc_id")
-        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
-        val s5 = substring(ct, 3, 5)
-        val num = (did % 100).cast("string")
-        val args = when(did % 6 === 0,
-            concat(lit("{\"q\":\""), s5, lit("\"}")))
-          .when(did % 6 === 1, concat(lit("{\"k\":"), num,
-            lit(",\"url\":\""), s5, lit("\"}")))
-          .when(did % 6 === 2, concat(lit("{\"k\":\""), s5,
-            lit("\",\"url\":"), num, lit("}")))
-          .when(did % 6 === 3, lit("{\"k\":1.5}"))
-          .when(did % 6 === 4, lit("{oops"))
-          .otherwise(concat(lit("{\"to\":\""), s5, lit("\"}")))
-        val tool = when(did % 6 === 5, lit("mail"))
-          .when(did % 6 === 4 || did % 6 === 0, lit("search"))
-          .otherwise(lit("fetch"))
-        val turns = Tables.documents(s, d).select(did,
-          lit(1L).as("turn_idx"), lit("assistant").as("role"),
-          lit(null).cast("string").as("content"),
-          array(struct(concat(lit("c"), did.cast("string")).as("id"),
-            tool.as("name"), args.as("arguments"))).as("tool_calls"),
-          lit(null).cast("string").as("tool_call_id"))
-        Chats.toolContractInfer(turns, "doc_id", minPresence = 0.95)
-          .orderBy(col("tool_name"), col("key"))
-      },
+      (s, d) => graft.operators.Chats.toolContractInfer(
+          sixShapeToolTurns(s, d), "doc_id", minPresence = 0.95)
+        .orderBy(col("tool_name"), col("key")),
       Some {
-        def canon(t: String) =
-          s"""CASE WHEN $t IS NULL THEN 'missing'
-            WHEN $t = 'VARCHAR' THEN 'string'
-            WHEN $t IN ('UBIGINT', 'BIGINT', 'DOUBLE') THEN 'number'
-            WHEN $t = 'BOOLEAN' THEN 'boolean'
-            WHEN $t = 'OBJECT' THEN 'object'
-            WHEN $t = 'ARRAY' THEN 'array'
-            WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
-        s"""WITH b AS (SELECT doc_id, doc_id % 6 AS k,
-            regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
-          FROM documents),
-        p AS (SELECT doc_id, k, substr(ct, 3, 5) AS s5,
-            CAST(doc_id % 100 AS VARCHAR) AS num FROM b),
-        c AS (SELECT doc_id,
-            CASE WHEN k = 5 THEN 'mail'
-              WHEN k IN (0, 4) THEN 'search'
-              ELSE 'fetch' END AS tool_name,
-            CASE WHEN k = 0 THEN '{"q":"' || s5 || '"}'
-              WHEN k = 1 THEN '{"k":' || num || ',"url":"' || s5
-                || '"}'
-              WHEN k = 2 THEN '{"k":"' || s5 || '","url":' || num
-                || '}'
-              WHEN k = 3 THEN '{"k":1.5}'
-              WHEN k = 4 THEN '{oops'
-              ELSE '{"to":"' || s5 || '"}' END AS args
-          FROM p),
+        s"""WITH $sixShapeSql,
         va AS (SELECT tool_name,
             CASE WHEN json_valid(args) THEN args END AS vargs
           FROM c),
@@ -3347,7 +3324,7 @@ object TrainingQueries {
         pk AS (SELECT tool_name, unnest(keys) AS key, vargs
           FROM ob WHERE keys IS NOT NULL),
         pt AS (SELECT tool_name, key,
-            ${canon("json_type(vargs, '$.' || key)")} AS t
+            ${canonTypeSql("json_type(vargs, '$.' || key)")} AS t
           FROM pk),
         tc AS (SELECT tool_name, key, t, COUNT(*) AS n
           FROM pt GROUP BY 1, 2, 3),

@@ -664,7 +664,13 @@ class ChatsSpec extends SparkSpec {
         .mkString(",")), Some("unanswered")),
       (12L, toolChat(Seq(m("user", "u"),
         m("assistant", "a", ""","tool_call_id":"c1""""))
-        .mkString(",")), Some("role")))
+        .mkString(",")), Some("role")),
+      // a NULL role (exporter dropped the field) must fail BOTH the
+      // validator and triage as 'role' — the raw predicate is SQL
+      // NULL there and an aggregate would silently skip it (r18)
+      (13L, toolChat(Seq(m("user", "u"),
+        """{"content":"norole"}""",
+        m("assistant", "a")).mkString(",")), Some("role")))
     val t = Chats.toolTurns(chats(cases.map(c => c._1 -> c._2)),
       "chat", "id")
     val triage = Chats.toolTriage(t, "id").collect()
@@ -681,20 +687,20 @@ class ChatsSpec extends SparkSpec {
     // on a tool turn (all calls answered): the classes 3–5 can't
     // explain
     val extra: Seq[(Long, String)] = Seq(
-      13L -> toolChat(Seq(m("user", "u"), m("user", "u2"),
+      21L -> toolChat(Seq(m("user", "u"), m("user", "u2"),
         m("assistant", "a")).mkString(",")),
-      14L -> toolChat(Seq(m("user", "u"),
+      22L -> toolChat(Seq(m("user", "u"),
         m("assistant", "a",
           s""","tool_calls":[${call("c1", "f", argsOk)}]"""),
         m("tool", "r", ""","tool_call_id":"c1"""")).mkString(",")))
     val t2 = Chats.toolTurns(chats(extra), "chat", "id")
     val g2 = Chats.toolTriage(t2, "id").collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
-    assert(g2 == Map(13L -> "transition", 14L -> "pending_final"))
+    assert(g2 == Map(21L -> "transition", 22L -> "pending_final"))
     // the card rolls the same verdicts up
     val card = Chats.toolTriageCard(t, "id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(card("valid") == 2L && card("role") == 3L &&
+    assert(card("valid") == 2L && card("role") == 4L &&
       card("dup_call_id") == 2L && card("stray_answer") == 2L &&
       card("unanswered") == 2L && card("args_parse") == 1L)
   }
@@ -853,11 +859,13 @@ class ChatsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("conv_id"),
         r.getAs[Long]("turn_idx"), r.getAs[Long]("node_id")))
     assert(d.toSeq == Seq((5L, 1L, 5L))) // dangler slot 0 has no row
-    // cycle: 6 -> 7 -> 6
+    // cycle: 6 -> 7 -> 6 — must fail at the DEFAULT maxIter (the
+    // log2(n)+1 round bound fires long before paths can double into
+    // OOM territory — r18 review fix)
     val cyc = Seq((6L, Some(7L), "user", "x"), (7L, Some(6L), "user",
       "y")).toDF("node_id", "parent_id", "role", "content")
     val e = intercept[IllegalArgumentException] {
-      Chats.treePaths(cyc, "node_id", "parent_id", maxIter = 5)
+      Chats.treePaths(cyc, "node_id", "parent_id")
     }
     assert(e.getMessage.contains("cycle"))
   }

@@ -695,6 +695,17 @@ class PropertySpec extends SparkSpec {
       .collect()(0)
     assert(none.isNullAt(none.fieldIndex("recall")) &&
       none.getAs[Double]("f1") == 0.0)
+    // a null score would mint a phantom whole-corpus threshold point —
+    // it fails loudly instead (r18 review fix)
+    val eN = intercept[Exception] {
+      Classifier.prCurve(Seq((true, Some(0.5)),
+          (false, None: Option[Double])).toDF("gold", "score"),
+        "gold", "score").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(eN).exists(_.contains("null score")))
   }
 
   test("paddingWaste: smallest-fitting bucket, overflow row counts " +
@@ -718,6 +729,21 @@ class PropertySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Packing.paddingWaste(df, "len", Seq.empty)
     }
+    // null / negative lengths fail loudly instead of silently landing
+    // in overflow resp. the smallest bucket (r18 review fix)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val withNull = Seq(Some(3L), None).toDF("len")
+    val e1 = intercept[Exception] {
+      Packing.paddingWaste(withNull, "len", Seq(8L)).collect()
+    }
+    assert(messages(e1).exists(_.contains("negative or null len")))
+    val e2 = intercept[Exception] {
+      Packing.bucketBatches(Seq((1L, -5L)).toDF("id", "len"), "id",
+        "len", Seq(8L), batchSize = 2).collect()
+    }
+    assert(messages(e2).exists(_.contains("negative or null len")))
   }
 
   test("sessionize: gap threshold is exclusive in micros, indexes are " +
