@@ -1016,17 +1016,25 @@ object Chats {
     * [[graft.operators.Dedup.clusters]]. Leaves come from one
     * anti-join against the distinct parent set; the final explode is
     * one posexplode + one id-keyed join back to the node payload. A
-    * dangling parent id truncates that path at the dangler (treated
-    * as a root); a parent CYCLE fails loudly after
-    * ceil(log2(n))+1 rounds — enough for ANY acyclic forest of n
-    * nodes, and early enough that a cycle's doubling paths stay ~2n
-    * elements instead of 2^maxIter (`maxIter` is only a cap on that
-    * bound). */
+    * dangling parent id (no node row carries it) is DROPPED from the
+    * path — the first node that actually exists becomes depth 0, so
+    * `turn_idx` stays contiguous 0-based (the contract
+    * [[validateTurns]]' system-at-turn-0 rule reads; ADVICE r18 — the
+    * miss is detected inside the doubling join, no extra pass). A
+    * parent CYCLE fails loudly after ceil(log2(n))+1 rounds — enough
+    * for ANY acyclic forest of n nodes, and early enough that a
+    * cycle's doubling paths stay ~2n elements instead of 2^maxIter
+    * (`maxIter` is only a cap on that bound). */
   def treePaths(nodes: DataFrame, idCol: String, parentCol: String,
                 maxIter: Int = 40): DataFrame = {
     val emptyPath = array().cast("array<bigint>")
-    val base = nodes.select(col(idCol).cast("long").as("__id"),
-      col(parentCol).cast("long").as("__anc"))
+    // checkpoint the two-column projection ONCE: it feeds the node
+    // count, the initial doubling state, the distinct-parent set, and
+    // the leaf anti-join — without this a costly derived `nodes`
+    // lineage would re-scan four times (ADVICE r18)
+    val base = Checkpoints.eager(
+      nodes.select(col(idCol).cast("long").as("__id"),
+        col(parentCol).cast("long").as("__anc")))
     var state = base.withColumn("__path",
       when(col("__anc").isNotNull, array(col("__anc")))
         .otherwise(emptyPath))
@@ -1044,12 +1052,19 @@ object Chats {
     while (remaining > 0 && i < rounds) {
       val a = state.select(col("__id").as("__aid"),
         col("__anc").as("__aanc"), col("__path").as("__apath"))
+      // invariant: whenever __anc is non-null, __path[0] == __anc —
+      // so a join MISS (__aid null) means the unresolved head IS a
+      // dangling id: resolve by dropping it (only heads can dangle;
+      // every deeper element arrived via a successful join)
       state = Checkpoints.eager(
         state.join(a, col("__anc") === col("__aid"), "left")
           .select(col("__id"),
-            when(col("__anc").isNull, lit(null).cast("long"))
+            when(col("__anc").isNull || col("__aid").isNull,
+              lit(null).cast("long"))
               .otherwise(col("__aanc")).as("__anc"),
             when(col("__anc").isNull, col("__path"))
+              .when(col("__aid").isNull,
+                slice(col("__path"), lit(2), size(col("__path")) - 1))
               .otherwise(concat(coalesce(col("__apath"), emptyPath),
                 col("__path"))).as("__path")))
       remaining = state.filter(col("__anc").isNotNull).limit(1).count()
@@ -1099,7 +1114,13 @@ object Chats {
       .select(explode(col("tool_calls")).as("__c"))
       .select(col("__c")("name").as("tool_name"),
         col("__c")("arguments").as("__args"))
-      .withColumn("__keys", json_object_keys(col("__args")))
+      // dedupe keys PER CALL: a duplicate key inside one object
+      // ({"a":1,"a":2}) must count its call once — n_with_key counts
+      // CALLS, so presence never exceeds 1.0 and `required` never
+      // over-triggers; engines also disagree on duplicate emission
+      // (ADVICE r18)
+      .withColumn("__keys",
+        array_distinct(json_object_keys(col("__args"))))
     val totals = calls.groupBy(col("tool_name"))
       .agg(count(lit(1)).as("n_calls"),
         sum(col("__keys").isNotNull.cast("long")).as("n_objects"))
@@ -1141,7 +1162,14 @@ object Chats {
     * fetch→search" all read off one frame — the card an agent-data
     * release publishes next to [[toolStats]]). Returns (src, dst,
     * n, n_convs). One posexplode + one lag window on the
-    * conversation key + one keyed agg. */
+    * conversation key + one keyed agg.
+    *
+    * Chains assume a TRIAGE-CLEAN corpus: a declared call whose
+    * normalized name is null (the exporter shipped neither the flat
+    * `name` nor `function.name` — such traces fail [[toolTriage]] as
+    * `args_parse`) is EXCLUDED from sequencing rather than minting a
+    * null dst and, through the lag, a phantom mid-conversation
+    * `__start` (ADVICE r18). */
   def toolChains(toolTurnsDf: DataFrame, idCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val calls = toolTurnsDf.filter(col("tool_calls").isNotNull)
@@ -1149,6 +1177,7 @@ object Chats {
         posexplode(col("tool_calls")).as(Seq("__p", "__c")))
       .select(col(idCol), col("turn_idx"), col("__p"),
         col("__c")("name").as("__tool"))
+      .filter(col("__tool").isNotNull)
     val wOrd = W.partitionBy(col(idCol))
       .orderBy(col("turn_idx"), col("__p"))
     val wDesc = W.partitionBy(col(idCol))

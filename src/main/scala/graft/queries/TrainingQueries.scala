@@ -3314,7 +3314,8 @@ object TrainingQueries {
           FROM c),
         ob AS (SELECT tool_name, vargs,
             CASE WHEN json_type(vargs) = 'OBJECT'
-              THEN CAST(json_keys(vargs) AS VARCHAR[]) END AS keys
+              THEN list_distinct(CAST(json_keys(vargs) AS VARCHAR[]))
+              END AS keys
           FROM va),
         tot AS (SELECT tool_name,
             CAST(COUNT(*) AS BIGINT) AS n_calls,

@@ -782,6 +782,15 @@ class ChatsSpec extends SparkSpec {
       .collect()(0)
     assert(tie.getAs[String]("major_type") == "number" &&
       tie.getAs[Double]("type_frac") == 0.5)
+    // duplicate keys within ONE object count their call once:
+    // presence stays ≤ 1.0 and never over-triggers `required`
+    // (ADVICE r18)
+    val dup = Chats.toolContractInfer(Chats.toolTurns(chats(Seq(
+        1L -> asst(call("c1", "fetch", """{\"a\":1,\"a\":2}""")))),
+      "chat", "id"), "id")
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[Long]("n_with_key"), r.getAs[Double]("presence")))
+    assert(dup.toSeq == Seq(("a", 1L, 1.0)))
     // the inferred required rows audit clean through toolArgTypes on
     // the conforming corpus rows
     val inferred = got.filter(_._9).groupBy(_._1).view
@@ -821,6 +830,29 @@ class ChatsSpec extends SparkSpec {
       ("search", "fetch", 1L, 1L)))
   }
 
+  test("toolChains: a call with a NULL normalized name (no flat name, " +
+      "no function.name) is excluded from sequencing — no null dst, " +
+      "no phantom mid-conversation __start (ADVICE r18)") {
+    val argsOk = """{\"q\":\"x\"}"""
+    val trace = toolChat(Seq(
+      m("user", "u"),
+      m("assistant", "a", s""","tool_calls":[${call("c1", "search",
+        argsOk)},{"id":"c2","arguments":"$argsOk"},${call("c3",
+        "fetch", argsOk)}]"""),
+      m("tool", "r1", ""","tool_call_id":"c1""""),
+      m("assistant", "done")).mkString(","))
+    val got = Chats.toolChains(
+        Chats.toolTurns(chats(Seq(1L -> trace)), "chat", "id"), "id")
+      .orderBy(col("src"), col("dst")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the nameless c2 vanishes: search → fetch directly, no null row
+    // and no second __start
+    assert(got.toSeq == Seq(
+      ("__start", "search", 1L),
+      ("fetch", "__end", 1L),
+      ("search", "fetch", 1L)))
+  }
+
   test("treePaths: branched trees flatten to one root-first path per " +
       "leaf; a 33-deep chain resolves (pointer doubling); dangling " +
       "parents truncate; cycles fail loudly") {
@@ -852,13 +884,24 @@ class ChatsSpec extends SparkSpec {
     assert(deep.length == 33 &&
       deep.forall(_.getAs[Long]("conv_id") == 33L) &&
       deep.map(_.getAs[Long]("node_id")).toSeq == (1L to 33L))
-    // dangling parent: the path truncates at the dangler
+    // dangling parent: the dangler is DROPPED from the path, so the
+    // first real node is depth 0 and turn_idx stays contiguous
+    // 0-based (ADVICE r18 — no hole at depth 0)
     val dangling = Seq((5L, Some(77L), "user", "orphan"))
       .toDF("node_id", "parent_id", "role", "content")
     val d = Chats.treePaths(dangling, "node_id", "parent_id")
       .collect().map(r => (r.getAs[Long]("conv_id"),
         r.getAs[Long]("turn_idx"), r.getAs[Long]("node_id")))
-    assert(d.toSeq == Seq((5L, 1L, 5L))) // dangler slot 0 has no row
+    assert(d.toSeq == Seq((5L, 0L, 5L)))
+    // a dangler above a real CHAIN: path [77?, 5, 6] → [5, 6]
+    val danglingChain = Seq(
+      (5L, Some(77L), "user", "orphan"), (6L, Some(5L), "assistant",
+        "child")).toDF("node_id", "parent_id", "role", "content")
+    val dc = Chats.treePaths(danglingChain, "node_id", "parent_id")
+      .orderBy(col("turn_idx"))
+      .collect().map(r => (r.getAs[Long]("conv_id"),
+        r.getAs[Long]("turn_idx"), r.getAs[Long]("node_id")))
+    assert(dc.toSeq == Seq((6L, 0L, 5L), (6L, 1L, 6L)))
     // cycle: 6 -> 7 -> 6 — must fail at the DEFAULT maxIter (the
     // log2(n)+1 round bound fires long before paths can double into
     // OOM territory — r18 review fix)
