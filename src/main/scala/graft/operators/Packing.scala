@@ -210,26 +210,65 @@ object Packing {
     * parallelism, no RNG — the [[graft.operators.Sampling
     * .epochShuffle]] idiom, so batches are content-shuffled but
     * reproducible), and consecutive runs of `batchSize` become
-    * batches. Returns (idCol, bucket, batch_idx, pos_in_batch). One
-    * bucket-keyed window (partitions are bucket-sized — the
-    * [[graft.operators.Layout.curriculumOrder]] shape; more
-    * boundaries = smaller partitions). */
+    * batches. Returns (idCol, bucket, batch_idx, pos_in_batch).
+    *
+    * Scale shape — the [[packCore]] two-pass distributed prefix sum,
+    * NOT a per-length-bucket window (a loader config has ~4
+    * boundaries, so a bucket-keyed window would sort ~25% of a
+    * 100 TB corpus in ONE task):
+    *   1. each length bucket RANGE-splits into `nSub` ordered
+    *      sub-buckets by the top bits of the 60-bit salted hash —
+    *      sub is a monotone function of the hash, so concatenating
+    *      sub-buckets in ascending order IS the bucket's (hash, id)
+    *      order, and the rank window partitions by (bucket, sub):
+    *      ~|corpus|/(|buckets|·nSub) rows per task;
+    *   2. the (bucket, sub) counts (≤ |buckets|·nSub rows, tiny)
+    *      collect to the driver, prefix-sum per bucket in sub order,
+    *      and broadcast back as each sub-bucket's rank offset.
+    * batch_idx/pos_in_batch are the same div/mod over the global
+    * within-bucket rank — BIT-IDENTICAL to the single-window
+    * formulation at any nSub and any parallelism (spec-pinned). The
+    * corpus shuffles once (into (bucket, sub)); nothing else moves. */
   def bucketBatches(df: DataFrame, idCol: String, lenCol: String,
                     buckets: Seq[Long], batchSize: Int,
-                    salt: String = "graft"): DataFrame = {
+                    salt: String = "graft", nSub: Int = 256): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     requireBoundaries(buckets)
+    require(nSub > 0 && Integer.bitCount(nSub) == 1,
+      s"nSub must be a positive power of two, got $nSub")
+    val shift = 60 - (31 - Integer.numberOfLeadingZeros(nSub))
     val h = graft.functions.Scalars.hash60(
       concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val base = df.select(col(idCol),
+      smallestBucket(lenCol, buckets).as("bucket"), h.as("__h"),
+      shiftright(h, shift).as("__sub"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
+      .partitionBy(col("bucket"), col("__sub"))
       .orderBy(col("__h"), col(idCol).cast("string"))
-    df.select(col(idCol), smallestBucket(lenCol, buckets).as("bucket"),
-        h.as("__h"))
-      .withColumn("__r", row_number().over(w) - 1)
+    val local = base.withColumn("__rl",
+      row_number().over(w).cast("long") - 1)
+    // pass 2: tiny (bucket, sub) counts → driver per-bucket prefix
+    // sum in sub order → broadcast offsets (the packCore idiom)
+    val counts = base.groupBy(col("bucket"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long)]
+    var curBucket = Long.MinValue
+    var run = 0L
+    counts.foreach { case (b, sub, n) =>
+      if (b != curBucket) { curBucket = b; run = 0L }
+      offs += ((b, sub, run))
+      run += n
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offs.toSeq.toDF("bucket", "__sub", "__off")
+    local.join(broadcast(offsetDf), Seq("bucket", "__sub"))
       .select(col(idCol), col("bucket"),
-        (col("__r") / batchSize).cast("long").as("batch_idx"),
-        (col("__r") % batchSize).cast("long").as("pos_in_batch"))
+        expr(s"(__off + __rl) DIV $batchSize").as("batch_idx"),
+        ((col("__off") + col("__rl")) % batchSize).as("pos_in_batch"))
   }
 
   /** Write the corpus as token-budget shards: parquet partitioned by

@@ -807,13 +807,36 @@ class PropertySpec extends SparkSpec {
     import s.implicits._
     import graft.operators.Packing
     val df = (1L to 100L).map(i => (i, i % 40 + 1)).toDF("id", "len")
-    def run(parts: Int) =
+    def run(parts: Int, nSub: Int = 256) =
       Packing.bucketBatches(df.repartition(parts), "id", "len",
-          Seq(8L, 16L, 32L), batchSize = 5)
+          Seq(8L, 16L, 32L), batchSize = 5, nSub = nSub)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val a = run(1); val b = run(13)
     assert(a == b && a.size == 100)
+    // the two-pass sub-bucket prefix sum is BIT-IDENTICAL to the
+    // single-window formulation at any nSub (r18 verdict: the window
+    // partitioned by the length bucket itself is the 100 TB scale
+    // killer this replaces) — replay the window form inline and pin
+    // every (bucket, batch_idx, pos_in_batch) triple
+    val h = graft.functions.Scalars.hash60(
+      concat(lit("graft:"), col("id").cast("string")))
+    val bucketCase = when(col("len") <= 8, 8L)
+      .when(col("len") <= 16, 16L).when(col("len") <= 32, 32L)
+      .otherwise(-1L)
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("__h"), col("id").cast("string"))
+    val ref = df.select(col("id"), bucketCase.as("bucket"), h.as("__h"))
+      .withColumn("__r", row_number().over(wRef).cast("long") - 1)
+      .select(col("id"), col("bucket"),
+        (col("__r") / 5).cast("long").as("batch_idx"),
+        (col("__r") % 5).as("pos_in_batch"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(run(7, nSub = 1) == ref)   // one sub = the window itself
+    assert(run(7, nSub = 2) == ref)   // multi-row subs, real offsets
+    assert(run(7, nSub = 256) == ref) // default: ~singleton subs
     // bucket correctness and batch occupancy
     val byDoc = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     a.foreach { case (id, (bucket, _, pos)) =>
