@@ -143,7 +143,12 @@ object Bench {
     // the PR-curve reduction, the padding card, sorted batching, the
     // cross-source dup matrix
     "q_tree_paths", "q_pr_curve", "q_padding_waste",
-    "q_bucket_batches", "q_dedup_cross_source")
+    "q_bucket_batches", "q_dedup_cross_source",
+    // r19: the drift/release-card tier rides the tool-trace curve
+    // (two inferences + a vocabulary-sized compare scale exactly like
+    // q_tool_contract); the picker rides the PR-curve reduction
+    "q_contract_drift", "q_contract_drift_card", "q_chain_drift",
+    "q_threshold_pick")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -240,6 +245,8 @@ object Bench {
     "q_tool_args" -> Set("ArrayTransform", "JsonToStructs"),
     // chains: the tool parse + normalization transform only
     "q_tool_chains" -> Set("ArrayTransform", "JsonToStructs"),
+    // chain drift runs the chains stack TWICE (one per snapshot)
+    "q_chain_drift" -> Set("ArrayTransform", "JsonToStructs"),
     // the tool capstone adds the BPE expr-chain segmentation HOFs, as
     // in q_sft_windows
     "q_sft_tool_windows" ->

@@ -1196,6 +1196,98 @@ object Chats {
         countDistinct(col(idCol)).as("n_convs"))
   }
 
+  /** CONTRACT DRIFT — the comparison [[toolContractInfer]]'s scaladoc
+    * promises: given TWO inferred-contract snapshots (last release's
+    * healthy corpus vs this week's drop), answer per (tool, key) what
+    * moved. One full-outer join on (tool_name, key) — the frames are
+    * VOCABULARY-sized (tools × keys), so this is the
+    * [[Curation.unigramDriftTermsFromCounts]] shape: no corpus
+    * re-scan, the expensive inference runs once per snapshot and every
+    * report reads the frames. Emits per (tool_name, key):
+    *
+    *   - `presence_a`/`presence_b` and `presence_delta` (b − a, 6 dp;
+    *     null when the key exists on one side only);
+    *   - `major_type_a`/`major_type_b` and `type_flip` (both present,
+    *     majority types differ — the exporter-changed-a-field bug);
+    *   - `required_a`/`required_b`;
+    *   - `status`, severity-ordered: `appeared` (new key) /
+    *     `disappeared` (dropped key) / `type_flip` /
+    *     `required_change` (presence crossed the threshold) /
+    *     `stable`.
+    *
+    * Null-safe throughout — a one-sided row never reads as a flip. */
+  def contractDrift(oldC: DataFrame, newC: DataFrame): DataFrame = {
+    val keep = Seq("presence", "major_type", "required")
+    val a = oldC.select(col("tool_name") +: col("key") +:
+      keep.map(c => col(c).as(c + "_a")): _*)
+    val b = newC.select(col("tool_name") +: col("key") +:
+      keep.map(c => col(c).as(c + "_b")): _*)
+    a.join(b, Seq("tool_name", "key"), "full_outer")
+      .withColumn("presence_delta",
+        round(col("presence_b") - col("presence_a"), 6))
+      .withColumn("type_flip",
+        coalesce(col("major_type_a") =!= col("major_type_b"),
+          lit(false)))
+      .withColumn("status",
+        when(col("presence_a").isNull, "appeared")
+          .when(col("presence_b").isNull, "disappeared")
+          .when(col("type_flip"), "type_flip")
+          .when(col("required_a") =!= col("required_b"),
+            "required_change")
+          .otherwise("stable"))
+  }
+
+  /** Per-tool SEVERITY roll-up over [[contractDrift]] — the one-line-
+    * per-tool release card: key counts per side, how many keys
+    * appeared / disappeared / type-flipped / changed requiredness,
+    * the largest |presence move| among keys present on both sides
+    * (6 dp; null when no key overlaps), and a `severity` verdict —
+    * `breaking` when a key that was REQUIRED in the old contract
+    * disappeared or type-flipped (callers conforming to the old
+    * contract now fail), `warn` on any other change, `ok` otherwise.
+    * One keyed agg over the vocabulary-sized drift frame. */
+  def contractDriftCard(drift: DataFrame): DataFrame =
+    drift.groupBy(col("tool_name"))
+      .agg(sum(col("presence_a").isNotNull.cast("long"))
+          .as("n_keys_a"),
+        sum(col("presence_b").isNotNull.cast("long")).as("n_keys_b"),
+        sum((col("status") === "appeared").cast("long"))
+          .as("n_appeared"),
+        sum((col("status") === "disappeared").cast("long"))
+          .as("n_disappeared"),
+        sum(col("type_flip").cast("long")).as("n_type_flips"),
+        sum((col("status") === "required_change").cast("long"))
+          .as("n_required_changes"),
+        round(max(abs(col("presence_delta"))), 6)
+          .as("max_abs_presence_delta"),
+        max((coalesce(col("required_a"), lit(false)) &&
+          (col("status") === "disappeared" || col("type_flip")))
+          .cast("int")).as("__breaking"))
+      .withColumn("severity",
+        when(col("__breaking") === 1, "breaking")
+          .when(col("n_appeared") + col("n_disappeared") +
+            col("n_type_flips") + col("n_required_changes") > 0,
+            "warn")
+          .otherwise("ok"))
+      .drop("__breaking")
+
+  /** CHAIN-TRANSITION DRIFT — the monitoring twin of [[toolChains]]:
+    * treat each (src → dst) transition as a TOKEN with its count and
+    * compute the exact-integer smoothed KL report between two
+    * snapshots via [[Curation.unigramDriftFromCounts]] — "did this
+    * week's agent traffic change shape?" next to the per-release
+    * [[contractDrift]]. Inputs are two [[toolChains]] frames; the
+    * join is transition-vocabulary-sized (|tools|² + sentinels),
+    * never corpus-sized. Returns the one-row drift report
+    * (n_a, n_b, v_union, kl_u, kl). */
+  def chainDrift(oldChains: DataFrame, newChains: DataFrame)
+  : DataFrame = {
+    def tok(d: DataFrame) = d.select(
+      concat(col("src"), lit("→"), col("dst")).as("token"),
+      col("n").as("cnt"))
+    Curation.unigramDriftFromCounts(tok(oldChains), tok(newChains))
+  }
+
   /** TOOL-USAGE data card — per tool name across a trace corpus: how
     * often each tool is called, by how many conversations, how many
     * calls got answered, and the mean arguments / result payload

@@ -244,4 +244,46 @@ object Classifier {
       .select(col("threshold"), col("n_ge"), col("tp"), col("fp"),
         col("precision"), col("recall"), col("f1"))
   }
+
+  /** OPERATING-POINT picker over a [[prCurve]] sweep — the last mile
+    * of "route everything the classifier scores above t": nothing in
+    * the curve says WHICH t, this does. One row (the chosen point,
+    * prefixed with the `objective` label), or ZERO rows when no point
+    * meets the floor — an empty pick is "no operating point exists",
+    * never a null-filled row. Objectives:
+    *
+    *   - `max_f1`: the F1-maximizing point; ties break to the HIGHEST
+    *     threshold (the cheaper routing — fewer docs pass);
+    *   - `precision_floor`: the LOWEST threshold with precision ≥
+    *     `floorAt` — maximize recall subject to a precision bar;
+    *   - `recall_floor`: among points with recall ≥ `floorAt`, the
+    *     highest-precision one (ties → highest threshold) — maximize
+    *     precision subject to a recall bar.
+    *
+    * Scale shape: the curve is |distinct scores|-sized, so each pick
+    * is one TakeOrderedAndProject (top-1, no global sort) over the
+    * already-reduced frame. */
+  def thresholdPick(curve: DataFrame, objective: String,
+                    floorAt: Double = Double.NaN): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val needsFloor = Set("precision_floor", "recall_floor")
+    require(objective == "max_f1" || needsFloor(objective),
+      s"unknown objective: $objective")
+    require(!needsFloor(objective) ||
+      (!floorAt.isNaN && floorAt >= 0 && floorAt <= 1),
+      s"$objective needs a floor in [0,1], got $floorAt")
+    val picked = objective match {
+      case "max_f1" =>
+        curve.orderBy(col("f1").desc, col("threshold").desc)
+      case "precision_floor" =>
+        curve.filter(col("precision") >= floorAt)
+          .orderBy(col("threshold"))
+      case "recall_floor" =>
+        curve.filter(col("recall") >= floorAt)
+          .orderBy(col("precision").desc, col("threshold").desc)
+    }
+    picked.limit(1).select(lit(objective).as("objective"),
+      col("threshold"), col("n_ge"), col("tp"), col("fp"),
+      col("precision"), col("recall"), col("f1"))
+  }
 }

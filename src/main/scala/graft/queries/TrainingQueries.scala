@@ -398,6 +398,88 @@ object TrainingQueries {
       WHEN $t = 'ARRAY' THEN 'array'
       WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
 
+  /** [[sixShapeSql]]'s contract-INFERENCE chain over a doc_id SLICE,
+    * every CTE name suffixed `$sfx` so two snapshot generations fit
+    * in one statement (q_contract_drift / q_contract_drift_card).
+    * Mirrors q_tool_contract's oracle; final CTE `inf$sfx` =
+    * (tool_name, key, presence, major_type, required). */
+  private def contractInferSql(sfx: String, where: String): String =
+    s"""b$sfx AS (SELECT doc_id, doc_id % 6 AS k,
+        regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
+      FROM documents WHERE $where),
+    p$sfx AS (SELECT doc_id, k, substr(ct, 3, 5) AS s5,
+        CAST(doc_id % 100 AS VARCHAR) AS num FROM b$sfx),
+    c$sfx AS (SELECT doc_id,
+        CASE WHEN k = 5 THEN 'mail'
+          WHEN k IN (0, 4) THEN 'search'
+          ELSE 'fetch' END AS tool_name,
+        CASE WHEN k = 0 THEN '{"q":"' || s5 || '"}'
+          WHEN k = 1 THEN '{"k":' || num || ',"url":"' || s5
+            || '"}'
+          WHEN k = 2 THEN '{"k":"' || s5 || '","url":' || num
+            || '}'
+          WHEN k = 3 THEN '{"k":1.5}'
+          WHEN k = 4 THEN '{oops'
+          ELSE '{"to":"' || s5 || '"}' END AS args
+      FROM p$sfx),
+    ob$sfx AS (SELECT tool_name, vargs,
+        CASE WHEN json_type(vargs) = 'OBJECT'
+          THEN list_distinct(CAST(json_keys(vargs) AS VARCHAR[]))
+          END AS keys
+      FROM (SELECT tool_name,
+          CASE WHEN json_valid(args) THEN args END AS vargs
+        FROM c$sfx)),
+    tot$sfx AS (SELECT tool_name,
+        CAST(SUM(CASE WHEN keys IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_objects
+      FROM ob$sfx GROUP BY 1),
+    pt$sfx AS (SELECT tool_name, key,
+        ${canonTypeSql("json_type(vargs, '$.' || key)")} AS t
+      FROM (SELECT tool_name, unnest(keys) AS key, vargs
+        FROM ob$sfx WHERE keys IS NOT NULL)),
+    mj$sfx AS (SELECT tool_name, key, t AS major_type FROM (
+        SELECT tool_name, key, t,
+          row_number() OVER (PARTITION BY tool_name, key
+            ORDER BY COUNT(*) DESC, t) AS r
+        FROM pt$sfx GROUP BY 1, 2, 3) WHERE r = 1),
+    kc$sfx AS (SELECT tool_name, key,
+        CAST(COUNT(*) AS BIGINT) AS n_with_key
+      FROM pt$sfx GROUP BY 1, 2),
+    inf$sfx AS (SELECT kc.tool_name, kc.key,
+        ROUND(CAST(kc.n_with_key AS DOUBLE) / tot.n_objects, 6)
+          AS presence,
+        mj.major_type,
+        (ROUND(CAST(kc.n_with_key AS DOUBLE) / tot.n_objects, 6)
+          >= 0.95) AS required
+      FROM kc$sfx kc
+      JOIN mj$sfx mj ON mj.tool_name = kc.tool_name
+        AND mj.key = kc.key
+      JOIN tot$sfx tot ON tot.tool_name = kc.tool_name)"""
+
+  /** Both snapshot inferences (even/odd doc ids) + the full-outer
+    * drift compare — final CTE `drift` = Chats.contractDrift's
+    * columns; shared by q_contract_drift and q_contract_drift_card. */
+  private def contractDriftSql: String =
+    s"""${contractInferSql("a", "doc_id % 2 = 0")},
+    ${contractInferSql("bb", "doc_id % 2 = 1")},
+    drift AS (SELECT
+        COALESCE(a.tool_name, b.tool_name) AS tool_name,
+        COALESCE(a.key, b.key) AS key,
+        a.presence AS presence_a, a.major_type AS major_type_a,
+        a.required AS required_a,
+        b.presence AS presence_b, b.major_type AS major_type_b,
+        b.required AS required_b,
+        ROUND(b.presence - a.presence, 6) AS presence_delta,
+        COALESCE(a.major_type != b.major_type, FALSE) AS type_flip,
+        CASE WHEN a.presence IS NULL THEN 'appeared'
+          WHEN b.presence IS NULL THEN 'disappeared'
+          WHEN COALESCE(a.major_type != b.major_type, FALSE)
+            THEN 'type_flip'
+          WHEN a.required != b.required THEN 'required_change'
+          ELSE 'stable' END AS status
+      FROM infa a FULL OUTER JOIN infbb b
+        ON a.tool_name = b.tool_name AND a.key = b.key)"""
+
   /** DuckDB twin of Chats.toolTriage over the synthesized traces:
     * per-turn protocol flags, block grouping, the set-difference
     * decomposition, and the severity CASE — CTEs `a1`..`av`
@@ -3388,6 +3470,132 @@ object TrainingQueries {
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_convs
         FROM tr GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Contract DRIFT (r19 — the comparison toolContractInfer's
+    // scaladoc promises): even doc ids are snapshot A (shapes 0/2/4:
+    // search{q:str}, fetch{k:str,url:num}, unparseable search), odd
+    // ids snapshot B (shapes 1/3/5: fetch{k:num,url:str},
+    // fetch{k:1.5}, mail{to:str}) — so the full-outer compare shows
+    // search.q DISAPPEARED, mail.to APPEARED, fetch.k TYPE-FLIPPED
+    // string→number, and fetch.url flipped with a ~0.5 presence
+    // drop. Vocabulary-sized join, no corpus re-scan; the oracle
+    // replays BOTH inferences and the compare.
+    Q("q_contract_drift",
+      (s, d) => {
+        import graft.operators.Chats
+        val six = sixShapeToolTurns(s, d)
+        Chats.contractDrift(
+            Chats.toolContractInfer(
+              six.filter(col("doc_id") % 2 === 0), "doc_id"),
+            Chats.toolContractInfer(
+              six.filter(col("doc_id") % 2 === 1), "doc_id"))
+          .orderBy(col("tool_name"), col("key"))
+      },
+      Some(s"""WITH $contractDriftSql
+        SELECT * FROM drift ORDER BY tool_name, key""")),
+
+    // The per-tool severity roll-up over the same drift frame: key
+    // counts per side, appeared/disappeared/type-flip/required-change
+    // counts, the largest |presence move| among overlapping keys, and
+    // `breaking` exactly when an OLD-required key disappeared or
+    // type-flipped (fetch and search here; mail only warns).
+    Q("q_contract_drift_card",
+      (s, d) => {
+        import graft.operators.Chats
+        val six = sixShapeToolTurns(s, d)
+        Chats.contractDriftCard(Chats.contractDrift(
+            Chats.toolContractInfer(
+              six.filter(col("doc_id") % 2 === 0), "doc_id"),
+            Chats.toolContractInfer(
+              six.filter(col("doc_id") % 2 === 1), "doc_id")))
+          .orderBy(col("tool_name"))
+      },
+      Some(s"""WITH $contractDriftSql
+        SELECT tool_name,
+          CAST(SUM(CASE WHEN presence_a IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_keys_a,
+          CAST(SUM(CASE WHEN presence_b IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_keys_b,
+          CAST(SUM(CASE WHEN status = 'appeared' THEN 1 ELSE 0
+            END) AS BIGINT) AS n_appeared,
+          CAST(SUM(CASE WHEN status = 'disappeared' THEN 1 ELSE 0
+            END) AS BIGINT) AS n_disappeared,
+          CAST(SUM(CASE WHEN type_flip THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_type_flips,
+          CAST(SUM(CASE WHEN status = 'required_change' THEN 1
+            ELSE 0 END) AS BIGINT) AS n_required_changes,
+          ROUND(MAX(ABS(presence_delta)), 6)
+            AS max_abs_presence_delta,
+          CASE WHEN MAX(CASE WHEN COALESCE(required_a, FALSE)
+              AND (status = 'disappeared' OR type_flip)
+              THEN 1 ELSE 0 END) = 1 THEN 'breaking'
+            WHEN SUM(CASE WHEN status IN ('appeared', 'disappeared',
+                'required_change') OR type_flip THEN 1 ELSE 0
+              END) > 0 THEN 'warn'
+            ELSE 'ok' END AS severity
+        FROM drift GROUP BY 1 ORDER BY 1""")),
+
+    // Chain-transition DRIFT (r19 — toolChains' monitoring twin):
+    // each (src→dst) transition is a token, counts feed the same
+    // exact-integer smoothed-KL report as q_unigram_drift. Even doc
+    // ids (trace shapes 0/2/4: single-search traces) vs odd (shapes
+    // 1/3: the two-call search→fetch class joins) — the union
+    // vocabulary gains search→fetch and fetch→__end. The oracle
+    // replays both chain extractions and the 1e6-scaled ln
+    // arithmetic.
+    Q("q_chain_drift",
+      (s, d) => {
+        import graft.operators.Chats
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          toolTraceJson(col("doc_id"), ct).as("chat"))
+        def chains(par: Int) = Chats.toolChains(
+          Chats.toolTurns(docs.filter(col("doc_id") % 2 === par),
+            "chat", "doc_id"), "doc_id")
+        Chats.chainDrift(chains(0), chains(1))
+      },
+      Some {
+        def u6(x: String) =
+          s"CAST(ROUND(ROUND(LN($x), 6) * 1e6) AS BIGINT)"
+        def chainSql(sfx: String, par: Int) =
+          s"""cc$sfx AS (SELECT doc_id, turn_idx,
+              unnest(range(len(calls))) AS p,
+              unnest([c.nm FOR c IN calls]) AS tool_name
+            FROM tt WHERE calls IS NOT NULL AND doc_id % 2 = $par),
+          sq$sfx AS (SELECT doc_id, tool_name,
+              COALESCE(lag(tool_name) OVER (PARTITION BY doc_id
+                ORDER BY turn_idx, p), '__start') AS src,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY turn_idx DESC, p DESC) AS rn
+            FROM cc$sfx),
+          ch$sfx AS (SELECT src || '→' || dst AS token,
+              COUNT(*) AS cnt FROM (
+                SELECT src, tool_name AS dst FROM sq$sfx
+                UNION ALL
+                SELECT tool_name, '__end' FROM sq$sfx WHERE rn = 1)
+            GROUP BY 1)"""
+        s"""WITH $toolTraceSql,
+        ${chainSql("a", 0)}, ${chainSql("b", 1)},
+        j AS (SELECT COALESCE(a.token, b.token) AS token,
+            COALESCE(a.cnt, 0) AS c_a, COALESCE(b.cnt, 0) AS c_b
+          FROM cha a FULL OUTER JOIN chb b ON a.token = b.token),
+        sc AS (SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+            CAST(SUM(c_b) AS BIGINT) AS nb,
+            CAST(COUNT(*) AS BIGINT) AS v FROM j),
+        tm AS (SELECT c_a, c_b,
+            (c_a + 1) * (
+              ${u6("CAST(c_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)")}
+              - ${u6("CAST(c_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)")})
+            AS term_u
+          FROM j CROSS JOIN sc)
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+          CAST(SUM(c_b) AS BIGINT) AS n_b,
+          CAST(COUNT(*) AS BIGINT) AS v_union,
+          CAST(SUM(term_u) AS BIGINT) AS kl_u,
+          ROUND(CAST(SUM(term_u) AS DOUBLE) /
+            (CAST(SUM(c_a) + COUNT(*) AS DOUBLE) * 1e6), 6) AS kl
+        FROM tm"""
+      }),
+
     // Conversation-TREE flattening (r18 — branched exports with
     // regenerated answers): each 4-node synthesized tree (root user →
     // two sibling assistant regens, one carrying a user follow-up)
@@ -3477,6 +3685,61 @@ object TrainingQueries {
           CASE WHEN tp = 0 THEN 0.0
             ELSE ROUND(2.0 * tp / (n_ge + pos), 6) END AS f1
         FROM cm ORDER BY threshold DESC""")),
+
+    // Operating-point PICKER over the same sweep (r19 — the last
+    // mile of "route everything above t"): max-F1 (ties → highest
+    // threshold), max-recall-subject-to-precision≥0.2 (the lowest
+    // qualifying threshold), and max-precision-subject-to-recall≥0.5
+    // — three top-1 reductions over the threshold-sized curve, never
+    // the corpus. The oracle replays the full curve and each
+    // ORDER-BY-LIMIT-1 arg-max with the same deterministic
+    // tie-breaks.
+    Q("q_threshold_pick",
+      (s, d) => {
+        import graft.operators.Classifier
+        val curve = Classifier.prCurve(
+          Tables.documents(s, d).select(
+            (col("doc_id") % 3 === 0).as("gold"),
+            ((col("doc_id") * 7 % 101).cast("double") / 100.0)
+              .as("score")),
+          "gold", "score")
+        Classifier.thresholdPick(curve, "max_f1")
+          .unionAll(Classifier.thresholdPick(curve,
+            "precision_floor", 0.2))
+          .unionAll(Classifier.thresholdPick(curve,
+            "recall_floor", 0.5))
+          .orderBy(col("objective"))
+      },
+      Some("""WITH sc AS (SELECT (doc_id % 3 = 0) AS gold,
+            CAST((doc_id * 7) % 101 AS DOUBLE) / 100.0 AS threshold
+          FROM documents),
+        ps AS (SELECT threshold, COUNT(*) AS n,
+            SUM(CASE WHEN gold THEN 1 ELSE 0 END) AS tp0
+          FROM sc GROUP BY 1),
+        cm AS (SELECT threshold,
+            CAST(SUM(n) OVER w AS BIGINT) AS n_ge,
+            CAST(SUM(tp0) OVER w AS BIGINT) AS tp,
+            CAST(SUM(tp0) OVER () AS BIGINT) AS pos
+          FROM ps WINDOW w AS (ORDER BY threshold DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        curve AS (SELECT threshold, n_ge, tp, n_ge - tp AS fp,
+            ROUND(CAST(tp AS DOUBLE) / n_ge, 6) AS precision,
+            CASE WHEN pos = 0 THEN NULL
+              ELSE ROUND(CAST(tp AS DOUBLE) / pos, 6) END AS recall,
+            CASE WHEN tp = 0 THEN 0.0
+              ELSE ROUND(2.0 * tp / (n_ge + pos), 6) END AS f1
+          FROM cm)
+        SELECT * FROM (
+          (SELECT 'max_f1' AS objective, * FROM curve
+            ORDER BY f1 DESC, threshold DESC LIMIT 1)
+          UNION ALL
+          (SELECT 'precision_floor' AS objective, * FROM curve
+            WHERE precision >= 0.2 ORDER BY threshold LIMIT 1)
+          UNION ALL
+          (SELECT 'recall_floor' AS objective, * FROM curve
+            WHERE recall >= 0.5
+            ORDER BY precision DESC, threshold DESC LIMIT 1))
+        ORDER BY objective""")),
 
     // Length-bucket PADDING report (r18 — "what boundaries should the
     // loader pad to?"): docs land in the smallest bucket that fits,

@@ -830,6 +830,74 @@ class ChatsSpec extends SparkSpec {
       ("search", "fetch", 1L, 1L)))
   }
 
+  test("contractDrift + contractDriftCard: appeared/disappeared/" +
+      "type_flip/required_change statuses, presence deltas, and the " +
+      "breaking-when-old-required severity") {
+    def asst(calls: String*) = toolChat(Seq(
+      m("user", "u"),
+      m("assistant", "a", s""","tool_calls":[${calls.mkString(",")}]"""),
+      m("assistant", "done")).mkString(","))
+    // gen A: fetch{k:int, url:str} ×2, search{q:str}
+    val genA = Chats.toolContractInfer(Chats.toolTurns(chats(Seq(
+      1L -> asst(call("c1", "fetch", """{\"k\":5,\"url\":\"u\"}""")),
+      2L -> asst(call("c2", "fetch", """{\"k\":7,\"url\":\"v\"}""")),
+      3L -> asst(call("c3", "search", """{\"q\":\"x\"}""")))),
+      "chat", "id"), "id")
+    // gen B: fetch{k:str} (k flips, url gone), mail{to:str} appears,
+    // search gone entirely
+    val genB = Chats.toolContractInfer(Chats.toolTurns(chats(Seq(
+      1L -> asst(call("c1", "fetch", """{\"k\":\"s\"}""")),
+      2L -> asst(call("c2", "mail", """{\"to\":\"x\"}""")))),
+      "chat", "id"), "id")
+    val drift = Chats.contractDrift(genA, genB)
+    val rows = drift.orderBy(col("tool_name"), col("key")).collect()
+      .map(r => (r.getAs[String]("tool_name"), r.getAs[String]("key"),
+        r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Double]("presence_delta"))))
+    assert(rows.toSeq == Seq(
+      ("fetch", "k", "type_flip", Some(0.0)),
+      ("fetch", "url", "disappeared", None),
+      ("mail", "to", "appeared", None),
+      ("search", "q", "disappeared", None)))
+    val card = Chats.contractDriftCard(drift)
+      .orderBy(col("tool_name")).collect()
+      .map(r => (r.getAs[String]("tool_name"),
+        r.getAs[Long]("n_keys_a"), r.getAs[Long]("n_keys_b"),
+        r.getAs[Long]("n_disappeared"), r.getAs[Long]("n_type_flips"),
+        r.getAs[String]("severity")))
+    // fetch: required k flipped AND required url disappeared →
+    // breaking; mail: a key appeared → warn; search: required q
+    // disappeared → breaking
+    assert(card.toSeq == Seq(
+      ("fetch", 2L, 1L, 1L, 1L, "breaking"),
+      ("mail", 0L, 1L, 0L, 0L, "warn"),
+      ("search", 1L, 0L, 1L, 0L, "breaking")))
+    // a stable contract reads all-stable, delta 0, severity ok
+    val same = Chats.contractDrift(genA, genA)
+    assert(same.collect().forall(r =>
+      r.getAs[String]("status") == "stable" &&
+        r.getAs[Double]("presence_delta") == 0.0))
+    assert(Chats.contractDriftCard(same).collect()
+      .forall(_.getAs[String]("severity") == "ok"))
+  }
+
+  test("chainDrift: transition-count KL between two toolChains " +
+      "snapshots — zero on identical traffic, positive and " +
+      "union-vocabulary-sized on shifted traffic") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("__start", "a", 2L, 2L), ("a", "__end", 2L, 2L))
+      .toDF("src", "dst", "n", "n_convs")
+    val b = Seq(("__start", "a", 1L, 1L), ("a", "b", 1L, 1L),
+      ("b", "__end", 1L, 1L)).toDF("src", "dst", "n", "n_convs")
+    val sameR = Chats.chainDrift(a, a).collect()(0)
+    assert(sameR.getAs[Long]("kl_u") == 0L &&
+      sameR.getAs[Double]("kl") == 0.0)
+    val r = Chats.chainDrift(a, b).collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L &&
+      r.getAs[Long]("v_union") == 4L && r.getAs[Double]("kl") > 0.0)
+  }
+
   test("toolChains: a call with a NULL normalized name (no flat name, " +
       "no function.name) is excluded from sequencing — no null dst, " +
       "no phantom mid-conversation __start (ADVICE r18)") {

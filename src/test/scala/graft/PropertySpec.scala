@@ -708,6 +708,45 @@ class PropertySpec extends SparkSpec {
     assert(msgs(eN).exists(_.contains("null score")))
   }
 
+  test("thresholdPick: max_f1 / precision_floor / recall_floor each " +
+      "choose the documented operating point; no qualifying point → " +
+      "ZERO rows; bad objectives and floors fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Classifier
+    // curve points: 0.9 (P 1.0, R 0.5, F1 .666667),
+    //               0.7 (P .666667, R 1.0, F1 .8),
+    //               0.3 (P .5, R 1.0, F1 .666667)
+    val curve = Classifier.prCurve(Seq((true, 0.9), (true, 0.7),
+      (false, 0.7), (false, 0.3)).toDF("gold", "score"),
+      "gold", "score")
+    def pick(obj: String, floorAt: Double = Double.NaN): Seq[Double] =
+      Classifier.thresholdPick(curve, obj, floorAt).collect()
+        .map(_.getAs[Double]("threshold")).toSeq
+    assert(pick("max_f1") == Seq(0.7))
+    // lowest threshold meeting the precision bar (max recall s.t. P)
+    assert(pick("precision_floor", 0.6) == Seq(0.7))
+    assert(pick("precision_floor", 0.99) == Seq(0.9))
+    // highest-precision point meeting the recall bar
+    assert(pick("recall_floor", 1.0) == Seq(0.7))
+    assert(pick("recall_floor", 0.4) == Seq(0.9))
+    // no point qualifies → empty, never a null-filled row
+    val none = Classifier.prCurve(
+      Seq((false, 0.9), (true, 0.5)).toDF("gold", "score"),
+      "gold", "score")
+    assert(Classifier.thresholdPick(none, "precision_floor", 0.9)
+      .count() == 0L)
+    intercept[IllegalArgumentException] {
+      Classifier.thresholdPick(curve, "max_recall")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.thresholdPick(curve, "precision_floor")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.thresholdPick(curve, "recall_floor", 1.5)
+    }
+  }
+
   test("paddingWaste: smallest-fitting bucket, overflow row counts " +
       "truncation not waste; boundary validation fails fast") {
     val s = spark
