@@ -255,6 +255,9 @@ object Bench {
     // ordered pack rebuild, as in q_chat_tool_spans
     "q_rft_tool_windows" ->
       Set("ArrayForAll", "ArraySort", "ArrayTransform", "JsonToStructs"),
+    // session→episode capstone: packWithMask's ordered rebuild (the
+    // episodes are ASSEMBLED, not parsed — no JsonToStructs)
+    "q_session_episodes" -> Set("ArraySort"),
     // streaming twin of q_chat_pack: same parse + ordered rebuild
     "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
     // streaming twin of the tool-trace pack path: the tool parse +

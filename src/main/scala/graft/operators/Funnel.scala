@@ -144,4 +144,46 @@ object Funnel {
         max(col(tsCol)).as("ts_end"))
       .withColumn("duration_us",
         unix_micros(col("ts_end")) - unix_micros(col("ts_start")))
+
+  /** SESSION → EPISODE assembly — the step between [[sessionize]]'s
+    * card and the chat-shaped training stack: each session becomes
+    * one CONVERSATION in the (conv_id, turn_idx, role, content)
+    * interchange shape, so [[graft.operators.Chats.validateTurns]],
+    * [[graft.operators.Chats.packWithMask]], and
+    * [[graft.operators.Chats.tokenSpans]] apply UNCHANGED — the
+    * batch twin of the streaming ingest capstones.
+    *
+    *   - `conv_id` = key ':' session_idx (string — collision-free by
+    *     construction);
+    *   - `turn_idx` = the event's 0-based rank in (ts, tieCols…)
+    *     order within its session;
+    *   - `role` = `roleOf(turn_idx)` — default alternating
+    *     user/assistant from turn 0, the "interaction log as
+    *     dialogue" convention (so protocol validation is REAL:
+    *     odd-length sessions fail the ends-on-assistant rule and
+    *     singleton sessions drop — attrition the pipeline reports,
+    *     not hides);
+    *   - `content` = `contentCol`, any per-event expression.
+    *
+    * Scale shape: the rank window shares [[sessionize]]'s
+    * key-partitioned exchange (Catalyst reuses the partitioning),
+    * so the whole assembly is ONE exchange on the session key. */
+  def sessionEpisodes(events: DataFrame, keyCol: String, tsCol: String,
+                      gapSec: Long, contentCol: Column,
+                      tieCols: Seq[String] = Seq.empty,
+                      roleOf: Column => Column = idx =>
+                        when(idx % 2 === 0, "user")
+                          .otherwise("assistant")): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ord: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = W.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy(ord: _*)
+    sessionize(events, keyCol, tsCol, gapSec, tieCols)
+      .withColumn("turn_idx", row_number().over(w).cast("long") - 1)
+      .select(
+        concat(col(keyCol).cast("string"), lit(":"),
+          col("session_idx").cast("string")).as("conv_id"),
+        col("turn_idx"), roleOf(col("turn_idx")).as("role"),
+        contentCol.as("content"))
+  }
 }

@@ -811,6 +811,75 @@ object OlapQueries {
         GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx"""))),
 
+    // SESSION → EPISODE capstone (r19 — sessionize's stated purpose
+    // carried to the training shape): gap-sessionized clickstreams
+    // assemble into chat-interchange conversations (conv_id =
+    // user:session, alternating user/assistant roles from turn 0,
+    // content = event_type:event_id), then the UNCHANGED chat stack
+    // applies — validateTurns (real attrition: odd-length sessions
+    // fail the ends-on-assistant rule) and packWithMask (the rendered
+    // episode text). The oracle replays gap-islands → rank assembly →
+    // the protocol RULES (role set, system-at-0, lag alternation,
+    // arg_max last-turn) → the ordered string_agg rendering.
+    Q("q_session_episodes",
+      (s, d) => {
+        import graft.operators.{Chats, Funnel}
+        val turns = Funnel.sessionEpisodes(Tables.events(s, d),
+          "user_id", "ts", gapSec = 1800,
+          contentCol = concat(col("event_type"), lit(":"),
+            col("event_id").cast("string")),
+          tieCols = Seq("event_id"))
+        Chats.validateTurns(turns, "conv_id")
+          .join(Chats.packWithMask(turns, "conv_id")
+            .select(col("conv_id"), col("text")), Seq("conv_id"))
+          .select(col("conv_id"), col("n_turns"), col("valid"),
+            col("text"))
+          .orderBy(col("conv_id"))
+      },
+      Some(Par.evOracle(""", sess AS (SELECT user_id, event_id,
+          event_type, ts,
+          SUM(CASE WHEN prev IS NULL
+              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - 1 AS session_idx
+          FROM (SELECT user_id, event_id, event_type, ts,
+              lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM ev)),
+        tr AS (SELECT CAST(user_id AS VARCHAR) || ':'
+              || CAST(session_idx AS VARCHAR) AS conv_id,
+            row_number() OVER (PARTITION BY user_id, session_idx
+              ORDER BY ts, event_id) - 1 AS turn_idx,
+            event_type || ':' || CAST(event_id AS VARCHAR) AS content
+          FROM sess),
+        tw AS (SELECT conv_id, turn_idx,
+            CASE WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role, content
+          FROM tr),
+        tl AS (SELECT *, lag(role) OVER (PARTITION BY conv_id
+              ORDER BY turn_idx) AS pr
+          FROM tw),
+        tv AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+            (MIN(CASE WHEN COALESCE(
+                role IN ('system', 'user', 'assistant')
+                AND (role != 'system' OR turn_idx = 0)
+                AND CASE WHEN pr IS NULL
+                  THEN role IN ('system', 'user')
+                  WHEN pr = 'system' THEN role = 'user'
+                  ELSE role != pr END, FALSE)
+              THEN 1 ELSE 0 END) = 1
+              AND arg_max(role, turn_idx) = 'assistant') AS valid
+          FROM tl GROUP BY 1),
+        tp AS (SELECT conv_id,
+            string_agg('<|' || role || '|>' || content || chr(10),
+              '' ORDER BY turn_idx) AS text
+          FROM tw GROUP BY 1)
+        SELECT tv.conv_id, tv.n_turns, tv.valid, tp.text
+        FROM tv JOIN tp ON tv.conv_id = tp.conv_id
+        ORDER BY tv.conv_id"""))),
+
     // Session-window aggregation (Spark-superset streaming semantic —
     // the same session_window works unchanged under readStream +
     // watermark): per-user sessions closed by a 30-min silence gap,

@@ -819,6 +819,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionEpisodes: sessions assemble into the chat interchange " +
+      "shape — conv_id key:idx, 0-based ranked turns, alternating " +
+      "roles — and feed validateTurns/packWithMask unchanged") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Chats, Funnel}
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    // user 1 session 0: 2 events (valid episode — ends assistant);
+    // user 1 session 1: 3 events (invalid — ends on a user turn);
+    // user 2 session 0: singleton (invalid)
+    val ev = Seq(
+      (1L, ts(0L), 1L, "view"), (1L, ts(10000L), 2L, "click"),
+      (1L, ts(60000L), 3L, "view"), (1L, ts(61000L), 4L, "click"),
+      (1L, ts(62000L), 5L, "buy"),
+      (2L, ts(0L), 6L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val turns = Funnel.sessionEpisodes(ev, "user_id", "ts",
+      gapSec = 30, contentCol = concat(col("event_type"), lit("#"),
+        col("event_id").cast("string")), tieCols = Seq("event_id"))
+    val got = turns.orderBy(col("conv_id"), col("turn_idx")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("1:0", 0L, "user", "view#1"), ("1:0", 1L, "assistant",
+        "click#2"),
+      ("1:1", 0L, "user", "view#3"), ("1:1", 1L, "assistant",
+        "click#4"), ("1:1", 2L, "user", "buy#5"),
+      ("2:0", 0L, "user", "view#6")))
+    // the unchanged chat stack applies: even-length episodes validate
+    val valid = Chats.validateTurns(turns, "conv_id").collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("valid")).toMap
+    assert(valid == Map("1:0" -> true, "1:1" -> false,
+      "2:0" -> false))
+    val text = Chats.packWithMask(turns, "conv_id")
+      .filter(col("conv_id") === "1:0").collect()(0).getAs[String]("text")
+    assert(text == "<|user|>view#1\n<|assistant|>click#2\n")
+  }
+
   test("crossSourceMatrix: pairs label by endpoint sources, unordered " +
       "normalization folds A-B and B-A into one cell") {
     val s = spark
