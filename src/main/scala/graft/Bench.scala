@@ -148,7 +148,10 @@ object Bench {
     // (two inferences + a vocabulary-sized compare scale exactly like
     // q_tool_contract); the picker rides the PR-curve reduction
     "q_contract_drift", "q_contract_drift_card", "q_chain_drift",
-    "q_threshold_pick")
+    "q_threshold_pick",
+    // r19: the tree capstone rides the tree-flattening curve (forest
+    // count scales with the corpus, FFD groups stay bounded)
+    "q_tree_sft_windows")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted
@@ -218,6 +221,11 @@ object Bench {
     "q_chat_token_spans" ->
       Set("ArrayTransform", "JsonToStructs", "ZipWith"),
     "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs", "ZipWith"),
+    // tree capstone: packWithMask's ordered prompt-prefix rebuild +
+    // the BPE expr-chain segmentation; the tree is ASSEMBLED from
+    // columns, never parsed — no JsonToStructs
+    "q_tree_sft_windows" ->
+      Set("ArraySort", "ArrayTransform", "ZipWith"),
     // tool-call traces (r17): the chat parse is the operator, as in
     // the chat gates; ArrayForAll/ArrayTransform are the per-turn
     // call-list checks (ids distinct, arguments parse) and the

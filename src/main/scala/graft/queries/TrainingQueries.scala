@@ -3650,6 +3650,195 @@ object TrainingQueries {
         FROM ex JOIN nd ON nd.id = ex.node_id
         ORDER BY conv_id, turn_idx""")),
 
+    // TREE → SFT capstone (r19 — the composition treePaths' scaladoc
+    // points at): branched exports flatten to one path per leaf,
+    // sibling paths share the rendered PROMPT PREFIX (turns before
+    // the first assistant turn), dedupeByPrompt keeps ONE path per
+    // branch point (longest path wins, ties by conv_id string), the
+    // survivors price in learned-BPE tokens and FFD-pack into
+    // 32-token windows with per-turn loss-mask spans REBASED into
+    // their window — the q_sft_windows contract over tree input. The
+    // oracle replays ALL of it: merge learning, the recursive-CTE
+    // walk, prefix rendering, the keep-best window, per-turn token
+    // counts, the FFD recursion, and the rebase join.
+    Q("q_tree_sft_windows",
+      (s, d) => {
+        import graft.operators.{Chats, Packing}
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val parent = when(did % 4 === 0, lit(null).cast("long"))
+          .when(did % 4 === 1, did - 1)
+          .otherwise(did - 2)
+        val role = when(did % 4 === 1 || did % 4 === 2,
+          lit("assistant")).otherwise(lit("user"))
+        val nodes = Tables.documents(s, d).select(
+          did.as("node_id"), parent.as("parent_id"), role.as("role"),
+          ct.substr(lit(1) + (did % 4 * 3).cast("int"), lit(10))
+            .as("content"))
+        val paths = Chats.treePaths(nodes, "node_id", "parent_id")
+          .select(col("conv_id"), col("turn_idx"), col("role"),
+            col("content"))
+        val firstA = paths.filter(col("role") === "assistant")
+          .groupBy(col("conv_id"))
+          .agg(min(col("turn_idx")).as("__fa"))
+        val prompts = Chats.packWithMask(
+            paths.join(firstA, Seq("conv_id"), "left")
+              .filter(col("__fa").isNull ||
+                col("turn_idx") < col("__fa")), "conv_id")
+          .select(col("conv_id"), col("text").as("prompt_text"))
+        val scores = paths.groupBy(col("conv_id"))
+          .agg(count(lit(1)).as("n_path_turns"))
+        val kept = Chats.dedupeByPrompt(
+            prompts.join(scores, Seq("conv_id")),
+            "conv_id", "prompt_text", "n_path_turns")
+          .select(col("conv_id"))
+        val spans = Chats.tokenSpans(paths.join(kept, Seq("conv_id")),
+          "conv_id", roundtripMerges(s, d))
+        val conv = spans.groupBy(col("conv_id"))
+          .agg(max(col("token_end")).as("len"))
+          .withColumn("grp", col("conv_id") % 4)
+        val packed = Packing.packExamples(conv, "conv_id", "len",
+          "grp", capacity = 32L)
+        spans.join(packed.select(col("conv_id"), col("grp"),
+            col("bin"), col("slot"), col("start_off")), "conv_id")
+          .select(col("conv_id"), col("turn_idx"), col("role"),
+            col("mask"), col("grp"), col("bin"), col("slot"),
+            (col("start_off") + col("token_start")).as("win_start"),
+            (col("start_off") + col("token_end")).as("win_end"))
+          .orderBy(col("conv_id"), col("turn_idx"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
+            freq FROM $prev, b$i b)"""
+        }
+        val pos = "NULLIF(list_position(list_transform(st.caps, " +
+          "c -> c >= it.len), true), 0)"
+        s"""WITH RECURSIVE w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
+          freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        nd AS (SELECT doc_id AS id,
+            CASE WHEN doc_id % 4 = 0 THEN NULL
+              WHEN doc_id % 4 = 1 THEN doc_id - 1
+              ELSE doc_id - 2 END AS parent,
+            CASE WHEN doc_id % 4 IN (1, 2) THEN 'assistant'
+              ELSE 'user' END AS role,
+            substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+              CAST(1 + (doc_id % 4) * 3 AS BIGINT), 10) AS content
+          FROM documents),
+        walk AS (
+          SELECT id, [id] AS path FROM nd WHERE parent IS NULL
+          UNION ALL
+          SELECT nd.id, array_append(walk.path, nd.id)
+          FROM walk JOIN nd ON nd.parent = walk.id),
+        tp AS (SELECT ex.conv_id,
+            CAST(ex.turn_idx AS BIGINT) AS turn_idx,
+            nd.role, nd.content
+          FROM (SELECT id AS conv_id,
+              unnest(range(len(path))) AS turn_idx,
+              unnest(path) AS node_id
+            FROM walk
+            WHERE id NOT IN (SELECT parent FROM nd
+              WHERE parent IS NOT NULL)) ex
+          JOIN nd ON nd.id = ex.node_id),
+        fa AS (SELECT conv_id, MIN(turn_idx) AS fa FROM tp
+          WHERE role = 'assistant' GROUP BY 1),
+        pr AS (SELECT tp.conv_id,
+            string_agg('<|' || tp.role || '|>' || tp.content
+              || chr(10), '' ORDER BY tp.turn_idx) AS ptext
+          FROM tp LEFT JOIN fa ON fa.conv_id = tp.conv_id
+          WHERE fa.fa IS NULL OR tp.turn_idx < fa.fa
+          GROUP BY 1),
+        sc AS (SELECT conv_id, COUNT(*) AS n_path FROM tp
+          GROUP BY 1),
+        keep AS (SELECT conv_id FROM (
+            SELECT pr.conv_id,
+              row_number() OVER (PARTITION BY pr.ptext
+                ORDER BY sc.n_path DESC,
+                  CAST(pr.conv_id AS VARCHAR)) AS rk
+            FROM pr JOIN sc ON sc.conv_id = pr.conv_id)
+          WHERE rk = 1),
+        vtt AS (SELECT tp.* FROM tp JOIN keep
+          ON keep.conv_id = tp.conv_id),
+        vtr AS (SELECT conv_id, turn_idx, role,
+          '<|' || role || '|>' || content || chr(10) AS rt FROM vtt),
+        vtk AS (SELECT conv_id, turn_idx, role,
+            unnest(${toksSql("rt")}) AS wt FROM vtr),
+        vsg AS (SELECT conv_id, turn_idx, role,
+          CASE WHEN regexp_matches(wt, '^[a-z0-9]+$$') THEN
+            len(string_split(
+              replace(replace(replace(
+                rtrim(regexp_replace(wt, '(.)', '|\\1| ', 'g')),
+                b1.pat, replace(b1.pat, '| |', '')),
+                b2.pat, replace(b2.pat, '| |', '')),
+                b3.pat, replace(b3.pat, '| |', '')), ' '))
+          ELSE 1 END AS ntk
+          FROM vtk, b1, b2, b3),
+        vcnt AS (SELECT conv_id, turn_idx, role,
+          CAST(SUM(ntk) AS BIGINT) AS n_tok
+          FROM vsg GROUP BY conv_id, turn_idx, role),
+        vcof AS (SELECT *,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY conv_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS token_start
+        FROM vcnt),
+        cv AS (SELECT conv_id, conv_id % 4 AS grp,
+          CAST(SUM(n_tok) AS BIGINT) AS len
+          FROM vcnt GROUP BY conv_id),
+        it AS (SELECT grp, conv_id AS id, len,
+          ROW_NUMBER() OVER (PARTITION BY grp
+            ORDER BY len DESC, CAST(conv_id AS VARCHAR)) AS i,
+          COUNT(*) OVER (PARTITION BY grp) AS nn
+          FROM cv),
+        st AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i, CAST(NULL AS BIGINT) AS id,
+            CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin,
+            CAST([] AS BIGINT[]) AS caps, nn
+          FROM (SELECT DISTINCT grp, nn FROM it)
+          UNION ALL
+          SELECT it.grp, it.i, it.id, it.len,
+            CASE WHEN $pos IS NULL THEN len(st.caps)
+                 ELSE $pos - 1 END AS bin,
+            CASE WHEN $pos IS NULL
+                 THEN list_append(st.caps, 32 - it.len)
+                 ELSE list_slice(st.caps, 1, $pos - 1)
+                      || [st.caps[$pos] - it.len]
+                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 END AS caps,
+            st.nn
+          FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
+          WHERE st.i < st.nn),
+        asg AS (SELECT grp, id, CAST(bin AS BIGINT) AS bin,
+          CAST(ROW_NUMBER() OVER (PARTITION BY grp, bin ORDER BY i) - 1
+            AS BIGINT) AS slot,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY grp, bin ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_off
+          FROM st WHERE i > 0)
+        SELECT c.conv_id, c.turn_idx, c.role,
+          (c.role = 'assistant') AS mask,
+          CAST(a.grp AS BIGINT) AS grp, a.bin, a.slot,
+          CAST(a.start_off + c.token_start AS BIGINT) AS win_start,
+          CAST(a.start_off + c.token_start + c.n_tok AS BIGINT)
+            AS win_end
+        FROM vcof c JOIN asg a ON c.conv_id = a.id
+        ORDER BY c.conv_id, c.turn_idx"""
+      },
+      setup = Some((s, d) => roundtripMerges(s, d))),
+
     // Precision-recall CURVE (r18 — the threshold-sweep card behind
     // "route everything the quality classifier scores above t"): the
     // corpus reduces FIRST to per-distinct-score (n, tp) rows, and
