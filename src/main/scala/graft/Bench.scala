@@ -150,8 +150,11 @@ object Bench {
     "q_contract_drift", "q_contract_drift_card", "q_chain_drift",
     "q_threshold_pick",
     // r19: the tree capstone rides the tree-flattening curve (forest
-    // count scales with the corpus, FFD groups stay bounded)
-    "q_tree_sft_windows")
+    // count scales with the corpus, FFD groups stay bounded); the
+    // calibration/agreement cards are corpus-scan keyed-agg
+    // reductions like q_pr_curve
+    "q_tree_sft_windows", "q_calibration", "q_calibration_ece",
+    "q_kappa")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted

@@ -286,4 +286,109 @@ object Classifier {
       col("threshold"), col("n_ge"), col("tp"), col("fp"),
       col("precision"), col("recall"), col("f1"))
   }
+
+  /** RELIABILITY (calibration) card — the diagram behind "is a score
+    * of 0.9 actually right 90% of the time?", the audit a
+    * quality-classifier gate needs BEFORE [[thresholdPick]]'s
+    * operating point means anything: scores (must be in [0,1] —
+    * out-of-range or null fails loudly, the [[prCurve]] contract)
+    * bin into `nBins` equal-width bins (score 1.0 joins the last
+    * bin, the scikit-learn convention); per bin — n, `mean_score`
+    * (confidence), `frac_pos` (empirical accuracy), and `gap` =
+    * |mean_score − frac_pos|, all 6 dp. Determinism at any
+    * parallelism: the score sum rides as DECIMAL(18,6) (the
+    * [[graft.operators.Chats.groupAdvantage]] idiom) so the mean is
+    * order-free and exact before the one double division; `gap`
+    * derives from the two ROUNDED columns, so both engines agree
+    * bit-for-bit. One keyed agg to nBins rows — nothing else moves. */
+  def calibration(df: DataFrame, goldCol: String, scoreCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val score = when(
+      assert_true(col(scoreCol).isNotNull &&
+        col(scoreCol) >= 0 && col(scoreCol) <= 1,
+        lit(s"calibration: $scoreCol must be non-null in [0,1]"))
+        .isNull,
+      col(scoreCol).cast("double"))
+    val bin = least(floor(score * nBins).cast("long"),
+      lit(nBins - 1L))
+    df.select(bin.as("bin"),
+        score.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("__s"),
+        col(goldCol).cast("long").as("__g"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).as("__ss"),
+        sum(col("__g")).as("__tp"))
+      .withColumn("mean_score",
+        round(col("__ss").cast("double") / col("n"), 6))
+      .withColumn("frac_pos",
+        round(col("__tp").cast("double") / col("n"), 6))
+      .withColumn("gap",
+        round(abs(col("mean_score") - col("frac_pos")), 6))
+      .select(col("bin"), col("n"), col("mean_score"),
+        col("frac_pos"), col("gap"))
+  }
+
+  /** EXPECTED CALIBRATION ERROR over the [[calibration]] card — the
+    * one number a model card publishes: ECE = Σ_b (n_b / N) · gap_b
+    * (Naeini et al. 2015's binned estimator), 6 dp. Computed from the
+    * card's ROUNDED 6-dp gaps via exact integer micro-units
+    * (n · gap·1e6 rides as a long), so the sum is order-free and the
+    * oracle replays it bit-for-bit. One agg over the nBins-row card. */
+  def calibrationError(card: DataFrame): DataFrame =
+    card.agg(sum(col("n")).as("n"),
+        sum(col("n") * round(col("gap") * 1e6).cast("long"))
+          .as("__gu"))
+      .select(col("n"),
+        round(col("__gu").cast("double") / 1e6 / col("n"), 6)
+          .as("ece"))
+
+  /** COHEN'S KAPPA — inter-annotator agreement for labeled training
+    * data (are two raters/two model judges actually consistent, or
+    * just agreeing by chance?): κ = (p_o − p_e) / (1 − p_e) with
+    * p_o = observed agreement and p_e = Σ_l marginal_a(l)·marginal_b(l)
+    * / n² (Cohen 1960). Null labels fail loudly — an unrated row has
+    * no place in an agreement score. Returns ONE row:
+    * (n, n_agree, po, pe, kappa), 6 dp; κ derives from the ROUNDED
+    * po/pe so both engines agree exactly. Degenerate chance-perfect
+    * margins (p_e = 1): κ = 1 when agreement is also perfect, else
+    * NULL (undefined, never a fake 0). Scale shape: one global agg +
+    * two label-sized marginal aggs joined on the label — the corpus
+    * scans once, only label-count rows move. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val a = when(
+      assert_true(col(aCol).isNotNull && col(bCol).isNotNull,
+        lit("cohenKappa: null label — unrated rows must be " +
+          "filtered first")).isNull,
+      col(aCol).cast("string"))
+    val base = df.select(a.as("__a"), col(bCol).cast("string")
+      .as("__b"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum((col("__a") === col("__b")).cast("long")).as("n_agree"))
+    val ma = base.groupBy(col("__a").as("__l"))
+      .agg(count(lit(1)).as("__ca"))
+    val mb = base.groupBy(col("__b").as("__l"))
+      .agg(count(lit(1)).as("__cb"))
+    val pe = ma.join(mb, Seq("__l"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+        .as("__pen"))
+    tot.crossJoin(pe)
+      .withColumn("po",
+        when(col("n") > 0,
+          round(col("n_agree").cast("double") / col("n"), 6)))
+      .withColumn("pe",
+        when(col("n") > 0,
+          round(col("__pen").cast("double") / col("n") / col("n"),
+            6)))
+      .withColumn("kappa",
+        when(col("pe") === 1.0,
+          when(col("po") === 1.0, lit(1.0))
+            .otherwise(lit(null).cast("double")))
+          .otherwise(round((col("po") - col("pe")) /
+            (lit(1.0) - col("pe")), 6)))
+      .select(col("n"), col("n_agree"), col("po"), col("pe"),
+        col("kappa"))
+  }
 }

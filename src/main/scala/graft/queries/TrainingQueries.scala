@@ -3930,6 +3930,114 @@ object TrainingQueries {
             ORDER BY precision DESC, threshold DESC LIMIT 1))
         ORDER BY objective""")),
 
+    // RELIABILITY card (r19 — "is a score of 0.9 right 90% of the
+    // time?"): the same scored frame bins into 10 equal-width bins
+    // (1.0 joins the last), per bin the exact-decimal mean score vs
+    // the empirical positive fraction and their gap. Scores here are
+    // label-independent, so a well-sampled bin's frac_pos ≈ 1/3 at
+    // every confidence — a maximally UNcalibrated classifier, which
+    // is the point of the card. The oracle replays bins, decimal
+    // sums, and the rounded-column gap.
+    Q("q_calibration",
+      (s, d) => graft.operators.Classifier.calibration(
+          Tables.documents(s, d).select(
+            (col("doc_id") % 3 === 0).as("gold"),
+            ((col("doc_id") * 7 % 101).cast("double") / 100.0)
+              .as("score")),
+          "gold", "score", nBins = 10)
+        .orderBy(col("bin")),
+      Some("""WITH sc AS (SELECT (doc_id % 3 = 0) AS gold,
+            CAST((doc_id * 7) % 101 AS DOUBLE) / 100.0 AS score
+          FROM documents),
+        b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9)
+              AS bin,
+            CAST(score AS DECIMAL(18,6)) AS s,
+            CASE WHEN gold THEN 1 ELSE 0 END AS g
+          FROM sc),
+        ag AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(s) AS ss, SUM(g) AS tp
+          FROM b GROUP BY 1)
+        SELECT bin, n,
+          ROUND(CAST(ss AS DOUBLE) / n, 6) AS mean_score,
+          ROUND(CAST(tp AS DOUBLE) / n, 6) AS frac_pos,
+          ROUND(ABS(ROUND(CAST(ss AS DOUBLE) / n, 6)
+            - ROUND(CAST(tp AS DOUBLE) / n, 6)), 6) AS gap
+        FROM ag ORDER BY bin""")),
+
+    // Its one-number roll-up: ECE = Σ (n_b/N)·gap_b over the card's
+    // rounded gaps, summed in exact integer micro-units.
+    Q("q_calibration_ece",
+      (s, d) => graft.operators.Classifier.calibrationError(
+        graft.operators.Classifier.calibration(
+          Tables.documents(s, d).select(
+            (col("doc_id") % 3 === 0).as("gold"),
+            ((col("doc_id") * 7 % 101).cast("double") / 100.0)
+              .as("score")),
+          "gold", "score", nBins = 10)),
+      Some("""WITH sc AS (SELECT (doc_id % 3 = 0) AS gold,
+            CAST((doc_id * 7) % 101 AS DOUBLE) / 100.0 AS score
+          FROM documents),
+        b AS (SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9)
+              AS bin,
+            CAST(score AS DECIMAL(18,6)) AS s,
+            CASE WHEN gold THEN 1 ELSE 0 END AS g
+          FROM sc),
+        ag AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(s) AS ss, SUM(g) AS tp
+          FROM b GROUP BY 1),
+        card AS (SELECT bin, n,
+            ROUND(ABS(ROUND(CAST(ss AS DOUBLE) / n, 6)
+              - ROUND(CAST(tp AS DOUBLE) / n, 6)), 6) AS gap
+          FROM ag)
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+          ROUND(CAST(SUM(n * CAST(ROUND(gap * 1e6) AS BIGINT))
+            AS DOUBLE) / 1e6 / SUM(n), 6) AS ece
+        FROM card""")),
+
+    // Cohen's KAPPA (r19 — inter-annotator agreement for label
+    // audits): two deterministic raters over the corpus — rater b
+    // re-derives from a doc_id-shifted key, so they agree exactly
+    // where doc_id % 5 lands on a multiple of 3 — chance-corrected
+    // via the label marginals. The oracle replays the margins, both
+    // rounded probabilities, and κ from the rounded values.
+    Q("q_kappa",
+      (s, d) => {
+        def lbl(c: org.apache.spark.sql.Column) =
+          when(c % 3 === 0, "x").when(c % 3 === 1, "y")
+            .otherwise("z")
+        graft.operators.Classifier.cohenKappa(
+          Tables.documents(s, d).select(
+            lbl(col("doc_id")).as("a"),
+            lbl(col("doc_id") + col("doc_id") % 5).as("b")),
+          "a", "b")
+      },
+      Some("""WITH lb AS (SELECT
+            CASE WHEN doc_id % 3 = 0 THEN 'x'
+              WHEN doc_id % 3 = 1 THEN 'y' ELSE 'z' END AS a,
+            CASE WHEN (doc_id + doc_id % 5) % 3 = 0 THEN 'x'
+              WHEN (doc_id + doc_id % 5) % 3 = 1 THEN 'y'
+              ELSE 'z' END AS b
+          FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree
+          FROM lb),
+        ma AS (SELECT a AS l, COUNT(*) AS ca FROM lb GROUP BY 1),
+        mb AS (SELECT b AS l, COUNT(*) AS cb FROM lb GROUP BY 1),
+        pe AS (SELECT COALESCE(SUM(ca * cb), 0) AS pen
+          FROM ma JOIN mb ON ma.l = mb.l),
+        pr AS (SELECT n, n_agree,
+            CASE WHEN n > 0
+              THEN ROUND(CAST(n_agree AS DOUBLE) / n, 6) END AS po,
+            CASE WHEN n > 0
+              THEN ROUND(CAST(pen AS DOUBLE) / n / n, 6) END AS pe
+          FROM tot CROSS JOIN pe)
+        SELECT n, n_agree, po, pe,
+          CASE WHEN pe = 1.0 THEN
+              CASE WHEN po = 1.0 THEN 1.0 END
+            ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+        FROM pr""")),
+
     // Length-bucket PADDING report (r18 — "what boundaries should the
     // loader pad to?"): docs land in the smallest bucket that fits,
     // oversized docs land in the -1 overflow row as TRUNCATED tokens.

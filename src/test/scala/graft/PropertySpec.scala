@@ -747,6 +747,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("calibration: equal-width bins with score-1.0 in the last bin, " +
+      "exact-decimal means, gap from the rounded columns; ECE from " +
+      "integer micro-units; out-of-range scores fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Classifier
+    val df = Seq((true, 0.9), (false, 0.8), (true, 0.6), (false, 0.1),
+      (true, 1.0)).toDF("gold", "score")
+    val card = Classifier.calibration(df, "gold", "score", nBins = 4)
+    val got = card.orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0.1, 0.0, 0.1),
+      (2L, 1L, 0.6, 1.0, 0.4),
+      (3L, 3L, 0.9, 0.666667, 0.233333)))
+    val ece = Classifier.calibrationError(card).collect()(0)
+    assert(ece.getAs[Long]("n") == 5L &&
+      ece.getAs[Double]("ece") == 0.24)
+    val e = intercept[Exception] {
+      Classifier.calibration(Seq((true, 1.5)).toDF("gold", "score"),
+        "gold", "score").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-null in [0,1]")))
+  }
+
+  test("cohenKappa: the textbook margins give kappa 0.4; perfect " +
+      "agreement on one label gives 1.0; null labels fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Classifier
+    val rows = Seq.fill(20)(("yes", "yes")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes")) ++
+      Seq.fill(15)(("no", "no"))
+    val r = Classifier.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_agree"),
+      r.getAs[Double]("po"), r.getAs[Double]("pe"),
+      r.getAs[Double]("kappa")) == (50L, 35L, 0.7, 0.5, 0.4))
+    val perfect = Classifier.cohenKappa(
+      Seq.fill(4)(("x", "x")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(perfect.getAs[Double]("pe") == 1.0 &&
+      perfect.getAs[Double]("kappa") == 1.0)
+    val e = intercept[Exception] {
+      Classifier.cohenKappa(Seq(("x", None: Option[String]))
+        .toDF("a", "b"), "a", "b").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null label")))
+  }
+
   test("paddingWaste: smallest-fitting bucket, overflow row counts " +
       "truncation not waste; boundary validation fails fast") {
     val s = spark
