@@ -237,8 +237,17 @@ object Packing {
     require(nSub > 0 && Integer.bitCount(nSub) == 1,
       s"nSub must be a positive power of two, got $nSub")
     val shift = 60 - (31 - Integer.numberOfLeadingZeros(nSub))
+    // a null id has no deterministic rank — and its null (bucket,
+    // sub) key would silently VANISH at the offsets equi-join rather
+    // than misplace: fail loudly instead (the shardByCost guard
+    // class), riding the hash projection
+    val id = when(
+      assert_true(col(idCol).isNotNull,
+        lit(s"bucketBatches: null $idCol — every document needs a " +
+          "deterministic rank")).isNull,
+      col(idCol))
     val h = graft.functions.Scalars.hash60(
-      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+      concat(lit(salt), lit(":"), id.cast("string")))
     val base = df.select(col(idCol),
       smallestBucket(lenCol, buckets).as("bucket"), h.as("__h"),
       shiftright(h, shift).as("__sub"))

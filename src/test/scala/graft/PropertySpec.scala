@@ -971,6 +971,22 @@ class PropertySpec extends SparkSpec {
     assert(run(7, nSub = 1) == ref)   // one sub = the window itself
     assert(run(7, nSub = 2) == ref)   // multi-row subs, real offsets
     assert(run(7, nSub = 256) == ref) // default: ~singleton subs
+    // a null id would silently vanish at the offsets equi-join —
+    // fail loudly instead (the shardByCost guard class)
+    val eNull = intercept[Exception] {
+      Packing.bucketBatches(
+        Seq((Some(1L), 5L), (None: Option[Long], 7L))
+          .toDF("id", "len"),
+        "id", "len", Seq(8L), batchSize = 2).collect()
+    }
+    def nmsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ nmsgs(x.getCause))
+    assert(nmsgs(eNull).exists(_.contains("null id")))
+    intercept[IllegalArgumentException] {
+      Packing.bucketBatches(df, "id", "len", Seq(8L), batchSize = 2,
+        nSub = 3)
+    }
     // bucket correctness and batch occupancy
     val byDoc = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     a.foreach { case (id, (bucket, _, pos)) =>
