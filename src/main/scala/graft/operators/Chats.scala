@@ -1279,11 +1279,19 @@ object Chats {
     * [[contractDrift]]. Inputs are two [[toolChains]] frames; the
     * join is transition-vocabulary-sized (|tools|² + sentinels),
     * never corpus-sized. Returns the one-row drift report
-    * (n_a, n_b, v_union, kl_u, kl). */
+    * (n_a, n_b, v_union, kl_u, kl).
+    *
+    * The transition token is LENGTH-PREFIXED —
+    * `len(src) ':' src '→' dst` — so it is injective for ARBITRARY
+    * tool names: with a bare separator, a tool literally named
+    * "a→b" would alias ("a→b" → "c") with ("a" → "b→c") and
+    * silently corrupt the counts (tool names are exporter strings,
+    * not identifiers). */
   def chainDrift(oldChains: DataFrame, newChains: DataFrame)
   : DataFrame = {
     def tok(d: DataFrame) = d.select(
-      concat(col("src"), lit("→"), col("dst")).as("token"),
+      concat(length(col("src")).cast("string"), lit(":"),
+        col("src"), lit("→"), col("dst")).as("token"),
       col("n").as("cnt"))
     Curation.unigramDriftFromCounts(tok(oldChains), tok(newChains))
   }

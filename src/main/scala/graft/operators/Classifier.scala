@@ -363,8 +363,12 @@ object Classifier {
         lit("cohenKappa: null label — unrated rows must be " +
           "filtered first")).isNull,
       col(aCol).cast("string"))
-    val base = df.select(a.as("__a"), col(bCol).cast("string")
-      .as("__b"))
+    // materialize the two-column projection ONCE: the global agg and
+    // both marginal aggs read the same blocks (the
+    // unigramDriftTermsFromCounts idiom) — without this the corpus
+    // (and the null-check projection) would scan three times
+    val base = Checkpoints.eager(
+      df.select(a.as("__a"), col(bCol).cast("string").as("__b")))
     val tot = base.agg(count(lit(1)).as("n"),
       sum((col("__a") === col("__b")).cast("long")).as("n_agree"))
     val ma = base.groupBy(col("__a").as("__l"))

@@ -178,10 +178,19 @@ object Funnel {
     val ord: Seq[Column] = col(tsCol) +: tieCols.map(col)
     val w = W.partitionBy(col(keyCol), col("session_idx"))
       .orderBy(ord: _*)
+    // a NULL key would make conv_id NULL for EVERY null-key session —
+    // distinct sessions silently merge into one garbage conversation
+    // downstream (duplicate turn 0s) — fail loudly instead, the
+    // bucketBatches/cohenKappa null-guard class
+    val key = when(
+      assert_true(col(keyCol).isNotNull,
+        lit(s"sessionEpisodes: null $keyCol — anonymous events have " +
+          "no episode key; filter or impute first")).isNull,
+      col(keyCol))
     sessionize(events, keyCol, tsCol, gapSec, tieCols)
       .withColumn("turn_idx", row_number().over(w).cast("long") - 1)
       .select(
-        concat(col(keyCol).cast("string"), lit(":"),
+        concat(key.cast("string"), lit(":"),
           col("session_idx").cast("string")).as("conv_id"),
         col("turn_idx"), roleOf(col("turn_idx")).as("role"),
         contentCol.as("content"))

@@ -3567,7 +3567,8 @@ object TrainingQueries {
               row_number() OVER (PARTITION BY doc_id
                 ORDER BY turn_idx DESC, p DESC) AS rn
             FROM cc$sfx),
-          ch$sfx AS (SELECT src || '→' || dst AS token,
+          ch$sfx AS (SELECT CAST(LENGTH(src) AS VARCHAR) || ':'
+                || src || '→' || dst AS token,
               COUNT(*) AS cnt FROM (
                 SELECT src, tool_name AS dst FROM sq$sfx
                 UNION ALL

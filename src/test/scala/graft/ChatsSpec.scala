@@ -896,6 +896,15 @@ class ChatsSpec extends SparkSpec {
     val r = Chats.chainDrift(a, b).collect()(0)
     assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L &&
       r.getAs[Long]("v_union") == 4L && r.getAs[Double]("kl") > 0.0)
+    // tokens are length-prefixed, so a tool name CONTAINING the
+    // separator never aliases a different transition: ("a→b" → "c")
+    // and ("a" → "b→c") stay distinct vocabulary entries
+    val wa = Seq(("a→b", "c", 1L, 1L)).toDF("src", "dst", "n",
+      "n_convs")
+    val wb = Seq(("a", "b→c", 1L, 1L)).toDF("src", "dst", "n",
+      "n_convs")
+    assert(Chats.chainDrift(wa, wb).collect()(0)
+      .getAs[Long]("v_union") == 2L)
   }
 
   test("toolChains: a call with a NULL normalized name (no flat name, " +

@@ -912,6 +912,21 @@ class PropertySpec extends SparkSpec {
     val text = Chats.packWithMask(turns, "conv_id")
       .filter(col("conv_id") === "1:0").collect()(0).getAs[String]("text")
     assert(text == "<|user|>view#1\n<|assistant|>click#2\n")
+    // a null key would NULL conv_id for every null-key session and
+    // silently merge distinct sessions — fail loudly instead
+    val eK = intercept[Exception] {
+      Funnel.sessionEpisodes(
+        Seq((Some(1L), ts(0L), 1L, "view"),
+          (None: Option[Long], ts(0L), 2L, "view"))
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", gapSec = 30,
+        contentCol = col("event_type"),
+        tieCols = Seq("event_id")).collect()
+    }
+    def kmsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ kmsgs(x.getCause))
+    assert(kmsgs(eK).exists(_.contains("null user_id")))
   }
 
   test("crossSourceMatrix: pairs label by endpoint sources, unordered " +
