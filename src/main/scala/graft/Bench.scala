@@ -250,6 +250,10 @@ object Bench {
     // its streaming twin runs the same stack per micro-batch
     "q_stream_tool_triage" ->
       Set("ArrayForAll", "ArrayTransform", "JsonToStructs"),
+    // contract monitoring parses + normalizes per batch (and once
+    // for the reference inference)
+    "q_stream_contract_drift" ->
+      Set("ArrayTransform", "JsonToStructs"),
     // refusal-phrase matching shingles each assistant turn's content
     // (per-row small arrays, the q_curate_badwords class)
     "q_chat_quality" -> Set("ArrayTransform"),

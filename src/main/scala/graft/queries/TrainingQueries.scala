@@ -4714,6 +4714,173 @@ object TrainingQueries {
         FROM av JOIN sbb ON sbb.doc_id = av.doc_id
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // STREAMING contract monitoring (r19 — contractDrift's continuous
+    // twin, the release-card sibling of q_stream_drift): a live trace
+    // feed drives 4 micro-batches through contractDriftSink against a
+    // reference inference computed ONCE at sink construction. Fixture:
+    // every doc calls `search`; docs with doc_id % 3 = 2 carry an
+    // extra numeric `page` argument, so each quartile batch's `page`
+    // presence drifts a little from the corpus-wide reference (q stays
+    // presence-1.0 required) — the card reads stable/ok with a
+    // bit-checked per-batch max_abs_presence_delta. The oracle replays
+    // batch membership, the reference AND all four batch inferences
+    // through one grp-threaded chain, the per-batch full-outer drift,
+    // and the severity roll-up.
+    Q("q_stream_contract_drift",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq = s.sqlContext
+        import s.implicits._
+        val did = col("doc_id")
+        val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
+        val u = substring(ct, 1, 10)
+        val a = substring(ct, 8, 8)
+        val r1 = substring(ct, 12, 8)
+        val fin = substring(ct, 20, 10)
+        val s5 = substring(ct, 3, 5)
+        val ida = concat(lit("a"), did.cast("string"))
+        val args = when(did % 3 === 2,
+            concat(lit("{\\\"q\\\":\\\""), s5,
+              lit("\\\",\\\"page\\\":"), (did % 7).cast("string"),
+              lit("}")))
+          .otherwise(concat(lit("{\\\"q\\\":\\\""), s5,
+            lit("\\\"}")))
+        val chat = concat(
+          lit("{\"messages\":[{\"role\":\"user\",\"content\":\""), u,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), a,
+          lit("\",\"tool_calls\":[{\"id\":\""), ida,
+          lit("\",\"name\":\"search\",\"arguments\":\""), args,
+          lit("\"}]},{\"role\":\"tool\",\"content\":\""), r1,
+          lit("\",\"tool_call_id\":\""), ida,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), fin,
+          lit("\"}]}"))
+        val docs = Tables.documents(s, d)
+          .select(did.as("doc_id"), chat.as("chat"))
+        val rows = docs.orderBy(col("doc_id"))
+          .as[(Long, String)].collect()
+        val chunk = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        val out = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row]()
+        val mem = MemoryStream[(Long, String)]
+        val q = graft.streaming.Streams.contractDriftSink(
+          mem.toDF().toDF("doc_id", "chat"), "chat", "doc_id",
+          docs, "chat", "doc_id") {
+            card => out ++= card.collect()
+          }.start()
+        rows.grouped(chunk).foreach { c =>
+          mem.addData(c.toSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "tool_name string, n_keys_a bigint, n_keys_b bigint, " +
+            "n_appeared bigint, n_disappeared bigint, " +
+            "n_type_flips bigint, n_required_changes bigint, " +
+            "max_abs_presence_delta double, severity string, " +
+            "batch_id bigint")
+        s.createDataFrame(
+            new java.util.ArrayList(
+              scala.jdk.CollectionConverters
+                .BufferHasAsJava(out).asJava), schema)
+          .select(col("batch_id"), col("tool_name"),
+            col("n_keys_a"), col("n_keys_b"), col("n_appeared"),
+            col("n_disappeared"), col("n_type_flips"),
+            col("n_required_changes"),
+            col("max_abs_presence_delta"), col("severity"))
+          .orderBy(col("batch_id"), col("tool_name"))
+      },
+      Some(s"""WITH c0 AS (SELECT doc_id,
+            substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+              3, 5) AS s5,
+            CAST(doc_id % 7 AS VARCHAR) AS n7
+          FROM documents),
+        ca AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2
+            THEN '{"q":"' || s5 || '","page":' || n7 || '}'
+            ELSE '{"q":"' || s5 || '"}' END AS args FROM c0),
+        sbt AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn,
+            COUNT(*) OVER () AS nn
+          FROM documents),
+        sbb AS (SELECT doc_id,
+            rn // CAST(ceil(nn / 4.0) AS BIGINT) AS batch_id
+          FROM sbt),
+        ga AS (SELECT -1 AS grp, args FROM ca
+          UNION ALL
+          SELECT sbb.batch_id, ca.args FROM ca
+          JOIN sbb ON sbb.doc_id = ca.doc_id),
+        ob AS (SELECT grp,
+            CASE WHEN json_type(CASE WHEN json_valid(args)
+                THEN args END) = 'OBJECT'
+              THEN list_distinct(CAST(json_keys(args) AS VARCHAR[]))
+              END AS keys, args
+          FROM ga),
+        tot AS (SELECT grp,
+            SUM(CASE WHEN keys IS NOT NULL THEN 1 ELSE 0 END)
+              AS n_objects
+          FROM ob GROUP BY 1),
+        pt AS (SELECT grp, key,
+            ${canonTypeSql("json_type(args, '$.' || key)")} AS t
+          FROM (SELECT grp, unnest(keys) AS key, args
+            FROM ob WHERE keys IS NOT NULL)),
+        mj AS (SELECT grp, key, t AS major_type FROM (
+            SELECT grp, key, t,
+              row_number() OVER (PARTITION BY grp, key
+                ORDER BY COUNT(*) DESC, t) AS r
+            FROM pt GROUP BY 1, 2, 3) WHERE r = 1),
+        kc AS (SELECT grp, key, COUNT(*) AS n_with_key
+          FROM pt GROUP BY 1, 2),
+        inf AS (SELECT kc.grp, kc.key,
+            ROUND(CAST(kc.n_with_key AS DOUBLE) / tot.n_objects, 6)
+              AS presence,
+            mj.major_type,
+            (ROUND(CAST(kc.n_with_key AS DOUBLE) / tot.n_objects, 6)
+              >= 0.95) AS required
+          FROM kc
+          JOIN mj ON mj.grp = kc.grp AND mj.key = kc.key
+          JOIN tot ON tot.grp = kc.grp),
+        refb AS (SELECT b.batch_id, i.key, i.presence, i.major_type,
+            i.required
+          FROM (SELECT DISTINCT batch_id FROM sbb) b
+          CROSS JOIN (SELECT * FROM inf WHERE grp = -1) i),
+        drift AS (SELECT COALESCE(r.batch_id, bb.grp) AS batch_id,
+            r.presence AS presence_a, r.required AS required_a,
+            bb.presence AS presence_b, bb.required AS required_b,
+            ROUND(bb.presence - r.presence, 6) AS presence_delta,
+            COALESCE(r.major_type != bb.major_type, FALSE)
+              AS type_flip,
+            CASE WHEN r.presence IS NULL THEN 'appeared'
+              WHEN bb.presence IS NULL THEN 'disappeared'
+              WHEN COALESCE(r.major_type != bb.major_type, FALSE)
+                THEN 'type_flip'
+              WHEN r.required != bb.required THEN 'required_change'
+              ELSE 'stable' END AS status
+          FROM refb r FULL OUTER JOIN
+            (SELECT * FROM inf WHERE grp >= 0) bb
+            ON bb.grp = r.batch_id AND bb.key = r.key)
+        SELECT batch_id, 'search' AS tool_name,
+          CAST(SUM(CASE WHEN presence_a IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_keys_a,
+          CAST(SUM(CASE WHEN presence_b IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_keys_b,
+          CAST(SUM(CASE WHEN status = 'appeared' THEN 1 ELSE 0
+            END) AS BIGINT) AS n_appeared,
+          CAST(SUM(CASE WHEN status = 'disappeared' THEN 1 ELSE 0
+            END) AS BIGINT) AS n_disappeared,
+          CAST(SUM(CASE WHEN type_flip THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_type_flips,
+          CAST(SUM(CASE WHEN status = 'required_change' THEN 1
+            ELSE 0 END) AS BIGINT) AS n_required_changes,
+          ROUND(MAX(ABS(presence_delta)), 6)
+            AS max_abs_presence_delta,
+          CASE WHEN MAX(CASE WHEN COALESCE(required_a, FALSE)
+              AND (status = 'disappeared' OR type_flip)
+              THEN 1 ELSE 0 END) = 1 THEN 'breaking'
+            WHEN SUM(CASE WHEN status IN ('appeared', 'disappeared',
+                'required_change') OR type_flip THEN 1 ELSE 0
+              END) > 0 THEN 'warn'
+            ELSE 'ok' END AS severity
+        FROM drift GROUP BY 1 ORDER BY batch_id""")),
+
     // STREAMING decontamination (r16) — the prevention twin of the
     // measurement tiers: a live document feed drives 4 micro-batches
     // through decontamSink, and anything sharing a 5-shingle with the

@@ -574,6 +574,62 @@ object Streams {
     driftSinkCounts(docs, textCol, refCounts)(handler)
   }
 
+  /** Streaming CONTRACT monitoring — the continuous twin of
+    * [[graft.operators.Chats.contractDrift]] and the release-card
+    * sibling of [[driftSink]]: each micro-batch of a live
+    * agentic-trace feed infers its de-facto tool contracts
+    * ([[graft.operators.Chats.toolContractInfer]]) and compares them
+    * against a STATIC reference inference (the contracts the current
+    * model was trained against), emitting the per-tool severity card
+    * — so an exporter that drops a required key or flips an argument
+    * type pages the pipeline the batch it breaks. The reference
+    * corpus infers ONCE at sink construction (cache-owned + pinned,
+    * the [[driftSink]] idiom — per-batch sweeps skip it, re-opening
+    * a sink over the same reference reuses the frame); per batch the
+    * cost is the batch's own inference + a contract-vocabulary-sized
+    * compare. The card (with `batch_id`) passes to `handler`. */
+  def contractDriftSink(chats: DataFrame, jsonCol: String,
+                        idCol: String, reference: DataFrame,
+                        refJsonCol: String, refIdCol: String,
+                        minPresence: Double = 0.95)
+                       (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val key = (System.identityHashCode(reference.sparkSession),
+      s"contractRef:$refJsonCol:$refIdCol:$minPresence:" +
+        s"${reference.queryExecution.analyzed.semanticHash()}")
+    val refInf = graft.operators.GraftCache.getOrBuild(
+        "Streams", key) {
+      val built = graft.operators.Checkpoints.eager(
+        graft.operators.Chats.toolContractInfer(
+          graft.operators.Chats.toolTurns(reference, refJsonCol,
+            refIdCol), refIdCol, minPresence))
+      graft.operators.Checkpoints.pin(built)
+      built
+    }(graft.operators.Checkpoints.releaseFrame)
+    contractDriftSinkInferred(chats, jsonCol, idCol, refInf,
+      minPresence)(handler)
+  }
+
+  /** [[contractDriftSink]] against an ALREADY-INFERRED reference
+    * contract frame ([[graft.operators.Chats.toolContractInfer]]
+    * shape) — the monitoring-loop entry point when the training-set
+    * contracts are persisted next to the model. */
+  def contractDriftSinkInferred(chats: DataFrame, jsonCol: String,
+                                idCol: String, refInf: DataFrame,
+                                minPresence: Double = 0.95)
+                               (handler: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    chats.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val prior = graft.operators.Checkpoints.liveIds
+      handler(graft.operators.Chats.contractDriftCard(
+          graft.operators.Chats.contractDrift(refInf,
+            graft.operators.Chats.toolContractInfer(
+              graft.operators.Chats.toolTurns(batch, jsonCol, idCol),
+              idCol, minPresence)))
+        .withColumn("batch_id", lit(batchId)))
+      graft.operators.Checkpoints.sweepOnly(prior)
+    }
+
   /** [[driftSink]] against a PRECOMPUTED (token, cnt) reference frame
     * ([[graft.operators.Curation.unigramCounts]] shape) — the
     * monitoring-loop entry point when the training-corpus vocabulary

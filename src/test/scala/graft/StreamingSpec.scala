@@ -777,4 +777,65 @@ class StreamingSpec extends SparkSpec {
         got.getAs[Double]("kl") == want.getAs[Double]("kl"), s"batch $i")
     }
   }
+
+  test("streaming contract-drift sink: per-batch severity cards — a " +
+      "dropped key reads disappeared, a value-type change reads " +
+      "type_flip — and each card equals the batch operator against " +
+      "the once-inferred reference") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.operators.Chats
+    val argsQ = """{\"q\":\"x\"}"""
+    val argsQP = """{\"q\":\"x\",\"page\":3}"""
+    val argsQPs = """{\"q\":\"x\",\"page\":\"three\"}"""
+    def chat(id: String, args: String) =
+      s"""{"messages":[{"role":"user","content":"u"},""" +
+        s"""{"role":"assistant","content":"a","tool_calls":[""" +
+        s"""{"id":"$id","name":"search","arguments":"$args"}]},""" +
+        s"""{"role":"tool","content":"r","tool_call_id":"$id"},""" +
+        s"""{"role":"assistant","content":"d"}]}"""
+    // reference contracts: q presence 1.0 required; page 1/3 number
+    val ref = Seq(1L -> chat("c1", argsQ), 2L -> chat("c2", argsQP),
+      3L -> chat("c3", argsQ)).toDF("id", "chat")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      // batch 0: page vanishes → disappeared (not ref-required → warn)
+      Seq(10L -> chat("d1", argsQ), 11L -> chat("d2", argsQ)),
+      // batch 1: page everywhere but STRING → type_flip (warn)
+      Seq(12L -> chat("d3", argsQPs), 13L -> chat("d4", argsQPs)))
+    val out = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.contractDriftSink(
+      mem.toDF().toDF("id", "chat"), "chat", "id",
+      ref, "chat", "id") { card => out ++= card.collect() }.start()
+    batches.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    q.stop()
+    val got = out.map(r => (r.getAs[Long]("batch_id"),
+      r.getAs[String]("tool_name"), r.getAs[Long]("n_disappeared"),
+      r.getAs[Long]("n_type_flips"),
+      r.getAs[Double]("max_abs_presence_delta"),
+      r.getAs[String]("severity"))).sorted
+    assert(got.toSeq == Seq(
+      (0L, "search", 1L, 0L, 0.0, "warn"),
+      (1L, "search", 0L, 1L, 0.666667, "warn")))
+    // per-batch card ≡ the batch operator against the same reference
+    val refInf = Chats.toolContractInfer(
+      Chats.toolTurns(ref, "chat", "id"), "id")
+    batches.zipWithIndex.foreach { case (c, i) =>
+      val want = Chats.contractDriftCard(Chats.contractDrift(refInf,
+          Chats.toolContractInfer(Chats.toolTurns(
+            c.toDF("id", "chat"), "chat", "id"), "id")))
+        .collect().map(r => (r.getString(0),
+          r.getAs[Long]("n_disappeared"),
+          r.getAs[Long]("n_type_flips"),
+          r.getAs[String]("severity"))).toSet
+      val gotB = out.filter(_.getAs[Long]("batch_id") == i)
+        .map(r => (r.getAs[String]("tool_name"),
+          r.getAs[Long]("n_disappeared"),
+          r.getAs[Long]("n_type_flips"),
+          r.getAs[String]("severity"))).toSet
+      assert(gotB == want, s"batch $i")
+    }
+  }
 }
