@@ -273,6 +273,8 @@ object Bench {
     // session→episode capstone: packWithMask's ordered rebuild (the
     // episodes are ASSEMBLED, not parsed — no JsonToStructs)
     "q_session_episodes" -> Set("ArraySort"),
+    // its loader-shape extension adds the BPE expr-chain segmentation
+    "q_session_sft_windows" -> Set("ArrayTransform", "ZipWith"),
     // streaming twin of q_chat_pack: same parse + ordered rebuild
     "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
     // streaming twin of the tool-trace pack path: the tool parse +

@@ -3840,6 +3840,174 @@ object TrainingQueries {
       },
       setup = Some((s, d) => roundtripMerges(s, d))),
 
+    // SESSION → SFT-WINDOWS capstone (r19 — q_session_episodes
+    // carried all the way to the loader shape, the batch twin of the
+    // streaming ingest capstones end-to-end): gap-sessions assemble
+    // into chat episodes, protocol validation gates them (odd-length
+    // sessions drop), survivors price in learned-BPE tokens (the
+    // numeric content suffix genuinely segments), and FFD-pack into
+    // 16-token windows per user%4 shard with per-turn mask spans
+    // rebased into their window. The oracle replays sessionization,
+    // assembly, the validation rules, merge learning, token counts,
+    // the FFD recursion, and the rebase — one statement over events
+    // AND documents.
+    Q("q_session_sft_windows",
+      (s, d) => {
+        import graft.operators.{Chats, Funnel, Packing}
+        val turns = Funnel.sessionEpisodes(Tables.events(s, d),
+          "user_id", "ts", gapSec = 1800,
+          contentCol = concat(col("event_type"), lit(" "),
+            (col("event_id") % 100).cast("string")),
+          tieCols = Seq("event_id"))
+        val valid = Chats.validateTurns(turns, "conv_id")
+          .filter(col("valid")).select(col("conv_id"))
+        val spans = Chats.tokenSpans(turns.join(valid, Seq("conv_id")),
+          "conv_id", roundtripMerges(s, d))
+        val conv = spans.groupBy(col("conv_id"))
+          .agg(max(col("token_end")).as("len"))
+          .withColumn("grp",
+            split(col("conv_id"), ":").getItem(0).cast("long") % 4)
+        val packed = Packing.packExamples(conv, "conv_id", "len",
+          "grp", capacity = 16L)
+        spans.join(packed.select(col("conv_id"), col("grp"),
+            col("bin"), col("slot"), col("start_off")),
+            Seq("conv_id"))
+          .select(col("conv_id"), col("turn_idx"), col("role"),
+            col("mask"), col("grp"), col("bin"), col("slot"),
+            (col("start_off") + col("token_start")).as("win_start"),
+            (col("start_off") + col("token_end")).as("win_end"))
+          .orderBy(col("conv_id"), col("turn_idx"))
+      },
+      Some {
+        def round(i: Int): String = {
+          val prev = s"e${i - 1}"
+          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+              SELECT unnest([toks[i] || ' ' || toks[i+1]
+                for i in generate_series(1, len(toks)-1)]) AS pat, freq
+              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+            GROUP BY pat),
+          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
+            freq FROM $prev, b$i b)"""
+        }
+        val pos = "NULLIF(list_position(list_transform(st.caps, " +
+          "c -> c >= it.len), true), 0)"
+        s"""WITH RECURSIVE ${Par.evCte},
+        w AS (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(${toksSql("text")}) AS word FROM documents)
+          WHERE regexp_matches(word, '^[a-z0-9]+$$')
+          GROUP BY word),
+        e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
+          freq FROM w),
+        ${round(1)}, ${round(2)}, ${round(3)},
+        sess AS (SELECT user_id, event_id, event_type, ts,
+          SUM(CASE WHEN prev IS NULL
+              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - 1 AS session_idx
+          FROM (SELECT user_id, event_id, event_type, ts,
+              lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM ev)),
+        tr AS (SELECT CAST(user_id AS VARCHAR) || ':'
+              || CAST(session_idx AS VARCHAR) AS conv_id,
+            row_number() OVER (PARTITION BY user_id, session_idx
+              ORDER BY ts, event_id) - 1 AS turn_idx,
+            event_type || ' ' || CAST(event_id % 100 AS VARCHAR)
+              AS content
+          FROM sess),
+        tw AS (SELECT conv_id, turn_idx,
+            CASE WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role, content
+          FROM tr),
+        tl AS (SELECT *, lag(role) OVER (PARTITION BY conv_id
+              ORDER BY turn_idx) AS pr
+          FROM tw),
+        tv AS (SELECT conv_id,
+            (MIN(CASE WHEN COALESCE(
+                role IN ('system', 'user', 'assistant')
+                AND (role != 'system' OR turn_idx = 0)
+                AND CASE WHEN pr IS NULL
+                  THEN role IN ('system', 'user')
+                  WHEN pr = 'system' THEN role = 'user'
+                  ELSE role != pr END, FALSE)
+              THEN 1 ELSE 0 END) = 1
+              AND arg_max(role, turn_idx) = 'assistant') AS valid
+          FROM tl GROUP BY 1),
+        vtr AS (SELECT tw.conv_id, tw.turn_idx, tw.role,
+            '<|' || tw.role || '|>' || tw.content || chr(10) AS rt
+          FROM tw JOIN tv ON tv.conv_id = tw.conv_id
+          WHERE tv.valid),
+        vtk AS (SELECT conv_id, turn_idx, role,
+            unnest(${toksSql("rt")}) AS wt FROM vtr),
+        vsg AS (SELECT conv_id, turn_idx, role,
+          CASE WHEN regexp_matches(wt, '^[a-z0-9]+$$') THEN
+            len(string_split(
+              replace(replace(replace(
+                rtrim(regexp_replace(wt, '(.)', '|\\1| ', 'g')),
+                b1.pat, replace(b1.pat, '| |', '')),
+                b2.pat, replace(b2.pat, '| |', '')),
+                b3.pat, replace(b3.pat, '| |', '')), ' '))
+          ELSE 1 END AS ntk
+          FROM vtk, b1, b2, b3),
+        vcnt AS (SELECT conv_id, turn_idx, role,
+          CAST(SUM(ntk) AS BIGINT) AS n_tok
+          FROM vsg GROUP BY conv_id, turn_idx, role),
+        vcof AS (SELECT *,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY conv_id
+            ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS token_start
+        FROM vcnt),
+        cv AS (SELECT conv_id,
+          CAST(string_split(conv_id, ':')[1] AS BIGINT) % 4 AS grp,
+          CAST(SUM(n_tok) AS BIGINT) AS len
+          FROM vcnt GROUP BY conv_id),
+        it AS (SELECT grp, conv_id AS id, len,
+          ROW_NUMBER() OVER (PARTITION BY grp
+            ORDER BY len DESC, conv_id) AS i,
+          COUNT(*) OVER (PARTITION BY grp) AS nn
+          FROM cv),
+        st AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i,
+            CAST(NULL AS VARCHAR) AS id,
+            CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin,
+            CAST([] AS BIGINT[]) AS caps, nn
+          FROM (SELECT DISTINCT grp, nn FROM it)
+          UNION ALL
+          SELECT it.grp, it.i, it.id, it.len,
+            CASE WHEN $pos IS NULL THEN len(st.caps)
+                 ELSE $pos - 1 END AS bin,
+            CASE WHEN $pos IS NULL
+                 THEN list_append(st.caps, 16 - it.len)
+                 ELSE list_slice(st.caps, 1, $pos - 1)
+                      || [st.caps[$pos] - it.len]
+                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 END AS caps,
+            st.nn
+          FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
+          WHERE st.i < st.nn),
+        asg AS (SELECT grp, id, CAST(bin AS BIGINT) AS bin,
+          CAST(ROW_NUMBER() OVER (PARTITION BY grp, bin ORDER BY i) - 1
+            AS BIGINT) AS slot,
+          CAST(COALESCE(SUM(len) OVER (PARTITION BY grp, bin ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_off
+          FROM st WHERE i > 0)
+        SELECT c.conv_id, c.turn_idx, c.role,
+          (c.role = 'assistant') AS mask,
+          CAST(a.grp AS BIGINT) AS grp, a.bin, a.slot,
+          CAST(a.start_off + c.token_start AS BIGINT) AS win_start,
+          CAST(a.start_off + c.token_start + c.n_tok AS BIGINT)
+            AS win_end
+        FROM vcof c JOIN asg a ON c.conv_id = a.id
+        ORDER BY c.conv_id, c.turn_idx"""
+      },
+      setup = Some((s, d) => roundtripMerges(s, d))),
+
     // Precision-recall CURVE (r18 — the threshold-sweep card behind
     // "route everything the quality classifier scores above t"): the
     // corpus reduces FIRST to per-distinct-score (n, tp) rows, and
