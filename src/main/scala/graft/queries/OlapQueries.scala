@@ -873,7 +873,8 @@ object OlapQueries {
               AND arg_max(role, turn_idx) = 'assistant') AS valid
           FROM tl GROUP BY 1),
         tp AS (SELECT conv_id,
-            string_agg('<|' || role || '|>' || content || chr(10),
+            string_agg('<|' || role || '|>'
+              || COALESCE(content, '') || chr(10),
               '' ORDER BY turn_idx) AS text
           FROM tw GROUP BY 1)
         SELECT tv.conv_id, tv.n_turns, tv.valid, tp.text

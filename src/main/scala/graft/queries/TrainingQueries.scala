@@ -398,6 +398,33 @@ object TrainingQueries {
       WHEN $t = 'ARRAY' THEN 'array'
       WHEN $t = 'NULL' THEN 'null' ELSE 'other' END"""
 
+  /** The per-group severity-card aggregate tail over a `drift`-shaped
+    * CTE (Chats.contractDrift columns) — single source for
+    * q_contract_drift_card and its streaming twin (r19 review: the
+    * breaking/warn rule must change in ONE place). */
+  private val contractCardAggSql: String =
+    """CAST(SUM(CASE WHEN presence_a IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_keys_a,
+          CAST(SUM(CASE WHEN presence_b IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS n_keys_b,
+          CAST(SUM(CASE WHEN status = 'appeared' THEN 1 ELSE 0
+            END) AS BIGINT) AS n_appeared,
+          CAST(SUM(CASE WHEN status = 'disappeared' THEN 1 ELSE 0
+            END) AS BIGINT) AS n_disappeared,
+          CAST(SUM(CASE WHEN type_flip THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_type_flips,
+          CAST(SUM(CASE WHEN status = 'required_change' THEN 1
+            ELSE 0 END) AS BIGINT) AS n_required_changes,
+          ROUND(MAX(ABS(presence_delta)), 6)
+            AS max_abs_presence_delta,
+          CASE WHEN MAX(CASE WHEN COALESCE(required_a, FALSE)
+              AND (status = 'disappeared' OR type_flip)
+              THEN 1 ELSE 0 END) = 1 THEN 'breaking'
+            WHEN SUM(CASE WHEN status IN ('appeared', 'disappeared',
+                'required_change') OR type_flip THEN 1 ELSE 0
+              END) > 0 THEN 'warn'
+            ELSE 'ok' END AS severity"""
+
   /** [[sixShapeSql]]'s contract-INFERENCE chain over a doc_id SLICE,
     * every CTE name suffixed `$sfx` so two snapshot generations fit
     * in one statement (q_contract_drift / q_contract_drift_card).
@@ -575,6 +602,34 @@ object TrainingQueries {
   /** DuckDB twin of TextAnalysis.tokens. */
   private def toksSql(t: String): String =
     s"list_filter(string_split_regex(lower($t), '\\s+'), t -> length(t) > 0)"
+
+  /** One BPE merge-learning round as DuckDB CTEs — p$$i counts the
+    * adjacent-pair frequencies, b$$i picks the (cnt DESC, pat) winner,
+    * e$$i applies it — the SINGLE SOURCE for every oracle replay of
+    * Vocab.bpeMerges (r19 review: this text existed 9 times; a fix to
+    * the recursion must land once). `bCols` lets the merges gates
+    * carry the count; `eCols` lets the per-word encode gates carry
+    * the word key. */
+  private def bpeRoundSql(i: Int, bCols: String = "pat",
+                          eCols: String = ""): String = {
+    val prev = s"e${i - 1}"
+    s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
+        SELECT unnest([toks[i] || ' ' || toks[i+1]
+          for i in generate_series(1, len(toks)-1)]) AS pat, freq
+        FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
+      GROUP BY pat),
+    b$i AS (SELECT $bCols FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
+    e$i AS (SELECT ${eCols}replace(e, b.pat, replace(b.pat, '| |', ''))
+      AS e, freq FROM $prev, b$i b)"""
+  }
+
+  /** The FFD first-fitting-bin probe over the recursion state's
+    * remaining capacities — DuckDB list_position returns 0 (not NULL)
+    * when absent, hence the NULLIF (the single source for every
+    * packExamples oracle replay). */
+  private val ffdPosSql: String =
+    "NULLIF(list_position(list_transform(st.caps, " +
+      "c -> c >= it.len), true), 0)"
 
   /** DuckDB twins of [[graft.functions.Html]] — each renders the SAME
     * RE2-subset pattern chain the Spark side runs ('g' is DuckDB's global
@@ -2948,17 +3003,6 @@ object TrainingQueries {
           .orderBy(col("doc_id"), col("turn_idx"))
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
-            freq FROM $prev, b$i b)"""
-        }
         s"""WITH w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -2966,7 +3010,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
           freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
         cb AS (SELECT doc_id, doc_id % 3 + 2 AS n,
           regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
         FROM documents),
@@ -3064,19 +3108,6 @@ object TrainingQueries {
           .orderBy(col("doc_id"), col("turn_idx"))
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
-            freq FROM $prev, b$i b)"""
-        }
-        val pos = "NULLIF(list_position(list_transform(st.caps, " +
-          "c -> c >= it.len), true), 0)"
         s"""WITH RECURSIVE w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -3084,7 +3115,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
           freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
         vb AS (SELECT doc_id,
           regexp_replace(lower(text), '[^a-z ]', '', 'g') AS ct
         FROM documents
@@ -3136,13 +3167,13 @@ object TrainingQueries {
           FROM (SELECT DISTINCT grp, nn FROM it)
           UNION ALL
           SELECT it.grp, it.i, it.id, it.len,
-            CASE WHEN $pos IS NULL THEN len(st.caps)
-                 ELSE $pos - 1 END AS bin,
-            CASE WHEN $pos IS NULL
+            CASE WHEN $ffdPosSql IS NULL THEN len(st.caps)
+                 ELSE $ffdPosSql - 1 END AS bin,
+            CASE WHEN $ffdPosSql IS NULL
                  THEN list_append(st.caps, 32 - it.len)
-                 ELSE list_slice(st.caps, 1, $pos - 1)
-                      || [st.caps[$pos] - it.len]
-                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 ELSE list_slice(st.caps, 1, $ffdPosSql - 1)
+                      || [st.caps[$ffdPosSql] - it.len]
+                      || list_slice(st.caps, $ffdPosSql + 1, len(st.caps))
                  END AS caps,
             st.nn
           FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
@@ -3511,27 +3542,7 @@ object TrainingQueries {
       },
       Some(s"""WITH $contractDriftSql
         SELECT tool_name,
-          CAST(SUM(CASE WHEN presence_a IS NOT NULL THEN 1 ELSE 0
-            END) AS BIGINT) AS n_keys_a,
-          CAST(SUM(CASE WHEN presence_b IS NOT NULL THEN 1 ELSE 0
-            END) AS BIGINT) AS n_keys_b,
-          CAST(SUM(CASE WHEN status = 'appeared' THEN 1 ELSE 0
-            END) AS BIGINT) AS n_appeared,
-          CAST(SUM(CASE WHEN status = 'disappeared' THEN 1 ELSE 0
-            END) AS BIGINT) AS n_disappeared,
-          CAST(SUM(CASE WHEN type_flip THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_type_flips,
-          CAST(SUM(CASE WHEN status = 'required_change' THEN 1
-            ELSE 0 END) AS BIGINT) AS n_required_changes,
-          ROUND(MAX(ABS(presence_delta)), 6)
-            AS max_abs_presence_delta,
-          CASE WHEN MAX(CASE WHEN COALESCE(required_a, FALSE)
-              AND (status = 'disappeared' OR type_flip)
-              THEN 1 ELSE 0 END) = 1 THEN 'breaking'
-            WHEN SUM(CASE WHEN status IN ('appeared', 'disappeared',
-                'required_change') OR type_flip THEN 1 ELSE 0
-              END) > 0 THEN 'warn'
-            ELSE 'ok' END AS severity
+          $contractCardAggSql
         FROM drift GROUP BY 1 ORDER BY 1""")),
 
     // Chain-transition DRIFT (r19 — toolChains' monitoring twin):
@@ -3709,19 +3720,6 @@ object TrainingQueries {
           .orderBy(col("conv_id"), col("turn_idx"))
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
-            freq FROM $prev, b$i b)"""
-        }
-        val pos = "NULLIF(list_position(list_transform(st.caps, " +
-          "c -> c >= it.len), true), 0)"
         s"""WITH RECURSIVE w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -3729,7 +3727,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
           freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
         nd AS (SELECT doc_id AS id,
             CASE WHEN doc_id % 4 = 0 THEN NULL
               WHEN doc_id % 4 = 1 THEN doc_id - 1
@@ -3811,13 +3809,13 @@ object TrainingQueries {
           FROM (SELECT DISTINCT grp, nn FROM it)
           UNION ALL
           SELECT it.grp, it.i, it.id, it.len,
-            CASE WHEN $pos IS NULL THEN len(st.caps)
-                 ELSE $pos - 1 END AS bin,
-            CASE WHEN $pos IS NULL
+            CASE WHEN $ffdPosSql IS NULL THEN len(st.caps)
+                 ELSE $ffdPosSql - 1 END AS bin,
+            CASE WHEN $ffdPosSql IS NULL
                  THEN list_append(st.caps, 32 - it.len)
-                 ELSE list_slice(st.caps, 1, $pos - 1)
-                      || [st.caps[$pos] - it.len]
-                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 ELSE list_slice(st.caps, 1, $ffdPosSql - 1)
+                      || [st.caps[$ffdPosSql] - it.len]
+                      || list_slice(st.caps, $ffdPosSql + 1, len(st.caps))
                  END AS caps,
             st.nn
           FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
@@ -3879,19 +3877,6 @@ object TrainingQueries {
           .orderBy(col("conv_id"), col("turn_idx"))
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
-            freq FROM $prev, b$i b)"""
-        }
-        val pos = "NULLIF(list_position(list_transform(st.caps, " +
-          "c -> c >= it.len), true), 0)"
         s"""WITH RECURSIVE ${Par.evCte},
         w AS (
           SELECT word, COUNT(*) AS freq FROM (
@@ -3900,7 +3885,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
           freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
         sess AS (SELECT user_id, event_id, event_type, ts,
           SUM(CASE WHEN prev IS NULL
               OR epoch_us(ts) - epoch_us(prev) > 1800000000
@@ -3938,7 +3923,8 @@ object TrainingQueries {
               AND arg_max(role, turn_idx) = 'assistant') AS valid
           FROM tl GROUP BY 1),
         vtr AS (SELECT tw.conv_id, tw.turn_idx, tw.role,
-            '<|' || tw.role || '|>' || tw.content || chr(10) AS rt
+            '<|' || tw.role || '|>' || COALESCE(tw.content, '')
+              || chr(10) AS rt
           FROM tw JOIN tv ON tv.conv_id = tw.conv_id
           WHERE tv.valid),
         vtk AS (SELECT conv_id, turn_idx, role,
@@ -3979,13 +3965,13 @@ object TrainingQueries {
           FROM (SELECT DISTINCT grp, nn FROM it)
           UNION ALL
           SELECT it.grp, it.i, it.id, it.len,
-            CASE WHEN $pos IS NULL THEN len(st.caps)
-                 ELSE $pos - 1 END AS bin,
-            CASE WHEN $pos IS NULL
+            CASE WHEN $ffdPosSql IS NULL THEN len(st.caps)
+                 ELSE $ffdPosSql - 1 END AS bin,
+            CASE WHEN $ffdPosSql IS NULL
                  THEN list_append(st.caps, 16 - it.len)
-                 ELSE list_slice(st.caps, 1, $pos - 1)
-                      || [st.caps[$pos] - it.len]
-                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 ELSE list_slice(st.caps, 1, $ffdPosSql - 1)
+                      || [st.caps[$ffdPosSql] - it.len]
+                      || list_slice(st.caps, $ffdPosSql + 1, len(st.caps))
                  END AS caps,
             st.nn
           FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
@@ -4434,20 +4420,6 @@ object TrainingQueries {
           .orderBy(col("doc_id"), col("turn_idx"))
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq
-                FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', ''))
-            AS e, freq FROM $prev, b$i b)"""
-        }
-        val pos = "NULLIF(list_position(list_transform(st.caps, " +
-          "c -> c >= it.len), true), 0)"
         s"""WITH RECURSIVE w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -4455,7 +4427,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g'))
           AS e, freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
         $toolTraceSql, $toolRenderSql,
         vtk AS (SELECT doc_id, turn_idx, role, unnest(${toksSql("rt")})
           AS wt FROM vtr),
@@ -4494,13 +4466,13 @@ object TrainingQueries {
           FROM (SELECT DISTINCT grp, nn FROM it)
           UNION ALL
           SELECT it.grp, it.i, it.id, it.len,
-            CASE WHEN $pos IS NULL THEN len(st.caps)
-                 ELSE $pos - 1 END AS bin,
-            CASE WHEN $pos IS NULL
+            CASE WHEN $ffdPosSql IS NULL THEN len(st.caps)
+                 ELSE $ffdPosSql - 1 END AS bin,
+            CASE WHEN $ffdPosSql IS NULL
                  THEN list_append(st.caps, 64 - it.len)
-                 ELSE list_slice(st.caps, 1, $pos - 1)
-                      || [st.caps[$pos] - it.len]
-                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 ELSE list_slice(st.caps, 1, $ffdPosSql - 1)
+                      || [st.caps[$ffdPosSql] - it.len]
+                      || list_slice(st.caps, $ffdPosSql + 1, len(st.caps))
                  END AS caps,
             st.nn
           FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
@@ -5026,27 +4998,7 @@ object TrainingQueries {
             (SELECT * FROM inf WHERE grp >= 0) bb
             ON bb.grp = r.batch_id AND bb.key = r.key)
         SELECT batch_id, 'search' AS tool_name,
-          CAST(SUM(CASE WHEN presence_a IS NOT NULL THEN 1 ELSE 0
-            END) AS BIGINT) AS n_keys_a,
-          CAST(SUM(CASE WHEN presence_b IS NOT NULL THEN 1 ELSE 0
-            END) AS BIGINT) AS n_keys_b,
-          CAST(SUM(CASE WHEN status = 'appeared' THEN 1 ELSE 0
-            END) AS BIGINT) AS n_appeared,
-          CAST(SUM(CASE WHEN status = 'disappeared' THEN 1 ELSE 0
-            END) AS BIGINT) AS n_disappeared,
-          CAST(SUM(CASE WHEN type_flip THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_type_flips,
-          CAST(SUM(CASE WHEN status = 'required_change' THEN 1
-            ELSE 0 END) AS BIGINT) AS n_required_changes,
-          ROUND(MAX(ABS(presence_delta)), 6)
-            AS max_abs_presence_delta,
-          CASE WHEN MAX(CASE WHEN COALESCE(required_a, FALSE)
-              AND (status = 'disappeared' OR type_flip)
-              THEN 1 ELSE 0 END) = 1 THEN 'breaking'
-            WHEN SUM(CASE WHEN status IN ('appeared', 'disappeared',
-                'required_change') OR type_flip THEN 1 ELSE 0
-              END) > 0 THEN 'warn'
-            ELSE 'ok' END AS severity
+          $contractCardAggSql
         FROM drift GROUP BY 1 ORDER BY batch_id""")),
 
     // STREAMING decontamination (r16) — the prevention twin of the
@@ -5322,8 +5274,6 @@ object TrainingQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val pos = "NULLIF(list_position(list_transform(st.caps, " +
-          "c -> c >= it.len), true), 0)"
         s"""WITH RECURSIVE items AS (
           SELECT doc_id % 8 AS grp, doc_id AS id,
             CAST(CASE WHEN doc_id % 101 = 0 THEN 150
@@ -5342,13 +5292,13 @@ object TrainingQueries {
           FROM (SELECT DISTINCT grp, n FROM it)
           UNION ALL
           SELECT it.grp, it.i, it.id, it.len,
-            CASE WHEN $pos IS NULL THEN len(st.caps)
-                 ELSE $pos - 1 END AS bin,
-            CASE WHEN $pos IS NULL
+            CASE WHEN $ffdPosSql IS NULL THEN len(st.caps)
+                 ELSE $ffdPosSql - 1 END AS bin,
+            CASE WHEN $ffdPosSql IS NULL
                  THEN list_append(st.caps, 128 - it.len)
-                 ELSE list_slice(st.caps, 1, $pos - 1)
-                      || [st.caps[$pos] - it.len]
-                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 ELSE list_slice(st.caps, 1, $ffdPosSql - 1)
+                      || [st.caps[$ffdPosSql] - it.len]
+                      || list_slice(st.caps, $ffdPosSql + 1, len(st.caps))
                  END AS caps,
             st.n
           FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
@@ -5385,8 +5335,6 @@ object TrainingQueries {
           .orderBy(col("grp"))
       },
       Some {
-        val pos = "NULLIF(list_position(list_transform(st.caps, " +
-          "c -> c >= it.len), true), 0)"
         s"""WITH RECURSIVE items AS (
           SELECT doc_id % 8 AS grp, doc_id AS id,
             CAST(CASE WHEN doc_id % 101 = 0 THEN 150
@@ -5405,13 +5353,13 @@ object TrainingQueries {
           FROM (SELECT DISTINCT grp, n FROM it)
           UNION ALL
           SELECT it.grp, it.i, it.id, it.len,
-            CASE WHEN $pos IS NULL THEN len(st.caps)
-                 ELSE $pos - 1 END AS bin,
-            CASE WHEN $pos IS NULL
+            CASE WHEN $ffdPosSql IS NULL THEN len(st.caps)
+                 ELSE $ffdPosSql - 1 END AS bin,
+            CASE WHEN $ffdPosSql IS NULL
                  THEN list_append(st.caps, 128 - it.len)
-                 ELSE list_slice(st.caps, 1, $pos - 1)
-                      || [st.caps[$pos] - it.len]
-                      || list_slice(st.caps, $pos + 1, len(st.caps))
+                 ELSE list_slice(st.caps, 1, $ffdPosSql - 1)
+                      || [st.caps[$ffdPosSql] - it.len]
+                      || list_slice(st.caps, $ffdPosSql + 1, len(st.caps))
                  END AS caps,
             st.n
           FROM st JOIN it ON it.grp = st.grp AND it.i = st.i + 1
@@ -7883,17 +7831,6 @@ object TrainingQueries {
       (s, d) => graft.operators.Vocab.bpeMerges(
         Tables.documents(s, d), "text", n = 3),
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat, cnt FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
-            freq FROM $prev, b$i b)"""
-        }
         s"""WITH w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -7901,7 +7838,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
           freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)}
+        ${bpeRoundSql(1, bCols = "pat, cnt")}, ${bpeRoundSql(2, bCols = "pat, cnt")}, ${bpeRoundSql(3, bCols = "pat, cnt")}
         SELECT CAST(round AS INT) AS round,
           trim(string_split(pat, ' ')[1], '|') AS lhs,
           trim(string_split(pat, ' ')[2], '|') AS rhs,
@@ -7920,17 +7857,6 @@ object TrainingQueries {
       (s, d) => graft.operators.Vocab.bpeMergesLocal(
         Tables.documents(s, d), "text", n = 3),
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat, cnt FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', '')) AS e,
-            freq FROM $prev, b$i b)"""
-        }
         s"""WITH w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -7938,7 +7864,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e,
           freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)}
+        ${bpeRoundSql(1, bCols = "pat, cnt")}, ${bpeRoundSql(2, bCols = "pat, cnt")}, ${bpeRoundSql(3, bCols = "pat, cnt")}
         SELECT CAST(round AS INT) AS round,
           trim(string_split(pat, ' ')[1], '|') AS lhs,
           trim(string_split(pat, ' ')[2], '|') AS rhs,
@@ -7962,18 +7888,6 @@ object TrainingQueries {
           "text", "source", roundtripMerges(s, d))
         .orderBy(col("source")),
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq
-                FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT replace(e, b.pat, replace(b.pat, '| |', ''))
-            AS e, freq FROM $prev, b$i b)"""
-        }
         s"""WITH w AS (
           SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(${toksSql("text")}) AS word FROM documents)
@@ -7981,7 +7895,7 @@ object TrainingQueries {
           GROUP BY word),
         e0 AS (SELECT rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g'))
           AS e, freq FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
         d0 AS (SELECT source, text,
           CAST(strlen(text) AS BIGINT) AS nb FROM documents),
         vk AS (SELECT source, unnest(${toksSql("text")}) AS wt FROM d0),
@@ -8419,17 +8333,6 @@ object TrainingQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        def round(i: Int): String = {
-          val prev = s"e${i - 1}"
-          s"""p$i AS (SELECT pat, SUM(freq) AS cnt FROM (
-              SELECT unnest([toks[i] || ' ' || toks[i+1]
-                for i in generate_series(1, len(toks)-1)]) AS pat, freq
-              FROM (SELECT string_split(e, ' ') AS toks, freq FROM $prev))
-            GROUP BY pat),
-          b$i AS (SELECT pat FROM p$i ORDER BY cnt DESC, pat LIMIT 1),
-          e$i AS (SELECT word, replace(e, b.pat, replace(b.pat, '| |', ''))
-            AS e, freq FROM $prev, b$i b)"""
-        }
         s"""WITH tk AS (
           SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
         w AS (SELECT word, COUNT(*) AS freq FROM (
@@ -8439,7 +8342,7 @@ object TrainingQueries {
         e0 AS (SELECT word,
           rtrim(regexp_replace(word, '(.)', '|\\1| ', 'g')) AS e, freq
           FROM w),
-        ${round(1)}, ${round(2)}, ${round(3)},
+        ${bpeRoundSql(1, eCols = "word, ")}, ${bpeRoundSql(2, eCols = "word, ")}, ${bpeRoundSql(3, eCols = "word, ")},
         enc AS (SELECT word,
           [trim(t, '|') for t in string_split(e, ' ')] AS sub FROM e3),
         tok AS (SELECT doc_id, i, tk[i] AS word FROM (

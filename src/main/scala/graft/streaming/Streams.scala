@@ -613,12 +613,18 @@ object Streams {
   /** [[contractDriftSink]] against an ALREADY-INFERRED reference
     * contract frame ([[graft.operators.Chats.toolContractInfer]]
     * shape) — the monitoring-loop entry point when the training-set
-    * contracts are persisted next to the model. */
+    * contracts are persisted next to the model. The reference is
+    * PINNED defensively: a caller-checkpointed (eager, unpinned)
+    * frame would otherwise sit in batch 0's `prior` snapshot and be
+    * FREED by the per-batch sweep — the exact
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND class driftSink fixed in r18
+    * (pin is idempotent and a no-op on plain frames). */
   def contractDriftSinkInferred(chats: DataFrame, jsonCol: String,
                                 idCol: String, refInf: DataFrame,
                                 minPresence: Double = 0.95)
                                (handler: DataFrame => Unit)
-  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    graft.operators.Checkpoints.pin(refInf)
     chats.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val prior = graft.operators.Checkpoints.liveIds
       handler(graft.operators.Chats.contractDriftCard(
@@ -629,6 +635,7 @@ object Streams {
         .withColumn("batch_id", lit(batchId)))
       graft.operators.Checkpoints.sweepOnly(prior)
     }
+  }
 
   /** [[driftSink]] against a PRECOMPUTED (token, cnt) reference frame
     * ([[graft.operators.Curation.unigramCounts]] shape) — the
@@ -638,7 +645,12 @@ object Streams {
   def driftSinkCounts(docs: DataFrame, textCol: String,
                       refCounts: DataFrame)
                      (handler: DataFrame => Unit)
-  : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+  : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    // defensively pin a caller-checkpointed reference (idempotent;
+    // no-op for plain frames) — an eager-unpinned frame would be in
+    // batch 0's snapshot and freed by the per-batch sweep (the
+    // contractDriftSinkInferred sharp edge, r19 review)
+    graft.operators.Checkpoints.pin(refCounts)
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val prior = graft.operators.Checkpoints.liveIds
       handler(graft.operators.Curation.unigramDriftFromCounts(
@@ -647,6 +659,7 @@ object Streams {
         .withColumn("batch_id", lit(batchId)))
       graft.operators.Checkpoints.sweepOnly(prior)
     }
+  }
 
   /** Streaming MANIFEST maintenance — continuous attestation for a
     * continuously-ingested corpus: each micro-batch appends its
