@@ -248,6 +248,11 @@ object Packing {
       col(idCol))
     val h = graft.functions.Scalars.hash60(
       concat(lit(salt), lit(":"), id.cast("string")))
+    // the rank window and the counts pass each scan the input once —
+    // packCore's documented two-scan shape (measured: checkpointing
+    // the projection does NOT win when the input is a cheap pruned
+    // scan; a caller with an EXPENSIVE derived lineage should
+    // Checkpoints.eager it before calling, as treePaths does)
     val base = df.select(col(idCol),
       smallestBucket(lenCol, buckets).as("bucket"), h.as("__h"),
       shiftright(h, shift).as("__sub"))
