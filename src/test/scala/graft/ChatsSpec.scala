@@ -881,6 +881,89 @@ class ChatsSpec extends SparkSpec {
       .forall(_.getAs[String]("severity") == "ok"))
   }
 
+  test("contractDrift/Card fuzz: on seeded random snapshot pairs the " +
+      "statuses partition the key union, deltas exist exactly on " +
+      "overlap, card counts re-derive from the rows, and breaking ⇔ " +
+      "an old-required key disappeared or type-flipped") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val types = Seq("string", "number", "boolean", "object", "array")
+    def snap(): Seq[(String, String, Double, String, Boolean)] = {
+      val pairs = for {
+        t <- Seq("t1", "t2", "t3")
+        k <- Seq("a", "b", "c", "d", "e")
+        if rnd.nextBoolean()
+      } yield {
+        val presence =
+          math.round(rnd.nextInt(10) * 0.1 * 1e6) / 1e6 + 0.1
+        (t, k, math.min(presence, 1.0),
+          types(rnd.nextInt(types.size)), presence >= 0.95)
+      }
+      pairs
+    }
+    for (trial <- 1 to 8) {
+      val ra = snap()
+      val rb = snap()
+      def df(r: Seq[(String, String, Double, String, Boolean)]) =
+        r.toDF("tool_name", "key", "presence", "major_type",
+          "required")
+      val drift = Chats.contractDrift(df(ra), df(rb))
+      val rows = drift.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r).toMap
+      val ma = ra.map(t => (t._1, t._2) -> t).toMap
+      val mb = rb.map(t => (t._1, t._2) -> t).toMap
+      assert(rows.keySet == ma.keySet ++ mb.keySet, s"trial $trial")
+      rows.foreach { case (k, r) =>
+        val status = r.getAs[String]("status")
+        val inA = ma.contains(k); val inB = mb.contains(k)
+        val wantStatus =
+          if (!inA) "appeared"
+          else if (!inB) "disappeared"
+          else if (ma(k)._4 != mb(k)._4) "type_flip"
+          else if (ma(k)._5 != mb(k)._5) "required_change"
+          else "stable"
+        assert(status == wantStatus, s"trial $trial $k")
+        val delta = Option(
+          r.getAs[java.lang.Double]("presence_delta"))
+        assert(delta.isDefined == (inA && inB), s"trial $trial $k")
+        delta.foreach(d => assert(math.abs(d -
+          math.round((mb(k)._3 - ma(k)._3) * 1e6) / 1e6) < 1e-9,
+          s"trial $trial $k"))
+        assert(r.getAs[Boolean]("type_flip") ==
+          (inA && inB && ma(k)._4 != mb(k)._4), s"trial $trial $k")
+      }
+      val card = Chats.contractDriftCard(drift).collect()
+      card.foreach { c =>
+        val tool = c.getString(0)
+        val trows = rows.filter(_._1._1 == tool).values.toSeq
+        def cnt(st: String) =
+          trows.count(_.getAs[String]("status") == st).toLong
+        assert(c.getAs[Long]("n_keys_a") ==
+          trows.count(r =>
+            Option(r.getAs[java.lang.Double]("presence_a"))
+              .isDefined).toLong)
+        assert(c.getAs[Long]("n_appeared") == cnt("appeared") &&
+          c.getAs[Long]("n_disappeared") == cnt("disappeared") &&
+          c.getAs[Long]("n_type_flips") ==
+            trows.count(_.getAs[Boolean]("type_flip")).toLong &&
+          c.getAs[Long]("n_required_changes") ==
+            cnt("required_change"), s"trial $trial $tool")
+        val breaking = trows.exists(r =>
+          Option(r.getAs[java.lang.Boolean]("required_a"))
+            .exists(_.booleanValue) &&
+            (r.getAs[String]("status") == "disappeared" ||
+              r.getAs[Boolean]("type_flip")))
+        val anyChange = trows.exists(r =>
+          r.getAs[String]("status") != "stable")
+        val wantSev = if (breaking) "breaking"
+          else if (anyChange) "warn" else "ok"
+        assert(c.getAs[String]("severity") == wantSev,
+          s"trial $trial $tool")
+      }
+    }
+  }
+
   test("chainDrift: transition-count KL between two toolChains " +
       "snapshots — zero on identical traffic, positive and " +
       "union-vocabulary-sized on shifted traffic") {
