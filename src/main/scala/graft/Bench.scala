@@ -154,7 +154,7 @@ object Bench {
     // calibration/agreement cards are corpus-scan keyed-agg
     // reductions like q_pr_curve
     "q_tree_sft_windows", "q_calibration", "q_calibration_ece",
-    "q_kappa")
+    "q_kappa", "q_fleiss_kappa", "q_weighted_kappa")
 
   /** Interpreted-expression whitelist for the [[PlanLint]] tripwire:
     * gate name → expression classes DELIBERATELY evaluated interpreted

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextAnalysis => TA}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,5 +394,120 @@ object Classifier {
             (lit(1.0) - col("pe")), 6)))
       .select(col("n"), col("n_agree"), col("po"), col("pe"),
         col("kappa"))
+  }
+
+  /** FLEISS' KAPPA — multi-rater agreement (Fleiss 1971), the
+    * consensus audit for judge ENSEMBLES (3 model judges label every
+    * document: do they actually agree beyond chance?): one row per
+    * (item, rater-assignment) with its label; every item must carry
+    * the SAME number of ratings n ≥ 2 (the classic design — ragged
+    * panels fail loudly, they are a collection bug). All sums are
+    * exact integers — P̄ = (Σ_i Σ_l n_il² − N·n) / (N·n·(n−1)) and
+    * p_e = Σ_l c_l² / (N·n)² — with doubles only at the final
+    * divisions (6 dp); κ from the ROUNDED P̄/p_e so the oracle
+    * replays bit-for-bit. Degenerate chance-perfect margins
+    * (p_e = 1): κ = 1 on perfect agreement, else NULL. Returns
+    * (n_items, n_raters, p_bar, p_e, kappa). Scale shape: one
+    * (item, label)-keyed agg, one item-keyed agg, one label-keyed
+    * agg — the ratings scan once, only count rows move. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String)
+  : DataFrame = {
+    val lbl = when(
+      assert_true(col(labelCol).isNotNull,
+        lit("fleissKappa: null label — unrated rows must be " +
+          "filtered first")).isNull,
+      col(labelCol).cast("string"))
+    val base = Checkpoints.eager(
+      df.select(col(itemCol).cast("string").as("__i"),
+        lbl.as("__l")))
+    val cell = Checkpoints.eager(
+      base.groupBy(col("__i"), col("__l"))
+        .agg(count(lit(1)).as("__c")))
+    val perItem = cell.groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    val tot = perItem.agg(count(lit(1)).as("n_items"),
+      min(col("__n")).as("__nmin"), max(col("__n")).as("__nmax"),
+      sum(col("__s2")).as("__S2"))
+    val perLabel = cell.groupBy(col("__l"))
+      .agg(sum(col("__c")).as("__cl"))
+    val labelSq = perLabel
+      .agg(coalesce(sum(col("__cl") * col("__cl")), lit(0L))
+        .as("__C2"))
+    val N = col("n_items").cast("double")
+    val n = col("__nmin").cast("double")
+    val ragged = when(
+      assert_true(col("__nmin") === col("__nmax") &&
+        col("__nmin") >= 2,
+        lit("fleissKappa: every item needs the SAME rating count " +
+          "n >= 2 (ragged or singleton panels are a collection " +
+          "bug)")).isNull,
+      col("__nmin"))
+    tot.crossJoin(labelSq)
+      .withColumn("n_raters", ragged)
+      .withColumn("p_bar",
+        round((col("__S2").cast("double") - N * n) /
+          (N * n * (n - 1)), 6))
+      .withColumn("p_e",
+        round(col("__C2").cast("double") / (N * n) / (N * n), 6))
+      .withColumn("kappa",
+        when(col("p_e") === 1.0,
+          when(col("p_bar") === 1.0, lit(1.0))
+            .otherwise(lit(null).cast("double")))
+          .otherwise(round((col("p_bar") - col("p_e")) /
+            (lit(1.0) - col("p_e")), 6)))
+      .select(col("n_items"), col("n_raters"), col("p_bar"),
+        col("p_e"), col("kappa"))
+  }
+
+  /** WEIGHTED KAPPA — [[cohenKappa]] for ORDINAL labels (Cohen
+    * 1968): a 1-vs-3 quality-rating disagreement should cost more
+    * than 2-vs-3. Labels must be integers in [0, k); disagreement
+    * weights are |i−j| (`linear`) or (i−j)² (`quadratic` — the
+    * ICC-equivalent convention model-eval reports usually quote).
+    * κ_w = 1 − n·Σ d_ij·O_ij / Σ d_ij·r_i·c_j — BOTH sums are exact
+    * integer arithmetic over the k×k confusion cells and margins
+    * (the weights' rational denominator cancels), one double
+    * division at the end (6 dp). Degenerate margins with zero
+    * expected disagreement: κ = 1 when observed disagreement is
+    * also zero, else NULL. Returns (n, kappa). Scale shape: one
+    * (a, b)-keyed agg + two label-sized margin aggs joined k×k —
+    * the ratings scan once. */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+                    k: Int, scheme: String = "quadratic")
+  : DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(scheme == "linear" || scheme == "quadratic",
+      s"scheme must be linear or quadratic, got $scheme")
+    def ord(c: String) = when(
+      assert_true(col(c).isNotNull && col(c) >= 0 && col(c) < k,
+        lit(s"weightedKappa: $c must be an integer label in " +
+          s"[0, $k)")).isNull,
+      col(c).cast("long"))
+    def d(i: Column, j: Column): Column = {
+      val diff = abs(i - j)
+      if (scheme == "linear") diff else diff * diff
+    }
+    val base = Checkpoints.eager(
+      df.select(ord(aCol).as("__a"), ord(bCol).as("__b")))
+    val cells = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val obs = cells.agg(coalesce(sum(col("__o")), lit(0L)).as("n"),
+      coalesce(sum(d(col("__a"), col("__b")) * col("__o")), lit(0L))
+        .as("__dO"))
+    val ma = base.groupBy(col("__a")).agg(count(lit(1)).as("__ra"))
+    val mb = base.groupBy(col("__b")).agg(count(lit(1)).as("__cb"))
+    val exp = ma.crossJoin(mb)
+      .agg(coalesce(sum(d(col("__a"), col("__b")) *
+        col("__ra") * col("__cb")), lit(0L)).as("__dE"))
+    obs.crossJoin(exp)
+      .withColumn("kappa",
+        when(col("__dE") === 0L,
+          when(col("__dO") === 0L, lit(1.0))
+            .otherwise(lit(null).cast("double")))
+          .otherwise(round(lit(1.0) -
+            col("n").cast("double") * col("__dO") /
+              col("__dE").cast("double"), 6)))
+      .select(col("n"), col("kappa"))
   }
 }

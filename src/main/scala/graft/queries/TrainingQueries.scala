@@ -4193,6 +4193,83 @@ object TrainingQueries {
             ELSE ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
         FROM pr""")),
 
+    // FLEISS' kappa (r19 — multi-rater consensus for judge
+    // ensembles): three deterministic raters per document (rater r's
+    // label shifts by r·(doc_id % 5)), every item exactly 3 ratings.
+    // All sums exact integers; the oracle replays the per-item and
+    // per-label count algebra and both rounded probabilities.
+    Q("q_fleiss_kappa",
+      (s, d) => {
+        val did = col("doc_id")
+        val lbl = (r: Int) =>
+          ((did + lit(r) * (did % 5)) % 3).cast("string")
+        graft.operators.Classifier.fleissKappa(
+          Tables.documents(s, d).select(did.as("item"),
+            explode(array(lbl(0), lbl(1), lbl(2))).as("label")),
+          "item", "label")
+      },
+      Some("""WITH rt AS (
+          SELECT doc_id AS item,
+            CAST(doc_id % 3 AS VARCHAR) AS label FROM documents
+          UNION ALL
+          SELECT doc_id,
+            CAST((doc_id + doc_id % 5) % 3 AS VARCHAR)
+          FROM documents
+          UNION ALL
+          SELECT doc_id,
+            CAST((doc_id + 2 * (doc_id % 5)) % 3 AS VARCHAR)
+          FROM documents),
+        cell AS (SELECT item, label, COUNT(*) AS c FROM rt
+          GROUP BY 1, 2),
+        pi AS (SELECT item, SUM(c) AS n, SUM(c * c) AS s2 FROM cell
+          GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+            CAST(MIN(n) AS BIGINT) AS n_raters, SUM(s2) AS s2
+          FROM pi),
+        pl AS (SELECT label, SUM(c) AS cl FROM cell GROUP BY 1),
+        c2 AS (SELECT SUM(cl * cl) AS c2 FROM pl),
+        pr AS (SELECT n_items, n_raters,
+            ROUND((CAST(s2 AS DOUBLE)
+              - n_items * CAST(n_raters AS DOUBLE))
+              / (n_items * CAST(n_raters AS DOUBLE)
+                * (n_raters - 1)), 6) AS p_bar,
+            ROUND(CAST(c2 AS DOUBLE)
+              / (n_items * CAST(n_raters AS DOUBLE))
+              / (n_items * CAST(n_raters AS DOUBLE)), 6) AS p_e
+          FROM tot CROSS JOIN c2)
+        SELECT n_items, n_raters, p_bar, p_e,
+          CASE WHEN p_e = 1.0 THEN
+              CASE WHEN p_bar = 1.0 THEN 1.0 END
+            ELSE ROUND((p_bar - p_e) / (1.0 - p_e), 6) END AS kappa
+        FROM pr""")),
+
+    // WEIGHTED kappa (r19 — Cohen 1968 for ORDINAL quality ratings,
+    // quadratic weights — the model-eval convention): 4-level labels,
+    // rater b shifted by doc_id % 3. Both disagreement sums are exact
+    // integers over the k×k cells and margins; one double division.
+    Q("q_weighted_kappa",
+      (s, d) => graft.operators.Classifier.weightedKappa(
+        Tables.documents(s, d).select(
+          (col("doc_id") % 4).as("a"),
+          ((col("doc_id") + col("doc_id") % 3) % 4).as("b")),
+        "a", "b", k = 4),
+      Some("""WITH lb AS (SELECT doc_id % 4 AS a,
+            (doc_id + doc_id % 3) % 4 AS b FROM documents),
+        cells AS (SELECT a, b, COUNT(*) AS o FROM lb GROUP BY 1, 2),
+        obs AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+            SUM((a - b) * (a - b) * o) AS d_o
+          FROM cells),
+        ma AS (SELECT a, COUNT(*) AS ra FROM lb GROUP BY 1),
+        mb AS (SELECT b, COUNT(*) AS cb FROM lb GROUP BY 1),
+        -- d_o / d_e, not dO / dE: DO is a reserved keyword
+        ex2 AS (SELECT SUM((a - b) * (a - b) * ra * cb) AS d_e
+          FROM ma CROSS JOIN mb)
+        SELECT n,
+          CASE WHEN d_e = 0 THEN CASE WHEN d_o = 0 THEN 1.0 END
+            ELSE ROUND(1.0 - CAST(n AS DOUBLE) * d_o
+              / CAST(d_e AS DOUBLE), 6) END AS kappa
+        FROM obs CROSS JOIN ex2""")),
+
     // Length-bucket PADDING report (r18 — "what boundaries should the
     // loader pad to?"): docs land in the smallest bucket that fits,
     // oversized docs land in the -1 overflow row as TRUNCATED tokens.

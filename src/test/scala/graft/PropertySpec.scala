@@ -776,6 +776,79 @@ class PropertySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-null in [0,1]")))
   }
 
+  test("fleissKappa: the hand-computed 3-item 3-rater panel; perfect " +
+      "agreement → 1.0; ragged panels and null labels fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Classifier
+    // items: (x,x,x), (x,x,y), (x,y,z) → P̄ = 8/18, p_e = 41/81,
+    // κ = (0.444444 − 0.506173) / 0.493827 = −0.125001
+    val ratings = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "x"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "z")).toDF("item", "label")
+    val r = Classifier.fleissKappa(ratings, "item", "label")
+      .collect()(0)
+    assert((r.getAs[Long]("n_items"), r.getAs[Long]("n_raters"),
+      r.getAs[Double]("p_bar"), r.getAs[Double]("p_e"),
+      r.getAs[Double]("kappa")) ==
+      (3L, 3L, 0.444444, 0.506173, -0.125001))
+    val perfect = Classifier.fleissKappa(
+      Seq((1L, "x"), (1L, "x"), (1L, "x"),
+        (2L, "x"), (2L, "x"), (2L, "x")).toDF("item", "label"),
+      "item", "label").collect()(0)
+    assert(perfect.getAs[Double]("p_e") == 1.0 &&
+      perfect.getAs[Double]("kappa") == 1.0)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val ragged = intercept[Exception] {
+      Classifier.fleissKappa(Seq((1L, "x"), (1L, "y"),
+        (2L, "x"), (2L, "x"), (2L, "y")).toDF("item", "label"),
+        "item", "label").collect()
+    }
+    assert(msgs(ragged).exists(_.contains("SAME rating count")))
+    val nul = intercept[Exception] {
+      Classifier.fleissKappa(
+        Seq((1L, Some("x")), (1L, None: Option[String]))
+          .toDF("item", "label"), "item", "label").collect()
+    }
+    assert(msgs(nul).exists(_.contains("null label")))
+  }
+
+  test("weightedKappa: hand-computed linear 0.4 and quadratic " +
+      "0.444444 on the same cells; zero expected disagreement → 1.0; " +
+      "out-of-range labels fail loudly") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Classifier
+    // cells: (0,0)×2, (1,2), (2,2), (2,0) — n=5
+    val df = Seq((0, 0), (0, 0), (1, 2), (2, 2), (2, 0))
+      .toDF("a", "b")
+    val lin = Classifier.weightedKappa(df, "a", "b", k = 3,
+      scheme = "linear").collect()(0)
+    assert(lin.getAs[Long]("n") == 5L &&
+      lin.getAs[Double]("kappa") == 0.4)
+    val quad = Classifier.weightedKappa(df, "a", "b", k = 3)
+      .collect()(0)
+    assert(quad.getAs[Double]("kappa") == 0.444444)
+    val const = Classifier.weightedKappa(
+      Seq((1, 1), (1, 1)).toDF("a", "b"), "a", "b", k = 3)
+      .collect()(0)
+    assert(const.getAs[Double]("kappa") == 1.0)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val oor = intercept[Exception] {
+      Classifier.weightedKappa(Seq((0, 5)).toDF("a", "b"),
+        "a", "b", k = 3).collect()
+    }
+    assert(msgs(oor).exists(_.contains("integer label in")))
+    intercept[IllegalArgumentException] {
+      Classifier.weightedKappa(df, "a", "b", k = 3, scheme = "cubic")
+    }
+  }
+
   test("cohenKappa: the textbook margins give kappa 0.4; perfect " +
       "agreement on one label gives 1.0; null labels fail loudly") {
     val s = spark
