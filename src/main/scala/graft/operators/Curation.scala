@@ -187,8 +187,15 @@ object Curation {
                   stopwords: Seq[String] = TA.GopherStopwords)
   : DataFrame = {
     val deduped = Dedup.exactRows(df, textCol, idCol)
-    val gated = deduped.filter(
-      TA.gopherSignals(col(textCol), stopwords).getField("gopher_pass"))
+    // checkpoint the gate SURVIVORS once (optimization round 19, guide
+    // §5): lmScore makes three passes over its input (bigram counts,
+    // scoring join, singleton-vocab scan), and each would otherwise
+    // replay the dedup window's corpus shuffle + the gopher projection.
+    // One materialization of the pruned (id, text) projection replaces
+    // three upstream recomputes; blocks are swept between queries.
+    val gated = Checkpoints.eager(deduped.filter(
+        TA.gopherSignals(col(textCol), stopwords).getField("gopher_pass"))
+      .select(col(idCol), col(textCol)))
     val scored = LmQuality.lmScore(gated, textCol, idCol)
     scored.filter(col("n_bigrams") === 0 || col("xent") <= maxXent)
   }

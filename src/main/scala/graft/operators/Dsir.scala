@@ -51,8 +51,23 @@ object Dsir {
   def dsirModel(raw: DataFrame, target: DataFrame, textCol: String,
                 buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be > 0")
+    dsirModelFromFeats(
+      raw.select(featBuckets(col(textCol), buckets).as("__f")),
+      target, textCol, buckets)
+  }
+
+  /** [[dsirModel]] over a PRE-FEATURIZED raw frame (`__f` = the
+    * [[featBuckets]] array) — the entry point [[dsirScore]] uses so the
+    * raw corpus is hashed ONCE for model + scoring (optimization round
+    * 19, guide §1.2/§5: featurization is an md5 per feature occurrence,
+    * and the old shape paid it twice over `raw`). */
+  private def dsirModelFromFeats(rawFeats: DataFrame, target: DataFrame,
+                                 textCol: String, buckets: Int)
+  : DataFrame = {
     def counts(df: DataFrame) = df
       .select(explode(featBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val rawCounts = rawFeats.select(explode(col("__f")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
     // ONE distributed action: the joined per-bucket counts collapse to
     // ≤ buckets rows on the driver; totals and the llr arithmetic then
@@ -65,7 +80,7 @@ object Dsir {
     // Wikipedia-vs-CC setting) still contributes its mass to ttot's
     // smoothing denominator; such buckets are dropped from the emitted
     // model AFTER the totals (scoring `raw` can never hit them).
-    val allRows = counts(raw).select(col("bucket"), col("c").as("rc"))
+    val allRows = rawCounts.select(col("bucket"), col("c").as("rc"))
       .join(counts(target).select(col("bucket"), col("c").as("tc")),
         Seq("bucket"), "full")
       .collect()
@@ -75,7 +90,7 @@ object Dsir {
     val rtot = allRows.map(r => math.max(r._2, 0L)).sum
     val ttot = allRows.map(_._3).sum
     val rows = allRows.filter(_._2 >= 0) // raw-present buckets only
-    val spark = raw.sparkSession
+    val spark = rawFeats.sparkSession
     import spark.implicits._
     val p = (col("tc").cast("double") + lit(1.0)) /
       lit(ttot.toDouble + buckets)
@@ -89,16 +104,29 @@ object Dsir {
 
   /** Score every raw document: (idCol, n_feats, sum_llr_u, dsir_score)
     * where dsir_score is the per-feature mean weight (null when the
-    * document has no features). Higher = more target-like. */
+    * document has no features). Higher = more target-like.
+    *
+    * The raw corpus is featurized ONCE (optimization round 19): the
+    * per-doc feature arrays checkpoint eagerly and feed BOTH the model's
+    * raw-count aggregation and the scoring projection. The old shape ran
+    * [[featBuckets]] — an md5 per feature occurrence — twice over `raw`
+    * (model pass + scoring pass). The trade is materializing the
+    * (id, array<long>) proxy — 8 B/feature, lighter than the text it
+    * replaces, the guide-§8 "decide with small rows" shape; blocks are
+    * swept by the between-queries Checkpoints sweep. `target` (typically
+    * a small in-domain slice) still featurizes in its own single pass. */
   def dsirScore(raw: DataFrame, target: DataFrame, textCol: String,
                 idCol: String, buckets: Int): DataFrame = {
-    val model = dsirModel(raw, target, textCol, buckets).collect()
+    require(buckets > 0, s"buckets=$buckets must be > 0")
+    val feats = Checkpoints.eager(raw.select(col(idCol),
+      featBuckets(col(textCol), buckets).as("__f")))
+    val model =
+      dsirModelFromFeats(feats, target, textCol, buckets).collect()
     val weights = new Array[Long](buckets)
     model.foreach(r => weights(r.getAs[Long]("bucket").toInt) =
       r.getAs[Long]("llr_u"))
     val wLit = typedLit(weights.toSeq)
-    // materialize the feature array once — HOF lambdas get no CSE
-    raw.withColumn("__f", featBuckets(col(textCol), buckets))
+    feats
       .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
         aggregate(col("__f"), lit(0L),
           (acc, f) => acc + element_at(wLit, f.cast("int") + 1))

@@ -294,17 +294,30 @@ object AggQueries {
     // replays bit-for-bit — the cross-engine anchor proving the scan and
     // grouping) and the estimate-within-3·rsd boolean, which the oracle
     // expects to be true. rsd=0.05 → bound 0.15.
+    // Optimization round 19 (guide §2.3): two COUNT(DISTINCT x) over
+    // DIFFERENT columns in one agg made Catalyst expand every row ×3
+    // (one branch per distinct column + one for the HLLs) before the
+    // shuffle. Computed instead as two pre-distincted single-key aggs
+    // joined on the 3-row group key: exact counts are counts over the
+    // distinct pairs, and the HLL estimate is IDENTICAL on distinct
+    // input (register insertion is a max — duplicate-idempotent). Plan:
+    // 2 pruned scans + 2 pair-distinct aggs, zero Expand.
     Q("q_agg_approx_hll",
-      (s, d) => Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("hp"),
-          approx_count_distinct(col("l_orderkey"), 0.05).as("ho"),
-          count_distinct(col("l_partkey")).as("nd_part"),
-          count_distinct(col("l_orderkey")).as("nd_order"))
-        .select(col("l_returnflag"), col("nd_part"), col("nd_order"),
-          (abs(col("hp") - col("nd_part")).cast("double") /
-            col("nd_part") <= 0.15).as("hll_part_ok"),
-          (abs(col("ho") - col("nd_order")).cast("double") /
-            col("nd_order") <= 0.15).as("hll_order_ok")),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def side(c: String, nd: String, h: String) =
+          li.select(col("l_returnflag"), col(c)).distinct()
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as(nd),
+              approx_count_distinct(col(c), 0.05).as(h))
+        side("l_partkey", "nd_part", "hp")
+          .join(side("l_orderkey", "nd_order", "ho"), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("nd_part"), col("nd_order"),
+            (abs(col("hp") - col("nd_part")).cast("double") /
+              col("nd_part") <= 0.15).as("hll_part_ok"),
+            (abs(col("ho") - col("nd_order")).cast("double") /
+              col("nd_order") <= 0.15).as("hll_order_ok"))
+      },
       Some("""SELECT l_returnflag,
           COUNT(DISTINCT l_partkey) AS nd_part,
           COUNT(DISTINCT l_orderkey) AS nd_order,

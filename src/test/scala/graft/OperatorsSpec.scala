@@ -856,6 +856,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r7(0).getLong(2) == r(0).getLong(2))
   }
 
+  test("lmScore: V counts tokens that appear ONLY in 1-token docs " +
+      "(vocabulary derivation from the pair table + singletons)") {
+    // optimization-round pin: V now derives from c12's endpoint vocab ∪
+    // single-token docs instead of a full unigram distinct — a token
+    // seen ONLY as a 1-token doc ('q') must still widen V
+    val s = spark
+    import s.implicits._
+    import graft.operators.LmQuality
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a a"),
+      (3L, "a"),
+      (4L, "q")).toDF("doc_id", "text")
+    // c12: (a,b)=2 (b,a)=1 (a,a)=1; c1: a=3 b=1; V=3 (a, b, q)
+    // p(b|a)=(2+1)/(3+3)=0.5  p(a|b)=(1+1)/(1+3)=0.5  p(a|a)=2/6=1/3
+    // u: ln0.5→-693147  ln(1/3)→-1098612
+    val r = LmQuality.lmScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == -693147L * 3)
+    assert(math.abs(r(0).getDouble(3) - 0.693147) < 1e-9)
+    assert(r(1).getLong(1) == 1 && r(1).getLong(2) == -1098612L)
+    assert(r(2).getLong(1) == 0 && r(2).isNullAt(2))
+    assert(r(3).getLong(1) == 0 && r(3).isNullAt(2))
+  }
+
   test("bm25: rarer terms and shorter docs score higher; tf grows score") {
     val s = spark
     import s.implicits._
