@@ -599,11 +599,18 @@ object Dedup {
     * [[compactIndex]] folds tombstones in and merges per-batch append
     * dust — same crash-safe protocol as the IVF/text/json indexes.
     *
-    * The survivors are materialized with an eager localCheckpoint before
-    * the index append: lineage truncation, not just caching — a recompute
-    * after the append would re-read an index that now contains this
-    * batch's own hashes and return nothing. The blocks are tracked in
-    * [[Checkpoints]] and freed at the next between-queries sweep.
+    * The survivors are materialized with a LAZY localCheckpoint whose
+    * blocks fill as a side effect of the index-append write (the append
+    * consumes every survivor partition), so the protocol pays no
+    * separate materialization job per batch (optimization round 19 —
+    * the eager variant was one extra job per micro-batch). Lineage
+    * truncation still holds once materialized; recompute-correctness
+    * never depended on it anyway: the probe excludes the batch's own
+    * tag and the index scan's file listing is pinned at load. On the
+    * replayed-tag path (append skipped) a count() materializes the
+    * checkpoint instead, so callers always receive a fully-materialized
+    * frame. Blocks are tracked in [[Checkpoints]] and freed at the next
+    * between-queries sweep.
     *
     * `batchTag` makes the call IDEMPOTENT per batch (Spark's foreachBatch
     * is at-least-once — a replayed micro-batch must not probe an index
@@ -658,12 +665,15 @@ object Dedup {
           .select(col("content_hash")).distinct()
         inBatch.join(dup, Seq("content_hash"), "left_anti")
       } else inBatch
-    val out = Checkpoints.eager(fresh) // materialize BEFORE the append
-    if (!exists || !graft.sources.IncrementalIndex.hasTag(spec, tag))
+    // lazy checkpoint: the append write below materializes it (one job
+    // instead of two); the replayed-tag branch materializes via count()
+    val out = Checkpoints.lazily(fresh)
+    if (!graft.sources.IncrementalIndex.hasTag(spec, tag))
       graft.sources.IncrementalIndex.append(spark, spec,
         out.select(col(idCol).as("id"), col("content_hash"),
           lit(tag).as("batch_tag"),
           hpOf(col("content_hash"), hpw).as("hp")), tag)
+    else out.count() // replay: no write job runs — materialize here
     inBatch.unpersist(false)
     out.drop("content_hash")
   }
@@ -744,10 +754,11 @@ object Dedup {
     * smaller-id batch doc band-matches it at ≥ minAgree, whether or not
     * that doc itself survived) — deterministic at any parallelism, the
     * standard LSH-dedup recipe; use [[clusters]] for transitive
-    * canonicalization. Survivors localCheckpoint before the index append
-    * for the same recompute-vs-own-hashes reason as incrementalExact, and
-    * `batchTag` gives the same per-batch idempotency (probe excludes the
-    * current tag; append skipped when the tag is already indexed). */
+    * canonicalization. Survivors lazily localCheckpoint, materialized by
+    * the index-append write itself (or a count() on the replayed-tag
+    * path — the incrementalExact protocol), and `batchTag` gives the
+    * same per-batch idempotency (probe excludes the current tag; append
+    * skipped when the tag is already indexed). */
   def incrementalMinHash(spark: org.apache.spark.sql.SparkSession,
                          batch: DataFrame, textCol: String, idCol: String,
                          indexName: String, k: Int = 3, bands: Int = 4,
@@ -814,13 +825,17 @@ object Dedup {
       } else ex.select(col(idCol)).limit(0)
     val dupIds = inBatch.unionAll(vsIndex).distinct()
     val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
-    val out = Checkpoints.eager(fresh) // materialize BEFORE the append
-    if (!exists || !graft.sources.IncrementalIndex.hasTag(spec, tag))
+    // lazy checkpoint: the append write below consumes every survivor
+    // partition and materializes it (one job instead of two — see
+    // incrementalExact); the replayed-tag branch materializes via count()
+    val out = Checkpoints.lazily(fresh)
+    if (!graft.sources.IncrementalIndex.hasTag(spec, tag))
       graft.sources.IncrementalIndex.append(spark, spec,
         ex.join(out.select(col(idCol)), Seq(idCol))
           .select(col(idCol).as("id"), col("bkey"), col("sig"),
             lit(tag).as("batch_tag"), hpOf(md5(col("bkey")), hpw).as("hp")),
         tag)
+    else out.count() // replay: no write job runs — materialize here
     ex.unpersist(false)
     out
   }
