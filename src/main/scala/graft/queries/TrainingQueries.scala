@@ -2267,11 +2267,15 @@ object TrainingQueries {
           .join(pmap, "pool_id")
         val best = Chats.dedupeByPrompt(winners, "pool_id",
           "prompt_text", "best_score")
-        val chats = best.withColumn("chat", concat(
-          lit("{\"messages\":[{\"role\":\"user\",\"content\":\""),
-          col("prompt_text"),
-          lit("\"},{\"role\":\"assistant\",\"content\":\""),
-          col("best"), lit("\"}]}")))
+        // snapshot once (optimization round 19): chats feeds the parse
+        // AND the final join — each would otherwise replay bestOfN +
+        // dedupeByPrompt over the corpus
+        val chats = graft.operators.Checkpoints.eager(
+          best.withColumn("chat", concat(
+            lit("{\"messages\":[{\"role\":\"user\",\"content\":\""),
+            col("prompt_text"),
+            lit("\"},{\"role\":\"assistant\",\"content\":\""),
+            col("best"), lit("\"}]}"))))
         val turns = Chats.turns(chats, "chat", "pool_id")
         val packed = Chats.packWithMask(turns, "pool_id")
         val rs = Chats.turnSpans(turns, "pool_id")
@@ -3089,11 +3093,18 @@ object TrainingQueries {
           lit("]}"))
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), json.as("chat"))
-        val t = Chats.turns(docs, "chat", "doc_id")
+        // checkpoint the parse and the encoded spans once (optimization
+        // round 19): turns feeds validate AND the span build, and spans
+        // feeds the length agg, packExamples' back-join, and the final
+        // join — without the snapshots the chat parse ran twice and the
+        // BPE encode three times
+        val t = graft.operators.Checkpoints.eager(
+          Chats.turns(docs, "chat", "doc_id"))
         val valid = Chats.validateTurns(t, "doc_id")
           .filter(col("valid")).select(col("doc_id"))
-        val spans = Chats.tokenSpans(t.join(valid, "doc_id"), "doc_id",
-          roundtripMerges(s, d))
+        val spans = graft.operators.Checkpoints.eager(
+          Chats.tokenSpans(t.join(valid, "doc_id"), "doc_id",
+            roundtripMerges(s, d)))
         val conv = spans.groupBy(col("doc_id"))
           .agg(max(col("token_end")).as("len"))
           .withColumn("grp", col("doc_id") % 4)
@@ -3687,9 +3698,13 @@ object TrainingQueries {
           did.as("node_id"), parent.as("parent_id"), role.as("role"),
           ct.substr(lit(1) + (did % 4 * 3).cast("int"), lit(10))
             .as("content"))
-        val paths = Chats.treePaths(nodes, "node_id", "parent_id")
-          .select(col("conv_id"), col("turn_idx"), col("role"),
-            col("content"))
+        // snapshot once (optimization round 19): paths feeds firstA,
+        // the prompt render, the per-path score agg AND the span build —
+        // each reference otherwise replays treePaths' payload join
+        val paths = graft.operators.Checkpoints.eager(
+          Chats.treePaths(nodes, "node_id", "parent_id")
+            .select(col("conv_id"), col("turn_idx"), col("role"),
+              col("content")))
         val firstA = paths.filter(col("role") === "assistant")
           .groupBy(col("conv_id"))
           .agg(min(col("turn_idx")).as("__fa"))
@@ -3704,8 +3719,9 @@ object TrainingQueries {
             prompts.join(scores, Seq("conv_id")),
             "conv_id", "prompt_text", "n_path_turns")
           .select(col("conv_id"))
-        val spans = Chats.tokenSpans(paths.join(kept, Seq("conv_id")),
-          "conv_id", roundtripMerges(s, d))
+        val spans = graft.operators.Checkpoints.eager(
+          Chats.tokenSpans(paths.join(kept, Seq("conv_id")),
+            "conv_id", roundtripMerges(s, d)))
         val conv = spans.groupBy(col("conv_id"))
           .agg(max(col("token_end")).as("len"))
           .withColumn("grp", col("conv_id") % 4)
@@ -3852,15 +3868,20 @@ object TrainingQueries {
     Q("q_session_sft_windows",
       (s, d) => {
         import graft.operators.{Chats, Funnel, Packing}
-        val turns = Funnel.sessionEpisodes(Tables.events(s, d),
-          "user_id", "ts", gapSec = 1800,
-          contentCol = concat(col("event_type"), lit(" "),
-            (col("event_id") % 100).cast("string")),
-          tieCols = Seq("event_id"))
+        // snapshots as in q_sft_windows: turns feeds validate + the span
+        // build; spans feeds the length agg, packExamples' back-join and
+        // the final join (optimization round 19)
+        val turns = graft.operators.Checkpoints.eager(
+          Funnel.sessionEpisodes(Tables.events(s, d),
+            "user_id", "ts", gapSec = 1800,
+            contentCol = concat(col("event_type"), lit(" "),
+              (col("event_id") % 100).cast("string")),
+            tieCols = Seq("event_id")))
         val valid = Chats.validateTurns(turns, "conv_id")
           .filter(col("valid")).select(col("conv_id"))
-        val spans = Chats.tokenSpans(turns.join(valid, Seq("conv_id")),
-          "conv_id", roundtripMerges(s, d))
+        val spans = graft.operators.Checkpoints.eager(
+          Chats.tokenSpans(turns.join(valid, Seq("conv_id")),
+            "conv_id", roundtripMerges(s, d)))
         val conv = spans.groupBy(col("conv_id"))
           .agg(max(col("token_end")).as("len"))
           .withColumn("grp",
@@ -4476,13 +4497,18 @@ object TrainingQueries {
         val ct = regexp_replace(lower(col("text")), "[^a-z ]", "")
         val docs = Tables.documents(s, d).select(col("doc_id"),
           toolTraceJson(col("doc_id"), ct).as("chat"))
-        val t = Chats.toolTurns(docs, "chat", "doc_id")
+        // snapshots as in q_sft_windows: the tool parse feeds validate +
+        // the render, and spans feeds the length agg, packExamples'
+        // back-join and the final join (optimization round 19)
+        val t = graft.operators.Checkpoints.eager(
+          Chats.toolTurns(docs, "chat", "doc_id"))
         val valid = Chats.validateToolTurns(t, "doc_id")
           .filter(col("valid")).select(col("doc_id"))
         val rendered = Chats.renderToolCalls(t.join(valid, "doc_id"),
           "doc_id")
-        val spans = Chats.tokenSpans(rendered, "doc_id",
-          roundtripMerges(s, d))
+        val spans = graft.operators.Checkpoints.eager(
+          Chats.tokenSpans(rendered, "doc_id",
+            roundtripMerges(s, d)))
         val conv = spans.groupBy(col("doc_id"))
           .agg(max(col("token_end")).as("len"))
           .withColumn("grp", col("doc_id") % 4)
@@ -4663,11 +4689,15 @@ object TrainingQueries {
             (floor(col("doc_id") / 2).cast("long") % 50).as("score"),
             toolTraceJson(col("doc_id"), ct, forceK = Some(1))
               .as("chat"))
-        val t = Chats.toolTurns(cands, "chat", "doc_id")
+        // snapshots (optimization round 19): the tool parse feeds
+        // validate + render; rendered feeds packWithMask AND turnSpans
+        val t = graft.operators.Checkpoints.eager(
+          Chats.toolTurns(cands, "chat", "doc_id"))
         val valid = Chats.validateToolTurns(t, "doc_id")
           .filter(col("valid")).select(col("doc_id"))
-        val rendered = Chats.renderToolCalls(t.join(valid, "doc_id"),
-          "doc_id")
+        val rendered = graft.operators.Checkpoints.eager(
+          Chats.renderToolCalls(t.join(valid, "doc_id"),
+            "doc_id"))
         val packed = Chats.packWithMask(rendered, "doc_id")
           .join(cands.select(col("doc_id"), col("pool_id"),
             col("score")), "doc_id")
