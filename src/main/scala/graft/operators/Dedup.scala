@@ -672,7 +672,8 @@ object Dedup {
       graft.sources.IncrementalIndex.append(spark, spec,
         out.select(col(idCol).as("id"), col("content_hash"),
           lit(tag).as("batch_tag"),
-          hpOf(col("content_hash"), hpw).as("hp")), tag)
+          hpOf(col("content_hash"), hpw).as("hp")), tag,
+        rowsHint = Some(nBatch))
     else out.count() // replay: no write job runs — materialize here
     inBatch.unpersist(false)
     out.drop("content_hash")
@@ -823,7 +824,10 @@ object Dedup {
           .filter(agrees(col("sig"), col("__osig")))
           .select(col(idCol))
       } else ex.select(col(idCol)).limit(0)
-    val dupIds = inBatch.unionAll(vsIndex).distinct()
+    // no distinct: an anti-join's semantics are independent of build-side
+    // duplicates, and the dedup exchange+agg cost more than the larger
+    // (still batch-band-bounded) build (optimization round 19)
+    val dupIds = inBatch.unionAll(vsIndex)
     val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
     // lazy checkpoint: the append write below consumes every survivor
     // partition and materializes it (one job instead of two — see
@@ -834,7 +838,7 @@ object Dedup {
         ex.join(out.select(col(idCol)), Seq(idCol))
           .select(col(idCol).as("id"), col("bkey"), col("sig"),
             lit(tag).as("batch_tag"), hpOf(md5(col("bkey")), hpw).as("hp")),
-        tag)
+        tag, rowsHint = Some(nEx))
     else out.count() // replay: no write job runs — materialize here
     ex.unpersist(false)
     out

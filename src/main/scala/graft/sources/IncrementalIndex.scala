@@ -137,9 +137,13 @@ object IncrementalIndex {
   }
 
   /** Append `rows` (already in index schema) under `batchTag`. */
+  /** Batches at or under this many rows stage through coalesce(1)
+    * instead of a repartition exchange — see [[stage]]'s `rowsHint`. */
+  val SmallAppendRows: Long = 65536L
+
   def append(spark: SparkSession, s: Spec, rows: DataFrame,
-             batchTag: String): Unit =
-    if (stage(spark, s, rows, batchTag).isDefined)
+             batchTag: String, rowsHint: Option[Long] = None): Unit =
+    if (stage(spark, s, rows, batchTag, rowsHint).isDefined)
       commitStaged(s, batchTag)
 
   /** Phase 1 of [[append]]: write the batch under the tag-scoped staging
@@ -151,7 +155,8 @@ object IncrementalIndex {
     * Nothing is visible to [[load]] until commit; an uncommitted staging
     * dir is swept by the next append's replay or [[drop]]. */
   def stage(spark: SparkSession, s: Spec, rows: DataFrame,
-            batchTag: String): Option[String] = {
+            batchTag: String, rowsHint: Option[Long] = None)
+  : Option[String] = {
     recover(s)
     if (new java.io.File(s"${s.tagsDir}/$batchTag").isFile) return None
     migrateLegacy(spark, s)
@@ -161,7 +166,15 @@ object IncrementalIndex {
     // pair emits its own file — a 32-task batch over 256 values could
     // stage thousands of one-row files, and probe-side listing cost
     // compounds per append. With it, one file per value per append.
-    val staged = s.partitionCol.fold(rows)(c => rows.repartition(col(c)))
+    // When the caller KNOWS the batch is small (`rowsHint` ≤
+    // [[SmallAppendRows]] — micro-batch ingest, protocol rounds), a
+    // narrow coalesce(1) gives the same one-file-per-value layout
+    // without paying a shuffle per append (optimization round 19); big
+    // batches keep the repartition so no single task writes the world.
+    val colocate: DataFrame => DataFrame =
+      if (rowsHint.exists(_ <= SmallAppendRows)) _.coalesce(1)
+      else r => s.partitionCol.fold(r)(c => r.repartition(col(c)))
+    val staged = colocate(rows)
     val writer = staged.write.mode("overwrite")
     s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(staging)
     Some(staging)
