@@ -197,11 +197,21 @@ object Robots {
     * under the size guard. */
   def frontierFilter(frontier: DataFrame, urlCol: String,
                      robots: DataFrame, hostCol: String, bodyCol: String,
-                     agent: String): DataFrame = {
+                     agent: String): DataFrame =
+    frontierFilterDirs(frontier, urlCol,
+      directives(robots, hostCol, bodyCol), agent)
+
+  /** [[frontierFilter]] over PRE-PARSED directives — the entry point
+    * [[schedule]] uses so one parse (checkpointed there) feeds both the
+    * verdict's rule table and the crawl-delay fold instead of the
+    * robots corpus being re-parsed per consumer (optimization round
+    * 19). */
+  private def frontierFilterDirs(frontier: DataFrame, urlCol: String,
+                                 dirs: DataFrame, agent: String)
+  : DataFrame = {
     require(!frontier.columns.contains("allowed") &&
       !frontier.columns.contains("host"),
       "frontier already has an 'allowed'/'host' column")
-    val dirs = directives(robots, hostCol, bodyCol)
     val ruleTable = dirs
       .filter(col("key").isin("allow", "disallow") &&
         col("grp") > 0 && length(col("val")) > 0)
@@ -277,7 +287,13 @@ object Robots {
   def schedule(frontier: DataFrame, urlCol: String,
                robots: DataFrame, hostCol: String, bodyCol: String,
                agent: String, defaultDelayMs: Long = 1000L): DataFrame = {
-    val dirs = directives(robots, hostCol, bodyCol)
+    // parse once: the directive table feeds the delay fold, BOTH
+    // chosenGroups calls, and the verdict's rule table — without the
+    // snapshot the robots corpus was re-parsed (posexplode + regex +
+    // group-island window) five times per schedule (optimization
+    // round 19). Vocabulary-sized (directive lines), swept between
+    // queries.
+    val dirs = Checkpoints.eager(directives(robots, hostCol, bodyCol))
     val delay0 = dirs.filter(col("key") === "crawl-delay" && col("grp") > 0)
       .select(col("host").as("__dh"), col("grp"), col("ln"),
         (expr("try_cast(val as decimal(18,3))") * 1000)
@@ -292,8 +308,8 @@ object Robots {
     // one row per delay-declaring host: same guard as the rule table
     val delay = if (delay0.count() <= BroadcastRuleMax) broadcast(delay0)
       else delay0
-    val allowedF = frontierFilter(frontier, urlCol, robots, hostCol,
-      bodyCol, agent).filter(col("allowed")).drop("allowed")
+    val allowedF = frontierFilterDirs(frontier, urlCol, dirs, agent)
+      .filter(col("allowed")).drop("allowed")
     val w = Window.partitionBy(col("host")).orderBy(col(urlCol))
     allowedF
       .join(delay, col("host") === col("__dh"), "left")
