@@ -257,31 +257,35 @@ object Frontier {
           col("__last")("etag").as("__pe"),
           col("__last")("last_modified").as("__plm"))
     }
-    val j = batch.join(led, col(urlCol) === col("__pu"), "left")
     val notMod = col(statusCol) === 304
-    // 304 receipts: carry the stored hash forward, refresh validators
-    val carried = j.filter(notMod && col("__ph").isNotNull)
+    // ONE snapshot of the (batch ⋈ latest-receipts) join per round
+    // (optimization round 19): both the changed set and the 304 carry
+    // leg derive from it lazily, so the ledger fold + join + content
+    // hash run once per round instead of twice (the old shape eagerly
+    // checkpointed each leg separately). The snapshot is taken BEFORE
+    // the append, so neither leg can observe its own append.
+    // NULL-content 200s never hash and the compare is null-safe
+    // (ADVICE r15) — a null hash in the ledger would otherwise mute
+    // the url forever.
+    val snap = Checkpoints.eager(
+      batch.join(led, col(urlCol) === col("__pu"), "left")
+        .withColumn("__h", when(!notMod && col(contentCol).isNotNull,
+          graft.functions.Scalars.hash60(col(contentCol)))))
+    val carried = snap.filter(notMod && col("__ph").isNotNull)
       .select(col(urlCol).as("url"), col("__ph").as("h"),
         coalesce(col(etagCol), col("__pe")).as("etag"),
         coalesce(col(lastModifiedCol), col("__plm")).as("last_modified"),
         lit(batchSeq).as("seq"))
-    // full responses: the changedOnly hash gate. NULL-content 200s drop
-    // before hashing and the compare is null-safe (ADVICE r15) — a null
-    // hash in the ledger would otherwise mute the url forever.
-    val withH = j.filter(!notMod && col(contentCol).isNotNull)
-      .withColumn("__h",
-        graft.functions.Scalars.hash60(col(contentCol)))
-    val changed = Checkpoints.eager(
-      withH.filter(!(col("__h") <=> col("__ph")))
-        .drop("__pu", "__ph", "__pe", "__plm"))
-    // the append payload reads the PRE-append ledger (carried) — eager
-    // both legs so the union can never observe its own append
-    val payload = Checkpoints.eager(
-      changed.select(col(urlCol).as("url"), col("__h").as("h"),
+    val changed = snap
+      .filter(!notMod && col(contentCol).isNotNull &&
+        !(col("__h") <=> col("__ph")))
+      .drop("__pu", "__ph", "__pe", "__plm")
+    val payload = changed
+      .select(col(urlCol).as("url"), col("__h").as("h"),
         col(etagCol).cast("string").as("etag"),
         col(lastModifiedCol).cast("string").as("last_modified"),
         lit(batchSeq).as("seq"))
-        .unionByName(carried))
+      .unionByName(carried)
     graft.sources.IncrementalIndex.append(spark, spec(spark, name, "chg"),
       payload, batchTag)
     changed.drop("__h")
