@@ -672,8 +672,7 @@ object Dedup {
       graft.sources.IncrementalIndex.append(spark, spec,
         out.select(col(idCol).as("id"), col("content_hash"),
           lit(tag).as("batch_tag"),
-          hpOf(col("content_hash"), hpw).as("hp")), tag,
-        rowsHint = Some(nBatch))
+          hpOf(col("content_hash"), hpw).as("hp")), tag)
     else out.count() // replay: no write job runs — materialize here
     inBatch.unpersist(false)
     out.drop("content_hash")
@@ -838,7 +837,7 @@ object Dedup {
         ex.join(out.select(col(idCol)), Seq(idCol))
           .select(col(idCol).as("id"), col("bkey"), col("sig"),
             lit(tag).as("batch_tag"), hpOf(md5(col("bkey")), hpw).as("hp")),
-        tag, rowsHint = Some(nEx))
+        tag)
     else out.count() // replay: no write job runs — materialize here
     ex.unpersist(false)
     out

@@ -137,13 +137,9 @@ object IncrementalIndex {
   }
 
   /** Append `rows` (already in index schema) under `batchTag`. */
-  /** Batches at or under this many rows stage through coalesce(1)
-    * instead of a repartition exchange — see [[stage]]'s `rowsHint`. */
-  val SmallAppendRows: Long = 65536L
-
   def append(spark: SparkSession, s: Spec, rows: DataFrame,
-             batchTag: String, rowsHint: Option[Long] = None): Unit =
-    if (stage(spark, s, rows, batchTag, rowsHint).isDefined)
+             batchTag: String): Unit =
+    if (stage(spark, s, rows, batchTag).isDefined)
       commitStaged(s, batchTag)
 
   /** Phase 1 of [[append]]: write the batch under the tag-scoped staging
@@ -155,8 +151,7 @@ object IncrementalIndex {
     * Nothing is visible to [[load]] until commit; an uncommitted staging
     * dir is swept by the next append's replay or [[drop]]. */
   def stage(spark: SparkSession, s: Spec, rows: DataFrame,
-            batchTag: String, rowsHint: Option[Long] = None)
-  : Option[String] = {
+            batchTag: String): Option[String] = {
     recover(s)
     if (new java.io.File(s"${s.tagsDir}/$batchTag").isFile) return None
     migrateLegacy(spark, s)
@@ -166,15 +161,12 @@ object IncrementalIndex {
     // pair emits its own file — a 32-task batch over 256 values could
     // stage thousands of one-row files, and probe-side listing cost
     // compounds per append. With it, one file per value per append.
-    // When the caller KNOWS the batch is small (`rowsHint` ≤
-    // [[SmallAppendRows]] — micro-batch ingest, protocol rounds), a
-    // narrow coalesce(1) gives the same one-file-per-value layout
-    // without paying a shuffle per append (optimization round 19); big
-    // batches keep the repartition so no single task writes the world.
-    val colocate: DataFrame => DataFrame =
-      if (rowsHint.exists(_ <= SmallAppendRows)) _.coalesce(1)
-      else r => s.partitionCol.fold(r)(c => r.repartition(col(c)))
-    val staged = colocate(rows)
+    // (Optimization round 19 measured a coalesce(1) alternative for
+    // small batches and REVERTED it: coalesce collapses the upstream
+    // computation — including a lazily-checkpointed survivor frame —
+    // into one task, serializing the whole protocol; the exchange's
+    // map side keeps the batch transform parallel.)
+    val staged = s.partitionCol.fold(rows)(c => rows.repartition(col(c)))
     val writer = staged.write.mode("overwrite")
     s.partitionCol.fold(writer)(c => writer.partitionBy(c)).parquet(staging)
     Some(staging)
