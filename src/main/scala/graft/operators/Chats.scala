@@ -450,15 +450,23 @@ object Chats {
   def ingestSft(spark: org.apache.spark.sql.SparkSession,
                 batch: DataFrame, jsonCol: String, idCol: String,
                 name: String, batchTag: String): DataFrame = {
-    val t = turns(batch, jsonCol, idCol)
+    // parse once per batch (optimization round 19): the validator and
+    // the pack both read the parse — unsnapshotted, the chat parse (the
+    // operator's dominant cost) ran twice per micro-batch. The packed
+    // frame checkpoints LAZILY: the index-append write materializes it
+    // (the incrementalExact protocol); a replayed tag (no write runs)
+    // materializes via count().
+    val t = Checkpoints.eager(turns(batch, jsonCol, idCol))
     val valid = validateTurns(t, idCol).filter(col("valid"))
       .select(col(idCol))
-    val packed = Checkpoints.eager(
+    val packed = Checkpoints.lazily(
       packWithMask(t, idCol).join(valid, idCol)
         .select(col(idCol).cast("string").as("id"), col("text"),
           col("n_turns")))
-    graft.sources.IncrementalIndex.append(spark, sftSpec(spark, name),
-      packed, batchTag)
+    val sp = sftSpec(spark, name)
+    if (!graft.sources.IncrementalIndex.hasTag(sp, batchTag))
+      graft.sources.IncrementalIndex.append(spark, sp, packed, batchTag)
+    else packed.count()
     packed
   }
 
@@ -474,15 +482,19 @@ object Chats {
   def ingestToolSft(spark: org.apache.spark.sql.SparkSession,
                     batch: DataFrame, jsonCol: String, idCol: String,
                     name: String, batchTag: String): DataFrame = {
-    val t = toolTurns(batch, jsonCol, idCol)
+    // same snapshot + lazy-append shape as [[ingestSft]] (optimization
+    // round 19): one tool parse per batch instead of two
+    val t = Checkpoints.eager(toolTurns(batch, jsonCol, idCol))
     val valid = validateToolTurns(t, idCol).filter(col("valid"))
       .select(col(idCol))
-    val packed = Checkpoints.eager(
+    val packed = Checkpoints.lazily(
       packWithMask(renderToolCalls(t, idCol), idCol).join(valid, idCol)
         .select(col(idCol).cast("string").as("id"), col("text"),
           col("n_turns")))
-    graft.sources.IncrementalIndex.append(spark, sftSpec(spark, name),
-      packed, batchTag)
+    val sp = sftSpec(spark, name)
+    if (!graft.sources.IncrementalIndex.hasTag(sp, batchTag))
+      graft.sources.IncrementalIndex.append(spark, sp, packed, batchTag)
+    else packed.count()
     packed
   }
 
