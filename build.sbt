@@ -26,6 +26,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only the last ~2000 chars of stdout and parses a
+// compact JSON line out of that tail. With the default output strategy sbt
+// re-logs the forked JVM's stdout as "[info] ..." and appends a
+// "[success] Total time ..." line, so the tail's last line was never bare
+// JSON (19 rounds of `"parsed": null` official bench artifacts).
+// StdoutOutput passes the child's stdout through verbatim; showSuccess
+// drops the trailing [success] line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -435,6 +435,19 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** Driver-style tail extraction: the bench driver keeps only the last
+    * ~2000 chars of the run's stdout and parses the compact JSON line out
+    * of that tail. This mirrors that contract so BenchSpec can pin the
+    * emitted line shape against it: the JSON must be the tail's LAST
+    * non-empty line, bare (no sbt `[info] ` wrapping, no trailing
+    * `[success]` line — build.sbt's StdoutOutput + showSuccess=false). */
+  private[graft] def driverTailExtract(stdout: String,
+                                       budget: Int = 2000): Option[String] = {
+    val tail = stdout.takeRight(budget)
+    tail.linesIterator.toSeq.reverseIterator.find(_.trim.nonEmpty)
+      .map(_.trim).filter(l => l.startsWith("{\"metric\"") && l.endsWith("}"))
+  }
+
   /** Every scale factor recorded anywhere in an artifact, normalized to
     * the numeric factor: the driver wrapper writes `"sf": 0.1`, the
     * local artifact `"sf":"/…/sf0.1"`, and the wrapper embeds the
@@ -1248,7 +1261,12 @@ object Bench {
       compactLine(withQueries = false, withScale = false),
       minimalLine
     ).find(_.length <= budgetChars).getOrElse(minimalLine)
-    println(line)
+    // Stop Spark BEFORE emitting the line: shutdown logging must not land
+    // after it in a combined-stream tail. The compact JSON is the final
+    // thing this JVM writes to stdout (build.sbt's StdoutOutput +
+    // showSuccess=false keep sbt from wrapping or following it).
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -112,4 +112,25 @@ class BenchSpec extends AnyFunSuite {
     val waited = Bench.awaitQuietHost(cpus = 32, maxWaitMs = 1200)
     assert(waited >= 0 && waited <= 2500)
   }
+
+  test("driverTailExtract: bare final JSON line survives the 2000-char tail") {
+    val json =
+      """{"metric":"total","value":254.956,"unit":"sec","n_queries":374,""" +
+        """"degradation":1.03,"queries":{"q_agg_tpch_q1":0.661},"sf":"x"}"""
+    // the shape the bench now emits: progress on stderr never reaches this
+    // stdout capture; the compact line is the last stdout line, bare
+    val good = ("[info] running (fork) graft.Bench \n" * 3) + json + "\n"
+    assert(Bench.driverTailExtract(good).contains(json))
+    // robust to a long stdout: only the tail window is inspected
+    assert(Bench.driverTailExtract(("x" * 100000) + "\n" + json + "\n")
+      .contains(json))
+    // the failure mode of rounds 1-19: sbt wrapped the line as [info] and
+    // appended [success] — the tail's last line is then NOT bare JSON
+    val old = "[info] " + json + "\n[success] Total time: 1500 s\n"
+    assert(Bench.driverTailExtract(old).isEmpty)
+    // a line bigger than the tail window is mid-truncated -> no parse;
+    // the bench's progressive fallback keeps the real line under budget
+    val huge = json.replace("\"sf\":\"x\"", "\"pad\":\"" + "y" * 3000 + "\"")
+    assert(Bench.driverTailExtract(huge + "\n").isEmpty)
+  }
 }
