@@ -267,6 +267,14 @@ object Frontier {
     // NULL-content 200s never hash and the compare is null-safe
     // (ADVICE r15) — a null hash in the ledger would otherwise mute
     // the url forever.
+    // FOOTPRINT (ADVICE r19): the snapshot carries contentCol for EVERY
+    // batch row, including unchanged 200s the hash gate will drop —
+    // O(batch content) per round, not O(changed content). Accepted: the
+    // alternative (snapshot metadata only, re-join content for the
+    // changed leg) re-reads and re-shuffles the batch source per round,
+    // which costs more than the transient block footprint at any batch
+    // size a crawl round realistically fetches; MEMORY_AND_DISK spill
+    // bounds the blocks and the per-round sweep frees them.
     val snap = Checkpoints.eager(
       batch.join(led, col(urlCol) === col("__pu"), "left")
         .withColumn("__h", when(!notMod && col(contentCol).isNotNull,

@@ -82,6 +82,13 @@ object LmQuality {
     // between queries. (A per-(doc,pair) pre-aggregation was measured
     // SLOWER here: it adds a full-stream shuffle the old plan never
     // had, since the count tables broadcast into the scoring join.)
+    // FOOTPRINT (ADVICE r19): this materializes one (id, w1, w2) row per
+    // token OCCURRENCE — O(total corpus tokens) in the block manager per
+    // scoring call, roughly duplicating the tokenized corpus for the
+    // call's duration. MEMORY_AND_DISK spill bounds it and the sweep
+    // frees it, but a deployment scoring a 100 TB corpus in one call
+    // should shard the input (score per shard, union the per-doc rows)
+    // rather than rely on this checkpoint holding the whole stream.
     val dc = Checkpoints.eager(
       df.select(col(idCol), explode(stream).as("p"))
         .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2")))

@@ -305,10 +305,14 @@ object AggQueries {
     Q("q_agg_approx_hll",
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // count(col(c)), not count(lit(1)): COUNT(DISTINCT c) ignores
+        // NULL c, so the pre-distincted rewrite must too (ADVICE r19 —
+        // identical here since lineitem keys are non-null, but the
+        // pattern must stay copy-safe for nullable columns)
         def side(c: String, nd: String, h: String) =
           li.select(col("l_returnflag"), col(c)).distinct()
             .groupBy(col("l_returnflag"))
-            .agg(count(lit(1)).as(nd),
+            .agg(count(col(c)).as(nd),
               approx_count_distinct(col(c), 0.05).as(h))
         side("l_partkey", "nd_part", "hp")
           .join(side("l_orderkey", "nd_order", "ho"), Seq("l_returnflag"))
