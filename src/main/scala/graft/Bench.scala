@@ -217,18 +217,16 @@ object Bench {
     "q_chat_pack" -> Set("ArraySort", "JsonToStructs"),
     "q_chat_validate" -> Set("JsonToStructs"),
     "q_chat_fit" -> Set("JsonToStructs"),
-    // token spans: same chat parse + the BPE expr-chain tier's per-word
-    // segmentation HOFs (3 merges — per-row small-array work); ZipWith
-    // is the memoized merge-LEARNING setup (q_bpe_merges' pair
-    // alignment), paid once by whichever chat gate runs first
-    "q_chat_token_spans" ->
-      Set("ArrayTransform", "JsonToStructs", "ZipWith"),
-    "q_sft_windows" -> Set("ArrayTransform", "JsonToStructs", "ZipWith"),
+    // token spans: the chat parse (the operator) + ZipWith from the
+    // memoized merge-LEARNING setup (q_bpe_merges' pair alignment),
+    // paid once by whichever chat gate runs first; the per-word BPE
+    // segmentation itself is the native codegen kernel since r20
+    "q_chat_token_spans" -> Set("JsonToStructs", "ZipWith"),
+    "q_sft_windows" -> Set("JsonToStructs", "ZipWith"),
     // tree capstone: packWithMask's ordered prompt-prefix rebuild +
     // the BPE expr-chain segmentation; the tree is ASSEMBLED from
     // columns, never parsed — no JsonToStructs
-    "q_tree_sft_windows" ->
-      Set("ArraySort", "ArrayTransform", "ZipWith"),
+    "q_tree_sft_windows" -> Set("ArraySort", "ZipWith"),
     // tool-call traces (r17): the chat parse is the operator, as in
     // the chat gates; ArrayForAll/ArrayTransform are the per-turn
     // call-list checks (ids distinct, arguments parse) and the
@@ -273,8 +271,9 @@ object Bench {
     // session→episode capstone: packWithMask's ordered rebuild (the
     // episodes are ASSEMBLED, not parsed — no JsonToStructs)
     "q_session_episodes" -> Set("ArraySort"),
-    // its loader-shape extension adds the BPE expr-chain segmentation
-    "q_session_sft_windows" -> Set("ArrayTransform", "ZipWith"),
+    // its loader-shape extension: only the merge-learning setup
+    // remains interpreted (the BPE segmentation is the r20 kernel)
+    "q_session_sft_windows" -> Set("ZipWith"),
     // streaming twin of q_chat_pack: same parse + ordered rebuild
     "q_stream_sft_ingest" -> Set("ArraySort", "JsonToStructs"),
     // streaming twin of the tool-trace pack path: the tool parse +
@@ -300,11 +299,10 @@ object Bench {
     "q_hybrid_rrf_batch_ivf" -> Set("ArraySort", "ArrayTransform"),
     "q_hybrid_rrf_indexed" -> Set("ArraySort", "ArrayTransform"),
     "q_lm_buckets" -> Set("ZipWith"),
-    // tokenizer data card (r17): the BPE expr-chain per-word
-    // segmentation HOFs (3 merges, per-row small arrays) as in the
-    // chat token-span gates; ZipWith is the memoized merge-learning
-    // setup paid once per session
-    "q_vocab_fertility" -> Set("ArrayTransform", "ZipWith"),
+    // tokenizer data card (r17): ZipWith is the memoized
+    // merge-learning setup paid once per session; the per-word BPE
+    // segmentation is the r20 codegen kernel
+    "q_vocab_fertility" -> Set("ZipWith"),
     "q_lm_score" -> Set("ZipWith"),
     "q_mv_transform" -> Set("ArrayAggregate"),
     "q_pipeline_e2e" -> Set("ArrayFilter", "ArrayTransform", "ZipWith"),

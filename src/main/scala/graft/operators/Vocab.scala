@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextAnalysis => TA}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary construction (beyond the reference): the
@@ -239,24 +239,28 @@ object Vocab {
       concat(slice(arr, lit(1), size(arr) - 1),
         array(concat(element_at(arr, -1), lit(WordEnd))))
     if (merges.size <= exprChainMax) {
-      val encodeWord: Column => Column = { w =>
-        val enc0 = rtrim(regexp_replace(w, "(.)", "|$1| "))
-        val encN = merges.foldLeft(enc0) { case (e, (l, r)) =>
-          replace(e, lit(s"|$l| |$r|"), lit(s"|$l$r|"))
-        }
-        transform(split(encN, " "), t => t.substr(lit(2), length(t) - 2))
-      }
-      val perWord: Column => Column = { w =>
-        val base = when(w.rlike(wordPattern), encodeWord(w))
-          .otherwise(array(w))
-        if (markWordEnd) markLastCol(base) else base
-      }
+      // native codegen kernel: tokenize + per-word merge chain + flatten
+      // in ONE generated call (optimization round 20 — the HOF replace
+      // chain ran interpreted in every token-span gate; the kernel's
+      // fast walk + pipe replay is byte-equal, pinned by
+      // [[bpeEncodeHofColumn]] specs)
       df.withColumn(outCol,
-        flatten(transform(TA.tokens(col(textCol)), perWord)))
+        org.apache.spark.sql.graft.BpeEncodeText.column(col(textCol),
+          merges, wordPattern, if (markWordEnd) WordEnd else ""))
     } else {
       val merged = merges.toArray
       val pattern = wordPattern.r
+      // rank-indexed fast walk (same Plan as the kernel tier, char-unit
+      // mode to match this tier's toCharArray split); the literal pipe
+      // replay below is the fallback for words/merges the walk's token
+      // representation could alias — byte-equal either way (spec-pinned)
+      val fastPlan = new org.apache.spark.sql.graft.BpeCore.Plan(
+        merges, wordPattern, charMode = true, markSuffix = "")
       def encodeWord(word: String): Seq[String] = {
+        val fast = org.apache.spark.sql.graft.BpeCore
+          .applyMergesFast(word, fastPlan)
+        if (fast != null)
+          return scala.collection.immutable.ArraySeq.unsafeWrapArray(fast)
         var e = "|" + word.toCharArray.mkString("| |") + "|"
         merged.foreach { case (l, r) =>
           e = e.replace(s"|$l| |$r|", s"|$l$r|")
@@ -320,6 +324,32 @@ object Vocab {
         result
       }
     }
+  }
+
+  /** HOF formulation of the small-merge-table encode (spec reference —
+    * the replace-chain column pipeline the codegen kernel replaced in
+    * optimization round 20; [[bpeEncode]] output must stay byte-equal
+    * to this, pinned in OperatorsSpec). */
+  private[graft] def bpeEncodeHofColumn(textCol: Column,
+                                        merges: Seq[(String, String)],
+                                        wordPattern: String,
+                                        markWordEnd: Boolean): Column = {
+    def markLastCol(arr: Column): Column =
+      concat(slice(arr, lit(1), size(arr) - 1),
+        array(concat(element_at(arr, -1), lit(WordEnd))))
+    val encodeWord: Column => Column = { w =>
+      val enc0 = rtrim(regexp_replace(w, "(.)", "|$1| "))
+      val encN = merges.foldLeft(enc0) { case (e, (l, r)) =>
+        replace(e, lit(s"|$l| |$r|"), lit(s"|$l$r|"))
+      }
+      transform(split(encN, " "), t => t.substr(lit(2), length(t) - 2))
+    }
+    val perWord: Column => Column = { w =>
+      val base = when(w.rlike(wordPattern), encodeWord(w))
+        .otherwise(array(w))
+      if (markWordEnd) markLastCol(base) else base
+    }
+    flatten(transform(TA.tokens(textCol), perWord))
   }
 
   /** [[bpeEncode]] from a [[bpeMerges]] output frame (collected in round

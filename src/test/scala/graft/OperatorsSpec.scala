@@ -788,6 +788,62 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed == Seq("low", "c++!"))
   }
 
+  test("bpeEncode codegen kernel is byte-equal to the HOF replace chain") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Vocab
+    // adversarial fixtures for the rank-walk's ordering semantics:
+    //  - (b,c) before (a,bc): sequential replay must NOT apply a merge
+    //    whose pair only forms via a LATER merge... and the reverse
+    //    order where rank 1 (b,c) enables rank 2 (a,bc)
+    //  - (a,a) on runs: leftmost non-overlapping within one pass
+    //  - repeated pair at two ranks: the second rank sees pairs the
+    //    first pass created downstream
+    val cases = Seq(
+      (Seq(("a", "bc"), ("b", "c")), "abc abcabc aabc"),
+      (Seq(("b", "c"), ("a", "bc")), "abc abcabc"),
+      (Seq(("a", "a")), "aaa aaaa aaaaa a"),
+      (Seq(("a", "a"), ("aa", "a"), ("a", "a")), "aaaaaa aaa"),
+      (Seq(("a", "b"), ("ab", "ab"), ("c", "abab")), "ababab cababab"),
+      (Seq(("0", "1"), ("l", "o"), ("lo", "w")), "low 01low lower 0101"))
+    for ((merges, text) <- cases; mark <- Seq(false, true)) {
+      val df = Seq((1L, text), (2L, ""), (3L, "  " + text + " ")).toDF("doc_id", "text")
+      val got = Vocab.bpeEncode(df, "text", merges, markWordEnd = mark)
+        .orderBy("doc_id").collect().map(_.getSeq[String](2).toList).toList
+      val want = df.withColumn("subwords", Vocab.bpeEncodeHofColumn(
+          col("text"), merges, "^[a-z0-9]+$", mark))
+        .orderBy("doc_id").collect().map(_.getSeq[String](2).toList).toList
+      assert(got == want, s"merges=$merges mark=$mark")
+    }
+    // pipe/space pathology: the kernel must fall back to the literal
+    // pipe replay and still match the HOF chain byte-for-byte (a '|'
+    // word aliases the pipe encoding identically in both)
+    val weird = Seq((1L, "a|b ab a||b"), (2L, "|a| |"))
+      .toDF("doc_id", "text")
+    for (merges <- Seq(Seq(("a", "b")), Seq(("|", "a")), Seq(("a", "|b")));
+         pat <- Seq("^[ab|]+$", ".")) {
+      val got = Vocab.bpeEncode(weird, "text", merges, wordPattern = pat)
+        .orderBy("doc_id").collect().map(_.getSeq[String](2).toList).toList
+      val want = weird.withColumn("subwords", Vocab.bpeEncodeHofColumn(
+          col("text"), merges, pat, markWordEnd = false))
+        .orderBy("doc_id").collect().map(_.getSeq[String](2).toList).toList
+      assert(got == want, s"merges=$merges pat=$pat")
+    }
+    // fixture corpus under learned merges: the production shape
+    val docs = Tables.documents(spark, sfDir)
+    val learned = Vocab.bpeMergesLocal(docs, "text", n = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val gotC = Vocab.bpeEncode(docs, "text", learned, markWordEnd = true)
+      .orderBy("doc_id").select(col("subwords"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val wantC = docs.withColumn("subwords", Vocab.bpeEncodeHofColumn(
+        col("text"), learned, "^[a-z0-9]+$", markWordEnd = true))
+      .orderBy("doc_id").select(col("subwords"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(gotC == wantC)
+  }
+
   test("oovFraction: per-doc coverage vs vocab, empty-doc nulls") {
     val s = spark
     import s.implicits._

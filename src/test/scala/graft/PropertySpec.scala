@@ -1220,4 +1220,27 @@ class PropertySpec extends SparkSpec {
         .put("recx".getBytes("US-ASCII"))
     assert(Multimodal.decodeAvi(bb.array()).isEmpty)
   }
+
+  test("BPE fast walk == literal pipe replay on random words and merges") {
+    import org.apache.spark.sql.graft.BpeCore
+    // tiny alphabet maximizes pair collisions/re-formations; merge sides
+    // are short unit concatenations so applied merges actually chain
+    val unit = Gen.oneOf("a", "b", "c")
+    val side = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, unit)).map(_.mkString)
+    val mergeG = for { l <- side; r <- side } yield (l, r)
+    val wordG = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, unit)).map(_.mkString)
+    (0 until 300).foreach { i =>
+      val merges = sample(Gen.chooseNum(0, 12).flatMap(n =>
+        Gen.listOfN(n, mergeG)), 7000 + i)
+      val w = sample(wordG, 9000 + i)
+      val plan = new BpeCore.Plan(merges, "^[a-z0-9]+$",
+        charMode = false, markSuffix = "")
+      val fast = BpeCore.applyMergesFast(w, plan)
+      assert(fast != null) // safe domain by construction
+      assert(fast.toList == BpeCore.pipeReplayExpr(w, plan).toList,
+        s"word=$w merges=$merges")
+    }
+  }
 }
